@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.TimeSeriesOps
+import graft.tables.Tables
+import Params._
+
+/** The reference's query surface (SURVEY.md §2.1 + §2.3) mapped onto the
+  * driver's `events` table: series = event_type, time = ts. Every query has
+  * a DuckDB oracle; time is µs-normalized (`epoch_us(ts)` == `ts div 1000`).
+  */
+object EventQueries {
+
+  /** Common oracle SQL fragment: events normalized to TSDB shape. */
+  private val EV =
+    "(SELECT event_type AS series, epoch_us(ts) AS time_us, event_id, user_id, value FROM events)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Op #1: range scan + projection + LIMIT (select_op_first,
+    // reference src/libtsdb/select_op.cc:175-231)
+    QueryDef.withOracle("tsdb_select_range",
+      s"""SELECT time_us, event_id, value FROM $EV
+         |WHERE series = 'purchase' AND time_us BETWEEN $T0 AND $T1
+         |ORDER BY time_us, event_id LIMIT 500""".stripMargin) { (s, dir) =>
+      TimeSeriesOps.selectRange(
+        Tables.eventsTsdb(s, dir).filter(col("series") === "purchase"),
+        "time_us", T0, T1, Seq("time_us", "event_id", "value"),
+        Some(500), Seq("event_id"))
+    },
+
+    // Op #2: LAST N of the range, emitted ascending (select_op_last,
+    // reference src/libtsdb/select_op.cc:233-371)
+    QueryDef.withOracle("tsdb_select_last",
+      s"""SELECT * FROM (
+         |  SELECT time_us, event_id, value FROM $EV
+         |  WHERE series = 'purchase' AND time_us BETWEEN $T0 AND $T1
+         |  ORDER BY time_us DESC, event_id DESC LIMIT 100
+         |) ORDER BY time_us, event_id""".stripMargin) { (s, dir) =>
+      TimeSeriesOps.selectLast(
+        Tables.eventsTsdb(s, dir).filter(col("series") === "purchase"),
+        "time_us", T0, T1, 100, Seq("time_us", "event_id", "value"), Seq("event_id"))
+    },
+
+    // Op #5: count + live range (count_points,
+    // reference src/libtsdb/count.cc:100-112)
+    QueryDef.withOracle("tsdb_count",
+      s"""SELECT count(*) AS npoints, min(time_us) AS time_first,
+         |       max(time_us) AS time_last FROM $EV
+         |WHERE series = 'click' AND time_us BETWEEN $T0 AND $T1""".stripMargin) { (s, dir) =>
+      TimeSeriesOps.countPoints(
+        Tables.eventsTsdb(s, dir).filter(col("series") === "click"),
+        "time_us", T0, T1)
+    },
+
+    // Op #12: active series in range
+    // (reference src/libtsdb/measurement.cc:49-63)
+    QueryDef.withOracle("tsdb_active_series",
+      s"""SELECT series, count(*) AS npoints FROM $EV
+         |WHERE time_us BETWEEN $T0 AND $T1
+         |GROUP BY series ORDER BY series""".stripMargin) { (s, dir) =>
+      TimeSeriesOps.activeSeries(Tables.eventsTsdb(s, dir), "series", "time_us", T0, T1)
+    },
+
+    // Op #6: tumbling-window sum/min/max/count INCLUDING empty windows
+    // (sum_op, reference src/libtsdb/sum_op.cc:6-281; empty-window emission
+    // src/tsdbcli2/main.cc:229-235)
+    QueryDef.withOracle("tsdb_window_sum", {
+      val w0 = TimeSeriesOps.firstWindowStart(T0, DAY)
+      val nW = TimeSeriesOps.numWindows(T0, T1, DAY)
+      s"""WITH spine AS (
+         |  SELECT unnest(generate_series($w0, ${w0 + (nW - 1) * DAY}, $DAY)) AS window_start
+         |), agg AS (
+         |  SELECT time_us - (time_us % $DAY) AS window_start,
+         |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         |         MIN(value) AS min_value, MAX(value) AS max_value,
+         |         COUNT(value) AS n
+         |  FROM $EV
+         |  WHERE series = 'click' AND time_us >= $w0 AND time_us < ${w0 + nW * DAY}
+         |  GROUP BY 1
+         |)
+         |SELECT s.window_start, coalesce(a.sum_value, 0.0) AS sum_value,
+         |       a.min_value, a.max_value, coalesce(a.n, 0) AS n
+         |FROM spine s LEFT JOIN agg a USING (window_start)
+         |ORDER BY window_start""".stripMargin
+    }) { (s, dir) =>
+      TimeSeriesOps.sumWindows(
+        Tables.eventsTsdb(s, dir).filter(col("series") === "click"),
+        "time_us", "value", T0, T1, DAY)
+    },
+
+    // Op #7: windowed MEAN (derived sum/count, reference
+    // src/tsdbcli2/main.cc:203-238), per series, non-empty windows
+    QueryDef.withOracle("tsdb_window_mean", {
+      val w0 = TimeSeriesOps.firstWindowStart(T0, DAY)
+      val hi = w0 + TimeSeriesOps.numWindows(T0, T1, DAY) * DAY
+      s"""SELECT series, time_us - (time_us % $DAY) AS window_start,
+         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS mean_value,
+         |       COUNT(value) AS n
+         |FROM $EV WHERE time_us >= $w0 AND time_us < $hi
+         |GROUP BY 1, 2 ORDER BY series, window_start""".stripMargin
+    }) { (s, dir) =>
+      TimeSeriesOps.meanWindows(Tables.eventsTsdb(s, dir),
+        "series", "time_us", "value", T0, T1, DAY)
+    },
+
+    // Op #8: windowed MIN/MAX zoom (reference grafana datasource.go:384-430)
+    QueryDef.withOracle("tsdb_window_minmax", {
+      val w0 = TimeSeriesOps.firstWindowStart(T0, DAY)
+      val hi = w0 + TimeSeriesOps.numWindows(T0, T1, DAY) * DAY
+      s"""SELECT series, time_us - (time_us % $DAY) AS window_start,
+         |       MIN(value) AS min_value, MAX(value) AS max_value,
+         |       COUNT(value) AS n
+         |FROM $EV WHERE time_us >= $w0 AND time_us < $hi
+         |GROUP BY 1, 2 ORDER BY series, window_start""".stripMargin
+    }) { (s, dir) =>
+      TimeSeriesOps.minMaxWindows(Tables.eventsTsdb(s, dir),
+        "series", "time_us", "value", T0, T1, DAY)
+    },
+
+    // Op #9: trapezoidal integral, dt in seconds, per series
+    // (integral_op, reference src/libtsdb/integral_op.cc:5-103)
+    QueryDef.withOracle("tsdb_integral",
+      s"""WITH base AS (
+         |  SELECT series, time_us, value,
+         |         lag(value) OVER w AS prev_v,
+         |         lag(time_us) OVER w AS prev_t
+         |  FROM $EV WHERE time_us BETWEEN $T0 AND $T1
+         |  WINDOW w AS (PARTITION BY series ORDER BY time_us, event_id)
+         |)
+         |SELECT series, count(*) AS npoints,
+         |       min(time_us) AS t0_out, max(time_us) AS t1_out,
+         |       CASE WHEN max(CASE WHEN value IS NULL THEN 1 ELSE 0 END) = 1 THEN NULL
+         |            WHEN count(*) = 1 THEN round(min(value), 0)
+         |            ELSE round(sum((value + prev_v) * (time_us - prev_t) / 2000000.0), 0)
+         |       END AS integral
+         |FROM base GROUP BY series ORDER BY series""".stripMargin) { (s, dir) =>
+      TimeSeriesOps.integrate(Tables.eventsTsdb(s, dir),
+        "series", "time_us", "value", T0, T1, UPS, Seq("event_id"))
+    },
+
+    // §2.3 Tare: v - first(v) per series (reference datasource.go:257-268)
+    QueryDef.withOracle("tsdb_tare",
+      s"""SELECT series, time_us, event_id,
+         |       value - first_value(value) OVER
+         |         (PARTITION BY series ORDER BY time_us, event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tare
+         |FROM $EV WHERE time_us BETWEEN $T0 AND $T1
+         |ORDER BY series, time_us, event_id""".stripMargin) { (s, dir) =>
+      val base = Tables.eventsTsdb(s, dir)
+        .filter(col("time_us") >= T0 && col("time_us") <= T1)
+      TimeSeriesOps.tare(base, "series", "time_us", "value", Seq("event_id"))
+        .select("series", "time_us", "event_id", "tare")
+        .orderBy("series", "time_us", "event_id")
+    },
+
+    // §2.3 Difference: v - lag(v) per series
+    QueryDef.withOracle("tsdb_difference",
+      s"""SELECT series, time_us, event_id,
+         |       value - lag(value) OVER
+         |         (PARTITION BY series ORDER BY time_us, event_id) AS difference
+         |FROM $EV WHERE time_us BETWEEN $T0 AND $T1
+         |ORDER BY series, time_us, event_id""".stripMargin) { (s, dir) =>
+      val base = Tables.eventsTsdb(s, dir)
+        .filter(col("time_us") >= T0 && col("time_us") <= T1)
+      TimeSeriesOps.difference(base, "series", "time_us", "value", Seq("event_id"))
+        .select("series", "time_us", "event_id", "difference")
+        .orderBy("series", "time_us", "event_id")
+    },
+
+    // §2.3 Derivative per second
+    QueryDef.withOracle("tsdb_derivative",
+      s"""SELECT series, time_us, event_id,
+         |       (value - lag(value) OVER w) /
+         |         ((time_us - lag(time_us) OVER w) / 1000000.0) AS derivative
+         |FROM $EV WHERE time_us BETWEEN $T0 AND $T1
+         |WINDOW w AS (PARTITION BY series ORDER BY time_us, event_id)
+         |ORDER BY series, time_us, event_id""".stripMargin) { (s, dir) =>
+      val base = Tables.eventsTsdb(s, dir)
+        .filter(col("time_us") >= T0 && col("time_us") <= T1)
+      TimeSeriesOps.derivative(base, "series", "time_us", "value", UPS, Seq("event_id"))
+        .select("series", "time_us", "event_id", "derivative")
+        .orderBy("series", "time_us", "event_id")
+    },
+
+    // Op #11 read semantics after delete-from-front: points below the
+    // advanced time_first watermark are invisible
+    // (reference src/libtsdb/delete.cc:10-162, select clamp select_op.cc:18-19)
+    QueryDef.withOracle("tsdb_delete_front_view",
+      s"""SELECT count(*) AS npoints, min(time_us) AS time_first
+         |FROM $EV WHERE series = 'error' AND time_us > $CUT""".stripMargin) { (s, dir) =>
+      Tables.eventsTsdb(s, dir)
+        .filter(col("series") === "error" && col("time_us") > CUT)
+        .agg(count(lit(1)).as("npoints"), min("time_us").as("time_first"))
+    }
+  )
+}

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.TimeSeriesOps.sumExact2
+import graft.tables.Tables
+
+/** General relational queries over the TPC-H-ish tables. The reference has
+  * no joins or general group-bys (SURVEY.md §2.4) — these prove the engine
+  * safely generalizes beyond its surface, and exercise the plans that matter
+  * at 100 TB: partial aggregation, broadcast joins, top-k.
+  *
+  * Float discipline: fixed-2-decimal money columns are summed as
+  * DECIMAL(18,2) then surfaced as double, so results are bitwise independent
+  * of partial-aggregation order (Spark) vs sequential order (DuckDB). Sums
+  * of integral-valued doubles (l_quantity) are exact in binary f.p. already.
+  */
+object RelationalQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // TPC-H Q1-shaped pricing summary: map-side partial agg, 6 groups.
+    QueryDef.withOracle("q1_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |       SUM(l_quantity) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       SUM(l_quantity) / COUNT(l_quantity) AS avg_qty,
+        |       COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("date") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"),
+             sumExact2(col("l_extendedprice")).as("sum_base_price"),
+             (sum("l_quantity") / count("l_quantity")).as("avg_qty"),
+             count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // Star join: orders -> customer -> nation, dims broadcast (at 100 TB the
+    // fact side shuffles zero times; both dims stay broadcast-able).
+    QueryDef.withOracle("q_join_agg",
+      """SELECT n_name, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .join(broadcast(Tables(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"),
+             sumExact2(col("o_totalprice")).as("revenue"))
+        .orderBy("n_name")
+    },
+
+    // Top-K: TakeOrderedAndProject — never a full sort at scale.
+    QueryDef.withOracle("q_topk_orders",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
+    // Semi-join shaped filter: customers with at least one high-value order.
+    QueryDef.withOracle("q_semijoin",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val hi = Tables(s, dir, "orders")
+        .filter(col("o_totalprice") > 100000.0).select("o_custkey")
+      Tables(s, dir, "customer")
+        .join(hi, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }
+  )
+}
