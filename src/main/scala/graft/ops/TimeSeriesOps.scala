@@ -143,8 +143,11 @@ object TimeSeriesOps {
     * (reference: NULL); 1 point -> the value itself (integral_op.cc:96-102).
     * Also emits the actual first/last integrated timestamps so callers can
     * derive the time-average (reference src/tsdbcli2/main.cc:277-287).
-    * Result rounded to integer so the value is stable under summation-order
-    * differences between engines (doubles; ~1e8 magnitudes at sf0.01).
+    * Trapezoid terms (v + prev_v) * dt are accumulated EXACTLY in decimal
+    * (values carry fixed 2-decimal precision; dt is integer), so the SUM is
+    * independent of partial-aggregation order; the single final division by
+    * 2*unitsPerSecond happens once in double. The full (unrounded) value is
+    * returned — the reference returns the full double (integral_op.cc:84-88).
     */
   def integrate(df: DataFrame, seriesCol: String, tsCol: String,
                 valCol: String, t0: Long, t1: Long,
@@ -155,20 +158,20 @@ object TimeSeriesOps {
       .withColumn("prev_v", lag(valCol, 1).over(ord))
       .withColumn("prev_t", lag(tsCol, 1).over(ord))
       .withColumn("term",
-        (col(valCol) + col("prev_v")) * (col(tsCol) - col("prev_t")) /
-          lit(2.0 * unitsPerSecond))
+        (col(valCol).cast(DecimalType(18, 2)) + col("prev_v").cast(DecimalType(18, 2))) *
+          (col(tsCol) - col("prev_t")))
     base.groupBy(col(seriesCol).as("series"))
       .agg(count(lit(1)).as("npoints"),
            min(tsCol).as("t0_out"),
            max(tsCol).as("t1_out"),
            max(col(valCol).isNull.cast("int")).as("any_null"),
-           sum("term").as("raw_integral"),
+           (sum("term").cast("double") / lit(2.0 * unitsPerSecond)).as("raw_integral"),
            min(valCol).as("only_value"))
       .select(col("series"), col("npoints"),
               col("t0_out"), col("t1_out"),
               when(col("any_null") === 1, lit(null))
-                .when(col("npoints") === 1, round(col("only_value"), 0))
-                .otherwise(round(col("raw_integral"), 0)).as("integral"))
+                .when(col("npoints") === 1, col("only_value"))
+                .otherwise(col("raw_integral")).as("integral"))
       .orderBy("series")
   }
 

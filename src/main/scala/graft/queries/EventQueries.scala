@@ -131,8 +131,9 @@ object EventQueries {
          |SELECT series, count(*) AS npoints,
          |       min(time_us) AS t0_out, max(time_us) AS t1_out,
          |       CASE WHEN max(CASE WHEN value IS NULL THEN 1 ELSE 0 END) = 1 THEN NULL
-         |            WHEN count(*) = 1 THEN round(min(value), 0)
-         |            ELSE round(sum((value + prev_v) * (time_us - prev_t) / 2000000.0), 0)
+         |            WHEN count(*) = 1 THEN min(value)
+         |            ELSE CAST(sum((CAST(value AS DECIMAL(18,2)) + CAST(prev_v AS DECIMAL(18,2)))
+         |                          * (time_us - prev_t)) AS DOUBLE) / 2000000.0
          |       END AS integral
          |FROM base GROUP BY series ORDER BY series""".stripMargin) { (s, dir) =>
       TimeSeriesOps.integrate(Tables.eventsTsdb(s, dir),

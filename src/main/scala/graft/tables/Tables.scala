@@ -20,10 +20,11 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** Assumes `spark.sql.legacy.parquet.nanosAsLong=true` was set at session
+    * construction (Bench/Verify/tests do) — setting it here per-call would be
+    * a hidden side effect and too late for some read paths. */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
-  }
 
   /** `events` normalized to TSDB shape: `series` tag (reference series ==
     * tag string, doc/README.txt:24-26), ns + µs time columns, value fields.
