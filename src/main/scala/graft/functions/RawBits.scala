@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** Raw IEEE-754 bit patterns of float/double columns, as native Catalyst
+  * expressions (codegen'd — they stay inside WholeStageCodegen, unlike a
+  * Scala UDF).
+  *
+  * Why: the reference's idempotent tail-overwrite rule compares points
+  * BITWISE (memcmp of the raw chunk bytes — reference
+  * src/libtsdb/wal.cc:104,116). Spark's `<=>`/`=` collapse NaN payloads and
+  * -0.0 == 0.0, so float equality there is not bitwise. Comparing
+  * `double_raw_bits(a) <=> double_raw_bits(b)` is (raw long bits preserve
+  * NaN payloads and the sign of zero).
+  */
+case class DoubleRawBits(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def checkInputDataTypes() =
+    if (child.dataType == DoubleType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"double_raw_bits requires DOUBLE, got ${child.dataType.sql}")
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Double.doubleToRawLongBits(input.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"java.lang.Double.doubleToRawLongBits($c)")
+  override protected def withNewChildInternal(newChild: Expression): DoubleRawBits =
+    copy(child = newChild)
+  override def prettyName: String = "double_raw_bits"
+}
+
+case class FloatRawBits(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def inputTypes: Seq[AbstractDataType] = Seq(FloatType)
+  override def checkInputDataTypes() =
+    if (child.dataType == FloatType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"float_raw_bits requires FLOAT, got ${child.dataType.sql}")
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Float.floatToRawIntBits(input.asInstanceOf[Float])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"java.lang.Float.floatToRawIntBits($c)")
+  override protected def withNewChildInternal(newChild: Expression): FloatRawBits =
+    copy(child = newChild)
+  override def prettyName: String = "float_raw_bits"
+}
+
+object GraftFunctions {
+  /** Idempotent per-session registration of the graft native functions. */
+  def register(spark: SparkSession): Unit = synchronized {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "double_raw_bits", args => DoubleRawBits(args.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "float_raw_bits", args => FloatRawBits(args.head), "built-in")
+  }
+
+  /** A column rewritten to an exactly-comparable form: float/double become
+    * their raw bit patterns, everything else passes through (integer /
+    * decimal / boolean equality is already exact). */
+  def bitwiseComparable(c: Column, dt: DataType): Column = dt match {
+    case DoubleType => call_function("double_raw_bits", c)
+    case FloatType  => call_function("float_raw_bits", c)
+    case _          => c
+  }
+}
