@@ -19,7 +19,6 @@ import org.apache.spark.sql.types._
   */
 case class DoubleRawBits(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
   override def checkInputDataTypes() =
     if (child.dataType == DoubleType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
@@ -35,7 +34,6 @@ case class DoubleRawBits(child: Expression) extends UnaryExpression {
 
 case class FloatRawBits(child: Expression) extends UnaryExpression {
   override def dataType: DataType = IntegerType
-  override def inputTypes: Seq[AbstractDataType] = Seq(FloatType)
   override def checkInputDataTypes() =
     if (child.dataType == FloatType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
