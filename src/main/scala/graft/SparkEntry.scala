@@ -9,7 +9,8 @@ import graft.queries._
 object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
-    EventQueries.defs ++ RelationalQueries.defs ++ PipelineQueries.defs
+    EventQueries.defs ++ RelationalQueries.defs ++ PipelineQueries.defs ++
+      EngineQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's windowed sum_op (empty windows included) over events. */

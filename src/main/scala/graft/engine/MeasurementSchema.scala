@@ -77,10 +77,16 @@ object MeasurementSchema {
 
   /** Strict parse of [[MeasurementSchema.toJson]] output. Field names are
     * validated to a safe charset at create time, so the regex grammar is
-    * exact, not approximate. */
+    * exact — and a full round-trip is required, so a corrupt or truncated
+    * schema file FAILS instead of silently parsing as a field subset (the
+    * reference throws corrupt_schema_file_exception on any malformed entry,
+    * reference src/libtsdb/measurement.cc:29-41). */
   def fromJson(s: String): MeasurementSchema = {
     val fields = FieldRe.findAllMatchIn(s).map(m => Field(m.group(1), FieldType.fromCode(m.group(2)))).toSeq
     if (fields.isEmpty) throw new InvalidSchemaException(s"unparseable schema json: $s")
-    MeasurementSchema(fields).validated()
+    val parsed = MeasurementSchema(fields).validated()
+    if (parsed.toJson != s)
+      throw new InvalidSchemaException(s"corrupt schema json (round-trip mismatch): $s")
+    parsed
   }
 }

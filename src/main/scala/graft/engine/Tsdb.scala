@@ -1,0 +1,431 @@
+package graft.engine
+
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.GraftFunctions
+import graft.ops.TimeSeriesOps
+
+import java.nio.charset.StandardCharsets
+
+/** Live range of a series. `timeFirst` is the delete watermark (points below
+  * it are invisible and silently discarded on write); `timeLast` is the
+  * append high-watermark (reference `time_first`/`time_last` files,
+  * src/libtsdb/series.cc:56-72, doc/LOCKING.txt:58-76). */
+final case class SeriesRange(timeFirst: Long, timeLast: Long) {
+  def toJson: String = s"""{"version":1,"time_first":$timeFirst,"time_last":$timeLast}"""
+}
+object SeriesRange {
+  private val Re = """\{"version":1,"time_first":(-?\d+),"time_last":(-?\d+)\}""".r
+  def fromJson(s: String): SeriesRange = s.trim match {
+    case Re(a, b) => SeriesRange(a.toLong, b.toLong)
+    case _        => throw new InvalidSchemaException(s"corrupt watermark json: $s")
+  }
+}
+
+final case class WriteResult(written: Long, discarded: Long, overwriteVerified: Long)
+
+/** The engine facade — the Spark-native equivalent of the reference's
+  * `root → database → measurement → series → points` hierarchy
+  * (reference doc/README.txt:20-29) and its full DDL + mutation surface
+  * (server command table src/tsdbserver/server.cc:245-327).
+  *
+  * Storage layout (SURVEY.md §7.1) — engine-managed, pruning-first:
+  * {{{
+  * rootDir/_config.json                      bucket width (once, validated on open)
+  * rootDir/<db>/<meas>/_schema.json          MeasurementSchema (atomic tmp+rename)
+  * rootDir/<db>/<meas>/_meta/<series>.json   SeriesRange watermarks
+  * rootDir/<db>/<meas>/data/series=<s>/bucket=<b>/  parquet, sorted by time_ns
+  * }}}
+  *
+  * This replaces the reference's per-series chunk `index` binary search
+  * (select_op.cc:50-59) with Spark partition pruning on `(series, bucket)`
+  * plus Parquet row-group min/max stats: a time-range query reads only the
+  * touched buckets — at 100 TB the difference between one bucket and a full
+  * scan. Series are "embarrassingly parallel" (doc/LOCKING.txt:3-8): the
+  * partition layout preserves that property for the cluster.
+  *
+  * Concurrency: the reference serializes writers per series with flocks
+  * (series.h:42-179). Here the contract is single-writer-per-series (Spark
+  * jobs are the writers); readers always see a consistent snapshot because
+  * parquet files are immutable and the watermark swap is atomic (rename).
+  */
+final class Tsdb(val spark: SparkSession, val rootDir: String,
+                 requestedBucketWidth: Long = Tsdb.DefaultBucketWidth) {
+  import MeasurementSchema.{BucketCol, SeriesCol, TimeCol}
+
+  GraftFunctions.register(spark)
+
+  private val hconf = spark.sessionState.newHadoopConf()
+  private def fs(p: Path): FileSystem = p.getFileSystem(hconf)
+  private val root = new Path(rootDir)
+
+  /** Bucket width in time units (reference `chunk_size` config analog,
+    * src/libtsdb/root.cc:41-45: persisted once, validated on every open). */
+  val bucketWidth: Long = {
+    require(requestedBucketWidth > 0, "bucket width must be positive")
+    val cfg = new Path(root, "_config.json")
+    val f = fs(cfg)
+    if (f.exists(cfg)) {
+      val Re = """\{"version":1,"bucket_width":(\d+)\}""".r
+      readString(cfg).trim match {
+        case Re(w) => w.toLong
+        case other => throw new InvalidSchemaException(s"corrupt engine config: $other")
+      }
+    } else {
+      f.mkdirs(root)
+      atomicWrite(cfg, s"""{"version":1,"bucket_width":$requestedBucketWidth}""")
+      requestedBucketWidth
+    }
+  }
+
+  // ---------------------------------------------------------------- catalog
+
+  /** CREATE DATABASE — idempotent mkdir (reference src/libtsdb/root.cc:147-156). */
+  def createDatabase(db: String): Unit = {
+    validName(db, "database")
+    fs(root).mkdirs(dbPath(db))
+  }
+
+  /** Sorted database listing (reference src/libtsdb/root.cc:158-164). */
+  def listDatabases(): Seq[String] = listDirs(root).filterNot(_.startsWith("_"))
+
+  /** CREATE MEASUREMENT — idempotent iff the schema is identical; a differing
+    * field set raises (reference src/libtsdb/measurement.cc:96-111). Creation
+    * is atomic via tmp+rename (measurement.cc:65-151). */
+  def createMeasurement(db: String, m: String, schema: MeasurementSchema): Unit = {
+    validName(m, "measurement")
+    if (!fs(root).exists(dbPath(db))) throw new NoSuchDatabaseException(db)
+    schema.validated()
+    val sp = schemaPath(db, m)
+    if (fs(sp).exists(sp)) {
+      val existing = MeasurementSchema.fromJson(readString(sp))
+      if (existing != schema)
+        throw new MeasurementExistsException(db, m,
+          s"existing=${existing.toJson} requested=${schema.toJson}")
+    } else {
+      fs(sp).mkdirs(measPath(db, m))
+      atomicWrite(sp, schema.toJson)
+    }
+  }
+
+  /** GET SCHEMA (reference src/tsdbserver/server.cc:441-460). */
+  def getSchema(db: String, m: String): MeasurementSchema = {
+    val sp = schemaPath(db, m)
+    if (!fs(sp).exists(sp)) {
+      if (!fs(root).exists(dbPath(db))) throw new NoSuchDatabaseException(db)
+      throw new NoSuchMeasurementException(db, m)
+    }
+    MeasurementSchema.fromJson(readString(sp))
+  }
+
+  /** LIST MEASUREMENTS (reference src/libtsdb/database.h:18-23). */
+  def listMeasurements(db: String): Seq[String] = {
+    if (!fs(root).exists(dbPath(db))) throw new NoSuchDatabaseException(db)
+    listDirs(dbPath(db))
+  }
+
+  /** LIST SERIES — sorted (reference src/libtsdb/measurement.h:72-77).
+    * Series exist from their first successful write (auto-create,
+    * series.cc:20-109). */
+  def listSeries(db: String, m: String): Seq[String] = {
+    getSchema(db, m) // existence check
+    val meta = metaDir(db, m)
+    val f = fs(meta)
+    if (!f.exists(meta)) Nil
+    else f.listStatus(meta).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".json")).map(_.stripSuffix(".json")).sorted
+  }
+
+  /** Live range of a series; absent ⇒ the series has never been written. */
+  def seriesRange(db: String, m: String, series: String): Option[SeriesRange] = {
+    val p = metaPath(db, m, series)
+    if (fs(p).exists(p)) Some(SeriesRange.fromJson(readString(p))) else None
+  }
+
+  // ---------------------------------------------------------------- write
+
+  /** Validated append — the reference's `write_wal` semantics
+    * (src/libtsdb/wal.cc:53-347):
+    *  - `time_ns` must be non-null and unique within the batch (the
+    *    strictly-increasing rule, wal.cc:63-68; a DataFrame has no inherent
+    *    order, so monotonicity degenerates to uniqueness — the engine imposes
+    *    the physical order on write).
+    *  - points below the delete watermark `time_first` are silently
+    *    discarded (wal.cc:70-85).
+    *  - points in `[time_first, time_last]` are an idempotent tail overwrite:
+    *    accepted iff BITWISE identical to what is stored — float/double
+    *    compared by raw IEEE-754 bits exactly like the reference's memcmp
+    *    (wal.cc:87-246, 104, 116) — and the overlapped stored range must be
+    *    covered exactly (no gaps, no never-seen past points). Any mismatch
+    *    rejects the whole write.
+    *  - points above `time_last` are appended, sorted, bucket-partitioned;
+    *    the watermark then advances. Idempotent overwrite is what makes
+    *    at-least-once streaming replay exactly-once (see graft.streaming).
+    */
+  def writePoints(db: String, m: String, series: String, points: DataFrame): WriteResult = {
+    validName(series, "series")
+    val schema = getSchema(db, m)
+    val cols = TimeCol +: schema.fields.map(_.name)
+    val missing = cols.filterNot(points.columns.contains)
+    if (missing.nonEmpty)
+      throw new InvalidSchemaException(s"write batch missing columns: ${missing.mkString(",")}")
+    val pts = points.select(
+      col(TimeCol).cast(LongType).as(TimeCol) +:
+      schema.fields.map(f => col(f.name).cast(f.ftype.spark).as(f.name)): _*)
+
+    val stats = pts.agg(
+      count(lit(1)).as("n"), count(col(TimeCol)).as("n_ts"),
+      countDistinct(col(TimeCol)).as("n_distinct")).head()
+    val n = stats.getLong(0)
+    if (n == 0) return WriteResult(0, 0, 0)
+    if (stats.getLong(1) < n)
+      throw new OutOfOrderTimestampsException(s"${n - stats.getLong(1)} NULL $TimeCol values")
+    if (stats.getLong(2) < n)
+      throw new OutOfOrderTimestampsException(
+        s"${n - stats.getLong(2)} duplicate timestamps within batch")
+
+    val wm = seriesRange(db, m, series)
+    val (discarded, overlapN) = wm match {
+      case None => (0L, 0L)
+      case Some(SeriesRange(tf, tl)) =>
+        val parts = pts.agg(
+          sum(when(col(TimeCol) < tf, 1L).otherwise(0L)).as("disc"),
+          sum(when(col(TimeCol).between(tf, tl), 1L).otherwise(0L)).as("ov")).head()
+        val ovN = parts.getLong(1)
+        if (ovN > 0) verifyOverlap(db, m, series, schema,
+          pts.filter(col(TimeCol).between(tf, tl)), tf, tl, ovN)
+        (parts.getLong(0), ovN)
+    }
+
+    // new points are above the append watermark AND not below the delete
+    // watermark (time_first > time_last after a delete-into-the-future:
+    // points between them are discarded, not appended)
+    val newPts = wm.fold(pts)(r =>
+      pts.filter(col(TimeCol) > r.timeLast && col(TimeCol) >= r.timeFirst))
+    val written = appendSorted(db, m, series, newPts)
+    if (written > 0 || wm.isEmpty) {
+      val nstats = if (written > 0)
+        Some(newPts.agg(min(TimeCol), max(TimeCol)).head()).map(r => (r.getLong(0), r.getLong(1)))
+      else None
+      val next = (wm, nstats) match {
+        case (Some(r), Some((_, mx))) => SeriesRange(r.timeFirst, math.max(r.timeLast, mx))
+        case (Some(r), None)          => r
+        case (None, Some((mn, mx)))   => SeriesRange(mn, mx)
+        case (None, None)             => SeriesRange(1, 0) // reference empty-series sentinel
+      }
+      atomicWrite(metaPath(db, m, series), next.toJson)
+    }
+    WriteResult(written, discarded, overlapN)
+  }
+
+  /** Bitwise comparison of the overlap region against storage: a full-outer
+    * join on `time_ns` over the (bucket-pruned) stored tail. Any row present
+    * on one side only, or any field whose raw bits differ, rejects the write
+    * (reference memcmp of the raw chunk bytes, src/libtsdb/wal.cc:104,116). */
+  private def verifyOverlap(db: String, m: String, series: String,
+                            schema: MeasurementSchema, overlap: DataFrame,
+                            tf: Long, tl: Long, ovN: Long): Unit = {
+    val ovMin = overlap.agg(min(TimeCol)).head().getLong(0)
+    val stored = seriesData(db, m, series, schema, ovMin, tl)
+    def bits(df: DataFrame, prefix: String): DataFrame =
+      df.select(col(TimeCol) +:
+        schema.fields.map(f => GraftFunctions.bitwiseComparable(col(f.name), f.ftype.spark)
+          .as(s"$prefix${f.name}")) :+ lit(true).as(s"${prefix}present"): _*)
+    val joined = bits(stored, "s_").join(bits(overlap, "w_"), Seq(TimeCol), "full_outer")
+    val bad = joined.filter(
+      col("s_present").isNull || col("w_present").isNull ||
+      schema.fields.map(f => !(col(s"s_${f.name}") <=> col(s"w_${f.name}")))
+        .reduceOption(_ || _).getOrElse(lit(false))).count()
+    if (bad > 0)
+      throw new OverwriteMismatchException(
+        s"$db/$m/$series: $bad of $ovN overlapping points differ from storage in [$ovMin,$tl]")
+  }
+
+  /** Physical append: bucket-derived partition, range-partitioned so each
+    * task owns contiguous buckets, rows sorted by time within files (gives
+    * parquet row-group min/max stats their pruning power). */
+  private def appendSorted(db: String, m: String, series: String, newPts: DataFrame): Long = {
+    val cnt = newPts.count()
+    if (cnt == 0) return 0
+    newPts
+      .withColumn(SeriesCol, lit(series))
+      .withColumn(BucketCol, expr(s"$TimeCol div ${bucketWidth}L"))
+      .repartitionByRange(col(BucketCol), col(TimeCol))
+      .sortWithinPartitions(BucketCol, TimeCol)
+      .write.mode("append").partitionBy(SeriesCol, BucketCol)
+      .parquet(dataDir(db, m).toString)
+    cnt
+  }
+
+  // ---------------------------------------------------------------- delete
+
+  /** Delete-from-front: `DELETE WHERE time_ns <= t` advances `time_first` to
+    * the first surviving timestamp — or to `t+1` when none exists, the
+    * reference's "delete into the future" which also pre-filters future
+    * writes below it (src/libtsdb/delete.cc:10-162, 82-98). Buckets entirely
+    * below the new watermark are physically dropped (partition drop — the
+    * reference unlinks orphaned chunk files, delete.cc:119-148); the
+    * first partially-covered bucket is masked by the read-side clamp. */
+  def deleteUpTo(db: String, m: String, series: String, t: Long): Unit = {
+    val schema = getSchema(db, m)
+    val wm = seriesRange(db, m, series)
+      .getOrElse(throw new NoSuchSeriesException(db, m, series))
+    if (t < wm.timeFirst) return // nothing to delete
+    val surviving = seriesData(db, m, series, schema, t + 1, wm.timeLast)
+      .agg(min(TimeCol)).head()
+    val newFirst = if (surviving.isNullAt(0)) t + 1 else surviving.getLong(0)
+    atomicWrite(metaPath(db, m, series), SeriesRange(newFirst, wm.timeLast).toJson)
+    // drop buckets fully below the watermark
+    val sdir = new Path(dataDir(db, m), s"$SeriesCol=$series")
+    val f = fs(sdir)
+    if (f.exists(sdir)) {
+      val cutBucket = Math.floorDiv(newFirst, bucketWidth)
+      f.listStatus(sdir).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith(s"$BucketCol=") &&
+            name.stripPrefix(s"$BucketCol=").toLong < cutBucket)
+          f.delete(st.getPath, true)
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------- read
+
+  /** One series' stored points in `[t0, t1]`, bucket-pruned, NOT watermark
+    * clamped (internal: overlap verify + delete need raw storage). */
+  private def seriesData(db: String, m: String, series: String,
+                         schema: MeasurementSchema, t0: Long, t1: Long): DataFrame = {
+    val raw = readMeasurement(db, m, schema)
+    val (b0, b1) = (Math.floorDiv(t0, bucketWidth), Math.floorDiv(t1, bucketWidth))
+    raw.filter(col(SeriesCol) === series &&
+               col(BucketCol).between(b0, b1) &&
+               col(TimeCol).between(t0, t1))
+  }
+
+  private def readMeasurement(db: String, m: String, schema: MeasurementSchema): DataFrame = {
+    val dir = dataDir(db, m)
+    val readStruct = StructType(schema.dataStruct.fields.toSeq :+
+      StructField(SeriesCol, StringType) :+ StructField(BucketCol, LongType))
+    if (!fs(dir).exists(dir))
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), readStruct)
+    else
+      spark.read.option("basePath", dir.toString).schema(readStruct).parquet(dir.toString)
+  }
+
+  /** All VISIBLE points of a measurement: per-series clamp to
+    * `[time_first, time_last]` via a broadcast watermark join (reference
+    * read clamp src/libtsdb/select_op.cc:18-19). */
+  def visible(db: String, m: String): DataFrame = {
+    val schema = getSchema(db, m)
+    val wms = listSeries(db, m).flatMap(s => seriesRange(db, m, s).map(r => (s, r)))
+    val raw = readMeasurement(db, m, schema)
+    if (wms.isEmpty) return raw.limit(0)
+    import spark.implicits._
+    val wdf = wms.map { case (s, r) => (s, r.timeFirst, r.timeLast) }
+      .toDF(SeriesCol, "_tf", "_tl")
+    raw.join(broadcast(wdf), SeriesCol)
+      .filter(col(TimeCol) >= col("_tf") && col(TimeCol) <= col("_tl"))
+      .drop("_tf", "_tl")
+  }
+
+  /** Visible points of ONE series in `[t0, t1]` — the range is clamped on
+    * the driver from the watermark, so both bucket pruning and the parquet
+    * pushdown see tight constants. */
+  def visibleSeries(db: String, m: String, series: String, t0: Long, t1: Long): DataFrame = {
+    val schema = getSchema(db, m)
+    val wm = seriesRange(db, m, series)
+      .getOrElse(throw new NoSuchSeriesException(db, m, series))
+    val (c0, c1) = (math.max(t0, wm.timeFirst), math.min(t1, wm.timeLast))
+    if (c0 > c1) return readMeasurement(db, m, schema).limit(0)
+    seriesData(db, m, series, schema, c0, c1)
+  }
+
+  /** SELECT fields FROM db/m/series WHERE t0 <= time <= t1 [LIMIT n | LAST n]
+    * (reference select_op_first/last, src/libtsdb/select_op.cc:175-371). */
+  def select(db: String, m: String, series: String, fields: Seq[String],
+             t0: Long, t1: Long, limit: Option[Int] = None,
+             last: Option[Int] = None): DataFrame = {
+    val schema = getSchema(db, m)
+    val proj = TimeCol +: (if (fields.isEmpty) schema.fields.map(_.name) else {
+      val unknown = fields.filterNot(schema.fields.map(_.name).contains)
+      if (unknown.nonEmpty)
+        throw new InvalidSchemaException(s"unknown fields: ${unknown.mkString(",")}")
+      fields
+    })
+    val base = visibleSeries(db, m, series, t0, t1)
+    last match {
+      case Some(k) => TimeSeriesOps.selectLast(base, TimeCol, t0, t1, k, proj)
+      case None    => TimeSeriesOps.selectRange(base, TimeCol, t0, t1, proj, limit)
+    }
+  }
+
+  /** COUNT (npoints, time_first, time_last) of the range (reference
+    * count_points, src/libtsdb/count.cc:100-112). */
+  def countPoints(db: String, m: String, series: String, t0: Long, t1: Long): DataFrame =
+    TimeSeriesOps.countPoints(visibleSeries(db, m, series, t0, t1), TimeCol, t0, t1)
+
+  /** Windowed sum/min/max/count incl. empty windows (reference sum_op). */
+  def sumWindows(db: String, m: String, series: String, field: String,
+                 t0: Long, t1: Long, windowWidth: Long): DataFrame =
+    TimeSeriesOps.sumWindows(visibleSeries(db, m, series, t0, t1),
+      TimeCol, field, t0, t1, windowWidth)
+
+  /** Trapezoidal integral (reference integral_op). */
+  def integrate(db: String, m: String, series: String, field: String,
+                t0: Long, t1: Long, unitsPerSecond: Double = 1e9): DataFrame =
+    TimeSeriesOps.integrate(
+      visibleSeries(db, m, series, t0, t1).withColumn(SeriesCol, lit(series)),
+      SeriesCol, TimeCol, field, t0, t1, unitsPerSecond)
+
+  /** LIST ACTIVE SERIES: series with ≥1 visible point in range, with counts
+    * (reference src/libtsdb/measurement.cc:49-63). */
+  def listActiveSeries(db: String, m: String, t0: Long, t1: Long): DataFrame =
+    TimeSeriesOps.activeSeries(visible(db, m), SeriesCol, TimeCol, t0, t1)
+
+  // ---------------------------------------------------------------- paths/io
+
+  private def dbPath(db: String) = new Path(root, db)
+  private def measPath(db: String, m: String) = new Path(dbPath(db), m)
+  private def schemaPath(db: String, m: String) = new Path(measPath(db, m), "_schema.json")
+  private def metaDir(db: String, m: String) = new Path(measPath(db, m), "_meta")
+  private def metaPath(db: String, m: String, series: String) =
+    new Path(metaDir(db, m), s"$series.json")
+  private def dataDir(db: String, m: String) = new Path(measPath(db, m), "data")
+
+  private def validName(s: String, what: String): Unit =
+    if (!s.matches("[A-Za-z0-9_.-]{1,123}") || s.startsWith("_") || s == "." || s == "..")
+      throw new InvalidSchemaException(s"invalid $what name '$s'")
+
+  private def listDirs(p: Path): Seq[String] = {
+    val f = fs(p)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(_.startsWith("_")).sorted
+  }
+
+  private def readString(p: Path): String = {
+    val in = fs(p).open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+  }
+
+  /** tmp + overwrite-rename — readers see either the old or the new content,
+    * never a torn write (reference atomic tmp+rename, root.cc:179-194). */
+  private def atomicWrite(p: Path, content: String): Unit = {
+    val f = fs(p)
+    f.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val fc = FileContext.getFileContext(p.toUri, hconf)
+    fc.rename(tmp, p, Options.Rename.OVERWRITE)
+  }
+}
+
+object Tsdb {
+  /** 1 hour of nanoseconds — ~3.6 GB/bucket at 1M points/sec × 1 KB rows;
+    * tune per deployment via the constructor (persisted like the reference's
+    * `chunk_size`, src/libtsdb/constants.h:9). */
+  val DefaultBucketWidth: Long = 3600L * 1000000000L
+}

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine._
+import graft.tables.Tables
+import Params._
+
+/** Write-then-read correctness for the ENGINE half (catalog + validated
+  * append + delete-front + watermark-clamped reads). Each query routes the
+  * events data through the full Tsdb machinery — create, multi-batch append
+  * with an idempotent overlapping tail rewrite, delete-from-front with
+  * below-watermark discard — then reads back through the engine layout. The
+  * DuckDB oracle models only the expected VISIBILITY from the source table,
+  * so a bug anywhere in the write/delete/read pipeline breaks the match
+  * (this retires round 1's self-confirming `tsdb_delete_front_view`).
+  *
+  * The engine is time-unit agnostic; these tables use µs on the `time_ns`
+  * axis so the oracle can address the same instants (DuckDB reads the
+  * events `ts` at µs precision). Bucket width = 1 day of µs.
+  */
+object EngineQueries {
+
+  /** Canonical per-series points: events collapsed to one deterministic row
+    * per timestamp (engine timestamps are unique per series — reference
+    * doc/README.txt:20-29; events can collide at µs resolution). */
+  private val PTS =
+    """(SELECT event_type AS series, epoch_us(ts) AS time_us, min(value) AS v
+      |  FROM events GROUP BY 1, 2)""".stripMargin.replace("\n", " ")
+
+  private def canonicalPoints(s: SparkSession, dir: String): DataFrame =
+    Tables.eventsTsdb(s, dir)
+      .groupBy("series", "time_us")
+      .agg(min("value").as("v"))
+
+  private val schema = MeasurementSchema(Seq(Field("v", FieldType.F64)))
+  private val BucketW = DAY // 1 day of µs
+
+  private def freshTsdb(s: SparkSession): Tsdb =
+    new Tsdb(s, java.nio.file.Files.createTempDirectory("graft-engine-q-").toString,
+      requestedBucketWidth = BucketW)
+
+  /** Mid-range split point for the two-batch append. */
+  private val MID = 1705500000000000L
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Ops #10 + catalog (write_wal + create/auto-series): two-batch append
+    // where batch 2 re-sends a 2-day tail (accepted iff bitwise identical,
+    // reference wal.cc:87-246), read back through the bucket-partitioned
+    // layout. Oracle = the canonical points, written independently.
+    QueryDef.withOracle("engine_write_read",
+      s"""SELECT time_us, v FROM $PTS
+         |WHERE series = 'purchase' ORDER BY time_us""".stripMargin) { (s, dir) =>
+      val t = freshTsdb(s)
+      t.createDatabase("bench")
+      t.createMeasurement("bench", "events", schema)
+      val pts = canonicalPoints(s, dir).filter(col("series") === "purchase")
+        .select(col("time_us").as("time_ns"), col("v"))
+      t.writePoints("bench", "events", "purchase", pts.filter(col("time_ns") <= MID))
+      // batch 2 overlaps the last 2 days of batch 1 -> idempotent rewrite
+      t.writePoints("bench", "events", "purchase",
+        pts.filter(col("time_ns") > MID - 2 * DAY))
+      t.select("bench", "events", "purchase", Seq("v"), 0L, Long.MaxValue - 1)
+        .select(col("time_ns").as("time_us"), col("v"))
+    },
+
+    // Op #11 (delete_points + read clamp, reference delete.cc:10-162,
+    // select_op.cc:18-19): write, delete-from-front, then a second write
+    // whose below-watermark points must be silently discarded and whose
+    // tail rewrite must verify. Oracle = points above the cut, only.
+    QueryDef.withOracle("engine_delete_front",
+      s"""SELECT time_us, v FROM $PTS
+         |WHERE series = 'purchase' AND time_us > $CUT ORDER BY time_us""".stripMargin) { (s, dir) =>
+      val t = freshTsdb(s)
+      t.createDatabase("bench")
+      t.createMeasurement("bench", "events", schema)
+      val pts = canonicalPoints(s, dir).filter(col("series") === "purchase")
+        .select(col("time_us").as("time_ns"), col("v"))
+      t.writePoints("bench", "events", "purchase", pts)
+      t.deleteUpTo("bench", "events", "purchase", CUT)
+      // re-send everything from 2 days before the cut: pre-watermark points
+      // are discarded, the rest is a full-tail bitwise rewrite (no-op)
+      t.writePoints("bench", "events", "purchase",
+        pts.filter(col("time_ns") > CUT - 2 * DAY))
+      t.select("bench", "events", "purchase", Seq("v"), 0L, Long.MaxValue - 1)
+        .select(col("time_ns").as("time_us"), col("v"))
+    },
+
+    // Op #12 on engine data (list_active_series, measurement.cc:49-63) over
+    // per-series watermarks: one series is front-deleted, so its visible
+    // count differs from its stored count.
+    QueryDef.withOracle("engine_active_series",
+      s"""SELECT series, count(*) AS npoints FROM $PTS
+         |WHERE time_us BETWEEN $T0 AND $T1
+         |  AND (series <> 'error' OR time_us > $CUT)
+         |GROUP BY series ORDER BY series""".stripMargin) { (s, dir) =>
+      val t = freshTsdb(s)
+      t.createDatabase("bench")
+      t.createMeasurement("bench", "events", schema)
+      val pts = canonicalPoints(s, dir)
+      val seriesNames = pts.select("series").distinct()
+        .collect().map(_.getString(0)).sorted // catalog-scale driver list
+      seriesNames.foreach { sn =>
+        t.writePoints("bench", "events", sn,
+          pts.filter(col("series") === sn)
+            .select(col("time_us").as("time_ns"), col("v")))
+      }
+      t.deleteUpTo("bench", "events", "error", CUT)
+      t.listActiveSeries("bench", "events", T0, T1)
+    }
+  )
+}

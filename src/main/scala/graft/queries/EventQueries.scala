@@ -182,17 +182,10 @@ object EventQueries {
       TimeSeriesOps.derivative(base, "series", "time_us", "value", UPS, Seq("event_id"))
         .select("series", "time_us", "event_id", "derivative")
         .orderBy("series", "time_us", "event_id")
-    },
-
-    // Op #11 read semantics after delete-from-front: points below the
-    // advanced time_first watermark are invisible
-    // (reference src/libtsdb/delete.cc:10-162, select clamp select_op.cc:18-19)
-    QueryDef.withOracle("tsdb_delete_front_view",
-      s"""SELECT count(*) AS npoints, min(time_us) AS time_first
-         |FROM $EV WHERE series = 'error' AND time_us > $CUT""".stripMargin) { (s, dir) =>
-      Tables.eventsTsdb(s, dir)
-        .filter(col("series") === "error" && col("time_us") > CUT)
-        .agg(count(lit(1)).as("npoints"), min("time_us").as("time_first"))
     }
+    // delete-from-front semantics are exercised for real by
+    // graft.queries.EngineQueries (engine_delete_front): write -> delete ->
+    // re-write -> read through the engine; the round-1 self-confirming
+    // `tsdb_delete_front_view` entry is retired.
   )
 }

@@ -1,0 +1,218 @@
+package graft
+
+import graft.engine._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Engine semantics: the reference's catalog/write/delete behavior matrix
+  * (reference unittest scenarios: measurement_test.cc, wal_test.cc,
+  * delete_test.cc, select_op_test.cc). */
+class TsdbEngineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val schema = MeasurementSchema(Seq(
+    Field("a", FieldType.U32), Field("v", FieldType.F64), Field("g", FieldType.F32)))
+
+  private def mkTsdb(): Tsdb = new Tsdb(spark, tmpDir("tsdb-test-"), requestedBucketWidth = 100L)
+
+  private def pts(rows: (Long, Option[Long], Option[Double], Option[Float])*): DataFrame =
+    rows.toSeq.toDF("time_ns", "a", "v", "g")
+
+  private def freshSeries(t: Tsdb, rows: (Long, Option[Long], Option[Double], Option[Float])*)
+      : Unit = {
+    t.createDatabase("db1")
+    t.createMeasurement("db1", "m1", schema)
+    if (rows.nonEmpty) t.writePoints("db1", "m1", "s1", pts(rows: _*))
+  }
+
+  private val baseRows: Seq[(Long, Option[Long], Option[Double], Option[Float])] = Seq(
+    (100L, Some(1L), Some(1.5), Some(1.0f)),
+    (150L, Some(2L), None, Some(2.0f)),
+    (199L, None, Some(3.25), None),
+    (210L, Some(4L), Some(-0.0), Some(4.0f)),
+    (290L, Some(5L), Some(5.5), Some(5.0f)),
+    (305L, Some(6L), Some(6.5), Some(6.0f)),
+    (420L, Some(7L), Some(7.5), Some(7.0f)))
+
+  // ------------------------------------------------------------- catalog
+
+  test("createDatabase is idempotent; listDatabases sorted") {
+    val t = mkTsdb()
+    t.createDatabase("beta"); t.createDatabase("alpha"); t.createDatabase("beta")
+    assert(t.listDatabases() == Seq("alpha", "beta"))
+  }
+
+  test("createMeasurement: idempotent iff identical schema, else rejects") {
+    val t = mkTsdb()
+    t.createDatabase("db1")
+    t.createMeasurement("db1", "m1", schema)
+    t.createMeasurement("db1", "m1", schema) // no-op
+    assert(t.getSchema("db1", "m1") == schema)
+    val other = MeasurementSchema(Seq(Field("a", FieldType.U32)))
+    intercept[MeasurementExistsException](t.createMeasurement("db1", "m1", other))
+    intercept[NoSuchDatabaseException](t.createMeasurement("nope", "m1", schema))
+    intercept[NoSuchMeasurementException](t.getSchema("db1", "missing"))
+    assert(t.listMeasurements("db1") == Seq("m1"))
+  }
+
+  test("series auto-create on first write; listSeries sorted") {
+    val t = mkTsdb()
+    freshSeries(t, baseRows: _*)
+    t.writePoints("db1", "m1", "s0", pts((5L, Some(1L), Some(1.0), Some(1.0f))))
+    assert(t.listSeries("db1", "m1") == Seq("s0", "s1"))
+    assert(t.seriesRange("db1", "m1", "s1").contains(SeriesRange(100L, 420L)))
+    assert(t.seriesRange("db1", "m1", "zz").isEmpty)
+  }
+
+  // ------------------------------------------------------------- write/read
+
+  test("write then read: sorted, projected, clamped, LAST N") {
+    val t = mkTsdb()
+    freshSeries(t, baseRows: _*)
+    val all = t.select("db1", "m1", "s1", Nil, 0L, 1000L).collect()
+    assert(all.map(_.getLong(0)).toSeq == baseRows.map(_._1))
+    // range + projection + limit
+    val r = t.select("db1", "m1", "s1", Seq("v"), 150L, 305L, limit = Some(3)).collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(150L, 199L, 210L))
+    // LAST 2 of range, emitted ascending
+    val l = t.select("db1", "m1", "s1", Nil, 0L, 1000L, last = Some(2)).collect()
+    assert(l.map(_.getLong(0)).toSeq == Seq(305L, 420L))
+    // nulls survive the round trip
+    assert(all.find(_.getLong(0) == 150L).get.isNullAt(2))
+    intercept[InvalidSchemaException](t.select("db1", "m1", "s1", Seq("nope"), 0L, 1L))
+  }
+
+  test("count_points returns npoints/time_first/time_last of range") {
+    val t = mkTsdb()
+    freshSeries(t, baseRows: _*)
+    val r = t.countPoints("db1", "m1", "s1", 150L, 305L).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((5L, 150L, 305L)))
+  }
+
+  test("batch with duplicate or NULL timestamps is rejected") {
+    val t = mkTsdb()
+    freshSeries(t)
+    intercept[OutOfOrderTimestampsException] {
+      t.writePoints("db1", "m1", "s1",
+        pts((100L, Some(1L), Some(1.0), None), (100L, Some(2L), Some(2.0), None)))
+    }
+    intercept[OutOfOrderTimestampsException] {
+      t.writePoints("db1", "m1", "s1",
+        Seq((Some(100L), 1L), (None, 2L)).toDF("time_ns", "a")
+          .withColumn("v", lit(null).cast("double")).withColumn("g", lit(null).cast("float")))
+    }
+  }
+
+  test("idempotent tail overwrite: bitwise-identical accepted, no duplicates") {
+    val t = mkTsdb()
+    freshSeries(t, baseRows: _*)
+    // re-send last 3 points + 2 new ones
+    val again = baseRows.takeRight(3) ++ Seq(
+      (500L, Some(8L), Some(8.5), Some(8.0f)): (Long, Option[Long], Option[Double], Option[Float]),
+      (510L, Some(9L), None, None): (Long, Option[Long], Option[Double], Option[Float]))
+    val res = t.writePoints("db1", "m1", "s1", pts(again: _*))
+    assert(res == WriteResult(written = 2, discarded = 0, overwriteVerified = 3))
+    val all = t.select("db1", "m1", "s1", Nil, 0L, 1000L).collect()
+    assert(all.length == baseRows.length + 2) // no duplicated tail
+    assert(t.seriesRange("db1", "m1", "s1").contains(SeriesRange(100L, 510L)))
+  }
+
+  test("tail overwrite with differing bits is rejected (incl. -0.0 vs 0.0)") {
+    val t = mkTsdb()
+    freshSeries(t, baseRows: _*)
+    // value differs at ts=420
+    intercept[OverwriteMismatchException] {
+      t.writePoints("db1", "m1", "s1", pts((420L, Some(7L), Some(7.6), Some(7.0f))))
+    }
+    // -0.0 stored at ts=210; +0.0 is === equal but NOT bitwise equal
+    intercept[OverwriteMismatchException] {
+      t.writePoints("db1", "m1", "s1", pts((210L, Some(4L), Some(0.0), Some(4.0f))))
+    }
+    // null vs value differs
+    intercept[OverwriteMismatchException] {
+      t.writePoints("db1", "m1", "s1", pts((150L, Some(2L), Some(2.0), Some(2.0f))))
+    }
+    // a never-seen point in the committed past (ts=300 < time_last, not stored)
+    intercept[OverwriteMismatchException] {
+      t.writePoints("db1", "m1", "s1", pts((300L, Some(9L), Some(9.0), Some(9.0f))))
+    }
+    // a gap: overlap starting at 290 must also cover stored 305..420
+    intercept[OverwriteMismatchException] {
+      t.writePoints("db1", "m1", "s1", pts(
+        (290L, Some(5L), Some(5.5), Some(5.0f)),
+        (420L, Some(7L), Some(7.5), Some(7.0f)))) // skips stored 305
+    }
+    // nothing was corrupted by the rejected writes
+    assert(t.select("db1", "m1", "s1", Nil, 0L, 1000L).count() == baseRows.length)
+  }
+
+  // ------------------------------------------------------------- delete
+
+  test("deleteUpTo advances watermark to first survivor; reads clamp; buckets drop") {
+    val t = mkTsdb()
+    freshSeries(t, baseRows: _*)
+    t.deleteUpTo("db1", "m1", "s1", 200L)
+    assert(t.seriesRange("db1", "m1", "s1").contains(SeriesRange(210L, 420L)))
+    val vis = t.select("db1", "m1", "s1", Nil, 0L, 1000L).collect()
+    assert(vis.map(_.getLong(0)).toSeq == Seq(210L, 290L, 305L, 420L))
+    // bucket=1 dir (ts 100..199) is physically gone
+    val sdir = new java.io.File(s"${t.rootDir}/db1/m1/data/series=s1")
+    val buckets = sdir.listFiles().map(_.getName).filter(_.startsWith("bucket=")).sorted
+    assert(buckets.head == "bucket=2")
+  }
+
+  test("writes below the delete watermark are silently discarded") {
+    val t = mkTsdb()
+    freshSeries(t, baseRows: _*)
+    t.deleteUpTo("db1", "m1", "s1", 200L)
+    // the overlap must cover the stored tail CONTIGUOUSLY through time_last
+    // (reference compares the incoming sequence pointwise against the stored
+    // tail, wal.cc:87-246) — so re-send 305 AND 420, then append 600
+    val res = t.writePoints("db1", "m1", "s1", pts(
+      (120L, Some(1L), Some(1.0), Some(1.0f)),   // below watermark -> discard
+      (305L, Some(6L), Some(6.5), Some(6.0f)),   // bitwise tail overwrite
+      (420L, Some(7L), Some(7.5), Some(7.0f)),   // bitwise tail overwrite
+      (600L, Some(10L), Some(10.0), Some(10.0f)))) // new
+    assert(res == WriteResult(written = 1, discarded = 1, overwriteVerified = 2))
+    val vis = t.select("db1", "m1", "s1", Nil, 0L, 1000L).collect()
+    assert(vis.map(_.getLong(0)).toSeq == Seq(210L, 290L, 305L, 420L, 600L))
+  }
+
+  test("delete into the future empties the series and pre-filters writes") {
+    val t = mkTsdb()
+    freshSeries(t, baseRows: _*)
+    t.deleteUpTo("db1", "m1", "s1", 900L)
+    assert(t.seriesRange("db1", "m1", "s1").contains(SeriesRange(901L, 420L)))
+    assert(t.select("db1", "m1", "s1", Nil, 0L, 2000L).count() == 0)
+    val res = t.writePoints("db1", "m1", "s1", pts(
+      (800L, Some(1L), Some(1.0), Some(1.0f)),   // below future watermark -> discard
+      (950L, Some(2L), Some(2.0), Some(2.0f))))  // above -> written
+    assert(res == WriteResult(written = 1, discarded = 1, overwriteVerified = 0))
+    assert(t.select("db1", "m1", "s1", Nil, 0L, 2000L).collect().map(_.getLong(0)).toSeq
+      == Seq(950L))
+  }
+
+  test("listActiveSeries counts visible points per series") {
+    val t = mkTsdb()
+    freshSeries(t, baseRows: _*)
+    t.writePoints("db1", "m1", "s2", pts(
+      (250L, Some(1L), Some(1.0), Some(1.0f)), (260L, Some(2L), Some(2.0), Some(2.0f))))
+    t.deleteUpTo("db1", "m1", "s1", 250L)
+    val r = t.listActiveSeries("db1", "m1", 0L, 1000L).collect()
+      .map(x => (x.getString(0), x.getLong(1))).toSeq
+    assert(r == Seq(("s1", 3L), ("s2", 2L))) // s1: 290,305,420 visible
+  }
+
+  // ------------------------------------------------------------- scale
+
+  test("range reads prune partitions: bucket filter present, untouched buckets skipped") {
+    val t = mkTsdb()
+    freshSeries(t, baseRows: _*)
+    val df = t.select("db1", "m1", "s1", Nil, 200L, 299L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    val pf = plan.linesIterator.mkString("\n")
+    // the scan must carry a bucket partition predicate, not scan all buckets
+    assert(pf.matches("(?s).*PartitionFilters: \\[[^\\]]*bucket[^\\]]*\\].*"), plan)
+  }
+}
