@@ -137,36 +137,119 @@ object TimeSeriesOps {
       .orderBy("series", "window_start")
   }
 
+  // -------------------------------------------------------------------------
+  // Per-series sequential transforms, BUCKET-PARALLEL.
+  //
+  // A naive `Window.partitionBy(series)` puts each series' entire history on
+  // ONE task — a 5-series table runs 5-way parallel no matter how many
+  // executors exist (the reference gets away with per-series sequential scan
+  // because it is single-node by design; reference doc/LOCKING.txt:3-8). The
+  // scalable shape used by everything below:
+  //   1. the heavy pass shuffles on (series, bucket) — parallelism grows with
+  //      the time range, not the series count;
+  //   2. a bucket-level aggregate (ONE ROW per non-empty bucket) is window-ed
+  //      per series — tiny data, negligible task time — to carry boundary
+  //      state (previous bucket's last row / first bucket's first row);
+  //   3. boundary state joins back on (series, bucket) — the big side is
+  //      already hash-partitioned on exactly those keys, so no extra
+  //      shuffle of the data.
+  // -------------------------------------------------------------------------
+
+  private val B = "_graft_bucket"
+  private val RN = "_graft_rn"
+
+  private def orderKey(tsCol: String, tiebreak: Seq[String]): Column =
+    struct((tsCol +: tiebreak).map(col): _*)
+
+  /** Adds `_prev_<c>` columns: the previous row's value of each requested
+    * column in per-series (ts, tiebreak) order — lag within the bucket,
+    * repaired across bucket boundaries via the bucket-level pass. */
+  private def withPrev(df: DataFrame, seriesCol: String, tsCol: String,
+                       cols: Seq[String], bucketWidth: Long,
+                       tiebreak: Seq[String]): DataFrame = {
+    val key = orderKey(tsCol, tiebreak)
+    val base = df.withColumn(B, expr(s"$tsCol div ${bucketWidth}L"))
+    val wb = Window.partitionBy(seriesCol, B).orderBy((tsCol +: tiebreak).map(col): _*)
+    val withLag = cols.foldLeft(base.withColumn(RN, row_number().over(wb))) {
+      (d, c) => d.withColumn(s"_lag_$c", lag(c, 1).over(wb))
+    }
+    // one row per (series, bucket): the bucket's LAST row's columns
+    val lasts = base.groupBy(col(seriesCol), col(B))
+      .agg(max_by(col(cols.head), key).as(s"_bl_${cols.head}"),
+           cols.tail.map(c => max_by(col(c), key).as(s"_bl_$c")): _*)
+    val ws = Window.partitionBy(seriesCol).orderBy(B)
+    val prevLasts = lasts.select(
+      col(seriesCol) +: col(B) +:
+      cols.map(c => lag(s"_bl_$c", 1).over(ws).as(s"_pl_$c")): _*)
+    val joined = withLag.join(prevLasts, Seq(seriesCol, B), "left")
+    cols.foldLeft(joined) { (d, c) =>
+      d.withColumn(s"_prev_$c",
+        when(col(RN) === 1, col(s"_pl_$c")).otherwise(col(s"_lag_$c")))
+    }.drop(RN :: B :: cols.flatMap(c => Seq(s"_lag_$c", s"_pl_$c")).toList: _*)
+  }
+
   /** Op #9 (integral_op, reference src/libtsdb/integral_op.cc:5-103):
     * trapezoidal integral over [t0,t1], dt in SECONDS; any NULL sample
     * poisons the result to NULL (integral_op.cc:48,84); 0 points -> no row
     * (reference: NULL); 1 point -> the value itself (integral_op.cc:96-102).
     * Also emits the actual first/last integrated timestamps so callers can
     * derive the time-average (reference src/tsdbcli2/main.cc:277-287).
-    * Trapezoid terms (v + prev_v) * dt are accumulated EXACTLY in decimal
-    * (values carry fixed 2-decimal precision; dt is integer), so the SUM is
-    * independent of partial-aggregation order; the single final division by
-    * 2*unitsPerSecond happens once in double. The full (unrounded) value is
-    * returned — the reference returns the full double (integral_op.cc:84-88).
-    */
+    *
+    * The trapezoid sum is ASSOCIATIVE, so it is computed as per-(series,
+    * bucket) partial sums plus one boundary term per consecutive bucket pair
+    * — a partial-aggregation-friendly two-level reduction instead of one
+    * sequential pass per series.
+    *
+    * `valueDecimals = Some(d)` accumulates terms exactly in DecimalType so
+    * the result is independent of aggregation order (bitwise reproducible;
+    * use when values carry fixed d-decimal precision). The default (None)
+    * keeps full double precision like the reference (integral_op.cc:84-88)
+    * — no silent rounding of general inputs. */
   def integrate(df: DataFrame, seriesCol: String, tsCol: String,
                 valCol: String, t0: Long, t1: Long,
-                unitsPerSecond: Double, tiebreak: Seq[String] = Nil): DataFrame = {
-    val ord = Window.partitionBy(seriesCol).orderBy((tsCol +: tiebreak).map(col): _*)
+                unitsPerSecond: Double, tiebreak: Seq[String] = Nil,
+                bucketWidth: Long = 3600L * 1000000000L,
+                valueDecimals: Option[Int] = None): DataFrame = {
+    val vAs: Column => Column = valueDecimals match {
+      case Some(d) => _.cast(DecimalType(18, d))
+      case None    => _.cast("double")
+    }
+    val key = orderKey(tsCol, tiebreak)
     val base = df.filter(col(tsCol) >= t0 && col(tsCol) <= t1)
       .select((seriesCol +: tsCol +: valCol +: tiebreak).distinct.map(col): _*)
-      .withColumn("prev_v", lag(valCol, 1).over(ord))
-      .withColumn("prev_t", lag(tsCol, 1).over(ord))
-      .withColumn("term",
-        (col(valCol).cast(DecimalType(18, 2)) + col("prev_v").cast(DecimalType(18, 2))) *
-          (col(tsCol) - col("prev_t")))
-    base.groupBy(col(seriesCol).as("series"))
-      .agg(count(lit(1)).as("npoints"),
-           min(tsCol).as("t0_out"),
-           max(tsCol).as("t1_out"),
-           max(col(valCol).isNull.cast("int")).as("any_null"),
-           (sum("term").cast("double") / lit(2.0 * unitsPerSecond)).as("raw_integral"),
-           min(valCol).as("only_value"))
+      .withColumn(B, expr(s"$tsCol div ${bucketWidth}L"))
+    val wb = Window.partitionBy(seriesCol, B).orderBy((tsCol +: tiebreak).map(col): _*)
+    val withLag = base
+      .withColumn("_prev_v", lag(valCol, 1).over(wb))
+      .withColumn("_prev_t", lag(tsCol, 1).over(wb))
+      .withColumn("_term",
+        (vAs(col(valCol)) + vAs(col("_prev_v"))) * (col(tsCol) - col("_prev_t")))
+    // one row per (series, bucket): partial sum + boundary endpoints
+    val perBucket = withLag.groupBy(col(seriesCol), col(B))
+      .agg(count(lit(1)).as("_n"),
+           min(tsCol).as("_tmin"), max(tsCol).as("_tmax"),
+           max(col(valCol).isNull.cast("int")).as("_any_null"),
+           sum("_term").as("_psum"),
+           min_by(col(valCol), key).as("_first_v"),
+           min_by(col(tsCol), key).as("_first_t"),
+           max_by(col(valCol), key).as("_last_v"),
+           max_by(col(tsCol), key).as("_last_t"),
+           min(valCol).as("_only_v"))
+    val ws = Window.partitionBy(seriesCol).orderBy(B)
+    val withBoundary = perBucket
+      .withColumn("_pl_v", lag("_last_v", 1).over(ws))
+      .withColumn("_pl_t", lag("_last_t", 1).over(ws))
+      .withColumn("_bterm",
+        (vAs(col("_first_v")) + vAs(col("_pl_v"))) * (col("_first_t") - col("_pl_t")))
+    val zero = valueDecimals.fold(lit(0.0))(d => lit(0).cast(DecimalType(18, d)))
+    withBoundary.groupBy(col(seriesCol).as("series"))
+      .agg(sum("_n").as("npoints"),
+           min("_tmin").as("t0_out"),
+           max("_tmax").as("t1_out"),
+           max("_any_null").as("any_null"),
+           ((coalesce(sum("_psum"), zero) + coalesce(sum("_bterm"), zero)).cast("double")
+             / lit(2.0 * unitsPerSecond)).as("raw_integral"),
+           min("_only_v").as("only_value"))
       .select(col("series"), col("npoints"),
               col("t0_out"), col("t1_out"),
               when(col("any_null") === 1, lit(null))
@@ -175,29 +258,39 @@ object TimeSeriesOps {
       .orderBy("series")
   }
 
-  /** §2.3 client-side transforms (reference grafana datasource.go:257-268):
-    * tare = v - first(v), difference = v - lag(v), derivative = dv/dt(sec).
-    * All per-series ordered window functions. */
-  private def orderedWindow(seriesCol: String, tsCol: String, tiebreak: Seq[String]) =
-    Window.partitionBy(seriesCol).orderBy((tsCol +: tiebreak).map(col): _*)
-
+  /** §2.3 Tare: v − the series' FIRST value in the frame (reference grafana
+    * datasource.go:257-268). The global first is found from per-bucket
+    * firsts (tiny bucket-level reduction), then broadcast back — no
+    * whole-series window. */
   def tare(df: DataFrame, seriesCol: String, tsCol: String, valCol: String,
-           tiebreak: Seq[String] = Nil): DataFrame = {
-    val w = orderedWindow(seriesCol, tsCol, tiebreak)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("tare", col(valCol) - first(valCol).over(w))
+           tiebreak: Seq[String] = Nil,
+           bucketWidth: Long = 3600L * 1000000000L): DataFrame = {
+    val key = orderKey(tsCol, tiebreak)
+    val base = df.withColumn(B, expr(s"$tsCol div ${bucketWidth}L"))
+    val bucketFirsts = base.groupBy(col(seriesCol), col(B))
+      .agg(min_by(col(valCol), key).as("_bf"), min(key).as("_bkey"))
+    val seriesFirst = bucketFirsts.groupBy(col(seriesCol))
+      .agg(min_by(col("_bf"), col("_bkey")).as("_first_v"))
+    base.join(broadcast(seriesFirst), Seq(seriesCol))
+      .withColumn("tare", col(valCol) - col("_first_v"))
+      .drop("_first_v", B)
   }
 
+  /** §2.3 Difference: v − previous v, bucket-parallel. */
   def difference(df: DataFrame, seriesCol: String, tsCol: String, valCol: String,
-                 tiebreak: Seq[String] = Nil): DataFrame =
-    df.withColumn("difference",
-      col(valCol) - lag(valCol, 1).over(orderedWindow(seriesCol, tsCol, tiebreak)))
+                 tiebreak: Seq[String] = Nil,
+                 bucketWidth: Long = 3600L * 1000000000L): DataFrame =
+    withPrev(df, seriesCol, tsCol, Seq(valCol), bucketWidth, tiebreak)
+      .withColumn("difference", col(valCol) - col(s"_prev_$valCol"))
+      .drop(s"_prev_$valCol")
 
+  /** §2.3 Derivative: dv/dt in value-units per second, bucket-parallel. */
   def derivative(df: DataFrame, seriesCol: String, tsCol: String, valCol: String,
-                 unitsPerSecond: Double, tiebreak: Seq[String] = Nil): DataFrame = {
-    val w = orderedWindow(seriesCol, tsCol, tiebreak)
-    df.withColumn("derivative",
-      (col(valCol) - lag(valCol, 1).over(w)) /
-        ((col(tsCol) - lag(tsCol, 1).over(w)) / lit(unitsPerSecond)))
-  }
+                 unitsPerSecond: Double, tiebreak: Seq[String] = Nil,
+                 bucketWidth: Long = 3600L * 1000000000L): DataFrame =
+    withPrev(df, seriesCol, tsCol, Seq(valCol, tsCol), bucketWidth, tiebreak)
+      .withColumn("derivative",
+        (col(valCol) - col(s"_prev_$valCol")) /
+          ((col(tsCol) - col(s"_prev_$tsCol")) / lit(unitsPerSecond)))
+      .drop(s"_prev_$valCol", s"_prev_$tsCol")
 }

@@ -136,8 +136,13 @@ object EventQueries {
          |                          * (time_us - prev_t)) AS DOUBLE) / 2000000.0
          |       END AS integral
          |FROM base GROUP BY series ORDER BY series""".stripMargin) { (s, dir) =>
+      // valueDecimals=2: the events `value` column carries fixed 2-decimal
+      // precision, so decimal accumulation makes the sum independent of
+      // partial-aggregation order (bitwise equal to the decimal oracle).
+      // The op itself defaults to full-double accumulation.
       TimeSeriesOps.integrate(Tables.eventsTsdb(s, dir),
-        "series", "time_us", "value", T0, T1, UPS, Seq("event_id"))
+        "series", "time_us", "value", T0, T1, UPS, Seq("event_id"),
+        valueDecimals = Some(2))
     },
 
     // §2.3 Tare: v - first(v) per series (reference datasource.go:257-268)
