@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-training-data pipeline (BASELINE.json
+  * north star; beyond the reference's TSDB surface): tokenization, quality
+  * stats, language-ID, document fingerprinting, shingling, MinHash and
+  * SimHash signatures.
+  *
+  * Everything is built from codegen-friendly Catalyst built-ins + higher-order
+  * functions — no UDFs, so the operators distribute trivially and stay inside
+  * Tungsten row processing. All hashing uses explicit polynomial arithmetic
+  * modulo a 31-bit prime instead of Spark's `xxhash64`, so the DuckDB oracle
+  * can reproduce every value bit-for-bit with the same integer math (the
+  * driver's correctness gate hashes exact values). At 100 TB the hash work is
+  * embarrassingly parallel per-row compute — the expensive parts of dedup are
+  * the shuffles, and those only ever move 8-byte hash keys, never text.
+  */
+object TextOps {
+
+  /** 31-bit prime modulus: products stay < 2^62, safe in Long / BIGINT under
+    * ANSI overflow checking in both engines. */
+  val P: Long = 1000000007L
+  /** Character-level polynomial base. */
+  val B1: Long = 131L
+  /** Word-level polynomial base (for shingle / fingerprint composition). */
+  val B2: Long = 100003L
+
+  /** Lowercase word tokens. Same regex, same semantics in Spark (Java regex)
+    * and DuckDB (RE2): `[a-z]+` has no engine-specific syntax. */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
+
+  /** Whitespace tokens (runs of non-space). */
+  def wsTokens(text: Column): Column =
+    regexp_extract_all(text, lit("\\S+"), lit(0))
+
+  /** BPE-ish pre-tokenization: letter runs, digit runs, and single
+    * other-non-space characters — the shape GPT-style BPE splits on before
+    * merges. */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
+
+  /** Polynomial hash of one string: fold over characters,
+    * `h = (h*B1 + code(ch)) % P`. Left-fold order is part of the contract —
+    * the DuckDB oracle reproduces it with `list_reduce`. */
+  def polyHash(s: Column): Column =
+    aggregate(
+      filter(split(s, ""), c => c =!= ""),
+      lit(0L),
+      (h, c) => (h * B1 + ascii(c)) % P)
+
+  /** Hash of every token of a token array. */
+  def wordHashes(toks: Column): Column = transform(toks, polyHash(_))
+
+  /** Word-order-sensitive document fingerprint: fold of the token hashes,
+    * `f = (f*B2 + wh) % P` — a rolling hash over the token stream. Two
+    * documents get equal fingerprints iff their token sequences match. */
+  def fingerprint(toks: Column): Column =
+    aggregate(wordHashes(toks), lit(0L), (f, wh) => (f * B2 + wh) % P)
+
+  /** Distinct `n`-word shingle hashes of a token array: shingle i covers
+    * tokens [i, i+n), hashed as a base-B2 polynomial of the word hashes.
+    * Only 8-byte hashes ever leave the row — shingle *strings* are never
+    * materialized, shuffled, or compared. */
+  def shingleHashes(toks: Column, n: Int): Column = {
+    val whs = wordHashes(toks)
+    when(size(whs) < n, array().cast("array<bigint>")).otherwise(
+      array_distinct(
+        transform(
+          sequence(lit(0), size(whs) - n),
+          i => aggregate(slice(whs, i + lit(1), lit(n)), lit(0L),
+            (h, wh) => (h * B2 + wh) % P))))
+  }
+
+  /** MinHash signature of a shingle-hash set: k permutation approximations
+    * `h_i(x) = (a_i * x + b_i) % P`, taking the min over the set for each i.
+    * `a_i`/`b_i` are fixed LCG-derived odd constants (deterministic across
+    * runs and engines). Returns an array of k minima. */
+  def minHashSignature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), i => {
+      val a = (i * lit(1103515245L) + lit(12345L)) % (P - 1) + 1L
+      val b = (i * lit(69069L) + lit(362437L)) % P
+      array_min(transform(shingles, x => (a * x + b) % P))
+    })
+
+  /** LSH band keys of a MinHash signature: `bands` groups of `rows` values,
+    * each group folded to a single bucket hash. Emits an array of
+    * `(band, bucket)` structs; explode + group to find candidate pairs. */
+  def lshBands(signature: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), bnd =>
+      struct(
+        bnd.as("band"),
+        aggregate(slice(signature, bnd * rows + lit(1), lit(rows)), lit(0L),
+          (h, v) => (h * B2 + v) % P).as("bucket")))
+
+  /** SimHash fingerprint over token hashes: for each of `bits` bit positions
+    * the ±1 votes of all tokens (weighted by multiplicity) are summed; the
+    * sign becomes the output bit. Near-identical token multisets land within
+    * a few bits of each other. Uses the low `bits` bits of the 30-bit word
+    * hash; bits ≤ 30. */
+  def simHash(toks: Column, bits: Int): Column = {
+    val whs = wordHashes(toks)
+    aggregate(
+      sequence(lit(0), lit(bits - 1)),
+      lit(0L),
+      (acc, p) => {
+        val vote = aggregate(whs, lit(0L), (s, wh) =>
+          s + when(call_function("shiftright", wh, p).bitwiseAND(lit(1L)) === 1L, lit(1L))
+                .otherwise(lit(-1L)))
+        acc + when(vote > 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
+      })
+  }
+
+  /** Hamming distance between two SimHash fingerprints. */
+  def hamming(a: Column, b: Column): Column =
+    call_function("bit_count", a.bitwiseXOR(b)).cast("int")
+
+  // ------------------------------------------------------------- stats / QA
+
+  /** Per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose: broadcast as literals into the plan. */
+  val StopwordLists: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un", "una"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans", "pas"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he", "you", "wo"))
+
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Language-ID: stopword-hit score per language, winner by (score desc,
+    * language asc). Emits (lang_pred, lang_score). On the synthetic corpus
+    * (shared English-ish vocabulary) this mostly votes `en` — the point is
+    * the deterministic, oracle-checkable scoring machinery. */
+  def langId(toks: Column): (Column, Column) = {
+    val scored = StopwordLists.map { case (l, ws) => (lit(l), hitCount(toks, ws)) }
+    val best = scored.reduce[(Column, Column)] { case ((bl, bs), (l, s)) =>
+      (when(s > bs, l).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    (best._1, best._2)
+  }
+
+  /** English stopword ratio over word tokens (documents with too few or too
+    * many stopwords are low-quality training data). */
+  def stopwordRatio(toks: Column): Column =
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(hitCount(toks, StopwordLists.toMap.apply("en"))
+        .cast("double") / size(toks))
+
+  /** Punctuation character ratio (chars outside [A-Za-z0-9 whitespace]). */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (length(text) - length(regexp_replace(text, "[^A-Za-z0-9\\s]", "")))
+        .cast("double") / length(text))
+
+  /** Composite quality score in [0,1]: length saturation, low punctuation,
+    * healthy stopword share. Pure double arithmetic, identical term order in
+    * the oracle SQL. */
+  def qualityScore(text: Column, toks: Column): Column =
+    least(size(toks).cast("double") / 100.0, lit(1.0)) * 0.4 +
+      (lit(1.0) - punctRatio(text)) * 0.3 +
+      least(stopwordRatio(toks) * 5.0, lit(1.0)) * 0.3
+}

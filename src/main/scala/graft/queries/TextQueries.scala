@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.TextOps
+import graft.tables.Tables
+
+/** Text-analysis operators over the `documents` table, each oracle-checked:
+  * the DuckDB SQL reproduces the exact same integer/double arithmetic
+  * (polynomial hashes via `list_reduce`, ratios with identical term order),
+  * so results hash-match bit-for-bit. */
+object TextQueries {
+
+  import OracleText._
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Token counting (whitespace + BPE-ish) and quality scoring:
+    // length/punctuation/stopword ratios folded into a composite score.
+    QueryDef.withOracle("text_stats",
+      s"""SELECT doc_id,
+         |  length(text) AS n_chars,
+         |  len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens,
+         |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens,
+         |  len($TOKS) AS n_word_tokens,
+         |  $SW_RATIO AS stopword_ratio,
+         |  $PUNCT_RATIO AS punct_ratio,
+         |  least(len($TOKS) / 100.0, 1.0) * 0.4
+         |    + (1.0 - $PUNCT_RATIO) * 0.3
+         |    + least($SW_RATIO * 5.0, 1.0) * 0.3 AS quality_score
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val t = col("text")
+      val toks = TextOps.tokens(t)
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        length(t).cast("long").as("n_chars"),
+        size(TextOps.wsTokens(t)).cast("long").as("n_ws_tokens"),
+        size(TextOps.bpeTokens(t)).cast("long").as("n_bpe_tokens"),
+        size(toks).cast("long").as("n_word_tokens"),
+        TextOps.stopwordRatio(toks).as("stopword_ratio"),
+        TextOps.punctRatio(t).as("punct_ratio"),
+        TextOps.qualityScore(t, toks).as("quality_score"))
+        .orderBy("doc_id")
+    },
+
+    // Language-ID: per-language stopword-hit scores, winner by
+    // (score desc, language asc) — same fold order in both engines.
+    QueryDef.withOracle("text_langid",
+      s"""SELECT doc_id, lang,
+         |  $LANG_PRED AS lang_pred,
+         |  $LANG_SCORE AS lang_score
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = TextOps.tokens(col("text"))
+      val (pred, score) = TextOps.langId(toks)
+      Tables(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        pred.as("lang_pred"), score.cast("long").as("lang_score"))
+        .orderBy("doc_id")
+    },
+
+    // Document fingerprinting: order-sensitive rolling hash over the token
+    // stream + order-insensitive 30-bit SimHash over the token multiset.
+    QueryDef.withOracle("text_fingerprint",
+      s"""SELECT doc_id,
+         |  $FINGERPRINT AS fingerprint,
+         |  $SIMHASH AS simhash
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = TextOps.tokens(col("text"))
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.fingerprint(toks).as("fingerprint"),
+        TextOps.simHash(toks, 30).as("simhash"))
+        .orderBy("doc_id")
+    }
+  )
+}
+
+/** DuckDB SQL fragments mirroring graft.ops.TextOps arithmetic exactly.
+  * Shared by the text/dedup/similarity oracles. */
+object OracleText {
+  /** Lowercase word tokens. */
+  val TOKS = "regexp_extract_all(lower(text), '[a-z]+')"
+
+  /** Polynomial char hash of one token `t` (mirrors TextOps.polyHash). */
+  def wordHashSql(tok: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($tok, ''), ch -> CAST(unicode(ch) AS BIGINT))), " +
+      s"(h, c) -> (h * ${TextOps.B1} + c) % ${TextOps.P})"
+
+  /** Array of token hashes of the document (mirrors TextOps.wordHashes). */
+  val WHS = s"list_transform($TOKS, t -> ${wordHashSql("t")})"
+
+  /** Rolling fingerprint over the token hash stream. */
+  val FINGERPRINT =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), $WHS), " +
+      s"(f, wh) -> (f * ${TextOps.B2} + wh) % ${TextOps.P})"
+
+  /** 30-bit SimHash (mirrors TextOps.simHash: per-bit ±1 votes, sign bit). */
+  val SIMHASH =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       | list_transform(range(0, 30), p ->
+       |   CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |     list_transform($WHS, wh ->
+       |       CASE WHEN (wh >> p) & 1 = 1 THEN CAST(1 AS BIGINT)
+       |            ELSE CAST(-1 AS BIGINT) END)), (a, b) -> a + b) > 0
+       |   THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)),
+       | (a, b) -> a + b)""".stripMargin.replace("\n", " ")
+
+  private val EnStop = TextOps.StopwordLists.toMap.apply("en")
+  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** English stopword-hit ratio (with multiplicity), 0.0 for empty docs. */
+  val SW_RATIO =
+    s"CASE WHEN len($TOKS) = 0 THEN 0.0 ELSE " +
+      s"CAST(len(list_filter($TOKS, t -> list_contains(${inList(EnStop)}, t))) AS DOUBLE)" +
+      s" / len($TOKS) END"
+
+  /** Punctuation char ratio. */
+  val PUNCT_RATIO =
+    "CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
+      "CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)" +
+      " / length(text) END"
+
+  private def hit(ws: Seq[String]) =
+    s"len(list_filter($TOKS, t -> list_contains(${inList(ws)}, t)))"
+
+  /** Winner-by-(score desc, lang asc): same left fold as TextOps.langId. */
+  val LANG_SCORE: String = TextOps.StopwordLists.map { case (_, ws) => hit(ws) }
+    .reduce((a, b) => s"greatest($a, $b)")
+
+  val LANG_PRED: String = {
+    val cases = TextOps.StopwordLists.map { case (l, ws) =>
+      s"WHEN ${hit(ws)} = $LANG_SCORE THEN '$l'"
+    }
+    s"CASE ${cases.mkString(" ")} END"
+  }
+}
