@@ -10,7 +10,8 @@ object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
     EventQueries.defs ++ RelationalQueries.defs ++ PipelineQueries.defs ++
-      EngineQueries.defs ++ TextQueries.defs
+      EngineQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++
+      SimilarityQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's windowed sum_op (empty windows included) over events. */

@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for LLM training corpora (BASELINE.json north
+  * star). Four families, all shuffle-frugal by construction:
+  *
+  *  - exact:        hash-groupBy on a content hash (8-byte shuffle keys)
+  *  - n-gram Jaccard: EXACT set similarity via an inverted-index join on
+  *                  shingle *hashes* — the classic scale shape; never a
+  *                  cross product, never text on the wire
+  *  - MinHash+LSH:  signature → band buckets → candidate pairs → exact
+  *                  verification; at 100 TB this is the primary path (the
+  *                  inverted index still enumerates every co-shingle pair,
+  *                  LSH only enumerates probable ones)
+  *  - SimHash:      fingerprint banding with a pigeonhole guarantee — for
+  *                  Hamming radius r, splitting the fingerprint into r+1
+  *                  bands makes the candidate set EXACT, not probabilistic
+  *  - embedding:    cosine near-dup over dense vectors (see SimilarityOps
+  *                  for the ANN-bucketed variant)
+  *
+  * Skew note (100 TB): a boilerplate shingle shared by millions of docs makes
+  * the inverted-index join quadratic in that shingle's posting list. The
+  * standard mitigation — drop shingles with document frequency above a cap —
+  * is `maxDocFreq`; it changes the measured Jaccard for affected pairs, so
+  * the oracle-compared queries leave it off at test scale.
+  */
+object DedupOps {
+
+  /** (id, shingles) — distinct n-word shingle hash sets per document; docs
+    * with fewer than n tokens drop out (no shingles → no similarity). */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol),
+        TextOps.shingleHashes(TextOps.tokens(col(textCol)), n).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
+  private def jaccard(common: Column, sa: Column, sb: Column): Column =
+    common.cast("double") / (sa + sb - common)
+
+  /** EXACT Jaccard near-dup pairs via inverted index: explode shingle hashes,
+    * self-join on the 8-byte hash, count co-occurrences, scale by set sizes.
+    * Output: (id_a, id_b, jaccard) with jaccard >= threshold.
+    *
+    * `maxDocFreq`: optionally drop shingles appearing in more than this many
+    * documents before pairing (skew guard — see class doc). */
+  def jaccardPairsExact(shingles: DataFrame, idCol: String, threshold: Double,
+                        maxDocFreq: Option[Int] = None): DataFrame = {
+    val ex0 = shingles.select(col(idCol).as("id"), explode(col("shingles")).as("sh"))
+    val ex = maxDocFreq.fold(ex0) { cap =>
+      val rare = ex0.groupBy("sh").count().filter(col("count") <= cap).select("sh")
+      ex0.join(rare, "sh")
+    }
+    val sizes = shingles.select(col(idCol).as("id"), size(col("shingles")).as("sz"))
+    val common = ex.as("a").join(ex.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("common"), col("sz_a"), col("sz_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** MinHash+LSH near-dup pairs: k-hash signature, `bands`×`rows` banding
+    * (k = bands*rows), bucket join for candidates, then EXACT Jaccard
+    * verification of each candidate — output is identical to
+    * `jaccardPairsExact` up to LSH recall (for J >= 0.8 with 32×4 banding the
+    * miss probability per pair is (1-0.8^4)^32 ≈ 5e-8). */
+  def jaccardPairsLsh(shingles: DataFrame, idCol: String, threshold: Double,
+                      bands: Int = 32, rows: Int = 4): DataFrame = {
+    val sigs = shingles.select(col(idCol).as("id"), col("shingles"),
+      TextOps.minHashSignature(col("shingles"), bands * rows).as("sig"))
+    val bnd = sigs.select(col("id"), explode(TextOps.lshBands(col("sig"), bands, rows)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = bnd.as("a").join(bnd.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sets = shingles.select(col(idCol).as("id"), col("shingles"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccard(size(array_intersect(col("sh_a"), col("sh_b"))),
+          size(col("sh_a")), size(col("sh_b"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** SimHash near-dup pairs within Hamming radius `maxHamming`, EXACT via
+    * pigeonhole banding: the `bits`-wide fingerprint is split into
+    * `maxHamming + 1` bands; two fingerprints within the radius must agree
+    * exactly on at least one band, so the equality join on (band, value)
+    * has perfect recall. Output: (id_a, id_b, hamming). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   bits: Int = 30, maxHamming: Int = 1): DataFrame = {
+    val nBands = maxHamming + 1
+    val w = (bits + nBands - 1) / nBands // band width
+    val sims = df.select(col(idCol).as("id"),
+      TextOps.simHash(TextOps.tokens(col(textCol)), bits).as("simhash"))
+    val bandArr = array((0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        call_function("shiftright", col("simhash"), lit(b * w))
+          .bitwiseAND(lit((1L << w) - 1)).as("v"))
+    }: _*)
+    val ex = sims.select(col("id"), col("simhash"), explode(bandArr).as("bb"))
+      .select(col("id"), col("simhash"), col("bb.band").as("band"), col("bb.v").as("v"))
+    ex.as("a").join(ex.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        TextOps.hamming(col("a.simhash"), col("b.simhash")).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Embedding-cosine near-dup pairs (exact, all-pairs): block-broadcast
+    * cross join with the dot product as a left fold in double precision —
+    * the same evaluation order the DuckDB oracle uses, so values match
+    * bitwise. Quadratic by definition: correct at verification scale; at
+    * corpus scale use SimilarityOps' LSH bucketing to prefilter. */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double): DataFrame = {
+    val withNorm = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("n", sqrt(aggregate(col("v"), lit(0.0), (s, x) => s + x * x)))
+    val cos = SimilarityOps.dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n"))
+    withNorm.as("a").join(broadcast(withNorm.as("b")), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), cos.as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+}

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over dense embedding columns (`Array[Float]`).
+  *
+  * Two paths, per the standard ANN playbook:
+  *  - `topKExact`: brute-force cosine top-k — broadcast the (small) query
+  *    set against the corpus; the corpus is never shuffled, the per-row work
+  *    is a codegen'd fold. This is the correctness baseline and the right
+  *    tool whenever |queries| × |corpus| compute fits the cluster.
+  *  - `topKLsh`: random-hyperplane LSH — L independent hash tables of b
+  *    sign-bits each; the corpus is bucketed once, each query probes only
+  *    its own buckets. At 100 TB the bucket join prunes the scan to
+  *    |corpus| × L / 2^b candidates per query. Hyperplanes are derived from
+  *    a fixed LCG (deterministic across runs, executors and engines).
+  *
+  * All dot products are strict left folds in double precision — the same
+  * evaluation order the DuckDB oracle SQL uses, so cosines match bitwise.
+  */
+object SimilarityOps {
+
+  /** Strict left-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+
+  /** L2 norm as the same style of fold. */
+  def norm(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0), (s, x) => s + x * x))
+
+  /** Vector column cast to double elements (embeddings arrive as float). */
+  def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
+    * splitmix-style LCG of the (table, bit, dim) index. */
+  private def planeComponent(seed: Long): Double = {
+    var x = seed * 6364136223846793005L + 1442695040888963407L
+    x ^= (x >>> 29); x *= -5840758589994634535L; x ^= (x >>> 32)
+    ((x >>> 11).toDouble / (1L << 53).toDouble) - 0.5
+  }
+
+  /** The `bits` hyperplanes of LSH table `table`, as literal arrays baked
+    * into the plan (tiny: bits × dim doubles). */
+  private def planes(table: Int, bits: Int, dim: Int): Seq[Array[Double]] =
+    (0 until bits).map(j =>
+      (0 until dim).map(i => planeComponent(((table * bits + j).toLong * dim + i) + 1L)).toArray)
+
+  /** Sign-bit bucket id of vector `v` in table `table`. */
+  def lshBucket(v: Column, table: Int, bits: Int, dim: Int): Column =
+    planes(table, bits, dim).zipWithIndex.map { case (p, j) =>
+      when(dot(v, lit(p)) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Exact cosine top-k: for each query vector, the `k` nearest corpus
+    * vectors by (cosine desc, id asc), self-pairs excluded.
+    * Output: (query_id, rank, neighbor_id, cosine). */
+  def topKExact(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  /** LSH-bucketed approximate top-k: candidates = corpus rows sharing at
+    * least one of the query's L bucket ids; exact cosine + rank within the
+    * candidate set. Approximate by design (recall < 1 — measured by
+    * `recallAtK`), so no SQL oracle; correctness of the machinery is the
+    * bucket-pruned plan plus the recall metric. */
+  def topKLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, tables: Int = 4, bits: Int = 4,
+              dim: Int = 64): DataFrame = {
+    def bucketed(df: DataFrame, idAs: String, vAs: String, nAs: String): DataFrame = {
+      val base = df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as(vAs))
+        .withColumn(nAs, norm(col(vAs)))
+      val tb = array((0 until tables).map(t =>
+        struct(lit(t).as("t"), lshBucket(col(vAs), t, bits, dim).as("b"))): _*)
+      base.select(col(idAs), col(vAs), col(nAs), explode(tb).as("tb"))
+        .select(col(idAs), col(vAs), col(nAs),
+          col("tb.t").as("t"), col("tb.b").as("b"))
+    }
+    val c = bucketed(corpus, "neighbor_id", "cv", "cn")
+    val q = bucketed(queries, "query_id", "qv", "qn")
+    val cand = c.join(broadcast(q), Seq("t", "b"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id") // pair may collide in several tables
+    val scored = cand.select(col("query_id"), col("neighbor_id"),
+      (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  /** recall@k of an approximate result against the exact one: fraction of
+    * exact top-k (query, neighbor) pairs the approximate result found. */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val hits = exact.select("query_id", "neighbor_id")
+      .join(approx.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"), "left_semi")
+      .count()
+    val total = exact.count()
+    val spark = exact.sparkSession
+    import spark.implicits._
+    Seq((total, hits, if (total == 0) 0.0 else hits.toDouble / total))
+      .toDF("n_exact", "n_found", "recall")
+  }
+}

@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.{DedupOps, TextOps}
+import graft.tables.Tables
+
+/** Near-duplicate detection over `documents` / `embeddings`. The exact
+  * operators carry full-value DuckDB oracles; `dedup_minhash_lsh` is oracled
+  * against the BRUTE-FORCE result — its LSH candidate generation must reach
+  * every true pair (miss probability ≈ 5e-8 per pair at J ≥ 0.8 with 32×4
+  * banding), so a hash-mismatch here means the machinery broke, not chance. */
+object DedupQueries {
+
+  import OracleText.{SIMHASH, WHS}
+  import OracleVec.NORMED
+
+  /** Brute-force n-gram (3-word shingle) Jaccard pairs at J >= 0.8 —
+    * inverted-index CTE mirroring the Spark arithmetic exactly. */
+  private val JaccardBruteSql =
+    s"""WITH whst AS (SELECT doc_id, $WHS AS whs FROM documents),
+       |shs AS (SELECT doc_id, list_distinct(list_transform(range(0, len(whs) - 2), i ->
+       |          list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(whs, i + 1, i + 3)),
+       |            (h, w) -> (h * ${TextOps.B2} + w) % ${TextOps.P}))) AS shingles
+       |        FROM whst WHERE len(whs) >= 3),
+       |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM shs),
+       |sz AS (SELECT doc_id, len(shingles) AS sz FROM shs),
+       |cm AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS cnt
+       |       FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT ia AS id_a, ib AS id_b, CAST(cnt AS DOUBLE) / (sa.sz + sb.sz - cnt) AS jaccard
+       |FROM cm JOIN sz sa ON sa.doc_id = cm.ia JOIN sz sb ON sb.doc_id = cm.ib
+       |WHERE CAST(cnt AS DOUBLE) / (sa.sz + sb.sz - cnt) >= 0.8
+       |ORDER BY 1, 2""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // EXACT n-gram Jaccard near-dup pairs: inverted-index join on shingle
+    // hashes (only 8-byte keys shuffle; text never leaves the scan).
+    QueryDef.withOracle("dedup_ngram_jaccard", JaccardBruteSql) { (s, dir) =>
+      DedupOps.jaccardPairsExact(
+        DedupOps.shingleSets(Tables(s, dir, "documents"), "doc_id", "text", 3),
+        "doc_id", 0.8)
+    },
+
+    // MinHash(128) + LSH(32 bands × 4 rows) candidates, exact-verified.
+    // Same oracle as the brute force: candidate recall must be total.
+    QueryDef.withOracle("dedup_minhash_lsh", JaccardBruteSql) { (s, dir) =>
+      DedupOps.jaccardPairsLsh(
+        DedupOps.shingleSets(Tables(s, dir, "documents"), "doc_id", "text", 3),
+        "doc_id", 0.8, bands = 32, rows = 4)
+    },
+
+    // SimHash pairs within Hamming radius 1, EXACT via pigeonhole banding
+    // (radius+1 bands -> equality join with perfect recall).
+    QueryDef.withOracle("dedup_simhash",
+      s"""WITH s AS (SELECT doc_id, $SIMHASH AS sh FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+         |FROM s a, s b
+         |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 1
+         |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      DedupOps.simhashPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        bits = 30, maxHamming = 1)
+    },
+
+    // Embedding-cosine near-dup pairs (exact all-pairs at test scale; the
+    // LSH-bucketed path is ann_lsh in SimilarityQueries).
+    QueryDef.withOracle("dedup_embedding",
+      s"""WITH $NORMED
+         |SELECT * FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         ${OracleVec.dotSql("a", "b")} / (a.nrm * b.nrm) AS cosine
+         |  FROM n a, n b WHERE a.vec_id < b.vec_id
+         |) WHERE cosine >= 0.4 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      DedupOps.embeddingPairs(Tables(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+    }
+  )
+}
+
+/** DuckDB fragments for double-exact vector math (DuckDB's own
+  * list_cosine_similarity computes in float32 — NOT used; these spell out
+  * the same left-fold double arithmetic as graft.ops.SimilarityOps). */
+object OracleVec {
+  /** CTE `n`: embeddings as double vectors with their L2 norms. */
+  val NORMED: String =
+    """e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |       FROM embeddings),
+      |n AS (SELECT vec_id, label, v,
+      |        sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(v, x -> x * x)), (s, x) -> s + x)) AS nrm
+      |      FROM e)""".stripMargin
+
+  /** Left-fold dot product of `$a.v` and `$b.v`. */
+  def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, len($a.v) + 1), i -> $a.v[i] * $b.v[i])), (s, x) -> s + x)"
+}
