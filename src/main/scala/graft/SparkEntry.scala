@@ -11,7 +11,7 @@ object SparkEntry {
   private def allDefs: Seq[QueryDef] =
     EventQueries.defs ++ RelationalQueries.defs ++ PipelineQueries.defs ++
       EngineQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++
-      SimilarityQueries.defs
+      SimilarityQueries.defs ++ MultimodalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's windowed sum_op (empty windows included) over events. */

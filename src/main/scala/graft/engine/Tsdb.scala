@@ -175,9 +175,15 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
       col(TimeCol).cast(LongType).as(TimeCol) +:
       schema.fields.map(f => col(f.name).cast(f.ftype.spark).as(f.name)): _*)
 
+    // single validation pass: batch size, NULL/duplicate timestamps, and the
+    // watermark partition counts all come from ONE aggregation job
+    val wm = seriesRange(db, m, series)
+    val (tf, tl) = wm.fold((Long.MinValue, Long.MinValue))(r => (r.timeFirst, r.timeLast))
     val stats = pts.agg(
       count(lit(1)).as("n"), count(col(TimeCol)).as("n_ts"),
-      countDistinct(col(TimeCol)).as("n_distinct")).head()
+      countDistinct(col(TimeCol)).as("n_distinct"),
+      sum(when(col(TimeCol) < tf, 1L).otherwise(0L)).as("disc"),
+      sum(when(col(TimeCol).between(tf, tl), 1L).otherwise(0L)).as("ov")).head()
     val n = stats.getLong(0)
     if (n == 0) return WriteResult(0, 0, 0)
     if (stats.getLong(1) < n)
@@ -186,17 +192,11 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
       throw new OutOfOrderTimestampsException(
         s"${n - stats.getLong(2)} duplicate timestamps within batch")
 
-    val wm = seriesRange(db, m, series)
-    val (discarded, overlapN) = wm match {
-      case None => (0L, 0L)
-      case Some(SeriesRange(tf, tl)) =>
-        val parts = pts.agg(
-          sum(when(col(TimeCol) < tf, 1L).otherwise(0L)).as("disc"),
-          sum(when(col(TimeCol).between(tf, tl), 1L).otherwise(0L)).as("ov")).head()
-        val ovN = parts.getLong(1)
-        if (ovN > 0) verifyOverlap(db, m, series, schema,
-          pts.filter(col(TimeCol).between(tf, tl)), tf, tl, ovN)
-        (parts.getLong(0), ovN)
+    val (discarded, overlapN) = if (wm.isEmpty) (0L, 0L) else {
+      val ovN = stats.getLong(4)
+      if (ovN > 0) verifyOverlap(db, m, series, schema,
+        pts.filter(col(TimeCol).between(tf, tl)), tf, tl, ovN)
+      (stats.getLong(3), ovN)
     }
 
     // new points are above the append watermark AND not below the delete
@@ -204,11 +204,12 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
     // points between them are discarded, not appended)
     val newPts = wm.fold(pts)(r =>
       pts.filter(col(TimeCol) > r.timeLast && col(TimeCol) >= r.timeFirst))
-    val written = appendSorted(db, m, series, newPts)
+    // one job for count+range, then the write job
+    val nrow = newPts.agg(count(lit(1)), min(TimeCol), max(TimeCol)).head()
+    val written = if (nrow.getLong(0) == 0) 0L
+                  else appendSorted(db, m, series, newPts, nrow.getLong(0))
     if (written > 0 || wm.isEmpty) {
-      val nstats = if (written > 0)
-        Some(newPts.agg(min(TimeCol), max(TimeCol)).head()).map(r => (r.getLong(0), r.getLong(1)))
-      else None
+      val nstats = if (written > 0) Some((nrow.getLong(1), nrow.getLong(2))) else None
       val next = (wm, nstats) match {
         case (Some(r), Some((_, mx))) => SeriesRange(r.timeFirst, math.max(r.timeLast, mx))
         case (Some(r), None)          => r
@@ -246,9 +247,8 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
   /** Physical append: bucket-derived partition, range-partitioned so each
     * task owns contiguous buckets, rows sorted by time within files (gives
     * parquet row-group min/max stats their pruning power). */
-  private def appendSorted(db: String, m: String, series: String, newPts: DataFrame): Long = {
-    val cnt = newPts.count()
-    if (cnt == 0) return 0
+  private def appendSorted(db: String, m: String, series: String, newPts: DataFrame,
+                           cnt: Long): Long = {
     newPts
       .withColumn(SeriesCol, lit(series))
       .withColumn(BucketCol, expr(s"$TimeCol div ${bucketWidth}L"))

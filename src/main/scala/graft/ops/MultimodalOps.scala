@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** A multimodal asset: opaque binary payload + typed metadata. The engine
+  * treats media exactly like a 100 TB training pipeline would: payloads are
+  * `binary` columns riding the columnar format (parquet keeps them
+  * compressed and column-pruned away unless projected), metadata is a typed
+  * struct usable in predicates WITHOUT touching the payload bytes. */
+final case class MediaAsset(
+    asset_id: Long, format: String, payload: Array[Byte],
+    width: Int, height: Int, channels: Int, sample_rate: Int)
+
+/** Decoded features of one asset (the stub decoder's output shape). */
+final case class MediaFeatures(
+    asset_id: Long, format: String, n_bytes: Long,
+    mean_byte: Double, byte_hist: Array[Long])
+
+/** STUB DECODER — deterministic fake. A real deployment would link an image/
+  * audio codec (javacpp-ffmpeg, twelvemonkeys, …) and decode `payload` into
+  * pixels/samples here; those libraries are not available in this
+  * environment, so the "decode" is a deterministic byte-level computation
+  * with the same interface, batch shape and cost profile. Everything AROUND
+  * this stub — schema, partitioning, per-partition batch iteration — is the
+  * real Spark plumbing a production decoder would use unchanged. */
+object FakeDecoder {
+  val HistBuckets = 16
+  def decode(a: MediaAsset): MediaFeatures = {
+    val hist = new Array[Long](HistBuckets)
+    var sum = 0L
+    var i = 0
+    while (i < a.payload.length) {
+      val b = a.payload(i) & 0xff
+      hist(b * HistBuckets / 256) += 1
+      sum += b
+      i += 1
+    }
+    val mean = if (a.payload.length == 0) 0.0 else sum.toDouble / a.payload.length
+    MediaFeatures(a.asset_id, a.format, a.payload.length.toLong, mean, hist)
+  }
+}
+
+/** Multimodal column operators. */
+object MultimodalOps {
+
+  /** Derive a deterministic media-asset table from `documents`: the text
+    * bytes play the role of an encoded payload; format and metadata are
+    * derived from the id. (The driver testdata has no binary table — this
+    * keeps inputs driver-provided while exercising real binary columns.) */
+  def assetsFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("asset_id"),
+      element_at(lit(Array("audio", "image", "video")),
+        (col("doc_id") % 3).cast("int") + 1).as("format"),
+      col("text").cast("binary").as("payload"),
+      ((col("doc_id") % 640) + 1).cast("int").as("width"),
+      ((col("doc_id") % 480) + 1).cast("int").as("height"),
+      lit(3).cast("int").as("channels"),
+      lit(16000).cast("int").as("sample_rate"))
+
+  /** Decode/feature-extract via the stub decoder: typed per-partition
+    * iteration (`mapPartitions`) — the shape a real codec needs (native
+    * context reused across a partition's assets, no shuffle, payload bytes
+    * never leave the task). Repartition by `format` first so one task runs
+    * one codec. */
+  def decodeFeatures(assets: DataFrame): Dataset[MediaFeatures] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .repartition(col("format"))
+      .as[MediaAsset]
+      .mapPartitions(_.map(FakeDecoder.decode))
+  }
+
+  /** Metadata + frame-sampling over the binary payload with pure Catalyst
+    * expressions (no decode): size, a rolling-hash checksum of the decoded
+    * char stream (binary → string round-trip), and up to `maxFrames` bytes
+    * sampled every `stride` positions — the "thumbnail strip" access
+    * pattern, reading only the projected columns. */
+  def sampleFrames(assets: DataFrame, stride: Int = 64, maxFrames: Int = 8): DataFrame = {
+    val decoded = decode(col("payload"), "UTF-8")
+    val nFrames = (floor((length(decoded) - 1) / stride) + 1).cast("long")
+    val frames = transform(
+      sequence(lit(0L), least(nFrames, lit(maxFrames.toLong)) - 1),
+      i => ascii(decoded.substr(i.cast("int") * stride + 1, lit(1))).cast("string"))
+    assets.select(
+      col("asset_id"), col("format"),
+      octet_length(col("payload")).cast("long").as("n_bytes"),
+      TextOps.fingerprint(TextOps.tokens(decoded)).as("checksum"),
+      concat_ws(",", frames).as("frame_codes"))
+  }
+}

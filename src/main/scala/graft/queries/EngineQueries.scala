@@ -55,12 +55,15 @@ object EngineQueries {
       val t = freshTsdb(s)
       t.createDatabase("bench")
       t.createMeasurement("bench", "events", schema)
+      // cached: each writePoints runs several actions over the batch
       val pts = canonicalPoints(s, dir).filter(col("series") === "purchase")
-        .select(col("time_us").as("time_ns"), col("v"))
-      t.writePoints("bench", "events", "purchase", pts.filter(col("time_ns") <= MID))
-      // batch 2 overlaps the last 2 days of batch 1 -> idempotent rewrite
-      t.writePoints("bench", "events", "purchase",
-        pts.filter(col("time_ns") > MID - 2 * DAY))
+        .select(col("time_us").as("time_ns"), col("v")).persist()
+      try {
+        t.writePoints("bench", "events", "purchase", pts.filter(col("time_ns") <= MID))
+        // batch 2 overlaps the last 2 days of batch 1 -> idempotent rewrite
+        t.writePoints("bench", "events", "purchase",
+          pts.filter(col("time_ns") > MID - 2 * DAY))
+      } finally pts.unpersist()
       t.select("bench", "events", "purchase", Seq("v"), 0L, Long.MaxValue - 1)
         .select(col("time_ns").as("time_us"), col("v"))
     },
@@ -76,13 +79,15 @@ object EngineQueries {
       t.createDatabase("bench")
       t.createMeasurement("bench", "events", schema)
       val pts = canonicalPoints(s, dir).filter(col("series") === "purchase")
-        .select(col("time_us").as("time_ns"), col("v"))
-      t.writePoints("bench", "events", "purchase", pts)
-      t.deleteUpTo("bench", "events", "purchase", CUT)
-      // re-send everything from 2 days before the cut: pre-watermark points
-      // are discarded, the rest is a full-tail bitwise rewrite (no-op)
-      t.writePoints("bench", "events", "purchase",
-        pts.filter(col("time_ns") > CUT - 2 * DAY))
+        .select(col("time_us").as("time_ns"), col("v")).persist()
+      try {
+        t.writePoints("bench", "events", "purchase", pts)
+        t.deleteUpTo("bench", "events", "purchase", CUT)
+        // re-send everything from 2 days before the cut: pre-watermark points
+        // are discarded, the rest is a full-tail bitwise rewrite (no-op)
+        t.writePoints("bench", "events", "purchase",
+          pts.filter(col("time_ns") > CUT - 2 * DAY))
+      } finally pts.unpersist()
       t.select("bench", "events", "purchase", Seq("v"), 0L, Long.MaxValue - 1)
         .select(col("time_ns").as("time_us"), col("v"))
     },
@@ -98,14 +103,16 @@ object EngineQueries {
       val t = freshTsdb(s)
       t.createDatabase("bench")
       t.createMeasurement("bench", "events", schema)
-      val pts = canonicalPoints(s, dir)
-      val seriesNames = pts.select("series").distinct()
-        .collect().map(_.getString(0)).sorted // catalog-scale driver list
-      seriesNames.foreach { sn =>
-        t.writePoints("bench", "events", sn,
-          pts.filter(col("series") === sn)
-            .select(col("time_us").as("time_ns"), col("v")))
-      }
+      val pts = canonicalPoints(s, dir).persist()
+      try {
+        val seriesNames = pts.select("series").distinct()
+          .collect().map(_.getString(0)).sorted // catalog-scale driver list
+        seriesNames.foreach { sn =>
+          t.writePoints("bench", "events", sn,
+            pts.filter(col("series") === sn)
+              .select(col("time_us").as("time_ns"), col("v")))
+        }
+      } finally pts.unpersist()
       t.deleteUpTo("bench", "events", "error", CUT)
       t.listActiveSeries("bench", "events", T0, T1)
     }

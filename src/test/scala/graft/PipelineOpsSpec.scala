@@ -1,0 +1,100 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.functions._
+
+/** Deterministic fixtures for the LLM-pipeline operators: known documents
+  * with hand-checkable hashes, duplicates, and a tiny embedding space. */
+class PipelineOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // --- reference implementations of the polynomial hash (plain Scala) ---
+  private def whRef(w: String): Long =
+    w.foldLeft(0L)((h, c) => (h * TextOps.B1 + c.toInt) % TextOps.P)
+  private def shRef(ws: Seq[String]): Long =
+    ws.foldLeft(0L)((h, w) => (h * TextOps.B2 + whRef(w)) % TextOps.P)
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "completely different content about spark engines and shuffles"),
+    (3L, "the quick brown fox jumps over the lazy dog")  // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("polyHash / fingerprint match the scalar reference computation") {
+    val got = docs.select(col("doc_id"),
+      TextOps.fingerprint(TextOps.tokens(col("text"))).as("f"))
+      .as[(Long, Long)].collect().toMap
+    val exp0 = shRef("the quick brown fox jumps over the lazy dog".split(" ").toSeq)
+    assert(got(0L) == exp0)
+    assert(got(3L) == exp0)        // same token stream -> same fingerprint
+    assert(got(0L) != got(1L))     // one word differs -> different
+  }
+
+  test("shingleHashes: count, distinctness, and value vs scalar reference") {
+    val sh = docs.filter($"doc_id" === 0)
+      .select(TextOps.shingleHashes(TextOps.tokens($"text"), 3).as("s"))
+      .as[Seq[Long]].head()
+    val words = "the quick brown fox jumps over the lazy dog".split(" ").toSeq
+    val expected = words.sliding(3).map(shRef).toSeq.distinct
+    assert(sh.sorted == expected.sorted)
+  }
+
+  test("jaccardPairsExact and jaccardPairsLsh find the same near-dup pairs") {
+    val ss = DedupOps.shingleSets(docs, "doc_id", "text", 3)
+    val exact = DedupOps.jaccardPairsExact(ss, "doc_id", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = DedupOps.jaccardPairsLsh(ss, "doc_id", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.contains((0L, 3L))) // exact duplicate: J = 1.0
+    assert(exact.contains((0L, 1L))) // near duplicate
+    assert(exact == lsh)             // LSH must not miss at these similarities
+  }
+
+  test("simhashPairs: exact dup at hamming 0; pigeonhole banding finds it") {
+    val pairs = DedupOps.simhashPairs(docs, "doc_id", "text", bits = 30, maxHamming = 2)
+      .as[(Long, Long, Long)].collect().map { case (a, b, h) => ((a, b), h) }.toMap
+    assert(pairs.get((0L, 3L)).contains(0L))
+  }
+
+  test("topKExact ranks by cosine with deterministic tie-break") {
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0.01f)),
+      (2L, Array(0f, 1f)), (3L, Array(-1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val top = SimilarityOps.topKExact(emb, emb.filter($"vec_id" === 0), "vec_id", "embedding", 3)
+      .select("rank", "neighbor_id").as[(Long, Long)].collect().toSeq
+    assert(top == Seq((1L, 1L), (2L, 2L), (3L, 3L))) // cos: ~1, 0, -1
+  }
+
+  test("recallAtK is 1.0 when approx equals exact") {
+    val emb = Seq((0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val ex = SimilarityOps.topKExact(emb, emb.filter($"vec_id" === 0), "vec_id", "embedding", 2)
+    val r = SimilarityOps.recallAtK(ex, ex).select("recall").as[Double].head()
+    assert(r == 1.0)
+  }
+
+  test("FakeDecoder features are exact on a known payload") {
+    val a = MediaAsset(7L, "image", Array[Byte](0, 15, 16, -1), 1, 1, 3, 16000)
+    val f = FakeDecoder.decode(a)
+    assert(f.n_bytes == 4)
+    assert(f.mean_byte == (0 + 15 + 16 + 255) / 4.0)
+    assert(f.byte_hist(0) == 2)   // bytes 0 and 15 -> bucket 0
+    assert(f.byte_hist(1) == 1)   // byte 16 -> bucket 1
+    assert(f.byte_hist(15) == 1)  // byte 255 -> bucket 15
+    assert(f.byte_hist.sum == 4)
+  }
+
+  test("sampleFrames: n_bytes, checksum and frame codes line up with the text") {
+    val row = MultimodalOps.sampleFrames(
+        MultimodalOps.assetsFromDocuments(docs.filter($"doc_id" === 0)),
+        stride = 10, maxFrames = 3)
+      .select("n_bytes", "checksum", "frame_codes")
+      .as[(Long, Long, String)].head()
+    val text = "the quick brown fox jumps over the lazy dog"
+    assert(row._1 == text.length)
+    assert(row._2 == shRef(text.split(" ").toSeq))
+    assert(row._3 == Seq(text(0), text(10), text(20)).map(_.toInt).mkString(","))
+  }
+}
