@@ -31,7 +31,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // quality-of-approximation metric alongside the timings: recall@5 of the
+    // LSH ANN path vs the exact top-k (VERDICT r1 item 5)
+    val recall = try {
+      SparkEntry.queries("ann_recall")(spark, sfDir)
+        .select("recall").head().getDouble(0)
+    } catch { case _: Throwable => -1.0 }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""ann_lsh_recall_at5":$recall,"sf":"$sfDir"}"""
     println(line)
     // Also persist machine-readable (sbt prefixes stdout with [info], which
     // breaks downstream JSON parsing of the console line).

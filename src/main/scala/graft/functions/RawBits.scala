@@ -55,6 +55,8 @@ object GraftFunctions {
       "double_raw_bits", args => DoubleRawBits(args.head), "built-in")
     reg.createOrReplaceTempFunction(
       "float_raw_bits", args => FloatRawBits(args.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_dot", args => DotProductDouble(args(0), args(1)), "built-in")
   }
 
   /** A column rewritten to an exactly-comparable form: float/double become

@@ -29,11 +29,24 @@ import org.apache.spark.sql.functions._
 object DedupOps {
 
   /** (id, shingles) — distinct n-word shingle hash sets per document; docs
-    * with fewer than n tokens drop out (no shingles → no similarity). */
-  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol),
-        TextOps.shingleHashes(TextOps.tokens(col(textCol)), n).as("shingles"))
+    * with fewer than n tokens drop out (no shingles → no similarity).
+    *
+    * Staged with persist() barriers: interpreted higher-order lambdas
+    * re-evaluate any derived-array argument per outer element (see
+    * TextOps.fingerprintOfHashes cost note), so tokenize→word-hash must be
+    * MATERIALIZED before the shingle transform references it, and the
+    * shingle sets before the (k-wide) signature/pair stages reference them.
+    * The cached stages are rows of 8-byte hashes — a fraction of the text
+    * they replace; at corpus scale the same staging is a persisted/
+    * checkpointed projection. The result is persisted because every
+    * consumer (inverted index, LSH, verification) reads it 2-3×. */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val whs = df.select(col(idCol),
+      TextOps.wordHashes(TextOps.tokens(col(textCol))).as("whs")).persist()
+    whs.select(col(idCol), TextOps.shingleHashesOfHashes(col("whs"), n).as("shingles"))
       .filter(size(col("shingles")) > 0)
+      .persist()
+  }
 
   private def jaccard(common: Column, sa: Column, sb: Column): Column =
     common.cast("double") / (sa + sb - common)
@@ -72,8 +85,9 @@ object DedupOps {
     * miss probability per pair is (1-0.8^4)^32 ≈ 5e-8). */
   def jaccardPairsLsh(shingles: DataFrame, idCol: String, threshold: Double,
                       bands: Int = 32, rows: Int = 4): DataFrame = {
+    // signatures materialized once (the band self-join reads them twice)
     val sigs = shingles.select(col(idCol).as("id"), col("shingles"),
-      TextOps.minHashSignature(col("shingles"), bands * rows).as("sig"))
+      TextOps.minHashSignature(col("shingles"), bands * rows).as("sig")).persist()
     val bnd = sigs.select(col("id"), explode(TextOps.lshBands(col("sig"), bands, rows)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val cand = bnd.as("a").join(bnd.as("b"),
@@ -101,8 +115,12 @@ object DedupOps {
                    bits: Int = 30, maxHamming: Int = 1): DataFrame = {
     val nBands = maxHamming + 1
     val w = (bits + nBands - 1) / nBands // band width
-    val sims = df.select(col(idCol).as("id"),
-      TextOps.simHash(TextOps.tokens(col(textCol)), bits).as("simhash"))
+    // staged: word hashes materialized once, fingerprints materialized once
+    // (the band self-join reads them twice) — see shingleSets note
+    val whs = df.select(col(idCol).as("id"),
+      TextOps.wordHashes(TextOps.tokens(col(textCol))).as("whs")).persist()
+    val sims = whs.select(col("id"),
+      TextOps.simHashOfHashes(col("whs"), bits).as("simhash")).persist()
     val bandArr = array((0 until nBands).map { b =>
       struct(lit(b).as("band"),
         call_function("shiftright", col("simhash"), lit(b * w))
@@ -127,10 +145,11 @@ object DedupOps {
     * corpus scale use SimilarityOps' LSH bucketing to prefilter. */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val withNorm = df.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
-      .withColumn("n", sqrt(aggregate(col("v"), lit(0.0), (s, x) => s + x * x)))
-    val cos = SimilarityOps.dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n"))
+      .withColumn("n", SimilarityOps.norm(col("v")))
+    val cos = SimilarityOps.fastDot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n"))
     withNorm.as("a").join(broadcast(withNorm.as("b")), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), cos.as("cosine"))
       .filter(col("cosine") >= threshold)

@@ -22,13 +22,18 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** Strict left-fold dot product of two double arrays. */
+  /** Strict left-fold dot product of two double arrays — portable HOF
+    * formulation (interpreted; bit-identical to `fastDot`). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
 
-  /** L2 norm as the same style of fold. */
-  def norm(v: Column): Column =
-    sqrt(aggregate(v, lit(0.0), (s, x) => s + x * x))
+  /** Codegen'd dot product (graft.functions.DotProductDouble): same
+    * accumulation order as `dot`, ~100× faster inside pair joins. Requires
+    * `GraftFunctions.register(spark)` (the DataFrame entry points below do). */
+  def fastDot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** L2 norm via the same left fold (`sqrt(v·v)`). */
+  def norm(v: Column): Column = sqrt(fastDot(v, v))
 
   /** Vector column cast to double elements (embeddings arrive as float). */
   def asDouble(v: Column): Column = transform(v, _.cast("double"))
@@ -50,7 +55,7 @@ object SimilarityOps {
   /** Sign-bit bucket id of vector `v` in table `table`. */
   def lshBucket(v: Column, table: Int, bits: Int, dim: Int): Column =
     planes(table, bits, dim).zipWithIndex.map { case (p, j) =>
-      when(dot(v, lit(p)) > 0, lit(1L << j)).otherwise(lit(0L))
+      when(fastDot(v, lit(p)) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Exact cosine top-k: for each query vector, the `k` nearest corpus
@@ -58,13 +63,14 @@ object SimilarityOps {
     * Output: (query_id, rank, neighbor_id, cosine). */
   def topKExact(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+        (fastDot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -80,6 +86,7 @@ object SimilarityOps {
   def topKLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, tables: Int = 4, bits: Int = 4,
               dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     def bucketed(df: DataFrame, idAs: String, vAs: String, nAs: String): DataFrame = {
       val base = df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as(vAs))
         .withColumn(nAs, norm(col(vAs)))
@@ -95,7 +102,7 @@ object SimilarityOps {
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id") // pair may collide in several tables
     val scored = cand.select(col("query_id"), col("neighbor_id"),
-      (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+      (fastDot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

@@ -57,22 +57,36 @@ object TextOps {
   /** Word-order-sensitive document fingerprint: fold of the token hashes,
     * `f = (f*B2 + wh) % P` — a rolling hash over the token stream. Two
     * documents get equal fingerprints iff their token sequences match. */
-  def fingerprint(toks: Column): Column =
-    aggregate(wordHashes(toks), lit(0L), (f, wh) => (f * B2 + wh) % P)
+  def fingerprint(toks: Column): Column = fingerprintOfHashes(wordHashes(toks))
+
+  /** Fingerprint from an already-materialized word-hash array.
+    *
+    * EVALUATION-COST NOTE (applies to every *OfHashes variant): Catalyst has
+    * no common-subexpression elimination inside interpreted higher-order
+    * functions — a lambda body referencing a derived array RE-EVALUATES that
+    * array's whole expression tree per outer element. Nesting
+    * `wordHashes(tokens(text))` inside a k-wide transform multiplies the
+    * regex+hash work by k. Callers doing heavy per-row hashing must
+    * materialize each stage (project + persist/exchange barrier) and feed
+    * the *OfHashes form a plain column — see DedupOps.shingleSets. */
+  def fingerprintOfHashes(whs: Column): Column =
+    aggregate(whs, lit(0L), (f, wh) => (f * B2 + wh) % P)
 
   /** Distinct `n`-word shingle hashes of a token array: shingle i covers
     * tokens [i, i+n), hashed as a base-B2 polynomial of the word hashes.
     * Only 8-byte hashes ever leave the row — shingle *strings* are never
     * materialized, shuffled, or compared. */
-  def shingleHashes(toks: Column, n: Int): Column = {
-    val whs = wordHashes(toks)
+  def shingleHashes(toks: Column, n: Int): Column =
+    shingleHashesOfHashes(wordHashes(toks), n)
+
+  /** Shingle hashes from a materialized word-hash array (see cost note). */
+  def shingleHashesOfHashes(whs: Column, n: Int): Column =
     when(size(whs) < n, array().cast("array<bigint>")).otherwise(
       array_distinct(
         transform(
           sequence(lit(0), size(whs) - n),
           i => aggregate(slice(whs, i + lit(1), lit(n)), lit(0L),
             (h, wh) => (h * B2 + wh) % P))))
-  }
 
   /** MinHash signature of a shingle-hash set: k permutation approximations
     * `h_i(x) = (a_i * x + b_i) % P`, taking the min over the set for each i.
@@ -100,8 +114,11 @@ object TextOps {
     * sign becomes the output bit. Near-identical token multisets land within
     * a few bits of each other. Uses the low `bits` bits of the 30-bit word
     * hash; bits ≤ 30. */
-  def simHash(toks: Column, bits: Int): Column = {
-    val whs = wordHashes(toks)
+  def simHash(toks: Column, bits: Int): Column =
+    simHashOfHashes(wordHashes(toks), bits)
+
+  /** SimHash from a materialized word-hash array (see cost note). */
+  def simHashOfHashes(whs: Column, bits: Int): Column =
     aggregate(
       sequence(lit(0), lit(bits - 1)),
       lit(0L),
@@ -111,7 +128,6 @@ object TextOps {
                 .otherwise(lit(-1L)))
         acc + when(vote > 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
       })
-  }
 
   /** Hamming distance between two SimHash fingerprints. */
   def hamming(a: Column, b: Column): Column =

@@ -64,11 +64,15 @@ object TextQueries {
          |  $FINGERPRINT AS fingerprint,
          |  $SIMHASH AS simhash
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val toks = TextOps.tokens(col("text"))
-      Tables(s, dir, "documents").select(
-        col("doc_id"),
-        TextOps.fingerprint(toks).as("fingerprint"),
-        TextOps.simHash(toks, 30).as("simhash"))
+      // staged: word hashes materialized once, then both digests read the
+      // cached array (simHash alone would re-tokenize 30x per row otherwise
+      // — see TextOps.fingerprintOfHashes cost note)
+      Tables(s, dir, "documents").select(col("doc_id"),
+          TextOps.wordHashes(TextOps.tokens(col("text"))).as("whs")).persist()
+        .select(
+          col("doc_id"),
+          TextOps.fingerprintOfHashes(col("whs")).as("fingerprint"),
+          TextOps.simHashOfHashes(col("whs"), 30).as("simhash"))
         .orderBy("doc_id")
     }
   )
