@@ -246,16 +246,24 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
 
   /** Physical append: bucket-derived partition, range-partitioned so each
     * task owns contiguous buckets, rows sorted by time within files (gives
-    * parquet row-group min/max stats their pruning power). */
+    * parquet row-group min/max stats their pruning power).
+    *
+    * Each write targets ITS OWN `series=<s>/` directory (partitioned by
+    * bucket below it) rather than partitionBy(series, bucket) on the shared
+    * root: concurrent same-directory jobs share one `_temporary/` staging
+    * dir and corrupt each other, while per-series directories make
+    * DIFFERENT-series writes safely concurrent — the engine contract is
+    * single-writer-per-SERIES, and series are independent
+    * (reference doc/LOCKING.txt:3-8). Readers see the same layout either
+    * way (`series=` is a partition directory under basePath). */
   private def appendSorted(db: String, m: String, series: String, newPts: DataFrame,
                            cnt: Long): Long = {
     newPts
-      .withColumn(SeriesCol, lit(series))
       .withColumn(BucketCol, expr(s"$TimeCol div ${bucketWidth}L"))
       .repartitionByRange(col(BucketCol), col(TimeCol))
       .sortWithinPartitions(BucketCol, TimeCol)
-      .write.mode("append").partitionBy(SeriesCol, BucketCol)
-      .parquet(dataDir(db, m).toString)
+      .write.mode("append").partitionBy(BucketCol)
+      .parquet(new Path(dataDir(db, m), s"$SeriesCol=$series").toString)
     cnt
   }
 

@@ -57,6 +57,12 @@ object GraftFunctions {
       "float_raw_bits", args => FloatRawBits(args.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_dot", args => DotProductDouble(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_minhash", args =>
+        GraftMinHash(args(0), args(1).eval().asInstanceOf[Number].intValue), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_simhash", args =>
+        GraftSimHash(args(0), args(1).eval().asInstanceOf[Number].intValue), "built-in")
   }
 
   /** A column rewritten to an exactly-comparable form: float/double become

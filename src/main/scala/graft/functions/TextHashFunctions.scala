@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import graft.ops.TextOps.{B2, P}
+
+/** Native signature expressions for the dedup pipeline.
+  *
+  * Why native: the portable higher-order formulation
+  * (`transform(sequence(0,k-1), i -> array_min(transform(shingles, …)))`)
+  * evaluates k×|shingles| interpreted Catalyst expressions per row — ~40k
+  * for MinHash(128) over an 80-shingle document, which made signature
+  * computation the bench bottleneck. These expressions run the same
+  * arithmetic as a tight JVM loop (CodegenFallback: one virtual call per
+  * row, the loop itself is compiled Scala).
+  *
+  * Determinism: pure integer arithmetic — identical results to the
+  * higher-order formulation and to the DuckDB oracle SQL (`GraftSimHash`
+  * values are oracle-compared in text_fingerprint/dedup_simhash;
+  * `GraftMinHash` only drives LSH candidate generation).
+  */
+case class GraftMinHash(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash requires array<bigint>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      // a_i/b_i: same LCG-derived constants as TextOps.minHashSignature
+      val a = (i.toLong * 1103515245L + 12345L) % (P - 1) + 1L
+      val b = (i.toLong * 69069L + 362437L) % P
+      var m = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val h = (a * xs.getLong(j) + b) % P
+        if (h < m) m = h
+        j += 1
+      }
+      out(i) = m
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GraftMinHash =
+    copy(child = newChild)
+  override def prettyName: String = "graft_minhash"
+}
+
+case class GraftSimHash(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash requires array<bigint>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < bits) {
+      var vote = 0L
+      var j = 0
+      while (j < n) {
+        if (((xs.getLong(j) >> p) & 1L) == 1L) vote += 1 else vote -= 1
+        j += 1
+      }
+      if (vote > 0) sig += (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GraftSimHash =
+    copy(child = newChild)
+  override def prettyName: String = "graft_simhash"
+}

@@ -85,6 +85,7 @@ object DedupOps {
     * miss probability per pair is (1-0.8^4)^32 ≈ 5e-8). */
   def jaccardPairsLsh(shingles: DataFrame, idCol: String, threshold: Double,
                       bands: Int = 32, rows: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(shingles.sparkSession)
     // signatures materialized once (the band self-join reads them twice)
     val sigs = shingles.select(col(idCol).as("id"), col("shingles"),
       TextOps.minHashSignature(col("shingles"), bands * rows).as("sig")).persist()
@@ -113,6 +114,7 @@ object DedupOps {
     * has perfect recall. Output: (id_a, id_b, hamming). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    bits: Int = 30, maxHamming: Int = 1): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val nBands = maxHamming + 1
     val w = (bits + nBands - 1) / nBands // band width
     // staged: word hashes materialized once, fingerprints materialized once

@@ -90,14 +90,13 @@ object TextOps {
 
   /** MinHash signature of a shingle-hash set: k permutation approximations
     * `h_i(x) = (a_i * x + b_i) % P`, taking the min over the set for each i.
-    * `a_i`/`b_i` are fixed LCG-derived odd constants (deterministic across
-    * runs and engines). Returns an array of k minima. */
+    * `a_i`/`b_i` are fixed LCG-derived constants (deterministic across runs
+    * and engines). Returns an array of k minima. Native expression
+    * (graft.functions.GraftMinHash — the k×|set| loop runs as compiled JVM
+    * code, not k×|set| interpreted Catalyst evals); requires
+    * `GraftFunctions.register(spark)`. */
   def minHashSignature(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), i => {
-      val a = (i * lit(1103515245L) + lit(12345L)) % (P - 1) + 1L
-      val b = (i * lit(69069L) + lit(362437L)) % P
-      array_min(transform(shingles, x => (a * x + b) % P))
-    })
+    call_function("graft_minhash", shingles, lit(k))
 
   /** LSH band keys of a MinHash signature: `bands` groups of `rows` values,
     * each group folded to a single bucket hash. Emits an array of
@@ -117,17 +116,12 @@ object TextOps {
   def simHash(toks: Column, bits: Int): Column =
     simHashOfHashes(wordHashes(toks), bits)
 
-  /** SimHash from a materialized word-hash array (see cost note). */
+  /** SimHash from a materialized word-hash array. Native expression
+    * (graft.functions.GraftSimHash) — pure integer arithmetic, identical
+    * values to the portable formulation and the DuckDB oracle; requires
+    * `GraftFunctions.register(spark)`. */
   def simHashOfHashes(whs: Column, bits: Int): Column =
-    aggregate(
-      sequence(lit(0), lit(bits - 1)),
-      lit(0L),
-      (acc, p) => {
-        val vote = aggregate(whs, lit(0L), (s, wh) =>
-          s + when(call_function("shiftright", wh, p).bitwiseAND(lit(1L)) === 1L, lit(1L))
-                .otherwise(lit(-1L)))
-        acc + when(vote > 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
-      })
+    call_function("graft_simhash", whs, lit(bits))
 
   /** Hamming distance between two SimHash fingerprints. */
   def hamming(a: Column, b: Column): Column =

@@ -107,11 +107,18 @@ object EngineQueries {
       try {
         val seriesNames = pts.select("series").distinct()
           .collect().map(_.getString(0)).sorted // catalog-scale driver list
-        seriesNames.foreach { sn =>
-          t.writePoints("bench", "events", sn,
-            pts.filter(col("series") === sn)
-              .select(col("time_us").as("time_ns"), col("v")))
-        }
+        // series are independent ("embarrassingly parallel", reference
+        // doc/LOCKING.txt:3-8) — write them concurrently
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        Await.result(Future.sequence(seriesNames.toSeq.map { sn =>
+          Future {
+            t.writePoints("bench", "events", sn,
+              pts.filter(col("series") === sn)
+                .select(col("time_us").as("time_ns"), col("v")))
+          }
+        }), Duration.Inf)
       } finally pts.unpersist()
       t.deleteUpTo("bench", "events", "error", CUT)
       t.listActiveSeries("bench", "events", T0, T1)

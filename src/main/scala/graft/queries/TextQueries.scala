@@ -67,6 +67,7 @@ object TextQueries {
       // staged: word hashes materialized once, then both digests read the
       // cached array (simHash alone would re-tokenize 30x per row otherwise
       // — see TextOps.fingerprintOfHashes cost note)
+      graft.functions.GraftFunctions.register(s)
       Tables(s, dir, "documents").select(col("doc_id"),
           TextOps.wordHashes(TextOps.tokens(col("text"))).as("whs")).persist()
         .select(

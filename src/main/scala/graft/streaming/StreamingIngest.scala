@@ -24,16 +24,23 @@ import graft.engine.Tsdb
 object StreamingIngest {
 
   /** The foreachBatch body, exposed for direct testing: validated append of
-    * one (possibly multi-series) micro-batch. Series are written in sorted
-    * name order — deterministic replay order matters for idempotency. */
+    * one (possibly multi-series) micro-batch. Series are fully independent
+    * (reference doc/LOCKING.txt:3-8), so they are written CONCURRENTLY —
+    * replay safety per series comes from the idempotent overwrite, not from
+    * cross-series ordering. */
   def ingestBatch(tsdb: Tsdb, db: String, m: String, seriesCol: String)
                  (batch: DataFrame, batchId: Long): Unit = {
     val seriesNames = batch.select(seriesCol).distinct()
       .collect().map(_.getString(0)).sorted // catalog-scale list, not points
-    seriesNames.foreach { sn =>
-      tsdb.writePoints(db, m, sn,
-        batch.filter(col(seriesCol) === sn).drop(seriesCol))
-    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(seriesNames.toSeq.map { sn =>
+      Future {
+        tsdb.writePoints(db, m, sn,
+          batch.filter(col(seriesCol) === sn).drop(seriesCol))
+      }
+    }), Duration.Inf)
   }
 
   /** Start streaming `points` (schema: seriesCol + time_ns + fields) into
