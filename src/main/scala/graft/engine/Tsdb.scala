@@ -199,6 +199,12 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
       (stats.getLong(3), ovN)
     }
 
+    // crash recovery (reference write.cc:93-252: time_last-governed tail
+    // truncation on open): a crash BETWEEN the data append and the watermark
+    // advance leaves committed rows above time_last; replaying the batch
+    // would duplicate them. Truncate the orphaned tail before appending.
+    wm.foreach(r => truncateAbove(db, m, series, schema, r.timeLast))
+
     // new points are above the append watermark AND not below the delete
     // watermark (time_first > time_last after a delete-into-the-future:
     // points between them are discarded, not appended)
@@ -265,6 +271,43 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
       .write.mode("append").partitionBy(BucketCol)
       .parquet(new Path(dataDir(db, m), s"$SeriesCol=$series").toString)
     cnt
+  }
+
+  /** Remove stored rows with `time_ns > tl` (orphans of a crashed append —
+    * invisible to readers because every read clamps to the watermark, but
+    * they would collide with the re-append on replay). Whole buckets above
+    * `tl` are dropped; a partially-affected boundary bucket is rewritten
+    * truncated (reference `replace_with_truncated`, root.cc:179-194). The
+    * procedure is idempotent: a crash mid-recovery just reruns it. */
+  private def truncateAbove(db: String, m: String, series: String,
+                            schema: MeasurementSchema, tl: Long): Unit = {
+    val sdir = new Path(dataDir(db, m), s"$SeriesCol=$series")
+    val f = fs(sdir)
+    if (!f.exists(sdir)) return
+    val cutBucket = Math.floorDiv(tl, bucketWidth)
+    var boundaryExists = false
+    f.listStatus(sdir).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith(s"$BucketCol=")) {
+        val b = name.stripPrefix(s"$BucketCol=").toLong
+        if (b > cutBucket) f.delete(st.getPath, true)
+        else if (b == cutBucket) boundaryExists = true
+      }
+    }
+    if (!boundaryExists) return
+    val bdir = new Path(sdir, s"$BucketCol=$cutBucket")
+    val bdf = spark.read.schema(schema.dataStruct).parquet(bdir.toString)
+    // footer-stats-only job: cheap when the bucket is clean (the usual case)
+    val mx = bdf.agg(max(TimeCol)).head()
+    if (mx.isNullAt(0) || mx.getLong(0) <= tl) return
+    val tmp = new Path(sdir, s".$BucketCol=$cutBucket.truncating")
+    f.delete(tmp, true)
+    bdf.filter(col(TimeCol) <= tl)
+      .repartition(1).sortWithinPartitions(TimeCol)
+      .write.mode("overwrite").parquet(tmp.toString)
+    f.delete(bdir, true)
+    val fc = FileContext.getFileContext(bdir.toUri, hconf)
+    fc.rename(tmp, bdir, Options.Rename.OVERWRITE)
   }
 
   // ---------------------------------------------------------------- delete

@@ -41,7 +41,11 @@ object DedupOps {
     * checkpointed projection. The result is persisted because every
     * consumer (inverted index, LSH, verification) reads it 2-3×. */
   def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val whs = df.select(col(idCol),
+    // spread the per-row hash compute across cores: small benchmark inputs
+    // arrive as a single parquet row group = ONE scan task (a real corpus
+    // arrives as thousands of splits and doesn't need this)
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val whs = df.repartition(par).select(col(idCol),
       TextOps.wordHashes(TextOps.tokens(col(textCol))).as("whs")).persist()
     whs.select(col(idCol), TextOps.shingleHashesOfHashes(col("whs"), n).as("shingles"))
       .filter(size(col("shingles")) > 0)
@@ -119,8 +123,9 @@ object DedupOps {
     val w = (bits + nBands - 1) / nBands // band width
     // staged: word hashes materialized once, fingerprints materialized once
     // (the band self-join reads them twice) — see shingleSets note
-    val whs = df.select(col(idCol).as("id"),
-      TextOps.wordHashes(TextOps.tokens(col(textCol))).as("whs")).persist()
+    val whs = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
+        TextOps.wordHashes(TextOps.tokens(col(textCol))).as("whs")).persist()
     val sims = whs.select(col("id"),
       TextOps.simHashOfHashes(col("whs"), bits).as("simhash")).persist()
     val bandArr = array((0 until nBands).map { b =>
@@ -148,8 +153,12 @@ object DedupOps {
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val withNorm = df.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
+    // repartition: the pair join's parallelism is the stream side's task
+    // count — a single-row-group input would run the whole O(n²) loop on
+    // one core
+    val withNorm = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("n", SimilarityOps.norm(col("v")))
     val cos = SimilarityOps.fastDot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n"))
     withNorm.as("a").join(broadcast(withNorm.as("b")), col("a.id") < col("b.id"))

@@ -68,7 +68,11 @@ object MultimodalOps {
     val spark = assets.sparkSession
     import spark.implicits._
     assets
-      .repartition(col("format"))
+      // range-partition on (format, id): tasks stay (mostly) single-format
+      // for codec reuse while parallelism scales with the corpus, not with
+      // the number of formats
+      .repartitionByRange(spark.sparkContext.defaultParallelism,
+        col("format"), col("asset_id"))
       .as[MediaAsset]
       .mapPartitions(_.map(FakeDecoder.decode))
   }

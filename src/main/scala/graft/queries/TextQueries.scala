@@ -30,7 +30,9 @@ object TextQueries {
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val t = col("text")
       val toks = TextOps.tokens(t)
-      Tables(s, dir, "documents").select(
+      // repartition: benchmark input is one parquet row group = one task
+      Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism).select(
         col("doc_id"),
         length(t).cast("long").as("n_chars"),
         size(TextOps.wsTokens(t)).cast("long").as("n_ws_tokens"),
@@ -51,7 +53,8 @@ object TextQueries {
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val toks = TextOps.tokens(col("text"))
       val (pred, score) = TextOps.langId(toks)
-      Tables(s, dir, "documents").select(
+      Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism).select(
         col("doc_id"), col("lang"),
         pred.as("lang_pred"), score.cast("long").as("lang_score"))
         .orderBy("doc_id")
@@ -68,7 +71,9 @@ object TextQueries {
       // cached array (simHash alone would re-tokenize 30x per row otherwise
       // — see TextOps.fingerprintOfHashes cost note)
       graft.functions.GraftFunctions.register(s)
-      Tables(s, dir, "documents").select(col("doc_id"),
+      Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
           TextOps.wordHashes(TextOps.tokens(col("text"))).as("whs")).persist()
         .select(
           col("doc_id"),

@@ -203,6 +203,46 @@ class TsdbEngineSpec extends SparkTestBase {
     assert(r == Seq(("s1", 3L), ("s2", 2L))) // s1: 290,305,420 visible
   }
 
+  test("crashed append (data committed, watermark not advanced) recovers without duplicates") {
+    val t = mkTsdb()
+    freshSeries(t, baseRows: _*) // watermark time_last = 420
+    // simulate the crash: rows above the watermark land in storage with the
+    // engine layout (same bucket dirs), but the watermark was never advanced
+    import org.apache.spark.sql.functions.{col, expr}
+    val stray = pts((500L, Some(9L), Some(9.0), Some(9.0f)),
+                    (430L, Some(8L), Some(8.0), Some(8.0f)))
+    stray.withColumn("bucket", expr("time_ns div 100L"))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"${t.rootDir}/db1/m1/data/series=s1")
+    assert(t.seriesRange("db1", "m1", "s1").contains(SeriesRange(100L, 420L)))
+
+    // replaying the crashed batch must first truncate the orphaned tail,
+    // then append cleanly — one copy of each point, bitwise intact
+    val res = t.writePoints("db1", "m1", "s1",
+      pts((430L, Some(8L), Some(8.5), Some(8.0f)),  // DIFFERENT value than stray
+          (500L, Some(9L), Some(9.0), Some(9.0f))))
+    assert(res.written == 2)
+    val got = t.select("db1", "m1", "s1", Nil, 0L, 1000L).collect()
+    assert(got.map(_.getLong(0)).toSeq == baseRows.map(_._1) ++ Seq(430L, 500L))
+    assert(got.find(_.getLong(0) == 430L).get.getDouble(2) == 8.5) // replay wins
+    assert(t.seriesRange("db1", "m1", "s1").contains(SeriesRange(100L, 500L)))
+  }
+
+  test("crashed append recovery truncates inside a shared bucket") {
+    val t = mkTsdb()
+    freshSeries(t, baseRows: _*) // last bucket = 4 (time 420)
+    import org.apache.spark.sql.functions.expr
+    // stray row in the SAME bucket as committed data (bucket 4: 400..499)
+    pts((470L, Some(9L), Some(9.0), Some(9.0f)))
+      .withColumn("bucket", expr("time_ns div 100L"))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"${t.rootDir}/db1/m1/data/series=s1")
+    t.writePoints("db1", "m1", "s1", pts((470L, Some(1L), Some(1.25), Some(1.0f))))
+    val got = t.select("db1", "m1", "s1", Nil, 400L, 1000L).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(420L, 470L)) // 420 survives, one 470
+    assert(got.find(_.getLong(0) == 470L).get.getDouble(2) == 1.25)
+  }
+
   // ------------------------------------------------------------- scale
 
   test("range reads prune partitions: bucket filter present, untouched buckets skipped") {
