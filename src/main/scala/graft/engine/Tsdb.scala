@@ -202,18 +202,30 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
     // crash recovery (reference write.cc:93-252: time_last-governed tail
     // truncation on open): a crash BETWEEN the data append and the watermark
     // advance leaves committed rows above time_last; replaying the batch
-    // would duplicate them. Truncate the orphaned tail before appending.
-    wm.foreach(r => truncateAbove(db, m, series, schema, r.timeLast))
+    // would duplicate them. The append-intent marker makes the check free on
+    // the clean path: it exists on entry only if a previous append died
+    // mid-flight, and only then is the (bucket-pruned) truncation scan run.
+    val pending = pendingPath(db, m, series)
+    wm.foreach { r =>
+      if (fs(pending).exists(pending)) {
+        truncateAbove(db, m, series, schema, r.timeLast)
+        fs(pending).delete(pending, false)
+      }
+    }
 
     // new points are above the append watermark AND not below the delete
     // watermark (time_first > time_last after a delete-into-the-future:
     // points between them are discarded, not appended)
     val newPts = wm.fold(pts)(r =>
       pts.filter(col(TimeCol) > r.timeLast && col(TimeCol) >= r.timeFirst))
-    // one job for count+range, then the write job
+    // one job for count+range, then the write job (bracketed by the
+    // append-intent marker; it is removed after the watermark advances)
     val nrow = newPts.agg(count(lit(1)), min(TimeCol), max(TimeCol)).head()
     val written = if (nrow.getLong(0) == 0) 0L
-                  else appendSorted(db, m, series, newPts, nrow.getLong(0))
+                  else {
+                    atomicWrite(pending, s"""{"version":1}""")
+                    appendSorted(db, m, series, newPts, nrow.getLong(0))
+                  }
     if (written > 0 || wm.isEmpty) {
       val nstats = if (written > 0) Some((nrow.getLong(1), nrow.getLong(2))) else None
       val next = (wm, nstats) match {
@@ -224,6 +236,7 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
       }
       atomicWrite(metaPath(db, m, series), next.toJson)
     }
+    if (written > 0) fs(pending).delete(pending, false)
     WriteResult(written, discarded, overlapN)
   }
 
@@ -443,6 +456,9 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
   private def metaDir(db: String, m: String) = new Path(measPath(db, m), "_meta")
   private def metaPath(db: String, m: String, series: String) =
     new Path(metaDir(db, m), s"$series.json")
+  /** Append-intent marker: present iff an append is in flight (or died). */
+  private def pendingPath(db: String, m: String, series: String) =
+    new Path(metaDir(db, m), s".$series.pending")
   private def dataDir(db: String, m: String) = new Path(measPath(db, m), "data")
 
   private def validName(s: String, what: String): Unit =

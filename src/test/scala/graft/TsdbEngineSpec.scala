@@ -214,6 +214,9 @@ class TsdbEngineSpec extends SparkTestBase {
     stray.withColumn("bucket", expr("time_ns div 100L"))
       .write.mode("append").partitionBy("bucket")
       .parquet(s"${t.rootDir}/db1/m1/data/series=s1")
+    // the crashed append left its intent marker behind
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"${t.rootDir}/db1/m1/_meta/.s1.pending"), "{\"version\":1}")
     assert(t.seriesRange("db1", "m1", "s1").contains(SeriesRange(100L, 420L)))
 
     // replaying the crashed batch must first truncate the orphaned tail,
@@ -237,6 +240,8 @@ class TsdbEngineSpec extends SparkTestBase {
       .withColumn("bucket", expr("time_ns div 100L"))
       .write.mode("append").partitionBy("bucket")
       .parquet(s"${t.rootDir}/db1/m1/data/series=s1")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"${t.rootDir}/db1/m1/_meta/.s1.pending"), "{\"version\":1}")
     t.writePoints("db1", "m1", "s1", pts((470L, Some(1L), Some(1.25), Some(1.0f))))
     val got = t.select("db1", "m1", "s1", Nil, 400L, 1000L).collect()
     assert(got.map(_.getLong(0)).toSeq == Seq(420L, 470L)) // 420 survives, one 470
