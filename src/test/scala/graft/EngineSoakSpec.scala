@@ -1,0 +1,80 @@
+package graft
+
+import graft.engine._
+import org.apache.spark.sql.DataFrame
+import scala.collection.mutable
+import scala.util.Random
+
+/** Mini-soak: a deterministic randomized op sequence (append / delete-front /
+  * idempotent re-append / select / count) validated against an in-memory
+  * model — the reference's tsdbtest strategy (src/tsdbtest/main.cc:500-607:
+  * random queries vs a vector<data_point> model with rotate cycles),
+  * shrunk to CI size. */
+class EngineSoakSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val schema = MeasurementSchema(Seq(Field("v", FieldType.F64)))
+
+  test("randomized append/delete/select agrees with the in-memory model") {
+    val rng = new Random(42) // deterministic
+    val t = new Tsdb(spark, tmpDir("soak-"), requestedBucketWidth = 1000L)
+    t.createDatabase("db"); t.createMeasurement("db", "m", schema)
+
+    // model: visible points, and the watermarks
+    val model = mutable.TreeMap.empty[Long, Double]
+    var timeFirst = 1L
+    var timeLast = 0L
+    var nextTs = 0L
+
+    def mkBatch(n: Int): Seq[(Long, Double)] =
+      (1 to n).map { _ =>
+        nextTs += 1 + rng.nextInt(500)
+        (nextTs, math.round(rng.nextDouble() * 1e4) / 100.0)
+      }
+
+    def df(rows: Seq[(Long, Double)]): DataFrame = rows.toDF("time_ns", "v")
+
+    var lastBatch: Seq[(Long, Double)] = Nil
+    for (step <- 1 to 30) {
+      rng.nextInt(5) match {
+        case 0 | 1 => // append new points
+          val batch = mkBatch(1 + rng.nextInt(40))
+          t.writePoints("db", "m", "s", df(batch))
+          batch.foreach { case (ts, v) =>
+            if (ts >= timeFirst) { model(ts) = v; timeLast = math.max(timeLast, ts) }
+          }
+          lastBatch = batch
+        case 2 => // idempotent replay of the previous batch + fresh tail
+          val fresh = mkBatch(1 + rng.nextInt(10))
+          t.writePoints("db", "m", "s", df(lastBatch ++ fresh))
+          fresh.foreach { case (ts, v) =>
+            if (ts >= timeFirst) { model(ts) = v; timeLast = math.max(timeLast, ts) }
+          }
+          lastBatch = fresh
+        case 3 => // delete from the front at a random existing ts
+          if (model.nonEmpty) {
+            val keys = model.keys.toSeq
+            val cut = keys(rng.nextInt(keys.size))
+            t.deleteUpTo("db", "m", "s", cut)
+            model.rangeTo(cut).keys.toSeq.foreach(model.remove)
+            timeFirst = model.headOption.map(_._1).getOrElse(cut + 1)
+          }
+        case 4 => // verify a random range select + count against the model
+          if (timeLast > 0) {
+            val t0 = rng.nextLong(timeLast + 2)
+            val t1 = t0 + rng.nextLong(timeLast + 2)
+            val got = t.select("db", "m", "s", Nil, t0, t1).collect()
+              .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+            val exp = model.range(t0, t1 + 1).toSeq
+            assert(got == exp, s"step $step select [$t0,$t1]")
+            val c = t.countPoints("db", "m", "s", t0, t1).collect().head
+            assert(c.getLong(0) == exp.size, s"step $step count [$t0,$t1]")
+          }
+      }
+    }
+    // final full sweep
+    val all = t.select("db", "m", "s", Nil, 0L, Long.MaxValue - 1).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(all == model.toSeq)
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import graft.ops.TimeSeriesOps
+import org.apache.spark.sql.DataFrame
+
+/** Deterministic fixture for the windowed/sequential operator family —
+  * the reference's unit-test layer (sum_op_test.cc empty-gap windows,
+  * integral_op.cc edge cases, select_op_test.cc ordering), plus the
+  * bucket-boundary repair that the Spark implementation adds. */
+class TimeSeriesOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // series s: points at t=100..900; a gap leaves windows [300,400) and
+  // [500,600) empty when windowed by 100
+  private def fixture: DataFrame = Seq(
+    ("s", 100L, Some(1.0)), ("s", 150L, Some(2.0)), ("s", 210L, Some(3.0)),
+    ("s", 290L, Some(4.0)), ("s", 420L, Some(5.0)), ("s", 470L, None),
+    ("s", 610L, Some(7.0)), ("s", 900L, Some(9.0))
+  ).toDF("series", "ts", "v")
+
+  test("firstWindowStart rounds t0 UP to an absolute multiple; numWindows counts complete windows") {
+    assert(TimeSeriesOps.firstWindowStart(0L, 100L) == 0L)
+    assert(TimeSeriesOps.firstWindowStart(1L, 100L) == 100L)
+    assert(TimeSeriesOps.firstWindowStart(100L, 100L) == 100L)
+    assert(TimeSeriesOps.numWindows(100L, 499L, 100L) == 4L) // [100,200)..[400,500): 400..499 ⊆ range
+    assert(TimeSeriesOps.numWindows(100L, 498L, 100L) == 3L) // [400,500) no longer complete
+    assert(TimeSeriesOps.numWindows(450L, 460L, 100L) == 0L) // no complete window fits
+  }
+
+  test("sumWindows emits EMPTY windows inside the range with zero sum and count 0") {
+    val r = TimeSeriesOps.sumWindows(fixture, "ts", "v", 90L, 699L, 100L)
+      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getLong(4))).toSeq
+    // t0=90 rounds up to 100; complete windows 100..600 ([600,700) ⊆ 699)
+    assert(r == Seq(
+      (100L, 3.0, 2L),  // 1+2
+      (200L, 7.0, 2L),  // 3+4
+      (300L, 0.0, 0L),  // EMPTY — emitted (reference sum_op.cc empty gap)
+      (400L, 5.0, 1L),  // 5; the NULL at 470 is skipped by count(v) and sum
+      (500L, 0.0, 0L),  // EMPTY
+      (600L, 7.0, 1L)))
+  }
+
+  test("integral: trapezoid value, 1-point series, NULL poisoning") {
+    // two points: (100,1) (300,3) -> ∫ = (1+3)/2 * 200 / ups(100) = 4
+    val two = Seq(("a", 100L, Some(1.0)), ("a", 300L, Some(3.0)),
+                  ("b", 50L, Some(7.5)),                       // single point -> value
+                  ("c", 10L, Some(1.0)), ("c", 20L, None)      // NULL poisons
+    ).toDF("series", "ts", "v")
+    val r = TimeSeriesOps.integrate(two, "series", "ts", "v", 0L, 1000L, 100.0)
+      .collect().map(x => (x.getString(0), x.getLong(1),
+        if (x.isNullAt(4)) None else Some(x.getDouble(4)))).toSeq
+    assert(r == Seq(("a", 2L, Some(4.0)), ("b", 1L, Some(7.5)), ("c", 2L, None)))
+  }
+
+  test("bucket-boundary repair: difference/derivative/integral identical for any bucket width") {
+    val wide = TimeSeriesOps.difference(fixture.filter($"v".isNotNull), "series", "ts", "v",
+        bucketWidth = 1000000L)
+      .select("ts", "difference").collect().map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val narrow = TimeSeriesOps.difference(fixture.filter($"v".isNotNull), "series", "ts", "v",
+        bucketWidth = 100L) // every point in its own bucket -> all boundaries repaired
+      .select("ts", "difference").collect().map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(wide == narrow)
+    assert(narrow(100L).isEmpty)          // first point has no predecessor
+    assert(narrow(420L).contains(1.0))    // 5.0 - 4.0 across the gap
+
+    val iWide = TimeSeriesOps.integrate(fixture, "series", "ts", "v", 0L, 299L, 100.0,
+      bucketWidth = 1000000L).collect().head.getDouble(4)
+    val iNarrow = TimeSeriesOps.integrate(fixture, "series", "ts", "v", 0L, 299L, 100.0,
+      bucketWidth = 100L).collect().head.getDouble(4)
+    assert(iWide == iNarrow) // partial sums + boundary terms == sequential pass
+  }
+
+  test("tare subtracts the series-first value; selectLast emits ascending") {
+    val t = TimeSeriesOps.tare(fixture.filter($"v".isNotNull), "series", "ts", "v",
+        bucketWidth = 100L)
+      .select("ts", "tare").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(t(100L) == 0.0 && t(290L) == 3.0 && t(900L) == 8.0)
+    val last = TimeSeriesOps.selectLast(fixture, "ts", 0L, 1000L, 3, Seq("ts", "v"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(last == Seq(470L, 610L, 900L)) // last 3, ASCENDING
+  }
+}
