@@ -436,6 +436,21 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
     TimeSeriesOps.sumWindows(visibleSeries(db, m, series, t0, t1),
       TimeCol, field, t0, t1, windowWidth)
 
+  /** Windowed MEAN — derived sum/count like the reference clients
+    * (src/tsdbcli2/main.cc:203-238); non-empty windows only. */
+  def meanWindows(db: String, m: String, series: String, field: String,
+                  t0: Long, t1: Long, windowWidth: Long): DataFrame =
+    TimeSeriesOps.meanWindows(
+      visibleSeries(db, m, series, t0, t1).withColumn(SeriesCol, lit(series)),
+      SeriesCol, TimeCol, field, t0, t1, windowWidth)
+
+  /** Windowed MIN/MAX zoom (reference grafana datasource.go:384-430). */
+  def minMaxWindows(db: String, m: String, series: String, field: String,
+                    t0: Long, t1: Long, windowWidth: Long): DataFrame =
+    TimeSeriesOps.minMaxWindows(
+      visibleSeries(db, m, series, t0, t1).withColumn(SeriesCol, lit(series)),
+      SeriesCol, TimeCol, field, t0, t1, windowWidth)
+
   /** Trapezoidal integral (reference integral_op). */
   def integrate(db: String, m: String, series: String, field: String,
                 t0: Long, t1: Long, unitsPerSecond: Double = 1e9): DataFrame =

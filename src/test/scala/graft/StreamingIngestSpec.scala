@@ -52,6 +52,13 @@ class StreamingIngestSpec extends SparkTestBase {
     writeSrcFile(srcDir, "f2.json", batch2)
     run()
     assert(visiblePoints(t) == (batch1 ++ batch2).sortBy(r => (r._1, r._2)))
+
+    // LAST N across the committed+streamed boundary (reference trims the WAL
+    // first, server.cc:782-789; here the unified table just answers):
+    // the newest streamed points win, emitted ascending
+    val last3 = t.select("db", "m", "s1", Seq("v"), 0L, Long.MaxValue - 1, last = Some(3))
+      .collect().map(_.getLong(0)).toSeq
+    assert(last3 == Seq(780L, 790L, 800L))
   }
 
   test("replayed micro-batch is exactly-once: identical replay no-ops, divergent replay rejected") {

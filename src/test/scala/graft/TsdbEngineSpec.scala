@@ -203,6 +203,27 @@ class TsdbEngineSpec extends SparkTestBase {
     assert(r == Seq(("s1", 3L), ("s2", 2L))) // s1: 290,305,420 visible
   }
 
+  test("u64 fields survive the round trip at full range; mean/minmax facade derive from sum_op") {
+    val t = mkTsdb()
+    t.createDatabase("db1")
+    val u64schema = MeasurementSchema(Seq(Field("u", FieldType.U64), Field("v", FieldType.F64)))
+    t.createMeasurement("db1", "m64", u64schema)
+    // 2^64 - 1 does not fit a Long — Decimal(20,0) carries it intact
+    val big = BigDecimal("18446744073709551615")
+    val rows = Seq((100L, big, 1.0), (150L, BigDecimal(7), 2.0), (250L, big - 1, 4.0))
+    import spark.implicits._
+    t.writePoints("db1", "m64", "s1", rows.toDF("time_ns", "u", "v"))
+    val got = t.select("db1", "m64", "s1", Nil, 0L, 1000L).collect()
+    assert(got.map(r => r.getDecimal(1)).map(BigDecimal(_)).toSeq == rows.map(_._2))
+
+    val mean = t.meanWindows("db1", "m64", "s1", "v", 100L, 299L, 100L).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(mean == Seq((100L, 1.5), (200L, 4.0))) // (1+2)/2; 4/1
+    val mm = t.minMaxWindows("db1", "m64", "s1", "v", 100L, 299L, 100L).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(mm == Seq((100L, 1.0, 2.0), (200L, 4.0, 4.0)))
+  }
+
   test("crashed append (data committed, watermark not advanced) recovers without duplicates") {
     val t = mkTsdb()
     freshSeries(t, baseRows: _*) // watermark time_last = 420
