@@ -101,11 +101,13 @@ object SimilarityOps {
     }
     val c = bucketed(corpus, "neighbor_id", "cv", "cn")
     val q = bucketed(queries, "query_id", "qv", "qn")
-    val cand = c.join(broadcast(q), Seq("t", "b"))
+    // cosine computed BEFORE the pair dedup: the dedup shuffle then carries
+    // three scalars per candidate instead of two embedding vectors
+    val scored = c.join(broadcast(q), Seq("t", "b"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (fastDot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
       .dropDuplicates("query_id", "neighbor_id") // pair may collide in several tables
-    val scored = cand.select(col("query_id"), col("neighbor_id"),
-      (fastDot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

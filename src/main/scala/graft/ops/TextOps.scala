@@ -144,13 +144,21 @@ object TextOps {
   /** Language-ID: stopword-hit score per language, winner by (score desc,
     * language asc). Emits (lang_pred, lang_score). On the synthetic corpus
     * (shared English-ish vocabulary) this mostly votes `en` — the point is
-    * the deterministic, oracle-checkable scoring machinery. */
+    * the deterministic, oracle-checkable scoring machinery.
+    *
+    * Shaped as ONE array of (score, lang) structs folded with strict `>`:
+    * a naive nested when(s > best, …) chain embeds the previous best twice
+    * per level — 2^|langs| copies of each regex-scoring subtree — while here
+    * every language's score expression is evaluated exactly once per row. */
   def langId(toks: Column): (Column, Column) = {
-    val scored = StopwordLists.map { case (l, ws) => (lit(l), hitCount(toks, ws)) }
-    val best = scored.reduce[(Column, Column)] { case ((bl, bs), (l, s)) =>
-      (when(s > bs, l).otherwise(bl), when(s > bs, s).otherwise(bs))
-    }
-    (best._1, best._2)
+    val scoredArr = array(StopwordLists.map { case (l, ws) =>
+      struct(hitCount(toks, ws).as("s"), lit(l).as("l"))
+    }: _*)
+    val best = aggregate(
+      scoredArr,
+      struct(lit(-1).as("s"), lit("").as("l")),
+      (acc, x) => when(x.getField("s") > acc.getField("s"), x).otherwise(acc))
+    (best.getField("l"), best.getField("s"))
   }
 
   /** English stopword ratio over word tokens (documents with too few or too
