@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming-native query operators over a point stream (schema:
+  * `series: String, time_us: Long, v: Double`) — the Structured Streaming
+  * face of the batch operator surface:
+  *
+  *  - `windowedSums`: the reference's tumbling `sum_op` as an incremental
+  *    watermarked aggregation — state is bounded by the watermark delay,
+  *    late points beyond it are dropped (the reference instead REJECTS
+  *    out-of-order writes at ingest, wal.cc:63-68; a streaming engine
+  *    tolerates bounded disorder and finalizes windows at the watermark).
+  *  - `streamingDifference`: per-series v − prev(v) via
+  *    `flatMapGroupsWithState` — carries one (ts, v) pair per series as
+  *    state, the streaming form of the batch lag/boundary-repair transform.
+  *
+  * Scale posture: both operators shuffle once on the group key (series or
+  * series×window) and keep O(1) state per key in the state store; watermark
+  * eviction bounds total state. No driver-side loops, no per-batch collect.
+  */
+object StreamingOps {
+
+  /** Tumbling-window sum/min/max/count per series with event-time watermark.
+    * `windowUs`/`watermarkUs` in microseconds of the `time_us` axis. Emits
+    * finalized windows (Append mode downstream) once the watermark passes. */
+  def windowedSums(points: DataFrame, windowUs: Long, watermarkUs: Long): DataFrame =
+    points
+      .withColumn("event_time", timestamp_micros(col("time_us")))
+      .withWatermark("event_time", s"${watermarkUs / 1000000L} seconds")
+      .groupBy(col("series"),
+        window(col("event_time"), s"${windowUs / 1000000L} seconds"))
+      .agg(sum("v").as("sum_value"), min("v").as("min_value"),
+        max("v").as("max_value"), count("v").as("n"))
+      .select(col("series"),
+        unix_micros(col("window.start")).as("window_start"),
+        col("sum_value"), col("min_value"), col("max_value"), col("n"))
+
+  final case class Point(series: String, time_us: Long, v: Double)
+  final case class DiffRow(series: String, time_us: Long, v: Double, difference: Option[Double])
+  final case class LastPoint(time_us: Long, v: Double)
+
+  /** Per-series running difference over a stream: one LastPoint of state per
+    * series; each batch's points are processed in event-time order and the
+    * boundary to the previous batch is repaired from state. Assumes
+    * per-series event-time-ordered arrival batch-over-batch (the validated
+    * ingest path enforces exactly that ordering on storage). */
+  def streamingDifference(points: Dataset[Point]): Dataset[DiffRow] = {
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_.series)
+      .flatMapGroupsWithState[LastPoint, DiffRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (series: String, it: Iterator[Point], state: GroupState[LastPoint]) =>
+          val sorted = it.toSeq.sortBy(_.time_us)
+          var prev = state.getOption
+          val out = sorted.map { p =>
+            val d = prev.map(lp => p.v - lp.v)
+            prev = Some(LastPoint(p.time_us, p.v))
+            DiffRow(series, p.time_us, p.v, d)
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
+}

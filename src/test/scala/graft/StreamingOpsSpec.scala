@@ -1,0 +1,57 @@
+package graft
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{DiffRow, Point}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming query operators: watermarked windowed aggregation (windows
+  * finalize once the watermark passes; bounded-late points still count) and
+  * stateful per-series difference across micro-batches. */
+class StreamingOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("windowedSums finalizes windows at the watermark; bounded-late data still counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Double)]
+    val points = in.toDF().toDF("series", "time_us", "v")
+    val q = StreamingOps.windowedSums(points, windowUs = 10000000L, watermarkUs = 5000000L)
+      .writeStream.format("memory").queryName("wsums").outputMode(OutputMode.Append()).start()
+    try {
+      // window [0,10s): 1.0 at t=2s, then a LATE point inside the watermark
+      in.addData(("s", 2000000L, 1.0), ("s", 12000000L, 5.0))
+      q.processAllAvailable()
+      in.addData(("s", 8000000L, 2.0)) // 4s late but within the 5s watermark
+      q.processAllAvailable()
+      // push event time far enough that the watermark closes both windows
+      in.addData(("s", 40000000L, 9.0))
+      q.processAllAvailable()
+      in.addData(("s", 60000000L, 0.5)) // advances watermark past [30,40)
+      q.processAllAvailable()
+      val rows = spark.table("wsums")
+        .select("window_start", "sum_value", "n").as[(Long, Double, Long)]
+        .collect().sortBy(_._1).toSeq
+      assert(rows.contains((0L, 3.0, 2L)))         // 1.0 + late 2.0
+      assert(rows.contains((10000000L, 5.0, 1L)))
+    } finally q.stop()
+  }
+
+  test("streamingDifference carries last point per series across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Point]
+    val q = StreamingOps.streamingDifference(in.toDS())
+      .writeStream.format("memory").queryName("sdiff").outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(Point("a", 100L, 1.0), Point("a", 200L, 3.0), Point("b", 100L, 10.0))
+      q.processAllAvailable()
+      in.addData(Point("a", 300L, 2.5), Point("b", 150L, 9.0)) // next micro-batch
+      q.processAllAvailable()
+      val rows = spark.table("sdiff").as[DiffRow].collect()
+        .map(r => (r.series, r.time_us, r.difference)).sortBy(x => (x._1, x._2)).toSeq
+      assert(rows == Seq(
+        ("a", 100L, None), ("a", 200L, Some(2.0)),
+        ("a", 300L, Some(-0.5)),                   // boundary repaired from state
+        ("b", 100L, None), ("b", 150L, Some(-1.0))))
+    } finally q.stop()
+  }
+}
