@@ -142,7 +142,7 @@ object EventQueries {
       // The op itself defaults to full-double accumulation.
       TimeSeriesOps.integrate(Tables.eventsTsdb(s, dir),
         "series", "time_us", "value", T0, T1, UPS, Seq("event_id"),
-        valueDecimals = Some(2))
+        bucketWidth = DAY, valueDecimals = Some(2))
     },
 
     // §2.3 Tare: v - first(v) per series (reference datasource.go:257-268)
@@ -155,7 +155,7 @@ object EventQueries {
          |ORDER BY series, time_us, event_id""".stripMargin) { (s, dir) =>
       val base = Tables.eventsTsdb(s, dir)
         .filter(col("time_us") >= T0 && col("time_us") <= T1)
-      TimeSeriesOps.tare(base, "series", "time_us", "value", Seq("event_id"))
+      TimeSeriesOps.tare(base, "series", "time_us", "value", Seq("event_id"), DAY)
         .select("series", "time_us", "event_id", "tare")
         .orderBy("series", "time_us", "event_id")
     },
@@ -169,7 +169,7 @@ object EventQueries {
          |ORDER BY series, time_us, event_id""".stripMargin) { (s, dir) =>
       val base = Tables.eventsTsdb(s, dir)
         .filter(col("time_us") >= T0 && col("time_us") <= T1)
-      TimeSeriesOps.difference(base, "series", "time_us", "value", Seq("event_id"))
+      TimeSeriesOps.difference(base, "series", "time_us", "value", Seq("event_id"), DAY)
         .select("series", "time_us", "event_id", "difference")
         .orderBy("series", "time_us", "event_id")
     },
@@ -184,7 +184,7 @@ object EventQueries {
          |ORDER BY series, time_us, event_id""".stripMargin) { (s, dir) =>
       val base = Tables.eventsTsdb(s, dir)
         .filter(col("time_us") >= T0 && col("time_us") <= T1)
-      TimeSeriesOps.derivative(base, "series", "time_us", "value", UPS, Seq("event_id"))
+      TimeSeriesOps.derivative(base, "series", "time_us", "value", UPS, Seq("event_id"), DAY)
         .select("series", "time_us", "event_id", "derivative")
         .orderBy("series", "time_us", "event_id")
     }
