@@ -39,14 +39,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // quality-of-approximation metric alongside the timings: recall@5 of the
-    // LSH ANN path vs the exact top-k (VERDICT r1 item 5)
-    val recall = try {
+    // quality-of-approximation metrics alongside the timings: recall@5 of
+    // each approximate ANN path vs the exact top-k (VERDICT r1 item 5)
+    val recalls = try {
       SparkEntry.queries("ann_recall")(spark, sfDir)
-        .select("recall").head().getDouble(0)
-    } catch { case _: Throwable => -1.0 }
+        .select("method", "recall").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    } catch { case _: Throwable => Map.empty[String, Double] }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""ann_lsh_recall_at5":$recall,"sf":"$sfDir"}"""
+      s""""ann_lsh_recall_at5":${recalls.getOrElse("lsh", -1.0)},""" +
+      s""""ann_ivf_recall_at5":${recalls.getOrElse("ivf", -1.0)},"sf":"$sfDir"}"""
     println(line)
     // Also persist machine-readable (sbt prefixes stdout with [info], which
     // breaks downstream JSON parsing of the console line).

@@ -115,6 +115,86 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-bucketed approximate top-k: a coarse quantizer of `nLists`
+    * centroids (mini k-means on a bounded, deterministically-seeded sample —
+    * IVF training is offline/sample-based by design), the corpus assigned to
+    * its nearest list in one distributed pass, and each query probing its
+    * `nProbe` nearest lists. Scan cost per query ≈ |corpus| × nProbe /
+    * nLists. Exhaustive probing (nProbe = nLists) degenerates to exact. */
+  def topKIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 4,
+              iters: Int = 5, seed: Long = 42L): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    // --- train centroids on a bounded sample (driver-side mini k-means) ---
+    val sample = corpus.select(asDouble(col(vecCol)).as("v"))
+      .limit(math.max(nLists * 32, 512)).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val rnd = new scala.util.Random(seed)
+    var centroids = rnd.shuffle(sample.toVector).take(nLists).toArray
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(nLists)(new Array[Double](centroids(0).length))
+      val counts = new Array[Int](nLists)
+      sample.foreach { v =>
+        val c = nearest(v, centroids)
+        counts(c) += 1
+        var i = 0; while (i < v.length) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    // --- distributed assignment: argmin over centroid distances, computed
+    // as (||c||² − 2 v·c) per centroid — fold one array of (dist, list) ---
+    def listOf(v: Column): Column =
+      aggregate(
+        array(centroids.zipWithIndex.map { case (c, i) =>
+          val c2 = c.map(x => x * x).sum
+          struct((lit(c2) - lit(2.0) * fastDot(v, lit(c))).as("d"), lit(i).as("i"))
+        }: _*),
+        struct(lit(Double.MaxValue).as("d"), lit(-1).as("i")),
+        (acc, x) => when(x.getField("d") < acc.getField("d"), x).otherwise(acc)
+      ).getField("i")
+    def probesOf(v: Column): Column = {
+      val dists = array(centroids.zipWithIndex.map { case (c, i) =>
+        val c2 = c.map(x => x * x).sum
+        struct((lit(c2) - lit(2.0) * fastDot(v, lit(c))).as("d"), lit(i).as("i"))
+      }: _*)
+      slice(array_sort(dists), 1, nProbe) // sorts by (d, i); take nProbe lists
+    }
+    val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .withColumn("list", listOf(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(probesOf(col("qv"))).as("probe"))
+      .select(col("query_id"), col("qv"), col("qn"), col("probe.i").as("list"))
+    val scored = c.join(broadcast(q), Seq("list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (fastDot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  private def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0; var bd = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0; var i = 0
+      while (i < v.length) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
+      if (d < bd) { bd = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** recall@k of an approximate result against the exact one: fraction of
     * exact top-k (query, neighbor) pairs the approximate result found. */
   def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {

@@ -45,16 +45,30 @@ object SimilarityQueries {
         "vec_id", "embedding", K, tables = 4, bits = 4)
     },
 
-    // recall@5 of ann_lsh vs ann_topk. One row: (n_exact, n_found, recall).
+    // IVF-bucketed approximate top-5 (16 lists, 4 probed): sample-trained
+    // coarse quantizer, corpus scanned at ~nProbe/nLists cost per query.
+    QueryDef.rowsOnly("ann_ivf") { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      SimilarityOps.topKIvf(emb, emb.filter(col("vec_id") < NQ),
+        "vec_id", "embedding", K, nLists = 16, nProbe = 4)
+    },
+
+    // recall@5 of each approximate path vs ann_topk — one row per method.
     // NOTE: the synthetic embeddings are near-uniform random (max pair
-    // cosine ~0.5) — the hardest possible case for LSH — so recall here is
+    // cosine ~0.5) — the hardest possible case for ANN — so recall here is
     // a floor, not a ceiling.
     QueryDef.rowsOnly("ann_recall") { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < NQ)
-      SimilarityOps.recallAtK(
-        SimilarityOps.topKExact(emb, q, "vec_id", "embedding", K),
-        SimilarityOps.topKLsh(emb, q, "vec_id", "embedding", K, tables = 4, bits = 4))
+      val exact = SimilarityOps.topKExact(emb, q, "vec_id", "embedding", K)
+      SimilarityOps.recallAtK(exact,
+          SimilarityOps.topKLsh(emb, q, "vec_id", "embedding", K, tables = 4, bits = 4))
+        .withColumn("method", lit("lsh"))
+        .unionByName(
+          SimilarityOps.recallAtK(exact,
+            SimilarityOps.topKIvf(emb, q, "vec_id", "embedding", K, nLists = 16, nProbe = 4))
+          .withColumn("method", lit("ivf")))
+        .select("method", "n_exact", "n_found", "recall")
     }
   )
 }

@@ -67,6 +67,19 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(top == Seq((1L, 1L), (2L, 2L), (3L, 3L))) // cos: ~1, 0, -1
   }
 
+  test("topKIvf with exhaustive probing equals exact top-k") {
+    val emb = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 7.0 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" < 3)
+    val exact = SimilarityOps.topKExact(emb, q, "vec_id", "embedding", 4)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect().toSeq
+    val ivf = SimilarityOps.topKIvf(emb, q, "vec_id", "embedding", 4,
+        nLists = 4, nProbe = 4) // probe every list -> no pruning -> exact
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect().toSeq
+    assert(ivf == exact)
+  }
+
   test("recallAtK is 1.0 when approx equals exact") {
     val emb = Seq((0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0f, 1f)))
       .toDF("vec_id", "embedding")
