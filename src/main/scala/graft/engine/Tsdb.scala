@@ -52,7 +52,7 @@ final case class WriteResult(written: Long, discarded: Long, overwriteVerified: 
   * parquet files are immutable and the watermark swap is atomic (rename).
   */
 final class Tsdb(val spark: SparkSession, val rootDir: String,
-                 requestedBucketWidth: Long = Tsdb.DefaultBucketWidth) {
+                 requestedBucketWidth: Long = Tsdb.UseExistingWidth) {
   import MeasurementSchema.{BucketCol, SeriesCol, TimeCol}
 
   GraftFunctions.register(spark)
@@ -62,21 +62,30 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
   private val root = new Path(rootDir)
 
   /** Bucket width in time units (reference `chunk_size` config analog,
-    * src/libtsdb/root.cc:41-45: persisted once, validated on every open). */
+    * src/libtsdb/root.cc:41-45: persisted once, validated on every open).
+    * Opening an existing root with an explicit width that differs from the
+    * persisted one is an error — mirroring the reference's config validation
+    * on open; omit the argument to adopt whatever the root was created with. */
   val bucketWidth: Long = {
-    require(requestedBucketWidth > 0, "bucket width must be positive")
+    val explicit = requestedBucketWidth != Tsdb.UseExistingWidth
+    if (explicit) require(requestedBucketWidth > 0, "bucket width must be positive")
     val cfg = new Path(root, "_config.json")
     val f = fs(cfg)
     if (f.exists(cfg)) {
       val Re = """\{"version":1,"bucket_width":(\d+)\}""".r
-      readString(cfg).trim match {
+      val persisted = readString(cfg).trim match {
         case Re(w) => w.toLong
         case other => throw new InvalidSchemaException(s"corrupt engine config: $other")
       }
+      if (explicit && persisted != requestedBucketWidth)
+        throw new InvalidSchemaException(
+          s"root $rootDir has bucket_width=$persisted; requested $requestedBucketWidth")
+      persisted
     } else {
+      val w = if (explicit) requestedBucketWidth else Tsdb.DefaultBucketWidth
       f.mkdirs(root)
-      atomicWrite(cfg, s"""{"version":1,"bucket_width":$requestedBucketWidth}""")
-      requestedBucketWidth
+      atomicWrite(cfg, s"""{"version":1,"bucket_width":$w}""")
+      w
     }
   }
 
@@ -205,12 +214,17 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
     // would duplicate them. The append-intent marker makes the check free on
     // the clean path: it exists on entry only if a previous append died
     // mid-flight, and only then is the (bucket-pruned) truncation scan run.
+    // With NO watermark yet, everything stored is an orphan of a crashed
+    // FIRST append — drop the series data dir so the replay starts clean.
     val pending = pendingPath(db, m, series)
-    wm.foreach { r =>
-      if (fs(pending).exists(pending)) {
-        truncateAbove(db, m, series, schema, r.timeLast)
-        fs(pending).delete(pending, false)
+    if (fs(pending).exists(pending)) {
+      wm match {
+        case Some(r) => truncateAbove(db, m, series, schema, r.timeLast)
+        case None =>
+          val sdir = new Path(dataDir(db, m), s"$SeriesCol=$series")
+          fs(sdir).delete(sdir, true)
       }
+      fs(pending).delete(pending, false)
     }
 
     // new points are above the append watermark AND not below the delete
@@ -277,8 +291,14 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
     * way (`series=` is a partition directory under basePath). */
   private def appendSorted(db: String, m: String, series: String, newPts: DataFrame,
                            cnt: Long): Long = {
+    // floor-division bucket id in exact integer arithmetic (`div` truncates
+    // toward zero and double-based floor() loses precision above 2^53 —
+    // time_ns at ns scale exceeds that). pmod is non-negative, so
+    // (t - pmod(t, w)) is exactly divisible and the quotient is floorDiv —
+    // matching Math.floorDiv on every read/truncate/delete path.
     newPts
-      .withColumn(BucketCol, expr(s"$TimeCol div ${bucketWidth}L"))
+      .withColumn(BucketCol,
+        expr(s"($TimeCol - pmod($TimeCol, ${bucketWidth}L)) div ${bucketWidth}L"))
       .repartitionByRange(col(BucketCol), col(TimeCol))
       .sortWithinPartitions(BucketCol, TimeCol)
       .write.mode("append").partitionBy(BucketCol)
@@ -510,4 +530,7 @@ object Tsdb {
     * tune per deployment via the constructor (persisted like the reference's
     * `chunk_size`, src/libtsdb/constants.h:9). */
   val DefaultBucketWidth: Long = 3600L * 1000000000L
+  /** Constructor sentinel: adopt the persisted width (or the default when
+    * creating a new root) rather than requesting a specific one. */
+  val UseExistingWidth: Long = Long.MinValue
 }

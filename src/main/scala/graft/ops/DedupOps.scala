@@ -31,25 +31,29 @@ object DedupOps {
   /** (id, shingles) — distinct n-word shingle hash sets per document; docs
     * with fewer than n tokens drop out (no shingles → no similarity).
     *
-    * Staged with persist() barriers: interpreted higher-order lambdas
+    * Staged with localCheckpoint barriers: interpreted higher-order lambdas
     * re-evaluate any derived-array argument per outer element (see
     * TextOps.fingerprintOfHashes cost note), so tokenize→word-hash must be
     * MATERIALIZED before the shingle transform references it, and the
     * shingle sets before the (k-wide) signature/pair stages reference them.
-    * The cached stages are rows of 8-byte hashes — a fraction of the text
-    * they replace; at corpus scale the same staging is a persisted/
-    * checkpointed projection. The result is persisted because every
-    * consumer (inverted index, LSH, verification) reads it 2-3×. */
+    * The staged blocks are rows of 8-byte hashes — a fraction of the text
+    * they replace. localCheckpoint (not persist) on purpose: persist()
+    * registers the plan in the session CacheManager forever, leaking
+    * executor storage across invocations, while checkpoint blocks are
+    * released by the ContextCleaner once the DataFrame is unreferenced. The
+    * result is also staged because every consumer (inverted index, LSH,
+    * verification) reads it 2-3×. */
   def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     // spread the per-row hash compute across cores: small benchmark inputs
     // arrive as a single parquet row group = ONE scan task (a real corpus
     // arrives as thousands of splits and doesn't need this)
     val par = df.sparkSession.sparkContext.defaultParallelism
     val whs = df.repartition(par).select(col(idCol),
-      TextOps.wordHashes(TextOps.tokens(col(textCol))).as("whs")).persist()
+      TextOps.wordHashes(TextOps.tokens(col(textCol))).as("whs"))
+      .localCheckpoint(false)
     whs.select(col(idCol), TextOps.shingleHashesOfHashes(col("whs"), n).as("shingles"))
       .filter(size(col("shingles")) > 0)
-      .persist()
+      .localCheckpoint(false)
   }
 
   private def jaccard(common: Column, sa: Column, sb: Column): Column =
@@ -92,7 +96,8 @@ object DedupOps {
     graft.functions.GraftFunctions.register(shingles.sparkSession)
     // signatures materialized once (the band self-join reads them twice)
     val sigs = shingles.select(col(idCol).as("id"), col("shingles"),
-      TextOps.minHashSignature(col("shingles"), bands * rows).as("sig")).persist()
+      TextOps.minHashSignature(col("shingles"), bands * rows).as("sig"))
+      .localCheckpoint(false)
     val bnd = sigs.select(col("id"), explode(TextOps.lshBands(col("sig"), bands, rows)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val cand = bnd.as("a").join(bnd.as("b"),
@@ -125,9 +130,11 @@ object DedupOps {
     // (the band self-join reads them twice) — see shingleSets note
     val whs = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"),
-        TextOps.wordHashes(TextOps.tokens(col(textCol))).as("whs")).persist()
+        TextOps.wordHashes(TextOps.tokens(col(textCol))).as("whs"))
+      .localCheckpoint(false)
     val sims = whs.select(col("id"),
-      TextOps.simHashOfHashes(col("whs"), bits).as("simhash")).persist()
+      TextOps.simHashOfHashes(col("whs"), bits).as("simhash"))
+      .localCheckpoint(false)
     val bandArr = array((0 until nBands).map { b =>
       struct(lit(b).as("band"),
         call_function("shiftright", col("simhash"), lit(b * w))

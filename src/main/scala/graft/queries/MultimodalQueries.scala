@@ -1,13 +1,15 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
 import graft.ops.MultimodalOps
 import graft.tables.Tables
 
 /** Multimodal-column plumbing over a deterministic asset table derived from
-  * `documents` (binary payload + typed metadata). The Catalyst-only path
-  * (metadata, checksum via binary→string round-trip, frame sampling) is
-  * oracle-checked; the stub-decoder path is rows-only here and exactness-
-  * tested in MultimodalSpec. */
+  * `documents` (binary payload + typed metadata). Both paths are
+  * oracle-checked: the Catalyst-only path (metadata, checksum via
+  * binary→string round-trip, frame sampling) directly, and the stub-decoder
+  * path by replaying the byte-level stats in SQL (the corpus is ASCII, so
+  * DuckDB's code points are the payload bytes). */
 object MultimodalQueries {
 
   import OracleText.FINGERPRINT
@@ -27,18 +29,38 @@ object MultimodalQueries {
          |    i -> CAST(unicode(substr(text, CAST(i * 64 + 1 AS INT), 1)) AS VARCHAR)),
          |    ',') AS frame_codes
          |FROM documents ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      // repartition: benchmark input is one parquet row group = one task,
+      // and the checksum is real per-row hash compute
       MultimodalOps.sampleFrames(
-        MultimodalOps.assetsFromDocuments(Tables(s, dir, "documents")),
+        MultimodalOps.assetsFromDocuments(
+          Tables(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)),
         stride = 64, maxFrames = 8)
         .orderBy("asset_id")
     },
 
-    // Stub-decoder feature extraction (mapPartitions batch iteration —
-    // the real-codec plumbing). Deterministic fake decode -> rows-only.
-    QueryDef.rowsOnly("mm_decode") { (s, dir) =>
+    // Stub-decoder feature extraction (mapPartitions batch iteration — the
+    // real-codec plumbing). The fake decode is deterministic byte math, and
+    // the corpus is pure ASCII, so the oracle recomputes the same stats from
+    // code points. Histogram joined to a string (array compare portability).
+    QueryDef.withOracle("mm_decode",
+      """WITH codes AS (
+        |  SELECT doc_id, list_transform(range(1, length(text) + 1),
+        |           i -> unicode(substr(text, CAST(i AS INT), 1))) AS cs
+        |  FROM documents)
+        |SELECT doc_id AS asset_id,
+        |  (['audio','image','video'])[CAST(doc_id % 3 AS INT) + 1] AS format,
+        |  CAST(len(cs) AS BIGINT) AS n_bytes,
+        |  CASE WHEN len(cs) = 0 THEN 0.0
+        |       ELSE CAST(list_sum(cs) AS DOUBLE) / len(cs) END AS mean_byte,
+        |  array_to_string(list_transform(range(0, 16),
+        |    b -> CAST(len(list_filter(cs, c -> c // 16 = b)) AS VARCHAR)), ',') AS byte_hist
+        |FROM codes ORDER BY asset_id""".stripMargin) { (s, dir) =>
       MultimodalOps.decodeFeatures(
         MultimodalOps.assetsFromDocuments(Tables(s, dir, "documents")))
-        .toDF().orderBy("asset_id")
+        .toDF()
+        .select(col("asset_id"), col("format"), col("n_bytes"), col("mean_byte"),
+          concat_ws(",", col("byte_hist")).as("byte_hist"))
+        .orderBy("asset_id")
     }
   )
 }

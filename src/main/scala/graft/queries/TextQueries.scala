@@ -68,13 +68,15 @@ object TextQueries {
          |  $SIMHASH AS simhash
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       // staged: word hashes materialized once, then both digests read the
-      // cached array (simHash alone would re-tokenize 30x per row otherwise
-      // — see TextOps.fingerprintOfHashes cost note)
+      // checkpointed array (simHash alone would re-tokenize 30x per row
+      // otherwise — see TextOps.fingerprintOfHashes cost note; checkpoint
+      // not persist, so the blocks are released when unreferenced)
       graft.functions.GraftFunctions.register(s)
       Tables(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
-          TextOps.wordHashes(TextOps.tokens(col("text"))).as("whs")).persist()
+          TextOps.wordHashes(TextOps.tokens(col("text"))).as("whs"))
+        .localCheckpoint(false)
         .select(
           col("doc_id"),
           TextOps.fingerprintOfHashes(col("whs")).as("fingerprint"),

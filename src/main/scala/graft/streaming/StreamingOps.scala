@@ -29,9 +29,11 @@ object StreamingOps {
   def windowedSums(points: DataFrame, windowUs: Long, watermarkUs: Long): DataFrame =
     points
       .withColumn("event_time", timestamp_micros(col("time_us")))
-      .withWatermark("event_time", s"${watermarkUs / 1000000L} seconds")
+      // intervals built in µs directly — a seconds-based string would
+      // silently truncate sub-second or non-second-aligned widths
+      .withWatermark("event_time", s"$watermarkUs microseconds")
       .groupBy(col("series"),
-        window(col("event_time"), s"${windowUs / 1000000L} seconds"))
+        window(col("event_time"), s"$windowUs microseconds"))
       .agg(sum("v").as("sum_value"), min("v").as("min_value"),
         max("v").as("max_value"), count("v").as("n"))
       .select(col("series"),

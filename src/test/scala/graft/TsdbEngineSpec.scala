@@ -269,6 +269,59 @@ class TsdbEngineSpec extends SparkTestBase {
     assert(got.find(_.getLong(0) == 470L).get.getDouble(2) == 1.25)
   }
 
+  test("crashed FIRST append (no watermark yet) replays without duplicates") {
+    val t = mkTsdb()
+    t.createDatabase("db1")
+    t.createMeasurement("db1", "m1", schema)
+    import org.apache.spark.sql.functions.expr
+    // simulate: the very first append committed data, then died before the
+    // watermark write — storage has rows, _meta has only the intent marker
+    pts((100L, Some(1L), Some(1.5), Some(1.0f)),
+        (150L, Some(2L), Some(2.5), Some(2.0f)))
+      .withColumn("bucket", expr("time_ns div 100L"))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"${t.rootDir}/db1/m1/data/series=s1")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"${t.rootDir}/db1/m1/_meta"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"${t.rootDir}/db1/m1/_meta/.s1.pending"), "{\"version\":1}")
+    assert(t.seriesRange("db1", "m1", "s1").isEmpty)
+    // the replay must drop the orphaned storage first — one copy of each
+    // point, no overlap-verify false positive, watermark covers the batch
+    val res = t.writePoints("db1", "m1", "s1",
+      pts((100L, Some(1L), Some(1.5), Some(1.0f)),
+          (150L, Some(2L), Some(2.5), Some(2.0f))))
+    assert(res.written == 2 && res.discarded == 0 && res.overwriteVerified == 0)
+    val got = t.select("db1", "m1", "s1", Nil, 0L, 1000L).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(100L, 150L))
+    assert(t.seriesRange("db1", "m1", "s1").contains(SeriesRange(100L, 150L)))
+  }
+
+  test("negative timestamps: write buckets match read pruning (floor semantics)") {
+    val t = mkTsdb() // bucket width 100
+    t.createDatabase("db1")
+    t.createMeasurement("db1", "m1", schema)
+    t.writePoints("db1", "m1", "s1", pts(
+      (-150L, Some(1L), Some(1.0), Some(1.0f)),   // floorDiv -> bucket -2
+      (-100L, Some(2L), Some(2.0), Some(2.0f)),   // bucket -1
+      (-1L, Some(3L), Some(3.0), Some(3.0f)),     // bucket -1
+      (0L, Some(4L), Some(4.0), Some(4.0f))))     // bucket 0
+    // the pruned read of [-150,-1] must see all three pre-epoch points
+    val got = t.select("db1", "m1", "s1", Nil, -150L, -1L).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(-150L, -100L, -1L))
+    // and the stored directory layout uses floor buckets, not div-toward-zero
+    val dirs = new java.io.File(s"${t.rootDir}/db1/m1/data/series=s1")
+      .listFiles().map(_.getName).filter(_.startsWith("bucket=")).sorted.toSeq
+    assert(dirs == Seq("bucket=-1", "bucket=-2", "bucket=0"))
+  }
+
+  test("bucket width: explicit mismatch on open rejects; omitted adopts persisted") {
+    val t = mkTsdb() // creates root with width 100
+    intercept[InvalidSchemaException](new Tsdb(spark, t.rootDir, requestedBucketWidth = 200L))
+    assert(new Tsdb(spark, t.rootDir).bucketWidth == 100L)
+    assert(new Tsdb(spark, t.rootDir, requestedBucketWidth = 100L).bucketWidth == 100L)
+  }
+
   // ------------------------------------------------------------- scale
 
   test("range reads prune partitions: bucket filter present, untouched buckets skipped") {
