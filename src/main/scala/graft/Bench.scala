@@ -25,7 +25,11 @@ object Bench {
     try SparkEntry.queries("tsdb_window_sum")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args = subset of query names (iteration aid); default all
+    val wanted = if (args.nonEmpty) args.toSet else SparkEntry.queries.keySet
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => wanted(n) }
+      .map { case (name, fn) =>
       // isolate queries: drop caches left by earlier queries' staged
       // hash pipelines so they don't occupy memory during this timing
       spark.catalog.clearCache()
@@ -42,7 +46,8 @@ object Bench {
     // quality-of-approximation metrics alongside the timings: recall@5 of
     // each approximate ANN path vs the exact top-k (VERDICT r1 item 5)
     val recalls = try {
-      SparkEntry.queries("ann_recall")(spark, sfDir)
+      if (!wanted("ann_recall")) Map.empty[String, Double]
+      else SparkEntry.queries("ann_recall")(spark, sfDir)
         .select("method", "recall").collect()
         .map(r => r.getString(0) -> r.getDouble(1)).toMap
     } catch { case _: Throwable => Map.empty[String, Double] }
