@@ -184,15 +184,25 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
       col(TimeCol).cast(LongType).as(TimeCol) +:
       schema.fields.map(f => col(f.name).cast(f.ftype.spark).as(f.name)): _*)
 
-    // single validation pass: batch size, NULL/duplicate timestamps, and the
-    // watermark partition counts all come from ONE aggregation job
+    // single validation pass: batch size, NULL/duplicate timestamps, the
+    // watermark partition counts AND the new-point count/range all come
+    // from ONE aggregation job over the batch
     val wm = seriesRange(db, m, series)
     val (tf, tl) = wm.fold((Long.MinValue, Long.MinValue))(r => (r.timeFirst, r.timeLast))
+    // "new" = above the append watermark AND not below the delete watermark
+    // (time_first > time_last after a delete-into-the-future: points between
+    // them are discarded, not appended); a never-written series takes
+    // everything
+    val isNew = if (wm.isEmpty) lit(true) else col(TimeCol) > tl && col(TimeCol) >= tf
     val stats = pts.agg(
       count(lit(1)).as("n"), count(col(TimeCol)).as("n_ts"),
       countDistinct(col(TimeCol)).as("n_distinct"),
       sum(when(col(TimeCol) < tf, 1L).otherwise(0L)).as("disc"),
-      sum(when(col(TimeCol).between(tf, tl), 1L).otherwise(0L)).as("ov")).head()
+      sum(when(col(TimeCol).between(tf, tl), 1L).otherwise(0L)).as("ov"),
+      min(when(col(TimeCol).between(tf, tl), col(TimeCol))).as("ov_min"),
+      count(when(isNew, lit(1))).as("new_n"),
+      min(when(isNew, col(TimeCol))).as("new_min"),
+      max(when(isNew, col(TimeCol))).as("new_max")).head()
     val n = stats.getLong(0)
     if (n == 0) return WriteResult(0, 0, 0)
     if (stats.getLong(1) < n)
@@ -204,7 +214,7 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
     val (discarded, overlapN) = if (wm.isEmpty) (0L, 0L) else {
       val ovN = stats.getLong(4)
       if (ovN > 0) verifyOverlap(db, m, series, schema,
-        pts.filter(col(TimeCol).between(tf, tl)), tf, tl, ovN)
+        pts.filter(col(TimeCol).between(tf, tl)), stats.getLong(5), tl, ovN)
       (stats.getLong(3), ovN)
     }
 
@@ -227,21 +237,17 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
       fs(pending).delete(pending, false)
     }
 
-    // new points are above the append watermark AND not below the delete
-    // watermark (time_first > time_last after a delete-into-the-future:
-    // points between them are discarded, not appended)
-    val newPts = wm.fold(pts)(r =>
-      pts.filter(col(TimeCol) > r.timeLast && col(TimeCol) >= r.timeFirst))
-    // one job for count+range, then the write job (bracketed by the
-    // append-intent marker; it is removed after the watermark advances)
-    val nrow = newPts.agg(count(lit(1)), min(TimeCol), max(TimeCol)).head()
-    val written = if (nrow.getLong(0) == 0) 0L
+    // the write job, bracketed by the append-intent marker (removed after
+    // the watermark advances); new-point count/range came from the stats job
+    val newPts = if (wm.isEmpty) pts else pts.filter(isNew)
+    val newN = stats.getLong(6)
+    val written = if (newN == 0) 0L
                   else {
                     atomicWrite(pending, s"""{"version":1}""")
-                    appendSorted(db, m, series, newPts, nrow.getLong(0))
+                    appendSorted(db, m, series, newPts, newN)
                   }
     if (written > 0 || wm.isEmpty) {
-      val nstats = if (written > 0) Some((nrow.getLong(1), nrow.getLong(2))) else None
+      val nstats = if (written > 0) Some((stats.getLong(7), stats.getLong(8))) else None
       val next = (wm, nstats) match {
         case (Some(r), Some((_, mx))) => SeriesRange(r.timeFirst, math.max(r.timeLast, mx))
         case (Some(r), None)          => r
@@ -260,8 +266,7 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
     * (reference memcmp of the raw chunk bytes, src/libtsdb/wal.cc:104,116). */
   private def verifyOverlap(db: String, m: String, series: String,
                             schema: MeasurementSchema, overlap: DataFrame,
-                            tf: Long, tl: Long, ovN: Long): Unit = {
-    val ovMin = overlap.agg(min(TimeCol)).head().getLong(0)
+                            ovMin: Long, tl: Long, ovN: Long): Unit = {
     val stored = seriesData(db, m, series, schema, ovMin, tl)
     def bits(df: DataFrame, prefix: String): DataFrame =
       df.select(col(TimeCol) +:
@@ -296,10 +301,24 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
     // time_ns at ns scale exceeds that). pmod is non-negative, so
     // (t - pmod(t, w)) is exactly divisible and the quotient is floorDiv —
     // matching Math.floorDiv on every read/truncate/delete path.
-    newPts
+    val withBucket = newPts
       .withColumn(BucketCol,
         expr(s"($TimeCol - pmod($TimeCol, ${bucketWidth}L)) div ${bucketWidth}L"))
-      .repartitionByRange(col(BucketCol), col(TimeCol))
+    // Small batches hash-partition on bucket: each bucket lands whole in one
+    // task → one sorted file per bucket, and no extra pass over the data
+    // (repartitionByRange samples the batch to compute range bounds — a
+    // whole job the common streaming micro-batch doesn't need). Huge batches
+    // pay that sampling pass so a hot bucket can split into several
+    // disjoint-range sorted files instead of one giant task.
+    val par = spark.sparkContext.defaultParallelism
+    val arranged =
+      if (cnt <= Tsdb.RangeWriteThreshold)
+        // full parallelism even for small batches: per-bucket FILE CREATION
+        // is the fixed cost (one parquet writer per bucket dir), so buckets
+        // must spread across tasks; empty partitions are ~free
+        withBucket.repartition(par, col(BucketCol))
+      else withBucket.repartitionByRange(par, col(BucketCol), col(TimeCol))
+    arranged
       .sortWithinPartitions(BucketCol, TimeCol)
       .write.mode("append").partitionBy(BucketCol)
       .parquet(new Path(dataDir(db, m), s"$SeriesCol=$series").toString)
@@ -533,4 +552,7 @@ object Tsdb {
   /** Constructor sentinel: adopt the persisted width (or the default when
     * creating a new root) rather than requesting a specific one. */
   val UseExistingWidth: Long = Long.MinValue
+  /** Batch size above which the append pays repartitionByRange's sampling
+    * pass to split hot buckets across tasks; below it, hash-on-bucket. */
+  val RangeWriteThreshold: Long = 32L * 1000 * 1000
 }
