@@ -47,8 +47,9 @@ object SimilarityOps {
   }
 
   /** The `bits` hyperplanes of LSH table `table`, as literal arrays baked
-    * into the plan (tiny: bits × dim doubles). */
-  private def planes(table: Int, bits: Int, dim: Int): Seq[Array[Double]] =
+    * into the plan (tiny: bits × dim doubles). Public so the DuckDB oracle
+    * SQL can embed the SAME planes and replay the bucketing exactly. */
+  def planes(table: Int, bits: Int, dim: Int): Seq[Array[Double]] =
     (0 until bits).map(j =>
       (0 until dim).map(i => planeComponent(((table * bits + j).toLong * dim + i) + 1L)).toArray)
 
@@ -83,12 +84,16 @@ object SimilarityOps {
 
   /** LSH-bucketed approximate top-k: candidates = corpus rows sharing at
     * least one of the query's L bucket ids; exact cosine + rank within the
-    * candidate set. Approximate by design (recall < 1 — measured by
-    * `recallAtK`), so no SQL oracle; correctness of the machinery is the
-    * bucket-pruned plan plus the recall metric. */
+    * candidate set. With `probeRadius = 1` each query additionally probes
+    * the buckets at Hamming distance 1 from its own (multi-probe LSH, Lv et
+    * al. VLDB'07): recall rises steeply while the CORPUS index stays L
+    * entries/vector — the probe fan-out multiplies only the (small) query
+    * side, which is the scale-friendly direction. Deterministic planes make
+    * the whole candidate set SQL-replayable (see SimilarityQueries). */
   def topKLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, tables: Int = 4, bits: Int = 4,
-              dim: Int = 64): DataFrame = {
+              dim: Int = 64, probeRadius: Int = 1): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= 1, "probeRadius must be 0 or 1")
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     def bucketed(df: DataFrame, idAs: String, vAs: String, nAs: String): DataFrame = {
       val base = df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as(vAs))
@@ -100,7 +105,11 @@ object SimilarityOps {
           col("tb.t").as("t"), col("tb.b").as("b"))
     }
     val c = bucketed(corpus, "neighbor_id", "cv", "cn")
-    val q = bucketed(queries, "query_id", "qv", "qn")
+    val q0 = bucketed(queries, "query_id", "qv", "qn")
+    val q = if (probeRadius == 0) q0 else
+      q0.select(col("query_id"), col("qv"), col("qn"), col("t"),
+        explode(array(col("b") +:
+          (0 until bits).map(j => col("b").bitwiseXOR(lit(1L << j))): _*)).as("b"))
     // cosine computed BEFORE the pair dedup: the dedup shuffle then carries
     // three scalars per candidate instead of two embedding vectors
     val scored = c.join(broadcast(q), Seq("t", "b"))
@@ -130,7 +139,20 @@ object SimilarityOps {
       .limit(math.max(nLists * 32, 512)).collect()
       .map(_.getSeq[Double](0).toArray)
     val rnd = new scala.util.Random(seed)
-    var centroids = rnd.shuffle(sample.toVector).take(nLists).toArray
+    // k-means++ seeding: spread the initial centroids (D² sampling) — on
+    // near-uniform data random init leaves clusters lopsided and recall low
+    var centroids = {
+      val init = scala.collection.mutable.ArrayBuffer(sample(rnd.nextInt(sample.length)))
+      while (init.length < nLists) {
+        val d2 = sample.map(v => init.map(c => sqDist(v, c)).min)
+        val total = d2.sum
+        var r = rnd.nextDouble() * total
+        var i = 0
+        while (i < sample.length - 1 && r > d2(i)) { r -= d2(i); i += 1 }
+        init += sample(i)
+      }
+      init.toArray
+    }
     for (_ <- 1 to iters) {
       val sums = Array.fill(nLists)(new Array[Double](centroids(0).length))
       val counts = new Array[Int](nLists)
@@ -181,6 +203,12 @@ object SimilarityOps {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
       .orderBy("query_id", "rank")
+  }
+
+  private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var i = 0
+    while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+    d
   }
 
   private def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {

@@ -4,9 +4,12 @@ import org.apache.spark.sql.functions._
 import graft.ops.SimilarityOps
 import graft.tables.Tables
 
-/** Similarity search over the `embeddings` table: exact brute-force top-k
-  * (oracled), the LSH-bucketed approximate path (rows-only — approximate by
-  * design), and a recall@k measurement of the latter against the former. */
+/** Similarity search over the `embeddings` table: exact brute-force top-k,
+  * the multi-probe LSH bucketed path — BOTH fully oracled (the LSH planes
+  * are deterministic literals, so the DuckDB SQL replays the exact
+  * bucketing, candidate set and ranking) — the IVF path (rows-only: its
+  * quantizer is trained from the data; exhaustive-probe == exact is proved
+  * in PipelineOpsSpec), and a recall@k measurement. */
 object SimilarityQueries {
 
   import OracleVec.{NORMED, dotSql}
@@ -14,6 +17,25 @@ object SimilarityQueries {
   private val K = 5
   /** Query set: the first 10 vectors. */
   private val NQ = 10
+  private val TABLES = 4
+  private val BITS = 4
+  private val DIM = 64
+
+  /** The LSH hyperplanes as a DuckDB VALUES list — the same literals the
+    * Spark plan bakes in (SimilarityOps.planes), Double.toString round-trips
+    * exactly. */
+  private def planesSql: String =
+    (0 until TABLES).flatMap { t =>
+      SimilarityOps.planes(t, BITS, DIM).zipWithIndex.map { case (p, j) =>
+        s"($t, $j, [${p.mkString(", ")}]::DOUBLE[])"
+      }
+    }.mkString(",\n    ")
+
+  /** Fold dot of a vector column `v` against a plane column `p` — the same
+    * strict left fold as the Spark side. */
+  private def planeDot(v: String, p: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, len($v) + 1), i -> $v[i] * $p[i])), (s, x) -> s + x)"
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -36,21 +58,50 @@ object SimilarityQueries {
         "vec_id", "embedding", K)
     },
 
-    // LSH-bucketed approximate top-5 (4 tables x 4 sign-bits): the corpus is
-    // probed per-bucket instead of scanned. Approximate -> rows-only check;
-    // its quality is measured by ann_recall below.
-    QueryDef.rowsOnly("ann_lsh") { (s, dir) =>
+    // Multi-probe LSH top-5 (4 tables x 4 sign-bits, probe radius 1): the
+    // corpus is probed per-bucket instead of scanned. The planes are
+    // deterministic literals, so the oracle replays bucketing + probing +
+    // candidate generation + ranking exactly — a full hash-match on an
+    // APPROXIMATE operator (its quality is measured by ann_recall below).
+    QueryDef.withOracle("ann_lsh",
+      s"""WITH $NORMED,
+         |planes(t, j, p) AS (VALUES
+         |    $planesSql),
+         |cb AS (SELECT n.vec_id, pl.t,
+         |         CAST(sum(CASE WHEN ${planeDot("n.v", "pl.p")} > 0
+         |           THEN CAST(1 << pl.j AS BIGINT) ELSE 0 END) AS BIGINT) AS b
+         |       FROM n, planes pl GROUP BY 1, 2),
+         |qp AS (SELECT vec_id, t, b FROM cb WHERE vec_id < $NQ
+         |       UNION
+         |       SELECT vec_id, t, xor(b, CAST(1 << j AS BIGINT))
+         |       FROM cb, range($BITS) r(j) WHERE vec_id < $NQ),
+         |cand AS (SELECT DISTINCT qp.vec_id AS query_id, c.vec_id AS neighbor_id
+         |         FROM qp JOIN cb c ON c.t = qp.t AND c.b = qp.b
+         |         WHERE c.vec_id <> qp.vec_id),
+         |scored AS (SELECT cand.query_id, cand.neighbor_id,
+         |             ${dotSql("q", "c")} / (q.nrm * c.nrm) AS cosine
+         |           FROM cand JOIN n q ON q.vec_id = cand.query_id
+         |                     JOIN n c ON c.vec_id = cand.neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, cosine,
+         |        CAST(row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS "rank"
+         |      FROM scored)
+         |SELECT query_id, "rank", neighbor_id, cosine FROM r
+         |WHERE "rank" <= $K ORDER BY query_id, "rank"""".stripMargin) { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
       SimilarityOps.topKLsh(emb, emb.filter(col("vec_id") < NQ),
-        "vec_id", "embedding", K, tables = 4, bits = 4)
+        "vec_id", "embedding", K, tables = TABLES, bits = BITS, dim = DIM,
+        probeRadius = 1)
     },
 
-    // IVF-bucketed approximate top-5 (16 lists, 4 probed): sample-trained
-    // coarse quantizer, corpus scanned at ~nProbe/nLists cost per query.
+    // IVF-bucketed approximate top-5 (16 lists, 6 probed, k-means++ init):
+    // sample-trained coarse quantizer, corpus scanned at ~nProbe/nLists cost
+    // per query. Quantizer is data-trained -> rows-only here; exhaustive
+    // probing == exact is proved in PipelineOpsSpec.
     QueryDef.rowsOnly("ann_ivf") { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
       SimilarityOps.topKIvf(emb, emb.filter(col("vec_id") < NQ),
-        "vec_id", "embedding", K, nLists = 16, nProbe = 4)
+        "vec_id", "embedding", K, nLists = 16, nProbe = 6)
     },
 
     // recall@5 of each approximate path vs ann_topk — one row per method.
@@ -62,11 +113,12 @@ object SimilarityQueries {
       val q = emb.filter(col("vec_id") < NQ)
       val exact = SimilarityOps.topKExact(emb, q, "vec_id", "embedding", K)
       SimilarityOps.recallAtK(exact,
-          SimilarityOps.topKLsh(emb, q, "vec_id", "embedding", K, tables = 4, bits = 4))
+          SimilarityOps.topKLsh(emb, q, "vec_id", "embedding", K,
+            tables = TABLES, bits = BITS, dim = DIM, probeRadius = 1))
         .withColumn("method", lit("lsh"))
         .unionByName(
           SimilarityOps.recallAtK(exact,
-            SimilarityOps.topKIvf(emb, q, "vec_id", "embedding", K, nLists = 16, nProbe = 4))
+            SimilarityOps.topKIvf(emb, q, "vec_id", "embedding", K, nLists = 16, nProbe = 6))
           .withColumn("method", lit("ivf")))
         .select("method", "n_exact", "n_found", "recall")
     }
