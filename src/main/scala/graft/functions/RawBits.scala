@@ -63,6 +63,11 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_simhash", args =>
         GraftSimHash(args(0), args(1).eval().asInstanceOf[Number].intValue), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_word_hashes", args => GraftWordHashes(args.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_shingles", args =>
+        GraftShingles(args(0), args(1).eval().asInstanceOf[Number].intValue), "built-in")
   }
 
   /** A column rewritten to an exactly-comparable form: float/double become

@@ -22,6 +22,86 @@ import graft.ops.TextOps.{B2, P}
   * values are oracle-compared in text_fingerprint/dedup_simhash;
   * `GraftMinHash` only drives LSH candidate generation).
   */
+/** Polynomial hash of every token: `h = (h*B1 + code) % P` folded over the
+  * characters of each token. Tokens come from the `[a-z]+` extractor, so
+  * every character is ASCII and the byte-wise fold here is bit-identical to
+  * the portable `aggregate(split(s,''), 0, (h,c) -> (h*B1+ascii(c))%P)`
+  * formulation and to the DuckDB oracle's `list_reduce` — while running as
+  * one compiled loop per row instead of |token|×|chars| interpreted evals. */
+case class GraftWordHashes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import graft.ops.TextOps.B1
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_word_hashes requires array<string>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val bytes = toks.getUTF8String(i).getBytes
+      var h = 0L
+      var j = 0
+      while (j < bytes.length) { h = (h * B1 + (bytes(j) & 0xffL)) % P; j += 1 }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GraftWordHashes =
+    copy(child = newChild)
+  override def prettyName: String = "graft_word_hashes"
+}
+
+/** Distinct n-word shingle hashes of a word-hash array: shingle i covers
+  * hashes [i, i+n), folded as `h = (h*B2 + wh) % P`; first-occurrence order
+  * (same as the portable `array_distinct(transform(sequence…))`
+  * formulation). Short docs (< n tokens) yield the empty array. One compiled
+  * pass instead of |positions|×n interpreted evals — and, critically, the
+  * child word-hash array is evaluated ONCE (a lambda-bound array in the
+  * portable form is re-evaluated per position). */
+case class GraftShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingles requires array<bigint>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val whs = input.asInstanceOf[ArrayData]
+    val cnt = whs.numElements() - n + 1
+    if (cnt <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < cnt) {
+      var h = 0L
+      var j = 0
+      while (j < n) { h = (h * B2 + whs.getLong(i + j)) % P; j += 1 }
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GraftShingles =
+    copy(child = newChild)
+  override def prettyName: String = "graft_shingles"
+}
+
 case class GraftMinHash(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -31,27 +31,24 @@ object DedupOps {
   /** (id, shingles) — distinct n-word shingle hash sets per document; docs
     * with fewer than n tokens drop out (no shingles → no similarity).
     *
-    * Staged with localCheckpoint barriers: interpreted higher-order lambdas
-    * re-evaluate any derived-array argument per outer element (see
-    * TextOps.fingerprintOfHashes cost note), so tokenize→word-hash must be
-    * MATERIALIZED before the shingle transform references it, and the
-    * shingle sets before the (k-wide) signature/pair stages reference them.
-    * The staged blocks are rows of 8-byte hashes — a fraction of the text
-    * they replace. localCheckpoint (not persist) on purpose: persist()
-    * registers the plan in the session CacheManager forever, leaking
-    * executor storage across invocations, while checkpoint blocks are
-    * released by the ContextCleaner once the DataFrame is unreferenced. The
-    * result is also staged because every consumer (inverted index, LSH,
-    * verification) reads it 2-3×. */
+    * tokenize→hash→shingle runs as ONE pass per row: the hash stages are
+    * native expressions that evaluate their child exactly once (the portable
+    * higher-order formulation re-evaluated the word-hash array per shingle
+    * position — no CSE inside lambda bodies). The result is materialized
+    * with a localCheckpoint barrier because every consumer (inverted index,
+    * LSH, verification) reads it 2-3×; localCheckpoint (not persist) so the
+    * blocks are released by the ContextCleaner once the DataFrame is
+    * unreferenced, instead of leaking in the session CacheManager. */
   def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     // spread the per-row hash compute across cores: small benchmark inputs
     // arrive as a single parquet row group = ONE scan task (a real corpus
     // arrives as thousands of splits and doesn't need this)
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val whs = df.repartition(par).select(col(idCol),
-      TextOps.wordHashes(TextOps.tokens(col(textCol))).as("whs"))
-      .localCheckpoint(false)
-    whs.select(col(idCol), TextOps.shingleHashesOfHashes(col("whs"), n).as("shingles"))
+    df.repartition(par)
+      .select(col(idCol),
+        TextOps.shingleHashesOfHashes(
+          TextOps.wordHashes(TextOps.tokens(col(textCol))), n).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .localCheckpoint(false)
   }
@@ -126,14 +123,12 @@ object DedupOps {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val nBands = maxHamming + 1
     val w = (bits + nBands - 1) / nBands // band width
-    // staged: word hashes materialized once, fingerprints materialized once
-    // (the band self-join reads them twice) — see shingleSets note
-    val whs = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // one native pass per row (tokenize→hash→simhash), materialized once —
+    // the band self-join reads the fingerprints twice (see shingleSets note)
+    val sims = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"),
-        TextOps.wordHashes(TextOps.tokens(col(textCol))).as("whs"))
-      .localCheckpoint(false)
-    val sims = whs.select(col("id"),
-      TextOps.simHashOfHashes(col("whs"), bits).as("simhash"))
+        TextOps.simHashOfHashes(
+          TextOps.wordHashes(TextOps.tokens(col(textCol))), bits).as("simhash"))
       .localCheckpoint(false)
     val bandArr = array((0 until nBands).map { b =>
       struct(lit(b).as("band"),

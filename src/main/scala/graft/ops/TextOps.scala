@@ -51,8 +51,12 @@ object TextOps {
       lit(0L),
       (h, c) => (h * B1 + ascii(c)) % P)
 
-  /** Hash of every token of a token array. */
-  def wordHashes(toks: Column): Column = transform(toks, polyHash(_))
+  /** Hash of every token of a token array. Native expression
+    * (graft.functions.GraftWordHashes — one compiled loop per row instead of
+    * |tokens|×|chars| interpreted evals); bit-identical to
+    * `transform(toks, polyHash(_))` because `[a-z]+` tokens are pure ASCII.
+    * Requires `GraftFunctions.register(spark)`. */
+  def wordHashes(toks: Column): Column = call_function("graft_word_hashes", toks)
 
   /** Word-order-sensitive document fingerprint: fold of the token hashes,
     * `f = (f*B2 + wh) % P` — a rolling hash over the token stream. Two
@@ -79,14 +83,16 @@ object TextOps {
   def shingleHashes(toks: Column, n: Int): Column =
     shingleHashesOfHashes(wordHashes(toks), n)
 
-  /** Shingle hashes from a materialized word-hash array (see cost note). */
+  /** Shingle hashes from a word-hash array. Native expression
+    * (graft.functions.GraftShingles): the portable formulation
+    * `array_distinct(transform(sequence(0, size-n), i ->
+    * aggregate(slice(whs, i+1, n), 0, (h,wh) -> (h*B2+wh)%P)))` re-evaluates
+    * `whs` per position when it is itself derived (no CSE inside lambda
+    * bodies) and runs |positions|×n interpreted evals; the native runs one
+    * compiled pass and evaluates its child once. Identical values and
+    * first-occurrence order. Requires `GraftFunctions.register(spark)`. */
   def shingleHashesOfHashes(whs: Column, n: Int): Column =
-    when(size(whs) < n, array().cast("array<bigint>")).otherwise(
-      array_distinct(
-        transform(
-          sequence(lit(0), size(whs) - n),
-          i => aggregate(slice(whs, i + lit(1), lit(n)), lit(0L),
-            (h, wh) => (h * B2 + wh) % P))))
+    call_function("graft_shingles", whs, lit(n))
 
   /** MinHash signature of a shingle-hash set: k permutation approximations
     * `h_i(x) = (a_i * x + b_i) % P`, taking the min over the set for each i.

@@ -67,20 +67,17 @@ object TextQueries {
          |  $FINGERPRINT AS fingerprint,
          |  $SIMHASH AS simhash
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      // staged: word hashes materialized once, then both digests read the
-      // checkpointed array (simHash alone would re-tokenize 30x per row
-      // otherwise — see TextOps.fingerprintOfHashes cost note; checkpoint
-      // not persist, so the blocks are released when unreferenced)
+      // the word-hash array is a native single-pass expression now — two
+      // digests referencing it just run the compiled loop twice per row,
+      // no materialization barrier needed
       graft.functions.GraftFunctions.register(s)
+      val whs = TextOps.wordHashes(TextOps.tokens(col("text")))
       Tables(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"),
-          TextOps.wordHashes(TextOps.tokens(col("text"))).as("whs"))
-        .localCheckpoint(false)
         .select(
           col("doc_id"),
-          TextOps.fingerprintOfHashes(col("whs")).as("fingerprint"),
-          TextOps.simHashOfHashes(col("whs"), 30).as("simhash"))
+          TextOps.fingerprintOfHashes(whs).as("fingerprint"),
+          TextOps.simHashOfHashes(whs, 30).as("simhash"))
         .orderBy("doc_id")
     }
   )
