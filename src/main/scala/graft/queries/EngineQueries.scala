@@ -92,6 +92,56 @@ object EngineQueries {
         .select(col("time_ns").as("time_us"), col("v"))
     },
 
+    // Op #6 THROUGH the engine (sum_op over the bucket-partitioned layout,
+    // reference sum_op.cc:6-281): write the click series, then windowed
+    // sum/min/max/count incl. empty-window emission via the facade. Proves
+    // the windowed family reads clamped, bucket-pruned engine data — not
+    // just the driver's flat parquet.
+    QueryDef.withOracle("engine_window_sum", {
+      val w0 = graft.ops.TimeSeriesOps.firstWindowStart(T0, DAY)
+      val nW = graft.ops.TimeSeriesOps.numWindows(T0, T1, DAY)
+      s"""WITH spine AS (
+         |  SELECT unnest(generate_series($w0, ${w0 + (nW - 1) * DAY}, $DAY)) AS window_start
+         |), agg AS (
+         |  SELECT time_us - (time_us % $DAY) AS window_start,
+         |         CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         |         MIN(v) AS min_value, MAX(v) AS max_value, COUNT(v) AS n
+         |  FROM $PTS
+         |  WHERE series = 'click' AND time_us >= $w0 AND time_us < ${w0 + nW * DAY}
+         |  GROUP BY 1
+         |)
+         |SELECT s.window_start, coalesce(a.sum_value, 0.0) AS sum_value,
+         |       a.min_value, a.max_value, coalesce(a.n, 0) AS n
+         |FROM spine s LEFT JOIN agg a USING (window_start)
+         |ORDER BY window_start""".stripMargin
+    }) { (s, dir) =>
+      val t = freshTsdb(s)
+      t.createDatabase("bench")
+      t.createMeasurement("bench", "events", schema)
+      t.writePoints("bench", "events", "click",
+        canonicalPoints(s, dir).filter(col("series") === "click")
+          .select(col("time_us").as("time_ns"), col("v")))
+      t.sumWindows("bench", "events", "click", "v", T0, T1, DAY)
+    },
+
+    // Op #2 THROUGH the engine (select_op_last, select_op.cc:233-371):
+    // LAST 100 of the range on engine-written data, emitted ascending.
+    QueryDef.withOracle("engine_select_last",
+      s"""SELECT * FROM (
+         |  SELECT time_us, v FROM $PTS
+         |  WHERE series = 'click' AND time_us BETWEEN $T0 AND $T1
+         |  ORDER BY time_us DESC LIMIT 100
+         |) ORDER BY time_us""".stripMargin) { (s, dir) =>
+      val t = freshTsdb(s)
+      t.createDatabase("bench")
+      t.createMeasurement("bench", "events", schema)
+      t.writePoints("bench", "events", "click",
+        canonicalPoints(s, dir).filter(col("series") === "click")
+          .select(col("time_us").as("time_ns"), col("v")))
+      t.select("bench", "events", "click", Seq("v"), T0, T1, last = Some(100))
+        .select(col("time_ns").as("time_us"), col("v"))
+    },
+
     // Op #12 on engine data (list_active_series, measurement.cc:49-63) over
     // per-series watermarks: one series is front-deleted, so its visible
     // count differs from its stored count.
