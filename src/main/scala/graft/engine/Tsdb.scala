@@ -362,6 +362,87 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
     fc.rename(tmp, bdir, Options.Rename.OVERWRITE)
   }
 
+  // ---------------------------------------------------------------- compact
+
+  /** Compact a series: rewrite every bucket directory holding more than one
+    * file into time-sorted zstd parquet (reference analog: full chunks
+    * become gzip-compressed read-only, src/libtsdb/write.cc:266-315 — here
+    * the append path stays on fast codecs and compaction produces the dense
+    * immutable form). Streaming micro-batch ingest is exactly the workload
+    * that fragments buckets; at scale, scan cost is per-FILE as much as
+    * per-byte, so this is the maintenance op that keeps reads O(buckets).
+    *
+    * One distributed job rewrites ALL fragmented buckets (bucket-pruned
+    * read, range-partitioned by (bucket, time) so hot buckets split into
+    * several disjoint-range sorted files); the swap is per-bucket atomic
+    * (old dir → trash, new dir → live, trash dropped last) and
+    * crash-recoverable: a bucket can never be lost because its old files
+    * are not deleted until its new files are in place — `recoverCompact`
+    * restores any bucket caught mid-swap. Contract: same single writer per
+    * series as writePoints (no append may run concurrently).
+    *
+    * @return number of buckets rewritten */
+  def compact(db: String, m: String, series: String): Long = {
+    val schema = getSchema(db, m)
+    val sdir = new Path(dataDir(db, m), s"$SeriesCol=$series")
+    val f = fs(sdir)
+    recoverCompact(sdir)
+    if (!f.exists(sdir)) return 0L
+    val fragmented = f.listStatus(sdir).toSeq.filter { st =>
+      st.getPath.getName.startsWith(s"$BucketCol=") &&
+        f.listStatus(st.getPath).count(_.getPath.getName.endsWith(".parquet")) > 1
+    }.map(_.getPath.getName.stripPrefix(s"$BucketCol=").toLong)
+    if (fragmented.isEmpty) return 0L
+
+    val tmp = new Path(sdir, Tsdb.CompactTmp)
+    val trash = new Path(sdir, Tsdb.CompactTrash)
+    f.delete(tmp, true)
+    f.delete(trash, true)
+    // one distributed rewrite of every fragmented bucket: the bucket IN-list
+    // prunes the scan to exactly those directories
+    spark.read.option("basePath", sdir.toString)
+      .schema(StructType(schema.dataStruct.fields.toSeq :+ StructField(BucketCol, LongType)))
+      .parquet(sdir.toString)
+      .filter(col(BucketCol).isin(fragmented: _*))
+      .repartitionByRange(col(BucketCol), col(TimeCol))
+      .sortWithinPartitions(BucketCol, TimeCol)
+      .write.option("compression", "zstd").partitionBy(BucketCol)
+      .parquet(tmp.toString)
+    // per-bucket atomic swap; old files survive in trash until the new dir
+    // is live, so a crash anywhere leaves the bucket recoverable
+    f.mkdirs(trash)
+    val fc = FileContext.getFileContext(sdir.toUri, hconf)
+    fragmented.foreach { b =>
+      val live = new Path(sdir, s"$BucketCol=$b")
+      val next = new Path(tmp, s"$BucketCol=$b")
+      if (f.exists(next)) { // empty buckets can't exist, but stay defensive
+        fc.rename(live, new Path(trash, s"$BucketCol=$b"), Options.Rename.OVERWRITE)
+        fc.rename(next, live, Options.Rename.NONE)
+      }
+    }
+    f.delete(trash, true)
+    f.delete(tmp, true)
+    fragmented.size.toLong
+  }
+
+  /** Crash recovery for `compact`: any bucket moved to trash whose live dir
+    * never appeared is restored (the compacted data was equal by
+    * construction, so restoring the original files is always correct);
+    * leftover tmp/trash dirs are then dropped. Idempotent. */
+  private def recoverCompact(sdir: Path): Unit = {
+    val f = fs(sdir)
+    val trash = new Path(sdir, Tsdb.CompactTrash)
+    if (f.exists(trash)) {
+      val fc = FileContext.getFileContext(sdir.toUri, hconf)
+      f.listStatus(trash).foreach { st =>
+        val live = new Path(sdir, st.getPath.getName)
+        if (!f.exists(live)) fc.rename(st.getPath, live, Options.Rename.NONE)
+      }
+      f.delete(trash, true)
+    }
+    f.delete(new Path(sdir, Tsdb.CompactTmp), true)
+  }
+
   // ---------------------------------------------------------------- delete
 
   /** Delete-from-front: `DELETE WHERE time_ns <= t` advances `time_first` to
@@ -555,4 +636,8 @@ object Tsdb {
   /** Batch size above which the append pays repartitionByRange's sampling
     * pass to split hot buckets across tasks; below it, hash-on-bucket. */
   val RangeWriteThreshold: Long = 32L * 1000 * 1000
+  /** Hidden staging dirs of `compact` (leading dot: invisible to Spark's
+    * file index, so readers never see half-written compaction output). */
+  private[engine] val CompactTmp = ".compacting"
+  private[engine] val CompactTrash = ".compact-trash"
 }

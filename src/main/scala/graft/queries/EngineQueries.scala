@@ -142,6 +142,31 @@ object EngineQueries {
         .select(col("time_ns").as("time_us"), col("v"))
     },
 
+    // Compaction (reference analog: full chunks become gzip-compressed
+    // read-only, write.cc:266-315): three micro-batch appends fragment the
+    // buckets, compact() rewrites them into dense zstd files, and the read
+    // back must still hash-match the canonical points — proving the
+    // maintenance op changes the physical layout only.
+    QueryDef.withOracle("engine_compact",
+      s"""SELECT time_us, v FROM $PTS
+         |WHERE series = 'purchase' ORDER BY time_us""".stripMargin) { (s, dir) =>
+      val t = freshTsdb(s)
+      t.createDatabase("bench")
+      t.createMeasurement("bench", "events", schema)
+      val pts = canonicalPoints(s, dir).filter(col("series") === "purchase")
+        .select(col("time_us").as("time_ns"), col("v")).persist()
+      try {
+        // three disjoint ascending batches land in overlapping bucket dirs
+        t.writePoints("bench", "events", "purchase", pts.filter(col("time_ns") <= MID - DAY))
+        t.writePoints("bench", "events", "purchase",
+          pts.filter(col("time_ns") > MID - DAY && col("time_ns") <= MID + DAY))
+        t.writePoints("bench", "events", "purchase", pts.filter(col("time_ns") > MID + DAY))
+      } finally pts.unpersist()
+      t.compact("bench", "events", "purchase")
+      t.select("bench", "events", "purchase", Seq("v"), 0L, Long.MaxValue - 1)
+        .select(col("time_ns").as("time_us"), col("v"))
+    },
+
     // Op #12 on engine data (list_active_series, measurement.cc:49-63) over
     // per-series watermarks: one series is front-deleted, so its visible
     // count differs from its stored count.

@@ -322,6 +322,53 @@ class TsdbEngineSpec extends SparkTestBase {
     assert(new Tsdb(spark, t.rootDir, requestedBucketWidth = 100L).bucketWidth == 100L)
   }
 
+  // ------------------------------------------------------------- compact
+
+  test("compact merges fragmented buckets, preserves data, and is idempotent") {
+    val t = mkTsdb() // bucket width 100
+    t.createDatabase("db1")
+    t.createMeasurement("db1", "m1", schema)
+    // 4 appends into the same two buckets -> fragmented
+    Seq(Seq(100L, 110L), Seq(120L, 130L), Seq(140L, 210L), Seq(220L, 230L)).foreach { ts =>
+      t.writePoints("db1", "m1", "s1",
+        pts(ts.map(x => (x, Some(x), Some(x * 1.5), Some(x.toFloat))): _*))
+    }
+    def filesIn(b: Long): Int = new java.io.File(
+      s"${t.rootDir}/db1/m1/data/series=s1/bucket=$b")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(filesIn(1) > 1 && filesIn(2) > 1)
+    val before = t.select("db1", "m1", "s1", Nil, 0L, 1000L).collect().map(_.toSeq).toSeq
+
+    assert(t.compact("db1", "m1", "s1") == 2L)
+    assert(filesIn(1) == 1 && filesIn(2) == 1)
+    val after = t.select("db1", "m1", "s1", Nil, 0L, 1000L).collect().map(_.toSeq).toSeq
+    assert(after == before)
+    assert(t.seriesRange("db1", "m1", "s1").contains(SeriesRange(100L, 230L)))
+    // already-compacted series: no-op
+    assert(t.compact("db1", "m1", "s1") == 0L)
+    // appends after compaction keep working
+    t.writePoints("db1", "m1", "s1", pts((240L, Some(9L), Some(9.0), Some(9.0f))))
+    assert(t.select("db1", "m1", "s1", Nil, 0L, 1000L).count() == before.size + 1)
+  }
+
+  test("compact crash recovery: a bucket caught mid-swap is restored") {
+    val t = mkTsdb()
+    t.createDatabase("db1")
+    t.createMeasurement("db1", "m1", schema)
+    t.writePoints("db1", "m1", "s1", pts((100L, Some(1L), Some(1.5), Some(1.0f))))
+    t.writePoints("db1", "m1", "s1", pts((110L, Some(2L), Some(2.5), Some(2.0f))))
+    val sdir = java.nio.file.Paths.get(s"${t.rootDir}/db1/m1/data/series=s1")
+    // simulate a crash between "old -> trash" and "new -> live": the live
+    // bucket dir is missing, its old files sit in the trash dir
+    java.nio.file.Files.createDirectories(sdir.resolve(".compact-trash"))
+    java.nio.file.Files.move(sdir.resolve("bucket=1"),
+      sdir.resolve(".compact-trash/bucket=1"))
+    // next compact() first restores, then re-compacts the fragmented bucket
+    assert(t.compact("db1", "m1", "s1") == 1L)
+    val got = t.select("db1", "m1", "s1", Nil, 0L, 1000L).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(100L, 110L))
+  }
+
   // ------------------------------------------------------------- scale
 
   test("range reads prune partitions: bucket filter present, untouched buckets skipped") {
