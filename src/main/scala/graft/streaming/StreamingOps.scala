@@ -40,6 +40,23 @@ object StreamingOps {
         unix_micros(col("window.start")).as("window_start"),
         col("sum_value"), col("min_value"), col("max_value"), col("n"))
 
+  /** Streaming exact dedup over a document stream (schema: `doc_id: Long,
+    * time_us: Long, text: String`): the first arrival of each content hash
+    * passes, replicas within the watermark horizon are dropped. The
+    * training-pipeline counterpart of the batch `dedup_exact` operator —
+    * same 32-byte hash keys on the shuffle, never text. State per distinct
+    * hash is evicted once the watermark passes it, so memory is bounded by
+    * the disorder tolerance, not the corpus: a replica arriving later than
+    * the watermark delay is re-admitted (the bounded-state tradeoff;
+    * unbounded-horizon dedup belongs to the batch pass). */
+  def streamingDedup(docs: DataFrame, watermarkUs: Long): DataFrame =
+    docs
+      .withColumn("event_time", timestamp_micros(col("time_us")))
+      .withColumn("content_hash", sha2(col("text"), 256))
+      .withWatermark("event_time", s"$watermarkUs microseconds")
+      .dropDuplicatesWithinWatermark("content_hash")
+      .drop("event_time")
+
   final case class Point(series: String, time_us: Long, v: Double)
   final case class DiffRow(series: String, time_us: Long, v: Double, difference: Option[Double])
   final case class LastPoint(time_us: Long, v: Double)

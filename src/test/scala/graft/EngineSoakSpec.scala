@@ -36,7 +36,7 @@ class EngineSoakSpec extends SparkTestBase {
 
     var lastBatch: Seq[(Long, Double)] = Nil
     for (step <- 1 to 30) {
-      rng.nextInt(5) match {
+      rng.nextInt(6) match {
         case 0 | 1 => // append new points
           val batch = mkBatch(1 + rng.nextInt(40))
           t.writePoints("db", "m", "s", df(batch))
@@ -59,6 +59,8 @@ class EngineSoakSpec extends SparkTestBase {
             model.rangeTo(cut).keys.toSeq.foreach(model.remove)
             timeFirst = model.headOption.map(_._1).getOrElse(cut + 1)
           }
+        case 5 => // compact: physical-layout-only, the model must not notice
+          t.compact("db", "m", "s")
         case 4 => // verify a random range select + count against the model
           if (timeLast > 0) {
             val t0 = rng.nextLong(timeLast + 2)
