@@ -571,12 +571,18 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
       visibleSeries(db, m, series, t0, t1).withColumn(SeriesCol, lit(series)),
       SeriesCol, TimeCol, field, t0, t1, windowWidth)
 
-  /** Trapezoidal integral (reference integral_op). */
+  /** Trapezoidal integral (reference integral_op). Partial sums are
+    * computed per STORAGE bucket (the op's bucketing aligns with the
+    * engine's layout, so each task integrates the files it reads);
+    * `valueDecimals` passes through to the op for order-independent exact
+    * accumulation of fixed-precision fields. */
   def integrate(db: String, m: String, series: String, field: String,
-                t0: Long, t1: Long, unitsPerSecond: Double = 1e9): DataFrame =
+                t0: Long, t1: Long, unitsPerSecond: Double = 1e9,
+                valueDecimals: Option[Int] = None): DataFrame =
     TimeSeriesOps.integrate(
       visibleSeries(db, m, series, t0, t1).withColumn(SeriesCol, lit(series)),
-      SeriesCol, TimeCol, field, t0, t1, unitsPerSecond)
+      SeriesCol, TimeCol, field, t0, t1, unitsPerSecond,
+      bucketWidth = bucketWidth, valueDecimals = valueDecimals)
 
   /** LIST ACTIVE SERIES: series with ≥1 visible point in range, with counts
     * (reference src/libtsdb/measurement.cc:49-63). */

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
@@ -68,6 +69,17 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_shingles", args =>
         GraftShingles(args(0), args(1).eval().asInstanceOf[Number].intValue), "built-in")
+    reg.createOrReplaceTempFunction(
+      "nearest_centroids", args => {
+        // arg 1 is a foldable array<array<double>> literal (the trained
+        // centroids) — evaluated once here, then baked into the expression
+        // as a reference object rather than plan literals
+        val cs = args(1).eval().asInstanceOf[ArrayData]
+        val packed = (0 until cs.numElements()).map { i =>
+          cs.getArray(i).toDoubleArray().toSeq
+        }
+        NearestCentroids(args(0), packed)
+      }, "built-in")
   }
 
   /** A column rewritten to an exactly-comparable form: float/double become

@@ -166,24 +166,15 @@ object SimilarityOps {
         else sums(c).map(_ / counts(c))
       }.toArray
     }
-    // --- distributed assignment: argmin over centroid distances, computed
-    // as (||c||² − 2 v·c) per centroid — fold one array of (dist, list) ---
-    def listOf(v: Column): Column =
-      aggregate(
-        array(centroids.zipWithIndex.map { case (c, i) =>
-          val c2 = c.map(x => x * x).sum
-          struct((lit(c2) - lit(2.0) * fastDot(v, lit(c))).as("d"), lit(i).as("i"))
-        }: _*),
-        struct(lit(Double.MaxValue).as("d"), lit(-1).as("i")),
-        (acc, x) => when(x.getField("d") < acc.getField("d"), x).otherwise(acc)
-      ).getField("i")
-    def probesOf(v: Column): Column = {
-      val dists = array(centroids.zipWithIndex.map { case (c, i) =>
-        val c2 = c.map(x => x * x).sum
-        struct((lit(c2) - lit(2.0) * fastDot(v, lit(c))).as("d"), lit(i).as("i"))
-      }: _*)
-      slice(array_sort(dists), 1, nProbe) // sorts by (d, i); take nProbe lists
-    }
+    // --- distributed assignment: centroid ids ranked by distance via ONE
+    // codegen'd expression (graft.functions.NearestCentroids) — centroids
+    // ride along as a reference object instead of nLists × dim plan
+    // literals evaluated through interpreted HOFs ---
+    def ranked(v: Column): Column =
+      call_function("nearest_centroids", v,
+        typedLit(centroids.map(_.toSeq).toSeq))
+    def listOf(v: Column): Column = element_at(ranked(v), 1)
+    def probesOf(v: Column): Column = slice(ranked(v), 1, nProbe)
     val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
@@ -192,7 +183,7 @@ object SimilarityOps {
       .withColumn("qn", norm(col("qv")))
       .select(col("query_id"), col("qv"), col("qn"),
         explode(probesOf(col("qv"))).as("probe"))
-      .select(col("query_id"), col("qv"), col("qn"), col("probe.i").as("list"))
+      .select(col("query_id"), col("qv"), col("qn"), col("probe").as("list"))
     val scored = c.join(broadcast(q), Seq("list"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -224,15 +215,16 @@ object SimilarityOps {
   }
 
   /** recall@k of an approximate result against the exact one: fraction of
-    * exact top-k (query, neighbor) pairs the approximate result found. */
+    * exact top-k (query, neighbor) pairs the approximate result found.
+    * Lazy and single-pass — one left join + one agg, so each input pipeline
+    * runs exactly once when the result is materialized (the eager two-count
+    * formulation ran the exact pipeline twice per call). */
   def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
-    val hits = exact.select("query_id", "neighbor_id")
-      .join(approx.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"), "left_semi")
-      .count()
-    val total = exact.count()
-    val spark = exact.sparkSession
-    import spark.implicits._
-    Seq((total, hits, if (total == 0) 0.0 else hits.toDouble / total))
-      .toDF("n_exact", "n_found", "recall")
+    val hit = approx.select("query_id", "neighbor_id").withColumn("hit", lit(1))
+    exact.select("query_id", "neighbor_id")
+      .join(hit, Seq("query_id", "neighbor_id"), "left_outer")
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_found"),
+        coalesce(count(col("hit")).cast("double") / count(lit(1)), lit(0.0))
+          .as("recall"))
   }
 }

