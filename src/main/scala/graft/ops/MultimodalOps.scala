@@ -17,6 +17,12 @@ final case class MediaFeatures(
     asset_id: Long, format: String, n_bytes: Long,
     mean_byte: Double, byte_hist: Array[Long])
 
+/** Output row of the fused resize+decode pass: resized dimensions plus the
+  * feature stats of the RESIZED payload. */
+final case class ResizedFeatures(
+    asset_id: Long, format: String, width: Int, height: Int,
+    n_bytes: Long, mean_byte: Double)
+
 /** STUB DECODER — deterministic fake. A real deployment would link an image/
   * audio codec (javacpp-ffmpeg, twelvemonkeys, …) and decode `payload` into
   * pixels/samples here; those libraries are not available in this
@@ -26,6 +32,21 @@ final case class MediaFeatures(
   * real Spark plumbing a production decoder would use unchanged. */
 object FakeDecoder {
   val HistBuckets = 16
+
+  /** STUB RESIZE — keeps every `stride`-th payload byte and divides the
+    * spatial metadata by `stride` (ceiling). A real codec would decode,
+    * box-filter, re-encode; the interface (binary in → binary out, metadata
+    * transformed alongside) is what the pipeline plumbing exercises. */
+  def resize(a: MediaAsset, stride: Int): MediaAsset = {
+    val n = (a.payload.length + stride - 1) / stride
+    val out = new Array[Byte](math.max(n, 0))
+    var i = 0
+    while (i < n) { out(i) = a.payload(i * stride); i += 1 }
+    a.copy(payload = out,
+      width = (a.width + stride - 1) / stride,
+      height = (a.height + stride - 1) / stride)
+  }
+
   def decode(a: MediaAsset): MediaFeatures = {
     val hist = new Array[Long](HistBuckets)
     var sum = 0L
@@ -75,6 +96,26 @@ object MultimodalOps {
         col("format"), col("asset_id"))
       .as[MediaAsset]
       .mapPartitions(_.map(FakeDecoder.decode))
+  }
+
+  /** Resize + feature-extract fused in ONE typed per-partition pass (the
+    * codec context is opened once per task and reused for both ops — the
+    * shape a real decoder/scaler pipeline needs). The resized payload stays
+    * inside the task; only dimensions and stats of the RESIZED bytes come
+    * out. */
+  def resizeFeatures(assets: DataFrame, stride: Int = 2): Dataset[ResizedFeatures] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .repartitionByRange(spark.sparkContext.defaultParallelism,
+        col("format"), col("asset_id"))
+      .as[MediaAsset]
+      .mapPartitions(_.map { a =>
+        val r = FakeDecoder.resize(a, stride)
+        val f = FakeDecoder.decode(r)
+        ResizedFeatures(a.asset_id, a.format, r.width, r.height,
+          f.n_bytes, f.mean_byte)
+      })
   }
 
   /** Metadata + frame-sampling over the binary payload with pure Catalyst

@@ -61,6 +61,40 @@ object MultimodalQueries {
         .select(col("asset_id"), col("format"), col("n_bytes"), col("mean_byte"),
           concat_ws(",", col("byte_hist")).as("byte_hist"))
         .orderBy("asset_id")
+    },
+
+    // Stub-resize (every 2nd byte, dims halved with ceiling) fused with
+    // feature extraction in one typed pass; the oracle replays the byte
+    // decimation over the ASCII corpus's code points. The resized binary
+    // never leaves the task — only metadata and stats of the resized
+    // payload are emitted.
+    QueryDef.withOracle("mm_resize",
+      """WITH a AS (
+        |  SELECT doc_id, text,
+        |         CAST((doc_id % 640) + 1 AS INT) AS w,
+        |         CAST((doc_id % 480) + 1 AS INT) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, w, h,
+        |         list_transform(
+        |           range(0, CAST(floor((length(text) - 1) / 2) + 1 AS BIGINT)),
+        |           i -> CAST(unicode(substr(text, CAST(2 * i + 1 AS INT), 1)) AS BIGINT)) AS cs
+        |  FROM a)
+        |SELECT doc_id AS asset_id,
+        |  (['audio','image','video'])[CAST(doc_id % 3 AS INT) + 1] AS format,
+        |  CAST((w + 1) // 2 AS INT) AS dst_w,
+        |  CAST((h + 1) // 2 AS INT) AS dst_h,
+        |  CAST(len(cs) AS BIGINT) AS n_bytes,
+        |  CASE WHEN len(cs) = 0 THEN 0.0
+        |       ELSE CAST(list_sum(cs) AS DOUBLE) / len(cs) END AS mean_byte
+        |FROM r ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      MultimodalOps.resizeFeatures(
+        MultimodalOps.assetsFromDocuments(Tables(s, dir, "documents")), stride = 2)
+        .toDF()
+        .select(col("asset_id"), col("format"),
+          col("width").as("dst_w"), col("height").as("dst_h"),
+          col("n_bytes"), col("mean_byte"))
+        .orderBy("asset_id")
     }
   )
 }

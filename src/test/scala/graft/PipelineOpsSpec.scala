@@ -99,6 +99,31 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(f.byte_hist.sum == 4)
   }
 
+  test("NearestCentroids ranks every centroid by (distance, index)") {
+    import org.apache.spark.sql.functions.{call_function, typedLit}
+    val cents = Seq(Seq(0.0, 0.0), Seq(3.0, 0.0), Seq(0.0, 3.0), Seq(1.0, 1.0))
+    val vecs = Seq((0L, Seq(0.2, 0.1)), (1L, Seq(2.5, 0.4)), (2L, Seq(1.1, 1.2)),
+                   (3L, Seq(0.0, 2.0)), (4L, Seq(1.5, 1.5))) // equidistant ties
+    val got = vecs.toDF("id", "v")
+      .select($"id", call_function("nearest_centroids", $"v", typedLit(cents)).as("r"))
+      .as[(Long, Seq[Int])].collect().toMap
+    def brute(v: Seq[Double]): Seq[Int] =
+      cents.indices.sortBy { c =>
+        val d = cents(c).zip(v).map { case (a, b) => (a - b) * (a - b) }.sum
+        (d, c)
+      }
+    vecs.foreach { case (id, v) => assert(got(id) == brute(v), s"vec $id") }
+  }
+
+  test("FakeDecoder.resize decimates bytes and halves dimensions (ceiling)") {
+    val a = MediaAsset(1L, "image", Array[Byte](10, 20, 30, 40, 50), 5, 4, 3, 16000)
+    val r = FakeDecoder.resize(a, 2)
+    assert(r.payload.toSeq == Seq[Byte](10, 30, 50))
+    assert(r.width == 3 && r.height == 2)
+    val empty = FakeDecoder.resize(a.copy(payload = Array.emptyByteArray), 2)
+    assert(empty.payload.isEmpty)
+  }
+
   test("sampleFrames: n_bytes, checksum and frame codes line up with the text") {
     val row = MultimodalOps.sampleFrames(
         MultimodalOps.assetsFromDocuments(docs.filter($"doc_id" === 0)),
