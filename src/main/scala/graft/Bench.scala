@@ -25,7 +25,9 @@ object Bench {
     // first touch of a cold session costs ~2 s in parquet-reader/codegen
     // init alone, and the alphabetically-first queries would otherwise
     // absorb it all.
-    Seq("tsdb_window_sum", "ann_topk", "text_langid").foreach { w =>
+    // engine_count also builds the shared read-only engine fixture, so the
+    // read-side engine queries measure reads, not the one-time fixture build
+    Seq("tsdb_window_sum", "ann_topk", "text_langid", "engine_count").foreach { w =>
       try SparkEntry.queries(w)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
