@@ -49,37 +49,39 @@ case class FloatRawBits(child: Expression) extends UnaryExpression {
 }
 
 object GraftFunctions {
+
+  /** Name → expression builder for every graft native function — the single
+    * source for per-session registration (`register`) and cluster-wide
+    * installation via `spark.sql.extensions` (graft.GraftExtensions). */
+  val specs: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "double_raw_bits" -> (args => DoubleRawBits(args.head)),
+    "float_raw_bits" -> (args => FloatRawBits(args.head)),
+    "graft_dot" -> (args => DotProductDouble(args(0), args(1))),
+    "graft_minhash" -> (args =>
+      GraftMinHash(args(0), args(1).eval().asInstanceOf[Number].intValue)),
+    "graft_simhash" -> (args =>
+      GraftSimHash(args(0), args(1).eval().asInstanceOf[Number].intValue)),
+    "graft_word_hashes" -> (args => GraftWordHashes(args.head)),
+    "graft_shingles" -> (args =>
+      GraftShingles(args(0), args(1).eval().asInstanceOf[Number].intValue)),
+    // arg 1 is a foldable array<array<double>> literal (the trained
+    // centroids) — evaluated once at resolution, then baked into the
+    // expression as a reference object rather than plan literals
+    "nearest_centroids" -> (args => {
+      val cs = args(1).eval().asInstanceOf[ArrayData]
+      val packed = (0 until cs.numElements()).map { i =>
+        cs.getArray(i).toDoubleArray().toSeq
+      }
+      NearestCentroids(args(0), packed)
+    })
+  )
+
   /** Idempotent per-session registration of the graft native functions. */
   def register(spark: SparkSession): Unit = synchronized {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "double_raw_bits", args => DoubleRawBits(args.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "float_raw_bits", args => FloatRawBits(args.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_dot", args => DotProductDouble(args(0), args(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_minhash", args =>
-        GraftMinHash(args(0), args(1).eval().asInstanceOf[Number].intValue), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_simhash", args =>
-        GraftSimHash(args(0), args(1).eval().asInstanceOf[Number].intValue), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_word_hashes", args => GraftWordHashes(args.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_shingles", args =>
-        GraftShingles(args(0), args(1).eval().asInstanceOf[Number].intValue), "built-in")
-    reg.createOrReplaceTempFunction(
-      "nearest_centroids", args => {
-        // arg 1 is a foldable array<array<double>> literal (the trained
-        // centroids) — evaluated once here, then baked into the expression
-        // as a reference object rather than plan literals
-        val cs = args(1).eval().asInstanceOf[ArrayData]
-        val packed = (0 until cs.numElements()).map { i =>
-          cs.getArray(i).toDoubleArray().toSeq
-        }
-        NearestCentroids(args(0), packed)
-      }, "built-in")
+    specs.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 
   /** A column rewritten to an exactly-comparable form: float/double become

@@ -315,6 +315,49 @@ object EngineQueries {
       } finally pts.unpersist()
       t.select("bench", "events", "purchase", Seq("v"), 0L, Long.MaxValue - 1)
         .select(col("time_ns").as("time_us"), col("v"))
+    },
+
+    // Structured Streaming ingest END-TO-END in the correctness gate
+    // (SURVEY §7.2.7; replaces the reference's WAL+commit, wal.cc:248-347):
+    // two AvailableNow drains over a growing parquet staging dir, SAME
+    // checkpoint — the second run must resume from the checkpoint and pick
+    // up only the new files. Replay/crash semantics have dedicated tests
+    // (StreamingIngestSpec); the oracle here pins the resulting visibility.
+    QueryDef.withOracle("engine_stream_ingest",
+      s"""SELECT time_us, v FROM $PTS
+         |WHERE series = 'click' ORDER BY time_us""".stripMargin) { (s, dir) =>
+      val t = freshTsdb(s)
+      t.createDatabase("bench")
+      t.createMeasurement("bench", "events", schema)
+      val stage = java.nio.file.Files.createTempDirectory("graft-stage-").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
+      val pts = canonicalPoints(s, dir).filter(col("series") === "click")
+        .select(col("series"), col("time_us").as("time_ns"), col("v")).persist()
+      try {
+        val srcSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("series",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("time_ns",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.DoubleType)))
+        def drain(): Unit = {
+          val src = s.readStream.schema(srcSchema).parquet(stage)
+          graft.streaming.StreamingIngest
+            .start(t, "bench", "events", src, "series", ckpt)
+            .awaitTermination()
+        }
+        // run 1: everything up to MID; run 2 appends the remainder (later
+        // times only, so micro-batch boundaries respect the append contract)
+        pts.filter(col("time_ns") <= MID).repartition(1)
+          .write.mode("append").parquet(stage)
+        drain()
+        pts.filter(col("time_ns") > MID).repartition(1)
+          .write.mode("append").parquet(stage)
+        drain()
+      } finally pts.unpersist()
+      t.select("bench", "events", "click", Seq("v"), 0L, Long.MaxValue - 1)
+        .select(col("time_ns").as("time_us"), col("v"))
     }
   )
 }
