@@ -284,6 +284,50 @@ object TimeSeriesOps {
       .withColumn("difference", col(valCol) - col(s"_prev_$valCol"))
       .drop(s"_prev_$valCol")
 
+  /** Backward AS-OF join — an extension beyond the reference, which has no
+    * join of any kind (SURVEY §2.4): each left row picks the right stream's
+    * latest (timestamp, value) at-or-before its own timestamp (sensor
+    * alignment, price/quote matching). Rows with equal timestamps match
+    * (`>=` semantics, like DuckDB/QuestDB ASOF).
+    *
+    * Scale shape: both streams bucket by time; the within-bucket carry is a
+    * bucketed running `last(ignoreNulls)` (parallelism = touched buckets,
+    * never one task per stream), and the cross-bucket carry is repaired
+    * from a buckets-count-sized running table broadcast back. Value PICKING
+    * only — no arithmetic — so results are bitwise-stable and DuckDB's
+    * native ASOF JOIN replays them exactly. */
+  def asofJoin(left: DataFrame, right: DataFrame, tsCol: String,
+               rightValCol: String,
+               bucketWidth: Long = 3600L * 1000000000L): DataFrame = {
+    val lcols = left.columns.toSeq
+    val l = left.withColumn("_src", lit(1))
+    val r = right.select(col(tsCol), col(rightValCol).as("_rv"))
+      .withColumn("_rt", col(tsCol)).withColumn("_src", lit(0))
+    val tagged = l.unionByName(r, allowMissingColumns = true)
+      .withColumn(B, expr(s"$tsCol div ${bucketWidth}L"))
+    // right rows sort before left rows at equal ts (_src 0 < 1) -> inclusive
+    val wb = Window.partitionBy(B).orderBy(col(tsCol), col("_src"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = tagged
+      .withColumn("_cv", last("_rv", ignoreNulls = true).over(wb))
+      .withColumn("_ct", last("_rt", ignoreNulls = true).over(wb))
+    // cross-bucket repair over the tiny per-bucket table (one row per
+    // touched bucket — the unpartitioned window is bucket-count-sized by
+    // construction, not data-sized)
+    val perBucket = tagged.groupBy(col(B))
+      .agg(max(col("_rt")).as("_bt"), max_by(col("_rv"), col("_rt")).as("_bv"))
+    val ws = Window.orderBy(B).rowsBetween(Window.unboundedPreceding, -1)
+    val prior = perBucket
+      .withColumn("_pv", last("_bv", ignoreNulls = true).over(ws))
+      .withColumn("_pt", last("_bt", ignoreNulls = true).over(ws))
+      .select(col(B), col("_pv"), col("_pt"))
+    carried.filter(col("_src") === 1)
+      .join(broadcast(prior), Seq(B), "left")
+      .withColumn("asof_time", coalesce(col("_ct"), col("_pt")))
+      .withColumn(s"asof_$rightValCol", coalesce(col("_cv"), col("_pv")))
+      .select(lcols.map(col) :+ col("asof_time") :+ col(s"asof_$rightValCol"): _*)
+  }
+
   /** §2.3 Derivative: dv/dt in value-units per second, bucket-parallel. */
   def derivative(df: DataFrame, seriesCol: String, tsCol: String, valCol: String,
                  unitsPerSecond: Double, tiebreak: Seq[String] = Nil,

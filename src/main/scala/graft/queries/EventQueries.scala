@@ -187,6 +187,30 @@ object EventQueries {
       TimeSeriesOps.derivative(base, "series", "time_us", "value", UPS, Seq("event_id"), DAY)
         .select("series", "time_us", "event_id", "derivative")
         .orderBy("series", "time_us", "event_id")
+    },
+
+    // EXTENSION: backward as-of join (the reference has no joins at all,
+    // SURVEY §2.4 — this is the cross-series alignment every TSDB user
+    // reaches for). Canonical per-series points (min value per µs) so both
+    // engines see identical inputs; DuckDB's native ASOF JOIN is the
+    // oracle. Value picking only -> bitwise-stable.
+    QueryDef.withOracle("tsdb_asof_join",
+      s"""WITH pts AS (SELECT series, time_us, min(value) AS v
+         |            FROM $EV GROUP BY 1, 2),
+         |c AS (SELECT time_us, v AS click_v FROM pts WHERE series = 'click'),
+         |p AS (SELECT time_us, v FROM pts WHERE series = 'purchase')
+         |SELECT c.time_us, c.click_v, p.time_us AS asof_time, p.v AS asof_v
+         |FROM c ASOF LEFT JOIN p ON c.time_us >= p.time_us
+         |ORDER BY c.time_us""".stripMargin) { (s, dir) =>
+      val pts = Tables.eventsTsdb(s, dir)
+        .groupBy("series", "time_us").agg(min("value").as("v"))
+      val clicks = pts.filter(col("series") === "click")
+        .select(col("time_us"), col("v").as("click_v"))
+      val purchases = pts.filter(col("series") === "purchase")
+        .select("time_us", "v")
+      TimeSeriesOps.asofJoin(clicks, purchases, "time_us", "v", bucketWidth = DAY)
+        .select(col("time_us"), col("click_v"), col("asof_time"), col("asof_v"))
+        .orderBy("time_us")
     }
     // delete-from-front semantics are exercised for real by
     // graft.queries.EngineQueries (engine_delete_front): write -> delete ->

@@ -81,4 +81,25 @@ class TimeSeriesOpsSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSeq
     assert(last == Seq(470L, 610L, 900L)) // last 3, ASCENDING
   }
+
+  test("asofJoin: >= tie semantics, empty-bucket carry, pre-history NULLs") {
+    // bucketWidth 100: right has nothing in buckets 2..3 — lefts there must
+    // carry bucket 1's last right value across the empty gap; the left row
+    // before any right data gets NULLs; equal timestamps match (>=).
+    val left = Seq(40L, 120L, 150L, 250L, 360L, 400L)
+      .map(t => (t, t * 10.0)).toDF("ts", "lv")
+    val right = Seq((50L, 1.0), (120L, 2.0), (199L, 3.0), (400L, 4.0))
+      .toDF("ts", "rv")
+    val got = TimeSeriesOps.asofJoin(left, right, "ts", "rv", bucketWidth = 100L)
+      .select("ts", "asof_time", "asof_rv")
+      .collect().map(r => r.getLong(0) -> (
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)),
+         if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(got(40L) == (None, None))                 // before all right data
+    assert(got(120L) == (Some(120L), Some(2.0)))     // equal ts matches
+    assert(got(150L) == (Some(120L), Some(2.0)))
+    assert(got(250L) == (Some(199L), Some(3.0)))     // bucket 2: cross-bucket carry
+    assert(got(360L) == (Some(199L), Some(3.0)))     // bucket 3: across EMPTY bucket
+    assert(got(400L) == (Some(400L), Some(4.0)))
+  }
 }
