@@ -260,6 +260,115 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
     WriteResult(written, discarded, overlapN)
   }
 
+  /** Bulk append of a MULTI-series batch in one distributed pass — the
+    * backfill path (reference analog: large writes bypass the WAL and
+    * commit directly, src/libtsdb/wal.cc:248-277). Where `writePoints` runs
+    * one validation job + one write job PER series, bulkLoad runs one
+    * validation job and one `partitionBy(series, bucket)` write job for the
+    * whole batch — at backfill scale that is the difference between O(series)
+    * and O(1) job launches, with the write spread over the full cluster.
+    *
+    * Semantics vs `writePoints`: same non-null/unique-per-series timestamp
+    * validation, same silent discard of points below a series' delete
+    * watermark `time_first`; but any point at-or-below an existing series'
+    * `time_last` REJECTS the whole batch (no idempotent-rewrite window —
+    * replays belong to the per-series path). Contract: exclusive writer for
+    * the measurement while a bulk load runs (the shared `partitionBy` write
+    * stages through one `_temporary/`; see `appendSorted` on why concurrent
+    * same-directory jobs must not overlap).
+    *
+    * Crash safety: per-series append-intent markers bracket the write, so a
+    * died bulk load is healed by the normal recovery on each series' next
+    * append. @return per-series written counts. */
+  def bulkLoad(db: String, m: String, points: DataFrame): Map[String, Long] = {
+    val schema = getSchema(db, m)
+    val cols = SeriesCol +: TimeCol +: schema.fields.map(_.name)
+    val missing = cols.filterNot(points.columns.contains)
+    if (missing.nonEmpty)
+      throw new InvalidSchemaException(s"bulk batch missing columns: ${missing.mkString(",")}")
+    val pts = points.select(
+      col(SeriesCol).cast(StringType).as(SeriesCol) +:
+      col(TimeCol).cast(LongType).as(TimeCol) +:
+      schema.fields.map(f => col(f.name).cast(f.ftype.spark).as(f.name)): _*)
+
+    // existing watermarks, broadcast against the batch (catalog-scale)
+    val wms = listSeries(db, m).flatMap(sn => seriesRange(db, m, sn).map(sn -> _)).toMap
+    import spark.implicits._
+    val wdf = broadcast(
+      (if (wms.isEmpty) Seq((null: String, 0L, Long.MinValue)) // keep join resolvable
+       else wms.toSeq.map { case (sn, r) => (sn, r.timeFirst, r.timeLast) })
+        .toDF(SeriesCol, "_tf", "_tl"))
+    val tagged = pts.join(wdf, Seq(SeriesCol), "left")
+      .withColumn("_tf", coalesce(col("_tf"), lit(Long.MinValue)))
+      .withColumn("_tl", coalesce(col("_tl"), lit(Long.MinValue)))
+    // keep = above both watermarks; discard = inside the delete window
+    // [min(tf,tl+1), tf) — identical visibility rules to writePoints
+    val keep = col(TimeCol) > col("_tl") && col(TimeCol) >= col("_tf")
+
+    // ONE validation job for every series
+    val stats = tagged.groupBy(col(SeriesCol)).agg(
+      count(lit(1)).as("n"), count(col(TimeCol)).as("n_ts"),
+      countDistinct(col(TimeCol)).as("n_distinct"),
+      sum(when(col(TimeCol) <= col("_tl"), 1L).otherwise(0L)).as("overlap"),
+      count(when(keep, lit(1))).as("new_n"),
+      min(when(keep, col(TimeCol))).as("new_min"),
+      max(when(keep, col(TimeCol))).as("new_max")).collect()
+    // row layout: series(0), n(1), n_ts(2), n_distinct(3), overlap(4),
+    // new_n(5), new_min(6), new_max(7) — groupBy key leads
+    stats.foreach { r =>
+      val sn = r.getString(0)
+      validName(sn, "series")
+      if (r.getLong(3) < r.getLong(1))
+        throw new OutOfOrderTimestampsException(
+          s"$sn: ${r.getLong(1) - r.getLong(3)} duplicate/NULL timestamps in bulk batch")
+      if (r.getLong(4) > 0)
+        throw new OverwriteMismatchException(
+          s"$sn: ${r.getLong(4)} points at-or-below time_last — bulk load is append-only")
+    }
+    // heal any series a previous append/bulk load died on (same recovery
+    // rules as writePoints: truncate orphans above the watermark, or drop
+    // the dir when no watermark was ever written)
+    stats.map(_.getString(0)).foreach { sn =>
+      val p = pendingPath(db, m, sn)
+      if (fs(p).exists(p)) {
+        wms.get(sn) match {
+          case Some(r) => truncateAbove(db, m, sn, schema, r.timeLast)
+          case None =>
+            val sdir = new Path(dataDir(db, m), s"$SeriesCol=$sn")
+            fs(sdir).delete(sdir, true)
+        }
+        fs(p).delete(p, false)
+      }
+    }
+
+    val toWrite = stats.filter(_.getLong(5) > 0)
+    if (toWrite.isEmpty) return Map.empty
+
+    toWrite.foreach(r => atomicWrite(pendingPath(db, m, r.getString(0)), """{"version":1}"""))
+    val par = spark.sparkContext.defaultParallelism
+    tagged.filter(keep)
+      .withColumn(BucketCol,
+        expr(s"($TimeCol - pmod($TimeCol, ${bucketWidth}L)) div ${bucketWidth}L"))
+      .select(col(SeriesCol) +: col(BucketCol) +: col(TimeCol) +:
+        schema.fields.map(f => col(f.name)): _*)
+      .repartitionByRange(par, col(SeriesCol), col(BucketCol), col(TimeCol))
+      .sortWithinPartitions(SeriesCol, BucketCol, TimeCol)
+      .write.mode("append").partitionBy(SeriesCol, BucketCol)
+      .parquet(dataDir(db, m).toString)
+    toWrite.foreach { r =>
+      val sn = r.getString(0)
+      val (mn, mx) = (r.getLong(6), r.getLong(7))
+      val next = wms.get(sn) match {
+        case Some(prev) => SeriesRange(prev.timeFirst, math.max(prev.timeLast, mx))
+        case None       => SeriesRange(mn, mx)
+      }
+      atomicWrite(metaPath(db, m, sn), next.toJson)
+      val p = pendingPath(db, m, sn)
+      fs(p).delete(p, false)
+    }
+    toWrite.map(r => r.getString(0) -> r.getLong(5)).toMap
+  }
+
   /** Bitwise comparison of the overlap region against storage: a full-outer
     * join on `time_ns` over the (bucket-pruned) stored tail. Any row present
     * on one side only, or any field whose raw bits differ, rejects the write

@@ -358,6 +358,24 @@ object EngineQueries {
       } finally pts.unpersist()
       t.select("bench", "events", "click", Seq("v"), 0L, Long.MaxValue - 1)
         .select(col("time_ns").as("time_us"), col("v"))
+    },
+
+    // Bulk backfill: ALL series in ONE validation job + ONE
+    // partitionBy(series, bucket) write (vs O(series) jobs on the per-series
+    // path) — then read back through the visibility layer. Oracle = every
+    // canonical point of every series.
+    QueryDef.withOracle("engine_bulk_load",
+      s"""SELECT series, time_us, v FROM $PTS
+         |ORDER BY series, time_us""".stripMargin) { (s, dir) =>
+      val t = freshTsdb(s)
+      t.createDatabase("bench")
+      t.createMeasurement("bench", "events", schema)
+      t.bulkLoad("bench", "events",
+        canonicalPoints(s, dir).select(
+          col("series"), col("time_us").as("time_ns"), col("v")))
+      t.visible("bench", "events")
+        .select(col("series"), col("time_ns").as("time_us"), col("v"))
+        .orderBy("series", "time_us")
     }
   )
 }

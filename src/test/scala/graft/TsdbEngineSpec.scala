@@ -381,4 +381,40 @@ class TsdbEngineSpec extends SparkTestBase {
     // the scan must carry a bucket partition predicate, not scan all buckets
     assert(pf.matches("(?s).*PartitionFilters: \\[[^\\]]*bucket[^\\]]*\\].*"), plan)
   }
+
+  test("bulkLoad: one-pass multi-series append; rejects overlap; discards delete window") {
+    val t = mkTsdb()
+    t.createDatabase("db1")
+    t.createMeasurement("db1", "m1", schema)
+    def bulk(rows: (String, Long, Option[Double])*): Map[String, Long] =
+      t.bulkLoad("db1", "m1", rows.toSeq
+        .map { case (s, ts, v) => (s, ts, Option.empty[Long], v, Option.empty[Float]) }
+        .toDF("series", "time_ns", "a", "v", "g"))
+    val w1 = bulk(("s1", 100L, Some(1.0)), ("s1", 250L, Some(2.0)),
+                  ("s2", 120L, Some(9.0)))
+    assert(w1 == Map("s1" -> 2L, "s2" -> 1L))
+    assert(t.listSeries("db1", "m1") == Seq("s1", "s2"))
+    // overlap with s1's time_last rejects the whole batch
+    intercept[OverwriteMismatchException] {
+      bulk(("s1", 250L, Some(2.0)), ("s2", 500L, Some(3.0)))
+    }
+    assert(t.countPoints("db1", "m1", "s2", 0L, Long.MaxValue - 1)
+      .head().getLong(0) == 1L) // rejected batch wrote nothing
+    // duplicate timestamps within one series reject
+    intercept[OutOfOrderTimestampsException] {
+      bulk(("s1", 300L, Some(1.0)), ("s1", 300L, Some(1.0)))
+    }
+    // delete-into-future on s2, then a bulk append into the window: the
+    // windowed points are silently discarded, later ones land
+    t.deleteUpTo("db1", "m1", "s2", 400L)
+    val w2 = bulk(("s2", 390L, Some(4.0)), ("s2", 450L, Some(5.0)),
+                  ("s1", 260L, Some(3.0)))
+    assert(w2 == Map("s1" -> 1L, "s2" -> 1L))
+    val s2 = t.select("db1", "m1", "s2", Seq("v"), 0L, Long.MaxValue - 1)
+      .select("time_ns").as[Long].collect().toSeq
+    assert(s2 == Seq(450L))
+    val s1 = t.select("db1", "m1", "s1", Seq("v"), 0L, Long.MaxValue - 1)
+      .select("time_ns").as[Long].collect().toSeq
+    assert(s1 == Seq(100L, 250L, 260L))
+  }
 }
