@@ -328,6 +328,34 @@ object TimeSeriesOps {
       .select(lcols.map(col) :+ col("asof_time") :+ col(s"asof_$rightValCol"): _*)
   }
 
+  /** Bucketed RANGE join — the other classic cross-stream operator Spark
+    * has no native plan for (extension; the reference has no joins, SURVEY
+    * §2.4): for each left row, aggregate the right rows inside its lookback
+    * window `[t - lookback, t]` (count + max: order-independent, so results
+    * are bitwise-stable). A naive theta-join is O(|L|×|R|); here both sides
+    * shuffle ONCE on bucket id — the right side duplicated into its own and
+    * the successor bucket (lookback ≤ bucketWidth ⇒ every window spans at
+    * most two buckets), an equi-join Catalyst executes as a hash join with
+    * 2× right fan-out, never a nested-loop over the cross product. */
+  def rangeJoinAgg(left: DataFrame, right: DataFrame, tsCol: String,
+                   rightValCol: String, lookback: Long,
+                   bucketWidth: Long = 3600L * 1000000000L): DataFrame = {
+    require(lookback >= 0 && lookback <= bucketWidth,
+      s"lookback must be in [0, bucketWidth]; got $lookback vs $bucketWidth")
+    val lcols = left.columns.toSeq
+    val l = left.withColumn(B, expr(s"$tsCol div ${bucketWidth}L"))
+    val r = right.select(col(tsCol).as("_rt"), col(rightValCol).as("_rv"))
+      .withColumn("_rb", expr(s"_rt div ${bucketWidth}L"))
+      .select(explode(array(col("_rb"), col("_rb") + 1)).as(B),
+        col("_rt"), col("_rv"))
+    l.join(r,
+        l(B) === r(B) && col("_rt") <= col(tsCol) &&
+          col("_rt") >= col(tsCol) - lookback, "left")
+      .groupBy(lcols.map(col): _*)
+      .agg(count(col("_rt")).as("n_in_window"),
+           max(col("_rv")).as("max_in_window"))
+  }
+
   /** §2.3 Derivative: dv/dt in value-units per second, bucket-parallel. */
   def derivative(df: DataFrame, seriesCol: String, tsCol: String, valCol: String,
                  unitsPerSecond: Double, tiebreak: Seq[String] = Nil,

@@ -211,6 +211,34 @@ object EventQueries {
       TimeSeriesOps.asofJoin(clicks, purchases, "time_us", "v", bucketWidth = DAY)
         .select(col("time_us"), col("click_v"), col("asof_time"), col("asof_v"))
         .orderBy("time_us")
+    },
+
+    // EXTENSION: bucketed range join — per click, count/max of purchases in
+    // the trailing 6 h window. Both sides shuffle once on day buckets (2×
+    // right fan-out), never a nested-loop theta join; count/max are
+    // order-independent so the match is bitwise. Oracle = the plain
+    // inequality join DuckDB executes directly.
+    QueryDef.withOracle("tsdb_range_join",
+      s"""WITH pts AS (SELECT series, time_us, min(value) AS v
+         |            FROM $EV GROUP BY 1, 2),
+         |c AS (SELECT time_us, v AS click_v FROM pts WHERE series = 'click'),
+         |p AS (SELECT time_us, v FROM pts WHERE series = 'purchase')
+         |SELECT c.time_us, c.click_v,
+         |       count(p.time_us) AS n_in_window,
+         |       max(p.v) AS max_in_window
+         |FROM c LEFT JOIN p
+         |  ON p.time_us BETWEEN c.time_us - ${6 * 3600000000L} AND c.time_us
+         |GROUP BY c.time_us, c.click_v
+         |ORDER BY c.time_us""".stripMargin) { (s, dir) =>
+      val pts = Tables.eventsTsdb(s, dir)
+        .groupBy("series", "time_us").agg(min("value").as("v"))
+      val clicks = pts.filter(col("series") === "click")
+        .select(col("time_us"), col("v").as("click_v"))
+      val purchases = pts.filter(col("series") === "purchase")
+        .select("time_us", "v")
+      TimeSeriesOps.rangeJoinAgg(clicks, purchases, "time_us", "v",
+          lookback = 6 * 3600000000L, bucketWidth = DAY)
+        .orderBy("time_us")
     }
     // delete-from-front semantics are exercised for real by
     // graft.queries.EngineQueries (engine_delete_front): write -> delete ->

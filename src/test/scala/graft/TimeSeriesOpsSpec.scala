@@ -102,4 +102,20 @@ class TimeSeriesOpsSpec extends SparkTestBase {
     assert(got(360L) == (Some(199L), Some(3.0)))     // bucket 3: across EMPTY bucket
     assert(got(400L) == (Some(400L), Some(4.0)))
   }
+
+  test("rangeJoinAgg counts right rows in the trailing window across bucket edges") {
+    val left = Seq(100L, 210L, 400L).map(t => (t, t * 1.0)).toDF("ts", "lv")
+    val right = Seq((90L, 1.0), (150L, 2.0), (205L, 3.0), (350L, 4.0))
+      .toDF("ts", "rv")
+    // lookback 80, buckets of 100: window [130,210] for left 210 crosses the
+    // 200 boundary and must see both 150 (prior bucket) and 205
+    val got = TimeSeriesOps.rangeJoinAgg(left, right, "ts", "rv",
+        lookback = 80L, bucketWidth = 100L)
+      .select("ts", "n_in_window", "max_in_window")
+      .collect().map(r => r.getLong(0) -> (
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(got(100L) == ((1L, Some(1.0))))   // only 90; 150 is in the future
+    assert(got(210L) == ((2L, Some(3.0))))   // 150 + 205, across the edge
+    assert(got(400L) == ((1L, Some(4.0))))   // 350 from the prior bucket
+  }
 }
