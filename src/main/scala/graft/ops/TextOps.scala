@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the LLM-training-data pipeline (BASELINE.json
@@ -187,4 +188,24 @@ object TextOps {
     least(size(toks).cast("double") / 100.0, lit(1.0)) * 0.4 +
       (lit(1.0) - punctRatio(text)) * 0.3 +
       least(stopwordRatio(toks) * 5.0, lit(1.0)) * 0.3
+
+  /** Corpus keyword extraction: each document's `k` RAREST distinct terms,
+    * ranked by (corpus document-frequency asc, term asc). The integer/string
+    * cousin of TF-IDF — same shuffle shape (per-doc distinct, vocab-sized df
+    * aggregation, term join, per-doc ranking) with none of TF-IDF's
+    * transcendental-function portability hazards (`ln` differs in the last
+    * bit across libm implementations, which would break the bitwise oracle).
+    * Scale: the df side is vocab-sized (shuffle join on `term`, broadcast if
+    * the vocabulary fits); the ranking window partitions per document. */
+  def rareTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val terms = docs.select(col(idCol),
+      explode(array_distinct(tokens(col(textCol)))).as("term"))
+    val df = terms.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    val w = Window.partitionBy(idCol).orderBy(col("doc_freq"), col("term"))
+    terms.join(df, Seq("term"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("doc_freq"))
+      .orderBy(col(idCol), col("rank"))
+  }
 }

@@ -79,6 +79,25 @@ object TextQueries {
           TextOps.fingerprintOfHashes(whs).as("fingerprint"),
           TextOps.simHashOfHashes(whs, 30).as("simhash"))
         .orderBy("doc_id")
+    },
+
+    // Keyword extraction: each document's 3 RAREST distinct terms by corpus
+    // document frequency — the integer/string cousin of TF-IDF (see
+    // TextOps.rareTerms on why not ln-based scores). Ties rank by term.
+    QueryDef.withOracle("text_keywords",
+      s"""WITH terms AS (
+         |  SELECT doc_id, unnest(list_distinct($TOKS)) AS term FROM documents),
+         |df AS (SELECT term, count(*) AS doc_freq FROM terms GROUP BY term),
+         |r AS (SELECT t.doc_id, t.term, df.doc_freq,
+         |        CAST(row_number() OVER (PARTITION BY t.doc_id
+         |          ORDER BY df.doc_freq, t.term) AS BIGINT) AS "rank"
+         |      FROM terms t JOIN df USING (term))
+         |SELECT doc_id, "rank", term, doc_freq FROM r WHERE "rank" <= 3
+         |ORDER BY doc_id, "rank"""".stripMargin) { (s, dir) =>
+      TextOps.rareTerms(
+        Tables(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text", k = 3)
     }
   )
 }

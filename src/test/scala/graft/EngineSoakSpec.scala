@@ -36,10 +36,18 @@ class EngineSoakSpec extends SparkTestBase {
 
     var lastBatch: Seq[(Long, Double)] = Nil
     for (step <- 1 to 30) {
-      rng.nextInt(6) match {
+      rng.nextInt(7) match {
         case 0 | 1 => // append new points
           val batch = mkBatch(1 + rng.nextInt(40))
           t.writePoints("db", "m", "s", df(batch))
+          batch.foreach { case (ts, v) =>
+            if (ts >= timeFirst) { model(ts) = v; timeLast = math.max(timeLast, ts) }
+          }
+          lastBatch = batch
+        case 6 => // bulk-load path: same visibility rules, one-pass write
+          val batch = mkBatch(1 + rng.nextInt(40))
+          t.bulkLoad("db", "m",
+            df(batch).withColumn("series", org.apache.spark.sql.functions.lit("s")))
           batch.foreach { case (ts, v) =>
             if (ts >= timeFirst) { model(ts) = v; timeLast = math.max(timeLast, ts) }
           }
