@@ -40,6 +40,45 @@ object StreamingOps {
         unix_micros(col("window.start")).as("window_start"),
         col("sum_value"), col("min_value"), col("max_value"), col("n"))
 
+  /** SLIDING-window sums per series: like `windowedSums` but each point
+    * contributes to `windowUs / slideUs` overlapping windows (smoothing /
+    * rate dashboards). Beyond the reference's tumbling-only `sum_op` —
+    * Spark's window(w, slide) assigns the overlap set incrementally; state
+    * still bounded by the watermark horizon. `windowUs` must be a multiple
+    * of `slideUs` (Spark window-assignment requirement). */
+  def windowedSumsSliding(points: DataFrame, windowUs: Long, slideUs: Long,
+                          watermarkUs: Long): DataFrame = {
+    require(windowUs % slideUs == 0, "windowUs must be a multiple of slideUs")
+    points
+      .withColumn("event_time", timestamp_micros(col("time_us")))
+      .withWatermark("event_time", s"$watermarkUs microseconds")
+      .groupBy(col("series"),
+        window(col("event_time"), s"$windowUs microseconds",
+          s"$slideUs microseconds"))
+      .agg(sum("v").as("sum_value"), min("v").as("min_value"),
+        max("v").as("max_value"), count("v").as("n"))
+      .select(col("series"),
+        unix_micros(col("window.start")).as("window_start"),
+        col("sum_value"), col("min_value"), col("max_value"), col("n"))
+  }
+
+  /** SESSION windows per series: activity bursts separated by at least
+    * `gapUs` of silence collapse to one row (count + value sum + bounds) —
+    * the classic sessionization the reference cannot express. Spark's
+    * `session_window` merges window state incrementally; the watermark
+    * finalizes a session once no point can extend it. */
+  def sessionCounts(points: DataFrame, gapUs: Long, watermarkUs: Long): DataFrame =
+    points
+      .withColumn("event_time", timestamp_micros(col("time_us")))
+      .withWatermark("event_time", s"$watermarkUs microseconds")
+      .groupBy(col("series"),
+        session_window(col("event_time"), s"$gapUs microseconds"))
+      .agg(count(lit(1)).as("n"), sum("v").as("sum_value"))
+      .select(col("series"),
+        unix_micros(col("session_window.start")).as("session_start"),
+        unix_micros(col("session_window.end")).as("session_end"),
+        col("n"), col("sum_value"))
+
   /** Streaming exact dedup over a document stream (schema: `doc_id: Long,
     * time_us: Long, text: String`): the first arrival of each content hash
     * passes, replicas within the watermark horizon are dropped. The

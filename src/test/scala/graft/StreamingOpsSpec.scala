@@ -36,6 +36,46 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("windowedSumsSliding: a point lands in window/slide overlapping windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Double)]
+    val points = in.toDF().toDF("series", "time_us", "v")
+    val q = StreamingOps.windowedSumsSliding(points,
+        windowUs = 10000000L, slideUs = 5000000L, watermarkUs = 1000000L)
+      .writeStream.format("memory").queryName("wslide").outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(("s", 7000000L, 3.0)) // t=7s -> windows [0,10) and [5,15)
+      q.processAllAvailable()
+      in.addData(("s", 40000000L, 1.0)) // advance watermark, close both
+      q.processAllAvailable()
+      val rows = spark.table("wslide")
+        .select("window_start", "sum_value", "n").as[(Long, Double, Long)]
+        .collect().sortBy(_._1).toSeq
+      assert(rows.contains((0L, 3.0, 1L)))
+      assert(rows.contains((5000000L, 3.0, 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionCounts merges bursts within the gap, splits across it") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Double)]
+    val points = in.toDF().toDF("series", "time_us", "v")
+    val q = StreamingOps.sessionCounts(points, gapUs = 3000000L, watermarkUs = 1000000L)
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Append()).start()
+    try {
+      // burst A: 1s, 3s (within 3s gap) — burst B: 10s (new session)
+      in.addData(("s", 1000000L, 1.0), ("s", 3000000L, 2.0), ("s", 10000000L, 4.0))
+      q.processAllAvailable()
+      in.addData(("s", 30000000L, 0.0)) // close both sessions
+      q.processAllAvailable()
+      val rows = spark.table("sess")
+        .select("session_start", "session_end", "n", "sum_value")
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+      assert(rows.contains((1000000L, 6000000L, 2L, 3.0)))   // A: ends 3s+gap
+      assert(rows.contains((10000000L, 13000000L, 1L, 4.0))) // B
+    } finally q.stop()
+  }
+
   test("streamingDedup drops replicas across micro-batches within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long, String)]
