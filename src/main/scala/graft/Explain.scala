@@ -12,7 +12,8 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("tsdb_select_range", "tsdb_window_sum", "tsdb_integral",
         "q_join_agg", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-        "ann_topk", "ann_lsh", "dedup_embedding", "text_stats")
+        "ann_topk", "ann_lsh", "dedup_embedding", "text_stats",
+        "tsdb_asof_join", "tsdb_range_join", "text_keywords")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
