@@ -207,23 +207,13 @@ object EngineQueries {
       val t = freshTsdb(s)
       t.createDatabase("bench")
       t.createMeasurement("bench", "events", schema)
-      val pts = canonicalPoints(s, dir).persist()
-      try {
-        val seriesNames = pts.select("series").distinct()
-          .collect().map(_.getString(0)).sorted // catalog-scale driver list
-        // series are independent ("embarrassingly parallel", reference
-        // doc/LOCKING.txt:3-8) — write them concurrently
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration.Duration
-        import scala.concurrent.ExecutionContext.Implicits.global
-        Await.result(Future.sequence(seriesNames.toSeq.map { sn =>
-          Future {
-            t.writePoints("bench", "events", sn,
-              pts.filter(col("series") === sn)
-                .select(col("time_us").as("time_ns"), col("v")))
-          }
-        }), Duration.Inf)
-      } finally pts.unpersist()
+      // one-pass population (concurrent per-series writes are exercised by
+      // the shared Fixture build and the engine_write_* queries); what THIS
+      // query pins is active-series visibility over per-series watermarks.
+      // cached: bulkLoad runs a validation action + a write action
+      val pts = canonicalPoints(s, dir).select(
+        col("series"), col("time_us").as("time_ns"), col("v")).persist()
+      try t.bulkLoad("bench", "events", pts) finally pts.unpersist()
       t.deleteUpTo("bench", "events", "error", CUT)
       t.listActiveSeries("bench", "events", T0, T1)
     },
@@ -370,9 +360,9 @@ object EngineQueries {
       val t = freshTsdb(s)
       t.createDatabase("bench")
       t.createMeasurement("bench", "events", schema)
-      t.bulkLoad("bench", "events",
-        canonicalPoints(s, dir).select(
-          col("series"), col("time_us").as("time_ns"), col("v")))
+      val pts = canonicalPoints(s, dir).select(
+        col("series"), col("time_us").as("time_ns"), col("v")).persist()
+      try t.bulkLoad("bench", "events", pts) finally pts.unpersist()
       t.visible("bench", "events")
         .select(col("series"), col("time_ns").as("time_us"), col("v"))
         .orderBy("series", "time_us")
