@@ -50,6 +50,16 @@ final case class WriteResult(written: Long, discarded: Long, overwriteVerified: 
   * (series.h:42-179). Here the contract is single-writer-per-series (Spark
   * jobs are the writers); readers always see a consistent snapshot because
   * parquet files are immutable and the watermark swap is atomic (rename).
+  *
+  * Metadata scale: watermarks are one small JSON object per series —
+  * object-store-friendly (atomic rename, no coordination), mirroring the
+  * reference's `time_first`/`time_last` files, and `visible()` reads them
+  * once per query into a broadcast. Beyond ~10⁵ series per measurement the
+  * per-series listing itself becomes the bottleneck; the upgrade path is
+  * mechanical (swap `_meta/*.json` for a single watermark TABLE keyed by
+  * series — every call site already goes through seriesRange/listSeries)
+  * and deliberately not taken here: the reference's model is thousands of
+  * series, not millions, and a JSON-per-series store is auditable.
   */
 final class Tsdb(val spark: SparkSession, val rootDir: String,
                  requestedBucketWidth: Long = Tsdb.UseExistingWidth) {
