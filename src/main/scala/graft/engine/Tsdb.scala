@@ -56,7 +56,7 @@ final case class WriteResult(written: Long, discarded: Long, overwriteVerified: 
   * reference's `time_first`/`time_last` files, and `visible()` reads them
   * once per query into a broadcast. Beyond ~10⁵ series per measurement the
   * per-series listing itself becomes the bottleneck; the upgrade path is
-  * mechanical (swap `_meta/*.json` for a single watermark TABLE keyed by
+  * mechanical (swap the per-series JSON files for one watermark TABLE keyed by
   * series — every call site already goes through seriesRange/listSeries)
   * and deliberately not taken here: the reference's model is thousands of
   * series, not millions, and a JSON-per-series store is auditable.
