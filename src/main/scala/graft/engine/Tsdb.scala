@@ -304,13 +304,17 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
     // existing watermarks, broadcast against the batch (catalog-scale)
     val wms = listSeries(db, m).flatMap(sn => seriesRange(db, m, sn).map(sn -> _)).toMap
     import spark.implicits._
-    val wdf = broadcast(
-      (if (wms.isEmpty) Seq((null: String, 0L, Long.MinValue)) // keep join resolvable
-       else wms.toSeq.map { case (sn, r) => (sn, r.timeFirst, r.timeLast) })
-        .toDF(SeriesCol, "_tf", "_tl"))
-    val tagged = pts.join(wdf, Seq(SeriesCol), "left")
-      .withColumn("_tf", coalesce(col("_tf"), lit(Long.MinValue)))
-      .withColumn("_tl", coalesce(col("_tl"), lit(Long.MinValue)))
+    val tagged =
+      if (wms.isEmpty)
+        pts.withColumn("_tf", lit(Long.MinValue)).withColumn("_tl", lit(Long.MinValue))
+      else {
+        val wdf = broadcast(
+          wms.toSeq.map { case (sn, r) => (sn, r.timeFirst, r.timeLast) }
+            .toDF(SeriesCol, "_tf", "_tl"))
+        pts.join(wdf, Seq(SeriesCol), "left")
+          .withColumn("_tf", coalesce(col("_tf"), lit(Long.MinValue)))
+          .withColumn("_tl", coalesce(col("_tl"), lit(Long.MinValue)))
+      }
     // keep = above both watermarks; discard = inside the delete window
     // [min(tf,tl+1), tf) — identical visibility rules to writePoints
     val keep = col(TimeCol) > col("_tl") && col(TimeCol) >= col("_tf")

@@ -284,6 +284,50 @@ object TimeSeriesOps {
       .withColumn("difference", col(valCol) - col(s"_prev_$valCol"))
       .drop(s"_prev_$valCol")
 
+  /** Batch sessionization (gaps-and-islands): points of a series separated
+    * by more than `gapUs` start a new session; emits per-session
+    * (start, end, count). Extension beyond the reference (tumbling windows
+    * only, sum_op).
+    *
+    * Scale shape — the naive formulation is TWO whole-series windows
+    * (lag + running sum), a one-task-per-series ceiling. Here: session
+    * STARTS come from the bucket-parallel cross-bucket lag (`withPrev`),
+    * within-bucket islands from a bucketed running sum, and only the
+    * island-level table (session-scale, orders of magnitude smaller than
+    * points) passes through a per-series window before the final
+    * aggregation — the same aggregate-then-small-window pattern as the
+    * integral's boundary repair. Pure longs — bitwise-stable. */
+  def sessionize(df: DataFrame, seriesCol: String, tsCol: String, gapUs: Long,
+                 tiebreak: Seq[String] = Nil,
+                 bucketWidth: Long = 3600L * 1000000000L): DataFrame = {
+    require(gapUs > 0 && gapUs <= bucketWidth,
+      s"gap must be in (0, bucketWidth]; got $gapUs vs $bucketWidth")
+    val prevTs = s"_prev_$tsCol"
+    val marked = withPrev(df.select((seriesCol +: tsCol +: tiebreak).map(col): _*),
+        seriesCol, tsCol, Seq(tsCol), bucketWidth, tiebreak)
+      .withColumn("_start",
+        (col(prevTs).isNull || col(tsCol) - col(prevTs) > gapUs).cast("long"))
+      .withColumn(B, expr(s"$tsCol div ${bucketWidth}L"))
+    val wb = Window.partitionBy(col(seriesCol), col(B))
+      .orderBy((tsCol +: tiebreak).map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // island 0 = leading rows continuing the previous bucket's last session
+    val islands = marked.withColumn("_isl", sum("_start").over(wb))
+    val perIsland = islands.groupBy(col(seriesCol), col(B), col("_isl"))
+      .agg(min(tsCol).as("_first"), max(tsCol).as("_last"),
+        count(lit(1)).as("_n"))
+    // session-scale window: island 0 merges into its predecessor
+    val wsr = Window.partitionBy(seriesCol).orderBy(col(B), col("_isl"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perIsland
+      .withColumn("_sid", sum(when(col("_isl") > 0, 1L).otherwise(0L)).over(wsr))
+      .groupBy(col(seriesCol).as("series"), col("_sid"))
+      .agg(min("_first").as("session_start"), max("_last").as("session_end"),
+        sum("_n").as("n"))
+      .select("series", "session_start", "session_end", "n")
+      .orderBy("series", "session_start")
+  }
+
   /** Backward AS-OF join — an extension beyond the reference, which has no
     * join of any kind (SURVEY §2.4): each left row picks the right stream's
     * latest (timestamp, value) at-or-before its own timestamp (sensor
@@ -300,6 +344,8 @@ object TimeSeriesOps {
                rightValCol: String,
                bucketWidth: Long = 3600L * 1000000000L): DataFrame = {
     val lcols = left.columns.toSeq
+    require(!lcols.exists(Set("_src", "_rv", "_rt", B, "asof_time", s"asof_$rightValCol")),
+      "left columns collide with asofJoin internals")
     val l = left.withColumn("_src", lit(1))
     val r = right.select(col(tsCol), col(rightValCol).as("_rv"))
       .withColumn("_rt", col(tsCol)).withColumn("_src", lit(0))
@@ -343,6 +389,8 @@ object TimeSeriesOps {
     require(lookback >= 0 && lookback <= bucketWidth,
       s"lookback must be in [0, bucketWidth]; got $lookback vs $bucketWidth")
     val lcols = left.columns.toSeq
+    require(!lcols.exists(Set("_rt", "_rv", B, "n_in_window", "max_in_window")),
+      "left columns collide with rangeJoinAgg internals; left rows must also be distinct (grouped output)")
     val l = left.withColumn(B, expr(s"$tsCol div ${bucketWidth}L"))
     val r = right.select(col(tsCol).as("_rt"), col(rightValCol).as("_rv"))
       .withColumn("_rb", expr(s"_rt div ${bucketWidth}L"))

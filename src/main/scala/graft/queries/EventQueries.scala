@@ -239,6 +239,32 @@ object EventQueries {
       TimeSeriesOps.rangeJoinAgg(clicks, purchases, "time_us", "v",
           lookback = 6 * 3600000000L, bucketWidth = DAY)
         .orderBy("time_us")
+    },
+
+    // EXTENSION: batch sessionization — activity bursts per series split at
+    // >5 min silence (gaps-and-islands). The oracle is the classic two-
+    // window SQL; the Spark side is bucket-parallel with island-level merge
+    // (see TimeSeriesOps.sessionize). Distinct timestamps so window tie
+    // order can't differ between engines.
+    QueryDef.withOracle("tsdb_sessionize",
+      s"""WITH pts AS (SELECT DISTINCT series, time_us FROM $EV),
+         |m AS (
+         |  SELECT series, time_us,
+         |    CASE WHEN lag(time_us) OVER w IS NULL
+         |           OR time_us - lag(time_us) OVER w > ${5 * 60000000L}
+         |         THEN 1 ELSE 0 END AS s
+         |  FROM pts WINDOW w AS (PARTITION BY series ORDER BY time_us)),
+         |g AS (SELECT series, time_us,
+         |        sum(s) OVER (PARTITION BY series ORDER BY time_us
+         |                     ROWS UNBOUNDED PRECEDING) AS sid
+         |      FROM m)
+         |SELECT series, min(time_us) AS session_start,
+         |       max(time_us) AS session_end, count(*) AS n
+         |FROM g GROUP BY series, sid
+         |ORDER BY series, session_start""".stripMargin) { (s, dir) =>
+      TimeSeriesOps.sessionize(
+        Tables.eventsTsdb(s, dir).select("series", "time_us").distinct(),
+        "series", "time_us", gapUs = 5 * 60000000L, bucketWidth = DAY)
     }
     // delete-from-front semantics are exercised for real by
     // graft.queries.EngineQueries (engine_delete_front): write -> delete ->

@@ -103,6 +103,18 @@ class TimeSeriesOpsSpec extends SparkTestBase {
     assert(got(400L) == (Some(400L), Some(4.0)))
   }
 
+  test("sessionize merges sessions across bucket edges and splits at the gap") {
+    // buckets of 100, gap 30: one session runs 80..210 ACROSS two bucket
+    // edges; silence >30 then a burst 300..310; a lone point at 900
+    val pts = Seq(80L, 105L, 130L, 160L, 185L, 210L, 300L, 310L, 900L)
+      .map(t => ("s", t)).toDF("series", "ts")
+    val got = TimeSeriesOps.sessionize(pts, "series", "ts", gapUs = 30L,
+        bucketWidth = 100L)
+      .select("session_start", "session_end", "n")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((80L, 210L, 6L), (300L, 310L, 2L), (900L, 900L, 1L)))
+  }
+
   test("rangeJoinAgg counts right rows in the trailing window across bucket edges") {
     val left = Seq(100L, 210L, 400L).map(t => (t, t * 1.0)).toDF("ts", "lv")
     val right = Seq((90L, 1.0), (150L, 2.0), (205L, 3.0), (350L, 4.0))
