@@ -132,7 +132,7 @@ object SimilarityOps {
     * nLists. Exhaustive probing (nProbe = nLists) degenerates to exact. */
   def topKIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 4,
-              iters: Int = 5, seed: Long = 42L): DataFrame = {
+              iters: Int = 15, seed: Long = 42L): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     // --- train centroids on a bounded sample (driver-side mini k-means) ---
     val sample = corpus.select(asDouble(col(vecCol)).as("v"))

@@ -94,14 +94,14 @@ object SimilarityQueries {
         probeRadius = 1)
     },
 
-    // IVF-bucketed approximate top-5 (16 lists, 6 probed, k-means++ init):
+    // IVF-bucketed approximate top-5 (16 lists, 8 probed, k-means++ init):
     // sample-trained coarse quantizer, corpus scanned at ~nProbe/nLists cost
     // per query. Quantizer is data-trained -> rows-only here; exhaustive
     // probing == exact is proved in PipelineOpsSpec.
     QueryDef.rowsOnly("ann_ivf") { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
       SimilarityOps.topKIvf(emb, emb.filter(col("vec_id") < NQ),
-        "vec_id", "embedding", K, nLists = 16, nProbe = 6)
+        "vec_id", "embedding", K, nLists = 16, nProbe = 8)
     },
 
     // recall@5 of each approximate path vs ann_topk — one row per method.
@@ -121,7 +121,7 @@ object SimilarityQueries {
         .withColumn("method", lit("lsh"))
         .unionByName(
           SimilarityOps.recallAtK(exact,
-            SimilarityOps.topKIvf(emb, q, "vec_id", "embedding", K, nLists = 16, nProbe = 6))
+            SimilarityOps.topKIvf(emb, q, "vec_id", "embedding", K, nLists = 16, nProbe = 8))
           .withColumn("method", lit("ivf")))
         .select("method", "n_exact", "n_found", "recall")
     }
