@@ -350,6 +350,31 @@ object EngineQueries {
         .select(col("time_ns").as("time_us"), col("v"))
     },
 
+    // Multi-field schema through the FULL pipeline: f64 + i64 + bool + f32
+    // fields derived deterministically from the canonical points, written
+    // through validated append, read back through the engine layout. The
+    // oracle re-derives the same columns — any type-mapping bug (cast,
+    // NULL propagation, float narrowing) breaks the bitwise match. (u64's
+    // DecimalType(20,0) round-trip is covered by TsdbEngineSpec.)
+    QueryDef.withOracle("engine_multifield",
+      s"""SELECT time_us, v, CAST(floor(v) AS BIGINT) AS whole,
+         |       v > 50.0 AS flag, CAST(v - floor(v) AS REAL) AS frac
+         |FROM $PTS WHERE series = 'purchase' ORDER BY time_us""".stripMargin) { (s, dir) =>
+      val t = freshTsdb(s)
+      t.createDatabase("bench")
+      t.createMeasurement("bench", "events", MeasurementSchema(Seq(
+        Field("v", FieldType.F64), Field("whole", FieldType.I64),
+        Field("flag", FieldType.Bool), Field("frac", FieldType.F32))))
+      t.writePoints("bench", "events", "purchase",
+        canonicalPoints(s, dir).filter(col("series") === "purchase")
+          .select(col("time_us").as("time_ns"), col("v"),
+            floor(col("v")).as("whole"), (col("v") > 50.0).as("flag"),
+            (col("v") - floor(col("v"))).cast("float").as("frac")))
+      t.select("bench", "events", "purchase", Nil, 0L, Long.MaxValue - 1)
+        .select(col("time_ns").as("time_us"), col("v"), col("whole"),
+          col("flag"), col("frac"))
+    },
+
     // Bulk backfill: ALL series in ONE validation job + ONE
     // partitionBy(series, bucket) write (vs O(series) jobs on the per-series
     // path) — then read back through the visibility layer. Oracle = every

@@ -382,6 +382,40 @@ class TsdbEngineSpec extends SparkTestBase {
     assert(pf.matches("(?s).*PartitionFilters: \\[[^\\]]*bucket[^\\]]*\\].*"), plan)
   }
 
+  test("crashed bulk load heals on the next bulk load (no duplicates)") {
+    val t = mkTsdb()
+    freshSeries(t, baseRows: _*) // s1 watermark time_last = 420
+    import org.apache.spark.sql.functions.expr
+    // crash simulation: a bulk load committed files above s1's watermark and
+    // created brand-new series s9, but died before any watermark advanced
+    pts((500L, Some(9L), Some(9.0), Some(9.0f)))
+      .withColumn("bucket", expr("time_ns div 100L"))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"${t.rootDir}/db1/m1/data/series=s1")
+    pts((10L, Some(1L), Some(1.0), Some(1.0f)))
+      .withColumn("bucket", expr("time_ns div 100L"))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"${t.rootDir}/db1/m1/data/series=s9")
+    Seq("s1", "s9").foreach { sn =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(
+        s"${t.rootDir}/db1/m1/_meta/.$sn.pending"), "{\"version\":1}")
+    }
+    // s9 has data but no watermark -> listSeries (meta-based) ignores it
+    assert(t.listSeries("db1", "m1") == Seq("s1"))
+    // replay the whole bulk batch: s1's orphan is truncated then re-appended
+    // (different value — replay wins), s9's orphan dir is dropped and rebuilt
+    val w = t.bulkLoad("db1", "m1", Seq(
+      ("s1", 500L, Option.empty[Long], Option(9.5), Option.empty[Float]),
+      ("s9", 10L, Option.empty[Long], Option(1.5), Option.empty[Float]))
+      .toDF("series", "time_ns", "a", "v", "g"))
+    assert(w == Map("s1" -> 1L, "s9" -> 1L))
+    val s1 = t.select("db1", "m1", "s1", Nil, 0L, 1000L).collect()
+    assert(s1.map(_.getLong(0)).toSeq == baseRows.map(_._1) ++ Seq(500L))
+    assert(s1.last.getDouble(2) == 9.5)
+    val s9 = t.select("db1", "m1", "s9", Nil, 0L, 1000L).collect()
+    assert(s9.map(r => (r.getLong(0), r.getDouble(2))).toSeq == Seq((10L, 1.5)))
+  }
+
   test("bulkLoad: one-pass multi-series append; rejects overlap; discards delete window") {
     val t = mkTsdb()
     t.createDatabase("db1")
