@@ -78,6 +78,28 @@ object RelationalQueries {
         .join(hi, col("c_custkey") === col("o_custkey"), "left_semi")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
+    },
+
+    // Analytic window: each customer's top-2 orders by price. The window
+    // partitions by customer — parallelism scales with customers, and
+    // AQE-coalesced exchanges keep small partitions merged. (Window
+    // functions are absent from the reference, SURVEY §2.4 — extension.)
+    QueryDef.withOracle("q_top_orders_per_cust",
+      """SELECT o_custkey, "rank", o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS "rank"
+        |  FROM orders)
+        |WHERE "rank" <= 2 ORDER BY o_custkey, "rank"""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 2)
+        .select("o_custkey", "rank", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rank")
     }
   )
 }

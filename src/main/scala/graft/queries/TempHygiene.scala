@@ -1,0 +1,36 @@
+package graft.queries
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+/** Stale scratch-root cleanup for the dev mains. Engine queries build their
+  * roots under `java.io.tmpdir` (one per invocation, by design — each write
+  * bench starts from empty); across many Verify/Bench/test runs the leaked
+  * directories accumulate into filesystem pressure that shows up as
+  * bench-to-bench variance. Swept at harness startup only — never while a
+  * session is using them — and only our own prefixes. */
+object TempHygiene {
+  private val Prefixes = Seq(
+    "graft-engine-q-", "graft-engine-fx-", "graft-stage-", "graft-ckpt-",
+    // test-suite scratch roots (stale from previous sbt test runs)
+    "tsdb-test-", "soak-", "replay-tsdb-", "stream-ckpt-", "stream-src-",
+    "stream-tsdb-")
+
+  def sweep(): Unit = {
+    val tmp = Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    if (!Files.isDirectory(tmp)) return
+    val stream = Files.list(tmp)
+    try stream.forEach { p =>
+      val name = p.getFileName.toString
+      if (Prefixes.exists(name.startsWith)) deleteRecursively(p)
+    } finally stream.close()
+  }
+
+  private def deleteRecursively(root: Path): Unit =
+    try {
+      val walk = Files.walk(root)
+      try walk.sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => try Files.deleteIfExists(p) catch { case _: Exception => () })
+      finally walk.close()
+    } catch { case _: Exception => () } // best-effort hygiene only
+}
