@@ -12,6 +12,7 @@ import java.util.Comparator
 object TempHygiene {
   private val Prefixes = Seq(
     "graft-engine-q-", "graft-engine-fx-", "graft-stage-", "graft-ckpt-",
+    "graft-canon-",
     // test-suite scratch roots (stale from previous sbt test runs)
     "tsdb-test-", "soak-", "replay-tsdb-", "stream-ckpt-", "stream-src-",
     "stream-tsdb-")
