@@ -242,13 +242,28 @@ object TimeSeriesOps {
       .withColumn("_bterm",
         (vAs(col("_first_v")) + vAs(col("_pl_v"))) * (col("_first_t") - col("_pl_t")))
     val zero = valueDecimals.fold(lit(0.0))(d => lit(0).cast(DecimalType(18, d)))
+    // decimal path: convert the EXACT decimal sum to a scaled long before
+    // the double division, so both engines perform one identical
+    // int64→double rounding. (A direct decimal→double cast diverges from
+    // DuckDB by 1 ulp once the scaled sum exceeds 2^53: Spark rounds the
+    // rational correctly, DuckDB casts the int128 then divides — two
+    // roundings.) Exact while |sum|·10^d < 2^63 — far beyond the test SFs.
+    def rawIntegral: Column = {
+      val s = coalesce(sum("_psum"), zero) + coalesce(sum("_bterm"), zero)
+      valueDecimals match {
+        case Some(d) =>
+          val scale = math.round(math.pow(10, d)) // integer: decimal stays exact
+          (s * lit(scale)).cast("long").cast("double") /
+            lit(2.0 * unitsPerSecond * scale)
+        case None => s.cast("double") / lit(2.0 * unitsPerSecond)
+      }
+    }
     withBoundary.groupBy(col(seriesCol).as("series"))
       .agg(sum("_n").as("npoints"),
            min("_tmin").as("t0_out"),
            max("_tmax").as("t1_out"),
            max("_any_null").as("any_null"),
-           ((coalesce(sum("_psum"), zero) + coalesce(sum("_bterm"), zero)).cast("double")
-             / lit(2.0 * unitsPerSecond)).as("raw_integral"),
+           rawIntegral.as("raw_integral"),
            min("_only_v").as("only_value"))
       .select(col("series"), col("npoints"),
               col("t0_out"), col("t1_out"),

@@ -265,8 +265,8 @@ object EngineQueries {
          |       min(time_us) AS t0_out, max(time_us) AS t1_out,
          |       CASE WHEN max(CASE WHEN v IS NULL THEN 1 ELSE 0 END) = 1 THEN NULL
          |            WHEN count(*) = 1 THEN min(v)
-         |            ELSE CAST(sum((CAST(v AS DECIMAL(18,2)) + CAST(prev_v AS DECIMAL(18,2)))
-         |                          * (time_us - prev_t)) AS DOUBLE) / 2000000.0
+         |            ELSE CAST(CAST(sum((CAST(v AS DECIMAL(18,2)) + CAST(prev_v AS DECIMAL(18,2)))
+         |                          * (time_us - prev_t)) * 100 AS BIGINT) AS DOUBLE) / 200000000.0
          |       END AS integral
          |FROM base GROUP BY series""".stripMargin) { (s, dir) =>
       Fixture.tsdb(s, dir)

@@ -132,8 +132,8 @@ object EventQueries {
          |       min(time_us) AS t0_out, max(time_us) AS t1_out,
          |       CASE WHEN max(CASE WHEN value IS NULL THEN 1 ELSE 0 END) = 1 THEN NULL
          |            WHEN count(*) = 1 THEN min(value)
-         |            ELSE CAST(sum((CAST(value AS DECIMAL(18,2)) + CAST(prev_v AS DECIMAL(18,2)))
-         |                          * (time_us - prev_t)) AS DOUBLE) / 2000000.0
+         |            ELSE CAST(CAST(sum((CAST(value AS DECIMAL(18,2)) + CAST(prev_v AS DECIMAL(18,2)))
+         |                          * (time_us - prev_t)) * 100 AS BIGINT) AS DOUBLE) / 200000000.0
          |       END AS integral
          |FROM base GROUP BY series ORDER BY series""".stripMargin) { (s, dir) =>
       // valueDecimals=2: the events `value` column carries fixed 2-decimal
