@@ -109,6 +109,41 @@ object TimeSeriesOps {
       .orderBy("window_start")
   }
 
+  /** SLIDING windows (batch; extension — the reference's sum_op is tumbling
+    * only): width `w`, starts aligned to multiples of `slide` (w divisible
+    * by slide), windows fully inside [t0, t1], EMPTY windows emitted like
+    * sumWindows. Each point explodes to its w/slide owning windows and the
+    * aggregation is a plain groupBy — map-side partial agg absorbs the
+    * overlap factor, and no point-to-spine theta join ever forms. */
+  def slidingWindows(df: DataFrame, tsCol: String, valCol: String,
+                     t0: Long, t1: Long, w: Long, slide: Long): DataFrame = {
+    require(slide > 0 && w % slide == 0, "w must be a positive multiple of slide")
+    val spark = df.sparkSession
+    val k = w / slide
+    val s0 = firstWindowStart(t0, slide)
+    val nW = if (t1 - w + 1 < s0) 0L else (t1 - w + 1 - s0) / slide + 1
+    val lastStart = s0 + (nW - 1) * slide
+    val spine = spark.range(nW).select((lit(s0) + col("id") * slide).as("window_start"))
+    val aligned = col(tsCol) - (col(tsCol) % slide)
+    val agg = df
+      .filter(col(tsCol) >= s0 && col(tsCol) < lastStart + w)
+      .select(col(tsCol), col(valCol))
+      .withColumn("window_start",
+        explode(sequence(aligned - (k - 1) * slide, aligned, lit(slide))))
+      .filter(col("window_start").between(s0, lastStart))
+      .groupBy("window_start")
+      .agg(sumExact2(col(valCol)).as("sum_value"),
+           min(valCol).as("min_value"),
+           max(valCol).as("max_value"),
+           count(valCol).as("n"))
+    spine.join(agg, Seq("window_start"), "left")
+      .select(col("window_start"),
+              coalesce(col("sum_value"), lit(0.0)).as("sum_value"),
+              col("min_value"), col("max_value"),
+              coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("window_start")
+  }
+
   /** Op #7 (MEAN, derived client-side in the reference:
     * src/tsdbcli2/main.cc:203-238 — sum/count of sum_op output). Non-empty
     * windows only, grouped per series. */

@@ -241,6 +241,36 @@ object EventQueries {
         .orderBy("time_us")
     },
 
+    // EXTENSION: SLIDING windows (2-day width, 12-hour slide — overlap 4).
+    // Tumbling is the reference's only window shape; overlapping zoom is
+    // what dashboards actually draw. The oracle forms the same windows with
+    // an inequality join against the spine.
+    QueryDef.withOracle("tsdb_window_sliding", {
+      val W = 2 * DAY
+      val S = DAY / 2
+      val s0 = graft.ops.TimeSeriesOps.firstWindowStart(T0, S)
+      val nW = (T1 - W + 1 - s0) / S + 1
+      s"""WITH spine AS (
+         |  SELECT unnest(generate_series($s0, ${s0 + (nW - 1) * S}, $S)) AS window_start
+         |), agg AS (
+         |  SELECT s.window_start,
+         |         CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         |         MIN(p.value) AS min_value, MAX(p.value) AS max_value,
+         |         COUNT(p.value) AS n
+         |  FROM spine s JOIN (SELECT time_us, value FROM $EV WHERE series = 'click') p
+         |    ON p.time_us >= s.window_start AND p.time_us < s.window_start + $W
+         |  GROUP BY 1
+         |)
+         |SELECT s.window_start, coalesce(a.sum_value, 0.0) AS sum_value,
+         |       a.min_value, a.max_value, coalesce(a.n, 0) AS n
+         |FROM spine s LEFT JOIN agg a USING (window_start)
+         |ORDER BY window_start""".stripMargin
+    }) { (s, dir) =>
+      TimeSeriesOps.slidingWindows(
+        Tables.eventsTsdb(s, dir).filter(col("series") === "click"),
+        "time_us", "value", T0, T1, w = 2 * DAY, slide = DAY / 2)
+    },
+
     // EXTENSION: batch sessionization — activity bursts per series split at
     // >5 min silence (gaps-and-islands). The oracle is the classic two-
     // window SQL; the Spark side is bucket-parallel with island-level merge

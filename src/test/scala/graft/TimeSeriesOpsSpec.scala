@@ -82,6 +82,18 @@ class TimeSeriesOpsSpec extends SparkTestBase {
     assert(last == Seq(470L, 610L, 900L)) // last 3, ASCENDING
   }
 
+  test("slidingWindows: overlap factor, alignment, and empty-window emission") {
+    // w=200 slide=100 over fixture [90, 699]: starts 100..500 ([s, s+200) ⊆ 699)
+    val r = TimeSeriesOps.slidingWindows(fixture, "ts", "v", 90L, 699L, 200L, 100L)
+      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getLong(4))).toSeq
+    assert(r == Seq(
+      (100L, 10.0, 4L),  // 1+2+3+4 in [100,300)
+      (200L, 7.0, 2L),   // 3+4 in [200,400)
+      (300L, 5.0, 1L),   // 5 in [300,500); NULL at 470 not counted
+      (400L, 5.0, 1L),   // 5 in [400,600)
+      (500L, 7.0, 1L)))  // 7 at 610 in [500,700)
+  }
+
   test("asofJoin: >= tie semantics, empty-bucket carry, pre-history NULLs") {
     // bucketWidth 100: right has nothing in buckets 2..3 — lefts there must
     // carry bucket 1's last right value across the empty gap; the left row
