@@ -241,6 +241,28 @@ object EventQueries {
         .orderBy("time_us")
     },
 
+    // §2.3 Series="All" fan-out as ONE plan (reference grafana
+    // datasource.go:209-221 loops one query per active series; here a
+    // single per-series window does the whole measurement): LAST 20 of the
+    // range for EVERY series, emitted ascending per series.
+    QueryDef.withOracle("tsdb_last_all_series",
+      s"""SELECT series, time_us, event_id, value FROM (
+         |  SELECT series, time_us, event_id, value,
+         |    row_number() OVER (PARTITION BY series
+         |      ORDER BY time_us DESC, event_id DESC) AS rn
+         |  FROM $EV WHERE time_us BETWEEN $T0 AND $T1)
+         |WHERE rn <= 20 ORDER BY series, time_us, event_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("series")
+        .orderBy(col("time_us").desc, col("event_id").desc)
+      Tables.eventsTsdb(s, dir)
+        .filter(col("time_us").between(T0, T1))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select("series", "time_us", "event_id", "value")
+        .orderBy("series", "time_us", "event_id")
+    },
+
     // EXTENSION: SLIDING windows (2-day width, 12-hour slide — overlap 4).
     // Tumbling is the reference's only window shape; overlapping zoom is
     // what dashboards actually draw. The oracle forms the same windows with
