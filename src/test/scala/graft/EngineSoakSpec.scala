@@ -35,7 +35,7 @@ class EngineSoakSpec extends SparkTestBase {
     def df(rows: Seq[(Long, Double)]): DataFrame = rows.toDF("time_ns", "v")
 
     var lastBatch: Seq[(Long, Double)] = Nil
-    for (step <- 1 to 30) {
+    for (step <- 1 to 45) {
       rng.nextInt(7) match {
         case 0 | 1 => // append new points
           val batch = mkBatch(1 + rng.nextInt(40))
