@@ -243,8 +243,12 @@ object EventQueries {
 
     // §2.3 Series="All" fan-out as ONE plan (reference grafana
     // datasource.go:209-221 loops one query per active series; here a
-    // single per-series window does the whole measurement): LAST 20 of the
-    // range for EVERY series, emitted ascending per series.
+    // single query does the whole measurement): LAST 20 of the range for
+    // EVERY series, ascending per series. Two-phase top-N — a direct
+    // whole-series window would be one task per series (the 5-task
+    // ceiling): phase 1 keeps 20 candidates per (series, day-bucket) in
+    // bucket-parallel windows; phase 2 ranks the candidate table, which is
+    // (series × buckets × 20)-sized, not data-sized.
     QueryDef.withOracle("tsdb_last_all_series",
       s"""SELECT series, time_us, event_id, value FROM (
          |  SELECT series, time_us, event_id, value,
@@ -253,11 +257,15 @@ object EventQueries {
          |  FROM $EV WHERE time_us BETWEEN $T0 AND $T1)
          |WHERE rn <= 20 ORDER BY series, time_us, event_id""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("series")
-        .orderBy(col("time_us").desc, col("event_id").desc)
+      val key = Seq(col("time_us").desc, col("event_id").desc)
+      val wb = Window.partitionBy(col("series"), expr(s"time_us div $DAY"))
+        .orderBy(key: _*)
+      val ws = Window.partitionBy("series").orderBy(key: _*)
       Tables.eventsTsdb(s, dir)
         .filter(col("time_us").between(T0, T1))
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(wb))
+        .filter(col("rn") <= 20) // bucket-parallel candidate pruning
+        .withColumn("rn", row_number().over(ws)) // candidate-scale final rank
         .filter(col("rn") <= 20)
         .select("series", "time_us", "event_id", "value")
         .orderBy("series", "time_us", "event_id")
