@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] puts driver + all executor threads + shuffle + parquet write
+  // buffers in ONE JVM; 8g GC-thrashed the full 51-query bench (r4: queries
+  // ran 4-10x slower inside the full run than in isolation). The bench box
+  // has 128 GiB — size the heap like an executor would be sized.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

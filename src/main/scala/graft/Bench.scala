@@ -40,8 +40,14 @@ object Bench {
       .filter { case (n, _) => wanted(n) }
       .map { case (name, fn) =>
       // isolate queries: drop caches left by earlier queries' staged
-      // hash pipelines so they don't occupy memory during this timing
+      // hash pipelines so they don't occupy memory during this timing.
+      // The explicit GC matters with a large heap: ContextCleaner frees
+      // localCheckpoint blocks and shuffle files only when the JVM collects
+      // the RDD references — without it a 51-query run accumulates every
+      // previous query's blocks and the later (IO-heavy engine) queries run
+      // 3-5x slower against the polluted block manager.
       spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

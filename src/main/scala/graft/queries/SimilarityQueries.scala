@@ -111,10 +111,15 @@ object SimilarityQueries {
     QueryDef.rowsOnly("ann_recall") { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < NQ)
-      // persisted: both recall branches reference the exact pipeline, and
-      // recallAtK is lazy — without the cache it would run twice. The
-      // harness clears caches between queries (Bench/Verify clearCache).
+      // persisted AND force-materialized: both recall branches reference the
+      // exact pipeline. persist() alone is lazy — the union's two branches
+      // then race to compute the same InMemoryRelation partitions
+      // concurrently inside one action, each paying the full exact-top-k
+      // cost (r4 bench: 50 s for ann_recall vs 21 s for its parts). The
+      // count() runs the pipeline once; the branches then read 50 cached
+      // rows. The harness clears caches between queries (Bench/Verify).
       val exact = SimilarityOps.topKExact(emb, q, "vec_id", "embedding", K).persist()
+      exact.count()
       SimilarityOps.recallAtK(exact,
           SimilarityOps.topKLsh(emb, q, "vec_id", "embedding", K,
             tables = TABLES, bits = BITS, dim = DIM, probeRadius = 1))
