@@ -454,6 +454,54 @@ object TimeSeriesOps {
            max(col("_rv")).as("max_in_window"))
   }
 
+  /** Value histogram per series: fixed-width bins `floor(v / binWidth)` with
+    * count + actual min/max per bin (extension — value-distribution zoom for
+    * dashboards; the reference has no value-space operators at all, SURVEY
+    * §2.4). One hash aggregation keyed on (series, bin) — map-side combined,
+    * shuffle rows = series × occupied bins, never the points. */
+  def histogram(df: DataFrame, seriesCol: String, valCol: String,
+                binWidth: Double): DataFrame =
+    df.filter(col(valCol).isNotNull)
+      .groupBy(col(seriesCol).as("series"),
+               floor(col(valCol) / binWidth).as("bin"))
+      .agg(count(lit(1)).as("n"),
+           min(valCol).as("min_v"), max(valCol).as("max_v"))
+      .orderBy("series", "bin")
+
+  /** Exact per-series quantiles by DISTRIBUTED COUNTING SORT (extension).
+    * The naive shapes both fail at scale: a per-series sort/row_number is
+    * one task per series, and sketches (approx_percentile) are inexact.
+    * Here phase 1 reduces the points to one row per (series, DISTINCT
+    * value) — a map-side-combined hash aggregation — and phase 2 walks that
+    * value-space-sized table with a per-series cumulative window (rows =
+    * distinct values, not points; for fixed-precision measurements the
+    * value space is bounded no matter how many points stream in). Each
+    * quantile q picks the stored value at zero-based rank floor((n-1)*q)
+    * ("lower" interpolation — a value PICKED, never computed, so results
+    * are bitwise-stable across engines). */
+  def quantiles(df: DataFrame, seriesCol: String, valCol: String,
+                qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be in [0,1]; got $qs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cnt = df.filter(col(valCol).isNotNull)
+      .groupBy(col(seriesCol).as("series"), col(valCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("series").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cnt.withColumn("cum", sum("c").over(w))
+    val tot = cnt.groupBy("series").agg(sum("c").as("n"))
+    // target = 1-based rank of the chosen value; exactly one (series, v) row
+    // spans it: cum - c < target <= cum
+    val target = floor((col("n") - 1) * col("q")) + 1
+    cum.join(broadcast(tot), "series")
+      .crossJoin(broadcast(qs.toDF("q")))
+      .filter(col("cum") >= target && col("cum") - col("c") < target)
+      .select(col("series"), col("q"), col("v").as("quantile_value"))
+      .orderBy("series", "q")
+  }
+
   /** §2.3 Derivative: dv/dt in value-units per second, bucket-parallel. */
   def derivative(df: DataFrame, seriesCol: String, tsCol: String, valCol: String,
                  unitsPerSecond: Double, tiebreak: Seq[String] = Nil,

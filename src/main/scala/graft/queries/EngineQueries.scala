@@ -174,6 +174,34 @@ object EngineQueries {
       Fixture.tsdb(s, dir).sumWindows("bench", "events", "click", "v", T0, T1, DAY)
     },
 
+    // Op #7 THROUGH the engine (windowed MEAN — derived sum/count like the
+    // reference clients, src/tsdbcli2/main.cc:203-238): non-empty windows of
+    // the click series, read from the bucket-pruned engine layout.
+    QueryDef.withOracle("engine_window_mean", {
+      val w0 = graft.ops.TimeSeriesOps.firstWindowStart(T0, DAY)
+      val hi = w0 + graft.ops.TimeSeriesOps.numWindows(T0, T1, DAY) * DAY
+      s"""SELECT 'click' AS series, time_us - (time_us % $DAY) AS window_start,
+         |       CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / COUNT(v) AS mean_value,
+         |       COUNT(v) AS n
+         |FROM $PTS WHERE series = 'click' AND time_us >= $w0 AND time_us < $hi
+         |GROUP BY 1, 2 ORDER BY series, window_start""".stripMargin
+    }) { (s, dir) =>
+      Fixture.tsdb(s, dir).meanWindows("bench", "events", "click", "v", T0, T1, DAY)
+    },
+
+    // Op #8 THROUGH the engine (min/max zoom, reference grafana
+    // datasource.go:384-430) — same engine-layout read path.
+    QueryDef.withOracle("engine_window_minmax", {
+      val w0 = graft.ops.TimeSeriesOps.firstWindowStart(T0, DAY)
+      val hi = w0 + graft.ops.TimeSeriesOps.numWindows(T0, T1, DAY) * DAY
+      s"""SELECT 'click' AS series, time_us - (time_us % $DAY) AS window_start,
+         |       MIN(v) AS min_value, MAX(v) AS max_value, COUNT(v) AS n
+         |FROM $PTS WHERE series = 'click' AND time_us >= $w0 AND time_us < $hi
+         |GROUP BY 1, 2 ORDER BY series, window_start""".stripMargin
+    }) { (s, dir) =>
+      Fixture.tsdb(s, dir).minMaxWindows("bench", "events", "click", "v", T0, T1, DAY)
+    },
+
     // Op #2 THROUGH the engine (select_op_last, select_op.cc:233-371):
     // LAST 100 of the range on engine-written data, emitted ascending.
     QueryDef.withOracle("engine_select_last",

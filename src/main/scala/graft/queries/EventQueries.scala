@@ -325,6 +325,46 @@ object EventQueries {
       TimeSeriesOps.sessionize(
         Tables.eventsTsdb(s, dir).select("series", "time_us").distinct(),
         "series", "time_us", gapUs = 5 * 60000000L, bucketWidth = DAY)
+    },
+
+    // EXTENSION: per-series value histogram (fixed 10.0-wide bins). The
+    // reference has no value-space operators (SURVEY §2.4); dashboards need
+    // the distribution zoom. One hash agg on (series, bin) — shuffle rows =
+    // occupied bins, never points. floor(v/10.0) is safe for the bitwise
+    // oracle: bin boundaries (multiples of 10) are exact doubles.
+    QueryDef.withOracle("tsdb_histogram",
+      s"""SELECT series, CAST(floor(value / 10.0) AS BIGINT) AS bin,
+         |       count(*) AS n, min(value) AS min_v, max(value) AS max_v
+         |FROM $EV WHERE value IS NOT NULL AND time_us BETWEEN $T0 AND $T1
+         |GROUP BY 1, 2 ORDER BY series, bin""".stripMargin) { (s, dir) =>
+      TimeSeriesOps.histogram(
+        Tables.eventsTsdb(s, dir).filter(col("time_us").between(T0, T1)),
+        "series", "value", binWidth = 10.0)
+    },
+
+    // EXTENSION: exact per-series quantiles by distributed counting sort
+    // (see TimeSeriesOps.quantiles — per-series sort would be a 5-task
+    // ceiling; sketches are approximate). "Lower" interpolation picks a
+    // stored value, so the oracle matches bitwise.
+    QueryDef.withOracle("tsdb_quantile",
+      s"""WITH pts AS (
+         |  SELECT series, value AS v FROM $EV
+         |  WHERE value IS NOT NULL AND time_us BETWEEN $T0 AND $T1),
+         |cnt AS (SELECT series, v, count(*) AS c FROM pts GROUP BY 1, 2),
+         |cum AS (SELECT series, v, c,
+         |          sum(c) OVER (PARTITION BY series ORDER BY v
+         |                       ROWS UNBOUNDED PRECEDING) AS cum
+         |        FROM cnt),
+         |tot AS (SELECT series, sum(c) AS n FROM cnt GROUP BY 1),
+         |qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+         |SELECT c.series, qs.q, c.v AS quantile_value
+         |FROM cum c JOIN tot USING (series) CROSS JOIN qs
+         |WHERE c.cum >= CAST(floor((tot.n - 1) * qs.q) AS BIGINT) + 1
+         |  AND c.cum - c.c < CAST(floor((tot.n - 1) * qs.q) AS BIGINT) + 1
+         |ORDER BY series, q""".stripMargin) { (s, dir) =>
+      TimeSeriesOps.quantiles(
+        Tables.eventsTsdb(s, dir).filter(col("time_us").between(T0, T1)),
+        "series", "value", Seq(0.5, 0.9, 0.99))
     }
     // delete-from-front semantics are exercised for real by
     // graft.queries.EngineQueries (engine_delete_front): write -> delete ->

@@ -98,6 +98,23 @@ object TextQueries {
         Tables(s, dir, "documents")
           .repartition(s.sparkContext.defaultParallelism),
         "doc_id", "text", k = 3)
+    },
+
+    // Corpus heavy hitters: top 100 terms by document frequency (the vocab
+    // sweep every corpus-QA pipeline starts with). Per-doc distinct explode
+    // → vocab-sized hash agg → TakeOrderedAndProject top-k: the full sort
+    // never happens, and the shuffle carries (term, count) rows, not text.
+    QueryDef.withOracle("text_top_terms",
+      s"""WITH terms AS (
+         |  SELECT doc_id, unnest(list_distinct($TOKS)) AS term FROM documents)
+         |SELECT term, count(*) AS doc_freq FROM terms
+         |GROUP BY term ORDER BY doc_freq DESC, term LIMIT 100""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("doc_freq"))
+        .orderBy(col("doc_freq").desc, col("term")).limit(100)
     }
   )
 }

@@ -127,6 +127,26 @@ class TimeSeriesOpsSpec extends SparkTestBase {
     assert(got == Seq((80L, 210L, 6L), (300L, 310L, 2L), (900L, 900L, 1L)))
   }
 
+  test("histogram bins by floor(v/width) with per-bin count and actual min/max") {
+    val got = TimeSeriesOps.histogram(fixture, "series", "v", binWidth = 2.0)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toSeq
+    // values 1,2,3,4,5,7,9 (NULL dropped): bins 0:[1], 1:[2,3], 2:[4,5], 3:[7], 4:[9]
+    assert(got == Seq((0L, 1L, 1.0, 1.0), (1L, 2L, 2.0, 3.0),
+      (2L, 2L, 4.0, 5.0), (3L, 1L, 7.0, 7.0), (4L, 1L, 9.0, 9.0)))
+  }
+
+  test("quantiles pick the value at rank floor((n-1)*q), duplicates and all") {
+    // 2 series; 's' has a duplicated value so the cumulative walk must span it
+    val df = Seq(("s", 1.0), ("s", 2.0), ("s", 2.0), ("s", 3.0), ("s", 10.0),
+                 ("t", 5.0)).toDF("series", "v")
+    val got = TimeSeriesOps.quantiles(df, "series", "v", Seq(0.0, 0.5, 0.9, 1.0))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    // s sorted: 1,2,2,3,10 (n=5): q0→idx0=1; q.5→idx2=2; q.9→idx⌊3.6⌋=3; q1→idx4=10
+    assert(got(("s", 0.0)) == 1.0 && got(("s", 0.5)) == 2.0)
+    assert(got(("s", 0.9)) == 3.0 && got(("s", 1.0)) == 10.0)
+    assert(got(("t", 0.5)) == 5.0) // single point: every quantile is it
+  }
+
   test("rangeJoinAgg counts right rows in the trailing window across bucket edges") {
     val left = Seq(100L, 210L, 400L).map(t => (t, t * 1.0)).toDF("ts", "lv")
     val right = Seq((90L, 1.0), (150L, 2.0), (205L, 3.0), (350L, 4.0))
