@@ -598,6 +598,50 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
     }
   }
 
+  /** Retention sweep: `DELETE WHERE time_ns <= t` for EVERY series of the
+    * measurement — the policy form of `deleteUpTo` (the reference only has
+    * the per-series verb, src/libtsdb/delete.cc:10-162; a fleet applies the
+    * same horizon to thousands of series). One distributed aggregation finds
+    * every affected series' first surviving timestamp (the per-series path
+    * would launch one min() job per series); watermark advances and bucket
+    * drops then run per series on the driver, metadata-scale.
+    * @return the new `time_first` per affected series. */
+  def applyRetention(db: String, m: String, t: Long): Map[String, Long] = {
+    val schema = getSchema(db, m)
+    val affected = listSeries(db, m)
+      .flatMap(sn => seriesRange(db, m, sn).map(sn -> _))
+      .filter { case (_, r) => t >= r.timeFirst } // below-watermark cuts are no-ops
+    if (affected.isEmpty) return Map.empty
+    import spark.implicits._
+    val wdf = broadcast(affected.map { case (sn, r) => (sn, r.timeLast) }
+      .toDF(SeriesCol, "_tl"))
+    // survivors can only live in buckets at/above the cut's bucket — prune
+    // before the scan like deleteUpTo does
+    val minBucket = Math.floorDiv(t + 1, bucketWidth)
+    val surv = readMeasurement(db, m, schema)
+      .filter(col(BucketCol) >= minBucket && col(TimeCol) > t)
+      .join(wdf, SeriesCol)
+      .filter(col(TimeCol) <= col("_tl")) // ignore crashed-append orphans
+      .groupBy(col(SeriesCol)).agg(min(TimeCol).as("mn"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    affected.map { case (sn, r) =>
+      val newFirst = surv.getOrElse(sn, t + 1) // none survive -> delete into the future
+      atomicWrite(metaPath(db, m, sn), SeriesRange(newFirst, r.timeLast).toJson)
+      val sdir = new Path(dataDir(db, m), s"$SeriesCol=$sn")
+      val f = fs(sdir)
+      if (f.exists(sdir)) {
+        val cutBucket = Math.floorDiv(newFirst, bucketWidth)
+        f.listStatus(sdir).foreach { st =>
+          val name = st.getPath.getName
+          if (name.startsWith(s"$BucketCol=") &&
+              name.stripPrefix(s"$BucketCol=").toLong < cutBucket)
+            f.delete(st.getPath, true)
+        }
+      }
+      sn -> newFirst
+    }.toMap
+  }
+
   // ---------------------------------------------------------------- read
 
   /** One series' stored points in `[t0, t1]`, bucket-pruned, NOT watermark

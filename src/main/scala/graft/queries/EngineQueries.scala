@@ -351,6 +351,26 @@ object EngineQueries {
         .select(col("time_ns").as("time_us"), col("v"))
     },
 
+    // Retention sweep (policy form of Op #11): ONE distributed aggregation
+    // advances every series' watermark past the horizon; the read back must
+    // show exactly the surviving points of ALL series. A series whose whole
+    // history falls below the cut would take the delete-into-the-future
+    // path (covered per-series by engine_delete_future).
+    QueryDef.withOracle("engine_retention",
+      s"""SELECT series, time_us, v FROM $PTS
+         |WHERE time_us > $CUT ORDER BY series, time_us""".stripMargin) { (s, dir) =>
+      val t = freshTsdb(s)
+      t.createDatabase("bench")
+      t.createMeasurement("bench", "events", schema)
+      val pts = canonicalPoints(s, dir).select(
+        col("series"), col("time_us").as("time_ns"), col("v")).persist()
+      try t.bulkLoad("bench", "events", pts) finally pts.unpersist()
+      t.applyRetention("bench", "events", CUT)
+      t.visible("bench", "events")
+        .select(col("series"), col("time_ns").as("time_us"), col("v"))
+        .orderBy("series", "time_us")
+    },
+
     // Structured Streaming ingest END-TO-END in the correctness gate
     // (SURVEY §7.2.7; replaces the reference's WAL+commit, wal.cc:248-347):
     // two AvailableNow drains over a growing parquet staging dir, SAME

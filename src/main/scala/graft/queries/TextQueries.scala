@@ -115,6 +115,25 @@ object TextQueries {
           explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
         .groupBy("term").agg(count(lit(1)).as("doc_freq"))
         .orderBy(col("doc_freq").desc, col("term")).limit(100)
+    },
+
+    // Corpus-level vocabulary stats: exact distinct-term count (vocabulary
+    // size), total token volume, distinct docs. Exact distincts, not HLL —
+    // Spark plans the multi-distinct agg with one Expand + two-level
+    // partial aggregation (term/doc cardinalities shuffle as keys, never
+    // text rows beyond the token explode).
+    QueryDef.withOracle("text_vocab",
+      s"""WITH toks AS (SELECT doc_id, unnest($TOKS) AS term FROM documents)
+         |SELECT CAST(count(DISTINCT term) AS BIGINT) AS vocab_size,
+         |       count(*) AS total_tokens,
+         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM toks""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .agg(countDistinct(col("term")).as("vocab_size"),
+             count(lit(1)).as("total_tokens"),
+             countDistinct(col("doc_id")).as("n_docs"))
     }
   )
 }

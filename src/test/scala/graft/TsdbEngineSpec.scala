@@ -192,6 +192,29 @@ class TsdbEngineSpec extends SparkTestBase {
       == Seq(950L))
   }
 
+  test("applyRetention sweeps every series in one pass, incl. delete-into-future") {
+    val t = mkTsdb()
+    freshSeries(t, baseRows: _*) // s1: 100..420
+    t.writePoints("db1", "m1", "s2", pts((50L, Some(1L), Some(1.0), Some(1.0f)),
+      (120L, Some(2L), Some(2.0), Some(2.0f))))    // s2: all history below the cut
+    t.writePoints("db1", "m1", "s3", pts((500L, Some(3L), Some(3.0), Some(3.0f))))
+    val res = t.applyRetention("db1", "m1", 200L)
+    // s1 survives from 210; s2 empties (delete into the future: 201);
+    // s3 untouched (cut below its watermark -> not even in the result)
+    assert(res == Map("s1" -> 210L, "s2" -> 201L))
+    assert(t.seriesRange("db1", "m1", "s2").contains(SeriesRange(201L, 120L))) // empty sentinel shape
+    assert(t.select("db1", "m1", "s1", Nil, 0L, 1000L).collect().map(_.getLong(0)).toSeq
+      == Seq(210L, 290L, 305L, 420L))
+    assert(t.select("db1", "m1", "s2", Nil, 0L, 1000L).count() == 0L)
+    assert(t.select("db1", "m1", "s3", Nil, 0L, 1000L).count() == 1L)
+    // discard-below-watermark still applies to the swept series
+    val w = t.writePoints("db1", "m1", "s2", pts((150L, Some(9L), Some(9.0), Some(9.0f)),
+      (250L, Some(9L), Some(9.0), Some(9.0f))))
+    assert(w.written == 1 && w.discarded == 1)
+    // idempotent: a second sweep at the same horizon changes nothing
+    assert(t.applyRetention("db1", "m1", 200L) == Map.empty)
+  }
+
   test("listActiveSeries counts visible points per series") {
     val t = mkTsdb()
     freshSeries(t, baseRows: _*)
