@@ -488,14 +488,17 @@ object TimeSeriesOps {
     val cnt = df.filter(col(valCol).isNotNull)
       .groupBy(col(seriesCol).as("series"), col(valCol).as("v"))
       .agg(count(lit(1)).as("c"))
+    // cumulative count AND series total from the SAME sorted exchange — a
+    // second scan+join for the totals would read the source twice
     val w = Window.partitionBy("series").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = cnt.withColumn("cum", sum("c").over(w))
-    val tot = cnt.groupBy("series").agg(sum("c").as("n"))
+    val wAll = Window.partitionBy("series")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     // target = 1-based rank of the chosen value; exactly one (series, v) row
     // spans it: cum - c < target <= cum
     val target = floor((col("n") - 1) * col("q")) + 1
-    cum.join(broadcast(tot), "series")
+    cnt.withColumn("cum", sum("c").over(w))
+      .withColumn("n", sum("c").over(wAll))
       .crossJoin(broadcast(qs.toDF("q")))
       .filter(col("cum") >= target && col("cum") - col("c") < target)
       .select(col("series"), col("q"), col("v").as("quantile_value"))
