@@ -35,8 +35,8 @@ class EngineSoakSpec extends SparkTestBase {
     def df(rows: Seq[(Long, Double)]): DataFrame = rows.toDF("time_ns", "v")
 
     var lastBatch: Seq[(Long, Double)] = Nil
-    for (step <- 1 to 45) {
-      rng.nextInt(7) match {
+    for (step <- 1 to 50) {
+      rng.nextInt(8) match {
         case 0 | 1 => // append new points
           val batch = mkBatch(1 + rng.nextInt(40))
           t.writePoints("db", "m", "s", df(batch))
@@ -79,6 +79,24 @@ class EngineSoakSpec extends SparkTestBase {
             assert(got == exp, s"step $step select [$t0,$t1]")
             val c = t.countPoints("db", "m", "s", t0, t1).collect().head
             assert(c.getLong(0) == exp.size, s"step $step count [$t0,$t1]")
+          }
+        case 7 => // retention sweep (measurement-wide) or value-space check
+          if (model.nonEmpty && rng.nextBoolean()) {
+            val keys = model.keys.toSeq
+            val cut = keys(rng.nextInt(keys.size))
+            t.applyRetention("db", "m", cut)
+            model.rangeTo(cut).keys.toSeq.foreach(model.remove)
+            timeFirst = model.headOption.map(_._1).getOrElse(cut + 1)
+          } else if (model.nonEmpty) {
+            // exact quantiles vs the model (counting-sort path)
+            val vis = t.visible("db", "m")
+            val got = graft.ops.TimeSeriesOps
+              .quantiles(vis, "series", "v", Seq(0.5, 0.9))
+              .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+            val sorted = model.values.toSeq.sorted
+            def pick(q: Double) = sorted(math.floor((sorted.size - 1) * q).toInt)
+            assert(got(0.5) == pick(0.5) && got(0.9) == pick(0.9),
+              s"step $step quantiles")
           }
       }
     }
