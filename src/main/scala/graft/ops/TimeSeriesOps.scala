@@ -514,4 +514,22 @@ object TimeSeriesOps {
         (col(valCol) - col(s"_prev_$valCol")) /
           ((col(tsCol) - col(s"_prev_$tsCol")) / lit(unitsPerSecond)))
       .drop(s"_prev_$valCol", s"_prev_$tsCol")
+
+  /** Counter-reset-aware RATE (extension; Prometheus `rate` semantics over
+    * monotonic counters): per-point increase = v − prev_v when the counter
+    * kept climbing, or v itself after a reset (restart drops the counter to
+    * ~0, so the post-reset reading IS the increase), divided by the elapsed
+    * seconds. First point of each series → NULL. Same bucket-parallel shape
+    * as difference/derivative. */
+  def rate(df: DataFrame, seriesCol: String, tsCol: String, valCol: String,
+           unitsPerSecond: Double, tiebreak: Seq[String] = Nil,
+           bucketWidth: Long = 3600L * 1000000000L): DataFrame = {
+    val pv = col(s"_prev_$valCol")
+    val pt = col(s"_prev_$tsCol")
+    withPrev(df, seriesCol, tsCol, Seq(valCol, tsCol), bucketWidth, tiebreak)
+      .withColumn("rate",
+        when(col(valCol) >= pv, col(valCol) - pv).otherwise(col(valCol)) /
+          ((col(tsCol) - pt) / lit(unitsPerSecond)))
+      .drop(s"_prev_$valCol", s"_prev_$tsCol")
+  }
 }

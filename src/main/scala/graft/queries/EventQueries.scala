@@ -327,6 +327,25 @@ object EventQueries {
         "series", "time_us", gapUs = 5 * 60000000L, bucketWidth = DAY)
     },
 
+    // EXTENSION: counter-reset-aware RATE (Prometheus semantics) — the
+    // production form of the reference's client-side derivative
+    // (datasource.go:257-268): a counter restart must not produce a huge
+    // negative spike. Same bucket-parallel lag shape as tsdb_derivative.
+    QueryDef.withOracle("tsdb_rate",
+      s"""SELECT series, time_us, event_id,
+         |       (CASE WHEN value >= lag(value) OVER w THEN value - lag(value) OVER w
+         |             ELSE value END) /
+         |         ((time_us - lag(time_us) OVER w) / 1000000.0) AS rate
+         |FROM $EV WHERE time_us BETWEEN $T0 AND $T1
+         |WINDOW w AS (PARTITION BY series ORDER BY time_us, event_id)
+         |ORDER BY series, time_us, event_id""".stripMargin) { (s, dir) =>
+      val base = Tables.eventsTsdb(s, dir)
+        .filter(col("time_us") >= T0 && col("time_us") <= T1)
+      TimeSeriesOps.rate(base, "series", "time_us", "value", UPS, Seq("event_id"), DAY)
+        .select("series", "time_us", "event_id", "rate")
+        .orderBy("series", "time_us", "event_id")
+    },
+
     // EXTENSION: per-series value histogram (fixed 10.0-wide bins). The
     // reference has no value-space operators (SURVEY §2.4); dashboards need
     // the distribution zoom. One hash agg on (series, bin) — shuffle rows =

@@ -127,6 +127,19 @@ class TimeSeriesOpsSpec extends SparkTestBase {
     assert(got == Seq((80L, 210L, 6L), (300L, 310L, 2L), (900L, 900L, 1L)))
   }
 
+  test("rate handles counter resets: post-reset reading is the increase") {
+    // counter climbs 10→30, resets to 4 (restart), climbs to 9; ups=1 (ts in s)
+    val df = Seq(("c", 10L, 10.0), ("c", 20L, 30.0), ("c", 30L, 4.0), ("c", 40L, 9.0))
+      .toDF("series", "ts", "v")
+    val got = TimeSeriesOps.rate(df, "series", "ts", "v", 1.0, bucketWidth = 25L)
+      .select("ts", "rate").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(10L).isEmpty)               // first point
+    assert(got(20L).contains(2.0))         // (30-10)/10
+    assert(got(30L).contains(0.4))         // reset: increase = 4, across bucket edge
+    assert(got(40L).contains(0.5))         // (9-4)/10
+  }
+
   test("histogram bins by floor(v/width) with per-bin count and actual min/max") {
     val got = TimeSeriesOps.histogram(fixture, "series", "v", binWidth = 2.0)
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toSeq
