@@ -756,6 +756,46 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
   def listActiveSeries(db: String, m: String, t0: Long, t1: Long): DataFrame =
     TimeSeriesOps.activeSeries(visible(db, m), SeriesCol, TimeCol, t0, t1)
 
+  /** Per-series value histogram over the visible range (extension — see
+    * TimeSeriesOps.histogram). */
+  def histogram(db: String, m: String, series: String, field: String,
+                t0: Long, t1: Long, binWidth: Double): DataFrame =
+    TimeSeriesOps.histogram(
+      visibleSeries(db, m, series, t0, t1).withColumn(SeriesCol, lit(series)),
+      SeriesCol, field, binWidth)
+
+  /** Exact per-series quantiles over the visible range (extension — see
+    * TimeSeriesOps.quantiles: distributed counting sort, values picked not
+    * interpolated). */
+  def quantiles(db: String, m: String, series: String, field: String,
+                t0: Long, t1: Long, qs: Seq[Double]): DataFrame =
+    TimeSeriesOps.quantiles(
+      visibleSeries(db, m, series, t0, t1).withColumn(SeriesCol, lit(series)),
+      SeriesCol, field, qs)
+
+  /** Downsample a series into a ROLLUP measurement: the windowed
+    * sum/min/max/count aggregate (reference sum_op semantics incl. empty
+    * windows) written back through the validated append path as a derived
+    * measurement `<m>__rollup_<w>` — the standard TSDB rollup-table
+    * workflow (dashboards zoom on the rollup, raw data keeps full
+    * resolution; the reference computes sum_op on every query instead,
+    * sum_op.cc:6-281). The rollup is a first-class measurement: same
+    * layout, same catalog, same clamped reads, further downsample-able.
+    * @return the rollup measurement name. */
+  def downsample(db: String, m: String, series: String, field: String,
+                 t0: Long, t1: Long, windowWidth: Long): String = {
+    val rollup = s"${m}__rollup_$windowWidth"
+    val rSchema = MeasurementSchema(Seq(
+      Field("sum_value", FieldType.F64), Field("min_value", FieldType.F64),
+      Field("max_value", FieldType.F64), Field("n", FieldType.I64)))
+    createMeasurement(db, rollup, rSchema) // idempotent iff same schema
+    val agg = sumWindows(db, m, series, field, t0, t1, windowWidth)
+      .select(col("window_start").as(TimeCol),
+        col("sum_value"), col("min_value"), col("max_value"), col("n"))
+    writePoints(db, rollup, series, agg)
+    rollup
+  }
+
   // ---------------------------------------------------------------- paths/io
 
   private def dbPath(db: String) = new Path(root, db)

@@ -351,6 +351,67 @@ object EngineQueries {
         .select(col("time_ns").as("time_us"), col("v"))
     },
 
+    // Value-space op THROUGH the engine: exact quantiles of the visible
+    // range by distributed counting sort (see TimeSeriesOps.quantiles),
+    // read from the bucket-pruned engine layout.
+    QueryDef.withOracle("engine_quantile",
+      s"""WITH pts AS (
+         |  SELECT 'purchase' AS series, v FROM $PTS
+         |  WHERE series = 'purchase' AND v IS NOT NULL
+         |    AND time_us BETWEEN $T0 AND $T1),
+         |cnt AS (SELECT series, v, count(*) AS c FROM pts GROUP BY 1, 2),
+         |cum AS (SELECT series, v, c,
+         |          sum(c) OVER (PARTITION BY series ORDER BY v
+         |                       ROWS UNBOUNDED PRECEDING) AS cum,
+         |          sum(c) OVER (PARTITION BY series) AS n
+         |        FROM cnt),
+         |qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+         |SELECT c.series, qs.q, c.v AS quantile_value
+         |FROM cum c CROSS JOIN qs
+         |WHERE c.cum >= CAST(floor((c.n - 1) * qs.q) AS BIGINT) + 1
+         |  AND c.cum - c.c < CAST(floor((c.n - 1) * qs.q) AS BIGINT) + 1
+         |ORDER BY series, q""".stripMargin) { (s, dir) =>
+      Fixture.tsdb(s, dir)
+        .quantiles("bench", "events", "purchase", "v", T0, T1, Seq(0.5, 0.9, 0.99))
+    },
+
+    // Downsample-to-rollup: the windowed aggregate written BACK through the
+    // validated append path as a derived measurement, then read from its own
+    // bucket layout (the standard rollup-table workflow; the reference
+    // recomputes sum_op per query instead). The oracle recomputes the same
+    // windows from the source — a bug in the agg, the rollup write, or the
+    // rollup read breaks the match. Empty windows persist as NULL-field
+    // points (count 0), exactly like sum_op emission.
+    QueryDef.withOracle("engine_rollup", {
+      val w0 = graft.ops.TimeSeriesOps.firstWindowStart(T0, DAY)
+      val nW = graft.ops.TimeSeriesOps.numWindows(T0, T1, DAY)
+      s"""WITH spine AS (
+         |  SELECT unnest(generate_series($w0, ${w0 + (nW - 1) * DAY}, $DAY)) AS time_us
+         |), agg AS (
+         |  SELECT time_us - (time_us % $DAY) AS time_us,
+         |         CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         |         MIN(v) AS min_value, MAX(v) AS max_value, COUNT(v) AS n
+         |  FROM $PTS
+         |  WHERE series = 'click' AND time_us >= $w0 AND time_us < ${w0 + nW * DAY}
+         |  GROUP BY 1
+         |)
+         |SELECT s.time_us, coalesce(a.sum_value, 0.0) AS sum_value,
+         |       a.min_value, a.max_value, coalesce(a.n, 0) AS n
+         |FROM spine s LEFT JOIN agg a USING (time_us)
+         |ORDER BY time_us""".stripMargin
+    }) { (s, dir) =>
+      val t = freshTsdb(s)
+      t.createDatabase("bench")
+      t.createMeasurement("bench", "events", schema)
+      val pts = canonicalPoints(s, dir).filter(col("series") === "click")
+        .select(col("time_us").as("time_ns"), col("v")).persist()
+      try t.writePoints("bench", "events", "click", pts) finally pts.unpersist()
+      val rollup = t.downsample("bench", "events", "click", "v", T0, T1, DAY)
+      t.select("bench", rollup, "click", Nil, 0L, Long.MaxValue - 1)
+        .select(col("time_ns").as("time_us"), col("sum_value"),
+          col("min_value"), col("max_value"), col("n"))
+    },
+
     // Retention sweep (policy form of Op #11): ONE distributed aggregation
     // advances every series' watermark past the horizon; the read back must
     // show exactly the surviving points of ALL series. A series whose whole

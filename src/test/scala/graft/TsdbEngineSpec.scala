@@ -215,6 +215,25 @@ class TsdbEngineSpec extends SparkTestBase {
     assert(t.applyRetention("db1", "m1", 200L) == Map.empty)
   }
 
+  test("downsample writes a rollup measurement; re-running is an idempotent overwrite") {
+    val t = mkTsdb()
+    freshSeries(t, baseRows: _*) // v at 100:1.5, 199:3.25, 210:-0.0, 290:5.5, 305:6.5, 420:7.5
+    val rollup = t.downsample("db1", "m1", "s1", "v", 100L, 499L, 100L)
+    assert(rollup == "m1__rollup_100")
+    assert(t.listMeasurements("db1") == Seq("m1", "m1__rollup_100"))
+    val got = t.select("db1", rollup, "s1", Nil, 0L, 1000L).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(4))).toSeq
+    // windows [100,200):1.5+3.25, [200,300):-0+5.5, [300,400):6.5, [400,500):7.5
+    assert(got == Seq((100L, 4.75, 2L), (200L, 5.5, 2L), (300L, 6.5, 1L), (400L, 7.5, 1L)))
+    // same range again: bitwise-identical tail overwrite, no duplicates
+    t.downsample("db1", "m1", "s1", "v", 100L, 499L, 100L)
+    assert(t.select("db1", rollup, "s1", Nil, 0L, 1000L).count() == 4L)
+    // the rollup is a first-class measurement: its own quantiles work
+    val q = t.quantiles("db1", rollup, "s1", "sum_value", 0L, 1000L, Seq(0.5))
+      .collect().head.getDouble(2)
+    assert(q == 5.5)
+  }
+
   test("listActiveSeries counts visible points per series") {
     val t = mkTsdb()
     freshSeries(t, baseRows: _*)
