@@ -118,22 +118,28 @@ object TextQueries {
     },
 
     // Corpus-level vocabulary stats: exact distinct-term count (vocabulary
-    // size), total token volume, distinct docs. Exact distincts, not HLL —
-    // Spark plans the multi-distinct agg with one Expand + two-level
-    // partial aggregation (term/doc cardinalities shuffle as keys, never
-    // text rows beyond the token explode).
+    // size), total token volume, docs with >= 1 token. Exact, not HLL — and
+    // NOT a multi-distinct aggregate: Spark plans that with an Expand that
+    // triplicates every exploded token row before the shuffle. Instead the
+    // term side reduces to a vocab-sized (term, count) table first (map-side
+    // combined) and folds to one row; the doc count comes from a pre-explode
+    // per-doc aggregate. Both branches shuffle ~nothing.
     QueryDef.withOracle("text_vocab",
       s"""WITH toks AS (SELECT doc_id, unnest($TOKS) AS term FROM documents)
          |SELECT CAST(count(DISTINCT term) AS BIGINT) AS vocab_size,
          |       count(*) AS total_tokens,
          |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
          |FROM toks""".stripMargin) { (s, dir) =>
-      Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
-        .agg(countDistinct(col("term")).as("vocab_size"),
-             count(lit(1)).as("total_tokens"),
-             countDistinct(col("doc_id")).as("n_docs"))
+      val par = s.sparkContext.defaultParallelism
+      val docs = Tables(s, dir, "documents").repartition(par)
+      val byTerm = docs
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("vocab_size"), sum("c").as("total_tokens"))
+      val nDocs = docs
+        .agg(count(when(size(TextOps.tokens(col("text"))) > 0, 1)).as("n_docs"))
+      byTerm.crossJoin(nDocs)
+        .select("vocab_size", "total_tokens", "n_docs")
     }
   )
 }
