@@ -123,4 +123,32 @@ object StreamingOps {
           out.iterator
       }
   }
+
+  final case class RateRow(series: String, time_us: Long, v: Double, rate: Option[Double])
+
+  /** Per-series counter-reset-aware RATE over a stream (Prometheus `rate`
+    * semantics — see the batch `TimeSeriesOps.rate`): increase = v − prev
+    * while the counter climbs, or v itself after a restart, per elapsed
+    * second. Same O(1)-state shape as `streamingDifference`. */
+  def streamingRate(points: Dataset[Point], unitsPerSecond: Double): Dataset[RateRow] = {
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_.series)
+      .flatMapGroupsWithState[LastPoint, RateRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (series: String, it: Iterator[Point], state: GroupState[LastPoint]) =>
+          val sorted = it.toSeq.sortBy(_.time_us)
+          var prev = state.getOption
+          val out = sorted.map { p =>
+            val r = prev.map { lp =>
+              val inc = if (p.v >= lp.v) p.v - lp.v else p.v
+              inc / ((p.time_us - lp.time_us) / unitsPerSecond)
+            }
+            prev = Some(LastPoint(p.time_us, p.v))
+            RateRow(series, p.time_us, p.v, r)
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
 }

@@ -93,6 +93,24 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamingRate: reset-aware increase across micro-batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Point]
+    val q = StreamingOps.streamingRate(in.toDS(), unitsPerSecond = 1.0)
+      .writeStream.format("memory").queryName("srate").outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(Point("c", 10L, 10.0), Point("c", 20L, 30.0))
+      q.processAllAvailable()
+      in.addData(Point("c", 30L, 4.0), Point("c", 40L, 9.0)) // reset at 30
+      q.processAllAvailable()
+      val rows = spark.table("srate").as[StreamingOps.RateRow].collect()
+        .map(r => (r.time_us, r.rate)).sortBy(_._1).toSeq
+      assert(rows == Seq((10L, None), (20L, Some(2.0)),
+        (30L, Some(0.4)),   // reset repaired FROM STATE: increase = 4 over 10s
+        (40L, Some(0.5))))
+    } finally q.stop()
+  }
+
   test("streamingDifference carries last point per series across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Point]
