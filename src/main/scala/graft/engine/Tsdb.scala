@@ -723,6 +723,18 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
     TimeSeriesOps.sumWindows(visibleSeries(db, m, series, t0, t1),
       TimeCol, field, t0, t1, windowWidth)
 
+  /** Multi-field windowed aggregation — the reference sum_op's actual
+    * signature (field LIST, one pass: src/libtsdb/sum_op.cc:115-183).
+    * Empty fields list = all schema fields. */
+  def sumWindowsMulti(db: String, m: String, series: String, fields: Seq[String],
+                      t0: Long, t1: Long, windowWidth: Long,
+                      sumFor: String => Column = c => TimeSeriesOps.sumExact2(col(c))): DataFrame = {
+    val schema = getSchema(db, m)
+    val fs = if (fields.isEmpty) schema.fields.map(_.name) else fields
+    TimeSeriesOps.sumWindowsMulti(visibleSeries(db, m, series, t0, t1),
+      TimeCol, fs, t0, t1, windowWidth, sumFor)
+  }
+
   /** Windowed MEAN — derived sum/count like the reference clients
     * (src/tsdbcli2/main.cc:203-238); non-empty windows only. */
   def meanWindows(db: String, m: String, series: String, field: String,

@@ -109,6 +109,37 @@ object TimeSeriesOps {
       .orderBy("window_start")
   }
 
+  /** Multi-field sum_op (reference signature parity: `sum_op(…, fields,…)`
+    * aggregates EVERY requested field per window in one pass,
+    * src/libtsdb/sum_op.cc:115-183 — one timestamp scan, per-field
+    * accumulators). Emits `sum_<f>/min_<f>/max_<f>/n_<f>` per field,
+    * empty windows included. `sumFor` picks the exact-sum expression per
+    * field (decimal for fixed-precision doubles, plain for integrals). */
+  def sumWindowsMulti(df: DataFrame, tsCol: String, valCols: Seq[String],
+                      t0: Long, t1: Long, w: Long,
+                      sumFor: String => Column = c => sumExact2(col(c))): DataFrame = {
+    require(valCols.nonEmpty, "need at least one field")
+    val spark = df.sparkSession
+    val w0 = firstWindowStart(t0, w)
+    val nW = numWindows(t0, t1, w)
+    val spine = spark.range(nW).select((lit(w0) + col("id") * w).as("window_start"))
+    val aggs = valCols.flatMap { c => Seq(
+      sumFor(c).as(s"sum_$c"), min(c).as(s"min_$c"),
+      max(c).as(s"max_$c"), count(col(c)).as(s"n_$c")) }
+    val agg = df
+      .filter(col(tsCol) >= w0 && col(tsCol) < w0 + nW * w)
+      .groupBy(((col(tsCol) - (col(tsCol) % w))).as("window_start"))
+      .agg(aggs.head, aggs.tail: _*)
+    val filled = valCols.flatMap { c => Seq(
+      coalesce(col(s"sum_$c"),
+        lit(0).cast(agg.schema(s"sum_$c").dataType)).as(s"sum_$c"),
+      col(s"min_$c"), col(s"max_$c"),
+      coalesce(col(s"n_$c"), lit(0L)).as(s"n_$c")) }
+    spine.join(agg, Seq("window_start"), "left")
+      .select(col("window_start") +: filled: _*)
+      .orderBy("window_start")
+  }
+
   /** SLIDING windows (batch; extension — the reference's sum_op is tumbling
     * only): width `w`, starts aligned to multiples of `slide` (w divisible
     * by slide), windows fully inside [t0, t1], EMPTY windows emitted like

@@ -351,6 +351,52 @@ object EngineQueries {
         .select(col("time_ns").as("time_us"), col("v"))
     },
 
+    // Multi-FIELD windowed aggregation through the engine — the reference
+    // sum_op's real signature takes a field LIST and aggregates all of them
+    // in one timestamp scan (sum_op.cc:115-183). Two fields of different
+    // types (f64 + i64) windowed together; per-field exact sums (decimal-2
+    // for the double, native integer for the bigint), empty windows
+    // emitted with zero sums and NULL min/max.
+    QueryDef.withOracle("engine_window_multifield", {
+      val w0 = graft.ops.TimeSeriesOps.firstWindowStart(T0, DAY)
+      val nW = graft.ops.TimeSeriesOps.numWindows(T0, T1, DAY)
+      s"""WITH spine AS (
+         |  SELECT unnest(generate_series($w0, ${w0 + (nW - 1) * DAY}, $DAY)) AS window_start
+         |), pts AS (
+         |  SELECT time_us, v, CAST(floor(v) AS BIGINT) AS whole FROM $PTS
+         |  WHERE series = 'purchase' AND time_us >= $w0 AND time_us < ${w0 + nW * DAY}
+         |), agg AS (
+         |  SELECT time_us - (time_us % $DAY) AS window_start,
+         |         CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+         |         MIN(v) AS min_v, MAX(v) AS max_v, COUNT(v) AS n_v,
+         |         CAST(SUM(whole) AS BIGINT) AS sum_whole,
+         |         MIN(whole) AS min_whole, MAX(whole) AS max_whole,
+         |         COUNT(whole) AS n_whole
+         |  FROM pts GROUP BY 1
+         |)
+         |SELECT s.window_start,
+         |       coalesce(a.sum_v, 0.0) AS sum_v, a.min_v, a.max_v,
+         |       coalesce(a.n_v, 0) AS n_v,
+         |       coalesce(a.sum_whole, 0) AS sum_whole, a.min_whole, a.max_whole,
+         |       coalesce(a.n_whole, 0) AS n_whole
+         |FROM spine s LEFT JOIN agg a USING (window_start)
+         |ORDER BY window_start""".stripMargin
+    }) { (s, dir) =>
+      val t = freshTsdb(s)
+      t.createDatabase("bench")
+      t.createMeasurement("bench", "events", MeasurementSchema(Seq(
+        Field("v", FieldType.F64), Field("whole", FieldType.I64))))
+      val pts = canonicalPoints(s, dir).filter(col("series") === "purchase")
+        .select(col("time_us").as("time_ns"), col("v"),
+          floor(col("v")).as("whole")).persist()
+      try t.writePoints("bench", "events", "purchase", pts) finally pts.unpersist()
+      t.sumWindowsMulti("bench", "events", "purchase", Nil, T0, T1, DAY,
+        sumFor = {
+          case "whole" => sum(col("whole"))
+          case c       => graft.ops.TimeSeriesOps.sumExact2(col(c))
+        })
+    },
+
     // Value-space op THROUGH the engine: exact quantiles of the visible
     // range by distributed counting sort (see TimeSeriesOps.quantiles),
     // read from the bucket-pruned engine layout.

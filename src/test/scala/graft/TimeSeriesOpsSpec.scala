@@ -2,6 +2,7 @@ package graft
 
 import graft.ops.TimeSeriesOps
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, sum}
 
 /** Deterministic fixture for the windowed/sequential operator family —
   * the reference's unit-test layer (sum_op_test.cc empty-gap windows,
@@ -125,6 +126,22 @@ class TimeSeriesOpsSpec extends SparkTestBase {
       .select("session_start", "session_end", "n")
       .as[(Long, Long, Long)].collect().toSeq
     assert(got == Seq((80L, 210L, 6L), (300L, 310L, 2L), (900L, 900L, 1L)))
+  }
+
+  test("sumWindowsMulti aggregates every field in one pass, empty windows included") {
+    val df = Seq((100L, Some(1.0), Some(10L)), (150L, None, Some(20L)),
+                 (250L, Some(3.0), None), (460L, Some(4.0), Some(40L)))
+      .toDF("ts", "a", "b")
+    val r = TimeSeriesOps.sumWindowsMulti(df, "ts", Seq("a", "b"), 100L, 499L, 100L,
+        sumFor = { case "b" => sum(col("b")); case c => TimeSeriesOps.sumExact2(col(c)) })
+      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getLong(4),
+        x.getLong(5), x.getLong(8))).toSeq
+    // (window, sum_a, n_a, sum_b, n_b): per-field NULLs counted separately
+    assert(r == Seq(
+      (100L, 1.0, 1L, 30L, 2L),
+      (200L, 3.0, 1L, 0L, 0L),   // b all-NULL in a non-empty window
+      (300L, 0.0, 0L, 0L, 0L),   // fully empty window still emitted
+      (400L, 4.0, 1L, 40L, 1L)))
   }
 
   test("rate handles counter resets: post-reset reading is the increase") {
