@@ -339,6 +339,75 @@ object TimeSeriesOps {
       .orderBy("series")
   }
 
+  /** Multi-field trapezoidal integral (reference signature parity:
+    * `integral_op(…, fields,…)` integrates EVERY requested field in one
+    * scan, src/libtsdb/integral_op.cc:30-88 — shared timestamp walk,
+    * per-field accumulators and per-field NULL-poisoning). Same
+    * bucket-parallel partial-sum + boundary-repair shape as `integrate`;
+    * emits `integral_<f>` per field plus the shared npoints/t0_out/t1_out. */
+  def integrateMulti(df: DataFrame, seriesCol: String, tsCol: String,
+                     valCols: Seq[String], t0: Long, t1: Long,
+                     unitsPerSecond: Double, tiebreak: Seq[String] = Nil,
+                     bucketWidth: Long = 3600L * 1000000000L,
+                     valueDecimals: Option[Int] = None): DataFrame = {
+    require(valCols.nonEmpty, "need at least one field")
+    val vAs: Column => Column = valueDecimals match {
+      case Some(d) => _.cast(DecimalType(18, d))
+      case None    => _.cast("double")
+    }
+    val key = orderKey(tsCol, tiebreak)
+    val base = df.filter(col(tsCol) >= t0 && col(tsCol) <= t1)
+      .select(((seriesCol +: tsCol +: valCols) ++ tiebreak).distinct.map(col): _*)
+      .withColumn(B, expr(s"$tsCol div ${bucketWidth}L"))
+    val wb = Window.partitionBy(seriesCol, B).orderBy((tsCol +: tiebreak).map(col): _*)
+    val withLag = valCols.foldLeft(base.withColumn("_prev_t", lag(tsCol, 1).over(wb))) {
+      (d, c) => d.withColumn(s"_term_$c",
+        (vAs(col(c)) + vAs(lag(col(c), 1).over(wb))) * (col(tsCol) - col("_prev_t")))
+    }
+    val perBucket = withLag.groupBy(col(seriesCol), col(B))
+      .agg(count(lit(1)).as("_n"),
+        min(tsCol).as("_tmin") +: max(tsCol).as("_tmax") +:
+        min_by(col(tsCol), key).as("_first_t") +:
+        max_by(col(tsCol), key).as("_last_t") +:
+        valCols.flatMap { c => Seq(
+          max(col(c).isNull.cast("int")).as(s"_any_null_$c"),
+          sum(s"_term_$c").as(s"_psum_$c"),
+          min_by(col(c), key).as(s"_first_v_$c"),
+          max_by(col(c), key).as(s"_last_v_$c"),
+          min(c).as(s"_only_v_$c")) }: _*)
+    val ws = Window.partitionBy(seriesCol).orderBy(B)
+    val withBoundary = valCols.foldLeft(
+      perBucket.withColumn("_pl_t", lag("_last_t", 1).over(ws))) { (d, c) =>
+      d.withColumn(s"_bterm_$c",
+        (vAs(col(s"_first_v_$c")) + vAs(lag(s"_last_v_$c", 1).over(ws))) *
+          (col("_first_t") - col("_pl_t")))
+    }
+    val zero = valueDecimals.fold(lit(0.0))(d => lit(0).cast(DecimalType(18, d)))
+    def rawIntegral(c: String): Column = {
+      val s = coalesce(sum(s"_psum_$c"), zero) + coalesce(sum(s"_bterm_$c"), zero)
+      valueDecimals match {
+        case Some(d) =>
+          val scale = math.round(math.pow(10, d))
+          (s * lit(scale)).cast("long").cast("double") /
+            lit(2.0 * unitsPerSecond * scale)
+        case None => s.cast("double") / lit(2.0 * unitsPerSecond)
+      }
+    }
+    withBoundary.groupBy(col(seriesCol).as("series"))
+      .agg(sum("_n").as("npoints"),
+        min("_tmin").as("t0_out") +: max("_tmax").as("t1_out") +:
+        valCols.flatMap { c => Seq(
+          max(s"_any_null_$c").as(s"_anyn_$c"),
+          rawIntegral(c).as(s"_raw_$c"),
+          min(s"_only_v_$c").as(s"_only_$c")) }: _*)
+      .select(col("series") +: col("npoints") +: col("t0_out") +: col("t1_out") +:
+        valCols.map { c =>
+          when(col(s"_anyn_$c") === 1, lit(null))
+            .when(col("npoints") === 1, col(s"_only_$c"))
+            .otherwise(col(s"_raw_$c")).as(s"integral_$c") }: _*)
+      .orderBy("series")
+  }
+
   /** §2.3 Tare: v − the series' FIRST value in the frame (reference grafana
     * datasource.go:257-268). The global first is found from per-bucket
     * firsts (tiny bucket-level reduction), then broadcast back — no

@@ -145,6 +145,39 @@ object EventQueries {
         bucketWidth = DAY, valueDecimals = Some(2))
     },
 
+    // Op #9 with a field LIST (the reference's actual signature — INTEGRATE
+    // f1,f2 FROM …, integral_op.cc:30-88): two fields integrated in ONE
+    // timestamp walk, per-field NULL-poisoning. Second field derived
+    // (floor(value), i64) so the cast/widening path is exercised too.
+    QueryDef.withOracle("tsdb_integral_multi",
+      s"""WITH base AS (
+         |  SELECT series, time_us, value,
+         |         CAST(floor(value) AS BIGINT) AS whole,
+         |         lag(value) OVER w AS prev_v,
+         |         lag(CAST(floor(value) AS BIGINT)) OVER w AS prev_w,
+         |         lag(time_us) OVER w AS prev_t
+         |  FROM $EV WHERE time_us BETWEEN $T0 AND $T1
+         |  WINDOW w AS (PARTITION BY series ORDER BY time_us, event_id)
+         |)
+         |SELECT series, count(*) AS npoints,
+         |       min(time_us) AS t0_out, max(time_us) AS t1_out,
+         |       CASE WHEN max(CASE WHEN value IS NULL THEN 1 ELSE 0 END) = 1 THEN NULL
+         |            WHEN count(*) = 1 THEN min(value)
+         |            ELSE CAST(CAST(sum((CAST(value AS DECIMAL(18,2)) + CAST(prev_v AS DECIMAL(18,2)))
+         |                          * (time_us - prev_t)) * 100 AS BIGINT) AS DOUBLE) / 200000000.0
+         |       END AS integral_value,
+         |       CASE WHEN max(CASE WHEN whole IS NULL THEN 1 ELSE 0 END) = 1 THEN NULL
+         |            WHEN count(*) = 1 THEN min(whole)
+         |            ELSE CAST(CAST(sum((CAST(whole AS DECIMAL(18,2)) + CAST(prev_w AS DECIMAL(18,2)))
+         |                          * (time_us - prev_t)) * 100 AS BIGINT) AS DOUBLE) / 200000000.0
+         |       END AS integral_whole
+         |FROM base GROUP BY series ORDER BY series""".stripMargin) { (s, dir) =>
+      TimeSeriesOps.integrateMulti(
+        Tables.eventsTsdb(s, dir).withColumn("whole", floor(col("value"))),
+        "series", "time_us", Seq("value", "whole"), T0, T1, UPS, Seq("event_id"),
+        bucketWidth = DAY, valueDecimals = Some(2))
+    },
+
     // §2.3 Tare: v - first(v) per series (reference datasource.go:257-268)
     QueryDef.withOracle("tsdb_tare",
       s"""SELECT series, time_us, event_id,

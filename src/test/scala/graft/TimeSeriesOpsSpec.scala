@@ -53,6 +53,20 @@ class TimeSeriesOpsSpec extends SparkTestBase {
     assert(r == Seq(("a", 2L, Some(4.0)), ("b", 1L, Some(7.5)), ("c", 2L, None)))
   }
 
+  test("integrateMulti: per-field integrals in one pass, per-field NULL poisoning") {
+    val df = Seq(
+      ("a", 100L, Some(1.0), Some(2.0)), ("a", 300L, Some(3.0), Some(6.0)),
+      ("c", 10L, Some(1.0), Some(5.0)), ("c", 20L, None, Some(7.0))
+    ).toDF("series", "ts", "x", "y")
+    val r = TimeSeriesOps.integrateMulti(df, "series", "ts", Seq("x", "y"),
+        0L, 1000L, 100.0, bucketWidth = 100L)
+      .collect().map(row => row.getString(0) -> (
+        (if (row.isNullAt(4)) None else Some(row.getDouble(4)),
+         if (row.isNullAt(5)) None else Some(row.getDouble(5))))).toMap
+    assert(r("a") == ((Some(4.0), Some(8.0))))    // y = 2x -> double the integral
+    assert(r("c") == ((None, Some(0.6))))         // x poisoned by NULL, y intact
+  }
+
   test("bucket-boundary repair: difference/derivative/integral identical for any bucket width") {
     val wide = TimeSeriesOps.difference(fixture.filter($"v".isNotNull), "series", "ts", "v",
         bucketWidth = 1000000L)
