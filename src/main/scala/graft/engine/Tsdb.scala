@@ -763,6 +763,20 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
       SeriesCol, TimeCol, field, t0, t1, unitsPerSecond,
       bucketWidth = bucketWidth, valueDecimals = valueDecimals)
 
+  /** Multi-field trapezoidal integral — integral_op's field-LIST signature
+    * (reference src/libtsdb/integral_op.cc:30-88): every requested field in
+    * one timestamp walk. Empty fields list = all schema fields. */
+  def integrateMulti(db: String, m: String, series: String, fields: Seq[String],
+                     t0: Long, t1: Long, unitsPerSecond: Double = 1e9,
+                     valueDecimals: Option[Int] = None): DataFrame = {
+    val schema = getSchema(db, m)
+    val fs = if (fields.isEmpty) schema.fields.map(_.name) else fields
+    TimeSeriesOps.integrateMulti(
+      visibleSeries(db, m, series, t0, t1).withColumn(SeriesCol, lit(series)),
+      SeriesCol, TimeCol, fs, t0, t1, unitsPerSecond,
+      bucketWidth = bucketWidth, valueDecimals = valueDecimals)
+  }
+
   /** LIST ACTIVE SERIES: series with ≥1 visible point in range, with counts
     * (reference src/libtsdb/measurement.cc:49-63). */
   def listActiveSeries(db: String, m: String, t0: Long, t1: Long): DataFrame =
