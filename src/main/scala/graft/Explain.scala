@@ -13,7 +13,9 @@ object Explain {
       else Seq("tsdb_select_range", "tsdb_window_sum", "tsdb_integral",
         "q_join_agg", "dedup_ngram_jaccard", "dedup_minhash_lsh",
         "ann_topk", "ann_lsh", "dedup_embedding", "text_stats",
-        "tsdb_asof_join", "tsdb_range_join", "text_keywords")
+        "tsdb_asof_join", "tsdb_range_join", "text_keywords",
+        "tsdb_quantile", "tsdb_histogram", "tsdb_rate",
+        "tsdb_integral_multi", "text_top_terms", "text_vocab")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -782,6 +782,34 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
   def listActiveSeries(db: String, m: String, t0: Long, t1: Long): DataFrame =
     TimeSeriesOps.activeSeries(visible(db, m), SeriesCol, TimeCol, t0, t1)
 
+  /** §2.3 client-side transforms (reference grafana datasource.go:257-268)
+    * over the visible range of one series, server-side here: tare,
+    * difference, derivative, and the reset-aware rate extension. All
+    * bucket-parallel (see TimeSeriesOps). */
+  def tare(db: String, m: String, series: String, field: String,
+           t0: Long, t1: Long): DataFrame =
+    TimeSeriesOps.tare(
+      visibleSeries(db, m, series, t0, t1).withColumn(SeriesCol, lit(series)),
+      SeriesCol, TimeCol, field, bucketWidth = bucketWidth)
+
+  def difference(db: String, m: String, series: String, field: String,
+                 t0: Long, t1: Long): DataFrame =
+    TimeSeriesOps.difference(
+      visibleSeries(db, m, series, t0, t1).withColumn(SeriesCol, lit(series)),
+      SeriesCol, TimeCol, field, bucketWidth = bucketWidth)
+
+  def derivative(db: String, m: String, series: String, field: String,
+                 t0: Long, t1: Long, unitsPerSecond: Double = 1e9): DataFrame =
+    TimeSeriesOps.derivative(
+      visibleSeries(db, m, series, t0, t1).withColumn(SeriesCol, lit(series)),
+      SeriesCol, TimeCol, field, unitsPerSecond, bucketWidth = bucketWidth)
+
+  def rate(db: String, m: String, series: String, field: String,
+           t0: Long, t1: Long, unitsPerSecond: Double = 1e9): DataFrame =
+    TimeSeriesOps.rate(
+      visibleSeries(db, m, series, t0, t1).withColumn(SeriesCol, lit(series)),
+      SeriesCol, TimeCol, field, unitsPerSecond, bucketWidth = bucketWidth)
+
   /** Per-series value histogram over the visible range (extension — see
     * TimeSeriesOps.histogram). */
   def histogram(db: String, m: String, series: String, field: String,

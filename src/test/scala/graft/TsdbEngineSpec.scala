@@ -192,6 +192,23 @@ class TsdbEngineSpec extends SparkTestBase {
       == Seq(950L))
   }
 
+  test("facade tare/difference/derivative/rate run over visible engine data") {
+    val t = mkTsdb()
+    freshSeries(t, baseRows: _*) // v: 100:1.5 150:N 199:3.25 210:-0.0 290:5.5 305:6.5 420:7.5
+    def m(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.select(col("time_ns"), col(c)).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val d = m(t.difference("db1", "m1", "s1", "v", 0L, 1000L), "difference")
+    assert(d(100L).isEmpty && d(290L).contains(5.5) && d(305L).contains(1.0))
+    val ta = m(t.tare("db1", "m1", "s1", "v", 0L, 1000L), "tare")
+    assert(ta(100L).contains(0.0) && ta(420L).contains(6.0) && ta(150L).isEmpty)
+    val de = m(t.derivative("db1", "m1", "s1", "v", 0L, 1000L, unitsPerSecond = 10.0), "derivative")
+    assert(de(290L).contains(0.6875)) // (5.5 - -0.0) / (80/10)
+    val ra = m(t.rate("db1", "m1", "s1", "v", 0L, 1000L, unitsPerSecond = 10.0), "rate")
+    assert(ra(290L).contains(0.6875))          // counter climbing: same as derivative
+    assert(ra(210L).exists(_ == 0.0))          // reset at 210: increase = v = -0.0
+  }
+
   test("applyRetention sweeps every series in one pass, incl. delete-into-future") {
     val t = mkTsdb()
     freshSeries(t, baseRows: _*) // s1: 100..420
