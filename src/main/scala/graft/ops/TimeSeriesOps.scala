@@ -560,13 +560,15 @@ object TimeSeriesOps {
     * §2.4). One hash aggregation keyed on (series, bin) — map-side combined,
     * shuffle rows = series × occupied bins, never the points. */
   def histogram(df: DataFrame, seriesCol: String, valCol: String,
-                binWidth: Double): DataFrame =
+                binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive; got $binWidth")
     df.filter(col(valCol).isNotNull)
       .groupBy(col(seriesCol).as("series"),
                floor(col(valCol) / binWidth).as("bin"))
       .agg(count(lit(1)).as("n"),
            min(valCol).as("min_v"), max(valCol).as("max_v"))
       .orderBy("series", "bin")
+  }
 
   /** Exact per-series quantiles by DISTRIBUTED COUNTING SORT (extension).
     * The naive shapes both fail at scale: a per-series sort/row_number is
