@@ -46,6 +46,51 @@ object PipelineQueries {
         .agg(min("m").as("keep_id"), sum("c").as("n_copies"))
         .select("keep_id", "n_copies")
         .orderBy("keep_id")
+    },
+
+    // Deterministic train/val/test split (80/10/10): the id hashes to a
+    // bucket, the bucket to a split — stable across runs, machines and
+    // engines (the polynomial hash both engines replay bit-for-bit), no
+    // sampling state anywhere. THE way to split a 100 TB corpus: pure
+    // per-row compute, no shuffle at all.
+    QueryDef.withOracle("pipeline_split", {
+      val h = OracleText.wordHashSql("CAST(doc_id AS VARCHAR)")
+      s"""SELECT doc_id, $h % 100 AS bucket,
+         |       CASE WHEN $h % 100 < 80 THEN 'train'
+         |            WHEN $h % 100 < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val bucket = pmod(graft.ops.TextOps.polyHash(col("doc_id").cast("string")), lit(100))
+      Tables(s, dir, "documents").select(
+          col("doc_id"), bucket.as("bucket"),
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
+
+    // Stratified deterministic sample: 20 docs PER LANGUAGE, ranked by
+    // (id-hash, id) — the class-balanced subset selection every eval-set
+    // build needs. Two-phase top-k (per-(class, salt-bucket) candidates,
+    // then candidate-scale final rank) so no class ever becomes a
+    // one-task sort at corpus scale — same shape as tsdb_last_all_series.
+    QueryDef.withOracle("pipeline_stratified", {
+      val h = OracleText.wordHashSql("CAST(doc_id AS VARCHAR)")
+      s"""SELECT doc_id, lang, hv FROM (
+         |  SELECT doc_id, lang, hv,
+         |         row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+         |  FROM (SELECT doc_id, lang, $h AS hv FROM documents))
+         |WHERE rn <= 20 ORDER BY lang, hv, doc_id""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables(s, dir, "documents").select(col("doc_id"), col("lang"),
+        graft.ops.TextOps.polyHash(col("doc_id").cast("string")).as("hv"))
+      val wb = Window.partitionBy(col("lang"), pmod(col("doc_id"), lit(16)))
+        .orderBy(col("hv"), col("doc_id"))
+      val ws = Window.partitionBy("lang").orderBy(col("hv"), col("doc_id"))
+      base.withColumn("rn", row_number().over(wb)).filter(col("rn") <= 20)
+        .withColumn("rn", row_number().over(ws)).filter(col("rn") <= 20)
+        .select("doc_id", "lang", "hv")
+        .orderBy("lang", "hv", "doc_id")
     }
   )
 }
