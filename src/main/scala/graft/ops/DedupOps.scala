@@ -147,6 +147,45 @@ object DedupOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** Connected components over a near-dup PAIR graph — the step that turns
+    * pairwise similarity into dedup decisions: docs A~B and B~C must
+    * collapse to ONE cluster even though A~C was never emitted. Iterative
+    * min-label propagation (the standard large-graph method — hash-join +
+    * aggregate per round, no single-machine union-find): every vertex
+    * starts as its own label; each round every vertex takes the min label
+    * in its neighborhood; converged when no label changes. Rounds needed =
+    * graph diameter — near-dup clusters are shallow (dups of a common
+    * original), so a handful of rounds closes 100 TB of pairs. Labels are
+    * localCheckpointed per round to cut lineage (iterative plans otherwise
+    * grow exponentially).
+    * Input: (id_a, id_b) pairs. Output: (id, component) for every vertex
+    * appearing in a pair; component = min id of its cluster. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(false)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+      .localCheckpoint(false)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // neighborhood minimum (incl. own label), one join + one agg
+      val next = edges.join(labels, edges("dst") === labels("id"))
+        .select(col("src"), col("component").as("nbr"))
+        .union(labels.select(col("id").as("src"), col("component").as("nbr")))
+        .groupBy(col("src").as("id")).agg(min("nbr").as("component"))
+        .localCheckpoint(false)
+      val changes = next.as("n").join(labels.as("l"), "id")
+        .filter(col("n.component") =!= col("l.component")).count()
+      labels = next
+      converged = changes == 0
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
   /** Embedding-cosine near-dup pairs (exact, all-pairs): block-broadcast
     * cross join with the dot product as a left fold in double precision —
     * the same evaluation order the DuckDB oracle uses, so values match

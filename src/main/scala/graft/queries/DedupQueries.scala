@@ -14,10 +14,12 @@ object DedupQueries {
   import OracleText.{SIMHASH, WHS}
   import OracleVec.NORMED
 
-  /** Brute-force n-gram (3-word shingle) Jaccard pairs at J >= 0.8 —
-    * inverted-index CTE mirroring the Spark arithmetic exactly. */
-  private val JaccardBruteSql =
-    s"""WITH whst AS (SELECT doc_id, $WHS AS whs FROM documents),
+  /** CTE list producing `pairs(id_a, id_b, jaccard)`: brute-force n-gram
+    * (3-word shingle) Jaccard pairs at J >= 0.8 — inverted-index CTEs
+    * mirroring the Spark arithmetic exactly. Shared by the pair queries and
+    * the clustering oracle. */
+  private val JaccardPairCtes =
+    s"""whst AS (SELECT doc_id, $WHS AS whs FROM documents),
        |shs AS (SELECT doc_id, list_distinct(list_transform(range(0, len(whs) - 2), i ->
        |          list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(whs, i + 1, i + 3)),
        |            (h, w) -> (h * ${TextOps.B2} + w) % ${TextOps.P}))) AS shingles
@@ -25,11 +27,14 @@ object DedupQueries {
        |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM shs),
        |sz AS (SELECT doc_id, len(shingles) AS sz FROM shs),
        |cm AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS cnt
-       |       FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
-       |SELECT ia AS id_a, ib AS id_b, CAST(cnt AS DOUBLE) / (sa.sz + sb.sz - cnt) AS jaccard
-       |FROM cm JOIN sz sa ON sa.doc_id = cm.ia JOIN sz sb ON sb.doc_id = cm.ib
-       |WHERE CAST(cnt AS DOUBLE) / (sa.sz + sb.sz - cnt) >= 0.8
-       |ORDER BY 1, 2""".stripMargin
+       |       FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT ia AS id_a, ib AS id_b, CAST(cnt AS DOUBLE) / (sa.sz + sb.sz - cnt) AS jaccard
+       |  FROM cm JOIN sz sa ON sa.doc_id = cm.ia JOIN sz sb ON sb.doc_id = cm.ib
+       |  WHERE CAST(cnt AS DOUBLE) / (sa.sz + sb.sz - cnt) >= 0.8)""".stripMargin
+
+  private val JaccardBruteSql =
+    s"WITH $JaccardPairCtes\nSELECT id_a, id_b, jaccard FROM pairs ORDER BY 1, 2"
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -47,6 +52,29 @@ object DedupQueries {
       DedupOps.jaccardPairsLsh(
         DedupOps.shingleSets(Tables(s, dir, "documents"), "doc_id", "text", 3),
         "doc_id", 0.8, bands = 32, rows = 4)
+    },
+
+    // Near-dup CLUSTERS — the end of the dedup pipeline: pairwise A~B, B~C
+    // must collapse to ONE keep-decision even though A~C was never emitted.
+    // Spark side: iterative min-label propagation over the LSH pair graph
+    // (DedupOps.connectedComponents); oracle: the same components from a
+    // recursive CTE over the brute-force pair set. component = min doc_id
+    // of the cluster = the canonical document to keep.
+    QueryDef.withOracle("dedup_clusters",
+      s"""WITH RECURSIVE $JaccardPairCtes,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |walk(id, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id
+         |)
+         |SELECT id, min(label) AS component FROM walk
+         |GROUP BY id ORDER BY id""".stripMargin) { (s, dir) =>
+      val pairs = DedupOps.jaccardPairsLsh(
+        DedupOps.shingleSets(Tables(s, dir, "documents"), "doc_id", "text", 3),
+        "doc_id", 0.8, bands = 32, rows = 4)
+      DedupOps.connectedComponents(pairs.select("id_a", "id_b")).orderBy("id")
     },
 
     // SimHash pairs within Hamming radius 1, EXACT via pigeonhole banding

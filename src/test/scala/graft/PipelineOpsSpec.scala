@@ -51,6 +51,20 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(exact == lsh)             // LSH must not miss at these similarities
   }
 
+  test("connectedComponents: transitive chains collapse, multi-round convergence") {
+    import graft.ops.DedupOps
+    // path 1-2-3-4-5 (diameter 4 -> several propagation rounds), pair 10-11,
+    // and 20-21 sharing nothing with either
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L), (21L, 20L))
+      .toDF("id_a", "id_b")
+    val got = DedupOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(got(_) == 1L))
+    assert(got(10L) == 10L && got(11L) == 10L)
+    assert(got(20L) == 20L && got(21L) == 20L)
+    assert(got.size == 9)
+  }
+
   test("simhashPairs: exact dup at hamming 0; pigeonhole banding finds it") {
     val pairs = DedupOps.simhashPairs(docs, "doc_id", "text", bits = 30, maxHamming = 2)
       .as[(Long, Long, Long)].collect().map { case (a, b, h) => ((a, b), h) }.toMap
