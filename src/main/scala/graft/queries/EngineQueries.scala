@@ -421,6 +421,35 @@ object EngineQueries {
         .quantiles("bench", "events", "purchase", "v", T0, T1, Seq(0.5, 0.9, 0.99))
     },
 
+    // Value histogram THROUGH the engine (facade .histogram over the
+    // bucket-pruned visible range).
+    QueryDef.withOracle("engine_histogram",
+      s"""SELECT 'purchase' AS series, CAST(floor(v / 10.0) AS BIGINT) AS bin,
+         |       count(*) AS n, min(v) AS min_v, max(v) AS max_v
+         |FROM $PTS
+         |WHERE series = 'purchase' AND v IS NOT NULL
+         |  AND time_us BETWEEN $T0 AND $T1
+         |GROUP BY 1, 2 ORDER BY series, bin""".stripMargin) { (s, dir) =>
+      Fixture.tsdb(s, dir)
+        .histogram("bench", "events", "purchase", "v", T0, T1, binWidth = 10.0)
+    },
+
+    // Counter-reset-aware RATE through the engine (facade .rate; µs axis,
+    // so unitsPerSecond = 1e6).
+    QueryDef.withOracle("engine_rate",
+      s"""SELECT 'purchase' AS series, time_us AS time_ns,
+         |       (CASE WHEN v >= lag(v) OVER w THEN v - lag(v) OVER w
+         |             ELSE v END) /
+         |         ((time_us - lag(time_us) OVER w) / 1000000.0) AS rate
+         |FROM $PTS WHERE series = 'purchase' AND time_us BETWEEN $T0 AND $T1
+         |WINDOW w AS (ORDER BY time_us)
+         |ORDER BY time_ns""".stripMargin) { (s, dir) =>
+      Fixture.tsdb(s, dir)
+        .rate("bench", "events", "purchase", "v", T0, T1, unitsPerSecond = UPS)
+        .select(col("series"), col("time_ns"), col("rate"))
+        .orderBy("time_ns")
+    },
+
     // Downsample-to-rollup: the windowed aggregate written BACK through the
     // validated append path as a derived measurement, then read from its own
     // bucket layout (the standard rollup-table workflow; the reference
