@@ -175,6 +175,54 @@ object TimeSeriesOps {
       .orderBy("window_start")
   }
 
+  /** GAP FILLING (extension — InfluxDB `fill(previous|linear)` / Timescale
+    * `locf`/`interpolate`; dashboards need continuous lines over sparse
+    * series, the reference simply emits empty windows): per tumbling
+    * window, the mean of the points in it, and for EMPTY windows both
+    * fill policies — LOCF (last observation carried forward; a PICKED
+    * value, bitwise-stable) and LINEAR (interpolated between the
+    * neighboring non-empty windows; leading/trailing gaps take the nearest
+    * value).
+    *
+    * Scale shape: the points collapse to the WINDOW-spine-sized table
+    * before any sequential pass — the two cumulative fills run over rows =
+    * windows in range, not points, so the unpartitioned window is
+    * spine-sized by construction (same argument as the quantile value
+    * space; partition by series when filling many series at once). */
+  def gapFill(df: DataFrame, tsCol: String, valCol: String,
+              t0: Long, t1: Long, w: Long): DataFrame = {
+    val spark = df.sparkSession
+    val w0 = firstWindowStart(t0, w)
+    val nW = numWindows(t0, t1, w)
+    val spine = spark.range(nW).select((lit(w0) + col("id") * w).as("window_start"))
+    val agg = df
+      .filter(col(tsCol) >= w0 && col(tsCol) < w0 + nW * w)
+      .groupBy(((col(tsCol) - (col(tsCol) % w))).as("window_start"))
+      .agg((sumExact2(col(valCol)) / count(valCol)).as("mean_value"),
+           count(valCol).as("n"))
+    val joined = spine.join(agg, Seq("window_start"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val asc = Window.orderBy("window_start")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val desc = Window.orderBy("window_start")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val markedWs = when(col("mean_value").isNotNull, col("window_start"))
+    val filled = joined
+      .withColumn("_pv", last("mean_value", ignoreNulls = true).over(asc))
+      .withColumn("_pw", last(markedWs, ignoreNulls = true).over(asc))
+      .withColumn("_nv", first("mean_value", ignoreNulls = true).over(desc))
+      .withColumn("_nw", first(markedWs, ignoreNulls = true).over(desc))
+    filled.select(col("window_start"), col("n"), col("mean_value"),
+        col("_pv").as("locf_value"),
+        when(col("mean_value").isNotNull, col("mean_value"))
+          .when(col("_pv").isNull, col("_nv"))
+          .when(col("_nv").isNull, col("_pv"))
+          .otherwise(col("_pv") + (col("_nv") - col("_pv")) *
+            ((col("window_start") - col("_pw")) / (col("_nw") - col("_pw"))))
+          .as("linear_value"))
+      .orderBy("window_start")
+  }
+
   /** Op #7 (MEAN, derived client-side in the reference:
     * src/tsdbcli2/main.cc:203-238 — sum/count of sum_op output). Non-empty
     * windows only, grouped per series. */

@@ -379,6 +379,54 @@ object EventQueries {
         .orderBy("series", "time_us", "event_id")
     },
 
+    // EXTENSION: GAP FILLING — LOCF + linear interpolation over empty
+    // windows (InfluxDB fill(previous|linear), Timescale locf/interpolate;
+    // the reference just emits empty windows and leaves holes in the
+    // dashboard). 30-min windows on the sparse 'error' series leave ~24%
+    // of windows empty at sf0.01 — both fill policies are exercised for
+    // real. The sequential passes run over the window spine, never points.
+    QueryDef.withOracle("tsdb_gap_fill", {
+      val W = 1800000000L // 30 min of µs
+      val w0 = TimeSeriesOps.firstWindowStart(T0, W)
+      val nW = TimeSeriesOps.numWindows(T0, T1, W)
+      s"""WITH spine AS (
+         |  SELECT unnest(generate_series($w0, ${w0 + (nW - 1) * W}, $W)) AS window_start
+         |), agg AS (
+         |  SELECT time_us - (time_us % $W) AS window_start,
+         |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS mean_value,
+         |         COUNT(value) AS n
+         |  FROM $EV
+         |  WHERE series = 'error' AND time_us >= $w0 AND time_us < ${w0 + nW * W}
+         |  GROUP BY 1
+         |), j AS (
+         |  SELECT s.window_start, coalesce(a.n, 0) AS n, a.mean_value
+         |  FROM spine s LEFT JOIN agg a USING (window_start)
+         |), f AS (
+         |  SELECT window_start, n, mean_value,
+         |    last_value(mean_value IGNORE NULLS) OVER wa AS pv,
+         |    last_value(CASE WHEN mean_value IS NOT NULL THEN window_start END IGNORE NULLS)
+         |      OVER wa AS pw,
+         |    first_value(mean_value IGNORE NULLS) OVER wd AS nv,
+         |    first_value(CASE WHEN mean_value IS NOT NULL THEN window_start END IGNORE NULLS)
+         |      OVER wd AS nw
+         |  FROM j
+         |  WINDOW wa AS (ORDER BY window_start ROWS UNBOUNDED PRECEDING),
+         |         wd AS (ORDER BY window_start
+         |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         |)
+         |SELECT window_start, n, mean_value, pv AS locf_value,
+         |       CASE WHEN mean_value IS NOT NULL THEN mean_value
+         |            WHEN pv IS NULL THEN nv
+         |            WHEN nv IS NULL THEN pv
+         |            ELSE pv + (nv - pv) * ((window_start - pw) / (nw - pw))
+         |       END AS linear_value
+         |FROM f ORDER BY window_start""".stripMargin
+    }) { (s, dir) =>
+      TimeSeriesOps.gapFill(
+        Tables.eventsTsdb(s, dir).filter(col("series") === "error"),
+        "time_us", "value", T0, T1, 1800000000L)
+    },
+
     // EXTENSION: per-series value histogram (fixed 10.0-wide bins). The
     // reference has no value-space operators (SURVEY §2.4); dashboards need
     // the distribution zoom. One hash agg on (series, bin) — shuffle rows =

@@ -142,6 +142,21 @@ class TimeSeriesOpsSpec extends SparkTestBase {
     assert(got == Seq((80L, 210L, 6L), (300L, 310L, 2L), (900L, 900L, 1L)))
   }
 
+  test("gapFill: locf carries forward, linear interpolates, edges take nearest") {
+    val df = Seq((150L, 2.0), (160L, 4.0), (410L, 9.0)).toDF("ts", "v")
+    val r = TimeSeriesOps.gapFill(df, "ts", "v", 0L, 499L, 100L)
+      .collect().map(x => (x.getLong(0),
+        if (x.isNullAt(3)) None else Some(x.getDouble(3)),
+        if (x.isNullAt(4)) None else Some(x.getDouble(4)))).toSeq
+    // windows 0..400: [100] mean 3, [400] mean 9, rest empty
+    assert(r == Seq(
+      (0L, None, Some(3.0)),           // leading gap: no locf, linear backfills
+      (100L, Some(3.0), Some(3.0)),
+      (200L, Some(3.0), Some(5.0)),    // 3 + 6 * (100/300)
+      (300L, Some(3.0), Some(7.0)),    // 3 + 6 * (200/300)
+      (400L, Some(9.0), Some(9.0))))
+  }
+
   test("sumWindowsMulti aggregates every field in one pass, empty windows included") {
     val df = Seq((100L, Some(1.0), Some(10L)), (150L, None, Some(20L)),
                  (250L, Some(3.0), None), (460L, Some(4.0), Some(40L)))
