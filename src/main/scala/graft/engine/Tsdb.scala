@@ -810,6 +810,14 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
       visibleSeries(db, m, series, t0, t1).withColumn(SeriesCol, lit(series)),
       SeriesCol, TimeCol, field, unitsPerSecond, bucketWidth = bucketWidth)
 
+  /** Gap filling over the visible range: per-window mean plus LOCF and
+    * linear-interpolation fills for empty windows (extension — see
+    * TimeSeriesOps.gapFill). */
+  def gapFill(db: String, m: String, series: String, field: String,
+              t0: Long, t1: Long, windowWidth: Long): DataFrame =
+    TimeSeriesOps.gapFill(visibleSeries(db, m, series, t0, t1),
+      TimeCol, field, t0, t1, windowWidth)
+
   /** Per-series value histogram over the visible range (extension — see
     * TimeSeriesOps.histogram). */
   def histogram(db: String, m: String, series: String, field: String,

@@ -434,6 +434,50 @@ object EngineQueries {
         .histogram("bench", "events", "purchase", "v", T0, T1, binWidth = 10.0)
     },
 
+    // GAP FILLING through the engine (facade .gapFill over the bucket-pruned
+    // visible range of the sparse error series; 30-min µs windows leave real
+    // gaps for both fill policies).
+    QueryDef.withOracle("engine_gap_fill", {
+      val W = 1800000000L
+      val w0 = graft.ops.TimeSeriesOps.firstWindowStart(T0, W)
+      val nW = graft.ops.TimeSeriesOps.numWindows(T0, T1, W)
+      s"""WITH spine AS (
+         |  SELECT unnest(generate_series($w0, ${w0 + (nW - 1) * W}, $W)) AS window_start
+         |), agg AS (
+         |  SELECT time_us - (time_us % $W) AS window_start,
+         |         CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / COUNT(v) AS mean_value,
+         |         COUNT(v) AS n
+         |  FROM $PTS
+         |  WHERE series = 'error' AND time_us >= $w0 AND time_us < ${w0 + nW * W}
+         |  GROUP BY 1
+         |), j AS (
+         |  SELECT s.window_start, coalesce(a.n, 0) AS n, a.mean_value
+         |  FROM spine s LEFT JOIN agg a USING (window_start)
+         |), f AS (
+         |  SELECT window_start, n, mean_value,
+         |    last_value(mean_value IGNORE NULLS) OVER wa AS pv,
+         |    last_value(CASE WHEN mean_value IS NOT NULL THEN window_start END IGNORE NULLS)
+         |      OVER wa AS pw,
+         |    first_value(mean_value IGNORE NULLS) OVER wd AS nv,
+         |    first_value(CASE WHEN mean_value IS NOT NULL THEN window_start END IGNORE NULLS)
+         |      OVER wd AS nw
+         |  FROM j
+         |  WINDOW wa AS (ORDER BY window_start ROWS UNBOUNDED PRECEDING),
+         |         wd AS (ORDER BY window_start
+         |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         |)
+         |SELECT window_start, n, mean_value, pv AS locf_value,
+         |       CASE WHEN mean_value IS NOT NULL THEN mean_value
+         |            WHEN pv IS NULL THEN nv
+         |            WHEN nv IS NULL THEN pv
+         |            ELSE pv + (nv - pv) * ((window_start - pw) / (nw - pw))
+         |       END AS linear_value
+         |FROM f ORDER BY window_start""".stripMargin
+    }) { (s, dir) =>
+      Fixture.tsdb(s, dir)
+        .gapFill("bench", "events", "error", "v", T0, T1, 1800000000L)
+    },
+
     // Counter-reset-aware RATE through the engine (facade .rate; µs axis,
     // so unitsPerSecond = 1e6).
     QueryDef.withOracle("engine_rate",
