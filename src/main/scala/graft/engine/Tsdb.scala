@@ -35,7 +35,8 @@ final case class WriteResult(written: Long, discarded: Long, overwriteVerified: 
   * {{{
   * rootDir/_config.json                      bucket width (once, validated on open)
   * rootDir/<db>/<meas>/_schema.json          MeasurementSchema (atomic tmp+rename)
-  * rootDir/<db>/<meas>/_meta/<series>.json   SeriesRange watermarks
+  * rootDir/<db>/<meas>/_wm/                  watermark TABLE (see WatermarkStore)
+  * rootDir/<db>/<meas>/_meta/.<series>.pending  append-intent markers
   * rootDir/<db>/<meas>/data/series=<s>/bucket=<b>/  parquet, sorted by time_ns
   * }}}
   *
@@ -51,15 +52,15 @@ final case class WriteResult(written: Long, discarded: Long, overwriteVerified: 
   * jobs are the writers); readers always see a consistent snapshot because
   * parquet files are immutable and the watermark swap is atomic (rename).
   *
-  * Metadata scale: watermarks are one small JSON object per series —
-  * object-store-friendly (atomic rename, no coordination), mirroring the
-  * reference's `time_first`/`time_last` files, and `visible()` reads them
-  * once per query into a broadcast. Beyond ~10⁵ series per measurement the
-  * per-series listing itself becomes the bottleneck; the upgrade path is
-  * mechanical (swap the per-series JSON files for one watermark TABLE keyed by
-  * series — every call site already goes through seriesRange/listSeries)
-  * and deliberately not taken here: the reference's model is thousands of
-  * series, not millions, and a JSON-per-series store is auditable.
+  * Metadata scale: watermarks live in ONE log-structured table per
+  * measurement ([[WatermarkStore]]): every update — single-series append or
+  * a 10⁴-series micro-batch — commits one small atomic delta file, readers
+  * list a bounded directory (snapshot + ≤64 deltas) instead of one object
+  * per series, and the decoded table is signature-cached so repeat loads
+  * cost one `listStatus`. This removes the r1-r5 per-series-JSON ceiling
+  * (~10⁵ series: the listing itself became the bottleneck); the reference's
+  * per-series `time_first`/`time_last` files (series.cc:56-72) are the
+  * single-node analog.
   */
 final class Tsdb(val spark: SparkSession, val rootDir: String,
                  requestedBucketWidth: Long = Tsdb.UseExistingWidth) {
@@ -147,21 +148,16 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
 
   /** LIST SERIES — sorted (reference src/libtsdb/measurement.h:72-77).
     * Series exist from their first successful write (auto-create,
-    * series.cc:20-109). */
+    * series.cc:20-109). One bounded directory listing however many series
+    * the measurement holds (WatermarkStore). */
   def listSeries(db: String, m: String): Seq[String] = {
     getSchema(db, m) // existence check
-    val meta = metaDir(db, m)
-    val f = fs(meta)
-    if (!f.exists(meta)) Nil
-    else f.listStatus(meta).toSeq.map(_.getPath.getName)
-      .filter(_.endsWith(".json")).map(_.stripSuffix(".json")).sorted
+    wmStore(db, m).load().keys.toSeq.sorted
   }
 
   /** Live range of a series; absent ⇒ the series has never been written. */
-  def seriesRange(db: String, m: String, series: String): Option[SeriesRange] = {
-    val p = metaPath(db, m, series)
-    if (fs(p).exists(p)) Some(SeriesRange.fromJson(readString(p))) else None
-  }
+  def seriesRange(db: String, m: String, series: String): Option[SeriesRange] =
+    wmStore(db, m).get(series)
 
   // ---------------------------------------------------------------- write
 
@@ -264,7 +260,7 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
         case (None, Some((mn, mx)))   => SeriesRange(mn, mx)
         case (None, None)             => SeriesRange(1, 0) // reference empty-series sentinel
       }
-      atomicWrite(metaPath(db, m, series), next.toJson)
+      wmStore(db, m).update(Map(series -> next))
     }
     if (written > 0) fs(pending).delete(pending, false)
     WriteResult(written, discarded, overlapN)
@@ -301,8 +297,9 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
       col(TimeCol).cast(LongType).as(TimeCol) +:
       schema.fields.map(f => col(f.name).cast(f.ftype.spark).as(f.name)): _*)
 
-    // existing watermarks, broadcast against the batch (catalog-scale)
-    val wms = listSeries(db, m).flatMap(sn => seriesRange(db, m, sn).map(sn -> _)).toMap
+    // existing watermarks, broadcast against the batch (catalog-scale;
+    // ONE bounded load, not one file per series)
+    val wms = wmStore(db, m).load()
     import spark.implicits._
     val tagged =
       if (wms.isEmpty)
@@ -369,15 +366,18 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
       .sortWithinPartitions(SeriesCol, BucketCol, TimeCol)
       .write.mode("append").partitionBy(SeriesCol, BucketCol)
       .parquet(dataDir(db, m).toString)
-    toWrite.foreach { r =>
+    // ONE watermark commit for the whole batch (one delta file however many
+    // series landed), then the intent markers drop
+    wmStore(db, m).update(toWrite.map { r =>
       val sn = r.getString(0)
       val (mn, mx) = (r.getLong(6), r.getLong(7))
-      val next = wms.get(sn) match {
+      r.getString(0) -> (wms.get(sn) match {
         case Some(prev) => SeriesRange(prev.timeFirst, math.max(prev.timeLast, mx))
         case None       => SeriesRange(mn, mx)
-      }
-      atomicWrite(metaPath(db, m, sn), next.toJson)
-      val p = pendingPath(db, m, sn)
+      })
+    }.toMap)
+    toWrite.foreach { r =>
+      val p = pendingPath(db, m, r.getString(0))
       fs(p).delete(p, false)
     }
     toWrite.map(r => r.getString(0) -> r.getLong(5)).toMap
@@ -583,7 +583,7 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
     val surviving = seriesData(db, m, series, schema, t + 1, wm.timeLast)
       .agg(min(TimeCol)).head()
     val newFirst = if (surviving.isNullAt(0)) t + 1 else surviving.getLong(0)
-    atomicWrite(metaPath(db, m, series), SeriesRange(newFirst, wm.timeLast).toJson)
+    wmStore(db, m).update(Map(series -> SeriesRange(newFirst, wm.timeLast)))
     // drop buckets fully below the watermark
     val sdir = new Path(dataDir(db, m), s"$SeriesCol=$series")
     val f = fs(sdir)
@@ -608,8 +608,7 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
     * @return the new `time_first` per affected series. */
   def applyRetention(db: String, m: String, t: Long): Map[String, Long] = {
     val schema = getSchema(db, m)
-    val affected = listSeries(db, m)
-      .flatMap(sn => seriesRange(db, m, sn).map(sn -> _))
+    val affected = wmStore(db, m).load().toSeq
       .filter { case (_, r) => t >= r.timeFirst } // below-watermark cuts are no-ops
     if (affected.isEmpty) return Map.empty
     import spark.implicits._
@@ -624,9 +623,15 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
       .filter(col(TimeCol) <= col("_tl")) // ignore crashed-append orphans
       .groupBy(col(SeriesCol)).agg(min(TimeCol).as("mn"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    affected.map { case (sn, r) =>
-      val newFirst = surv.getOrElse(sn, t + 1) // none survive -> delete into the future
-      atomicWrite(metaPath(db, m, sn), SeriesRange(newFirst, r.timeLast).toJson)
+    val advanced = affected.map { case (sn, r) =>
+      // none survive -> delete into the future
+      sn -> (surv.getOrElse(sn, t + 1), r.timeLast)
+    }
+    // ONE watermark commit for every swept series, then the bucket drops
+    wmStore(db, m).update(advanced.map { case (sn, (nf, tl)) =>
+      sn -> SeriesRange(nf, tl)
+    }.toMap)
+    advanced.foreach { case (sn, (newFirst, _)) =>
       val sdir = new Path(dataDir(db, m), s"$SeriesCol=$sn")
       val f = fs(sdir)
       if (f.exists(sdir)) {
@@ -638,8 +643,8 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
             f.delete(st.getPath, true)
         }
       }
-      sn -> newFirst
-    }.toMap
+    }
+    advanced.map { case (sn, (nf, _)) => sn -> nf }.toMap
   }
 
   // ---------------------------------------------------------------- read
@@ -670,11 +675,11 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
     * read clamp src/libtsdb/select_op.cc:18-19). */
   def visible(db: String, m: String): DataFrame = {
     val schema = getSchema(db, m)
-    val wms = listSeries(db, m).flatMap(s => seriesRange(db, m, s).map(r => (s, r)))
+    val wms = wmStore(db, m).load()
     val raw = readMeasurement(db, m, schema)
     if (wms.isEmpty) return raw.limit(0)
     import spark.implicits._
-    val wdf = wms.map { case (s, r) => (s, r.timeFirst, r.timeLast) }
+    val wdf = wms.toSeq.map { case (s, r) => (s, r.timeFirst, r.timeLast) }
       .toDF(SeriesCol, "_tf", "_tl")
     raw.join(broadcast(wdf), SeriesCol)
       .filter(col(TimeCol) >= col("_tf") && col(TimeCol) <= col("_tl"))
@@ -864,12 +869,18 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
   private def measPath(db: String, m: String) = new Path(dbPath(db), m)
   private def schemaPath(db: String, m: String) = new Path(measPath(db, m), "_schema.json")
   private def metaDir(db: String, m: String) = new Path(measPath(db, m), "_meta")
-  private def metaPath(db: String, m: String, series: String) =
-    new Path(metaDir(db, m), s"$series.json")
   /** Append-intent marker: present iff an append is in flight (or died). */
   private def pendingPath(db: String, m: String, series: String) =
     new Path(metaDir(db, m), s".$series.pending")
   private def dataDir(db: String, m: String) = new Path(measPath(db, m), "data")
+
+  /** One signature-cached watermark store per measurement (see
+    * [[WatermarkStore]] for format, caching and the concurrency contract). */
+  private val wmStores =
+    scala.collection.concurrent.TrieMap.empty[(String, String), WatermarkStore]
+  private def wmStore(db: String, m: String): WatermarkStore =
+    wmStores.getOrElseUpdate((db, m),
+      new WatermarkStore(new Path(measPath(db, m), "_wm"), hconf))
 
   private def validName(s: String, what: String): Unit =
     if (!s.matches("[A-Za-z0-9_.-]{1,123}") || s.startsWith("_") || s == "." || s == "..")
