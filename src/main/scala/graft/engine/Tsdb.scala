@@ -286,7 +286,33 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
     * Crash safety: per-series append-intent markers bracket the write, so a
     * died bulk load is healed by the normal recovery on each series' next
     * append. @return per-series written counts. */
-  def bulkLoad(db: String, m: String, points: DataFrame): Map[String, Long] = {
+  def bulkLoad(db: String, m: String, points: DataFrame): Map[String, Long] =
+    writeBatchImpl(db, m, points, allowOverlap = false)
+      .collect { case (sn, r) if r.written > 0 => sn -> r.written }
+
+  /** Validated append of a MULTI-series batch with `writePoints` semantics
+    * per series — the streaming-sink path (SURVEY §7.2.7): below-watermark
+    * points silently discard, points inside `[time_first, time_last]` are a
+    * BITWISE-verified idempotent tail overwrite (reference wal.cc:87-246),
+    * points above append. Unlike the per-series `writePoints` loop this runs
+    * a FIXED number of Spark jobs whatever the series count: one stats
+    * aggregation, one distributed overlap verify (only when a replayed tail
+    * exists), one `partitionBy(series, bucket)` write, one watermark delta —
+    * a micro-batch of 10⁴ series costs 3 jobs, not 2×10⁴ (the r5 streaming
+    * dispatch ceiling; the reference's WAL serializes per series because it
+    * is single-node, wal.cc:248-277).
+    *
+    * Contract: exclusive writer for the measurement while the batch commits
+    * (one shared `_temporary/` staging dir — see `appendSorted`); a
+    * micro-batch sink IS that exclusive writer. Any per-series validation
+    * failure (NULL/duplicate timestamps, diverging overlap bytes) rejects
+    * the WHOLE batch before anything lands — replay-safe.
+    * @return per-series (written, discarded, overwriteVerified). */
+  def writeBatch(db: String, m: String, points: DataFrame): Map[String, WriteResult] =
+    writeBatchImpl(db, m, points, allowOverlap = true)
+
+  private def writeBatchImpl(db: String, m: String, points: DataFrame,
+                             allowOverlap: Boolean): Map[String, WriteResult] = {
     val schema = getSchema(db, m)
     val cols = SeriesCol +: TimeCol +: schema.fields.map(_.name)
     val missing = cols.filterNot(points.columns.contains)
@@ -315,26 +341,39 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
     // keep = above both watermarks; discard = inside the delete window
     // [min(tf,tl+1), tf) — identical visibility rules to writePoints
     val keep = col(TimeCol) > col("_tl") && col(TimeCol) >= col("_tf")
+    val inTail = col(TimeCol).between(col("_tf"), col("_tl"))
 
     // ONE validation job for every series
     val stats = tagged.groupBy(col(SeriesCol)).agg(
       count(lit(1)).as("n"), count(col(TimeCol)).as("n_ts"),
       countDistinct(col(TimeCol)).as("n_distinct"),
-      sum(when(col(TimeCol) <= col("_tl"), 1L).otherwise(0L)).as("overlap"),
+      sum(when(col(TimeCol) <= col("_tl"), 1L).otherwise(0L)).as("le_tl"),
       count(when(keep, lit(1))).as("new_n"),
       min(when(keep, col(TimeCol))).as("new_min"),
-      max(when(keep, col(TimeCol))).as("new_max")).collect()
-    // row layout: series(0), n(1), n_ts(2), n_distinct(3), overlap(4),
-    // new_n(5), new_min(6), new_max(7) — groupBy key leads
+      max(when(keep, col(TimeCol))).as("new_max"),
+      sum(when(col(TimeCol) < col("_tf"), 1L).otherwise(0L)).as("disc"),
+      sum(when(inTail, 1L).otherwise(0L)).as("ov"),
+      min(when(inTail, col(TimeCol))).as("ov_min")).collect()
+    // row layout: series(0), n(1), n_ts(2), n_distinct(3), le_tl(4),
+    // new_n(5), new_min(6), new_max(7), disc(8), ov(9), ov_min(10)
     stats.foreach { r =>
       val sn = r.getString(0)
       validName(sn, "series")
       if (r.getLong(3) < r.getLong(1))
         throw new OutOfOrderTimestampsException(
           s"$sn: ${r.getLong(1) - r.getLong(3)} duplicate/NULL timestamps in bulk batch")
-      if (r.getLong(4) > 0)
+      if (!allowOverlap && r.getLong(4) > 0)
         throw new OverwriteMismatchException(
           s"$sn: ${r.getLong(4)} points at-or-below time_last — bulk load is append-only")
+    }
+    // replayed tails: ONE distributed bitwise verify over every overlapping
+    // series at once (per-series writePoints semantics, reference
+    // wal.cc:87-246 memcmp; the batch analog of verifyOverlap)
+    if (allowOverlap) {
+      val ovRows = stats.filter(_.getLong(9) > 0)
+      if (ovRows.nonEmpty)
+        verifyOverlapBatch(db, m, schema, tagged.filter(inTail),
+          ovRows.map(r => (r.getString(0), r.getLong(10), wms(r.getString(0)).timeLast)))
     }
     // heal any series a previous append/bulk load died on (same recovery
     // rules as writePoints: truncate orphans above the watermark, or drop
@@ -352,8 +391,10 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
       }
     }
 
+    def results: Map[String, WriteResult] = stats.map(r =>
+      r.getString(0) -> WriteResult(r.getLong(5), r.getLong(8), r.getLong(9))).toMap
     val toWrite = stats.filter(_.getLong(5) > 0)
-    if (toWrite.isEmpty) return Map.empty
+    if (toWrite.isEmpty) return results // fully-replayed / fully-discarded batch
 
     toWrite.foreach(r => atomicWrite(pendingPath(db, m, r.getString(0)), """{"version":1}"""))
     val par = spark.sparkContext.defaultParallelism
@@ -380,7 +421,41 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
       val p = pendingPath(db, m, r.getString(0))
       fs(p).delete(p, false)
     }
-    toWrite.map(r => r.getString(0) -> r.getLong(5)).toMap
+    results
+  }
+
+  /** Batch form of `verifyOverlap`: one full-outer join on (series, time_ns)
+    * checks EVERY replayed tail at once — series-pruned via an IN filter on
+    * the partition column, bucket-pruned to the overlapping range, and per
+    * series the stored `[ov_min, time_last]` window must be covered exactly
+    * with bitwise-identical field bytes. */
+  private def verifyOverlapBatch(db: String, m: String, schema: MeasurementSchema,
+                                 batchOverlap: DataFrame,
+                                 ranges: Seq[(String, Long, Long)]): Unit = {
+    import spark.implicits._
+    val names = ranges.map(_._1)
+    val b0 = ranges.map(r => Math.floorDiv(r._2, bucketWidth)).min
+    val b1 = ranges.map(r => Math.floorDiv(r._3, bucketWidth)).max
+    val rdf = broadcast(ranges.toDF(SeriesCol, "_vmin", "_vmax"))
+    val stored = readMeasurement(db, m, schema)
+      .filter(col(SeriesCol).isin(names: _*) && col(BucketCol).between(b0, b1))
+      .join(rdf, SeriesCol)
+      .filter(col(TimeCol).between(col("_vmin"), col("_vmax")))
+    def bits(df: DataFrame, prefix: String): DataFrame =
+      df.select(col(SeriesCol) +: col(TimeCol) +:
+        schema.fields.map(f => GraftFunctions.bitwiseComparable(col(f.name), f.ftype.spark)
+          .as(s"$prefix${f.name}")) :+ lit(true).as(s"${prefix}present"): _*)
+    val joined = bits(stored, "s_")
+      .join(bits(batchOverlap, "w_"), Seq(SeriesCol, TimeCol), "full_outer")
+    val bad = joined.filter(
+        col("s_present").isNull || col("w_present").isNull ||
+        schema.fields.map(f => !(col(s"s_${f.name}") <=> col(s"w_${f.name}")))
+          .reduceOption(_ || _).getOrElse(lit(false)))
+      .groupBy(col(SeriesCol)).count().collect()
+    if (bad.nonEmpty)
+      throw new OverwriteMismatchException(
+        s"$db/$m: replayed tail differs from storage — " +
+          bad.map(r => s"${r.getString(0)}: ${r.getLong(1)} points").mkString("; "))
   }
 
   /** Bitwise comparison of the overlap region against storage: a full-outer

@@ -17,30 +17,26 @@ import graft.engine.Tsdb
   *  - a replayed batch whose bytes DIFFER from what was committed fails the
   *    write — the same corruption guard the reference's memcmp gives.
   *
-  * Scale posture: each micro-batch appends bucket-partitioned sorted parquet
-  * via the normal write path (no driver-side data movement); the per-series
-  * dispatch loop is catalog-scale (series names only, never points).
+  * Scale posture: each micro-batch commits through `Tsdb.writeBatch` — ONE
+  * stats job, one distributed bitwise verify (only when a replayed tail
+  * exists), one `partitionBy(series, bucket)` write and one watermark delta,
+  * whatever the series count. The r1-r5 design dispatched `writePoints` per
+  * series (O(series) jobs per micro-batch — fine at 5 series, 10⁴ series →
+  * ~10⁴ job launches per batch); the batch path keeps per-series semantics
+  * while the job count stays constant.
   */
 object StreamingIngest {
 
   /** The foreachBatch body, exposed for direct testing: validated append of
-    * one (possibly multi-series) micro-batch. Series are fully independent
-    * (reference doc/LOCKING.txt:3-8), so they are written CONCURRENTLY —
-    * replay safety per series comes from the idempotent overwrite, not from
-    * cross-series ordering. */
+    * one (possibly multi-series) micro-batch in one distributed pass.
+    * Replay safety per series comes from `writeBatch`'s bitwise idempotent
+    * overwrite, not from any per-series ordering. */
   def ingestBatch(tsdb: Tsdb, db: String, m: String, seriesCol: String)
                  (batch: DataFrame, batchId: Long): Unit = {
-    val seriesNames = batch.select(seriesCol).distinct()
-      .collect().map(_.getString(0)).sorted // catalog-scale list, not points
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    Await.result(Future.sequence(seriesNames.toSeq.map { sn =>
-      Future {
-        tsdb.writePoints(db, m, sn,
-          batch.filter(col(seriesCol) === sn).drop(seriesCol))
-      }
-    }), Duration.Inf)
+    val renamed =
+      if (seriesCol == "series") batch
+      else batch.withColumn("series", col(seriesCol)).drop(seriesCol)
+    tsdb.writeBatch(db, m, renamed)
   }
 
   /** Start streaming `points` (schema: seriesCol + time_ns + fields) into

@@ -83,4 +83,29 @@ class StreamingIngestSpec extends SparkTestBase {
     }
     assert(visiblePoints(t) == rows) // storage untouched by the failed write
   }
+
+  test("a micro-batch of N series runs O(1) Spark jobs, not O(N)") {
+    val t = new Tsdb(spark, tmpDir("batch-tsdb-"), requestedBucketWidth = 1000L)
+    t.createDatabase("db"); t.createMeasurement("db", "m", schema)
+    val nSeries = 24
+    val rows = for (s <- 0 until nSeries; i <- 1L to 10L)
+      yield (f"s$s%03d", i * 10, s + i.toDouble)
+    val batch = rows.toDF("series", "time_ns", "v")
+    def jobsDuring(group: String)(body: => Unit): Int = {
+      spark.sparkContext.setJobGroup(group, group)
+      try body finally spark.sparkContext.clearJobGroup()
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    }
+    val fresh = jobsDuring("ingest-fresh") {
+      StreamingIngest.ingestBatch(t, "db", "m", "series")(batch, 0L)
+    }
+    assert(fresh < nSeries / 2, s"fresh batch of $nSeries series ran $fresh jobs")
+    assert(t.listSeries("db", "m").size == nSeries)
+    // full replay: adds the distributed verify, still far from O(N)
+    val replay = jobsDuring("ingest-replay") {
+      StreamingIngest.ingestBatch(t, "db", "m", "series")(batch, 0L)
+    }
+    assert(replay < nSeries / 2, s"replayed batch of $nSeries series ran $replay jobs")
+    assert(t.visible("db", "m").count() == rows.size)
+  }
 }
