@@ -185,12 +185,17 @@ object TimeSeriesOps {
     * value).
     *
     * Scale shape: the points collapse to the WINDOW-spine-sized table
-    * before any sequential pass — the two cumulative fills run over rows =
-    * windows in range, not points, so the unpartitioned window is
-    * spine-sized by construction (same argument as the quantile value
-    * space; partition by series when filling many series at once). */
+    * before any sequential pass, and the two cumulative fills are
+    * CHUNK-PARALLEL — the spine splits into fixed-size chunks, LOCF /
+    * nearest-neighbor state is carried within each chunk by a partitioned
+    * window, and cross-chunk carry is repaired from a chunk-count-sized
+    * table (the same aggregate-then-small-window pattern as `withPrev`).
+    * A year of 1-second windows (31M spine rows) fills across ~30k chunk
+    * tasks instead of one; only the 30k-row chunk table sees an
+    * unpartitioned window. */
   def gapFill(df: DataFrame, tsCol: String, valCol: String,
-              t0: Long, t1: Long, w: Long): DataFrame = {
+              t0: Long, t1: Long, w: Long,
+              chunkWindows: Long = 1024L): DataFrame = {
     val spark = df.sparkSession
     val w0 = firstWindowStart(t0, w)
     val nW = numWindows(t0, t1, w)
@@ -202,23 +207,38 @@ object TimeSeriesOps {
            count(valCol).as("n"))
     val joined = spine.join(agg, Seq("window_start"), "left")
       .withColumn("n", coalesce(col("n"), lit(0L)))
-    val asc = Window.orderBy("window_start")
+      .withColumn("_ck", expr(s"((window_start - ${w0}L) div ${w}L) div ${chunkWindows}L"))
+    // (mean, window_start) travel as ONE nullable struct so a carried value
+    // always keeps its own timestamp (null exactly when the window is empty)
+    val obs = when(col("mean_value").isNotNull,
+      struct(col("mean_value").as("v"), col("window_start").as("ws")))
+    val asc = Window.partitionBy("_ck").orderBy("window_start")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val desc = Window.orderBy("window_start")
+    val desc = Window.partitionBy("_ck").orderBy("window_start")
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val markedWs = when(col("mean_value").isNotNull, col("window_start"))
-    val filled = joined
-      .withColumn("_pv", last("mean_value", ignoreNulls = true).over(asc))
-      .withColumn("_pw", last(markedWs, ignoreNulls = true).over(asc))
-      .withColumn("_nv", first("mean_value", ignoreNulls = true).over(desc))
-      .withColumn("_nw", first(markedWs, ignoreNulls = true).over(desc))
+    val inChunk = joined
+      .withColumn("_p", last(obs, ignoreNulls = true).over(asc))
+      .withColumn("_x", first(obs, ignoreNulls = true).over(desc))
+    // chunk-level carry: last/first observation of each chunk, then the
+    // running carry across chunks — rows = chunks, not windows
+    val obsKey = when(col("mean_value").isNotNull, col("window_start"))
+    val perChunk = joined.groupBy("_ck")
+      .agg(max_by(obs, obsKey).as("_cl"), min_by(obs, obsKey).as("_cf"))
+    val wPrev = Window.orderBy("_ck").rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.orderBy("_ck").rowsBetween(1, Window.unboundedFollowing)
+    val carry = perChunk.select(col("_ck"),
+      last("_cl", ignoreNulls = true).over(wPrev).as("_pc"),
+      first("_cf", ignoreNulls = true).over(wNext).as("_nc"))
+    val filled = inChunk.join(broadcast(carry), Seq("_ck"), "left")
+      .withColumn("_P", coalesce(col("_p"), col("_pc")))
+      .withColumn("_N", coalesce(col("_x"), col("_nc")))
     filled.select(col("window_start"), col("n"), col("mean_value"),
-        col("_pv").as("locf_value"),
+        col("_P.v").as("locf_value"),
         when(col("mean_value").isNotNull, col("mean_value"))
-          .when(col("_pv").isNull, col("_nv"))
-          .when(col("_nv").isNull, col("_pv"))
-          .otherwise(col("_pv") + (col("_nv") - col("_pv")) *
-            ((col("window_start") - col("_pw")) / (col("_nw") - col("_pw"))))
+          .when(col("_P").isNull, col("_N.v"))
+          .when(col("_N").isNull, col("_P.v"))
+          .otherwise(col("_P.v") + (col("_N.v") - col("_P.v")) *
+            ((col("window_start") - col("_P.ws")) / (col("_N.ws") - col("_P.ws"))))
           .as("linear_value"))
       .orderBy("window_start")
   }

@@ -157,6 +157,19 @@ class TimeSeriesOpsSpec extends SparkTestBase {
       (400L, Some(9.0), Some(9.0))))
   }
 
+  test("gapFill chunk-boundary repair: any chunk size gives identical fills") {
+    // sparse series over 40 windows; gaps span several 4-window chunks, the
+    // leading/trailing gaps cross chunk edges too
+    val pts = Seq((120L, 2.0), (1510L, 8.0), (1580L, 10.0), (3270L, 3.0))
+      .toDF("ts", "v")
+    def run(cw: Long) = TimeSeriesOps.gapFill(pts, "ts", "v", 0L, 3999L, 100L, cw)
+      .collect().map(_.toSeq).toSeq
+    val oneChunk = run(1024L) // whole spine in one chunk = the naive shape
+    assert(run(4L) == oneChunk)  // cross-chunk carry repaired
+    assert(run(1L) == oneChunk)  // every window its own chunk: pure repair
+    assert(oneChunk.size == 40)
+  }
+
   test("sumWindowsMulti aggregates every field in one pass, empty windows included") {
     val df = Seq((100L, Some(1.0), Some(10L)), (150L, None, Some(20L)),
                  (250L, Some(3.0), None), (460L, Some(4.0), Some(40L)))
