@@ -17,21 +17,41 @@ object DedupQueries {
   /** CTE list producing `pairs(id_a, id_b, jaccard)`: brute-force n-gram
     * (3-word shingle) Jaccard pairs at J >= 0.8 — inverted-index CTEs
     * mirroring the Spark arithmetic exactly. Shared by the pair queries and
-    * the clustering oracle. */
-  private val JaccardPairCtes =
+    * the clustering oracle. `maxDocFreq` models DedupOps' skew guard: drop
+    * shingles whose document frequency exceeds the cap before pairing (set
+    * sizes stay uncapped, exactly like the Spark side). */
+  private def jaccardPairCtes(maxDocFreq: Option[Int]): String = {
+    val (capCte, pairSrc) = maxDocFreq match {
+      case Some(cap) => (
+        s"""exc AS (SELECT ex.doc_id, ex.sh FROM ex
+           |        JOIN (SELECT sh FROM ex GROUP BY sh HAVING count(*) <= $cap) r
+           |        USING (sh)),
+           |""".stripMargin, "exc")
+      case None => ("", "ex")
+    }
     s"""whst AS (SELECT doc_id, $WHS AS whs FROM documents),
        |shs AS (SELECT doc_id, list_distinct(list_transform(range(0, len(whs) - 2), i ->
        |          list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(whs, i + 1, i + 3)),
        |            (h, w) -> (h * ${TextOps.B2} + w) % ${TextOps.P}))) AS shingles
        |        FROM whst WHERE len(whs) >= 3),
        |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM shs),
-       |sz AS (SELECT doc_id, len(shingles) AS sz FROM shs),
+       |${capCte}sz AS (SELECT doc_id, len(shingles) AS sz FROM shs),
        |cm AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS cnt
-       |       FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |       FROM $pairSrc a JOIN $pairSrc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
        |pairs AS (
        |  SELECT ia AS id_a, ib AS id_b, CAST(cnt AS DOUBLE) / (sa.sz + sb.sz - cnt) AS jaccard
        |  FROM cm JOIN sz sa ON sa.doc_id = cm.ia JOIN sz sb ON sb.doc_id = cm.ib
        |  WHERE CAST(cnt AS DOUBLE) / (sa.sz + sb.sz - cnt) >= 0.8)""".stripMargin
+  }
+
+  private val JaccardPairCtes = jaccardPairCtes(None)
+
+  /** Posting-list cap for the corpus-scale variant: at 100 TB a boilerplate
+    * shingle shared by k docs contributes k² join rows, so the capped form
+    * is the one that survives scale — the uncapped form is the exactness
+    * baseline. */
+  private val DocFreqCap = 20
 
   private val JaccardBruteSql =
     s"WITH $JaccardPairCtes\nSELECT id_a, id_b, jaccard FROM pairs ORDER BY 1, 2"
@@ -44,6 +64,19 @@ object DedupQueries {
       DedupOps.jaccardPairsExact(
         DedupOps.shingleSets(Tables(s, dir, "documents"), "doc_id", "text", 3),
         "doc_id", 0.8)
+    },
+
+    // The SKEW-GUARDED inverted index — the form that survives 100 TB: drop
+    // shingles with document frequency above the cap before pairing, so a
+    // boilerplate shingle shared by k docs can never contribute k² join
+    // rows. The oracle models the identical cap, so the guard's effect on
+    // the measured Jaccard is pinned, not hand-waved.
+    QueryDef.withOracle("dedup_ngram_jaccard_capped",
+      s"WITH ${jaccardPairCtes(Some(DocFreqCap))}\n" +
+        "SELECT id_a, id_b, jaccard FROM pairs ORDER BY 1, 2") { (s, dir) =>
+      DedupOps.jaccardPairsExact(
+        DedupOps.shingleSets(Tables(s, dir, "documents"), "doc_id", "text", 3),
+        "doc_id", 0.8, maxDocFreq = Some(DocFreqCap))
     },
 
     // MinHash(128) + LSH(32 bands × 4 rows) candidates, exact-verified.
