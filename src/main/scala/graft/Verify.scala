@@ -9,6 +9,9 @@ object Verify {
     // passes exactly two and dumps everything)
     val (sfDir, outDir) = (args(0), args(1))
     val subset = args.drop(2).toSet
+    // a misspelled subset name must FAIL loudly, not silently dump nothing
+    val unknown = subset.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(", ")}")
     graft.queries.TempHygiene.sweep() // stale roots from previous runs
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

@@ -805,14 +805,24 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
 
   /** Multi-field windowed aggregation — the reference sum_op's actual
     * signature (field LIST, one pass: src/libtsdb/sum_op.cc:115-183).
-    * Empty fields list = all schema fields. */
+    * Empty fields list = all schema fields. The default sum expression is
+    * derived PER FIELD from the measurement schema: integer fields take the
+    * native exact integer sum (a decimal-2 accumulation would come back as
+    * double and lose exactness past 2^53), floats take the order-independent
+    * decimal-2 accumulation, bools count trues. Pass `sumFor` to override. */
   def sumWindowsMulti(db: String, m: String, series: String, fields: Seq[String],
                       t0: Long, t1: Long, windowWidth: Long,
-                      sumFor: String => Column = c => TimeSeriesOps.sumExact2(col(c))): DataFrame = {
+                      sumFor: Option[String => Column] = None): DataFrame = {
     val schema = getSchema(db, m)
     val fs = if (fields.isEmpty) schema.fields.map(_.name) else fields
+    val byType: String => Column = c =>
+      schema.fields.find(_.name == c).map(_.ftype) match {
+        case Some(FieldType.F64) | Some(FieldType.F32) => TimeSeriesOps.sumExact2(col(c))
+        case Some(FieldType.Bool)                      => sum(col(c).cast("long"))
+        case _                                         => sum(col(c)) // integer/decimal: native exact
+      }
     TimeSeriesOps.sumWindowsMulti(visibleSeries(db, m, series, t0, t1),
-      TimeCol, fs, t0, t1, windowWidth, sumFor)
+      TimeCol, fs, t0, t1, windowWidth, sumFor.getOrElse(byType))
   }
 
   /** Windowed MEAN — derived sum/count like the reference clients
@@ -926,7 +936,11 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
     * @return the rollup measurement name. */
   def downsample(db: String, m: String, series: String, field: String,
                  t0: Long, t1: Long, windowWidth: Long): String = {
-    val rollup = s"${m}__rollup_$windowWidth"
+    // the FIELD is part of the rollup identity: downsampling a second field
+    // with the same window must not resolve to the first field's rollup
+    // measurement (same schema ⇒ createMeasurement would accept it and the
+    // writes would collide on identical timestamps)
+    val rollup = s"${m}__rollup_${field}_$windowWidth"
     val rSchema = MeasurementSchema(Seq(
       Field("sum_value", FieldType.F64), Field("min_value", FieldType.F64),
       Field("max_value", FieldType.F64), Field("n", FieldType.I64)))

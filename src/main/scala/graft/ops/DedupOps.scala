@@ -155,12 +155,14 @@ object DedupOps {
     * starts as its own label; each round every vertex takes the min label
     * in its neighborhood; converged when no label changes. Rounds needed =
     * graph diameter — near-dup clusters are shallow (dups of a common
-    * original), so a handful of rounds closes 100 TB of pairs. Labels are
+    * original), so a handful of rounds closes 100 TB of pairs; `maxIter`
+    * defaults high enough for a 49-hop chain (pathological for near-dup
+    * graphs) and is caller-tunable for adversarial diameters. Labels are
     * localCheckpointed per round to cut lineage (iterative plans otherwise
     * grow exponentially).
     * Input: (id_a, id_b) pairs. Output: (id, component) for every vertex
     * appearing in a pair; component = min id of its cluster. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(false)

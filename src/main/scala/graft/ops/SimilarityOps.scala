@@ -132,11 +132,16 @@ object SimilarityOps {
     * nLists. Exhaustive probing (nProbe = nLists) degenerates to exact. */
   def topKIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 4,
-              iters: Int = 15, seed: Long = 42L): DataFrame = {
+              iters: Int = 15, seed: Long = 42L,
+              centroidsOut: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    // --- train centroids on a bounded sample (driver-side mini k-means) ---
-    val sample = corpus.select(asDouble(col(vecCol)).as("v"))
-      .limit(math.max(nLists * 32, 512)).collect()
+    // --- train centroids on a bounded sample (driver-side mini k-means).
+    // The sample is the hash-order top-N: deterministic for given data AND
+    // representative regardless of partition layout (a bare limit() takes
+    // whatever rows the first partition yields — first-file biased) ---
+    val sample = corpus
+      .select(asDouble(col(vecCol)).as("v"), xxhash64(col(idCol)).as("_h"))
+      .orderBy("_h").limit(math.max(nLists * 32, 512)).collect()
       .map(_.getSeq[Double](0).toArray)
     val rnd = new scala.util.Random(seed)
     // k-means++ seeding: spread the initial centroids (D² sampling) — on
@@ -165,6 +170,16 @@ object SimilarityOps {
         if (counts(c) == 0) centroids(c)
         else sums(c).map(_ / counts(c))
       }.toArray
+    }
+    // optionally persist the trained quantizer: (list_id, c) parquet an
+    // oracle can re-derive assignment + probing from (the ranking arithmetic
+    // is SQL-replayable — see NearestCentroids' distance expansion)
+    centroidsOut.foreach { path =>
+      val session = corpus.sparkSession
+      import session.implicits._
+      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("list_id", "c").coalesce(1)
+        .write.mode("overwrite").parquet(path)
     }
     // --- distributed assignment: centroid ids ranked by distance via ONE
     // codegen'd expression (graft.functions.NearestCentroids) — centroids

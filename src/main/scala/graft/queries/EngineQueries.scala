@@ -390,11 +390,9 @@ object EngineQueries {
         .select(col("time_us").as("time_ns"), col("v"),
           floor(col("v")).as("whole")).persist()
       try t.writePoints("bench", "events", "purchase", pts) finally pts.unpersist()
-      t.sumWindowsMulti("bench", "events", "purchase", Nil, T0, T1, DAY,
-        sumFor = {
-          case "whole" => sum(col("whole"))
-          case c       => graft.ops.TimeSeriesOps.sumExact2(col(c))
-        })
+      // schema-derived default: I64 `whole` gets the native exact integer
+      // sum, F64 `v` the order-independent decimal-2 accumulation
+      t.sumWindowsMulti("bench", "events", "purchase", Nil, T0, T1, DAY)
     },
 
     // Value-space op THROUGH the engine: exact quantiles of the visible

@@ -20,6 +20,13 @@ object SimilarityQueries {
   private val TABLES = 4
   private val BITS = 4
   private val DIM = 64
+  private val NPROBE = 8
+
+  /** Where ann_ivf persists its trained quantizer for the oracle to replay
+    * (same machine for Verify and the driver's DuckDB run; the query writes
+    * it before any oracle executes). */
+  private val CentroidsPath = new java.io.File(
+    sys.props("java.io.tmpdir"), "graft-ivf-centroids.parquet").getAbsolutePath
 
   /** The LSH hyperplanes as a DuckDB VALUES list — the same literals the
     * Spark plan bakes in (SimilarityOps.planes), Double.toString round-trips
@@ -96,12 +103,44 @@ object SimilarityQueries {
 
     // IVF-bucketed approximate top-5 (16 lists, 8 probed, k-means++ init):
     // sample-trained coarse quantizer, corpus scanned at ~nProbe/nLists cost
-    // per query. Quantizer is data-trained -> rows-only here; exhaustive
-    // probing == exact is proved in PipelineOpsSpec.
-    QueryDef.rowsOnly("ann_ivf") { (s, dir) =>
+    // per query. The quantizer is data-trained, so the query PERSISTS the
+    // trained centroids and the oracle re-derives assignment + probing from
+    // them: the ranking distance is the same ||c||²−2·v·c left-fold
+    // expansion NearestCentroids computes (ties broken by list id), and the
+    // cosine is the shared left-fold dot — a full hash-match on the second
+    // approximate operator (LSH set the precedent with literal planes).
+    QueryDef.withOracle("ann_ivf", {
+      def c2 = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        "list_transform(cents.c, x -> x * x)), (s, x) -> s + x)"
+      def vc = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        "list_transform(range(1, len(n.v) + 1), i -> n.v[i] * cents.c[i])), (s, x) -> s + x)"
+      s"""WITH $NORMED,
+         |cents AS (SELECT list_id, list_transform(c, x -> CAST(x AS DOUBLE)) AS c
+         |          FROM read_parquet('$CentroidsPath/*.parquet')),
+         |cd AS (SELECT n.vec_id, cents.list_id, $c2 - 2.0 * $vc AS d FROM n, cents),
+         |cr AS (SELECT vec_id, list_id,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rk
+         |       FROM cd),
+         |assign AS (SELECT vec_id, list_id FROM cr WHERE rk = 1),
+         |probes AS (SELECT vec_id, list_id FROM cr WHERE rk <= $NPROBE AND vec_id < $NQ),
+         |cand AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+         |         FROM probes p JOIN assign a USING (list_id)
+         |         WHERE a.vec_id <> p.vec_id),
+         |scored AS (SELECT cand.query_id, cand.neighbor_id,
+         |             ${dotSql("q", "c")} / (q.nrm * c.nrm) AS cosine
+         |           FROM cand JOIN n q ON q.vec_id = cand.query_id
+         |                     JOIN n c ON c.vec_id = cand.neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, cosine,
+         |        CAST(row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS "rank"
+         |      FROM scored)
+         |SELECT query_id, "rank", neighbor_id, cosine FROM r
+         |WHERE "rank" <= $K ORDER BY query_id, "rank"""".stripMargin
+    }) { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
       SimilarityOps.topKIvf(emb, emb.filter(col("vec_id") < NQ),
-        "vec_id", "embedding", K, nLists = 16, nProbe = 8)
+        "vec_id", "embedding", K, nLists = 16, nProbe = NPROBE,
+        centroidsOut = Some(CentroidsPath))
     },
 
     // recall@5 of each approximate path vs ann_topk — one row per method.

@@ -94,6 +94,28 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(ivf == exact)
   }
 
+  test("ANN recall floors hold on the real embeddings table (regression gate)") {
+    // near-uniform random embeddings are ANN's hardest case, so these floors
+    // are conservative versions of the measured values (lsh 0.90, ivf 0.82
+    // at sf0.001) — a config or hashing regression breaks the build, not
+    // just a JSON field in the bench report
+    val f = new java.io.File("/root/testdata/sf0.001/embeddings.parquet")
+    assume(f.exists(), "driver testdata not present")
+    val emb = spark.read.parquet(f.getPath)
+    val q = emb.filter($"vec_id" < 10)
+    val exact = SimilarityOps.topKExact(emb, q, "vec_id", "embedding", 5).persist()
+    exact.count()
+    def recall(approx: org.apache.spark.sql.DataFrame): Double =
+      SimilarityOps.recallAtK(exact, approx).select("recall").as[Double].head()
+    val lsh = recall(SimilarityOps.topKLsh(emb, q, "vec_id", "embedding", 5,
+      tables = 4, bits = 4, dim = 64, probeRadius = 1))
+    val ivf = recall(SimilarityOps.topKIvf(emb, q, "vec_id", "embedding", 5,
+      nLists = 16, nProbe = 8))
+    exact.unpersist()
+    assert(lsh >= 0.8, s"LSH recall@5 regressed: $lsh")
+    assert(ivf >= 0.7, s"IVF recall@5 regressed: $ivf")
+  }
+
   test("recallAtK is 1.0 when approx equals exact") {
     val emb = Seq((0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0f, 1f)))
       .toDF("vec_id", "embedding")

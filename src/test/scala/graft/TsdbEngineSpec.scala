@@ -236,8 +236,11 @@ class TsdbEngineSpec extends SparkTestBase {
     val t = mkTsdb()
     freshSeries(t, baseRows: _*) // v at 100:1.5, 199:3.25, 210:-0.0, 290:5.5, 305:6.5, 420:7.5
     val rollup = t.downsample("db1", "m1", "s1", "v", 100L, 499L, 100L)
-    assert(rollup == "m1__rollup_100")
-    assert(t.listMeasurements("db1") == Seq("m1", "m1__rollup_100"))
+    assert(rollup == "m1__rollup_v_100")
+    assert(t.listMeasurements("db1") == Seq("m1", "m1__rollup_v_100"))
+    // a second FIELD at the same window gets its own rollup measurement —
+    // not a silent collision with the first field's timestamps
+    assert(t.downsample("db1", "m1", "s1", "g", 100L, 499L, 100L) == "m1__rollup_g_100")
     val got = t.select("db1", rollup, "s1", Nil, 0L, 1000L).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(4))).toSeq
     // windows [100,200):1.5+3.25, [200,300):-0+5.5, [300,400):6.5, [400,500):7.5
