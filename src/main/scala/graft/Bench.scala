@@ -69,11 +69,15 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""ann_lsh_recall_at5":${recalls.getOrElse("lsh", -1.0)},""" +
       s""""ann_ivf_recall_at5":${recalls.getOrElse("ivf", -1.0)},"sf":"$sfDir"}"""
-    println(line)
-    // Also persist machine-readable (sbt prefixes stdout with [info], which
-    // breaks downstream JSON parsing of the console line).
+    // Persist machine-readable first (sbt prefixes stdout with [info], which
+    // breaks downstream JSON parsing of the console line), then stop Spark
+    // BEFORE printing so the metrics line is the LAST stdout the process
+    // emits — shutdown logging after the line can push it out of a
+    // tail-window capture (r5's BENCH json was cut mid-stream this way).
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

@@ -633,6 +633,39 @@ object EngineQueries {
       t.visible("bench", "events")
         .select(col("series"), col("time_ns").as("time_us"), col("v"))
         .orderBy("series", "time_us")
+    },
+
+    // u64 surface end-to-end: the reference's u64 field type
+    // (src/libtsdb/schema.cc FT_U64) has no 64-bit unsigned Spark analog, so
+    // it widens to DECIMAL(20,0). This query PROVES the widening discipline
+    // where it matters — every value is ABOVE 2^63 (unrepresentable as
+    // int64), written through the full validated-append path including an
+    // idempotent overlapping tail replay, read back through the engine
+    // layout, and matched against DuckDB doing the same unsigned arithmetic.
+    QueryDef.withOracle("engine_u64",
+      // compared as VARCHAR: pandas narrows >18-digit decimals to float64,
+      // which would silently UNDO the exactness this query exists to prove
+      s"""SELECT time_us,
+         |  CAST(CAST('9223372036854775808' AS DECIMAL(20,0)) + time_us AS VARCHAR) AS c
+         |FROM $PTS WHERE series = 'purchase' ORDER BY time_us""".stripMargin) { (s, dir) =>
+      val t = freshTsdb(s)
+      t.createDatabase("bench")
+      t.createMeasurement("bench", "events",
+        MeasurementSchema(Seq(Field("c", FieldType.U64))))
+      val two63 = lit("9223372036854775808")
+        .cast(org.apache.spark.sql.types.DecimalType(20, 0))
+      val pts = canonicalPoints(s, dir).filter(col("series") === "purchase")
+        .select(col("time_us").as("time_ns"),
+          (two63 + col("time_us")).cast(
+            org.apache.spark.sql.types.DecimalType(20, 0)).as("c")).persist()
+      try {
+        t.writePoints("bench", "events", "purchase", pts.filter(col("time_ns") <= MID))
+        // tail replay over u64 values: bitwise-identical -> accepted
+        t.writePoints("bench", "events", "purchase",
+          pts.filter(col("time_ns") > MID - 2 * DAY))
+      } finally pts.unpersist()
+      t.select("bench", "events", "purchase", Seq("c"), 0L, Long.MaxValue - 1)
+        .select(col("time_ns").as("time_us"), col("c").cast("string").as("c"))
     }
   )
 }

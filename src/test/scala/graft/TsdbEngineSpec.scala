@@ -444,6 +444,25 @@ class TsdbEngineSpec extends SparkTestBase {
     assert(pf.matches("(?s).*PartitionFilters: \\[[^\\]]*bucket[^\\]]*\\].*"), plan)
   }
 
+  test("select plan regression: time pushdown, pruned ReadSchema, bounded LAST") {
+    // this is PLANS.md's hand audit as an executable gate — a layout or
+    // read-path change that silently de-prunes the scan fails the build
+    val t = mkTsdb()
+    freshSeries(t, baseRows: _*)
+    val plan = t.select("db1", "m1", "s1", Seq("v"), 200L, 299L)
+      .queryExecution.executedPlan.toString
+    // the time-range predicate reaches the parquet reader (row-group stats)
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*time_ns[^\\]]*\\].*"), plan)
+    // projection pruning: unselected fields (a, g) never leave the scan
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(read.contains("time_ns") && read.contains("v"), plan)
+    assert(!read.contains("\"a\"") && !read.contains("\"g\""), plan)
+    // LAST k is a bounded top-k (TakeOrderedAndProject), never a global sort
+    val lastPlan = t.select("db1", "m1", "s1", Seq("v"), 0L, 1000L, last = Some(2))
+      .queryExecution.executedPlan.toString
+    assert(lastPlan.contains("TakeOrderedAndProject"), lastPlan)
+  }
+
   test("crashed bulk load heals on the next bulk load (no duplicates)") {
     val t = mkTsdb()
     freshSeries(t, baseRows: _*) // s1 watermark time_last = 420
