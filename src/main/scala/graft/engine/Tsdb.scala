@@ -681,24 +681,38 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
     * would launch one min() job per series); watermark advances and bucket
     * drops then run per series on the driver, metadata-scale.
     * @return the new `time_first` per affected series. */
-  def applyRetention(db: String, m: String, t: Long): Map[String, Long] = {
+  def applyRetention(db: String, m: String, t: Long): Map[String, Long] =
+    deleteUpToBatch(db, m,
+      wmStore(db, m).load().keys.map(_ -> t).toMap)
+
+  /** Batched `deleteUpTo` with a PER-SERIES horizon — `applyRetention`'s
+    * general form (one shared horizon is the policy case; the reflector
+    * flush cuts each series at its own flushed watermark). One distributed
+    * aggregation finds every affected series' first surviving timestamp;
+    * watermark advances and bucket drops then run per series on the driver,
+    * metadata-scale. @return the new `time_first` per affected series. */
+  def deleteUpToBatch(db: String, m: String, cuts: Map[String, Long]): Map[String, Long] = {
     val schema = getSchema(db, m)
-    val affected = wmStore(db, m).load().toSeq
-      .filter { case (_, r) => t >= r.timeFirst } // below-watermark cuts are no-ops
+    val wms = wmStore(db, m).load()
+    val affected = cuts.toSeq.flatMap { case (sn, t) =>
+      // below-watermark cuts are no-ops; unknown series are ignored
+      wms.get(sn).filter(r => t >= r.timeFirst).map(r => (sn, t, r))
+    }
     if (affected.isEmpty) return Map.empty
     import spark.implicits._
-    val wdf = broadcast(affected.map { case (sn, r) => (sn, r.timeLast) }
-      .toDF(SeriesCol, "_tl"))
-    // survivors can only live in buckets at/above the cut's bucket — prune
-    // before the scan like deleteUpTo does
-    val minBucket = Math.floorDiv(t + 1, bucketWidth)
+    val wdf = broadcast(affected.map { case (sn, t, r) => (sn, t, r.timeLast) }
+      .toDF(SeriesCol, "_cut", "_tl"))
+    // survivors can only live in buckets at/above the lowest cut's bucket —
+    // prune before the scan like deleteUpTo does
+    val minBucket = Math.floorDiv(affected.map(_._2).min + 1, bucketWidth)
     val surv = readMeasurement(db, m, schema)
-      .filter(col(BucketCol) >= minBucket && col(TimeCol) > t)
+      .filter(col(BucketCol) >= minBucket)
       .join(wdf, SeriesCol)
-      .filter(col(TimeCol) <= col("_tl")) // ignore crashed-append orphans
+      .filter(col(TimeCol) > col("_cut") &&
+              col(TimeCol) <= col("_tl")) // ignore crashed-append orphans
       .groupBy(col(SeriesCol)).agg(min(TimeCol).as("mn"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val advanced = affected.map { case (sn, r) =>
+    val advanced = affected.map { case (sn, t, r) =>
       // none survive -> delete into the future
       sn -> (surv.getOrElse(sn, t + 1), r.timeLast)
     }

@@ -666,6 +666,53 @@ object EngineQueries {
       } finally pts.unpersist()
       t.select("bench", "events", "purchase", Seq("c"), 0L, Long.MaxValue - 1)
         .select(col("time_ns").as("time_us"), col("c").cast("string").as("c"))
+    },
+
+    // Store-and-forward reflector (reference tsdbserver/reflector.cc,
+    // doc/REFLECTOR.txt): batch 1 passes through to the healthy remote,
+    // the remote goes DOWN and batch 2 spools locally, the remote recovers
+    // but batch 3 still spools (ordering: the backlog must drain first),
+    // flush() drains the spool in one writeBatch + one batched local
+    // delete. Oracle = every canonical point, read from the REMOTE — a bug
+    // in routing, spooling, ordering, or the flush replay breaks the match.
+    QueryDef.withOracle("engine_reflector",
+      s"""SELECT time_us, v FROM $PTS
+         |WHERE series = 'purchase' ORDER BY time_us""".stripMargin) { (s, dir) =>
+      import graft.streaming.{Reflector, ReflectorRemote}
+      val localT = freshTsdb(s)
+      val remoteT = freshTsdb(s)
+      localT.createDatabase("sensor_data")
+      localT.createMeasurement("sensor_data", "events", schema)
+      var down = false
+      val remote = new ReflectorRemote { // failure-injecting adapter
+        private val t = ReflectorRemote(remoteT)
+        private def live[A](a: => A): A =
+          if (down) throw new java.io.IOException("remote unreachable") else a
+        def createDatabase(db: String): Unit = live(t.createDatabase(db))
+        def createMeasurement(db: String, m: String, sch: MeasurementSchema): Unit =
+          live(t.createMeasurement(db, m, sch))
+        def writePoints(db: String, m: String, series: String, points: DataFrame): WriteResult =
+          live(t.writePoints(db, m, series, points))
+        def writeBatch(db: String, m: String, points: DataFrame): Map[String, WriteResult] =
+          live(t.writeBatch(db, m, points))
+      }
+      val r = new Reflector(localT, remote, Map("sensor_data" -> "bench"))
+      r.syncSchemas()
+      val pts = canonicalPoints(s, dir).filter(col("series") === "purchase")
+        .select(col("time_us").as("time_ns"), col("v")).persist()
+      try {
+        r.writePoints("sensor_data", "events", "purchase",
+          pts.filter(col("time_ns") <= MID - 2 * DAY))          // pass-through
+        down = true
+        r.writePoints("sensor_data", "events", "purchase",
+          pts.filter(col("time_ns") > MID - 2 * DAY && col("time_ns") <= MID))
+        down = false                                            // spooled
+        r.writePoints("sensor_data", "events", "purchase",
+          pts.filter(col("time_ns") > MID))                     // backlog -> spooled
+        r.flush("sensor_data", "events")
+      } finally pts.unpersist()
+      remoteT.select("bench", "events", "purchase", Seq("v"), 0L, Long.MaxValue - 1)
+        .select(col("time_ns").as("time_us"), col("v"))
     }
   )
 }

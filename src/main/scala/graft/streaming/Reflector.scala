@@ -1,0 +1,133 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import graft.engine.{MeasurementSchema, Tsdb, WriteResult}
+
+/** The remote side of a reflector link — the subset of the engine surface a
+  * reflector needs (the reference reflector socket likewise supports only
+  * schema retrieval and writes, doc/REFLECTOR.txt:86-90). Production
+  * deployments adapt a `Tsdb` rooted on the remote storage; tests inject
+  * failures to model an unreachable upstream. */
+trait ReflectorRemote {
+  def createDatabase(db: String): Unit
+  def createMeasurement(db: String, m: String, schema: MeasurementSchema): Unit
+  def writePoints(db: String, m: String, series: String, points: DataFrame): WriteResult
+  def writeBatch(db: String, m: String, points: DataFrame): Map[String, WriteResult]
+}
+
+object ReflectorRemote {
+  /** The production adapter: the "remote" is an engine root on another
+    * storage system (the transport/auth layer of the reference's SSL client
+    * is below a storage-API library's waterline). */
+  def apply(t: Tsdb): ReflectorRemote = new ReflectorRemote {
+    def createDatabase(db: String): Unit = t.createDatabase(db)
+    def createMeasurement(db: String, m: String, schema: MeasurementSchema): Unit =
+      t.createMeasurement(db, m, schema)
+    def writePoints(db: String, m: String, series: String, points: DataFrame): WriteResult =
+      t.writePoints(db, m, series, points)
+    def writeBatch(db: String, m: String, points: DataFrame): Map[String, WriteResult] =
+      t.writeBatch(db, m, points)
+  }
+}
+
+/** Store-and-forward ingest proxy — the reference's tsdbreflector
+  * (src/tsdbserver/reflector.cc:152-227, doc/REFLECTOR.txt:1-24): writes
+  * pass straight through to a remote instance; when the remote is
+  * unreachable OR a local backlog exists (ordering — the engine appends
+  * monotonically, so newer points must not overtake spooled older ones,
+  * reflector.cc:176-181), points spool into a local engine root; `flush()`
+  * later drains the spool to the remote and deletes it locally
+  * (reflector.cc:308-357's per-chunk write-then-delete_points loop).
+  *
+  * `dbMap` renames local databases to remote ones (doc/REFLECTOR.txt:17-26:
+  * every data logger writes "sensor_data" locally, each maps to its own
+  * remote database).
+  *
+  * Exactly-once without a transaction log: flush writes to the remote FIRST
+  * and only then advances the local delete watermark. A crash between the
+  * two replays the same points on the next flush, and the remote's bitwise
+  * idempotent tail overwrite (reference wal.cc:87-246) verifies the replay
+  * into a no-op — the same guarantee the streaming sink leans on.
+  *
+  * Scale posture: flush drains ALL spooled series of a measurement in ONE
+  * `writeBatch` (fixed job count whatever the series count) and cuts the
+  * local watermarks in ONE `deleteUpToBatch` survivor pass — the reference
+  * flushes per series because it is single-node (reflector.cc:308-327).
+  * Contract: `flush()` is the exclusive writer of the spool measurement
+  * while it runs (the reference's series_total_lock, reflector.cc:312);
+  * route concurrent `writePoints` calls through the same Reflector instance
+  * or pause them across a flush.
+  */
+final class Reflector(val local: Tsdb, val remote: ReflectorRemote,
+                      val dbMap: Map[String, String]) {
+
+  private def remoteDb(db: String): String =
+    dbMap.getOrElse(db, throw new graft.engine.NoSuchDatabaseException(db))
+
+  /** Does the spool hold unflushed points for this series? Watermark
+    * arithmetic only — a fully-drained series has `time_first > time_last`
+    * (delete-into-the-future), a never-spooled one has no watermark. No
+    * Spark job (the reference runs count_points per write,
+    * reflector.cc:177-179, because its watermarks aren't a catalog). */
+  def spooled(db: String, m: String, series: String): Boolean =
+    local.seriesRange(db, m, series).exists(r => r.timeFirst <= r.timeLast)
+
+  /** Reflect one write: remote when reachable and no backlog, local spool
+    * otherwise (reflector.cc:184-224). The local measurement must exist —
+    * the reflector serves schemas FROM the spool (doc/REFLECTOR.txt:88-90).
+    * @return (result, true) when the write landed remotely, (result, false)
+    *         when it spooled. */
+  def writePoints(db: String, m: String, series: String,
+                  points: DataFrame): (WriteResult, Boolean) = {
+    val rdb = remoteDb(db)
+    local.getSchema(db, m) // local measurement is the schema authority
+    if (!spooled(db, m, series)) {
+      try return (remote.writePoints(rdb, m, series, points), true)
+      catch { case scala.util.control.NonFatal(_) => () } // remote down -> spool
+    }
+    (local.writePoints(db, m, series, points), false)
+  }
+
+  /** Mirror every mapped local measurement's schema to the remote
+    * (reflector.cc:269-305's create_remote_measurements): `createMeasurement`
+    * is idempotent iff the schema is identical, so a diverged remote schema
+    * surfaces as `MeasurementExistsException` instead of corrupt writes. */
+  def syncSchemas(): Unit =
+    for {
+      (db, rdb) <- dbMap.toSeq.sortBy(_._1)
+      if local.listDatabases().contains(db)
+      _ = remote.createDatabase(rdb)
+      m <- local.listMeasurements(db)
+    } remote.createMeasurement(rdb, m, local.getSchema(db, m))
+
+  /** Drain every spooled point of `db`/`m` to the remote, then delete the
+    * flushed range locally. Remote-first ordering + the remote's idempotent
+    * replay make a crash anywhere in between safe to re-run.
+    * @return flushed point count per series. */
+  def flush(db: String, m: String): Map[String, Long] = {
+    val rdb = remoteDb(db)
+    val cuts: Map[String, Long] = local.listSeries(db, m)
+      .flatMap(sn => local.seriesRange(db, m, sn)
+        .filter(r => r.timeFirst <= r.timeLast).map(r => sn -> r.timeLast)).toMap
+    if (cuts.isEmpty) return Map.empty
+    // one distributed read of the whole spool backlog, one validated remote
+    // append (replay-tolerant), one batched local delete at each series'
+    // flushed watermark
+    val backlog = local.visible(db, m).drop(MeasurementSchema.BucketCol)
+    val results = remote.writeBatch(rdb, m, backlog)
+    local.deleteUpToBatch(db, m, cuts)
+    cuts.map { case (sn, _) =>
+      sn -> results.get(sn).map(r => r.written + r.overwriteVerified).getOrElse(0L)
+    }
+  }
+
+  /** Flush every mapped database's every measurement — the background flush
+    * thread's sweep (reflector.cc:418-454). */
+  def flushAll(): Map[(String, String, String), Long] =
+    (for {
+      (db, _) <- dbMap.toSeq.sortBy(_._1)
+      if local.listDatabases().contains(db)
+      m <- local.listMeasurements(db)
+      (sn, n) <- flush(db, m)
+    } yield (db, m, sn) -> n).toMap
+}

@@ -1,0 +1,157 @@
+package graft
+
+import graft.engine._
+import graft.streaming.{Reflector, ReflectorRemote}
+import org.apache.spark.sql.DataFrame
+
+/** Store-and-forward reflector semantics (reference tsdbserver/reflector.cc,
+  * doc/REFLECTOR.txt): pass-through when healthy, spool when the remote is
+  * down OR a backlog exists, drain-and-delete on flush, idempotent replay
+  * when a flush crashes between the remote write and the local delete. */
+class ReflectorSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val schema = MeasurementSchema(Seq(Field("v", FieldType.F64)))
+
+  /** Failure-injecting remote: `down = true` models an unreachable upstream
+    * (every operation throws, like the reference's failed SSL writes). */
+  private final class FlakyRemote(t: Tsdb) extends ReflectorRemote {
+    var down = false
+    private def live[A](a: => A): A =
+      if (down) throw new java.io.IOException("remote unreachable") else a
+    def createDatabase(db: String): Unit = live(t.createDatabase(db))
+    def createMeasurement(db: String, m: String, s: MeasurementSchema): Unit =
+      live(t.createMeasurement(db, m, s))
+    def writePoints(db: String, m: String, series: String, points: DataFrame): WriteResult =
+      live(t.writePoints(db, m, series, points))
+    def writeBatch(db: String, m: String, points: DataFrame): Map[String, WriteResult] =
+      live(t.writeBatch(db, m, points))
+  }
+
+  private def mk(): (Tsdb, Tsdb, FlakyRemote, Reflector) = {
+    val localT = new Tsdb(spark, tmpDir("refl-local-"), requestedBucketWidth = 100L)
+    val remoteT = new Tsdb(spark, tmpDir("refl-remote-"), requestedBucketWidth = 100L)
+    localT.createDatabase("sensor_data")
+    localT.createMeasurement("sensor_data", "points", schema)
+    val flaky = new FlakyRemote(remoteT)
+    val r = new Reflector(localT, flaky, Map("sensor_data" -> "logger_xyz"))
+    r.syncSchemas()
+    (localT, remoteT, flaky, r)
+  }
+
+  private def pts(rows: (Long, Double)*): DataFrame =
+    rows.toSeq.toDF("time_ns", "v")
+
+  private def times(t: Tsdb, db: String): Seq[Long] =
+    t.select(db, "points", "s1", Nil, 0L, Long.MaxValue - 1)
+      .collect().map(_.getLong(0)).toSeq
+
+  test("syncSchemas mirrors local measurements; diverged remote schema rejects") {
+    val (_, remoteT, _, r) = mk()
+    assert(remoteT.getSchema("logger_xyz", "points") == schema)
+    r.syncSchemas() // idempotent re-run
+    // a remote measurement whose schema drifted must surface, not corrupt
+    remoteT.createMeasurement("logger_xyz", "extra",
+      MeasurementSchema(Seq(Field("w", FieldType.I64))))
+    r.local.createMeasurement("sensor_data", "extra",
+      MeasurementSchema(Seq(Field("w", FieldType.F32))))
+    intercept[MeasurementExistsException](r.syncSchemas())
+  }
+
+  test("healthy remote: writes pass through, nothing spools") {
+    val (localT, remoteT, _, r) = mk()
+    val (res, viaRemote) = r.writePoints("sensor_data", "points", "s1", pts((100L, 1.0), (200L, 2.0)))
+    assert(viaRemote && res.written == 2)
+    assert(times(remoteT, "logger_xyz") == Seq(100L, 200L))
+    assert(!r.spooled("sensor_data", "points", "s1"))
+    assert(localT.listSeries("sensor_data", "points").isEmpty)
+  }
+
+  test("unmapped database rejects like the reference's no_such_database") {
+    val (_, _, _, r) = mk()
+    intercept[NoSuchDatabaseException](
+      r.writePoints("other_db", "points", "s1", pts((1L, 1.0))))
+  }
+
+  test("remote down: writes spool locally; backlog keeps spooling after recovery") {
+    val (localT, remoteT, flaky, r) = mk()
+    flaky.down = true
+    val (res1, via1) = r.writePoints("sensor_data", "points", "s1", pts((100L, 1.0)))
+    assert(!via1 && res1.written == 1)
+    assert(r.spooled("sensor_data", "points", "s1"))
+    assert(times(localT, "sensor_data") == Seq(100L))
+    // remote comes back, but the backlog must drain FIRST — the engine
+    // appends monotonically, so 200 cannot land remotely before 100
+    flaky.down = false
+    val (_, via2) = r.writePoints("sensor_data", "points", "s1", pts((200L, 2.0)))
+    assert(!via2)
+    assert(times(localT, "sensor_data") == Seq(100L, 200L))
+    assert(remoteT.listSeries("logger_xyz", "points").isEmpty)
+  }
+
+  test("flush drains the spool to the remote, deletes locally, then resumes pass-through") {
+    val (localT, remoteT, flaky, r) = mk()
+    flaky.down = true
+    r.writePoints("sensor_data", "points", "s1", pts((100L, 1.0), (150L, 1.5)))
+    r.writePoints("sensor_data", "points", "s2", pts((120L, 9.0)))
+    flaky.down = false
+    assert(r.flush("sensor_data", "points") == Map("s1" -> 2L, "s2" -> 1L))
+    assert(times(remoteT, "logger_xyz") == Seq(100L, 150L))
+    assert(!r.spooled("sensor_data", "points", "s1"))
+    assert(!r.spooled("sensor_data", "points", "s2"))
+    // spool physically drained: no visible points remain
+    assert(localT.visible("sensor_data", "points").count() == 0)
+    // empty flush is a no-op
+    assert(r.flush("sensor_data", "points") == Map.empty)
+    // next write passes through and appends above the flushed range
+    val (_, via) = r.writePoints("sensor_data", "points", "s1", pts((300L, 3.0)))
+    assert(via)
+    assert(times(remoteT, "logger_xyz") == Seq(100L, 150L, 300L))
+  }
+
+  test("crashed flush (remote written, local delete lost) replays idempotently") {
+    val (localT, remoteT, flaky, r) = mk()
+    flaky.down = true
+    r.writePoints("sensor_data", "points", "s1", pts((100L, 1.0), (150L, 1.5)))
+    flaky.down = false
+    // crash simulation: the remote write of a flush landed, the local
+    // delete did not — re-running flush must verify the replay bitwise
+    // (0 appended remotely) and still drain the spool
+    remoteT.writeBatch("logger_xyz", "points",
+      localT.visible("sensor_data", "points")
+        .drop(MeasurementSchema.BucketCol))
+    val flushed = r.flush("sensor_data", "points")
+    assert(flushed == Map("s1" -> 2L)) // written + overwriteVerified
+    assert(times(remoteT, "logger_xyz") == Seq(100L, 150L))
+    assert(localT.visible("sensor_data", "points").count() == 0)
+  }
+
+  test("late points below a flushed watermark are discarded, not reordered") {
+    val (_, remoteT, flaky, r) = mk()
+    flaky.down = true
+    r.writePoints("sensor_data", "points", "s1", pts((100L, 1.0)))
+    flaky.down = false
+    r.flush("sensor_data", "points")
+    // a sensor replaying old data after the flush: below the remote
+    // watermark with different bytes -> the engine's overlap verify rejects;
+    // identical bytes replay to a no-op
+    val (res, via) = r.writePoints("sensor_data", "points", "s1", pts((100L, 1.0)))
+    assert(via && res.written == 0 && res.overwriteVerified == 1)
+  }
+
+  test("flushAll sweeps every mapped database and measurement") {
+    val (localT, remoteT, flaky, r) = mk()
+    localT.createMeasurement("sensor_data", "aux", schema)
+    remoteT.createMeasurement("logger_xyz", "aux", schema)
+    flaky.down = true
+    r.writePoints("sensor_data", "points", "s1", pts((100L, 1.0)))
+    flaky.down = false
+    localT.writePoints("sensor_data", "aux", "s7", pts((50L, 5.0)))
+    assert(r.flushAll() == Map(
+      ("sensor_data", "points", "s1") -> 1L,
+      ("sensor_data", "aux", "s7") -> 1L))
+    assert(times(remoteT, "logger_xyz") == Seq(100L))
+    assert(remoteT.select("logger_xyz", "aux", "s7", Nil, 0L, 1000L)
+      .collect().map(_.getLong(0)).toSeq == Seq(50L))
+  }
+}
