@@ -83,6 +83,40 @@ object DedupOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** Benchmark-contamination check — the decontamination pass every
+    * training corpus needs before an eval is trustworthy: for each TRAINING
+    * document, the fraction of its distinct n-gram shingles that appear
+    * anywhere in the BENCHMARK set. A doc at/above `minRatio` is flagged
+    * (it likely embeds an eval item verbatim or near-verbatim).
+    *
+    * Scale shape: the benchmark side of a real decontamination run is tiny
+    * (eval suites are MBs; the corpus is TBs), so its distinct shingle set
+    * is collected into a broadcast hash join — the 100 TB training side
+    * streams map-side through the probe with NO shuffle of text or of the
+    * corpus's shingles; only the per-doc (id, hit-count) pairs aggregate.
+    *
+    * `isBenchmark` is a predicate over `idCol` (membership is usually
+    * derivable from the id/source; pass a join against an id list
+    * upstream when it is not).
+    * Output: (idCol, n_shingles, n_hit, contamination) for flagged docs. */
+  def benchmarkContamination(docs: DataFrame, idCol: String, textCol: String,
+                             n: Int, isBenchmark: Column,
+                             minRatio: Double): DataFrame = {
+    val sh = shingleSets(docs, idCol, textCol, n)
+    val bench = sh.filter(isBenchmark)
+      .select(explode(col("shingles")).as("sh")).distinct()
+    val train = sh.filter(!isBenchmark)
+    val hits = train.select(col(idCol), explode(col("shingles")).as("sh"))
+      .join(broadcast(bench), "sh")
+      .groupBy(idCol).agg(count(lit(1)).as("n_hit"))
+    train.select(col(idCol), size(col("shingles")).cast("long").as("n_shingles"))
+      .join(hits, Seq(idCol))
+      .withColumn("contamination", col("n_hit").cast("double") / col("n_shingles"))
+      .filter(col("contamination") >= minRatio)
+      .select(col(idCol), col("n_shingles"), col("n_hit"), col("contamination"))
+      .orderBy(idCol)
+  }
+
   /** MinHash+LSH near-dup pairs: k-hash signature, `bands`×`rows` banding
     * (k = bands*rows), bucket join for candidates, then EXACT Jaccard
     * verification of each candidate — output is identical to

@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the last step of a training-data pipeline: lay
+  * documents end-to-end into fixed-capacity token bins ("sequences") so a
+  * trainer reads dense, deterministic batches instead of one ragged doc per
+  * row.
+  *
+  * The layout is CONTIGUOUS packing in a canonical order: within each group
+  * (typically the source/shard), documents are ordered by (id-hash, id) —
+  * the same stateless shuffle `pipeline_split` uses, so the order is stable
+  * across runs and engines — and a document starting at cumulative token
+  * offset o lands in bin o div capacity. Documents longer than the capacity
+  * simply span bins, which is the realistic mode (trainers split on the bin
+  * boundary and continue in the next sequence; packing that REJECTS
+  * oversized docs is a filter upstream, not a packer concern).
+  *
+  * Scale shape: the running offset is a window cumsum PARTITIONED BY the
+  * group column — groups pack in parallel, one task per group. A corpus
+  * sharded into the usual thousands of source-files parallelizes fully; a
+  * single monolithic group would serialize, and then the chunked
+  * fill-and-repair pattern (TimeSeriesOps.gapFill's chunk cumsum + chunk
+  * -total repair) applies verbatim to the cumsum here. All arithmetic is
+  * integer, so results are bit-stable everywhere.
+  */
+object PackingOps {
+
+  /** Pack `docs` into `capacity`-token bins per `groupCol`.
+    * Output: (groupCol, idCol, n_tokens, start_tok, bin_id), where
+    * `start_tok` is the document's starting offset within its group's
+    * token stream and `bin_id = start_tok div capacity`. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    groupCol: String, capacity: Long): DataFrame = {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    val w = Window.partitionBy(groupCol).orderBy(col("hv"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(groupCol), col(idCol),
+        TextOps.polyHash(col(idCol).cast("string")).as("hv"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("start_tok", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("bin_id", expr(s"start_tok div ${capacity}L"))
+      .select(col(groupCol), col(idCol), col("n_tokens"),
+        col("start_tok"), col("bin_id"))
+  }
+}

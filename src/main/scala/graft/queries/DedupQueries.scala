@@ -14,6 +14,15 @@ object DedupQueries {
   import OracleText.{SIMHASH, WHS}
   import OracleVec.NORMED
 
+  /** `shs(doc_id, shingles)`: distinct 3-word shingle hashes per document —
+    * the exact arithmetic of `DedupOps.shingleSets(_, _, _, 3)`. */
+  private val ShingleCtes =
+    s"""whst AS (SELECT doc_id, $WHS AS whs FROM documents),
+       |shs AS (SELECT doc_id, list_distinct(list_transform(range(0, len(whs) - 2), i ->
+       |          list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(whs, i + 1, i + 3)),
+       |            (h, w) -> (h * ${TextOps.B2} + w) % ${TextOps.P}))) AS shingles
+       |        FROM whst WHERE len(whs) >= 3)""".stripMargin
+
   /** CTE list producing `pairs(id_a, id_b, jaccard)`: brute-force n-gram
     * (3-word shingle) Jaccard pairs at J >= 0.8 — inverted-index CTEs
     * mirroring the Spark arithmetic exactly. Shared by the pair queries and
@@ -29,11 +38,7 @@ object DedupQueries {
            |""".stripMargin, "exc")
       case None => ("", "ex")
     }
-    s"""whst AS (SELECT doc_id, $WHS AS whs FROM documents),
-       |shs AS (SELECT doc_id, list_distinct(list_transform(range(0, len(whs) - 2), i ->
-       |          list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(whs, i + 1, i + 3)),
-       |            (h, w) -> (h * ${TextOps.B2} + w) % ${TextOps.P}))) AS shingles
-       |        FROM whst WHERE len(whs) >= 3),
+    s"""$ShingleCtes,
        |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM shs),
        |${capCte}sz AS (SELECT doc_id, len(shingles) AS sz FROM shs),
        |cm AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS cnt
@@ -133,6 +138,26 @@ object DedupQueries {
          |  FROM n a, n b WHERE a.vec_id < b.vec_id
          |) WHERE cosine >= 0.4 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
       DedupOps.embeddingPairs(Tables(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+    },
+
+    // Benchmark decontamination: docs with doc_id % 17 == 0 stand in for the
+    // eval set; every other doc reports the fraction of its distinct 3-gram
+    // shingles that appear anywhere in the eval set, flagged at >= 0.1. The
+    // benchmark shingle set broadcasts (eval suites are MBs); the training
+    // side streams map-side — no corpus-scale shuffle.
+    QueryDef.withOracle("dedup_contamination",
+      s"""WITH $ShingleCtes,
+         |bench AS (SELECT DISTINCT unnest(shingles) AS sh FROM shs WHERE doc_id % 17 = 0),
+         |train AS (SELECT doc_id, shingles FROM shs WHERE doc_id % 17 <> 0),
+         |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM train),
+         |hit AS (SELECT ex.doc_id, count(*) AS n_hit FROM ex JOIN bench USING (sh) GROUP BY 1)
+         |SELECT t.doc_id, CAST(len(t.shingles) AS BIGINT) AS n_shingles, h.n_hit,
+         |       CAST(h.n_hit AS DOUBLE) / len(t.shingles) AS contamination
+         |FROM train t JOIN hit h ON h.doc_id = t.doc_id
+         |WHERE CAST(h.n_hit AS DOUBLE) / len(t.shingles) >= 0.1
+         |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      DedupOps.benchmarkContamination(Tables(s, dir, "documents"),
+        "doc_id", "text", 3, pmod(col("doc_id"), lit(17)) === 0, 0.1)
     }
   )
 }

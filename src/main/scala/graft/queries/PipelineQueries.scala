@@ -91,6 +91,27 @@ object PipelineQueries {
         .withColumn("rn", row_number().over(ws)).filter(col("rn") <= 20)
         .select("doc_id", "lang", "hv")
         .orderBy("lang", "hv", "doc_id")
+    },
+
+    // Sequence packing: documents laid end-to-end into 2048-token bins per
+    // source, in the deterministic (id-hash, id) order — the trainer-facing
+    // tail of the pipeline. Integer-only arithmetic, windows partitioned by
+    // source so shards pack in parallel (see PackingOps on the chunked
+    // cumsum pattern when a group is monolithic).
+    QueryDef.withOracle("pipeline_pack", {
+      val h = OracleText.wordHashSql("CAST(doc_id AS VARCHAR)")
+      s"""SELECT source, doc_id, n_tokens, start_tok, start_tok // 2048 AS bin_id
+         |FROM (SELECT source, doc_id, n_tokens,
+         |        COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY hv, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+         |      FROM (SELECT source, doc_id,
+         |              CAST(len(${OracleText.TOKS}) AS BIGINT) AS n_tokens, $h AS hv
+         |            FROM documents))
+         |ORDER BY source, doc_id""".stripMargin
+    }) { (s, dir) =>
+      graft.ops.PackingOps.packSequences(Tables(s, dir, "documents"),
+          "doc_id", "text", "source", 2048L)
+        .orderBy("source", "doc_id")
     }
   )
 }

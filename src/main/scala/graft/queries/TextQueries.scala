@@ -44,6 +44,35 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Rule-based quality FILTER — the decision layer on top of text_stats:
+    // every document gets a keep/drop verdict plus the FIRST failing rule
+    // (the reason a doc was dropped is what a pipeline owner debugs with).
+    // Pure per-row compute: filters this shape run map-side at any scale.
+    QueryDef.withOracle("text_filter",
+      s"""SELECT doc_id,
+         |  CASE WHEN len($TOKS) < 20 THEN 'too_short'
+         |       WHEN len($TOKS) > 80 THEN 'too_long'
+         |       WHEN $LANG_PRED <> 'en' THEN 'non_english'
+         |       WHEN $SW_RATIO < 0.05 THEN 'low_stopword_density'
+         |  END AS reason,
+         |  CASE WHEN len($TOKS) < 20 THEN 'too_short'
+         |       WHEN len($TOKS) > 80 THEN 'too_long'
+         |       WHEN $LANG_PRED <> 'en' THEN 'non_english'
+         |       WHEN $SW_RATIO < 0.05 THEN 'low_stopword_density'
+         |  END IS NULL AS kept
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = TextOps.tokens(col("text"))
+      val (pred, _) = TextOps.langId(toks)
+      val reason = when(size(toks) < 20, "too_short")
+        .when(size(toks) > 80, "too_long")
+        .when(pred =!= "en", "non_english")
+        .when(TextOps.stopwordRatio(toks) < 0.05, "low_stopword_density")
+      Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), reason.as("reason"), reason.isNull.as("kept"))
+        .orderBy("doc_id")
+    },
+
     // Language-ID: per-language stopword-hit scores, winner by
     // (score desc, language asc) — same fold order in both engines.
     QueryDef.withOracle("text_langid",

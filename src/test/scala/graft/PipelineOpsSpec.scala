@@ -116,6 +116,43 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(ivf >= 0.7, s"IVF recall@5 regressed: $ivf")
   }
 
+  test("benchmarkContamination flags shingle overlap with the benchmark set") {
+    // doc 0 is the benchmark; doc 3 is its verbatim copy (contamination 1.0),
+    // doc 1 shares most shingles, doc 2 shares none (never reported)
+    val got = DedupOps.benchmarkContamination(docs, "doc_id", "text", 3,
+        col("doc_id") === 0, minRatio = 0.5)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 3L))
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(3L)._4 == 1.0) // verbatim copy: every shingle hits
+    assert(byId(1L)._4 > 0.5 && byId(1L)._4 < 1.0)
+    assert(got.forall(r => r._3 <= r._2)) // hits never exceed set size
+  }
+
+  test("packSequences: deterministic contiguous bins per group") {
+    val d = Seq(
+      (0L, "a b c d e", "s0"), (1L, "f g h", "s0"), (2L, "i j k l", "s0"),
+      (3L, "m n", "s1")
+    ).toDF("doc_id", "text", "source")
+    val got = PackingOps.packSequences(d, "doc_id", "text", "source", 4L)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> r).toMap
+    // within each group: offsets reconstruct an exclusive cumsum in
+    // (id-hash, id) order, and bin = offset div capacity
+    Seq("s0", "s1").foreach { g =>
+      val rows = got.values.filter(_._1 == g).toSeq.sortBy(_._4)
+      assert(rows.head._4 == 0L) // first doc starts at offset 0
+      rows.sliding(2).foreach {
+        case Seq(a, b) => assert(b._4 == a._4 + a._3) // contiguous
+        case _         => ()
+      }
+      rows.foreach(r => assert(r._5 == r._4 / 4L))
+    }
+    assert(got(3L)._4 == 0L && got(3L)._3 == 2L) // s1 packs independently
+    // a doc longer than the capacity spans bins instead of vanishing
+    assert(got.values.map(_._3).sum == 14L)
+  }
+
   test("recallAtK is 1.0 when approx equals exact") {
     val emb = Seq((0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0f, 1f)))
       .toDF("vec_id", "embedding")
