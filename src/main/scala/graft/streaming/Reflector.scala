@@ -88,6 +88,73 @@ final class Reflector(val local: Tsdb, val remote: ReflectorRemote,
     (local.writePoints(db, m, series, points), false)
   }
 
+  /** Reflect one MULTI-series batch — the micro-batch form of `writePoints`
+    * with the same routing per series: series with a spool backlog write
+    * locally (ordering), the rest try the remote together; if the remote is
+    * down everything spools. Two `writeBatch` calls at most (one remote,
+    * one local) whatever the series count — the streaming-sink shape.
+    *
+    * Replay safety composes with the routing: a crashed micro-batch that
+    * already landed remotely replays as a remote bitwise no-op (no backlog
+    * was created, so the replay routes remote again); one that spooled
+    * replays as a LOCAL bitwise no-op (the spooled points themselves are
+    * the backlog that forces the same local route). Either way storage is
+    * exactly-once.
+    * @return per-series results, paired with true when that series' points
+    *         landed remotely. */
+  def writeBatch(db: String, m: String,
+                 points: DataFrame): Map[String, (WriteResult, Boolean)] = {
+    import org.apache.spark.sql.functions.col
+    val rdb = remoteDb(db)
+    local.getSchema(db, m)
+    val backlogged = local.listSeries(db, m)
+      .filter(sn => spooled(db, m, sn)).toSet
+    val sCol = MeasurementSchema.SeriesCol
+    val toRemote =
+      if (backlogged.isEmpty) points
+      else points.filter(!col(sCol).isInCollection(backlogged))
+    val remoteRes =
+      try Some(remote.writeBatch(rdb, m, toRemote))
+      catch { case scala.util.control.NonFatal(_) => None }
+    remoteRes match {
+      case None => // remote down: EVERYTHING spools, backlogged or not
+        local.writeBatch(db, m, points).map { case (sn, r) => sn -> (r, false) }
+      case Some(rr) =>
+        val localRes =
+          if (backlogged.isEmpty) Map.empty[String, WriteResult]
+          else local.writeBatch(db, m,
+            points.filter(col(sCol).isInCollection(backlogged)))
+        rr.map { case (sn, r) => sn -> (r, true) } ++
+          localRes.map { case (sn, r) => sn -> (r, false) }
+    }
+  }
+
+  /** Start a Structured Streaming ingest THROUGH the reflector: each
+    * micro-batch routes via [[writeBatch]] — the disconnected-edge-node
+    * workflow as a streaming sink (spool while the upstream is down, keep
+    * ordering while backlogged, [[flush]] drains when convenient). The
+    * checkpoint + the engine's bitwise replay give exactly-once to
+    * whichever store each series lands in. */
+  def startStream(db: String, m: String, points: DataFrame, seriesCol: String,
+                  checkpoint: String,
+                  trigger: org.apache.spark.sql.streaming.Trigger =
+                    org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    points.writeStream
+      .queryName(s"graft-reflect-$db-$m")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val renamed =
+          if (seriesCol == MeasurementSchema.SeriesCol) batch
+          else batch.withColumn(MeasurementSchema.SeriesCol, col(seriesCol))
+            .drop(seriesCol)
+        writeBatch(db, m, renamed): Unit
+      }
+      .start()
+  }
+
   /** Mirror every mapped local measurement's schema to the remote
     * (reflector.cc:269-305's create_remote_measurements): `createMeasurement`
     * is idempotent iff the schema is identical, so a diverged remote schema

@@ -139,6 +139,64 @@ class ReflectorSpec extends SparkTestBase {
     assert(via && res.written == 0 && res.overwriteVerified == 1)
   }
 
+  test("writeBatch routes per series: backlogged spool, clean pass through") {
+    val (localT, remoteT, flaky, r) = mk()
+    // s1 acquires a backlog while the remote is down
+    flaky.down = true
+    r.writePoints("sensor_data", "points", "s1", pts((100L, 1.0)))
+    flaky.down = false
+    // one micro-batch carrying both series: s1 must stay local (ordering),
+    // s2 goes remote — at most one writeBatch per side
+    val batch = Seq(("s1", 200L, 2.0), ("s2", 120L, 9.0))
+      .toDF("series", "time_ns", "v")
+    val res = r.writeBatch("sensor_data", "points", batch)
+    assert(res("s1") == (WriteResult(1, 0, 0), false))
+    assert(res("s2") == (WriteResult(1, 0, 0), true))
+    assert(times(localT, "sensor_data") == Seq(100L, 200L))
+    assert(remoteT.select("logger_xyz", "points", "s2", Nil, 0L, 1000L)
+      .collect().map(_.getLong(0)).toSeq == Seq(120L))
+    // remote down again: the whole batch spools, both series
+    flaky.down = true
+    val res2 = r.writeBatch("sensor_data", "points",
+      Seq(("s1", 300L, 3.0), ("s2", 130L, 9.5)).toDF("series", "time_ns", "v"))
+    assert(res2.values.forall(!_._2))
+    assert(r.spooled("sensor_data", "points", "s2"))
+  }
+
+  test("streaming through the reflector: outage spools, flush drains, recovery passes through") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types._
+    val (localT, remoteT, flaky, r) = mk()
+    val srcDir = tmpDir("refl-src-")
+    val ckpt = tmpDir("refl-ckpt-")
+    val srcSchema = StructType(Seq(
+      StructField("series", StringType), StructField("time_ns", LongType),
+      StructField("v", DoubleType)))
+    def drain(): Unit = {
+      val q = r.startStream("sensor_data", "points",
+        spark.readStream.schema(srcSchema).json(srcDir), "series", ckpt)
+      q.awaitTermination(60000); assert(!q.isActive)
+    }
+    def src(name: String, rows: Seq[(String, Long, Double)]): Unit =
+      Files.writeString(Paths.get(srcDir, name), rows.map { case (s, t, v) =>
+        s"""{"series":"$s","time_ns":$t,"v":$v}""" }.mkString("", "\n", "\n"))
+
+    // drain 1 while the upstream is down: everything spools
+    flaky.down = true
+    src("f1.json", (1L to 30L).map(i => ("s1", i * 10, i.toDouble)))
+    drain()
+    assert(remoteT.listSeries("logger_xyz", "points").isEmpty)
+    assert(r.spooled("sensor_data", "points", "s1"))
+    // upstream recovers; flush, then drain new data straight through
+    flaky.down = false
+    r.flush("sensor_data", "points")
+    src("f2.json", (31L to 40L).map(i => ("s1", i * 10, i.toDouble)))
+    drain()
+    assert(!r.spooled("sensor_data", "points", "s1"))
+    assert(localT.visible("sensor_data", "points").count() == 0)
+    assert(times(remoteT, "logger_xyz") == (1L to 40L).map(_ * 10))
+  }
+
   test("flushAll sweeps every mapped database and measurement") {
     val (localT, remoteT, flaky, r) = mk()
     localT.createMeasurement("sensor_data", "aux", schema)
