@@ -124,31 +124,24 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
-  /** IVF-bucketed approximate top-k: a coarse quantizer of `nLists`
-    * centroids (mini k-means on a bounded, deterministically-seeded sample —
-    * IVF training is offline/sample-based by design), the corpus assigned to
-    * its nearest list in one distributed pass, and each query probing its
-    * `nProbe` nearest lists. Scan cost per query ≈ |corpus| × nProbe /
-    * nLists. Exhaustive probing (nProbe = nLists) degenerates to exact. */
-  def topKIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 4,
-              iters: Int = 15, seed: Long = 42L,
-              centroidsOut: Option[String] = None): DataFrame = {
-    graft.functions.GraftFunctions.register(corpus.sparkSession)
-    // --- train centroids on a bounded sample (driver-side mini k-means).
-    // The sample is the hash-order top-N: deterministic for given data AND
-    // representative regardless of partition layout (a bare limit() takes
-    // whatever rows the first partition yields — first-file biased) ---
+  /** Mini k-means(++) on a bounded, deterministically-seeded sample —
+    * IVF/cluster training is offline/sample-based by design. The sample is
+    * the hash-order top-N: deterministic for given data AND representative
+    * regardless of partition layout (a bare limit() takes whatever rows the
+    * first partition yields — first-file biased). Driver-side by contract:
+    * the sample is ≤ max(k·32, 512) vectors whatever the corpus size. */
+  def trainKMeans(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+                  iters: Int = 15, seed: Long = 42L): Array[Array[Double]] = {
     val sample = corpus
       .select(asDouble(col(vecCol)).as("v"), xxhash64(col(idCol)).as("_h"))
-      .orderBy("_h").limit(math.max(nLists * 32, 512)).collect()
+      .orderBy("_h").limit(math.max(k * 32, 512)).collect()
       .map(_.getSeq[Double](0).toArray)
     val rnd = new scala.util.Random(seed)
     // k-means++ seeding: spread the initial centroids (D² sampling) — on
     // near-uniform data random init leaves clusters lopsided and recall low
     var centroids = {
       val init = scala.collection.mutable.ArrayBuffer(sample(rnd.nextInt(sample.length)))
-      while (init.length < nLists) {
+      while (init.length < k) {
         val d2 = sample.map(v => init.map(c => sqDist(v, c)).min)
         val total = d2.sum
         var r = rnd.nextDouble() * total
@@ -159,8 +152,8 @@ object SimilarityOps {
       init.toArray
     }
     for (_ <- 1 to iters) {
-      val sums = Array.fill(nLists)(new Array[Double](centroids(0).length))
-      val counts = new Array[Int](nLists)
+      val sums = Array.fill(k)(new Array[Double](centroids(0).length))
+      val counts = new Array[Int](k)
       sample.foreach { v =>
         val c = nearest(v, centroids)
         counts(c) += 1
@@ -171,16 +164,50 @@ object SimilarityOps {
         else sums(c).map(_ / counts(c))
       }.toArray
     }
-    // optionally persist the trained quantizer: (list_id, c) parquet an
-    // oracle can re-derive assignment + probing from (the ranking arithmetic
-    // is SQL-replayable — see NearestCentroids' distance expansion)
-    centroidsOut.foreach { path =>
-      val session = corpus.sparkSession
-      import session.implicits._
-      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-        .toDF("list_id", "c").coalesce(1)
-        .write.mode("overwrite").parquet(path)
-    }
+    centroids
+  }
+
+  /** Persist a trained quantizer as (list_id, c) parquet an oracle can
+    * re-derive assignment/probing from (the ranking arithmetic is
+    * SQL-replayable — see NearestCentroids' distance expansion). */
+  def persistCentroids(spark: org.apache.spark.sql.SparkSession,
+                       centroids: Array[Array[Double]], path: String): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list_id", "c").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Corpus CLUSTERING for curation: every vector assigned to its nearest
+    * sample-trained k-means centroid in one distributed pass — the
+    * bucketing step of cluster-based data curation (topic balancing,
+    * per-cluster quotas, diversity sampling). Same quantizer machinery as
+    * [[topKIvf]]; output (idCol, cluster). */
+  def clusterAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iters: Int = 15, seed: Long = 42L,
+                    centroidsOut: Option[String] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val centroids = trainKMeans(corpus, idCol, vecCol, k, iters, seed)
+    centroidsOut.foreach(persistCentroids(corpus.sparkSession, centroids, _))
+    corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol),
+        element_at(call_function("nearest_centroids",
+          asDouble(col(vecCol)), typedLit(centroids.map(_.toSeq).toSeq)), 1)
+          .as("cluster"))
+  }
+
+  /** IVF-bucketed approximate top-k: a coarse quantizer of `nLists`
+    * centroids ([[trainKMeans]]), the corpus assigned to its nearest list
+    * in one distributed pass, and each query probing its `nProbe` nearest
+    * lists. Scan cost per query ≈ |corpus| × nProbe / nLists. Exhaustive
+    * probing (nProbe = nLists) degenerates to exact. */
+  def topKIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 4,
+              iters: Int = 15, seed: Long = 42L,
+              centroidsOut: Option[String] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val centroids = trainKMeans(corpus, idCol, vecCol, nLists, iters, seed)
+    centroidsOut.foreach(persistCentroids(corpus.sparkSession, centroids, _))
     // --- distributed assignment: centroid ids ranked by distance via ONE
     // codegen'd expression (graft.functions.NearestCentroids) — centroids
     // ride along as a reference object instead of nLists × dim plan

@@ -27,6 +27,8 @@ object SimilarityQueries {
     * it before any oracle executes). */
   private val CentroidsPath = new java.io.File(
     sys.props("java.io.tmpdir"), "graft-ivf-centroids.parquet").getAbsolutePath
+  private val ClusterCentroidsPath = new java.io.File(
+    sys.props("java.io.tmpdir"), "graft-cluster-centroids.parquet").getAbsolutePath
 
   /** The LSH hyperplanes as a DuckDB VALUES list — the same literals the
     * Spark plan bakes in (SimilarityOps.planes), Double.toString round-trips
@@ -141,6 +143,34 @@ object SimilarityQueries {
       SimilarityOps.topKIvf(emb, emb.filter(col("vec_id") < NQ),
         "vec_id", "embedding", K, nLists = 16, nProbe = NPROBE,
         centroidsOut = Some(CentroidsPath))
+    },
+
+    // Corpus CLUSTERING for curation (topic bucketing, per-cluster quotas,
+    // diversity sampling): every embedding assigned to its nearest of 16
+    // sample-trained k-means++ centroids in one distributed pass — ONE
+    // codegen'd nearest_centroids evaluation per row, centroids riding as a
+    // reference object. The oracle replays assignment from the persisted
+    // quantizer exactly like ann_ivf's assign CTE.
+    QueryDef.withOracle("pipeline_cluster", {
+      def c2 = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        "list_transform(cents.c, x -> x * x)), (s, x) -> s + x)"
+      def vc = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        "list_transform(range(1, len(e.v) + 1), i -> e.v[i] * cents.c[i])), (s, x) -> s + x)"
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |cents AS (SELECT list_id, list_transform(c, x -> CAST(x AS DOUBLE)) AS c
+         |          FROM read_parquet('$ClusterCentroidsPath/*.parquet')),
+         |cd AS (SELECT e.vec_id, cents.list_id, $c2 - 2.0 * $vc AS d FROM e, cents),
+         |cr AS (SELECT vec_id, list_id,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rk
+         |       FROM cd)
+         |SELECT vec_id, list_id AS cluster FROM cr WHERE rk = 1
+         |ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
+      SimilarityOps.clusterAssign(Tables(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 16,
+          centroidsOut = Some(ClusterCentroidsPath))
+        .orderBy("vec_id")
     },
 
     // recall@5 of each approximate path vs ann_topk — one row per method.

@@ -153,6 +153,28 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got.values.map(_._3).sum == 14L)
   }
 
+  test("clusterAssign matches a driver-side argmin over the trained centroids") {
+    val f = new java.io.File("/root/testdata/sf0.001/embeddings.parquet")
+    assume(f.exists(), "driver testdata not present")
+    val emb = spark.read.parquet(f.getPath)
+    val centroids = SimilarityOps.trainKMeans(emb, "vec_id", "embedding", 4)
+    val got = SimilarityOps.clusterAssign(emb, "vec_id", "embedding", 4)
+      .as[(Long, Int)].collect().toMap
+    val vecs = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>")).as[(Long, Seq[Double])]
+      .collect()
+    assert(got.size == vecs.length)
+    vecs.foreach { case (id, v) =>
+      val arr = v.toArray
+      val exp = centroids.indices.minBy { c =>
+        var d = 0.0; var i = 0
+        while (i < arr.length) { val t = arr(i) - centroids(c)(i); d += t * t; i += 1 }
+        d
+      }
+      assert(got(id) == exp, s"vec $id: got ${got(id)}, expected $exp")
+    }
+  }
+
   test("recallAtK is 1.0 when approx equals exact") {
     val emb = Seq((0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0f, 1f)))
       .toDF("vec_id", "embedding")
