@@ -93,6 +93,39 @@ object PipelineQueries {
         .orderBy("lang", "hv", "doc_id")
     },
 
+    // Temperature-based MIXTURE rebalancing (alpha = 0.5): each language's
+    // sampling rate is sqrt(n_min/n_class) — over-represented classes are
+    // downsampled toward the p^alpha re-weighting every multilingual /
+    // multi-source training mix uses. Deterministic: the keep decision is
+    // hash(doc_id) % 1e6 < floor(1e6 * rate), and the whole chain
+    // (exact int counts -> sqrt -> mul -> floor) is bit-portable because
+    // IEEE-754 sqrt/mul/div are correctly rounded in both engines. Two
+    // aggregate-then-broadcast passes, no corpus shuffle.
+    QueryDef.withOracle("pipeline_mixture", {
+      val h = OracleText.wordHashSql("CAST(doc_id AS VARCHAR)")
+      s"""WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         |thr AS (SELECT lang, CAST(floor(1e6 * sqrt(CAST((SELECT min(n) FROM cnt) AS DOUBLE)
+         |                / n)) AS BIGINT) AS keep_below
+         |        FROM cnt)
+         |SELECT d.doc_id, d.lang, thr.keep_below
+         |FROM documents d JOIN thr USING (lang)
+         |WHERE $h % 1000000 < thr.keep_below
+         |ORDER BY d.doc_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val cnt = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      val minN = cnt.agg(min("n").as("nmin"))
+      val thr = cnt.crossJoin(broadcast(minN))
+        .select(col("lang"),
+          floor(lit(1e6) * sqrt(col("nmin").cast("double") / col("n")))
+            .cast("long").as("keep_below"))
+      docs.join(broadcast(thr), "lang")
+        .filter(pmod(graft.ops.TextOps.polyHash(col("doc_id").cast("string")),
+          lit(1000000L)) < col("keep_below"))
+        .select("doc_id", "lang", "keep_below")
+        .orderBy("doc_id")
+    },
+
     // Sequence packing: documents laid end-to-end into 2048-token bins per
     // source, in the deterministic (id-hash, id) order — the trainer-facing
     // tail of the pipeline. Integer-only arithmetic, windows partitioned by
