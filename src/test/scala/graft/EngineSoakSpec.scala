@@ -105,4 +105,92 @@ class EngineSoakSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(all == model.toSeq)
   }
+
+  test("reflector soak: random outages, replays and flushes never lose or reorder a point") {
+    import graft.streaming.{Reflector, ReflectorRemote}
+    val rng = new Random(1234)
+    val localT = new Tsdb(spark, tmpDir("soak-refl-l-"), requestedBucketWidth = 1000L)
+    val remoteT = new Tsdb(spark, tmpDir("soak-refl-r-"), requestedBucketWidth = 1000L)
+    localT.createDatabase("d"); localT.createMeasurement("d", "m", schema)
+    var down = false
+    val remote = new ReflectorRemote {
+      private val a = ReflectorRemote(remoteT)
+      private def live[A](x: => A): A =
+        if (down) throw new java.io.IOException("down") else x
+      def createDatabase(db: String): Unit = live(a.createDatabase(db))
+      def createMeasurement(db: String, m: String, s: MeasurementSchema): Unit =
+        live(a.createMeasurement(db, m, s))
+      def writePoints(db: String, m: String, series: String, p: DataFrame): WriteResult =
+        live(a.writePoints(db, m, series, p))
+      def writeBatch(db: String, m: String, p: DataFrame): Map[String, WriteResult] =
+        live(a.writeBatch(db, m, p))
+    }
+    val r = new Reflector(localT, remote, Map("d" -> "rd"))
+    r.syncSchemas()
+
+    // model: every point ever written, per series (the reflector must never
+    // lose or reorder one, whatever the outage pattern)
+    val series = Seq("s1", "s2")
+    val model = series.map(_ -> mutable.TreeMap.empty[Long, Double]).toMap
+    val nextTs = mutable.Map(series.map(_ -> 0L): _*)
+    var lastBatch: Map[String, Seq[(Long, Double)]] = Map.empty
+
+    def mkBatch(sn: String, n: Int): Seq[(Long, Double)] =
+      (1 to n).map { _ =>
+        nextTs(sn) += 1 + rng.nextInt(300)
+        (nextTs(sn), math.round(rng.nextDouble() * 1e4) / 100.0)
+      }
+
+    for (step <- 1 to 30) {
+      rng.nextInt(6) match {
+        case 0 => down = !down // outage boundary can fall anywhere
+        case 1 | 2 => // single-series write through the reflector
+          val sn = series(rng.nextInt(series.size))
+          val batch = mkBatch(sn, 1 + rng.nextInt(25))
+          r.writePoints("d", "m", sn, batch.toDF("time_ns", "v"))
+          batch.foreach { case (ts, v) => model(sn)(ts) = v }
+          lastBatch = Map(sn -> batch)
+        case 3 => // multi-series micro-batch, replayed once at-least-once
+          val batches = series.map(sn => sn -> mkBatch(sn, 1 + rng.nextInt(15))).toMap
+          val df = batches.toSeq.flatMap { case (sn, b) =>
+            b.map { case (ts, v) => (sn, ts, v) }
+          }.toDF("series", "time_ns", "v")
+          r.writeBatch("d", "m", df)
+          if (rng.nextBoolean()) r.writeBatch("d", "m", df) // redelivery no-op
+          batches.foreach { case (sn, b) =>
+            b.foreach { case (ts, v) => model(sn)(ts) = v } }
+          lastBatch = batches
+        case 4 => // flush attempt; with the remote down it must fail WHOLE
+          if (!down) r.flush("d", "m")
+          else if (series.exists(sn => r.spooled("d", "m", sn)))
+            intercept[java.io.IOException](r.flush("d", "m"))
+        case 5 => // idempotent replay of the last single/multi batch
+          lastBatch.foreach { case (sn, b) =>
+            r.writePoints("d", "m", sn, b.toDF("time_ns", "v"))
+          }
+      }
+      // invariant: remote + spool together hold exactly the model, disjointly
+      if (step % 10 == 0) {
+        series.foreach { sn =>
+          val rem = if (remoteT.listSeries("rd", "m").contains(sn))
+            remoteT.select("rd", "m", sn, Nil, 0L, Long.MaxValue - 1).collect()
+              .map(x => (x.getLong(0), x.getDouble(1))).toSeq else Nil
+          val loc = if (localT.listSeries("d", "m").contains(sn))
+            localT.select("d", "m", sn, Nil, 0L, Long.MaxValue - 1).collect()
+              .map(x => (x.getLong(0), x.getDouble(1))).toSeq else Nil
+          assert((rem ++ loc).sorted == model(sn).toSeq,
+            s"step $step series $sn: remote ${rem.size} + spool ${loc.size}")
+        }
+      }
+    }
+    // end of soak: recover, drain, and the remote holds everything
+    down = false
+    r.flush("d", "m")
+    series.foreach { sn =>
+      val rem = remoteT.select("rd", "m", sn, Nil, 0L, Long.MaxValue - 1)
+        .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+      assert(rem == model(sn).toSeq, s"final drain of $sn")
+      assert(!r.spooled("d", "m", sn))
+    }
+  }
 }
