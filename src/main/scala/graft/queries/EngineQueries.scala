@@ -713,6 +713,30 @@ object EngineQueries {
       } finally pts.unpersist()
       remoteT.select("bench", "events", "purchase", Seq("v"), 0L, Long.MaxValue - 1)
         .select(col("time_ns").as("time_us"), col("v"))
+    },
+
+    // Cross-SERIES alignment THROUGH the engine layout: backward as-of join
+    // of two series read via the watermark-clamped visibility path (the
+    // flat-parquet face is tsdb_asof_join; here both inputs route through
+    // create -> validated append -> clamped read, so a visibility bug on
+    // EITHER side breaks the match). Oracle: DuckDB's native ASOF JOIN over
+    // the canonical points.
+    QueryDef.withOracle("engine_asof_join",
+      s"""WITH pts AS (SELECT series, time_us, v FROM $PTS),
+         |c AS (SELECT time_us, v AS click_v FROM pts WHERE series = 'click'),
+         |p AS (SELECT time_us, v FROM pts WHERE series = 'purchase')
+         |SELECT c.time_us, c.click_v, p.time_us AS asof_time, p.v AS asof_v
+         |FROM c ASOF LEFT JOIN p ON c.time_us >= p.time_us
+         |ORDER BY c.time_us""".stripMargin) { (s, dir) =>
+      val t = Fixture.tsdb(s, dir)
+      def side(series: String, as: String) =
+        t.visibleSeries("bench", "events", series, 0L, Long.MaxValue - 1)
+          .select(col(MeasurementSchema.TimeCol).as("time_us"), col("v").as(as))
+      graft.ops.TimeSeriesOps.asofJoin(
+          side("click", "click_v"), side("purchase", "v").select(col("time_us"), col("v")),
+          "time_us", "v", bucketWidth = DAY)
+        .select(col("time_us"), col("click_v"), col("asof_time"), col("asof_v"))
+        .orderBy("time_us")
     }
   )
 }
