@@ -327,31 +327,35 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
     // ONE bounded load, not one file per series)
     val wms = wmStore(db, m).load()
     import spark.implicits._
+    // NULL _tf/_tl = series with no watermark yet (everything appends, like
+    // writePoints' wm.isEmpty path) — a real column-null flag, NOT a
+    // Long.MinValue sentinel, which would collide with a representable
+    // timestamp at the type's edge
     val tagged =
       if (wms.isEmpty)
-        pts.withColumn("_tf", lit(Long.MinValue)).withColumn("_tl", lit(Long.MinValue))
+        pts.withColumn("_tf", lit(null).cast(LongType))
+          .withColumn("_tl", lit(null).cast(LongType))
       else {
         val wdf = broadcast(
           wms.toSeq.map { case (sn, r) => (sn, r.timeFirst, r.timeLast) }
             .toDF(SeriesCol, "_tf", "_tl"))
         pts.join(wdf, Seq(SeriesCol), "left")
-          .withColumn("_tf", coalesce(col("_tf"), lit(Long.MinValue)))
-          .withColumn("_tl", coalesce(col("_tl"), lit(Long.MinValue)))
       }
-    // keep = above both watermarks; discard = inside the delete window
-    // [min(tf,tl+1), tf) — identical visibility rules to writePoints
-    val keep = col(TimeCol) > col("_tl") && col(TimeCol) >= col("_tf")
-    val inTail = col(TimeCol).between(col("_tf"), col("_tl"))
+    // keep = above both watermarks (or a brand-new series); discard =
+    // inside the delete window — identical visibility rules to writePoints
+    val known = col("_tf").isNotNull
+    val keep = !known || (col(TimeCol) > col("_tl") && col(TimeCol) >= col("_tf"))
+    val inTail = known && col(TimeCol).between(col("_tf"), col("_tl"))
 
     // ONE validation job for every series
     val stats = tagged.groupBy(col(SeriesCol)).agg(
       count(lit(1)).as("n"), count(col(TimeCol)).as("n_ts"),
       countDistinct(col(TimeCol)).as("n_distinct"),
-      sum(when(col(TimeCol) <= col("_tl"), 1L).otherwise(0L)).as("le_tl"),
+      sum(when(known && col(TimeCol) <= col("_tl"), 1L).otherwise(0L)).as("le_tl"),
       count(when(keep, lit(1))).as("new_n"),
       min(when(keep, col(TimeCol))).as("new_min"),
       max(when(keep, col(TimeCol))).as("new_max"),
-      sum(when(col(TimeCol) < col("_tf"), 1L).otherwise(0L)).as("disc"),
+      sum(when(known && col(TimeCol) < col("_tf"), 1L).otherwise(0L)).as("disc"),
       sum(when(inTail, 1L).otherwise(0L)).as("ov"),
       min(when(inTail, col(TimeCol))).as("ov_min")).collect()
     // row layout: series(0), n(1), n_ts(2), n_distinct(3), le_tl(4),
@@ -982,11 +986,37 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
   private val wmStores =
     scala.collection.concurrent.TrieMap.empty[(String, String), WatermarkStore]
   private def wmStore(db: String, m: String): WatermarkStore =
-    wmStores.getOrElseUpdate((db, m),
-      new WatermarkStore(new Path(measPath(db, m), "_wm"), hconf))
+    wmStores.getOrElseUpdate((db, m), {
+      val store = new WatermarkStore(new Path(measPath(db, m), "_wm"), hconf)
+      migrateLegacyWatermarks(db, m, store)
+      store
+    })
+
+  /** One-time upgrade of a root written by the earlier per-series layout
+    * (`_meta/<series>.json`, one object per series): fold every legacy
+    * watermark into the table, then remove the files. Without this, opening
+    * an old root would silently show EMPTY measurements — and a subsequent
+    * append would duplicate stored points under a fresh watermark. Table
+    * entries win when both exist (the table is the newer store). */
+  private def migrateLegacyWatermarks(db: String, m: String,
+                                      store: WatermarkStore): Unit = {
+    val md = metaDir(db, m)
+    val f = fs(md)
+    if (!f.exists(md)) return
+    val legacy = f.listStatus(md).toSeq.map(_.getPath)
+      .filter(p => p.getName.endsWith(".json") && !p.getName.startsWith("."))
+    if (legacy.isEmpty) return
+    val entries = legacy.map { p =>
+      p.getName.stripSuffix(".json") -> SeriesRange.fromJson(readString(p))
+    }.toMap
+    val existing = store.load()
+    store.update(entries.filter { case (sn, _) => !existing.contains(sn) })
+    legacy.foreach(p => f.delete(p, false))
+  }
 
   private def validName(s: String, what: String): Unit =
-    if (!s.matches("[A-Za-z0-9_.-]{1,123}") || s.startsWith("_") || s == "." || s == "..")
+    if (s == null || !s.matches("[A-Za-z0-9_.-]{1,123}") || s.startsWith("_") ||
+        s == "." || s == "..")
       throw new InvalidSchemaException(s"invalid $what name '$s'")
 
   private def listDirs(p: Path): Seq[String] = {
@@ -996,22 +1026,10 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
       .filterNot(_.startsWith("_")).sorted
   }
 
-  private def readString(p: Path): String = {
-    val in = fs(p).open(p)
-    try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
-  }
+  private def readString(p: Path): String = StorageIO.readString(p, hconf)
 
-  /** tmp + overwrite-rename — readers see either the old or the new content,
-    * never a torn write (reference atomic tmp+rename, root.cc:179-194). */
-  private def atomicWrite(p: Path, content: String): Unit = {
-    val f = fs(p)
-    f.mkdirs(p.getParent)
-    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
-    val out = f.create(tmp, true)
-    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    val fc = FileContext.getFileContext(p.toUri, hconf)
-    fc.rename(tmp, p, Options.Rename.OVERWRITE)
-  }
+  private def atomicWrite(p: Path, content: String): Unit =
+    StorageIO.atomicWrite(p, content, hconf)
 }
 
 object Tsdb {

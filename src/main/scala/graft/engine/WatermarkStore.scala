@@ -1,9 +1,7 @@
 package graft.engine
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
-
-import java.nio.charset.StandardCharsets
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** The measurement's watermark TABLE — one log-structured store holding the
   * `[time_first, time_last]` range of EVERY series, replacing the r1-r5
@@ -14,7 +12,7 @@ import java.nio.charset.StandardCharsets
   *
   * Layout under `<measurement>/_wm/`:
   * {{{
-  *   snap-<v>.jsonl           full table at version v (one line per series)
+  *   snap-<v>-<uuid>.jsonl    full table at version v (one line per series)
   *   delta-<v>-<uuid>.jsonl   the series updated by ONE write, at version v
   * }}}
   *
@@ -22,7 +20,7 @@ import java.nio.charset.StandardCharsets
   * how many series it touches — a micro-batch updating 10⁴ series costs one
   * small object, not 10⁴. Readers list the directory (bounded: one snapshot
   * + at most [[WatermarkStore.CompactThreshold]] deltas), take the latest
-  * snapshot, and apply the deltas with version > snapshot version in
+  * snapshot, and apply the deltas with version >= snapshot version in
   * version order — latest entry per series wins. When the delta count
   * crosses the threshold, the writing update folds everything into a fresh
   * snapshot and deletes the merged files, so the directory listing stays
@@ -39,12 +37,16 @@ import java.nio.charset.StandardCharsets
   * series.h:42-179, which object stores don't offer): concurrent updates to
   * DIFFERENT series are safe (distinct delta files; latest-wins is
   * per-series, and a version-number tie between different series is
-  * harmless). The one hazard is a compaction racing a concurrent writer
-  * whose delta landed after the compactor listed the directory AND reused a
-  * version ≤ the new snapshot's — which needs ≥3 interleaved writers inside
-  * one update's window. Deployments needing stronger guarantees should back
-  * this table with a transactional store; the format isolates that swap to
-  * this class.
+  * harmless). Compactions are collision-free for TWO concurrent writers:
+  * snapshots carry uuid-distinct names (no rename-overwrite can drop a
+  * commit), readers merge all snapshots at the newest version, and a delta
+  * committed concurrently with a compaction (same version as the snapshot,
+  * unlisted by the compactor so it survives the delete) stays live via the
+  * >= filter. The residual hazard needs ≥3 interleaved writers inside one
+  * update's window (a delta whose version lands strictly below a snapshot
+  * it was not merged into). Deployments needing stronger guarantees should
+  * back this table with a transactional store; the format isolates that
+  * swap to this class.
   */
 final class WatermarkStore(dir: Path, hconf: Configuration) {
   import WatermarkStore._
@@ -60,8 +62,18 @@ final class WatermarkStore(dir: Path, hconf: Configuration) {
     def maxVersion: Long =
       (snaps.map(_._1) ++ deltas.map(_._1)).foldLeft(0L)(math.max)
     def snapVersion: Long = snaps.lastOption.map(_._1).getOrElse(-1L)
-    /** Deltas newer than the latest snapshot, in (version, name) order. */
-    def liveDeltas: Seq[(Long, Path)] = deltas.filter(_._1 > snapVersion)
+    /** Snapshots AT the newest snapshot version, in name order — two
+      * concurrent compactions produce two uuid-distinct snapshots with the
+      * same version, each holding the common base plus its own writer's
+      * entries; merging them (different-series writes commute under the
+      * single-writer-per-series contract) loses neither. */
+    def liveSnaps: Seq[Path] = snaps.filter(_._1 == snapVersion).map(_._2)
+    /** Deltas not subsumed by the newest snapshot, in (version, name)
+      * order. `>=` not `>`: a delta committed CONCURRENTLY with a
+      * compaction carries the same version as the snapshot (both writers
+      * computed maxVersion+1) but its content is not in it — it survives
+      * the compactor's delete (unlisted) and must still apply. */
+    def liveDeltas: Seq[(Long, Path)] = deltas.filter(_._1 >= snapVersion)
   }
 
   private def list(): Listing = {
@@ -73,7 +85,7 @@ final class WatermarkStore(dir: Path, hconf: Configuration) {
       Listing(
         paths.flatMap(p => p.getName match {
           case SnapRe(v) => Some(v.toLong -> p); case _ => None
-        }).sortBy(_._1),
+        }).sortBy { case (v, p) => (v, p.getName) },
         paths.flatMap(p => p.getName match {
           case DeltaRe(v, _) => Some(v.toLong -> p); case _ => None
         }).sortBy { case (v, p) => (v, p.getName) })
@@ -81,8 +93,8 @@ final class WatermarkStore(dir: Path, hconf: Configuration) {
   }
 
   private def decode(l: Listing): Map[String, SeriesRange] = {
-    val base = l.snaps.lastOption
-      .map(s => parseLines(readString(s._2))).getOrElse(Map.empty[String, SeriesRange])
+    val base = l.liveSnaps.foldLeft(Map.empty[String, SeriesRange])(
+      (acc, s) => acc ++ parseLines(readString(s)))
     l.liveDeltas.foldLeft(base)((acc, d) => acc ++ parseLines(readString(d._2)))
   }
 
@@ -110,7 +122,11 @@ final class WatermarkStore(dir: Path, hconf: Configuration) {
     val merged = loadFrom(l) ++ entries
     val v = l.maxVersion + 1
     if (l.liveDeltas.size + 1 > CompactThreshold) {
-      val snap = new Path(dir, f"snap-$v%016d.jsonl")
+      // uuid-distinct name: two concurrent compactions at the same version
+      // both SURVIVE (no rename-overwrite losing one writer's commit) and
+      // readers merge them via liveSnaps
+      val snap = new Path(dir,
+        f"snap-$v%016d-${java.util.UUID.randomUUID.toString.take(8)}%s.jsonl")
       atomicWrite(snap, encodeLines(merged))
       // everything the new snapshot subsumes goes away; the listing stays
       // one snapshot + the (few) deltas other writers may have just added
@@ -124,27 +140,17 @@ final class WatermarkStore(dir: Path, hconf: Configuration) {
     }
   }
 
-  private def readString(p: Path): String = {
-    val in = fs.open(p)
-    try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
-  }
+  private def readString(p: Path): String = StorageIO.readString(p, hconf)
 
-  private def atomicWrite(p: Path, content: String): Unit = {
-    val f = fs
-    f.mkdirs(p.getParent)
-    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
-    val out = f.create(tmp, true)
-    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    val fc = FileContext.getFileContext(p.toUri, hconf)
-    fc.rename(tmp, p, Options.Rename.OVERWRITE)
-  }
+  private def atomicWrite(p: Path, content: String): Unit =
+    StorageIO.atomicWrite(p, content, hconf)
 }
 
 object WatermarkStore {
   /** Live-delta count that triggers folding into a fresh snapshot. */
   val CompactThreshold = 64
 
-  private val SnapRe = """snap-(\d{16})\.jsonl""".r
+  private val SnapRe = """snap-(\d{16})(?:-[0-9a-f]{8})?\.jsonl""".r
   private val DeltaRe = """delta-(\d{16})-([0-9a-f]{8})\.jsonl""".r
   private val LineRe =
     """\{"series":"([A-Za-z0-9_.-]+)","time_first":(-?\d+),"time_last":(-?\d+)\}""".r

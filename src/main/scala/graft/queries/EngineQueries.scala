@@ -678,24 +678,12 @@ object EngineQueries {
     QueryDef.withOracle("engine_reflector",
       s"""SELECT time_us, v FROM $PTS
          |WHERE series = 'purchase' ORDER BY time_us""".stripMargin) { (s, dir) =>
-      import graft.streaming.{Reflector, ReflectorRemote}
+      import graft.streaming.{FaultInjectedRemote, Reflector, ReflectorRemote}
       val localT = freshTsdb(s)
       val remoteT = freshTsdb(s)
       localT.createDatabase("sensor_data")
       localT.createMeasurement("sensor_data", "events", schema)
-      var down = false
-      val remote = new ReflectorRemote { // failure-injecting adapter
-        private val t = ReflectorRemote(remoteT)
-        private def live[A](a: => A): A =
-          if (down) throw new java.io.IOException("remote unreachable") else a
-        def createDatabase(db: String): Unit = live(t.createDatabase(db))
-        def createMeasurement(db: String, m: String, sch: MeasurementSchema): Unit =
-          live(t.createMeasurement(db, m, sch))
-        def writePoints(db: String, m: String, series: String, points: DataFrame): WriteResult =
-          live(t.writePoints(db, m, series, points))
-        def writeBatch(db: String, m: String, points: DataFrame): Map[String, WriteResult] =
-          live(t.writeBatch(db, m, points))
-      }
+      val remote = new FaultInjectedRemote(ReflectorRemote(remoteT))
       val r = new Reflector(localT, remote, Map("sensor_data" -> "bench"))
       r.syncSchemas()
       val pts = canonicalPoints(s, dir).filter(col("series") === "purchase")
@@ -703,10 +691,10 @@ object EngineQueries {
       try {
         r.writePoints("sensor_data", "events", "purchase",
           pts.filter(col("time_ns") <= MID - 2 * DAY))          // pass-through
-        down = true
+        remote.down = true
         r.writePoints("sensor_data", "events", "purchase",
           pts.filter(col("time_ns") > MID - 2 * DAY && col("time_ns") <= MID))
-        down = false                                            // spooled
+        remote.down = false                                     // spooled
         r.writePoints("sensor_data", "events", "purchase",
           pts.filter(col("time_ns") > MID))                     // backlog -> spooled
         r.flush("sensor_data", "events")

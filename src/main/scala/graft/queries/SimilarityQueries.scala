@@ -24,11 +24,14 @@ object SimilarityQueries {
 
   /** Where ann_ivf persists its trained quantizer for the oracle to replay
     * (same machine for Verify and the driver's DuckDB run; the query writes
-    * it before any oracle executes). */
+    * it before any oracle executes, and the oracle SQL embedding the path is
+    * dumped by the SAME JVM). PID-scoped: concurrent Verify/bench processes
+    * must not clobber each other's quantizer between write and replay. */
+  private val Pid = ProcessHandle.current().pid()
   private val CentroidsPath = new java.io.File(
-    sys.props("java.io.tmpdir"), "graft-ivf-centroids.parquet").getAbsolutePath
+    sys.props("java.io.tmpdir"), s"graft-ivf-centroids-$Pid.parquet").getAbsolutePath
   private val ClusterCentroidsPath = new java.io.File(
-    sys.props("java.io.tmpdir"), "graft-cluster-centroids.parquet").getAbsolutePath
+    sys.props("java.io.tmpdir"), s"graft-cluster-centroids-$Pid.parquet").getAbsolutePath
 
   /** The LSH hyperplanes as a DuckDB VALUES list — the same literals the
     * Spark plan bakes in (SimilarityOps.planes), Double.toString round-trips

@@ -30,6 +30,22 @@ object ReflectorRemote {
   }
 }
 
+/** Fault-injection decorator over a [[ReflectorRemote]]: while `down`,
+  * every operation throws `IOException` — the unreachable-upstream model
+  * shared by the specs and the `engine_reflector` correctness query. */
+final class FaultInjectedRemote(underlying: ReflectorRemote) extends ReflectorRemote {
+  @volatile var down = false
+  private def live[A](a: => A): A =
+    if (down) throw new java.io.IOException("remote unreachable") else a
+  def createDatabase(db: String): Unit = live(underlying.createDatabase(db))
+  def createMeasurement(db: String, m: String, schema: MeasurementSchema): Unit =
+    live(underlying.createMeasurement(db, m, schema))
+  def writePoints(db: String, m: String, series: String, points: DataFrame): WriteResult =
+    live(underlying.writePoints(db, m, series, points))
+  def writeBatch(db: String, m: String, points: DataFrame): Map[String, WriteResult] =
+    live(underlying.writeBatch(db, m, points))
+}
+
 /** Store-and-forward ingest proxy — the reference's tsdbreflector
   * (src/tsdbserver/reflector.cc:152-227, doc/REFLECTOR.txt:1-24): writes
   * pass straight through to a remote instance; when the remote is
@@ -82,8 +98,15 @@ final class Reflector(val local: Tsdb, val remote: ReflectorRemote,
     val rdb = remoteDb(db)
     local.getSchema(db, m) // local measurement is the schema authority
     if (!spooled(db, m, series)) {
+      // a TsdbException is the REMOTE ENGINE speaking (validation rejection,
+      // diverging replay bytes) — spooling it would bury the corruption
+      // signal and poison every later flush; only transport failure means
+      // "down" (reference catches the connection error, reflector.cc:205-212)
       try return (remote.writePoints(rdb, m, series, points), true)
-      catch { case scala.util.control.NonFatal(_) => () } // remote down -> spool
+      catch {
+        case e: graft.engine.TsdbException    => throw e
+        case scala.util.control.NonFatal(_) => () // remote down -> spool
+      }
     }
     (local.writePoints(db, m, series, points), false)
   }
@@ -112,10 +135,18 @@ final class Reflector(val local: Tsdb, val remote: ReflectorRemote,
     val sCol = MeasurementSchema.SeriesCol
     val toRemote =
       if (backlogged.isEmpty) points
-      else points.filter(!col(sCol).isInCollection(backlogged))
+      // NULL-series rows route with the remote share so the engine rejects
+      // them loudly (three-valued isInCollection would otherwise silently
+      // drop them from BOTH sides)
+      else points.filter(col(sCol).isNull || !col(sCol).isInCollection(backlogged))
     val remoteRes =
+      // validation/corruption rejections surface (see writePoints); only
+      // transport failure routes to the spool
       try Some(remote.writeBatch(rdb, m, toRemote))
-      catch { case scala.util.control.NonFatal(_) => None }
+      catch {
+        case e: graft.engine.TsdbException    => throw e
+        case scala.util.control.NonFatal(_) => None
+      }
     remoteRes match {
       case None => // remote down: EVERYTHING spools, backlogged or not
         local.writeBatch(db, m, points).map { case (sn, r) => sn -> (r, false) }

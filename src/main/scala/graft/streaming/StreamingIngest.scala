@@ -33,9 +33,10 @@ object StreamingIngest {
     * overwrite, not from any per-series ordering. */
   def ingestBatch(tsdb: Tsdb, db: String, m: String, seriesCol: String)
                  (batch: DataFrame, batchId: Long): Unit = {
+    val sCol = graft.engine.MeasurementSchema.SeriesCol
     val renamed =
-      if (seriesCol == "series") batch
-      else batch.withColumn("series", col(seriesCol)).drop(seriesCol)
+      if (seriesCol == sCol) batch
+      else batch.withColumn(sCol, col(seriesCol)).drop(seriesCol)
     tsdb.writeBatch(db, m, renamed)
   }
 

@@ -107,24 +107,12 @@ class EngineSoakSpec extends SparkTestBase {
   }
 
   test("reflector soak: random outages, replays and flushes never lose or reorder a point") {
-    import graft.streaming.{Reflector, ReflectorRemote}
+    import graft.streaming.{FaultInjectedRemote, Reflector, ReflectorRemote}
     val rng = new Random(1234)
     val localT = new Tsdb(spark, tmpDir("soak-refl-l-"), requestedBucketWidth = 1000L)
     val remoteT = new Tsdb(spark, tmpDir("soak-refl-r-"), requestedBucketWidth = 1000L)
     localT.createDatabase("d"); localT.createMeasurement("d", "m", schema)
-    var down = false
-    val remote = new ReflectorRemote {
-      private val a = ReflectorRemote(remoteT)
-      private def live[A](x: => A): A =
-        if (down) throw new java.io.IOException("down") else x
-      def createDatabase(db: String): Unit = live(a.createDatabase(db))
-      def createMeasurement(db: String, m: String, s: MeasurementSchema): Unit =
-        live(a.createMeasurement(db, m, s))
-      def writePoints(db: String, m: String, series: String, p: DataFrame): WriteResult =
-        live(a.writePoints(db, m, series, p))
-      def writeBatch(db: String, m: String, p: DataFrame): Map[String, WriteResult] =
-        live(a.writeBatch(db, m, p))
-    }
+    val remote = new FaultInjectedRemote(ReflectorRemote(remoteT))
     val r = new Reflector(localT, remote, Map("d" -> "rd"))
     r.syncSchemas()
 
@@ -143,7 +131,7 @@ class EngineSoakSpec extends SparkTestBase {
 
     for (step <- 1 to 30) {
       rng.nextInt(6) match {
-        case 0 => down = !down // outage boundary can fall anywhere
+        case 0 => remote.down = !remote.down // outage boundary can fall anywhere
         case 1 | 2 => // single-series write through the reflector
           val sn = series(rng.nextInt(series.size))
           val batch = mkBatch(sn, 1 + rng.nextInt(25))
@@ -161,7 +149,7 @@ class EngineSoakSpec extends SparkTestBase {
             b.foreach { case (ts, v) => model(sn)(ts) = v } }
           lastBatch = batches
         case 4 => // flush attempt; with the remote down it must fail WHOLE
-          if (!down) r.flush("d", "m")
+          if (!remote.down) r.flush("d", "m")
           else if (series.exists(sn => r.spooled("d", "m", sn)))
             intercept[java.io.IOException](r.flush("d", "m"))
         case 5 => // idempotent replay of the last single/multi batch
@@ -184,7 +172,7 @@ class EngineSoakSpec extends SparkTestBase {
       }
     }
     // end of soak: recover, drain, and the remote holds everything
-    down = false
+    remote.down = false
     r.flush("d", "m")
     series.foreach { sn =>
       val rem = remoteT.select("rd", "m", sn, Nil, 0L, Long.MaxValue - 1)

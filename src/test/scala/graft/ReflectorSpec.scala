@@ -1,7 +1,7 @@
 package graft
 
 import graft.engine._
-import graft.streaming.{Reflector, ReflectorRemote}
+import graft.streaming.{FaultInjectedRemote, Reflector, ReflectorRemote}
 import org.apache.spark.sql.DataFrame
 
 /** Store-and-forward reflector semantics (reference tsdbserver/reflector.cc,
@@ -13,27 +13,12 @@ class ReflectorSpec extends SparkTestBase {
 
   private val schema = MeasurementSchema(Seq(Field("v", FieldType.F64)))
 
-  /** Failure-injecting remote: `down = true` models an unreachable upstream
-    * (every operation throws, like the reference's failed SSL writes). */
-  private final class FlakyRemote(t: Tsdb) extends ReflectorRemote {
-    var down = false
-    private def live[A](a: => A): A =
-      if (down) throw new java.io.IOException("remote unreachable") else a
-    def createDatabase(db: String): Unit = live(t.createDatabase(db))
-    def createMeasurement(db: String, m: String, s: MeasurementSchema): Unit =
-      live(t.createMeasurement(db, m, s))
-    def writePoints(db: String, m: String, series: String, points: DataFrame): WriteResult =
-      live(t.writePoints(db, m, series, points))
-    def writeBatch(db: String, m: String, points: DataFrame): Map[String, WriteResult] =
-      live(t.writeBatch(db, m, points))
-  }
-
-  private def mk(): (Tsdb, Tsdb, FlakyRemote, Reflector) = {
+  private def mk(): (Tsdb, Tsdb, FaultInjectedRemote, Reflector) = {
     val localT = new Tsdb(spark, tmpDir("refl-local-"), requestedBucketWidth = 100L)
     val remoteT = new Tsdb(spark, tmpDir("refl-remote-"), requestedBucketWidth = 100L)
     localT.createDatabase("sensor_data")
     localT.createMeasurement("sensor_data", "points", schema)
-    val flaky = new FlakyRemote(remoteT)
+    val flaky = new FaultInjectedRemote(ReflectorRemote(remoteT))
     val r = new Reflector(localT, flaky, Map("sensor_data" -> "logger_xyz"))
     r.syncSchemas()
     (localT, remoteT, flaky, r)
@@ -137,6 +122,23 @@ class ReflectorSpec extends SparkTestBase {
     // identical bytes replay to a no-op
     val (res, via) = r.writePoints("sensor_data", "points", "s1", pts((100L, 1.0)))
     assert(via && res.written == 0 && res.overwriteVerified == 1)
+  }
+
+  test("remote VALIDATION rejection surfaces instead of spooling (corruption is not 'down')") {
+    val (localT, remoteT, _, r) = mk()
+    r.writePoints("sensor_data", "points", "s1", pts((100L, 1.0)))
+    // a replay whose bytes DIFFER: the remote engine rejects it — the
+    // reflector must rethrow, not quietly spool the poison point and leave
+    // every later flush permanently stuck behind it
+    intercept[OverwriteMismatchException](
+      r.writePoints("sensor_data", "points", "s1", pts((100L, 9.9))))
+    assert(localT.listSeries("sensor_data", "points").isEmpty) // nothing spooled
+    // same discrimination on the batch path
+    intercept[OverwriteMismatchException](
+      r.writeBatch("sensor_data", "points",
+        Seq(("s1", 100L, 9.9)).toDF("series", "time_ns", "v")))
+    assert(localT.listSeries("sensor_data", "points").isEmpty)
+    assert(times(remoteT, "logger_xyz") == Seq(100L)) // storage untouched
   }
 
   test("writeBatch routes per series: backlogged spool, clean pass through") {

@@ -444,6 +444,58 @@ class TsdbEngineSpec extends SparkTestBase {
     assert(pf.matches("(?s).*PartitionFilters: \\[[^\\]]*bucket[^\\]]*\\].*"), plan)
   }
 
+  test("legacy per-series watermark files migrate into the table on open") {
+    val t = mkTsdb()
+    freshSeries(t, baseRows: _*)
+    // rewrite the root into the r1-r5 layout: per-series _meta/<s>.json,
+    // no _wm/ table
+    val root = java.nio.file.Paths.get(t.rootDir)
+    val wm = t.seriesRange("db1", "m1", "s1").get
+    def rmAll(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    rmAll(root.resolve("db1/m1/_wm"))
+    java.nio.file.Files.writeString(
+      root.resolve("db1/m1/_meta/s1.json"), wm.toJson)
+    // a FRESH Tsdb (no cached store) must see the data, not an empty
+    // measurement — and a re-append must not duplicate stored points
+    val t2 = new Tsdb(spark, t.rootDir)
+    assert(t2.listSeries("db1", "m1") == Seq("s1"))
+    assert(t2.seriesRange("db1", "m1", "s1").contains(wm))
+    val res = t2.writePoints("db1", "m1", "s1",
+      pts((420L, Some(7L), Some(7.5), Some(7.0f)))) // replay of the tail
+    assert(res.written == 0 && res.overwriteVerified == 1)
+    assert(t2.select("db1", "m1", "s1", Nil, 0L, 1000L).count() == baseRows.size)
+    // the legacy file is gone; the table owns the watermark now
+    assert(!java.nio.file.Files.exists(root.resolve("db1/m1/_meta/s1.json")))
+  }
+
+  test("watermark table merges concurrent same-version snapshots and deltas") {
+    // two compactions + one delta racing at the SAME version — the
+    // two-writer collision the uuid names + >= filter exist for: nothing
+    // may be lost, latest-per-series wins
+    val t = mkTsdb()
+    freshSeries(t, baseRows: _*) // creates _wm with s1
+    val wmDir = java.nio.file.Paths.get(t.rootDir, "db1", "m1", "_wm")
+    def line(s: String, tf: Long, tl: Long) =
+      s"""{"series":"$s","time_first":$tf,"time_last":$tl}""" + "\n"
+    java.nio.file.Files.writeString(wmDir.resolve("snap-0000000000000099-aaaaaaaa.jsonl"),
+      line("s1", 100L, 420L) + line("sA", 1L, 10L))
+    java.nio.file.Files.writeString(wmDir.resolve("snap-0000000000000099-bbbbbbbb.jsonl"),
+      line("s1", 100L, 420L) + line("sB", 2L, 20L))
+    java.nio.file.Files.writeString(wmDir.resolve("delta-0000000000000099-cccccccc.jsonl"),
+      line("sC", 3L, 30L))
+    val t2 = new Tsdb(spark, t.rootDir) // fresh store, no cache
+    assert(t2.listSeries("db1", "m1") == Seq("s1", "sA", "sB", "sC"))
+    assert(t2.seriesRange("db1", "m1", "sA").contains(SeriesRange(1L, 10L)))
+    assert(t2.seriesRange("db1", "m1", "sB").contains(SeriesRange(2L, 20L)))
+    assert(t2.seriesRange("db1", "m1", "sC").contains(SeriesRange(3L, 30L)))
+  }
+
   test("select plan regression: time pushdown, pruned ReadSchema, bounded LAST") {
     // this is PLANS.md's hand audit as an executable gate — a layout or
     // read-path change that silently de-prunes the scan fails the build
