@@ -28,6 +28,31 @@ import org.apache.spark.sql.functions._
   */
 object PackingOps {
 
+  /** Sliding-window CHUNKING: split each document's token stream into
+    * `size`-token windows advancing by `stride` (overlap = size - stride) —
+    * the pre-embedding / pre-packing step for long documents. One chunk
+    * starts at every multiple of `stride` below the token count, so a
+    * document shorter than `size` still yields its one (short) chunk and an
+    * empty document yields none. Pure per-row integer compute + a bounded
+    * explode: map-side at any scale, no shuffle.
+    * Output: (idCol, chunk_id, start_tok, end_tok) with
+    * `end_tok = min(start_tok + size, n_tokens)` exclusive. */
+  def chunkSpans(docs: DataFrame, idCol: String, textCol: String,
+                 size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size: size=$size stride=$stride")
+    docs.select(col(idCol),
+        org.apache.spark.sql.functions.size(TextOps.tokens(col(textCol)))
+          .cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .select(col(idCol), col("n_tokens"),
+        explode(sequence(lit(0L), expr(s"(n_tokens - 1) div ${stride}L")))
+          .as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        (col("chunk_id") * stride).as("start_tok"),
+        least(col("chunk_id") * stride + size, col("n_tokens")).as("end_tok"))
+  }
+
   /** Pack `docs` into `capacity`-token bins per `groupCol`.
     * Output: (groupCol, idCol, n_tokens, start_tok, bin_id), where
     * `start_tok` is the document's starting offset within its group's

@@ -126,6 +126,22 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Sliding-window chunking (size 48, stride 32): the pre-embedding split
+    // of long documents. Integer-only, map-side, bounded explode.
+    QueryDef.withOracle("pipeline_chunk",
+      s"""WITH n AS (SELECT doc_id, CAST(len(${OracleText.TOKS}) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |c AS (SELECT doc_id, unnest(range(0, (n_tokens - 1) // 32 + 1)) AS chunk_id,
+         |             n_tokens
+         |      FROM n WHERE n_tokens > 0)
+         |SELECT doc_id, chunk_id, chunk_id * 32 AS start_tok,
+         |       least(chunk_id * 32 + 48, n_tokens) AS end_tok
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      graft.ops.PackingOps.chunkSpans(Tables(s, dir, "documents"),
+          "doc_id", "text", size = 48, stride = 32)
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // Sequence packing: documents laid end-to-end into 2048-token bins per
     // source, in the deterministic (id-hash, id) order — the trainer-facing
     // tail of the pipeline. Integer-only arithmetic, windows partitioned by

@@ -153,6 +153,21 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got.values.map(_._3).sum == 14L)
   }
 
+  test("chunkSpans: overlap arithmetic, short docs one chunk, empty docs none") {
+    val d = Seq(
+      (0L, ("x " * 10).trim),  // 10 tokens: chunks at 0 and 4 (stride 4)
+      (1L, "one two"),         // short: single chunk [0, 2)
+      (2L, "")                 // empty: no chunks
+    ).toDF("doc_id", "text")
+    val got = PackingOps.chunkSpans(d, "doc_id", "text", size = 6, stride = 4)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (0L, 0L, 0L, 6L), (0L, 1L, 4L, 10L), (0L, 2L, 8L, 10L),
+      (1L, 0L, 0L, 2L)))
+    // every token of every doc is covered by at least one chunk
+    assert(got.filter(_._1 == 0L).map(c => c._3 until c._4).flatten.toSet == (0 until 10).map(_.toLong).toSet)
+  }
+
   test("clusterAssign matches a driver-side argmin over the trained centroids") {
     val f = new java.io.File("/root/testdata/sf0.001/embeddings.parquet")
     assume(f.exists(), "driver testdata not present")
