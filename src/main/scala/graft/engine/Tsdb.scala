@@ -706,11 +706,14 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
     import spark.implicits._
     val wdf = broadcast(affected.map { case (sn, t, r) => (sn, t, r.timeLast) }
       .toDF(SeriesCol, "_cut", "_tl"))
-    // survivors can only live in buckets at/above the lowest cut's bucket —
-    // prune before the scan like deleteUpTo does
-    val minBucket = Math.floorDiv(affected.map(_._2).min + 1, bucketWidth)
+    // survivors can only live in buckets at/above the lowest cut's bucket
+    // AND above the lowest cut itself — both predicates sit on the SCAN
+    // (partition prune + parquet row-group stats); the exact per-series cut
+    // applies after the broadcast join
+    val minCut = affected.map(_._2).min
+    val minBucket = Math.floorDiv(minCut + 1, bucketWidth)
     val surv = readMeasurement(db, m, schema)
-      .filter(col(BucketCol) >= minBucket)
+      .filter(col(BucketCol) >= minBucket && col(TimeCol) > minCut)
       .join(wdf, SeriesCol)
       .filter(col(TimeCol) > col("_cut") &&
               col(TimeCol) <= col("_tl")) // ignore crashed-append orphans

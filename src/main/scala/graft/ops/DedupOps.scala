@@ -103,9 +103,13 @@ object DedupOps {
                              n: Int, isBenchmark: Column,
                              minRatio: Double): DataFrame = {
     val sh = shingleSets(docs, idCol, textCol, n)
-    val bench = sh.filter(isBenchmark)
+    // NULL predicate = not-benchmark: without the coalesce, three-valued
+    // logic would drop such docs from BOTH sides — an unchecked doc can
+    // carry an eval item into the corpus with no error
+    val isB = coalesce(isBenchmark, lit(false))
+    val bench = sh.filter(isB)
       .select(explode(col("shingles")).as("sh")).distinct()
-    val train = sh.filter(!isBenchmark)
+    val train = sh.filter(!isB)
     val hits = train.select(col(idCol), explode(col("shingles")).as("sh"))
       .join(broadcast(bench), "sh")
       .groupBy(idCol).agg(count(lit(1)).as("n_hit"))

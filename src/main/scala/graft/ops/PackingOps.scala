@@ -30,10 +30,12 @@ object PackingOps {
 
   /** Sliding-window CHUNKING: split each document's token stream into
     * `size`-token windows advancing by `stride` (overlap = size - stride) —
-    * the pre-embedding / pre-packing step for long documents. One chunk
-    * starts at every multiple of `stride` below the token count, so a
-    * document shorter than `size` still yields its one (short) chunk and an
-    * empty document yields none. Pure per-row integer compute + a bounded
+    * the pre-embedding / pre-packing step for long documents. Windows stop
+    * at the FIRST one reaching the end of the document (last start = the
+    * smallest multiple of `stride` with start + size >= n): no trailing
+    * chunk ever lies fully inside its predecessor, a document no longer
+    * than `size` yields exactly one chunk, an empty document none, and
+    * every token is covered. Pure per-row integer compute + a bounded
     * explode: map-side at any scale, no shuffle.
     * Output: (idCol, chunk_id, start_tok, end_tok) with
     * `end_tok = min(start_tok + size, n_tokens)` exclusive. */
@@ -46,7 +48,8 @@ object PackingOps {
           .cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0)
       .select(col(idCol), col("n_tokens"),
-        explode(sequence(lit(0L), expr(s"(n_tokens - 1) div ${stride}L")))
+        explode(sequence(lit(0L),
+          expr(s"greatest(0L, (n_tokens - $size + $stride - 1) div ${stride}L)")))
           .as("chunk_id"))
       .select(col(idCol), col("chunk_id"),
         (col("chunk_id") * stride).as("start_tok"),

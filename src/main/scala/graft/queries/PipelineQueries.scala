@@ -131,7 +131,8 @@ object PipelineQueries {
     QueryDef.withOracle("pipeline_chunk",
       s"""WITH n AS (SELECT doc_id, CAST(len(${OracleText.TOKS}) AS BIGINT) AS n_tokens
          |           FROM documents),
-         |c AS (SELECT doc_id, unnest(range(0, (n_tokens - 1) // 32 + 1)) AS chunk_id,
+         |c AS (SELECT doc_id,
+         |             unnest(range(0, greatest(0, (n_tokens - 48 + 31) // 32) + 1)) AS chunk_id,
          |             n_tokens
          |      FROM n WHERE n_tokens > 0)
          |SELECT doc_id, chunk_id, chunk_id * 32 AS start_tok,

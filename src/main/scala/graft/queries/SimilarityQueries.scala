@@ -32,6 +32,23 @@ object SimilarityQueries {
     sys.props("java.io.tmpdir"), s"graft-ivf-centroids-$Pid.parquet").getAbsolutePath
   private val ClusterCentroidsPath = new java.io.File(
     sys.props("java.io.tmpdir"), s"graft-cluster-centroids-$Pid.parquet").getAbsolutePath
+  // PID-scoped dirs would otherwise accumulate one pair per process across
+  // CI/bench runs. They must OUTLIVE this JVM (the oracle's DuckDB replay
+  // runs after Verify exits), so exit-time cleanup is wrong — instead each
+  // startup reaps dirs left by processes that are no longer alive.
+  locally {
+    val re = """graft-(?:ivf|cluster)-centroids-(\d+)\.parquet""".r
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    Option(tmp.listFiles()).toSeq.flatten.foreach { f =>
+      f.getName match {
+        case re(pid) if pid.toLong != Pid &&
+            !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false) =>
+          Option(f.listFiles()).toSeq.flatten.foreach(_.delete())
+          f.delete(): Unit
+        case _ => ()
+      }
+    }
+  }
 
   /** The LSH hyperplanes as a DuckDB VALUES list — the same literals the
     * Spark plan bakes in (SimilarityOps.planes), Double.toString round-trips

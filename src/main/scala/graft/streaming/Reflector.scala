@@ -121,8 +121,14 @@ final class Reflector(val local: Tsdb, val remote: ReflectorRemote,
     * already landed remotely replays as a remote bitwise no-op (no backlog
     * was created, so the replay routes remote again); one that spooled
     * replays as a LOCAL bitwise no-op (the spooled points themselves are
-    * the backlog that forces the same local route). Either way storage is
-    * exactly-once.
+    * the backlog that forces the same local route). One interleaving is
+    * only EVENTUALLY exactly-once: a batch that landed remotely whose
+    * redelivery arrives while the remote is DOWN spools a local copy
+    * (unreachable remote watermarks cannot be consulted), so remote+spool
+    * transiently double-count it — the next flush bitwise-verifies the
+    * replay into a remote no-op and deletes the local copy, converging
+    * storage back to exactly-once. Readers of the spool must treat it as a
+    * buffer, not a second table.
     * @return per-series results, paired with true when that series' points
     *         landed remotely. */
   def writeBatch(db: String, m: String,

@@ -155,17 +155,21 @@ class PipelineOpsSpec extends SparkTestBase {
 
   test("chunkSpans: overlap arithmetic, short docs one chunk, empty docs none") {
     val d = Seq(
-      (0L, ("x " * 10).trim),  // 10 tokens: chunks at 0 and 4 (stride 4)
+      (0L, ("x " * 10).trim),  // 10 tokens: windows [0,6) and [4,10), then stop
       (1L, "one two"),         // short: single chunk [0, 2)
-      (2L, "")                 // empty: no chunks
+      (2L, ""),                // empty: no chunks
+      (3L, ("y " * 7).trim)    // 7 tokens, size 6 < 7: [0,6),[4,7) — NO [8,..)
     ).toDF("doc_id", "text")
     val got = PackingOps.chunkSpans(d, "doc_id", "text", size = 6, stride = 4)
       .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
     assert(got == Seq(
-      (0L, 0L, 0L, 6L), (0L, 1L, 4L, 10L), (0L, 2L, 8L, 10L),
-      (1L, 0L, 0L, 2L)))
-    // every token of every doc is covered by at least one chunk
-    assert(got.filter(_._1 == 0L).map(c => c._3 until c._4).flatten.toSet == (0 until 10).map(_.toLong).toSet)
+      (0L, 0L, 0L, 6L), (0L, 1L, 4L, 10L),
+      (1L, 0L, 0L, 2L),
+      (3L, 0L, 0L, 6L), (3L, 1L, 4L, 7L)))
+    // every token of every doc is covered by at least one chunk, and no
+    // chunk is fully contained in its predecessor
+    assert(got.filter(_._1 == 0L).flatMap(c => c._3 until c._4).toSet ==
+      (0 until 10).map(_.toLong).toSet)
   }
 
   test("clusterAssign matches a driver-side argmin over the trained centroids") {
