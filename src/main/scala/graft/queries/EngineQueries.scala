@@ -703,6 +703,56 @@ object EngineQueries {
         .select(col("time_ns").as("time_us"), col("v"))
     },
 
+    // CONTINUOUS AGGREGATION end-to-end: a point stream drains through
+    // StreamingRollup into a first-class rollup MEASUREMENT (the streaming
+    // face of downsample — Timescale continuous aggregates). A far-future
+    // sentinel on its own series pushes the watermark past every real
+    // window, so the oracle is the plain full windowed aggregation: any
+    // window the stream failed to finalize-and-write breaks the row count,
+    // any mis-aggregation breaks the hash (decimal-2 sums are
+    // order-independent, so incremental state merges match batch SQL).
+    QueryDef.withOracle("engine_stream_rollup",
+      s"""SELECT series, time_us - (time_us % $DAY) AS time_us,
+         |       CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         |       MIN(v) AS min_value, MAX(v) AS max_value, COUNT(v) AS n
+         |FROM $PTS GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import graft.streaming.StreamingRollup
+      val t = freshTsdb(s)
+      t.createDatabase("bench")
+      val stage = java.nio.file.Files.createTempDirectory("graft-rstage-").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-rckpt-").toString
+      val pts = canonicalPoints(s, dir)
+        .select(col("series"), col("time_us"), col("v")).persist()
+      try {
+        val srcSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("series",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("time_us",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.DoubleType)))
+        def drain(): Unit =
+          StreamingRollup.start(t, "bench", "events",
+            s.readStream.schema(srcSchema).parquet(stage),
+            windowUs = DAY, watermarkUs = 1000000L, checkpoint = ckpt)
+            .awaitTermination()
+        pts.repartition(1).write.mode("append").parquet(stage)
+        drain()
+        // sentinel far beyond the data: its own window never finalizes,
+        // but drain 2's watermark now closes every REAL window
+        import s.implicits._
+        Seq(("zzz_sentinel", 1710000000000000L, 0.0))
+          .toDF("series", "time_us", "v")
+          .repartition(1).write.mode("append").parquet(stage)
+        drain()
+      } finally pts.unpersist()
+      val rollup = StreamingRollup.rollupMeasurement("events", DAY)
+      t.visible("bench", rollup)
+        .select(col("series"), col("time_ns").as("time_us"),
+          col("sum_value"), col("min_value"), col("max_value"), col("n"))
+        .orderBy("series", "time_us")
+    },
+
     // Cross-SERIES alignment THROUGH the engine layout: backward as-of join
     // of two series read via the watermark-clamped visibility path (the
     // flat-parquet face is tsdb_asof_join; here both inputs route through

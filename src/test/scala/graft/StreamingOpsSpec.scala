@@ -36,6 +36,40 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("StreamingRollup: continuous aggregation fills an engine rollup measurement exactly-once") {
+    import graft.engine._
+    import graft.streaming.StreamingRollup
+    implicit val sqlCtx = spark.sqlContext
+    val t = new Tsdb(spark, tmpDir("roll-tsdb-"), requestedBucketWidth = 100000000L)
+    t.createDatabase("db")
+    val in = MemoryStream[(String, Long, Double)]
+    val points = in.toDF().toDF("series", "time_us", "v")
+    val ckpt = tmpDir("roll-ckpt-")
+    val q = StreamingRollup.start(t, "db", "m", points,
+      windowUs = 10000000L, watermarkUs = 5000000L, checkpoint = ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      in.addData(("a", 2000000L, 1.0), ("a", 12000000L, 5.0), ("b", 3000000L, 7.0))
+      q.processAllAvailable()
+      in.addData(("a", 8000000L, 2.0)) // late but inside the watermark
+      q.processAllAvailable()
+      in.addData(("a", 40000000L, 9.0), ("b", 40000000L, 1.0)) // finalize
+      q.processAllAvailable()
+      val rollup = StreamingRollup.rollupMeasurement("m", 10000000L)
+      assert(rollup == "m__rollup_v_10000000")
+      val gotA = t.select("db", rollup, "a", Nil, 0L, Long.MaxValue - 1)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(4))).toSeq
+      // [0,10s): 1.0 + late 2.0; [10,20s): 5.0 — both finalized and written
+      assert(gotA == Seq((0L, 3.0, 2L), (10000000L, 5.0, 1L)))
+      val gotB = t.select("db", rollup, "b", Nil, 0L, Long.MaxValue - 1)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(4))).toSeq
+      assert(gotB == Seq((0L, 7.0, 1L)))
+      // the rollup is a first-class measurement: windowed reads compose
+      val wm = t.seriesRange("db", rollup, "a")
+      assert(wm.contains(SeriesRange(0L, 10000000L)))
+    } finally q.stop()
+  }
+
   test("windowedSumsSliding: a point lands in window/slide overlapping windows") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Long, Double)]
