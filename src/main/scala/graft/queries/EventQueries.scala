@@ -304,6 +304,34 @@ object EventQueries {
         .orderBy("series", "time_us", "event_id")
     },
 
+    // EXTENSION: VALUE-space top-K per series (§2.4 notes the reference has
+    // top-K only as time-ordered LIMIT/LAST — "the 10 largest readings" is
+    // the other top-K every dashboard wants). Same two-phase shape as
+    // tsdb_last_all_series, ranking by (value desc, time, event_id): phase 1
+    // prunes candidates in bucket-parallel windows, phase 2 ranks the
+    // candidate-scale table — never one whole-series task.
+    QueryDef.withOracle("tsdb_topk_by_value",
+      s"""SELECT series, time_us, event_id, value FROM (
+         |  SELECT series, time_us, event_id, value,
+         |    row_number() OVER (PARTITION BY series
+         |      ORDER BY value DESC, time_us, event_id) AS rn
+         |  FROM $EV WHERE time_us BETWEEN $T0 AND $T1)
+         |WHERE rn <= 10 ORDER BY series, value DESC, time_us, event_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val key = Seq(col("value").desc, col("time_us").asc, col("event_id").asc)
+      val wb = Window.partitionBy(col("series"), expr(s"time_us div $DAY"))
+        .orderBy(key: _*)
+      val ws = Window.partitionBy("series").orderBy(key: _*)
+      Tables.eventsTsdb(s, dir)
+        .filter(col("time_us").between(T0, T1))
+        .withColumn("rn", row_number().over(wb))
+        .filter(col("rn") <= 10) // bucket-parallel candidate pruning
+        .withColumn("rn", row_number().over(ws)) // candidate-scale final rank
+        .filter(col("rn") <= 10)
+        .select("series", "time_us", "event_id", "value")
+        .orderBy(col("series"), col("value").desc, col("time_us"), col("event_id"))
+    },
+
     // EXTENSION: SLIDING windows (2-day width, 12-hour slide — overlap 4).
     // Tumbling is the reference's only window shape; overlapping zoom is
     // what dashboards actually draw. The oracle forms the same windows with
