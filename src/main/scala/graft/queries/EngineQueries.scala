@@ -717,12 +717,22 @@ object EngineQueries {
          |       MIN(v) AS min_value, MAX(v) AS max_value, COUNT(v) AS n
          |FROM $PTS GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
       import graft.streaming.StreamingRollup
-      val t = freshTsdb(s)
+      // a DEDICATED coarse-bucketed root: rollup density is one point per
+      // window, so day-wide buckets would mean one partition dir per point
+      // — bucket width scales with the rollup granularity, not the raw data
+      val t = new Tsdb(s,
+        java.nio.file.Files.createTempDirectory("graft-engine-q-").toString,
+        requestedBucketWidth = 64 * DAY)
       t.createDatabase("bench")
       val stage = java.nio.file.Files.createTempDirectory("graft-rstage-").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft-rckpt-").toString
       val pts = canonicalPoints(s, dir)
         .select(col("series"), col("time_us"), col("v")).persist()
+      // streaming state (and thus every micro-batch's state-store commit)
+      // is partitioned by shuffle.partitions at query start — 150 finalized
+      // windows do not need 32 state partitions × N batches of commit files
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         val srcSchema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("series",
@@ -745,7 +755,10 @@ object EngineQueries {
           .toDF("series", "time_us", "v")
           .repartition(1).write.mode("append").parquet(stage)
         drain()
-      } finally pts.unpersist()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        pts.unpersist()
+      }
       val rollup = StreamingRollup.rollupMeasurement("events", DAY)
       t.visible("bench", rollup)
         .select(col("series"), col("time_ns").as("time_us"),
