@@ -4,12 +4,13 @@ import org.apache.spark.sql.functions._
 import graft.ops.SimilarityOps
 import graft.tables.Tables
 
-/** Similarity search over the `embeddings` table: exact brute-force top-k,
-  * the multi-probe LSH bucketed path — BOTH fully oracled (the LSH planes
-  * are deterministic literals, so the DuckDB SQL replays the exact
-  * bucketing, candidate set and ranking) — the IVF path (rows-only: its
-  * quantizer is trained from the data; exhaustive-probe == exact is proved
-  * in PipelineOpsSpec), and a recall@k measurement. */
+/** Similarity search over the `embeddings` table — exact brute-force
+  * top-k, multi-probe LSH, IVF, corpus clustering, and the recall@k
+  * measurement, ALL fully oracled: the LSH planes are deterministic
+  * literals and the trained quantizers are persisted to parquet, so the
+  * DuckDB SQL replays every bucketing, candidate set, ranking and the
+  * recall arithmetic bit-for-bit (exhaustive-probe == exact is additionally
+  * proved in PipelineOpsSpec). */
 object SimilarityQueries {
 
   import OracleVec.{NORMED, dotSql}
@@ -66,6 +67,69 @@ object SimilarityQueries {
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
       s"list_transform(range(1, len($v) + 1), i -> $v[i] * $p[i])), (s, x) -> s + x)"
 
+  // --- shared CTE chains, each ending in <path>_r(query_id, neighbor_id,
+  // cosine, rk) — the per-path oracles select their top-k from them, and
+  // the ann_recall oracle composes all three ---
+
+  private def exactCtes: String =
+    s"""exq AS (SELECT * FROM n WHERE vec_id < $NQ),
+       |ex_s AS (SELECT exq.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |           ${dotSql("exq", "c")} / (exq.nrm * c.nrm) AS cosine
+       |         FROM n c, exq WHERE exq.vec_id <> c.vec_id),
+       |ex_r AS (SELECT query_id, neighbor_id, cosine,
+       |           CAST(row_number() OVER (PARTITION BY query_id
+       |             ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rk
+       |         FROM ex_s)""".stripMargin
+
+  private def lshCtes: String =
+    s"""planes(t, j, p) AS (VALUES
+       |    $planesSql),
+       |cb AS (SELECT n.vec_id, pl.t,
+       |         CAST(sum(CASE WHEN ${planeDot("n.v", "pl.p")} > 0
+       |           THEN CAST(1 << pl.j AS BIGINT) ELSE 0 END) AS BIGINT) AS b
+       |       FROM n, planes pl GROUP BY 1, 2),
+       |qp AS (SELECT vec_id, t, b FROM cb WHERE vec_id < $NQ
+       |       UNION
+       |       SELECT vec_id, t, xor(b, CAST(1 << j AS BIGINT))
+       |       FROM cb, range($BITS) r(j) WHERE vec_id < $NQ),
+       |lcand AS (SELECT DISTINCT qp.vec_id AS query_id, c.vec_id AS neighbor_id
+       |          FROM qp JOIN cb c ON c.t = qp.t AND c.b = qp.b
+       |          WHERE c.vec_id <> qp.vec_id),
+       |lsh_s AS (SELECT lcand.query_id, lcand.neighbor_id,
+       |            ${dotSql("q", "c")} / (q.nrm * c.nrm) AS cosine
+       |          FROM lcand JOIN n q ON q.vec_id = lcand.query_id
+       |                    JOIN n c ON c.vec_id = lcand.neighbor_id),
+       |lsh_r AS (SELECT query_id, neighbor_id, cosine,
+       |            CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rk
+       |          FROM lsh_s)""".stripMargin
+
+  private def ivfCtes: String = {
+    def c2 = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      "list_transform(cents.c, x -> x * x)), (s, x) -> s + x)"
+    def vc = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      "list_transform(range(1, len(n.v) + 1), i -> n.v[i] * cents.c[i])), (s, x) -> s + x)"
+    s"""cents AS (SELECT list_id, list_transform(c, x -> CAST(x AS DOUBLE)) AS c
+       |          FROM read_parquet('$CentroidsPath/*.parquet')),
+       |cd AS (SELECT n.vec_id, cents.list_id, $c2 - 2.0 * $vc AS d FROM n, cents),
+       |cr AS (SELECT vec_id, list_id,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS crk
+       |       FROM cd),
+       |assign AS (SELECT vec_id, list_id FROM cr WHERE crk = 1),
+       |probes AS (SELECT vec_id, list_id FROM cr WHERE crk <= $NPROBE AND vec_id < $NQ),
+       |icand AS (SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id
+       |          FROM probes p JOIN assign a USING (list_id)
+       |          WHERE a.vec_id <> p.vec_id),
+       |ivf_s AS (SELECT icand.query_id, icand.neighbor_id,
+       |            ${dotSql("q", "c")} / (q.nrm * c.nrm) AS cosine
+       |          FROM icand JOIN n q ON q.vec_id = icand.query_id
+       |                     JOIN n c ON c.vec_id = icand.neighbor_id),
+       |ivf_r AS (SELECT query_id, neighbor_id, cosine,
+       |            CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rk
+       |          FROM ivf_s)""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact cosine top-5 for 10 query vectors: broadcast queries x corpus,
@@ -94,29 +158,9 @@ object SimilarityQueries {
     // APPROXIMATE operator (its quality is measured by ann_recall below).
     QueryDef.withOracle("ann_lsh",
       s"""WITH $NORMED,
-         |planes(t, j, p) AS (VALUES
-         |    $planesSql),
-         |cb AS (SELECT n.vec_id, pl.t,
-         |         CAST(sum(CASE WHEN ${planeDot("n.v", "pl.p")} > 0
-         |           THEN CAST(1 << pl.j AS BIGINT) ELSE 0 END) AS BIGINT) AS b
-         |       FROM n, planes pl GROUP BY 1, 2),
-         |qp AS (SELECT vec_id, t, b FROM cb WHERE vec_id < $NQ
-         |       UNION
-         |       SELECT vec_id, t, xor(b, CAST(1 << j AS BIGINT))
-         |       FROM cb, range($BITS) r(j) WHERE vec_id < $NQ),
-         |cand AS (SELECT DISTINCT qp.vec_id AS query_id, c.vec_id AS neighbor_id
-         |         FROM qp JOIN cb c ON c.t = qp.t AND c.b = qp.b
-         |         WHERE c.vec_id <> qp.vec_id),
-         |scored AS (SELECT cand.query_id, cand.neighbor_id,
-         |             ${dotSql("q", "c")} / (q.nrm * c.nrm) AS cosine
-         |           FROM cand JOIN n q ON q.vec_id = cand.query_id
-         |                     JOIN n c ON c.vec_id = cand.neighbor_id),
-         |r AS (SELECT query_id, neighbor_id, cosine,
-         |        CAST(row_number() OVER (PARTITION BY query_id
-         |          ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS "rank"
-         |      FROM scored)
-         |SELECT query_id, "rank", neighbor_id, cosine FROM r
-         |WHERE "rank" <= $K ORDER BY query_id, "rank"""".stripMargin) { (s, dir) =>
+         |$lshCtes
+         |SELECT query_id, rk AS "rank", neighbor_id, cosine FROM lsh_r
+         |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
       SimilarityOps.topKLsh(emb, emb.filter(col("vec_id") < NQ),
         "vec_id", "embedding", K, tables = TABLES, bits = BITS, dim = DIM,
@@ -132,32 +176,10 @@ object SimilarityQueries {
     // cosine is the shared left-fold dot — a full hash-match on the second
     // approximate operator (LSH set the precedent with literal planes).
     QueryDef.withOracle("ann_ivf", {
-      def c2 = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-        "list_transform(cents.c, x -> x * x)), (s, x) -> s + x)"
-      def vc = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-        "list_transform(range(1, len(n.v) + 1), i -> n.v[i] * cents.c[i])), (s, x) -> s + x)"
       s"""WITH $NORMED,
-         |cents AS (SELECT list_id, list_transform(c, x -> CAST(x AS DOUBLE)) AS c
-         |          FROM read_parquet('$CentroidsPath/*.parquet')),
-         |cd AS (SELECT n.vec_id, cents.list_id, $c2 - 2.0 * $vc AS d FROM n, cents),
-         |cr AS (SELECT vec_id, list_id,
-         |         row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rk
-         |       FROM cd),
-         |assign AS (SELECT vec_id, list_id FROM cr WHERE rk = 1),
-         |probes AS (SELECT vec_id, list_id FROM cr WHERE rk <= $NPROBE AND vec_id < $NQ),
-         |cand AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
-         |         FROM probes p JOIN assign a USING (list_id)
-         |         WHERE a.vec_id <> p.vec_id),
-         |scored AS (SELECT cand.query_id, cand.neighbor_id,
-         |             ${dotSql("q", "c")} / (q.nrm * c.nrm) AS cosine
-         |           FROM cand JOIN n q ON q.vec_id = cand.query_id
-         |                     JOIN n c ON c.vec_id = cand.neighbor_id),
-         |r AS (SELECT query_id, neighbor_id, cosine,
-         |        CAST(row_number() OVER (PARTITION BY query_id
-         |          ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS "rank"
-         |      FROM scored)
-         |SELECT query_id, "rank", neighbor_id, cosine FROM r
-         |WHERE "rank" <= $K ORDER BY query_id, "rank"""".stripMargin
+         |$ivfCtes
+         |SELECT query_id, rk AS "rank", neighbor_id, cosine FROM ivf_r
+         |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin
     }) { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
       SimilarityOps.topKIvf(emb, emb.filter(col("vec_id") < NQ),
@@ -194,10 +216,33 @@ object SimilarityQueries {
     },
 
     // recall@5 of each approximate path vs ann_topk — one row per method.
+    // FULLY ORACLED: with the IVF quantizer persisted and the LSH planes
+    // literal, all three top-k sets are SQL-replayable, so DuckDB computes
+    // the identical recall (one n_found/n_exact division — deterministic).
     // NOTE: the synthetic embeddings are near-uniform random (max pair
     // cosine ~0.5) — the hardest possible case for ANN — so recall here is
     // a floor, not a ceiling.
-    QueryDef.rowsOnly("ann_recall") { (s, dir) =>
+    QueryDef.withOracle("ann_recall", {
+      def pairs(r: String) = s"SELECT query_id, neighbor_id FROM $r WHERE rk <= $K"
+      def row(method: String, tk: String) =
+        s"""SELECT '$method' AS method,
+           |  (SELECT count(*) FROM ex_tk) AS n_exact,
+           |  (SELECT count(*) FROM ex_tk JOIN $tk USING (query_id, neighbor_id)) AS n_found,
+           |  CAST((SELECT count(*) FROM ex_tk JOIN $tk USING (query_id, neighbor_id)) AS DOUBLE)
+           |    / (SELECT count(*) FROM ex_tk) AS recall""".stripMargin
+      s"""WITH $NORMED,
+         |$exactCtes,
+         |$lshCtes,
+         |$ivfCtes,
+         |ex_tk AS (${pairs("ex_r")}),
+         |lsh_tk AS (${pairs("lsh_r")}),
+         |ivf_tk AS (${pairs("ivf_r")})
+         |SELECT * FROM (
+         |${row("lsh", "lsh_tk")}
+         |UNION ALL
+         |${row("ivf", "ivf_tk")}
+         |) ORDER BY method""".stripMargin
+    }) { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < NQ)
       // persisted AND force-materialized: both recall branches reference the
@@ -215,9 +260,12 @@ object SimilarityQueries {
         .withColumn("method", lit("lsh"))
         .unionByName(
           SimilarityOps.recallAtK(exact,
-            SimilarityOps.topKIvf(emb, q, "vec_id", "embedding", K, nLists = 16, nProbe = 8))
+            SimilarityOps.topKIvf(emb, q, "vec_id", "embedding", K,
+              nLists = 16, nProbe = NPROBE,
+              centroidsOut = Some(CentroidsPath)))
           .withColumn("method", lit("ivf")))
         .select("method", "n_exact", "n_found", "recall")
+        .orderBy("method")
     }
   )
 }
