@@ -957,15 +957,8 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
     * @return the rollup measurement name. */
   def downsample(db: String, m: String, series: String, field: String,
                  t0: Long, t1: Long, windowWidth: Long): String = {
-    // the FIELD is part of the rollup identity: downsampling a second field
-    // with the same window must not resolve to the first field's rollup
-    // measurement (same schema ⇒ createMeasurement would accept it and the
-    // writes would collide on identical timestamps)
-    val rollup = s"${m}__rollup_${field}_$windowWidth"
-    val rSchema = MeasurementSchema(Seq(
-      Field("sum_value", FieldType.F64), Field("min_value", FieldType.F64),
-      Field("max_value", FieldType.F64), Field("n", FieldType.I64)))
-    createMeasurement(db, rollup, rSchema) // idempotent iff same schema
+    val rollup = Rollups.name(m, field, windowWidth)
+    createMeasurement(db, rollup, Rollups.Schema) // idempotent iff same schema
     val agg = sumWindows(db, m, series, field, t0, t1, windowWidth)
       .select(col("window_start").as(TimeCol),
         col("sum_value"), col("min_value"), col("max_value"), col("n"))

@@ -12,10 +12,11 @@ import java.util.Comparator
 object TempHygiene {
   private val Prefixes = Seq(
     "graft-engine-q-", "graft-engine-fx-", "graft-stage-", "graft-ckpt-",
-    "graft-canon-",
+    "graft-canon-", "graft-rstage-", "graft-rckpt-",
     // test-suite scratch roots (stale from previous sbt test runs)
     "tsdb-test-", "soak-", "replay-tsdb-", "stream-ckpt-", "stream-src-",
-    "stream-tsdb-")
+    "stream-tsdb-", "roll-tsdb-", "roll-ckpt-", "refl-local-",
+    "refl-remote-", "refl-src-", "refl-ckpt-")
 
   def sweep(): Unit = {
     val tmp = Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"))

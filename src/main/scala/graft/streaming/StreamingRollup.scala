@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
-import graft.engine.{Field, FieldType, MeasurementSchema, Tsdb}
+import graft.engine.{MeasurementSchema, Tsdb}
 
 /** CONTINUOUS AGGREGATION: maintain a downsampled rollup measurement from a
   * live point stream — the streaming face of `Tsdb.downsample` (the batch
@@ -27,15 +27,10 @@ import graft.engine.{Field, FieldType, MeasurementSchema, Tsdb}
   */
 object StreamingRollup {
 
-  /** The rollup measurement schema `Tsdb.downsample` writes. */
-  val RollupSchema: MeasurementSchema = MeasurementSchema(Seq(
-    Field("sum_value", FieldType.F64), Field("min_value", FieldType.F64),
-    Field("max_value", FieldType.F64), Field("n", FieldType.I64)))
-
-  /** Same naming rule as `Tsdb.downsample` (field is part of the rollup
-    * identity); the stream schema's value field is `v`. */
+  /** The rollup contract shared with `Tsdb.downsample` (`engine.Rollups`);
+    * the stream schema's value field is `v`. */
   def rollupMeasurement(m: String, windowUs: Long): String =
-    s"${m}__rollup_v_$windowUs"
+    graft.engine.Rollups.name(m, "v", windowUs)
 
   /** Start the continuous aggregation of `points` (schema: `series`,
     * `time_us`, `v`) into `db`/`rollupMeasurement(m, windowUs)`. The
@@ -46,7 +41,7 @@ object StreamingRollup {
             windowUs: Long, watermarkUs: Long, checkpoint: String,
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val rollup = rollupMeasurement(m, windowUs)
-    tsdb.createMeasurement(db, rollup, RollupSchema)
+    tsdb.createMeasurement(db, rollup, graft.engine.Rollups.Schema)
     // same aggregates as StreamingOps.windowedSums, but the sum uses the
     // engine's order-independent decimal-2 accumulation (incremental
     // streaming state merges in arbitrary order; a double sum would drift
@@ -68,7 +63,12 @@ object StreamingRollup {
       .outputMode(OutputMode.Append())
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        tsdb.writeBatch(db, rollup, batch): Unit
+        // writeBatch runs several actions (stats, overlap verify, write) —
+        // each would RE-EXECUTE the stateful window aggregation including
+        // its state-store access without a materialization barrier here
+        val pinned = batch.persist()
+        try tsdb.writeBatch(db, rollup, pinned): Unit
+        finally pinned.unpersist(): Unit
       }
       .start()
   }
