@@ -66,8 +66,13 @@ object DedupOps {
                         maxDocFreq: Option[Int] = None): DataFrame = {
     val ex0 = shingles.select(col(idCol).as("id"), explode(col("shingles")).as("sh"))
     val ex = maxDocFreq.fold(ex0) { cap =>
-      val rare = ex0.groupBy("sh").count().filter(col("count") <= cap).select("sh")
-      ex0.join(rare, "sh")
+      // The HOT set (df > cap) is tiny by construction — at most
+      // total-postings/cap members — so broadcast it and anti-join: the full
+      // posting table streams map-side with no shuffle. (Joining the RARE
+      // complement instead would shuffle the postings against a
+      // vocabulary-sized set — exactly backwards at 100 TB.)
+      val hot = ex0.groupBy("sh").count().filter(col("count") > cap).select("sh")
+      ex0.join(broadcast(hot), Seq("sh"), "left_anti")
     }
     val sizes = shingles.select(col(idCol).as("id"), size(col("shingles")).as("sz"))
     val common = ex.as("a").join(ex.as("b"),
@@ -113,8 +118,12 @@ object DedupOps {
     val hits = train.select(col(idCol), explode(col("shingles")).as("sh"))
       .join(broadcast(bench), "sh")
       .groupBy(idCol).agg(count(lit(1)).as("n_hit"))
+    // LEFT join + coalesce: membership is decided by the ratio filter, not
+    // the join — with minRatio = 0 every train doc (zero-hit included) must
+    // appear, per the threshold contract
     train.select(col(idCol), size(col("shingles")).cast("long").as("n_shingles"))
-      .join(hits, Seq(idCol))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
       .withColumn("contamination", col("n_hit").cast("double") / col("n_shingles"))
       .filter(col("contamination") >= minRatio)
       .select(col(idCol), col("n_shingles"), col("n_hit"), col("contamination"))

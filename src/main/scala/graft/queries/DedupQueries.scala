@@ -151,10 +151,11 @@ object DedupQueries {
          |train AS (SELECT doc_id, shingles FROM shs WHERE doc_id % 17 <> 0),
          |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM train),
          |hit AS (SELECT ex.doc_id, count(*) AS n_hit FROM ex JOIN bench USING (sh) GROUP BY 1)
-         |SELECT t.doc_id, CAST(len(t.shingles) AS BIGINT) AS n_shingles, h.n_hit,
-         |       CAST(h.n_hit AS DOUBLE) / len(t.shingles) AS contamination
-         |FROM train t JOIN hit h ON h.doc_id = t.doc_id
-         |WHERE CAST(h.n_hit AS DOUBLE) / len(t.shingles) >= 0.1
+         |SELECT t.doc_id, CAST(len(t.shingles) AS BIGINT) AS n_shingles,
+         |       COALESCE(h.n_hit, 0) AS n_hit,
+         |       CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / len(t.shingles) AS contamination
+         |FROM train t LEFT JOIN hit h ON h.doc_id = t.doc_id
+         |WHERE CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / len(t.shingles) >= 0.1
          |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
       DedupOps.benchmarkContamination(Tables(s, dir, "documents"),
         "doc_id", "text", 3, pmod(col("doc_id"), lit(17)) === 0, 0.1)

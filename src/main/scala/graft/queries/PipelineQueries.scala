@@ -152,8 +152,8 @@ object PipelineQueries {
       val h = OracleText.wordHashSql("CAST(doc_id AS VARCHAR)")
       s"""SELECT source, doc_id, n_tokens, start_tok, start_tok // 2048 AS bin_id
          |FROM (SELECT source, doc_id, n_tokens,
-         |        COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY hv, doc_id
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+         |        CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY hv, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
          |      FROM (SELECT source, doc_id,
          |              CAST(len(${OracleText.TOKS}) AS BIGINT) AS n_tokens, $h AS hv
          |            FROM documents))
