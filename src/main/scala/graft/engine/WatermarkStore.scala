@@ -37,16 +37,26 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * series.h:42-179, which object stores don't offer): concurrent updates to
   * DIFFERENT series are safe (distinct delta files; latest-wins is
   * per-series, and a version-number tie between different series is
-  * harmless). Compactions are collision-free for TWO concurrent writers:
-  * snapshots carry uuid-distinct names (no rename-overwrite can drop a
-  * commit), readers merge all snapshots at the newest version, and a delta
-  * committed concurrently with a compaction (same version as the snapshot,
-  * unlisted by the compactor so it survives the delete) stays live via the
-  * >= filter. The residual hazard needs ≥3 interleaved writers inside one
-  * update's window (a delta whose version lands strictly below a snapshot
-  * it was not merged into). Deployments needing stronger guarantees should
-  * back this table with a transactional store; the format isolates that
-  * swap to this class.
+  * harmless). Compactions are collision-free for ANY number of concurrent
+  * writers: snapshots carry uuid-distinct names (no rename-overwrite can
+  * drop a commit), readers merge all snapshots at the newest version, and
+  * each snapshot records the NAMES of the files it folded in a header line
+  * — a delta present in the directory applies unless a live snapshot's
+  * merged-set names it (names are uuid-unique, so the test is exact). That
+  * closes the former ≥3-writer hazard of a straggler delta versioned
+  * strictly below a snapshot that never saw it: the straggler is absent
+  * from every merged-set, so it still applies, and the next compaction
+  * folds it. Applying a straggler after a newer snapshot is safe because
+  * writers own disjoint series (a series' own writes are serialized by its
+  * single writer). Snapshots written by pre-header versions of this class
+  * lack the merged-set; readers then fall back to the version filter alone
+  * for that directory (the old ≥3-writer caveat applies until the next
+  * compaction rewrites the snapshot with a header).
+  *
+  * A reader that lists the directory just before a compactor's delete can
+  * hit FileNotFoundException mid-decode; load()/update() retry the
+  * list+decode (bounded), which sees the new snapshot — loud-failure only
+  * if the race recurs several times in a row.
   */
 final class WatermarkStore(dir: Path, hconf: Configuration) {
   import WatermarkStore._
@@ -69,11 +79,18 @@ final class WatermarkStore(dir: Path, hconf: Configuration) {
       * single-writer-per-series contract) loses neither. */
     def liveSnaps: Seq[Path] = snaps.filter(_._1 == snapVersion).map(_._2)
     /** Deltas not subsumed by the newest snapshot, in (version, name)
-      * order. `>=` not `>`: a delta committed CONCURRENTLY with a
-      * compaction carries the same version as the snapshot (both writers
-      * computed maxVersion+1) but its content is not in it — it survives
-      * the compactor's delete (unlisted) and must still apply. */
-    def liveDeltas: Seq[(Long, Path)] = deltas.filter(_._1 >= snapVersion)
+      * order. A delta applies if its version reaches the snapshot version
+      * (`>=` not `>`: a delta committed CONCURRENTLY with a compaction
+      * carries the same version but its content is not in it) OR if no
+      * live snapshot's merged-set names it — the straggler case: a writer
+      * that listed long ago commits a low-versioned delta after a
+      * compaction it was invisible to. `mergedOf` is the union of the live
+      * snapshots' headers, None when any live snapshot predates headers
+      * (then only the version filter is trustworthy). */
+    def liveDeltas(mergedOf: Option[Set[String]]): Seq[(Long, Path)] =
+      deltas.filter { case (v, p) =>
+        v >= snapVersion || mergedOf.exists(m => !m.contains(p.getName))
+      }
   }
 
   private def list(): Listing = {
@@ -93,9 +110,13 @@ final class WatermarkStore(dir: Path, hconf: Configuration) {
   }
 
   private def decode(l: Listing): Map[String, SeriesRange] = {
-    val base = l.liveSnaps.foldLeft(Map.empty[String, SeriesRange])(
-      (acc, s) => acc ++ parseLines(readString(s)))
-    l.liveDeltas.foldLeft(base)((acc, d) => acc ++ parseLines(readString(d._2)))
+    val snaps = l.liveSnaps.map(p => parseSnapshot(readString(p)))
+    val base = snaps.foldLeft(Map.empty[String, SeriesRange])((acc, s) => acc ++ s._2)
+    // merged-set known only if EVERY live snapshot carries a header
+    val merged = if (snaps.forall(_._1.isDefined))
+      Some(snaps.flatMap(_._1.get).toSet) else None
+    l.liveDeltas(merged).foldLeft(base)(
+      (acc, d) => acc ++ parseLines(readString(d._2)))
   }
 
   private def loadFrom(l: Listing): Map[String, SeriesRange] = {
@@ -109,33 +130,72 @@ final class WatermarkStore(dir: Path, hconf: Configuration) {
     }
   }
 
+  /** list+decode, retrying when a concurrent compactor deleted a listed
+    * file between our listStatus and the read — the re-list sees the new
+    * snapshot. Bounded so a genuinely broken store still fails loudly. */
+  private def loadRetrying(): Map[String, SeriesRange] = {
+    var attempt = 0
+    while (true) {
+      try return loadFrom(list())
+      catch {
+        case e: java.io.FileNotFoundException =>
+          attempt += 1
+          if (attempt >= 3) throw e
+          cached = None
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** The full table. One `listStatus` when nothing changed. */
-  def load(): Map[String, SeriesRange] = synchronized { loadFrom(list()) }
+  def load(): Map[String, SeriesRange] = synchronized { loadRetrying() }
 
   def get(series: String): Option[SeriesRange] = load().get(series)
 
-  /** Commit the given per-series ranges: ONE atomic delta file (or, past the
-    * threshold, one folded snapshot), whatever the batch size. */
+  /** Commit the given per-series ranges: ONE atomic delta file (plus, past
+    * the threshold, one folded snapshot), whatever the batch size. */
   def update(entries: Map[String, SeriesRange]): Unit = synchronized {
     if (entries.isEmpty) return
+    var attempt = 0
+    while (attempt >= 0) {
+      try { doUpdate(entries); return }
+      catch {
+        case e: java.io.FileNotFoundException =>
+          attempt += 1
+          if (attempt >= 3) throw e
+          cached = None
+      }
+    }
+  }
+
+  private def doUpdate(entries: Map[String, SeriesRange]): Unit = {
     val l = list()
-    val merged = loadFrom(l) ++ entries
+    val prior = loadFrom(l)
+    val merged = prior ++ entries
     val v = l.maxVersion + 1
-    if (l.liveDeltas.size + 1 > CompactThreshold) {
+    val delta = new Path(dir,
+      f"delta-$v%016d-${java.util.UUID.randomUUID.toString.take(8)}%s.jsonl")
+    // the NEW entries always travel as a regular delta — even when this
+    // update also compacts. A compactor working from a stale listing (its
+    // snapshot version may land below a concurrent compactor's) then risks
+    // only its FOLD being ignored (the fold holds pre-existing, already
+    // subsumed data); its own commit stays protected by the merged-set
+    // rule like any other delta.
+    atomicWrite(delta, encodeLines(entries))
+    if (l.deltas.size + 1 > CompactThreshold) {
       // uuid-distinct name: two concurrent compactions at the same version
       // both SURVIVE (no rename-overwrite losing one writer's commit) and
-      // readers merge them via liveSnaps
+      // readers merge them via liveSnaps. The header records exactly the
+      // files folded in — NOT this update's own delta.
       val snap = new Path(dir,
         f"snap-$v%016d-${java.util.UUID.randomUUID.toString.take(8)}%s.jsonl")
-      atomicWrite(snap, encodeLines(merged))
+      val foldedNames = (l.snaps ++ l.deltas).map(_._2.getName)
+      atomicWrite(snap, encodeSnapshot(foldedNames, prior))
       // everything the new snapshot subsumes goes away; the listing stays
-      // one snapshot + the (few) deltas other writers may have just added
-      (l.snaps.map(_._2) ++ l.deltas.map(_._2)).foreach(p => fs.delete(p, false))
-      cached = Some((Seq(snap.getName), merged))
+      // one snapshot + this delta + whatever other writers just added
+      (l.snaps ++ l.deltas).foreach(p => fs.delete(p._2, false))
+      cached = Some((Seq(snap.getName, delta.getName).sorted, merged))
     } else {
-      val delta = new Path(dir,
-        f"delta-$v%016d-${java.util.UUID.randomUUID.toString.take(8)}%s.jsonl")
-      atomicWrite(delta, encodeLines(entries))
       cached = Some(((l.signature :+ delta.getName).sorted, merged))
     }
   }
@@ -154,13 +214,32 @@ object WatermarkStore {
   private val DeltaRe = """delta-(\d{16})-([0-9a-f]{8})\.jsonl""".r
   private val LineRe =
     """\{"series":"([A-Za-z0-9_.-]+)","time_first":(-?\d+),"time_last":(-?\d+)\}""".r
+  private val MergedRe = """\{"merged":\[(.*)\]\}""".r
 
-  private[engine] def encodeLines(m: Map[String, SeriesRange]): String =
+  /** Snapshot body: a header naming the folded files, then the table. */
+  private[graft] def encodeSnapshot(folded: Seq[String],
+                                     m: Map[String, SeriesRange]): String = {
+    val names = folded.sorted.map(n => s""""$n"""").mkString(",")
+    s"""{"merged":[$names]}""" + "\n" + encodeLines(m)
+  }
+
+  /** (merged-set if the header is present — absent for pre-header
+    * snapshots — , decoded table). */
+  private[graft] def parseSnapshot(s: String): (Option[Set[String]], Map[String, SeriesRange]) =
+    s.linesIterator.toSeq match {
+      case MergedRe(names) +: rest =>
+        val set = if (names.isEmpty) Set.empty[String]
+                  else names.split(",").map(_.stripPrefix("\"").stripSuffix("\"")).toSet
+        (Some(set), parseLines(rest.mkString("\n")))
+      case _ => (None, parseLines(s))
+    }
+
+  private[graft] def encodeLines(m: Map[String, SeriesRange]): String =
     m.toSeq.sortBy(_._1).map { case (s, r) =>
       s"""{"series":"$s","time_first":${r.timeFirst},"time_last":${r.timeLast}}"""
     }.mkString("", "\n", "\n")
 
-  private[engine] def parseLines(s: String): Map[String, SeriesRange] =
+  private[graft] def parseLines(s: String): Map[String, SeriesRange] =
     s.linesIterator.filter(_.nonEmpty).map {
       case LineRe(name, tf, tl) => name -> SeriesRange(tf.toLong, tl.toLong)
       case other => throw new InvalidSchemaException(s"corrupt watermark line: $other")

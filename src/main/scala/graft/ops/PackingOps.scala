@@ -18,13 +18,16 @@ import org.apache.spark.sql.functions._
   * boundary and continue in the next sequence; packing that REJECTS
   * oversized docs is a filter upstream, not a packer concern).
   *
-  * Scale shape: the running offset is a window cumsum PARTITIONED BY the
-  * group column — groups pack in parallel, one task per group. A corpus
-  * sharded into the usual thousands of source-files parallelizes fully; a
-  * single monolithic group would serialize, and then the chunked
-  * fill-and-repair pattern (TimeSeriesOps.gapFill's chunk cumsum + chunk
-  * -total repair) applies verbatim to the cumsum here. All arithmetic is
-  * integer, so results are bit-stable everywhere.
+  * Scale shape: the running offset is CHUNK-PARALLEL even inside one group
+  * (the gapFill fill-and-repair pattern, TimeSeriesOps.gapFill): the
+  * canonical order is (hv, id) with hv = polyHash(id) ∈ [0, P), so an
+  * hv-RANGE bucket is a contiguous slice of the sort order. Each
+  * (group, chunk) computes its partial cumsum in its own task; the
+  * cross-chunk carry comes from a group×chunk-count-sized total table
+  * window-summed per group and broadcast back. A monolithic single-source
+  * corpus packs across `chunks` tasks instead of one; only the tiny carry
+  * table sees a per-group sequential window. All arithmetic is integer, so
+  * results are bit-stable everywhere.
   */
 object PackingOps {
 
@@ -61,14 +64,34 @@ object PackingOps {
     * `start_tok` is the document's starting offset within its group's
     * token stream and `bin_id = start_tok div capacity`. */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
-                    groupCol: String, capacity: Long): DataFrame = {
+                    groupCol: String, capacity: Long,
+                    chunks: Int = 64): DataFrame = {
     require(capacity > 0, s"capacity must be positive: $capacity")
-    val w = Window.partitionBy(groupCol).orderBy(col("hv"), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs.select(col(groupCol), col(idCol),
+    require(chunks > 0, s"chunks must be positive: $chunks")
+    // hv-range chunk: monotone in hv, so each chunk is a contiguous slice
+    // of the (hv, id) order; docs tying on hv share a chunk by construction.
+    // hv is uniform on [0, P) once ids exceed ~4 chars (the polynomial wraps
+    // mod P); a corpus of pathologically tiny ids degrades toward fewer
+    // chunks but stays correct — the carry repair is chunk-count-agnostic
+    val span = TextOps.P / chunks + 1
+    val base = docs.select(col(groupCol), col(idCol),
         TextOps.polyHash(col(idCol).cast("string")).as("hv"),
         size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
-      .withColumn("start_tok", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("_ck", expr(s"hv div ${span}L"))
+    val wIn = Window.partitionBy(col(groupCol), col("_ck"))
+      .orderBy(col("hv"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val partial = base
+      .withColumn("_off", coalesce(sum("n_tokens").over(wIn), lit(0L)))
+    // cross-chunk carry: rows = groups × non-empty chunks, not documents
+    val wCarry = Window.partitionBy(groupCol).orderBy("_ck")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = base.groupBy(col(groupCol), col("_ck"))
+      .agg(sum("n_tokens").as("_tot"))
+      .select(col(groupCol), col("_ck"),
+        coalesce(sum("_tot").over(wCarry), lit(0L)).as("_base"))
+    partial.join(broadcast(carry), Seq(groupCol, "_ck"))
+      .withColumn("start_tok", col("_off") + col("_base"))
       .withColumn("bin_id", expr(s"start_tok div ${capacity}L"))
       .select(col(groupCol), col(idCol), col("n_tokens"),
         col("start_tok"), col("bin_id"))

@@ -58,4 +58,64 @@ class EngineUnitSpec extends SparkTestBase {
     assert(SeriesRange.fromJson(SeriesRange(1, 0).toJson) == SeriesRange(1, 0))
     intercept[InvalidSchemaException](SeriesRange.fromJson("""{"time_first":1}"""))
   }
+
+  private def wmDir(): org.apache.hadoop.fs.Path = {
+    val d = java.nio.file.Files.createTempDirectory("wmstore").toFile
+    d.deleteOnExit()
+    new org.apache.hadoop.fs.Path(d.getAbsolutePath, "_wm")
+  }
+  private val hconf = new org.apache.hadoop.conf.Configuration()
+
+  test("WatermarkStore: a straggler delta below the snapshot version survives") {
+    val dir = wmDir()
+    val store = new WatermarkStore(dir, hconf)
+    // 70 single-series updates cross CompactThreshold=64 -> one compaction
+    (0 until 70).foreach(i => store.update(Map(s"s$i" -> SeriesRange(i, i + 10))))
+    // simulate the >=3-writer race: a writer that listed BEFORE the
+    // compaction commits its delta only now, at a long-gone version
+    val fs = dir.getFileSystem(hconf)
+    val straggler = new org.apache.hadoop.fs.Path(dir, "delta-0000000000000002-deadbeef.jsonl")
+    val out = fs.create(straggler, true)
+    out.write("""{"series":"straggler","time_first":7,"time_last":9}""".getBytes("UTF-8"))
+    out.close()
+    // a FRESH reader (no cache) applies it: it is in no snapshot's merged set
+    val reader = new WatermarkStore(dir, hconf)
+    assert(reader.get("straggler").contains(SeriesRange(7, 9)))
+    assert(reader.get("s69").contains(SeriesRange(69, 79)))
+    // the NEXT compaction folds the straggler instead of dropping it
+    (70 until 140).foreach(i => store.update(Map(s"s$i" -> SeriesRange(i, i + 10))))
+    val after = new WatermarkStore(dir, hconf).load()
+    assert(after.get("straggler").contains(SeriesRange(7, 9)))
+    assert(after.size == 141 && !fs.exists(straggler))
+  }
+
+  test("WatermarkStore: three concurrent writers on disjoint series lose no entry") {
+    val dir = wmDir()
+    val writers = (0 until 3).map(_ => new WatermarkStore(dir, hconf))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = writers.zipWithIndex.map { case (w, t) =>
+      new Thread(() => {
+        try (0 until 100).foreach { i =>
+          w.update(Map(s"w$t-$i" -> SeriesRange(i, i + t)))
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"writer failed: ${errs.peek()}")
+    val table = new WatermarkStore(dir, hconf).load()
+    for (t <- 0 until 3; i <- 0 until 100)
+      assert(table.get(s"w$t-$i").contains(SeriesRange(i, i + t)), s"lost w$t-$i")
+  }
+
+  test("WatermarkStore snapshot header round-trips; headerless body is legacy") {
+    val m = Map("a" -> SeriesRange(1, 2), "b" -> SeriesRange(3, 4))
+    val body = WatermarkStore.encodeSnapshot(Seq("delta-x", "snap-y"), m)
+    val (merged, table) = WatermarkStore.parseSnapshot(body)
+    assert(merged.contains(Set("delta-x", "snap-y")) && table == m)
+    val (noHdr, legacyTable) = WatermarkStore.parseSnapshot(WatermarkStore.encodeLines(m))
+    assert(noHdr.isEmpty && legacyTable == m)
+    // empty merged list stays distinguishable from legacy
+    assert(WatermarkStore.parseSnapshot(WatermarkStore.encodeSnapshot(Nil, m))
+      ._1.contains(Set.empty[String]))
+  }
 }

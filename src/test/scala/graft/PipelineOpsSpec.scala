@@ -153,6 +153,36 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got.values.map(_._3).sum == 14L)
   }
 
+  test("packSequences: a single monolithic group packs chunk-parallel") {
+    // 200 docs, ONE group — the case a per-group window would serialize.
+    // The chunked plan must (a) spread the cumsum across several hv-range
+    // chunks and (b) still produce the exact contiguous layout.
+    // ids varying in >=6 trailing digits: the polynomial wraps mod P and hv
+    // spreads across [0, P) (sequential tiny ids would cluster in chunk 0)
+    val docs = (0L until 200L).map(i =>
+      (123456789L + i * 1000003L, ("t " * (i % 7 + 1).toInt).trim, "mono"))
+    val d = docs.toDF("doc_id", "text", "source")
+    val chunks = 8
+    val got = PackingOps.packSequences(d, "doc_id", "text", "source", 16L,
+        chunks = chunks)
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._2 -> r).toMap
+    // brute-force expectation in (hv, id) order, hv recomputed driver-side
+    def hv(s: String): Long = s.foldLeft(0L)((h, c) => (h * 131L + c.toLong) % 1000000007L)
+    val ordered = docs.map { case (id, text, _) =>
+        (hv(id.toString), id, text.split(" ").length.toLong)
+      }.sortBy(t => (t._1, t._2))
+    var off = 0L
+    ordered.foreach { case (h, id, n) =>
+      assert(got(id)._4 == off, s"doc $id offset")
+      assert(got(id)._5 == off / 16L, s"doc $id bin")
+      off += n
+    }
+    // the plan really used >1 chunk for this single group
+    val span = 1000000007L / chunks + 1
+    assert(ordered.map(_._1 / span).distinct.size > 1,
+      "test data collapsed into one hv-range chunk")
+  }
+
   test("chunkSpans: overlap arithmetic, short docs one chunk, empty docs none") {
     val d = Seq(
       (0L, ("x " * 10).trim),  // 10 tokens: windows [0,6) and [4,10), then stop
