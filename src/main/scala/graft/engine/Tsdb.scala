@@ -958,12 +958,43 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
   def downsample(db: String, m: String, series: String, field: String,
                  t0: Long, t1: Long, windowWidth: Long): String = {
     val rollup = Rollups.name(m, field, windowWidth)
+    migrateLegacyRollup(db, m, field, windowWidth)
     createMeasurement(db, rollup, Rollups.Schema) // idempotent iff same schema
     val agg = sumWindows(db, m, series, field, t0, t1, windowWidth)
       .select(col("window_start").as(TimeCol),
         col("sum_value"), col("min_value"), col("max_value"), col("n"))
     writePoints(db, rollup, series, agg)
     rollup
+  }
+
+  /** One-time upgrade of a rollup measurement written under the pre-field
+    * naming `<m>__rollup_<w>` (before the field joined the identity —
+    * two fields' rollups collided on identical timestamps). The legacy name
+    * does not record WHICH field produced it, so the rename happens only
+    * when it is unambiguous: the parent schema has exactly one field and it
+    * is the one being downsampled. Otherwise this fails LOUDLY — silently
+    * creating a parallel measurement would leave readers of the legacy name
+    * on stale data (the watermark-migration counterpart for rollups). */
+  private def migrateLegacyRollup(db: String, m: String, field: String,
+                                  windowWidth: Long): Unit = {
+    val legacyName = s"${m}__rollup_$windowWidth"
+    val legacy = measPath(db, legacyName)
+    if (!fs(legacy).exists(legacy)) return
+    val parentFields = getSchema(db, m).fields.map(_.name)
+    if (parentFields == Seq(field)) {
+      val target = measPath(db, Rollups.name(m, field, windowWidth))
+      if (fs(target).exists(target))
+        throw new MeasurementExistsException(db, legacyName,
+          s"both legacy '$legacyName' and migrated '${target.getName}' exist; " +
+          "remove one manually")
+      fs(legacy).rename(legacy, target)
+      wmStores.remove((db, legacyName))
+      wmStores.remove((db, target.getName))
+    } else throw new MeasurementExistsException(db, legacyName,
+      s"legacy pre-field rollup '$legacyName' exists and measurement '$m' has " +
+      s"fields ${parentFields.mkString(",")} — cannot infer its source field; " +
+      s"rename it to '${m}__rollup_<field>_$windowWidth' (its actual source " +
+      "field) before downsampling")
   }
 
   // ---------------------------------------------------------------- paths/io

@@ -529,6 +529,53 @@ object EngineQueries {
           col("min_value"), col("max_value"), col("n"))
     },
 
+    // TWO fields of one measurement downsampled at the same window resolve
+    // to DISTINCT rollup measurements (the field is part of the rollup
+    // identity, Rollups.name) — proving end-to-end that the former
+    // two-fields-collide-on-identical-timestamps bug stays fixed. w = -v
+    // keeps every aggregate bit-exact (negation is exact in IEEE754; the
+    // 2-decimal cast chain is unchanged).
+    QueryDef.withOracle("engine_rollup_two_fields", {
+      val w0 = graft.ops.TimeSeriesOps.firstWindowStart(T0, DAY)
+      val nW = graft.ops.TimeSeriesOps.numWindows(T0, T1, DAY)
+      s"""WITH spine AS (
+         |  SELECT unnest(generate_series($w0, ${w0 + (nW - 1) * DAY}, $DAY)) AS time_us
+         |), agg AS (
+         |  SELECT time_us - (time_us % $DAY) AS time_us,
+         |         CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+         |         MIN(v) AS min_v, MAX(v) AS max_v, COUNT(v) AS n_v,
+         |         CAST(SUM(CAST(-v AS DECIMAL(18,2))) AS DOUBLE) AS sum_w,
+         |         MIN(-v) AS min_w, MAX(-v) AS max_w, COUNT(v) AS n_w
+         |  FROM $PTS
+         |  WHERE series = 'click' AND time_us >= $w0 AND time_us < ${w0 + nW * DAY}
+         |  GROUP BY 1)
+         |SELECT s.time_us, coalesce(a.sum_v, 0.0) AS sum_v, a.min_v, a.max_v,
+         |       coalesce(a.n_v, 0) AS n_v, coalesce(a.sum_w, 0.0) AS sum_w,
+         |       a.min_w, a.max_w, coalesce(a.n_w, 0) AS n_w
+         |FROM spine s LEFT JOIN agg a USING (time_us)
+         |ORDER BY time_us""".stripMargin
+    }) { (s, dir) =>
+      val t = freshTsdb(s)
+      t.createDatabase("bench")
+      t.createMeasurement("bench", "events2", MeasurementSchema(Seq(
+        Field("v", FieldType.F64), Field("w", FieldType.F64))))
+      val pts = canonicalPoints(s, dir).filter(col("series") === "click")
+        .select(col("time_us").as("time_ns"), col("v"),
+          (-col("v")).as("w")).persist()
+      try t.writePoints("bench", "events2", "click", pts) finally pts.unpersist()
+      val rv = t.downsample("bench", "events2", "click", "v", T0, T1, DAY)
+      val rw = t.downsample("bench", "events2", "click", "w", T0, T1, DAY)
+      val a = t.select("bench", rv, "click", Nil, 0L, Long.MaxValue - 1)
+        .select(col("time_ns").as("time_us"), col("sum_value").as("sum_v"),
+          col("min_value").as("min_v"), col("max_value").as("max_v"),
+          col("n").as("n_v"))
+      val b = t.select("bench", rw, "click", Nil, 0L, Long.MaxValue - 1)
+        .select(col("time_ns").as("time_us"), col("sum_value").as("sum_w"),
+          col("min_value").as("min_w"), col("max_value").as("max_w"),
+          col("n").as("n_w"))
+      a.join(b, Seq("time_us")).orderBy("time_us")
+    },
+
     // Retention sweep (policy form of Op #11): ONE distributed aggregation
     // advances every series' watermark past the horizon; the read back must
     // show exactly the surviving points of ALL series. A series whose whole

@@ -254,6 +254,43 @@ class TsdbEngineSpec extends SparkTestBase {
     assert(q == 5.5)
   }
 
+  test("legacy pre-field rollup migrates when unambiguous, fails loudly otherwise") {
+    val root = tmpDir("tsdb-legacy-")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    def rename(from: String, to: String): Unit = {
+      val f = new org.apache.hadoop.fs.Path(root, from)
+      f.getFileSystem(conf).rename(f, new org.apache.hadoop.fs.Path(root, to))
+    }
+    val t = new Tsdb(spark, root, requestedBucketWidth = 100L)
+    t.createDatabase("db1")
+    // ONE field: the legacy rollup can only have come from it -> auto-rename
+    t.createMeasurement("db1", "solo", MeasurementSchema(Seq(Field("v", FieldType.F64))))
+    t.writePoints("db1", "solo", "s1",
+      Seq((100L, 1.5), (210L, 2.5)).toDF("time_ns", "v"))
+    t.downsample("db1", "solo", "s1", "v", 100L, 299L, 100L)
+    rename("db1/solo__rollup_v_100", "db1/solo__rollup_100") // fake an old root
+    val t2 = new Tsdb(spark, root, requestedBucketWidth = 100L)
+    assert(t2.downsample("db1", "solo", "s1", "v", 100L, 299L, 100L)
+      == "solo__rollup_v_100")
+    assert(t2.listMeasurements("db1").filter(_.startsWith("solo__"))
+      == Seq("solo__rollup_v_100"))
+    val got = t2.select("db1", "solo__rollup_v_100", "s1", Nil, 0L, 1000L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((100L, 1.5), (200L, 2.5)))
+    // TWO fields: the source field is unrecoverable -> loud failure, no
+    // silent parallel measurement
+    t2.createMeasurement("db1", "multi", MeasurementSchema(Seq(
+      Field("v", FieldType.F64), Field("g", FieldType.F64))))
+    t2.writePoints("db1", "multi", "s1",
+      Seq((100L, 1.0, 2.0)).toDF("time_ns", "v", "g"))
+    t2.downsample("db1", "multi", "s1", "v", 100L, 199L, 100L)
+    rename("db1/multi__rollup_v_100", "db1/multi__rollup_100")
+    val t3 = new Tsdb(spark, root, requestedBucketWidth = 100L)
+    val e = intercept[MeasurementExistsException](
+      t3.downsample("db1", "multi", "s1", "v", 100L, 199L, 100L))
+    assert(e.getMessage.contains("cannot infer"))
+  }
+
   test("listActiveSeries counts visible points per series") {
     val t = mkTsdb()
     freshSeries(t, baseRows: _*)
