@@ -36,14 +36,20 @@ object SimilarityQueries {
   // PID-scoped dirs would otherwise accumulate one pair per process across
   // CI/bench runs. They must OUTLIVE this JVM (the oracle's DuckDB replay
   // runs after Verify exits), so exit-time cleanup is wrong — instead each
-  // startup reaps dirs left by processes that are no longer alive.
+  // startup reaps dirs left by processes that are no longer alive AND old
+  // enough that no pending replay can still need them: the driver's DuckDB
+  // pass runs minutes after its Verify JVM exits, so a dead PID alone does
+  // not mean the dir is garbage (a new run starting in that window would
+  // otherwise delete centroids the pending replay is about to read).
   locally {
     val re = """graft-(?:ivf|cluster)-centroids-(\d+)\.parquet""".r
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
     Option(tmp.listFiles()).toSeq.flatten.foreach { f =>
       f.getName match {
         case re(pid) if pid.toLong != Pid &&
-            !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false) =>
+            !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false) &&
+            f.lastModified() < cutoff =>
           Option(f.listFiles()).toSeq.flatten.foreach(_.delete())
           f.delete(): Unit
         case _ => ()

@@ -204,20 +204,53 @@ final class Reflector(val local: Tsdb, val remote: ReflectorRemote,
       m <- local.listMeasurements(db)
     } remote.createMeasurement(rdb, m, local.getSchema(db, m))
 
-  /** Drain every spooled point of `db`/`m` to the remote, then delete the
+  /** Drain spooled points of `db`/`m` to the remote, then delete the
     * flushed range locally. Remote-first ordering + the remote's idempotent
     * replay make a crash anywhere in between safe to re-run.
-    * @return flushed point count per series. */
-  def flush(db: String, m: String): Map[String, Long] = {
+    *
+    * `maxPoints` is the flush BACKPRESSURE cap: after a long outage the
+    * spool may hold a week of data, and draining it as one batch is one
+    * giant remote write. With a cap, each call drains the OLDEST whole
+    * buckets whose point total fits the cap (always at least one bucket, so
+    * progress is guaranteed — the cap is a soft bound at bucket
+    * granularity). Partial drains are safe for the same reason full ones
+    * are: each series' drained slice is a time-prefix of its backlog
+    * (buckets are time-ordered), the remote append is replay-tolerant, and
+    * the local delete advances only past what landed. Repeat until the
+    * return is empty to drain fully ([[flushAll]] does).
+    * @return flushed point count per series; empty when nothing remained. */
+  def flush(db: String, m: String, maxPoints: Option[Long] = None): Map[String, Long] = {
     val rdb = remoteDb(db)
-    val cuts: Map[String, Long] = local.listSeries(db, m)
+    val allCuts: Map[String, Long] = local.listSeries(db, m)
       .flatMap(sn => local.seriesRange(db, m, sn)
         .filter(r => r.timeFirst <= r.timeLast).map(r => sn -> r.timeLast)).toMap
-    if (cuts.isEmpty) return Map.empty
-    // one distributed read of the whole spool backlog, one validated remote
-    // append (replay-tolerant), one batched local delete at each series'
-    // flushed watermark
-    val backlog = local.visible(db, m).drop(MeasurementSchema.BucketCol)
+    if (allCuts.isEmpty) return Map.empty
+    import org.apache.spark.sql.functions.{col, count, lit, max}
+    val bCol = MeasurementSchema.BucketCol
+    val visible = local.visible(db, m)
+    // one distributed read of the (capped) spool backlog, one validated
+    // remote append (replay-tolerant), one batched local delete at each
+    // series' flushed watermark
+    val (backlog, cuts) = maxPoints match {
+      case None => (visible.drop(bCol), allCuts)
+      case Some(cap) =>
+        require(cap > 0, s"maxPoints must be positive: $cap")
+        // bucket-count-scale aggregate, oldest-first prefix under the cap
+        val perBucket = visible.groupBy(col(bCol)).agg(count(lit(1)).as("n"))
+          .orderBy(col(bCol)).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        var acc = 0L
+        val taken = perBucket.takeWhile { case (_, n) =>
+          val fits = acc == 0L || acc + n <= cap; if (fits) acc += n; fits
+        }
+        if (taken.isEmpty) return Map.empty // raced to empty
+        val maxBucket = taken.last._1
+        val slice = visible.filter(col(bCol) <= maxBucket)
+        val sliceCuts = slice.groupBy(col(MeasurementSchema.SeriesCol))
+          .agg(max(col(MeasurementSchema.TimeCol)).as("t")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        (slice.drop(bCol), sliceCuts)
+    }
     val results = remote.writeBatch(rdb, m, backlog)
     local.deleteUpToBatch(db, m, cuts)
     cuts.map { case (sn, _) =>
@@ -226,12 +259,23 @@ final class Reflector(val local: Tsdb, val remote: ReflectorRemote,
   }
 
   /** Flush every mapped database's every measurement — the background flush
-    * thread's sweep (reflector.cc:418-454). */
-  def flushAll(): Map[(String, String, String), Long] =
-    (for {
+    * thread's sweep (reflector.cc:418-454). With `maxPoints`, each
+    * measurement drains in capped oldest-first rounds until empty (bounded
+    * remote batch sizes however long the outage was). */
+  def flushAll(maxPoints: Option[Long] = None): Map[(String, String, String), Long] = {
+    val acc = scala.collection.mutable.Map.empty[(String, String, String), Long]
+    for {
       (db, _) <- dbMap.toSeq.sortBy(_._1)
       if local.listDatabases().contains(db)
       m <- local.listMeasurements(db)
-      (sn, n) <- flush(db, m)
-    } yield (db, m, sn) -> n).toMap
+    } {
+      var r = flush(db, m, maxPoints)
+      while (r.nonEmpty) {
+        r.foreach { case (sn, n) =>
+          acc((db, m, sn)) = acc.getOrElse((db, m, sn), 0L) + n }
+        r = flush(db, m, maxPoints) // empty once the spool is drained
+      }
+    }
+    acc.toMap
+  }
 }

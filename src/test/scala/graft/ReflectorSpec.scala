@@ -214,4 +214,45 @@ class ReflectorSpec extends SparkTestBase {
     assert(remoteT.select("logger_xyz", "aux", "s7", Nil, 0L, 1000L)
       .collect().map(_.getLong(0)).toSeq == Seq(50L))
   }
+
+  test("capped flush drains a large spool oldest-first in bounded rounds") {
+    val (localT, remoteT, flaky, r) = mk()
+    flaky.down = true
+    // 12 points per series over buckets [0,100)..[500,600) — 24 points total
+    val s1 = (0 until 12).map(i => (i * 50L, i * 1.0))
+    val s2 = (0 until 12).map(i => (i * 50L + 1L, i * 2.0))
+    r.writePoints("sensor_data", "points", "s1", pts(s1: _*))
+    r.writePoints("sensor_data", "points", "s2", pts(s2: _*))
+    flaky.down = false
+    // cap 5: each bucket holds 4 points (2 per series), so rounds take ONE
+    // whole bucket each (4 <= 5, 8 > 5) -> 6 rounds to drain
+    var rounds = 0
+    var total = Map.empty[String, Long]
+    var got = r.flush("sensor_data", "points", maxPoints = Some(5L))
+    while (got.nonEmpty) {
+      rounds += 1
+      assert(got.values.sum <= 5L, s"round $rounds exceeded the cap: $got")
+      total = got.foldLeft(total) { case (t, (sn, n)) =>
+        t.updated(sn, t.getOrElse(sn, 0L) + n) }
+      // mid-drain ordering: the spool still holds the NEWER points, so a
+      // fresh write must keep routing local (backlog order preserved)
+      if (rounds == 1) {
+        assert(r.spooled("sensor_data", "points", "s1"))
+        assert(times(remoteT, "logger_xyz") == Seq(0L, 50L)) // s1's first bucket
+      }
+      got = r.flush("sensor_data", "points", maxPoints = Some(5L))
+    }
+    assert(rounds == 6 && total == Map("s1" -> 12L, "s2" -> 12L))
+    // final state identical to an uncapped flush: remote holds everything
+    // in order, spool is empty
+    assert(times(remoteT, "logger_xyz") == s1.map(_._1))
+    assert(localT.visible("sensor_data", "points").count() == 0L)
+    // flushAll with a cap reaches the same fixed point in one sweep
+    flaky.down = true
+    r.writePoints("sensor_data", "points", "s1", pts((900L, 9.0), (1100L, 11.0)))
+    flaky.down = false
+    assert(r.flushAll(maxPoints = Some(1L)) ==
+      Map(("sensor_data", "points", "s1") -> 2L))
+    assert(localT.visible("sensor_data", "points").count() == 0L)
+  }
 }
