@@ -235,6 +235,81 @@ object DedupOps {
     labels
   }
 
+  /** Connected components by STAR CONTRACTION — the adversarial-diameter
+    * companion to [[connectedComponents]] (same signature, same output
+    * contract: (id, component = min id of the cluster)).
+    *
+    * Label propagation needs diameter-many rounds; a 10⁶-hop chain is a
+    * 10⁶-round job. Star contraction closes any graph in O(log n) OUTER
+    * rounds: (1) hook — every vertex points at the minimum of itself and
+    * its neighbors, which is a forest (parents strictly decrease), so every
+    * non-isolated vertex merges with at least one neighbor and the active
+    * vertex count at least halves per round; (2) pointer-double the forest
+    * to its roots in O(log depth) self-joins (a k-deep tree resolves in
+    * ⌈log₂k⌉ rounds, not k); (3) contract — rewrite edges onto roots, drop
+    * self-loops, dedup. The cumulative vertex→root mapping composes across
+    * rounds; labels only ever decrease, so the fixed point per component is
+    * its global min. Everything is joins + aggregates on (id, parent)
+    * pairs — 16 bytes a row on the shuffle however wide the documents were
+    * — and each round's tables shrink geometrically. localCheckpoint per
+    * round cuts the iterative lineage.
+    *
+    * Prefer [[connectedComponents]] for the realistic near-dup shape
+    * (shallow star clusters, 2-3 rounds, fewer jobs per round); prefer this
+    * when the pair graph may contain long chains (transitive text drift,
+    * adversarial inputs) where diameter-bounded propagation stalls. */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    var edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(false)
+    // cumulative mapping over the RAW endpoint set (a vertex seen only in a
+    // self-pair survives as its own component, like the sibling), refined
+    // every outer round
+    var mapping = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+      .select(col("id"), col("id").as("component"))
+      .localCheckpoint(false)
+    var outer = 0
+    while (edges.limit(1).count() > 0) {
+      require(outer < maxIter, s"star contraction did not converge in $maxIter rounds")
+      // (1) hook: p(v) = min(v, min neighbor) — a forest, roots = local minima
+      var p = edges.groupBy(col("src").as("id"))
+        .agg(least(min(col("dst")), col("src")).as("parent"))
+        .localCheckpoint(false)
+      // (2) pointer doubling to the roots
+      var inner = 0
+      var doubled = true
+      while (doubled) {
+        require(inner < maxIter, s"pointer doubling did not settle in $maxIter rounds")
+        val p2 = p.as("a")
+          .join(p.as("b"), col("a.parent") === col("b.id"), "left")
+          .select(col("a.id").as("id"),
+            coalesce(col("b.parent"), col("a.parent")).as("parent"))
+          .localCheckpoint(false)
+        doubled = p2.as("n").join(p.as("o"), "id")
+          .filter(col("n.parent") =!= col("o.parent")).limit(1).count() > 0
+        p = p2
+        inner += 1
+      }
+      // (3) compose the mapping and contract the edge set onto the roots
+      mapping = mapping.as("m")
+        .join(p.as("p"), col("m.component") === col("p.id"), "left")
+        .select(col("m.id").as("id"),
+          coalesce(col("p.parent"), col("m.component")).as("component"))
+        .localCheckpoint(false)
+      edges = edges.as("e")
+        .join(p.as("pa"), col("e.src") === col("pa.id"))
+        .join(p.as("pb"), col("e.dst") === col("pb.id"))
+        .select(col("pa.parent").as("src"), col("pb.parent").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+        .localCheckpoint(false)
+      outer += 1
+    }
+    mapping
+  }
+
   /** Embedding-cosine near-dup pairs (exact, all-pairs): block-broadcast
     * cross join with the dot product as a left fold in double precision —
     * the same evaluation order the DuckDB oracle uses, so values match

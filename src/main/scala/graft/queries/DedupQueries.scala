@@ -61,6 +61,21 @@ object DedupQueries {
   private val JaccardBruteSql =
     s"WITH $JaccardPairCtes\nSELECT id_a, id_b, jaccard FROM pairs ORDER BY 1, 2"
 
+  /** Components of the brute-force pair graph via a recursive CTE — shared
+    * by the label-propagation and star-contraction cluster queries (the two
+    * must land on identical components). */
+  private val ClustersOracle =
+    s"""WITH RECURSIVE $JaccardPairCtes,
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |walk(id, label) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id
+       |)
+       |SELECT id, min(label) AS component FROM walk
+       |GROUP BY id ORDER BY id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // EXACT n-gram Jaccard near-dup pairs: inverted-index join on shingle
@@ -98,21 +113,22 @@ object DedupQueries {
     // (DedupOps.connectedComponents); oracle: the same components from a
     // recursive CTE over the brute-force pair set. component = min doc_id
     // of the cluster = the canonical document to keep.
-    QueryDef.withOracle("dedup_clusters",
-      s"""WITH RECURSIVE $JaccardPairCtes,
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |          UNION ALL SELECT id_b, id_a FROM pairs),
-         |walk(id, label) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id
-         |)
-         |SELECT id, min(label) AS component FROM walk
-         |GROUP BY id ORDER BY id""".stripMargin) { (s, dir) =>
+    QueryDef.withOracle("dedup_clusters", ClustersOracle) { (s, dir) =>
       val pairs = DedupOps.jaccardPairsLsh(
         DedupOps.shingleSets(Tables(s, dir, "documents"), "doc_id", "text", 3),
         "doc_id", 0.8, bands = 32, rows = 4)
       DedupOps.connectedComponents(pairs.select("id_a", "id_b")).orderBy("id")
+    },
+
+    // The same clusters via STAR CONTRACTION — the O(log n)-round path for
+    // adversarial-diameter pair graphs (label propagation is diameter-
+    // bounded). Identical oracle: both algorithms must land on identical
+    // components.
+    QueryDef.withOracle("dedup_clusters_star", ClustersOracle) { (s, dir) =>
+      val pairs = DedupOps.jaccardPairsLsh(
+        DedupOps.shingleSets(Tables(s, dir, "documents"), "doc_id", "text", 3),
+        "doc_id", 0.8, bands = 32, rows = 4)
+      DedupOps.connectedComponentsStar(pairs.select("id_a", "id_b")).orderBy("id")
     },
 
     // SimHash pairs within Hamming radius 1, EXACT via pigeonhole banding

@@ -65,6 +65,37 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got.size == 9)
   }
 
+  test("connectedComponentsStar matches label propagation; closes chains past its budget") {
+    import graft.ops.DedupOps
+    // random pair graphs, fixed seeds: the two algorithms agree exactly
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (0 until 80)
+        .map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter { case (a, b) => a != b }
+      val df = edges.toDF("id_a", "id_b")
+      val lp = DedupOps.connectedComponents(df)
+        .as[(Long, Long)].collect().toMap
+      val sc = DedupOps.connectedComponentsStar(df)
+        .as[(Long, Long)].collect().toMap
+      assert(sc == lp, s"seed $seed: star and propagation disagree")
+    }
+    // a 119-hop chain: label propagation needs diameter-many rounds and
+    // refuses past its budget; star contraction closes it in O(log n)
+    val chain = (0L until 120L).sliding(2).map(w => (w(0), w(1))).toSeq
+      .toDF("id_a", "id_b")
+    intercept[IllegalArgumentException](
+      DedupOps.connectedComponents(chain, maxIter = 5))
+    val got = DedupOps.connectedComponentsStar(chain, maxIter = 50)
+      .as[(Long, Long)].collect()
+    assert(got.length == 120 && got.forall(_._2 == 0L))
+    // self-pair-only vertices survive as their own singleton component
+    val selfish = DedupOps.connectedComponentsStar(
+      Seq((5L, 5L), (1L, 2L)).toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(selfish == Map(5L -> 5L, 1L -> 1L, 2L -> 1L))
+  }
+
   test("simhashPairs: exact dup at hamming 0; pigeonhole banding finds it") {
     val pairs = DedupOps.simhashPairs(docs, "doc_id", "text", bits = 30, maxHamming = 2)
       .as[(Long, Long, Long)].collect().map { case (a, b, h) => ((a, b), h) }.toMap
