@@ -987,7 +987,11 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
         throw new MeasurementExistsException(db, legacyName,
           s"both legacy '$legacyName' and migrated '${target.getName}' exist; " +
           "remove one manually")
-      fs(legacy).rename(legacy, target)
+      // Hadoop rename reports most failures by RETURNING false, not
+      // throwing — proceeding would create exactly the silent parallel
+      // measurement this method exists to prevent
+      require(fs(legacy).rename(legacy, target),
+        s"migrating legacy rollup '$legacyName' -> '${target.getName}' failed")
       wmStores.remove((db, legacyName))
       wmStores.remove((db, target.getName))
     } else throw new MeasurementExistsException(db, legacyName,

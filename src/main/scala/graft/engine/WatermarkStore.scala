@@ -53,6 +53,14 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * for that directory (the old ≥3-writer caveat applies until the next
   * compaction rewrites the snapshot with a header).
   *
+  * All of the above assumes point-in-time-consistent directory LISTINGS
+  * (POSIX, HDFS, and strongly-consistent object stores like current S3).
+  * On a store whose listing can show a compactor's delta while hiding its
+  * already-written snapshot AND a file that snapshot's writer already
+  * deleted, a second compactor could fold neither — deployments on such
+  * storage should back this table with a transactional store; the format
+  * isolates that swap to this class.
+  *
   * A reader that lists the directory just before a compactor's delete can
   * hit FileNotFoundException mid-decode; load()/update() retry the
   * list+decode (bounded), which sees the new snapshot — loud-failure only
@@ -130,13 +138,13 @@ final class WatermarkStore(dir: Path, hconf: Configuration) {
     }
   }
 
-  /** list+decode, retrying when a concurrent compactor deleted a listed
+  /** Run `body`, retrying when a concurrent compactor deleted a listed
     * file between our listStatus and the read — the re-list sees the new
     * snapshot. Bounded so a genuinely broken store still fails loudly. */
-  private def loadRetrying(): Map[String, SeriesRange] = {
+  private def retryOnFnf[A](body: => A): A = {
     var attempt = 0
     while (true) {
-      try return loadFrom(list())
+      try return body
       catch {
         case e: java.io.FileNotFoundException =>
           attempt += 1
@@ -148,7 +156,8 @@ final class WatermarkStore(dir: Path, hconf: Configuration) {
   }
 
   /** The full table. One `listStatus` when nothing changed. */
-  def load(): Map[String, SeriesRange] = synchronized { loadRetrying() }
+  def load(): Map[String, SeriesRange] =
+    synchronized { retryOnFnf(loadFrom(list())) }
 
   def get(series: String): Option[SeriesRange] = load().get(series)
 
@@ -156,16 +165,7 @@ final class WatermarkStore(dir: Path, hconf: Configuration) {
     * the threshold, one folded snapshot), whatever the batch size. */
   def update(entries: Map[String, SeriesRange]): Unit = synchronized {
     if (entries.isEmpty) return
-    var attempt = 0
-    while (attempt >= 0) {
-      try { doUpdate(entries); return }
-      catch {
-        case e: java.io.FileNotFoundException =>
-          attempt += 1
-          if (attempt >= 3) throw e
-          cached = None
-      }
-    }
+    retryOnFnf(doUpdate(entries))
   }
 
   private def doUpdate(entries: Map[String, SeriesRange]): Unit = {

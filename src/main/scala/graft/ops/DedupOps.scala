@@ -28,6 +28,12 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
+  /** Hot-shingle sets up to this many entries broadcast in the df-capped
+    * Jaccard guard (~8 bytes each → tens of MB, far under any broadcast
+    * limit); larger sets anti-join via shuffle instead of risking a driver
+    * OOM on a corpus whose boilerplate head is itself huge. */
+  val MaxBroadcastHotShingles: Long = 5000000L
+
   /** (id, shingles) — distinct n-word shingle hash sets per document; docs
     * with fewer than n tokens drop out (no shingles → no similarity).
     *
@@ -66,13 +72,19 @@ object DedupOps {
                         maxDocFreq: Option[Int] = None): DataFrame = {
     val ex0 = shingles.select(col(idCol).as("id"), explode(col("shingles")).as("sh"))
     val ex = maxDocFreq.fold(ex0) { cap =>
-      // The HOT set (df > cap) is tiny by construction — at most
-      // total-postings/cap members — so broadcast it and anti-join: the full
-      // posting table streams map-side with no shuffle. (Joining the RARE
-      // complement instead would shuffle the postings against a
-      // vocabulary-sized set — exactly backwards at 100 TB.)
-      val hot = ex0.groupBy("sh").count().filter(col("count") > cap).select("sh")
-      ex0.join(broadcast(hot), Seq("sh"), "left_anti")
+      // The HOT set (df > cap) is small by construction — bounded by
+      // total-postings/cap members, and in practice boilerplate shingles
+      // are a thin head — so anti-join it rather than joining the postings
+      // against the vocabulary-sized RARE complement (exactly backwards at
+      // 100 TB). Broadcast only while the set is actually broadcastable:
+      // the bound is postings/cap, which a 100 TB corpus can push past any
+      // driver; past the threshold fall back to a shuffled anti-join (AQE
+      // still picks the best physical strategy for the measured size).
+      val hot = ex0.groupBy("sh").count().filter(col("count") > cap)
+        .select("sh").localCheckpoint(false)
+      val hotSide =
+        if (hot.count() <= MaxBroadcastHotShingles) broadcast(hot) else hot
+      ex0.join(hotSide, Seq("sh"), "left_anti")
     }
     val sizes = shingles.select(col(idCol).as("id"), size(col("shingles")).as("sz"))
     val common = ex.as("a").join(ex.as("b"),

@@ -74,10 +74,17 @@ object PackingOps {
     // mod P); a corpus of pathologically tiny ids degrades toward fewer
     // chunks but stays correct — the carry repair is chunk-count-agnostic
     val span = TextOps.P / chunks + 1
+    // localCheckpoint barrier: both the partial cumsum and the carry
+    // aggregate read `base`, and their plans diverge before the exchange
+    // (window vs pre-aggregated), so ReuseExchange cannot unify them — the
+    // barrier keeps the tokenize+hash pass (the dominant per-row work) from
+    // running twice over the corpus. Rows are (group, id, hv, n) — tens of
+    // bytes/doc, not the text.
     val base = docs.select(col(groupCol), col(idCol),
         TextOps.polyHash(col(idCol).cast("string")).as("hv"),
         size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
       .withColumn("_ck", expr(s"hv div ${span}L"))
+      .localCheckpoint(false)
     val wIn = Window.partitionBy(col(groupCol), col("_ck"))
       .orderBy(col("hv"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -260,20 +260,32 @@ final class Reflector(val local: Tsdb, val remote: ReflectorRemote,
 
   /** Flush every mapped database's every measurement — the background flush
     * thread's sweep (reflector.cc:418-454). With `maxPoints`, each
-    * measurement drains in capped oldest-first rounds until empty (bounded
-    * remote batch sizes however long the outage was). */
-  def flushAll(maxPoints: Option[Long] = None): Map[(String, String, String), Long] = {
+    * measurement drains in capped oldest-first rounds, at most `maxRounds`
+    * of them (bounded remote batch sizes however long the outage was).
+    * The round bound matters under SUSTAINED ingest: while a backlog
+    * exists, concurrent writes keep routing to the spool, so "drain until
+    * empty" could spin on one measurement forever and starve the rest of
+    * the sweep — a bounded sweep leaves the residual to the next sweep,
+    * exactly how a background flush thread wants to behave. Uncapped
+    * flushes drain the whole backlog in their single round, as before. */
+  def flushAll(maxPoints: Option[Long] = None,
+               maxRounds: Int = 64): Map[(String, String, String), Long] = {
+    require(maxRounds > 0, s"maxRounds must be positive: $maxRounds")
     val acc = scala.collection.mutable.Map.empty[(String, String, String), Long]
     for {
       (db, _) <- dbMap.toSeq.sortBy(_._1)
       if local.listDatabases().contains(db)
       m <- local.listMeasurements(db)
     } {
-      var r = flush(db, m, maxPoints)
-      while (r.nonEmpty) {
+      val rounds = if (maxPoints.isDefined) maxRounds else 1
+      var i = 0
+      var drained = false
+      while (i < rounds && !drained) {
+        val r = flush(db, m, maxPoints)
         r.foreach { case (sn, n) =>
           acc((db, m, sn)) = acc.getOrElse((db, m, sn), 0L) + n }
-        r = flush(db, m, maxPoints) // empty once the spool is drained
+        drained = r.isEmpty
+        i += 1
       }
     }
     acc.toMap
