@@ -131,6 +131,45 @@ object DedupQueries {
       DedupOps.connectedComponentsStar(pairs.select("id_a", "id_b")).orderBy("id")
     },
 
+    // APPLY the dedup decision — the step that actually shrinks the corpus:
+    // every non-representative cluster member drops (component != id), the
+    // representative and every never-matched document survive. One anti-join
+    // + one flag join on 8-byte ids; the cluster map scales with the
+    // DUPLICATE count (can be half the corpus), so no broadcast hint — AQE
+    // broadcasts when the measured size allows, shuffles otherwise. The
+    // documents themselves never shuffle (id-only projection).
+    QueryDef.withOracle("dedup_apply",
+      s"""WITH RECURSIVE $JaccardPairCtes,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |walk(id, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id
+         |),
+         |comp AS (SELECT id, min(label) AS component FROM walk GROUP BY id)
+         |SELECT d.doc_id, c.id IS NOT NULL AS is_cluster_rep
+         |FROM documents d
+         |LEFT JOIN (SELECT id FROM comp WHERE id = component) c ON c.id = d.doc_id
+         |WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val pairs = DedupOps.jaccardPairsLsh(
+        DedupOps.shingleSets(Tables(s, dir, "documents"), "doc_id", "text", 3),
+        "doc_id", 0.8, bands = 32, rows = 4)
+      val comp = DedupOps.connectedComponents(pairs.select("id_a", "id_b"))
+        .localCheckpoint(false)
+      val drop = comp.filter(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"))
+      val reps = comp.filter(col("id") === col("component"))
+        .select(col("id").as("doc_id"), lit(true).as("is_cluster_rep"))
+      Tables(s, dir, "documents").select("doc_id")
+        .join(drop, Seq("doc_id"), "left_anti")
+        .join(reps, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("is_cluster_rep"), lit(false)).as("is_cluster_rep"))
+        .orderBy("doc_id")
+    },
+
     // SimHash pairs within Hamming radius 1, EXACT via pigeonhole banding
     // (radius+1 bands -> equality join with perfect recall).
     QueryDef.withOracle("dedup_simhash",

@@ -169,6 +169,58 @@ object TextQueries {
         .agg(count(when(size(TextOps.tokens(col("text"))) > 0, 1)).as("n_docs"))
       byTerm.crossJoin(nDocs)
         .select("vocab_size", "total_tokens", "n_docs")
+    },
+
+    // Within-document REPETITION scoring — the Gopher-style quality rule
+    // (repeated 2-/3-gram fraction; machine-generated and boilerplate text
+    // repeats itself). rep_k = 1 - distinct/total over the doc's k-gram
+    // shingle hashes: pure per-row map work (zero shuffles before the
+    // presentation sort); the only division is one exact-integer ratio, so
+    // values are bit-portable. Shingle identity is hash identity, the same
+    // contract the dedup family uses.
+    QueryDef.withOracle("text_repetition", {
+      def distinctK(k: Int) =
+        s"""len(list_distinct(list_transform(range(0, len(whs) - ${k - 1}), i ->
+           |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(whs, i + 1, i + $k)),
+           |    (h, w) -> (h * ${TextOps.B2} + w) % ${TextOps.P}))))""".stripMargin
+      s"""WITH whst AS (SELECT doc_id, $WHS AS whs FROM documents),
+         |d AS (SELECT doc_id,
+         |        greatest(len(whs) - 1, 0) AS n2_total, ${distinctK(2)} AS n2_distinct,
+         |        greatest(len(whs) - 2, 0) AS n3_total, ${distinctK(3)} AS n3_distinct
+         |      FROM whst)
+         |SELECT doc_id,
+         |  CAST(n2_total AS BIGINT) AS n2_total,
+         |  CAST(n2_distinct AS BIGINT) AS n2_distinct,
+         |  CASE WHEN n2_total > 0
+         |       THEN CAST(n2_total - n2_distinct AS DOUBLE) / n2_total
+         |       ELSE 0.0 END AS rep2_frac,
+         |  CAST(n3_total AS BIGINT) AS n3_total,
+         |  CAST(n3_distinct AS BIGINT) AS n3_distinct,
+         |  CASE WHEN n3_total > 0
+         |       THEN CAST(n3_total - n3_distinct AS DOUBLE) / n3_total
+         |       ELSE 0.0 END AS rep3_frac
+         |FROM d ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val par = s.sparkContext.defaultParallelism
+      // whs staged behind a barrier: both shingle widths read it, and
+      // projection collapse would otherwise re-run tokenize+hash per width
+      val whs = Tables(s, dir, "documents").repartition(par)
+        .select(col("doc_id"),
+          TextOps.wordHashes(TextOps.tokens(col("text"))).as("whs"))
+        .localCheckpoint(false)
+      val d = whs.select(col("doc_id"),
+        greatest(size(col("whs")) - 1, lit(0)).cast("long").as("n2_total"),
+        size(TextOps.shingleHashesOfHashes(col("whs"), 2)).cast("long").as("n2_distinct"),
+        greatest(size(col("whs")) - 2, lit(0)).cast("long").as("n3_total"),
+        size(TextOps.shingleHashesOfHashes(col("whs"), 3)).cast("long").as("n3_distinct"))
+      def frac(t: org.apache.spark.sql.Column, dc: org.apache.spark.sql.Column) =
+        when(t > 0, (t - dc).cast("double") / t).otherwise(lit(0.0))
+      d.select(col("doc_id"), col("n2_total"), col("n2_distinct"),
+          frac(col("n2_total"), col("n2_distinct")).as("rep2_frac"),
+          col("n3_total"), col("n3_distinct"),
+          frac(col("n3_total"), col("n3_distinct")).as("rep3_frac"))
+        .orderBy("doc_id")
     }
   )
 }

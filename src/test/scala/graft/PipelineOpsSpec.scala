@@ -214,6 +214,18 @@ class PipelineOpsSpec extends SparkTestBase {
       "test data collapsed into one hv-range chunk")
   }
 
+  test("packSequences plan regression: chunked cumsum window + broadcast carry") {
+    // executable form of the PLANS.md digest: the cumsum window must
+    // partition by (group, chunk) — not group alone, which would serialize
+    // a monolithic group — and the cross-chunk carry must arrive broadcast
+    val d = Seq((123456789L, "a b c", "s0")).toDF("doc_id", "text", "source")
+    val plan = PackingOps.packSequences(d, "doc_id", "text", "source", 4L)
+      .queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*windowspecdefinition\\(source[^)]*_ck[^)]*n_tokens.*") ||
+           plan.matches("(?s).*windowspecdefinition\\(source[^)]*_ck.*"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("chunkSpans: overlap arithmetic, short docs one chunk, empty docs none") {
     val d = Seq(
       (0L, ("x " * 10).trim),  // 10 tokens: windows [0,6) and [4,10), then stop
