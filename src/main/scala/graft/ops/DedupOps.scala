@@ -230,6 +230,12 @@ object DedupOps {
       .localCheckpoint(false)
     var converged = false
     var iter = 0
+    // convergence via the label-mass invariant: labels only ever DECREASE
+    // (each is a min including the own label), so the label sum is strictly
+    // monotone until the fixed point — comparing two scalars replaces the
+    // former corpus-sized change-detection join per round. Decimal sum:
+    // n × max-id can pass 2⁶³ at corpus scale.
+    var prevMass = labelMass(labels)
     while (!converged && iter < maxIter) {
       // neighborhood minimum (incl. own label), one join + one agg
       val next = edges.join(labels, edges("dst") === labels("id"))
@@ -237,15 +243,23 @@ object DedupOps {
         .union(labels.select(col("id").as("src"), col("component").as("nbr")))
         .groupBy(col("src").as("id")).agg(min("nbr").as("component"))
         .localCheckpoint(false)
-      val changes = next.as("n").join(labels.as("l"), "id")
-        .filter(col("n.component") =!= col("l.component")).count()
+      val mass = labelMass(next)
       labels = next
-      converged = changes == 0
+      converged = mass == prevMass
+      prevMass = mass
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     labels
   }
+
+  /** Scalar label mass of a (.., `col`) table — the convergence probe for
+    * the iterative component algorithms: labels/parents only ever decrease,
+    * so equal mass across rounds ⟺ nothing moved. BigDecimal via String
+    * (scale-insensitive equality); None for an empty table. */
+  private def labelMass(df: DataFrame, colName: String = "component"): Option[String] =
+    Option(df.agg(sum(col(colName).cast("decimal(38,0)"))).head.getDecimal(0))
+      .map(_.stripTrailingZeros.toPlainString)
 
   /** Connected components by STAR CONTRACTION — the adversarial-diameter
     * companion to [[connectedComponents]] (same signature, same output
@@ -290,8 +304,11 @@ object DedupOps {
       var p = edges.groupBy(col("src").as("id"))
         .agg(least(min(col("dst")), col("src")).as("parent"))
         .localCheckpoint(false)
-      // (2) pointer doubling to the roots
+      // (2) pointer doubling to the roots; the settle probe is the same
+      // scalar mass compare as the sibling (parents only decrease under
+      // p∘p), not a per-round join
       var inner = 0
+      var pMass = labelMass(p, "parent")
       var doubled = true
       while (doubled) {
         require(inner < maxIter, s"pointer doubling did not settle in $maxIter rounds")
@@ -300,8 +317,9 @@ object DedupOps {
           .select(col("a.id").as("id"),
             coalesce(col("b.parent"), col("a.parent")).as("parent"))
           .localCheckpoint(false)
-        doubled = p2.as("n").join(p.as("o"), "id")
-          .filter(col("n.parent") =!= col("o.parent")).limit(1).count() > 0
+        val m2 = labelMass(p2, "parent")
+        doubled = m2 != pMass
+        pMass = m2
         p = p2
         inner += 1
       }
