@@ -256,10 +256,17 @@ object DedupOps {
   /** Scalar label mass of a (.., `col`) table — the convergence probe for
     * the iterative component algorithms: labels/parents only ever decrease,
     * so equal mass across rounds ⟺ nothing moved. BigDecimal via String
-    * (scale-insensitive equality); None for an empty table. */
-  private def labelMass(df: DataFrame, colName: String = "component"): Option[String] =
-    Option(df.agg(sum(col(colName).cast("decimal(38,0)"))).head.getDecimal(0))
-      .map(_.stripTrailingZeros.toPlainString)
+    * (scale-insensitive equality); None for an empty table. A null sum over
+    * a NON-empty table is decimal overflow (Spark's non-ANSI Sum nulls out
+    * instead of throwing) — that must fail loudly, not read as None == None
+    * convergence with wrong labels. */
+  private def labelMass(df: DataFrame, colName: String = "component"): Option[String] = {
+    val row = df.agg(count(lit(1)), sum(col(colName).cast("decimal(38,0)"))).head
+    val mass = Option(row.getDecimal(1)).map(_.stripTrailingZeros.toPlainString)
+    require(row.getLong(0) == 0L || mass.isDefined,
+      "label-mass sum overflowed decimal(38,0)")
+    mass
+  }
 
   /** Connected components by STAR CONTRACTION — the adversarial-diameter
     * companion to [[connectedComponents]] (same signature, same output

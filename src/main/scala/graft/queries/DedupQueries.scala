@@ -18,9 +18,7 @@ object DedupQueries {
     * the exact arithmetic of `DedupOps.shingleSets(_, _, _, 3)`. */
   private val ShingleCtes =
     s"""whst AS (SELECT doc_id, $WHS AS whs FROM documents),
-       |shs AS (SELECT doc_id, list_distinct(list_transform(range(0, len(whs) - 2), i ->
-       |          list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(whs, i + 1, i + 3)),
-       |            (h, w) -> (h * ${TextOps.B2} + w) % ${TextOps.P}))) AS shingles
+       |shs AS (SELECT doc_id, ${OracleText.shingleDistinctSql("whs", 3)} AS shingles
        |        FROM whst WHERE len(whs) >= 3)""".stripMargin
 
   /** CTE list producing `pairs(id_a, id_b, jaccard)`: brute-force n-gram
@@ -61,20 +59,26 @@ object DedupQueries {
   private val JaccardBruteSql =
     s"WITH $JaccardPairCtes\nSELECT id_a, id_b, jaccard FROM pairs ORDER BY 1, 2"
 
-  /** Components of the brute-force pair graph via a recursive CTE — shared
-    * by the label-propagation and star-contraction cluster queries (the two
-    * must land on identical components). */
-  private val ClustersOracle =
-    s"""WITH RECURSIVE $JaccardPairCtes,
-       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+  /** CTE block ending in `comp(id, component)`: connected components of the
+    * brute-force `pairs` graph via a recursive CTE. ONE definition — the
+    * cluster queries and the apply query must all validate against the same
+    * component computation. */
+  private val ComponentCtes =
+    s"""edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
        |          UNION ALL SELECT id_b, id_a FROM pairs),
        |walk(id, label) AS (
        |  SELECT src, src FROM edges
        |  UNION
        |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id
-       |)
-       |SELECT id, min(label) AS component FROM walk
-       |GROUP BY id ORDER BY id""".stripMargin
+       |),
+       |comp AS (SELECT id, min(label) AS component FROM walk GROUP BY id)""".stripMargin
+
+  /** Shared by the label-propagation and star-contraction cluster queries
+    * (the two must land on identical components). */
+  private val ClustersOracle =
+    s"""WITH RECURSIVE $JaccardPairCtes,
+       |$ComponentCtes
+       |SELECT id, component FROM comp ORDER BY id""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -140,14 +144,7 @@ object DedupQueries {
     // documents themselves never shuffle (id-only projection).
     QueryDef.withOracle("dedup_apply",
       s"""WITH RECURSIVE $JaccardPairCtes,
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |          UNION ALL SELECT id_b, id_a FROM pairs),
-         |walk(id, label) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id
-         |),
-         |comp AS (SELECT id, min(label) AS component FROM walk GROUP BY id)
+         |$ComponentCtes
          |SELECT d.doc_id, c.id IS NOT NULL AS is_cluster_rep
          |FROM documents d
          |LEFT JOIN (SELECT id FROM comp WHERE id = component) c ON c.id = d.doc_id

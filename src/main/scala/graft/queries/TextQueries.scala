@@ -174,15 +174,14 @@ object TextQueries {
     // Within-document REPETITION scoring — the Gopher-style quality rule
     // (repeated 2-/3-gram fraction; machine-generated and boilerplate text
     // repeats itself). rep_k = 1 - distinct/total over the doc's k-gram
-    // shingle hashes: pure per-row map work (zero shuffles before the
-    // presentation sort); the only division is one exact-integer ratio, so
-    // values are bit-portable. Shingle identity is hash identity, the same
-    // contract the dedup family uses.
+    // shingle hashes: per-row map work with no aggregation shuffle (the
+    // leading repartition only spreads a single-row-group toy input across
+    // cores, like shingleSets — a real corpus arrives pre-split and skips
+    // it); the only division is one exact-integer ratio, so values are
+    // bit-portable. Shingle identity is hash identity, the same contract
+    // the dedup family uses.
     QueryDef.withOracle("text_repetition", {
-      def distinctK(k: Int) =
-        s"""len(list_distinct(list_transform(range(0, len(whs) - ${k - 1}), i ->
-           |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(whs, i + 1, i + $k)),
-           |    (h, w) -> (h * ${TextOps.B2} + w) % ${TextOps.P}))))""".stripMargin
+      def distinctK(k: Int) = s"len(${OracleText.shingleDistinctSql("whs", k)})"
       s"""WITH whst AS (SELECT doc_id, $WHS AS whs FROM documents),
          |d AS (SELECT doc_id,
          |        greatest(len(whs) - 1, 0) AS n2_total, ${distinctK(2)} AS n2_distinct,
@@ -239,6 +238,14 @@ object OracleText {
 
   /** Array of token hashes of the document (mirrors TextOps.wordHashes). */
   val WHS = s"list_transform($TOKS, t -> ${wordHashSql("t")})"
+
+  /** Distinct k-word shingle hashes of a word-hash array expression
+    * (mirrors TextOps.shingleHashesOfHashes) — ONE definition keeps the
+    * dedup and repetition oracles pinned to the same arithmetic. */
+  def shingleDistinctSql(whs: String, k: Int): String =
+    s"list_distinct(list_transform(range(0, len($whs) - ${k - 1}), i -> " +
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice($whs, i + 1, i + $k)), " +
+      s"(h, w) -> (h * ${TextOps.B2} + w) % ${TextOps.P})))"
 
   /** Rolling fingerprint over the token hash stream. */
   val FINGERPRINT =

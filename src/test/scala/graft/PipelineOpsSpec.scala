@@ -221,8 +221,12 @@ class PipelineOpsSpec extends SparkTestBase {
     val d = Seq((123456789L, "a b c", "s0")).toDF("doc_id", "text", "source")
     val plan = PackingOps.packSequences(d, "doc_id", "text", "source", 4L)
       .queryExecution.executedPlan.toString
-    assert(plan.matches("(?s).*windowspecdefinition\\(source[^)]*_ck[^)]*n_tokens.*") ||
-           plan.matches("(?s).*windowspecdefinition\\(source[^)]*_ck.*"), plan)
+    // the CUMSUM window specifically: _ck as a PARTITION column (no sort
+    // direction) followed by the hv ORDER column — the carry window
+    // (partition source, order _ck ASC) must not satisfy this, else the
+    // monolithic-group regression slips through
+    assert(plan.matches("(?s).*windowspecdefinition\\(source#\\d+, _ck#\\d+L?, hv#.*"),
+      plan)
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 

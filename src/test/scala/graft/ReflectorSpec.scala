@@ -255,4 +255,23 @@ class ReflectorSpec extends SparkTestBase {
       Map(("sensor_data", "points", "s1") -> 2L))
     assert(localT.visible("sensor_data", "points").count() == 0L)
   }
+
+  test("flushAll round bound leaves the residual to the next sweep (no starvation)") {
+    val (localT, _, flaky, r) = mk()
+    flaky.down = true
+    // three buckets spooled; cap 1 point/round + maxRounds 2 -> one sweep
+    // may only drain two buckets, the third stays for the next sweep (the
+    // bound exists so a sustained writer cannot pin the sweep on one
+    // measurement forever)
+    r.writePoints("sensor_data", "points", "s1",
+      pts((50L, 1.0), (150L, 2.0), (250L, 3.0)))
+    flaky.down = false
+    val first = r.flushAll(maxPoints = Some(1L), maxRounds = 2)
+    assert(first == Map(("sensor_data", "points", "s1") -> 2L))
+    assert(localT.visible("sensor_data", "points").count() == 1L) // residual
+    assert(r.spooled("sensor_data", "points", "s1"))
+    val second = r.flushAll(maxPoints = Some(1L), maxRounds = 2)
+    assert(second == Map(("sensor_data", "points", "s1") -> 1L))
+    assert(localT.visible("sensor_data", "points").count() == 0L)
+  }
 }
