@@ -351,7 +351,7 @@ object DedupOps {
     * cross join with the dot product as a left fold in double precision —
     * the same evaluation order the DuckDB oracle uses, so values match
     * bitwise. Quadratic by definition: correct at verification scale; at
-    * corpus scale use SimilarityOps' LSH bucketing to prefilter. */
+    * corpus scale use [[embeddingPairsLsh]]. */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
@@ -365,6 +365,79 @@ object DedupOps {
     val cos = SimilarityOps.fastDot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n"))
     withNorm.as("a").join(broadcast(withNorm.as("b")), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), cos.as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Embedding-cosine near-dup pairs, LSH-BUCKETED — the corpus-scale form
+    * (the SemDeDup shape): hyperplane-bucket both sides with the SAME
+    * deterministic planes as [[SimilarityOps.topKLsh]], generate candidate
+    * pairs per (table, bucket) with a Hamming-`probeRadius` bucket probe,
+    * then EXACT-verify each candidate's cosine. Output is identical to
+    * [[embeddingPairs]] up to LSH recall; verification arithmetic is the
+    * same double left fold, so surviving pairs match the brute force
+    * bitwise.
+    *
+    * Scale shape: the all-pairs form is a BroadcastNestedLoopJoin — O(n²)
+    * compute AND a full-corpus broadcast, neither of which exists at 100 TB.
+    * Here the corpus is hashed once into `tables`×n index rows of three
+    * scalars; candidates come from an EQUI-join on (table, bucket) — a
+    * shuffle Spark can always execute — and only 16-byte id pairs reach the
+    * dedup shuffle. Embedding vectors never ride the candidate join; they
+    * re-join by id for the verify step only.
+    *
+    * Recall/prune calibration (p = 1 − θ/π is the per-bit agreement
+    * probability at angle θ):
+    *  - per-table hit = Σ_{h≤probeRadius} C(bits,h)·p^(bits−h)·(1−p)^h;
+    *    miss over L tables = (1 − hit)^L. At the REALISTIC near-dup regime
+    *    (cosine ≥ 0.9, p ≥ 0.79) the defaults give per-pair miss < 1e-12
+    *    while random pairs (p ≈ 0.5) collide at ~37/256 per table — the
+    *    bucket join prunes harder the tighter the threshold.
+    *  - at loose thresholds (this repo's oracle uses 0.4, θ ≈ 66°, p ≈
+    *    0.63) LSH pruning is weak BY PHYSICS — the defaults were measured
+    *    at recall 1.0 on sf0.001/0.01/0.1 with a candidate set ~95% of all
+    *    pairs. The structural win (equi-join instead of corpus broadcast)
+    *    still holds; the prune factor is threshold-bound.
+    * Raise `bits` (and `tables`) together for tighter thresholds/bigger
+    * corpora: bits ~ log2(n) keeps buckets O(1). */
+  def embeddingPairsLsh(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, tables: Int = 24, bits: Int = 8,
+                        dim: Int = 64, probeRadius: Int = 2): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= 2, "probeRadius must be 0, 1 or 2")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // vectors+norms materialized once: read by the index build and twice by
+    // the verify join (see shingleSets note on localCheckpoint-vs-persist)
+    val withNorm = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), SimilarityOps.asDouble(col(vecCol)).as("v"))
+      .withColumn("n", SimilarityOps.norm(col("v")))
+      .localCheckpoint(false)
+    val tb = array((0 until tables).map(t =>
+      struct(lit(t).as("t"),
+        SimilarityOps.lshBucket(col("v"), t, bits, dim).as("b"))): _*)
+    // the index is read by BOTH sides of the candidate self-join
+    val idx = withNorm.select(col("id"), explode(tb).as("tb"))
+      .select(col("id"), col("tb.t").as("t"), col("tb.b").as("b"))
+      .localCheckpoint(false)
+    // Hamming probe on ONE side only (pair candidacy is symmetric): the
+    // fan-out multiplies 24-byte index rows, never vectors
+    val nbrs = col("b") +:
+      ((if (probeRadius >= 1) (0 until bits).map(j => col("b").bitwiseXOR(lit(1L << j)))
+        else Seq.empty) ++
+       (if (probeRadius >= 2)
+          (0 until bits).flatMap(j => (j + 1 until bits).map(k =>
+            col("b").bitwiseXOR(lit((1L << j) | (1L << k)))))
+        else Seq.empty))
+    val probed = idx.select(col("id"), col("t"), explode(array(nbrs: _*)).as("b"))
+    val cand = idx.as("a").join(probed.as("b"),
+        col("a.t") === col("b.t") && col("a.b") === col("b.b") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct() // a pair may collide in several tables/probes
+    val cos = SimilarityOps.fastDot(col("va"), col("vb")) / (col("na") * col("nb"))
+    cand
+      .join(withNorm.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na")), "id_a")
+      .join(withNorm.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"), cos.as("cosine"))
       .filter(col("cosine") >= threshold)
       .orderBy("id_a", "id_b")
   }

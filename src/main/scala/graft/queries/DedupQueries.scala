@@ -180,8 +180,8 @@ object DedupQueries {
         bits = 30, maxHamming = 1)
     },
 
-    // Embedding-cosine near-dup pairs (exact all-pairs at test scale; the
-    // LSH-bucketed path is ann_lsh in SimilarityQueries).
+    // Embedding-cosine near-dup pairs (exact all-pairs — the verification
+    // baseline; quadratic by contract).
     QueryDef.withOracle("dedup_embedding",
       s"""WITH $NORMED
          |SELECT * FROM (
@@ -190,6 +190,24 @@ object DedupQueries {
          |  FROM n a, n b WHERE a.vec_id < b.vec_id
          |) WHERE cosine >= 0.4 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
       DedupOps.embeddingPairs(Tables(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+    },
+
+    // The CORPUS-SCALE form: hyperplane-LSH candidates (24 tables × 8 bits,
+    // Hamming-2 probe) + exact cosine verify — same brute-force oracle as
+    // dedup_embedding, so a hash mismatch means the candidate machinery
+    // dropped a true pair (recall measured 1.0 at sf0.001/0.01/0.1 with
+    // these parameters; at this loose 0.4 threshold pruning is weak by
+    // physics but the corpus-broadcast cross join is gone — see
+    // DedupOps.embeddingPairsLsh scaladoc for the calibration math).
+    QueryDef.withOracle("dedup_embedding_lsh",
+      s"""WITH $NORMED
+         |SELECT * FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         ${OracleVec.dotSql("a", "b")} / (a.nrm * b.nrm) AS cosine
+         |  FROM n a, n b WHERE a.vec_id < b.vec_id
+         |) WHERE cosine >= 0.4 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      DedupOps.embeddingPairsLsh(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        0.4, tables = 24, bits = 8, probeRadius = 2)
     },
 
     // Benchmark decontamination: docs with doc_id % 17 == 0 stand in for the

@@ -147,6 +147,42 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(ivf >= 0.7, s"IVF recall@5 regressed: $ivf")
   }
 
+  test("embeddingPairsLsh equals the all-pairs brute force on the real table") {
+    // the registered-query configuration (24×8, Hamming-2 probe) must reach
+    // EVERY true pair — this is the recall floor behind the
+    // dedup_embedding_lsh oracle entry (measured 1.0 at all three SFs)
+    val f = new java.io.File("/root/testdata/sf0.001/embeddings.parquet")
+    assume(f.exists(), "driver testdata not present")
+    val emb = spark.read.parquet(f.getPath)
+    val brute = DedupOps.embeddingPairs(emb, "vec_id", "embedding", 0.4)
+      .as[(Long, Long, Double)].collect().toSeq
+    val lsh = DedupOps.embeddingPairsLsh(emb, "vec_id", "embedding", 0.4,
+        tables = 24, bits = 8, probeRadius = 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(brute.nonEmpty)
+    assert(lsh == brute) // same pairs, bitwise-identical cosines, same order
+  }
+
+  test("embeddingPairsLsh: planted near-dups at the realistic threshold") {
+    // the SemDeDup regime (cosine >= 0.95): jittered copies of base vectors
+    // must pair with their originals even with NO Hamming probing — at this
+    // tightness single-bucket collisions suffice, which is where the bucket
+    // join actually prunes (see the scaladoc calibration math)
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 40L).map(i => i -> Array.fill(16)(rnd.nextGaussian().toFloat))
+    val jitter = (0L until 5L).map { i =>
+      val src = base(i.toInt)._2
+      (100L + i) -> src.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+    }
+    val emb = (base ++ jitter).toDF("vec_id", "embedding")
+    val got = DedupOps.embeddingPairsLsh(emb, "vec_id", "embedding", 0.95,
+        tables = 24, bits = 8, dim = 16, probeRadius = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (0L until 5L).foreach { i =>
+      assert(got.contains((i, 100L + i)), s"planted pair $i missed")
+    }
+  }
+
   test("benchmarkContamination flags shingle overlap with the benchmark set") {
     // doc 0 is the benchmark; doc 3 is its verbatim copy (contamination 1.0),
     // doc 1 shares most shingles, doc 2 shares none (never reported)
