@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine._
+import graft.streaming.StreamingOps
 import graft.tables.Tables
 import Params._
 
@@ -61,6 +62,19 @@ object EngineQueries {
 
   /** Delete-into-the-future watermark for `engine_delete_future`. */
   private val FUT = MID + 3 * DAY
+
+  /** Session gap for the streaming sessionization face (5 min of µs — the
+    * same gap as the batch tsdb_sessionize). */
+  private val SESSION_GAP = 5 * 60000000L
+
+  /** File-stream source schema for the streaming-face queries. */
+  private val PointSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("series",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("time_us",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("v",
+      org.apache.spark.sql.types.DoubleType)))
 
   /** Shared READ-ONLY engine root, built once per JVM per sf dir: every
     * canonical series written through the full validated append path
@@ -811,6 +825,113 @@ object EngineQueries {
         .select(col("series"), col("time_ns").as("time_us"),
           col("sum_value"), col("min_value"), col("max_value"), col("n"))
         .orderBy("series", "time_us")
+    },
+
+    // SESSION windows through the STREAMING face (StreamingOps.sessionCounts)
+    // — the watermark-handling path the batch tsdb_sessionize cannot cover:
+    // two AvailableNow drains over a growing staging dir, same checkpoint;
+    // drain 2's far-future sentinel pushes the watermark past every real
+    // session so Append mode must finalize and emit ALL of them. Oracle =
+    // batch island detection over the visible input (no consecutive
+    // same-series delta equals the gap at any SF, so the dt==gap boundary
+    // cannot diverge); a watermark bug that drops, duplicates or
+    // half-finalizes a session breaks rows or hash.
+    QueryDef.withOracle("engine_stream_session",
+      s"""WITH pts AS (SELECT series, time_us, v FROM $PTS),
+         |m AS (SELECT series, time_us, v,
+         |  CASE WHEN lag(time_us) OVER w IS NULL
+         |         OR time_us - lag(time_us) OVER w > $SESSION_GAP
+         |       THEN 1 ELSE 0 END AS s
+         |  FROM pts WINDOW w AS (PARTITION BY series ORDER BY time_us)),
+         |g AS (SELECT series, time_us, v,
+         |        sum(s) OVER (PARTITION BY series ORDER BY time_us
+         |                     ROWS UNBOUNDED PRECEDING) AS sid
+         |      FROM m)
+         |SELECT series, min(time_us) AS session_start,
+         |       max(time_us) + $SESSION_GAP AS session_end, count(*) AS n,
+         |       CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM g GROUP BY series, sid
+         |ORDER BY series, session_start""".stripMargin) { (s, dir) =>
+      val stage = java.nio.file.Files.createTempDirectory("graft-sstage-").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-sckpt-").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-sout-").toString
+      val pts = canonicalPoints(s, dir)
+        .select(col("series"), col("time_us"), col("v")).persist()
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        def drain(): Unit =
+          StreamingOps.sessionCounts(
+              s.readStream.schema(PointSchema).parquet(stage),
+              gapUs = SESSION_GAP, watermarkUs = 1000000L)
+            .writeStream.option("checkpointLocation", ckpt)
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .format("parquet").option("path", out)
+            .start().awaitTermination()
+        pts.repartition(1).write.mode("append").parquet(stage)
+        drain()
+        import s.implicits._
+        // sentinel far beyond the data: its own session never finalizes,
+        // but drain 2's watermark now closes every REAL session
+        Seq(("zzz_sentinel", 1710000000000000L, 0.0))
+          .toDF("series", "time_us", "v")
+          .repartition(1).write.mode("append").parquet(stage)
+        drain()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        pts.unpersist()
+      }
+      s.read.parquet(out).filter(col("series") =!= "zzz_sentinel")
+        .orderBy("series", "session_start")
+    },
+
+    // Counter-RATE through the streaming face (StreamingOps.streamingRate):
+    // per-series O(1) state carries the last point across micro-batches, so
+    // the batch-2 boundary rate must be repaired FROM STATE — a state bug
+    // (lost/stale last point, wrong batch ordering) breaks exactly the
+    // boundary rows. Oracle = the batch lag() rate over the visible input,
+    // same reset-aware arithmetic as tsdb_rate.
+    QueryDef.withOracle("engine_stream_rate",
+      s"""SELECT series, time_us, v,
+         |       (CASE WHEN v >= lag(v) OVER w THEN v - lag(v) OVER w
+         |             ELSE v END) /
+         |         ((time_us - lag(time_us) OVER w) / 1000000.0) AS rate
+         |FROM $PTS
+         |WINDOW w AS (PARTITION BY series ORDER BY time_us)
+         |ORDER BY series, time_us""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val stage = java.nio.file.Files.createTempDirectory("graft-rtstage-").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-rtckpt-").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-rtout-").toString
+      val pts = canonicalPoints(s, dir)
+        .select(col("series"), col("time_us"), col("v")).persist()
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        def drain(): Unit =
+          StreamingOps.streamingRate(
+              s.readStream.schema(PointSchema).parquet(stage)
+                .as[StreamingOps.Point],
+              unitsPerSecond = 1000000.0)
+            .writeStream.option("checkpointLocation", ckpt)
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .format("parquet").option("path", out)
+            .start().awaitTermination()
+        // split at MID: the first rate of batch 2 must join across the
+        // checkpoint boundary via carried state
+        pts.filter(col("time_us") <= MID).repartition(1)
+          .write.mode("append").parquet(stage)
+        drain()
+        pts.filter(col("time_us") > MID).repartition(1)
+          .write.mode("append").parquet(stage)
+        drain()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        pts.unpersist()
+      }
+      s.read.parquet(out).orderBy("series", "time_us")
     },
 
     // Cross-SERIES alignment THROUGH the engine layout: backward as-of join

@@ -66,14 +66,18 @@ object StreamingOps {
     * `gapUs` of silence collapse to one row (count + value sum + bounds) —
     * the classic sessionization the reference cannot express. Spark's
     * `session_window` merges window state incrementally; the watermark
-    * finalizes a session once no point can extend it. */
+    * finalizes a session once no point can extend it. The sum uses the
+    * engine's order-independent decimal-2 accumulation (incremental session
+    * merges combine state in arbitrary order; a double sum would drift from
+    * the batch aggregation of the same points — see StreamingRollup). */
   def sessionCounts(points: DataFrame, gapUs: Long, watermarkUs: Long): DataFrame =
     points
       .withColumn("event_time", timestamp_micros(col("time_us")))
       .withWatermark("event_time", s"$watermarkUs microseconds")
       .groupBy(col("series"),
         session_window(col("event_time"), s"$gapUs microseconds"))
-      .agg(count(lit(1)).as("n"), sum("v").as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        graft.ops.TimeSeriesOps.sumExact2(col("v")).as("sum_value"))
       .select(col("series"),
         unix_micros(col("session_window.start")).as("session_start"),
         unix_micros(col("session_window.end")).as("session_end"),
