@@ -297,6 +297,11 @@ object DedupOps {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .filter(col("src") =!= col("dst")).distinct()
       .localCheckpoint(false)
+    // the emptiness probe is FUSED with materialization: localCheckpoint is
+    // lazy, so this count() is the job that computes and caches the edge
+    // blocks (which the hook would have to materialize anyway) — the loop
+    // condition then costs zero extra jobs per round
+    var edgeCount = edges.count()
     // cumulative mapping over the RAW endpoint set (a vertex seen only in a
     // self-pair survives as its own component, like the sibling), refined
     // every outer round
@@ -305,7 +310,7 @@ object DedupOps {
       .select(col("id"), col("id").as("component"))
       .localCheckpoint(false)
     var outer = 0
-    while (edges.limit(1).count() > 0) {
+    while (edgeCount > 0) {
       require(outer < maxIter, s"star contraction did not converge in $maxIter rounds")
       // (1) hook: p(v) = min(v, min neighbor) — a forest, roots = local minima
       var p = edges.groupBy(col("src").as("id"))
@@ -342,6 +347,8 @@ object DedupOps {
         .select(col("pa.parent").as("src"), col("pb.parent").as("dst"))
         .filter(col("src") =!= col("dst")).distinct()
         .localCheckpoint(false)
+      // materialize-and-count in one job (next round's loop check is free)
+      edgeCount = edges.count()
       outer += 1
     }
     mapping

@@ -96,6 +96,49 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(selfish == Map(5L -> 5L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("star contraction issues no probe actions beyond the fused minimum (listener gate)") {
+    // the convergence machinery's driver-blocking actions are pinned: per
+    // outer round, exactly ONE hook-mass head + ONE fused materialize-and-
+    // count (the emptiness probe rides the count that caches the contracted
+    // edges — localCheckpoint is lazy), plus one mass head per pointer-
+    // doubling step. On the 119-hop chain: 1 outer round, 7 doublings + 1
+    // settle-confirm -> 2 counts (initial + round), <= 10 heads, 1 collect.
+    // A reintroduced per-round limit/count probe or a per-step extra action
+    // breaks these bounds.
+    val chain = (0L until 120L).sliding(2).map(w => (w(0), w(1))).toSeq
+      .toDF("id_a", "id_b")
+    val names = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit = {
+        names.add(funcName); ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      val got = DedupOps.connectedComponentsStar(chain, maxIter = 50)
+        .as[(Long, Long)].collect()
+      assert(got.length == 120 && got.forall(_._2 == 0L))
+      // the listener bus is async: poll until the action stream stabilizes
+      var prev = -1; var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val c = names.size
+        if (c == prev) stable += 1 else { stable = 0; prev = c }
+      }
+    } finally spark.listenerManager.unregister(l)
+    import scala.jdk.CollectionConverters._
+    val byName = names.asScala.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byName.getOrElse("count", 0) <= 2,
+      s"emptiness probes not fused with materialization: $byName")
+    assert(byName.getOrElse("head", 0) <= 10,
+      s"extra per-step convergence probes: $byName")
+    val blocking = byName.view.filterKeys(_ != "localCheckpoint").values.sum
+    assert(blocking <= 13, s"driver-blocking action count regressed: $byName")
+  }
+
   test("simhashPairs: exact dup at hamming 0; pigeonhole banding finds it") {
     val pairs = DedupOps.simhashPairs(docs, "doc_id", "text", bits = 30, maxHamming = 2)
       .as[(Long, Long, Long)].collect().map { case (a, b, h) => ((a, b), h) }.toMap
