@@ -95,6 +95,75 @@ object MultimodalQueries {
           col("width").as("dst_w"), col("height").as("dst_h"),
           col("n_bytes"), col("mean_byte"))
         .orderBy("asset_id")
+    },
+
+    // REAL byte decoding: each doc becomes a genuine 24bpp BMP (header,
+    // bottom-up BGR rows, 4-byte padding) whose pixels are the text bytes
+    // tiled over a (doc_id-derived) w×h grid; BmpCodec PARSES the actual
+    // layout back. The oracle recomputes the decoded-pixel stats from the
+    // text + tiling arithmetic alone — a header/offset/row-order/padding
+    // bug in either codec direction breaks the match.
+    QueryDef.withOracle("mm_decode_bmp",
+      """WITH a AS (
+        |  SELECT doc_id, text,
+        |         CAST(doc_id % 8 + 1 AS INT) AS w,
+        |         CAST(doc_id % 6 + 1 AS INT) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, list_transform(range(0, w * h * 3),
+        |           i -> CASE WHEN length(text) = 0 THEN 0
+        |                     ELSE unicode(substr(text,
+        |                            CAST(i % length(text) + 1 AS INT), 1)) END) AS cs
+        |  FROM a)
+        |SELECT doc_id AS asset_id, 'bmp' AS format,
+        |  CAST(len(cs) AS BIGINT) AS n_bytes,
+        |  CAST(list_sum(cs) AS DOUBLE) / len(cs) AS mean_byte,
+        |  array_to_string(list_transform(range(0, 16),
+        |    b -> CAST(len(list_filter(cs, x -> x // 16 = b)) AS VARCHAR)), ',') AS byte_hist
+        |FROM c ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      MultimodalOps.decodeFeatures(
+        MultimodalOps.bmpAssetsFromDocuments(Tables(s, dir, "documents")))
+        .toDF()
+        .select(col("asset_id"), col("format"), col("n_bytes"), col("mean_byte"),
+          concat_ws(",", col("byte_hist")).as("byte_hist"))
+        .orderBy("asset_id")
+    },
+
+    // REAL nearest-neighbor resize on the decoded pixel grid (dst(x,y) =
+    // src(2x, 2y), dims ceil-halved), fused with stats of the RESIZED
+    // pixels. The oracle replays the sampling indices over the tiled text
+    // bytes — wrong stride arithmetic, a BGR/RGB swap that survives
+    // averaging by luck, or an off-by-one on the grid breaks the match.
+    QueryDef.withOracle("mm_resize_bmp",
+      """WITH a AS (
+        |  SELECT doc_id, text,
+        |         CAST(doc_id % 8 + 1 AS INT) AS w,
+        |         CAST(doc_id % 6 + 1 AS INT) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, w, h,
+        |         (w + 1) // 2 AS dw, (h + 1) // 2 AS dh,
+        |         flatten(flatten(
+        |           list_transform(range(0, (h + 1) // 2), y ->
+        |             list_transform(range(0, (w + 1) // 2), x ->
+        |               list_transform(range(0, 3), ch ->
+        |                 CASE WHEN length(text) = 0 THEN 0
+        |                      ELSE unicode(substr(text,
+        |                        CAST((((2 * y) * w + 2 * x) * 3 + ch)
+        |                               % length(text) + 1 AS INT), 1)) END))))) AS rs
+        |  FROM a)
+        |SELECT doc_id AS asset_id, 'bmp' AS format,
+        |  CAST(dw AS INT) AS dst_w, CAST(dh AS INT) AS dst_h,
+        |  CAST(len(rs) AS BIGINT) AS n_bytes,
+        |  CAST(list_sum(rs) AS DOUBLE) / len(rs) AS mean_byte
+        |FROM r ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      MultimodalOps.resizeFeatures(
+        MultimodalOps.bmpAssetsFromDocuments(Tables(s, dir, "documents")), stride = 2)
+        .toDF()
+        .select(col("asset_id"), col("format"),
+          col("width").as("dst_w"), col("height").as("dst_h"),
+          col("n_bytes"), col("mean_byte"))
+        .orderBy("asset_id")
     }
   )
 }

@@ -358,6 +358,35 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(r == 1.0)
   }
 
+  test("BmpCodec: encode/decode round-trips pixels through the real byte layout") {
+    // w=3 exercises row padding (9 pixel bytes -> 12-byte rows); the decoder
+    // must undo bottom-up row order AND the BGR channel swap
+    val w = 3; val h = 2
+    val rgb = Array.tabulate[Byte](w * h * 3)(i => (i * 7 + 3).toByte)
+    val bmp = BmpCodec.encode(w, h, rgb)
+    assert(bmp.length == 54 + 12 * h) // header + padded rows
+    assert(bmp(0) == 'B'.toByte && bmp(1) == 'M'.toByte)
+    val (dw, dh, back) = BmpCodec.decode(bmp)
+    assert(dw == w && dh == h)
+    assert(back.toSeq == rgb.toSeq)
+    // malformed payloads fail loudly, not as garbage stats
+    intercept[IllegalArgumentException](BmpCodec.decode(Array[Byte](1, 2, 3)))
+    intercept[IllegalArgumentException](
+      BmpCodec.decode(("XX" + " " * 60).getBytes("ISO-8859-1")))
+  }
+
+  test("decodeFeatures routes bmp payloads to the REAL parser") {
+    val rgb = Array.tabulate[Byte](2 * 2 * 3)(i => (i * 16).toByte)
+    val asset = Seq((5L, "bmp", BmpCodec.encode(2, 2, rgb), 2, 2, 3, 0))
+      .toDF("asset_id", "format", "payload", "width", "height", "channels", "sample_rate")
+    val f = MultimodalOps.decodeFeatures(asset).collect().head
+    assert(f.n_bytes == 12) // DECODED pixel bytes, not the encoded file size
+    assert(f.mean_byte == rgb.map(_ & 0xff).sum.toDouble / 12)
+    // the same payload through the stub would count header bytes too
+    assert(FakeDecoder.decode(MediaAsset(5L, "image",
+      BmpCodec.encode(2, 2, rgb), 2, 2, 3, 0)).n_bytes == 54 + 8 * 2)
+  }
+
   test("FakeDecoder features are exact on a known payload") {
     val a = MediaAsset(7L, "image", Array[Byte](0, 15, 16, -1), 1, 1, 3, 16000)
     val f = FakeDecoder.decode(a)
