@@ -93,7 +93,7 @@ object SimilarityOps {
   def topKLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, tables: Int = 4, bits: Int = 4,
               dim: Int = 64, probeRadius: Int = 1): DataFrame = {
-    require(probeRadius >= 0 && probeRadius <= 1, "probeRadius must be 0 or 1")
+    require(probeRadius >= 0 && probeRadius <= 2, "probeRadius must be 0, 1 or 2")
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     def bucketed(df: DataFrame, idAs: String, vAs: String, nAs: String): DataFrame = {
       val base = df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as(vAs))
@@ -106,10 +106,16 @@ object SimilarityOps {
     }
     val c = bucketed(corpus, "neighbor_id", "cv", "cn")
     val q0 = bucketed(queries, "query_id", "qv", "qn")
+    val probes = col("b") +:
+      ((if (probeRadius >= 1) (0 until bits).map(j => col("b").bitwiseXOR(lit(1L << j)))
+        else Seq.empty) ++
+       (if (probeRadius >= 2)
+          (0 until bits).flatMap(j => (j + 1 until bits).map(j2 =>
+            col("b").bitwiseXOR(lit((1L << j) | (1L << j2)))))
+        else Seq.empty))
     val q = if (probeRadius == 0) q0 else
       q0.select(col("query_id"), col("qv"), col("qn"), col("t"),
-        explode(array(col("b") +:
-          (0 until bits).map(j => col("b").bitwiseXOR(lit(1L << j))): _*)).as("b"))
+        explode(array(probes: _*)).as("b"))
     // cosine computed BEFORE the pair dedup: the dedup shuffle then carries
     // three scalars per candidate instead of two embedding vectors
     val scored = c.join(broadcast(q), Seq("t", "b"))
