@@ -39,19 +39,27 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * per-series, and a version-number tie between different series is
   * harmless). Compactions are collision-free for ANY number of concurrent
   * writers: snapshots carry uuid-distinct names (no rename-overwrite can
-  * drop a commit), readers merge all snapshots at the newest version, and
-  * each snapshot records the NAMES of the files it folded in a header line
-  * — a delta present in the directory applies unless a live snapshot's
-  * merged-set names it (names are uuid-unique, so the test is exact). That
-  * closes the former ≥3-writer hazard of a straggler delta versioned
-  * strictly below a snapshot that never saw it: the straggler is absent
-  * from every merged-set, so it still applies, and the next compaction
-  * folds it. Applying a straggler after a newer snapshot is safe because
-  * writers own disjoint series (a series' own writes are serialized by its
-  * single writer). Snapshots written by pre-header versions of this class
-  * lack the merged-set; readers then fall back to the version filter alone
-  * for that directory (the old ≥3-writer caveat applies until the next
-  * compaction rewrites the snapshot with a header).
+  * drop a commit), readers merge all snapshots at the newest version
+  * COMMUTATIVELY — per series, the componentwise max of (time_first,
+  * time_last), which is the latest state because both fields are monotone
+  * non-decreasing under the engine's only mutations (append-at-the-end,
+  * delete-from-the-front) and a series has one writer. Two same-version
+  * compactors that disagree on a straggler delta (one folded it and
+  * deleted it, the other listed before it existed) therefore agree after
+  * the merge: the folded, newer entry wins fieldwise, whatever order the
+  * snapshot names sort in. Each snapshot additionally records the NAMES of
+  * the files it folded in a header line — a delta present in the directory
+  * applies unless a live snapshot's merged-set names it (names are
+  * uuid-unique, so the test is exact). That closes the former ≥3-writer
+  * hazard of a straggler delta versioned strictly below a snapshot that
+  * never saw it: the straggler is absent from every merged-set, so it
+  * still applies, and the next compaction folds it. Delta application uses
+  * the same monotone merge, so a straggler applying after a snapshot that
+  * already folded a newer state of its series cannot rewind it. Snapshots
+  * written by pre-header versions of this class lack the merged-set;
+  * readers then fall back to the version filter alone for that directory
+  * (the old ≥3-writer caveat applies until the next compaction rewrites
+  * the snapshot with a header).
   *
   * All of the above assumes point-in-time-consistent directory LISTINGS
   * (POSIX, HDFS, and strongly-consistent object stores like current S3).
@@ -119,13 +127,41 @@ final class WatermarkStore(dir: Path, hconf: Configuration) {
 
   private def decode(l: Listing): Map[String, SeriesRange] = {
     val snaps = l.liveSnaps.map(p => parseSnapshot(readString(p)))
-    val base = snaps.foldLeft(Map.empty[String, SeriesRange])((acc, s) => acc ++ s._2)
+    // COMMUTATIVE per-series merge, not name-order ++: two same-version
+    // snapshots can disagree on a series when one folded a straggler delta
+    // the other never listed (and then deleted it) — name-order would let
+    // the stale entry win if its snapshot sorts last. Both watermark fields
+    // are monotone non-decreasing over a series' life (appends only advance
+    // time_last — wal semantics; delete-from-front/retention only advance
+    // time_first; no mutation ever rewinds either), and a series has ONE
+    // writer, so its states are totally ordered and the componentwise max
+    // IS the latest state, whatever order the snapshots merge in.
+    val base = snaps.foldLeft(Map.empty[String, SeriesRange])(
+      (acc, s) => mergeMonotone(acc, s._2))
     // merged-set known only if EVERY live snapshot carries a header
     val merged = if (snaps.forall(_._1.isDefined))
       Some(snaps.flatMap(_._1.get).toSet) else None
+    // deltas stay latest-wins in version order (their entries are authored
+    // by the series' single writer, so later versions subsume earlier) —
+    // but the monotone merge is used here too: it is identical for ordered
+    // states and additionally immune to a straggler applying after a
+    // snapshot that already folded a newer state of the same series.
     l.liveDeltas(merged).foldLeft(base)(
-      (acc, d) => acc ++ parseLines(readString(d._2)))
+      (acc, d) => mergeMonotone(acc, parseLines(readString(d._2))))
   }
+
+  /** Merge `upd` into `acc` taking the componentwise max per series — the
+    * commutative, idempotent join of monotone watermark states. */
+  private def mergeMonotone(acc: Map[String, SeriesRange],
+                            upd: Map[String, SeriesRange]): Map[String, SeriesRange] =
+    upd.foldLeft(acc) { case (a, (sn, r)) =>
+      a.updatedWith(sn) {
+        case Some(prev) => Some(SeriesRange(
+          math.max(prev.timeFirst, r.timeFirst),
+          math.max(prev.timeLast, r.timeLast)))
+        case None => Some(r)
+      }
+    }
 
   private def loadFrom(l: Listing): Map[String, SeriesRange] = {
     val sig = l.signature

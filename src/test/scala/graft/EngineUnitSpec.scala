@@ -107,6 +107,67 @@ class EngineUnitSpec extends SparkTestBase {
       assert(table.get(s"w$t-$i").contains(SeriesRange(i, i + t)), s"lost w$t-$i")
   }
 
+  test("WatermarkStore: same-version snapshots disagreeing on a folded straggler merge commutatively") {
+    // the two-compactor race: C1 folded straggler delta d (and deleted it),
+    // C2 listed before d existed — both snapshots carry version 5. C1's
+    // snapshot holds the NEWER state of d's series; C2's holds the stale
+    // one. C1's uuid sorts FIRST here, so the old name-order ++ merge would
+    // let the stale entry (sorting last) win — the monotone per-series max
+    // must pick the folded state instead, in either name order.
+    val dir = wmDir()
+    val fs = dir.getFileSystem(hconf)
+    def write(name: String, body: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(dir, name), true)
+      out.write(body.getBytes("UTF-8")); out.close()
+    }
+    val newer = Map("s" -> SeriesRange(50, 90), "a" -> SeriesRange(1, 2))
+    val stale = Map("s" -> SeriesRange(10, 60), "b" -> SeriesRange(3, 4))
+    write("snap-0000000000000005-00000000.jsonl", // C1: folded d, sorts first
+      WatermarkStore.encodeSnapshot(Seq("delta-0000000000000002-dddddddd.jsonl"), newer))
+    write("snap-0000000000000005-ffffffff.jsonl", // C2: never saw d, sorts last
+      WatermarkStore.encodeSnapshot(Nil, stale))
+    val table = new WatermarkStore(dir, hconf).load()
+    assert(table.get("s").contains(SeriesRange(50, 90)), s"stale entry won: $table")
+    assert(table.get("a").contains(SeriesRange(1, 2)))
+    assert(table.get("b").contains(SeriesRange(3, 4)))
+    // and a straggler delta that BOTH merged-sets miss still applies — but
+    // cannot rewind a series a live snapshot already knows a newer state of
+    write("delta-0000000000000001-eeeeeeee.jsonl",
+      """{"series":"s","time_first":5,"time_last":40}""" + "\n" +
+      """{"series":"late","time_first":7,"time_last":9}""" + "\n")
+    val table2 = new WatermarkStore(dir, hconf).load()
+    assert(table2.get("late").contains(SeriesRange(7, 9)))
+    assert(table2.get("s").contains(SeriesRange(50, 90)))
+  }
+
+  test("WatermarkStore: 1e5-series catalog soak — bounded listing, sub-second cold load") {
+    // the catalog-scale contract: however many series and updates, the
+    // directory stays one live snapshot + at most CompactThreshold deltas
+    // (+ transiently-unmerged tails), and a COLD reader decodes the whole
+    // table from that bounded listing in interactive time
+    val dir = wmDir()
+    val store = new WatermarkStore(dir, hconf)
+    val perBatch = 1000
+    val batches = 100 // 1e5 distinct series
+    (0 until batches).foreach { b =>
+      store.update((0 until perBatch).map { i =>
+        val sn = s"sensor-${b * perBatch + i}"
+        sn -> SeriesRange(b.toLong, b.toLong + 1000L)
+      }.toMap)
+    }
+    val fs = dir.getFileSystem(hconf)
+    val listing = fs.listStatus(dir).map(_.getPath.getName)
+    assert(listing.count(_.startsWith("snap-")) == 1, listing.mkString(","))
+    assert(listing.count(_.startsWith("delta-")) <= WatermarkStore.CompactThreshold + 1,
+      s"${listing.length} files")
+    val t0 = System.nanoTime()
+    val cold = new WatermarkStore(dir, hconf).load()
+    val loadMs = (System.nanoTime() - t0) / 1000000
+    assert(cold.size == batches * perBatch)
+    assert(cold.get("sensor-99999").contains(SeriesRange(99, 1099)))
+    assert(loadMs < 1000, s"cold load took $loadMs ms")
+  }
+
   test("WatermarkStore snapshot header round-trips; headerless body is legacy") {
     val m = Map("a" -> SeriesRange(1, 2), "b" -> SeriesRange(3, 4))
     val body = WatermarkStore.encodeSnapshot(Seq("delta-x", "snap-y"), m)
