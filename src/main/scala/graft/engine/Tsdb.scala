@@ -994,11 +994,20 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
         s"migrating legacy rollup '$legacyName' -> '${target.getName}' failed")
       wmStores.remove((db, legacyName))
       wmStores.remove((db, target.getName))
-    } else throw new MeasurementExistsException(db, legacyName,
-      s"legacy pre-field rollup '$legacyName' exists and measurement '$m' has " +
-      s"fields ${parentFields.mkString(",")} — cannot infer its source field; " +
-      s"rename it to '${m}__rollup_<field>_$windowWidth' (its actual source " +
-      "field) before downsampling")
+    } else {
+      // the ambiguity is WHICH field the legacy root belonged to — it can
+      // only affect a field still waiting for migration. A field whose
+      // correctly-named rollup already exists is unaffected (downsample
+      // recomputes its windows from the parent either way), so it may
+      // proceed; only fields without a migrated rollup stay blocked.
+      val target = measPath(db, Rollups.name(m, field, windowWidth))
+      if (fs(target).exists(target)) return
+      throw new MeasurementExistsException(db, legacyName,
+        s"legacy pre-field rollup '$legacyName' exists and measurement '$m' has " +
+        s"fields ${parentFields.mkString(",")} — cannot infer its source field; " +
+        s"rename it to '${m}__rollup_<field>_$windowWidth' (its actual source " +
+        "field) before downsampling")
+    }
   }
 
   // ---------------------------------------------------------------- paths/io

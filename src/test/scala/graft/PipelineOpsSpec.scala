@@ -297,17 +297,30 @@ class PipelineOpsSpec extends SparkTestBase {
   test("packSequences plan regression: chunked cumsum window + broadcast carry") {
     // executable form of the PLANS.md digest: the cumsum window must
     // partition by (group, chunk) — not group alone, which would serialize
-    // a monolithic group — and the cross-chunk carry must arrive broadcast
+    // a monolithic group — and the cross-chunk carry must arrive broadcast.
+    // Asserted on LOGICAL Window structure (partitionSpec/orderSpec
+    // attributes), not the rendered plan string, which shifts across Spark
+    // versions and AQE rendering changes.
     val d = Seq((123456789L, "a b c", "s0")).toDF("doc_id", "text", "source")
-    val plan = PackingOps.packSequences(d, "doc_id", "text", "source", 4L)
-      .queryExecution.executedPlan.toString
-    // the CUMSUM window specifically: _ck as a PARTITION column (no sort
-    // direction) followed by the hv ORDER column — the carry window
-    // (partition source, order _ck ASC) must not satisfy this, else the
-    // monolithic-group regression slips through
-    assert(plan.matches("(?s).*windowspecdefinition\\(source#\\d+, _ck#\\d+L?, hv#.*"),
-      plan)
-    assert(plan.contains("BroadcastHashJoin"), plan)
+    val df = PackingOps.packSequences(d, "doc_id", "text", "source", 4L)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    // the CUMSUM window: partitions by BOTH the group and the chunk column,
+    // ordered by the hv hash — the carry window (partition source, order
+    // _ck) must not satisfy this, else the monolithic-group regression
+    // slips through
+    def partNames(w: org.apache.spark.sql.catalyst.plans.logical.Window): Set[String] =
+      w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+    def orderNames(w: org.apache.spark.sql.catalyst.plans.logical.Window): Seq[String] =
+      w.orderSpec.flatMap(_.child.references.map(_.name))
+    assert(windows.exists(w =>
+        partNames(w) == Set("source", "_ck") && orderNames(w).contains("hv")),
+      windows.map(w => (partNames(w), orderNames(w))).toString)
+    // the cross-chunk carry table arrives broadcast (tiny by construction:
+    // group × chunk rows)
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      df.queryExecution.executedPlan.toString.take(2000))
   }
 
   test("chunkSpans: overlap arithmetic, short docs one chunk, empty docs none") {

@@ -289,6 +289,22 @@ class TsdbEngineSpec extends SparkTestBase {
     val e = intercept[MeasurementExistsException](
       t3.downsample("db1", "multi", "s1", "v", 100L, 199L, 100L))
     assert(e.getMessage.contains("cannot infer"))
+    // ...but a field whose MIGRATED rollup already exists is unaffected by
+    // the ambiguity (its windows recompute from the parent either way):
+    // downsampling g first (blocked), then after g's rollup exists under
+    // the new naming the legacy root no longer blocks g
+    intercept[MeasurementExistsException](
+      t3.downsample("db1", "multi", "s1", "g", 100L, 199L, 100L))
+    rename("db1/multi__rollup_100", "db1/multi__rollup_keep_100") // park it
+    t3.downsample("db1", "multi", "s1", "g", 100L, 199L, 100L)
+    rename("db1/multi__rollup_keep_100", "db1/multi__rollup_100") // back
+    val t4 = new Tsdb(spark, root, requestedBucketWidth = 100L)
+    // g's migrated rollup exists -> proceeds despite the legacy root;
+    // v still has no migrated rollup -> still blocked
+    assert(t4.downsample("db1", "multi", "s1", "g", 100L, 199L, 100L)
+      == "multi__rollup_g_100")
+    intercept[MeasurementExistsException](
+      t4.downsample("db1", "multi", "s1", "v", 100L, 199L, 100L))
   }
 
   test("listActiveSeries counts visible points per series") {
