@@ -1000,6 +1000,12 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
       // correctly-named rollup already exists is unaffected (downsample
       // recomputes its windows from the parent either way), so it may
       // proceed; only fields without a migrated rollup stay blocked.
+      // Trade-off, consciously taken: if the legacy root actually belonged
+      // to THIS field and the parent raw data has since been retained
+      // away, the legacy root's historical windows stay stranded under the
+      // legacy name — recoverable any time by the same manual rename the
+      // error below prescribes. The alternative (blocking every field
+      // forever) was judged worse for the common case.
       val target = measPath(db, Rollups.name(m, field, windowWidth))
       if (fs(target).exists(target)) return
       throw new MeasurementExistsException(db, legacyName,

@@ -204,6 +204,12 @@ object MultimodalOps {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
+        // ASCII contract enforced LOUDLY: the DuckDB oracle tiles full
+        // unicode() codepoints while the pixel bytes are chars truncated
+        // to a byte — identical only below 128. A non-ASCII corpus must
+        // fail here, not silently diverge from the oracle.
+        require(text.forall(_ < 128),
+          s"bmp fixture requires ASCII text (doc $id)")
         val w = (id % 8 + 1).toInt
         val h = (id % 6 + 1).toInt
         val rgb = Array.tabulate(w * h * 3)(i =>

@@ -795,24 +795,19 @@ object EngineQueries {
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
-        val srcSchema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("series",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("time_us",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("v",
-            org.apache.spark.sql.types.DoubleType)))
         def drain(): Unit =
           StreamingRollup.start(t, "bench", "events",
-            s.readStream.schema(srcSchema).parquet(stage),
+            s.readStream.schema(PointSchema).parquet(stage),
             windowUs = DAY, watermarkUs = 1000000L, checkpoint = ckpt)
             .awaitTermination()
         pts.repartition(1).write.mode("append").parquet(stage)
         drain()
-        // sentinel far beyond the data: its own window never finalizes,
+        // sentinel DERIVED from the data horizon (a hardcoded date breaks
+        // silently on scaled-up inputs): its own window never finalizes,
         // but drain 2's watermark now closes every REAL window
         import s.implicits._
-        Seq(("zzz_sentinel", 1710000000000000L, 0.0))
+        val sentinelTs = pts.agg(max("time_us")).head().getLong(0) + 30 * DAY
+        Seq(("zzz_sentinel", sentinelTs, 0.0))
           .toDF("series", "time_us", "v")
           .repartition(1).write.mode("append").parquet(stage)
         drain()
@@ -872,9 +867,12 @@ object EngineQueries {
         pts.repartition(1).write.mode("append").parquet(stage)
         drain()
         import s.implicits._
-        // sentinel far beyond the data: its own session never finalizes,
-        // but drain 2's watermark now closes every REAL session
-        Seq(("zzz_sentinel", 1710000000000000L, 0.0))
+        // sentinel DERIVED from the data horizon (hardcoding a date breaks
+        // silently on scaled-up inputs whose horizon passes it): its own
+        // session never finalizes, but drain 2's watermark now closes
+        // every REAL session
+        val sentinelTs = pts.agg(max("time_us")).head().getLong(0) + 30 * DAY
+        Seq(("zzz_sentinel", sentinelTs, 0.0))
           .toDF("series", "time_us", "v")
           .repartition(1).write.mode("append").parquet(stage)
         drain()

@@ -8,18 +8,28 @@ import org.apache.spark.sql.functions._
   * per-query WORK scales ~linearly instead of super-linearly:
   *
   *  - events: each replica r shifts `ts` by r·(span + 1 day) and offsets
-  *    `event_id` — every series grows factor× in points over a factor×
-  *    longer horizon (the append-only growth direction; strictly-increasing
-  *    per-series timestamps are preserved).
-  *  - documents: `doc_id` offset per replica and a replica-unique token
-  *    appended to `text` — WITHIN-replica near-dup structure is preserved
-  *    while cross-replica pairs cannot form (verbatim replicas would square
-  *    the pair count: a k-cluster would become a factor·k-cluster and the
-  *    Jaccard join would grow factor², not factor).
-  *  - embeddings: `vec_id` offset and a deterministic per-replica sign-flip
-  *    pattern over the dimensions — norms and within-replica cosines are
-  *    EXACTLY preserved (sign flips are an isometry), cross-replica cosines
-  *    decorrelate.
+  *    `event_id`; every other column rides along unchanged — every series
+  *    grows factor× in points over a factor× longer horizon (the
+  *    append-only growth direction; strictly-increasing per-series
+  *    timestamps are preserved).
+  *  - documents: `doc_id` offset per replica and EVERY token prefixed with
+  *    a replica tag (`z<r>q<token>`). The prefix map is a bijection on
+  *    tokens, so within-replica shingle-set relations — and therefore the
+  *    whole near-dup pair structure — are preserved exactly, while tokens
+  *    of different replicas can never collide: cross-replica Jaccard is 0
+  *    and the pair count grows exactly factor×. (A single APPENDED tag
+  *    does not work: replicas of a T-word doc would still share T−2 of T
+  *    shingles, J=(T−2)/T ≥ 0.8 for T ≥ 10 — every doc would pair with
+  *    its own replicas and the pair count would grow factor²).
+  *  - embeddings: `vec_id` offset and a deterministic per-replica sign
+  *    flip of a hashed dimension subset — norms and within-replica cosines
+  *    are EXACTLY preserved (sign flips are an isometry). NOTE cosine
+  *    pair-thresholding does NOT scale linearly on this data regardless of
+  *    the flip pattern: decorrelated cross-replica pairs still cross a
+  *    loose threshold at the data's baseline random-pair rate (~4.6e-4 at
+  *    0.4), so pair-output-bound queries over embeddings grow ~factor².
+  *    That is cosine-distribution physics, not an operator property — the
+  *    scale bench documents it instead of hiding it.
   *
   * Usage: runMain graft.tools.GenScale <srcDir> <outDir> [factor=10]
   */
@@ -40,40 +50,41 @@ object GenScale {
 
     val reps = spark.range(0, factor).select(col("id").as("_r"))
 
+    def replicated(table: String)(cols: (String, org.apache.spark.sql.Column)*): Unit = {
+      val df = spark.read.parquet(s"$src/$table.parquet")
+      val overrides = cols.toMap
+      val outCols = df.columns.toSeq.map(c =>
+        overrides.getOrElse(c, col(c)).as(c))
+      df.crossJoin(broadcast(reps))
+        .select(outCols: _*)
+        .repartition(16).write.mode(SaveMode.Overwrite)
+        .parquet(s"$out/$table.parquet")
+    }
+
     val ev = spark.read.parquet(s"$src/events.parquet")
     val Array(mn, mx) = ev.agg(min("ts"), max("ts")).as[(Long, Long)]
       .collect().map(t => Array(t._1, t._2)).head
     val span = (mx - mn) + 86400000000000L // + 1 day of ns headroom
-    ev.crossJoin(broadcast(reps))
-      .select((col("event_id") + col("_r") * 1000000000000L).as("event_id"),
-        (col("ts") + col("_r") * span).as("ts"),
-        col("event_type"), col("value"))
-      .repartition(16).write.mode(SaveMode.Overwrite)
-      .parquet(s"$out/events.parquet")
+    replicated("events")(
+      "event_id" -> (col("event_id") + col("_r") * 1000000000000L),
+      "ts" -> (col("ts") + col("_r") * span))
 
-    val docs = spark.read.parquet(s"$src/documents.parquet")
-    val docCols = Seq(
-      (col("doc_id") + col("_r") * 1000000000L).as("doc_id"),
-      concat(col("text"), lit(" zz"), col("_r").cast("string")).as("text")) ++
-      docs.columns.filter(c => c != "doc_id" && c != "text").map(col)
-    docs.crossJoin(broadcast(reps))
-      .select(docCols: _*)
-      .repartition(16).write.mode(SaveMode.Overwrite)
-      .parquet(s"$out/documents.parquet")
+    replicated("documents")(
+      "doc_id" -> (col("doc_id") + col("_r") * 1000000000L),
+      // bijective per-replica token prefix: within-replica dup structure
+      // preserved exactly, cross-replica token collisions impossible;
+      // replica 0 is the untouched source
+      "text" -> when(col("_r") === 0, col("text"))
+        .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+          concat(lit("z"), col("_r").cast("string"), lit("q$1")))))
 
-    val emb = spark.read.parquet(s"$src/embeddings.parquet")
-    emb.crossJoin(broadcast(reps))
-      .select((col("vec_id") + col("_r") * 10000000L).as("vec_id"),
-        col("label"),
-        // sign flip dim i of replica r iff bit (i + r) of a fixed pattern:
-        // deterministic, norm-preserving, replica-decorrelating
-        zip_with(col("embedding"),
-          transform(sequence(lit(0), size(col("embedding")) - 1),
-            i => when(((i + col("_r")) % 3 === 0) || ((i * col("_r")) % 7 === 1),
-              lit(-1.0f)).otherwise(lit(1.0f))),
-          (x, s) => x * s).as("embedding"))
-      .repartition(8).write.mode(SaveMode.Overwrite)
-      .parquet(s"$out/embeddings.parquet")
+    replicated("embeddings")(
+      "vec_id" -> (col("vec_id") + col("_r") * 10000000L),
+      "embedding" -> zip_with(col("embedding"),
+        transform(sequence(lit(0), size(col("embedding")) - 1),
+          i => when(col("_r") =!= 0 && pmod(hash(i, col("_r")), lit(2)) === 0,
+            lit(-1.0f)).otherwise(lit(1.0f))),
+        (x, s) => x * s))
 
     println(s"GenScale: $src -> $out x$factor  " +
       s"events=${spark.read.parquet(s"$out/events.parquet").count()} " +
