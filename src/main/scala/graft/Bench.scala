@@ -71,13 +71,20 @@ object Bench {
       s""""ann_ivf_recall_at5":${recalls.getOrElse("ivf", -1.0)},"sf":"$sfDir"}"""
     // Persist machine-readable first (sbt prefixes stdout with [info], which
     // breaks downstream JSON parsing of the console line), then stop Spark
-    // BEFORE printing so the metrics line is the LAST stdout the process
-    // emits — shutdown logging after the line can push it out of a
+    // BEFORE printing so the metrics lines are the LAST stdout the process
+    // emits — shutdown logging after them can push them out of a
     // tail-window capture (r5's BENCH json was cut mid-stream this way).
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     spark.stop()
     println(line)
+    // The driver captures only a bounded tail of stdout (r7/r8: 2000 chars,
+    // parsed=None because the full per-query line above outgrew it). Emit a
+    // compact summary LAST so a tail-window JSON scan always finds one
+    // complete line; the full per-query map lives in bench_out.json.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},""" +
+      s""""detail":"$out","ann_lsh_recall_at5":${recalls.getOrElse("lsh", -1.0)},""" +
+      s""""ann_ivf_recall_at5":${recalls.getOrElse("ivf", -1.0)},"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

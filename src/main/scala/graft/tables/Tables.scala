@@ -5,15 +5,17 @@ import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-provided parquet test tables (TESTDATA.md).
   *
-  * The `events` table carries ns-precision timestamps (parquet
-  * TIMESTAMP(NANOS,false)). Spark reads those as `LongType` nanoseconds via
-  * `spark.sql.legacy.parquet.nanosAsLong`, which conveniently matches the
-  * reference's u64 `time_ns` model (reference:
-  * src/libtsdb/measurement.h:22-31, doc/README.txt:107-109).
+  * The `events` table's `ts` column has shipped in two physical forms across
+  * driver generations: parquet TIMESTAMP(NANOS,false) — which Spark reads as
+  * `LongType` nanoseconds under `spark.sql.legacy.parquet.nanosAsLong` — and
+  * plain TIMESTAMP(MICROS,false), which Spark reads as TIMESTAMP_NTZ.
+  * `eventsTsdb` normalizes EITHER form to the engine's u64 `time_ns` model
+  * (reference: src/libtsdb/measurement.h:22-31, doc/README.txt:107-109), so
+  * the rest of the codebase never sees the physical type.
   *
-  * DuckDB (the driver's oracle) reads the same column at µs precision, so
-  * every oracle-compared query works on `time_us = ts div 1000`
-  * (== DuckDB `epoch_us(ts)`); the engine itself stays ns-native.
+  * DuckDB (the driver's oracle) reads the same column as a timestamp, so
+  * every oracle-compared query works on `time_us` (== DuckDB
+  * `epoch_us(ts)`); the engine itself stays ns-native.
   */
 object Tables {
   val all: Seq[String] = Seq(
@@ -28,11 +30,23 @@ object Tables {
 
   /** `events` normalized to TSDB shape: `series` tag (reference series ==
     * tag string, doc/README.txt:24-26), ns + µs time columns, value fields.
+    * Adapts to the physical `ts` type (ns-as-long vs µs timestamp) — see the
+    * object Scaladoc. With the session timezone pinned to UTC the NTZ cast
+    * is the identity instant mapping, matching DuckDB's `epoch_us`.
     */
-  def eventsTsdb(spark: SparkSession, dir: String): DataFrame =
-    apply(spark, dir, "events").select(
+  def eventsTsdb(spark: SparkSession, dir: String): DataFrame = {
+    val ev = apply(spark, dir, "events")
+    val (timeNs, timeUs) = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        (col("ts"), expr("ts div 1000"))
+      case _ => // TIMESTAMP / TIMESTAMP_NTZ at µs precision
+        val us = unix_micros(col("ts").cast("timestamp"))
+        (us * lit(1000L), us)
+    }
+    ev.select(
       col("event_type").as("series"),
-      col("ts").as("time_ns"),
-      expr("ts div 1000").as("time_us"),
+      timeNs.as("time_ns"),
+      timeUs.as("time_us"),
       col("event_id"), col("user_id"), col("value"))
+  }
 }

@@ -61,13 +61,23 @@ object GenScale {
         .parquet(s"$out/$table.parquet")
     }
 
+    // `ts` ships either as ns-as-long (legacy) or µs timestamp — shift in
+    // the native unit and keep the source's physical type in the output so
+    // the scaled dir is a drop-in replacement for a driver dir
     val ev = spark.read.parquet(s"$src/events.parquet")
-    val Array(mn, mx) = ev.agg(min("ts"), max("ts")).as[(Long, Long)]
+    val tsType = ev.schema("ts").dataType
+    val tsIsLong = tsType == org.apache.spark.sql.types.LongType
+    val tsUs =
+      if (tsIsLong) expr("ts div 1000") else unix_micros(col("ts").cast("timestamp"))
+    val Array(mn, mx) = ev.agg(min(tsUs), max(tsUs)).as[(Long, Long)]
       .collect().map(t => Array(t._1, t._2)).head
-    val span = (mx - mn) + 86400000000000L // + 1 day of ns headroom
+    val spanUs = (mx - mn) + 86400000000L // + 1 day of µs headroom
+    val shiftedTs =
+      if (tsIsLong) col("ts") + col("_r") * (spanUs * 1000L)
+      else timestamp_micros(tsUs + col("_r") * spanUs).cast(tsType)
     replicated("events")(
       "event_id" -> (col("event_id") + col("_r") * 1000000000000L),
-      "ts" -> (col("ts") + col("_r") * span))
+      "ts" -> shiftedTs)
 
     replicated("documents")(
       "doc_id" -> (col("doc_id") + col("_r") * 1000000000L),
