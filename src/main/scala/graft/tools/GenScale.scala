@@ -83,10 +83,18 @@ object GenScale {
       "doc_id" -> (col("doc_id") + col("_r") * 1000000000L),
       // bijective per-replica token prefix: within-replica dup structure
       // preserved exactly, cross-replica token collisions impossible;
-      // replica 0 is the untouched source
+      // replica 0 is the untouched source. The tag must be LOWERCASE
+      // LETTERS ONLY: the text operators tokenize with [a-z]+ (TextOps
+      // .tokens), so a digit in the tag (the first cut of this tool used
+      // z<r>q) splits every token into a constant "z" plus a digit-free
+      // suffix SHARED BY ALL REPLICAS — replicas 1..N-1 became exact
+      // token-stream duplicates of each other and every pair/cluster query
+      // went quadratic in the replica count. Base-26 two-letter tag keeps
+      // the map a fixed-width injection for factors up to 676.
       "text" -> when(col("_r") === 0, col("text"))
         .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
-          concat(lit("z"), col("_r").cast("string"), lit("q$1")))))
+          concat(lit("z"), expr("chr(97 + _r div 26)"),
+            expr("chr(97 + pmod(_r, 26))"), lit("q$1")))))
 
     replicated("embeddings")(
       "vec_id" -> (col("vec_id") + col("_r") * 10000000L),
