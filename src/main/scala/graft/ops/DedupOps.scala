@@ -150,60 +150,116 @@ object DedupOps {
   def jaccardPairsLsh(shingles: DataFrame, idCol: String, threshold: Double,
                       bands: Int = 32, rows: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.register(shingles.sparkSession)
-    // signatures materialized once (the band self-join reads them twice)
-    val sigs = shingles.select(col(idCol).as("id"), col("shingles"),
-      TextOps.minHashSignature(col("shingles"), bands * rows).as("sig"))
+    // Contraction: identical shingle SETS (order-normalized) collapse to one
+    // representative before signatures — exact duplicates are the dominant
+    // duplication mode of a real corpus, and running banding + candidate
+    // distinct() at doc level is quadratic in those cluster sizes. Signature,
+    // buckets, and pairwise Jaccard are all set-functions, so rep-level
+    // results expand to member pairs unchanged: cross-set pairs via two
+    // output-sized joins, same-set pairs with Jaccard exactly 1.0.
+    // ONE array-key shuffle derives representative AND membership; the
+    // grouped ids ride along as a list (cluster-sized — fine up to millions
+    // of members; a corpus with billion-member identical clusters would
+    // switch this to a join-based expansion)
+    val keyed = shingles.select(col(idCol).as("id"),
+      sort_array(col("shingles")).as("_set"))
+    val grouped = keyed.groupBy("_set")
+      .agg(min("id").as("rid"), collect_list("id").as("ids"))
       .localCheckpoint(false)
-    val bnd = sigs.select(col("id"), explode(TextOps.lshBands(col("sig"), bands, rows)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val sigs = grouped.select(col("rid"), col("_set"),
+      TextOps.minHashSignature(col("_set"), bands * rows).as("sig"))
+    val bnd = sigs.select(col("rid"), explode(TextOps.lshBands(col("sig"), bands, rows)).as("bb"))
+      .select(col("rid"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val cand = bnd.as("a").join(bnd.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          col("a.rid") < col("b.rid"))
+      .select(col("a.rid").as("rid_a"), col("b.rid").as("rid_b"))
       .distinct()
-    val sets = shingles.select(col(idCol).as("id"), col("shingles"))
-    cand
-      .join(sets.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
+    val repSets = grouped.select(col("rid"), col("_set"))
+    val verified = cand
+      .join(repSets.select(col("rid").as("rid_a"), col("_set").as("sh_a")), "rid_a")
+      .join(repSets.select(col("rid").as("rid_b"), col("_set").as("sh_b")), "rid_b")
+      .select(col("rid_a"), col("rid_b"),
         jaccard(size(array_intersect(col("sh_a"), col("sh_b"))),
           size(col("sh_a")), size(col("sh_b"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderBy("id_a", "id_b")
+    // output-sized expansions over the carried membership lists
+    val members = grouped.select(col("rid"), explode(col("ids")).as("id"))
+    val cross = verified
+      .join(members.select(col("id").as("_ia"), col("rid").as("rid_a")), "rid_a")
+      .join(members.select(col("id").as("_ib"), col("rid").as("rid_b")), "rid_b")
+      .select(least(col("_ia"), col("_ib")).as("id_a"),
+        greatest(col("_ia"), col("_ib")).as("id_b"), col("jaccard"))
+    val same = members.as("a").join(members.as("b"),
+        col("a.rid") === col("b.rid") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        lit(1.0).as("jaccard"))
+    cross.union(same).orderBy("id_a", "id_b")
   }
 
   /** SimHash near-dup pairs within Hamming radius `maxHamming`, EXACT via
     * pigeonhole banding: the `bits`-wide fingerprint is split into
     * `maxHamming + 1` bands; two fingerprints within the radius must agree
     * exactly on at least one band, so the equality join on (band, value)
-    * has perfect recall. Output: (id_a, id_b, hamming). */
+    * has perfect recall. Output: (id_a, id_b, hamming).
+    *
+    * The band join runs over DISTINCT fingerprints, not documents: a real
+    * corpus concentrates fingerprints massively (boilerplate → thousands of
+    * docs per identical 30-bit hash), and a doc-level band join plus
+    * doc-pair distinct() is quadratic in those cluster sizes. Contracting
+    * first makes candidate generation skew-immune — the self-join and its
+    * distinct() touch only unique fingerprint values — and the doc-level
+    * pair volume survives only where it IS the answer: identical-fingerprint
+    * groups expand through one equi-join (Hamming 0 by definition), verified
+    * cross-fingerprint pairs through two joins sized by the output. (A 10×
+    * scale run with adversarially duplicated fingerprints went 247× before
+    * this contraction, linear after — see LshDiag for the measurement.) */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    bits: Int = 30, maxHamming: Int = 1): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val nBands = maxHamming + 1
     val w = (bits + nBands - 1) / nBands // band width
     // one native pass per row (tokenize→hash→simhash), materialized once —
-    // the band self-join reads the fingerprints twice (see shingleSets note)
+    // membership is read by both expansion joins (see shingleSets note)
     val sims = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"),
         TextOps.simHashOfHashes(
           TextOps.wordHashes(TextOps.tokens(col(textCol))), bits).as("simhash"))
+    // ONE 8-byte-key shuffle contracts to distinct fingerprints AND carries
+    // membership (see jaccardPairsLsh on the list-size ceiling)
+    val grouped = sims.groupBy("simhash").agg(collect_list("id").as("ids"))
       .localCheckpoint(false)
     val bandArr = array((0 until nBands).map { b =>
       struct(lit(b).as("band"),
         call_function("shiftright", col("simhash"), lit(b * w))
           .bitwiseAND(lit((1L << w) - 1)).as("v"))
     }: _*)
-    val ex = sims.select(col("id"), col("simhash"), explode(bandArr).as("bb"))
-      .select(col("id"), col("simhash"), col("bb.band").as("band"), col("bb.v").as("v"))
-    ex.as("a").join(ex.as("b"),
+    val ex = grouped.select(col("simhash"), explode(bandArr).as("bb"))
+      .select(col("simhash"), col("bb.band").as("band"), col("bb.v").as("v"))
+    // fingerprint-level candidates → exact Hamming verify (tiny relative to
+    // doc-level: bounded by distinct-fp bucket occupancy, not doc counts)
+    val fpPairs = ex.as("a").join(ex.as("b"),
         col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        TextOps.hamming(col("a.simhash"), col("b.simhash")).cast("long").as("hamming"))
+          col("a.simhash") < col("b.simhash"))
+      .select(col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
       .distinct()
+      .withColumn("hamming",
+        TextOps.hamming(col("sh_a"), col("sh_b")).cast("long"))
       .filter(col("hamming") <= maxHamming)
-      .orderBy("id_a", "id_b")
+    // expansion: verified fp pairs → doc pairs (output-sized joins; group
+    // ids interleave, so order by id, not by fingerprint)
+    val members = grouped.select(col("simhash"), explode(col("ids")).as("id"))
+    val cross = fpPairs
+      .join(members.select(col("id").as("_ia"), col("simhash").as("sh_a")), "sh_a")
+      .join(members.select(col("id").as("_ib"), col("simhash").as("sh_b")), "sh_b")
+      .select(least(col("_ia"), col("_ib")).as("id_a"),
+        greatest(col("_ia"), col("_ib")).as("id_b"), col("hamming"))
+    // identical-fingerprint groups: every within-group pair, Hamming 0
+    val same = members.as("a").join(members.as("b"),
+        col("a.simhash") === col("b.simhash") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        lit(0L).as("hamming"))
+    cross.union(same).orderBy("id_a", "id_b")
   }
 
   /** Connected components over a near-dup PAIR graph — the step that turns

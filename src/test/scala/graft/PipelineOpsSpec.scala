@@ -145,6 +145,47 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(pairs.get((0L, 3L)).contains(0L))
   }
 
+  // The contraction regression: corpora concentrate content into big
+  // identical clusters (boilerplate); candidate generation must run at
+  // distinct-fingerprint / distinct-set level, and the expanded doc-level
+  // output must STILL match brute force exactly.
+  private lazy val skewDocs = {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "alpha beta gamma delta epsilon zeta eta theta iota lambda" // near-dup of a
+    val c = "totally unrelated words about spark shuffles and parquet files"
+    val rows =
+      (0L until 30L).map(i => (i, a)) ++            // 30-way identical cluster
+      (100L until 120L).map(i => (i, b)) ++         // 20-way identical cluster
+      Seq((200L, c), (201L, c), (202L, "one more lonely document entirely"))
+    rows.toDF("doc_id", "text")
+  }
+
+  test("simhashPairs under heavy identical-fingerprint skew equals brute force") {
+    val fps = skewDocs.select(col("doc_id"),
+      TextOps.simHashOfHashes(
+        TextOps.wordHashes(TextOps.tokens(col("text"))), 30).as("sh"))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (ia, sa) <- fps; (ib, sb) <- fps if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 2
+    } yield ((ia, ib), h.toLong)).toMap
+    val got = DedupOps.simhashPairs(skewDocs, "doc_id", "text", bits = 30, maxHamming = 2)
+      .as[(Long, Long, Long)].collect().map { case (a, b, h) => ((a, b), h) }.toMap
+    assert(got == brute) // same pairs, same hamming, no dups, none missing
+    assert(brute.size >= 30 * 29 / 2 + 20 * 19 / 2) // the clusters are really in play
+  }
+
+  test("jaccardPairsLsh under heavy identical-set skew equals exact; dup pairs carry J=1.0") {
+    val ss = DedupOps.shingleSets(skewDocs, "doc_id", "text", 3)
+    val exact = DedupOps.jaccardPairsExact(ss, "doc_id", 0.5)
+      .as[(Long, Long, Double)].collect().map { case (a, b, j) => ((a, b), j) }.toMap
+    val lsh = DedupOps.jaccardPairsLsh(ss, "doc_id", 0.5)
+      .as[(Long, Long, Double)].collect().map { case (a, b, j) => ((a, b), j) }.toMap
+    assert(lsh == exact) // identical pairs AND identical jaccard values
+    assert(lsh((0L, 1L)) == 1.0 && lsh((200L, 201L)) == 1.0)
+    assert(lsh.contains((0L, 100L)) && lsh((0L, 100L)) < 1.0) // cross-cluster near-dup
+  }
+
   test("topKExact ranks by cosine with deterministic tie-break") {
     val emb = Seq(
       (0L, Array(1f, 0f)), (1L, Array(1f, 0.01f)),
