@@ -932,6 +932,116 @@ object EngineQueries {
       s.read.parquet(out).orderBy("series", "time_us")
     },
 
+    // TUMBLING windows through the STREAMING face (StreamingOps.windowedSums)
+    // — the watermarked incremental form of the reference's sum_op: two
+    // AvailableNow drains, same checkpoint, split at MID so drain 2 must
+    // both finalize carried window state and aggregate its own batch; the
+    // far-future sentinel closes every real window. Oracle = the batch
+    // tumbling aggregation over the visible input with the same decimal-2
+    // order-independent sum. NOTE unlike the batch sum_op the streaming
+    // face emits only NON-EMPTY windows (a watermark engine cannot emit a
+    // window no point ever created) — the oracle models exactly that.
+    QueryDef.withOracle("engine_stream_window",
+      s"""SELECT series,
+         |  time_us - (time_us % $DAY) AS window_start,
+         |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         |  MIN(v) AS min_value, MAX(v) AS max_value, COUNT(v) AS n
+         |FROM $PTS GROUP BY 1, 2
+         |ORDER BY series, window_start""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val stage = java.nio.file.Files.createTempDirectory("graft-wstage-").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-wckpt-").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-wout-").toString
+      val pts = canonicalPoints(s, dir)
+        .select(col("series"), col("time_us"), col("v")).persist()
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        def drain(): Unit =
+          StreamingOps.windowedSums(
+              s.readStream.schema(PointSchema).parquet(stage),
+              windowUs = DAY, watermarkUs = 1000000L)
+            .writeStream.option("checkpointLocation", ckpt)
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .format("parquet").option("path", out)
+            .start().awaitTermination()
+        pts.filter(col("time_us") <= MID).repartition(1)
+          .write.mode("append").parquet(stage)
+        drain()
+        // batch 2: the rest, plus a horizon-derived sentinel whose own
+        // window never finalizes but whose watermark closes every real one
+        val sentinelTs = pts.agg(max("time_us")).head().getLong(0) + 30 * DAY
+        pts.filter(col("time_us") > MID)
+          .union(Seq(("zzz_sentinel", sentinelTs, 0.0))
+            .toDF("series", "time_us", "v"))
+          .repartition(1).write.mode("append").parquet(stage)
+        drain()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        pts.unpersist()
+      }
+      s.read.parquet(out).filter(col("series") =!= "zzz_sentinel")
+        .orderBy("series", "window_start")
+    },
+
+    // Streaming EXACT DEDUP (StreamingOps.streamingDedup): first arrival of
+    // each content hash passes, replicas drop — ACROSS the checkpoint
+    // boundary, so a batch-2 replica of a batch-1 document must be caught
+    // from carried state. Stream time axis = doc_id + 1 day of µs
+    // (synthetic, strictly increasing; offset because a row at EXACTLY
+    // epoch 0 is "late" to the initial watermark and silently dropped);
+    // staging files are written single-partition in doc_id order so "first
+    // arrival" is deterministic. The generous watermark keeps every hash in
+    // state for the run's horizon (eviction/re-admission is the documented
+    // bounded-state tradeoff, spec-covered). Oracle = min-doc_id per text.
+    QueryDef.withOracle("engine_stream_dedup",
+      s"""SELECT doc_id, doc_id + $DAY AS time_us, text FROM documents
+         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val stage = java.nio.file.Files.createTempDirectory("graft-ddstage-").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-ddckpt-").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-ddout-").toString
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") + DAY).as("time_us"), col("text"))
+        .persist()
+      val docSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("time_us",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val mid = docs.agg(expr("percentile_approx(doc_id, 0.5)")).head().getLong(0)
+      val horizonUs = docs.agg(max("time_us")).head().getLong(0) + 1000000L
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        def drain(): Unit =
+          StreamingOps.streamingDedup(
+              s.readStream.schema(docSchema).parquet(stage),
+              watermarkUs = horizonUs)
+            .drop("content_hash")
+            .writeStream.option("checkpointLocation", ckpt)
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .format("parquet").option("path", out)
+            .start().awaitTermination()
+        docs.filter(col("doc_id") <= mid)
+          .repartition(1).sortWithinPartitions("doc_id")
+          .write.mode("append").parquet(stage)
+        drain()
+        docs.filter(col("doc_id") > mid)
+          .repartition(1).sortWithinPartitions("doc_id")
+          .write.mode("append").parquet(stage)
+        drain()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        docs.unpersist()
+      }
+      s.read.parquet(out).orderBy("doc_id")
+    },
+
     // Cross-SERIES alignment THROUGH the engine layout: backward as-of join
     // of two series read via the watermark-clamped visibility path (the
     // flat-parquet face is tsdb_asof_join; here both inputs route through

@@ -25,7 +25,11 @@ object StreamingOps {
 
   /** Tumbling-window sum/min/max/count per series with event-time watermark.
     * `windowUs`/`watermarkUs` in microseconds of the `time_us` axis. Emits
-    * finalized windows (Append mode downstream) once the watermark passes. */
+    * finalized windows (Append mode downstream) once the watermark passes.
+    * Sums use the engine's order-independent decimal-2 accumulation —
+    * incremental state merges combine partial sums in arbitrary order, and
+    * a double sum would drift from the batch aggregation of the same points
+    * (see StreamingRollup / sessionCounts). */
   def windowedSums(points: DataFrame, windowUs: Long, watermarkUs: Long): DataFrame =
     points
       .withColumn("event_time", timestamp_micros(col("time_us")))
@@ -34,7 +38,8 @@ object StreamingOps {
       .withWatermark("event_time", s"$watermarkUs microseconds")
       .groupBy(col("series"),
         window(col("event_time"), s"$windowUs microseconds"))
-      .agg(sum("v").as("sum_value"), min("v").as("min_value"),
+      .agg(graft.ops.TimeSeriesOps.sumExact2(col("v")).as("sum_value"),
+        min("v").as("min_value"),
         max("v").as("max_value"), count("v").as("n"))
       .select(col("series"),
         unix_micros(col("window.start")).as("window_start"),
@@ -55,7 +60,8 @@ object StreamingOps {
       .groupBy(col("series"),
         window(col("event_time"), s"$windowUs microseconds",
           s"$slideUs microseconds"))
-      .agg(sum("v").as("sum_value"), min("v").as("min_value"),
+      .agg(graft.ops.TimeSeriesOps.sumExact2(col("v")).as("sum_value"),
+        min("v").as("min_value"),
         max("v").as("max_value"), count("v").as("n"))
       .select(col("series"),
         unix_micros(col("window.start")).as("window_start"),
