@@ -13,6 +13,15 @@ object TempHygiene {
   private val Prefixes = Seq(
     "graft-engine-q-", "graft-engine-fx-", "graft-stage-", "graft-ckpt-",
     "graft-canon-", "graft-rstage-", "graft-rckpt-",
+    // streaming-face lifecycle queries (session/rate/window/dedup staging,
+    // checkpoint, and sink dirs) + persisted ANN quantizers. NOT a
+    // "graft-" catch-all: GenScale writes its scaled datasets to
+    // /tmp/graft-sf<N> and a catch-all would sweep them mid-experiment.
+    "graft-sstage-", "graft-sckpt-", "graft-sout-",
+    "graft-rtstage-", "graft-rtckpt-", "graft-rtout-",
+    "graft-wstage-", "graft-wckpt-", "graft-wout-",
+    "graft-ddstage-", "graft-ddckpt-", "graft-ddout-",
+    "graft-ivf-", "graft-cluster-",
     // test-suite scratch roots (stale from previous sbt test runs)
     "tsdb-test-", "soak-", "replay-tsdb-", "stream-ckpt-", "stream-src-",
     "stream-tsdb-", "roll-tsdb-", "roll-ckpt-", "refl-local-",
