@@ -62,6 +62,7 @@ object GraftFunctions {
     "graft_simhash" -> (args =>
       GraftSimHash(args(0), args(1).eval().asInstanceOf[Number].intValue)),
     "graft_word_hashes" -> (args => GraftWordHashes(args.head)),
+    "graft_text_counts" -> (args => GraftTextCounts(args.head)),
     "graft_shingles" -> (args =>
       GraftShingles(args(0), args(1).eval().asInstanceOf[Number].intValue)),
     // arg 1 is a foldable array<array<double>> literal (the trained

@@ -43,6 +43,17 @@ object TextOps {
   def bpeTokens(text: Column): Column =
     regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
 
+  /** Every token/char COUNT the quality operators need, as one struct
+    * (`n_ws, n_bpe, n_word, n_punct, sw_hits`) from a single compiled pass —
+    * see `functions.GraftTextCounts` for the exactness contract. Alias the
+    * struct ONCE (its own select) and derive scalars from the fields:
+    * Catalyst inlines a shared Column per use, so phrasing the same counts
+    * as independent regex/HOF Columns evaluates the extraction 6-8× per
+    * row, and CollapseProject will not merge a multi-referenced non-cheap
+    * expression back into its consumers. */
+  def textCounts(text: Column): Column =
+    call_function("graft_text_counts", text)
+
   /** Polynomial hash of one string: fold over characters,
     * `h = (h*B1 + code(ch)) % P`. Left-fold order is part of the contract —
     * the DuckDB oracle reproduces it with `list_reduce`. */
@@ -166,6 +177,21 @@ object TextOps {
       struct(lit(-1).as("s"), lit("").as("l")),
       (acc, x) => when(x.getField("s") > acc.getField("s"), x).otherwise(acc))
     (best.getField("l"), best.getField("s"))
+  }
+
+  /** `langId` over a precomputed per-language hit-count array (the
+    * `sw_hits` field of `textCounts`, StopwordLists order): winner by
+    * (score desc, language asc) — identical to the fold in `langId`, which
+    * only replaces the accumulator on STRICTLY greater, so the first
+    * language reaching the max wins. */
+  def langIdFromHits(swHits: Column): (Column, Column) = {
+    val hits = StopwordLists.indices.map(i => element_at(swHits, i + 1))
+    val best = greatest(hits: _*)
+    val pred = StopwordLists.zipWithIndex.tail.foldLeft(
+      when(hits.head === best, StopwordLists.head._1)) {
+      case (acc, ((lang, _), i)) => acc.when(hits(i) === best, lang)
+    }
+    (pred, best)
   }
 
   /** English stopword ratio over word tokens (documents with too few or too

@@ -28,19 +28,31 @@ object TextQueries {
          |    + (1.0 - $PUNCT_RATIO) * 0.3
          |    + least($SW_RATIO * 5.0, 1.0) * 0.3 AS quality_score
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val t = col("text")
-      val toks = TextOps.tokens(t)
-      // repartition: benchmark input is one parquet row group = one task
-      Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism).select(
-        col("doc_id"),
-        length(t).cast("long").as("n_chars"),
-        size(TextOps.wsTokens(t)).cast("long").as("n_ws_tokens"),
-        size(TextOps.bpeTokens(t)).cast("long").as("n_bpe_tokens"),
-        size(toks).cast("long").as("n_word_tokens"),
-        TextOps.stopwordRatio(toks).as("stopword_ratio"),
-        TextOps.punctRatio(t).as("punct_ratio"),
-        TextOps.qualityScore(t, toks).as("quality_score"))
+      graft.functions.GraftFunctions.register(s)
+      // ONE native pass computes every count (see TextOps.textCounts on why
+      // the counts struct gets its own select); ratio/score arithmetic is
+      // identical term-for-term to the regex formulation and the oracle
+      val counted = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+          TextOps.textCounts(col("text")).as("_c"))
+      val nWord = col("_c.n_word")
+      val swRatio = when(nWord === 0, lit(0.0))
+        .otherwise(element_at(col("_c.sw_hits"),
+          graft.functions.GraftTextCounts.langIndex("en") + 1)
+          .cast("double") / nWord)
+      val punctRatio = when(col("n_chars") === 0, lit(0.0))
+        .otherwise(col("_c.n_punct").cast("double") / col("n_chars"))
+      counted.select(
+        col("doc_id"), col("n_chars"),
+        col("_c.n_ws").as("n_ws_tokens"),
+        col("_c.n_bpe").as("n_bpe_tokens"),
+        nWord.as("n_word_tokens"),
+        swRatio.as("stopword_ratio"),
+        punctRatio.as("punct_ratio"),
+        (least(nWord.cast("double") / 100.0, lit(1.0)) * 0.4 +
+          (lit(1.0) - punctRatio) * 0.3 +
+          least(swRatio * 5.0, lit(1.0)) * 0.3).as("quality_score"))
         .orderBy("doc_id")
     },
 
@@ -61,14 +73,21 @@ object TextQueries {
          |       WHEN $SW_RATIO < 0.05 THEN 'low_stopword_density'
          |  END IS NULL AS kept
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val toks = TextOps.tokens(col("text"))
-      val (pred, _) = TextOps.langId(toks)
-      val reason = when(size(toks) < 20, "too_short")
-        .when(size(toks) > 80, "too_long")
-        .when(pred =!= "en", "non_english")
-        .when(TextOps.stopwordRatio(toks) < 0.05, "low_stopword_density")
-      Tables(s, dir, "documents")
+      graft.functions.GraftFunctions.register(s)
+      val counted = Tables(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), TextOps.textCounts(col("text")).as("_c"))
+      val nWord = col("_c.n_word")
+      val (pred, _) = TextOps.langIdFromHits(col("_c.sw_hits"))
+      val swRatio = when(nWord === 0, lit(0.0))
+        .otherwise(element_at(col("_c.sw_hits"),
+          graft.functions.GraftTextCounts.langIndex("en") + 1)
+          .cast("double") / nWord)
+      val reason = when(nWord < 20, "too_short")
+        .when(nWord > 80, "too_long")
+        .when(pred =!= "en", "non_english")
+        .when(swRatio < 0.05, "low_stopword_density")
+      counted
         .select(col("doc_id"), reason.as("reason"), reason.isNull.as("kept"))
         .orderBy("doc_id")
     },
@@ -80,12 +99,15 @@ object TextQueries {
          |  $LANG_PRED AS lang_pred,
          |  $LANG_SCORE AS lang_score
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val toks = TextOps.tokens(col("text"))
-      val (pred, score) = TextOps.langId(toks)
-      Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism).select(
+      graft.functions.GraftFunctions.register(s)
+      val counted = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("lang"),
+          TextOps.textCounts(col("text")).as("_c"))
+      val (pred, score) = TextOps.langIdFromHits(col("_c.sw_hits"))
+      counted.select(
         col("doc_id"), col("lang"),
-        pred.as("lang_pred"), score.cast("long").as("lang_score"))
+        pred.as("lang_pred"), score.as("lang_score"))
         .orderBy("doc_id")
     },
 

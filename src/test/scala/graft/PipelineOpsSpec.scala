@@ -175,6 +175,41 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(brute.size >= 30 * 29 / 2 + 20 * 19 / 2) // the clusters are really in play
   }
 
+  test("graft_text_counts equals the regex/HOF formulation on adversarial strings") {
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(99)
+    val alphabet = "abcXYZ019 .,!\t\n-_the a of und der el le".toCharArray
+    val strs = Seq("", " ", "the quick brown fox", "a1b2c3", "!!!", "der die das",
+      "MiXeD CaSe AND the a of", "tab\tsep\nlines", "e2e4 c7c5!? (Sicilian)") ++
+      (0 until 200).map(_ => (0 until rnd.nextInt(120))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = strs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val t = col("text")
+    val toks = TextOps.tokens(t)
+    val langCols = TextOps.StopwordLists.zipWithIndex.map { case ((l, ws), i) =>
+      size(filter(toks, tk => tk.isInCollection(ws))).cast("long").as(s"h$i")
+    }
+    val viaRegex = df.select(col("id") +:
+        size(TextOps.wsTokens(t)).cast("long").as("n_ws") +:
+        size(TextOps.bpeTokens(t)).cast("long").as("n_bpe") +:
+        size(toks).cast("long").as("n_word") +:
+        (length(t) - length(regexp_replace(t, "[^A-Za-z0-9\\s]", "")))
+          .cast("long").as("n_punct") +: langCols: _*)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val viaNative = df.select(col("id"), TextOps.textCounts(t).as("c"))
+      .select(col("id"), col("c.n_ws"), col("c.n_bpe"), col("c.n_word"),
+        col("c.n_punct"),
+        TextOps.StopwordLists.indices
+          .map(i => element_at(col("c.sw_hits"), i + 1)).reduce((a, b) =>
+            a * 1000 + b).as("packed"))
+      .collect().map { r =>
+        val hits = { var p = r.getLong(5); val out = new Array[Long](5)
+          for (i <- 4 to 0 by -1) { out(i) = p % 1000; p /= 1000 }; out.toSeq }
+        r.getLong(0) -> (Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ++ hits)
+      }.toMap
+    assert(viaNative == viaRegex)
+  }
+
   test("jaccardPairsLsh under heavy identical-set skew equals exact; dup pairs carry J=1.0") {
     val ss = DedupOps.shingleSets(skewDocs, "doc_id", "text", 3)
     val exact = DedupOps.jaccardPairsExact(ss, "doc_id", 0.5)
