@@ -142,25 +142,18 @@ object DedupOps {
       .orderBy(idCol)
   }
 
-  /** MinHash+LSH near-dup pairs: k-hash signature, `bands`×`rows` banding
-    * (k = bands*rows), bucket join for candidates, then EXACT Jaccard
-    * verification of each candidate — output is identical to
-    * `jaccardPairsExact` up to LSH recall (for J >= 0.8 with 32×4 banding the
-    * miss probability per pair is (1-0.8^4)^32 ≈ 5e-8). */
-  def jaccardPairsLsh(shingles: DataFrame, idCol: String, threshold: Double,
-                      bands: Int = 32, rows: Int = 4): DataFrame = {
+  /** Shared contraction + rep-level LSH core: identical shingle SETS
+    * (order-normalized) collapse to one representative before signatures —
+    * exact duplicates are the dominant duplication mode of a real corpus,
+    * and running banding + candidate distinct() at doc level is quadratic
+    * in those cluster sizes. ONE array-key shuffle derives representative
+    * AND membership (the grouped ids ride along as a list — fine up to
+    * millions of members; a corpus with billion-member identical clusters
+    * would switch to a join-based expansion). Returns
+    * (grouped: (_set, rid, ids), verified rep pairs: (rid_a, rid_b, jaccard)). */
+  private def lshRepPairs(shingles: DataFrame, idCol: String, threshold: Double,
+                          bands: Int, rows: Int): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(shingles.sparkSession)
-    // Contraction: identical shingle SETS (order-normalized) collapse to one
-    // representative before signatures — exact duplicates are the dominant
-    // duplication mode of a real corpus, and running banding + candidate
-    // distinct() at doc level is quadratic in those cluster sizes. Signature,
-    // buckets, and pairwise Jaccard are all set-functions, so rep-level
-    // results expand to member pairs unchanged: cross-set pairs via two
-    // output-sized joins, same-set pairs with Jaccard exactly 1.0.
-    // ONE array-key shuffle derives representative AND membership; the
-    // grouped ids ride along as a list (cluster-sized — fine up to millions
-    // of members; a corpus with billion-member identical clusters would
-    // switch this to a join-based expansion)
     val keyed = shingles.select(col(idCol).as("id"),
       sort_array(col("shingles")).as("_set"))
     val grouped = keyed.groupBy("_set")
@@ -183,7 +176,22 @@ object DedupOps {
         jaccard(size(array_intersect(col("sh_a"), col("sh_b"))),
           size(col("sh_a")), size(col("sh_b"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    // output-sized expansions over the carried membership lists
+    (grouped, verified)
+  }
+
+  /** MinHash+LSH near-dup pairs: k-hash signature, `bands`×`rows` banding
+    * (k = bands*rows), bucket join for candidates, then EXACT Jaccard
+    * verification of each candidate — output is identical to
+    * `jaccardPairsExact` up to LSH recall (for J >= 0.8 with 32×4 banding the
+    * miss probability per pair is (1-0.8^4)^32 ≈ 5e-8).
+    *
+    * Candidate generation is contraction-based (`lshRepPairs`), so bucket
+    * occupancy is counted in distinct shingle sets, never documents:
+    * rep-level results expand to member pairs unchanged — cross-set pairs
+    * via two output-sized joins, same-set pairs with Jaccard exactly 1.0. */
+  def jaccardPairsLsh(shingles: DataFrame, idCol: String, threshold: Double,
+                      bands: Int = 32, rows: Int = 4): DataFrame = {
+    val (grouped, verified) = lshRepPairs(shingles, idCol, threshold, bands, rows)
     val members = grouped.select(col("rid"), explode(col("ids")).as("id"))
     val cross = verified
       .join(members.select(col("id").as("_ia"), col("rid").as("rid_a")), "rid_a")
@@ -195,6 +203,37 @@ object DedupOps {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         lit(1.0).as("jaccard"))
     cross.union(same).orderBy("id_a", "id_b")
+  }
+
+  /** Near-dup CLUSTERS straight from shingle sets — output identical to
+    * `components(jaccardPairsLsh(...).select("id_a","id_b"))` but the
+    * iterative component algorithm runs on the CONTRACTED representative
+    * graph: identical-set groups never become C(m,2) clique edges that the
+    * components job immediately re-collapses; members inherit their
+    * representative's label afterwards. Label convention is preserved
+    * (component = min member id of the cluster) because each rep IS the min
+    * id of its group, so the min rep id of a rep-cluster is the min doc id
+    * of the expanded cluster. Groups of ≥2 identical docs with no
+    * cross-set edge form their own component (labelled by their rep);
+    * singleton docs with no edges stay absent, exactly like the pair-based
+    * path. `components` defaults to label propagation; pass
+    * `connectedComponentsStar` for adversarial-diameter graphs. */
+  def jaccardClustersLsh(shingles: DataFrame, idCol: String, threshold: Double,
+                         bands: Int = 32, rows: Int = 4,
+                         components: DataFrame => DataFrame = connectedComponents(_)
+                        ): DataFrame = {
+    val (grouped, verified) = lshRepPairs(shingles, idCol, threshold, bands, rows)
+    val repComp = components(verified.select(col("rid_a").as("id_a"),
+        col("rid_b").as("id_b")))
+      .select(col("id").as("rid"), col("component"))
+    // groups whose rep has a cross-set component: members inherit it
+    val viaCross = grouped.join(repComp, "rid")
+      .select(explode(col("ids")).as("id"), col("component"))
+    // multi-member groups with no cross-set edge: their own component
+    val viaSame = grouped.filter(size(col("ids")) >= 2)
+      .join(repComp.select(col("rid")), Seq("rid"), "left_anti")
+      .select(explode(col("ids")).as("id"), col("rid").as("component"))
+    viaCross.union(viaSame)
   }
 
   /** SimHash near-dup pairs within Hamming radius `maxHamming`, EXACT via

@@ -118,10 +118,9 @@ object DedupQueries {
     // recursive CTE over the brute-force pair set. component = min doc_id
     // of the cluster = the canonical document to keep.
     QueryDef.withOracle("dedup_clusters", ClustersOracle) { (s, dir) =>
-      val pairs = DedupOps.jaccardPairsLsh(
+      DedupOps.jaccardClustersLsh(
         DedupOps.shingleSets(Tables(s, dir, "documents"), "doc_id", "text", 3),
-        "doc_id", 0.8, bands = 32, rows = 4)
-      DedupOps.connectedComponents(pairs.select("id_a", "id_b")).orderBy("id")
+        "doc_id", 0.8, bands = 32, rows = 4).orderBy("id")
     },
 
     // The same clusters via STAR CONTRACTION — the O(log n)-round path for
@@ -129,10 +128,10 @@ object DedupQueries {
     // bounded). Identical oracle: both algorithms must land on identical
     // components.
     QueryDef.withOracle("dedup_clusters_star", ClustersOracle) { (s, dir) =>
-      val pairs = DedupOps.jaccardPairsLsh(
+      DedupOps.jaccardClustersLsh(
         DedupOps.shingleSets(Tables(s, dir, "documents"), "doc_id", "text", 3),
-        "doc_id", 0.8, bands = 32, rows = 4)
-      DedupOps.connectedComponentsStar(pairs.select("id_a", "id_b")).orderBy("id")
+        "doc_id", 0.8, bands = 32, rows = 4,
+        components = DedupOps.connectedComponentsStar(_)).orderBy("id")
     },
 
     // APPLY the dedup decision — the step that actually shrinks the corpus:
@@ -150,10 +149,9 @@ object DedupQueries {
          |LEFT JOIN (SELECT id FROM comp WHERE id = component) c ON c.id = d.doc_id
          |WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
          |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
-      val pairs = DedupOps.jaccardPairsLsh(
+      val comp = DedupOps.jaccardClustersLsh(
         DedupOps.shingleSets(Tables(s, dir, "documents"), "doc_id", "text", 3),
         "doc_id", 0.8, bands = 32, rows = 4)
-      val comp = DedupOps.connectedComponents(pairs.select("id_a", "id_b"))
         .localCheckpoint(false)
       val drop = comp.filter(col("id") =!= col("component"))
         .select(col("id").as("doc_id"))

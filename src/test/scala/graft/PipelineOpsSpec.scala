@@ -221,6 +221,22 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(lsh.contains((0L, 100L)) && lsh((0L, 100L)) < 1.0) // cross-cluster near-dup
   }
 
+  test("jaccardClustersLsh equals components over the expanded pair graph") {
+    val ss = DedupOps.shingleSets(skewDocs, "doc_id", "text", 3)
+    val viaPairs = DedupOps.connectedComponents(
+        DedupOps.jaccardPairsLsh(ss, "doc_id", 0.5).select("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    for (algo <- Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+        DedupOps.connectedComponents(_), DedupOps.connectedComponentsStar(_))) {
+      val contracted = DedupOps.jaccardClustersLsh(ss, "doc_id", 0.5, components = algo)
+        .as[(Long, Long)].collect().toMap
+      assert(contracted == viaPairs)
+    }
+    // the 30-member and 20-member identical clusters merge through the
+    // cross-set near-dup edge: one component labelled by the global min id
+    assert(viaPairs(119L) == 0L && viaPairs(0L) == 0L && viaPairs(200L) == 200L)
+  }
+
   test("topKExact ranks by cosine with deterministic tie-break") {
     val emb = Seq(
       (0L, Array(1f, 0f)), (1L, Array(1f, 0.01f)),
