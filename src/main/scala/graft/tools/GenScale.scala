@@ -13,14 +13,16 @@ import org.apache.spark.sql.functions._
   *    append-only growth direction; strictly-increasing per-series
   *    timestamps are preserved).
   *  - documents: `doc_id` offset per replica and EVERY token prefixed with
-  *    a replica tag (`z<r>q<token>`). The prefix map is a bijection on
-  *    tokens, so within-replica shingle-set relations — and therefore the
-  *    whole near-dup pair structure — are preserved exactly, while tokens
-  *    of different replicas can never collide: cross-replica Jaccard is 0
-  *    and the pair count grows exactly factor×. (A single APPENDED tag
-  *    does not work: replicas of a T-word doc would still share T−2 of T
-  *    shingles, J=(T−2)/T ≥ 0.8 for T ≥ 10 — every doc would pair with
-  *    its own replicas and the pair count would grow factor²).
+  *    a LETTERS-ONLY replica tag (`z<base26(r)>q<token>`). The prefix map
+  *    is a fixed-width injection on tokens, so within-replica shingle-set
+  *    relations — and therefore the whole near-dup pair structure — are
+  *    preserved exactly, while tokens of different replicas can never
+  *    collide: cross-replica Jaccard is 0 and the pair count grows exactly
+  *    factor×. (A single APPENDED tag does not work: replicas of a T-word
+  *    doc would still share T−2 of T shingles, J=(T−2)/T ≥ 0.8 for T ≥ 10
+  *    — every doc would pair with its own replicas and the pair count
+  *    would grow factor². A tag CONTAINING A DIGIT does not work either:
+  *    the [a-z]+ tokenizer splits on it, see the call-site comment.)
   *  - embeddings: `vec_id` offset and a deterministic per-replica sign
   *    flip of a hashed dimension subset — norms and within-replica cosines
   *    are EXACTLY preserved (sign flips are an isometry). NOTE cosine
