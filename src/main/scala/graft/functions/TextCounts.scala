@@ -30,7 +30,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * `\s` = `[ \t\n\x0B\f\r]`, and the word scan runs over
   * `String.toLowerCase` output exactly like `lower(text)`. (A non-ASCII
   * letter that case-folds INTO `[a-z]` is followed by the same lowered-char
-  * scan, so even that edge agrees.)
+  * scan, so even that edge agrees.) Pass 1 iterates by CODE POINT, matching
+  * the per-codepoint semantics of both Java regex and DuckDB/RE2: a
+  * supplementary-plane char (emoji etc.) counts once in `n_punct`/`n_bpe`,
+  * not once per UTF-16 surrogate half.
   */
 case class GraftTextCounts(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -49,11 +52,17 @@ case class GraftTextCounts(child: Expression)
     var nWs = 0L; var nBpe = 0L; var nPunct = 0L
     // pass 1 (original chars): \S+ runs, BPE pre-tokens, punct chars.
     // char classes mirror the Java regex the Column formulation uses.
+    // Iterate by CODE POINT, not UTF-16 unit: regex engines (Java and
+    // DuckDB/RE2 alike) match `[^a-zA-Z0-9\s]` once per codepoint, so a
+    // supplementary-plane char (emoji etc.) must count +1, not +2.
     var i = 0
     var prevWs = true      // start-of-string behaves like whitespace
     var prevCls = 0        // 0 = ws, 1 = letter, 2 = digit, 3 = other
     while (i < n) {
-      val c = s.charAt(i)
+      val cp = s.codePointAt(i)
+      // non-BMP codepoints are never ws/letter/digit → classify via a
+      // sentinel that lands in 'other'
+      val c = if (cp > 0xFFFF) '￿' else cp.toChar
       val isWs = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
         c == '\f' || c == '\r'
       val cls =
@@ -70,7 +79,7 @@ case class GraftTextCounts(child: Expression)
       }
       prevWs = isWs
       prevCls = cls
-      i += 1
+      i += Character.charCount(cp)
     }
     // pass 2 (lowered chars): [a-z]+ word tokens + stopword hits
     val low = s.toLowerCase

@@ -21,7 +21,11 @@ object TempHygiene {
     "graft-rtstage-", "graft-rtckpt-", "graft-rtout-",
     "graft-wstage-", "graft-wckpt-", "graft-wout-",
     "graft-ddstage-", "graft-ddckpt-", "graft-ddout-",
-    "graft-ivf-", "graft-cluster-",
+    "graft-dfstage-", "graft-dfckpt-", "graft-dfout-",
+    // NOT "graft-ivf-"/"graft-cluster-": the ANN quantizer dirs must outlive
+    // the writing JVM until the driver's DuckDB oracle replay reads them
+    // (SimilarityQueries invariant); the dead-PID + 24h reaper there bounds
+    // their accumulation without racing the replay window.
     // test-suite scratch roots (stale from previous sbt test runs)
     "tsdb-test-", "soak-", "replay-tsdb-", "stream-ckpt-", "stream-src-",
     "stream-tsdb-", "roll-tsdb-", "roll-ckpt-", "refl-local-",

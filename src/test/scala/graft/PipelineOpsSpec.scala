@@ -180,7 +180,11 @@ class PipelineOpsSpec extends SparkTestBase {
     val rnd = new scala.util.Random(99)
     val alphabet = "abcXYZ019 .,!\t\n-_the a of und der el le".toCharArray
     val strs = Seq("", " ", "the quick brown fox", "a1b2c3", "!!!", "der die das",
-      "MiXeD CaSe AND the a of", "tab\tsep\nlines", "e2e4 c7c5!? (Sicilian)") ++
+      "MiXeD CaSe AND the a of", "tab\tsep\nlines", "e2e4 c7c5!? (Sicilian)",
+      // supplementary-plane codepoints: regex engines count each ONCE, so
+      // the native pass must classify per codepoint, not per UTF-16 half
+      "smile 😀 and 🚀🚀 done", "😀",
+      "a😀b", "𝔘𝔫𝔦 math", "café über") ++
       (0 until 200).map(_ => (0 until rnd.nextInt(120))
         .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
     val df = strs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
