@@ -729,6 +729,44 @@ object EngineQueries {
         .select(col("time_ns").as("time_us"), col("c").cast("string").as("c"))
     },
 
+    // u32 + i32 end-to-end — the last corner of the 7-type matrix
+    // (reference measurement.h:22-31; engine_multifield covers
+    // f64+i64+bool+f32, engine_u64 covers u64 above 2⁶³): u32 values ABOVE
+    // 2³¹ (unrepresentable as int32 — proves the LongType widening), i32
+    // values crossing zero, both at ~25% NULL density (mirroring the
+    // reference's fake_db NULL pattern, unittest/fake_db.cc:16-40; the
+    // NULL masks are offset so the fields null on DIFFERENT rows), written
+    // through validated append INCLUDING an idempotent overlapping tail
+    // replay (bitwise-identical NULLs included), read back through the
+    // engine layout.
+    QueryDef.withOracle("engine_types",
+      s"""SELECT time_us,
+         |  CASE WHEN time_us % 4 <> 0
+         |       THEN 2147483648 + (time_us % 2147483647) END AS u32v,
+         |  CASE WHEN (time_us + 1) % 4 <> 0
+         |       THEN CAST((time_us % 100000) - 50000 AS INTEGER) END AS i32v
+         |FROM $PTS WHERE series = 'purchase' ORDER BY time_us""".stripMargin) { (s, dir) =>
+      val t = freshTsdb(s)
+      t.createDatabase("bench")
+      t.createMeasurement("bench", "events", MeasurementSchema(Seq(
+        Field("u32v", FieldType.U32), Field("i32v", FieldType.I32))))
+      val pts = canonicalPoints(s, dir).filter(col("series") === "purchase")
+        .select(col("time_us").as("time_ns"),
+          when(pmod(col("time_us"), lit(4L)) =!= 0L,
+            lit(2147483648L) + pmod(col("time_us"), lit(2147483647L))).as("u32v"),
+          when(pmod(col("time_us") + 1L, lit(4L)) =!= 0L,
+            (pmod(col("time_us"), lit(100000L)) - 50000L).cast("int")).as("i32v"))
+        .persist()
+      try {
+        t.writePoints("bench", "events", "purchase", pts.filter(col("time_ns") <= MID))
+        // overlapping tail replay: bitwise-identical (NULLs included) -> accepted
+        t.writePoints("bench", "events", "purchase",
+          pts.filter(col("time_ns") > MID - 2 * DAY))
+      } finally pts.unpersist()
+      t.select("bench", "events", "purchase", Seq("u32v", "i32v"), 0L, Long.MaxValue - 1)
+        .select(col("time_ns").as("time_us"), col("u32v"), col("i32v"))
+    },
+
     // Store-and-forward reflector (reference tsdbserver/reflector.cc,
     // doc/REFLECTOR.txt): batch 1 passes through to the healthy remote,
     // the remote goes DOWN and batch 2 spools locally, the remote recovers
@@ -932,6 +970,54 @@ object EngineQueries {
       s.read.parquet(out).orderBy("series", "time_us")
     },
 
+    // DIFFERENCE through the streaming face (the last of the 7 streaming
+    // faces to join the gate — StreamingOps.streamingDifference): per-series
+    // O(1) state carries the last (ts, v) across micro-batches, so the
+    // batch-2 boundary difference must be repaired FROM STATE; a lost or
+    // stale carried point breaks exactly the first row of each series in
+    // drain 2. Same two-drain/one-checkpoint lifecycle as
+    // engine_stream_rate; oracle = the batch lag() difference over the
+    // visible input (the Grafana Difference transform over a continuously
+    // arriving stream, datasource.go:257-268).
+    QueryDef.withOracle("engine_stream_difference",
+      s"""SELECT series, time_us, v,
+         |       v - lag(v) OVER (PARTITION BY series ORDER BY time_us)
+         |         AS difference
+         |FROM $PTS
+         |ORDER BY series, time_us""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val stage = java.nio.file.Files.createTempDirectory("graft-dfstage-").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-dfckpt-").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-dfout-").toString
+      val pts = canonicalPoints(s, dir)
+        .select(col("series"), col("time_us"), col("v")).persist()
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        def drain(): Unit =
+          StreamingOps.streamingDifference(
+              s.readStream.schema(PointSchema).parquet(stage)
+                .as[StreamingOps.Point])
+            .writeStream.option("checkpointLocation", ckpt)
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .format("parquet").option("path", out)
+            .start().awaitTermination()
+        // split at MID: the first difference of batch 2 must join across
+        // the checkpoint boundary via carried state
+        pts.filter(col("time_us") <= MID).repartition(1)
+          .write.mode("append").parquet(stage)
+        drain()
+        pts.filter(col("time_us") > MID).repartition(1)
+          .write.mode("append").parquet(stage)
+        drain()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        pts.unpersist()
+      }
+      s.read.parquet(out).orderBy("series", "time_us")
+    },
+
     // TUMBLING windows through the STREAMING face (StreamingOps.windowedSums)
     // — the watermarked incremental form of the reference's sum_op: two
     // AvailableNow drains, same checkpoint, split at MID so drain 2 must
@@ -985,16 +1071,20 @@ object EngineQueries {
         .orderBy("series", "window_start")
     },
 
-    // Streaming EXACT DEDUP (StreamingOps.streamingDedup): first arrival of
-    // each content hash passes, replicas drop — ACROSS the checkpoint
-    // boundary, so a batch-2 replica of a batch-1 document must be caught
-    // from carried state. Stream time axis = doc_id + 1 day of µs
-    // (synthetic, strictly increasing; offset because a row at EXACTLY
-    // epoch 0 is "late" to the initial watermark and silently dropped);
-    // staging files are written single-partition in doc_id order so "first
-    // arrival" is deterministic. The generous watermark keeps every hash in
-    // state for the run's horizon (eviction/re-admission is the documented
-    // bounded-state tradeoff, spec-covered). Oracle = min-doc_id per text.
+    // Streaming EXACT DEDUP (StreamingOps.streamingDedupMinId): the
+    // DETERMINISTIC-winner face — the min doc_id of each content hash
+    // passes, replicas drop — ACROSS the checkpoint boundary, so a batch-2
+    // replica of a batch-1 document must be caught from carried state.
+    // (dropDuplicatesWithinWatermark keeps whichever replica reaches the
+    // state store first, and intra-key order after the exchange is NOT
+    // guaranteed — multi-row-group splits reorder it — so the
+    // first-arrival face cannot be oracled; spec-covered instead.) Stream
+    // time axis = doc_id + 1 day of µs (synthetic, strictly increasing;
+    // offset because a row at EXACTLY epoch 0 is "late" to the initial
+    // watermark and silently dropped). The generous watermark keeps every
+    // hash in state for the run's horizon (eviction/re-admission is the
+    // documented bounded-state tradeoff, spec-covered). Oracle = min-doc_id
+    // per text — now a pure function of the data, not of arrival order.
     QueryDef.withOracle("engine_stream_dedup",
       s"""SELECT doc_id, doc_id + $DAY AS time_us, text FROM documents
          |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
@@ -1018,7 +1108,7 @@ object EngineQueries {
       s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         def drain(): Unit =
-          StreamingOps.streamingDedup(
+          StreamingOps.streamingDedupMinId(
               s.readStream.schema(docSchema).parquet(stage),
               watermarkUs = horizonUs)
             .drop("content_hash")
@@ -1027,13 +1117,9 @@ object EngineQueries {
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .format("parquet").option("path", out)
             .start().awaitTermination()
-        docs.filter(col("doc_id") <= mid)
-          .repartition(1).sortWithinPartitions("doc_id")
-          .write.mode("append").parquet(stage)
+        docs.filter(col("doc_id") <= mid).write.mode("append").parquet(stage)
         drain()
-        docs.filter(col("doc_id") > mid)
-          .repartition(1).sortWithinPartitions("doc_id")
-          .write.mode("append").parquet(stage)
+        docs.filter(col("doc_id") > mid).write.mode("append").parquet(stage)
         drain()
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)

@@ -106,6 +106,62 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("content_hash")
       .drop("event_time")
 
+  final case class HashedDoc(content_hash: String, doc_id: Long, time_us: Long,
+                             text: String)
+  /** Pre-state row of [[streamingDedupMinId]]: the watermark column must
+    * survive projection up to the stateful operator (event-time timeout
+    * requires it in the plan). */
+  final case class HashedDocEt(content_hash: String, doc_id: Long, time_us: Long,
+                               text: String, event_time: java.sql.Timestamp)
+
+  /** [[streamingDedup]] with a DETERMINISTIC winner: among replicas of one
+    * content hash inside a micro-batch, the minimum `doc_id` survives —
+    * `dropDuplicatesWithinWatermark` keeps whichever replica reaches the
+    * state store first, and Spark guarantees no intra-key arrival order
+    * after the exchange (multi-row-group splits reorder it), so its output
+    * is nondeterministic under same-batch replicas. Reproducibility is a
+    * training-pipeline requirement (re-running a corpus build must keep the
+    * SAME representatives), so the winner here is a pure function of the
+    * data. Same bounded-state contract: one boolean per distinct hash in
+    * the state store, evicted once the event-time watermark passes
+    * `time_us + watermarkUs` (replicas later than that re-admit — the
+    * documented disorder-tolerance tradeoff). */
+  def streamingDedupMinId(docs: DataFrame, watermarkUs: Long): Dataset[HashedDoc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("event_time", timestamp_micros(col("time_us")))
+      .withColumn("content_hash", sha2(col("text"), 256))
+      .withWatermark("event_time", s"$watermarkUs microseconds")
+      .select("content_hash", "doc_id", "time_us", "text", "event_time")
+      .as[HashedDocEt]
+      .groupByKey(_.content_hash)
+      .flatMapGroupsWithState[Boolean, HashedDoc](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, it: Iterator[HashedDocEt], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (!it.hasNext) Iterator.empty
+          else {
+            val rows = it.toVector // replicas of ONE hash in one batch
+            val winner = rows.minBy(d => (d.doc_id, d.time_us))
+            val out =
+              if (state.exists) Iterator.empty // replica of an earlier batch
+              else {
+                state.update(true)
+                Iterator.single(HashedDoc(winner.content_hash, winner.doc_id,
+                  winner.time_us, winner.text))
+              }
+            // evict once the watermark passes the horizon of this hash's
+            // last sighting (ms granularity — the state-store timeout axis);
+            // clamped above the current watermark (a late replica must not
+            // set a timeout the watermark has already passed — that throws)
+            state.setTimeoutTimestamp(math.max(
+              (rows.map(_.time_us).max + watermarkUs) / 1000L + 1L,
+              state.getCurrentWatermarkMs() + 1L))
+            out
+          }
+      }
+  }
+
   final case class Point(series: String, time_us: Long, v: Double)
   final case class DiffRow(series: String, time_us: Long, v: Double, difference: Option[Double])
   final case class LastPoint(time_us: Long, v: Double)

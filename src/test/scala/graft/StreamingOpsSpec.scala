@@ -127,6 +127,26 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamingDedupMinId: min doc_id wins within a batch, replicas drop across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String)]
+    val docs = in.toDF().toDF("doc_id", "time_us", "text")
+    val q = StreamingOps.streamingDedupMinId(docs, watermarkUs = 5000000L)
+      .writeStream.format("memory").queryName("sdedupmin").outputMode(OutputMode.Append()).start()
+    try {
+      // SAME-batch replicas (docs 7 and 2 share content): winner must be the
+      // min doc_id regardless of row order in the batch — listed 7-first here
+      in.addData((7L, 1000000L, "alpha beta"), (2L, 2000000L, "alpha beta"),
+        (5L, 1500000L, "gamma"))
+      q.processAllAvailable()
+      // cross-batch replica of the same content within the watermark: drops
+      in.addData((9L, 3000000L, "alpha beta"), (4L, 4000000L, "delta"))
+      q.processAllAvailable()
+      val ids = spark.table("sdedupmin").select("doc_id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(2L, 4L, 5L)) // 7 loses to 2 in-batch; 9 drops from state
+    } finally q.stop()
+  }
+
   test("streamingRate: reset-aware increase across micro-batch boundaries") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Point]

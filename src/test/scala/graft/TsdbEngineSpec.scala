@@ -637,4 +637,48 @@ class TsdbEngineSpec extends SparkTestBase {
       .select("time_ns").as[Long].collect().toSeq
     assert(s1 == Seq(100L, 250L, 260L))
   }
+
+  test("concurrent writers to DIFFERENT series of one measurement lose nothing") {
+    // the series-independence contract (reference doc/LOCKING.txt:3-8 —
+    // writers serialize per series, never across series; this engine's
+    // watermark store commits uuid-distinct deltas, WatermarkStore class
+    // doc): N threads append batches to N distinct series of ONE
+    // measurement concurrently through one SparkSession. Every point of
+    // every series must read back exactly — a lost watermark update, a
+    // clobbered delta file, or cross-series interference in the bucket
+    // layout breaks a full-value assertion, not a count.
+    val t = mkTsdb()
+    t.createDatabase("db1")
+    t.createMeasurement("db1", "m1", schema)
+    val nWriters = 8
+    val batches = 4
+    val perBatch = 5
+    def expected(si: Int): Seq[(Long, Option[Long], Option[Double], Option[Float])] =
+      (0 until batches).flatMap { b =>
+        (0 until perBatch).map { i =>
+          val ts = 1000L * b + 10L * i + si // per-series unique, increasing
+          (ts, Some(si.toLong * 100 + b), Some(si + b + i * 0.5),
+            if ((i + b) % 4 == 0) None else Some(i.toFloat)) // some NULLs
+        }
+      }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nWriters)
+    try {
+      val futs = (0 until nWriters).map { si =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit =
+            (0 until batches).foreach { b =>
+              val rows = expected(si).slice(b * perBatch, (b + 1) * perBatch)
+              t.writePoints("db1", "m1", s"s$si", pts(rows: _*))
+            }
+        })
+      }
+      futs.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS)) // rethrows
+    } finally pool.shutdown()
+    assert(t.listSeries("db1", "m1") == (0 until nWriters).map(i => s"s$i").sorted)
+    (0 until nWriters).foreach { si =>
+      val got = t.select("db1", "m1", s"s$si", Nil, 0L, Long.MaxValue - 1)
+        .as[(Long, Option[Long], Option[Double], Option[Float])].collect().toSeq
+      assert(got == expected(si), s"series s$si diverged after concurrent append")
+    }
+  }
 }
