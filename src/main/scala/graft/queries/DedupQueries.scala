@@ -178,26 +178,21 @@ object DedupQueries {
         bits = 30, maxHamming = 1)
     },
 
-    // Embedding-cosine near-dup pairs (exact all-pairs — the verification
-    // baseline; quadratic by contract).
+    // Embedding-cosine near-dup pairs. Since r10 this registered query IS
+    // the corpus-scale LSH path (VERDICT r9 #7): hyperplane-bucket
+    // candidates (24 tables × 8 bits, Hamming-2 probe) + exact cosine
+    // verify, oracled against the BRUTE-FORCE all-pairs SQL — a hash
+    // mismatch means the candidate machinery dropped a true pair (recall
+    // measured 1.0 at sf0.001/0.01/0.1 with these parameters). The
+    // quadratic Scala brute force (DedupOps.embeddingPairs) stays in the
+    // library as the documented verification baseline, exercised by
+    // PipelineOpsSpec and mirrored exactly by this oracle SQL; it is no
+    // longer a registered query, so the default path a user reaches is the
+    // one that survives 100 TB. At this loose 0.4 threshold pruning is weak
+    // by physics but the corpus-broadcast cross join is gone — see
+    // DedupOps.embeddingPairsLsh scaladoc for the calibration math, and
+    // dedup_embedding_lsh_tight for the regime where pruning bites.
     QueryDef.withOracle("dedup_embedding",
-      s"""WITH $NORMED
-         |SELECT * FROM (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |         ${OracleVec.dotSql("a", "b")} / (a.nrm * b.nrm) AS cosine
-         |  FROM n a, n b WHERE a.vec_id < b.vec_id
-         |) WHERE cosine >= 0.4 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
-      DedupOps.embeddingPairs(Tables(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
-    },
-
-    // The CORPUS-SCALE form: hyperplane-LSH candidates (24 tables × 8 bits,
-    // Hamming-2 probe) + exact cosine verify — same brute-force oracle as
-    // dedup_embedding, so a hash mismatch means the candidate machinery
-    // dropped a true pair (recall measured 1.0 at sf0.001/0.01/0.1 with
-    // these parameters; at this loose 0.4 threshold pruning is weak by
-    // physics but the corpus-broadcast cross join is gone — see
-    // DedupOps.embeddingPairsLsh scaladoc for the calibration math).
-    QueryDef.withOracle("dedup_embedding_lsh",
       s"""WITH $NORMED
          |SELECT * FROM (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -206,6 +201,27 @@ object DedupQueries {
          |) WHERE cosine >= 0.4 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
       DedupOps.embeddingPairsLsh(Tables(s, dir, "embeddings"), "vec_id", "embedding",
         0.4, tables = 24, bits = 8, probeRadius = 2)
+    },
+
+    // The TIGHT-threshold regime (cosine ≥ 0.9 — the SemDeDup operating
+    // point) with the parameterization whose pruning actually bites: 12
+    // tables × 18 bits, Hamming-2 probe (per-pair miss ≈ 2e-4 at 0.9, ≈
+    // 2e-7 at 0.95). Same brute-force oracle shape. The driver testdata's
+    // embeddings are near-orthogonal (max pairwise cosine ≈ 0.51), so both
+    // sides are empty here — the gate pins schema + no-false-positives;
+    // RECALL at this threshold is proven by the PipelineOpsSpec planted-
+    // near-dup test, and the prune factor is MEASURED per round: Bench
+    // emits emb_lsh_cand_ratio_tight/_loose into the bench JSON
+    // (calibration says ≪1% vs ~95%).
+    QueryDef.withOracle("dedup_embedding_lsh_tight",
+      s"""WITH $NORMED
+         |SELECT * FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         ${OracleVec.dotSql("a", "b")} / (a.nrm * b.nrm) AS cosine
+         |  FROM n a, n b WHERE a.vec_id < b.vec_id
+         |) WHERE cosine >= 0.9 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      DedupOps.embeddingPairsLshTight(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.9)
     },
 
     // Benchmark decontamination: docs with doc_id % 17 == 0 stand in for the
