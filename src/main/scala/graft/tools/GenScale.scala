@@ -48,6 +48,12 @@ object GenScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    generate(spark, src, out, factor)
+    spark.stop()
+  }
+
+  /** Build the scaled dir (see class doc for the replication rules). */
+  def generate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     import spark.implicits._
 
     val reps = spark.range(0, factor).select(col("id").as("_r"))
@@ -110,6 +116,5 @@ object GenScale {
       s"events=${spark.read.parquet(s"$out/events.parquet").count()} " +
       s"documents=${spark.read.parquet(s"$out/documents.parquet").count()} " +
       s"embeddings=${spark.read.parquet(s"$out/embeddings.parquet").count()}")
-    spark.stop()
   }
 }

@@ -1,0 +1,98 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** The scale self-check as ONE command (VERDICT r9 #6 — the hand-run README
+  * 10×/100× table, automated and turned into a gate): GenScale the source
+  * dir by `factor`, run the representative query subset at both scales in
+  * one JVM, print the ratio table, and exit NONZERO if any query's wall
+  * ratio exceeds the data factor — the invariant that caught the r9
+  * quadratic-banding bug (a linear-work operator may amortize fixed costs,
+  * so ratio ≤ factor; a super-linear one blows past it at 10×).
+  *
+  * The subset covers every operator family whose work scales with the
+  * three GenScale-replicated tables (events/documents/embeddings): engine
+  * write/stream/retention lifecycles, tsdb transforms, text analysis,
+  * shingle/fingerprint dedup + clustering, packing, ANN. Embedding
+  * pair-THRESHOLD queries are excluded by design: their output grows
+  * ~factor² on this data (cross-replica cosine physics — GenScale scaladoc),
+  * which would gate on the data, not the operator.
+  *
+  * Usage: runMain graft.tools.ScaleBench [sfDir] [factor] [query...]
+  */
+object ScaleBench {
+
+  val DefaultSubset: Seq[String] = Seq(
+    "engine_retention", "tsdb_sessionize", "text_vocab", "text_top_terms",
+    "tsdb_difference", "dedup_ngram_jaccard_capped", "engine_reflector",
+    "engine_rollup_two_fields", "dedup_minhash_lsh", "pipeline_pack",
+    "text_stats", "engine_stream_ingest", "ann_topk", "dedup_simhash",
+    "dedup_clusters_star", "engine_stream_rollup")
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val subset = if (args.length > 2) args.drop(2).toSeq else DefaultSubset
+    val unknown = subset.toSet.diff(graft.SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(", ")}")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val scaled = s"/tmp/graft-scalebench-x$factor"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      GenScale.generate(spark, src, scaled, factor)
+
+      def run(name: String, dir: String): Double = {
+        spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      // warm-up (untimed): session/codegen/parquet-reader init, and the
+      // shared engine fixture for each dir (engine_count builds it)
+      Seq(src, scaled).foreach { d =>
+        try run("engine_count", d) catch { case _: Throwable => () }
+      }
+      val rows = subset.map { name =>
+        val base = run(name, src)
+        val big = run(name, scaled)
+        val ratio = big / base
+        println(f"$name%-28s base=$base%7.2fs x$factor=$big%8.2fs ratio=$ratio%6.2f" +
+          (if (ratio > factor) "  <-- SUPER-LINEAR" else ""))
+        (name, base, big, ratio)
+      }
+      val baseTot = rows.map(_._2).sum
+      val bigTot = rows.map(_._3).sum
+      println(f"TOTAL base=$baseTot%.1fs x$factor=$bigTot%.1fs " +
+        f"ratio=${bigTot / baseTot}%.2f (data factor $factor)")
+      val offenders = rows.filter(_._4 > factor)
+      if (offenders.nonEmpty) {
+        System.err.println("SCALE REGRESSION: wall ratio exceeded the data factor for: " +
+          offenders.map(r => f"${r._1} (${r._4}%.1f×)").mkString(", "))
+        spark.stop()
+        sys.exit(1)
+      }
+    } finally {
+      // the scaled dir is large (factor × sf); never leave it behind
+      try {
+        val root = java.nio.file.Paths.get(scaled)
+        if (java.nio.file.Files.isDirectory(root)) {
+          val walk = java.nio.file.Files.walk(root)
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+          finally walk.close()
+        }
+      } catch { case _: Exception => () }
+    }
+    spark.stop()
+  }
+}
