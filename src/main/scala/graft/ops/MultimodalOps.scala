@@ -218,6 +218,70 @@ object MultimodalOps {
       }.toDF()
   }
 
+  /** Deterministic REAL-WAV asset table from `documents`: each doc becomes
+    * a genuine RIFF/WAVE 16-bit PCM mono file whose samples are an affine
+    * map of the text's bytes — `s(i) = (byte(i) − 80) · 257` — so the
+    * signal swings both signs (zero crossings exist) and an oracle can
+    * recompute every stat from the text alone. Sample rate cycles through
+    * the common telephony/speech/CD rates by id; every 5th asset carries a
+    * JUNK metadata chunk between `fmt ` and `data`, so the decoder's chunk
+    * walk (not a fixed 44-byte header assumption) is exercised by the
+    * corpus itself. */
+  def wavAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rates = Array(8000, 16000, 44100)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        // same LOUD ASCII contract as the BMP fixture: the oracle maps
+        // unicode() code points, the encoder maps chars — identical only
+        // below 128, so a non-ASCII corpus must fail here, not diverge.
+        require(text.forall(_ < 128),
+          s"wav fixture requires ASCII text (doc $id)")
+        val samples = Array.tabulate(text.length)(i =>
+          ((text.charAt(i) - 80) * 257).toShort)
+        val rate = rates((id % 3).toInt)
+        MediaAsset(id, "wav",
+          WavCodec.encode(rate, 1, samples, junkChunk = id % 5 == 0),
+          0, 0, 1, rate)
+      }.toDF()
+  }
+
+  /** Audio decode + signal-stat extraction over WAV assets: same typed
+    * per-partition shape as [[decodeFeatures]] (codec context per task, no
+    * shuffle, payload never leaves the task), but the decode is the REAL
+    * RIFF/PCM parse. Non-WAV formats fail loudly — silence-detection
+    * stats computed off an undecoded payload would be garbage. */
+  def audioFeatures(assets: DataFrame): Dataset[AudioFeatures] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .repartitionByRange(spark.sparkContext.defaultParallelism,
+        col("format"), col("asset_id"))
+      .as[MediaAsset]
+      .mapPartitions(_.map { a =>
+        require(a.format == "wav", s"audioFeatures needs wav, got ${a.format}")
+        WavCodec.decodeFeatures(a)
+      })
+  }
+
+  /** Frame-level audio features (decode fused with framing in one typed
+    * pass, one OUTPUT ROW per analysis frame): the expansion is bounded by
+    * `maxFrames` per asset, and frames leave the task as plain rows, so
+    * downstream VAD-style filters run as ordinary predicates. */
+  def audioFrames(assets: DataFrame, frameSize: Int, maxFrames: Int): Dataset[AudioFrame] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .repartitionByRange(spark.sparkContext.defaultParallelism,
+        col("format"), col("asset_id"))
+      .as[MediaAsset]
+      .mapPartitions(_.flatMap { a =>
+        require(a.format == "wav", s"audioFrames needs wav, got ${a.format}")
+        WavCodec.frameFeatures(a, frameSize, maxFrames)
+      })
+  }
+
   /** Decode/feature-extract: typed per-partition iteration
     * (`mapPartitions`) — the shape a real codec needs (native context
     * reused across a partition's assets, no shuffle, payload bytes never

@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Asset-level features of a decoded audio payload: sample geometry plus
+  * the classic signal stats a curation pipeline filters on (silence
+  * detection via RMS/peak, tonality proxy via zero-crossing rate). */
+final case class AudioFeatures(
+    asset_id: Long, format: String, sample_rate: Int, channels: Int,
+    n_samples: Long, duration_s: Double, rms: Double, peak: Int,
+    zero_crossings: Long)
+
+/** One fixed-size analysis frame of a decoded audio stream (the shape a
+  * VAD / loudness-normalization / segment-selection stage consumes). */
+final case class AudioFrame(
+    asset_id: Long, frame_idx: Int, n: Int, rms: Double, peak: Int)
+
+/** REAL WAV codec — pure-JVM byte-level encode/decode of the RIFF/WAVE
+  * 16-bit PCM layout (RIFF header, chunk walk with even-size padding,
+  * `fmt ` prerequisites, little-endian interleaved samples — the public
+  * file-format layout). Like [[BmpCodec]], this replaces the honest stub
+  * for a format the sandbox can genuinely decode without native codec
+  * libraries; FakeDecoder remains only for formats that would need
+  * ffmpeg-class decoders.
+  *
+  * The decoder is a chunk WALK, not a fixed-offset parse: unknown chunks
+  * (`LIST`, `JUNK`, cue metadata…) between `fmt ` and `data` are skipped
+  * with the RIFF even-byte padding rule, because real-world WAV files
+  * carry them and a fixed 44-byte assumption silently mis-reads samples.
+  */
+object WavCodec {
+
+  /** Encode interleaved 16-bit PCM samples as a RIFF/WAVE file. When
+    * `junkChunk` is set, a `JUNK` metadata chunk (odd-sized, to exercise
+    * the padding rule) is placed between `fmt ` and `data` — decoders that
+    * assume a fixed 44-byte header break on exactly such files. */
+  def encode(sampleRate: Int, channels: Int, samples: Array[Short],
+             junkChunk: Boolean = false): Array[Byte] = {
+    require(channels > 0 && sampleRate > 0, "need positive rate/channels")
+    require(samples.length % channels == 0, "samples must interleave evenly")
+    val dataSize = samples.length * 2
+    val junkBody = 5 // odd on purpose: forces the pad byte
+    val junkSize = if (junkChunk) 8 + junkBody + 1 else 0
+    val riffSize = 4 + (8 + 16) + junkSize + (8 + dataSize)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort) // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort) // block align
+      .putShort(16.toShort)
+    if (junkChunk) {
+      buf.put("JUNK".getBytes("US-ASCII")).putInt(junkBody)
+      var i = 0
+      while (i < junkBody) { buf.put(0x6a.toByte); i += 1 }
+      buf.put(0.toByte) // RIFF pad to even
+    }
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < samples.length) { buf.putShort(samples(i)); i += 1 }
+    buf.array()
+  }
+
+  /** Parse a RIFF/WAVE payload into (sampleRate, channels, interleaved
+    * 16-bit samples). Walks the chunk list (even-size padding honored),
+    * validates magics, PCM format code and bit depth — a malformed payload
+    * fails loudly instead of producing garbage stats. */
+  def decode(payload: Array[Byte]): (Int, Int, Array[Short]) = {
+    require(payload.length >= 12, "truncated RIFF header")
+    def fourcc(off: Int) = new String(payload, off, 4, "US-ASCII")
+    require(fourcc(0) == "RIFF" && fourcc(8) == "WAVE", "not a WAVE payload")
+    val buf = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var rate = -1
+    var channels = -1
+    var samples: Array[Short] = null
+    while (pos + 8 <= payload.length) {
+      val id = fourcc(pos)
+      val size = buf.getInt(pos + 4)
+      require(size >= 0 && pos + 8 + size <= payload.length,
+        s"chunk '$id' overruns payload")
+      val body = pos + 8
+      id match {
+        case "fmt " =>
+          require(size >= 16, "fmt chunk too small")
+          require(buf.getShort(body) == 1, "only PCM (format 1) supported")
+          channels = buf.getShort(body + 2).toInt
+          rate = buf.getInt(body + 4)
+          require(buf.getShort(body + 14) == 16, "only 16-bit PCM supported")
+          require(channels > 0 && rate > 0, "invalid fmt geometry")
+        case "data" =>
+          require(rate > 0, "data chunk before fmt")
+          require(size % 2 == 0, "odd data size for 16-bit samples")
+          samples = new Array[Short](size / 2)
+          var i = 0
+          while (i < samples.length) { samples(i) = buf.getShort(body + i * 2); i += 1 }
+        case _ => () // unknown metadata chunk: skip
+      }
+      pos = body + size + (size & 1) // RIFF pads chunks to even offsets
+    }
+    require(samples != null, "no data chunk")
+    (rate, channels, samples)
+  }
+
+  /** Decode + signal stats in one pass over the REAL samples: RMS
+    * (double, exact integer accumulation — sum of squares stays well
+    * below 2^53 for any corpus this fixture produces), peak |amplitude|,
+    * and sign-change count over the interleaved stream. `duration_s` is
+    * per-channel frames over the rate. */
+  def decodeFeatures(a: MediaAsset): AudioFeatures = {
+    val (rate, channels, ss) = decode(a.payload)
+    var sumSq = 0L
+    var peak = 0
+    var zc = 0L
+    var i = 0
+    while (i < ss.length) {
+      val s = ss(i).toInt
+      sumSq += s.toLong * s
+      val abs = math.abs(s)
+      if (abs > peak) peak = abs
+      if (i > 0 && ((ss(i - 1) >= 0) != (s >= 0))) zc += 1
+      i += 1
+    }
+    val n = ss.length
+    AudioFeatures(a.asset_id, a.format, rate, channels, n.toLong,
+      (n / channels).toDouble / rate,
+      if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n), peak, zc)
+  }
+
+  /** Fixed-size analysis frames over the decoded stream (first `maxFrames`
+    * frames of `frameSize` samples; the tail frame may be partial): the
+    * framing a VAD / loudness stage consumes, emitted as rows so frames of
+    * one asset can be filtered/joined independently downstream. */
+  def frameFeatures(a: MediaAsset, frameSize: Int, maxFrames: Int): Seq[AudioFrame] = {
+    val (_, _, ss) = decode(a.payload)
+    val nFrames = math.min((ss.length + frameSize - 1) / frameSize, maxFrames)
+    (0 until nFrames).map { f =>
+      val from = f * frameSize
+      val until = math.min(from + frameSize, ss.length)
+      var sumSq = 0L
+      var peak = 0
+      var i = from
+      while (i < until) {
+        val s = ss(i).toInt
+        sumSq += s.toLong * s
+        val abs = math.abs(s)
+        if (abs > peak) peak = abs
+        i += 1
+      }
+      val n = until - from
+      AudioFrame(a.asset_id, f, n, math.sqrt(sumSq.toDouble / n), peak)
+    }
+  }
+}

@@ -164,6 +164,70 @@ object MultimodalQueries {
           col("width").as("dst_w"), col("height").as("dst_h"),
           col("n_bytes"), col("mean_byte"))
         .orderBy("asset_id")
+    },
+
+    // REAL audio decoding: each doc becomes a genuine RIFF/WAVE 16-bit PCM
+    // mono file (canonical header; every 5th asset carries a JUNK metadata
+    // chunk so the corpus itself exercises the chunk walk), samples are an
+    // affine map of the text bytes; WavCodec PARSES the actual layout back
+    // and extracts the signal stats a curation pipeline filters on. The
+    // oracle recomputes RMS / peak / zero-crossings from the text + the
+    // sample map alone — a header-offset, endianness, chunk-padding or
+    // sign-handling bug in either codec direction breaks the hash.
+    QueryDef.withOracle("mm_decode_wav",
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, length(text) + 1),
+        |           i -> (unicode(substr(text, CAST(i AS INT), 1)) - 80) * 257) AS ss,
+        |         ([8000, 16000, 44100])[CAST(doc_id % 3 AS INT) + 1] AS rate
+        |  FROM documents)
+        |SELECT doc_id AS asset_id, 'wav' AS format,
+        |  CAST(rate AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+        |  CAST(len(ss) AS BIGINT) AS n_samples,
+        |  CAST(len(ss) AS DOUBLE) / rate AS duration_s,
+        |  CASE WHEN len(ss) = 0 THEN 0.0
+        |       ELSE sqrt(CAST(list_sum(list_transform(ss, x -> x * x)) AS DOUBLE)
+        |                 / len(ss)) END AS rms,
+        |  CAST(COALESCE(list_max(list_transform(ss, x -> abs(x))), 0) AS INT) AS peak,
+        |  CAST(COALESCE(list_sum(list_transform(range(1, len(ss)),
+        |    i -> CASE WHEN (ss[i] >= 0) <> (ss[i + 1] >= 0)
+        |              THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
+        |FROM s ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      MultimodalOps.audioFeatures(
+        MultimodalOps.wavAssetsFromDocuments(Tables(s, dir, "documents")))
+        .toDF()
+        .orderBy("asset_id")
+    },
+
+    // Frame-level audio features (decode fused with 64-sample framing, one
+    // ROW per analysis frame, first 4 frames per asset — the VAD /
+    // loudness-normalization access pattern). The oracle slices the same
+    // frames out of the reconstructed sample list; a frame-boundary
+    // off-by-one or a partial-tail-frame bug breaks the match.
+    QueryDef.withOracle("mm_audio_frames",
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, length(text) + 1),
+        |           i -> (unicode(substr(text, CAST(i AS INT), 1)) - 80) * 257) AS ss
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, ss,
+        |         unnest(range(0, least((len(ss) + 63) // 64, 4))) AS fi
+        |  FROM s),
+        |g AS (
+        |  SELECT doc_id, fi,
+        |         ss[CAST(fi * 64 + 1 AS INT):CAST(least(fi * 64 + 64, len(ss)) AS INT)] AS fs
+        |  FROM f)
+        |SELECT doc_id AS asset_id, CAST(fi AS INT) AS frame_idx,
+        |  CAST(len(fs) AS INT) AS n,
+        |  sqrt(CAST(list_sum(list_transform(fs, x -> x * x)) AS DOUBLE) / len(fs)) AS rms,
+        |  CAST(list_max(list_transform(fs, x -> abs(x))) AS INT) AS peak
+        |FROM g ORDER BY asset_id, frame_idx""".stripMargin) { (s, dir) =>
+      MultimodalOps.audioFrames(
+        MultimodalOps.wavAssetsFromDocuments(Tables(s, dir, "documents")),
+        frameSize = 64, maxFrames = 4)
+        .toDF()
+        .orderBy("asset_id", "frame_idx")
     }
   )
 }

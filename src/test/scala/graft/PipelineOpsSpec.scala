@@ -632,4 +632,70 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(row._2 == shRef(text.split(" ").toSeq))
     assert(row._3 == Seq(text(0), text(10), text(20)).map(_.toInt).mkString(","))
   }
+
+  test("WavCodec: encode/decode round-trips PCM through the real RIFF layout") {
+    val ss = Array[Short](0, 1000, -1000, 32767, -32768, 7)
+    val wav = WavCodec.encode(16000, 1, ss)
+    assert(wav.length == 44 + ss.length * 2) // canonical header + LE samples
+    assert(new String(wav, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(wav, 8, 4, "US-ASCII") == "WAVE")
+    val (rate, ch, back) = WavCodec.decode(wav)
+    assert(rate == 16000 && ch == 1 && back.toSeq == ss.toSeq)
+    // a JUNK metadata chunk between fmt and data must be walked over
+    // (odd-sized body: the RIFF pad byte is part of the walk arithmetic)
+    val (r2, _, back2) = WavCodec.decode(WavCodec.encode(8000, 1, ss, junkChunk = true))
+    assert(r2 == 8000 && back2.toSeq == ss.toSeq)
+    // stereo: interleaved samples survive with channel metadata intact
+    val st = Array[Short](1, -1, 2, -2)
+    val (_, ch2, back3) = WavCodec.decode(WavCodec.encode(44100, 2, st))
+    assert(ch2 == 2 && back3.toSeq == st.toSeq)
+    // malformed payloads fail loudly, not as garbage stats
+    intercept[IllegalArgumentException](WavCodec.decode(Array[Byte](1, 2, 3)))
+    intercept[IllegalArgumentException](
+      WavCodec.decode("RIFXxxxxWAVE".getBytes("US-ASCII")))
+    val noFmt = WavCodec.encode(16000, 1, ss)
+    System.arraycopy("data".getBytes("US-ASCII"), 0, noFmt, 12, 4) // clobber fmt
+    intercept[IllegalArgumentException](WavCodec.decode(noFmt))
+  }
+
+  test("WavCodec features: RMS, peak and zero crossings are exact") {
+    val ss = Array[Short](100, -100, 100, -100, 0, 50)
+    val a = MediaAsset(3L, "wav", WavCodec.encode(8000, 1, ss), 0, 0, 1, 8000)
+    val f = WavCodec.decodeFeatures(a)
+    assert(f.n_samples == 6 && f.sample_rate == 8000 && f.channels == 1)
+    assert(f.duration_s == 6.0 / 8000)
+    assert(f.rms == math.sqrt((4 * 100L * 100 + 50L * 50).toDouble / 6))
+    assert(f.peak == 100)
+    // sign flips at (100,-100) ×3 pairs plus (-100,0) — 0 counts as
+    // non-negative — and none at (0,50)
+    assert(f.zero_crossings == 4)
+    val empty = WavCodec.decodeFeatures(a.copy(payload =
+      WavCodec.encode(8000, 1, Array.emptyShortArray)))
+    assert(empty.n_samples == 0 && empty.rms == 0.0 && empty.zero_crossings == 0)
+  }
+
+  test("WavCodec.frameFeatures: partial tail frame and maxFrames cap") {
+    val ss = Array.tabulate[Short](10)(i => (i * 100).toShort)
+    val a = MediaAsset(9L, "wav", WavCodec.encode(16000, 1, ss), 0, 0, 1, 16000)
+    val frames = WavCodec.frameFeatures(a, frameSize = 4, maxFrames = 8)
+    assert(frames.map(f => (f.frame_idx, f.n)) == Seq((0, 4), (1, 4), (2, 2)))
+    assert(frames(2).peak == 900) // tail frame sees only samples 8..9
+    assert(frames(2).rms == math.sqrt((800.0 * 800 + 900.0 * 900) / 2))
+    assert(WavCodec.frameFeatures(a, frameSize = 4, maxFrames = 2).size == 2)
+  }
+
+  test("audioFeatures/audioFrames route wav payloads through the real parser") {
+    val ss = Array[Short](1000, -2000, 3000)
+    val asset = Seq((11L, "wav", WavCodec.encode(44100, 1, ss), 0, 0, 1, 44100))
+      .toDF("asset_id", "format", "payload", "width", "height", "channels", "sample_rate")
+    val f = MultimodalOps.audioFeatures(asset).collect().head
+    assert(f.n_samples == 3 && f.peak == 3000 && f.zero_crossings == 2)
+    val fr = MultimodalOps.audioFrames(asset, frameSize = 2, maxFrames = 4)
+      .orderBy("frame_idx").collect()
+    assert(fr.map(_.n).toSeq == Seq(2, 1) && fr(1).peak == 3000)
+    // a non-wav format must fail loudly, not emit stub stats
+    val bad = asset.withColumn("format", lit("image"))
+    intercept[org.apache.spark.SparkException](
+      MultimodalOps.audioFeatures(bad).collect())
+  }
 }
