@@ -1071,6 +1071,58 @@ object EngineQueries {
         .orderBy("series", "window_start")
     },
 
+    // Streaming SLIDING windows (StreamingOps.windowedSumsSliding): 2-day
+    // windows sliding by 1 day, so every point lands in exactly TWO
+    // overlapping windows — the last streaming-window shape without an
+    // end-to-end oracle (tumbling/session/rate/difference/dedup are
+    // covered). Same two-drain checkpoint lifecycle and horizon sentinel
+    // as engine_stream_window; the oracle assigns each point its two
+    // window starts via a cross join with the offset list, so a
+    // window-assignment off-by-one, a missing overlap, or state lost at
+    // the checkpoint boundary breaks the match.
+    QueryDef.withOracle("engine_stream_sliding",
+      s"""SELECT series,
+         |  time_us - (time_us % $DAY) - j * $DAY AS window_start,
+         |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         |  MIN(v) AS min_value, MAX(v) AS max_value, COUNT(v) AS n
+         |FROM $PTS CROSS JOIN (SELECT unnest([0, 1]) AS j)
+         |GROUP BY 1, 2
+         |ORDER BY series, window_start""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val stage = java.nio.file.Files.createTempDirectory("graft-slstage-").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-slckpt-").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-slout-").toString
+      val pts = canonicalPoints(s, dir)
+        .select(col("series"), col("time_us"), col("v")).persist()
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        def drain(): Unit =
+          StreamingOps.windowedSumsSliding(
+              s.readStream.schema(PointSchema).parquet(stage),
+              windowUs = 2 * DAY, slideUs = DAY, watermarkUs = 1000000L)
+            .writeStream.option("checkpointLocation", ckpt)
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .format("parquet").option("path", out)
+            .start().awaitTermination()
+        pts.filter(col("time_us") <= MID).repartition(1)
+          .write.mode("append").parquet(stage)
+        drain()
+        val sentinelTs = pts.agg(max("time_us")).head().getLong(0) + 30 * DAY
+        pts.filter(col("time_us") > MID)
+          .union(Seq(("zzz_sentinel", sentinelTs, 0.0))
+            .toDF("series", "time_us", "v"))
+          .repartition(1).write.mode("append").parquet(stage)
+        drain()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        pts.unpersist()
+      }
+      s.read.parquet(out).filter(col("series") =!= "zzz_sentinel")
+        .orderBy("series", "window_start")
+    },
+
     // Streaming EXACT DEDUP (StreamingOps.streamingDedupMinId): the
     // DETERMINISTIC-winner face — the min doc_id of each content hash
     // passes, replicas drop — ACROSS the checkpoint boundary, so a batch-2

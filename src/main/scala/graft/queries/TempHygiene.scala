@@ -22,6 +22,7 @@ object TempHygiene {
     "graft-wstage-", "graft-wckpt-", "graft-wout-",
     "graft-ddstage-", "graft-ddckpt-", "graft-ddout-",
     "graft-dfstage-", "graft-dfckpt-", "graft-dfout-",
+    "graft-slstage-", "graft-slckpt-", "graft-slout-",
     // NOT "graft-ivf-"/"graft-cluster-": the ANN quantizer dirs must outlive
     // the writing JVM until the driver's DuckDB oracle replay reads them
     // (SimilarityQueries invariant); the dead-PID + 24h reaper there bounds
