@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over a (user, type, time) log — the funnel /
+  * cohort operators an events pipeline runs beside the per-series TSDB
+  * surface. Both are single-key shuffle shapes: every aggregation and join
+  * keys on the user, so Catalyst reuses one exchange layout end-to-end and
+  * parallelism scales with the user population, never with time. */
+object EventOps {
+
+  /** Ordered-funnel user counts: a user reaches stage i iff an event of
+    * `stages(i)` occurs at-or-after the user's reach time of stage i−1,
+    * and the reach time is the EARLIEST such event (strict ordering — a
+    * purchase before the first view does not convert). Emits one row per
+    * stage with the surviving-user count.
+    *
+    * Shape: k = stages.length per-stage min-aggregations and joins, all
+    * keyed on the user — k is small and fixed (a funnel definition), the
+    * data passes are map-side filters on the event type plus same-key
+    * joins, so no stage is ever quadratic and AQE may broadcast the
+    * shrinking reach side as the funnel narrows. */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+             timeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val ev = events.select(col(userCol).as("u"), col(typeCol).as("et"),
+      col(timeCol).as("t"))
+    var reach = ev.filter(col("et") === stages.head)
+      .groupBy("u").agg(min("t").as("rt"))
+    var out = reach.select(lit(0).as("stage_idx"),
+      lit(stages.head).as("stage"), col("u"))
+    stages.zipWithIndex.drop(1).foreach { case (st, i) =>
+      reach = ev.filter(col("et") === st)
+        .join(reach, "u")
+        .filter(col("t") >= col("rt"))
+        .groupBy("u").agg(min("t").as("rt"))
+      out = out.union(reach.select(lit(i).as("stage_idx"),
+        lit(st).as("stage"), col("u")))
+    }
+    out.groupBy("stage_idx", "stage").agg(count(lit(1)).as("n_users"))
+      .orderBy("stage_idx")
+  }
+
+  /** Cohort retention: cohort = the time bucket of a user's FIRST event;
+    * for every (cohort, bucket-offset) pair, how many of that cohort's
+    * users were active that many buckets later. The activity set is
+    * deduplicated to (user, bucket) BEFORE the cohort join, so heavy users
+    * cost one row per active bucket, not one per event. Bucket arithmetic
+    * is integral (`div`) — a double division would lose µs precision on
+    * epoch-scale timestamps. */
+  def cohortRetention(events: DataFrame, userCol: String, timeCol: String,
+                      bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, "bucket width must be positive")
+    val active = events
+      .select(col(userCol).as("u"),
+        expr(s"CAST($timeCol AS BIGINT) div $bucketUs").as("b"))
+      .distinct()
+    val cohorts = active.groupBy("u").agg(min("b").as("cohort"))
+    active.join(cohorts, "u")
+      .groupBy(col("cohort"), (col("b") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort", "offset")
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ops.TimeSeriesOps
+import graft.ops.{EventOps, TimeSeriesOps}
 import graft.tables.Tables
 import Params._
 
@@ -493,6 +493,76 @@ object EventQueries {
       TimeSeriesOps.quantiles(
         Tables.eventsTsdb(s, dir).filter(col("time_us").between(T0, T1)),
         "series", "value", Seq(0.5, 0.9, 0.99))
+    },
+
+    // EXTENSION: semi-structured extraction — the events `props` column is
+    // a JSON string (the shape every web-scale event/metadata pipeline
+    // carries). Typed `from_json` with an explicit schema (no sampling
+    // pass, no schema inference job) projects the field inside whole-stage
+    // codegen, then an ordinary aggregation runs on the EXTRACTED value —
+    // the parse happens once per row, map-side, and only the projected
+    // field materializes. Integer-only aggregates keep the oracle
+    // hash-exact.
+    QueryDef.withOracle("events_json_extract",
+      """SELECT event_type,
+        |  CAST(CAST(props->>'$.k' AS BIGINT) // 10 AS BIGINT) AS k_bucket,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+        |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val kSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType)))
+      Tables(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"), kSchema).getField("k").as("k"))
+        .groupBy(col("event_type"),
+          floor(col("k") / 10).cast("long").as("k_bucket"))
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type", "k_bucket")
+    },
+
+    // EXTENSION: ordered funnel (view → click → purchase) per user — stage
+    // i counts users with a stage-i event at-or-after their EARLIEST reach
+    // of stage i−1 (EventOps.funnel; every join/agg keys on the user, one
+    // exchange layout end-to-end). The oracle cascades the same min-time
+    // reach CTEs.
+    QueryDef.withOracle("events_funnel",
+      """WITH e AS (SELECT user_id AS u, event_type AS et, epoch_us(ts) AS t
+        |           FROM events),
+        |r0 AS (SELECT u, min(t) AS rt FROM e WHERE et = 'view' GROUP BY 1),
+        |r1 AS (SELECT e.u, min(e.t) AS rt FROM e JOIN r0 ON e.u = r0.u
+        |       WHERE e.et = 'click' AND e.t >= r0.rt GROUP BY 1),
+        |r2 AS (SELECT e.u, min(e.t) AS rt FROM e JOIN r1 ON e.u = r1.u
+        |       WHERE e.et = 'purchase' AND e.t >= r1.rt GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS INT) AS stage_idx, 'view' AS stage,
+        |         count(*) AS n_users FROM r0
+        |  UNION ALL SELECT CAST(1 AS INT), 'click', count(*) FROM r1
+        |  UNION ALL SELECT CAST(2 AS INT), 'purchase', count(*) FROM r2
+        |) ORDER BY stage_idx""".stripMargin) { (s, dir) =>
+      EventOps.funnel(
+        Tables.eventsTsdb(s, dir).withColumnRenamed("series", "event_type"),
+        "user_id", "event_type", "time_us",
+        Seq("view", "click", "purchase"))
+    },
+
+    // EXTENSION: weekly cohort retention — cohort = the week bucket of a
+    // user's first event; each row counts how many of that cohort's users
+    // were active `offset` weeks later (EventOps.cohortRetention; the
+    // activity set dedups to (user, week) before the cohort join, and the
+    // bucket arithmetic is integral `div`, never a lossy double divide).
+    QueryDef.withOracle("events_cohort_retention",
+      s"""WITH e AS (SELECT DISTINCT user_id AS u,
+         |             epoch_us(ts) // ${7 * DAY} AS b FROM events),
+         |f AS (SELECT u, min(b) AS cohort FROM e GROUP BY 1)
+         |SELECT f.cohort, e.b - f.cohort AS offset, count(*) AS n_active
+         |FROM e JOIN f ON e.u = f.u
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      EventOps.cohortRetention(
+        Tables.eventsTsdb(s, dir), "user_id", "time_us", bucketUs = 7 * DAY)
     }
     // delete-from-front semantics are exercised for real by
     // graft.queries.EngineQueries (engine_delete_front): write -> delete ->

@@ -1,0 +1,55 @@
+package graft
+
+import graft.ops.EventOps
+
+/** Hand-checked fixtures for the event-analytics extensions (funnel,
+  * cohort retention): ordering semantics are the whole operator, so every
+  * user's path is chosen to pin one rule. */
+class EventOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("funnel: stage reach requires an event at-or-after the prior reach") {
+    val ev = Seq(
+      // u1: full ordered funnel
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      // u2: purchase BEFORE the first view -> stops at click
+      (2L, "purchase", 5L), (2L, "view", 10L), (2L, "click", 15L),
+      // u3: click before view -> stops at view (click never recurs)
+      (3L, "click", 8L), (3L, "view", 9L),
+      // u4: never views -> in no stage, even with click+purchase
+      (4L, "click", 1L), (4L, "purchase", 2L),
+      // u5: same-timestamp chain counts (at-or-after is inclusive)
+      (5L, "view", 7L), (5L, "click", 7L), (5L, "purchase", 7L)
+    ).toDF("user_id", "event_type", "time_us")
+    val got = EventOps.funnel(ev, "user_id", "event_type", "time_us",
+        Seq("view", "click", "purchase"))
+      .as[(Int, String, Long)].collect().toSeq
+    assert(got == Seq((0, "view", 4L), (1, "click", 3L), (2, "purchase", 2L)))
+  }
+
+  test("funnel: reach time is the EARLIEST qualifying event, not any") {
+    // u1 clicks twice after viewing; the purchase lies between the clicks —
+    // it qualifies because reach(click) is the FIRST click
+    val ev = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 25L),
+      (1L, "click", 30L)
+    ).toDF("user_id", "event_type", "time_us")
+    val got = EventOps.funnel(ev, "user_id", "event_type", "time_us",
+        Seq("view", "click", "purchase"))
+      .as[(Int, String, Long)].collect().toSeq
+    assert(got.map(_._3) == Seq(1L, 1L, 1L))
+  }
+
+  test("cohortRetention: integral buckets, per-bucket dedup, offset counts") {
+    val w = 100L // bucket width
+    val ev = Seq(
+      (1L, 10L), (1L, 20L),  // u1 cohort 0, active twice in bucket 0 -> once
+      (1L, 250L),            // u1 active at offset 2
+      (2L, 110L), (2L, 210L), // u2 cohort 1, offsets 0 and 1
+      (3L, 120L)             // u3 cohort 1, offset 0
+    ).toDF("user_id", "time_us")
+    val got = EventOps.cohortRetention(ev, "user_id", "time_us", w)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 0L, 1L), (0L, 2L, 1L), (1L, 0L, 2L), (1L, 1L, 1L)))
+  }
+}
