@@ -234,4 +234,51 @@ object TextOps {
       .select(col(idCol), col("rank"), col("term"), col("doc_freq"))
       .orderBy(col(idCol), col("rank"))
   }
+
+  /** BM25-style ranked retrieval for a FIXED query-term list: per-document
+    * term frequencies computed map-side with array primitives (the query is
+    * a handful of literals — no corpus-wide explode, no shuffle keyed on
+    * terms), one scalar aggregation for the corpus stats (N, avgdl,
+    * per-term document frequencies), broadcast back, then the classic BM25
+    * saturation `tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with k1=1.2,
+    * b=0.75 and top-N by (score desc, id) via TakeOrdered.
+    *
+    * The idf factor is the RATIONAL core of BM25's idf,
+    * `(N − df + ½)/(df + ½)`, with the ln omitted: a strictly monotone
+    * transform of the textbook weight that keeps every arithmetic step
+    * IEEE-exact across engines (`ln` differs in the last bit across libm
+    * implementations — same portability stance as [[rareTerms]]).
+    * Scale: one narrow pass + one scalar agg + TakeOrderedAndProject; the
+    * only data-sized state is the per-doc tf vector, width = |query|. */
+  def bm25Rank(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], topN: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25Rank needs at least one query term")
+    val withTf = docs
+      .select(col(idCol), tokens(col(textCol)).as("ts"))
+      .select(Seq(col(idCol), size(col("ts")).cast("long").as("dl")) ++
+        terms.indices.map(i =>
+          size(filter(col("ts"), x => x === lit(terms(i))))
+            .cast("long").as(s"tf$i")): _*)
+    val aggCols = Seq(
+      count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = withTf.agg(aggCols.head, aggCols.tail: _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+    // expression shape mirrors the oracle SQL token-for-token: every +,*,/
+    // associates identically, constants are pre-folded literals, so the
+    // double result is bit-identical in DuckDB
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf$i").cast("double")
+      (col("n") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)) *
+        tf * lit(2.2) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl")))
+    }.reduce(_ + _)
+    scored
+      .filter(terms.indices.map(i => col(s"tf$i")).reduce(_ + _) > 0)
+      .select(col(idCol), score.as("score"), col("dl"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topN)
+  }
 }

@@ -242,6 +242,39 @@ object TextQueries {
           col("n3_total"), col("n3_distinct"),
           frac(col("n3_total"), col("n3_distinct")).as("rep3_frac"))
         .orderBy("doc_id")
+    },
+
+    // EXTENSION: BM25-style ranked retrieval for a fixed query (hash, join,
+    // vector) — per-doc tfs via array primitives map-side (no corpus-wide
+    // term explode), ONE scalar aggregation for N/avgdl/dfs broadcast back,
+    // saturation tf·2.2/(tf + 1.2·(0.25 + 0.75·dl/avgdl)), rational idf
+    // (N−df+½)/(df+½) — ln omitted so every step is IEEE-exact across
+    // engines (TextOps.bm25Rank scaladoc). Oracle mirrors the expression
+    // token-for-token; top-50 by (score desc, doc_id) is a total order.
+    QueryDef.withOracle("text_bm25", {
+      def tf(t: String) = s"len(list_filter(ts, x -> x = '$t'))"
+      s"""WITH d AS (SELECT doc_id, len(ts) AS dl,
+         |        ${tf("hash")} AS tf0, ${tf("join")} AS tf1,
+         |        ${tf("vector")} AS tf2
+         |      FROM (SELECT doc_id, $TOKS AS ts FROM documents)),
+         |c AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         |        sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         |        sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         |        sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+         |      FROM d)
+         |SELECT doc_id,
+         |  (n - df0 + 0.5) / (df0 + 0.5) * CAST(tf0 AS DOUBLE) * 2.2
+         |    / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+         |  + (n - df1 + 0.5) / (df1 + 0.5) * CAST(tf1 AS DOUBLE) * 2.2
+         |    / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+         |  + (n - df2 + 0.5) / (df2 + 0.5) * CAST(tf2 AS DOUBLE) * 2.2
+         |    / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+         |  AS score, CAST(dl AS BIGINT) AS dl
+         |FROM d, c WHERE tf0 + tf1 + tf2 > 0
+         |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
+    }) { (s, dir) =>
+      TextOps.bm25Rank(Tables(s, dir, "documents"), "doc_id", "text",
+        Seq("hash", "join", "vector"), topN = 50)
     }
   )
 }

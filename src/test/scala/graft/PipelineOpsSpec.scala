@@ -633,6 +633,27 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(row._3 == Seq(text(0), text(10), text(20)).map(_.toInt).mkString(","))
   }
 
+  test("bm25Rank: scores match the scalar reference; no-hit docs excluded") {
+    val corpus = Seq(
+      (0L, "hash join hash"),
+      (1L, "vector scan"),
+      (2L, "nothing here at all")
+    ).toDF("doc_id", "text")
+    val got = TextOps.bm25Rank(corpus, "doc_id", "text",
+        Seq("hash", "join", "vector"), topN = 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    // scalar reference in the SAME association order as the operator
+    val n = 3.0; val avgdl = (3 + 2 + 4).toDouble / 3
+    def term(tf: Double, df: Double, dl: Double) =
+      (n - df + 0.5) / (df + 0.5) * tf * 2.2 /
+        (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    val s0 = term(2, 1, 3) + term(1, 1, 3) + term(0, 1, 3)
+    val s1 = term(0, 1, 2) + term(0, 1, 2) + term(1, 1, 2)
+    assert(got.map(_._1) == Seq(0L, 1L)) // doc 2 has no query term
+    assert(got(0)._2 == s0 && got(1)._2 == s1)
+    assert(got.map(_._3) == Seq(3L, 2L))
+  }
+
   test("WavCodec: encode/decode round-trips PCM through the real RIFF layout") {
     val ss = Array[Short](0, 1000, -1000, 32767, -32768, 7)
     val wav = WavCodec.encode(16000, 1, ss)
