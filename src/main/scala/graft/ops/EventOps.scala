@@ -42,6 +42,64 @@ object EventOps {
       .orderBy("stage_idx")
   }
 
+  /** Sliding-window distinct-user counts (the DAU/WAU engagement surface):
+    * for every bucket `e` up to the last observed bucket, the number of
+    * DISTINCT users active in buckets (e − windowBuckets, e]. EXACT — no
+    * HyperLogLog, so re-runs and engine ports agree bitwise.
+    *
+    * Scale shape: the event log first collapses to DISTINCT (user, bucket)
+    * — the only pass over raw data, a map-side-combinable aggregation — so
+    * a user firing 10⁶ events in a day costs ONE row downstream. Each
+    * active-day row then fans out to the `windowBuckets` window-ends it
+    * serves (bounded small-k explode, no shuffle), is deduplicated to
+    * (window, user) and counted — both aggregations on bounded keys. The
+    * naive per-window `count(DISTINCT ...)` over raw events re-reads the
+    * log once per window; this reads it once, total. */
+  def activeUsersSliding(events: DataFrame, userCol: String, timeCol: String,
+                         bucketUs: Long, windowBuckets: Int): DataFrame = {
+    require(bucketUs > 0 && windowBuckets > 0, "bucket/window must be positive")
+    val active = events
+      .select(col(userCol).as("u"),
+        expr(s"CAST($timeCol AS BIGINT) div $bucketUs").as("b"))
+      .distinct()
+    // windows are labeled by their END bucket; trailing phantom windows
+    // (ends past the last observed bucket) are clamped away
+    val maxB = active.agg(max("b").as("max_b"))
+    active
+      .select(col("u"),
+        explode(sequence(col("b"), col("b") + lit(windowBuckets - 1))).as("window_end"))
+      .distinct()
+      .crossJoin(broadcast(maxB))
+      .filter(col("window_end") <= col("max_b"))
+      .groupBy("window_end").agg(count(lit(1)).as("n_users"))
+      .orderBy("window_end")
+  }
+
+  /** Multi-dimensional rollup over the event log — one pass producing the
+    * (type × bucket), (type), (bucket) and grand-total aggregates a
+    * dashboard reads, via Catalyst's native CUBE (partial aggregation
+    * before the shuffle; the four grouping sets share ONE scan instead of
+    * four union'd jobs). Sums ride DECIMAL(18,2) so they are
+    * order-independent and engine-portable; `g_type`/`g_bucket` are the
+    * SQL-standard GROUPING() indicators distinguishing a rolled-up NULL
+    * from a data NULL. */
+  def rollupCube(events: DataFrame, typeCol: String, timeCol: String,
+                 valCol: String, bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, "bucket width must be positive")
+    events
+      .select(col(typeCol).as("series"),
+        expr(s"CAST($timeCol AS BIGINT) div $bucketUs").as("b"),
+        col(valCol).as("v"))
+      .cube(col("series"), col("b"))
+      .agg(count(col("v")).as("n"),
+        sum(col("v").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        min("v").as("min_value"), max("v").as("max_value"),
+        // GROUPING() is only legal inside the grouping aggregation itself
+        grouping(col("series")).cast("int").as("g_type"),
+        grouping(col("b")).cast("int").as("g_bucket"))
+      .orderBy(col("g_type"), col("g_bucket"), col("series"), col("b"))
+  }
+
   /** Cohort retention: cohort = the time bucket of a user's FIRST event;
     * for every (cohort, bucket-offset) pair, how many of that cohort's
     * users were active that many buckets later. The activity set is

@@ -247,6 +247,33 @@ object MultimodalOps {
       }.toDF()
   }
 
+  /** Deterministic REAL-PNG asset table from `documents`: each doc becomes
+    * a genuine grayscale-8 PNG (signature, CRC'd chunk walk, DEFLATE'd
+    * scanlines split across two IDAT chunks) whose pixels are the text's
+    * bytes tiled over a (doc_id-derived) w×h grid. The per-row FILTER TYPE
+    * cycles through all five spec filters by id, so the corpus itself
+    * drives every unfilter branch of the decoder — and because the
+    * compression round-trip is lossless, an oracle still recomputes the
+    * decoded-pixel stats from the text + tiling arithmetic alone. */
+  def pngAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        // same LOUD ASCII contract as the BMP/WAV fixtures: the oracle
+        // tiles unicode() code points, the encoder tiles chars truncated
+        // to a byte — identical only below 128.
+        require(text.forall(_ < 128),
+          s"png fixture requires ASCII text (doc $id)")
+        val w = (id % 9 + 1).toInt
+        val h = (id % 7 + 1).toInt
+        val gray = Array.tabulate(w * h)(i =>
+          if (text.isEmpty) 0.toByte else text.charAt(i % text.length).toByte)
+        MediaAsset(id, "png", PngCodec.encode(w, h, gray, (id % 5).toInt),
+          w, h, 1, 0)
+      }.toDF()
+  }
+
   /** Audio decode + signal-stat extraction over WAV assets: same typed
     * per-partition shape as [[decodeFeatures]] (codec context per task, no
     * shuffle, payload never leaves the task), but the decode is the REAL
@@ -301,6 +328,7 @@ object MultimodalOps {
       .as[MediaAsset]
       .mapPartitions(_.map {
         case a if a.format == "bmp" => BmpCodec.decodeFeatures(a)
+        case a if a.format == "png" => PngCodec.decodeFeatures(a)
         case a                      => FakeDecoder.decode(a)
       })
   }

@@ -1,0 +1,194 @@
+package graft.ops
+
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/** REAL PNG codec — pure-JVM encode/decode of 8-bit GRAYSCALE (color type
+  * 0) PNG, the third genuinely-decodable format beside [[BmpCodec]] and
+  * [[WavCodec]]. Unlike BMP/WAV this format is COMPRESSED and CHECKSUMMED,
+  * so the decode path exercises machinery a fixed-layout parse never
+  * touches: the 8-byte signature, a length/type/data/CRC32 chunk walk with
+  * per-chunk integrity verification, multi-chunk IDAT reassembly (the spec
+  * allows the compressed stream to be split arbitrarily — the encoder
+  * deliberately splits it so a concatenation bug cannot hide), a full
+  * INFLATE of the scanline stream, and per-row UNFILTERING of all five
+  * standard filter types (None/Sub/Up/Average/Paeth, each with the exact
+  * mod-256 + floor/Paeth-predictor arithmetic of the spec).
+  *
+  * Everything here is the public PNG file format (RFC 2083 / ISO 15948);
+  * the reference has no image code — this is an LLM-pipeline extension
+  * (SURVEY.md §2.5 multimodal family). Malformed payloads fail LOUDLY
+  * (signature, CRC, header fields, inflated length are all checked):
+  * garbage stats from a half-parsed image are corpus poison at 100 TB. */
+object PngCodec {
+
+  private val Signature: Array[Byte] =
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  private def be32(v: Int): Array[Byte] =
+    Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+
+  private def readBe32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes("US-ASCII")
+    require(t.length == 4, s"chunk type must be 4 bytes: $typ")
+    val crc = new CRC32
+    crc.update(t); crc.update(data)
+    be32(data.length) ++ t ++ data ++ be32(crc.getValue.toInt)
+  }
+
+  /** Paeth predictor (PNG spec §6.6) — byte-exact integer arithmetic. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Encode row-major 8-bit grayscale as a standards-conformant PNG.
+    * `filterType` selects the per-row filter (0–4) so round-trip tests can
+    * drive every unfilter branch; the compressed stream is split across
+    * TWO IDAT chunks whenever it is ≥2 bytes (decoder concat coverage). */
+  def encode(w: Int, h: Int, gray: Array[Byte], filterType: Int = 0): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dims ${w}x$h")
+    require(gray.length == w * h, s"need ${w * h} pixels, got ${gray.length}")
+    require(filterType >= 0 && filterType <= 4, s"bad filter $filterType")
+    val ihdr = be32(w) ++ be32(h) ++ Array[Byte](8, 0, 0, 0, 0)
+    // raw scanlines: one filter byte + w filtered bytes per row (bpp = 1)
+    val raw = new Array[Byte]((w + 1) * h)
+    var y = 0
+    while (y < h) {
+      raw(y * (w + 1)) = filterType.toByte
+      var x = 0
+      while (x < w) {
+        val cur = gray(y * w + x) & 0xff
+        val left = if (x > 0) gray(y * w + x - 1) & 0xff else 0
+        val up = if (y > 0) gray((y - 1) * w + x) & 0xff else 0
+        val upLeft = if (x > 0 && y > 0) gray((y - 1) * w + x - 1) & 0xff else 0
+        val f = filterType match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 => cur - paeth(left, up, upLeft)
+        }
+        raw(y * (w + 1) + 1 + x) = (f & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val out = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val z = out.toByteArray
+    val idats =
+      if (z.length >= 2) {
+        val mid = z.length / 2
+        Seq(chunk("IDAT", z.slice(0, mid)), chunk("IDAT", z.slice(mid, z.length)))
+      } else Seq(chunk("IDAT", z))
+    Signature ++ chunk("IHDR", ihdr) ++ idats.reduce(_ ++ _) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Parse a grayscale-8 PNG back into (width, height, row-major pixels).
+    * Full chunk walk with CRC verification; unknown ancillary chunks are
+    * skipped (after their CRC is still checked); IDAT chunks concatenate
+    * into one zlib stream; every row's filter is reversed per its tag. */
+  def decode(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(payload.length >= Signature.length + 12 &&
+      payload.take(8).sameElements(Signature), "not a PNG payload")
+    var off = 8
+    var w = 0; var h = 0; var sawIhdr = false; var sawIend = false
+    val zstream = new java.io.ByteArrayOutputStream()
+    while (!sawIend) {
+      require(off + 8 <= payload.length, "truncated PNG chunk header")
+      val len = readBe32(payload, off)
+      require(len >= 0 && off + 12 + len <= payload.length,
+        s"truncated PNG chunk body (len=$len at $off)")
+      val typ = new String(payload, off + 4, 4, "US-ASCII")
+      val crc = new CRC32
+      crc.update(payload, off + 4, 4 + len)
+      require(crc.getValue.toInt == readBe32(payload, off + 8 + len),
+        s"PNG CRC mismatch in $typ chunk")
+      typ match {
+        case "IHDR" =>
+          require(!sawIhdr && len == 13, "bad IHDR")
+          w = readBe32(payload, off + 8); h = readBe32(payload, off + 12)
+          require(w > 0 && h > 0, s"bad PNG dims ${w}x$h")
+          val bitDepth = payload(off + 16); val colorType = payload(off + 17)
+          require(bitDepth == 8 && colorType == 0,
+            s"only grayscale-8 supported (depth=$bitDepth color=$colorType)")
+          require(payload(off + 18) == 0 && payload(off + 19) == 0 &&
+            payload(off + 20) == 0, "unsupported compression/filter/interlace")
+          sawIhdr = true
+        case "IDAT" =>
+          require(sawIhdr, "IDAT before IHDR")
+          zstream.write(payload, off + 8, len)
+        case "IEND" => sawIend = true
+        case _      => () // ancillary chunk: CRC checked above, body skipped
+      }
+      off += 12 + len
+    }
+    require(sawIhdr, "missing IHDR")
+    val inflater = new Inflater()
+    inflater.setInput(zstream.toByteArray)
+    val raw = new Array[Byte]((w + 1) * h)
+    var got = 0
+    while (got < raw.length && !inflater.finished()) {
+      val n = inflater.inflate(raw, got, raw.length - got)
+      require(n > 0 || inflater.finished(), "stalled PNG inflate")
+      got += n
+    }
+    require(got == raw.length && inflater.inflate(new Array[Byte](1)) == 0,
+      s"PNG scanline stream length mismatch (got $got, want ${raw.length})")
+    inflater.end()
+    // unfilter in place into the pixel array (bpp = 1)
+    val px = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (w + 1)) & 0xff
+      require(ft <= 4, s"bad PNG filter type $ft in row $y")
+      var x = 0
+      while (x < w) {
+        val f = raw(y * (w + 1) + 1 + x) & 0xff
+        val left = if (x > 0) px(y * w + x - 1) & 0xff else 0
+        val up = if (y > 0) px((y - 1) * w + x) & 0xff else 0
+        val upLeft = if (x > 0 && y > 0) px((y - 1) * w + x - 1) & 0xff else 0
+        val v = ft match {
+          case 0 => f
+          case 1 => f + left
+          case 2 => f + up
+          case 3 => f + (left + up) / 2
+          case 4 => f + paeth(left, up, upLeft)
+        }
+        px(y * w + x) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, px)
+  }
+
+  /** Feature stats of the DECODED pixels — same output contract as
+    * [[BmpCodec.decodeFeatures]], but over the inflated+unfiltered
+    * grayscale plane, so a chunk/CRC/inflate/filter bug anywhere above
+    * breaks the oracle match. */
+  def decodeFeatures(a: MediaAsset): MediaFeatures = {
+    val (_, _, px) = decode(a.payload)
+    val hist = new Array[Long](FakeDecoder.HistBuckets)
+    var sum = 0L
+    var i = 0
+    while (i < px.length) {
+      val b = px(i) & 0xff
+      hist(b * FakeDecoder.HistBuckets / 256) += 1
+      sum += b
+      i += 1
+    }
+    MediaFeatures(a.asset_id, a.format, px.length.toLong,
+      if (px.length == 0) 0.0 else sum.toDouble / px.length, hist)
+  }
+}

@@ -675,6 +675,38 @@ object TimeSeriesOps {
       .orderBy("series", "q")
   }
 
+  /** Robust per-series ANOMALY DETECTION by median absolute deviation
+    * (extension): flag points whose |v − median| exceeds `k`·MAD, where
+    * both the median and the MAD are EXACT "lower" picks from the
+    * distributed counting-sort quantile machinery ([[quantiles]]) — never
+    * a sketch, never a mean/stddev (one fat-fingered 1e15 reading drags a
+    * z-score threshold; it cannot move a median). Bit-portable across
+    * engines: medians are stored values PICKED (not interpolated),
+    * |v − med| and k·MAD are single IEEE ops, and the comparison is exact
+    * — so a DuckDB oracle replaying the same picks hash-matches.
+    *
+    * Scale shape: two value-space counting-sort passes (rows = distinct
+    * values per series, not points) plus two joins keyed on the series —
+    * no per-series sort task, no full-data window. The classic MAD caveat
+    * stands and is deliberate: a series that is >50% one constant has
+    * MAD 0 and every other value flags. */
+  def madOutliers(df: DataFrame, seriesCol: String, tsCol: String,
+                  valCol: String, k: Double): DataFrame = {
+    val pts = df.filter(col(valCol).isNotNull)
+      .select(col(seriesCol).as("series"), col(tsCol).as("time_us"),
+        col(valCol).as("v"))
+    val med = quantiles(pts, "series", "v", Seq(0.5))
+      .select(col("series"), col("quantile_value").as("med"))
+    val dev = pts.join(med, "series")
+      .withColumn("dev", abs(col("v") - col("med")))
+    val mad = quantiles(dev, "series", "dev", Seq(0.5))
+      .select(col("series"), col("quantile_value").as("mad"))
+    dev.join(mad, "series")
+      .filter(col("dev") > lit(k) * col("mad"))
+      .select("series", "time_us", "v", "med", "dev", "mad")
+      .orderBy("series", "time_us")
+  }
+
   /** §2.3 Derivative: dv/dt in value-units per second, bucket-parallel. */
   def derivative(df: DataFrame, seriesCol: String, tsCol: String, valCol: String,
                  unitsPerSecond: Double, tiebreak: Seq[String] = Nil,

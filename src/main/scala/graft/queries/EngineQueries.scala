@@ -1018,6 +1018,59 @@ object EngineQueries {
       s.read.parquet(out).orderBy("series", "time_us")
     },
 
+    // Stream-STREAM interval join (StreamingOps.streamingIntervalJoin):
+    // click→purchase attribution with BOTH sides unbounded streams — the
+    // 8th streaming face, and the only one whose state is a JOIN buffer
+    // rather than per-key aggregate state. Two AvailableNow drains over one
+    // checkpoint; the split at MID forces drain 2 to match its purchases
+    // against CLICKS CARRIED IN THE JOIN STATE from drain 1 (r ≥ l means
+    // the only cross-batch matches are old-click × new-purchase, which is
+    // exactly the state-retention path). Oracle = the batch interval join
+    // over the visible input; all join arithmetic is integral µs, so the
+    // match is hash-exact. Inner matches emit eagerly — no sentinel needed.
+    QueryDef.withOracle("engine_stream_join",
+      s"""WITH pts AS (SELECT series, time_us, v FROM $PTS),
+         |c AS (SELECT time_us AS l_time_us, v AS l_v FROM pts WHERE series = 'click'),
+         |p AS (SELECT time_us AS r_time_us, v AS r_v FROM pts WHERE series = 'purchase')
+         |SELECT l_time_us, l_v, r_time_us, r_v
+         |FROM c JOIN p ON r_time_us >= l_time_us
+         |             AND r_time_us <= l_time_us + ${10 * 60000000L}
+         |ORDER BY l_time_us, r_time_us""".stripMargin) { (s, dir) =>
+      val stage = java.nio.file.Files.createTempDirectory("graft-sjstage-").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-sjckpt-").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-sjout-").toString
+      val pts = canonicalPoints(s, dir)
+        .select(col("series"), col("time_us"), col("v"))
+        .filter(col("series").isin("click", "purchase")).persist()
+      val horizonUs = pts.agg(max("time_us")).head().getLong(0) + 1000000L
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        def drain(): Unit =
+          StreamingOps.streamingIntervalJoin(
+              s.readStream.schema(PointSchema).parquet(stage)
+                .filter(col("series") === "click"),
+              s.readStream.schema(PointSchema).parquet(stage)
+                .filter(col("series") === "purchase"),
+              windowUs = 10 * 60000000L, watermarkUs = horizonUs)
+            .writeStream.option("checkpointLocation", ckpt)
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .format("parquet").option("path", out)
+            .start().awaitTermination()
+        pts.filter(col("time_us") <= MID).repartition(1)
+          .write.mode("append").parquet(stage)
+        drain()
+        pts.filter(col("time_us") > MID).repartition(1)
+          .write.mode("append").parquet(stage)
+        drain()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        pts.unpersist()
+      }
+      s.read.parquet(out).orderBy("l_time_us", "r_time_us")
+    },
+
     // TUMBLING windows through the STREAMING face (StreamingOps.windowedSums)
     // — the watermarked incremental form of the reference's sum_op: two
     // AvailableNow drains, same checkpoint, split at MID so drain 2 must

@@ -554,6 +554,85 @@ object EventQueries {
     // were active `offset` weeks later (EventOps.cohortRetention; the
     // activity set dedups to (user, week) before the cohort join, and the
     // bucket arithmetic is integral `div`, never a lossy double divide).
+    // EXTENSION: robust MAD-based anomaly detection — median and MAD are
+    // exact "lower" picks from the counting-sort quantile machinery (value
+    // space, not point space), |v−med| and k·MAD are single IEEE ops, so
+    // the flagged set is bit-identical across engines. A z-score flavor
+    // would need order-dependent double sums; one fat-fingered reading also
+    // drags its threshold, while a median shrugs.
+    QueryDef.withOracle("tsdb_anomaly",
+      s"""WITH pts AS (
+         |  SELECT series, time_us, value AS v FROM $EV
+         |  WHERE value IS NOT NULL AND time_us BETWEEN $T0 AND $T1),
+         |cnt AS (SELECT series, v, count(*) AS c FROM pts GROUP BY 1, 2),
+         |cum AS (SELECT series, v, c,
+         |          sum(c) OVER (PARTITION BY series ORDER BY v
+         |                       ROWS UNBOUNDED PRECEDING) AS cum
+         |        FROM cnt),
+         |tot AS (SELECT series, sum(c) AS n FROM cnt GROUP BY 1),
+         |med AS (SELECT c.series, c.v AS med
+         |        FROM cum c JOIN tot USING (series)
+         |        WHERE c.cum >= CAST(floor((tot.n - 1) * 0.5) AS BIGINT) + 1
+         |          AND c.cum - c.c < CAST(floor((tot.n - 1) * 0.5) AS BIGINT) + 1),
+         |dv AS (SELECT p.series, p.time_us, p.v, m.med, abs(p.v - m.med) AS dev
+         |       FROM pts p JOIN med m USING (series)),
+         |dcnt AS (SELECT series, dev, count(*) AS c FROM dv GROUP BY 1, 2),
+         |dcum AS (SELECT series, dev, c,
+         |           sum(c) OVER (PARTITION BY series ORDER BY dev
+         |                        ROWS UNBOUNDED PRECEDING) AS cum
+         |         FROM dcnt),
+         |dtot AS (SELECT series, sum(c) AS n FROM dcnt GROUP BY 1),
+         |mad AS (SELECT c.series, c.dev AS mad
+         |        FROM dcum c JOIN dtot USING (series)
+         |        WHERE c.cum >= CAST(floor((dtot.n - 1) * 0.5) AS BIGINT) + 1
+         |          AND c.cum - c.c < CAST(floor((dtot.n - 1) * 0.5) AS BIGINT) + 1)
+         |SELECT d.series, d.time_us, d.v, d.med, d.dev, m.mad
+         |FROM dv d JOIN mad m USING (series)
+         |WHERE d.dev > 3.0 * m.mad
+         |ORDER BY series, time_us""".stripMargin) { (s, dir) =>
+      TimeSeriesOps.madOutliers(
+        Tables.eventsTsdb(s, dir).filter(col("time_us").between(T0, T1)),
+        "series", "time_us", "value", k = 3.0)
+    },
+
+    // EXTENSION: sliding-window distinct-user engagement (the WAU-per-day
+    // surface). EXACT distinct — the event log collapses to DISTINCT
+    // (user, day) in its single pass, each active-day row fans out to the
+    // ≤7 window-ends it serves, and both downstream aggregations run on
+    // bounded keys; no per-window re-scan, no HyperLogLog approximation.
+    QueryDef.withOracle("events_active_users",
+      s"""WITH active AS (
+         |  SELECT DISTINCT user_id AS u, epoch_us(ts) // $DAY AS b
+         |  FROM events),
+         |mx AS (SELECT max(b) AS mb FROM active),
+         |wins AS (SELECT DISTINCT u, b + oo AS window_end
+         |         FROM active CROSS JOIN (SELECT unnest(range(0, 7)) AS oo))
+         |SELECT window_end, count(*) AS n_users FROM wins
+         |WHERE window_end <= (SELECT mb FROM mx)
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      EventOps.activeUsersSliding(
+        Tables.eventsTsdb(s, dir), "user_id", "time_us",
+        bucketUs = DAY, windowBuckets = 7)
+    },
+
+    // EXTENSION: multi-dimensional CUBE rollup — (type × day), (type),
+    // (day) and grand total from ONE scan via Catalyst's native cube
+    // (partial agg before the shuffle; the naive form is four union'd
+    // jobs). DECIMAL sums are order-independent, GROUPING() indicators
+    // distinguish rolled-up NULLs from data NULLs.
+    QueryDef.withOracle("events_rollup_cube",
+      s"""SELECT event_type AS series, epoch_us(ts) // $DAY AS b,
+         |  count(value) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         |  min(value) AS min_value, max(value) AS max_value,
+         |  CAST(GROUPING(event_type) AS INT) AS g_type,
+         |  CAST(GROUPING(b) AS INT) AS g_bucket
+         |FROM events GROUP BY CUBE (series, b)
+         |ORDER BY g_type, g_bucket, series, b""".stripMargin) { (s, dir) =>
+      EventOps.rollupCube(
+        Tables.eventsTsdb(s, dir), "series", "time_us", "value", bucketUs = DAY)
+    },
+
     QueryDef.withOracle("events_cohort_retention",
       s"""WITH e AS (SELECT DISTINCT user_id AS u,
          |             epoch_us(ts) // ${7 * DAY} AS b FROM events),

@@ -129,6 +129,40 @@ object MultimodalQueries {
         .orderBy("asset_id")
     },
 
+    // REAL compressed-format decoding: each doc becomes a genuine
+    // grayscale-8 PNG — CRC'd chunk walk, two IDAT chunks, DEFLATE'd
+    // scanlines, and a per-row filter type cycling through all five spec
+    // filters by doc_id, so the corpus itself drives every unfilter branch.
+    // The compression round-trip is lossless, so the oracle recomputes the
+    // decoded-pixel stats from the text + tiling arithmetic alone — a
+    // signature/CRC/inflate/filter-reversal bug anywhere in the codec
+    // breaks the match.
+    QueryDef.withOracle("mm_decode_png",
+      """WITH a AS (
+        |  SELECT doc_id, text,
+        |         CAST(doc_id % 9 + 1 AS INT) AS w,
+        |         CAST(doc_id % 7 + 1 AS INT) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, list_transform(range(0, w * h),
+        |           i -> CASE WHEN length(text) = 0 THEN 0
+        |                     ELSE unicode(substr(text,
+        |                            CAST(i % length(text) + 1 AS INT), 1)) END) AS cs
+        |  FROM a)
+        |SELECT doc_id AS asset_id, 'png' AS format,
+        |  CAST(len(cs) AS BIGINT) AS n_bytes,
+        |  CAST(list_sum(cs) AS DOUBLE) / len(cs) AS mean_byte,
+        |  array_to_string(list_transform(range(0, 16),
+        |    b -> CAST(len(list_filter(cs, x -> x // 16 = b)) AS VARCHAR)), ',') AS byte_hist
+        |FROM c ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      MultimodalOps.decodeFeatures(
+        MultimodalOps.pngAssetsFromDocuments(Tables(s, dir, "documents")))
+        .toDF()
+        .select(col("asset_id"), col("format"), col("n_bytes"), col("mean_byte"),
+          concat_ws(",", col("byte_hist")).as("byte_hist"))
+        .orderBy("asset_id")
+    },
+
     // REAL nearest-neighbor resize on the decoded pixel grid (dst(x,y) =
     // src(2x, 2y), dims ceil-halved), fused with stats of the RESIZED
     // pixels. The oracle replays the sampling indices over the tiled text

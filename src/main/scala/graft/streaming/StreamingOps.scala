@@ -217,4 +217,54 @@ object StreamingOps {
           out.iterator
       }
   }
+
+  /** Stream-STREAM interval join: every left point pairs with the right
+    * points landing in `[l.time_us, l.time_us + windowUs]` — the
+    * click→purchase attribution shape, with BOTH sides unbounded streams
+    * (the batch face is `TimeSeriesOps.rangeJoinAgg`; the static-dim
+    * enrich is an ordinary broadcast join and needs no state at all).
+    *
+    * Structured Streaming (and every hash-partitioned engine) requires an
+    * EQUALITY key in a stream-stream join, and a pure theta range would be
+    * a quadratic shape anyway — so time is bucketed at the window span:
+    * the left keys on its own bucket, the right fans out to the ≤2 buckets
+    * its trailing window can reach (same 2× bounded fan-out as the batch
+    * `rangeJoinAgg`), the join is an EQUI-join on the bucket, and the
+    * exact `[l, l+window]` predicate prunes inside each bucket pair. A
+    * right row's fan-out keys are distinct and a left row owns exactly one
+    * bucket, so no match can emit twice.
+    *
+    * The range condition is stated twice on purpose: once on the raw µs
+    * longs (exact integral arithmetic — what the oracle replays) and once
+    * on the derived event-time columns, because Structured Streaming takes
+    * its JOIN-STATE EVICTION bound from time-range predicates on
+    * watermarked event-time columns. With both watermarks at delay d, a
+    * buffered left row is dropped once the right watermark passes
+    * `l_et + window + d` — state is bounded by watermark delay plus window
+    * span, never by stream length. Inner-join matches emit eagerly (no
+    * watermark finalization wait); exactly-once to the sink comes from the
+    * checkpointed source offsets like every other face. */
+  def streamingIntervalJoin(left: DataFrame, right: DataFrame,
+                            windowUs: Long, watermarkUs: Long): DataFrame = {
+    require(windowUs > 0, "join window must be positive")
+    val l = left
+      .withColumn("l_et", timestamp_micros(col("time_us")))
+      .withWatermark("l_et", s"$watermarkUs microseconds")
+      .select(col("time_us").as("l_time_us"), col("v").as("l_v"), col("l_et"),
+        expr(s"CAST(time_us AS BIGINT) div $windowUs").as("bucket"))
+    val r = right
+      .withColumn("r_et", timestamp_micros(col("time_us")))
+      .withWatermark("r_et", s"$watermarkUs microseconds")
+      .select(col("time_us").as("r_time_us"), col("v").as("r_v"), col("r_et"),
+        explode(array_distinct(array(
+          expr(s"CAST(time_us AS BIGINT) div $windowUs"),
+          expr(s"CAST(time_us - $windowUs AS BIGINT) div $windowUs")))).as("bucket"))
+    l.join(r, Seq("bucket"))
+      .filter(
+        col("r_time_us") >= col("l_time_us") &&
+          col("r_time_us") <= col("l_time_us") + lit(windowUs) &&
+          col("r_et") >= col("l_et") &&
+          col("r_et") <= col("l_et") + expr(s"INTERVAL $windowUs MICROSECOND"))
+      .select("l_time_us", "l_v", "r_time_us", "r_v")
+  }
 }

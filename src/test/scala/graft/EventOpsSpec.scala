@@ -52,4 +52,44 @@ class EventOpsSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().toSeq
     assert(got == Seq((0L, 0L, 1L), (0L, 2L, 1L), (1L, 0L, 2L), (1L, 1L, 1L)))
   }
+
+  test("activeUsersSliding: dedup-first, window membership, trailing clamp") {
+    val w = 10L // bucket width; window = 3 buckets ending at each bucket
+    val ev = Seq(
+      (1L, 5L), (1L, 7L),   // u1 bucket 0 twice -> ONE active-day row
+      (1L, 25L),            // u1 bucket 2
+      (2L, 15L),            // u2 bucket 1
+      (3L, 45L)             // u3 bucket 4 (buckets 3..4 exist, 3 is empty)
+    ).toDF("user_id", "time_us")
+    val got = EventOps.activeUsersSliding(ev, "user_id", "time_us", w, 3)
+      .as[(Long, Long)].collect().toSeq
+    // window_end e counts distinct users active in buckets e-2..e;
+    // ends 5,6 (beyond the last observed bucket 4) are clamped away
+    assert(got == Seq(
+      (0L, 1L),            // u1
+      (1L, 2L),            // u1(b0), u2(b1)
+      (2L, 2L),            // u1(b0 and b2 -> once), u2
+      (3L, 2L),            // u1(b2), u2(b1)
+      (4L, 2L)))           // u1(b2), u3(b4)
+  }
+
+  test("rollupCube: four grouping sets from one pass, GROUPING() flags") {
+    val ev = Seq(
+      ("a", 5L, Some(1.0)), ("a", 15L, Some(2.0)),
+      ("b", 5L, Some(4.0)), ("b", 7L, None)
+    ).toDF("event_type", "time_us", "value")
+    val got = EventOps.rollupCube(ev, "event_type", "time_us", "value", 10L)
+      .select("series", "b", "n", "sum_value", "g_type", "g_bucket")
+      .as[(Option[String], Option[Long], Long, Option[Double], Int, Int)]
+      .collect().toSet
+    assert(got == Set(
+      (Some("a"), Some(0L), 1L, Some(1.0), 0, 0),
+      (Some("a"), Some(1L), 1L, Some(2.0), 0, 0),
+      (Some("b"), Some(0L), 1L, Some(4.0), 0, 0), // data NULL value: n=1 of 2 rows
+      (Some("a"), None, 2L, Some(3.0), 0, 1),
+      (Some("b"), None, 1L, Some(4.0), 0, 1),
+      (None, Some(0L), 2L, Some(5.0), 1, 0),
+      (None, Some(1L), 1L, Some(2.0), 1, 0),
+      (None, None, 3L, Some(7.0), 1, 1)))
+  }
 }

@@ -705,6 +705,65 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(WavCodec.frameFeatures(a, frameSize = 4, maxFrames = 2).size == 2)
   }
 
+  test("PngCodec: encode/decode round-trips pixels through every filter type") {
+    // w=3,h=4 with a gradient+noise pattern so Sub/Up/Average/Paeth all
+    // produce nonzero filtered deltas
+    val w = 3; val h = 4
+    val px = Array.tabulate[Byte](w * h)(i => (i * 37 + 11).toByte)
+    (0 to 4).foreach { ft =>
+      val png = PngCodec.encode(w, h, px, ft)
+      assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+      val (dw, dh, back) = PngCodec.decode(png)
+      assert(dw == w && dh == h, s"filter $ft dims")
+      assert(back.toSeq == px.toSeq, s"filter $ft pixels")
+    }
+  }
+
+  test("PngCodec: chunk walk verifies CRC, concatenates split IDAT, skips ancillary") {
+    val px = Array.tabulate[Byte](6 * 5)(i => (i * 3).toByte)
+    val png = PngCodec.encode(6, 5, px, 2)
+    // the encoder splits the DEFLATE stream across two IDAT chunks —
+    // count them to prove the decode exercised reassembly
+    def countChunks(p: Array[Byte], typ: String): Int = {
+      var off = 8; var n = 0
+      while (off + 8 <= p.length) {
+        val len = ((p(off) & 0xff) << 24) | ((p(off + 1) & 0xff) << 16) |
+          ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
+        if (new String(p, off + 4, 4, "US-ASCII") == typ) n += 1
+        off += 12 + len
+      }
+      n
+    }
+    assert(countChunks(png, "IDAT") == 2)
+    // a flipped payload byte must fail the CRC check loudly
+    val corrupt = png.clone()
+    corrupt(40) = (corrupt(40) ^ 0x5a).toByte
+    intercept[IllegalArgumentException](PngCodec.decode(corrupt))
+    // not-a-PNG fails on the signature
+    intercept[IllegalArgumentException](PngCodec.decode(Array.fill[Byte](32)(7)))
+    // an unknown ancillary chunk between IHDR and IDAT is CRC-checked,
+    // then skipped: splice one in and the decode still round-trips
+    val ihdrEnd = 8 + 12 + 13
+    val junkData = "metadata!".getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32
+    crc.update("tEXt".getBytes("US-ASCII")); crc.update(junkData)
+    val junk = Array[Byte](0, 0, 0, junkData.length.toByte) ++
+      "tEXt".getBytes("US-ASCII") ++ junkData ++
+      Array((crc.getValue >>> 24).toByte, (crc.getValue >>> 16).toByte,
+        (crc.getValue >>> 8).toByte, crc.getValue.toByte)
+    val spliced = png.take(ihdrEnd) ++ junk ++ png.drop(ihdrEnd)
+    assert(PngCodec.decode(spliced)._3.toSeq == px.toSeq)
+  }
+
+  test("decodeFeatures routes png payloads through the REAL inflate+unfilter parser") {
+    val px = Array.tabulate[Byte](4 * 3)(i => (i * 16).toByte)
+    val asset = Seq((13L, "png", PngCodec.encode(4, 3, px, 4), 4, 3, 1, 0))
+      .toDF("asset_id", "format", "payload", "width", "height", "channels", "sample_rate")
+    val f = MultimodalOps.decodeFeatures(asset).collect().head
+    assert(f.n_bytes == 12) // decoded PIXELS, not the compressed file size
+    assert(f.mean_byte == px.map(_ & 0xff).sum.toDouble / 12)
+  }
+
   test("audioFeatures/audioFrames route wav payloads through the real parser") {
     val ss = Array[Short](1000, -2000, 3000)
     val asset = Seq((11L, "wav", WavCodec.encode(44100, 1, ss), 0, 0, 1, 44100))

@@ -183,4 +183,30 @@ class StreamingOpsSpec extends SparkTestBase {
         ("b", 100L, None), ("b", 150L, Some(-1.0))))
     } finally q.stop()
   }
+
+  test("streamingIntervalJoin: in-batch matches plus clicks carried in join state") {
+    implicit val sqlCtx = spark.sqlContext
+    val lin = MemoryStream[(String, Long, Double)]
+    val rin = MemoryStream[(String, Long, Double)]
+    val q = StreamingOps.streamingIntervalJoin(
+        lin.toDF().toDF("series", "time_us", "v"),
+        rin.toDF().toDF("series", "time_us", "v"),
+        windowUs = 100L, watermarkUs = 1000000L)
+      .writeStream.format("memory").queryName("sjoin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      lin.addData(("c", 100L, 1.0), ("c", 300L, 2.0))
+      rin.addData(("p", 150L, 10.0))               // in-batch: joins click@100
+      q.processAllAvailable()
+      rin.addData(("p", 320L, 20.0),               // next batch: click@300 must
+                  ("p", 90L, 30.0),                //   come from JOIN STATE
+                  ("p", 250L, 40.0))               // matches nothing (gap)
+      q.processAllAvailable()
+      val rows = spark.table("sjoin")
+        .select("l_time_us", "l_v", "r_time_us", "r_v")
+        .as[(Long, Double, Long, Double)].collect().sortBy(x => (x._1, x._3)).toSeq
+      // r >= l keeps p@90 out of c@100's window (backward-only would differ)
+      assert(rows == Seq((100L, 1.0, 150L, 10.0), (300L, 2.0, 320L, 20.0)))
+    } finally q.stop()
+  }
 }

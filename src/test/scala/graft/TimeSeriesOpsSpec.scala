@@ -219,6 +219,26 @@ class TimeSeriesOpsSpec extends SparkTestBase {
     assert(got(("t", 0.5)) == 5.0) // single point: every quantile is it
   }
 
+  test("madOutliers flags |v-med| > k*MAD with exact lower-median picks") {
+    // s: values 1..7 plus a wild 1000 -> n=8, sorted 1,2,3,4,5,6,7,1000,
+    // lower median = idx 3 = 4; devs |v-4| = 3,2,1,0,1,2,3,996 sorted
+    // 0,1,1,2,2,3,3,996 -> MAD = idx 3 = 2; threshold 3*2=6 flags only 1000.
+    // The 1000 itself CANNOT drag the median/MAD — that's the point vs z-score.
+    val s = (1 to 7).map(i => ("s", i.toLong, i.toDouble)) :+ ("s", 8L, 1000.0)
+    // t: constant-majority series -> MAD 0, every non-median value flags
+    val t = Seq(("t", 1L, 5.0), ("t", 2L, 5.0), ("t", 3L, 5.0), ("t", 4L, 9.0))
+    val df = (s ++ t).toDF("series", "time_us", "v")
+    val got = TimeSeriesOps.madOutliers(df, "series", "time_us", "v", k = 3.0)
+      .select("series", "time_us", "v").as[(String, Long, Double)]
+      .collect().toSeq
+    assert(got == Seq(("s", 8L, 1000.0), ("t", 4L, 9.0)))
+    // med/mad columns carry the exact picks
+    val full = TimeSeriesOps.madOutliers(df, "series", "time_us", "v", k = 3.0)
+      .filter($"series" === "s").select("med", "mad").as[(Double, Double)]
+      .collect().head
+    assert(full == ((4.0, 2.0)))
+  }
+
   test("rangeJoinAgg counts right rows in the trailing window across bucket edges") {
     val left = Seq(100L, 210L, 400L).map(t => (t, t * 1.0)).toDF("ts", "lv")
     val right = Seq((90L, 1.0), (150L, 2.0), (205L, 3.0), (350L, 4.0))
