@@ -675,6 +675,100 @@ object TimeSeriesOps {
       .orderBy("series", "q")
   }
 
+  /** EQUI-DEPTH histogram per series (extension; the fixed-width form is
+    * [[histogram]]): `k` bins holding ~equal point counts, with boundaries
+    * at the exact `i/k` quantiles — the statistic a skew-aware partitioner
+    * or range-join planner actually needs (fixed-width bins collapse under
+    * heavy-tailed values; equi-depth bins ARE the value-space splits).
+    *
+    * Boundaries come from the counting-sort [[quantiles]] (exact lower
+    * picks, bit-portable); each point's bin is the count of boundaries
+    * strictly below it — an integer derived from exact double compares, so
+    * the whole histogram replays bitwise in any engine. Duplicate
+    * boundary values (a value spanning several quantiles) naturally yield
+    * empty bins, which are simply absent rows.
+    *
+    * Scale shape: the boundary table is k−1 rows per series
+    * (collect_list is bounded by k, never by data) and broadcasts; the
+    * per-point bin assignment is one map-side fold over that ≤k−1 array;
+    * the only shuffles are the quantile value-space aggregation and the
+    * final (series, bin) rollup. */
+  def histogramEqDepth(df: DataFrame, seriesCol: String, valCol: String,
+                       k: Int): DataFrame = {
+    require(k >= 2, s"need at least 2 bins, got $k")
+    val pts = df.filter(col(valCol).isNotNull)
+      .select(col(seriesCol).as("series"), col(valCol).as("v"))
+    val bounds = quantiles(pts, "series", "v", (1 until k).map(_.toDouble / k))
+      .groupBy("series")
+      .agg(sort_array(collect_list("quantile_value")).as("bounds"))
+    pts.join(broadcast(bounds), "series")
+      .withColumn("bin",
+        expr("aggregate(bounds, 0, (acc, b) -> acc + IF(v > b, 1, 0))"))
+      .groupBy("series", "bin")
+      .agg(count(lit(1)).as("n"), min("v").as("min_value"),
+        max("v").as("max_value"))
+      .orderBy("series", "bin")
+  }
+
+  /** Visualization DOWNSAMPLING, LTTB-style (extension; the Grafana-plugin
+    * side of the reference renders series a browser cannot hold — this is
+    * the standard largest-triangle-three-buckets reduction, in its
+    * bucket-parallel form): one representative point per (series, time
+    * bucket), chosen to maximize the triangle area against the NEIGHBOR
+    * BUCKETS' centroids. Classic LTTB anchors on the previously *selected*
+    * point — an inherently sequential scan; anchoring on the previous
+    * bucket's centroid (the published LTTB-threading variant) makes every
+    * bucket independent, which is the only form that parallelizes over a
+    * 100 TB series. First/last buckets keep their first/last point (LTTB's
+    * endpoint-preservation rule).
+    *
+    * Determinism/portability: centroids are exact DECIMAL sums (time in
+    * DECIMAL(38,0) — a bigint sum of epoch-µs overflows around 10⁶ points
+    * per bucket; values at the 2-decimal contract) divided in double ONCE;
+    * the area is a fixed-shape cross product of those doubles (each IEEE
+    * op exactly rounded, so any engine computing the same expression tree
+    * gets the same bits); ties break on earliest time.
+    *
+    * Scale shape: bucket centroids are one map-side-combined aggregation
+    * (rows = buckets); lag/lead run on the BUCKET table, not points; the
+    * area pick shuffles points once on (series, bucket) — naturally
+    * bounded partitions, no global sort, no driver loop. */
+  def lttbDownsample(df: DataFrame, seriesCol: String, tsCol: String,
+                     valCol: String, bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, "bucket width must be positive")
+    val pts = df.filter(col(valCol).isNotNull)
+      .select(col(seriesCol).as("series"),
+        col(tsCol).cast("long").as("t"), col(valCol).as("v"))
+      .withColumn("bucket", expr(s"t div $bucketUs"))
+    val cent = pts.groupBy("series", "bucket")
+      .agg((sum(col("t").cast(DecimalType(38, 0))).cast("double") /
+              count(lit(1))).as("c_t"),
+        (sum(col("v").cast(DecimalType(18, 2))).cast("double") /
+              count(lit(1))).as("c_v"))
+    val wb = Window.partitionBy("series").orderBy("bucket")
+    val nb = cent
+      .withColumn("a_t", lag("c_t", 1).over(wb))
+      .withColumn("a_v", lag("c_v", 1).over(wb))
+      .withColumn("n_t", lead("c_t", 1).over(wb))
+      .withColumn("n_v", lead("c_v", 1).over(wb))
+      .drop("c_t", "c_v")
+    val joined = pts.join(nb, Seq("series", "bucket"))
+    // triangle area (×2) of (anchor, point, next): fixed-shape cross product
+    val area = abs((col("a_t") - col("n_t")) * (col("v") - col("a_v")) -
+      (col("a_t") - col("t")) * (col("n_v") - col("a_v")))
+    val wpick = Window.partitionBy("series", "bucket").orderBy(
+      // endpoint buckets (no anchor/next): first bucket keeps its FIRST
+      // point, last keeps its LAST — NULL area sorts the time axis instead
+      when(col("a_t").isNull, col("t"))
+        .when(col("n_t").isNull, -col("t"))
+        .otherwise(lit(0L)).asc,
+      area.desc_nulls_last, col("t").asc)
+    joined.withColumn("rn", row_number().over(wpick))
+      .filter(col("rn") === 1)
+      .select(col("series"), col("bucket"), col("t").as("time_us"), col("v"))
+      .orderBy("series", "bucket")
+  }
+
   /** Robust per-series ANOMALY DETECTION by median absolute deviation
     * (extension): flag points whose |v − median| exceeds `k`·MAD, where
     * both the median and the MAD are EXACT "lower" picks from the

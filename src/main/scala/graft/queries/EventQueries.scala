@@ -595,6 +595,74 @@ object EventQueries {
         "series", "time_us", "value", k = 3.0)
     },
 
+    // EXTENSION: equi-depth histogram — k bins at the exact i/k quantile
+    // boundaries (the value-space splits a skew-aware partitioner needs;
+    // fixed-width bins collapse under heavy tails). Bin assignment = count
+    // of boundaries strictly below v: integers from exact double compares,
+    // so the histogram replays bitwise.
+    QueryDef.withOracle("tsdb_histogram_eqdepth",
+      s"""WITH pts AS (
+         |  SELECT series, value AS v FROM $EV
+         |  WHERE value IS NOT NULL AND time_us BETWEEN $T0 AND $T1),
+         |cnt AS (SELECT series, v, count(*) AS c FROM pts GROUP BY 1, 2),
+         |cum AS (SELECT series, v, c,
+         |          sum(c) OVER (PARTITION BY series ORDER BY v
+         |                       ROWS UNBOUNDED PRECEDING) AS cum
+         |        FROM cnt),
+         |tot AS (SELECT series, sum(c) AS n FROM cnt GROUP BY 1),
+         |qs AS (SELECT unnest([0.25, 0.5, 0.75]) AS q),
+         |bnd AS (SELECT c.series, list(c.v ORDER BY c.v) AS bounds
+         |        FROM cum c JOIN tot USING (series) CROSS JOIN qs
+         |        WHERE c.cum >= CAST(floor((tot.n - 1) * qs.q) AS BIGINT) + 1
+         |          AND c.cum - c.c < CAST(floor((tot.n - 1) * qs.q) AS BIGINT) + 1
+         |        GROUP BY 1),
+         |binned AS (SELECT p.series, p.v,
+         |             len(list_filter(b.bounds, x -> p.v > x)) AS bin
+         |           FROM pts p JOIN bnd b USING (series))
+         |SELECT series, CAST(bin AS INT) AS bin, count(*) AS n,
+         |       min(v) AS min_value, max(v) AS max_value
+         |FROM binned GROUP BY 1, 2 ORDER BY series, bin""".stripMargin) { (s, dir) =>
+      TimeSeriesOps.histogramEqDepth(
+        Tables.eventsTsdb(s, dir).filter(col("time_us").between(T0, T1)),
+        "series", "value", k = 4)
+    },
+
+    // EXTENSION: LTTB-style visual downsampling in its bucket-parallel
+    // (centroid-anchored) form — one representative point per (series,
+    // day), chosen by largest triangle area against the neighbor buckets'
+    // centroids; endpoint buckets keep their first/last point. Centroid
+    // arithmetic is exact decimal sums divided once in double; the area is
+    // a fixed-shape cross product — bitwise identical in any engine.
+    QueryDef.withOracle("tsdb_downsample_lttb",
+      s"""WITH pts AS (
+         |  SELECT series, time_us AS t, value AS v FROM $EV
+         |  WHERE value IS NOT NULL AND time_us BETWEEN $T0 AND $T1),
+         |b AS (SELECT series, t // $DAY AS bucket, t, v FROM pts),
+         |cent AS (SELECT series, bucket,
+         |           CAST(SUM(CAST(t AS HUGEINT)) AS DOUBLE) / count(*) AS c_t,
+         |           CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS c_v
+         |         FROM b GROUP BY 1, 2),
+         |nb AS (SELECT series, bucket,
+         |         lag(c_t) OVER w AS a_t, lag(c_v) OVER w AS a_v,
+         |         lead(c_t) OVER w AS n_t, lead(c_v) OVER w AS n_v
+         |       FROM cent WINDOW w AS (PARTITION BY series ORDER BY bucket)),
+         |j AS (SELECT b.series, b.bucket, b.t, b.v, a_t, a_v, n_t, n_v
+         |      FROM b JOIN nb USING (series, bucket)),
+         |r AS (SELECT series, bucket, t, v,
+         |        row_number() OVER (PARTITION BY series, bucket ORDER BY
+         |          CASE WHEN a_t IS NULL THEN t
+         |               WHEN n_t IS NULL THEN -t ELSE 0 END ASC,
+         |          abs((a_t - n_t) * (v - a_v) - (a_t - t) * (n_v - a_v))
+         |            DESC NULLS LAST,
+         |          t ASC) AS rn
+         |      FROM j)
+         |SELECT series, bucket, t AS time_us, v FROM r WHERE rn = 1
+         |ORDER BY series, bucket""".stripMargin) { (s, dir) =>
+      TimeSeriesOps.lttbDownsample(
+        Tables.eventsTsdb(s, dir).filter(col("time_us").between(T0, T1)),
+        "series", "time_us", "value", bucketUs = DAY)
+    },
+
     // EXTENSION: sliding-window distinct-user engagement (the WAU-per-day
     // surface). EXACT distinct — the event log collapses to DISTINCT
     // (user, day) in its single pass, each active-day row fans out to the

@@ -234,16 +234,20 @@ object StreamingOps {
     * right row's fan-out keys are distinct and a left row owns exactly one
     * bucket, so no match can emit twice.
     *
-    * The range condition is stated twice on purpose: once on the raw µs
-    * longs (exact integral arithmetic — what the oracle replays) and once
-    * on the derived event-time columns, because Structured Streaming takes
-    * its JOIN-STATE EVICTION bound from time-range predicates on
-    * watermarked event-time columns. With both watermarks at delay d, a
-    * buffered left row is dropped once the right watermark passes
-    * `l_et + window + d` — state is bounded by watermark delay plus window
-    * span, never by stream length. Inner-join matches emit eagerly (no
-    * watermark finalization wait); exactly-once to the sink comes from the
-    * checkpointed source offsets like every other face. */
+    * The range condition is stated ONLY on the derived event-time columns:
+    * Spark timestamps are µs-precision, so `r_et ∈ [l_et, l_et + window]`
+    * is bit-for-bit the integral µs predicate the oracle replays — and
+    * Structured Streaming takes its JOIN-STATE EVICTION bound from
+    * time-range predicates on watermarked event-time columns (mixing in
+    * redundant raw-long copies of the same bounds defeats the
+    * StreamingJoinHelper constraint extraction — it cannot evaluate
+    * non-watermark attributes and gives up on the whole conjunct). With
+    * both watermarks at delay d, a buffered left row is dropped once the
+    * right watermark passes `l_et + window + d` — state is bounded by
+    * watermark delay plus window span, never by stream length. Inner-join
+    * matches emit eagerly (no watermark finalization wait); exactly-once
+    * to the sink comes from the checkpointed source offsets like every
+    * other face. */
   def streamingIntervalJoin(left: DataFrame, right: DataFrame,
                             windowUs: Long, watermarkUs: Long): DataFrame = {
     require(windowUs > 0, "join window must be positive")
@@ -261,9 +265,7 @@ object StreamingOps {
           expr(s"CAST(time_us - $windowUs AS BIGINT) div $windowUs")))).as("bucket"))
     l.join(r, Seq("bucket"))
       .filter(
-        col("r_time_us") >= col("l_time_us") &&
-          col("r_time_us") <= col("l_time_us") + lit(windowUs) &&
-          col("r_et") >= col("l_et") &&
+        col("r_et") >= col("l_et") &&
           col("r_et") <= col("l_et") + expr(s"INTERVAL $windowUs MICROSECOND"))
       .select("l_time_us", "l_v", "r_time_us", "r_v")
   }

@@ -27,7 +27,14 @@ object ScaleBench {
     "tsdb_difference", "dedup_ngram_jaccard_capped", "engine_reflector",
     "engine_rollup_two_fields", "dedup_minhash_lsh", "pipeline_pack",
     "text_stats", "engine_stream_ingest", "ann_topk", "dedup_simhash",
-    "dedup_clusters_star", "engine_stream_rollup")
+    "dedup_clusters_star", "engine_stream_rollup",
+    // round-10 additions: value-space anomaly (work ∝ points, output ∝
+    // outliers), engagement windows (bounded fan-out, bounded output),
+    // cube rollup (one Expand, output = grouping-set cells). The
+    // stream-stream interval join is EXCLUDED like the pair-threshold
+    // queries: its output is clicks × window-density, which grows ~factor²
+    // on replicated data and would gate on the data, not the operator.
+    "tsdb_anomaly", "events_active_users", "events_rollup_cube")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

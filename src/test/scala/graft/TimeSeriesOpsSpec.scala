@@ -219,6 +219,38 @@ class TimeSeriesOpsSpec extends SparkTestBase {
     assert(got(("t", 0.5)) == 5.0) // single point: every quantile is it
   }
 
+  test("histogramEqDepth: quartile boundaries give perfect quartile bins") {
+    // values 1..8: quantile picks at .25/.5/.75 (lower) = 2, 4, 6 ->
+    // bins (-inf,2],(2,4],(4,6],(6,inf) each hold exactly 2 points
+    val df = (1 to 8).map(i => ("s", i.toDouble)).toDF("series", "v")
+    val got = TimeSeriesOps.histogramEqDepth(df, "series", "v", k = 4)
+      .select("bin", "n", "min_value", "max_value")
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(got == Seq((0, 2L, 1.0, 2.0), (1, 2L, 3.0, 4.0),
+      (2, 2L, 5.0, 6.0), (3, 2L, 7.0, 8.0)))
+    // heavy duplication: >half the mass on one value -> duplicate
+    // boundaries collapse bins; absent bins are empty, counts still exact
+    val dup = (Seq.fill(6)(5.0) ++ Seq(1.0, 9.0)).map(("d", _)).toDF("series", "v")
+    val bins = TimeSeriesOps.histogramEqDepth(dup, "series", "v", k = 4)
+      .select("bin", "n").as[(Int, Long)].collect().toMap
+    assert(bins.values.sum == 8L && bins(3) == 1L) // only 9.0 clears all bounds
+  }
+
+  test("lttbDownsample: endpoint rule, centroid-anchored max-area pick, time tiebreak") {
+    val df = Seq(
+      ("s", 1L, 10.0), ("s", 2L, 0.0),    // bucket 0: centroid (1.5, 5.0)
+      ("s", 11L, 5.0),                     // bucket 1: area 20*|v-5| = 0
+      ("s", 12L, 9.0),                     //   area 80  <- picked (tie, earlier t)
+      ("s", 14L, 1.0),                     //   area 80 too, later t
+      ("s", 21L, 10.0), ("s", 22L, 0.0)    // bucket 2: centroid (21.5, 5.0)
+    ).toDF("series", "time_us", "v")
+    val got = TimeSeriesOps.lttbDownsample(df, "series", "time_us", "v", bucketUs = 10L)
+      .select("bucket", "time_us", "v").as[(Long, Long, Double)].collect().toSeq
+    // first bucket keeps its FIRST point, last keeps its LAST; the middle
+    // bucket picks max area vs neighbor centroids, ties -> earliest time
+    assert(got == Seq((0L, 1L, 10.0), (1L, 12L, 9.0), (2L, 22L, 0.0)))
+  }
+
   test("madOutliers flags |v-med| > k*MAD with exact lower-median picks") {
     // s: values 1..7 plus a wild 1000 -> n=8, sorted 1,2,3,4,5,6,7,1000,
     // lower median = idx 3 = 4; devs |v-4| = 3,2,1,0,1,2,3,996 sorted
