@@ -63,4 +63,63 @@ class ValueOpsPropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("madOutliers matches the naive lower-median model for random multisets") {
+    val rng = new Random(29)
+    for (trial <- 1 to 5) {
+      val rows = (1 to 2 + rng.nextInt(200)).map { i =>
+        (s"s${rng.nextInt(3)}", i.toLong, rng.nextInt(80) / 4.0)
+      }
+      val got = TimeSeriesOps.madOutliers(
+          rows.toDF("series", "time_us", "v"), "series", "time_us", "v", k = 3.0)
+        .select("series", "time_us").as[(String, Long)].collect().toSet
+      // .toSeq before flatMap: a Map.flatMap over pair results rebuilds a
+      // MAP and silently collapses all of a series' outliers to one entry
+      val expect = rows.groupBy(_._1).toSeq.flatMap { case (s, g) =>
+        def lowerMedian(xs: Seq[Double]): Double =
+          xs.sorted.apply((xs.size - 1) / 2)
+        val med = lowerMedian(g.map(_._3))
+        val mad = lowerMedian(g.map(r => math.abs(r._3 - med)))
+        g.filter(r => math.abs(r._3 - med) > 3.0 * mad).map(r => (s, r._2))
+      }.toSet
+      assert(got == expect, s"trial $trial")
+    }
+  }
+
+  test("lttbDownsample matches the naive centroid-anchored model") {
+    val rng = new Random(31)
+    for (trial <- 1 to 5) {
+      val w = Seq(64L, 100L, 250L)(trial % 3)
+      val ts = Iterator.continually(rng.nextLong(2000)).distinct.take(150).toSeq.sorted
+      // 0.25-grid values: exact in double AND in decimal(18,2), so the
+      // naive BigDecimal centroid mirrors the operator's decimal sums
+      val pts = ts.map(t => (t, rng.nextInt(64) / 4.0))
+      val got = TimeSeriesOps.lttbDownsample(
+          pts.map { case (t, v) => ("s", t, v) }.toDF("series", "time_us", "v"),
+          "series", "time_us", "v", bucketUs = w)
+        .select("bucket", "time_us", "v").as[(Long, Long, Double)]
+        .collect().toSeq.sortBy(_._1)
+      val byBucket = pts.groupBy(_._1 / w).toSeq.sortBy(_._1)
+      // sums are exact in double here (small longs; 0.25-grid values), so
+      // plain double sums equal the operator's decimal sums bit-for-bit
+      def centroid(g: Seq[(Long, Double)]): (Double, Double) =
+        (g.map(_._1).sum.toDouble / g.size, g.map(_._2).sum / g.size)
+      val expect = byBucket.zipWithIndex.map { case ((b, g), i) =>
+        val sortedG = g.sortBy(_._1)
+        val pick =
+          if (i == 0) sortedG.head
+          else if (i == byBucket.size - 1) sortedG.last
+          else {
+            val (at, av) = centroid(byBucket(i - 1)._2)
+            val (nt, nv) = centroid(byBucket(i + 1)._2)
+            sortedG.maxBy { case (t, v) =>
+              // max area, ties -> EARLIEST t (maxBy keeps the first max)
+              (math.abs((at - nt) * (v - av) - (at - t) * (nv - av)), -t)
+            }
+          }
+        (b, pick._1, pick._2)
+      }
+      assert(got == expect, s"trial $trial w=$w")
+    }
+  }
 }
