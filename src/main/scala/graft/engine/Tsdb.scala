@@ -946,6 +946,23 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
       visibleSeries(db, m, series, t0, t1).withColumn(SeriesCol, lit(series)),
       SeriesCol, field, qs)
 
+  /** MAD-based anomaly flags over the visible range (extension — see
+    * TimeSeriesOps.madOutliers: exact lower-median picks, no sketches). */
+  def anomalies(db: String, m: String, series: String, field: String,
+                t0: Long, t1: Long, k: Double): DataFrame =
+    TimeSeriesOps.madOutliers(
+      visibleSeries(db, m, series, t0, t1).withColumn(SeriesCol, lit(series)),
+      SeriesCol, TimeCol, field, k)
+
+  /** LTTB-style visual downsample of the visible range (extension — see
+    * TimeSeriesOps.lttbDownsample; unlike [[downsample]] this REDUCES for
+    * a renderer rather than aggregating into a rollup measurement). */
+  def lttb(db: String, m: String, series: String, field: String,
+           t0: Long, t1: Long, bucketWidth: Long): DataFrame =
+    TimeSeriesOps.lttbDownsample(
+      visibleSeries(db, m, series, t0, t1).withColumn(SeriesCol, lit(series)),
+      SeriesCol, TimeCol, field, bucketWidth)
+
   /** Downsample a series into a ROLLUP measurement: the windowed
     * sum/min/max/count aggregate (reference sum_op semantics incl. empty
     * windows) written back through the validated append path as a derived

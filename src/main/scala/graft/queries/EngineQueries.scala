@@ -446,6 +446,74 @@ object EngineQueries {
         .histogram("bench", "events", "purchase", "v", T0, T1, binWidth = 10.0)
     },
 
+    // MAD anomaly detection THROUGH the engine layout (facade `.anomalies`
+    // — create → validated append → watermark-clamped read; the
+    // flat-parquet face is tsdb_anomaly). The oracle models the same
+    // lower-median picks over the SOURCE table's visible range, so a
+    // visibility bug on the engine read breaks the flagged set.
+    QueryDef.withOracle("engine_anomaly",
+      s"""WITH pts AS (
+         |  SELECT time_us, v FROM $PTS
+         |  WHERE series = 'purchase' AND v IS NOT NULL
+         |    AND time_us BETWEEN $T0 AND $T1),
+         |cnt AS (SELECT v, count(*) AS c FROM pts GROUP BY 1),
+         |cum AS (SELECT v, c, sum(c) OVER (ORDER BY v
+         |                       ROWS UNBOUNDED PRECEDING) AS cum FROM cnt),
+         |tot AS (SELECT sum(c) AS n FROM cnt),
+         |med AS (SELECT c.v AS med FROM cum c, tot
+         |        WHERE c.cum >= CAST(floor((tot.n - 1) * 0.5) AS BIGINT) + 1
+         |          AND c.cum - c.c < CAST(floor((tot.n - 1) * 0.5) AS BIGINT) + 1),
+         |dv AS (SELECT p.time_us, p.v, m.med, abs(p.v - m.med) AS dev
+         |       FROM pts p, med m),
+         |dcnt AS (SELECT dev, count(*) AS c FROM dv GROUP BY 1),
+         |dcum AS (SELECT dev, c, sum(c) OVER (ORDER BY dev
+         |                        ROWS UNBOUNDED PRECEDING) AS cum FROM dcnt),
+         |dtot AS (SELECT sum(c) AS n FROM dcnt),
+         |mad AS (SELECT c.dev AS mad FROM dcum c, dtot
+         |        WHERE c.cum >= CAST(floor((dtot.n - 1) * 0.5) AS BIGINT) + 1
+         |          AND c.cum - c.c < CAST(floor((dtot.n - 1) * 0.5) AS BIGINT) + 1)
+         |SELECT 'purchase' AS series, d.time_us, d.v, d.med, d.dev, m.mad
+         |FROM dv d, mad m WHERE d.dev > 3.0 * m.mad
+         |ORDER BY time_us""".stripMargin) { (s, dir) =>
+      Fixture.tsdb(s, dir)
+        .anomalies("bench", "events", "purchase", "v", T0, T1, k = 3.0)
+        .orderBy("time_us")
+    },
+
+    // LTTB visual downsample THROUGH the engine layout (facade `.lttb`):
+    // one representative point per day, chosen against neighbor-bucket
+    // centroids computed from the engine-visible points only.
+    QueryDef.withOracle("engine_lttb",
+      s"""WITH pts AS (
+         |  SELECT time_us AS t, v FROM $PTS
+         |  WHERE series = 'purchase' AND v IS NOT NULL
+         |    AND time_us BETWEEN $T0 AND $T1),
+         |b AS (SELECT t // $DAY AS bucket, t, v FROM pts),
+         |cent AS (SELECT bucket,
+         |           CAST(SUM(CAST(t AS HUGEINT)) AS DOUBLE) / count(*) AS c_t,
+         |           CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS c_v
+         |         FROM b GROUP BY 1),
+         |nb AS (SELECT bucket,
+         |         lag(c_t) OVER w AS a_t, lag(c_v) OVER w AS a_v,
+         |         lead(c_t) OVER w AS n_t, lead(c_v) OVER w AS n_v
+         |       FROM cent WINDOW w AS (ORDER BY bucket)),
+         |j AS (SELECT b.bucket, b.t, b.v, a_t, a_v, n_t, n_v
+         |      FROM b JOIN nb USING (bucket)),
+         |r AS (SELECT bucket, t, v,
+         |        row_number() OVER (PARTITION BY bucket ORDER BY
+         |          CASE WHEN a_t IS NULL THEN t
+         |               WHEN n_t IS NULL THEN -t ELSE 0 END ASC,
+         |          abs((a_t - n_t) * (v - a_v) - (a_t - t) * (n_v - a_v))
+         |            DESC NULLS LAST,
+         |          t ASC) AS rn
+         |      FROM j)
+         |SELECT 'purchase' AS series, bucket, t AS time_us, v
+         |FROM r WHERE rn = 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
+      Fixture.tsdb(s, dir)
+        .lttb("bench", "events", "purchase", "v", T0, T1, bucketWidth = DAY)
+        .orderBy("bucket")
+    },
+
     // GAP FILLING through the engine (facade .gapFill over the bucket-pruned
     // visible range of the sparse error series; 30-min µs windows leave real
     // gaps for both fill policies).
