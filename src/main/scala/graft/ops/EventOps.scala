@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-stream analytics over a (user, type, time) log — the funnel /
@@ -98,6 +99,36 @@ object EventOps {
         grouping(col("series")).cast("int").as("g_type"),
         grouping(col("b")).cast("int").as("g_bucket"))
       .orderBy(col("g_type"), col("g_bucket"), col("series"), col("b"))
+  }
+
+  /** Top user-journey PREFIXES: each user's first `k` event types in
+    * (time, id) order concatenated into a path string, counted across
+    * users, top `topN` paths — the path-analysis surface (where do users
+    * go first?) next to [[funnel]]'s fixed-stage view.
+    *
+    * Scale shape: the first-k filter is a row_number window on the user —
+    * partitions are per-user and spill through the sorter, never a
+    * driver-side group — and only THEN does a collect_list run, so the
+    * collected array is bounded by `k` (collecting a power user's full
+    * history would be an unbounded aggregation row). Path counting is an
+    * ordinary bounded-key aggregation; top-N is TakeOrdered, not a full
+    * sort. */
+  def topPaths(events: DataFrame, userCol: String, typeCol: String,
+               timeCol: String, tiebreakCol: String, k: Int, topN: Int): DataFrame = {
+    require(k > 0 && topN > 0, "k/topN must be positive")
+    events
+      .select(col(userCol).as("u"), col(typeCol).as("et"),
+        col(timeCol), col(tiebreakCol))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("u").orderBy(col(timeCol), col(tiebreakCol))))
+      .filter(col("rn") <= k)
+      .groupBy("u")
+      .agg(concat_ws(">",
+        transform(array_sort(collect_list(struct(col("rn"), col("et")))),
+          s => s.getField("et"))).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(topN)
   }
 
   /** Cohort retention: cohort = the time bucket of a user's FIRST event;

@@ -281,4 +281,58 @@ object TextOps {
       .orderBy(col("score").desc, col(idCol))
       .limit(topN)
   }
+
+  /** MULTI-query BM25: rank the corpus for a (bounded) SET of queries in
+    * ONE shared corpus pass — the dashboard / eval-suite retrieval shape.
+    * The union of all query terms gets its per-doc tf columns in a single
+    * tokenization pass and its dfs in a single scalar aggregation (both
+    * shared across queries); each query then scores as a FIXED literal
+    * expression chain over those columns (identical association order to
+    * the oracle SQL, so doubles match bitwise — a generic per-(query,term)
+    * pair aggregation would sum scores in partial-agg order and drift),
+    * and per-query top-N comes from one rank window partitioned by query,
+    * never a global sort.
+    *
+    * Scale: M queries are a fixed product surface (M small); the corpus
+    * pass is map-only per branch over the SAME broadcast stats, and the
+    * only shuffle is the per-query top-N rank on (query) — at most
+    * M·topN candidate rows survive each partition's heap. */
+  def bm25RankMulti(docs: DataFrame, idCol: String, textCol: String,
+                    queries: Seq[(String, Seq[String])], topN: Int): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "bm25RankMulti needs nonempty queries")
+    val terms = queries.flatMap(_._2).distinct
+    val idx = terms.zipWithIndex.toMap
+    val withTf = docs
+      .select(col(idCol), tokens(col(textCol)).as("ts"))
+      .select(Seq(col(idCol), size(col("ts")).cast("long").as("dl")) ++
+        terms.indices.map(i =>
+          size(filter(col("ts"), x => x === lit(terms(i))))
+            .cast("long").as(s"tf$i")): _*)
+    val aggCols = Seq(
+      count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val scored = withTf.crossJoin(broadcast(
+      withTf.agg(aggCols.head, aggCols.tail: _*)))
+    def termScore(i: Int) = {
+      val tf = col(s"tf$i").cast("double")
+      (col("n") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)) *
+        tf * lit(2.2) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl")))
+    }
+    val perQuery = queries.map { case (qid, qts) =>
+      val is = qts.map(idx)
+      scored
+        .filter(is.map(i => col(s"tf$i")).reduce(_ + _) > 0)
+        .select(lit(qid).as("query_id"), col(idCol),
+          is.map(termScore).reduce(_ + _).as("score"), col("dl"))
+    }.reduce(_ unionAll _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col(idCol))
+    perQuery.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

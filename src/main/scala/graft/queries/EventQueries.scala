@@ -701,6 +701,24 @@ object EventQueries {
         Tables.eventsTsdb(s, dir), "series", "time_us", "value", bucketUs = DAY)
     },
 
+    // EXTENSION: top user-journey prefixes — each user's first 5 event
+    // types in (time, id) order as a path string, counted across users.
+    // The first-k filter runs BEFORE any collect, so aggregation rows are
+    // bounded by k, not by a power user's history.
+    QueryDef.withOracle("events_top_paths",
+      s"""WITH e AS (SELECT user_id AS u, event_type AS et,
+         |             epoch_us(ts) AS t, event_id FROM events),
+         |rn AS (SELECT u, et, row_number() OVER (
+         |         PARTITION BY u ORDER BY t, event_id) AS rn FROM e),
+         |p AS (SELECT u, string_agg(et, '>' ORDER BY rn) AS path
+         |      FROM rn WHERE rn <= 5 GROUP BY u)
+         |SELECT path, count(*) AS n_users FROM p GROUP BY 1
+         |ORDER BY n_users DESC, path LIMIT 25""".stripMargin) { (s, dir) =>
+      EventOps.topPaths(
+        Tables.eventsTsdb(s, dir), "user_id", "series", "time_us", "event_id",
+        k = 5, topN = 25)
+    },
+
     QueryDef.withOracle("events_cohort_retention",
       s"""WITH e AS (SELECT DISTINCT user_id AS u,
          |             epoch_us(ts) // ${7 * DAY} AS b FROM events),

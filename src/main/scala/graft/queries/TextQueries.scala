@@ -275,6 +275,44 @@ object TextQueries {
     }) { (s, dir) =>
       TextOps.bm25Rank(Tables(s, dir, "documents"), "doc_id", "text",
         Seq("hash", "join", "vector"), topN = 50)
+    },
+
+    // MULTI-query retrieval: three queries ranked in ONE shared corpus
+    // pass (union-vocabulary tf columns + one stats aggregation reused by
+    // every query), per-query top-20 via a rank window — the eval-suite /
+    // dashboard shape where re-scanning the corpus per query is the
+    // anti-pattern. Score arithmetic stays a fixed literal chain per
+    // query, so doubles replay bitwise (see TextOps.bm25RankMulti).
+    QueryDef.withOracle("text_bm25_multi", {
+      // union vocabulary in first-appearance order: must match the Scala
+      // side's `queries.flatMap(_._2).distinct`
+      val terms = Seq("spark", "join", "window", "sort", "merge", "vector", "batch")
+      def tf(t: String) = s"len(list_filter(ts, x -> x = '$t'))"
+      def ts(i: Int) =
+        s"""(n - df$i + 0.5) / (df$i + 0.5) * CAST(tf$i AS DOUBLE) * 2.2
+           |    / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))""".stripMargin
+      def q(qid: String, is: Seq[Int]) =
+        s"""SELECT '$qid' AS query_id, doc_id,
+           |  ${is.map(ts).mkString("\n  + ")} AS score, CAST(dl AS BIGINT) AS dl
+           |FROM d, c WHERE ${is.map(i => s"tf$i").mkString(" + ")} > 0""".stripMargin
+      s"""WITH d AS (SELECT doc_id, len(ts) AS dl,
+         |        ${terms.zipWithIndex.map { case (t, i) => s"${tf(t)} AS tf$i" }.mkString(",\n        ")}
+         |      FROM (SELECT doc_id, $TOKS AS ts FROM documents)),
+         |c AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         |        ${terms.indices.map(i => s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(",\n        ")}
+         |      FROM d),
+         |u AS (${q("q_spark_join", Seq(0, 1))}
+         |      UNION ALL ${q("q_window_sort_merge", Seq(2, 3, 4))}
+         |      UNION ALL ${q("q_vector_batch", Seq(5, 6))}),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, doc_id) AS rank FROM u)
+         |SELECT query_id, doc_id, score, dl, CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= 20 ORDER BY query_id, rank""".stripMargin
+    }) { (s, dir) =>
+      TextOps.bm25RankMulti(Tables(s, dir, "documents"), "doc_id", "text",
+        Seq("q_spark_join" -> Seq("spark", "join"),
+          "q_window_sort_merge" -> Seq("window", "sort", "merge"),
+          "q_vector_batch" -> Seq("vector", "batch")), topN = 20)
     }
   )
 }

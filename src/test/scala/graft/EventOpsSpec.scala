@@ -73,6 +73,26 @@ class EventOpsSpec extends SparkTestBase {
       (4L, 2L)))           // u1(b2), u3(b4)
   }
 
+  test("topPaths: first-k prefix in (time, id) order, counts, deterministic top") {
+    val ev = Seq(
+      // u1 and u2 share the path view>click (u2's purchase is 4th > k=3... )
+      (1L, "view", 10L, 100L), (1L, "click", 20L, 101L),
+      (2L, "view", 5L, 200L), (2L, "click", 6L, 201L),
+      // u3: same-time tie broken by event_id -> click before view
+      (3L, "click", 7L, 300L), (3L, "view", 7L, 301L),
+      // u4: k=3 truncates the 4th event
+      (4L, "view", 1L, 400L), (4L, "click", 2L, 401L),
+      (4L, "purchase", 3L, 402L), (4L, "view", 4L, 403L)
+    ).toDF("user_id", "event_type", "time_us", "event_id")
+    val got = EventOps.topPaths(ev, "user_id", "event_type", "time_us",
+        "event_id", k = 3, topN = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(
+      ("view>click", 2L),                   // u1, u2
+      ("click>view", 1L),                   // u3 (tie broken by id)
+      ("view>click>purchase", 1L)))         // u4 truncated at k=3
+  }
+
   test("rollupCube: four grouping sets from one pass, GROUPING() flags") {
     val ev = Seq(
       ("a", 5L, Some(1.0)), ("a", 15L, Some(2.0)),

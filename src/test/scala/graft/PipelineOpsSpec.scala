@@ -654,6 +654,29 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got.map(_._3) == Seq(3L, 2L))
   }
 
+  test("bm25RankMulti: shared-pass scores equal per-query bm25Rank; ranks per query") {
+    val corpus = Seq(
+      (0L, "hash join hash"),
+      (1L, "vector scan join"),
+      (2L, "nothing here at all"),
+      (3L, "vector vector hash")
+    ).toDF("doc_id", "text")
+    val queries = Seq("qa" -> Seq("hash", "join"), "qb" -> Seq("vector"))
+    val got = TextOps.bm25RankMulti(corpus, "doc_id", "text", queries, topN = 10)
+      .select("query_id", "doc_id", "score", "rank")
+      .as[(String, Long, Double, Int)].collect().toSeq
+    queries.foreach { case (qid, terms) =>
+      val single = TextOps.bm25Rank(corpus, "doc_id", "text", terms, topN = 10)
+        .as[(Long, Double, Long)].collect().toSeq
+      val multi = got.filter(_._1 == qid)
+      // same docs, same order, same DOUBLE BITS (the fixed literal chain
+      // must survive the shared union-vocabulary pass)
+      assert(multi.map(_._2) == single.map(_._1), qid)
+      assert(multi.map(_._3) == single.map(_._2), qid)
+      assert(multi.map(_._4) == (1 to multi.size), qid)
+    }
+  }
+
   test("WavCodec: encode/decode round-trips PCM through the real RIFF layout") {
     val ss = Array[Short](0, 1000, -1000, 32767, -32768, 7)
     val wav = WavCodec.encode(16000, 1, ss)
