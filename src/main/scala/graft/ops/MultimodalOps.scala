@@ -347,6 +347,7 @@ object MultimodalOps {
       .as[MediaAsset]
       .mapPartitions(_.map {
         case a if a.format == "bmp" => BmpCodec.resizeFeatures(a, stride)
+        case a if a.format == "png" => PngCodec.resizeFeatures(a, stride)
         case a =>
           val r = FakeDecoder.resize(a, stride)
           val f = FakeDecoder.decode(r)

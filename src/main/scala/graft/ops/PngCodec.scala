@@ -173,6 +173,30 @@ object PngCodec {
     (w, h, px)
   }
 
+  /** REAL nearest-neighbor resize on the decoded grayscale plane —
+    * dst(x,y) = src(x·stride, y·stride), dims ceil-divided — fused with
+    * the stats of the RESIZED pixels (same contract as
+    * [[BmpCodec.resizeFeatures]]; here the source pixels first pass
+    * through the full inflate+unfilter path). */
+  def resizeFeatures(a: MediaAsset, stride: Int): ResizedFeatures = {
+    val (w, h, px) = decode(a.payload)
+    val dw = (w + stride - 1) / stride
+    val dh = (h + stride - 1) / stride
+    var sum = 0L
+    var y = 0
+    while (y < dh) {
+      var x = 0
+      while (x < dw) {
+        sum += px((y * stride) * w + x * stride) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = dw.toLong * dh
+    ResizedFeatures(a.asset_id, a.format, dw, dh, n,
+      if (n == 0) 0.0 else sum.toDouble / n)
+  }
+
   /** Feature stats of the DECODED pixels — same output contract as
     * [[BmpCodec.decodeFeatures]], but over the inflated+unfiltered
     * grayscale plane, so a chunk/CRC/inflate/filter bug anywhere above

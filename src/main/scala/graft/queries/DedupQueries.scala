@@ -243,6 +243,73 @@ object DedupQueries {
          |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
       DedupOps.benchmarkContamination(Tables(s, dir, "documents"),
         "doc_id", "text", 3, pmod(col("doc_id"), lit(17)) === 0, 0.1)
+    },
+
+    // THE COMPOSED CORPUS BUILD — the whole curation pipeline as ONE query
+    // plan: near-dup removal (LSH clusters → drop non-representatives) →
+    // rule-based quality filter (single-pass native text counts) → per-
+    // SOURCE temperature rebalancing (thresholds computed on the FILTERED
+    // survivors — pipeline order matters and the oracle replays it) →
+    // per-source kept-docs + exact token volume. Every stage is an
+    // operator that also ships standalone; this entry proves they COMPOSE
+    // in one Catalyst plan with the aggregate-scale output a pipeline
+    // report wants. All arithmetic is the standalone stages' (hash grid,
+    // IEEE sqrt/mul, integer token counts) — bitwise replayable.
+    QueryDef.withOracle("pipeline_curate", {
+      val h = OracleText.wordHashSql("CAST(doc_id AS VARCHAR)")
+      import OracleText.{LANG_PRED, SW_RATIO, TOKS}
+      s"""WITH RECURSIVE $JaccardPairCtes,
+         |$ComponentCtes,
+         |surv AS (SELECT d.* FROM documents d
+         |         WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> component)),
+         |filt AS (SELECT * FROM surv WHERE
+         |           CASE WHEN len($TOKS) < 20 THEN 'x'
+         |                WHEN len($TOKS) > 80 THEN 'x'
+         |                WHEN $LANG_PRED <> 'en' THEN 'x'
+         |                WHEN $SW_RATIO < 0.05 THEN 'x' END IS NULL),
+         |cnt AS (SELECT source, count(*) AS n FROM filt GROUP BY 1),
+         |thr AS (SELECT source,
+         |          CAST(floor(1e6 * sqrt(CAST((SELECT min(n) FROM cnt) AS DOUBLE)
+         |                 / n)) AS BIGINT) AS keep_below
+         |        FROM cnt),
+         |kept AS (SELECT f.* FROM filt f JOIN thr USING (source)
+         |         WHERE $h % 1000000 < thr.keep_below)
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(sum(len($TOKS)) AS BIGINT) AS n_tokens
+         |FROM kept GROUP BY 1 ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val comp = DedupOps.jaccardClustersLsh(
+        DedupOps.shingleSets(docs, "doc_id", "text", 3),
+        "doc_id", 0.8, bands = 32, rows = 4)
+        .localCheckpoint(false)
+      val drop = comp.filter(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"))
+      val surv = docs.join(drop, Seq("doc_id"), "left_anti")
+      val counted = surv
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("_c", TextOps.textCounts(col("text")))
+      val nWord = col("_c.n_word")
+      val (predL, _) = TextOps.langIdFromHits(col("_c.sw_hits"))
+      val swRatio = when(nWord === 0, lit(0.0))
+        .otherwise(element_at(col("_c.sw_hits"),
+          graft.functions.GraftTextCounts.langIndex("en") + 1)
+          .cast("double") / nWord)
+      // keep iff NO filter rule fires (same rule order as text_filter)
+      val filt = counted.filter(
+        nWord >= 20 && nWord <= 80 && predL === "en" && swRatio >= 0.05)
+      val cnt = filt.groupBy("source").agg(count(lit(1)).as("n"))
+      val minN = cnt.agg(min("n").as("nmin"))
+      val thr = cnt.crossJoin(broadcast(minN))
+        .select(col("source"),
+          floor(lit(1e6) * sqrt(col("nmin").cast("double") / col("n")))
+            .cast("long").as("keep_below"))
+      filt.join(broadcast(thr), "source")
+        .filter(pmod(TextOps.polyHash(col("doc_id").cast("string")),
+          lit(1000000L)) < col("keep_below"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(nWord).as("n_tokens"))
+        .orderBy("source")
     }
   )
 }

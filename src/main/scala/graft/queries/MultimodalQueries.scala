@@ -200,6 +200,42 @@ object MultimodalQueries {
         .orderBy("asset_id")
     },
 
+    // REAL resize through the COMPRESSED format: decode (chunk walk + CRC
+    // + inflate + unfilter), nearest-neighbor sample the grayscale plane,
+    // stats of the resized pixels. The oracle replays the sampling indices
+    // over the tiled text bytes — the whole codec path has to be lossless
+    // for the match to hold.
+    QueryDef.withOracle("mm_resize_png",
+      """WITH a AS (
+        |  SELECT doc_id, text,
+        |         CAST(doc_id % 9 + 1 AS INT) AS w,
+        |         CAST(doc_id % 7 + 1 AS INT) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, w, h,
+        |         (w + 1) // 2 AS dw, (h + 1) // 2 AS dh,
+        |         flatten(
+        |           list_transform(range(0, (h + 1) // 2), y ->
+        |             list_transform(range(0, (w + 1) // 2), x ->
+        |               CASE WHEN length(text) = 0 THEN 0
+        |                    ELSE unicode(substr(text,
+        |                      CAST(((2 * y) * w + 2 * x)
+        |                             % length(text) + 1 AS INT), 1)) END))) AS rs
+        |  FROM a)
+        |SELECT doc_id AS asset_id, 'png' AS format,
+        |  CAST(dw AS INT) AS dst_w, CAST(dh AS INT) AS dst_h,
+        |  CAST(len(rs) AS BIGINT) AS n_bytes,
+        |  CAST(list_sum(rs) AS DOUBLE) / len(rs) AS mean_byte
+        |FROM r ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      MultimodalOps.resizeFeatures(
+        MultimodalOps.pngAssetsFromDocuments(Tables(s, dir, "documents")), stride = 2)
+        .toDF()
+        .select(col("asset_id"), col("format"),
+          col("width").as("dst_w"), col("height").as("dst_h"),
+          col("n_bytes"), col("mean_byte"))
+        .orderBy("asset_id")
+    },
+
     // REAL audio decoding: each doc becomes a genuine RIFF/WAVE 16-bit PCM
     // mono file (canonical header; every 5th asset carries a JUNK metadata
     // chunk so the corpus itself exercises the chunk walk), samples are an

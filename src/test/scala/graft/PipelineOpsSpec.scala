@@ -785,6 +785,12 @@ class PipelineOpsSpec extends SparkTestBase {
     val f = MultimodalOps.decodeFeatures(asset).collect().head
     assert(f.n_bytes == 12) // decoded PIXELS, not the compressed file size
     assert(f.mean_byte == px.map(_ & 0xff).sum.toDouble / 12)
+    // fused resize: dst(x,y) = src(2x,2y) on the DECODED plane, dims
+    // ceil-halved -> samples at (0,0),(2,0),(0,2),(2,2) of the 4x3 grid
+    val r = MultimodalOps.resizeFeatures(asset, stride = 2).collect().head
+    assert(r.width == 2 && r.height == 2 && r.n_bytes == 4)
+    val picks = Seq(px(0), px(2), px(8), px(10)).map(_ & 0xff)
+    assert(r.mean_byte == picks.sum.toDouble / 4)
   }
 
   test("audioFeatures/audioFrames route wav payloads through the real parser") {
