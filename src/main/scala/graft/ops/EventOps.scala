@@ -23,8 +23,10 @@ object EventOps {
     * joins, so no stage is ever quadratic and AQE may broadcast the
     * shrinking reach side as the funnel narrows. */
   def funnel(events: DataFrame, userCol: String, typeCol: String,
-             timeCol: String, stages: Seq[String]): DataFrame = {
+             timeCol: String, stages: Seq[String],
+             windowUs: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    require(windowUs.forall(_ > 0), "conversion window must be positive")
     val ev = events.select(col(userCol).as("u"), col(typeCol).as("et"),
       col(timeCol).as("t"))
     var reach = ev.filter(col("et") === stages.head)
@@ -32,9 +34,14 @@ object EventOps {
     var out = reach.select(lit(0).as("stage_idx"),
       lit(stages.head).as("stage"), col("u"))
     stages.zipWithIndex.drop(1).foreach { case (st, i) =>
+      // windowUs: stage i counts only within the CONVERSION WINDOW of the
+      // prior reach (the product-analytics form: a purchase a month after
+      // the click is not that click's conversion)
+      val inWindow = windowUs
+        .map(w => col("t") <= col("rt") + lit(w)).getOrElse(lit(true))
       reach = ev.filter(col("et") === st)
         .join(reach, "u")
-        .filter(col("t") >= col("rt"))
+        .filter(col("t") >= col("rt") && inWindow)
         .groupBy("u").agg(min("t").as("rt"))
       out = out.union(reach.select(lit(i).as("stage_idx"),
         lit(st).as("stage"), col("u")))

@@ -701,6 +701,60 @@ object EventQueries {
         Tables.eventsTsdb(s, dir), "series", "time_us", "value", bucketUs = DAY)
     },
 
+    // EXTENSION: conversion-window funnel — stage i counts only within 2
+    // days of the prior reach (the product-analytics form; the unbounded
+    // face is events_funnel). Same one-exchange user-keyed shape.
+    QueryDef.withOracle("events_funnel_windowed", {
+      val W = 2 * DAY
+      s"""WITH e AS (SELECT user_id AS u, event_type AS et, epoch_us(ts) AS t
+         |           FROM events),
+         |r0 AS (SELECT u, min(t) AS rt FROM e WHERE et = 'view' GROUP BY 1),
+         |r1 AS (SELECT e.u, min(e.t) AS rt FROM e JOIN r0 ON e.u = r0.u
+         |       WHERE e.et = 'click' AND e.t >= r0.rt AND e.t <= r0.rt + $W
+         |       GROUP BY 1),
+         |r2 AS (SELECT e.u, min(e.t) AS rt FROM e JOIN r1 ON e.u = r1.u
+         |       WHERE e.et = 'purchase' AND e.t >= r1.rt AND e.t <= r1.rt + $W
+         |       GROUP BY 1)
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS INT) AS stage_idx, 'view' AS stage,
+         |         count(*) AS n_users FROM r0
+         |  UNION ALL SELECT CAST(1 AS INT), 'click', count(*) FROM r1
+         |  UNION ALL SELECT CAST(2 AS INT), 'purchase', count(*) FROM r2
+         |) ORDER BY stage_idx""".stripMargin
+    }) { (s, dir) =>
+      EventOps.funnel(
+        Tables.eventsTsdb(s, dir).withColumnRenamed("series", "event_type"),
+        "user_id", "event_type", "time_us",
+        Seq("view", "click", "purchase"), windowUs = Some(2 * DAY))
+    },
+
+    // EXTENSION: KMV distinct-count sketch — the BOUNDED-STATE path beside
+    // exact distinct (at 100 TB the exact form shuffles every distinct
+    // key; the sketch shuffles at most k=64 hashes per group via a custom
+    // typed Aggregator with map-side partial merges). The k smallest
+    // distinct hashes are the same set no matter how partials merge, so
+    // unlike HLL the estimate is DETERMINISTIC and the oracle replays it.
+    QueryDef.withOracle("events_distinct_kmv", {
+      val h = OracleText.wordHashSql("CAST(user_id AS VARCHAR)")
+      s"""WITH src AS (SELECT event_type AS series, user_id FROM events),
+         |h AS (SELECT DISTINCT series,
+         |        ($h * ${graft.ops.SketchOps.MixA} + ${graft.ops.SketchOps.MixC})
+         |          % ${graft.ops.TextOps.P} AS hv FROM src),
+         |r AS (SELECT series, hv, row_number() OVER (
+         |        PARTITION BY series ORDER BY hv) AS rn FROM h),
+         |ex AS (SELECT series, count(*) AS n_exact FROM h GROUP BY 1),
+         |kth AS (SELECT series, max(hv) AS kth, count(*) AS have
+         |        FROM r WHERE rn <= 64 GROUP BY 1)
+         |SELECT k.series, ex.n_exact, k.kth AS kth_hash,
+         |  CASE WHEN k.have < 64 THEN CAST(k.have AS DOUBLE)
+         |       ELSE 63.0 * CAST(${graft.ops.TextOps.P} AS DOUBLE)
+         |              / CAST(k.kth AS DOUBLE) END AS n_kmv
+         |FROM kth k JOIN ex USING (series) ORDER BY series""".stripMargin
+    }) { (s, dir) =>
+      graft.ops.SketchOps.distinctKmv(
+        Tables.eventsTsdb(s, dir), "series", "user_id", k = 64)
+    },
+
     // EXTENSION: top user-journey prefixes — each user's first 5 event
     // types in (time, id) order as a path string, counted across users.
     // The first-k filter runs BEFORE any collect, so aggregation rows are

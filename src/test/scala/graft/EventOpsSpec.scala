@@ -73,6 +73,40 @@ class EventOpsSpec extends SparkTestBase {
       (4L, 2L)))           // u1(b2), u3(b4)
   }
 
+  test("funnel with conversion window: late conversions fall out of the stage") {
+    val ev = Seq(
+      (1L, "view", 10L), (1L, "click", 15L),   // converts inside the window
+      (2L, "view", 10L), (2L, "click", 100L),  // too late for W=20
+      // u3: first click late, SECOND click inside the window still counts
+      (3L, "view", 10L), (3L, "click", 50L), (3L, "click", 25L)
+    ).toDF("user_id", "event_type", "time_us")
+    val got = EventOps.funnel(ev, "user_id", "event_type", "time_us",
+        Seq("view", "click"), windowUs = Some(20L))
+      .as[(Int, String, Long)].collect().toSeq
+    assert(got == Seq((0, "view", 3L), (1, "click", 2L)))
+    // unbounded face unchanged: all three convert
+    assert(EventOps.funnel(ev, "user_id", "event_type", "time_us",
+        Seq("view", "click"))
+      .as[(Int, String, Long)].collect().toSeq
+      == Seq((0, "view", 3L), (1, "click", 3L)))
+  }
+
+  test("KmvAggregator: distinct semantics, k-bound, order-free merge; exact small groups") {
+    import graft.ops.SketchOps
+    import spark.implicits.newLongArrayEncoder
+    val agg = new SketchOps.KmvAggregator(4)
+    val a = Seq(50L, 10L, 30L, 10L).foldLeft(agg.zero)(agg.reduce) // dedup
+    assert(a.toSeq == Seq(10L, 30L, 50L))
+    val b = Seq(20L, 40L, 5L, 60L, 70L).foldLeft(agg.zero)(agg.reduce) // trims at k
+    assert(b.toSeq == Seq(5L, 20L, 40L, 60L))
+    assert(agg.merge(a, b).toSeq == Seq(5L, 10L, 20L, 30L))
+    assert(agg.merge(b, a).toSeq == agg.merge(a, b).toSeq) // merge order free
+    // end to end: a small group is EXACT (sketch saw every value)
+    val df = Seq(("g", 1L), ("g", 2L), ("g", 2L), ("g", 3L)).toDF("s", "uid")
+    val row = SketchOps.distinctKmv(df, "s", "uid", k = 4).collect().head
+    assert(row.getLong(1) == 3L && row.getDouble(3) == 3.0)
+  }
+
   test("topPaths: first-k prefix in (time, id) order, counts, deterministic top") {
     val ev = Seq(
       // u1 and u2 share the path view>click (u2's purchase is 4th > k=3... )
