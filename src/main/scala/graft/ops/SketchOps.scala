@@ -24,27 +24,49 @@ object SketchOps {
     * (A sorted array beats a TreeSet here: k is small, buffers serialize
     * per partial merge, and Spark needs an Encoder — Array[Long] has a
     * primitive one.) */
+  /** Insert one hash into a sorted ≤k-element KMV buffer (pure; shared by
+    * the batch Aggregator and the streaming face). */
+  def kmvInsert(buf: Array[Long], h: Long, k: Int): Array[Long] = {
+    val pos = java.util.Arrays.binarySearch(buf, h)
+    if (pos >= 0) buf // already present (DISTINCT semantics)
+    else {
+      val ins = -pos - 1
+      if (ins >= k) buf // larger than the current k smallest
+      else {
+        val out = new Array[Long](math.min(buf.length + 1, k))
+        System.arraycopy(buf, 0, out, 0, ins)
+        out(ins) = h
+        System.arraycopy(buf, ins, out, ins + 1, out.length - ins - 1)
+        out
+      }
+    }
+  }
+
+  /** The KMV estimate of a sorted ≤k buffer — EXACT below k, (k−1)/u_k at
+    * k. Same association order as the Column/oracle formulations, so all
+    * three produce identical double bits. */
+  def kmvEstimate(buf: Array[Long], k: Int): Double =
+    if (buf.length < k) buf.length.toDouble
+    else (k - 1).toDouble * TextOps.P.toDouble / buf(k - 1).toDouble
+
+  /** Scalar mirror of [[TextOps.polyHash]] (left char fold, mod P). */
+  def polyHashScalar(s: String): Long = {
+    var h = 0L; var i = 0
+    while (i < s.length) { h = (h * TextOps.B1 + s.charAt(i)) % TextOps.P; i += 1 }
+    h
+  }
+
+  /** Scalar mirror of the field mix (operands positive, no pmod needed). */
+  def mixScalar(h: Long): Long = (h * MixA + MixC) % TextOps.P
+
   final class KmvAggregator(k: Int)(implicit enc: Encoder[Array[Long]])
       extends Aggregator[Long, Array[Long], Array[Long]] {
     require(k >= 2, s"KMV needs k >= 2, got $k")
     override def zero: Array[Long] = Array.emptyLongArray
     private def trim(sorted: Array[Long]): Array[Long] =
       if (sorted.length <= k) sorted else java.util.Arrays.copyOf(sorted, k)
-    override def reduce(buf: Array[Long], h: Long): Array[Long] = {
-      val pos = java.util.Arrays.binarySearch(buf, h)
-      if (pos >= 0) buf // already present (DISTINCT semantics)
-      else {
-        val ins = -pos - 1
-        if (ins >= k) buf // larger than the current k smallest
-        else {
-          val out = new Array[Long](math.min(buf.length + 1, k))
-          System.arraycopy(buf, 0, out, 0, ins)
-          out(ins) = h
-          System.arraycopy(buf, ins, out, ins + 1, out.length - ins - 1)
-          out
-        }
-      }
-    }
+    override def reduce(buf: Array[Long], h: Long): Array[Long] =
+      kmvInsert(buf, h, k)
     override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
       // sorted-merge with dedup; result bounded at k
       val out = new Array[Long](math.min(a.length + b.length, k))

@@ -1086,6 +1086,76 @@ object EngineQueries {
       s.read.parquet(out).orderBy("series", "time_us")
     },
 
+    // STREAMING CARDINALITY (StreamingOps.streamingDistinct): per-series
+    // running distinct-user estimate via the bounded KMV sketch — the 9th
+    // streaming face, and the one whose state NEVER grows (≤k longs per
+    // series forever; exact streaming distinct grows with the universe).
+    // Two AvailableNow drains over one checkpoint: drain 2's first
+    // estimates must continue from the SKETCH CARRIED IN STATE, so a
+    // state-loss bug shows as a reset staircase. Oracle: for every point,
+    // the same estimate over its (time, user) prefix — an O(n²) prefix
+    // self-join is fine at oracle scale; the stream does it in O(n·k).
+    QueryDef.withOracle("engine_stream_distinct", {
+      val h = OracleText.wordHashSql("CAST(u AS VARCHAR)")
+      val K = 32
+      s"""WITH src AS (SELECT DISTINCT event_type AS series, epoch_us(ts) AS t,
+         |               user_id AS u FROM events),
+         |hs AS (SELECT series, t, u,
+         |         ($h * ${graft.ops.SketchOps.MixA} + ${graft.ops.SketchOps.MixC})
+         |           % ${graft.ops.TextOps.P} AS hv FROM src),
+         |pre AS (SELECT a.series, a.t, a.u, b.hv
+         |        FROM hs a JOIN hs b ON a.series = b.series
+         |         AND (b.t < a.t OR (b.t = a.t AND b.u <= a.u))),
+         |d AS (SELECT DISTINCT series, t, u, hv FROM pre),
+         |r AS (SELECT series, t, u, hv, row_number() OVER (
+         |        PARTITION BY series, t, u ORDER BY hv) AS rn FROM d),
+         |kth AS (SELECT series, t, u, max(hv) AS kth, count(*) AS have
+         |        FROM r WHERE rn <= $K GROUP BY 1, 2, 3)
+         |SELECT series, t AS time_us, u AS user_id,
+         |  CASE WHEN have < $K THEN CAST(have AS DOUBLE)
+         |       ELSE ${K - 1}.0 * CAST(${graft.ops.TextOps.P} AS DOUBLE)
+         |              / CAST(kth AS DOUBLE) END AS n_kmv
+         |FROM kth ORDER BY series, time_us, user_id""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val stage = java.nio.file.Files.createTempDirectory("graft-sdstage-").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-sdckpt-").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-sdout-").toString
+      val pts = Tables.eventsTsdb(s, dir)
+        .select(col("series"), col("time_us"), col("user_id"))
+        .distinct().persist()
+      val upSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("series",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("time_us",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType)))
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        def drain(): Unit =
+          StreamingOps.streamingDistinct(
+              s.readStream.schema(upSchema).parquet(stage)
+                .as[StreamingOps.UserPoint], k = 32)
+            .writeStream.option("checkpointLocation", ckpt)
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .format("parquet").option("path", out)
+            .start().awaitTermination()
+        pts.filter(col("time_us") <= MID).repartition(1)
+          .write.mode("append").parquet(stage)
+        drain()
+        pts.filter(col("time_us") > MID).repartition(1)
+          .write.mode("append").parquet(stage)
+        drain()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        pts.unpersist()
+      }
+      s.read.parquet(out).orderBy("series", "time_us", "user_id")
+    },
+
     // Stream-STREAM interval join (StreamingOps.streamingIntervalJoin):
     // click→purchase attribution with BOTH sides unbounded streams — the
     // 8th streaming face, and the only one whose state is a JOIN buffer

@@ -218,6 +218,41 @@ object StreamingOps {
       }
   }
 
+  final case class UserPoint(series: String, time_us: Long, user_id: Long)
+  final case class DistinctRow(series: String, time_us: Long, user_id: Long,
+                               n_kmv: Double)
+
+  /** STREAMING CARDINALITY: per-series running distinct-key estimate via
+    * the same KMV sketch as the batch `SketchOps.distinctKmv` — one row
+    * out per (deduplicated) input point carrying the estimate *after* that
+    * point. State is the ≤k-long sorted sketch per series — bounded
+    * FOREVER, unlike exact streaming distinct whose state grows with the
+    * key universe; that bound is the whole reason sketches exist on
+    * streams. Deterministic despite batching: the sketch after any prefix
+    * is a pure function of the prefix SET (k smallest distinct hashes),
+    * and within a batch points process in (time, key) order, so micro-
+    * batch boundaries cannot move any emitted value — which is what lets
+    * a batch SQL oracle replay a stream's output exactly. */
+  def streamingDistinct(points: Dataset[UserPoint], k: Int): Dataset[DistinctRow] = {
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_.series)
+      .flatMapGroupsWithState[Array[Long], DistinctRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (series: String, it: Iterator[UserPoint], state: GroupState[Array[Long]]) =>
+          var buf = state.getOption.getOrElse(Array.emptyLongArray)
+          val out = it.toSeq.sortBy(p => (p.time_us, p.user_id)).map { p =>
+            buf = graft.ops.SketchOps.kmvInsert(buf,
+              graft.ops.SketchOps.mixScalar(
+                graft.ops.SketchOps.polyHashScalar(p.user_id.toString)), k)
+            DistinctRow(series, p.time_us, p.user_id,
+              graft.ops.SketchOps.kmvEstimate(buf, k))
+          }
+          state.update(buf)
+          out.iterator
+      }
+  }
+
   /** Stream-STREAM interval join: every left point pairs with the right
     * points landing in `[l.time_us, l.time_us + windowUs]` — the
     * click→purchase attribution shape, with BOTH sides unbounded streams

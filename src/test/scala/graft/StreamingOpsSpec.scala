@@ -184,6 +184,37 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamingDistinct: running KMV estimate, sketch carried across batches") {
+    import graft.ops.SketchOps
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamingOps.UserPoint]
+    val q = StreamingOps.streamingDistinct(in.toDS(), k = 3)
+      .writeStream.format("memory").queryName("sdist")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(StreamingOps.UserPoint("s", 1L, 10L),
+        StreamingOps.UserPoint("s", 2L, 20L))
+      q.processAllAvailable()
+      in.addData(StreamingOps.UserPoint("s", 3L, 10L),   // replica: no growth
+        StreamingOps.UserPoint("s", 4L, 30L),            // 3rd distinct -> k hit
+        StreamingOps.UserPoint("s", 5L, 40L))            // estimator branch
+      q.processAllAvailable()
+      val rows = spark.table("sdist").as[StreamingOps.DistinctRow]
+        .collect().sortBy(_.time_us).map(_.n_kmv).toSeq
+      // exact below k (sketch saw everything), including across the batch
+      // boundary (t=3 sees the carried sketch, not a reset)
+      assert(rows.take(3) == Seq(1.0, 2.0, 2.0))
+      // at k=3 the estimate switches to (k-1)*P/kth over the running sketch
+      def est(us: Seq[Long]) = {
+        val hs = us.map(u => SketchOps.mixScalar(SketchOps.polyHashScalar(u.toString)))
+          .distinct.sorted.take(3)
+        SketchOps.kmvEstimate(hs.toArray, 3)
+      }
+      assert(rows(3) == est(Seq(10L, 20L, 30L)))
+      assert(rows(4) == est(Seq(10L, 20L, 30L, 40L)))
+    } finally q.stop()
+  }
+
   test("streamingIntervalJoin: in-batch matches plus clicks carried in join state") {
     implicit val sqlCtx = spark.sqlContext
     val lin = MemoryStream[(String, Long, Double)]
