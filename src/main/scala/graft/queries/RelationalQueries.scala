@@ -100,6 +100,54 @@ object RelationalQueries {
         .filter(col("rank") <= 2)
         .select("o_custkey", "rank", "o_orderkey", "o_totalprice")
         .orderBy("o_custkey", "rank")
+    },
+
+    // BUCKETED co-located join: both sides written ONCE per JVM as
+    // bucket-by-key sorted tables (8 buckets on the order key), then the
+    // fact-fact join runs with ZERO exchange — bucketed scans feed the
+    // SortMergeJoin directly. At 100 TB this is THE technique for repeated
+    // fact-fact joins: the shuffle is paid once at write time (layout),
+    // not per query. The oracle is the plain join (bucketing is physical
+    // only); the no-Exchange plan property is pinned by a spec
+    // (RelationalPlanSpec), not just claimed.
+    QueryDef.withOracle("q_bucketed_join",
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val (ot, lt) = BucketedStage.tables(s, dir)
+      s.table(ot)
+        .join(s.table(lt), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sumExact2(col("l_extendedprice")).as("revenue"))
+        .orderBy("o_orderpriority")
     }
   )
+
+  /** Bucketed copies of orders/lineitem, written once per JVM per sf dir
+    * (external tables under a temp dir): 8 buckets + in-bucket sort on the
+    * join key — the layout investment that repeated fact-fact joins
+    * amortize against. */
+  object BucketedStage {
+    private val staged = scala.collection.mutable.Map[String, (String, String)]()
+    def tables(s: org.apache.spark.sql.SparkSession, dir: String): (String, String) =
+      synchronized {
+        staged.getOrElseUpdate(dir, {
+          val tag = math.abs(dir.hashCode).toString
+          val root = java.nio.file.Files.createTempDirectory("graft-bkt-").toString
+          val ot = s"graft_bkt_orders_$tag"
+          val lt = s"graft_bkt_lineitem_$tag"
+          s.sql(s"DROP TABLE IF EXISTS $ot")
+          s.sql(s"DROP TABLE IF EXISTS $lt")
+          Tables(s, dir, "orders")
+            .write.format("parquet").option("path", s"$root/orders")
+            .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+          Tables(s, dir, "lineitem")
+            .write.format("parquet").option("path", s"$root/lineitem")
+            .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+          (ot, lt)
+        })
+      }
+  }
 }

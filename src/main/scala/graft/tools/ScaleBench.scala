@@ -34,7 +34,14 @@ object ScaleBench {
     // stream-stream interval join is EXCLUDED like the pair-threshold
     // queries: its output is clicks × window-density, which grows ~factor²
     // on replicated data and would gate on the data, not the operator.
-    "tsdb_anomaly", "events_active_users", "events_rollup_cube")
+    "tsdb_anomaly", "events_active_users", "events_rollup_cube",
+    // later-round-10 additions: the composed corpus build (its LSH pair
+    // stage rides the skew-immune contraction, so replicated docs must NOT
+    // go quadratic — exactly what this gate checks), bounded-state
+    // cardinality sketch, bounded-prefix path mining, shared-pass
+    // multi-query retrieval, LTTB downsample.
+    "pipeline_curate", "events_distinct_kmv", "events_top_paths",
+    "text_bm25_multi", "tsdb_downsample_lttb")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+
+/** Executable plan gate for the bucketed co-located join: the whole point
+  * of `q_bucketed_join` is that the join itself runs with ZERO exchange —
+  * the shuffle was paid once at table-write time. A regression that
+  * silently reintroduces an exchange (bucket count mismatch, a lost sort
+  * spec, bucketing disabled) still returns correct ROWS, so only a plan
+  * assertion can catch it. */
+class RelationalPlanSpec extends SparkTestBase {
+
+  test("bucketed fact-fact join plans with no exchange under the SortMergeJoin") {
+    val dir = "/root/testdata/sf0.001"
+    val (ot, lt) = graft.queries.RelationalQueries.BucketedStage.tables(spark, dir)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // at test scale the planner would BROADCAST the small side (and then
+    // rightly ignore bucketing); at the 100 TB fact-fact scale this query
+    // models, neither side broadcasts — force that regime
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val join = spark.table(ot)
+        .join(spark.table(lt), col("o_orderkey") === col("l_orderkey"))
+        .select("o_orderpriority", "l_extendedprice")
+      val plan = join.queryExecution.executedPlan
+      val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+      val smjs = plan.collect { case j: SortMergeJoinExec => j }
+      assert(smjs.size == 1, s"expected one SortMergeJoin:\n$plan")
+      assert(exchanges.isEmpty, s"bucketed join must not shuffle:\n$plan")
+      // and the result is the ordinary join's result
+      val got = join.count()
+      val expect = graft.tables.Tables(spark, dir, "orders")
+        .join(graft.tables.Tables(spark, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey")).count()
+      assert(got == expect)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+}
