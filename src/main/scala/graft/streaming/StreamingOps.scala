@@ -304,4 +304,64 @@ object StreamingOps {
           col("r_et") <= col("l_et") + expr(s"INTERVAL $windowUs MICROSECOND"))
       .select("l_time_us", "l_v", "r_time_us", "r_v")
   }
+
+  final case class UserEvent(user_id: Long, event_type: String, time_us: Long)
+  final case class StageReach(user_id: Long, stage_idx: Int, stage: String,
+                              reach_us: Long)
+
+  /** STREAMING ordered funnel — the incremental face of the batch
+    * `EventOps.funnel`: stage i is reached at the EARLIEST stage-i event
+    * at-or-after (and, with `windowUs`, within the conversion window of)
+    * the user's earliest reach of stage i−1.
+    *
+    * State is one Long per stage per user (the reach time, MinValue =
+    * unreached) — O(stages), FOREVER, regardless of how many events the
+    * user fires; the batch recomputation instead rescans the full history
+    * every run. Each (user, stage) emits EXACTLY ONCE, at the batch where
+    * the stage is first reached, so Append-mode output is a set of reach
+    * facts a downstream aggregation turns into stage counts.
+    *
+    * Determinism across micro-batch boundaries: processed in
+    * (time_us, stage_idx) order within a batch — the stage_idx tie-break
+    * makes an equal-timestamp view+click pair count the click, exactly the
+    * batch semantics (`t >= rt` is inclusive) — and reach times are
+    * final once set (earliest-qualifying under time-ordered processing
+    * never revises), so a batch boundary cannot move any emission.
+    * Assumes event-time-ordered arrival batch-over-batch, the same
+    * stance as `streamingDifference` (the validated ingest path enforces
+    * exactly that ordering on storage). */
+  def streamingFunnel(events: Dataset[UserEvent], stages: Seq[String],
+                      windowUs: Option[Long] = None): Dataset[StageReach] = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(windowUs.forall(_ > 0), "conversion window must be positive")
+    val idx: Map[String, Int] = stages.zipWithIndex.toMap
+    import events.sparkSession.implicits._
+    events
+      // prune non-stage events BEFORE the state shuffle — at 100 TB the
+      // funnel stages are a sliver of the event stream
+      .filter(col("event_type").isin(stages: _*))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Array[Long], StageReach](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[Array[Long]]) =>
+          val reach = state.getOption
+            .getOrElse(Array.fill(stages.length)(Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[StageReach]
+          it.toSeq.sortBy(e => (e.time_us, idx(e.event_type))).foreach { e =>
+            val i = idx(e.event_type)
+            if (reach(i) == Long.MinValue) {
+              val prevOk = i == 0 || (reach(i - 1) != Long.MinValue &&
+                e.time_us >= reach(i - 1) &&
+                windowUs.forall(w => e.time_us <= reach(i - 1) + w))
+              if (prevOk) {
+                reach(i) = e.time_us
+                out += StageReach(uid, i, stages(i), e.time_us)
+              }
+            }
+          }
+          state.update(reach)
+          out.iterator
+      }
+  }
 }

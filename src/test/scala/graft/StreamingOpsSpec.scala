@@ -240,4 +240,64 @@ class StreamingOpsSpec extends SparkTestBase {
       assert(rows == Seq((100L, 1.0, 150L, 10.0), (300L, 2.0, 320L, 20.0)))
     } finally q.stop()
   }
+
+  test("streamingFunnel: cross-batch stage conversion, equal-time tie, one fact per stage") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamingOps.UserEvent]
+    val q = StreamingOps.streamingFunnel(
+        in.toDS().toDF().as[StreamingOps.UserEvent],
+        Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("sfunnel")
+      .outputMode(OutputMode.Append()).start()
+    import StreamingOps.UserEvent
+    try {
+      // batch 1: u1 views@10 and clicks@10 (equal time — the click COUNTS,
+      // t >= rt is inclusive and the stage_idx tie-break orders the view
+      // first); u2's click@5 precedes any view → dropped; u3 views@20
+      in.addData(
+        UserEvent(1L, "view", 10L), UserEvent(1L, "click", 10L),
+        UserEvent(2L, "click", 5L), UserEvent(2L, "view", 8L),
+        UserEvent(3L, "view", 20L), UserEvent(3L, "error", 1L))
+      q.processAllAvailable()
+      // batch 2: u1 purchases (stage-2 reach rides state from batch 1);
+      // u2 clicks@30 — now qualified by the view@8 carried in state;
+      // u3 re-views@25 (already reached — must NOT re-emit)
+      in.addData(
+        UserEvent(1L, "purchase", 40L), UserEvent(2L, "click", 30L),
+        UserEvent(3L, "view", 25L))
+      q.processAllAvailable()
+      val rows = spark.table("sfunnel")
+        .select("user_id", "stage_idx", "reach_us").as[(Long, Int, Long)]
+        .collect().sortBy(x => (x._1, x._2)).toSeq
+      assert(rows == Seq(
+        (1L, 0, 10L), (1L, 1, 10L), (1L, 2, 40L),
+        (2L, 0, 8L), (2L, 1, 30L),
+        (3L, 0, 20L)))
+    } finally q.stop()
+  }
+
+  test("streamingFunnel conversion window: late-stage event outside the window is rejected") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamingOps.UserEvent]
+    val q = StreamingOps.streamingFunnel(
+        in.toDS().toDF().as[StreamingOps.UserEvent],
+        Seq("view", "click"), windowUs = Some(10L))
+      .writeStream.format("memory").queryName("sfunnelw")
+      .outputMode(OutputMode.Append()).start()
+    import StreamingOps.UserEvent
+    try {
+      // u1's click@150 is outside [100, 110] — never converts, not even by
+      // a later in-window event (there is none). u2 clicks@108: converts.
+      in.addData(
+        UserEvent(1L, "view", 100L), UserEvent(1L, "click", 150L),
+        UserEvent(2L, "view", 100L))
+      q.processAllAvailable()
+      in.addData(UserEvent(2L, "click", 108L)) // in-window, cross-batch state
+      q.processAllAvailable()
+      val rows = spark.table("sfunnelw")
+        .select("user_id", "stage_idx", "reach_us").as[(Long, Int, Long)]
+        .collect().sortBy(x => (x._1, x._2)).toSeq
+      assert(rows == Seq((1L, 0, 100L), (2L, 0, 100L), (2L, 1, 108L)))
+    } finally q.stop()
+  }
 }
