@@ -893,6 +893,112 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
   def listActiveSeries(db: String, m: String, t0: Long, t1: Long): DataFrame =
     TimeSeriesOps.activeSeries(visible(db, m), SeriesCol, TimeCol, t0, t1)
 
+  // -------------------------------------------------- value min-max index
+
+  private def vindexDir(db: String, m: String, field: String) =
+    new Path(measPath(db, m), s"_vindex/$field")
+
+  /** Build (or rebuild) the per-(series, bucket) MIN/MAX sidecar for one
+    * field — the engine's DATA-SKIPPING index for value predicates. The
+    * reference's `index` file binary-searches TIME only
+    * (src/libtsdb/select_op.cc:50-59); parquet footers do prune row groups
+    * on values, but the planner still has to LIST and OPEN every bucket's
+    * files to find that out — at 100 TB (millions of bucket dirs) the
+    * listing/footer I/O is the cost, not the decode. This sidecar is one
+    * aggregation job over the measurement producing bucket-count-scale
+    * rows, so a selective value band later turns into a bucket IN-list and
+    * prunes at the DIRECTORY level, before any file is opened.
+    *
+    * Staleness contract (what keeps every read correct under ANY index
+    * age): each row carries the series' `time_last` AT BUILD TIME. Appends
+    * are strictly monotone past `time_last` — the only other write shape
+    * is the bitwise-identical tail replay, which changes no value — so
+    * only buckets at/above `floorDiv(tl_at_build, bucketWidth)` can gain
+    * data after the build. A value-pruned read therefore ALWAYS scans
+    * those buckets regardless of their indexed min/max and only prunes
+    * among strictly-older, immutable ones. Delete-from-front leaves index
+    * rows for dropped buckets (they prune to empty dirs at scan time);
+    * `compact` rewrites layout, never values. Same single-writer contract
+    * as every other maintenance op (doc/LOCKING.txt).
+    *
+    * @return number of (series, bucket) entries indexed */
+  def buildValueIndex(db: String, m: String, field: String): Long = {
+    val schema = getSchema(db, m)
+    if (!schema.fields.exists(_.name == field))
+      throw new InvalidSchemaException(s"unknown field: $field")
+    import spark.implicits._
+    val wms = wmStore(db, m).load()
+    val out = vindexDir(db, m, field)
+    if (wms.isEmpty) { // nothing to index; an empty dir would confuse reads
+      if (fs(out).exists(out)) fs(out).delete(out, true)
+      return 0L
+    }
+    val wdf = wms.toSeq.map { case (s, r) => (s, r.timeLast) }
+      .toDF(SeriesCol, "tl_at_build")
+    val idx = readMeasurement(db, m, schema)
+      .groupBy(col(SeriesCol), col(BucketCol))
+      .agg(min(col(field)).as("vmin"), max(col(field)).as("vmax"))
+      .join(broadcast(wdf), SeriesCol)
+    // bucket-count-scale output: one small file keeps the read-side driver
+    // lookup a single-footer operation
+    idx.coalesce(1).write.mode("overwrite").parquet(out.toString)
+    spark.read.parquet(out.toString).count()
+  }
+
+  /** Bucket IN-list cap for value-pruned reads: past this the IN-expression
+    * itself is the overhead and a bucket-range scan with the pushed value
+    * filter is the better plan. */
+  private val MaxPrunedBuckets = 4096
+
+  /** SELECT `(time_ns, field)` of one series in `[t0, t1]` with
+    * `field ∈ [vLo, vHi]` — value-pruned to the buckets the min-max index
+    * admits (see [[buildValueIndex]]). Without an index (or when the
+    * IN-list would exceed [[MaxPrunedBuckets]]) this is the plain
+    * bucket-range scan with the value filter pushed to parquet: identical
+    * rows, no directory-level skipping. NULL field values never match the
+    * band (SQL BETWEEN semantics), so an all-NULL bucket prunes too. */
+  def selectValueRange(db: String, m: String, series: String, field: String,
+                       vLo: Double, vHi: Double, t0: Long, t1: Long): DataFrame = {
+    val schema = getSchema(db, m)
+    if (!schema.fields.exists(_.name == field))
+      throw new InvalidSchemaException(s"unknown field: $field")
+    val band = col(field).between(vLo, vHi)
+    def proj(df: DataFrame): DataFrame = df.filter(band).select(TimeCol, field)
+    val wm = seriesRange(db, m, series)
+      .getOrElse(throw new NoSuchSeriesException(db, m, series))
+    val (c0, c1) = (math.max(t0, wm.timeFirst), math.min(t1, wm.timeLast))
+    if (c0 > c1) return proj(readMeasurement(db, m, schema).limit(0))
+    val base = seriesData(db, m, series, schema, c0, c1)
+    val ip = vindexDir(db, m, field)
+    if (!fs(ip).exists(ip)) return proj(base)
+    val (b0, b1) = (Math.floorDiv(c0, bucketWidth), Math.floorDiv(c1, bucketWidth))
+    // driver-side lookup is index-row-scale for ONE series' bucket range —
+    // the same order as the planner's own partition listing
+    val rows = spark.read.parquet(ip.toString)
+      .filter(col(SeriesCol) === series && col(BucketCol).between(b0, b1))
+      .select(col(BucketCol), col("vmin").cast("double"),
+        col("vmax").cast("double"), col("tl_at_build"))
+      .collect()
+    if (rows.isEmpty) return proj(base) // series newer than the index build
+    val staleLo = Math.floorDiv(rows.head.getLong(3), bucketWidth)
+    // an ancient index admits every post-build bucket unconditionally; once
+    // that span alone overflows the IN-list cap, pruning cannot win — fall
+    // back before materializing the range (rebuild the index to restore it)
+    if (b1 - math.max(b0, staleLo) >= MaxPrunedBuckets) return proj(base)
+    // indexed, immutable buckets whose [vmin, vmax] intersects the band —
+    // the double casts above round ≤1 ulp, so widen by one ulp each way
+    // rather than ever excluding a boundary bucket
+    val matched = rows.iterator.filter { r =>
+      r.getLong(0) < staleLo && !r.isNullAt(1) &&
+        Math.nextUp(r.getDouble(2)) >= vLo && Math.nextDown(r.getDouble(1)) <= vHi
+    }.map(_.getLong(0)).toSeq
+    // every bucket the build could not have fully seen is always scanned
+    val fresh = math.max(b0, staleLo) to b1
+    val keep = (matched ++ fresh).distinct.sorted
+    if (keep.size > MaxPrunedBuckets || keep.size.toLong == b1 - b0 + 1) proj(base)
+    else proj(base.filter(col(BucketCol).isin(keep: _*)))
+  }
+
   /** §2.3 client-side transforms (reference grafana datasource.go:257-268)
     * over the visible range of one series, server-side here: tare,
     * difference, derivative, and the reset-aware rate extension. All

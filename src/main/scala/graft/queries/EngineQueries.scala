@@ -480,6 +480,31 @@ object EngineQueries {
         .orderBy("time_us")
     },
 
+    // EXTENSION: value-predicate DATA SKIPPING through the engine layout —
+    // buildValueIndex writes the per-(series, bucket) min-max sidecar, then
+    // selectValueRange turns the value band into a bucket IN-list and
+    // prunes at the DIRECTORY level before any file opens (the reference's
+    // `index` file binary-searches time only, select_op.cc:50-59; parquet
+    // footers prune row groups but still cost a listing + footer read per
+    // file — at 100 TB the listing IS the query). Stale-index safety (every
+    // bucket at/above the build watermark is always scanned) is spec-gated
+    // with an executable files-opened count in TsdbEngineSpec; this query
+    // gates the RESULT through the oracle. Values here are uncorrelated
+    // with time, so at test scale most buckets match — the honest caveat:
+    // directory-level skipping pays off exactly when value locality exists
+    // (monotone counters, regime shifts, per-tenant bands).
+    QueryDef.withOracle("engine_value_prune",
+      s"""SELECT time_us, v FROM $PTS
+         |WHERE series = 'view' AND v BETWEEN 180.0 AND 200.0
+         |  AND time_us BETWEEN $T0 AND $T1
+         |ORDER BY time_us""".stripMargin) { (s, dir) =>
+      val t = Fixture.tsdb(s, dir)
+      t.buildValueIndex("bench", "events", "v")
+      t.selectValueRange("bench", "events", "view", "v", 180.0, 200.0, T0, T1)
+        .select(col("time_ns").as("time_us"), col("v"))
+        .orderBy("time_us")
+    },
+
     // LTTB visual downsample THROUGH the engine layout (facade `.lttb`):
     // one representative point per day, chosen against neighbor-bucket
     // centroids computed from the engine-visible points only.

@@ -497,6 +497,89 @@ class TsdbEngineSpec extends SparkTestBase {
     assert(pf.matches("(?s).*PartitionFilters: \\[[^\\]]*bucket[^\\]]*\\].*"), plan)
   }
 
+  // ------------------------------------------------------- value index
+
+  private def vpts(rows: (Long, Option[Double])*): DataFrame =
+    rows.toSeq.map { case (t, v) => (t, Option.empty[Long], v, Option.empty[Float]) }
+      .toDF("time_ns", "a", "v", "g")
+
+  /** Files the final (adaptive) plan's scans select after partition
+    * pruning — the executable data-skipping gate. */
+  private def filesRead(df: DataFrame): Long = {
+    df.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scan(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scan(a.executedPlan)
+      case q: QueryStageExec        => scan(q.plan)
+      case f: FileSourceScanExec    => Seq(f)
+      case other => other.children.flatMap(scan)
+    }
+    val scans = scan(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, df.queryExecution.executedPlan.toString)
+    scans.map(_.selectedPartitions.totalNumberOfFiles).sum
+  }
+
+  test("value index prunes immutable buckets at the directory level") {
+    val t = mkTsdb()
+    t.createDatabase("db1"); t.createMeasurement("db1", "m1", schema)
+    // bucket 0 low, bucket 1 the only in-band values, bucket 2 low again,
+    // bucket 3 all-NULL (must prune: NULL never matches a BETWEEN band)
+    t.writePoints("db1", "m1", "s1", vpts(
+      (10L, Some(1.0)), (20L, Some(2.0)),
+      (110L, Some(100.0)), (120L, Some(101.0)),
+      (210L, Some(3.0)), (220L, Some(4.0)),
+      (310L, None), (320L, None)))
+    // advance time_last into bucket 4: buckets 0-3 sit strictly below the
+    // build watermark's bucket, i.e. immutable and prunable
+    t.writePoints("db1", "m1", "s1", vpts((410L, Some(5.0))))
+    assert(t.buildValueIndex("db1", "m1", "v") == 5L)
+    val df = t.selectValueRange("db1", "m1", "s1", "v", 50.0, 150.0, 0L, 399L)
+    assert(df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted ==
+      Seq((110L, 100.0), (120L, 101.0)))
+    // the executable prune gate: exactly ONE bucket dir's file was opened
+    assert(filesRead(df) == 1L)
+    // unpruned baseline touches all four in-range bucket dirs
+    val full = t.select("db1", "m1", "s1", Seq("v"), 0L, 399L)
+      .filter(col("v").between(50.0, 150.0))
+    assert(filesRead(full) == 4L)
+  }
+
+  test("value-pruned reads stay correct when the index is stale") {
+    val t = mkTsdb()
+    t.createDatabase("db1"); t.createMeasurement("db1", "m1", schema)
+    t.writePoints("db1", "m1", "s1", vpts(
+      (10L, Some(1.0)), (110L, Some(100.0)), (210L, Some(3.0))))
+    assert(t.buildValueIndex("db1", "m1", "v") == 3L) // tl_at_build = 210
+    // post-build appends: in-band point in a bucket the index never saw
+    t.writePoints("db1", "m1", "s1", vpts((305L, Some(100.5)), (350L, Some(2.0))))
+    val df = t.selectValueRange("db1", "m1", "s1", "v", 50.0, 150.0, 0L, 399L)
+    // the stale index still admits every bucket at/above its build
+    // watermark's bucket, so the new point is found...
+    assert(df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted ==
+      Seq((110L, 100.0), (305L, 100.5)))
+    // ...while the strictly-older out-of-band bucket 0 is still skipped
+    // (buckets 1, 2, 3 scanned; bucket 2's file is the watermark-bucket
+    // conservative scan, bucket 0 pruned)
+    assert(filesRead(df) == 3L)
+    // a series created AFTER the build falls back to the plain scan
+    t.writePoints("db1", "m1", "s2", vpts((10L, Some(70.0))))
+    val s2 = t.selectValueRange("db1", "m1", "s2", "v", 50.0, 150.0, 0L, 399L)
+    assert(s2.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted ==
+      Seq((10L, 70.0)))
+  }
+
+  test("selectValueRange without an index is the plain filtered scan; bad field rejects") {
+    val t = mkTsdb()
+    freshSeries(t, baseRows: _*)
+    val df = t.selectValueRange("db1", "m1", "s1", "v", 3.0, 7.0, 0L, 1000L)
+    assert(df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted ==
+      Seq((199L, 3.25), (290L, 5.5), (305L, 6.5)))
+    intercept[InvalidSchemaException](
+      t.selectValueRange("db1", "m1", "s1", "nope", 0.0, 1.0, 0L, 1000L))
+    intercept[InvalidSchemaException](t.buildValueIndex("db1", "m1", "nope"))
+  }
+
   test("legacy per-series watermark files migrate into the table on open") {
     val t = mkTsdb()
     freshSeries(t, baseRows: _*)
