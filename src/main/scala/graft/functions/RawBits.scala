@@ -62,6 +62,9 @@ object GraftFunctions {
     "graft_simhash" -> (args =>
       GraftSimHash(args(0), args(1).eval().asInstanceOf[Number].intValue)),
     "graft_word_hashes" -> (args => GraftWordHashes(args.head)),
+    "graft_bloom_contains" -> (args => GraftBloomContains(args(0), args(1),
+      args(2).eval().asInstanceOf[Number].intValue,
+      args(3).eval().asInstanceOf[Number].intValue)),
     "graft_text_counts" -> (args => GraftTextCounts(args.head)),
     "graft_shingles" -> (args =>
       GraftShingles(args(0), args(1).eval().asInstanceOf[Number].intValue)),

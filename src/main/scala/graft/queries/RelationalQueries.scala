@@ -80,6 +80,29 @@ object RelationalQueries {
         .orderBy("c_custkey")
     },
 
+    // BLOOM-pruned semi-join (ops/BloomOps.bloomSemiJoin): the dim keys
+    // (high-balance customers) collapse into a broadcast BITSET and fact
+    // rows that fail the probe drop in the scan, BEFORE the exchange the
+    // exact confirming semi-join shuffles — at 100 TB the pattern that
+    // makes "keep only rows whose id is in this billion-key list" one
+    // cheap pass instead of a full-fact shuffle. The probe is a native
+    // codegen'd expression; false negatives are impossible (build and
+    // probe share one deterministic hash family), so the oracle is the
+    // PLAIN semi-join with no Bloom arithmetic. BloomOpsSpec pins the
+    // measured prune ratio and the scan-side placement.
+    QueryDef.withOracle("q_bloom_semijoin",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      graft.ops.BloomOps.bloomSemiJoin(
+          Tables(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+          "o_custkey",
+          Tables(s, dir, "customer").filter(col("c_acctbal") > 9000.0),
+          "c_custkey",
+          numBits = 1 << 16, numHashes = 5)
+        .orderBy("o_orderkey")
+    },
+
     // Analytic window: each customer's top-2 orders by price. The window
     // partitions by customer — parallelism scales with customers, and
     // AQE-coalesced exchanges keep small partitions merged. (Window
