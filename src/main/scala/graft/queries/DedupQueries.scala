@@ -111,6 +111,34 @@ object DedupQueries {
         "doc_id", 0.8, bands = 32, rows = 4)
     },
 
+    // INCREMENTAL dedup — the production shape: an incoming batch
+    // (doc_id >= 250) is matched against the EXISTING corpus (doc_id < 250)
+    // through the corpus's band index only; the corpus never re-pairs with
+    // itself, so per-batch cost scales with the increment. Oracle =
+    // brute-force CROSS-side Jaccard at the same threshold (candidate
+    // recall must be total, exactly like dedup_minhash_lsh).
+    QueryDef.withOracle("dedup_incremental", {
+      val split = 250
+      s"""WITH $ShingleCtes,
+         |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM shs),
+         |sz AS (SELECT doc_id, len(shingles) AS sz FROM shs),
+         |cm AS (SELECT a.doc_id AS ni, b.doc_id AS oi, count(*) AS cnt
+         |       FROM ex a JOIN ex b ON a.sh = b.sh
+         |       WHERE a.doc_id >= $split AND b.doc_id < $split
+         |       GROUP BY 1, 2)
+         |SELECT ni AS new_id, oi AS old_id,
+         |       CAST(cnt AS DOUBLE) / (sa.sz + sb.sz - cnt) AS jaccard
+         |FROM cm JOIN sz sa ON sa.doc_id = cm.ni JOIN sz sb ON sb.doc_id = cm.oi
+         |WHERE CAST(cnt AS DOUBLE) / (sa.sz + sb.sz - cnt) >= 0.8
+         |ORDER BY 1, 2""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      DedupOps.incrementalJaccardMatches(
+          docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+          "doc_id", "text", 3, 0.8)
+        .orderBy("new_id", "old_id")
+    },
+
     // Near-dup CLUSTERS — the end of the dedup pipeline: pairwise A~B, B~C
     // must collapse to ONE keep-decision even though A~C was never emitted.
     // Spark side: iterative min-label propagation over the LSH pair graph

@@ -51,6 +51,34 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(exact == lsh)             // LSH must not miss at these similarities
   }
 
+  test("incrementalJaccardMatches: cross-side matches only, identical sets always hit") {
+    // corpus = docs 0-3; increment: 10 = exact dup of 0, 11 = near dup of 1,
+    // 12 = novel, 13 = exact dup of 12's text (WITHIN-increment dup: must
+    // NOT appear — within-batch dedup is the in-batch face's job)
+    val corpus = docs
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "the quick brown fox jumps over the lazy cat"), // = doc 1's text
+      (12L, "a wholly novel document with fresh words only"),
+      (13L, "a wholly novel document with fresh words only")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.incrementalJaccardMatches(
+        corpus, incoming, "doc_id", "text", 3, 0.5)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    assert(got.contains((10L, 0L)) && got.contains((10L, 3L))) // exact dups
+    assert(got.exists(_._1 == 11L))                            // near dup found
+    assert(!got.exists(p => p._1 == 12L || p._1 == 13L))       // novel text clean
+    assert(got.forall { case (n, o) => n >= 10L && o < 10L })  // strictly cross-side
+    // agreement with the brute-force cross restriction of the exact pairs
+    val all = DedupOps.jaccardPairsExact(
+        DedupOps.shingleSets(corpus.union(incoming), "doc_id", "text", 3),
+        "doc_id", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .filter { case (a, b) => a < 10L && b >= 10L }
+      .map { case (a, b) => (b, a) }.toSet
+    assert(got == all)
+  }
+
   test("connectedComponents: transitive chains collapse, multi-round convergence") {
     import graft.ops.DedupOps
     // path 1-2-3-4-5 (diameter 4 -> several propagation rounds), pair 10-11,
