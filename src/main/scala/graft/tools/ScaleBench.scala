@@ -41,7 +41,15 @@ object ScaleBench {
     // cardinality sketch, bounded-prefix path mining, shared-pass
     // multi-query retrieval, LTTB downsample.
     "pipeline_curate", "events_distinct_kmv", "events_top_paths",
-    "text_bm25_multi", "tsdb_downsample_lttb")
+    "text_bm25_multi", "tsdb_downsample_lttb",
+    // this-round additions: incremental dedup (work ∝ increment + touched
+    // postings — replicated docs must stay linear through the rep
+    // contraction), streaming funnel (state ∝ users, output ∝ reach
+    // facts), value-index pruned read (index build ∝ buckets, read ∝
+    // admitted buckets). q_bloom_semijoin reads orders/customer, which
+    // GenScale does not replicate — excluded, its scale gate is the spec's
+    // measured fp ratio.
+    "dedup_incremental", "engine_stream_funnel", "engine_value_prune")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
