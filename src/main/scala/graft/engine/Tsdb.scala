@@ -846,6 +846,32 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
       TimeCol, fs, t0, t1, windowWidth, sumFor.getOrElse(byType))
   }
 
+  /** Windowed sum/min/max/count for EVERY series of a measurement in ONE
+    * scan + one (series, window)-keyed aggregation — the multi-series
+    * dashboard panel shape. The reference serves this as N per-series
+    * `sum_op` round trips (the Grafana datasource fans out one query per
+    * series, datasource.go); at 100 TB one job with map-side partial
+    * aggregation beats S sequential scans of the same measurement.
+    * Windows align to absolute multiples of `windowWidth` (same rule as
+    * `sum_op`, src/libtsdb/sum_op.cc:9-10); NON-EMPTY windows only — the
+    * empty-window spine is a per-series range concept the single-series
+    * faces emit; materializing S×W spine cells here would dwarf the data.
+    * Float sums use the order-independent decimal-2 accumulation. */
+  def sumWindowsAll(db: String, m: String, field: String,
+                    t0: Long, t1: Long, windowWidth: Long): DataFrame = {
+    val schema = getSchema(db, m)
+    if (!schema.fields.exists(_.name == field))
+      throw new InvalidSchemaException(s"unknown field: $field")
+    require(windowWidth > 0, "window width must be positive")
+    visible(db, m)
+      .filter(col(TimeCol).between(t0, t1))
+      .groupBy(col(SeriesCol),
+        (col(TimeCol) - pmod(col(TimeCol), lit(windowWidth))).as("window_start"))
+      .agg(TimeSeriesOps.sumExact2(col(field)).as("sum_value"),
+        min(col(field)).as("min_value"), max(col(field)).as("max_value"),
+        count(col(field)).as("n"))
+  }
+
   /** Windowed MEAN — derived sum/count like the reference clients
     * (src/tsdbcli2/main.cc:203-238); non-empty windows only. */
   def meanWindows(db: String, m: String, series: String, field: String,

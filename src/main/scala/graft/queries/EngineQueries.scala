@@ -409,6 +409,24 @@ object EngineQueries {
       t.sumWindowsMulti("bench", "events", "purchase", Nil, T0, T1, DAY)
     },
 
+    // EXTENSION: measurement-wide windowed aggregation — EVERY series in
+    // ONE scan + one (series, window)-keyed partial-agg shuffle (the
+    // multi-series dashboard panel; the reference datasource fans out one
+    // per-series sum_op round trip per panel line instead). Non-empty
+    // windows only (the S×W spine is the single-series faces' concept).
+    QueryDef.withOracle("engine_window_all_series",
+      s"""SELECT series,
+         |  time_us - (time_us % $DAY) AS window_start,
+         |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         |  MIN(v) AS min_value, MAX(v) AS max_value, COUNT(v) AS n
+         |FROM $PTS WHERE time_us BETWEEN $T0 AND $T1
+         |GROUP BY 1, 2
+         |ORDER BY series, window_start""".stripMargin) { (s, dir) =>
+      Fixture.tsdb(s, dir)
+        .sumWindowsAll("bench", "events", "v", T0, T1, DAY)
+        .orderBy("series", "window_start")
+    },
+
     // Value-space op THROUGH the engine: exact quantiles of the visible
     // range by distributed counting sort (see TimeSeriesOps.quantiles),
     // read from the bucket-pruned engine layout.
