@@ -17,6 +17,11 @@ final case class MediaFeatures(
     asset_id: Long, format: String, n_bytes: Long,
     mean_byte: Double, byte_hist: Array[Long])
 
+/** One ViT-style image patch: flattened row-major RGB values of a
+  * `p`×`p` tile at patch-grid position (py, px). */
+final case class ImagePatch(
+    asset_id: Long, py: Int, px: Int, patch: Array[Long], mean_byte: Double)
+
 /** Output row of the fused resize+decode pass: resized dimensions plus the
   * feature stats of the RESIZED payload. */
 final case class ResizedFeatures(
@@ -331,6 +336,51 @@ object MultimodalOps {
         case a if a.format == "png" => PngCodec.decodeFeatures(a)
         case a                      => FakeDecoder.decode(a)
       })
+  }
+
+  /** ViT-style PATCH extraction over decodable images: the w×h pixel grid
+    * splits into non-overlapping `patch`×`patch` tiles over the floor grid
+    * (the standard crop-to-multiple; right/bottom remainders drop), each
+    * tile emitted as ONE ROW carrying its flattened row-major RGB values —
+    * the unit a patch-embedding layer consumes. Decode and tiling fuse in
+    * one typed pass; fan-out is bounded at (w/p)·(h/p) rows per asset, and
+    * the full image never leaves the task — only patch-sized vectors do.
+    * (Real pipelines hand these rows to the tokenizer/projection as-is;
+    * at 100 TB the point is that patching is a map-side reshape, not a
+    * shuffle.) BMP assets only — the one fully-decodable format here. */
+  def imagePatches(assets: DataFrame, patch: Int): Dataset[ImagePatch] = {
+    require(patch > 0, "patch size must be positive")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .repartitionByRange(spark.sparkContext.defaultParallelism,
+        col("format"), col("asset_id"))
+      .as[MediaAsset]
+      .flatMap { a =>
+        val (w, h, rgb) = BmpCodec.decode(a.payload)
+        for {
+          py <- 0 until h / patch
+          px <- 0 until w / patch
+        } yield {
+          val vals = new Array[Long](patch * patch * 3)
+          var sum = 0L
+          var k = 0
+          var dy = 0
+          while (dy < patch) {
+            var dx = 0
+            while (dx < patch) {
+              var c = 0
+              while (c < 3) {
+                val v = rgb((((py * patch + dy) * w) + (px * patch + dx)) * 3 + c) & 0xff
+                vals(k) = v.toLong; sum += v; k += 1; c += 1
+              }
+              dx += 1
+            }
+            dy += 1
+          }
+          ImagePatch(a.asset_id, py, px, vals, sum.toDouble / vals.length)
+        }
+      }
   }
 
   /** Resize + feature-extract fused in ONE typed per-partition pass (the

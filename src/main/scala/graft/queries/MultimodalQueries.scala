@@ -129,6 +129,43 @@ object MultimodalQueries {
         .orderBy("asset_id")
     },
 
+    // ViT-style PATCH extraction (MultimodalOps.imagePatches): the decoded
+    // w×h grid splits into non-overlapping 2×2 tiles (floor grid, standard
+    // crop-to-multiple), one row per tile with its flattened row-major RGB
+    // values — the map-side reshape a patch-embedding layer consumes; the
+    // full image never leaves the task. The oracle replays every patch
+    // byte from the text tiling arithmetic alone (k → (dy, dx, c) →
+    // source byte index), so a decode, tiling, or ordering bug anywhere
+    // breaks the match.
+    QueryDef.withOracle("mm_patches",
+      """WITH a AS (
+        |  SELECT doc_id, text,
+        |         CAST(doc_id % 8 + 1 AS INT) AS w,
+        |         CAST(doc_id % 6 + 1 AS INT) AS h
+        |  FROM documents),
+        |p1 AS (SELECT doc_id, text, w, h, unnest(range(0, h // 2)) AS py FROM a),
+        |p2 AS (SELECT doc_id, text, w, h, py, unnest(range(0, w // 2)) AS px FROM p1),
+        |v AS (
+        |  SELECT doc_id, py, px,
+        |    list_transform(range(0, 12), k ->
+        |      CASE WHEN length(text) = 0 THEN 0
+        |           ELSE unicode(substr(text,
+        |                  CAST((((py * 2 + k // 6) * w + (px * 2 + (k % 6) // 3)) * 3
+        |                        + k % 3) % length(text) + 1 AS INT), 1)) END) AS vals
+        |  FROM p2)
+        |SELECT doc_id AS asset_id, CAST(py AS INT) AS py, CAST(px AS INT) AS px,
+        |  array_to_string(vals, ',') AS patch_csv,
+        |  CAST(list_sum(vals) AS DOUBLE) / 12 AS mean_byte
+        |FROM v ORDER BY asset_id, py, px""".stripMargin) { (s, dir) =>
+      MultimodalOps.imagePatches(
+          MultimodalOps.bmpAssetsFromDocuments(Tables(s, dir, "documents")),
+          patch = 2)
+        .toDF()
+        .select(col("asset_id"), col("py"), col("px"),
+          concat_ws(",", col("patch")).as("patch_csv"), col("mean_byte"))
+        .orderBy("asset_id", "py", "px")
+    },
+
     // REAL compressed-format decoding: each doc becomes a genuine
     // grayscale-8 PNG — CRC'd chunk walk, two IDAT chunks, DEFLATE'd
     // scanlines, and a per-row filter type cycling through all five spec

@@ -601,6 +601,32 @@ class PipelineOpsSpec extends SparkTestBase {
       BmpCodec.decode(("XX" + " " * 60).getBytes("ISO-8859-1")))
   }
 
+  test("imagePatches: row-major tiles over the floor grid, remainders dropped") {
+    import graft.ops.MultimodalOps
+    // 5x3 image, patch 2: grid is 2x1 patches; the 5th column and 3rd row
+    // drop (crop-to-multiple). Pixel (y,x,c) carries value y*16 + x*3 + c
+    // so every patch byte pins its source coordinate.
+    val w = 5; val h = 3
+    val rgb = Array.tabulate[Byte](w * h * 3) { i =>
+      val y = i / (w * 3); val rem = i % (w * 3)
+      (y * 16 + rem).toByte
+    }
+    val assets = Seq((7L, "bmp", BmpCodec.encode(w, h, rgb), w, h, 3, 0))
+      .toDF("asset_id", "format", "payload", "width", "height", "channels", "sample_rate")
+    val got = MultimodalOps.imagePatches(assets, patch = 2).collect()
+      .map(p => ((p.py, p.px), p.patch.toSeq)).toMap
+    assert(got.keySet == Set((0, 0), (0, 1)))
+    def px(y: Int, x: Int): Seq[Long] =
+      (0 until 3).map(c => (y * 16 + x * 3 + c).toLong)
+    // row-major within the tile: (0,0),(0,1) then (1,0),(1,1)
+    assert(got((0, 0)) == px(0, 0) ++ px(0, 1) ++ px(1, 0) ++ px(1, 1))
+    assert(got((0, 1)) == px(0, 2) ++ px(0, 3) ++ px(1, 2) ++ px(1, 3))
+    // a 1-pixel image yields no patches at p=2 — bounded, never padded
+    val tiny = Seq((8L, "bmp", BmpCodec.encode(1, 1, Array[Byte](1, 2, 3)), 1, 1, 3, 0))
+      .toDF("asset_id", "format", "payload", "width", "height", "channels", "sample_rate")
+    assert(MultimodalOps.imagePatches(tiny, patch = 2).count() == 0L)
+  }
+
   test("decodeFeatures routes bmp payloads to the REAL parser") {
     val rgb = Array.tabulate[Byte](2 * 2 * 3)(i => (i * 16).toByte)
     val asset = Seq((5L, "bmp", BmpCodec.encode(2, 2, rgb), 2, 2, 3, 0))
