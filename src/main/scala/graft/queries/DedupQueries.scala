@@ -139,6 +139,36 @@ object DedupQueries {
         .orderBy("new_id", "old_id")
     },
 
+    // APPLY the incremental decision: the kept increment = incoming docs
+    // with NO verified corpus match (id-only anti-join — the corpus-growth
+    // step `corpus' = corpus ∪ kept`). Within-batch dups survive here by
+    // contract; composing the in-batch apply face after this drop is the
+    // full pipeline.
+    QueryDef.withOracle("dedup_incremental_apply", {
+      val split = 250
+      s"""WITH $ShingleCtes,
+         |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM shs),
+         |sz AS (SELECT doc_id, len(shingles) AS sz FROM shs),
+         |cm AS (SELECT a.doc_id AS ni, b.doc_id AS oi, count(*) AS cnt
+         |       FROM ex a JOIN ex b ON a.sh = b.sh
+         |       WHERE a.doc_id >= $split AND b.doc_id < $split
+         |       GROUP BY 1, 2),
+         |m AS (SELECT DISTINCT ni FROM cm
+         |      JOIN sz sa ON sa.doc_id = cm.ni JOIN sz sb ON sb.doc_id = cm.oi
+         |      WHERE CAST(cnt AS DOUBLE) / (sa.sz + sb.sz - cnt) >= 0.8)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id >= $split AND doc_id NOT IN (SELECT ni FROM m)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val incoming = docs.filter(col("doc_id") >= 250)
+      val matched = DedupOps.incrementalJaccardMatches(
+          docs.filter(col("doc_id") < 250), incoming, "doc_id", "text", 3, 0.8)
+        .select(col("new_id")).distinct()
+      incoming.join(matched, incoming("doc_id") === matched("new_id"), "left_anti")
+        .select("doc_id").orderBy("doc_id")
+    },
+
     // Near-dup CLUSTERS — the end of the dedup pipeline: pairwise A~B, B~C
     // must collapse to ONE keep-decision even though A~C was never emitted.
     // Spark side: iterative min-label propagation over the LSH pair graph

@@ -49,7 +49,10 @@ object ScaleBench {
     // admitted buckets). q_bloom_semijoin reads orders/customer, which
     // GenScale does not replicate — excluded, its scale gate is the spec's
     // measured fp ratio.
-    "dedup_incremental", "engine_stream_funnel", "engine_value_prune")
+    "dedup_incremental", "engine_stream_funnel", "engine_value_prune",
+    // one-scan multi-series windows (output ∝ series × windows, both grow
+    // at most linearly in data) and ViT patch rows (output ∝ documents)
+    "engine_window_all_series", "mm_patches")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
