@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, Encoder}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 import graft.functions.GraftBloomContains
 
 /** Bloom-filter SEMI-JOIN PRUNING — the "filter the fact table before the
@@ -56,14 +57,26 @@ object BloomOps {
     override def outputEncoder: Encoder[Array[Long]] = enc
   }
 
+  /** The 64-bit probe key of a column: integral types pass through (their
+    * value IS the key — no hash collision can cross distinct keys);
+    * anything else folds through the codegen'd `xxhash64`. Build and probe
+    * MUST derive keys identically, so both call this. */
+  private def probeKey(df: DataFrame, key: String): Column =
+    df.schema(key).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => col(key).cast("long")
+      case _ => xxhash64(col(key))
+    }
+
   /** One-row DataFrame holding the packed Bloom bits of `dim`'s DISTINCT
-    * `dimKey` values (cast to BIGINT — integral keys; hash strings to a
-    * 64-bit key first if needed). */
+    * `dimKey` values. Integral keys enter as their value; other types
+    * (strings, timestamps, …) fold through `xxhash64` first — a 64-bit
+    * hash collision between a fact key and a dim key shows up as one more
+    * false positive for the exact join to discard, never a wrong row. */
   def bloomBits(dim: DataFrame, dimKey: String, numBits: Int,
                 numHashes: Int): DataFrame = {
     val spark = dim.sparkSession
     import spark.implicits._
-    dim.select(col(dimKey).cast("long").as("k")).na.drop.distinct()
+    dim.select(probeKey(dim, dimKey).as("k")).na.drop.distinct()
       .as[Long]
       .select(new BloomAggregator(numBits, numHashes).toColumn)
       .toDF("bits")
@@ -84,7 +97,7 @@ object BloomOps {
                   numBits: Int, numHashes: Int): DataFrame = {
     graft.functions.GraftFunctions.register(fact.sparkSession)
     fact.filter(call_function("graft_bloom_contains",
-      bits.limit(1).scalar(), col(factKey).cast("long"),
+      bits.limit(1).scalar(), probeKey(fact, factKey),
       lit(numBits), lit(numHashes)))
   }
 

@@ -50,6 +50,16 @@ class BloomOpsSpec extends SparkTestBase {
       s"probe at $probeAt, semi-join at $joinAt\n$plan")
   }
 
+  test("string keys fold through xxhash64 identically on both sides") {
+    val fact = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta"),
+      (5L, "alpha"), (6L, "epsilon")).toDF("id", "key")
+    val dim = Seq("alpha", "gamma", "zeta").toDF("dkey")
+    val got = BloomOps.bloomSemiJoin(fact, "key", dim, "dkey",
+        numBits = 1 << 10, numHashes = 5)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 3L, 5L))
+  }
+
   test("hash family: build and probe agree on every probed position") {
     // published splitmix64 test vector: first output of seed 0 (the
     // SplittableRandom/xoshiro reference implementations agree on this)
