@@ -1316,6 +1316,68 @@ object EngineQueries {
       s.read.parquet(out).orderBy("user_id", "stage_idx")
     },
 
+    // The CONVERSION-WINDOW streaming funnel: stage i counts only within
+    // 2 days of the prior reach (streaming face of events_funnel_windowed;
+    // same state/emission contract as engine_stream_funnel — the window
+    // check is one extra comparison against carried state).
+    QueryDef.withOracle("engine_stream_funnel_windowed", {
+      val W = 2 * DAY
+      s"""WITH e AS (SELECT user_id AS u, event_type AS et, epoch_us(ts) AS t
+         |           FROM events),
+         |r0 AS (SELECT u, min(t) AS rt FROM e WHERE et = 'view' GROUP BY 1),
+         |r1 AS (SELECT e.u, min(e.t) AS rt FROM e JOIN r0 ON e.u = r0.u
+         |       WHERE e.et = 'click' AND e.t >= r0.rt AND e.t <= r0.rt + $W
+         |       GROUP BY 1),
+         |r2 AS (SELECT e.u, min(e.t) AS rt FROM e JOIN r1 ON e.u = r1.u
+         |       WHERE e.et = 'purchase' AND e.t >= r1.rt AND e.t <= r1.rt + $W
+         |       GROUP BY 1)
+         |SELECT * FROM (
+         |  SELECT u AS user_id, CAST(0 AS INT) AS stage_idx, 'view' AS stage,
+         |         rt AS reach_us FROM r0
+         |  UNION ALL SELECT u, CAST(1 AS INT), 'click', rt FROM r1
+         |  UNION ALL SELECT u, CAST(2 AS INT), 'purchase', rt FROM r2
+         |) ORDER BY user_id, stage_idx""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val stage = java.nio.file.Files.createTempDirectory("graft-fwstage-").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-fwckpt-").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-fwout-").toString
+      val ev = Tables.eventsTsdb(s, dir)
+        .select(col("user_id"), col("series").as("event_type"), col("time_us"))
+        .persist()
+      val evSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("time_us",
+          org.apache.spark.sql.types.LongType)))
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        def drain(): Unit =
+          StreamingOps.streamingFunnel(
+              s.readStream.schema(evSchema).parquet(stage)
+                .as[StreamingOps.UserEvent],
+              Seq("view", "click", "purchase"), windowUs = Some(2 * DAY))
+            .writeStream.option("checkpointLocation", ckpt)
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .format("parquet").option("path", out)
+            .start().awaitTermination()
+        ev.filter(col("time_us") <= MID).repartition(1)
+          .write.mode("append").parquet(stage)
+        drain()
+        ev.filter(col("time_us") > MID).repartition(1)
+          .write.mode("append").parquet(stage)
+        drain()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        ev.unpersist()
+      }
+      s.read.parquet(out).orderBy("user_id", "stage_idx")
+    },
+
     // TUMBLING windows through the STREAMING face (StreamingOps.windowedSums)
     // — the watermarked incremental form of the reference's sum_op: two
     // AvailableNow drains, same checkpoint, split at MID so drain 2 must

@@ -60,6 +60,26 @@ class BloomOpsSpec extends SparkTestBase {
     assert(got == Seq(1L, 3L, 5L))
   }
 
+  test("property: bloomSemiJoin equals the plain semi-join for random key sets") {
+    val rng = new scala.util.Random(23)
+    for (trial <- 1 to 4) {
+      // adversarial shapes rotate: negative keys, Long extremes, overlaps
+      val universe = Seq(Long.MinValue, Long.MaxValue, -1L, 0L) ++
+        (1 to 300).map(_ => rng.nextLong() % 1000L)
+      val factKeys = rng.shuffle(universe).take(150 + rng.nextInt(100))
+      val dimKeys = rng.shuffle(universe).take(30 + rng.nextInt(60))
+      val fact = factKeys.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+        .toDF("id", "key")
+      val dim = dimKeys.toDF("dkey")
+      val got = BloomOps.bloomSemiJoin(fact, "key", dim, "dkey",
+          numBits = 1 << 11, numHashes = 5)
+        .select("id").as[Long].collect().sorted.toSeq
+      val want = fact.join(dim, col("key") === col("dkey"), "left_semi")
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(got == want, s"trial $trial")
+    }
+  }
+
   test("hash family: build and probe agree on every probed position") {
     // published splitmix64 test vector: first output of seed 0 (the
     // SplittableRandom/xoshiro reference implementations agree on this)
