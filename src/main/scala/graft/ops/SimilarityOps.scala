@@ -82,6 +82,55 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** INT8-QUANTIZED exact-scan top-k — the production memory-compression
+    * path: normalize every vector to unit length, derive ONE global
+    * symmetric scale (max |component| over all normalized corpus vectors),
+    * quantize each component to `clamp(floor(x/absmax·127 + 0.5))` ∈
+    * [−127, 127], and rank by the INTEGER dot product of quantized vectors.
+    * One global scalar scale keeps the per-dimension map uniform, so the
+    * integer score is cosine scaled by (127/absmax)² up to quantization
+    * error — ranking-preserving in expectation, with recall MEASURED by
+    * the spec rather than asserted. 4 bytes → 1 byte per component: at
+    * 100 TB of embeddings the difference between a RAM-resident scan and a
+    * spilling one (the scan shape is `topKExact`'s — corpus unshuffled,
+    * queries broadcast). Deterministic end-to-end: IEEE divide + explicit
+    * floor(x+0.5) rounding and an integer fold replay bit-for-bit in SQL,
+    * so even this approximate operator hash-matches its oracle.
+    * Output: (query_id, rank, neighbor_id, qdot). */
+  def topKQuantized(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    def unit(v: Column): Column = {
+      val n = norm(v)
+      transform(v, x => x / n)
+    }
+    val c0 = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("neighbor_id"), unit(asDouble(col(vecCol))).as("cnv"))
+    // the global scale: one scalar aggregation broadcast as a 1-row dim
+    // (a scalar SUBQUERY would be cleaner, but Catalyst rejects subquery
+    // expressions inside higher-order-function lambdas — the quantize map
+    // below references the scale per component)
+    val amDf = c0.agg(max(array_max(transform(col("cnv"), x => abs(x)))).as("am"))
+    def quant(v: Column): Column =
+      transform(v, x => greatest(lit(-127),
+        least(lit(127), floor(x / col("am") * 127 + 0.5).cast("int"))))
+    val c = c0.crossJoin(broadcast(amDf))
+      .select(col("neighbor_id"), quant(col("cnv")).as("cq"))
+    val q = queries
+      .select(col(idCol).as("query_id"), unit(asDouble(col(vecCol))).as("qnv"))
+      .crossJoin(broadcast(amDf))
+      .select(col("query_id"), quant(col("qnv")).as("qq"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(zip_with(col("qq"), col("cq"), (a, b) => a.cast("long") * b),
+          lit(0L), (s, x) => s + x).as("qdot"))
+    val w = Window.partitionBy("query_id").orderBy(col("qdot").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "qdot")
+      .orderBy("query_id", "rank")
+  }
+
   /** LSH-bucketed approximate top-k: candidates = corpus rows sharing at
     * least one of the query's L bucket ids; exact cosine + rank within the
     * candidate set. With `probeRadius = 1` each query additionally probes

@@ -169,6 +169,38 @@ object SimilarityQueries {
         "vec_id", "embedding", K)
     },
 
+    // INT8-QUANTIZED top-5 (SimilarityOps.topKQuantized): unit-normalize,
+    // one global symmetric scale, clamp(floor(x/absmax*127 + 0.5)) per
+    // component, integer-dot ranking — the 4×-compression scan that keeps
+    // 100 TB of embeddings RAM-resident. Every step (IEEE divide, explicit
+    // rounding, integer fold) replays in SQL, so this APPROXIMATE operator
+    // hash-matches its oracle like LSH/IVF before it.
+    QueryDef.withOracle("ann_quantized",
+      s"""WITH $NORMED,
+         |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS uv FROM n),
+         |am AS (SELECT max(list_max(list_transform(uv, x -> abs(x)))) AS am FROM u),
+         |qz AS (SELECT vec_id, list_transform(uv, x ->
+         |         greatest(-127, least(127,
+         |           CAST(floor(x / am.am * 127 + 0.5) AS INT)))) AS q
+         |       FROM u, am),
+         |qq AS (SELECT * FROM qz WHERE vec_id < $NQ),
+         |scored AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |             list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |               list_transform(range(1, len(qq.q) + 1),
+         |                 i -> CAST(qq.q[i] AS BIGINT) * c.q[i])),
+         |               (s, x) -> s + x) AS qdot
+         |           FROM qz c, qq WHERE qq.vec_id <> c.vec_id),
+         |r AS (SELECT query_id, neighbor_id, qdot,
+         |        CAST(row_number() OVER (PARTITION BY query_id
+         |          ORDER BY qdot DESC, neighbor_id) AS BIGINT) AS "rank"
+         |      FROM scored)
+         |SELECT query_id, "rank", neighbor_id, qdot FROM r WHERE "rank" <= $K
+         |ORDER BY query_id, "rank"""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      SimilarityOps.topKQuantized(emb, emb.filter(col("vec_id") < NQ),
+        "vec_id", "embedding", K)
+    },
+
     // Multi-probe LSH top-5 (4 tables x 4 sign-bits, probe radius 2): the
     // corpus is probed per-bucket instead of scanned. The planes are
     // deterministic literals, so the oracle replays bucketing + probing +

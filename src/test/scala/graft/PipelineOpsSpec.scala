@@ -356,9 +356,12 @@ class PipelineOpsSpec extends SparkTestBase {
       tables = 4, bits = 4, dim = 64, probeRadius = 2))
     val ivf = recall(SimilarityOps.topKIvf(emb, q, "vec_id", "embedding", 5,
       nLists = 16, nProbe = 12))
+    val qnt = recall(SimilarityOps.topKQuantized(emb, q, "vec_id", "embedding", 5))
     exact.unpersist()
+    info(s"recall@5: lsh=$lsh ivf=$ivf int8=$qnt")
     assert(lsh >= 0.95, s"LSH recall@5 regressed: $lsh")
     assert(ivf >= 0.9, s"IVF recall@5 regressed: $ivf")
+    assert(qnt >= 0.9, s"int8-quantized recall@5 regressed: $qnt")
   }
 
   test("embeddingPairsLsh equals the all-pairs brute force on the real table") {
