@@ -240,26 +240,67 @@ object DedupOps {
   def incrementalJaccardMatches(corpus: DataFrame, incoming: DataFrame,
                                 idCol: String, textCol: String, n: Int,
                                 threshold: Double, bands: Int = 32,
-                                rows: Int = 4): DataFrame = {
-    graft.functions.GraftFunctions.register(corpus.sparkSession)
-    def prep(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("_set")
-      val withRep = shingleSets(docs, idCol, textCol, n)
-        .select(col(idCol).as("id"), sort_array(col("shingles")).as("_set"))
-        .select(col("id"), col("_set"), min("id").over(w).as("rid"))
-        .localCheckpoint(false)
-      val members = withRep.select(col("rid"), col("id"))
-      val reps = withRep.filter(col("id") === col("rid"))
-        .select(col("_set"), col("rid"))
-      val bnd = reps.select(col("rid"),
-          explode(TextOps.lshBands(
-            TextOps.minHashSignature(col("_set"), bands * rows),
-            bands, rows)).as("bb"))
-        .select(col("rid"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      (reps, members, bnd)
-    }
-    val (repsC, memC, bndC) = prep(corpus)
-    val (repsI, memI, bndI) = prep(incoming)
+                                rows: Int = 4): DataFrame =
+    incrementalMatchesFromIndex(
+      prepBandIndex(corpus, idCol, textCol, n, bands, rows),
+      incoming, idCol, textCol, n, threshold, bands, rows)
+
+  /** Contract-to-reps + band the shingle sets of one document side:
+    * (reps(_set, rid), members(rid, id), bands(rid, band, bucket)). */
+  private def prepBandIndex(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int, bands: Int,
+                            rows: Int): (DataFrame, DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("_set")
+    val withRep = shingleSets(docs, idCol, textCol, n)
+      .select(col(idCol).as("id"), sort_array(col("shingles")).as("_set"))
+      .select(col("id"), col("_set"), min("id").over(w).as("rid"))
+      .localCheckpoint(false)
+    val members = withRep.select(col("rid"), col("id"))
+    val reps = withRep.filter(col("id") === col("rid"))
+      .select(col("_set"), col("rid"))
+    val bnd = reps.select(col("rid"),
+        explode(TextOps.lshBands(
+          TextOps.minHashSignature(col("_set"), bands * rows),
+          bands, rows)).as("bb"))
+      .select(col("rid"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    (reps, members, bnd)
+  }
+
+  /** PERSIST the corpus-side band index — built once per corpus epoch,
+    * reused by every subsequent increment (the deployment shape the
+    * incremental operator's cost model assumes; rebuilding the corpus side
+    * per batch would re-pay O(corpus) shingling every day). Layout:
+    * `<dir>/reps`, `<dir>/members`, `<dir>/bands` parquet. */
+  def writeCorpusBandIndex(corpus: DataFrame, idCol: String, textCol: String,
+                           n: Int, dir: String, bands: Int = 32,
+                           rows: Int = 4): Unit = {
+    val (reps, members, bnd) = prepBandIndex(corpus, idCol, textCol, n, bands, rows)
+    reps.write.mode("overwrite").parquet(s"$dir/reps")
+    members.write.mode("overwrite").parquet(s"$dir/members")
+    bnd.write.mode("overwrite").parquet(s"$dir/bands")
+  }
+
+  /** The per-batch half of incremental dedup against a PERSISTED index
+    * (see [[writeCorpusBandIndex]]): only the increment is shingled;
+    * the corpus contributes three parquet reads. */
+  def incrementalJaccardMatchesIndexed(indexDir: String, incoming: DataFrame,
+                                       idCol: String, textCol: String, n: Int,
+                                       threshold: Double, bands: Int = 32,
+                                       rows: Int = 4): DataFrame = {
+    val s = incoming.sparkSession
+    incrementalMatchesFromIndex(
+      (s.read.parquet(s"$indexDir/reps"), s.read.parquet(s"$indexDir/members"),
+        s.read.parquet(s"$indexDir/bands")),
+      incoming, idCol, textCol, n, threshold, bands, rows)
+  }
+
+  private def incrementalMatchesFromIndex(
+      corpusIndex: (DataFrame, DataFrame, DataFrame), incoming: DataFrame,
+      idCol: String, textCol: String, n: Int, threshold: Double,
+      bands: Int, rows: Int): DataFrame = {
+    val (repsC, memC, bndC) = corpusIndex
+    val (repsI, memI, bndI) = prepBandIndex(incoming, idCol, textCol, n, bands, rows)
     val cand = bndI.as("i").join(bndC.as("c"),
         col("i.band") === col("c.band") && col("i.bucket") === col("c.bucket"))
       .select(col("i.rid").as("rid_new"), col("c.rid").as("rid_old"))

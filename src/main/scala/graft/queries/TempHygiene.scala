@@ -27,6 +27,7 @@ object TempHygiene {
     "graft-sdstage-", "graft-sdckpt-", "graft-sdout-",
     "graft-fnstage-", "graft-fnckpt-", "graft-fnout-",
     "graft-fwstage-", "graft-fwckpt-", "graft-fwout-",
+    "graft-incidx-", // corpus band index, re-staged per JVM; oracle never reads it
     "graft-bkt-", // bucketed-join staging tables (re-created per JVM)
     // NOT "graft-ivf-"/"graft-cluster-": the ANN quantizer dirs must outlive
     // the writing JVM until the driver's DuckDB oracle replay reads them

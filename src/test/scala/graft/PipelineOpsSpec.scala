@@ -79,6 +79,23 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got == all)
   }
 
+  test("incremental dedup via a persisted band index matches the in-flight build") {
+    val corpus = docs
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "a wholly novel document with fresh words only")
+    ).toDF("doc_id", "text")
+    val idx = tmpDir("tsdb-test-") // reuse the swept test prefix
+    DedupOps.writeCorpusBandIndex(corpus, "doc_id", "text", 3, idx)
+    val direct = DedupOps.incrementalJaccardMatches(
+        corpus, incoming, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    val indexed = DedupOps.incrementalJaccardMatchesIndexed(
+        idx, incoming, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(direct == indexed && direct.nonEmpty)
+  }
+
   test("connectedComponents: transitive chains collapse, multi-round convergence") {
     import graft.ops.DedupOps
     // path 1-2-3-4-5 (diameter 4 -> several propagation rounds), pair 10-11,
