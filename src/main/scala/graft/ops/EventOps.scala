@@ -24,7 +24,17 @@ object EventOps {
     * shrinking reach side as the funnel narrows. */
   def funnel(events: DataFrame, userCol: String, typeCol: String,
              timeCol: String, stages: Seq[String],
-             windowUs: Option[Long] = None): DataFrame = {
+             windowUs: Option[Long] = None): DataFrame =
+    funnelReach(events, userCol, typeCol, timeCol, stages, windowUs)
+      .groupBy("stage_idx", "stage").agg(count(lit(1)).as("n_users"))
+      .orderBy("stage_idx")
+
+  /** The funnel's per-user fact table: one row per (user, reached stage)
+    * with the EARLIEST reach time — what the stage counts aggregate, and
+    * what latency analysis ("median time to convert") consumes directly. */
+  def funnelReach(events: DataFrame, userCol: String, typeCol: String,
+                  timeCol: String, stages: Seq[String],
+                  windowUs: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     require(windowUs.forall(_ > 0), "conversion window must be positive")
     val ev = events.select(col(userCol).as("u"), col(typeCol).as("et"),
@@ -32,7 +42,7 @@ object EventOps {
     var reach = ev.filter(col("et") === stages.head)
       .groupBy("u").agg(min("t").as("rt"))
     var out = reach.select(lit(0).as("stage_idx"),
-      lit(stages.head).as("stage"), col("u"))
+      lit(stages.head).as("stage"), col("u"), col("rt"))
     stages.zipWithIndex.drop(1).foreach { case (st, i) =>
       // windowUs: stage i counts only within the CONVERSION WINDOW of the
       // prior reach (the product-analytics form: a purchase a month after
@@ -44,10 +54,9 @@ object EventOps {
         .filter(col("t") >= col("rt") && inWindow)
         .groupBy("u").agg(min("t").as("rt"))
       out = out.union(reach.select(lit(i).as("stage_idx"),
-        lit(st).as("stage"), col("u")))
+        lit(st).as("stage"), col("u"), col("rt")))
     }
-    out.groupBy("stage_idx", "stage").agg(count(lit(1)).as("n_users"))
-      .orderBy("stage_idx")
+    out
   }
 
   /** Sliding-window distinct-user counts (the DAU/WAU engagement surface):

@@ -549,6 +549,49 @@ object EventQueries {
         Seq("view", "click", "purchase"))
     },
 
+    // EXTENSION: TIME-TO-CONVERT quantiles — for every user completing the
+    // full funnel, latency = final-stage reach − first-stage reach; exact
+    // {0, .25, .5, .9, 1} quantiles via the counting-sort machinery (the
+    // "median time to convert" product metric). Composes the funnel's
+    // per-user reach facts (EventOps.funnelReach) with
+    // TimeSeriesOps.quantiles — fact table rows = users, quantile rows =
+    // value-space aggregates, both bounded far below the event count.
+    QueryDef.withOracle("events_funnel_latency",
+      """WITH e AS (SELECT user_id AS u, event_type AS et, epoch_us(ts) AS t
+        |           FROM events),
+        |r0 AS (SELECT u, min(t) AS rt FROM e WHERE et = 'view' GROUP BY 1),
+        |r1 AS (SELECT e.u, min(e.t) AS rt FROM e JOIN r0 ON e.u = r0.u
+        |       WHERE e.et = 'click' AND e.t >= r0.rt GROUP BY 1),
+        |r2 AS (SELECT e.u, min(e.t) AS rt FROM e JOIN r1 ON e.u = r1.u
+        |       WHERE e.et = 'purchase' AND e.t >= r1.rt GROUP BY 1),
+        |lat AS (SELECT 'all' AS series, CAST(r2.rt - r0.rt AS DOUBLE) AS v
+        |        FROM r2 JOIN r0 ON r2.u = r0.u),
+        |cnt AS (SELECT series, v, count(*) AS c FROM lat GROUP BY 1, 2),
+        |cum AS (SELECT series, v, c,
+        |          sum(c) OVER (PARTITION BY series ORDER BY v
+        |                       ROWS UNBOUNDED PRECEDING) AS cum
+        |        FROM cnt),
+        |tot AS (SELECT series, sum(c) AS n FROM cnt GROUP BY 1),
+        |qs AS (SELECT unnest([0.0, 0.25, 0.5, 0.9, 1.0]) AS q)
+        |SELECT c.series, qs.q, c.v AS quantile_value
+        |FROM cum c JOIN tot USING (series) CROSS JOIN qs
+        |WHERE c.cum >= CAST(floor((tot.n - 1) * qs.q) AS BIGINT) + 1
+        |  AND c.cum - c.c < CAST(floor((tot.n - 1) * qs.q) AS BIGINT) + 1
+        |ORDER BY series, q""".stripMargin) { (s, dir) =>
+      val reach = EventOps.funnelReach(
+        Tables.eventsTsdb(s, dir).withColumnRenamed("series", "event_type"),
+        "user_id", "event_type", "time_us",
+        Seq("view", "click", "purchase"))
+      val first = reach.filter(col("stage_idx") === 0)
+        .select(col("u"), col("rt").as("rt0"))
+      val last = reach.filter(col("stage_idx") === 2)
+        .select(col("u"), col("rt").as("rt2"))
+      val lat = last.join(first, "u")
+        .select(lit("all").as("series"),
+          (col("rt2") - col("rt0")).cast("double").as("v"))
+      TimeSeriesOps.quantiles(lat, "series", "v", Seq(0.0, 0.25, 0.5, 0.9, 1.0))
+    },
+
     // EXTENSION: weekly cohort retention — cohort = the week bucket of a
     // user's first event; each row counts how many of that cohort's users
     // were active `offset` weeks later (EventOps.cohortRetention; the
