@@ -57,15 +57,38 @@ object BloomOps {
     override def outputEncoder: Encoder[Array[Long]] = enc
   }
 
+  private def isIntegral(df: DataFrame, key: String): Boolean =
+    df.schema(key).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+
   /** The 64-bit probe key of a column: integral types pass through (their
     * value IS the key — no hash collision can cross distinct keys);
     * anything else folds through the codegen'd `xxhash64`. Build and probe
-    * MUST derive keys identically, so both call this. */
+    * MUST derive keys identically — callers joining an integral key against
+    * a non-integral one would otherwise build and probe DIFFERENT key
+    * families and silently drop matching fact rows (a false negative the
+    * operator's contract forbids), so [[bloomSemiJoin]] asserts both sides
+    * sit on the same side of this boundary. */
   private def probeKey(df: DataFrame, key: String): Column =
-    df.schema(key).dataType match {
-      case LongType | IntegerType | ShortType | ByteType => col(key).cast("long")
-      case _ => xxhash64(col(key))
-    }
+    if (isIntegral(df, key)) col(key).cast("long") else xxhash64(col(key))
+
+  /** Fail loudly when fact/dim key types would derive keys from different
+    * hash families (e.g. LONG fact key vs STRING dim key — a join Spark's
+    * exact semi-join would still match via implicit casts, but the Bloom
+    * prune would falsely drop every row). */
+  private def requireCompatibleKeys(fact: DataFrame, factKey: String,
+                                    dim: DataFrame, dimKey: String): Unit = {
+    val (fi, di) = (isIntegral(fact, factKey), isIntegral(dim, dimKey))
+    require(fi == di,
+      s"bloomSemiJoin key types are probe-incompatible: $factKey is " +
+        s"${fact.schema(factKey).dataType.simpleString} but $dimKey is " +
+        s"${dim.schema(dimKey).dataType.simpleString} — integral and " +
+        "non-integral keys derive different 64-bit probe keys (value vs " +
+        "xxhash64) and matching rows would be silently dropped; cast both " +
+        "sides to one type first")
+  }
 
   /** One-row DataFrame holding the packed Bloom bits of `dim`'s DISTINCT
     * `dimKey` values. Integral keys enter as their value; other types
@@ -76,7 +99,11 @@ object BloomOps {
                 numHashes: Int): DataFrame = {
     val spark = dim.sparkSession
     import spark.implicits._
-    dim.select(probeKey(dim, dimKey).as("k")).na.drop.distinct()
+    // nulls drop on the RAW key: xxhash64(NULL) is the seed, not NULL, so
+    // dropping after key derivation would let NULL dim keys insert a
+    // phantom key (harmless to results — the exact join confirms — but a
+    // needless false-positive source on dims with many NULL keys)
+    dim.na.drop(Seq(dimKey)).select(probeKey(dim, dimKey).as("k")).distinct()
       .as[Long]
       .select(new BloomAggregator(numBits, numHashes).toColumn)
       .toDF("bits")
@@ -108,6 +135,7 @@ object BloomOps {
   def bloomSemiJoin(fact: DataFrame, factKey: String,
                     dim: DataFrame, dimKey: String,
                     numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+    requireCompatibleKeys(fact, factKey, dim, dimKey)
     val keys = dim.select(col(dimKey)).na.drop.distinct()
     val bits = bloomBits(dim, dimKey, numBits, numHashes)
     val pruned = bloomPruned(fact, factKey, bits, numBits, numHashes)

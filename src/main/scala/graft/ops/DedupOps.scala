@@ -279,6 +279,33 @@ object DedupOps {
     reps.write.mode("overwrite").parquet(s"$dir/reps")
     members.write.mode("overwrite").parquet(s"$dir/members")
     bnd.write.mode("overwrite").parquet(s"$dir/bands")
+    writeIndexManifest(corpus.sparkSession, dir, n, bands, rows)
+  }
+
+  /** One-row (n, bands, rows) manifest beside the reps/members/bands
+    * parquet: the band/bucket join keys are a function of these three, so
+    * an increment probed under DIFFERENT parameters computes keys the
+    * index never wrote — no error, just near-zero candidate recall. The
+    * read side validates and fails loudly instead. */
+  private def writeIndexManifest(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String, n: Int, bands: Int,
+                                 rows: Int): Unit = {
+    import spark.implicits._
+    Seq((n, bands, rows)).toDF("n", "bands", "rows")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
+  }
+
+  private def validateIndexManifest(spark: org.apache.spark.sql.SparkSession,
+                                    dir: String, n: Int, bands: Int,
+                                    rows: Int): Unit = {
+    val m = spark.read.parquet(s"$dir/manifest")
+      .select("n", "bands", "rows").head()
+    val (wn, wb, wr) = (m.getInt(0), m.getInt(1), m.getInt(2))
+    require(wn == n && wb == bands && wr == rows,
+      s"corpus band index at $dir was written with (n=$wn, bands=$wb, " +
+        s"rows=$wr) but is being probed with (n=$n, bands=$bands, " +
+        s"rows=$rows) — mismatched parameters silently produce near-zero " +
+        "candidate recall; rebuild the index or match the parameters")
   }
 
   /** The per-batch half of incremental dedup against a PERSISTED index
@@ -289,6 +316,7 @@ object DedupOps {
                                        threshold: Double, bands: Int = 32,
                                        rows: Int = 4): DataFrame = {
     val s = incoming.sparkSession
+    validateIndexManifest(s, indexDir, n, bands, rows)
     incrementalMatchesFromIndex(
       (s.read.parquet(s"$indexDir/reps"), s.read.parquet(s"$indexDir/members"),
         s.read.parquet(s"$indexDir/bands")),

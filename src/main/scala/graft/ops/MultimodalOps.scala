@@ -357,6 +357,11 @@ object MultimodalOps {
         col("format"), col("asset_id"))
       .as[MediaAsset]
       .flatMap { a =>
+        // per-row format gate, matching decodeFeatures' routing stance: a
+        // mixed asset table (wav/png assets exist in the fixtures) must
+        // fail loudly here, not throw mid-decode — or worse, "parse" a
+        // payload whose header happens to fit
+        require(a.format == "bmp", s"imagePatches needs bmp, got ${a.format}")
         val (w, h, rgb) = BmpCodec.decode(a.payload)
         for {
           py <- 0 until h / patch

@@ -36,18 +36,67 @@ class BloomOpsSpec extends SparkTestBase {
   }
 
   test("probe sits in the scan-side stage, before the confirming join's exchange") {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
     val fact = (1L to 2000L).map(i => (i, i % 100)).toDF("id", "key")
     val dim = (0L to 99L by 7L).toDF("dkey")
     val df = BloomOps.bloomSemiJoin(fact, "key", dim, "dkey",
       numBits = 1 << 10, numHashes = 5)
-    val plan = df.queryExecution.executedPlan.toString
-    // the native probe appears below the semi-join in the plan — fact rows
-    // are filtered before they reach the join operator
-    val probeAt = plan.indexOf("graft_bloom_contains")
-    val joinAt = plan.indexOf("LeftSemi")
-    assert(probeAt >= 0, plan)
-    assert(joinAt >= 0 && probeAt > joinAt, // printed below = deeper in tree
-      s"probe at $probeAt, semi-join at $joinAt\n$plan")
+    df.collect()
+    // STRUCTURAL walk (not plan-string offsets, which vary with AQE
+    // formatting across Spark versions): the Filter evaluating
+    // GraftBloomContains must be a DESCENDANT of the LeftSemi join's
+    // stream side — fact rows are pruned before they reach the join.
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case q: QueryStageExec        => unwrap(q.plan)
+      case other                    => other
+    }
+    def collectNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val n = unwrap(p)
+      n +: n.children.flatMap(collectNodes)
+    }
+    def hasBloomFilter(p: SparkPlan): Boolean = collectNodes(p).exists {
+      case f: FilterExec =>
+        f.condition.exists(_.isInstanceOf[graft.functions.GraftBloomContains])
+      case _ => false
+    }
+    val joins = collectNodes(df.queryExecution.executedPlan).collect {
+      case j: BaseJoinExec if j.joinType == LeftSemi => j
+    }
+    assert(joins.nonEmpty, df.queryExecution.executedPlan.toString)
+    // the probe filter lives under the semi-join (its stream side), and
+    // NOT above it — the whole point is pruning before the join
+    assert(joins.exists(j => j.children.exists(hasBloomFilter)),
+      df.queryExecution.executedPlan.toString)
+    assert(!collectNodes(df.queryExecution.executedPlan)
+      .takeWhile(n => !n.isInstanceOf[BaseJoinExec])
+      .exists {
+        case f: FilterExec =>
+          f.condition.exists(_.isInstanceOf[graft.functions.GraftBloomContains])
+        case _ => false
+      }, "bloom probe found ABOVE the semi-join — prune placement inverted")
+  }
+
+  test("probe-incompatible key types are rejected loudly, not dropped silently") {
+    val fact = (1L to 10L).map(i => (i, i)).toDF("id", "key") // LONG key
+    val dim = Seq("1", "2", "3").toDF("dkey") // STRING key
+    val e = intercept[IllegalArgumentException] {
+      BloomOps.bloomSemiJoin(fact, "key", dim, "dkey", numBits = 1 << 10, numHashes = 5)
+    }
+    assert(e.getMessage.contains("probe-incompatible"))
+  }
+
+  test("NULL dim keys never enter the filter bits") {
+    val dim = Seq(Some("alpha"), None, Some("beta"), None).toDF("dkey")
+    val bits = BloomOps.bloomBits(dim, "dkey", numBits = 1 << 10, numHashes = 5)
+    // a filter built from the 2 non-null keys: identical bits to building
+    // without the NULL rows at all — xxhash64(NULL)'s phantom key is gone
+    val clean = BloomOps.bloomBits(Seq("alpha", "beta").toDF("dkey"),
+      "dkey", numBits = 1 << 10, numHashes = 5)
+    assert(bits.as[Array[Long]].head().toSeq == clean.as[Array[Long]].head().toSeq)
   }
 
   test("string keys fold through xxhash64 identically on both sides") {

@@ -94,6 +94,16 @@ class PipelineOpsSpec extends SparkTestBase {
         idx, incoming, "doc_id", "text", 3, 0.5)
       .as[(Long, Long, Double)].collect().sorted.toSeq
     assert(direct == indexed && direct.nonEmpty)
+    // parameter-mismatch probes fail LOUDLY (the band/bucket join keys are
+    // a function of (n, bands, rows) — a silent mismatch would just miss
+    // every duplicate)
+    for ((n, b, r) <- Seq((4, 32, 4), (3, 16, 4), (3, 32, 8))) {
+      val e = intercept[IllegalArgumentException] {
+        DedupOps.incrementalJaccardMatchesIndexed(
+          idx, incoming, "doc_id", "text", n, 0.5, bands = b, rows = r)
+      }
+      assert(e.getMessage.contains("mismatched parameters"))
+    }
   }
 
   test("connectedComponents: transitive chains collapse, multi-round convergence") {
