@@ -99,9 +99,12 @@ object SketchOps {
   val MixA = 1103515245L
   val MixC = 12345L
 
-  /** Per-group distinct-count ESTIMATE via KMV over mixed `polyHash(keyCol)`,
-    * with the exact distinct count alongside for calibration. Output:
-    * (group, n_exact, kth_hash, n_kmv). `n_kmv` = (k−1)·P/kth as a single
+  /** Per-group distinct-count ESTIMATE via KMV over mixed `polyHash(keyCol)`
+    * — SKETCH-ONLY: the registered hot path a user copies must not carry
+    * the exact `count(DISTINCT)` the sketch exists to avoid (calibration
+    * against exact lives in the oracle SQL and EventOpsSpec, which also
+    * plan-asserts no exact-distinct aggregation sneaks back in). Output:
+    * (group, kth_hash, n_kmv). `n_kmv` = (k−1)·P/kth as a single
     * left-associated double expression (oracle-identical), or the exact
     * sketch size when the group holds fewer than k distinct hashes. */
   def distinctKmv(df: DataFrame, groupCol: String, keyCol: String,
@@ -118,11 +121,10 @@ object SketchOps {
       .mapValues(_._2)
       .agg(agg.name("kmv"))
       .toDF("g", "kmv")
-    val exact = hashed.distinct().groupBy("g").agg(count(lit(1)).as("n_exact"))
     val have = size(col("kmv"))
     val kth = element_at(col("kmv"), have).cast("double")
-    sketches.join(exact, "g")
-      .select(col("g").as(groupCol), col("n_exact"),
+    sketches
+      .select(col("g").as(groupCol),
         element_at(col("kmv"), have).as("kth_hash"),
         when(have < k, have.cast("double"))
           .otherwise(lit((k - 1).toDouble) * lit(TextOps.P.toDouble) / kth)

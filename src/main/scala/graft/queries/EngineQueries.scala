@@ -617,6 +617,49 @@ object EngineQueries {
         .orderBy("time_ns")
     },
 
+    // §2.3 client-side transforms THROUGH the engine layout (facade
+    // .tare/.difference/.derivative — reference grafana
+    // datasource.go:257-268 runs them against SERVED data, i.e. the
+    // watermark-clamped visible range): same routing proven for
+    // histogram/rate/anomaly/lttb; these three close the facade transform
+    // matrix (only the flat-parquet faces were oracled before).
+    QueryDef.withOracle("engine_tare",
+      s"""SELECT 'purchase' AS series, time_us AS time_ns, v,
+         |       v - first_value(v) OVER
+         |         (ORDER BY time_us
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tare
+         |FROM $PTS WHERE series = 'purchase' AND time_us BETWEEN $T0 AND $T1
+         |ORDER BY time_ns""".stripMargin) { (s, dir) =>
+      Fixture.tsdb(s, dir)
+        .tare("bench", "events", "purchase", "v", T0, T1)
+        .select(col("series"), col("time_ns"), col("v"), col("tare"))
+        .orderBy("time_ns")
+    },
+
+    QueryDef.withOracle("engine_difference",
+      s"""SELECT 'purchase' AS series, time_us AS time_ns, v,
+         |       v - lag(v) OVER (ORDER BY time_us) AS difference
+         |FROM $PTS WHERE series = 'purchase' AND time_us BETWEEN $T0 AND $T1
+         |ORDER BY time_ns""".stripMargin) { (s, dir) =>
+      Fixture.tsdb(s, dir)
+        .difference("bench", "events", "purchase", "v", T0, T1)
+        .select(col("series"), col("time_ns"), col("v"), col("difference"))
+        .orderBy("time_ns")
+    },
+
+    QueryDef.withOracle("engine_derivative",
+      s"""SELECT 'purchase' AS series, time_us AS time_ns, v,
+         |       (v - lag(v) OVER w) /
+         |         ((time_us - lag(time_us) OVER w) / 1000000.0) AS derivative
+         |FROM $PTS WHERE series = 'purchase' AND time_us BETWEEN $T0 AND $T1
+         |WINDOW w AS (ORDER BY time_us)
+         |ORDER BY time_ns""".stripMargin) { (s, dir) =>
+      Fixture.tsdb(s, dir)
+        .derivative("bench", "events", "purchase", "v", T0, T1, unitsPerSecond = UPS)
+        .select(col("series"), col("time_ns"), col("v"), col("derivative"))
+        .orderBy("time_ns")
+    },
+
     // Downsample-to-rollup: the windowed aggregate written BACK through the
     // validated append path as a derived measurement, then read from its own
     // bucket layout (the standard rollup-table workflow; the reference

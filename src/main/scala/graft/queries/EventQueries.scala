@@ -777,6 +777,9 @@ object EventQueries {
     // typed Aggregator with map-side partial merges). The k smallest
     // distinct hashes are the same set no matter how partials merge, so
     // unlike HLL the estimate is DETERMINISTIC and the oracle replays it.
+    // SKETCH-ONLY in the hot path: the exact distinct lives only here in
+    // the oracle (as calibration) and in EventOpsSpec, which plan-asserts
+    // the registered query contains no exact-distinct aggregation.
     QueryDef.withOracle("events_distinct_kmv", {
       val h = OracleText.wordHashSql("CAST(user_id AS VARCHAR)")
       s"""WITH src AS (SELECT event_type AS series, user_id FROM events),
@@ -785,14 +788,13 @@ object EventQueries {
          |          % ${graft.ops.TextOps.P} AS hv FROM src),
          |r AS (SELECT series, hv, row_number() OVER (
          |        PARTITION BY series ORDER BY hv) AS rn FROM h),
-         |ex AS (SELECT series, count(*) AS n_exact FROM h GROUP BY 1),
          |kth AS (SELECT series, max(hv) AS kth, count(*) AS have
          |        FROM r WHERE rn <= 64 GROUP BY 1)
-         |SELECT k.series, ex.n_exact, k.kth AS kth_hash,
+         |SELECT k.series, k.kth AS kth_hash,
          |  CASE WHEN k.have < 64 THEN CAST(k.have AS DOUBLE)
          |       ELSE 63.0 * CAST(${graft.ops.TextOps.P} AS DOUBLE)
          |              / CAST(k.kth AS DOUBLE) END AS n_kmv
-         |FROM kth k JOIN ex USING (series) ORDER BY series""".stripMargin
+         |FROM kth k ORDER BY series""".stripMargin
     }) { (s, dir) =>
       graft.ops.SketchOps.distinctKmv(
         Tables.eventsTsdb(s, dir), "series", "user_id", k = 64)

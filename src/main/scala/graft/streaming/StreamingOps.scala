@@ -89,23 +89,6 @@ object StreamingOps {
         unix_micros(col("session_window.end")).as("session_end"),
         col("n"), col("sum_value"))
 
-  /** Streaming exact dedup over a document stream (schema: `doc_id: Long,
-    * time_us: Long, text: String`): the first arrival of each content hash
-    * passes, replicas within the watermark horizon are dropped. The
-    * training-pipeline counterpart of the batch `dedup_exact` operator —
-    * same 32-byte hash keys on the shuffle, never text. State per distinct
-    * hash is evicted once the watermark passes it, so memory is bounded by
-    * the disorder tolerance, not the corpus: a replica arriving later than
-    * the watermark delay is re-admitted (the bounded-state tradeoff;
-    * unbounded-horizon dedup belongs to the batch pass). */
-  def streamingDedup(docs: DataFrame, watermarkUs: Long): DataFrame =
-    docs
-      .withColumn("event_time", timestamp_micros(col("time_us")))
-      .withColumn("content_hash", sha2(col("text"), 256))
-      .withWatermark("event_time", s"$watermarkUs microseconds")
-      .dropDuplicatesWithinWatermark("content_hash")
-      .drop("event_time")
-
   final case class HashedDoc(content_hash: String, doc_id: Long, time_us: Long,
                              text: String)
   /** Pre-state row of [[streamingDedupMinId]]: the watermark column must
@@ -114,18 +97,23 @@ object StreamingOps {
   final case class HashedDocEt(content_hash: String, doc_id: Long, time_us: Long,
                                text: String, event_time: java.sql.Timestamp)
 
-  /** [[streamingDedup]] with a DETERMINISTIC winner: among replicas of one
-    * content hash inside a micro-batch, the minimum `doc_id` survives —
-    * `dropDuplicatesWithinWatermark` keeps whichever replica reaches the
-    * state store first, and Spark guarantees no intra-key arrival order
-    * after the exchange (multi-row-group splits reorder it), so its output
-    * is nondeterministic under same-batch replicas. Reproducibility is a
-    * training-pipeline requirement (re-running a corpus build must keep the
-    * SAME representatives), so the winner here is a pure function of the
-    * data. Same bounded-state contract: one boolean per distinct hash in
-    * the state store, evicted once the event-time watermark passes
-    * `time_us + watermarkUs` (replicas later than that re-admit — the
-    * documented disorder-tolerance tradeoff). */
+  /** Streaming exact dedup over a document stream (schema: `doc_id: Long,
+    * time_us: Long, text: String`) with a DETERMINISTIC winner: among
+    * replicas of one content hash inside a micro-batch, the minimum
+    * `doc_id` survives. This is the ONLY registered streaming-dedup face —
+    * a first-arrival sibling built on `dropDuplicatesWithinWatermark` was
+    * deliberately removed: that operator keeps whichever replica reaches
+    * the state store first, and Spark guarantees no intra-key arrival
+    * order after the exchange (multi-row-group splits reorder it), so its
+    * output is nondeterministic under same-batch replicas. Reproducibility
+    * is a training-pipeline requirement (re-running a corpus build must
+    * keep the SAME representatives), so the winner here is a pure function
+    * of the data. Training-pipeline counterpart of the batch `dedup_exact`
+    * operator — 32-byte hash keys on the shuffle, never text. Bounded
+    * state: one boolean per distinct hash in the state store, evicted once
+    * the event-time watermark passes `time_us + watermarkUs` (replicas
+    * later than that re-admit — the documented disorder-tolerance
+    * tradeoff; unbounded-horizon dedup belongs to the batch pass). */
   def streamingDedupMinId(docs: DataFrame, watermarkUs: Long): Dataset[HashedDoc] = {
     import docs.sparkSession.implicits._
     docs

@@ -101,10 +101,31 @@ class EventOpsSpec extends SparkTestBase {
     assert(b.toSeq == Seq(5L, 20L, 40L, 60L))
     assert(agg.merge(a, b).toSeq == Seq(5L, 10L, 20L, 30L))
     assert(agg.merge(b, a).toSeq == agg.merge(a, b).toSeq) // merge order free
-    // end to end: a small group is EXACT (sketch saw every value)
+    // end to end: a small group is EXACT (sketch saw every value) —
+    // output is sketch-only (s, kth_hash, n_kmv)
     val df = Seq(("g", 1L), ("g", 2L), ("g", 2L), ("g", 3L)).toDF("s", "uid")
     val row = SketchOps.distinctKmv(df, "s", "uid", k = 4).collect().head
-    assert(row.getLong(1) == 3L && row.getDouble(3) == 3.0)
+    assert(row.length == 3 && row.getDouble(2) == 3.0)
+  }
+
+  test("distinctKmv hot path: estimate calibrated vs exact, NO exact-distinct in the plan") {
+    import graft.ops.SketchOps
+    // 3 groups × up to 500 distinct uids (well past k=64 → estimator regime)
+    val rows = for (g <- 0 until 3; u <- 0 until (g + 1) * 150)
+      yield (s"g$g", (g * 10000 + u).toLong)
+    val df = rows.toDF("s", "uid")
+    val est = SketchOps.distinctKmv(df, "s", "uid", k = 64)
+    // the registered query must carry no exact count(distinct) — the
+    // sketch exists to avoid it; plan-asserted structurally
+    val plan = est.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!plan.contains("distinct"), plan)
+    val got = est.collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    for (g <- 0 until 3) {
+      val exact = (g + 1) * 150.0
+      val rel = math.abs(got(s"g$g") - exact) / exact
+      // KMV with k=64: relative SD ≈ 1/√(k−2) ≈ 0.13; allow 3σ
+      assert(rel < 0.4, s"g$g estimate ${got(s"g$g")} vs exact $exact")
+    }
   }
 
   test("topPaths: first-k prefix in (time, id) order, counts, deterministic top") {

@@ -110,23 +110,6 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
-  test("streamingDedup drops replicas across micro-batches within the watermark") {
-    implicit val sqlCtx = spark.sqlContext
-    val in = MemoryStream[(Long, Long, String)]
-    val docs = in.toDF().toDF("doc_id", "time_us", "text")
-    val q = StreamingOps.streamingDedup(docs, watermarkUs = 5000000L)
-      .writeStream.format("memory").queryName("sdedup").outputMode(OutputMode.Append()).start()
-    try {
-      in.addData((1L, 1000000L, "alpha beta"), (2L, 2000000L, "gamma"))
-      q.processAllAvailable()
-      // replica of doc 1's content in the next batch, within the watermark
-      in.addData((3L, 3000000L, "alpha beta"), (4L, 4000000L, "delta"))
-      q.processAllAvailable()
-      val ids = spark.table("sdedup").select("doc_id").as[Long].collect().sorted.toSeq
-      assert(ids == Seq(1L, 2L, 4L)) // 3 dropped as a duplicate of 1
-    } finally q.stop()
-  }
-
   test("streamingDedupMinId: min doc_id wins within a batch, replicas drop across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long, String)]
