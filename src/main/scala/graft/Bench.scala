@@ -89,12 +89,17 @@ object Bench {
         bits = graft.ops.DedupOps.TightLshBits, dim = 64, probeRadius = 2)
       (cL.toDouble / tot.max(1L), cT.toDouble / tot.max(1L))
     } catch { case _: Throwable => (-1.0, -1.0) }
+    // value-index decay observability (VERDICT r10 #4): reads that fell
+    // back to a full scan because the sidecar's stale span overflowed the
+    // IN-list cap — nonzero here means "run refreshValueIndex"
+    val staleFallbacks = graft.engine.Tsdb.valueIndexStaleFallbacks.get()
     val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
       s""""queries":$qs,""" +
       s""""ann_lsh_recall_at5":${recalls.getOrElse("lsh", -1.0)},""" +
       s""""ann_ivf_recall_at5":${recalls.getOrElse("ivf", -1.0)},""" +
       s""""emb_lsh_cand_ratio_loose":$ratioLoose,""" +
-      s""""emb_lsh_cand_ratio_tight":$ratioTight,"sf":"$sfDir"}"""
+      s""""emb_lsh_cand_ratio_tight":$ratioTight,""" +
+      s""""vindex_stale_fallbacks":$staleFallbacks,"sf":"$sfDir"}"""
     // Persist machine-readable first (sbt prefixes stdout with [info], which
     // breaks downstream JSON parsing of the console line), then stop Spark
     // BEFORE printing so the metrics lines are the LAST stdout the process
@@ -112,7 +117,8 @@ object Bench {
       s""""reps":$reps,"detail":"$out","ann_lsh_recall_at5":${recalls.getOrElse("lsh", -1.0)},""" +
       s""""ann_ivf_recall_at5":${recalls.getOrElse("ivf", -1.0)},""" +
       s""""emb_lsh_cand_ratio_loose":$ratioLoose,""" +
-      s""""emb_lsh_cand_ratio_tight":$ratioTight,"sf":"$sfDir"}""")
+      s""""emb_lsh_cand_ratio_tight":$ratioTight,""" +
+      s""""vindex_stale_fallbacks":$staleFallbacks,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -63,7 +63,8 @@ final case class WriteResult(written: Long, discarded: Long, overwriteVerified: 
   * single-node analog.
   */
 final class Tsdb(val spark: SparkSession, val rootDir: String,
-                 requestedBucketWidth: Long = Tsdb.UseExistingWidth) {
+                 requestedBucketWidth: Long = Tsdb.UseExistingWidth,
+                 maxPrunedBuckets: Int = Tsdb.DefaultMaxPrunedBuckets) {
   import MeasurementSchema.{BucketCol, SeriesCol, TimeCol}
 
   GraftFunctions.register(spark)
@@ -971,10 +972,77 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
     spark.read.parquet(out.toString).count()
   }
 
+  /** INCREMENTAL maintenance of the value sidecar — the decay-prevention
+    * path [[buildValueIndex]]'s staleness contract needs: appends past the
+    * recorded watermark widen the always-scanned span until it overflows
+    * [[MaxPrunedBuckets]] and pruning silently degrades to full scans
+    * (observable via [[Tsdb.valueIndexStaleFallbacks]]). This refresh
+    * re-aggregates ONLY buckets at/above each series' build watermark
+    * (plus series the index has never seen), keeps the immutable rows
+    * as-is, and advances `tl_at_build` — per-refresh cost scales with the
+    * data appended since the last build, never the measurement (the
+    * reference maintains its time index on every commit,
+    * src/libtsdb/write.cc:36-447; a value index earns the same treatment).
+    * Swap is delete+rename of the one-file sidecar: a crash between leaves
+    * no index, and reads without an index are the plain (correct) scan.
+    * @return total (series, bucket) entries after the refresh */
+  def refreshValueIndex(db: String, m: String, field: String): Long = {
+    val schema = getSchema(db, m)
+    if (!schema.fields.exists(_.name == field))
+      throw new InvalidSchemaException(s"unknown field: $field")
+    val out = vindexDir(db, m, field)
+    if (!fs(out).exists(out)) return buildValueIndex(db, m, field)
+    import spark.implicits._
+    val wms = wmStore(db, m).load()
+    if (wms.isEmpty) { fs(out).delete(out, true); return 0L }
+    // per-series mutable-bucket floor at the PREVIOUS build: driver-side,
+    // series-count scale (same order as the watermark table itself)
+    val staleLo = spark.read.parquet(out.toString)
+      .groupBy(col(SeriesCol)).agg(min("tl_at_build").as("tl"))
+      .collect().map(r => r.getString(0) ->
+        Math.floorDiv(r.getLong(1), bucketWidth)).toMap
+    val oldSeries = staleLo.keys.toSeq
+    val minStale = staleLo.values.min
+    val staleDf = broadcast(staleLo.toSeq.toDF(SeriesCol, "_stale_lo"))
+    val old = spark.read.parquet(out.toString)
+      .select(col(SeriesCol), col(BucketCol), col("vmin"), col("vmax"))
+      .join(staleDf, SeriesCol)
+    val keepOld = old.filter(col(BucketCol) < col("_stale_lo"))
+      .select(col(SeriesCol), col(BucketCol), col("vmin"), col("vmax"))
+    val base = readMeasurement(db, m, schema)
+    // literal predicates so the scan prunes statically: indexed series
+    // from their global minimum stale bucket up (refined per series by the
+    // broadcast join), never-indexed series in full
+    val freshExisting = base
+      .filter(col(SeriesCol).isin(oldSeries: _*) && col(BucketCol) >= minStale)
+      .join(staleDf, SeriesCol)
+      .filter(col(BucketCol) >= col("_stale_lo"))
+      .select(base.columns.map(col): _*)
+    val freshNew = base.filter(!col(SeriesCol).isin(oldSeries: _*))
+    val fresh = freshExisting.unionByName(freshNew)
+      .groupBy(col(SeriesCol), col(BucketCol))
+      .agg(min(col(field)).as("vmin"), max(col(field)).as("vmax"))
+    val wdf = wms.toSeq.map { case (s, r) => (s, r.timeLast) }
+      .toDF(SeriesCol, "tl_at_build")
+    // keepOld (bucket < stale_lo) and fresh (bucket >= stale_lo) are
+    // disjoint by construction; the inner watermark join drops series
+    // deleted since the last build
+    val merged = keepOld.unionByName(fresh).join(broadcast(wdf), SeriesCol)
+    val tmp = new Path(measPath(db, m), s"_vindex/.$field.refreshing")
+    fs(tmp).delete(tmp, true)
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val n = spark.read.parquet(tmp.toString).count()
+    fs(out).delete(out, true)
+    FileContext.getFileContext(out.toUri, hconf)
+      .rename(tmp, out, Options.Rename.NONE)
+    n
+  }
+
   /** Bucket IN-list cap for value-pruned reads: past this the IN-expression
     * itself is the overhead and a bucket-range scan with the pushed value
-    * filter is the better plan. */
-  private val MaxPrunedBuckets = 4096
+    * filter is the better plan (constructor-tunable; see
+    * [[Tsdb.DefaultMaxPrunedBuckets]]). */
+  private val MaxPrunedBuckets = maxPrunedBuckets
 
   /** SELECT `(time_ns, field)` of one series in `[t0, t1]` with
     * `field ∈ [vLo, vHi]` — value-pruned to the buckets the min-max index
@@ -1009,8 +1077,13 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
     val staleLo = Math.floorDiv(rows.head.getLong(3), bucketWidth)
     // an ancient index admits every post-build bucket unconditionally; once
     // that span alone overflows the IN-list cap, pruning cannot win — fall
-    // back before materializing the range (rebuild the index to restore it)
-    if (b1 - math.max(b0, staleLo) >= MaxPrunedBuckets) return proj(base)
+    // back before materializing the range. OBSERVABLE, not silent: the
+    // counter feeds the bench JSON, and refreshValueIndex is the cheap
+    // restore path (it re-aggregates only post-watermark buckets).
+    if (b1 - math.max(b0, staleLo) >= MaxPrunedBuckets) {
+      Tsdb.valueIndexStaleFallbacks.incrementAndGet()
+      return proj(base)
+    }
     // indexed, immutable buckets whose [vmin, vmax] intersects the band —
     // the double casts above round ≤1 ulp, so widen by one ulp each way
     // rather than ever excluding a boundary bucket
@@ -1242,4 +1315,14 @@ object Tsdb {
     * file index, so readers never see half-written compaction output). */
   private[engine] val CompactTmp = ".compacting"
   private[engine] val CompactTrash = ".compact-trash"
+  /** Default bucket IN-list cap for value-pruned reads (constructor
+    * override exists mainly so specs can exercise the stale-span fallback
+    * without writing thousands of buckets). */
+  val DefaultMaxPrunedBuckets = 4096
+  /** Process-wide count of value-pruned reads that fell back to a full
+    * scan because the index's stale span overflowed the IN-list cap — the
+    * "this index has decayed, run refreshValueIndex" signal (emitted into
+    * the bench JSON; a silent decay at 100× append volume would otherwise
+    * read as a plan regression). */
+  val valueIndexStaleFallbacks = new java.util.concurrent.atomic.AtomicLong(0L)
 }

@@ -279,6 +279,47 @@ object MultimodalOps {
       }.toDF()
   }
 
+  /** Deterministic COLOR-PNG asset table from `documents`: even doc_ids
+    * become truecolor RGB8 PNGs (color type 2 — the format real corpora
+    * actually carry) whose RGB bytes are the text tiled over w×h×3; odd
+    * doc_ids become PALETTE PNGs (color type 3) whose indices are the text
+    * bytes tiled over w×h through a fixed 256-entry PLTE with entry j =
+    * (j, 7j mod 256, 13j mod 256). Filter types cycle through all five by
+    * id exactly like the grayscale fixture, so both truecolor (bpp = 3
+    * "left" neighbor) and palette unfiltering are driven by the corpus —
+    * and the lossless round-trip lets an oracle recompute the decoded RGB
+    * stats from text + tiling + palette arithmetic alone. */
+  def pngColorAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val plte = Array.tabulate(256 * 3) { k =>
+      val j = k / 3
+      (k % 3 match {
+        case 0 => j
+        case 1 => (j * 7) % 256
+        case 2 => (j * 13) % 256
+      }).toByte
+    }
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        // same LOUD ASCII contract as the other codec fixtures
+        require(text.forall(_ < 128),
+          s"png color fixture requires ASCII text (doc $id)")
+        val w = (id % 9 + 1).toInt
+        val h = (id % 7 + 1).toInt
+        val payload = if (id % 2 == 0) {
+          val rgb = Array.tabulate(w * h * 3)(i =>
+            if (text.isEmpty) 0.toByte else text.charAt(i % text.length).toByte)
+          PngCodec.encodeRgb(w, h, rgb, (id % 5).toInt)
+        } else {
+          val idx = Array.tabulate(w * h)(i =>
+            if (text.isEmpty) 0.toByte else text.charAt(i % text.length).toByte)
+          PngCodec.encodePalette(w, h, idx, plte, (id % 5).toInt)
+        }
+        MediaAsset(id, "png", payload, w, h, 3, 0)
+      }.toDF()
+  }
+
   /** Audio decode + signal-stat extraction over WAV assets: same typed
     * per-partition shape as [[decodeFeatures]] (codec context per task, no
     * shuffle, payload never leaves the task), but the decode is the REAL

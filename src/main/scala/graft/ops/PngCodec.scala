@@ -46,26 +46,23 @@ object PngCodec {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  /** Encode row-major 8-bit grayscale as a standards-conformant PNG.
-    * `filterType` selects the per-row filter (0–4) so round-trip tests can
-    * drive every unfilter branch; the compressed stream is split across
-    * TWO IDAT chunks whenever it is ≥2 bytes (decoder concat coverage). */
-  def encode(w: Int, h: Int, gray: Array[Byte], filterType: Int = 0): Array[Byte] = {
-    require(w > 0 && h > 0, s"bad dims ${w}x$h")
-    require(gray.length == w * h, s"need ${w * h} pixels, got ${gray.length}")
-    require(filterType >= 0 && filterType <= 4, s"bad filter $filterType")
-    val ihdr = be32(w) ++ be32(h) ++ Array[Byte](8, 0, 0, 0, 0)
-    // raw scanlines: one filter byte + w filtered bytes per row (bpp = 1)
-    val raw = new Array[Byte]((w + 1) * h)
+  /** Filter the scanlines of a `w`×`h` image with `bpp` bytes per pixel
+    * (PNG spec §6: the "left" neighbor is the corresponding byte of the
+    * previous PIXEL, i.e. `bpp` bytes back — one filter machinery serves
+    * grayscale, truecolor and palette). */
+  private def filterScanlines(w: Int, h: Int, bpp: Int, data: Array[Byte],
+                              filterType: Int): Array[Byte] = {
+    val stride = w * bpp
+    val raw = new Array[Byte]((stride + 1) * h)
     var y = 0
     while (y < h) {
-      raw(y * (w + 1)) = filterType.toByte
+      raw(y * (stride + 1)) = filterType.toByte
       var x = 0
-      while (x < w) {
-        val cur = gray(y * w + x) & 0xff
-        val left = if (x > 0) gray(y * w + x - 1) & 0xff else 0
-        val up = if (y > 0) gray((y - 1) * w + x) & 0xff else 0
-        val upLeft = if (x > 0 && y > 0) gray((y - 1) * w + x - 1) & 0xff else 0
+      while (x < stride) {
+        val cur = data(y * stride + x) & 0xff
+        val left = if (x >= bpp) data(y * stride + x - bpp) & 0xff else 0
+        val up = if (y > 0) data((y - 1) * stride + x) & 0xff else 0
+        val upLeft = if (x >= bpp && y > 0) data((y - 1) * stride + x - bpp) & 0xff else 0
         val f = filterType match {
           case 0 => cur
           case 1 => cur - left
@@ -73,11 +70,17 @@ object PngCodec {
           case 3 => cur - (left + up) / 2
           case 4 => cur - paeth(left, up, upLeft)
         }
-        raw(y * (w + 1) + 1 + x) = (f & 0xff).toByte
+        raw(y * (stride + 1) + 1 + x) = (f & 0xff).toByte
         x += 1
       }
       y += 1
     }
+    raw
+  }
+
+  /** DEFLATE the filtered scanline stream and split it across two IDAT
+    * chunks whenever it is ≥2 bytes (decoder concat coverage). */
+  private def idatChunks(raw: Array[Byte]): Seq[Array[Byte]] = {
     val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION)
     deflater.setInput(raw); deflater.finish()
     val buf = new Array[Byte](raw.length + 64)
@@ -85,24 +88,67 @@ object PngCodec {
     while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
     deflater.end()
     val z = out.toByteArray
-    val idats =
-      if (z.length >= 2) {
-        val mid = z.length / 2
-        Seq(chunk("IDAT", z.slice(0, mid)), chunk("IDAT", z.slice(mid, z.length)))
-      } else Seq(chunk("IDAT", z))
-    Signature ++ chunk("IHDR", ihdr) ++ idats.reduce(_ ++ _) ++
+    if (z.length >= 2) {
+      val mid = z.length / 2
+      Seq(chunk("IDAT", z.slice(0, mid)), chunk("IDAT", z.slice(mid, z.length)))
+    } else Seq(chunk("IDAT", z))
+  }
+
+  private def assemble(w: Int, h: Int, colorType: Int, bpp: Int,
+                       data: Array[Byte], plte: Option[Array[Byte]],
+                       filterType: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dims ${w}x$h")
+    require(data.length == w * h * bpp,
+      s"need ${w * h * bpp} bytes, got ${data.length}")
+    require(filterType >= 0 && filterType <= 4, s"bad filter $filterType")
+    val ihdr = be32(w) ++ be32(h) ++ Array[Byte](8, colorType.toByte, 0, 0, 0)
+    val raw = filterScanlines(w, h, bpp, data, filterType)
+    Signature ++ chunk("IHDR", ihdr) ++
+      plte.map(p => chunk("PLTE", p)).getOrElse(Array.emptyByteArray) ++
+      idatChunks(raw).reduce(_ ++ _) ++
       chunk("IEND", Array.emptyByteArray)
   }
 
-  /** Parse a grayscale-8 PNG back into (width, height, row-major pixels).
-    * Full chunk walk with CRC verification; unknown ancillary chunks are
-    * skipped (after their CRC is still checked); IDAT chunks concatenate
-    * into one zlib stream; every row's filter is reversed per its tag. */
-  def decode(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+  /** Encode row-major 8-bit grayscale (color type 0) as a
+    * standards-conformant PNG. `filterType` selects the per-row filter
+    * (0–4) so round-trip tests can drive every unfilter branch. */
+  def encode(w: Int, h: Int, gray: Array[Byte], filterType: Int = 0): Array[Byte] =
+    assemble(w, h, 0, 1, gray, None, filterType)
+
+  /** Encode row-major 8-bit RGB triples (color type 2, bpp = 3) — the
+    * format real corpora actually carry. Same filter machinery as
+    * grayscale with the spec's bpp-offset "left" neighbor. */
+  def encodeRgb(w: Int, h: Int, rgb: Array[Byte], filterType: Int = 0): Array[Byte] =
+    assemble(w, h, 2, 3, rgb, None, filterType)
+
+  /** Encode 8-bit palette indices (color type 3) with the given PLTE of
+    * RGB triples (≤256 entries). Filters apply to the INDEX bytes
+    * (bpp = 1), per spec. */
+  def encodePalette(w: Int, h: Int, indices: Array[Byte],
+                    palette: Array[Byte], filterType: Int = 0): Array[Byte] = {
+    require(palette.length % 3 == 0 && palette.length >= 3 &&
+      palette.length <= 256 * 3, s"bad palette length ${palette.length}")
+    assemble(w, h, 3, 1, indices, Some(palette), filterType)
+  }
+
+  /** Decoded image before palette expansion: `px` holds the unfiltered
+    * bytes (bpp = 3 for truecolor, 1 for grayscale/palette); `plte` is the
+    * PLTE chunk's RGB triples for color type 3. */
+  final case class RawImage(w: Int, h: Int, colorType: Int,
+                            px: Array[Byte], plte: Array[Byte])
+
+  /** Full chunk walk + inflate + unfilter for color types 0 (grayscale-8),
+    * 2 (truecolor RGB8) and 3 (palette-8). CRC-verifies every chunk
+    * (ancillary chunks are skipped after their CRC check), concatenates
+    * multi-IDAT zlib streams, and reverses every row's filter per its tag
+    * with the spec's bpp-offset "left" neighbor. */
+  def decodeRaw(payload: Array[Byte]): RawImage = {
     require(payload.length >= Signature.length + 12 &&
       payload.take(8).sameElements(Signature), "not a PNG payload")
     var off = 8
-    var w = 0; var h = 0; var sawIhdr = false; var sawIend = false
+    var w = 0; var h = 0; var colorType = -1
+    var sawIhdr = false; var sawIend = false
+    var plte: Array[Byte] = Array.emptyByteArray
     val zstream = new java.io.ByteArrayOutputStream()
     while (!sawIend) {
       require(off + 8 <= payload.length, "truncated PNG chunk header")
@@ -119,12 +165,17 @@ object PngCodec {
           require(!sawIhdr && len == 13, "bad IHDR")
           w = readBe32(payload, off + 8); h = readBe32(payload, off + 12)
           require(w > 0 && h > 0, s"bad PNG dims ${w}x$h")
-          val bitDepth = payload(off + 16); val colorType = payload(off + 17)
-          require(bitDepth == 8 && colorType == 0,
-            s"only grayscale-8 supported (depth=$bitDepth color=$colorType)")
+          val bitDepth = payload(off + 16); colorType = payload(off + 17)
+          require(bitDepth == 8 &&
+            (colorType == 0 || colorType == 2 || colorType == 3),
+            s"only gray-8/RGB-8/palette-8 supported (depth=$bitDepth color=$colorType)")
           require(payload(off + 18) == 0 && payload(off + 19) == 0 &&
             payload(off + 20) == 0, "unsupported compression/filter/interlace")
           sawIhdr = true
+        case "PLTE" =>
+          require(sawIhdr, "PLTE before IHDR")
+          require(len % 3 == 0 && len >= 3 && len <= 256 * 3, s"bad PLTE length $len")
+          plte = java.util.Arrays.copyOfRange(payload, off + 8, off + 8 + len)
         case "IDAT" =>
           require(sawIhdr, "IDAT before IHDR")
           zstream.write(payload, off + 8, len)
@@ -134,9 +185,12 @@ object PngCodec {
       off += 12 + len
     }
     require(sawIhdr, "missing IHDR")
+    require(colorType != 3 || plte.nonEmpty, "palette PNG missing PLTE")
+    val bpp = if (colorType == 2) 3 else 1
+    val stride = w * bpp
     val inflater = new Inflater()
     inflater.setInput(zstream.toByteArray)
-    val raw = new Array[Byte]((w + 1) * h)
+    val raw = new Array[Byte]((stride + 1) * h)
     var got = 0
     while (got < raw.length && !inflater.finished()) {
       val n = inflater.inflate(raw, got, raw.length - got)
@@ -146,18 +200,18 @@ object PngCodec {
     require(got == raw.length && inflater.inflate(new Array[Byte](1)) == 0,
       s"PNG scanline stream length mismatch (got $got, want ${raw.length})")
     inflater.end()
-    // unfilter in place into the pixel array (bpp = 1)
-    val px = new Array[Byte](w * h)
+    // unfilter into the pixel array ("left" neighbor = bpp bytes back)
+    val px = new Array[Byte](stride * h)
     var y = 0
     while (y < h) {
-      val ft = raw(y * (w + 1)) & 0xff
+      val ft = raw(y * (stride + 1)) & 0xff
       require(ft <= 4, s"bad PNG filter type $ft in row $y")
       var x = 0
-      while (x < w) {
-        val f = raw(y * (w + 1) + 1 + x) & 0xff
-        val left = if (x > 0) px(y * w + x - 1) & 0xff else 0
-        val up = if (y > 0) px((y - 1) * w + x) & 0xff else 0
-        val upLeft = if (x > 0 && y > 0) px((y - 1) * w + x - 1) & 0xff else 0
+      while (x < stride) {
+        val f = raw(y * (stride + 1) + 1 + x) & 0xff
+        val left = if (x >= bpp) px(y * stride + x - bpp) & 0xff else 0
+        val up = if (y > 0) px((y - 1) * stride + x) & 0xff else 0
+        val upLeft = if (x >= bpp && y > 0) px((y - 1) * stride + x - bpp) & 0xff else 0
         val v = ft match {
           case 0 => f
           case 1 => f + left
@@ -165,12 +219,45 @@ object PngCodec {
           case 3 => f + (left + up) / 2
           case 4 => f + paeth(left, up, upLeft)
         }
-        px(y * w + x) = (v & 0xff).toByte
+        px(y * stride + x) = (v & 0xff).toByte
         x += 1
       }
       y += 1
     }
-    (w, h, px)
+    RawImage(w, h, colorType, px, plte)
+  }
+
+  /** Parse a grayscale-8 PNG back into (width, height, row-major pixels). */
+  def decode(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val img = decodeRaw(payload)
+    require(img.colorType == 0,
+      s"decode expects grayscale-8, got color type ${img.colorType}")
+    (img.w, img.h, img.px)
+  }
+
+  /** Parse a truecolor (type 2) or palette (type 3) PNG into (width,
+    * height, row-major RGB triples) — palette indices expand through the
+    * PLTE, out-of-range indices fail loudly. */
+  def decodeRgb(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val img = decodeRaw(payload)
+    img.colorType match {
+      case 2 => (img.w, img.h, img.px)
+      case 3 =>
+        val n = img.plte.length / 3
+        val rgb = new Array[Byte](img.px.length * 3)
+        var i = 0
+        while (i < img.px.length) {
+          val idx = img.px(i) & 0xff
+          require(idx < n, s"palette index $idx out of range (PLTE has $n entries)")
+          rgb(i * 3) = img.plte(idx * 3)
+          rgb(i * 3 + 1) = img.plte(idx * 3 + 1)
+          rgb(i * 3 + 2) = img.plte(idx * 3 + 2)
+          i += 1
+        }
+        (img.w, img.h, rgb)
+      case ct => throw new IllegalArgumentException(
+        s"decodeRgb expects truecolor or palette, got color type $ct")
+    }
   }
 
   /** REAL nearest-neighbor resize on the decoded grayscale plane —
@@ -198,11 +285,13 @@ object PngCodec {
   }
 
   /** Feature stats of the DECODED pixels — same output contract as
-    * [[BmpCodec.decodeFeatures]], but over the inflated+unfiltered
-    * grayscale plane, so a chunk/CRC/inflate/filter bug anywhere above
-    * breaks the oracle match. */
+    * [[BmpCodec.decodeFeatures]], over the inflated+unfiltered pixel
+    * stream of ANY supported color type (grayscale plane, RGB byte
+    * stream, or palette-expanded RGB), so a chunk/CRC/inflate/filter/PLTE
+    * bug anywhere above breaks the oracle match. */
   def decodeFeatures(a: MediaAsset): MediaFeatures = {
-    val (_, _, px) = decode(a.payload)
+    val img = decodeRaw(a.payload)
+    val px = if (img.colorType == 3) decodeRgb(a.payload)._3 else img.px
     val hist = new Array[Long](FakeDecoder.HistBuckets)
     var sum = 0L
     var i = 0

@@ -200,6 +200,49 @@ object MultimodalQueries {
         .orderBy("asset_id")
     },
 
+    // REAL COLOR decoding: even docs become truecolor RGB8 PNGs (color
+    // type 2 — what real corpora carry), odd docs PALETTE PNGs (color type
+    // 3, indices through a fixed 256-entry PLTE with entry j =
+    // (j, 7j mod 256, 13j mod 256)); filter types still cycle through all
+    // five by id, now over bpp=3 scanlines for truecolor. The round-trip
+    // is lossless, so the oracle recomputes the decoded RGB stats from
+    // text + tiling + palette arithmetic alone — a bpp-offset unfilter
+    // bug, a PLTE parse bug, or an index-expansion bug breaks the match.
+    QueryDef.withOracle("mm_decode_png_rgb", {
+      val J = "CASE WHEN length(text) = 0 THEN 0 ELSE unicode(substr(text, " +
+        "CAST(i % length(text) + 1 AS INT), 1)) END"
+      s"""WITH a AS (
+         |  SELECT doc_id, text,
+         |         CAST(doc_id % 9 + 1 AS INT) AS w,
+         |         CAST(doc_id % 7 + 1 AS INT) AS h
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 2 = 0 THEN
+         |      list_transform(range(0, w * h * 3), i -> $J)
+         |    ELSE
+         |      flatten(list_transform(range(0, w * h), i ->
+         |        list_transform(range(0, 3), ch ->
+         |          CASE WHEN ch = 0 THEN $J
+         |               WHEN ch = 1 THEN (7 * ($J)) % 256
+         |               ELSE (13 * ($J)) % 256 END)))
+         |    END AS cs
+         |  FROM a)
+         |SELECT doc_id AS asset_id, 'png' AS format,
+         |  CAST(len(cs) AS BIGINT) AS n_bytes,
+         |  CAST(list_sum(cs) AS DOUBLE) / len(cs) AS mean_byte,
+         |  array_to_string(list_transform(range(0, 16),
+         |    b -> CAST(len(list_filter(cs, x -> x // 16 = b)) AS VARCHAR)), ',') AS byte_hist
+         |FROM c ORDER BY asset_id""".stripMargin
+    }) { (s, dir) =>
+      MultimodalOps.decodeFeatures(
+        MultimodalOps.pngColorAssetsFromDocuments(Tables(s, dir, "documents")))
+        .toDF()
+        .select(col("asset_id"), col("format"), col("n_bytes"), col("mean_byte"),
+          concat_ws(",", col("byte_hist")).as("byte_hist"))
+        .orderBy("asset_id")
+    },
+
     // REAL nearest-neighbor resize on the decoded pixel grid (dst(x,y) =
     // src(2x, 2y), dims ceil-halved), fused with stats of the RESIZED
     // pixels. The oracle replays the sampling indices over the tiled text

@@ -826,6 +826,38 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("PngCodec: truecolor RGB8 round-trips through every filter type (bpp=3 left neighbor)") {
+    val w = 3; val h = 4
+    // per-channel gradients with different strides so a bpp-offset bug in
+    // Sub/Average/Paeth (left = 1 byte back instead of 3) corrupts pixels
+    val rgb = Array.tabulate[Byte](w * h * 3)(i => (i * 53 + (i % 3) * 91 + 7).toByte)
+    (0 to 4).foreach { ft =>
+      val png = PngCodec.encodeRgb(w, h, rgb, ft)
+      val (dw, dh, back) = PngCodec.decodeRgb(png)
+      assert(dw == w && dh == h, s"filter $ft dims")
+      assert(back.toSeq == rgb.toSeq, s"filter $ft pixels")
+      // grayscale decode must refuse a truecolor payload loudly
+      intercept[IllegalArgumentException](PngCodec.decode(png))
+    }
+  }
+
+  test("PngCodec: palette PNGs expand indices through the PLTE; bad indices fail") {
+    val w = 4; val h = 2
+    val palette = Array.tabulate[Byte](8 * 3)(k => (k * 29 + 3).toByte) // 8 entries
+    val idx = Array[Byte](0, 1, 2, 3, 7, 6, 5, 4)
+    (0 to 4).foreach { ft =>
+      val png = PngCodec.encodePalette(w, h, idx, palette, ft)
+      val (dw, dh, back) = PngCodec.decodeRgb(png)
+      assert(dw == w && dh == h)
+      val want = idx.flatMap(j => palette.slice((j & 0xff) * 3, (j & 0xff) * 3 + 3))
+      assert(back.toSeq == want.toSeq, s"filter $ft palette expansion")
+    }
+    // an index past the PLTE must fail loudly, not read garbage
+    val badIdx = Array[Byte](0, 1, 2, 9, 0, 0, 0, 0) // 9 >= 8 entries
+    val bad = PngCodec.encodePalette(w, h, badIdx, palette, 0)
+    intercept[IllegalArgumentException](PngCodec.decodeRgb(bad))
+  }
+
   test("PngCodec: chunk walk verifies CRC, concatenates split IDAT, skips ancillary") {
     val px = Array.tabulate[Byte](6 * 5)(i => (i * 3).toByte)
     val png = PngCodec.encode(6, 5, px, 2)

@@ -569,6 +569,50 @@ class TsdbEngineSpec extends SparkTestBase {
       Seq((10L, 70.0)))
   }
 
+  test("refreshValueIndex restores pruning after the index decays; fallback is counted") {
+    // cap = 3 pruned buckets so a modest append ages the index past the
+    // IN-list cap without writing thousands of buckets
+    val t = new Tsdb(spark, tmpDir("tsdb-test-"), requestedBucketWidth = 100L,
+      maxPrunedBuckets = 3)
+    t.createDatabase("db1"); t.createMeasurement("db1", "m1", schema)
+    t.writePoints("db1", "m1", "s1", vpts(
+      (10L, Some(1.0)), (110L, Some(100.0)), (210L, Some(3.0))))
+    assert(t.buildValueIndex("db1", "m1", "v") == 3L) // tl_at_build = 210
+    // age it: appends spanning buckets 3..7 — stale span (5) > cap (3)
+    t.writePoints("db1", "m1", "s1", vpts(
+      (310L, Some(4.0)), (410L, Some(100.5)), (510L, Some(5.0)),
+      (610L, Some(6.0)), (710L, Some(7.0))))
+    val before = Tsdb.valueIndexStaleFallbacks.get()
+    val decayed = t.selectValueRange("db1", "m1", "s1", "v", 50.0, 150.0, 0L, 799L)
+    // correct rows, but via the full-scan fallback — and the decay is
+    // OBSERVABLE, not silent
+    assert(decayed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted ==
+      Seq((110L, 100.0), (410L, 100.5)))
+    assert(Tsdb.valueIndexStaleFallbacks.get() == before + 1)
+    assert(filesRead(decayed) == 8L) // all 8 in-range bucket dirs
+    // refresh: re-aggregates only buckets >= the old watermark bucket (2),
+    // keeps immutable rows, advances tl_at_build to 710
+    assert(t.refreshValueIndex("db1", "m1", "v") == 8L)
+    val pruned = t.selectValueRange("db1", "m1", "s1", "v", 50.0, 150.0, 0L, 799L)
+    assert(pruned.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted ==
+      Seq((110L, 100.0), (410L, 100.5)))
+    // the executable gate is BACK: matching buckets 1 and 4, plus the new
+    // watermark bucket 7's conservative scan = 3 files
+    assert(filesRead(pruned) == 3L)
+    assert(Tsdb.valueIndexStaleFallbacks.get() == before + 1) // no new fallback
+    // a series the index never saw joins on refresh, full-aggregated
+    t.writePoints("db1", "m1", "s2", vpts((10L, Some(70.0)), (120L, Some(1.0))))
+    assert(t.refreshValueIndex("db1", "m1", "v") == 10L)
+    val s2 = t.selectValueRange("db1", "m1", "s2", "v", 50.0, 150.0, 0L, 799L)
+    assert(s2.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((10L, 70.0)))
+    // refresh on a root with no index at all == full build
+    val t2 = mkTsdb()
+    t2.createDatabase("db1"); t2.createMeasurement("db1", "m1", schema)
+    t2.writePoints("db1", "m1", "s1", vpts((10L, Some(1.0)), (110L, Some(2.0))))
+    assert(t2.refreshValueIndex("db1", "m1", "v") == 2L)
+  }
+
   test("selectValueRange without an index is the plain filtered scan; bad field rejects") {
     val t = mkTsdb()
     freshSeries(t, baseRows: _*)
