@@ -89,6 +89,28 @@ object Bench {
         bits = graft.ops.DedupOps.TightLshBits, dim = 64, probeRadius = 2)
       (cL.toDouble / tot.max(1L), cT.toDouble / tot.max(1L))
     } catch { case _: Throwable => (-1.0, -1.0) }
+    // CLUSTERED-vector ANN realism (VERDICT r10 #9): the sf embeddings are
+    // near-uniform — hardest for recall, easiest for IVF list balance.
+    // Real embeddings cluster, so measure IVF recall AND list-occupancy
+    // skew on a deterministic clustered fixture each round: a quantizer
+    // or training regression moves these numbers even when the uniform
+    // recalls stay flat.
+    val (clRecall, clSkew) = try {
+      import graft.ops.SimilarityOps
+      val cl = graft.tools.ClusteredVectors
+        .generate(spark, n = 2000L, dim = 64, nClusters = 8).persist()
+      cl.count()
+      val q = cl.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+      val exact = SimilarityOps.topKExact(cl, q, "vec_id", "embedding", 5).persist()
+      exact.count()
+      val r = SimilarityOps.recallAtK(exact,
+          SimilarityOps.topKIvf(cl, q, "vec_id", "embedding", 5,
+            nLists = 16, nProbe = 4))
+        .select("recall").collect().head.getDouble(0)
+      val skew = graft.tools.ClusteredVectors.ivfListSkew(cl, nLists = 16)
+      exact.unpersist(); cl.unpersist()
+      (r, skew)
+    } catch { case _: Throwable => (-1.0, -1.0) }
     // value-index decay observability (VERDICT r10 #4): reads that fell
     // back to a full scan because the sidecar's stale span overflowed the
     // IN-list cap — nonzero here means "run refreshValueIndex"
@@ -99,6 +121,8 @@ object Bench {
       s""""ann_ivf_recall_at5":${recalls.getOrElse("ivf", -1.0)},""" +
       s""""emb_lsh_cand_ratio_loose":$ratioLoose,""" +
       s""""emb_lsh_cand_ratio_tight":$ratioTight,""" +
+      s""""ann_ivf_recall_clustered":$clRecall,""" +
+      s""""ivf_list_skew_clustered":$clSkew,""" +
       s""""vindex_stale_fallbacks":$staleFallbacks,"sf":"$sfDir"}"""
     // Persist machine-readable first (sbt prefixes stdout with [info], which
     // breaks downstream JSON parsing of the console line), then stop Spark
@@ -118,6 +142,8 @@ object Bench {
       s""""ann_ivf_recall_at5":${recalls.getOrElse("ivf", -1.0)},""" +
       s""""emb_lsh_cand_ratio_loose":$ratioLoose,""" +
       s""""emb_lsh_cand_ratio_tight":$ratioTight,""" +
+      s""""ann_ivf_recall_clustered":$clRecall,""" +
+      s""""ivf_list_skew_clustered":$clSkew,""" +
       s""""vindex_stale_fallbacks":$staleFallbacks,"sf":"$sfDir"}""")
     System.out.flush()
   }

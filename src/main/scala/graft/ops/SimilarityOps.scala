@@ -293,6 +293,64 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF × INT8 composed — the production 100 TB ANN shape: the coarse
+    * quantizer prunes the scan to ~nProbe/nLists of the corpus AND the
+    * scanned lists rank by the integer dot of 4×-compressed vectors, so
+    * the per-query cost is both list-pruned and RAM-resident. Neither
+    * half alone is the deployment shape: IVF-with-float-scan still holds
+    * full vectors in memory; quantized-full-scan still reads every row.
+    * Assignment/probing are [[topKIvf]]'s (raw-vector k-means++, ranked
+    * centroid distances); ranking is [[topKQuantized]]'s (unit-normalize,
+    * one global symmetric scale, clamp(floor(x/absmax·127+0.5)), integer
+    * fold) — every stage deterministic and SQL-replayable, so even the
+    * composed approximate operator hash-matches its oracle.
+    * Output: (query_id, rank, neighbor_id, qdot). */
+  def topKIvfQuantized(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, k: Int, nLists: Int = 16,
+                       nProbe: Int = 4, iters: Int = 15, seed: Long = 42L,
+                       centroidsOut: Option[String] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val centroids = trainKMeans(corpus, idCol, vecCol, nLists, iters, seed)
+    centroidsOut.foreach(persistCentroids(corpus.sparkSession, centroids, _))
+    def ranked(v: Column): Column =
+      call_function("nearest_centroids", v,
+        typedLit(centroids.map(_.toSeq).toSeq))
+    def unit(v: Column): Column = {
+      val n = norm(v)
+      transform(v, x => x / n)
+    }
+    val c0 = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cnv", unit(col("cv")))
+    val amDf = c0.agg(max(array_max(transform(col("cnv"), x => abs(x)))).as("am"))
+    def quant(v: Column): Column =
+      transform(v, x => greatest(lit(-127),
+        least(lit(127), floor(x / col("am") * 127 + 0.5).cast("int"))))
+    // corpus: one pass computes BOTH the list assignment (raw vector) and
+    // the quantized form (normalized vector); floats never leave the stage
+    val c = c0.crossJoin(broadcast(amDf))
+      .select(col("neighbor_id"),
+        element_at(ranked(col("cv")), 1).as("list"),
+        quant(col("cnv")).as("cq"))
+    val q = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qnv", unit(col("qv")))
+      .crossJoin(broadcast(amDf))
+      .select(col("query_id"), quant(col("qnv")).as("qq"),
+        explode(slice(ranked(col("qv")), 1, nProbe)).as("list"))
+    val scored = c.join(broadcast(q), Seq("list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(zip_with(col("qq"), col("cq"), (a, b) => a.cast("long") * b),
+          lit(0L), (s, x) => s + x).as("qdot"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("qdot").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "qdot")
+      .orderBy("query_id", "rank")
+  }
+
   private def sqDist(a: Array[Double], b: Array[Double]): Double = {
     var d = 0.0; var i = 0
     while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }

@@ -40,6 +40,8 @@ object SimilarityQueries {
     sys.props("java.io.tmpdir"), s"graft-ivf-centroids-$Pid.parquet").getAbsolutePath
   private val ClusterCentroidsPath = new java.io.File(
     sys.props("java.io.tmpdir"), s"graft-cluster-centroids-$Pid.parquet").getAbsolutePath
+  private val IvfqCentroidsPath = new java.io.File(
+    sys.props("java.io.tmpdir"), s"graft-ivfq-centroids-$Pid.parquet").getAbsolutePath
   // PID-scoped dirs would otherwise accumulate one pair per process across
   // CI/bench runs. They must OUTLIVE this JVM (the oracle's DuckDB replay
   // runs after Verify exits), so exit-time cleanup is wrong — instead each
@@ -49,7 +51,7 @@ object SimilarityQueries {
   // not mean the dir is garbage (a new run starting in that window would
   // otherwise delete centroids the pending replay is about to read).
   locally {
-    val re = """graft-(?:ivf|cluster)-centroids-(\d+)\.parquet""".r
+    val re = """graft-(?:ivf|ivfq|cluster)-centroids-(\d+)\.parquet""".r
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
     val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
     Option(tmp.listFiles()).toSeq.flatten.foreach { f =>
@@ -148,6 +150,24 @@ object SimilarityQueries {
        |          FROM ivf_s)""".stripMargin
   }
 
+  /** Assignment/probing CTEs of an IVF quantizer persisted at `path`
+    * (shared structure with `ivfCtes`, which additionally scores by
+    * cosine; this one feeds the quantized scorer). */
+  private def ivfAssignCtes(path: String): String = {
+    def c2 = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      "list_transform(cents.c, x -> x * x)), (s, x) -> s + x)"
+    def vc = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      "list_transform(range(1, len(n.v) + 1), i -> n.v[i] * cents.c[i])), (s, x) -> s + x)"
+    s"""cents AS (SELECT list_id, list_transform(c, x -> CAST(x AS DOUBLE)) AS c
+       |          FROM read_parquet('$path/*.parquet')),
+       |cd AS (SELECT n.vec_id, cents.list_id, $c2 - 2.0 * $vc AS d FROM n, cents),
+       |cr AS (SELECT vec_id, list_id,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS crk
+       |       FROM cd),
+       |assign AS (SELECT vec_id, list_id FROM cr WHERE crk = 1),
+       |probes AS (SELECT vec_id, list_id FROM cr WHERE crk <= $NPROBE AND vec_id < $NQ)""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact cosine top-5 for 10 query vectors: broadcast queries x corpus,
@@ -199,6 +219,45 @@ object SimilarityQueries {
       val emb = Tables(s, dir, "embeddings")
       SimilarityOps.topKQuantized(emb, emb.filter(col("vec_id") < NQ),
         "vec_id", "embedding", K)
+    },
+
+    // IVF × INT8 COMPOSED top-5 — the production 100 TB ANN shape: the
+    // coarse quantizer prunes the scan to ~nProbe/nLists of the corpus AND
+    // the scanned lists rank by the integer dot of 4×-compressed vectors
+    // (neither half alone is the deployment form: IVF-with-float-scan
+    // still holds full vectors in RAM, quantized-full-scan still reads
+    // every row). Assignment replays from the persisted quantizer exactly
+    // like ann_ivf; quantization replays like ann_quantized; so the
+    // composed APPROXIMATE operator still hash-matches its oracle.
+    QueryDef.withOracle("ann_ivf_quantized",
+      s"""WITH $NORMED,
+         |${ivfAssignCtes(IvfqCentroidsPath)},
+         |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS uv FROM n),
+         |am AS (SELECT max(list_max(list_transform(uv, x -> abs(x)))) AS am FROM u),
+         |qz AS (SELECT vec_id, list_transform(uv, x ->
+         |         greatest(-127, least(127,
+         |           CAST(floor(x / am.am * 127 + 0.5) AS INT)))) AS q
+         |       FROM u, am),
+         |icand AS (SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id
+         |          FROM probes p JOIN assign a USING (list_id)
+         |          WHERE a.vec_id <> p.vec_id),
+         |scored AS (SELECT icand.query_id, icand.neighbor_id,
+         |             list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |               list_transform(range(1, len(q1.q) + 1),
+         |                 i -> CAST(q1.q[i] AS BIGINT) * q2.q[i])),
+         |               (s, x) -> s + x) AS qdot
+         |           FROM icand JOIN qz q1 ON q1.vec_id = icand.query_id
+         |                      JOIN qz q2 ON q2.vec_id = icand.neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, qdot,
+         |        CAST(row_number() OVER (PARTITION BY query_id
+         |          ORDER BY qdot DESC, neighbor_id) AS BIGINT) AS rk
+         |      FROM scored)
+         |SELECT query_id, rk AS "rank", neighbor_id, qdot FROM r WHERE rk <= $K
+         |ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      SimilarityOps.topKIvfQuantized(emb, emb.filter(col("vec_id") < NQ),
+        "vec_id", "embedding", K, nLists = 16, nProbe = NPROBE,
+        centroidsOut = Some(IvfqCentroidsPath))
     },
 
     // Multi-probe LSH top-5 (4 tables x 4 sign-bits, probe radius 2): the

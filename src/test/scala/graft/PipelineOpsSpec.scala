@@ -384,11 +384,43 @@ class PipelineOpsSpec extends SparkTestBase {
     val ivf = recall(SimilarityOps.topKIvf(emb, q, "vec_id", "embedding", 5,
       nLists = 16, nProbe = 12))
     val qnt = recall(SimilarityOps.topKQuantized(emb, q, "vec_id", "embedding", 5))
+    val ivfq = recall(SimilarityOps.topKIvfQuantized(emb, q, "vec_id", "embedding", 5,
+      nLists = 16, nProbe = 12))
     exact.unpersist()
-    info(s"recall@5: lsh=$lsh ivf=$ivf int8=$qnt")
+    info(s"recall@5: lsh=$lsh ivf=$ivf int8=$qnt ivf×int8=$ivfq")
     assert(lsh >= 0.95, s"LSH recall@5 regressed: $lsh")
     assert(ivf >= 0.9, s"IVF recall@5 regressed: $ivf")
     assert(qnt >= 0.9, s"int8-quantized recall@5 regressed: $qnt")
+    // the composed path loses at most the union of both approximations —
+    // floor set one notch under the measured min(ivf, qnt)
+    assert(ivfq >= 0.85, s"IVF×int8 recall@5 regressed: $ivfq")
+  }
+
+  test("IVF on CLUSTERED vectors: recall floor holds, list skew is measured") {
+    // near-uniform driver embeddings are easiest for IVF list balance;
+    // real embeddings cluster — this deterministic clustered fixture is
+    // the regime where probing the right lists matters and occupancy skews
+    val cl = graft.tools.ClusteredVectors
+      .generate(spark, n = 1000L, dim = 64, nClusters = 8).persist()
+    cl.count()
+    val q = cl.filter($"vec_id" < 10)
+    val exact = SimilarityOps.topKExact(cl, q, "vec_id", "embedding", 5).persist()
+    exact.count()
+    val recall = SimilarityOps.recallAtK(exact,
+        SimilarityOps.topKIvf(cl, q, "vec_id", "embedding", 5,
+          nLists = 16, nProbe = 4))
+      .select("recall").as[Double].head()
+    val skew = graft.tools.ClusteredVectors.ivfListSkew(cl, nLists = 16)
+    exact.unpersist(); cl.unpersist()
+    info(s"clustered recall@5=$recall listSkew=$skew")
+    // on clustered data a 4/16-probe IVF should be near-perfect: the query
+    // and its neighbors share a cluster, and k-means centers track clusters
+    assert(recall >= 0.9, s"clustered IVF recall@5 regressed: $recall")
+    // skewed membership is the POINT of the fixture (density ∝ u²): the
+    // quantizer must see real imbalance, or the fixture has degenerated
+    // back to the uniform regime this test exists to leave
+    assert(skew > 1.2, s"clustered fixture lost its skew: $skew")
+    assert(skew < 16.0, s"one list swallowed the corpus: $skew")
   }
 
   test("embeddingPairsLsh equals the all-pairs brute force on the real table") {
