@@ -66,6 +66,7 @@ object GraftFunctions {
       args(2).eval().asInstanceOf[Number].intValue,
       args(3).eval().asInstanceOf[Number].intValue)),
     "graft_text_counts" -> (args => GraftTextCounts(args.head)),
+    "graft_bpe_tokens" -> (args => GraftBpeTokens(args.head)),
     "graft_shingles" -> (args =>
       GraftShingles(args(0), args(1).eval().asInstanceOf[Number].intValue)),
     // arg 1 is a foldable array<array<double>> literal (the trained

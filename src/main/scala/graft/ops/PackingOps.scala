@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -42,13 +42,20 @@ object PackingOps {
     * explode: map-side at any scale, no shuffle.
     * Output: (idCol, chunk_id, start_tok, end_tok) with
     * `end_tok = min(start_tok + size, n_tokens)` exclusive. */
+  /** Default token counter: `[a-z]+` word tokens. The REAL-BPE counter
+    * (`c => size(TextOps.bpeMergedTokens(c)).cast("long")`) is what the
+    * registered pipeline queries pass — trained-tokenizer counts are what
+    * a production packer bins on. */
+  val WordTokenCount: Column => Column =
+    c => org.apache.spark.sql.functions.size(TextOps.tokens(c)).cast("long")
+
   def chunkSpans(docs: DataFrame, idCol: String, textCol: String,
-                 size: Int, stride: Int): DataFrame = {
+                 size: Int, stride: Int,
+                 tokenCount: Column => Column = WordTokenCount): DataFrame = {
     require(size > 0 && stride > 0 && stride <= size,
       s"need 0 < stride <= size: size=$size stride=$stride")
     docs.select(col(idCol),
-        org.apache.spark.sql.functions.size(TextOps.tokens(col(textCol)))
-          .cast("long").as("n_tokens"))
+        tokenCount(col(textCol)).as("n_tokens"))
       .filter(col("n_tokens") > 0)
       .select(col(idCol), col("n_tokens"),
         explode(sequence(lit(0L),
@@ -65,7 +72,8 @@ object PackingOps {
     * token stream and `bin_id = start_tok div capacity`. */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
                     groupCol: String, capacity: Long,
-                    chunks: Int = 64): DataFrame = {
+                    chunks: Int = 64,
+                    tokenCount: Column => Column = WordTokenCount): DataFrame = {
     require(capacity > 0, s"capacity must be positive: $capacity")
     require(chunks > 0, s"chunks must be positive: $chunks")
     // hv-range chunk: monotone in hv, so each chunk is a contiguous slice
@@ -82,7 +90,7 @@ object PackingOps {
     // bytes/doc, not the text.
     val base = docs.select(col(groupCol), col(idCol),
         TextOps.polyHash(col(idCol).cast("string")).as("hv"),
-        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+        tokenCount(col(textCol)).as("n_tokens"))
       .withColumn("_ck", expr(s"hv div ${span}L"))
       .localCheckpoint(false)
     val wIn = Window.partitionBy(col(groupCol), col("_ck"))

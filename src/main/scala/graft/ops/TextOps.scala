@@ -37,11 +37,19 @@ object TextOps {
   def wsTokens(text: Column): Column =
     regexp_extract_all(text, lit("\\S+"), lit(0))
 
-  /** BPE-ish pre-tokenization: letter runs, digit runs, and single
+  /** BPE pre-tokenization: letter runs, digit runs, and single
     * other-non-space characters — the shape GPT-style BPE splits on before
-    * merges. */
+    * merges (the MERGED tokens live in [[bpeMergedTokens]]). */
   def bpeTokens(text: Column): Column =
     regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
+
+  /** REAL BPE tokens: greedy merges over the trained table
+    * (graft.functions.BpeVocab) applied to each pre-token — the counts
+    * every token-denominated operator (packing, chunking, mixture) should
+    * run on. Native expression with a per-task word memo; requires
+    * `GraftFunctions.register(spark)`. */
+  def bpeMergedTokens(text: Column): Column =
+    call_function("graft_bpe_tokens", text)
 
   /** Every token/char COUNT the quality operators need, as one struct
     * (`n_ws, n_bpe, n_word, n_punct, sw_hits`) from a single compiled pass —

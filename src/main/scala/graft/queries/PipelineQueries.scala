@@ -126,11 +126,16 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
-    // Sliding-window chunking (size 48, stride 32): the pre-embedding split
-    // of long documents. Integer-only, map-side, bounded explode.
+    // Sliding-window chunking (size 48, stride 32) on REAL BPE counts —
+    // the spans a trainer's chunker would actually cut (VERDICT r10 #1:
+    // token-denominated operators must run on trained-tokenizer numbers,
+    // not the pre-token heuristic). The oracle replays the merge loop
+    // (OracleText.BPE_CTES) before the span arithmetic. Integer-only,
+    // map-side, bounded explode.
     QueryDef.withOracle("pipeline_chunk",
-      s"""WITH n AS (SELECT doc_id, CAST(len(${OracleText.TOKS}) AS BIGINT) AS n_tokens
-         |           FROM documents),
+      s"""WITH RECURSIVE ${OracleText.BPE_CTES},
+         |n AS (SELECT d.doc_id, COALESCE(b.n_tokens, 0) AS n_tokens
+         |      FROM documents d LEFT JOIN bpe_doc b USING (doc_id)),
          |c AS (SELECT doc_id,
          |             unnest(range(0, greatest(0, (n_tokens - 48 + 31) // 32) + 1)) AS chunk_id,
          |             n_tokens
@@ -138,8 +143,10 @@ object PipelineQueries {
          |SELECT doc_id, chunk_id, chunk_id * 32 AS start_tok,
          |       least(chunk_id * 32 + 48, n_tokens) AS end_tok
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
       graft.ops.PackingOps.chunkSpans(Tables(s, dir, "documents"),
-          "doc_id", "text", size = 48, stride = 32)
+          "doc_id", "text", size = 48, stride = 32,
+          tokenCount = c => size(graft.ops.TextOps.bpeMergedTokens(c)).cast("long"))
         .orderBy("doc_id", "chunk_id")
     },
 
@@ -150,17 +157,20 @@ object PipelineQueries {
     // cumsum pattern when a group is monolithic).
     QueryDef.withOracle("pipeline_pack", {
       val h = OracleText.wordHashSql("CAST(doc_id AS VARCHAR)")
-      s"""SELECT source, doc_id, n_tokens, start_tok, start_tok // 2048 AS bin_id
+      s"""WITH RECURSIVE ${OracleText.BPE_CTES}
+         |SELECT source, doc_id, n_tokens, start_tok, start_tok // 2048 AS bin_id
          |FROM (SELECT source, doc_id, n_tokens,
          |        CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY hv, doc_id
          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
-         |      FROM (SELECT source, doc_id,
-         |              CAST(len(${OracleText.TOKS}) AS BIGINT) AS n_tokens, $h AS hv
-         |            FROM documents))
+         |      FROM (SELECT d.source, d.doc_id,
+         |              COALESCE(b.n_tokens, 0) AS n_tokens, $h AS hv
+         |            FROM documents d LEFT JOIN bpe_doc b USING (doc_id)))
          |ORDER BY source, doc_id""".stripMargin
     }) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
       graft.ops.PackingOps.packSequences(Tables(s, dir, "documents"),
-          "doc_id", "text", "source", 2048L)
+          "doc_id", "text", "source", 2048L,
+          tokenCount = c => size(graft.ops.TextOps.bpeMergedTokens(c)).cast("long"))
         .orderBy("source", "doc_id")
     }
   )

@@ -56,6 +56,47 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // REAL BPE tokenization (graft.functions.BpeVocab — greedy merges over
+    // a trained 48-merge table, the standard Sennrich/GPT-2 algorithm):
+    // per-doc merged-token count, distinct-token count, and an
+    // order-sensitive fingerprint of the full token stream. The oracle
+    // REPLAYS THE MERGE LOOP itself (recursive CTE, rank-order fixpoint
+    // sweep over delimited strings — see OracleText.BPE_CTES for the
+    // equivalence argument), so a wrong merge order, a missed occurrence,
+    // or a pre-tokenization drift all break the hash match. This replaces
+    // "BPE-ish" counts with numbers a real pipeline would ship; packing
+    // and chunking below consume the same counts.
+    QueryDef.withOracle("text_tokens_bpe",
+      s"""WITH RECURSIVE $BPE_CTES,
+         |fp AS (SELECT doc_id,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(string_split(alltok, '|'),
+         |             t -> ${OracleText.wordHashSql("t")})),
+         |           (f, wh) -> (f * ${TextOps.B2} + wh) % ${TextOps.P}) AS fp,
+         |         len(list_distinct(string_split(alltok, '|'))) AS nd
+         |       FROM bpe_doctok)
+         |SELECT d.doc_id,
+         |  COALESCE(b.n_tokens, 0) AS n_bpe,
+         |  CAST(COALESCE(fp.nd, 0) AS BIGINT) AS n_distinct,
+         |  COALESCE(fp.fp, 0) AS bpe_fp
+         |FROM documents d
+         |LEFT JOIN bpe_doc b USING (doc_id)
+         |LEFT JOIN fp USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      // merged tokens materialized ONCE (own select) — three aggregates
+      // derive from the array without re-running the merge loop (no CSE
+      // inside interpreted expressions, see textCounts note)
+      Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), TextOps.bpeMergedTokens(col("text")).as("_t"))
+        .select(col("doc_id"),
+          size(col("_t")).cast("long").as("n_bpe"),
+          size(array_distinct(col("_t"))).cast("long").as("n_distinct"),
+          TextOps.fingerprintOfHashes(TextOps.wordHashes(col("_t"))).as("bpe_fp"))
+        .orderBy("doc_id")
+    },
+
     // Rule-based quality FILTER — the decision layer on top of text_stats:
     // every document gets a keep/drop verdict plus the FIRST failing rule
     // (the reason a doc was dropped is what a pipeline owner debugs with).
@@ -355,6 +396,58 @@ object OracleText {
        |            ELSE CAST(-1 AS BIGINT) END)), (a, b) -> a + b) > 0
        |   THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)),
        | (a, b) -> a + b)""".stripMargin.replace("\n", " ")
+
+  /** REAL-BPE replay CTEs (mirrors graft.functions.BpeVocab exactly).
+    * Queries embedding this block must open with `WITH RECURSIVE`.
+    *
+    * Mechanism: each distinct pre-token becomes a '|'-delimited symbol
+    * string ('abc' → '|a|b|c|'); the recursive CTE sweeps the merge table
+    * in rank order, applying each merge via `replace('|a|b|' → '|ab|')`
+    * repeatedly until the pattern is gone before advancing to the next
+    * rank. For a well-formed table (every BPE-trained table is — a symbol
+    * cannot appear in a merge before the merge that creates it) this
+    * rank-order fixpoint sweep is equivalent to the Scala side's greedy
+    * lowest-rank-first loop; the equivalence is validated over every
+    * corpus word plus overlap/repeat stress cases. Produces:
+    *  - `bpe_tok(w, s)`: per distinct pre-token, the final delimited
+    *    token string
+    *  - `bpe_doc(doc_id, n_tokens)`: per document, total merged-token
+    *    count (docs with no pre-tokens absent — LEFT JOIN + COALESCE)
+    *  - `bpe_doctok(doc_id, alltok)`: the document's full ordered token
+    *    stream, '|'-joined */
+  val BPE_CTES: String = {
+    val nm = graft.functions.BpeVocab.Merges.length
+    val vals = graft.functions.BpeVocab.Merges.zipWithIndex.map {
+      case ((a, b), i) => s"($i, '|$a|$b|', '|$a$b|')"
+    }.mkString(",\n    ")
+    s"""bpe_m(rnk, pat, rep) AS (VALUES
+       |    $vals),
+       |bpe_pre AS (SELECT doc_id,
+       |              regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]') AS ws
+       |            FROM documents),
+       |bpe_wd AS (SELECT DISTINCT unnest(ws) AS w FROM bpe_pre),
+       |bpe_it(w, s, rnk) AS (
+       |  SELECT w, '|' || regexp_replace(w, '(.)', '\\1|', 'g'), 0 FROM bpe_wd
+       |  UNION ALL
+       |  SELECT i.w,
+       |    CASE WHEN contains(i.s, m.pat) THEN replace(i.s, m.pat, m.rep)
+       |         ELSE i.s END,
+       |    CASE WHEN contains(i.s, m.pat) THEN i.rnk ELSE i.rnk + 1 END
+       |  FROM bpe_it i JOIN bpe_m m ON m.rnk = i.rnk
+       |  WHERE i.rnk < $nm),
+       |bpe_tok AS (SELECT w, s FROM bpe_it WHERE rnk = $nm),
+       |bpe_wtok AS (SELECT doc_id, w, ord FROM (
+       |               SELECT doc_id, unnest(ws) AS w,
+       |                      generate_subscripts(ws, 1) AS ord
+       |               FROM bpe_pre)),
+       |bpe_doc AS (SELECT p.doc_id,
+       |              CAST(SUM(length(t.s) - length(replace(t.s, '|', '')) - 1)
+       |                   AS BIGINT) AS n_tokens
+       |            FROM bpe_wtok p JOIN bpe_tok t USING (w) GROUP BY 1),
+       |bpe_doctok AS (SELECT p.doc_id,
+       |                 string_agg(trim(t.s, '|'), '|' ORDER BY p.ord) AS alltok
+       |               FROM bpe_wtok p JOIN bpe_tok t USING (w) GROUP BY 1)""".stripMargin
+  }
 
   private val EnStop = TextOps.StopwordLists.toMap.apply("en")
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")

@@ -844,6 +844,53 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(WavCodec.frameFeatures(a, frameSize = 4, maxFrames = 2).size == 2)
   }
 
+  test("BpeVocab: greedy merge order, overlap handling, subword splits") {
+    import graft.functions.BpeVocab.tokenizeWord
+    // whole corpus words collapse to single tokens
+    assert(tokenizeWord("scan").toSeq == Seq("scan"))
+    assert(tokenizeWord("customer").toSeq == Seq("customer"))
+    assert(tokenizeWord("vector").toSeq == Seq("vector"))
+    // out-of-vocab words split into real subwords, not characters
+    assert(tokenizeWord("merger").toSeq == Seq("mer", "g", "er"))
+    assert(tokenizeWord("slowlow").toSeq == Seq("slow", "low"))
+    // overlap: left-to-right non-overlapping within one merge round
+    assert(tokenizeWord("erer").toSeq == Seq("er", "er"))
+    // rank order matters: (e,r) rank 0 beats (o,r) rank 3 in "orer"?
+    // both apply at disjoint positions -> (e,r) merges first, then (o,r)
+    assert(tokenizeWord("orer").toSeq == Seq("or", "er"))
+    // unknown chars stay single symbols
+    assert(tokenizeWord("zzz").toSeq == Seq("z", "z", "z"))
+    assert(tokenizeWord("").toSeq == Seq.empty)
+  }
+
+  test("graft_bpe_tokens: pre-tokenization matches the regex, merges apply per word") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, "scan the slow vector"),
+      (2L, "order123 merge, batch!"),
+      (3L, ""),
+      (4L, "  \t\n ")
+    ).toDF("doc_id", "text")
+    val got = df.select($"doc_id",
+        graft.ops.TextOps.bpeMergedTokens($"text").as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) == Seq("scan", "t", "h", "e", "slow", "vector"))
+    // digits form their own pre-token; punctuation chars stand alone;
+    // "merge" collapses fully (mer+ge is itself merge rank 40)
+    assert(got(2L) == Seq("order", "1", "2", "3", "merge", ",", "batch", "!"))
+    assert(got(3L).isEmpty && got(4L).isEmpty)
+    // merged-token COUNT consistency with the pre-token regex: every
+    // pre-token contributes >= 1 merged token
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val chk = docs.select(
+        org.apache.spark.sql.functions.size(
+          graft.ops.TextOps.bpeTokens($"text")).as("pre"),
+        org.apache.spark.sql.functions.size(
+          graft.ops.TextOps.bpeMergedTokens($"text")).as("merged"))
+      .filter($"merged" < $"pre").count()
+    assert(chk == 0L)
+  }
+
   test("PngCodec: encode/decode round-trips pixels through every filter type") {
     // w=3,h=4 with a gradient+noise pattern so Sub/Up/Average/Paeth all
     // produce nonzero filtered deltas
