@@ -308,6 +308,74 @@ object DedupOps {
         "candidate recall; rebuild the index or match the parameters")
   }
 
+  /** Seed an EPOCH-PARTITIONED working index from a flat corpus index
+    * (see [[streamingIncrementalDedup]]): each of reps/members/bands moves
+    * under an `epoch=0` partition dir, so every later epoch append is an
+    * idempotent overwrite of its own partition — replaying a micro-batch
+    * after a mid-write crash rewrites the same `epoch=N` dirs instead of
+    * double-appending (the foreachBatch exactly-once recipe). The extra
+    * `epoch` partition column is inert downstream: every index consumer
+    * projects named columns. */
+  def initEpochBandIndex(spark: org.apache.spark.sql.SparkSession,
+                         corpusIndexDir: String, workDir: String): Unit = {
+    Seq("reps", "members", "bands").foreach { part =>
+      spark.read.parquet(s"$corpusIndexDir/$part")
+        .write.mode("overwrite").parquet(s"$workDir/$part/epoch=0")
+    }
+    spark.read.parquet(s"$corpusIndexDir/manifest")
+      .coalesce(1).write.mode("overwrite").parquet(s"$workDir/manifest")
+  }
+
+  /** Append one increment's band index as epoch `epoch` of a working
+    * index ([[initEpochBandIndex]] layout). Overwrite of the epoch's own
+    * partition dirs → idempotent under micro-batch replay. */
+  def appendEpochBandIndex(increment: DataFrame, idCol: String,
+                           textCol: String, n: Int, workDir: String,
+                           epoch: Long, bands: Int = 32,
+                           rows: Int = 4): Unit = {
+    validateIndexManifest(increment.sparkSession, workDir, n, bands, rows)
+    val (reps, members, bnd) = prepBandIndex(increment, idCol, textCol, n, bands, rows)
+    reps.write.mode("overwrite").parquet(s"$workDir/reps/epoch=$epoch")
+    members.write.mode("overwrite").parquet(s"$workDir/members/epoch=$epoch")
+    bnd.write.mode("overwrite").parquet(s"$workDir/bands/epoch=$epoch")
+  }
+
+  /** STREAMING incremental dedup — the production corpus build: each
+    * micro-batch of incoming documents matches against the persisted band
+    * index (all epochs so far), its verified matches land in
+    * `outDir/batch=<id>`, and its KEPT documents (no corpus match —
+    * within-batch duplicates survive by the incremental contract) grow the
+    * index as a new epoch. Batch t therefore deduplicates against
+    * corpus ∪ kept(1..t−1): per-batch cost scales with the increment and
+    * the buckets it touches, the corpus is never re-shingled, and both
+    * the match output and the epoch append are partition-overwrite
+    * idempotent, so a replayed batch converges to the same state.
+    * AvailableNow + the shared checkpoint give the two-drain lifecycle
+    * every other streaming face uses. */
+  def streamingIncrementalDedup(stream: DataFrame, workIndexDir: String,
+                                outDir: String, checkpointDir: String,
+                                idCol: String, textCol: String, n: Int,
+                                threshold: Double, bands: Int = 32,
+                                rows: Int = 4): Unit = {
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val matches = incrementalJaccardMatchesIndexed(
+          workIndexDir, batch, idCol, textCol, n, threshold, bands, rows)
+          .persist()
+        matches.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        val kept = batch.join(
+          matches.select(col("new_id")).distinct(),
+          batch(idCol) === col("new_id"), "left_anti")
+        appendEpochBandIndex(kept, idCol, textCol, n, workIndexDir,
+          epoch = batchId + 1, bands = bands, rows = rows)
+        matches.unpersist()
+        ()
+      }
+      .start().awaitTermination()
+  }
+
   /** The per-batch half of incremental dedup against a PERSISTED index
     * (see [[writeCorpusBandIndex]]): only the increment is shingled;
     * the corpus contributes three parquet reads. */

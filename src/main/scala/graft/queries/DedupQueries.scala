@@ -189,6 +189,77 @@ object DedupQueries {
         .select("doc_id").orderBy("doc_id")
     },
 
+    // STREAMING incremental dedup — the production corpus BUILD loop
+    // (VERDICT r10 #3): micro-batches of incoming docs match against the
+    // persisted band index via foreachBatch; each batch's KEPT documents
+    // grow the index as a new epoch, so batch 2 deduplicates against
+    // corpus ∪ kept(batch 1). Two AvailableNow drains over a shared
+    // checkpoint (the standard lifecycle of every engine_stream_* face);
+    // match output and epoch appends are partition-overwrite idempotent.
+    // Oracle: brute-force cross-side Jaccard with the SAME epoch
+    // semantics — batch 1 (250 <= id < 375) vs the corpus (< 250), then
+    // batch 2 (>= 375) vs corpus ∪ kept-of-batch-1.
+    QueryDef.withOracle("engine_stream_incremental", {
+      val (split, mid) = (250, 375)
+      s"""WITH $ShingleCtes,
+         |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM shs),
+         |sz AS (SELECT doc_id, len(shingles) AS sz FROM shs),
+         |cm AS (SELECT a.doc_id AS ni, b.doc_id AS oi, count(*) AS cnt
+         |       FROM ex a JOIN ex b ON a.sh = b.sh
+         |       WHERE a.doc_id >= $split AND b.doc_id < a.doc_id
+         |       GROUP BY 1, 2),
+         |jm AS (SELECT ni, oi,
+         |         CAST(cnt AS DOUBLE) / (sa.sz + sb.sz - cnt) AS jaccard
+         |       FROM cm JOIN sz sa ON sa.doc_id = cm.ni
+         |               JOIN sz sb ON sb.doc_id = cm.oi
+         |       WHERE CAST(cnt AS DOUBLE) / (sa.sz + sb.sz - cnt) >= 0.8),
+         |m1 AS (SELECT * FROM jm WHERE ni < $mid AND oi < $split),
+         |k1 AS (SELECT doc_id FROM documents
+         |       WHERE doc_id >= $split AND doc_id < $mid
+         |         AND doc_id NOT IN (SELECT ni FROM m1)),
+         |m2 AS (SELECT * FROM jm WHERE ni >= $mid
+         |         AND (oi < $split OR oi IN (SELECT doc_id FROM k1)))
+         |SELECT ni AS new_id, oi AS old_id, jaccard FROM m1
+         |UNION ALL
+         |SELECT ni AS new_id, oi AS old_id, jaccard FROM m2
+         |ORDER BY 1, 2""".stripMargin
+    }) { (s, dir) =>
+      val (split, mid) = (250, 375)
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val work = java.nio.file.Files.createTempDirectory("graft-incwork-").toString
+      val stage = java.nio.file.Files.createTempDirectory("graft-incstage-").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-incckpt-").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-incout-").toString
+      DedupOps.initEpochBandIndex(s, IncIndexStage.dir(s, dir), work)
+      val docSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      def drain(): Unit =
+        DedupOps.streamingIncrementalDedup(
+          s.readStream.schema(docSchema).parquet(stage),
+          work, out, ckpt, "doc_id", "text", 3, 0.8)
+      docs.filter(col("doc_id") >= split && col("doc_id") < mid)
+        .write.mode("append").parquet(stage)
+      drain()
+      docs.filter(col("doc_id") >= mid).write.mode("append").parquet(stage)
+      drain()
+      val matchSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("new_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("old_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("jaccard",
+          org.apache.spark.sql.types.DoubleType)))
+      // at tiny SFs the incoming side can be empty -> no batch dirs at all
+      scala.util.Try(s.read.parquet(out).select("new_id", "old_id", "jaccard"))
+        .getOrElse(s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), matchSchema))
+        .orderBy("new_id", "old_id")
+    },
+
     // Near-dup CLUSTERS — the end of the dedup pipeline: pairwise A~B, B~C
     // must collapse to ONE keep-decision even though A~C was never emitted.
     // Spark side: iterative min-label propagation over the LSH pair graph

@@ -106,6 +106,46 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("streamingIncrementalDedup: epoch growth lets later batches match earlier kept docs") {
+    val corpus = docs // ids 0-3
+    val idx = tmpDir("tsdb-test-")
+    DedupOps.writeCorpusBandIndex(corpus, "doc_id", "text", 3, idx)
+    val work = tmpDir("tsdb-test-")
+    val stage = tmpDir("tsdb-test-")
+    val ckpt = tmpDir("tsdb-test-")
+    val out = tmpDir("tsdb-test-")
+    DedupOps.initEpochBandIndex(spark, idx, work)
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def drain(): Unit = DedupOps.streamingIncrementalDedup(
+      spark.readStream.schema(docSchema).parquet(stage),
+      work, out, ckpt, "doc_id", "text", 3, 0.5)
+    // batch 1: 10 = dup of corpus doc 0, 11 = novel (KEPT -> epoch 1)
+    Seq((10L, "the quick brown fox jumps over the lazy dog"),
+        (11L, "a wholly novel document with fresh words only"))
+      .toDF("doc_id", "text").write.mode("append").parquet(stage)
+    drain()
+    // batch 2: 20 = dup of KEPT doc 11 (only findable via epoch growth),
+    // 21 = novel
+    Seq((20L, "a wholly novel document with fresh words only"),
+        (21L, "completely different content again here truly"))
+      .toDF("doc_id", "text").write.mode("append").parquet(stage)
+    drain()
+    val got = spark.read.parquet(out).select("new_id", "old_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got.contains((10L, 0L)), got)  // batch 1 vs corpus
+    assert(got.contains((20L, 11L)), got) // batch 2 vs batch-1 KEPT doc
+    assert(!got.exists(_._1 == 11L) && !got.exists(_._1 == 21L), got)
+    // matched docs never grew the index: 20 matched 11, so nothing later
+    // could match 20 — and the kept set is exactly {11, 21}
+    val keptEpochs = spark.read.parquet(s"$work/members")
+      .select("epoch", "id").as[(Long, Long)].collect().toSet
+    assert(keptEpochs.filter(_._1 > 0).map(_._2) == Set(11L, 21L), keptEpochs)
+  }
+
   test("connectedComponents: transitive chains collapse, multi-round convergence") {
     import graft.ops.DedupOps
     // path 1-2-3-4-5 (diameter 4 -> several propagation rounds), pair 10-11,
