@@ -111,6 +111,49 @@ object Bench {
       exact.unpersist(); cl.unpersist()
       (r, skew)
     } catch { case _: Throwable => (-1.0, -1.0) }
+    // SF1 side-bench (VERDICT r10 #10): at sf0.1 every query is seconds
+    // and half the wall is fixture staging — the 2× gate no longer
+    // discriminates PLANS. When benching the driver's sf0.1 dir, build a
+    // 10× scale-up (GenScale: linear-work replication rules) once per
+    // host and run a plan-sensitive subset there; recorded as separate
+    // sf1_* fields so the headline total stays sf0.1-comparable across
+    // rounds. Disable with SPARK_GRAFT_SF1=0.
+    // events/documents/embeddings families only — GenScale replicates
+    // those three tables (the TPC-H relational tables are driver-fixed)
+    val Sf1Subset = Seq("tsdb_window_sum", "tsdb_sessionize",
+      "tsdb_gap_fill", "tsdb_quantile", "dedup_minhash_lsh",
+      "dedup_ngram_jaccard_capped", "dedup_embedding_lsh_tight", "ann_topk",
+      "ann_ivf_quantized", "text_stats", "text_bm25", "events_funnel",
+      "events_distinct_kmv", "pipeline_pack", "pipeline_chunk",
+      "text_tokens_bpe")
+    val sf1Results: Seq[(String, Double)] =
+      if (args.nonEmpty || !sfDir.replace("/", "").endsWith("sf0.1") ||
+          sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "1") Seq.empty
+      else try {
+        val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft-sf1-bench")
+        val marker = new java.io.File(sf1Dir, "_GENSCALE_DONE")
+        if (!marker.exists()) {
+          graft.tools.GenScale.generate(spark, sfDir, sf1Dir, factor = 10)
+          marker.createNewFile()
+        }
+        Sf1Subset.filter(SparkEntry.queries.contains).map { name =>
+          spark.catalog.clearCache()
+          System.gc()
+          val t0 = System.nanoTime()
+          try SparkEntry.queries(name)(spark, sf1Dir)
+            .write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench sf1] $name failed: ${e.getMessage}")
+          }
+          name -> (System.nanoTime() - t0) / 1e9
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench sf1] skipped: ${e.getMessage}")
+        Seq.empty
+      }
+    val sf1Qs = sf1Results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val sf1Total = sf1Results.map(_._2).sum
     // value-index decay observability (VERDICT r10 #4): reads that fell
     // back to a full scan because the sidecar's stale span overflowed the
     // IN-list cap — nonzero here means "run refreshValueIndex"
@@ -123,7 +166,9 @@ object Bench {
       s""""emb_lsh_cand_ratio_tight":$ratioTight,""" +
       s""""ann_ivf_recall_clustered":$clRecall,""" +
       s""""ivf_list_skew_clustered":$clSkew,""" +
-      s""""vindex_stale_fallbacks":$staleFallbacks,"sf":"$sfDir"}"""
+      s""""vindex_stale_fallbacks":$staleFallbacks,""" +
+      s""""sf1_total":$sf1Total,"sf1_nqueries":${sf1Results.size},""" +
+      s""""sf1_queries":$sf1Qs,"sf":"$sfDir"}"""
     // Persist machine-readable first (sbt prefixes stdout with [info], which
     // breaks downstream JSON parsing of the console line), then stop Spark
     // BEFORE printing so the metrics lines are the LAST stdout the process
@@ -144,7 +189,8 @@ object Bench {
       s""""emb_lsh_cand_ratio_tight":$ratioTight,""" +
       s""""ann_ivf_recall_clustered":$clRecall,""" +
       s""""ivf_list_skew_clustered":$clSkew,""" +
-      s""""vindex_stale_fallbacks":$staleFallbacks,"sf":"$sfDir"}""")
+      s""""vindex_stale_fallbacks":$staleFallbacks,""" +
+      s""""sf1_total":$sf1Total,"sf1_nqueries":${sf1Results.size},"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

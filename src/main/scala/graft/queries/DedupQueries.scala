@@ -409,6 +409,7 @@ object DedupQueries {
       import OracleText.{LANG_PRED, SW_RATIO, TOKS}
       s"""WITH RECURSIVE $JaccardPairCtes,
          |$ComponentCtes,
+         |${OracleText.BPE_CTES},
          |surv AS (SELECT d.* FROM documents d
          |         WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> component)),
          |filt AS (SELECT * FROM surv WHERE
@@ -423,9 +424,10 @@ object DedupQueries {
          |        FROM cnt),
          |kept AS (SELECT f.* FROM filt f JOIN thr USING (source)
          |         WHERE $h % 1000000 < thr.keep_below)
-         |SELECT source, count(*) AS n_docs,
-         |       CAST(sum(len($TOKS)) AS BIGINT) AS n_tokens
-         |FROM kept GROUP BY 1 ORDER BY source""".stripMargin
+         |SELECT k.source, count(*) AS n_docs,
+         |       CAST(sum(COALESCE(b.n_tokens, 0)) AS BIGINT) AS n_tokens
+         |FROM kept k LEFT JOIN bpe_doc b USING (doc_id)
+         |GROUP BY 1 ORDER BY k.source""".stripMargin
     }) { (s, dir) =>
       val docs = Tables(s, dir, "documents")
       val comp = DedupOps.jaccardClustersLsh(
@@ -453,11 +455,15 @@ object DedupQueries {
         .select(col("source"),
           floor(lit(1e6) * sqrt(col("nmin").cast("double") / col("n")))
             .cast("long").as("keep_below"))
+      // token VOLUME on real BPE counts (r10 verdict #1 — the number a
+      // pipeline report ships is trained-tokenizer tokens, not word runs)
       filt.join(broadcast(thr), "source")
         .filter(pmod(TextOps.polyHash(col("doc_id").cast("string")),
           lit(1000000L)) < col("keep_below"))
         .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"), sum(nWord).as("n_tokens"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextOps.bpeMergedTokens(col("text"))).cast("long"))
+            .as("n_tokens"))
         .orderBy("source")
     }
   )

@@ -52,7 +52,14 @@ object ScaleBench {
     "dedup_incremental", "engine_stream_funnel", "engine_value_prune",
     // one-scan multi-series windows (output ∝ series × windows, both grow
     // at most linearly in data) and ViT patch rows (output ∝ documents)
-    "engine_window_all_series", "mm_patches")
+    "engine_window_all_series", "mm_patches",
+    // round-11 additions: real-BPE token stats (work ∝ tokens, the merge
+    // loop amortizes over distinct words per task), composed IVF×int8 ANN
+    // (scan ∝ probed-list occupancy), streaming incremental dedup (work ∝
+    // increment per epoch — the replicated-corpus linearity this gate
+    // checks end-to-end through foreachBatch), color-PNG decode (map-only)
+    "text_tokens_bpe", "ann_ivf_quantized", "engine_stream_incremental",
+    "mm_decode_png_rgb")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
