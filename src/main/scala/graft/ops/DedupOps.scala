@@ -361,16 +361,31 @@ object DedupOps {
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val matches = incrementalJaccardMatchesIndexed(
-          workIndexDir, batch, idCol, textCol, n, threshold, bands, rows)
-          .persist()
-        matches.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-        val kept = batch.join(
-          matches.select(col("new_id")).distinct(),
-          batch(idCol) === col("new_id"), "left_anti")
-        appendEpochBandIndex(kept, idCol, textCol, n, workIndexDir,
-          epoch = batchId + 1, bands = bands, rows = rows)
-        matches.unpersist()
+        val s = batch.sparkSession
+        validateIndexManifest(s, workIndexDir, n, bands, rows)
+        // the increment is shingled ONCE: the same index that generates
+        // candidates becomes (filtered to unmatched reps) the new epoch —
+        // a rep whose set matched the corpus drops with ALL its members
+        // (identical sets have identical jaccard), so kept groups are
+        // exactly the reps with no verified match
+        val (repsI, memI, bndI) = prepBandIndex(batch, idCol, textCol, n, bands, rows)
+        val corpusIdx = (s.read.parquet(s"$workIndexDir/reps"),
+          s.read.parquet(s"$workIndexDir/members"),
+          s.read.parquet(s"$workIndexDir/bands"))
+        val repm = repMatchesFromIndexes(corpusIdx, (repsI, memI, bndI),
+          threshold).persist()
+        expandRepMatches(repm, memI, corpusIdx._2)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        val matched = repm.select(col("rid_new").as("rid")).distinct()
+        def keep(df: DataFrame): DataFrame =
+          df.join(matched, Seq("rid"), "left_anti")
+        keep(repsI).write.mode("overwrite")
+          .parquet(s"$workIndexDir/reps/epoch=${batchId + 1}")
+        keep(memI).write.mode("overwrite")
+          .parquet(s"$workIndexDir/members/epoch=${batchId + 1}")
+        keep(bndI).write.mode("overwrite")
+          .parquet(s"$workIndexDir/bands/epoch=${batchId + 1}")
+        repm.unpersist()
         ()
       }
       .start().awaitTermination()
@@ -395,24 +410,41 @@ object DedupOps {
       corpusIndex: (DataFrame, DataFrame, DataFrame), incoming: DataFrame,
       idCol: String, textCol: String, n: Int, threshold: Double,
       bands: Int, rows: Int): DataFrame = {
-    val (repsC, memC, bndC) = corpusIndex
-    val (repsI, memI, bndI) = prepBandIndex(incoming, idCol, textCol, n, bands, rows)
+    val incIdx = prepBandIndex(incoming, idCol, textCol, n, bands, rows)
+    expandRepMatches(
+      repMatchesFromIndexes(corpusIndex, incIdx, threshold),
+      incIdx._2, corpusIndex._2)
+  }
+
+  /** Rep-level verified cross-side matches of two band indexes:
+    * (rid_new, rid_old, jaccard) at `jaccard >= threshold`. */
+  private def repMatchesFromIndexes(
+      corpusIndex: (DataFrame, DataFrame, DataFrame),
+      incomingIndex: (DataFrame, DataFrame, DataFrame),
+      threshold: Double): DataFrame = {
+    val (repsC, _, bndC) = corpusIndex
+    val (repsI, _, bndI) = incomingIndex
     val cand = bndI.as("i").join(bndC.as("c"),
         col("i.band") === col("c.band") && col("i.bucket") === col("c.bucket"))
       .select(col("i.rid").as("rid_new"), col("c.rid").as("rid_old"))
       .distinct()
-    val verified = cand
+    cand
       .join(repsI.select(col("rid").as("rid_new"), col("_set").as("sh_n")), "rid_new")
       .join(repsC.select(col("rid").as("rid_old"), col("_set").as("sh_o")), "rid_old")
       .select(col("rid_new"), col("rid_old"),
         jaccard(size(array_intersect(col("sh_n"), col("sh_o"))),
           size(col("sh_n")), size(col("sh_o"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Rep-level matches expanded to documents through both member maps:
+    * (new_id, old_id, jaccard). */
+  private def expandRepMatches(verified: DataFrame, memI: DataFrame,
+                               memC: DataFrame): DataFrame =
     verified
       .join(memI.select(col("rid").as("rid_new"), col("id").as("new_id")), "rid_new")
       .join(memC.select(col("rid").as("rid_old"), col("id").as("old_id")), "rid_old")
       .select("new_id", "old_id", "jaccard")
-  }
 
   /** Near-dup CLUSTERS straight from shingle sets — output identical to
     * `components(jaccardPairsLsh(...).select("id_a","id_b"))` but the

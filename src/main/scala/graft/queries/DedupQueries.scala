@@ -32,6 +32,31 @@ object DedupQueries {
       }
   }
 
+  /** Epoch-form corpus band index TEMPLATE, staged once per JVM per sf
+    * dir; mutating consumers (engine_stream_incremental appends epochs)
+    * take a filesystem copy instead of re-deriving it with Spark jobs. */
+  private object IncEpochStage {
+    private val staged = scala.collection.mutable.Map[String, String]()
+    def copyTo(s: org.apache.spark.sql.SparkSession, dirPath: String,
+               dest: String): Unit = {
+      val src = synchronized {
+        staged.getOrElseUpdate(dirPath, {
+          val d = java.nio.file.Files.createTempDirectory("graft-incepoch-").toString
+          DedupOps.initEpochBandIndex(s, IncIndexStage.dir(s, dirPath), d)
+          d
+        })
+      }
+      import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+      val (sp, dp) = (Paths.get(src), Paths.get(dest))
+      val walk = Files.walk(sp)
+      try walk.forEach { (p: Path) =>
+        val t = dp.resolve(sp.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+      } finally walk.close()
+    }
+  }
+
   /** `shs(doc_id, shingles)`: distinct 3-word shingle hashes per document —
     * the exact arithmetic of `DedupOps.shingleSets(_, _, _, 3)`. */
   private val ShingleCtes =
@@ -231,7 +256,10 @@ object DedupQueries {
       val stage = java.nio.file.Files.createTempDirectory("graft-incstage-").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft-incckpt-").toString
       val out = java.nio.file.Files.createTempDirectory("graft-incout-").toString
-      DedupOps.initEpochBandIndex(s, IncIndexStage.dir(s, dir), work)
+      // the run MUTATES its index (epoch appends), so each run gets a
+      // private copy — a filesystem copy of the per-JVM epoch-form
+      // template (ms), not three Spark read/write jobs per run
+      IncEpochStage.copyTo(s, dir, work)
       val docSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
           org.apache.spark.sql.types.LongType),
