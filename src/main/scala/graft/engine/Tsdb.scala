@@ -64,7 +64,8 @@ final case class WriteResult(written: Long, discarded: Long, overwriteVerified: 
   */
 final class Tsdb(val spark: SparkSession, val rootDir: String,
                  requestedBucketWidth: Long = Tsdb.UseExistingWidth,
-                 maxPrunedBuckets: Int = Tsdb.DefaultMaxPrunedBuckets) {
+                 maxPrunedBuckets: Int = Tsdb.DefaultMaxPrunedBuckets,
+                 autoRefreshValueIndex: Boolean = false) {
   import MeasurementSchema.{BucketCol, SeriesCol, TimeCol}
 
   GraftFunctions.register(spark)
@@ -1052,7 +1053,14 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
     * rows, no directory-level skipping. NULL field values never match the
     * band (SQL BETWEEN semantics), so an all-NULL bucket prunes too. */
   def selectValueRange(db: String, m: String, series: String, field: String,
-                       vLo: Double, vHi: Double, t0: Long, t1: Long): DataFrame = {
+                       vLo: Double, vHi: Double, t0: Long, t1: Long): DataFrame =
+    selectValueRangeImpl(db, m, series, field, vLo, vHi, t0, t1,
+      canAutoRefresh = autoRefreshValueIndex)
+
+  private def selectValueRangeImpl(db: String, m: String, series: String,
+                                   field: String, vLo: Double, vHi: Double,
+                                   t0: Long, t1: Long,
+                                   canAutoRefresh: Boolean): DataFrame = {
     val schema = getSchema(db, m)
     if (!schema.fields.exists(_.name == field))
       throw new InvalidSchemaException(s"unknown field: $field")
@@ -1082,6 +1090,15 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
     // restore path (it re-aggregates only post-watermark buckets).
     if (b1 - math.max(b0, staleLo) >= MaxPrunedBuckets) {
       Tsdb.valueIndexStaleFallbacks.incrementAndGet()
+      // AUTO-HEAL (opt-in): the reference maintains its time index on
+      // every commit (src/libtsdb/write.cc:36-447); here the read that
+      // detects decay pays the (incremental, appended-data-scale) refresh
+      // once and retries — later reads find a fresh index. One retry only.
+      if (canAutoRefresh) {
+        refreshValueIndex(db, m, field)
+        return selectValueRangeImpl(db, m, series, field, vLo, vHi, t0, t1,
+          canAutoRefresh = false)
+      }
       return proj(base)
     }
     // indexed, immutable buckets whose [vmin, vmax] intersects the band —

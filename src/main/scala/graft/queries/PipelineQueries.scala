@@ -126,6 +126,43 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Mixture rebalancing on TOKEN VOLUME — the knob real data mixtures
+    // turn: a language's sampling rate derives from its BPE-token volume
+    // (what the trainer consumes), not its document count (what a naive
+    // mixture counts; long-document languages are over-weighted by doc
+    // counting). Same sqrt-temperature shape and bit-portable arithmetic
+    // as pipeline_mixture; the oracle replays the merge loop for the
+    // volumes.
+    QueryDef.withOracle("pipeline_mixture_tokens", {
+      val h = OracleText.wordHashSql("CAST(doc_id AS VARCHAR)")
+      s"""WITH RECURSIVE ${OracleText.BPE_CTES},
+         |vol AS (SELECT d.lang, CAST(sum(COALESCE(b.n_tokens, 0)) AS BIGINT) AS v
+         |        FROM documents d LEFT JOIN bpe_doc b USING (doc_id) GROUP BY 1),
+         |thr AS (SELECT lang, CAST(floor(1e6 * sqrt(CAST((SELECT min(v) FROM vol) AS DOUBLE)
+         |                / v)) AS BIGINT) AS keep_below
+         |        FROM vol)
+         |SELECT d.doc_id, d.lang, thr.keep_below
+         |FROM documents d JOIN thr USING (lang)
+         |WHERE $h % 1000000 < thr.keep_below
+         |ORDER BY d.doc_id""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables(s, dir, "documents")
+      val vol = docs.groupBy("lang")
+        .agg(sum(size(graft.ops.TextOps.bpeMergedTokens(col("text"))).cast("long"))
+          .as("v"))
+      val minV = vol.agg(min("v").as("vmin"))
+      val thr = vol.crossJoin(broadcast(minV))
+        .select(col("lang"),
+          floor(lit(1e6) * sqrt(col("vmin").cast("double") / col("v")))
+            .cast("long").as("keep_below"))
+      docs.join(broadcast(thr), "lang")
+        .filter(pmod(graft.ops.TextOps.polyHash(col("doc_id").cast("string")),
+          lit(1000000L)) < col("keep_below"))
+        .select("doc_id", "lang", "keep_below")
+        .orderBy("doc_id")
+    },
+
     // Sliding-window chunking (size 48, stride 32) on REAL BPE counts —
     // the spans a trainer's chunker would actually cut (VERDICT r10 #1:
     // token-denominated operators must run on trained-tokenizer numbers,
@@ -155,6 +192,62 @@ object PipelineQueries {
     // tail of the pipeline. Integer-only arithmetic, windows partitioned by
     // source so shards pack in parallel (see PackingOps on the chunked
     // cumsum pattern when a group is monolithic).
+    // THE TRAINER FEED end-to-end: packing composed with real BPE token
+    // IDS — each document's id stream laid at its deterministic pack
+    // offset, one row per (bin, slot): exactly the dense fixed-capacity
+    // sequences a training job reads. Pure integer arithmetic on top of
+    // the pack layout; the oracle replays tokenization (recursive merge
+    // loop), id assignment, the packing cumsum AND the slot arithmetic.
+    QueryDef.withOracle("pipeline_pack_tokens", {
+      val h = OracleText.wordHashSql("CAST(doc_id AS VARCHAR)")
+      val idVals = graft.functions.BpeVocab.Merges.zipWithIndex.map {
+        case ((a, b), i) => s"('$a$b', ${0x110000L + i})"
+      }.mkString(",\n    ")
+      s"""WITH RECURSIVE ${OracleText.BPE_CTES},
+         |bpe_ids(tok, tid) AS (VALUES
+         |    $idVals),
+         |pk AS (SELECT doc_id, source,
+         |         CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY hv, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+         |       FROM (SELECT d.source, d.doc_id,
+         |               COALESCE(b.n_tokens, 0) AS n_tokens, $h AS hv
+         |             FROM documents d LEFT JOIN bpe_doc b USING (doc_id))),
+         |tk AS (SELECT doc_id, unnest(string_split(alltok, '|')) AS token,
+         |              generate_subscripts(string_split(alltok, '|'), 1) - 1 AS pos
+         |       FROM bpe_doctok)
+         |SELECT pk.source, tk.doc_id, CAST(tk.pos AS BIGINT) AS pos,
+         |       (pk.start_tok + tk.pos) // 2048 AS bin_id,
+         |       (pk.start_tok + tk.pos) % 2048 AS bin_off,
+         |       CAST(CASE WHEN length(tk.token) = 1 THEN unicode(tk.token)
+         |            ELSE i.tid END AS BIGINT) AS token_id
+         |FROM pk JOIN tk USING (doc_id) LEFT JOIN bpe_ids i ON i.tok = tk.token
+         |ORDER BY source, bin_id, bin_off""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables(s, dir, "documents")
+      val packed = graft.ops.PackingOps.packSequences(docs,
+          "doc_id", "text", "source", 2048L,
+          tokenCount = c => size(graft.ops.TextOps.bpeMergedTokens(c)).cast("long"))
+        .select("doc_id", "source", "start_tok")
+      val idMap = typedLit(graft.functions.BpeVocab.Merges.zipWithIndex.map {
+        case ((a, b), i) => (a + b) -> (0x110000L + i)
+      }.toMap)
+      val toks = docs
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          posexplode(graft.ops.TextOps.bpeMergedTokens(col("text")))
+            .as(Seq("pos", "token")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          when(length(col("token")) === 1, ascii(col("token")).cast("long"))
+            .otherwise(element_at(idMap, col("token"))).as("token_id"))
+      packed.join(toks, "doc_id")
+        .select(col("source"), col("doc_id"), col("pos"),
+          expr("(start_tok + pos) div 2048L").as("bin_id"),
+          pmod(col("start_tok") + col("pos"), lit(2048L)).as("bin_off"),
+          col("token_id"))
+        .orderBy("source", "bin_id", "bin_off")
+    },
+
     QueryDef.withOracle("pipeline_pack", {
       val h = OracleText.wordHashSql("CAST(doc_id AS VARCHAR)")
       s"""WITH RECURSIVE ${OracleText.BPE_CTES}

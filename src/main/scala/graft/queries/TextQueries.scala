@@ -97,6 +97,44 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // BPE token IDS — the integer stream a trainer actually consumes:
+    // single-codepoint tokens map to their codepoint, merged tokens to
+    // 0x110000 + merge rank (merge outputs are unique in a trained table,
+    // and 0x110000 is past the last Unicode codepoint, so the two id
+    // spaces cannot collide). One row per (doc, position) with the token
+    // and its id — deterministic, and the oracle replays tokenization
+    // (the recursive merge loop) AND the id assignment.
+    QueryDef.withOracle("text_tokens_bpe_ids", {
+      val idVals = graft.functions.BpeVocab.Merges.zipWithIndex.map {
+        case ((a, b), i) => s"('$a$b', ${0x110000L + i})"
+      }.mkString(",\n    ")
+      s"""WITH RECURSIVE $BPE_CTES,
+         |bpe_ids(tok, tid) AS (VALUES
+         |    $idVals),
+         |tk AS (SELECT doc_id, unnest(string_split(alltok, '|')) AS token,
+         |              generate_subscripts(string_split(alltok, '|'), 1) - 1 AS pos
+         |       FROM bpe_doctok)
+         |SELECT tk.doc_id, CAST(tk.pos AS BIGINT) AS pos, tk.token,
+         |       CAST(CASE WHEN length(tk.token) = 1 THEN unicode(tk.token)
+         |            ELSE i.tid END AS BIGINT) AS token_id
+         |FROM tk LEFT JOIN bpe_ids i ON i.tok = tk.token
+         |ORDER BY doc_id, pos""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val idMap = typedLit(graft.functions.BpeVocab.Merges.zipWithIndex.map {
+        case ((a, b), i) => (a + b) -> (0x110000L + i)
+      }.toMap)
+      Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          posexplode(TextOps.bpeMergedTokens(col("text"))).as(Seq("pos", "token")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"),
+          when(length(col("token")) === 1,
+            ascii(col("token")).cast("long"))
+            .otherwise(element_at(idMap, col("token"))).as("token_id"))
+        .orderBy("doc_id", "pos")
+    },
+
     // Rule-based quality FILTER — the decision layer on top of text_stats:
     // every document gets a keep/drop verdict plus the FIRST failing rule
     // (the reason a doc was dropped is what a pipeline owner debugs with).

@@ -59,7 +59,9 @@ object ScaleBench {
     // increment per epoch — the replicated-corpus linearity this gate
     // checks end-to-end through foreachBatch), color-PNG decode (map-only)
     "text_tokens_bpe", "ann_ivf_quantized", "engine_stream_incremental",
-    "mm_decode_png_rgb")
+    "mm_decode_png_rgb",
+    // trainer-feed composition: output ∝ tokens, cumsum is chunk-parallel
+    "pipeline_pack_tokens")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

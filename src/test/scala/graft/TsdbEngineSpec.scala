@@ -613,6 +613,31 @@ class TsdbEngineSpec extends SparkTestBase {
     assert(t2.refreshValueIndex("db1", "m1", "v") == 2L)
   }
 
+  test("autoRefreshValueIndex: the read that detects decay heals the index itself") {
+    val root = tmpDir("tsdb-test-")
+    val t = new Tsdb(spark, root, requestedBucketWidth = 100L,
+      maxPrunedBuckets = 3, autoRefreshValueIndex = true)
+    t.createDatabase("db1"); t.createMeasurement("db1", "m1", schema)
+    t.writePoints("db1", "m1", "s1", vpts(
+      (10L, Some(1.0)), (110L, Some(100.0)), (210L, Some(3.0))))
+    assert(t.buildValueIndex("db1", "m1", "v") == 3L)
+    t.writePoints("db1", "m1", "s1", vpts(
+      (310L, Some(4.0)), (410L, Some(100.5)), (510L, Some(5.0)),
+      (610L, Some(6.0)), (710L, Some(7.0))))
+    val before = Tsdb.valueIndexStaleFallbacks.get()
+    // ONE read: detects the decayed span, pays the incremental refresh,
+    // retries — and comes back PRUNED (3 files: buckets 1, 4, watermark 7)
+    val healed = t.selectValueRange("db1", "m1", "s1", "v", 50.0, 150.0, 0L, 799L)
+    assert(healed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted ==
+      Seq((110L, 100.0), (410L, 100.5)))
+    assert(filesRead(healed) == 3L)
+    assert(Tsdb.valueIndexStaleFallbacks.get() == before + 1) // decay still counted
+    // the NEXT read needs no refresh: index is fresh now
+    val next = t.selectValueRange("db1", "m1", "s1", "v", 50.0, 150.0, 0L, 799L)
+    assert(filesRead(next) == 3L)
+    assert(Tsdb.valueIndexStaleFallbacks.get() == before + 1)
+  }
+
   test("selectValueRange without an index is the plain filtered scan; bad field rejects") {
     val t = mkTsdb()
     freshSeries(t, baseRows: _*)
