@@ -28,6 +28,11 @@ object TempHygiene {
     "graft-fnstage-", "graft-fnckpt-", "graft-fnout-",
     "graft-fwstage-", "graft-fwckpt-", "graft-fwout-",
     "graft-incidx-", // corpus band index, re-staged per JVM; oracle never reads it
+    // streaming incremental dedup (engine_stream_incremental): per-run
+    // working index / stage / checkpoint / output, plus the per-JVM
+    // epoch-form template
+    "graft-incwork-", "graft-incstage-", "graft-incckpt-", "graft-incout-",
+    "graft-incepoch-",
     "graft-bkt-", // bucketed-join staging tables (re-created per JVM)
     // NOT "graft-ivf-"/"graft-cluster-": the ANN quantizer dirs must outlive
     // the writing JVM until the driver's DuckDB oracle replay reads them

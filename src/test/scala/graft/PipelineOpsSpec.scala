@@ -903,6 +903,43 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(tokenizeWord("").toSeq == Seq.empty)
   }
 
+  test("property: greedy BPE == rank-order fixpoint sweep (the oracle's replay strategy)") {
+    import graft.functions.BpeVocab
+    // reference implementation of the ORACLE's mechanism: sweep merges in
+    // rank order, applying each via left-to-right non-overlapping merge
+    // until fixpoint — the recursive-CTE replace() loop in Scala form
+    def rankSweep(w: String): Seq[String] = {
+      var sym: Seq[String] = w.map(_.toString)
+      for ((a, b) <- BpeVocab.Merges) {
+        var changed = true
+        while (changed) {
+          changed = false
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < sym.length) {
+            if (i + 1 < sym.length && sym(i) == a && sym(i + 1) == b) {
+              out += a + b; i += 2; changed = true
+            } else { out += sym(i); i += 1 }
+          }
+          sym = out.toSeq
+        }
+      }
+      sym
+    }
+    val rng = new scala.util.Random(97)
+    // alphabet biased toward merge-table letters so merges actually fire
+    val alpha = "erinowstmaljcbdfghpuv"
+    val words = (1 to 500).map(_ =>
+      (1 to (1 + rng.nextInt(12))).map(_ => alpha(rng.nextInt(alpha.length))).mkString) ++
+      Seq("erer", "ererer", "aaaa", "scanscan", "orderorder", "vvector",
+        "merger", "mergemerge", "stst", "lowlow", "joinjoin")
+    words.foreach { w =>
+      assert(BpeVocab.tokenizeWord(w).toSeq == rankSweep(w), s"word: $w")
+      // lossless: tokens concatenate back to the word
+      assert(BpeVocab.tokenizeWord(w).mkString == w, s"lossy: $w")
+    }
+  }
+
   test("graft_bpe_tokens: pre-tokenization matches the regex, merges apply per word") {
     graft.functions.GraftFunctions.register(spark)
     val df = Seq(
