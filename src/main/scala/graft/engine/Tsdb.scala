@@ -1176,6 +1176,15 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
       visibleSeries(db, m, series, t0, t1).withColumn(SeriesCol, lit(series)),
       SeriesCol, TimeCol, field, k)
 
+  /** Batch sessionization of the visible range (extension — see
+    * TimeSeriesOps.sessionize: bucket-parallel gaps-and-islands). */
+  def sessionize(db: String, m: String, series: String, t0: Long, t1: Long,
+                 gapUs: Long): DataFrame =
+    TimeSeriesOps.sessionize(
+      visibleSeries(db, m, series, t0, t1).withColumn(SeriesCol, lit(series))
+        .select(SeriesCol, TimeCol),
+      SeriesCol, TimeCol, gapUs, bucketWidth = bucketWidth)
+
   /** LTTB-style visual downsample of the visible range (extension — see
     * TimeSeriesOps.lttbDownsample; unlike [[downsample]] this REDUCES for
     * a renderer rather than aggregating into a rollup measurement). */

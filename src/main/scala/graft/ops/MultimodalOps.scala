@@ -398,12 +398,28 @@ object MultimodalOps {
         col("format"), col("asset_id"))
       .as[MediaAsset]
       .flatMap { a =>
-        // per-row format gate, matching decodeFeatures' routing stance: a
-        // mixed asset table (wav/png assets exist in the fixtures) must
-        // fail loudly here, not throw mid-decode — or worse, "parse" a
-        // payload whose header happens to fit
-        require(a.format == "bmp", s"imagePatches needs bmp, got ${a.format}")
-        val (w, h, rgb) = BmpCodec.decode(a.payload)
+        // per-row format ROUTING, matching decodeFeatures' stance: bmp
+        // parses the fixed layout, png runs the full chunk-walk/inflate/
+        // unfilter path (truecolor and palette expand to RGB; grayscale
+        // replicates to 3 channels — the standard channel-expansion a
+        // patch-embedding layer expects); anything else fails loudly
+        // rather than "parsing" a payload whose header happens to fit
+        val (w, h, rgb) = a.format match {
+          case "bmp" => BmpCodec.decode(a.payload)
+          case "png" =>
+            val img = PngCodec.decodeRaw(a.payload)
+            if (img.colorType == 0) {
+              val rgb = new Array[Byte](img.px.length * 3)
+              var i = 0
+              while (i < img.px.length) {
+                rgb(i * 3) = img.px(i); rgb(i * 3 + 1) = img.px(i)
+                rgb(i * 3 + 2) = img.px(i); i += 1
+              }
+              (img.w, img.h, rgb)
+            } else PngCodec.decodeRgb(a.payload)
+          case f => throw new IllegalArgumentException(
+            s"imagePatches needs bmp or png, got $f")
+        }
         for {
           py <- 0 until h / patch
           px <- 0 until w / patch

@@ -660,6 +660,33 @@ object EngineQueries {
         .orderBy("time_ns")
     },
 
+    // Sessionization THROUGH the engine layout (facade .sessionize over
+    // the watermark-clamped visible range; the flat-parquet face is
+    // tsdb_sessionize): activity bursts split at >30 min silence.
+    QueryDef.withOracle("engine_sessionize", {
+      val GAP = 30 * 60000000L
+      s"""WITH pts AS (SELECT 'purchase' AS series, time_us FROM $PTS
+         |             WHERE series = 'purchase' AND time_us BETWEEN $T0 AND $T1),
+         |m AS (
+         |  SELECT series, time_us,
+         |    CASE WHEN lag(time_us) OVER w IS NULL
+         |           OR time_us - lag(time_us) OVER w > $GAP
+         |         THEN 1 ELSE 0 END AS s
+         |  FROM pts WINDOW w AS (PARTITION BY series ORDER BY time_us)),
+         |g AS (SELECT series, time_us,
+         |        sum(s) OVER (PARTITION BY series ORDER BY time_us
+         |                     ROWS UNBOUNDED PRECEDING) AS sid
+         |      FROM m)
+         |SELECT series, min(time_us) AS session_start,
+         |       max(time_us) AS session_end, count(*) AS n
+         |FROM g GROUP BY series, sid
+         |ORDER BY series, session_start""".stripMargin
+    }) { (s, dir) =>
+      Fixture.tsdb(s, dir)
+        .sessionize("bench", "events", "purchase", T0, T1, gapUs = 30 * 60000000L)
+        .orderBy("series", "session_start")
+    },
+
     // Downsample-to-rollup: the windowed aggregate written BACK through the
     // validated append path as a derived measurement, then read from its own
     // bucket layout (the standard rollup-table workflow; the reference

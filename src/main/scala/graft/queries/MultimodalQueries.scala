@@ -166,6 +166,49 @@ object MultimodalQueries {
         .orderBy("asset_id", "py", "px")
     },
 
+    // ViT patches THROUGH the compressed format: the same tiling contract
+    // as mm_patches, but each asset is a real color PNG (truecolor even
+    // ids / palette odd ids — see mm_decode_png_rgb), so every patch byte
+    // rides the chunk-walk + inflate + unfilter (+ PLTE expansion) path
+    // before tiling. Decode and tiling stay fused in one typed pass.
+    QueryDef.withOracle("mm_patches_png", {
+      val J = "CASE WHEN length(text) = 0 THEN 0 ELSE unicode(substr(text, " +
+        "CAST(((py * 2 + k // 6) * w + (px * 2 + (k % 6) // 3)) " +
+        "% length(text) + 1 AS INT), 1)) END"
+      s"""WITH a AS (
+         |  SELECT doc_id, text,
+         |         CAST(doc_id % 9 + 1 AS INT) AS w,
+         |         CAST(doc_id % 7 + 1 AS INT) AS h
+         |  FROM documents),
+         |p1 AS (SELECT doc_id, text, w, h, unnest(range(0, h // 2)) AS py FROM a),
+         |p2 AS (SELECT doc_id, text, w, h, py, unnest(range(0, w // 2)) AS px FROM p1),
+         |v AS (
+         |  SELECT doc_id, py, px,
+         |    list_transform(range(0, 12), k ->
+         |      CASE WHEN length(text) = 0 THEN 0
+         |           WHEN doc_id % 2 = 0 THEN
+         |             unicode(substr(text,
+         |               CAST((((py * 2 + k // 6) * w + (px * 2 + (k % 6) // 3)) * 3
+         |                     + k % 3) % length(text) + 1 AS INT), 1))
+         |           ELSE CASE k % 3 WHEN 0 THEN $J
+         |                           WHEN 1 THEN (7 * ($J)) % 256
+         |                           ELSE (13 * ($J)) % 256 END
+         |      END) AS vals
+         |  FROM p2)
+         |SELECT doc_id AS asset_id, CAST(py AS INT) AS py, CAST(px AS INT) AS px,
+         |  array_to_string(vals, ',') AS patch_csv,
+         |  CAST(list_sum(vals) AS DOUBLE) / 12 AS mean_byte
+         |FROM v ORDER BY asset_id, py, px""".stripMargin
+    }) { (s, dir) =>
+      MultimodalOps.imagePatches(
+          MultimodalOps.pngColorAssetsFromDocuments(Tables(s, dir, "documents")),
+          patch = 2)
+        .toDF()
+        .select(col("asset_id"), col("py"), col("px"),
+          concat_ws(",", col("patch")).as("patch_csv"), col("mean_byte"))
+        .orderBy("asset_id", "py", "px")
+    },
+
     // REAL compressed-format decoding: each doc becomes a genuine
     // grayscale-8 PNG — CRC'd chunk walk, two IDAT chunks, DEFLATE'd
     // scanlines, and a per-row filter type cycling through all five spec

@@ -436,6 +436,33 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(ivfq >= 0.85, s"IVF×int8 recall@5 regressed: $ivfq")
   }
 
+  test("PCA coarse-rank + exact re-rank: recall measured on uniform AND clustered") {
+    // near-uniform vectors spread variance evenly across dimensions — the
+    // WORST case for a 16-of-64-dim projection (reduced-space rank ALONE
+    // measured 0.18 recall@5, which is why the operator re-ranks);
+    // clustered vectors concentrate variance in the cluster subspace.
+    // Both are measured; the floors document the spectrum-dependence.
+    val f = new java.io.File("/root/testdata/sf0.001/embeddings.parquet")
+    assume(f.exists(), "driver testdata not present")
+    def recallOf(corpus: org.apache.spark.sql.DataFrame): Double = {
+      val q = corpus.filter($"vec_id" < 10)
+      val exact = SimilarityOps.topKExact(corpus, q, "vec_id", "embedding", 5).persist()
+      exact.count()
+      val r = SimilarityOps.recallAtK(exact,
+          SimilarityOps.topKPca(corpus, q, "vec_id", "embedding", 5,
+            dims = 16, rerank = 50))
+        .select("recall").as[Double].head()
+      exact.unpersist()
+      r
+    }
+    val uniform = recallOf(spark.read.parquet(f.getPath))
+    val clustered = recallOf(
+      graft.tools.ClusteredVectors.generate(spark, n = 1000L, dim = 64, nClusters = 8))
+    info(s"PCA@16+rerank50 recall@5: uniform=$uniform clustered=$clustered")
+    assert(uniform >= 0.5, s"uniform PCA+rerank recall regressed: $uniform")
+    assert(clustered >= 0.7, s"clustered PCA+rerank recall regressed: $clustered")
+  }
+
   test("IVF on CLUSTERED vectors: recall floor holds, list skew is measured") {
     // near-uniform driver embeddings are easiest for IVF list balance;
     // real embeddings cluster — this deterministic clustered fixture is
@@ -1063,6 +1090,25 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(r.width == 2 && r.height == 2 && r.n_bytes == 4)
     val picks = Seq(px(0), px(2), px(8), px(10)).map(_ & 0xff)
     assert(r.mean_byte == picks.sum.toDouble / 4)
+  }
+
+  test("imagePatches routes png: gray replicates to 3 channels, wav rejects") {
+    val gray = Array.tabulate[Byte](4 * 2)(i => (i * 10).toByte)
+    val png = Seq((1L, "png", PngCodec.encode(4, 2, gray, 1), 4, 2, 1, 0))
+      .toDF("asset_id", "format", "payload", "width", "height", "channels", "sample_rate")
+    val patches = MultimodalOps.imagePatches(png, patch = 2).collect()
+      .sortBy(p => (p.py, p.px))
+    assert(patches.length == 2) // 4x2 grid -> two 2x2 tiles
+    // grayscale replicated across RGB: patch (0,0) covers pixels 0,1,4,5
+    assert(patches(0).patch.toSeq ==
+      Seq(0L, 0L, 0L, 10L, 10L, 10L, 40L, 40L, 40L, 50L, 50L, 50L))
+    val wav = Seq((2L, "wav", WavCodec.encode(8000, 1, Array[Short](1, 2)), 0, 0, 1, 8000))
+      .toDF("asset_id", "format", "payload", "width", "height", "channels", "sample_rate")
+    val e = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.imagePatches(wav, patch = 2).collect()
+    }
+    assert(e.getMessage.contains("imagePatches needs bmp or png") ||
+      Option(e.getCause).exists(_.getMessage.contains("imagePatches needs bmp or png")))
   }
 
   test("audioFeatures/audioFrames route wav payloads through the real parser") {
