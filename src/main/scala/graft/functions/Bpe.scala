@@ -49,6 +49,23 @@ object BpeVocab {
   private val rank: Map[(String, String), Int] =
     Merges.zipWithIndex.toMap
 
+  /** Token-id scheme (single source — the queries and their oracles must
+    * agree): single-codepoint tokens map to their codepoint, merged tokens
+    * to `MergedIdBase + rank`. 0x110000 is one past the last Unicode
+    * codepoint, so the two id spaces cannot collide; merge outputs are
+    * unique in a trained table (each merge creates a NEW symbol). */
+  val MergedIdBase: Long = 0x110000L
+
+  /** token → id for every merged token. */
+  val IdMap: Map[String, Long] = Merges.zipWithIndex.map {
+    case ((a, b), i) => (a + b) -> (MergedIdBase + i)
+  }.toMap
+
+  /** The merged-token ids as a DuckDB VALUES list `(tok, tid)`. */
+  def idValuesSql: String = Merges.zipWithIndex.map {
+    case ((a, b), i) => s"('$a$b', ${MergedIdBase + i})"
+  }.mkString(",\n    ")
+
   /** Greedy BPE of one pre-token: lowest-rank applicable pair first, all
     * left-to-right occurrences per round. Pure function of the word. */
   def tokenizeWord(w: String): Array[String] = {

@@ -81,11 +81,15 @@ object BloomOps {
   private def requireCompatibleKeys(fact: DataFrame, factKey: String,
                                     dim: DataFrame, dimKey: String): Unit = {
     val (fi, di) = (isIntegral(fact, factKey), isIntegral(dim, dimKey))
-    require(fi == di,
+    val (ft, dt) = (fact.schema(factKey).dataType, dim.schema(dimKey).dataType)
+    // integral pair: both canonicalize to the long VALUE, any widths mix.
+    // non-integral pair: xxhash64 hashes the NATIVE type's bytes, so the
+    // types must be identical — DOUBLE 2.0 and STRING '2.0' hash apart
+    // even though Spark's exact semi-join would match them via casts.
+    require(fi && di || ft == dt,
       s"bloomSemiJoin key types are probe-incompatible: $factKey is " +
-        s"${fact.schema(factKey).dataType.simpleString} but $dimKey is " +
-        s"${dim.schema(dimKey).dataType.simpleString} — integral and " +
-        "non-integral keys derive different 64-bit probe keys (value vs " +
+        s"${ft.simpleString} but $dimKey is ${dt.simpleString} — they " +
+        "derive different 64-bit probe keys (integral value vs per-type " +
         "xxhash64) and matching rows would be silently dropped; cast both " +
         "sides to one type first")
   }

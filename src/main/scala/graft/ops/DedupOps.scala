@@ -326,20 +326,6 @@ object DedupOps {
       .coalesce(1).write.mode("overwrite").parquet(s"$workDir/manifest")
   }
 
-  /** Append one increment's band index as epoch `epoch` of a working
-    * index ([[initEpochBandIndex]] layout). Overwrite of the epoch's own
-    * partition dirs → idempotent under micro-batch replay. */
-  def appendEpochBandIndex(increment: DataFrame, idCol: String,
-                           textCol: String, n: Int, workDir: String,
-                           epoch: Long, bands: Int = 32,
-                           rows: Int = 4): Unit = {
-    validateIndexManifest(increment.sparkSession, workDir, n, bands, rows)
-    val (reps, members, bnd) = prepBandIndex(increment, idCol, textCol, n, bands, rows)
-    reps.write.mode("overwrite").parquet(s"$workDir/reps/epoch=$epoch")
-    members.write.mode("overwrite").parquet(s"$workDir/members/epoch=$epoch")
-    bnd.write.mode("overwrite").parquet(s"$workDir/bands/epoch=$epoch")
-  }
-
   /** STREAMING incremental dedup — the production corpus build: each
     * micro-batch of incoming documents matches against the persisted band
     * index (all epochs so far), its verified matches land in
@@ -361,34 +347,51 @@ object DedupOps {
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
-        validateIndexManifest(s, workIndexDir, n, bands, rows)
-        // the increment is shingled ONCE: the same index that generates
-        // candidates becomes (filtered to unmatched reps) the new epoch —
-        // a rep whose set matched the corpus drops with ALL its members
-        // (identical sets have identical jaccard), so kept groups are
-        // exactly the reps with no verified match
-        val (repsI, memI, bndI) = prepBandIndex(batch, idCol, textCol, n, bands, rows)
-        val corpusIdx = (s.read.parquet(s"$workIndexDir/reps"),
-          s.read.parquet(s"$workIndexDir/members"),
-          s.read.parquet(s"$workIndexDir/bands"))
-        val repm = repMatchesFromIndexes(corpusIdx, (repsI, memI, bndI),
-          threshold).persist()
-        expandRepMatches(repm, memI, corpusIdx._2)
-          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-        val matched = repm.select(col("rid_new").as("rid")).distinct()
-        def keep(df: DataFrame): DataFrame =
-          df.join(matched, Seq("rid"), "left_anti")
-        keep(repsI).write.mode("overwrite")
-          .parquet(s"$workIndexDir/reps/epoch=${batchId + 1}")
-        keep(memI).write.mode("overwrite")
-          .parquet(s"$workIndexDir/members/epoch=${batchId + 1}")
-        keep(bndI).write.mode("overwrite")
-          .parquet(s"$workIndexDir/bands/epoch=${batchId + 1}")
-        repm.unpersist()
-        ()
+        processIncrementalBatch(batch, batchId, workIndexDir, outDir,
+          idCol, textCol, n, threshold, bands, rows)
       }
       .start().awaitTermination()
+  }
+
+  /** One micro-batch of [[streamingIncrementalDedup]] — public so the
+    * replay contract is directly testable. The corpus read is filtered to
+    * `epoch <= batchId`: a batch REPLAYED after a crash between its epoch
+    * append and the checkpoint commit would otherwise read its own
+    * epoch-(batchId+1) output back as corpus, match every previously-kept
+    * rep against itself at jaccard 1.0, and overwrite the epoch as empty —
+    * permanently losing the kept docs. With the filter, a replay sees
+    * exactly the pre-batch state and rewrites identical outputs. */
+  def processIncrementalBatch(batch: DataFrame, batchId: Long,
+                              workIndexDir: String, outDir: String,
+                              idCol: String, textCol: String, n: Int,
+                              threshold: Double, bands: Int = 32,
+                              rows: Int = 4): Unit = {
+    val s = batch.sparkSession
+    validateIndexManifest(s, workIndexDir, n, bands, rows)
+    // the increment is shingled ONCE: the same index that generates
+    // candidates becomes (filtered to unmatched reps) the new epoch —
+    // a rep whose set matched the corpus drops with ALL its members
+    // (identical sets have identical jaccard), so kept groups are
+    // exactly the reps with no verified match
+    val (repsI, memI, bndI) = prepBandIndex(batch, idCol, textCol, n, bands, rows)
+    def corpusSide(part: String): DataFrame =
+      s.read.parquet(s"$workIndexDir/$part").filter(col("epoch") <= batchId)
+    val corpusIdx = (corpusSide("reps"), corpusSide("members"), corpusSide("bands"))
+    val repm = repMatchesFromIndexes(corpusIdx, (repsI, memI, bndI),
+      threshold).persist()
+    expandRepMatches(repm, memI, corpusIdx._2)
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    val matched = repm.select(col("rid_new").as("rid")).distinct()
+    def keep(df: DataFrame): DataFrame =
+      df.join(matched, Seq("rid"), "left_anti")
+    keep(repsI).write.mode("overwrite")
+      .parquet(s"$workIndexDir/reps/epoch=${batchId + 1}")
+    keep(memI).write.mode("overwrite")
+      .parquet(s"$workIndexDir/members/epoch=${batchId + 1}")
+    keep(bndI).write.mode("overwrite")
+      .parquet(s"$workIndexDir/bands/epoch=${batchId + 1}")
+    repm.unpersist()
+    ()
   }
 
   /** The per-batch half of incremental dedup against a PERSISTED index

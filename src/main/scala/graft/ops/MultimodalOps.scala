@@ -406,17 +406,7 @@ object MultimodalOps {
         // rather than "parsing" a payload whose header happens to fit
         val (w, h, rgb) = a.format match {
           case "bmp" => BmpCodec.decode(a.payload)
-          case "png" =>
-            val img = PngCodec.decodeRaw(a.payload)
-            if (img.colorType == 0) {
-              val rgb = new Array[Byte](img.px.length * 3)
-              var i = 0
-              while (i < img.px.length) {
-                rgb(i * 3) = img.px(i); rgb(i * 3 + 1) = img.px(i)
-                rgb(i * 3 + 2) = img.px(i); i += 1
-              }
-              (img.w, img.h, rgb)
-            } else PngCodec.decodeRgb(a.payload)
+          case "png" => PngCodec.decodeRgb(a.payload) // one parse: rgbOf inside
           case f => throw new IllegalArgumentException(
             s"imagePatches needs bmp or png, got $f")
         }

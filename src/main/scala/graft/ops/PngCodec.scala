@@ -235,29 +235,31 @@ object PngCodec {
     (img.w, img.h, img.px)
   }
 
-  /** Parse a truecolor (type 2) or palette (type 3) PNG into (width,
-    * height, row-major RGB triples) — palette indices expand through the
-    * PLTE, out-of-range indices fail loudly. */
+  /** Parse any supported PNG into (width, height, row-major RGB triples):
+    * truecolor passes through, palette indices expand through the PLTE
+    * (out-of-range indices fail loudly), grayscale replicates each plane
+    * byte across the three channels. */
   def decodeRgb(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
     val img = decodeRaw(payload)
-    img.colorType match {
-      case 2 => (img.w, img.h, img.px)
-      case 3 =>
-        val n = img.plte.length / 3
-        val rgb = new Array[Byte](img.px.length * 3)
-        var i = 0
-        while (i < img.px.length) {
-          val idx = img.px(i) & 0xff
-          require(idx < n, s"palette index $idx out of range (PLTE has $n entries)")
-          rgb(i * 3) = img.plte(idx * 3)
-          rgb(i * 3 + 1) = img.plte(idx * 3 + 1)
-          rgb(i * 3 + 2) = img.plte(idx * 3 + 2)
-          i += 1
-        }
-        (img.w, img.h, rgb)
-      case ct => throw new IllegalArgumentException(
-        s"decodeRgb expects truecolor or palette, got color type $ct")
-    }
+    (img.w, img.h, rgbOf(img))
+  }
+
+  /** RGB triples of an already-decoded image (no re-parse): truecolor
+    * passes through, palette expands, grayscale replicates each plane
+    * byte across the three channels. */
+  def rgbOf(img: RawImage): Array[Byte] = img.colorType match {
+    case 2 => img.px
+    case 3 => expandPalette(img)
+    case 0 =>
+      val rgb = new Array[Byte](img.px.length * 3)
+      var i = 0
+      while (i < img.px.length) {
+        rgb(i * 3) = img.px(i); rgb(i * 3 + 1) = img.px(i)
+        rgb(i * 3 + 2) = img.px(i); i += 1
+      }
+      rgb
+    case ct => throw new IllegalArgumentException(
+      s"unsupported color type $ct")
   }
 
   /** REAL nearest-neighbor resize on the decoded grayscale plane —
@@ -289,9 +291,26 @@ object PngCodec {
     * stream of ANY supported color type (grayscale plane, RGB byte
     * stream, or palette-expanded RGB), so a chunk/CRC/inflate/filter/PLTE
     * bug anywhere above breaks the oracle match. */
+  /** Expand palette indices through the PLTE into RGB triples (shared by
+    * [[decodeRgb]] and [[decodeFeatures]] so the payload is parsed ONCE). */
+  private def expandPalette(img: RawImage): Array[Byte] = {
+    val n = img.plte.length / 3
+    val rgb = new Array[Byte](img.px.length * 3)
+    var i = 0
+    while (i < img.px.length) {
+      val idx = img.px(i) & 0xff
+      require(idx < n, s"palette index $idx out of range (PLTE has $n entries)")
+      rgb(i * 3) = img.plte(idx * 3)
+      rgb(i * 3 + 1) = img.plte(idx * 3 + 1)
+      rgb(i * 3 + 2) = img.plte(idx * 3 + 2)
+      i += 1
+    }
+    rgb
+  }
+
   def decodeFeatures(a: MediaAsset): MediaFeatures = {
     val img = decodeRaw(a.payload)
-    val px = if (img.colorType == 3) decodeRgb(a.payload)._3 else img.px
+    val px = if (img.colorType == 3) expandPalette(img) else img.px
     val hist = new Array[Long](FakeDecoder.HistBuckets)
     var sum = 0L
     var i = 0

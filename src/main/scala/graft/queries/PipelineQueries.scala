@@ -200,9 +200,7 @@ object PipelineQueries {
     // loop), id assignment, the packing cumsum AND the slot arithmetic.
     QueryDef.withOracle("pipeline_pack_tokens", {
       val h = OracleText.wordHashSql("CAST(doc_id AS VARCHAR)")
-      val idVals = graft.functions.BpeVocab.Merges.zipWithIndex.map {
-        case ((a, b), i) => s"('$a$b', ${0x110000L + i})"
-      }.mkString(",\n    ")
+      val idVals = graft.functions.BpeVocab.idValuesSql
       s"""WITH RECURSIVE ${OracleText.BPE_CTES},
          |bpe_ids(tok, tid) AS (VALUES
          |    $idVals),
@@ -212,8 +210,8 @@ object PipelineQueries {
          |       FROM (SELECT d.source, d.doc_id,
          |               COALESCE(b.n_tokens, 0) AS n_tokens, $h AS hv
          |             FROM documents d LEFT JOIN bpe_doc b USING (doc_id))),
-         |tk AS (SELECT doc_id, unnest(string_split(alltok, '|')) AS token,
-         |              generate_subscripts(string_split(alltok, '|'), 1) - 1 AS pos
+         |tk AS (SELECT doc_id, unnest(string_split(alltok, '${OracleText.BpeDelim}')) AS token,
+         |              generate_subscripts(string_split(alltok, '${OracleText.BpeDelim}'), 1) - 1 AS pos
          |       FROM bpe_doctok)
          |SELECT pk.source, tk.doc_id, CAST(tk.pos AS BIGINT) AS pos,
          |       (pk.start_tok + tk.pos) // 2048 AS bin_id,
@@ -229,9 +227,7 @@ object PipelineQueries {
           "doc_id", "text", "source", 2048L,
           tokenCount = c => size(graft.ops.TextOps.bpeMergedTokens(c)).cast("long"))
         .select("doc_id", "source", "start_tok")
-      val idMap = typedLit(graft.functions.BpeVocab.Merges.zipWithIndex.map {
-        case ((a, b), i) => (a + b) -> (0x110000L + i)
-      }.toMap)
+      val idMap = typedLit(graft.functions.BpeVocab.IdMap)
       val toks = docs
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),

@@ -70,10 +70,10 @@ object TextQueries {
       s"""WITH RECURSIVE $BPE_CTES,
          |fp AS (SELECT doc_id,
          |         list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |           list_transform(string_split(alltok, '|'),
+         |           list_transform(string_split(alltok, '${OracleText.BpeDelim}'),
          |             t -> ${OracleText.wordHashSql("t")})),
          |           (f, wh) -> (f * ${TextOps.B2} + wh) % ${TextOps.P}) AS fp,
-         |         len(list_distinct(string_split(alltok, '|'))) AS nd
+         |         len(list_distinct(string_split(alltok, '${OracleText.BpeDelim}'))) AS nd
          |       FROM bpe_doctok)
          |SELECT d.doc_id,
          |  COALESCE(b.n_tokens, 0) AS n_bpe,
@@ -105,14 +105,12 @@ object TextQueries {
     // and its id — deterministic, and the oracle replays tokenization
     // (the recursive merge loop) AND the id assignment.
     QueryDef.withOracle("text_tokens_bpe_ids", {
-      val idVals = graft.functions.BpeVocab.Merges.zipWithIndex.map {
-        case ((a, b), i) => s"('$a$b', ${0x110000L + i})"
-      }.mkString(",\n    ")
+      val idVals = graft.functions.BpeVocab.idValuesSql
       s"""WITH RECURSIVE $BPE_CTES,
          |bpe_ids(tok, tid) AS (VALUES
          |    $idVals),
-         |tk AS (SELECT doc_id, unnest(string_split(alltok, '|')) AS token,
-         |              generate_subscripts(string_split(alltok, '|'), 1) - 1 AS pos
+         |tk AS (SELECT doc_id, unnest(string_split(alltok, '${OracleText.BpeDelim}')) AS token,
+         |              generate_subscripts(string_split(alltok, '${OracleText.BpeDelim}'), 1) - 1 AS pos
          |       FROM bpe_doctok)
          |SELECT tk.doc_id, CAST(tk.pos AS BIGINT) AS pos, tk.token,
          |       CAST(CASE WHEN length(tk.token) = 1 THEN unicode(tk.token)
@@ -121,9 +119,7 @@ object TextQueries {
          |ORDER BY doc_id, pos""".stripMargin
     }) { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
-      val idMap = typedLit(graft.functions.BpeVocab.Merges.zipWithIndex.map {
-        case ((a, b), i) => (a + b) -> (0x110000L + i)
-      }.toMap)
+      val idMap = typedLit(graft.functions.BpeVocab.IdMap)
       Tables(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
@@ -435,28 +431,36 @@ object OracleText {
        |   THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)),
        | (a, b) -> a + b)""".stripMargin.replace("\n", " ")
 
+  /** Token-stream delimiter used by the BPE replay CTEs: TAB, which is
+    * WHITESPACE — the pre-tokenizer splits on `\s`, so no pre-token can
+    * ever contain it (a '|' delimiter would collide with a literal '|'
+    * in document text and silently corrupt counts). */
+  val BpeDelim = "\t"
+
   /** REAL-BPE replay CTEs (mirrors graft.functions.BpeVocab exactly).
     * Queries embedding this block must open with `WITH RECURSIVE`.
     *
-    * Mechanism: each distinct pre-token becomes a '|'-delimited symbol
-    * string ('abc' → '|a|b|c|'); the recursive CTE sweeps the merge table
-    * in rank order, applying each merge via `replace('|a|b|' → '|ab|')`
-    * repeatedly until the pattern is gone before advancing to the next
-    * rank. For a well-formed table (every BPE-trained table is — a symbol
-    * cannot appear in a merge before the merge that creates it) this
-    * rank-order fixpoint sweep is equivalent to the Scala side's greedy
-    * lowest-rank-first loop; the equivalence is validated over every
-    * corpus word plus overlap/repeat stress cases. Produces:
+    * Mechanism: each distinct pre-token becomes a TAB-delimited symbol
+    * string ('abc' → '<T>a<T>b<T>c<T>'); the recursive CTE sweeps the
+    * merge table in rank order, applying each merge via
+    * `replace('<T>a<T>b<T>' → '<T>ab<T>')` repeatedly until the pattern
+    * is gone before advancing to the next rank. For a well-formed table
+    * (every BPE-trained table is — a symbol cannot appear in a merge
+    * before the merge that creates it) this rank-order fixpoint sweep is
+    * equivalent to the Scala side's greedy lowest-rank-first loop; the
+    * equivalence is validated over every corpus word plus overlap/repeat
+    * stress cases (PipelineOpsSpec property test). Produces:
     *  - `bpe_tok(w, s)`: per distinct pre-token, the final delimited
     *    token string
     *  - `bpe_doc(doc_id, n_tokens)`: per document, total merged-token
     *    count (docs with no pre-tokens absent — LEFT JOIN + COALESCE)
     *  - `bpe_doctok(doc_id, alltok)`: the document's full ordered token
-    *    stream, '|'-joined */
+    *    stream, [[BpeDelim]]-joined */
   val BPE_CTES: String = {
     val nm = graft.functions.BpeVocab.Merges.length
+    val D = BpeDelim
     val vals = graft.functions.BpeVocab.Merges.zipWithIndex.map {
-      case ((a, b), i) => s"($i, '|$a|$b|', '|$a$b|')"
+      case ((a, b), i) => s"($i, '$D$a$D$b$D', '$D$a$b$D')"
     }.mkString(",\n    ")
     s"""bpe_m(rnk, pat, rep) AS (VALUES
        |    $vals),
@@ -465,7 +469,7 @@ object OracleText {
        |            FROM documents),
        |bpe_wd AS (SELECT DISTINCT unnest(ws) AS w FROM bpe_pre),
        |bpe_it(w, s, rnk) AS (
-       |  SELECT w, '|' || regexp_replace(w, '(.)', '\\1|', 'g'), 0 FROM bpe_wd
+       |  SELECT w, '$D' || regexp_replace(w, '(.)', '\\1$D', 'g'), 0 FROM bpe_wd
        |  UNION ALL
        |  SELECT i.w,
        |    CASE WHEN contains(i.s, m.pat) THEN replace(i.s, m.pat, m.rep)
@@ -479,11 +483,11 @@ object OracleText {
        |                      generate_subscripts(ws, 1) AS ord
        |               FROM bpe_pre)),
        |bpe_doc AS (SELECT p.doc_id,
-       |              CAST(SUM(length(t.s) - length(replace(t.s, '|', '')) - 1)
+       |              CAST(SUM(length(t.s) - length(replace(t.s, '$D', '')) - 1)
        |                   AS BIGINT) AS n_tokens
        |            FROM bpe_wtok p JOIN bpe_tok t USING (w) GROUP BY 1),
        |bpe_doctok AS (SELECT p.doc_id,
-       |                 string_agg(trim(t.s, '|'), '|' ORDER BY p.ord) AS alltok
+       |                 string_agg(trim(t.s, '$D'), '$D' ORDER BY p.ord) AS alltok
        |               FROM bpe_wtok p JOIN bpe_tok t USING (w) GROUP BY 1)""".stripMargin
   }
 

@@ -87,6 +87,19 @@ class BloomOpsSpec extends SparkTestBase {
       BloomOps.bloomSemiJoin(fact, "key", dim, "dkey", numBits = 1 << 10, numHashes = 5)
     }
     assert(e.getMessage.contains("probe-incompatible"))
+    // two DIFFERENT non-integral types also reject: xxhash64 hashes the
+    // native type's bytes, so DOUBLE 2.0 and STRING '2.0' hash apart
+    val dfact = Seq((1L, 2.0), (2L, 3.0)).toDF("id", "key")
+    val sdim = Seq("2.0", "3.0").toDF("dkey")
+    val e2 = intercept[IllegalArgumentException] {
+      BloomOps.bloomSemiJoin(dfact, "key", sdim, "dkey", numBits = 1 << 10, numHashes = 5)
+    }
+    assert(e2.getMessage.contains("probe-incompatible"))
+    // mixed integral WIDTHS stay accepted (both canonicalize to the value)
+    val ifact = Seq((1L, 5), (2L, 6)).toDF("id", "key") // INT key
+    val ldim = Seq(5L, 9L).toDF("dkey")                 // LONG key
+    assert(BloomOps.bloomSemiJoin(ifact, "key", ldim, "dkey",
+      numBits = 1 << 10, numHashes = 5).select("id").as[Long].collect().toSeq == Seq(1L))
   }
 
   test("NULL dim keys never enter the filter bits") {

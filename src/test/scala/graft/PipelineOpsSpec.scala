@@ -144,6 +144,22 @@ class PipelineOpsSpec extends SparkTestBase {
     val keptEpochs = spark.read.parquet(s"$work/members")
       .select("epoch", "id").as[(Long, Long)].collect().toSet
     assert(keptEpochs.filter(_._1 > 0).map(_._2) == Set(11L, 21L), keptEpochs)
+    // REPLAY convergence: reprocess batch 0 (a crash between the epoch
+    // append and the checkpoint commit replays the batch with its own
+    // epoch-1 output already on disk). The epoch<=batchId corpus filter
+    // must make the replay see the pre-batch state — identical matches,
+    // identical epoch, kept docs NOT lost as self-matches.
+    val batch0 = Seq((10L, "the quick brown fox jumps over the lazy dog"),
+        (11L, "a wholly novel document with fresh words only"))
+      .toDF("doc_id", "text")
+    DedupOps.processIncrementalBatch(batch0, 0L, work, out,
+      "doc_id", "text", 3, 0.5)
+    val replayed = spark.read.parquet(out).select("new_id", "old_id")
+      .as[(Long, Long)].collect().toSet
+    assert(replayed == got, s"replay diverged: $replayed vs $got")
+    val epochsAfter = spark.read.parquet(s"$work/members")
+      .select("epoch", "id").as[(Long, Long)].collect().toSet
+    assert(epochsAfter == keptEpochs, s"replay mutated the index: $epochsAfter")
   }
 
   test("connectedComponents: transitive chains collapse, multi-round convergence") {
@@ -971,7 +987,7 @@ class PipelineOpsSpec extends SparkTestBase {
     graft.functions.GraftFunctions.register(spark)
     val df = Seq(
       (1L, "scan the slow vector"),
-      (2L, "order123 merge, batch!"),
+      (2L, "order123 merge, batch! a|b"),
       (3L, ""),
       (4L, "  \t\n ")
     ).toDF("doc_id", "text")
@@ -981,7 +997,10 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got(1L) == Seq("scan", "t", "h", "e", "slow", "vector"))
     // digits form their own pre-token; punctuation chars stand alone;
     // "merge" collapses fully (mer+ge is itself merge rank 40)
-    assert(got(2L) == Seq("order", "1", "2", "3", "merge", ",", "batch", "!"))
+    assert(got(2L) == Seq("order", "1", "2", "3", "merge", ",", "batch", "!",
+      "a", "|", "b")) // '|' is a plain pre-token — it is NOT the oracle's
+                      // stream delimiter (that is TAB, which whitespace
+                      // splitting guarantees can never appear in a token)
     assert(got(3L).isEmpty && got(4L).isEmpty)
     // merged-token COUNT consistency with the pre-token regex: every
     // pre-token contributes >= 1 merged token
