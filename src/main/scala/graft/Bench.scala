@@ -125,7 +125,7 @@ object Bench {
       "dedup_ngram_jaccard_capped", "dedup_embedding_lsh_tight", "ann_topk",
       "ann_ivf_quantized", "text_stats", "text_bm25", "events_funnel",
       "events_distinct_kmv", "pipeline_pack", "pipeline_chunk",
-      "text_tokens_bpe")
+      "text_tokens_bpe", "ann_pca")
     val sf1Results: Seq[(String, Double)] =
       if (args.nonEmpty || !sfDir.replace("/", "").endsWith("sf0.1") ||
           sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "1") Seq.empty

@@ -882,6 +882,38 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
       visibleSeries(db, m, series, t0, t1).withColumn(SeriesCol, lit(series)),
       SeriesCol, TimeCol, field, t0, t1, windowWidth)
 
+  /** Grafana-style ZOOM dispatch (reference datasource.go:236-249: the
+    * panel issues a raw select when the range holds few enough points,
+    * otherwise a windowed MEAN at panel resolution): `npoints <=
+    * maxDataPoints` → raw points; else per-window decimal-2 means over
+    * `ceil(span / maxDataPoints)`-wide absolute-aligned windows (non-empty
+    * windows — the renderer interpolates gaps). The decision is one
+    * O(index-scale) count, exactly the reference's npoints check. Unified
+    * output: (time_ns, v, n, zoom_mode) with n = points behind each row. */
+  def zoom(db: String, m: String, series: String, field: String,
+           t0: Long, t1: Long, maxDataPoints: Int): DataFrame = {
+    require(maxDataPoints > 0, "maxDataPoints must be positive")
+    val schema = getSchema(db, m)
+    if (!schema.fields.exists(_.name == field))
+      throw new InvalidSchemaException(s"unknown field: $field")
+    val np = countPoints(db, m, series, t0, t1)
+      .select("npoints").head().getLong(0)
+    val base = visibleSeries(db, m, series, t0, t1)
+    if (np <= maxDataPoints)
+      base.select(col(TimeCol), col(field).cast("double").as("v"),
+        when(col(field).isNotNull, 1L).otherwise(0L).as("n"),
+        lit("raw").as("zoom_mode"))
+    else {
+      val span = t1 - t0 + 1
+      val w = (span + maxDataPoints - 1) / maxDataPoints
+      base.filter(col(field).isNotNull)
+        .groupBy((col(TimeCol) - pmod(col(TimeCol), lit(w))).as(TimeCol))
+        .agg((TimeSeriesOps.sumExact2(col(field)) / count(col(field))).as("v"),
+          count(col(field)).as("n"))
+        .select(col(TimeCol), col("v"), col("n"), lit("mean").as("zoom_mode"))
+    }
+  }
+
   /** Windowed MIN/MAX zoom (reference grafana datasource.go:384-430). */
   def minMaxWindows(db: String, m: String, series: String, field: String,
                     t0: Long, t1: Long, windowWidth: Long): DataFrame =

@@ -660,6 +660,36 @@ object EngineQueries {
         .orderBy("time_ns")
     },
 
+    // Grafana-style ZOOM dispatch through the engine (reference
+    // datasource.go:236-249): raw points when the range holds <=
+    // maxDataPoints, windowed decimal-2 means at panel resolution
+    // otherwise. The oracle reproduces the DECISION too (count-guarded
+    // branches), so a wrong npoints count flips the branch and breaks the
+    // match.
+    QueryDef.withOracle("engine_zoom", {
+      val MAXP = 500
+      val W = (T1 - T0 + 1 + MAXP - 1) / MAXP
+      s"""WITH pts AS (SELECT time_us, v FROM $PTS
+         |             WHERE series = 'purchase' AND time_us BETWEEN $T0 AND $T1),
+         |c AS (SELECT count(*) AS np FROM pts),
+         |raw AS (SELECT time_us AS time_ns, v,
+         |               CASE WHEN v IS NULL THEN 0 ELSE 1 END AS n,
+         |               'raw' AS zoom_mode FROM pts),
+         |agg AS (SELECT time_us - (time_us % $W) AS time_ns,
+         |               CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / COUNT(v) AS v,
+         |               COUNT(v) AS n, 'mean' AS zoom_mode
+         |        FROM pts WHERE v IS NOT NULL GROUP BY 1)
+         |SELECT * FROM (
+         |  SELECT * FROM raw WHERE (SELECT np FROM c) <= $MAXP
+         |  UNION ALL
+         |  SELECT * FROM agg WHERE (SELECT np FROM c) > $MAXP
+         |) ORDER BY time_ns""".stripMargin
+    }) { (s, dir) =>
+      Fixture.tsdb(s, dir)
+        .zoom("bench", "events", "purchase", "v", T0, T1, maxDataPoints = 500)
+        .orderBy("time_ns")
+    },
+
     // Sessionization THROUGH the engine layout (facade .sessionize over
     // the watermark-clamped visible range; the flat-parquet face is
     // tsdb_sessionize): activity bursts split at >30 min silence.

@@ -59,7 +59,10 @@ object ScaleBench {
     // increment per epoch — the replicated-corpus linearity this gate
     // checks end-to-end through foreachBatch), color-PNG decode (map-only)
     "text_tokens_bpe", "ann_ivf_quantized", "engine_stream_incremental",
-    "mm_decode_png_rgb")
+    "mm_decode_png_rgb",
+    // PCA coarse-rank + re-rank: projection is map-side, candidates
+    // bounded at rerank × queries; zoom: one count + one aggregation
+    "ann_pca", "engine_zoom")
     // pipeline_pack_tokens is EXCLUDED like the pair-threshold queries:
     // GenScale's replica token prefix ('z??q') rarely merges under the
     // trained table, so replicated words emit ~3× the BPE tokens of their

@@ -569,6 +569,31 @@ class TsdbEngineSpec extends SparkTestBase {
       Seq((10L, 70.0)))
   }
 
+  test("zoom dispatches raw below maxDataPoints, windowed means above") {
+    val t = mkTsdb()
+    t.createDatabase("db1"); t.createMeasurement("db1", "m1", schema)
+    t.writePoints("db1", "m1", "s1", vpts(
+      (10L, Some(2.0)), (20L, Some(4.0)), (110L, Some(6.0)),
+      (120L, None), (210L, Some(8.0))))
+    // 5 points <= 5 -> raw passthrough (NULL field rides with n = 0)
+    val raw = t.zoom("db1", "m1", "s1", "v", 0L, 299L, maxDataPoints = 5)
+      .collect().sortBy(_.getLong(0))
+    assert(raw.map(_.getString(3)).forall(_ == "raw"))
+    assert(raw.length == 5 && raw.map(r => r.getLong(2)).toSeq == Seq(1L, 1L, 1L, 0L, 1L))
+    // 5 points > 2 -> mean branch: span 300 / 2 -> W = 150; windows at
+    // 0 (points 10, 20 -> mean 3.0) and 150 (210 -> 8.0)... wait, 110/120
+    // land in window 0 (0..149): points 10,20,110 -> (2+4+6)/3 = 4.0
+    val mean = t.zoom("db1", "m1", "s1", "v", 0L, 299L, maxDataPoints = 2)
+      .collect().sortBy(_.getLong(0))
+    assert(mean.map(_.getString(3)).forall(_ == "mean"))
+    assert(mean.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq ==
+      Seq((0L, 4.0, 3L), (150L, 8.0, 1L)))
+    // count DECIDES: the NULL-field point still counts toward npoints
+    // (reference npoints is timestamps, not non-null values)
+    val edge = t.zoom("db1", "m1", "s1", "v", 0L, 299L, maxDataPoints = 4)
+    assert(edge.collect().map(_.getString(3)).forall(_ == "mean"))
+  }
+
   test("refreshValueIndex restores pruning after the index decays; fallback is counted") {
     // cap = 3 pruned buckets so a modest append ages the index past the
     // IN-list cap without writing thousands of buckets
