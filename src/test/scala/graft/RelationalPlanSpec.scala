@@ -42,4 +42,37 @@ class RelationalPlanSpec extends SparkTestBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     }
   }
+
+  test("ANN scans keep the corpus unshuffled: query side broadcasts, one rank exchange") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, ShuffledHashJoinExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.SparkPlan
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    def flat(p: SparkPlan): Seq[SparkPlan] = (p match {
+      case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
+      case s: QueryStageExec        => flat(s.plan)
+      case other                    => other +: other.children.flatMap(flat)
+    }).distinct
+    // the invariant of every scan-shaped ANN operator: corpus rows meet
+    // the (small) query side through BROADCAST joins — the only shuffle
+    // is the per-query rank window. A silently reintroduced SortMergeJoin
+    // would still return correct rows, so only the plan catches it.
+    for ((name, df) <- Seq(
+      "ivf_quantized" -> graft.ops.SimilarityOps.topKIvfQuantized(
+        emb, q, "vec_id", "embedding", 5, nLists = 16, nProbe = 4),
+      "pca" -> graft.ops.SimilarityOps.topKPca(
+        emb, q, "vec_id", "embedding", 5, dims = 16, rerank = 50))) {
+      df.collect()
+      val nodes = flat(df.queryExecution.executedPlan)
+      assert(nodes.exists(n => n.isInstanceOf[BroadcastHashJoinExec] ||
+          n.isInstanceOf[BroadcastNestedLoopJoinExec]),
+        s"$name: query side should broadcast\n${df.queryExecution.executedPlan}")
+      assert(!nodes.exists(n => n.isInstanceOf[SortMergeJoinExec] ||
+          n.isInstanceOf[ShuffledHashJoinExec]),
+        s"$name: corpus must never shuffle against the query side\n" +
+          df.queryExecution.executedPlan)
+    }
+  }
 }
