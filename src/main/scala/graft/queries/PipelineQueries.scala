@@ -234,8 +234,13 @@ object PipelineQueries {
           posexplode(graft.ops.TextOps.bpeMergedTokens(col("text")))
             .as(Seq("pos", "token")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
-          when(length(col("token")) === 1, ascii(col("token")).cast("long"))
-            .otherwise(element_at(idMap, col("token"))).as("token_id"))
+          // coalesce, not a length()==1 branch: Spark length() counts
+          // UTF-16 units, so a supplementary-plane single-CODEPOINT token
+          // (surrogate pair, length 2) would miss the branch — but every
+          // multi-codepoint token is a merge output by construction, so
+          // "not in the merge map" == "single codepoint" exactly
+          coalesce(element_at(idMap, col("token")),
+            ascii(col("token")).cast("long")).as("token_id"))
       packed.join(toks, "doc_id")
         .select(col("source"), col("doc_id"), col("pos"),
           expr("(start_tok + pos) div 2048L").as("bin_id"),

@@ -125,9 +125,13 @@ object TextQueries {
         .select(col("doc_id"),
           posexplode(TextOps.bpeMergedTokens(col("text"))).as(Seq("pos", "token")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"),
-          when(length(col("token")) === 1,
-            ascii(col("token")).cast("long"))
-            .otherwise(element_at(idMap, col("token"))).as("token_id"))
+          // coalesce, not a length()==1 branch: Spark length() counts
+          // UTF-16 units, so a supplementary-plane single-CODEPOINT token
+          // (surrogate pair, length 2) would miss the branch — but every
+          // multi-codepoint token is a merge output by construction, so
+          // "not in the merge map" == "single codepoint" exactly
+          coalesce(element_at(idMap, col("token")),
+            ascii(col("token")).cast("long")).as("token_id"))
         .orderBy("doc_id", "pos")
     },
 
