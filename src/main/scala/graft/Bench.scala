@@ -126,6 +126,7 @@ object Bench {
       "ann_ivf_quantized", "text_stats", "text_bm25", "events_funnel",
       "events_distinct_kmv", "pipeline_pack", "pipeline_chunk",
       "text_tokens_bpe", "ann_pca")
+    var sf1Failed = 0
     val sf1Results: Seq[(String, Double)] =
       if (args.nonEmpty || !sfDir.replace("/", "").endsWith("sf0.1") ||
           sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "1") Seq.empty
@@ -136,16 +137,22 @@ object Bench {
           graft.tools.GenScale.generate(spark, sfDir, sf1Dir, factor = 10)
           marker.createNewFile()
         }
-        Sf1Subset.filter(SparkEntry.queries.contains).map { name =>
+        Sf1Subset.filter(SparkEntry.queries.contains).flatMap { name =>
           spark.catalog.clearCache()
           System.gc()
           val t0 = System.nanoTime()
-          try SparkEntry.queries(name)(spark, sf1Dir)
-            .write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable =>
+          // a failed query must NOT record its time-to-failure as a result
+          // (a fast AnalysisException would read as a dramatic speedup in
+          // the cross-round JSON) — drop it and count it in sf1_failed
+          try {
+            SparkEntry.queries(name)(spark, sf1Dir)
+              .write.format("noop").mode("overwrite").save()
+            Some(name -> (System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
             System.err.println(s"[bench sf1] $name failed: ${e.getMessage}")
+            sf1Failed += 1
+            None
           }
-          name -> (System.nanoTime() - t0) / 1e9
         }
       } catch { case e: Throwable =>
         System.err.println(s"[bench sf1] skipped: ${e.getMessage}")
@@ -168,6 +175,7 @@ object Bench {
       s""""ivf_list_skew_clustered":$clSkew,""" +
       s""""vindex_stale_fallbacks":$staleFallbacks,""" +
       s""""sf1_total":$sf1Total,"sf1_nqueries":${sf1Results.size},""" +
+      s""""sf1_failed":$sf1Failed,""" +
       s""""sf1_queries":$sf1Qs,"sf":"$sfDir"}"""
     // Persist machine-readable first (sbt prefixes stdout with [info], which
     // breaks downstream JSON parsing of the console line), then stop Spark
@@ -190,7 +198,8 @@ object Bench {
       s""""ann_ivf_recall_clustered":$clRecall,""" +
       s""""ivf_list_skew_clustered":$clSkew,""" +
       s""""vindex_stale_fallbacks":$staleFallbacks,""" +
-      s""""sf1_total":$sf1Total,"sf1_nqueries":${sf1Results.size},"sf":"$sfDir"}""")
+      s""""sf1_total":$sf1Total,"sf1_nqueries":${sf1Results.size},""" +
+      s""""sf1_failed":$sf1Failed,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

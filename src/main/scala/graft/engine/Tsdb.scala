@@ -1034,6 +1034,11 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
       .groupBy(col(SeriesCol)).agg(min("tl_at_build").as("tl"))
       .collect().map(r => r.getString(0) ->
         Math.floorDiv(r.getLong(1), bucketWidth)).toMap
+    // zero-row sidecar (e.g. built right after retention deleted every
+    // bucket): nothing to keep or diff against — rebuild from scratch
+    // instead of tripping over an empty stale map
+    if (staleLo.isEmpty) { fs(out).delete(out, true)
+      return buildValueIndex(db, m, field) }
     val oldSeries = staleLo.keys.toSeq
     val minStale = staleLo.values.min
     val staleDf = broadcast(staleLo.toSeq.toDF(SeriesCol, "_stale_lo"))

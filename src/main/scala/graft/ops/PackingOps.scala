@@ -31,6 +31,13 @@ import org.apache.spark.sql.functions._
   */
 object PackingOps {
 
+  /** Default token counter: `[a-z]+` word tokens. The REAL-BPE counter
+    * (`c => size(TextOps.bpeMergedTokens(c)).cast("long")`) is what the
+    * registered pipeline queries pass — trained-tokenizer counts are what
+    * a production packer bins on. */
+  val WordTokenCount: Column => Column =
+    c => org.apache.spark.sql.functions.size(TextOps.tokens(c)).cast("long")
+
   /** Sliding-window CHUNKING: split each document's token stream into
     * `size`-token windows advancing by `stride` (overlap = size - stride) —
     * the pre-embedding / pre-packing step for long documents. Windows stop
@@ -42,13 +49,6 @@ object PackingOps {
     * explode: map-side at any scale, no shuffle.
     * Output: (idCol, chunk_id, start_tok, end_tok) with
     * `end_tok = min(start_tok + size, n_tokens)` exclusive. */
-  /** Default token counter: `[a-z]+` word tokens. The REAL-BPE counter
-    * (`c => size(TextOps.bpeMergedTokens(c)).cast("long")`) is what the
-    * registered pipeline queries pass — trained-tokenizer counts are what
-    * a production packer bins on. */
-  val WordTokenCount: Column => Column =
-    c => org.apache.spark.sql.functions.size(TextOps.tokens(c)).cast("long")
-
   def chunkSpans(docs: DataFrame, idCol: String, textCol: String,
                  size: Int, stride: Int,
                  tokenCount: Column => Column = WordTokenCount): DataFrame = {

@@ -228,6 +228,13 @@ object PipelineQueries {
           tokenCount = c => size(graft.ops.TextOps.bpeMergedTokens(c)).cast("long"))
         .select("doc_id", "source", "start_tok")
       val idMap = typedLit(graft.functions.BpeVocab.IdMap)
+      // The merge loop runs in BOTH subtrees (pack counts above, id explode
+      // below) — deliberately. Fusing them would mean carrying the full
+      // token array through the per-`source` pack window (a handful of
+      // partition keys → one reducer per corpus source), and Spark does not
+      // CSE across join subtrees without caching corpus-scale arrays. The
+      // repeat is pure map-side CPU amortized by the per-task merge memo;
+      // the skewed exchange it avoids is the actual 100 TB bottleneck.
       val toks = docs
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),

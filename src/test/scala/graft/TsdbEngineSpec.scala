@@ -638,6 +638,25 @@ class TsdbEngineSpec extends SparkTestBase {
     assert(t2.refreshValueIndex("db1", "m1", "v") == 2L)
   }
 
+  test("refreshValueIndex on a zero-row sidecar rebuilds instead of crashing") {
+    // retention can wipe every bucket while the watermark survives;
+    // buildValueIndex then writes a VALID 0-row sidecar. A later refresh
+    // has no per-series stale floor to diff against — it must fall back to
+    // a full rebuild, not throw on an empty min.
+    val t = new Tsdb(spark, tmpDir("tsdb-test-"), requestedBucketWidth = 100L)
+    t.createDatabase("db1"); t.createMeasurement("db1", "m1", schema)
+    t.writePoints("db1", "m1", "s1", vpts((10L, Some(1.0)), (110L, Some(100.0))))
+    // cut into the future past bucket 1 so EVERY bucket dir is physically
+    // dropped (time_first advances to 251; the watermark row survives)
+    t.deleteUpTo("db1", "m1", "s1", 250L)
+    assert(t.buildValueIndex("db1", "m1", "v") == 0L)
+    t.writePoints("db1", "m1", "s1", vpts((310L, Some(3.0)), (410L, Some(100.5))))
+    assert(t.refreshValueIndex("db1", "m1", "v") == 2L)
+    val df = t.selectValueRange("db1", "m1", "s1", "v", 50.0, 150.0, 0L, 999L)
+    assert(df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((410L, 100.5)))
+  }
+
   test("autoRefreshValueIndex: the read that detects decay heals the index itself") {
     val root = tmpDir("tsdb-test-")
     val t = new Tsdb(spark, root, requestedBucketWidth = 100L,
