@@ -66,6 +66,15 @@ object BpeVocab {
     case ((a, b), i) => s"('$a$b', ${MergedIdBase + i})"
   }.mkString(",\n    ")
 
+  /** The merge table as a DuckDB VALUES list `(rank, lhs, rhs)` — the
+    * oracle for the DISTRIBUTED trainer ([[graft.ops.BpeTrainer]]): this
+    * table IS the classic algorithm's output on the sf0.01 corpus, so a
+    * Spark training run over the same documents must reproduce it
+    * rank-for-rank. */
+  def mergeValuesSql: String = Merges.zipWithIndex.map {
+    case ((a, b), i) => s"($i, '$a', '$b')"
+  }.mkString(",\n    ")
+
   /** Greedy BPE of one pre-token: lowest-rank applicable pair first, all
     * left-to-right occurrences per round. Pure function of the word. */
   def tokenizeWord(w: String): Array[String] = {

@@ -135,6 +135,25 @@ object TextQueries {
         .orderBy("doc_id", "pos")
     },
 
+    // Distributed BPE TRAINING (ops/BpeTrainer) — the job that produces
+    // the merge table the tokenizer above consumes. One corpus-scale
+    // histogram pass, then 48 vocab-scale merge rounds (driver sees one
+    // winning pair per round, nothing else). The oracle is the embedded
+    // BpeVocab table itself, which IS the classic algorithm's output on
+    // this corpus — trained offline by the reference implementation — so
+    // the distributed trainer must reproduce it rank-for-rank: a wrong
+    // pair count, tie-break, or merge application diverges immediately.
+    QueryDef.withOracle("text_bpe_train",
+      s"""SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs
+         |FROM (VALUES
+         |    ${graft.functions.BpeVocab.mergeValuesSql}) t(rank, lhs, rhs)
+         |ORDER BY rank""".stripMargin) { (s, dir) =>
+      graft.ops.BpeTrainer.trainDf(
+          Tables(s, dir, "documents"), "text",
+          graft.functions.BpeVocab.Merges.size)
+        .orderBy("rank")
+    },
+
     // Rule-based quality FILTER — the decision layer on top of text_stats:
     // every document gets a keep/drop verdict plus the FIRST failing rule
     // (the reason a doc was dropped is what a pipeline owner debugs with).

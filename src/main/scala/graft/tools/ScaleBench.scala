@@ -62,7 +62,12 @@ object ScaleBench {
     "mm_decode_png_rgb",
     // PCA coarse-rank + re-rank: projection is map-side, candidates
     // bounded at rerank × queries; zoom: one count + one aggregation
-    "ann_pca", "engine_zoom")
+    "ann_pca", "engine_zoom",
+    // distributed BPE training: ONE corpus-scale histogram pass, then 48
+    // vocab-scale rounds — wall is iteration-count dominated, so 10× data
+    // should cost well under 10× wall (the whole point of training on the
+    // histogram instead of the corpus)
+    "text_bpe_train")
     // pipeline_pack_tokens is EXCLUDED like the pair-threshold queries:
     // GenScale's replica token prefix ('z??q') rarely merges under the
     // trained table, so replicated words emit ~3× the BPE tokens of their

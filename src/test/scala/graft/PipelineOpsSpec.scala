@@ -1014,6 +1014,63 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(chk == 0L)
   }
 
+  // classic-algorithm reference trainer (driver-side), replicating the
+  // most-frequent-pair / lexicographic-tie / left-to-right-non-overlap
+  // contract BpeTrainer distributes
+  private def refTrain(texts: Seq[String], nMerges: Int): Seq[(String, String)] = {
+    val pre = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]".r
+    var vocab: Map[Vector[String], Long] =
+      texts.flatMap(t => pre.findAllIn(t)).groupBy(identity)
+        .map { case (w, ws) => w.split("").toVector -> ws.size.toLong }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (out.size < nMerges && !done) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- vocab; i <- 0 until syms.size - 1)
+        pairs((syms(i), syms(i + 1))) =
+          pairs.getOrElse((syms(i), syms(i + 1)), 0L) + c
+      if (pairs.isEmpty) done = true
+      else {
+        val mx = pairs.values.max
+        val (a, b) = pairs.collect { case (p, c) if c == mx => p }.toSeq.min
+        out += ((a, b))
+        vocab = vocab.toSeq.map { case (syms, c) =>
+          val nb = Vector.newBuilder[String]; var i = 0
+          while (i < syms.size) {
+            if (i + 1 < syms.size && syms(i) == a && syms(i + 1) == b) {
+              nb += (a + b); i += 2
+            } else { nb += syms(i); i += 1 }
+          }
+          nb.result() -> c
+        }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+      }
+    }
+    out.toSeq
+  }
+
+  test("BpeTrainer: distributed training matches the classic algorithm") {
+    // overlap stress ("aaaa" merges non-overlapping L2R), tie stress
+    // ("xy"/"uv" equal counts -> lexicographically smallest pair wins),
+    // weighted counts across repeated words, digits + punctuation
+    val texts = Seq(
+      "aaaa aaaa bab abab", "xy xy xy uv uv uv", "the the the quick",
+      "order order merge! 123 123", "a b c")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for (k <- Seq(1, 3, 8, 20)) {
+      val exp = refTrain(texts, k)
+      val got = graft.ops.BpeTrainer.train(df, "text", k)
+      assert(got == exp, s"nMerges=$k: got $got expected $exp")
+    }
+    // early exhaustion: single-char words only -> no pairs, zero merges
+    val tiny = Seq((0L, "a b c d")).toDF("doc_id", "text")
+    assert(graft.ops.BpeTrainer.train(tiny, "text", 5).isEmpty)
+    // trainDf relation shape
+    val rel = graft.ops.BpeTrainer.trainDf(df, "text", 3).collect()
+    assert(rel.map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      == refTrain(texts, 3).zipWithIndex.map { case ((a, b), r) => (r.toLong, a, b) })
+  }
+
   test("PngCodec: encode/decode round-trips pixels through every filter type") {
     // w=3,h=4 with a gradient+noise pattern so Sub/Up/Average/Paeth all
     // produce nonzero filtered deltas
