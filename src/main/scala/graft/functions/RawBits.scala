@@ -69,6 +69,8 @@ object GraftFunctions {
     "graft_bpe_tokens" -> (args => GraftBpeTokens(args.head)),
     "graft_shingles" -> (args =>
       GraftShingles(args(0), args(1).eval().asInstanceOf[Number].intValue)),
+    "graft_shingles_all" -> (args =>
+      GraftShinglesAll(args(0), args(1).eval().asInstanceOf[Number].intValue)),
     // arg 1 is a foldable array<array<double>> literal (the trained
     // centroids) — evaluated once at resolution, then baked into the
     // expression as a reference object rather than plan literals

@@ -102,6 +102,42 @@ case class GraftShingles(child: Expression, n: Int)
   override def prettyName: String = "graft_shingles"
 }
 
+/** ALL n-word shingle hashes in POSITIONAL order (the non-distinct sibling
+  * of [[GraftShingles]]): element i is the hash of tokens [i, i+n), so a
+  * consumer can `posexplode` the array and reason about token offsets —
+  * the shape span-level substring dedup needs. Same fold, same arithmetic,
+  * same empty-array contract for short docs. */
+case class GraftShinglesAll(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingles_all requires array<bigint>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val whs = input.asInstanceOf[ArrayData]
+    val cnt = whs.numElements() - n + 1
+    if (cnt <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](cnt)
+    var i = 0
+    while (i < cnt) {
+      var h = 0L
+      var j = 0
+      while (j < n) { h = (h * B2 + whs.getLong(i + j)) % P; j += 1 }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GraftShinglesAll =
+    copy(child = newChild)
+  override def prettyName: String = "graft_shingles_all"
+}
+
 case class GraftMinHash(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

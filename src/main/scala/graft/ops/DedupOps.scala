@@ -842,4 +842,123 @@ object DedupOps {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct() // a pair may collide in several tables/probes
   }
+
+  // ---------------------------------------------------------------------
+  // Span-level EXACT-substring dedup (suffix-array-free): find maximal
+  // token spans that occur (as k-gram windows) at least `minCount` times
+  // anywhere in the corpus — the operation behind "Deduplicating Training
+  // Data Makes Language Models Better" (Lee et al. 2022), whose single-node
+  // tool builds a suffix array. The distributed re-expression: a duplicated
+  // substring of length >= k is exactly a RUN of consecutive duplicated
+  // k-gram windows, so (1) rolling-hash every k-token window with its
+  // position, (2) keep window hashes seen >= minCount times corpus-wide,
+  // (3) merge consecutive duplicated positions per doc into maximal spans
+  // (gaps-and-islands). Only 8-byte hashes + 4-byte positions shuffle —
+  // never text; the corpus-wide duplicate test is one hash-keyed
+  // aggregation with map-side partials (the 100 TB analog of the suffix
+  // array's LCP scan, at the cost of fixed k instead of all lengths).
+  // ---------------------------------------------------------------------
+
+  /** (id, pos, sh): every k-token window of every doc, rolling-hashed, with
+    * its 0-based token offset. One native pass per row (see
+    * TextOps.shingleHashesAll); checkpointed because substring dedup reads
+    * it twice (duplicate-hash aggregation + position join-back). */
+  def positionalShingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    df.repartition(par)
+      .select(col(idCol).as("id"),
+        TextOps.shingleHashesAll(
+          TextOps.wordHashes(TextOps.tokens(col(textCol))), k).as("shl"))
+      .select(col("id"), posexplode(col("shl")).as(Seq("pos", "sh")))
+      .localCheckpoint(false)
+  }
+
+  /** Maximal duplicated token spans per document: (id, span_start,
+    * span_end) with span_end EXCLUSIVE, both 0-based token offsets. A span
+    * is emitted when every k-window inside it occurs >= `minCount` times
+    * corpus-wide (so the span text itself appears elsewhere — within the
+    * same doc counts, as in the paper's self-repetition handling).
+    *
+    * Scale shape: the duplicate-hash set comes from a count aggregation on
+    * the 8-byte window hash (map-side partials collapse each task's
+    * repeats) and joins back on the same key — AQE broadcasts it when the
+    * duplicated head is small (the common case) and skew-splits when a
+    * boilerplate window is hot. The islands pass is one window sort per
+    * doc partition; per-doc row counts are document-length-bounded, so the
+    * sort never sees corpus-scale partitions. */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int, minCount: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = positionalShingles(docs, idCol, textCol, k)
+    val dup = sh.groupBy("sh").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount).select("sh")
+    val dp = sh.join(dup, Seq("sh")).select(col("id"), col("pos"))
+    val w = Window.partitionBy("id").orderBy("pos")
+    // hash(id) partitioning from the window satisfies the (id, grp)
+    // aggregation below — islands + span bounds cost ONE exchange total
+    // merge when the k-wide intervals of successive duplicated positions
+    // overlap OR touch (gap <= k): the merged span is then exactly the
+    // contiguous region of covered tokens — no hole, no double count
+    val grp = dp
+      .withColumn("brk",
+        when(col("pos") <= lag("pos", 1).over(w) + k, lit(0L)).otherwise(lit(1L)))
+      .withColumn("grp", sum("brk").over(w))
+    grp.groupBy(col("id"), col("grp"))
+      .agg(min("pos").as("s"), max("pos").as("e"))
+      .select(col("id").as(idCol),
+        col("s").cast("long").as("span_start"),
+        (col("e") + k).cast("long").as("span_end"))
+  }
+
+  /** Per-document substring-dedup report for flagged docs: token count,
+    * number of maximal duplicated spans, duplicated-token total (spans are
+    * merged maximal intervals — no double counting), and the duplicated
+    * fraction. The decision input for span REMOVAL ([[substringDedupApply]])
+    * or whole-doc drop policies. */
+  def substringDedupStats(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int, minCount: Int = 2): DataFrame = {
+    val nt = docs.select(col(idCol),
+      size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+    val agg = duplicatedSpans(docs, idCol, textCol, k, minCount)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start")).as("dup_tokens"))
+    agg.join(nt, Seq(idCol))
+      .select(col(idCol), col("n_tokens"), col("n_spans"), col("dup_tokens"),
+        (col("dup_tokens").cast("double") / col("n_tokens")).as("dup_fraction"))
+  }
+
+  /** APPLY the span removal (the paper's dedup action): drop every token
+    * inside a duplicated span and return the kept stream as (id, n_kept,
+    * kept_fp) — count + order-sensitive fingerprint of the surviving
+    * tokens, the contract downstream tokenization/packing consumes.
+    * Docs with no duplicated span pass through with their full stream.
+    *
+    * Scale shape: spans collect per doc (document-length-bounded arrays)
+    * and join back to the doc row; the keep/drop test + fingerprint then
+    * run entirely row-local — one pass over the token hashes against the
+    * sorted span list, no per-token explode, no text on the wire. */
+  def substringDedupApply(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int, minCount: Int = 2): DataFrame = {
+    val spans = duplicatedSpans(docs, idCol, textCol, k, minCount)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e")))).as("spans"))
+    val withSpans = docs
+      .select(col(idCol), TextOps.wordHashes(TextOps.tokens(col(textCol))).as("whs"))
+      .join(spans, Seq(idCol), "left")
+      .withColumn("spans", coalesce(col("spans"),
+        array().cast("array<struct<s:bigint,e:bigint>>")))
+    // kept positions: not covered by any span; fingerprint folds the kept
+    // word hashes in stream order (identical arithmetic to fingerprintOfHashes)
+    val keptHashes = filter(col("whs"), (_, p) =>
+      !exists(col("spans"),
+        sp => p.cast("long") >= sp("s") && p.cast("long") < sp("e")))
+    withSpans
+      .select(col(idCol), keptHashes.as("kept"))
+      .select(col(idCol),
+        size(col("kept")).cast("long").as("n_kept"),
+        TextOps.fingerprintOfHashes(col("kept")).as("kept_fp"))
+  }
 }

@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based quality filtering — the fasttext-classifier stage of a real
+  * LLM data pipeline (GPT-3/LLaMA-style: train a linear classifier to
+  * separate a curated reference corpus from crawl text, keep crawl docs the
+  * model scores as reference-like). Re-expressed Spark-first:
+  *
+  *  - FEATURES: one native `graft_text_counts` pass per row (the same
+  *    single-pass struct the quality heuristics use) projected to a fixed
+  *    vector of exact rationals — at 100 TB the corpus collapses to
+  *    ~50 bytes/doc before any iteration touches it.
+  *  - TRAINING: full-batch logistic-regression gradient descent. Each
+  *    iteration is ONE hash aggregation with map-side partials over the
+  *    cached feature projection (gradient = Σ (σ(w·x) − y)·x, a 7-double
+  *    reduce); the weight vector lives on the driver. T iterations = T
+  *    scans of the tiny projection, never of the text.
+  *  - SCORING: the learned weights broadcast as a one-row dimension; the
+  *    logit is a fixed left-to-right multiply-add chain, so results are
+  *    bit-reproducible from persisted weights in any engine (the DuckDB
+  *    oracle replays scoring from the weights parquet — training itself is
+  *    float-sum order-dependent like every distributed SGD, so the MODEL is
+  *    the persisted artifact, exactly as deployed pipelines treat it).
+  *
+  * Reference analog: none — the reference is a TSDB; this extends the
+  * engine toward the training-data curation surface (BASELINE.json north
+  * star). */
+object QualityModelOps {
+
+  /** Feature names in weight order; `bias` is the implicit leading 1. */
+  val FeatureCols: Seq[String] = Seq("f_len", "f_stop", "f_punct", "f_sym", "f_wlen")
+
+  /** Exact-rational feature projection: (id, label, f_len, f_stop, f_punct,
+    * f_sym, f_wlen). Every feature is a guarded single division of integer
+    * counts (bit-identical across engines):
+    *  f_len  = min(n_word/100, 1)        — length saturation
+    *  f_stop = sw_hits_en/n_word         — stopword density
+    *  f_punct= n_punct/n_chars           — punctuation density
+    *  f_sym  = n_ws/n_bpe                — whitespace-to-symbol ratio
+    *  f_wlen = n_chars/(10*n_ws) capped 1 — mean token length, scaled
+    */
+  def features(docs: DataFrame, idCol: String, textCol: String,
+               label: Column): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val counted = docs.select(col(idCol), label.as("label"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      TextOps.textCounts(col(textCol)).as("_c"))
+    val nWord = col("_c.n_word")
+    val sw = element_at(col("_c.sw_hits"),
+      graft.functions.GraftTextCounts.langIndex("en") + 1).cast("double")
+    counted.select(col(idCol), col("label"),
+      least(nWord.cast("double") / 100.0, lit(1.0)).as("f_len"),
+      when(nWord === 0, 0.0).otherwise(sw / nWord).as("f_stop"),
+      when(col("n_chars") === 0, 0.0)
+        .otherwise(col("_c.n_punct").cast("double") / col("n_chars")).as("f_punct"),
+      when(col("_c.n_bpe") === 0, 0.0)
+        .otherwise(col("_c.n_ws").cast("double") / col("_c.n_bpe")).as("f_sym"),
+      least(when(col("_c.n_ws") === 0, 0.0)
+        .otherwise(col("n_chars").cast("double") / (col("_c.n_ws") * 10.0)),
+        lit(1.0)).as("f_wlen"))
+  }
+
+  /** The logit as a FIXED left-to-right multiply-add chain over `w` =
+    * (bias, FeatureCols...) — the one arithmetic shape both the Spark
+    * scorer and the DuckDB oracle replay verbatim. */
+  def logit(w: Seq[Column], f: Seq[Column]): Column =
+    f.zip(w.tail).foldLeft(w.head) { case (acc, (fi, wi)) => acc + wi * fi }
+
+  /** Full-batch GD: returns (bias +: featureWeights). The feature frame is
+    * localCheckpoint'ed once (a ~50-byte/doc projection); each iteration is
+    * one 13-double aggregate (gradient + loss + count) with map-side
+    * partials. Learning rate fixed, iterations fixed — deployment retrains
+    * are reproducible up to float-sum ordering, which is why callers
+    * persist the weights rather than re-deriving them. */
+  def trainLogistic(feats: DataFrame, iters: Int = 60, lr: Double = 2.0): Array[Double] = {
+    val cached = feats.localCheckpoint(false)
+    val n = cached.count().toDouble
+    require(n > 0, "trainLogistic: empty training frame")
+    val dims = FeatureCols.length + 1
+    var w = new Array[Double](dims)
+    var it = 0
+    while (it < iters) {
+      val z = logit(w.map(lit(_)).toSeq, FeatureCols.map(col))
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val resid = p - col("label").cast("double")
+      val gradCols = (lit(1.0) +: FeatureCols.map(col)).zipWithIndex.map {
+        case (f, j) => sum(resid * f).as(s"g$j")
+      }
+      val g = cached.agg(gradCols.head, gradCols.tail: _*).head()
+      w = w.indices.map(j => w(j) - lr / n * g.getDouble(j)).toArray
+      it += 1
+    }
+    w
+  }
+
+  /** Score from a weights ROW dataframe with columns w0..wN (the persisted
+    * model, broadcast as a one-row 56-byte dim): (idCol, label, logit,
+    * keep). keep = logit > 0 (σ is monotone — thresholding the logit IS
+    * thresholding the probability, with no transcendental in the compared
+    * output). */
+  def scoreWith(feats: DataFrame, idCol: String, weightsRow: DataFrame): DataFrame = {
+    val wCols = (0 until FeatureCols.length + 1).map(j => col(s"w$j"))
+    val z = logit(wCols, FeatureCols.map(col))
+    feats.crossJoin(broadcast(weightsRow))
+      .select(col(idCol), col("label"), z.as("logit"), (z > 0).as("keep"))
+  }
+
+  /** Weights as a one-row frame (w0..wN) for persistence / broadcast. */
+  def weightsRow(spark: org.apache.spark.sql.SparkSession, w: Array[Double]): DataFrame = {
+    val cols = w.zipWithIndex.map { case (v, j) => lit(v).as(s"w$j") }
+    spark.range(1).select(cols.toIndexedSeq: _*)
+  }
+}

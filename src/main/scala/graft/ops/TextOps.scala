@@ -114,6 +114,14 @@ object TextOps {
   def shingleHashesOfHashes(whs: Column, n: Int): Column =
     call_function("graft_shingles", whs, lit(n))
 
+  /** ALL `n`-word shingle hashes in POSITIONAL order (non-distinct sibling
+    * of [[shingleHashesOfHashes]]): element i is the hash of tokens
+    * [i, i+n), so `posexplode` recovers token offsets — the input shape for
+    * span-level substring dedup (DedupOps.duplicatedSpans). Native
+    * expression; requires `GraftFunctions.register(spark)`. */
+  def shingleHashesAll(whs: Column, n: Int): Column =
+    call_function("graft_shingles_all", whs, lit(n))
+
   /** MinHash signature of a shingle-hash set: k permutation approximations
     * `h_i(x) = (a_i * x + b_i) % P`, taking the min over the set for each i.
     * `a_i`/`b_i` are fixed LCG-derived constants (deterministic across runs

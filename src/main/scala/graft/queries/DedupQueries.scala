@@ -64,6 +64,37 @@ object DedupQueries {
        |shs AS (SELECT doc_id, ${OracleText.shingleDistinctSql("whs", 3)} AS shingles
        |        FROM whst WHERE len(whs) >= 3)""".stripMargin
 
+  /** Window width (tokens) for span-level substring dedup. The paper uses
+    * 50 BPE tokens on web text; the synthetic corpus's docs average ~54
+    * word tokens, so 8 keeps the duplicated-run structure non-trivial
+    * (47/500 docs flagged at sf0.01) while exercising the same machinery. */
+  private val SubstringK = 8
+
+  /** CTEs for the substring-dedup family, mirroring
+    * `DedupOps.duplicatedSpans(_, _, _, SubstringK)` step for step:
+    * `ps` = positional window hashes, `dupg` = hashes occurring >= 2 times
+    * corpus-wide, `dp` = duplicated window start positions, `spans` =
+    * maximal merged [span_start, span_end) token intervals per doc. */
+  private val SubstringSpanCtes =
+    s"""whst AS (SELECT doc_id, $WHS AS whs FROM documents),
+       |ps AS (SELECT doc_id, unnest(shl) AS sh,
+       |         generate_subscripts(shl, 1) - 1 AS pos
+       |       FROM (SELECT doc_id,
+       |               ${OracleText.shingleAllSql("whs", SubstringK)} AS shl
+       |             FROM whst)),
+       |dupg AS (SELECT sh FROM ps GROUP BY sh HAVING count(*) >= 2),
+       |dp AS (SELECT doc_id, pos FROM ps JOIN dupg USING (sh)),
+       |isl AS (SELECT doc_id, pos,
+       |          CASE WHEN pos <= lag(pos) OVER (PARTITION BY doc_id
+       |                 ORDER BY pos) + $SubstringK THEN 0 ELSE 1 END AS brk
+       |        FROM dp),
+       |grps AS (SELECT doc_id, pos,
+       |           SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+       |         FROM isl),
+       |spans AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |            CAST(max(pos) + $SubstringK AS BIGINT) AS span_end
+       |          FROM grps GROUP BY doc_id, g)""".stripMargin
+
   /** CTE list producing `pairs(id_a, id_b, jaccard)`: brute-force n-gram
     * (3-word shingle) Jaccard pairs at J >= 0.8 — inverted-index CTEs
     * mirroring the Spark arithmetic exactly. Shared by the pair queries and
@@ -339,6 +370,67 @@ object DedupQueries {
         .join(reps, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("is_cluster_rep"), lit(false)).as("is_cluster_rep"))
+        .orderBy("doc_id")
+    },
+
+    // Span-level EXACT-substring dedup (Lee et al. 2022, suffix-array-free:
+    // rolling-hash k-gram windows -> corpus-wide duplicate test -> maximal
+    // consecutive-window runs). The oracle rebuilds the positional window
+    // hashes, the >=2-occurrence set, and the gaps-and-islands merge with
+    // identical integer arithmetic.
+    QueryDef.withOracle("dedup_substring_spans",
+      s"""WITH $SubstringSpanCtes
+         |SELECT doc_id, span_start, span_end FROM spans
+         |ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
+      DedupOps.duplicatedSpans(Tables(s, dir, "documents"), "doc_id", "text",
+          k = SubstringK)
+        .orderBy("doc_id", "span_start")
+    },
+
+    // Per-doc substring-dedup report: token count, maximal-span count,
+    // duplicated-token total and fraction — the drop/trim decision input.
+    QueryDef.withOracle("dedup_substring",
+      s"""WITH $SubstringSpanCtes,
+         |nt AS (SELECT doc_id, CAST(len(${OracleText.TOKS}) AS BIGINT) AS n_tokens
+         |       FROM documents),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |          SUM(span_end - span_start) AS dup_tokens
+         |        FROM spans GROUP BY doc_id)
+         |SELECT a.doc_id, n.n_tokens, a.n_spans, a.dup_tokens,
+         |       CAST(a.dup_tokens AS DOUBLE) / n.n_tokens AS dup_fraction
+         |FROM agg a JOIN nt n USING (doc_id) ORDER BY a.doc_id""".stripMargin) {
+      (s, dir) =>
+      DedupOps.substringDedupStats(Tables(s, dir, "documents"), "doc_id", "text",
+          k = SubstringK)
+        .orderBy("doc_id")
+    },
+
+    // APPLY the span removal: every doc's surviving token stream as a count
+    // + order-sensitive fingerprint (docs without duplicated spans pass
+    // through whole). The oracle expands covered positions from the
+    // duplicated windows and folds the kept hashes in stream order.
+    QueryDef.withOracle("dedup_substring_apply",
+      s"""WITH $SubstringSpanCtes,
+         |tokpos AS (SELECT doc_id, unnest(whs) AS wh,
+         |             generate_subscripts(whs, 1) - 1 AS pos
+         |           FROM whst),
+         |cov AS (SELECT DISTINCT doc_id, pos + o AS pos
+         |        FROM dp, range(0, $SubstringK) r(o)),
+         |keptl AS (SELECT t.doc_id, t.wh, t.pos
+         |          FROM tokpos t LEFT JOIN cov c
+         |            ON t.doc_id = c.doc_id AND t.pos = c.pos
+         |          WHERE c.pos IS NULL),
+         |fpq AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |            list(wh ORDER BY pos)),
+         |            (f, h) -> (f * ${TextOps.B2} + h) % ${TextOps.P}) AS fp
+         |        FROM keptl GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(f.n_kept, 0) AS n_kept,
+         |       COALESCE(f.fp, 0) AS kept_fp
+         |FROM documents d LEFT JOIN fpq f USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      DedupOps.substringDedupApply(Tables(s, dir, "documents"), "doc_id", "text",
+          k = SubstringK)
         .orderBy("doc_id")
     },
 

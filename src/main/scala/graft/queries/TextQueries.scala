@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ops.TextOps
+import graft.ops.{QualityModelOps, TextOps}
 import graft.tables.Tables
 
 /** Text-analysis operators over the `documents` table, each oracle-checked:
@@ -11,6 +11,35 @@ import graft.tables.Tables
 object TextQueries {
 
   import OracleText._
+
+  /** "Curated" source whitelist for the quality-classifier label (the
+    * wiki-vs-crawl split of the reference-corpus training recipe).
+    * Declared BEFORE `defs` — object vals initialize in order. */
+  private val Curated: Seq[String] = (0 to 4).map(i => s"src$i")
+  private def CuratedSql = Curated.map(s => s"'$s'").mkString(", ")
+
+  /** Persisted LR weights (one row, w0..w5) — PID-scoped like the ANN
+    * quantizers, same outlive-the-JVM contract (the driver's DuckDB replay
+    * reads it after Verify exits), same dead-PID + 24h reaper. */
+  private val QlrWeightsPath = new java.io.File(
+    sys.props("java.io.tmpdir"),
+    s"graft-qlr-weights-${ProcessHandle.current().pid()}.parquet").getAbsolutePath
+  locally {
+    val re = """graft-qlr-weights-(\d+)\.parquet""".r
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+    val self = ProcessHandle.current().pid()
+    Option(tmp.listFiles()).toSeq.flatten.foreach { f =>
+      f.getName match {
+        case re(pid) if pid.toLong != self &&
+            !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false) &&
+            f.lastModified() < cutoff =>
+          Option(f.listFiles()).toSeq.flatten.foreach(_.delete())
+          f.delete(): Unit
+        case _ => ()
+      }
+    }
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -411,6 +440,37 @@ object TextQueries {
         Seq("q_spark_join" -> Seq("spark", "join"),
           "q_window_sort_merge" -> Seq("window", "sort", "merge"),
           "q_vector_batch" -> Seq("vector", "batch")), topN = 20)
+    },
+
+    // MODEL-BASED quality filtering (the fasttext-classifier stage of
+    // GPT-3/LLaMA-style curation): logistic regression trained by
+    // distributed full-batch GD to separate "curated" sources (src0-4)
+    // from the rest, then every doc scored by the learned logit. The query
+    // trains, PERSISTS the model, and scores; the oracle replays SCORING
+    // from the persisted weights with the identical feature arithmetic and
+    // multiply-add chain — keep = logit > 0 (σ is monotone, so the
+    // compared output carries no transcendental). Training itself is
+    // float-sum order-dependent like all distributed SGD; the persisted
+    // model is the contract, exactly as deployed pipelines treat it.
+    QueryDef.withOracle("text_quality_model",
+      s"""WITH w AS (SELECT * FROM read_parquet('$QlrWeightsPath/*.parquet')),
+         |f AS (SELECT doc_id, source IN ($CuratedSql) AS label,
+         |        $F_LEN AS f_len, $SW_RATIO AS f_stop, $PUNCT_RATIO AS f_punct,
+         |        $F_SYM AS f_sym, $F_WLEN AS f_wlen
+         |      FROM documents)
+         |SELECT doc_id, label,
+         |  w0 + w1 * f_len + w2 * f_stop + w3 * f_punct
+         |     + w4 * f_sym + w5 * f_wlen AS logit,
+         |  w0 + w1 * f_len + w2 * f_stop + w3 * f_punct
+         |     + w4 * f_sym + w5 * f_wlen > 0 AS keep
+         |FROM f, w ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val feats = QualityModelOps.features(Tables(s, dir, "documents"),
+        "doc_id", "text", col("source").isin(Curated: _*))
+        .localCheckpoint(false)
+      val w = QualityModelOps.trainLogistic(feats)
+      val wrow = QualityModelOps.weightsRow(s, w)
+      wrow.coalesce(1).write.mode("overwrite").parquet(QlrWeightsPath)
+      QualityModelOps.scoreWith(feats, "doc_id", wrow).orderBy("doc_id")
     }
   )
 }
@@ -437,6 +497,15 @@ object OracleText {
     s"list_distinct(list_transform(range(0, len($whs) - ${k - 1}), i -> " +
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice($whs, i + 1, i + $k)), " +
       s"(h, w) -> (h * ${TextOps.B2} + w) % ${TextOps.P})))"
+
+  /** ALL k-word shingle hashes in positional order (mirrors
+    * TextOps.shingleHashesAll — the non-distinct sibling of
+    * [[shingleDistinctSql]]); element i (1-based in DuckDB lists) hashes
+    * tokens [i-1, i-1+k). */
+  def shingleAllSql(whs: String, k: Int): String =
+    s"list_transform(range(0, len($whs) - ${k - 1}), i -> " +
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice($whs, i + 1, i + $k)), " +
+      s"(h, w) -> (h * ${TextOps.B2} + w) % ${TextOps.P}))"
 
   /** Rolling fingerprint over the token hash stream. */
   val FINGERPRINT =
@@ -531,6 +600,16 @@ object OracleText {
 
   private def hit(ws: Seq[String]) =
     s"len(list_filter($TOKS, t -> list_contains(${inList(ws)}, t)))"
+
+  /** Quality-classifier features (mirror QualityModelOps.features exactly —
+    * guarded single divisions of the same integer counts). */
+  private val WsRe = "regexp_extract_all(text, '\\S+')"
+  private val BpeRe = "regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')"
+  val F_LEN = s"least(len($TOKS) / 100.0, 1.0)"
+  val F_SYM = s"CASE WHEN len($BpeRe) = 0 THEN 0.0 " +
+    s"ELSE CAST(len($WsRe) AS DOUBLE) / len($BpeRe) END"
+  val F_WLEN = s"least(CASE WHEN len($WsRe) = 0 THEN 0.0 " +
+    s"ELSE CAST(length(text) AS DOUBLE) / (len($WsRe) * 10.0) END, 1.0)"
 
   /** Winner-by-(score desc, lang asc): same left fold as TextOps.langId. */
   val LANG_SCORE: String = TextOps.StopwordLists.map { case (_, ws) => hit(ws) }

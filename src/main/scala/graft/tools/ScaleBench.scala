@@ -67,7 +67,12 @@ object ScaleBench {
     // vocab-scale rounds — wall is iteration-count dominated, so 10× data
     // should cost well under 10× wall (the whole point of training on the
     // histogram instead of the corpus)
-    "text_bpe_train")
+    "text_bpe_train",
+    // span-level substring dedup: window hashes shuffle linearly; GenScale
+    // replicas share every window (posting lists ∝ replication), so the
+    // duplicate-set join-back must stay ∝ occurrences, never pairs —
+    // exactly the quadratic trap this gate exists to catch
+    "dedup_substring")
     // pipeline_pack_tokens is EXCLUDED like the pair-threshold queries:
     // GenScale's replica token prefix ('z??q') rarely merges under the
     // trained table, so replicated words emit ~3× the BPE tokens of their

@@ -250,6 +250,106 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(blocking <= 13, s"driver-blocking action count regressed: $byName")
   }
 
+  test("duplicatedSpans: cross-doc run, within-doc repetition, merged touching intervals") {
+    // k=3. d0/d1 share the 5-token run "aa bb cc dd ee"; d2 unique; d3 is
+    // "mm nn oo" x3 (every window duplicated WITHIN the doc).
+    val sd = Seq(
+      (0L, "aa bb cc dd ee ff gg hh"),
+      (1L, "xx yy aa bb cc dd ee zz"),
+      (2L, "pp qq rr ss tt uu vv ww"),
+      (3L, "mm nn oo mm nn oo mm nn oo")
+    ).toDF("doc_id", "text")
+    val spans = DedupOps.duplicatedSpans(sd, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(spans == Set((0L, 0L, 5L), (1L, 2L, 7L), (3L, 0L, 9L)))
+
+    // minCount=3: only the d3 window (mm,nn,oo) occurs 3x; its positions
+    // 0/3/6 touch at exactly gap k and must merge to ONE maximal span
+    val tight = DedupOps.duplicatedSpans(sd, "doc_id", "text", k = 3, minCount = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(tight == Set((3L, 0L, 9L)))
+
+    val stats = DedupOps.substringDedupStats(sd, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(stats.keySet == Set(0L, 1L, 3L))
+    assert(stats(0L) == ((0L, 8L, 1L, 5L, 5.0 / 8.0)))
+    assert(stats(3L) == ((3L, 9L, 1L, 9L, 1.0)))
+  }
+
+  test("substringDedupApply: kept stream drops covered tokens only; clean docs pass whole") {
+    val sd = Seq(
+      (0L, "aa bb cc dd ee ff gg hh"),
+      (1L, "xx yy aa bb cc dd ee zz"),
+      (2L, "pp qq rr ss tt uu vv ww"),
+      (3L, "mm nn oo mm nn oo mm nn oo")
+    ).toDF("doc_id", "text")
+    def fpOf(ws: Seq[String]): Long =
+      ws.foldLeft(0L)((f, w) => (f * TextOps.B2 + whRef(w)) % TextOps.P)
+    val got = DedupOps.substringDedupApply(sd, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(0L) == ((3L, fpOf(Seq("ff", "gg", "hh")))))
+    assert(got(1L) == ((3L, fpOf(Seq("xx", "yy", "zz")))))
+    assert(got(2L) == ((8L, fpOf("pp qq rr ss tt uu vv ww".split(" ").toSeq))))
+    assert(got(3L) == ((0L, 0L))) // fully duplicated -> empty kept stream
+  }
+
+  test("quality classifier: GD separates a separable fixture; scoring replays from the weights row") {
+    // positives: clean English-ish prose (stopwords, low punctuation);
+    // negatives: punctuation-heavy symbol junk. Linearly separable in the
+    // engineered feature space, so the trained model must rank every
+    // positive above every negative (AUC = 1 on the training frame).
+    val docs = (0 until 8).map { i =>
+      (i.toLong, s"the quick brown fox number $i jumps over the lazy dog and runs the field with speed", true)
+    } ++ (8 until 16).map { i =>
+      (i.toLong, s"@@## $$%% ^^&& **(( ))!! ::;; <<>> ??// ~~`` ||\\\\ $i ++==", false)
+    }
+    val df = docs.toDF("doc_id", "text", "y")
+    val feats = QualityModelOps.features(df, "doc_id", "text", col("y"))
+    val w = QualityModelOps.trainLogistic(feats, iters = 80, lr = 2.0)
+    assert(w.length == QualityModelOps.FeatureCols.length + 1)
+    val scored = QualityModelOps.scoreWith(feats, "doc_id",
+      QualityModelOps.weightsRow(spark, w))
+      .as[(Long, Boolean, Double, Boolean)].collect()
+    val pos = scored.filter(_._2).map(_._3)
+    val neg = scored.filterNot(_._2).map(_._3)
+    assert(pos.min > neg.max, s"not separated: pos.min=${pos.min} neg.max=${neg.max}")
+
+    // scoring is a pure function of (features, weights): a second pass from
+    // the same weights row reproduces every logit bit-for-bit
+    val again = QualityModelOps.scoreWith(feats, "doc_id",
+      QualityModelOps.weightsRow(spark, w))
+      .as[(Long, Boolean, Double, Boolean)].collect().map(r => r._1 -> r._3).toMap
+    scored.foreach { case (id, _, logit, keep) =>
+      assert(java.lang.Double.doubleToLongBits(again(id)) ==
+        java.lang.Double.doubleToLongBits(logit))
+      assert(keep == (logit > 0))
+    }
+  }
+
+  test("quality classifier: training loss decreases over iterations") {
+    val docs = (0 until 6).map { i =>
+      (i.toLong, "the and for with that this from have more other some time very when", true)
+    } ++ (6 until 12).map { i =>
+      (i.toLong, s"!!!! #### %%%% &&&& (((( )))) $i ****", false)
+    }
+    val df = docs.toDF("doc_id", "text", "y")
+    val feats = QualityModelOps.features(df, "doc_id", "text", col("y"))
+      .localCheckpoint(false)
+    def loss(w: Array[Double]): Double = {
+      val z = QualityModelOps.logit(
+        w.toSeq.map(lit(_)), QualityModelOps.FeatureCols.map(col))
+      // logistic loss: log(1 + exp(-y'z)) with y' = ±1
+      val yz = (when(col("label"), 1.0).otherwise(-1.0)) * z
+      feats.agg(avg(log(lit(1.0) + exp(-yz)))).head().getDouble(0)
+    }
+    val w0 = new Array[Double](QualityModelOps.FeatureCols.length + 1)
+    val w20 = QualityModelOps.trainLogistic(feats, iters = 20, lr = 2.0)
+    val w60 = QualityModelOps.trainLogistic(feats, iters = 60, lr = 2.0)
+    assert(loss(w20) < loss(w0))
+    assert(loss(w60) < loss(w20))
+  }
+
   test("simhashPairs: exact dup at hamming 0; pigeonhole banding finds it") {
     val pairs = DedupOps.simhashPairs(docs, "doc_id", "text", bits = 30, maxHamming = 2)
       .as[(Long, Long, Long)].collect().map { case (a, b, h) => ((a, b), h) }.toMap
