@@ -125,7 +125,11 @@ object Bench {
       "dedup_ngram_jaccard_capped", "dedup_embedding_lsh_tight", "ann_topk",
       "ann_ivf_quantized", "text_stats", "text_bm25", "events_funnel",
       "events_distinct_kmv", "pipeline_pack", "pipeline_chunk",
-      "text_tokens_bpe", "ann_pca")
+      "text_tokens_bpe", "ann_pca",
+      // round-11 additions: span-level substring dedup (hash-keyed window
+      // duplicate test), LM scoring (vocab-scale counts + token-scale
+      // stream), shard writer (map-side assignment + per-shard windows)
+      "dedup_substring", "text_lm_score", "pipeline_shard")
     var sf1Failed = 0
     val sf1Results: Seq[(String, Double)] =
       if (args.nonEmpty || !sfDir.replace("/", "").endsWith("sf0.1") ||

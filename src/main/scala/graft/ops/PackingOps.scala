@@ -111,4 +111,27 @@ object PackingOps {
       .select(col(groupCol), col(idCol), col("n_tokens"),
         col("start_tok"), col("bin_id"))
   }
+
+  /** Deterministic corpus shuffle + sharding — the writer stage of a
+    * training pipeline: every doc gets a seeded pseudo-random key, a shard
+    * by key modulus, and a position within its shard, giving a reproducible
+    * global training order (shard-major) that any worker can recompute.
+    *
+    * Scale shape: the naive phrasing — row_number() over ONE global sort —
+    * funnels 100 TB through a single window partition. Hash-sharding first
+    * (shard = skey % n) keeps the assignment map-side; only the per-shard
+    * position needs a window, and those parallelize across shards (pick
+    * nShards >> executor count, which real training-shard layouts do
+    * anyway). Key arithmetic is the repo's polynomial form — exact in any
+    * engine, no xxhash divergence. Output: (idCol, skey, shard,
+    * pos_in_shard). */
+  def shardAssign(df: DataFrame, idCol: String, nShards: Int,
+                  seed: Long): DataFrame = {
+    require(nShards > 0, "shardAssign needs nShards > 0")
+    val skey = ((col(idCol) % TextOps.P) * TextOps.B2 + seed) % TextOps.P
+    val w = Window.partitionBy("shard").orderBy(col("skey"), col(idCol))
+    df.select(col(idCol), skey.as("skey"))
+      .withColumn("shard", col("skey") % nShards)
+      .withColumn("pos_in_shard", row_number().over(w).cast("long") - 1)
+  }
 }

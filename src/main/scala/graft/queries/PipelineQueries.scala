@@ -273,6 +273,24 @@ object PipelineQueries {
           "doc_id", "text", "source", 2048L,
           tokenCount = c => size(graft.ops.TextOps.bpeMergedTokens(c)).cast("long"))
         .orderBy("source", "doc_id")
+    },
+
+    // Deterministic corpus shuffle + sharding (the training-order writer):
+    // seeded polynomial key, shard = key % 16, position within shard via a
+    // per-shard window — reproducible shard-major training order with NO
+    // global single-partition sort (see PackingOps.shardAssign).
+    QueryDef.withOracle("pipeline_shard", {
+      import graft.ops.TextOps.{B2, P}
+      s"""WITH s AS (SELECT doc_id,
+         |             ((doc_id % $P) * $B2 + 42) % $P AS skey FROM documents)
+         |SELECT doc_id, skey, skey % 16 AS shard,
+         |  CAST(row_number() OVER (PARTITION BY skey % 16
+         |    ORDER BY skey, doc_id) - 1 AS BIGINT) AS pos_in_shard
+         |FROM s ORDER BY shard, pos_in_shard""".stripMargin
+    }) { (s, dir) =>
+      graft.ops.PackingOps.shardAssign(Tables(s, dir, "documents"),
+          "doc_id", nShards = 16, seed = 42L)
+        .orderBy("shard", "pos_in_shard")
     }
   )
 }

@@ -471,6 +471,44 @@ object TextQueries {
       val wrow = QualityModelOps.weightsRow(s, w)
       wrow.coalesce(1).write.mode("overwrite").parquet(QlrWeightsPath)
       QualityModelOps.scoreWith(feats, "doc_id", wrow).orderBy("doc_id")
+    },
+
+    // N-gram LM scoring (the CCNet/KenLM stage): bigram LM trained on the
+    // in-language reference slice (lang='en'), every doc scored by its
+    // add-one-smoothed mean transition probability + OOV-bigram count.
+    // p = (c2+1)/(c1+V) is a single integer-count division and the per-doc
+    // reduce folds in position order, so the oracle replays every value
+    // bit-for-bit (the rational form of the perplexity signal — see
+    // NgramLmOps scaladoc on why no transcendental rides the compared
+    // output). Training counts are vocabulary-scale aggregations; scoring
+    // is two hash joins over a 24-byte bigram stream.
+    QueryDef.withOracle("text_lm_score",
+      s"""WITH whst AS (SELECT doc_id, lang, $WHS AS whs FROM documents),
+         |bg AS (SELECT doc_id, lang, generate_subscripts(shl, 1) - 1 AS pos,
+         |         unnest(shl) AS h12
+         |       FROM (SELECT doc_id, lang,
+         |               ${shingleAllSql("whs", 2)} AS shl FROM whst)),
+         |st AS (SELECT b.doc_id, b.lang, b.pos, w.whs[b.pos + 1] AS h1, b.h12
+         |       FROM bg b JOIN whst w USING (doc_id)),
+         |uni AS (SELECT h1, CAST(count(*) AS BIGINT) AS c1 FROM st
+         |        WHERE lang = 'en' GROUP BY h1),
+         |big AS (SELECT h12, CAST(count(*) AS BIGINT) AS c2 FROM st
+         |        WHERE lang = 'en' GROUP BY h12),
+         |vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+         |probs AS (SELECT s.doc_id, s.pos, b.c2 IS NULL AS oov,
+         |            CAST(COALESCE(b.c2, 0) + 1 AS DOUBLE)
+         |              / (COALESCE(u.c1, 0) + vv.v) AS p
+         |          FROM st s LEFT JOIN uni u USING (h1)
+         |                    LEFT JOIN big b USING (h12), vv)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(p ORDER BY pos)),
+         |    (a, b) -> a + b) / count(*) AS mean_p
+         |FROM probs GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      graft.ops.NgramLmOps.lmScore(docs, "doc_id", "text",
+          docs.filter(col("lang") === "en"))
+        .orderBy("doc_id")
     }
   )
 }

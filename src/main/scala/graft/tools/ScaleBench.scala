@@ -72,7 +72,12 @@ object ScaleBench {
     // replicas share every window (posting lists ∝ replication), so the
     // duplicate-set join-back must stay ∝ occurrences, never pairs —
     // exactly the quadratic trap this gate exists to catch
-    "dedup_substring")
+    "dedup_substring",
+    // LM scoring: counts ∝ vocabulary, stream ∝ tokens — both linear;
+    // quality classifier: iteration-dominated (fixed GD rounds over a
+    // 50-byte/doc projection), so wall should grow well under the data
+    // factor; sharding: map-side assignment + per-shard windows
+    "text_lm_score", "text_quality_model", "pipeline_shard")
     // pipeline_pack_tokens is EXCLUDED like the pair-threshold queries:
     // GenScale's replica token prefix ('z??q') rarely merges under the
     // trained table, so replicated words emit ~3× the BPE tokens of their

@@ -350,6 +350,104 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(loss(w60) < loss(w20))
   }
 
+  test("ngram LM: add-one-smoothed probabilities match the hand computation") {
+    // reference "aa bb aa bb cc": prefix counts aa:2 bb:2 (V=2);
+    // bigram counts (aa,bb):2 (bb,aa):1 (bb,cc):1
+    val ref = Seq((100L, "aa bb aa bb cc")).toDF("doc_id", "text")
+    val docs = Seq(
+      (0L, "aa bb cc"),  // p=(2+1)/(2+2), (1+1)/(2+2) -> mean 0.625, oov 0
+      (1L, "cc aa xx"),  // (cc,aa) oov p=1/(0+2); (aa,xx) oov p=1/(2+2) -> mean 0.375
+      (2L, "zz")         // < 2 tokens -> absent
+    ).toDF("doc_id", "text")
+    val got = NgramLmOps.lmScore(docs, "doc_id", "text", ref)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(0L, 1L))
+    assert(got(0L) == ((0L, 2L, 0L, (0.75 + 0.5) / 2)))
+    assert(got(1L) == ((1L, 2L, 2L, (0.5 + 0.25) / 2)))
+  }
+
+  test("ngram LM: bigramStream pairs each prefix hash with its 2-gram hash") {
+    val df = Seq((0L, "aa bb cc")).toDF("doc_id", "text")
+    val rows = NgramLmOps.bigramStream(df, "doc_id", "text")
+      .as[(Long, Int, Long, Long)].collect().sortBy(_._2)
+    assert(rows.length == 2)
+    val Seq(ha, hb, hc) = Seq("aa", "bb", "cc").map(whRef)
+    def h2(a: Long, b: Long) = (a * TextOps.B2 + b) % TextOps.P
+    assert(rows(0) == ((0L, 0, ha, h2(ha, hb))))
+    assert(rows(1) == ((0L, 1, hb, h2(hb, hc))))
+    // short docs emit nothing
+    assert(NgramLmOps.bigramStream(Seq((1L, "solo")).toDF("doc_id", "text"),
+      "doc_id", "text").count() == 0)
+  }
+
+  test("shardAssign: deterministic, balanced-ish, contiguous per-shard positions") {
+    val df = spark.range(0, 1000).toDF("doc_id")
+    val got = PackingOps.shardAssign(df, "doc_id", nShards = 8, seed = 7L)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length == 1000)
+    // reproducible: same seed -> identical assignment
+    val again = PackingOps.shardAssign(df, "doc_id", nShards = 8, seed = 7L)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // different seed -> different permutation
+    val other = PackingOps.shardAssign(df, "doc_id", nShards = 8, seed = 8L)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.sortBy(_._1).map(_._3).toSeq != other.sortBy(_._1).map(_._3).toSeq)
+    // per-shard positions are 0..n_s-1 with no gaps, ordered by (skey, id)
+    got.groupBy(_._3).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._1))
+      assert(sorted.map(_._4).toSeq == sorted.indices.map(_.toLong))
+    }
+    // polynomial key spreads: no shard holds more than 3x the fair share
+    val sizes = got.groupBy(_._3).view.mapValues(_.length)
+    assert(sizes.values.max <= 3 * 1000 / 8)
+  }
+
+  test("substring/LM plan gates: no cartesian; islands window exchange feeds the span agg") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    def unwrap(p: SparkPlan): Seq[SparkPlan] = (p +: (p match {
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case q: QueryStageExec => unwrap(q.plan)
+      case _ => p.children.flatMap(unwrap)
+    })).distinct
+    val docs = (0 until 64).map(i =>
+      (i.toLong, s"aa bb cc dd ee w$i x$i y$i z$i")).toDF("doc_id", "text")
+
+    val spanPlan = {
+      val df = DedupOps.duplicatedSpans(docs, "doc_id", "text", k = 3)
+      df.collect()
+      unwrap(df.queryExecution.executedPlan)
+    }
+    assert(!spanPlan.exists(p => p.isInstanceOf[CartesianProductExec] ||
+      p.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "substring dedup must never cross-join")
+    // the final span aggregation groups on (id, grp): the islands window's
+    // hash(id) partitioning must satisfy it — NO exchange between the two
+    val aggOverWindow = spanPlan.collectFirst {
+      case agg: BaseAggregateExec
+          if unwrap(agg).exists(_.isInstanceOf[WindowExec]) => agg
+    }
+    assert(aggOverWindow.isDefined, "span aggregation over the islands window not found")
+    val between = unwrap(aggOverWindow.get).takeWhile(!_.isInstanceOf[WindowExec])
+    assert(!between.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "span agg re-shuffled the islands window output — exchange reuse regressed")
+
+    val lmPlan = {
+      val df = NgramLmOps.lmScore(docs, "doc_id", "text",
+        docs.filter($"doc_id" < 32))
+      df.collect()
+      unwrap(df.queryExecution.executedPlan)
+    }
+    assert(!lmPlan.exists(p => p.isInstanceOf[CartesianProductExec] ||
+      p.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "LM scoring must never cross-join")
+  }
+
   test("simhashPairs: exact dup at hamming 0; pigeonhole banding finds it") {
     val pairs = DedupOps.simhashPairs(docs, "doc_id", "text", bits = 30, maxHamming = 2)
       .as[(Long, Long, Long)].collect().map { case (a, b, h) => ((a, b), h) }.toMap
