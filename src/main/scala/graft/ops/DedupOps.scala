@@ -889,17 +889,22 @@ object DedupOps {
     * sort never sees corpus-scale partitions. */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                       k: Int, minCount: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sh = positionalShingles(docs, idCol, textCol, k)
     val dup = sh.groupBy("sh").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount).select("sh")
     val dp = sh.join(dup, Seq("sh")).select(col("id"), col("pos"))
+    spansFromPositions(dp, k, idCol)
+  }
+
+  /** Gaps-and-islands merge of flagged window positions (id, pos) into
+    * maximal token spans: successive positions whose k-wide intervals
+    * overlap OR touch (gap <= k) fuse, so the merged span is exactly the
+    * contiguous region of covered tokens — no hole, no double count. The
+    * hash(id) partitioning of the islands window satisfies the (id, grp)
+    * aggregation — islands + span bounds cost ONE exchange total. */
+  private def spansFromPositions(dp: DataFrame, k: Int, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("id").orderBy("pos")
-    // hash(id) partitioning from the window satisfies the (id, grp)
-    // aggregation below — islands + span bounds cost ONE exchange total
-    // merge when the k-wide intervals of successive duplicated positions
-    // overlap OR touch (gap <= k): the merged span is then exactly the
-    // contiguous region of covered tokens — no hole, no double count
     val grp = dp
       .withColumn("brk",
         when(col("pos") <= lag("pos", 1).over(w) + k, lit(0L)).otherwise(lit(1L)))
@@ -909,6 +914,28 @@ object DedupOps {
       .select(col("id").as(idCol),
         col("s").cast("long").as("span_start"),
         (col("e") + k).cast("long").as("span_end"))
+  }
+
+  /** SPAN-LEVEL benchmark decontamination — the modern overlap check (a
+    * training doc is contaminated where a >= k-token run also appears in
+    * the eval set, PaLM/GPT-4-style): maximal spans of non-benchmark docs
+    * whose every k-window hash occurs anywhere in the benchmark slice.
+    * Output (idCol, span_start, span_end), exclusive end — the input to a
+    * span-trim or doc-drop policy ([[substringDedupApply]] shape).
+    *
+    * Scale shape: eval suites are MBs against a 100 TB corpus, so the
+    * benchmark's distinct window-hash set BROADCASTS and the corpus probes
+    * it map-side (left-semi) — the training corpus never shuffles for the
+    * membership test; only flagged (id, pos) pairs reach the islands
+    * window. */
+  def contaminationSpans(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int, isBenchmark: Column): DataFrame = {
+    val bench = positionalShingles(docs.filter(isBenchmark), idCol, textCol, k)
+      .select("sh").distinct()
+    val probe = positionalShingles(docs.filter(!isBenchmark), idCol, textCol, k)
+    val dp = probe.join(broadcast(bench), Seq("sh"), "left_semi")
+      .select(col("id"), col("pos"))
+    spansFromPositions(dp, k, idCol)
   }
 
   /** Per-document substring-dedup report for flagged docs: token count,

@@ -80,4 +80,87 @@ object NgramLmOps {
       .select(col("id").as(idCol), col("n_bigrams"), col("n_oov"),
         (col("sum_p") / col("n_bigrams")).as("mean_p"))
   }
+
+  /** (id, per-trigram rows): pos plus every hash the backoff chain probes —
+    * h123 (3-gram), h12/h23 (the two 2-grams), h2/h3 (the two trailing
+    * unigrams). Row-local zip of the word-hash array with its 2- and
+    * 3-shingle arrays; docs with < 3 tokens emit nothing. */
+  def trigramStream(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val n = size(col("whs"))
+    def sl(c: Column, from: Int) =
+      when(n >= 3, slice(c, lit(from), n - 2)).otherwise(array().cast("array<bigint>"))
+    docs.repartition(par)
+      .select(col(idCol).as("id"),
+        TextOps.wordHashes(TextOps.tokens(col(textCol))).as("whs"))
+      .select(col("id"),
+        posexplode(arrays_zip(
+          TextOps.shingleHashesAll(col("whs"), 3).as("h123"),
+          sl(TextOps.shingleHashesAll(col("whs"), 2), 1).as("h12"),
+          sl(TextOps.shingleHashesAll(col("whs"), 2), 2).as("h23"),
+          sl(col("whs"), 2).as("h2"),
+          sl(col("whs"), 3).as("h3"))))
+      .select(col("id"), col("pos"), col("col.h123").as("h123"),
+        col("col.h12").as("h12"), col("col.h23").as("h23"),
+        col("col.h2").as("h2"), col("col.h3").as("h3"))
+  }
+
+  /** Stupid-backoff trigram scoring (Brants et al. 2007 — the large-corpus
+    * LM shape: unnormalized scores, no discount estimation, exactly the
+    * count ratios):
+    *   S(w3|w1w2) = c123/c12               when the trigram was seen
+    *              = 0.4 * c23/c2           backing off to the bigram
+    *              = 0.4*0.4 * (c3+1)/(T+V) at the (add-one) unigram floor
+    * Every branch is integer-count divisions and double multiplies —
+    * bit-replayable. Output: (idCol, n_trigrams, n_bo_bi, n_bo_uni,
+    * mean_s) where the n_bo_* columns count backoff-level hits. Counts
+    * build from the reference slice (trigram/bigram tables vocabulary²-
+    * scale at worst, unigram + scalars T/V); scoring is four hash joins
+    * over the trigram stream + the same position-ordered fold as
+    * [[lmScore]]. */
+  def lmScoreBackoff(docs: DataFrame, idCol: String, textCol: String,
+                     reference: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val refWhs = reference.repartition(par)
+      .select(TextOps.wordHashes(TextOps.tokens(col(textCol))).as("whs"))
+      .localCheckpoint(false)
+    val uni = refWhs.select(explode(col("whs")).as("h")).groupBy("h")
+      .agg(count(lit(1)).as("c_uni"))
+      .localCheckpoint(false)
+    val bi = refWhs.select(explode(TextOps.shingleHashesAll(col("whs"), 2)).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c_bi"))
+    val tri = refWhs.select(explode(TextOps.shingleHashesAll(col("whs"), 3)).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c_tri"))
+    val totalToks = refWhs.agg(sum(size(col("whs")))).head().getLong(0)
+    val vocab = uni.count()
+    val stream = trigramStream(docs, idCol, textCol)
+    val joined = stream
+      .join(tri.select(col("h").as("h123"), col("c_tri")), Seq("h123"), "left")
+      .join(bi.select(col("h").as("h12"), col("c_bi").as("c12")), Seq("h12"), "left")
+      .join(bi.select(col("h").as("h23"), col("c_bi").as("c23")), Seq("h23"), "left")
+      .join(uni.select(col("h").as("h2"), col("c_uni").as("c2")), Seq("h2"), "left")
+      .join(uni.select(col("h").as("h3"), col("c_uni").as("c3")), Seq("h3"), "left")
+    val s = when(col("c_tri").isNotNull,
+        col("c_tri").cast("double") / col("c12"))
+      .when(col("c23").isNotNull,
+        lit(0.4) * (col("c23").cast("double") / col("c2")))
+      .otherwise(lit(0.4) * lit(0.4) *
+        ((coalesce(col("c3"), lit(0L)) + lit(1L)).cast("double") /
+          (lit(totalToks) + lit(vocab))))
+    val level = when(col("c_tri").isNotNull, 0)
+      .when(col("c23").isNotNull, 1).otherwise(2)
+    joined.select(col("id"), col("pos"), s.as("s"), level.as("lvl"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_bo_bi"),
+        sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_bo_uni"),
+        aggregate(
+          transform(sort_array(collect_list(struct(col("pos"), col("s")))),
+            x => x("s")),
+          lit(0.0), (a, b) => a + b).as("sum_s"))
+      .select(col("id").as(idCol), col("n_trigrams"), col("n_bo_bi"),
+        col("n_bo_uni"), (col("sum_s") / col("n_trigrams")).as("mean_s"))
+  }
 }

@@ -75,16 +75,20 @@ object DedupQueries {
     * `ps` = positional window hashes, `dupg` = hashes occurring >= 2 times
     * corpus-wide, `dp` = duplicated window start positions, `spans` =
     * maximal merged [span_start, span_end) token intervals per doc. */
-  private val SubstringSpanCtes =
+  /** Positional window hashes + gaps-and-islands merge (mirrors
+    * `DedupOps.spansFromPositions`); the `dp` CTE (flagged positions) is
+    * the pluggable part — corpus-wide duplicates for substring dedup,
+    * benchmark membership for span decontamination. */
+  private val PositionalShingleCtes =
     s"""whst AS (SELECT doc_id, $WHS AS whs FROM documents),
        |ps AS (SELECT doc_id, unnest(shl) AS sh,
        |         generate_subscripts(shl, 1) - 1 AS pos
        |       FROM (SELECT doc_id,
        |               ${OracleText.shingleAllSql("whs", SubstringK)} AS shl
-       |             FROM whst)),
-       |dupg AS (SELECT sh FROM ps GROUP BY sh HAVING count(*) >= 2),
-       |dp AS (SELECT doc_id, pos FROM ps JOIN dupg USING (sh)),
-       |isl AS (SELECT doc_id, pos,
+       |             FROM whst))""".stripMargin
+
+  private val IslandCtes =
+    s"""isl AS (SELECT doc_id, pos,
        |          CASE WHEN pos <= lag(pos) OVER (PARTITION BY doc_id
        |                 ORDER BY pos) + $SubstringK THEN 0 ELSE 1 END AS brk
        |        FROM dp),
@@ -94,6 +98,19 @@ object DedupQueries {
        |spans AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
        |            CAST(max(pos) + $SubstringK AS BIGINT) AS span_end
        |          FROM grps GROUP BY doc_id, g)""".stripMargin
+
+  private val SubstringSpanCtes =
+    s"""$PositionalShingleCtes,
+       |dupg AS (SELECT sh FROM ps GROUP BY sh HAVING count(*) >= 2),
+       |dp AS (SELECT doc_id, pos FROM ps JOIN dupg USING (sh)),
+       |$IslandCtes""".stripMargin
+
+  private val ContaminationSpanCtes =
+    s"""$PositionalShingleCtes,
+       |bench AS (SELECT DISTINCT sh FROM ps WHERE doc_id % 17 = 0),
+       |dp AS (SELECT doc_id, pos FROM ps
+       |       WHERE doc_id % 17 <> 0 AND sh IN (SELECT sh FROM bench)),
+       |$IslandCtes""".stripMargin
 
   /** CTE list producing `pairs(id_a, id_b, jaccard)`: brute-force n-gram
     * (3-word shingle) Jaccard pairs at J >= 0.8 — inverted-index CTEs
@@ -432,6 +449,20 @@ object DedupQueries {
       DedupOps.substringDedupApply(Tables(s, dir, "documents"), "doc_id", "text",
           k = SubstringK)
         .orderBy("doc_id")
+    },
+
+    // SPAN-LEVEL benchmark decontamination (the modern >= k-token overlap
+    // check): maximal spans of training docs whose every window hash
+    // appears in the eval slice — the eval's distinct hashes broadcast and
+    // the corpus probes map-side, so 100 TB never shuffles for the
+    // membership test. Same islands merge as substring dedup.
+    QueryDef.withOracle("dedup_contamination_spans",
+      s"""WITH $ContaminationSpanCtes
+         |SELECT doc_id, span_start, span_end FROM spans
+         |ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
+      DedupOps.contaminationSpans(Tables(s, dir, "documents"), "doc_id", "text",
+          k = SubstringK, isBenchmark = pmod(col("doc_id"), lit(17)) === 0)
+        .orderBy("doc_id", "span_start")
     },
 
     // SimHash pairs within Hamming radius 1, EXACT via pigeonhole banding

@@ -509,6 +509,63 @@ object TextQueries {
       graft.ops.NgramLmOps.lmScore(docs, "doc_id", "text",
           docs.filter(col("lang") === "en"))
         .orderBy("doc_id")
+    },
+
+    // STUPID-BACKOFF trigram LM (Brants et al. 2007 — the web-scale LM
+    // recipe: unnormalized count ratios, a fixed 0.4 backoff weight, no
+    // discount estimation): S = c123/c12, else 0.4*c23/c2, else
+    // 0.4*0.4*(c3+1)/(T+V). Every branch is integer-count divisions and
+    // double multiplies, so the oracle replays all three backoff levels
+    // bit-for-bit; the n_bo_* columns pin WHICH level every position took.
+    QueryDef.withOracle("text_lm_backoff",
+      s"""WITH whst AS (SELECT doc_id, lang, $WHS AS whs FROM documents),
+         |ref AS (SELECT whs FROM whst WHERE lang = 'en'),
+         |uni AS (SELECT h, CAST(count(*) AS BIGINT) AS c_uni
+         |        FROM (SELECT unnest(whs) AS h FROM ref) GROUP BY h),
+         |bi AS (SELECT h, CAST(count(*) AS BIGINT) AS c_bi
+         |       FROM (SELECT unnest(${shingleAllSql("whs", 2)}) AS h FROM ref)
+         |       GROUP BY h),
+         |tri AS (SELECT h, CAST(count(*) AS BIGINT) AS c_tri
+         |        FROM (SELECT unnest(${shingleAllSql("whs", 3)}) AS h FROM ref)
+         |        GROUP BY h),
+         |tv AS (SELECT (SELECT CAST(sum(len(whs)) AS BIGINT) FROM ref) AS t,
+         |              (SELECT CAST(count(*) AS BIGINT) FROM uni) AS v),
+         |st AS (SELECT doc_id, generate_subscripts(shl, 1) - 1 AS pos,
+         |         unnest(shl) AS h123
+         |       FROM (SELECT doc_id, ${shingleAllSql("whs", 3)} AS shl
+         |             FROM whst)),
+         |stx AS (SELECT s.doc_id, s.pos, s.h123,
+         |          (w.whs[s.pos + 1] * ${TextOps.B2} + w.whs[s.pos + 2])
+         |            % ${TextOps.P} AS h12,
+         |          (w.whs[s.pos + 2] * ${TextOps.B2} + w.whs[s.pos + 3])
+         |            % ${TextOps.P} AS h23,
+         |          w.whs[s.pos + 2] AS h2, w.whs[s.pos + 3] AS h3
+         |        FROM st s JOIN whst w USING (doc_id)),
+         |sc AS (SELECT x.doc_id, x.pos,
+         |         CASE WHEN t3.c_tri IS NOT NULL
+         |                THEN CAST(t3.c_tri AS DOUBLE) / b12.c_bi
+         |              WHEN b23.c_bi IS NOT NULL
+         |                THEN 0.4 * (CAST(b23.c_bi AS DOUBLE) / u2.c_uni)
+         |              ELSE 0.4 * 0.4 * (CAST(COALESCE(u3.c_uni, 0) + 1 AS DOUBLE)
+         |                / (tv.t + tv.v)) END AS s,
+         |         CASE WHEN t3.c_tri IS NOT NULL THEN 0
+         |              WHEN b23.c_bi IS NOT NULL THEN 1 ELSE 2 END AS lvl
+         |       FROM stx x
+         |       LEFT JOIN tri t3 ON t3.h = x.h123
+         |       LEFT JOIN bi b12 ON b12.h = x.h12
+         |       LEFT JOIN bi b23 ON b23.h = x.h23
+         |       LEFT JOIN uni u2 ON u2.h = x.h2
+         |       LEFT JOIN uni u3 ON u3.h = x.h3, tv)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         |  CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bo_bi,
+         |  CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bo_uni,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(s ORDER BY pos)),
+         |    (a, b) -> a + b) / count(*) AS mean_s
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      graft.ops.NgramLmOps.lmScoreBackoff(docs, "doc_id", "text",
+          docs.filter(col("lang") === "en"))
+        .orderBy("doc_id")
     }
   )
 }

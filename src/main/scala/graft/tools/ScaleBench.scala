@@ -77,7 +77,11 @@ object ScaleBench {
     // quality classifier: iteration-dominated (fixed GD rounds over a
     // 50-byte/doc projection), so wall should grow well under the data
     // factor; sharding: map-side assignment + per-shard windows
-    "text_lm_score", "text_quality_model", "pipeline_shard")
+    "text_lm_score", "text_quality_model", "pipeline_shard",
+    // span decontamination: broadcast eval probe, corpus streams map-side;
+    // backoff LM: same linear stream/count shapes as text_lm_score with
+    // trigram tables
+    "dedup_contamination_spans", "text_lm_backoff")
     // pipeline_pack_tokens is EXCLUDED like the pair-threshold queries:
     // GenScale's replica token prefix ('z??q') rarely merges under the
     // trained table, so replicated words emit ~3× the BPE tokens of their

@@ -277,6 +277,25 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(stats(3L) == ((3L, 9L, 1L, 9L, 1.0)))
   }
 
+  test("contaminationSpans: flags only benchmark-overlapping runs of train docs") {
+    // bench doc 100 holds the run "aa bb cc dd"; train doc 0 embeds it,
+    // doc 1 repeats an unrelated phrase (self-duplication must NOT flag —
+    // decontamination tests membership in the eval set, not duplication),
+    // doc 2 is clean. k=3.
+    val sd = Seq(
+      (100L, "aa bb cc dd qq rr"),
+      (0L, "xx yy aa bb cc dd zz"),
+      (1L, "mm nn oo mm nn oo mm nn oo"),
+      (2L, "pp qq rr ss tt uu")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.contaminationSpans(sd, "doc_id", "text", k = 3,
+      isBenchmark = col("doc_id") >= 100)
+      .as[(Long, Long, Long)].collect().toSet
+    // doc 0 windows at pos 2 (aa,bb,cc) and 3 (bb,cc,dd) hit -> span [2,6);
+    // doc 2's (qq,rr,ss) does NOT hit (bench has (dd,qq,rr)/(cc,dd,qq) only)
+    assert(got == Set((0L, 2L, 6L)))
+  }
+
   test("substringDedupApply: kept stream drops covered tokens only; clean docs pass whole") {
     val sd = Seq(
       (0L, "aa bb cc dd ee ff gg hh"),
@@ -364,6 +383,24 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got.keySet == Set(0L, 1L))
     assert(got(0L) == ((0L, 2L, 0L, (0.75 + 0.5) / 2)))
     assert(got(1L) == ((1L, 2L, 2L, (0.5 + 0.25) / 2)))
+  }
+
+  test("stupid-backoff trigram LM: all three levels match the hand computation") {
+    // ref "aa bb cc aa bb dd": uni aa:2 bb:2 cc:1 dd:1 (T=6, V=4);
+    // bi (aa,bb):2 (bb,cc):1 (cc,aa):1 (bb,dd):1; tri each once.
+    val ref = Seq((100L, "aa bb cc aa bb dd")).toDF("doc_id", "text")
+    val docs = Seq(
+      (0L, "aa bb cc dd"), // (aa,bb,cc): 1/2 lvl0; (bb,cc,dd): uni floor on dd
+      (1L, "dd aa bb"),    // (dd,aa,bb): bigram backoff 0.4 * c(aa,bb)/c(aa)
+      (2L, "bb cc aa xx")  // (bb,cc,aa): 1/1 lvl0; (cc,aa,xx): uni floor, c(xx)=0
+    ).toDF("doc_id", "text")
+    val got = NgramLmOps.lmScoreBackoff(docs, "doc_id", "text", ref)
+      .as[(Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val floor1 = 0.4 * 0.4 * (2.0 / 10) // seen-once unigram: (1+1)/(6+4)
+    val floor0 = 0.4 * 0.4 * (1.0 / 10) // unseen unigram: (0+1)/(6+4)
+    assert(got(0L) == ((0L, 2L, 0L, 1L, (1.0 / 2 + floor1) / 2)))
+    assert(got(1L) == ((1L, 1L, 1L, 0L, 0.4 * (2.0 / 2))))
+    assert(got(2L) == ((2L, 2L, 0L, 1L, (1.0 / 1 + floor0) / 2)))
   }
 
   test("ngram LM: bigramStream pairs each prefix hash with its 2-gram hash") {
