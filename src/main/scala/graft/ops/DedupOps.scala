@@ -916,6 +916,71 @@ object DedupOps {
         (col("e") + k).cast("long").as("span_end"))
   }
 
+  /** WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+    * the MOSS sketch): slide a width-`w` window over the positional
+    * n-gram shingle hashes and keep each window's MINIMUM; the distinct
+    * selected values are the document's fingerprint set. Guarantee: any
+    * exact shared token run of length >= w + n - 1 contributes at least
+    * one shared fingerprint (every such run spans a full window, and both
+    * docs pick the same minimum from identical windows) — a DETERMINISTIC
+    * local sketch, unlike MinHash's probabilistic global one, at expected
+    * density 2/(w+1) of the shingle count.
+    *
+    * Output: (idCol, shl, win) with `shl` the positional shingle hashes
+    * and `win` the winnowed fingerprint set — both row-local HOFs over one
+    * materialized shingle array (plain column, so the lambda never
+    * re-derives it; see shingleHashesOfHashes scaladoc). */
+  def winnowedFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int, w: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    docs.repartition(par)
+      .select(col(idCol),
+        TextOps.shingleHashesAll(
+          TextOps.wordHashes(TextOps.tokens(col(textCol))), n).as("shl"))
+      .withColumn("win",
+        when(size(col("shl")) >= w,
+          array_distinct(transform(sequence(lit(0), size(col("shl")) - w),
+            i => array_min(slice(col("shl"), i + 1, lit(w))))))
+          .otherwise(array_distinct(col("shl")))) // short docs: keep all
+      .localCheckpoint(false)
+  }
+
+  /** Near-dup pairs by winnowed-fingerprint collision + exact verify:
+    * candidates share at least one fingerprint (inverted-index join on the
+    * ~2/(w+1)-density sketch instead of the full posting lists), then the
+    * TRUE n-gram Jaccard computes ROW-LOCALLY from the carried shingle
+    * arrays (array_intersect — no second corpus pass, candidate count is
+    * sketch-collision bounded). Output (id_a, id_b, jaccard) at
+    * `threshold`. Recall contract: total for pairs whose edits leave
+    * shared runs >= w+n-1 tokens (the winnowing guarantee); the oracle
+    * replays the SAME sketch, so a selection drift breaks the gate.
+    *
+    * Skew note: like the exact inverted index (jaccardPairsExact), pair
+    * output over a group of m identical docs is m²-bounded — on corpora
+    * with large exact-duplicate groups run [[dedup_exact]]-style
+    * contraction FIRST (or use [[jaccardPairsLsh]], whose rep contraction
+    * absorbs identical sets); winnowing shrinks the index, not the pair
+    * combinatorics. */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int, w: Int, threshold: Double): DataFrame = {
+    val fp = winnowedFingerprints(docs, idCol, textCol, n, w)
+    val ex = fp.select(col(idCol).as("id"), explode(col("win")).as("p"))
+    val cand = ex.as("a").join(ex.as("b"),
+        col("a.p") === col("b.p") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val sets = fp.select(col(idCol).as("id"),
+      array_distinct(col("shl")).as("sh"))
+    val common = size(array_intersect(col("sh_a"), col("sh_b")))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (common.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - common)).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** SPAN-LEVEL benchmark decontamination — the modern overlap check (a
     * training doc is contaminated where a >= k-token run also appears in
     * the eval set, PaLM/GPT-4-style): maximal spans of non-benchmark docs

@@ -105,6 +105,23 @@ object DedupQueries {
        |dp AS (SELECT doc_id, pos FROM ps JOIN dupg USING (sh)),
        |$IslandCtes""".stripMargin
 
+  /** `wfp(doc_id, shl, win)`: positional 3-shingle hashes + winnowed
+    * (w=4 window-min) fingerprint set — mirrors
+    * `DedupOps.winnowedFingerprints(_, _, _, 3, 4)` exactly, including the
+    * short-doc keep-all branch. */
+  private val WinnowCtes = {
+    val w = 4
+    s"""whst AS (SELECT doc_id, $WHS AS whs FROM documents),
+       |wfp AS (SELECT doc_id, shl,
+       |          CASE WHEN len(shl) >= $w THEN
+       |            list_distinct(list_transform(range(0, len(shl) - ${w - 1}),
+       |              i -> list_aggregate(list_slice(shl, i + 1, i + $w), 'min')))
+       |          ELSE list_distinct(shl) END AS win
+       |        FROM (SELECT doc_id,
+       |                ${OracleText.shingleAllSql("whs", 3)} AS shl
+       |              FROM whst))""".stripMargin
+  }
+
   private val ContaminationSpanCtes =
     s"""$PositionalShingleCtes,
        |bench AS (SELECT DISTINCT sh FROM ps WHERE doc_id % 17 = 0),
@@ -449,6 +466,53 @@ object DedupQueries {
       DedupOps.substringDedupApply(Tables(s, dir, "documents"), "doc_id", "text",
           k = SubstringK)
         .orderBy("doc_id")
+    },
+
+    // WINNOWING fingerprints (Schleimer/MOSS): per-window minima over the
+    // positional 3-shingle hashes at w=4 — a deterministic local sketch
+    // (expected density 2/(w+1)) whose guarantee is structural: any shared
+    // exact run >= w+n-1 tokens shares a fingerprint. Per-doc sketch size
+    // + order-free checksum; the oracle replays window minima exactly.
+    QueryDef.withOracle("dedup_winnow",
+      s"""WITH $WinnowCtes
+         |SELECT doc_id, CAST(len(shl) AS BIGINT) AS n_windows,
+         |  CAST(len(win) AS BIGINT) AS n_prints,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_sort(win)),
+         |    (a, b) -> (a * ${TextOps.B2} + b) % ${TextOps.P}) AS prints_fp
+         |FROM wfp ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      DedupOps.winnowedFingerprints(Tables(s, dir, "documents"),
+          "doc_id", "text", n = 3, w = 4)
+        .select(col("doc_id"),
+          size(col("shl")).cast("long").as("n_windows"),
+          size(col("win")).cast("long").as("n_prints"),
+          aggregate(array_sort(col("win")), lit(0L),
+            (a, b) => (a * TextOps.B2 + b) % TextOps.P).as("prints_fp"))
+        .orderBy("doc_id")
+    },
+
+    // Winnow-collision candidate pairs + exact verify: candidates share a
+    // fingerprint (inverted index over the sketch, ~2/(w+1) the posting
+    // volume of the full shingle index), true Jaccard then computes
+    // ROW-LOCALLY from the carried shingle arrays — no second corpus pass.
+    QueryDef.withOracle("dedup_winnow_pairs",
+      s"""WITH $WinnowCtes,
+         |ex AS (SELECT doc_id, unnest(win) AS p FROM wfp),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM ex a JOIN ex b ON a.p = b.p AND a.doc_id < b.doc_id),
+         |sets AS (SELECT doc_id, list_distinct(shl) AS sh FROM wfp)
+         |SELECT id_a, id_b,
+         |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+         |    AS jaccard
+         |FROM cand JOIN sets sa ON sa.doc_id = cand.id_a
+         |          JOIN sets sb ON sb.doc_id = cand.id_b
+         |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+         |    >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      DedupOps.winnowPairs(Tables(s, dir, "documents"), "doc_id", "text",
+          n = 3, w = 4, threshold = 0.8)
+        .orderBy("id_a", "id_b")
     },
 
     // SPAN-LEVEL benchmark decontamination (the modern >= k-token overlap

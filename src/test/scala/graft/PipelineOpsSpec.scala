@@ -296,6 +296,47 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got == Set((0L, 2L, 6L)))
   }
 
+  test("winnowing: window minima, density, and the shared-run detection guarantee") {
+    val n = 3; val w = 4
+    // planted pair shares the exact 6-token run (= w+n-1) "aa bb cc dd ee ff"
+    // inside otherwise disjoint text -> MUST share a fingerprint
+    val sd = Seq(
+      (0L, "p1 p2 p3 aa bb cc dd ee ff p4 p5 p6"),
+      (1L, "q1 q2 aa bb cc dd ee ff q3 q4 q5 q6"),
+      (2L, "r1 r2 r3 r4 r5 r6 r7 r8 r9 r0")
+    ).toDF("doc_id", "text")
+    val fp = DedupOps.winnowedFingerprints(sd, "doc_id", "text", n, w)
+      .select("doc_id", "shl", "win")
+      .as[(Long, Seq[Long], Seq[Long])].collect().map(r => r._1 -> r).toMap
+    // every fingerprint is a window minimum of the shingle stream
+    fp.values.foreach { case (_, shl, win) =>
+      val minima = shl.sliding(w).map(_.min).toSet
+      assert(win.toSet.subsetOf(minima))
+      assert(win.toSet == minima) // distinct minima, nothing dropped
+    }
+    val shared = fp(0L)._3.toSet.intersect(fp(1L)._3.toSet)
+    assert(shared.nonEmpty, "guarantee violated: w+n-1 shared run, no shared print")
+    assert(fp(0L)._3.toSet.intersect(fp(2L)._3.toSet).isEmpty)
+
+    // sketch is materially smaller than the full shingle stream
+    val (_, shl0, win0) = fp(0L)
+    assert(win0.length < shl0.length)
+
+    // winnow pairs reproduce the exact near-dup pairs on the standard fixture
+    val base = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today"),
+      (1L, "the quick brown fox jumps over the lazy cat today"),
+      (2L, "completely different content about spark engines and shuffles"),
+      (3L, "the quick brown fox jumps over the lazy dog today")
+    ).toDF("doc_id", "text")
+    val wp = DedupOps.winnowPairs(base, "doc_id", "text", n, w, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val bf = DedupOps.jaccardPairsExact(
+      DedupOps.shingleSets(base, "doc_id", "text", n), "doc_id", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(wp == bf)
+  }
+
   test("substringDedupApply: kept stream drops covered tokens only; clean docs pass whole") {
     val sd = Seq(
       (0L, "aa bb cc dd ee ff gg hh"),
