@@ -111,6 +111,20 @@ object Bench {
       exact.unpersist(); cl.unpersist()
       (r, skew)
     } catch { case _: Throwable => (-1.0, -1.0) }
+    // winnowing sketch economics (round 11): measured density of the
+    // winnowed fingerprint set vs the full positional shingle stream at
+    // this SF — the number behind the "~2/(w+1) of the inverted index"
+    // claim for dedup_winnow_pairs, re-measured per round like the LSH
+    // prune ratios
+    val winnowDensity = try {
+      import org.apache.spark.sql.functions.{sum => fsum, size => fsize, col}
+      val fp = graft.ops.DedupOps.winnowedFingerprints(
+        graft.tables.Tables(spark, sfDir, "documents"), "doc_id", "text",
+        n = 3, w = 4)
+      val r = fp.agg(fsum(fsize(col("win"))).cast("double") /
+        fsum(fsize(col("shl")))).head().getDouble(0)
+      r
+    } catch { case _: Throwable => -1.0 }
     // SF1 side-bench (VERDICT r10 #10): at sf0.1 every query is seconds
     // and half the wall is fixture staging — the 2× gate no longer
     // discriminates PLANS. When benching the driver's sf0.1 dir, build a
@@ -178,6 +192,7 @@ object Bench {
       s""""ann_ivf_recall_clustered":$clRecall,""" +
       s""""ivf_list_skew_clustered":$clSkew,""" +
       s""""vindex_stale_fallbacks":$staleFallbacks,""" +
+      s""""winnow_density":$winnowDensity,""" +
       s""""sf1_total":$sf1Total,"sf1_nqueries":${sf1Results.size},""" +
       s""""sf1_failed":$sf1Failed,""" +
       s""""sf1_queries":$sf1Qs,"sf":"$sfDir"}"""
@@ -202,6 +217,7 @@ object Bench {
       s""""ann_ivf_recall_clustered":$clRecall,""" +
       s""""ivf_list_skew_clustered":$clSkew,""" +
       s""""vindex_stale_fallbacks":$staleFallbacks,""" +
+      s""""winnow_density":$winnowDensity,""" +
       s""""sf1_total":$sf1Total,"sf1_nqueries":${sf1Results.size},""" +
       s""""sf1_failed":$sf1Failed,"sf":"$sfDir"}""")
     System.out.flush()

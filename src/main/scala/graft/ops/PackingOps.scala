@@ -112,6 +112,28 @@ object PackingOps {
         col("start_tok"), col("bin_id"))
   }
 
+  /** Block-diagonal ATTENTION-MASK spans for a packed token stream — the
+    * piece a real trainer feed ships beside the packed ids: per (group,
+    * bin) the bin-relative [seg_start, seg_end) occupied by each document,
+    * so attention can be masked to document blocks (and a doc split across
+    * bin boundaries becomes one block per bin — exactly the semantics of
+    * sequence-boundary splitting). Input: `packSequences` output; a doc
+    * spanning global [start, start+n) intersects every bin it crosses, a
+    * bounded ceil(n/capacity)+1 fan-out of 40-byte rows. Map-side only —
+    * the pack exchange already happened upstream. */
+  def packedSpans(packed: DataFrame, groupCol: String, idCol: String,
+                  capacity: Long): DataFrame = {
+    val c = lit(capacity)
+    packed.filter(col("n_tokens") > 0)
+      .select(col(groupCol), col(idCol), col("start_tok"), col("n_tokens"),
+        explode(sequence(expr(s"start_tok div ${capacity}L"),
+          expr(s"(start_tok + n_tokens - 1) div ${capacity}L"))).as("bin_id"))
+      .select(col(groupCol), col("bin_id"), col(idCol),
+        greatest(col("start_tok") - col("bin_id") * c, lit(0L)).as("seg_start"),
+        least(col("start_tok") + col("n_tokens") - col("bin_id") * c, c)
+          .as("seg_end"))
+  }
+
   /** Deterministic corpus shuffle + sharding — the writer stage of a
     * training pipeline: every doc gets a seeded pseudo-random key, a shard
     * by key modulus, and a position within its shard, giving a reproducible

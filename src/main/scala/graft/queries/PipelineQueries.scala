@@ -275,6 +275,39 @@ object PipelineQueries {
         .orderBy("source", "doc_id")
     },
 
+    // Packed ATTENTION-MASK spans (the block-diagonal mask table a trainer
+    // feed ships beside the packed ids): every doc EOS-terminated
+    // (n_tokens+1), packed contiguously, then intersected with its bins —
+    // per (source, bin) the bin-relative [seg_start, seg_end) per doc,
+    // cross-bin docs yielding one block per bin. Map-side after the pack
+    // cumsum; the oracle replays the EOS count, cumsum, and intersection.
+    QueryDef.withOracle("pipeline_pack_masked", {
+      val h = OracleText.wordHashSql("CAST(doc_id AS VARCHAR)")
+      s"""WITH RECURSIVE ${OracleText.BPE_CTES},
+         |p AS (SELECT source, doc_id, n_tokens,
+         |        CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY hv, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+         |      FROM (SELECT d.source, d.doc_id,
+         |              COALESCE(b.n_tokens, 0) + 1 AS n_tokens, $h AS hv
+         |            FROM documents d LEFT JOIN bpe_doc b USING (doc_id))),
+         |segs AS (SELECT source, doc_id, n_tokens, start_tok,
+         |           unnest(range(start_tok // 2048,
+         |             (start_tok + n_tokens - 1) // 2048 + 1)) AS bin_id
+         |         FROM p)
+         |SELECT source, bin_id, doc_id,
+         |  greatest(start_tok - bin_id * 2048, 0) AS seg_start,
+         |  least(start_tok + n_tokens - bin_id * 2048, 2048) AS seg_end
+         |FROM segs ORDER BY source, bin_id, seg_start""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val packed = graft.ops.PackingOps.packSequences(
+        Tables(s, dir, "documents"), "doc_id", "text", "source", 2048L,
+        tokenCount = c =>
+          size(graft.ops.TextOps.bpeMergedTokens(c)).cast("long") + 1L)
+      graft.ops.PackingOps.packedSpans(packed, "source", "doc_id", 2048L)
+        .orderBy("source", "bin_id", "seg_start")
+    },
+
     // Deterministic corpus shuffle + sharding (the training-order writer):
     // seeded polynomial key, shard = key % 16, position within shard via a
     // per-shard window — reproducible shard-major training order with NO

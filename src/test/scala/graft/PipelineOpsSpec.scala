@@ -296,6 +296,45 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got == Set((0L, 2L, 6L)))
   }
 
+  test("packedSpans: segments tile every bin, straddlers split at boundaries, lengths sum to n_tokens") {
+    val docs2 = Seq(
+      (0L, "g", 4L), (1L, "g", 5L), (2L, "g", 3L), (3L, "g", 7L), (4L, "g", 12L)
+    ).toDF("doc_id", "source", "nt")
+    // feed packSequences-shaped input directly: emulate its cumsum in the
+    // fixture (we test span arithmetic here, not the pack — that has its
+    // own suite). Pack order = doc_id for simplicity.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val packed = docs2
+      .withColumn("n_tokens", col("nt"))
+      .withColumn("start_tok", coalesce(sum("nt").over(w), lit(0L)))
+      .withColumn("bin_id", expr("start_tok div 10"))
+      .select("source", "doc_id", "n_tokens", "start_tok", "bin_id")
+    val spans = PackingOps.packedSpans(packed, "source", "doc_id", 10L)
+      .as[(String, Long, Long, Long, Long)].collect()
+    // per doc: segment lengths sum to n_tokens
+    val byDoc = spans.groupBy(_._3)
+    assert(byDoc(0L).map(s => s._5 - s._4).sum == 4)
+    assert(byDoc(4L).map(s => s._5 - s._4).sum == 12)
+    // total stream = 31 tokens -> bins 0..3; every bin tiles contiguously
+    spans.groupBy(s => (s._1, s._2)).foreach { case ((_, bin), ss) =>
+      val sorted = ss.sortBy(_._4)
+      assert(sorted.head._4 == 0 || bin == 0)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 == b._4, s"gap in bin $bin")
+        case _ =>
+      }
+    }
+    // doc 1 (start 4, len 5) straddles bins 0/1: [4,10) then [0,... wait —
+    // start 4 + 5 = 9 < 10: doc 1 does NOT straddle; doc 3 (start 12,
+    // len 7) spans [12,19) inside bin 1 only. The straddler is doc 4.
+    assert(byDoc(1L).map(s => (s._2, s._4, s._5)).toSeq == Seq((0L, 4L, 9L)))
+    // doc 4 (start 19, len 12) covers [19,31): bins 1,2,3
+    assert(byDoc(4L).sortBy(_._2).map(s => (s._2, s._4, s._5)).toSeq ==
+      Seq((1L, 9L, 10L), (2L, 0L, 10L), (3L, 0L, 1L)))
+  }
+
   test("winnowing: window minima, density, and the shared-run detection guarantee") {
     val n = 3; val w = 4
     // planted pair shares the exact 6-token run (= w+n-1) "aa bb cc dd ee ff"
