@@ -751,21 +751,57 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
     * clamped (internal: overlap verify + delete need raw storage). */
   private def seriesData(db: String, m: String, series: String,
                          schema: MeasurementSchema, t0: Long, t1: Long): DataFrame = {
-    val raw = readMeasurement(db, m, schema)
     val (b0, b1) = (Math.floorDiv(t0, bucketWidth), Math.floorDiv(t1, bucketWidth))
+    // Open ONLY the admitted bucket directories, like the reference's
+    // per-series chunk index (src/libtsdb/index read path): a whole-tree
+    // spark.read.parquet(dir) pays partition DISCOVERY over every
+    // series=/bucket= directory of the measurement — at 10× the horizon
+    // that listing alone cost more than the pruned scan (ScaleBench caught
+    // engine_count at 23× wall for 10× data). Listing the ONE series dir
+    // bounds discovery at that series' bucket count, and the explicit leaf
+    // paths bound it at the admitted buckets.
+    val dir = dataDir(db, m)
+    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(series)
+    val sdir = new Path(dir, s"$SeriesCol=$esc")
+    val fsys = fs(dir)
+    val bpfx = s"$BucketCol="
+    val paths =
+      if (!fsys.exists(sdir)) Array.empty[String]
+      else fsys.listStatus(sdir).flatMap { st =>
+        val n = st.getPath.getName
+        if (!n.startsWith(bpfx)) None
+        else scala.util.Try(n.substring(bpfx.length).toLong).toOption
+          .filter(b => b >= b0 && b <= b1)
+          .map(_ => st.getPath.toString)
+      }
+    val raw =
+      if (paths.isEmpty)
+        spark.createDataFrame(java.util.Collections.emptyList[Row](),
+          readStructOf(schema))
+      else
+        spark.read.option("basePath", dir.toString).schema(readStructOf(schema))
+          .parquet(paths.toIndexedSeq: _*)
+    // same predicate as the whole-tree form: series/bucket are redundant
+    // with the path selection but keep the audited PartitionFilters shape
+    // (TsdbEngineSpec pins them) and guard against a stray path
     raw.filter(col(SeriesCol) === series &&
                col(BucketCol).between(b0, b1) &&
                col(TimeCol).between(t0, t1))
   }
 
+  private def readStructOf(schema: MeasurementSchema): StructType =
+    StructType(schema.dataStruct.fields.toSeq :+
+      StructField(SeriesCol, StringType) :+ StructField(BucketCol, LongType))
+
   private def readMeasurement(db: String, m: String, schema: MeasurementSchema): DataFrame = {
     val dir = dataDir(db, m)
-    val readStruct = StructType(schema.dataStruct.fields.toSeq :+
-      StructField(SeriesCol, StringType) :+ StructField(BucketCol, LongType))
     if (!fs(dir).exists(dir))
-      spark.createDataFrame(java.util.Collections.emptyList[Row](), readStruct)
+      spark.createDataFrame(java.util.Collections.emptyList[Row](),
+        readStructOf(schema))
     else
-      spark.read.option("basePath", dir.toString).schema(readStruct).parquet(dir.toString)
+      spark.read.option("basePath", dir.toString).schema(readStructOf(schema))
+        .parquet(dir.toString)
   }
 
   /** All VISIBLE points of a measurement: per-series clamp to
