@@ -81,6 +81,53 @@ object NgramLmOps {
         (col("sum_p") / col("n_bigrams")).as("mean_p"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection via
+    * Importance Resampling" — the hashed-n-gram instantiation): every doc
+    * scored under TWO bigram LMs — the reference (target-domain) model and
+    * the self (raw-corpus) model — and weighted by the likelihood ratio.
+    * Docs that look more reference-like than corpus-average carry
+    * weight > 1 and are favored by the downstream sampler.
+    *
+    * Here the per-model signal is the same rational mean transition
+    * probability as [[lmScore]] (see that scaladoc for why no
+    * transcendental rides the compared output), so
+    * `weight = mean_p_ref / mean_p_self` is one further exact division.
+    * FUSED plan: one bigram stream, all four count joins in a single pass
+    * (the two models' tables probe the same 24-byte rows), both folds from
+    * one sorted collect — two LMs cost one extra pair of vocabulary-scale
+    * joins, not a second corpus scan.
+    * Output: (idCol, n_bigrams, mean_p_ref, mean_p_self, weight). */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  reference: DataFrame): DataFrame = {
+    val ref = bigramStream(reference, idCol, textCol).localCheckpoint(false)
+    val self = bigramStream(docs, idCol, textCol).localCheckpoint(false)
+    val uniR = ref.groupBy("h1").agg(count(lit(1)).as("c1r"))
+    val bigR = ref.groupBy("h12").agg(count(lit(1)).as("c2r"))
+    val uniS = self.groupBy("h1").agg(count(lit(1)).as("c1s"))
+    val bigS = self.groupBy("h12").agg(count(lit(1)).as("c2s"))
+    val vR = uniR.count()
+    val vS = uniS.count()
+    def p(c2: Column, c1: Column, v: Long): Column =
+      (coalesce(c2, lit(0L)) + lit(1L)).cast("double") /
+        (coalesce(c1, lit(0L)) + lit(v))
+    val probs = self // the scoring stream IS the self-training stream
+      .join(uniR, Seq("h1"), "left").join(bigR, Seq("h12"), "left")
+      .join(uniS, Seq("h1"), "left").join(bigS, Seq("h12"), "left")
+      .select(col("id"), col("pos"),
+        p(col("c2r"), col("c1r"), vR).as("pr"),
+        p(col("c2s"), col("c1s"), vS).as("ps"))
+    probs.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sort_array(collect_list(struct(col("pos"), col("pr"), col("ps"))))
+          .as("_o"))
+      .select(col("id").as(idCol), col("n_bigrams"),
+        (aggregate(transform(col("_o"), x => x("pr")), lit(0.0),
+          (a, b) => a + b) / col("n_bigrams")).as("mean_p_ref"),
+        (aggregate(transform(col("_o"), x => x("ps")), lit(0.0),
+          (a, b) => a + b) / col("n_bigrams")).as("mean_p_self"))
+      .withColumn("weight", col("mean_p_ref") / col("mean_p_self"))
+  }
+
   /** (id, per-trigram rows): pos plus every hash the backoff chain probes —
     * h123 (3-gram), h12/h23 (the two 2-grams), h2/h3 (the two trailing
     * unigrams). Row-local zip of the word-hash array with its 2- and

@@ -516,6 +516,49 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // DSIR importance weights (Xie et al. 2023): likelihood ratio of the
+    // reference-domain bigram LM (lang='en' slice) to the self (whole-
+    // corpus) LM — the hashed-n-gram importance-resampling signal. Both
+    // per-model means are the exact rational of text_lm_score; the weight
+    // is one further exact division, so the oracle replays everything
+    // bit-for-bit. Spark side fuses the two models into ONE stream pass
+    // (four vocabulary-scale joins, both folds from one sorted collect).
+    QueryDef.withOracle("text_dsir_weight", {
+      def side(sfx: String, where: String): String =
+        s"""uni$sfx AS (SELECT h1, CAST(count(*) AS BIGINT) AS c1 FROM st
+           |            $where GROUP BY h1),
+           |big$sfx AS (SELECT h12, CAST(count(*) AS BIGINT) AS c2 FROM st
+           |            $where GROUP BY h12),
+           |vv$sfx AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni$sfx),
+           |m$sfx AS (SELECT doc_id,
+           |    CAST(count(*) AS BIGINT) AS n_bigrams,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list(p ORDER BY pos)), (a, b) -> a + b) / count(*) AS mean_p
+           |  FROM (SELECT s.doc_id, s.pos,
+           |          CAST(COALESCE(b.c2, 0) + 1 AS DOUBLE)
+           |            / (COALESCE(u.c1, 0) + vv$sfx.v) AS p
+           |        FROM st s LEFT JOIN uni$sfx u USING (h1)
+           |                  LEFT JOIN big$sfx b USING (h12), vv$sfx)
+           |  GROUP BY doc_id)""".stripMargin
+      s"""WITH whst AS (SELECT doc_id, lang, $WHS AS whs FROM documents),
+         |bg AS (SELECT doc_id, lang, generate_subscripts(shl, 1) - 1 AS pos,
+         |         unnest(shl) AS h12
+         |       FROM (SELECT doc_id, lang,
+         |               ${shingleAllSql("whs", 2)} AS shl FROM whst)),
+         |st AS (SELECT b.doc_id, b.lang, b.pos, w.whs[b.pos + 1] AS h1, b.h12
+         |       FROM bg b JOIN whst w USING (doc_id)),
+         |${side("r", "WHERE lang = 'en'")},
+         |${side("s", "")}
+         |SELECT mr.doc_id, mr.n_bigrams, mr.mean_p AS mean_p_ref,
+         |  ms.mean_p AS mean_p_self, mr.mean_p / ms.mean_p AS weight
+         |FROM mr JOIN ms USING (doc_id) ORDER BY mr.doc_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      graft.ops.NgramLmOps.dsirWeights(docs, "doc_id", "text",
+          docs.filter(col("lang") === "en"))
+        .orderBy("doc_id")
+    },
+
     // STUPID-BACKOFF trigram LM (Brants et al. 2007 — the web-scale LM
     // recipe: unnormalized count ratios, a fixed 0.4 backoff weight, no
     // discount estimation): S = c123/c12, else 0.4*c23/c2, else

@@ -81,7 +81,12 @@ object ScaleBench {
     // span decontamination: broadcast eval probe, corpus streams map-side;
     // backoff LM: same linear stream/count shapes as text_lm_score with
     // trigram tables
-    "dedup_contamination_spans", "text_lm_backoff")
+    "dedup_contamination_spans", "text_lm_backoff",
+    // DSIR: two vocabulary-scale models over one token-linear stream;
+    // engine_count: the listing-fix regression gate (pruned single-series
+    // reads must stay horizon-independent — this was 23.6× before the
+    // per-series bucket-path read landed)
+    "text_dsir_weight", "engine_count")
     // pipeline_pack_tokens is EXCLUDED like the pair-threshold queries:
     // GenScale's replica token prefix ('z??q') rarely merges under the
     // trained table, so replicated words emit ~3× the BPE tokens of their

@@ -465,6 +465,32 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got(1L) == ((1L, 2L, 2L, (0.5 + 0.25) / 2)))
   }
 
+  test("DSIR weights: fused two-model pass equals two independent lmScore runs") {
+    val docs = Seq(
+      (0L, "aa bb cc aa bb dd ee"),
+      (1L, "cc aa xx yy aa bb"),
+      (2L, "zz ww zz ww zz")
+    ).toDF("doc_id", "text")
+    val ref = docs.filter($"doc_id" < 2)
+    val got = NgramLmOps.dsirWeights(docs, "doc_id", "text", ref)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val refScores = NgramLmOps.lmScore(docs, "doc_id", "text", ref)
+      .select("doc_id", "mean_p").as[(Long, Double)].collect().toMap
+    val selfScores = NgramLmOps.lmScore(docs, "doc_id", "text", docs)
+      .select("doc_id", "mean_p").as[(Long, Double)].collect().toMap
+    assert(got.keySet == refScores.keySet)
+    got.foreach { case (id, (_, _, pr, ps, w)) =>
+      assert(java.lang.Double.doubleToLongBits(pr) ==
+        java.lang.Double.doubleToLongBits(refScores(id)), s"ref mean drifted for $id")
+      assert(java.lang.Double.doubleToLongBits(ps) ==
+        java.lang.Double.doubleToLongBits(selfScores(id)), s"self mean drifted for $id")
+      assert(w == pr / ps)
+    }
+    // the out-of-domain doc (2) must weigh BELOW the in-domain docs
+    assert(got(2L)._5 < got(0L)._5 && got(2L)._5 < got(1L)._5)
+  }
+
   test("stupid-backoff trigram LM: all three levels match the hand computation") {
     // ref "aa bb cc aa bb dd": uni aa:2 bb:2 cc:1 dd:1 (T=6, V=4);
     // bi (aa,bb):2 (bb,cc):1 (cc,aa):1 (bb,dd):1; tri each once.
