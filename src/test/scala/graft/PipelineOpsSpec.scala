@@ -277,6 +277,50 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(stats(3L) == ((3L, 9L, 1L, 9L, 1.0)))
   }
 
+  test("substring faces are mutually consistent on a randomized corpus") {
+    // seeded random corpus with planted repetition: the three faces must
+    // agree structurally whatever the duplication pattern is
+    val rnd = new scala.util.Random(20260814L)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val base = (0 until 40).map { i =>
+      val n = 5 + rnd.nextInt(25)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val docs = base.toDF("doc_id", "text")
+    val k = 4
+    val spans = DedupOps.duplicatedSpans(docs, "doc_id", "text", k)
+      .as[(Long, Long, Long)].collect()
+    // spans are disjoint, sorted, within doc bounds, length >= k
+    spans.groupBy(_._1).foreach { case (id, ss) =>
+      val nTok = base(id.toInt)._2.split(" ").length
+      val sorted = ss.sortBy(_._2)
+      sorted.foreach { case (_, s, e) =>
+        assert(s >= 0 && e <= nTok && e - s >= k)
+      }
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._2 > a._3, s"overlapping/touching spans for $id")
+        case _ =>
+      }
+    }
+    // stats agree with spans; apply agrees with both
+    val stats = DedupOps.substringDedupStats(docs, "doc_id", "text", k)
+      .as[(Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val bySpanDoc = spans.groupBy(_._1)
+    assert(stats.keySet == bySpanDoc.keySet)
+    stats.foreach { case (id, (_, nTok, nSpans, dupTok, frac)) =>
+      assert(nSpans == bySpanDoc(id).length)
+      assert(dupTok == bySpanDoc(id).map(s => s._3 - s._2).sum)
+      assert(frac == dupTok.toDouble / nTok)
+    }
+    val applied = DedupOps.substringDedupApply(docs, "doc_id", "text", k)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    base.foreach { case (id, text) =>
+      val nTok = text.split(" ").length
+      val expectedKept = nTok - stats.get(id).map(_._4).getOrElse(0L)
+      assert(applied(id) == expectedKept, s"apply/stats disagree for $id")
+    }
+  }
+
   test("contaminationSpans: flags only benchmark-overlapping runs of train docs") {
     // bench doc 100 holds the run "aa bb cc dd"; train doc 0 embeds it,
     // doc 1 repeats an unrelated phrase (self-duplication must NOT flag —
