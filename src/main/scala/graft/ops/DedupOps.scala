@@ -916,6 +916,48 @@ object DedupOps {
         (col("e") + k).cast("long").as("span_end"))
   }
 
+  /** Persist the corpus's k-gram WINDOW-HASH counts as the substring-dedup
+    * index: (sh, cnt) parquet + a manifest pinning k (validated on read —
+    * a k mismatch silently zeroes recall otherwise, same stance as the
+    * band-index manifest). The production corpus-build artifact:
+    * per-batch incremental substring dedup probes THIS instead of
+    * re-shingling the corpus. */
+  def writeWindowIndex(corpus: DataFrame, idCol: String, textCol: String,
+                       k: Int, dir: String): Unit = {
+    val sh = positionalShingles(corpus, idCol, textCol, k)
+    sh.groupBy("sh").agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(s"$dir/windows")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq(k).toDF("k").coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/manifest")
+  }
+
+  /** INCREMENTAL span-level substring dedup — the per-batch face of
+    * [[duplicatedSpans]]: a window of the incoming batch is duplicated if
+    * it occurs anywhere in the indexed corpus OR at least twice within the
+    * batch itself (exactly the visibility a batch arriving at corpus-epoch
+    * t has). Per-batch cost scales with the increment: the corpus enters
+    * as ONE parquet read of its window-count table, never re-shingled.
+    * Output: maximal spans (idCol, span_start, span_end) of incoming docs. */
+  def incrementalSubstringSpans(indexDir: String, incoming: DataFrame,
+                                idCol: String, textCol: String, k: Int): DataFrame = {
+    val spark = incoming.sparkSession
+    val mk = spark.read.parquet(s"$indexDir/manifest").head().getInt(0)
+    require(mk == k,
+      s"window index at $indexDir was built with k=$mk, probed with k=$k")
+    val idx = spark.read.parquet(s"$indexDir/windows")
+      .select(col("sh"), col("cnt").as("corpus_cnt"))
+    val ps = positionalShingles(incoming, idCol, textCol, k)
+    val batchCnt = ps.groupBy("sh").agg(count(lit(1)).as("batch_cnt"))
+    val dp = ps
+      .join(batchCnt, Seq("sh"))
+      .join(idx, Seq("sh"), "left")
+      .filter(coalesce(col("corpus_cnt"), lit(0L)) + col("batch_cnt") >= 2)
+      .select(col("id"), col("pos"))
+    spansFromPositions(dp, k, idCol)
+  }
+
   /** WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
     * the MOSS sketch): slide a width-`w` window over the positional
     * n-gram shingle hashes and keep each window's MINIMUM; the distinct

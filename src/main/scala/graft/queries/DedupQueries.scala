@@ -57,6 +57,24 @@ object DedupQueries {
     }
   }
 
+  /** Corpus (doc_id < 250) substring WINDOW-HASH index, staged once per
+    * JVM per sf dir — the corpus-build artifact incremental substring
+    * dedup probes per batch. Safe to sweep at harness startup: the oracle
+    * replays from the source tables. */
+  private object SubIdxStage {
+    private val staged = scala.collection.mutable.Map[String, String]()
+    def dir(s: org.apache.spark.sql.SparkSession, dirPath: String): String =
+      synchronized {
+        staged.getOrElseUpdate(dirPath, {
+          val d = java.nio.file.Files.createTempDirectory("graft-subidx-").toString
+          DedupOps.writeWindowIndex(
+            Tables(s, dirPath, "documents").filter(col("doc_id") < 250),
+            "doc_id", "text", SubstringK, d)
+          d
+        })
+      }
+  }
+
   /** `shs(doc_id, shingles)`: distinct 3-word shingle hashes per document —
     * the exact arithmetic of `DedupOps.shingleSets(_, _, _, 3)`. */
   private val ShingleCtes =
@@ -526,6 +544,30 @@ object DedupQueries {
          |ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
       DedupOps.contaminationSpans(Tables(s, dir, "documents"), "doc_id", "text",
           k = SubstringK, isBenchmark = pmod(col("doc_id"), lit(17)) === 0)
+        .orderBy("doc_id", "span_start")
+    },
+
+    // INCREMENTAL span-level substring dedup — the per-batch corpus-build
+    // face: incoming docs (doc_id >= 250) probe the PERSISTED corpus
+    // window-hash index (staged once per epoch, one parquet read — the
+    // corpus is never re-shingled); a batch window is duplicated if it
+    // occurs in the corpus OR twice within the batch. Same islands merge;
+    // per-batch cost scales with the increment.
+    QueryDef.withOracle("dedup_substring_incremental",
+      s"""WITH $PositionalShingleCtes,
+         |inc AS (SELECT doc_id, pos, sh FROM ps WHERE doc_id >= 250),
+         |bcnt AS (SELECT sh, CAST(count(*) AS BIGINT) AS bc FROM inc GROUP BY sh),
+         |ccnt AS (SELECT sh, CAST(count(*) AS BIGINT) AS cc FROM ps
+         |         WHERE doc_id < 250 GROUP BY sh),
+         |dp AS (SELECT i.doc_id, i.pos FROM inc i
+         |       JOIN bcnt USING (sh) LEFT JOIN ccnt USING (sh)
+         |       WHERE COALESCE(cc, 0) + bc >= 2),
+         |$IslandCtes
+         |SELECT doc_id, span_start, span_end FROM spans
+         |ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
+      DedupOps.incrementalSubstringSpans(SubIdxStage.dir(s, dir),
+          Tables(s, dir, "documents").filter(col("doc_id") >= 250),
+          "doc_id", "text", SubstringK)
         .orderBy("doc_id", "span_start")
     },
 

@@ -28,6 +28,7 @@ object TempHygiene {
     "graft-fnstage-", "graft-fnckpt-", "graft-fnout-",
     "graft-fwstage-", "graft-fwckpt-", "graft-fwout-",
     "graft-incidx-", // corpus band index, re-staged per JVM; oracle never reads it
+    "graft-subidx-", // substring window-hash index, same staging contract
     // streaming incremental dedup (engine_stream_incremental): per-run
     // working index / stage / checkpoint / output, plus the per-JVM
     // epoch-form template

@@ -86,7 +86,10 @@ object ScaleBench {
     // engine_count: the listing-fix regression gate (pruned single-series
     // reads must stay horizon-independent — this was 23.6× before the
     // per-series bucket-path read landed)
-    "text_dsir_weight", "engine_count")
+    "text_dsir_weight", "engine_count",
+    // incremental substring dedup: per-batch cost must scale with the
+    // increment (corpus enters as one index read)
+    "dedup_substring_incremental")
     // pipeline_pack_tokens is EXCLUDED like the pair-threshold queries:
     // GenScale's replica token prefix ('z??q') rarely merges under the
     // trained table, so replicated words emit ~3× the BPE tokens of their

@@ -321,6 +321,31 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("incrementalSubstringSpans: corpus hits + within-batch dups flag; manifest pins k") {
+    val dir = tmpDir("subidx-spec-")
+    val corpus = Seq((0L, "aa bb cc dd ee ff")).toDF("doc_id", "text")
+    DedupOps.writeWindowIndex(corpus, "doc_id", "text", k = 3, dir)
+    val batch = Seq(
+      (10L, "xx aa bb cc yy zz"),      // embeds corpus run "aa bb cc" -> [1,4)
+      (11L, "mm nn oo mm nn oo"),      // within-batch repetition -> [0,6)
+      (12L, "pp qq rr ss tt uu")       // clean
+    ).toDF("doc_id", "text")
+    val got = DedupOps.incrementalSubstringSpans(dir, batch, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((10L, 1L, 4L), (11L, 0L, 6L)))
+    // a k mismatch must fail loudly, not silently miss everything
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.incrementalSubstringSpans(dir, batch, "doc_id", "text", k = 4)
+    }
+    assert(e.getMessage.contains("k=3"))
+    // agreement with the batch-wide operator on the UNION when the corpus
+    // windows are all distinct: incoming spans must be identical
+    val union = corpus.union(batch)
+    val whole = DedupOps.duplicatedSpans(union, "doc_id", "text", k = 3)
+      .filter($"doc_id" >= 10).as[(Long, Long, Long)].collect().toSet
+    assert(whole == got)
+  }
+
   test("contaminationSpans: flags only benchmark-overlapping runs of train docs") {
     // bench doc 100 holds the run "aa bb cc dd"; train doc 0 embeds it,
     // doc 1 repeats an unrelated phrase (self-duplication must NOT flag —
