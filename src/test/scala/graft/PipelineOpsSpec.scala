@@ -560,6 +560,114 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got(2L)._5 < got(0L)._5 && got(2L)._5 < got(1L)._5)
   }
 
+  test("LM family property: Spark ops bit-equal a scalar reference on random corpora") {
+    import TextOps.{B1, B2, P}
+    def toks(t: String): Vector[String] =
+      "[a-z]+".r.findAllIn(t.toLowerCase).toVector
+    def wh(w: String): Long = w.foldLeft(0L)((h, c) => (h * B1 + c.toInt) % P)
+    def h2(a: Long, b: Long): Long = (a * B2 + b) % P
+    def h3(a: Long, b: Long, c: Long): Long = (h2(a, b) * B2 + c) % P
+
+    def refLm(docs: Seq[(Long, String)], ref: Seq[(Long, String)])
+        : Map[Long, (Long, Long, Double)] = {
+      val refW = ref.map(d => toks(d._2).map(wh))
+      val uni = refW.flatMap(_.dropRight(1)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val big = refW.flatMap(_.sliding(2).collect { case Seq(a, b) => h2(a, b) })
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val v = uni.size.toLong
+      docs.flatMap { case (id, t) =>
+        val ws = toks(t).map(wh)
+        if (ws.length < 2) None else {
+          val ps = ws.sliding(2).collect { case Seq(a, b) =>
+            val c2 = big.getOrElse(h2(a, b), 0L)
+            (c2 == 0L, (c2 + 1).toDouble / (uni.getOrElse(a, 0L) + v))
+          }.toVector
+          val sum = ps.foldLeft(0.0)((acc, p) => acc + p._2)
+          Some(id -> ((ps.length.toLong, ps.count(_._1).toLong, sum / ps.length)))
+        }
+      }.toMap
+    }
+
+    val rnd = new scala.util.Random(777L)
+    val vocab = Vector("ka", "kb", "kc", "kd", "ke", "kf", "kg", "kh", "ki",
+      "kj", "kk", "kl")
+    val corpus = (0 until 30).map { i =>
+      val n = 2 + rnd.nextInt(20)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val docs = corpus.toDF("doc_id", "text")
+    val refSel = corpus.filter(_._1 % 2 == 0)
+    val refDf = docs.filter($"doc_id" % 2 === 0)
+
+    val expected = refLm(corpus, refSel)
+    val got = NgramLmOps.lmScore(docs, "doc_id", "text", refDf)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, (n, oov, mp)) =>
+      val (en, eoov, emp) = expected(id)
+      assert(n == en && oov == eoov, s"counts drifted for $id")
+      assert(java.lang.Double.doubleToLongBits(mp) ==
+        java.lang.Double.doubleToLongBits(emp), s"mean_p drifted for $id")
+    }
+
+    // DSIR = ratio of the two reference scores, bit-for-bit
+    val expSelf = refLm(corpus, corpus)
+    val dsir = NgramLmOps.dsirWeights(docs, "doc_id", "text", refDf)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    dsir.foreach { case (id, (_, _, pr, ps, w)) =>
+      assert(java.lang.Double.doubleToLongBits(pr) ==
+        java.lang.Double.doubleToLongBits(expected(id)._3))
+      assert(java.lang.Double.doubleToLongBits(ps) ==
+        java.lang.Double.doubleToLongBits(expSelf(id)._3))
+      assert(java.lang.Double.doubleToLongBits(w) ==
+        java.lang.Double.doubleToLongBits(pr / ps))
+    }
+
+    // backoff: scalar reference over the same random corpus
+    def refBackoff(docs: Seq[(Long, String)], ref: Seq[(Long, String)])
+        : Map[Long, (Long, Long, Long, Double)] = {
+      val refW = ref.map(d => toks(d._2).map(wh))
+      val uni = refW.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val big = refW.flatMap(_.sliding(2).collect { case Seq(a, b) => h2(a, b) })
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val tri = refW.flatMap(_.sliding(3).collect { case Seq(a, b, c) => h3(a, b, c) })
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val t = refW.map(_.length.toLong).sum
+      val v = uni.size.toLong
+      docs.flatMap { case (id, txt) =>
+        val ws = toks(txt).map(wh)
+        if (ws.length < 3) None else {
+          val ss = ws.sliding(3).collect { case Seq(a, b, c) =>
+            val c123 = tri.getOrElse(h3(a, b, c), 0L)
+            if (c123 > 0) (0, c123.toDouble / big(h2(a, b)))
+            else {
+              val c23 = big.getOrElse(h2(b, c), 0L)
+              if (c23 > 0) (1, 0.4 * (c23.toDouble / uni(b)))
+              else (2, 0.4 * 0.4 * ((uni.getOrElse(c, 0L) + 1).toDouble / (t + v)))
+            }
+          }.toVector
+          val sum = ss.foldLeft(0.0)((acc, s) => acc + s._2)
+          Some(id -> ((ss.length.toLong, ss.count(_._1 == 1).toLong,
+            ss.count(_._1 == 2).toLong, sum / ss.length)))
+        }
+      }.toMap
+    }
+    val expBo = refBackoff(corpus, refSel)
+    val bo = NgramLmOps.lmScoreBackoff(docs, "doc_id", "text", refDf)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(bo.keySet == expBo.keySet)
+    bo.foreach { case (id, (_, n, b1c, b2c, ms)) =>
+      val (en, eb1, eb2, ems) = expBo(id)
+      assert(n == en && b1c == eb1 && b2c == eb2, s"backoff levels drifted for $id")
+      assert(java.lang.Double.doubleToLongBits(ms) ==
+        java.lang.Double.doubleToLongBits(ems), s"mean_s drifted for $id")
+    }
+  }
+
   test("stupid-backoff trigram LM: all three levels match the hand computation") {
     // ref "aa bb cc aa bb dd": uni aa:2 bb:2 cc:1 dd:1 (T=6, V=4);
     // bi (aa,bb):2 (bb,cc):1 (cc,aa):1 (bb,dd):1; tri each once.
