@@ -75,9 +75,18 @@ object QualityModelOps {
     * are reproducible up to float-sum ordering, which is why callers
     * persist the weights rather than re-deriving them. */
   def trainLogistic(feats: DataFrame, iters: Int = 60, lr: Double = 2.0): Array[Double] = {
-    val cached = feats.localCheckpoint(false)
-    val n = cached.count().toDouble
+    val checkpointed = feats.localCheckpoint(false)
+    val n = checkpointed.count().toDouble
     require(n > 0, "trainLogistic: empty training frame")
+    // iteration wall is task-scheduling latency, not compute: a bench-scale
+    // projection spread over defaultParallelism partitions pays
+    // iters × partitions task launches for microseconds of work each.
+    // Collapse small frames to a few partitions (a 56-byte/row projection
+    // of 1M rows is ~56 MB — trivially single-digit partitions); corpus-
+    // scale frames keep their partitioning and the same code path.
+    val cached =
+      if (n < 1000000) checkpointed.coalesce(4).localCheckpoint(false)
+      else checkpointed
     val dims = FeatureCols.length + 1
     var w = new Array[Double](dims)
     var it = 0
