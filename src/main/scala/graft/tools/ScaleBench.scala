@@ -89,7 +89,12 @@ object ScaleBench {
     "text_dsir_weight", "engine_count",
     // incremental substring dedup: per-batch cost must scale with the
     // increment (corpus enters as one index read)
-    "dedup_substring_incremental")
+    "dedup_substring_incremental",
+    // winnow sketching: two row-local HOFs, work ∝ tokens (the PAIRS query
+    // is excluded like the other pair-threshold queries — replicas make
+    // its OUTPUT quadratic); masked packing: map-side bin intersection
+    // after the pack cumsum, output ∝ docs + straddles
+    "dedup_winnow", "pipeline_pack_masked")
     // pipeline_pack_tokens is EXCLUDED like the pair-threshold queries:
     // GenScale's replica token prefix ('z??q') rarely merges under the
     // trained table, so replicated words emit ~3× the BPE tokens of their
