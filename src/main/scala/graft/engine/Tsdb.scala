@@ -182,7 +182,7 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
     *    at-least-once streaming replay exactly-once (see graft.streaming).
     */
   def writePoints(db: String, m: String, series: String, points: DataFrame): WriteResult = {
-    validName(series, "series")
+    validSeriesName(series)
     val schema = getSchema(db, m)
     val cols = TimeCol +: schema.fields.map(_.name)
     val missing = cols.filterNot(points.columns.contains)
@@ -239,7 +239,7 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
       wm match {
         case Some(r) => truncateAbove(db, m, series, schema, r.timeLast)
         case None =>
-          val sdir = new Path(dataDir(db, m), s"$SeriesCol=$series")
+          val sdir = seriesDir(db, m, series)
           fs(sdir).delete(sdir, true)
       }
       fs(pending).delete(pending, false)
@@ -364,7 +364,7 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
     // new_n(5), new_min(6), new_max(7), disc(8), ov(9), ov_min(10)
     stats.foreach { r =>
       val sn = r.getString(0)
-      validName(sn, "series")
+      validSeriesName(sn)
       if (r.getLong(3) < r.getLong(1))
         throw new OutOfOrderTimestampsException(
           s"$sn: ${r.getLong(1) - r.getLong(3)} duplicate/NULL timestamps in bulk batch")
@@ -390,7 +390,7 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
         wms.get(sn) match {
           case Some(r) => truncateAbove(db, m, sn, schema, r.timeLast)
           case None =>
-            val sdir = new Path(dataDir(db, m), s"$SeriesCol=$sn")
+            val sdir = seriesDir(db, m, sn)
             fs(sdir).delete(sdir, true)
         }
         fs(p).delete(p, false)
@@ -525,7 +525,7 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
     arranged
       .sortWithinPartitions(BucketCol, TimeCol)
       .write.mode("append").partitionBy(BucketCol)
-      .parquet(new Path(dataDir(db, m), s"$SeriesCol=$series").toString)
+      .parquet(seriesDir(db, m, series).toString)
     cnt
   }
 
@@ -537,7 +537,7 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
     * procedure is idempotent: a crash mid-recovery just reruns it. */
   private def truncateAbove(db: String, m: String, series: String,
                             schema: MeasurementSchema, tl: Long): Unit = {
-    val sdir = new Path(dataDir(db, m), s"$SeriesCol=$series")
+    val sdir = seriesDir(db, m, series)
     val f = fs(sdir)
     if (!f.exists(sdir)) return
     val cutBucket = Math.floorDiv(tl, bucketWidth)
@@ -588,7 +588,7 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
     * @return number of buckets rewritten */
   def compact(db: String, m: String, series: String): Long = {
     val schema = getSchema(db, m)
-    val sdir = new Path(dataDir(db, m), s"$SeriesCol=$series")
+    val sdir = seriesDir(db, m, series)
     val f = fs(sdir)
     recoverCompact(sdir)
     if (!f.exists(sdir)) return 0L
@@ -666,7 +666,7 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
     val newFirst = if (surviving.isNullAt(0)) t + 1 else surviving.getLong(0)
     wmStore(db, m).update(Map(series -> SeriesRange(newFirst, wm.timeLast)))
     // drop buckets fully below the watermark
-    val sdir = new Path(dataDir(db, m), s"$SeriesCol=$series")
+    val sdir = seriesDir(db, m, series)
     val f = fs(sdir)
     if (f.exists(sdir)) {
       val cutBucket = Math.floorDiv(newFirst, bucketWidth)
@@ -730,7 +730,7 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
       sn -> SeriesRange(nf, tl)
     }.toMap)
     advanced.foreach { case (sn, (newFirst, _)) =>
-      val sdir = new Path(dataDir(db, m), s"$SeriesCol=$sn")
+      val sdir = seriesDir(db, m, sn)
       val f = fs(sdir)
       if (f.exists(sdir)) {
         val cutBucket = Math.floorDiv(newFirst, bucketWidth)
@@ -761,9 +761,7 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
     // bounds discovery at that series' bucket count, and the explicit leaf
     // paths bound it at the admitted buckets.
     val dir = dataDir(db, m)
-    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-      .escapePathName(series)
-    val sdir = new Path(dir, s"$SeriesCol=$esc")
+    val sdir = seriesDir(db, m, series)
     val fsys = fs(dir)
     val bpfx = s"$BucketCol="
     val paths =
@@ -1345,8 +1343,24 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
   private def metaDir(db: String, m: String) = new Path(measPath(db, m), "_meta")
   /** Append-intent marker: present iff an append is in flight (or died). */
   private def pendingPath(db: String, m: String, series: String) =
-    new Path(metaDir(db, m), s".$series.pending")
+    // same Hive escaping as seriesDir: raw keys may hold ':' (a URI scheme
+    // separator Hadoop Path rejects) and '%'/'#' (URI metacharacters)
+    new Path(metaDir(db, m), "." + org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.escapePathName(series) + ".pending")
   private def dataDir(db: String, m: String) = new Path(measPath(db, m), "data")
+
+  /** Canonical on-disk directory for one series' data. The name is
+    * Hive-escaped EXACTLY like Spark's own partitioned writer would escape
+    * it (ExternalCatalogUtils.escapePathName), so (a) writers and the
+    * pruned reader agree on one physical path for keys holding '=', ':',
+    * '%', '#' — typical of tag-encoded TSDB series — and (b) Spark's
+    * partition-dir parser unescapes it back to the raw key on read, keeping
+    * `col(series) === raw` predicates true. Plain names escape to
+    * themselves, so pre-existing layouts are untouched. */
+  private def seriesDir(db: String, m: String, series: String): Path =
+    new Path(dataDir(db, m),
+      s"$SeriesCol=" + org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(series))
 
   /** One signature-cached watermark store per measurement (see
     * [[WatermarkStore]] for format, caching and the concurrency contract). */
@@ -1385,6 +1399,17 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
     if (s == null || !s.matches("[A-Za-z0-9_.-]{1,123}") || s.startsWith("_") ||
         s == "." || s == "..")
       throw new InvalidSchemaException(s"invalid $what name '$s'")
+
+  /** Series names follow the REFERENCE's looser rule (series.cc:24-25:
+    * reject only '/', ' ', '\\') — tag-encoded keys like
+    * "host=web-01,dc=us" are legal series. Safe on disk because seriesDir
+    * Hive-escapes the physical directory name; db/measurement names stay
+    * strict (they name catalog paths and parquet column namespaces). */
+  private def validSeriesName(s: String): Unit =
+    if (s == null || s.isEmpty || s.length > 123 ||
+        s.exists(c => c == '/' || c == ' ' || c == '\\') ||
+        s.startsWith("_") || s == "." || s == "..")
+      throw new InvalidSchemaException(s"invalid series name '$s'")
 
   private def listDirs(p: Path): Seq[String] = {
     val f = fs(p)

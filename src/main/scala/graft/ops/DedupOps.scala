@@ -875,10 +875,14 @@ object DedupOps {
   }
 
   /** Maximal duplicated token spans per document: (id, span_start,
-    * span_end) with span_end EXCLUSIVE, both 0-based token offsets. A span
-    * is emitted when every k-window inside it occurs >= `minCount` times
-    * corpus-wide (so the span text itself appears elsewhere — within the
-    * same doc counts, as in the paper's self-repetition handling).
+    * span_end) with span_end EXCLUSIVE, both 0-based token offsets. The
+    * span invariant is TOKEN COVERAGE: every token in the span lies inside
+    * at least one k-window that occurs >= `minCount` times corpus-wide
+    * (within the same doc counts, as in the paper's self-repetition
+    * handling). Because the islands merge fuses flagged window STARTS with
+    * gap <= k, a merged span may contain interior k-windows that are not
+    * themselves duplicated — coverage of every token, not duplication of
+    * every window, is what's guaranteed.
     *
     * Scale shape: the duplicate-hash set comes from a count aggregation on
     * the 8-byte window hash (map-side partials collapse each task's

@@ -141,11 +141,14 @@ object NgramLmOps {
     docs.repartition(par)
       .select(col(idCol).as("id"),
         TextOps.wordHashes(TextOps.tokens(col(textCol))).as("whs"))
+      // materialize the 2-shingle array ONCE and slice it for h12 and h23 —
+      // same duplicated-HOF trap winnowedFingerprints documents
+      .withColumn("sh2", TextOps.shingleHashesAll(col("whs"), 2))
       .select(col("id"),
         posexplode(arrays_zip(
           TextOps.shingleHashesAll(col("whs"), 3).as("h123"),
-          sl(TextOps.shingleHashesAll(col("whs"), 2), 1).as("h12"),
-          sl(TextOps.shingleHashesAll(col("whs"), 2), 2).as("h23"),
+          sl(col("sh2"), 1).as("h12"),
+          sl(col("sh2"), 2).as("h23"),
           sl(col("whs"), 2).as("h2"),
           sl(col("whs"), 3).as("h3"))))
       .select(col("id"), col("pos"), col("col.h123").as("h123"),

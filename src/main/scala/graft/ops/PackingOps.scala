@@ -150,10 +150,15 @@ object PackingOps {
   def shardAssign(df: DataFrame, idCol: String, nShards: Int,
                   seed: Long): DataFrame = {
     require(nShards > 0, "shardAssign needs nShards > 0")
-    val skey = ((col(idCol) % TextOps.P) * TextOps.B2 + seed) % TextOps.P
+    // pmod (not %) everywhere: Spark's % keeps the dividend sign, so a
+    // NEGATIVE id would yield a negative skey and an out-of-range shard —
+    // pmod keeps both in [0, m) for any integral id. Oracle mirrors with
+    // the ((x % m) + m) % m expansion.
+    val skey = pmod(pmod(col(idCol), lit(TextOps.P)) * TextOps.B2 + seed,
+      lit(TextOps.P))
     val w = Window.partitionBy("shard").orderBy(col("skey"), col(idCol))
     df.select(col(idCol), skey.as("skey"))
-      .withColumn("shard", col("skey") % nShards)
+      .withColumn("shard", pmod(col("skey"), lit(nShards.toLong)))
       .withColumn("pos_in_shard", row_number().over(w).cast("long") - 1)
   }
 }

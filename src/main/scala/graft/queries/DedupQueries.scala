@@ -446,7 +446,7 @@ object DedupQueries {
          |nt AS (SELECT doc_id, CAST(len(${OracleText.TOKS}) AS BIGINT) AS n_tokens
          |       FROM documents),
          |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
-         |          SUM(span_end - span_start) AS dup_tokens
+         |          CAST(SUM(span_end - span_start) AS BIGINT) AS dup_tokens
          |        FROM spans GROUP BY doc_id)
          |SELECT a.doc_id, n.n_tokens, a.n_spans, a.dup_tokens,
          |       CAST(a.dup_tokens AS DOUBLE) / n.n_tokens AS dup_fraction

@@ -314,10 +314,12 @@ object PipelineQueries {
     // global single-partition sort (see PackingOps.shardAssign).
     QueryDef.withOracle("pipeline_shard", {
       import graft.ops.TextOps.{B2, P}
+      // ((x % m) + m) % m mirrors Spark-side pmod (sign-safe for any id)
       s"""WITH s AS (SELECT doc_id,
-         |             ((doc_id % $P) * $B2 + 42) % $P AS skey FROM documents)
-         |SELECT doc_id, skey, skey % 16 AS shard,
-         |  CAST(row_number() OVER (PARTITION BY skey % 16
+         |             ((((((doc_id % $P) + $P) % $P) * $B2 + 42) % $P + $P) % $P)
+         |               AS skey FROM documents)
+         |SELECT doc_id, skey, ((skey % 16) + 16) % 16 AS shard,
+         |  CAST(row_number() OVER (PARTITION BY ((skey % 16) + 16) % 16
          |    ORDER BY skey, doc_id) - 1 AS BIGINT) AS pos_in_shard
          |FROM s ORDER BY shard, pos_in_shard""".stripMargin
     }) { (s, dir) =>

@@ -877,4 +877,31 @@ class TsdbEngineSpec extends SparkTestBase {
       assert(got == expected(si), s"series s$si diverged after concurrent append")
     }
   }
+
+  test("series keys with Hive-special characters round-trip every lifecycle face") {
+    // tag-encoded TSDB keys routinely hold '=', ':', '%', '#' — writer and
+    // pruned reader must agree on ONE escaped directory (r11 advice: raw
+    // write dir vs escaped read dir silently returned empty)
+    val t = mkTsdb()
+    t.createDatabase("db1")
+    t.createMeasurement("db1", "m1", schema)
+    val key = "host=web-01:9100,dc=us%east#1"
+    t.writePoints("db1", "m1", key, pts(baseRows: _*))
+    assert(t.listSeries("db1", "m1") == Seq(key))
+    val got = t.select("db1", "m1", key, Nil, 0L, 1000L)
+      .as[(Long, Option[Long], Option[Double], Option[Float])].collect().toSeq
+    assert(got == baseRows, "escaped-dir read must see the full write")
+    assert(t.countPoints("db1", "m1", key, 0L, 1000L)
+      .select("npoints").as[Long].head() == baseRows.size.toLong)
+    // idempotent tail overwrite + fresh append through the same dir
+    t.writePoints("db1", "m1", key, pts(
+      (420L, Some(7L), Some(7.5), Some(7.0f)),
+      (500L, Some(8L), Some(8.5), Some(8.0f))))
+    // delete-from-front drops whole buckets below the watermark in that dir
+    t.deleteUpTo("db1", "m1", key, 199L)
+    assert(t.compact("db1", "m1", key) >= 0L)
+    val after = t.select("db1", "m1", key, Seq("a"), 0L, 1000L)
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(after.map(_._1) == Seq(210L, 290L, 305L, 420L, 500L))
+  }
 }

@@ -54,6 +54,13 @@ def main(out_dir, sf_dir):
         bad_cols = []
         for c in g.columns:
             gv, ev = g[c], e[c]
+            # Dtype check mirrors the driver's dtype-sensitive hash: a DuckDB
+            # HUGEINT (-> float64) vs Spark int64 fails the driver even when
+            # every value is identical. Flag it locally so the oracle author
+            # adds the CAST before the driver hash does.
+            if gv.dtype.kind != ev.dtype.kind:
+                bad_cols.append(f"{c}(DTYPE spark={gv.dtype} duck={ev.dtype})")
+                continue
             if gv.dtype.kind == 'f' or ev.dtype.kind == 'f':
                 eq = ((gv == ev) | (gv.isna() & ev.isna())).all()
                 if not eq:
