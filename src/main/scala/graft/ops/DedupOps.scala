@@ -501,50 +501,60 @@ object DedupOps {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    bits: Int = 30, maxHamming: Int = 1): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val nBands = maxHamming + 1
-    val w = (bits + nBands - 1) / nBands // band width
     // one native pass per row (tokenize→hash→simhash), materialized once —
     // membership IS this table (8-byte fingerprint key per doc); both
     // expansion joins read it (see shingleSets note)
     val sims = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"),
         TextOps.simHashOfHashes(
-          TextOps.wordHashes(TextOps.tokens(col(textCol))), bits).as("simhash"))
+          TextOps.wordHashes(TextOps.tokens(col(textCol))), bits).as("fp"))
       .localCheckpoint(false)
+    bandedHammingPairs(sims, bits, maxHamming)
+  }
+
+  /** Near-dup pairs of an (id, fp) fingerprint table within Hamming radius
+    * `maxHamming` — the banding core of [[simhashPairs]], factored out so
+    * any bitwise fingerprint (SimHash, [[MultimodalOps.imagePhash]]
+    * perceptual hashes, …) reuses the same skew-immune machinery.
+    * Output: (id_a, id_b, hamming), ordered. */
+  def bandedHammingPairs(fps: DataFrame, bits: Int, maxHamming: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(fps.sparkSession)
+    val nBands = maxHamming + 1
+    val w = (bits + nBands - 1) / nBands // band width
     // ONE 8-byte-key shuffle contracts to distinct fingerprints; membership
     // never rides an aggregation row (a billion-doc identical fingerprint
     // would make a collect_list row unspillable — VERDICT r9 #5), it stays
-    // as the per-doc `sims` rows and expands through equi-joins below
-    val grouped = sims.groupBy("simhash").agg(count(lit(1)).as("cnt"))
+    // as the per-doc `fps` rows and expands through equi-joins below
+    val grouped = fps.groupBy("fp").agg(count(lit(1)).as("cnt"))
       .localCheckpoint(false)
     val bandArr = array((0 until nBands).map { b =>
       struct(lit(b).as("band"),
-        call_function("shiftright", col("simhash"), lit(b * w))
+        call_function("shiftright", col("fp"), lit(b * w))
           .bitwiseAND(lit((1L << w) - 1)).as("v"))
     }: _*)
-    val ex = grouped.select(col("simhash"), explode(bandArr).as("bb"))
-      .select(col("simhash"), col("bb.band").as("band"), col("bb.v").as("v"))
+    val ex = grouped.select(col("fp"), explode(bandArr).as("bb"))
+      .select(col("fp"), col("bb.band").as("band"), col("bb.v").as("v"))
     // fingerprint-level candidates → exact Hamming verify (tiny relative to
     // doc-level: bounded by distinct-fp bucket occupancy, not doc counts)
     val fpPairs = ex.as("a").join(ex.as("b"),
         col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
-          col("a.simhash") < col("b.simhash"))
-      .select(col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+          col("a.fp") < col("b.fp"))
+      .select(col("a.fp").as("sh_a"), col("b.fp").as("sh_b"))
       .distinct()
       .withColumn("hamming",
         TextOps.hamming(col("sh_a"), col("sh_b")).cast("long"))
       .filter(col("hamming") <= maxHamming)
     // expansion: verified fp pairs → doc pairs (output-sized joins; group
     // ids interleave, so order by id, not by fingerprint)
-    val members = sims.select(col("simhash"), col("id"))
+    val members = fps.select(col("fp"), col("id"))
     val cross = fpPairs
-      .join(members.select(col("id").as("_ia"), col("simhash").as("sh_a")), "sh_a")
-      .join(members.select(col("id").as("_ib"), col("simhash").as("sh_b")), "sh_b")
+      .join(members.select(col("id").as("_ia"), col("fp").as("sh_a")), "sh_a")
+      .join(members.select(col("id").as("_ib"), col("fp").as("sh_b")), "sh_b")
       .select(least(col("_ia"), col("_ib")).as("id_a"),
         greatest(col("_ia"), col("_ib")).as("id_b"), col("hamming"))
     // identical-fingerprint groups: every within-group pair, Hamming 0
     val same = members.as("a").join(members.as("b"),
-        col("a.simhash") === col("b.simhash") && col("a.id") < col("b.id"))
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         lit(0L).as("hamming"))
     cross.union(same).orderBy("id_a", "id_b")

@@ -475,4 +475,155 @@ object MultimodalOps {
       TextOps.fingerprint(TextOps.tokens(decoded)).as("checksum"),
       concat_ws(",", frames).as("frame_codes"))
   }
+
+  // -------------------------------------------------------------- pHash
+
+  /** Integer DCT basis for the perceptual hash, fixed-point at 2^10:
+    * PhashDct(u)(i) = round(cos((2i+1)·u·π/16) · 1024) — the 8-point
+    * DCT-II row basis. All pHash arithmetic downstream of this table is
+    * EXACT int64, so Spark and the DuckDB oracle (which interpolates these
+    * very constants as literals) agree bitwise; floating trig never crosses
+    * an engine boundary. */
+  val PhashDctScale = 1024L
+  val PhashDct: Array[Array[Long]] = Array.tabulate(8, 8)((u, i) =>
+    Math.round(Math.cos((2 * i + 1) * u * Math.PI / 16) * PhashDctScale))
+
+  /** 63-bit perceptual hash of a grayscale image (pHash, Zauner 2010 /
+    * the classic DCT variant, integer-exact): (1) nearest-neighbor sample
+    * onto the fixed 8×8 grid — pixel(i,j) = gray[(i·h/8)·w + j·w/8], all
+    * integer division; (2) separable 2-D integer DCT with [[PhashDct]];
+    * (3) drop the DC coefficient, take the MEDIAN of the 63 AC
+    * coefficients (value at sorted index 31); (4) bit k = 1 iff
+    * AC_k > median, k row-major. Brightness shifts move only DC, so a
+    * globally brightened copy hashes IDENTICALLY — the invariance the
+    * planted-companion fixture asserts end-to-end. */
+  def phash64(gray: Array[Byte], w: Int, h: Int): Long = {
+    require(w > 0 && h > 0 && gray.length >= w * h, s"bad image ${w}x$h")
+    val px = new Array[Long](64)
+    var i = 0
+    while (i < 8) {
+      var j = 0
+      while (j < 8) {
+        px(i * 8 + j) = (gray((i * h / 8) * w + (j * w / 8)) & 0xff).toLong
+        j += 1
+      }
+      i += 1
+    }
+    // separable DCT: tmp(i)(v) = Σ_j px(i)(j)·C(v)(j); F(u)(v) = Σ_i
+    // C(u)(i)·tmp(i)(v). Integer sums are associative, so this equals the
+    // direct quadruple sum the oracle computes term-by-term.
+    val tmp = new Array[Long](64)
+    i = 0
+    while (i < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0L
+        var j = 0
+        while (j < 8) { s += px(i * 8 + j) * PhashDct(v)(j); j += 1 }
+        tmp(i * 8 + v) = s
+        v += 1
+      }
+      i += 1
+    }
+    val f = new Array[Long](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0L
+        var k = 0
+        while (k < 8) { s += PhashDct(u)(k) * tmp(k * 8 + v); k += 1 }
+        f(u * 8 + v) = s
+        v += 1
+      }
+      u += 1
+    }
+    val ac = java.util.Arrays.copyOfRange(f, 1, 64)
+    val sorted = ac.clone()
+    java.util.Arrays.sort(sorted)
+    val med = sorted(31)
+    var hash = 0L
+    var k = 0
+    while (k < 63) {
+      if (ac(k) > med) hash |= 1L << k
+      k += 1
+    }
+    hash
+  }
+
+  /** Companion-asset id offset and planting step of
+    * [[phashAssetsFromDocuments]] — every `Step`-th doc gets a brightened
+    * twin at id + Offset, giving the pair queries TRUE positives whose
+    * discovery the oracle verifies. */
+  val PhashCompanionOffset = 10000000L
+  val PhashCompanionStep = 40L
+
+  /** PNG asset table for the perceptual-hash family: every doc becomes the
+    * same grayscale PNG as [[pngAssetsFromDocuments]]; every
+    * [[PhashCompanionStep]]-th doc ADDITIONALLY yields a companion asset
+    * (id + [[PhashCompanionOffset]]) whose pixels are all +16 — a global
+    * brightness shift. The round trip is lossless and pHash is
+    * brightness-invariant by construction (DC-only change), so each
+    * (base, companion) pair MUST surface at Hamming 0: planted true
+    * positives for [[DedupOps.bandedHammingPairs]], replayable by the
+    * oracle from text + tiling arithmetic alone. */
+  def phashAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        // same LOUD ASCII contract as the other codec fixtures (pixels +16
+        // also relies on it: 127 + 16 < 256, no wraparound)
+        require(text.forall(_ < 128),
+          s"phash fixture requires ASCII text (doc $id)")
+        // dims start at 8: a source narrower than the 8x8 sample grid
+        // degenerates the hash (a 1-px-wide image upsamples to a constant
+        // grid -> all-zero AC -> corpus-wide hash-0 cliques, measured 373k
+        // pairs at sf0.1 before this floor; >= 8x8 keeps hashes text-driven
+        // and the pair output linear in the planted companions)
+        val w = (id % 24 + 8).toInt
+        val h = (id % 16 + 8).toInt
+        def gray(boost: Int) = Array.tabulate(w * h)(i =>
+          ((if (text.isEmpty) 0 else text.charAt(i % text.length).toInt)
+            + boost).toByte)
+        val base = MediaAsset(id, "png",
+          PngCodec.encode(w, h, gray(0), (id % 5).toInt), w, h, 1, 0)
+        if (id % PhashCompanionStep == 0)
+          Seq(base, MediaAsset(id + PhashCompanionOffset, "png",
+            PngCodec.encode(w, h, gray(16), (id % 5).toInt), w, h, 1, 0))
+        else Seq(base)
+      }.toDF()
+  }
+
+  /** (asset_id, phash) over decodable image assets — decode and hash fuse
+    * in one typed pass (the [[decodeFeatures]] shape: payload bytes never
+    * leave the task, 16 bytes per image come out). PNG decodes the real
+    * chunk walk to grayscale; BMP decodes RGB and reduces with the BT.601
+    * integer luma (299r + 587g + 114b)/1000. Anything else fails loudly. */
+  def imagePhash(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .repartitionByRange(spark.sparkContext.defaultParallelism,
+        col("format"), col("asset_id"))
+      .as[MediaAsset]
+      .mapPartitions(_.map { a =>
+        val (gray, w, h) = a.format match {
+          case "png" =>
+            val (pw, ph, g) = PngCodec.decode(a.payload)
+            (g, pw, ph)
+          case "bmp" =>
+            val (bw, bh, rgb) = BmpCodec.decode(a.payload)
+            val g = Array.tabulate(bw * bh) { p =>
+              ((299 * (rgb(3 * p) & 0xff) + 587 * (rgb(3 * p + 1) & 0xff)
+                + 114 * (rgb(3 * p + 2) & 0xff)) / 1000).toByte
+            }
+            (g, bw, bh)
+          case f => throw new IllegalArgumentException(
+            s"imagePhash needs bmp or png, got $f")
+        }
+        (a.asset_id, phash64(gray, w, h))
+      })
+      .toDF("asset_id", "phash")
+  }
 }

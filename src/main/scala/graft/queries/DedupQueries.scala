@@ -584,6 +584,31 @@ object DedupQueries {
         bits = 30, maxHamming = 1)
     },
 
+    // PERCEPTUAL-HASH image dedup — the multimodal and dedup families
+    // joined end-to-end on real pixels: decode the grayscale-PNG fixture,
+    // integer-DCT pHash (MultimodalOps.imagePhash), then the same
+    // skew-immune pigeonhole banding as dedup_simhash at radius 4 over 63
+    // bits. The fixture PLANTS true positives (every 40th doc gets a
+    // globally +16-brightened companion; pHash is brightness-invariant by
+    // construction, so each pair MUST surface at Hamming 0) and the
+    // brute-force oracle replays hash + distance, so both recall of the
+    // planted pairs and absence of false pairs are value-checked.
+    QueryDef.withOracle("dedup_phash",
+      s"""WITH ${OraclePhash.CTES}
+         |SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+         |       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+         |FROM ph a, ph b
+         |WHERE a.asset_id < b.asset_id
+         |  AND bit_count(xor(a.phash, b.phash)) <= 4
+         |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      DedupOps.bandedHammingPairs(
+        graft.ops.MultimodalOps.imagePhash(
+          graft.ops.MultimodalOps.phashAssetsFromDocuments(
+            Tables(s, dir, "documents")))
+          .select(col("asset_id").as("id"), col("phash").as("fp")),
+        bits = 63, maxHamming = 4)
+    },
+
     // Embedding-cosine near-dup pairs. Since r10 this registered query IS
     // the corpus-scale LSH path (VERDICT r9 #7): hyperplane-bucket
     // candidates (24 tables × 8 bits, Hamming-2 probe) + exact cosine

@@ -421,6 +421,69 @@ object MultimodalQueries {
         frameSize = 64, maxFrames = 4)
         .toDF()
         .orderBy("asset_id", "frame_idx")
+    },
+
+    // Perceptual hashes over REAL pixels: decode the grayscale-PNG fixture
+    // (plus its brightened companions), 8x8 nearest-neighbor sample,
+    // integer DCT, median-split bits — the oracle replays the whole chain
+    // term-by-term from text + tiling arithmetic, with the SAME fixed-point
+    // cosine table interpolated as literals (MultimodalOps.PhashDct), so a
+    // decode bug, a sampling off-by-one, or a median-rank slip all break
+    // the hash match. Companions MUST hash identically to their base
+    // (brightness moves only the excluded DC coefficient) — checked here
+    // value-by-value and consumed by dedup_phash below.
+    QueryDef.withOracle("mm_phash",
+      s"""WITH ${OraclePhash.CTES}
+         |SELECT asset_id, phash FROM ph ORDER BY asset_id""".stripMargin) {
+      (s, dir) =>
+      MultimodalOps.imagePhash(
+        MultimodalOps.phashAssetsFromDocuments(Tables(s, dir, "documents")))
+        .orderBy("asset_id")
     }
   )
+}
+
+/** Shared oracle CTEs of the perceptual-hash family (mm_phash here,
+  * dedup_phash in DedupQueries): asset fixture -> 8x8 sampled pixels ->
+  * integer DCT coefficients -> AC median -> 63-bit hash. Every stage is
+  * exact int64 arithmetic; the DCT basis is interpolated from
+  * [[graft.ops.MultimodalOps.PhashDct]] so no trig crosses the engine
+  * boundary. */
+object OraclePhash {
+  import graft.ops.MultimodalOps.{PhashCompanionOffset, PhashCompanionStep, PhashDct}
+
+  private val dctRows = (for { u <- 0 until 8; i <- 0 until 8 }
+    yield s"($u,$i,${PhashDct(u)(i)})").mkString(",")
+
+  val CTES: String =
+    s"""pha AS (SELECT doc_id AS asset_id, text,
+       |          CAST(doc_id % 24 + 8 AS INT) AS w,
+       |          CAST(doc_id % 16 + 8 AS INT) AS h, 0 AS boost FROM documents
+       |        UNION ALL
+       |        SELECT doc_id + $PhashCompanionOffset, text,
+       |          CAST(doc_id % 24 + 8 AS INT), CAST(doc_id % 16 + 8 AS INT), 16
+       |        FROM documents WHERE doc_id % $PhashCompanionStep = 0),
+       |phct(u, i, c) AS (SELECT * FROM (VALUES $dctRows) t(u, i, c)),
+       |phpx AS (SELECT asset_id, ri.i AS i, rj.j AS j,
+       |           CAST((CASE WHEN length(text) = 0 THEN 0
+       |                 ELSE unicode(substr(text,
+       |                   CAST(((ri.i * h // 8) * w + rj.j * w // 8)
+       |                        % length(text) + 1 AS INT), 1)) END)
+       |                + boost AS BIGINT) AS p
+       |         FROM pha, range(8) ri(i), range(8) rj(j)),
+       |phco AS (SELECT asset_id, cu.u AS u, cv.u AS v,
+       |           CAST(SUM(p * cu.c * cv.c) AS BIGINT) AS f
+       |         FROM phpx px JOIN phct cu ON cu.i = px.i
+       |                      JOIN phct cv ON cv.i = px.j
+       |         GROUP BY 1, 2, 3),
+       |phmed AS (SELECT asset_id, f AS med FROM (
+       |            SELECT asset_id, f,
+       |              row_number() OVER (PARTITION BY asset_id ORDER BY f) AS rn
+       |            FROM phco WHERE NOT (u = 0 AND v = 0)) WHERE rn = 32),
+       |ph AS (SELECT c.asset_id,
+       |         CAST(SUM(CASE WHEN c.f > m.med
+       |                  THEN 1::BIGINT << (c.u * 8 + c.v - 1)
+       |                  ELSE 0::BIGINT END) AS BIGINT) AS phash
+       |       FROM phco c JOIN phmed m USING (asset_id)
+       |       WHERE NOT (c.u = 0 AND c.v = 0) GROUP BY 1)""".stripMargin
 }

@@ -1719,4 +1719,60 @@ class PipelineOpsSpec extends SparkTestBase {
     intercept[org.apache.spark.SparkException](
       MultimodalOps.audioFeatures(bad).collect())
   }
+
+  test("phash64: brightness invariance, structure sensitivity, median split") {
+    val rnd = new scala.util.Random(7)
+    val w = 16; val h = 12
+    val gray = Array.fill(w * h)((rnd.nextInt(200) + 20).toByte)
+    val base = MultimodalOps.phash64(gray, w, h)
+    // global brightness shift moves only the DC coefficient -> identical hash
+    val bright = gray.map(b => ((b & 0xff) + 30).min(255).toByte)
+    assert(MultimodalOps.phash64(bright, w, h) == base)
+    // structural change (top half inverted) must move many bits
+    val inv = gray.zipWithIndex.map { case (b, i) =>
+      if (i < w * h / 2) (255 - (b & 0xff)).toByte else b }
+    val d = java.lang.Long.bitCount(MultimodalOps.phash64(inv, w, h) ^ base)
+    assert(d > 8, s"structural change moved only $d bits")
+    // exactly the >median AC coefficients are set: 63 values, median at
+    // sorted index 31 -> at most 31 bits can exceed it
+    assert(java.lang.Long.bitCount(base) <= 31)
+  }
+
+  test("imagePhash: png and bmp routes agree on the same pixel grid") {
+    val rnd = new scala.util.Random(11)
+    val w = 9; val h = 8
+    val gray = Array.fill(w * h)(rnd.nextInt(256).toByte)
+    // bmp carries the SAME gray levels as rgb triples (luma of (g,g,g) = g)
+    val rgb = gray.flatMap(g => Array(g, g, g))
+    val assets = Seq(
+      (1L, "png", PngCodec.encode(w, h, gray, 2), w, h, 1, 0),
+      (2L, "bmp", BmpCodec.encode(w, h, rgb), w, h, 3, 0))
+      .toDF("asset_id", "format", "payload", "width", "height", "channels", "sample_rate")
+    val got = MultimodalOps.imagePhash(assets).orderBy("asset_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == got(2L),
+      "png gray and bmp gray-as-rgb must hash identically")
+    assert(got(1L) == MultimodalOps.phash64(gray, w, h))
+  }
+
+  test("bandedHammingPairs finds exactly the brute-force pairs at radius 4") {
+    val rnd = new scala.util.Random(3)
+    val fps = (0 until 120).map(i => i.toLong -> (rnd.nextLong() >>> 1))
+    // plant near-dups: ids 200+k = copy of k with k%5 bits flipped
+    val planted = (0 until 10).map { k =>
+      var f = fps(k)._2
+      (0 until k % 5).foreach(j => f ^= 1L << (j * 7))
+      (200L + k) -> f
+    }
+    val all = fps ++ planted
+    val df = all.toDF("id", "fp")
+    val got = DedupOps.bandedHammingPairs(df, bits = 63, maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exp = (for {
+      (ia, fa) <- all; (ib, fb) <- all
+      if ia < ib && java.lang.Long.bitCount(fa ^ fb) <= 4
+    } yield (ia, ib, java.lang.Long.bitCount(fa ^ fb).toLong)).toSet
+    assert(got == exp)
+    assert(exp.size >= 10, s"planted pairs missing from expectation (${exp.size})")
+  }
 }
