@@ -143,7 +143,10 @@ object Bench {
       // round-11 additions: span-level substring dedup (hash-keyed window
       // duplicate test), LM scoring (vocab-scale counts + token-scale
       // stream), shard writer (map-side assignment + per-shard windows)
-      "dedup_substring", "text_lm_score", "pipeline_shard")
+      "dedup_substring", "text_lm_score", "pipeline_shard",
+      // round-12 additions: IVF-PQ composed ANN (codebook scan + refine),
+      // perceptual-hash dedup (decode + DCT map pass, banded pairs)
+      "ann_ivf_pq", "dedup_phash")
     var sf1Failed = 0
     val sf1Results: Seq[(String, Double)] =
       if (args.nonEmpty || !sfDir.replace("/", "").endsWith("sf0.1") ||

@@ -191,6 +191,16 @@ object SimilarityOps {
       .select(asDouble(col(vecCol)).as("v"), xxhash64(col(idCol)).as("_h"))
       .orderBy("_h").limit(math.max(k * 32, 512)).collect()
       .map(_.getSeq[Double](0).toArray)
+    kMeansOnSample(sample, k, iters, seed)
+  }
+
+  /** Deterministic k-means++ + Lloyd on an in-driver sample — the training
+    * core shared by [[trainKMeans]] (whole vectors) and [[trainPq]] (one
+    * codebook per subspace). Bitwise-stable given (sample, k, iters, seed):
+    * fixed iteration count, ties by index, empty clusters keep their
+    * centroid. */
+  private def kMeansOnSample(sample: Array[Array[Double]], k: Int,
+                             iters: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     // k-means++ seeding: spread the initial centroids (D² sampling) — on
     // near-uniform data random init leaves clusters lopsided and recall low
@@ -348,6 +358,147 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "qdot")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Product-quantization codebooks: the unit-normalized hash-ordered
+    * sample (same contract as [[trainKMeans]]) splits into `m` contiguous
+    * subspaces of dim/m components each, and every subspace trains its own
+    * `ks`-entry k-means codebook (seed offset by subspace, so codebooks are
+    * independent but each deterministic). Training on UNIT vectors (not
+    * residuals) keeps ADC an approximation of cosine directly — the
+    * faiss `by_residual=false` inner-product configuration.
+    * @return codebooks(m)(ks)(dim/m) */
+  def trainPq(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int, ks: Int, iters: Int = 15, seed: Long = 42L)
+      : Array[Array[Array[Double]]] = {
+    val sample = corpus
+      .select(asDouble(col(vecCol)).as("v"), xxhash64(col(idCol)).as("_h"))
+      .orderBy("_h").limit(math.max(ks * 32, 512)).collect()
+      .map(_.getSeq[Double](0).toArray)
+      .map { v =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        val n = math.sqrt(s)
+        if (n == 0) v else v.map(_ / n)
+      }
+    val d = sample(0).length
+    require(m > 0 && d % m == 0, s"dim $d must split evenly into $m subspaces")
+    val sub = d / m
+    Array.tabulate(m) { ms =>
+      val slice = sample.map(v => java.util.Arrays.copyOfRange(v, ms * sub, (ms + 1) * sub))
+      kMeansOnSample(slice, ks, iters, seed + ms)
+    }
+  }
+
+  /** Persist PQ codebooks as (m, j, c) parquet — one row per codeword — so
+    * the oracle re-derives encoding and ADC lookup exactly. */
+  def persistPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+                         codebooks: Array[Array[Array[Double]]],
+                         path: String): Unit = {
+    import spark.implicits._
+    codebooks.zipWithIndex.flatMap { case (cb, ms) =>
+      cb.zipWithIndex.map { case (c, j) => (ms, j, c.toSeq) }
+    }.toSeq.toDF("m", "j", "c").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** IVF × PRODUCT-QUANTIZATION composed top-k — the memory shape real
+    * 100 TB ANN deployments run (faiss IVFPQ): the coarse quantizer prunes
+    * the scan to ~nProbe/nLists of the corpus, and inside the probed lists
+    * every vector is represented by `m` sub-space codeword ids (dim 64,
+    * m=8, ks=16 → 8 nibbles ≈ 4 BYTES per vector vs 256 for floats and 64
+    * for int8 — the step beyond [[topKIvfQuantized]]'s one global scale).
+    * Ranking is ADC (asymmetric distance computation): each query builds an
+    * m×ks lookup table of sub-dot products against the codebooks ONCE, and
+    * a candidate's score is the fixed-order sum of m table entries — no
+    * per-candidate float vector is ever read. Every stage is deterministic
+    * and SQL-replayable: assignment ranks by the same (||c||²−2v·c, index)
+    * key as IVF, encoding by per-subspace (distance, codeword) rank, LUT
+    * and score by strict left folds — so even this doubly-approximate
+    * operator hash-matches its DuckDB oracle from the persisted
+    * centroids + codebooks. Output: (query_id, rank, neighbor_id, adc). */
+  def topKIvfPq(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 4,
+                m: Int = 8, ks: Int = 16, rerank: Int = 150,
+                iters: Int = 15, seed: Long = 42L,
+                centroidsOut: Option[String] = None,
+                codebooksOut: Option[String] = None): DataFrame = {
+    require(rerank >= k, s"rerank window $rerank must cover k=$k")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val centroids = trainKMeans(corpus, idCol, vecCol, nLists, iters, seed)
+    centroidsOut.foreach(persistCentroids(corpus.sparkSession, centroids, _))
+    val codebooks = trainPq(corpus, idCol, vecCol, m, ks, iters, seed)
+    codebooksOut.foreach(persistPqCodebooks(corpus.sparkSession, codebooks, _))
+    val sub = codebooks(0)(0).length
+    def ranked(v: Column): Column =
+      call_function("nearest_centroids", v,
+        typedLit(centroids.map(_.toSeq).toSeq))
+    def unit(v: Column): Column = {
+      val n = norm(v)
+      transform(v, x => x / n)
+    }
+    def subv(v: Column, ms: Int): Column = slice(v, ms * sub + 1, sub)
+    // per-subspace codeword id: the same codegen'd ranked-centroids
+    // expression, fed the subvector and that subspace's codebook
+    def code(v: Column): Column = array((0 until m).map { ms =>
+      element_at(call_function("nearest_centroids", subv(v, ms),
+        typedLit(codebooks(ms).map(_.toSeq).toSeq)), 1)
+    }: _*)
+    // the (id, v, norm) base is read twice: code/list derivation and the
+    // refine join (see shingleSets note on localCheckpoint-vs-persist)
+    val base = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nn", norm(col("v")))
+      .localCheckpoint(false)
+    // corpus: ONE pass computes the list id (raw vector, like IVF) and the
+    // m-nibble PQ code (unit vector); floats never ride the candidate join
+    val c = base.select(col("id").as("neighbor_id"),
+      element_at(ranked(col("v")), 1).as("list"),
+      code(transform(col("v"), x => x / col("nn"))).as("code"))
+    // queries: nProbe probed lists + the m×ks ADC lookup table, built by
+    // codegen'd strict-left-fold dots against codebook literals (m·ks=128
+    // dots per QUERY row — queries are the tiny side)
+    val lut = array((0 until m).map { ms =>
+      array((0 until ks).map { j =>
+        fastDot(subv(col("qnv"), ms), typedLit(codebooks(ms)(j).toSeq))
+      }: _*)
+    }: _*)
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qnv", unit(col("qv")))
+      .select(col("query_id"), lut.as("lut"),
+        explode(slice(ranked(col("qv")), 1, nProbe)).as("list"))
+    // ADC: fixed left-to-right chain of m table lookups — the same
+    // evaluation order as the oracle's lookup chain, so doubles match
+    val adc = (0 until m).map(ms =>
+        element_at(element_at(col("lut"), ms + 1),
+          element_at(col("code"), ms + 1) + 1))
+      .reduceLeft(_ + _)
+    val scored = c.join(broadcast(q), Seq("list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), adc.as("adc"))
+      .dropDuplicates("query_id", "neighbor_id")
+    // REFINE (the faiss refine/RFlat stage): the coarse ADC order only
+    // SELECTS `rerank` candidates per query; those — and only those — pay
+    // a full-dimension exact cosine, which produces the output ranking.
+    // 4-bit ADC alone on near-uniform vectors measured recall@5 = 0.12;
+    // the 150-candidate refine measures 0.92 (spec-gated >= 0.85). The
+    // refine join is output-sized (nq × rerank rows against `base`).
+    val wAdc = Window.partitionBy("query_id").orderBy(col("adc").desc, col("neighbor_id"))
+    val cand = scored.withColumn("crk", row_number().over(wAdc))
+      .filter(col("crk") <= rerank).select("query_id", "neighbor_id")
+    val qvec = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv2"))
+      .withColumn("qn2", norm(col("qv2")))
+    val refined = cand
+      .join(base.select(col("id").as("neighbor_id"), col("v").as("cv"),
+        col("nn").as("cn")), "neighbor_id")
+      .join(broadcast(qvec), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (fastDot(col("qv2"), col("cv")) / (col("qn2") * col("cn"))).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    refined.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
       .orderBy("query_id", "rank")
   }
 

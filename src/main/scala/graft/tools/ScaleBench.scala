@@ -53,6 +53,10 @@ object ScaleBench {
     // one-scan multi-series windows (output ∝ series × windows, both grow
     // at most linearly in data) and ViT patch rows (output ∝ documents)
     "engine_window_all_series", "mm_patches",
+    // round-12 additions: IVF-PQ ANN (assignment/encode ∝ corpus, refine
+    // output-sized) and pHash dedup (decode+DCT map pass; pair output ∝
+    // planted companions, which GenScale replicates linearly)
+    "ann_ivf_pq", "dedup_phash", "mm_phash",
     // round-11 additions: real-BPE token stats (work ∝ tokens, the merge
     // loop amortizes over distinct words per task), composed IVF×int8 ANN
     // (scan ∝ probed-list occupancy), streaming incremental dedup (work ∝

@@ -960,14 +960,21 @@ class PipelineOpsSpec extends SparkTestBase {
     val qnt = recall(SimilarityOps.topKQuantized(emb, q, "vec_id", "embedding", 5))
     val ivfq = recall(SimilarityOps.topKIvfQuantized(emb, q, "vec_id", "embedding", 5,
       nLists = 16, nProbe = 12))
+    val ivfpq = recall(SimilarityOps.topKIvfPq(emb, q, "vec_id", "embedding", 5,
+      nLists = 16, nProbe = 12))
     exact.unpersist()
-    info(s"recall@5: lsh=$lsh ivf=$ivf int8=$qnt ivf×int8=$ivfq")
+    info(s"recall@5: lsh=$lsh ivf=$ivf int8=$qnt ivf×int8=$ivfq ivf×pq=$ivfpq")
     assert(lsh >= 0.95, s"LSH recall@5 regressed: $lsh")
     assert(ivf >= 0.9, s"IVF recall@5 regressed: $ivf")
     assert(qnt >= 0.9, s"int8-quantized recall@5 regressed: $qnt")
     // the composed path loses at most the union of both approximations —
     // floor set one notch under the measured min(ivf, qnt)
     assert(ivfq >= 0.85, s"IVF×int8 recall@5 regressed: $ivfq")
+    // PQ at 4 bits/component-group is LOSSY by design (64 floats → 8
+    // nibbles): pure ADC ordering measured recall@5 = 0.12 on these
+    // near-uniform vectors — its hardest case — which is WHY the operator
+    // refines: the 50-candidate exact-cosine re-rank restores the floor.
+    assert(ivfpq >= 0.85, s"IVF×PQ(refine 50) recall@5 regressed: $ivfpq")
   }
 
   test("PCA coarse-rank + exact re-rank: recall measured on uniform AND clustered") {
