@@ -1557,7 +1557,12 @@ class PipelineOpsSpec extends SparkTestBase {
       if (pairs.isEmpty) done = true
       else {
         val mx = pairs.values.max
-        val (a, b) = pairs.collect { case (p, c) if c == mx => p }.toSeq.min
+        // keys.toSeq, NOT collect{...=>p}: collect of key tuples out of a
+        // Map rebuilds a MAP keyed by the tuple's first element, silently
+        // collapsing tie candidates that share a left symbol (and letting
+        // iteration order pick the winner) — caught by the random-corpus
+        // property test in r12
+        val (a, b) = pairs.filter(_._2 == mx).keys.toSeq.min
         out += ((a, b))
         vocab = vocab.toSeq.map { case (syms, c) =>
           val nb = Vector.newBuilder[String]; var i = 0
@@ -1594,6 +1599,41 @@ class PipelineOpsSpec extends SparkTestBase {
     val rel = graft.ops.BpeTrainer.trainDf(df, "text", 3).collect()
     assert(rel.map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
       == refTrain(texts, 3).zipWithIndex.map { case ((a, b), r) => (r.toLong, a, b) })
+  }
+
+  test("property: BATCHED trainer rounds reproduce the classic table on random corpora") {
+    // the batching guard (disjoint prefix + strict neighbor-count bound +
+    // fused-string truncation) claims rank-for-rank classic equivalence;
+    // stress it on random corpora whose small alphabets force exactly the
+    // adversarial cases — shared symbols in the top pairs, fused strings
+    // colliding with existing symbols ("ab" as a word), count ties
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 0 until 4) {
+      val alpha = "abcd".take(2 + trial % 3)
+      val words = (0 until 60).map { _ =>
+        (0 until 1 + rnd.nextInt(5)).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      }
+      val texts = (0 until 20).map(_ =>
+        (0 until 8).map(_ => words(rnd.nextInt(words.length))).mkString(" "))
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val exp = refTrain(texts, 24)
+      val (got, rounds) = graft.ops.BpeTrainer.trainWithRounds(df, "text", 24,
+        maxBatch = 8)
+      assert(got == exp, s"trial $trial (alpha=$alpha): batched diverged\n" +
+        s"got      $got\nexpected $exp")
+      assert(rounds <= got.size, s"rounds $rounds > merges ${got.size}")
+      // the in-driver trainer (what train() routes to under the histogram
+      // threshold) must emit the same classic table from the same
+      // sufficient statistic — heap tie-breaks and incremental-count
+      // bookkeeping both stressed by the same adversarial corpora
+      val hist = graft.ops.BpeTrainer.wordHistogram(df, "text").collect()
+        .map(r => (r.getSeq[String](0).toArray, r.getLong(1)))
+      val local = graft.ops.BpeTrainer.localTrain(hist, 24)
+      assert(local == exp, s"trial $trial: localTrain diverged\n" +
+        s"got      $local\nexpected $exp")
+      info(s"trial $trial: ${got.size} merges in $rounds rounds")
+    }
   }
 
   test("PngCodec: encode/decode round-trips pixels through every filter type") {
