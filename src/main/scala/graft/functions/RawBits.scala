@@ -80,7 +80,11 @@ object GraftFunctions {
         cs.getArray(i).toDoubleArray().toSeq
       }
       NearestCentroids(args(0), packed)
-    })
+    }),
+    "graft_lsh_buckets" -> (args => LshBuckets(args(0),
+      args(1).eval().asInstanceOf[Number].intValue,
+      args(2).eval().asInstanceOf[Number].intValue,
+      args(3).eval().asInstanceOf[Number].intValue))
   )
 
   /** Idempotent per-session registration of the graft native functions. */

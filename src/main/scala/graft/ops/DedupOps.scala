@@ -829,12 +829,16 @@ object DedupOps {
   private def embeddingLshCandidates(withNorm: DataFrame, tables: Int, bits: Int,
                                      dim: Int, probeRadius: Int): DataFrame = {
     require(probeRadius >= 0 && probeRadius <= 2, "probeRadius must be 0, 1 or 2")
-    val tb = array((0 until tables).map(t =>
-      struct(lit(t).as("t"),
-        SimilarityOps.lshBucket(col("v"), t, bits, dim).as("b"))): _*)
-    // the index is read by BOTH sides of the candidate self-join
-    val idx = withNorm.select(col("id"), explode(tb).as("tb"))
-      .select(col("id"), col("tb.t").as("t"), col("tb.b").as("b"))
+    // ONE native pass per vector computes all tables' buckets
+    // (graft.functions.LshBuckets): the declarative per-table lshBucket
+    // form evaluated tables x bits separate dot expressions per row —
+    // measured 21 s of the 32 s sf1 wall at the tight 12x18
+    // parameterization. Bucket values are bit-identical (same planes,
+    // same fold), so candidates and oracles are unchanged.
+    // The index is read by BOTH sides of the candidate self-join.
+    val idx = withNorm.select(col("id"),
+        posexplode(call_function("graft_lsh_buckets", col("v"),
+          lit(tables), lit(bits), lit(dim))).as(Seq("t", "b")))
       .localCheckpoint(false)
     def expand(src: DataFrame, radius: Int): DataFrame = {
       val nbrs = col("b") +:

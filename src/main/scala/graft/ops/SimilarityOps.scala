@@ -147,11 +147,12 @@ object SimilarityOps {
     def bucketed(df: DataFrame, idAs: String, vAs: String, nAs: String): DataFrame = {
       val base = df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as(vAs))
         .withColumn(nAs, norm(col(vAs)))
-      val tb = array((0 until tables).map(t =>
-        struct(lit(t).as("t"), lshBucket(col(vAs), t, bits, dim).as("b"))): _*)
-      base.select(col(idAs), col(vAs), col(nAs), explode(tb).as("tb"))
-        .select(col(idAs), col(vAs), col(nAs),
-          col("tb.t").as("t"), col("tb.b").as("b"))
+      // ONE native pass computes all tables' buckets (LshBuckets) instead
+      // of tables x bits separate dot expressions; posexplode's pos IS the
+      // table index, and bucket values are bit-identical by construction
+      base.select(col(idAs), col(vAs), col(nAs),
+          posexplode(call_function("graft_lsh_buckets", col(vAs),
+            lit(tables), lit(bits), lit(dim))).as(Seq("t", "b")))
     }
     val c = bucketed(corpus, "neighbor_id", "cv", "cn")
     val q0 = bucketed(queries, "query_id", "qv", "qn")
