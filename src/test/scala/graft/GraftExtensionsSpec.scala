@@ -22,6 +22,6 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(names.toSet == Set("double_raw_bits", "float_raw_bits", "graft_dot",
       "graft_minhash", "graft_simhash", "graft_word_hashes", "graft_shingles",
       "graft_shingles_all", "graft_text_counts", "nearest_centroids",
-      "graft_bloom_contains", "graft_bpe_tokens"))
+      "graft_bloom_contains", "graft_bpe_tokens", "graft_lsh_buckets"))
   }
 }
