@@ -173,7 +173,8 @@ object Bench {
       "events_funnel_windowed", "events_cohort_retention", "events_top_paths",
       "events_rollup_cube", "dedup_exact", "dedup_clusters_star",
       "dedup_incremental", "dedup_simhash", "mm_phash", "mm_patches_png",
-      "ann_lsh", "ann_quantized", "ann_pca", "pipeline_cluster")
+      "ann_lsh", "ann_quantized", "ann_pca", "pipeline_cluster",
+      "mm_decode_jpeg")
     var sf1Failed = 0
     val sf1Results: Seq[(String, Double)] =
       if (args.nonEmpty || !sfDir.replace("/", "").endsWith("sf0.1") ||

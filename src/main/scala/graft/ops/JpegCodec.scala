@@ -1,0 +1,426 @@
+package graft.ops
+
+/** REAL baseline JPEG codec (ITU-T T.81 sequential DCT, SOF0), grayscale,
+  * pure JVM — the last `FakeDecoder` image family promoted to a genuine
+  * parser: SOI/DQT/SOF0/DHT/SOS/EOI marker walk, canonical Huffman tables
+  * (the public Annex-K luminance tables, read back FROM the DHT segment —
+  * the decoder trusts the stream, not compiled-in constants), DC DPCM with
+  * category coding, AC run-length with ZRL/EOB, 0xFF byte stuffing, and
+  * zigzag coefficient order.
+  *
+  * The transform stage is this repo's INTEGER-EXACT chain (not libjpeg's
+  * float or its scaled-integer AAN): with C = round(cos((2i+1)uπ/16)·2^10)
+  * (the [[MultimodalOps.PhashDct]] table) and A(u) = round(α(u)·2^10)
+  * (724 for u=0 else 1024),
+  *
+  *   Fraw[u][v] = Σ_{i,j} (px−128)·C[u][i]·C[v][j]
+  *   qc[u][v]   = truncDiv(Fraw·A[u]·A[v] + 2^41, 2^42)      (quant table 1)
+  *   s'[i][j]   = truncDiv(Σ_{u,v} qc·A[u]·A[v]·C[u][i]·C[v][j] + 2^41, 2^42)
+  *   px'        = clamp(s' + 128, 0, 255)
+  *
+  * — numerically the standard normalized DCT-II/IDCT pair, but every step
+  * is int64 arithmetic, so decode(encode(img)) is bit-replayable by the
+  * DuckDB oracle from the pixel tiling alone (JPEG is lossy; DETERMINISM,
+  * not losslessness, is what the gate needs). The entropy layer transports
+  * qc exactly, so the bitstream is a real JPEG whose only codec-specific
+  * choice is the (legal) quantization table of all ones. */
+object JpegCodec {
+
+  private val Dct = MultimodalOps.PhashDct // C[u][i] = round(cos·1024)
+  private val Alpha: Array[Long] = Array(724L, 1024L, 1024L, 1024L, 1024L, 1024L, 1024L, 1024L)
+  private val Shift = 42 // divide by 4·1024^4 = 2^42, rounding half up
+  private val Half = 1L << 41
+
+  /** Standard zigzag scan order: Zigzag(k) = row-major index of the k-th
+    * coefficient in scan order. */
+  val Zigzag: Array[Int] = {
+    val z = new Array[Int](64)
+    var k = 0
+    for (s <- 0 until 15; i <- 0 to s if s - i <= 7 && i <= 7) {
+      val (r, c) = if (s % 2 == 0) (s - i, i) else (i, s - i)
+      z(k) = r * 8 + c
+      k += 1
+    }
+    z
+  }
+
+  /** Annex-K luminance DC table: (code counts per length 1..16, symbols). */
+  private val DcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcVals = (0 to 11).map(_.toByte).toArray
+  /** Annex-K luminance AC table. */
+  private val AcBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125)
+  private val AcVals: Array[Byte] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA).map(_.toByte)
+
+  /** Canonical JPEG code assignment: symbols in table order get increasing
+    * codes, code length per the counts array. Returns symbol → (code, len). */
+  private def canonical(bits: Array[Int], vals: Array[Byte]): Map[Int, (Int, Int)] = {
+    var code = 0
+    var k = 0
+    val out = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+    for (len <- 1 to 16) {
+      var n = 0
+      while (n < bits(len - 1)) {
+        out(vals(k) & 0xff) = (code, len)
+        code += 1; k += 1; n += 1
+      }
+      code <<= 1
+    }
+    out.toMap
+  }
+
+  // ----------------------------------------------------------- transform
+
+  /** Rounding division: add half, then TRUNCATING division — Java's `/`,
+    * which is exactly DuckDB's integer `//` (both truncate toward zero;
+    * floorDiv would diverge from the oracle on negative coefficients). */
+  private def rdiv(x: Long): Long = (x + Half) / (1L << Shift)
+
+  /** Forward integer DCT + quantization (table of ones) of one 8×8 block of
+    * level-shifted samples; row-major in, row-major out. */
+  def forwardBlock(s: Array[Int]): Array[Long] = {
+    // separable: tmp[i][v] = Σ_j s·C[v][j]; Fraw[u][v] = Σ_i C[u][i]·tmp
+    val tmp = new Array[Long](64)
+    var i = 0
+    while (i < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0L; var j = 0
+        while (j < 8) { acc += s(i * 8 + j).toLong * Dct(v)(j); j += 1 }
+        tmp(i * 8 + v) = acc; v += 1
+      }
+      i += 1
+    }
+    val q = new Array[Long](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0L; var k = 0
+        while (k < 8) { acc += Dct(u)(k) * tmp(k * 8 + v); k += 1 }
+        q(u * 8 + v) = rdiv(acc * Alpha(u) * Alpha(v))
+        v += 1
+      }
+      u += 1
+    }
+    q
+  }
+
+  /** Inverse: quantized coefficients (row-major) → clamped samples. */
+  def inverseBlock(q: Array[Long]): Array[Int] = {
+    // tmp[u][j] = Σ_v qc·A[v]·C[v][j]; s[i][j] = rdiv(Σ_u A[u]·C[u][i]·tmp)
+    // — NOT separable with the single final rounding above, so do the
+    // direct double sum to match the spec'd one-rounding formula exactly
+    val out = new Array[Int](64)
+    var i = 0
+    while (i < 8) {
+      var j = 0
+      while (j < 8) {
+        var acc = 0L
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            acc += q(u * 8 + v) * Alpha(u) * Alpha(v) * Dct(u)(i) * Dct(v)(j)
+            v += 1
+          }
+          u += 1
+        }
+        val s = rdiv(acc) + 128
+        out(i * 8 + j) = if (s < 0) 0 else if (s > 255) 255 else s.toInt
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  // ----------------------------------------------------------- bit I/O
+
+  private final class BitWriter(buf: java.io.ByteArrayOutputStream) {
+    private var acc = 0; private var n = 0
+    def put(code: Int, len: Int): Unit = {
+      var k = len - 1
+      while (k >= 0) {
+        acc = (acc << 1) | ((code >> k) & 1); n += 1
+        if (n == 8) {
+          buf.write(acc)
+          if (acc == 0xff) buf.write(0x00) // byte stuffing
+          acc = 0; n = 0
+        }
+        k -= 1
+      }
+    }
+    def flush(): Unit = if (n > 0) { // pad with 1s per spec
+      acc = (acc << (8 - n)) | ((1 << (8 - n)) - 1)
+      buf.write(acc)
+      if (acc == 0xff) buf.write(0x00)
+      acc = 0; n = 0
+    }
+  }
+
+  private final class BitReader(data: Array[Byte], var pos: Int) {
+    private var acc = 0; private var n = 0
+    def bit(): Int = {
+      if (n == 0) {
+        require(pos < data.length, "JPEG: entropy stream truncated")
+        var b = data(pos) & 0xff; pos += 1
+        if (b == 0xff) {
+          require(pos < data.length && data(pos) == 0x00,
+            "JPEG: unstuffed 0xFF inside entropy data")
+          pos += 1
+        }
+        acc = b; n = 8
+      }
+      n -= 1
+      (acc >> n) & 1
+    }
+    def bits(k: Int): Int = { var v = 0; var i = 0; while (i < k) { v = (v << 1) | bit(); i += 1 }; v }
+  }
+
+  private def category(v: Long): Int = {
+    var a = math.abs(v); var t = 0
+    while (a != 0) { a >>= 1; t += 1 }
+    t
+  }
+
+  // ----------------------------------------------------------- encode
+
+  /** Encode row-major 8-bit grayscale as a baseline JPEG. Dims must be
+    * multiples of 8 (the fixture guarantees it; general edge replication
+    * is orthogonal to the codec semantics under test). */
+  def encodeGray(w: Int, h: Int, gray: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0 && w % 8 == 0 && h % 8 == 0, s"dims must be 8-multiples: ${w}x$h")
+    require(gray.length == w * h, s"need ${w * h} samples, got ${gray.length}")
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    marker(0xD8) // SOI
+    marker(0xDB); u16(2 + 1 + 64) // DQT: one 8-bit table, id 0, all ones
+    out.write(0x00); (0 until 64).foreach(_ => out.write(1))
+    marker(0xC0); u16(2 + 6 + 3) // SOF0: 8-bit, 1 component, no subsampling
+    out.write(8); u16(h); u16(w); out.write(1)
+    out.write(1); out.write(0x11); out.write(0) // comp 1, 1x1, qtable 0
+    def dht(clazz: Int, bits: Array[Int], vals: Array[Byte]): Unit = {
+      marker(0xC4); u16(2 + 1 + 16 + vals.length)
+      out.write(clazz << 4) // class, table id 0
+      bits.foreach(out.write); out.write(vals, 0, vals.length)
+    }
+    dht(0, DcBits, DcVals)
+    dht(1, AcBits, AcVals)
+    marker(0xDA); u16(2 + 1 + 2 + 3) // SOS
+    out.write(1); out.write(1); out.write(0x00) // comp 1, DC 0 / AC 0
+    out.write(0); out.write(63); out.write(0)   // spectral selection
+    val dcCode = canonical(DcBits, DcVals)
+    val acCode = canonical(AcBits, AcVals)
+    val bw = new BitWriter(out)
+    var prevDc = 0L
+    val block = new Array[Int](64)
+    var by = 0
+    while (by < h / 8) {
+      var bx = 0
+      while (bx < w / 8) {
+        var i = 0
+        while (i < 8) {
+          var j = 0
+          while (j < 8) {
+            block(i * 8 + j) = (gray((by * 8 + i) * w + bx * 8 + j) & 0xff) - 128
+            j += 1
+          }
+          i += 1
+        }
+        val q = forwardBlock(block)
+        // DC: DPCM + category coding
+        val diff = q(0) - prevDc
+        prevDc = q(0)
+        val t = category(diff)
+        val (dc, dl) = dcCode(t)
+        bw.put(dc, dl)
+        if (t > 0) {
+          val v = if (diff < 0) (diff + (1L << t) - 1).toInt else diff.toInt
+          bw.put(v & ((1 << t) - 1), t)
+        }
+        // AC: run-length in zigzag order
+        var run = 0
+        var k = 1
+        while (k < 64) {
+          val c = q(Zigzag(k))
+          if (c == 0L) run += 1
+          else {
+            while (run > 15) { val (z, zl) = acCode(0xF0); bw.put(z, zl); run -= 16 }
+            val s = category(c)
+            val (a, al) = acCode((run << 4) | s)
+            bw.put(a, al)
+            val v = if (c < 0) (c + (1L << s) - 1).toInt else c.toInt
+            bw.put(v & ((1 << s) - 1), s)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) { val (e, el) = acCode(0x00); bw.put(e, el) } // EOB
+        bx += 1
+      }
+      by += 1
+    }
+    bw.flush()
+    marker(0xD9) // EOI
+    out.toByteArray
+  }
+
+  // ----------------------------------------------------------- decode
+
+  private final case class Huff(maxLen: Int, lookup: Map[(Int, Int), Int])
+
+  private def buildHuff(bits: Array[Int], vals: Array[Byte]): Huff = {
+    var code = 0; var k = 0
+    val m = scala.collection.mutable.Map.empty[(Int, Int), Int]
+    var maxLen = 0
+    for (len <- 1 to 16) {
+      var n = 0
+      while (n < bits(len - 1)) {
+        m((len, code)) = vals(k) & 0xff
+        maxLen = len
+        code += 1; k += 1; n += 1
+      }
+      code <<= 1
+    }
+    Huff(maxLen, m.toMap)
+  }
+
+  private def readSym(br: BitReader, h: Huff): Int = {
+    var code = 0; var len = 0
+    while (len <= h.maxLen) {
+      code = (code << 1) | br.bit(); len += 1
+      h.lookup.get((len, code)) match {
+        case Some(s) => return s
+        case None => ()
+      }
+    }
+    throw new IllegalArgumentException("JPEG: invalid Huffman code")
+  }
+
+  private def extend(v: Int, t: Int): Long =
+    if (t == 0) 0L
+    else if (v < (1 << (t - 1))) v.toLong - (1L << t) + 1
+    else v.toLong
+
+  /** Parse a baseline grayscale JPEG into (width, height, gray). Validates
+    * the marker structure, rebuilds the Huffman tables FROM the stream's
+    * DHT segments, dequantizes with the stream's DQT, and runs the integer
+    * IDCT. Unsupported shapes (progressive, multi-component, 16-bit DQT)
+    * fail loudly. */
+  def decodeGray(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(payload.length > 4 && (payload(0) & 0xff) == 0xff &&
+      (payload(1) & 0xff) == 0xd8, "not a JPEG payload (no SOI)")
+    var pos = 2
+    var w = -1; var h = -1
+    var qt: Array[Int] = null
+    var dcH: Huff = null; var acH: Huff = null
+    def u16(p: Int): Int = ((payload(p) & 0xff) << 8) | (payload(p + 1) & 0xff)
+    var sosAt = -1
+    while (sosAt < 0) {
+      require(pos + 4 <= payload.length, "JPEG: truncated marker stream")
+      require((payload(pos) & 0xff) == 0xff, s"JPEG: expected marker at $pos")
+      val m = payload(pos + 1) & 0xff
+      val len = u16(pos + 2)
+      m match {
+        case 0xDB =>
+          require((payload(pos + 4) & 0xf0) == 0, "JPEG: 16-bit DQT unsupported")
+          qt = Array.tabulate(64)(i => payload(pos + 5 + i) & 0xff)
+        case 0xC0 =>
+          require(payload(pos + 4) == 8, "JPEG: only 8-bit precision")
+          h = u16(pos + 5); w = u16(pos + 7)
+          require((payload(pos + 9) & 0xff) == 1, "JPEG: only 1-component grayscale")
+          require((payload(pos + 11) & 0xff) == 0x11, "JPEG: subsampling unsupported")
+        case 0xC1 | 0xC2 | 0xC3 =>
+          throw new IllegalArgumentException("JPEG: only baseline SOF0 supported")
+        case 0xC4 =>
+          var p = pos + 4
+          while (p < pos + 2 + len) {
+            val clazz = (payload(p) & 0xf0) >> 4
+            val bits = Array.tabulate(16)(i => payload(p + 1 + i) & 0xff)
+            val nv = bits.sum
+            val vals = java.util.Arrays.copyOfRange(payload, p + 17, p + 17 + nv)
+            if (clazz == 0) dcH = buildHuff(bits, vals) else acH = buildHuff(bits, vals)
+            p += 17 + nv
+          }
+        case 0xDA => sosAt = pos + 2 + len
+        case _ => () // APPn / COM: skip after length
+      }
+      pos += 2 + len
+    }
+    require(w > 0 && h > 0 && qt != null && dcH != null && acH != null,
+      "JPEG: missing SOF/DQT/DHT before SOS")
+    require(w % 8 == 0 && h % 8 == 0, "JPEG: non-8-multiple dims unsupported")
+    val br = new BitReader(payload, sosAt)
+    val gray = new Array[Byte](w * h)
+    var prevDc = 0L
+    val q = new Array[Long](64)
+    var by = 0
+    while (by < h / 8) {
+      var bx = 0
+      while (bx < w / 8) {
+        java.util.Arrays.fill(q, 0L)
+        val t = readSym(br, dcH)
+        prevDc += extend(br.bits(t), t)
+        q(0) = prevDc * qt(0)
+        var k = 1
+        var eob = false
+        while (k < 64 && !eob) {
+          val rs = readSym(br, acH)
+          if (rs == 0x00) eob = true
+          else if (rs == 0xF0) k += 16
+          else {
+            k += (rs >> 4)
+            require(k < 64, "JPEG: AC run overflows block")
+            val s = rs & 0x0f
+            q(Zigzag(k)) = extend(br.bits(s), s) * qt(Zigzag(k))
+            k += 1
+          }
+        }
+        val px = inverseBlock(q)
+        var i = 0
+        while (i < 8) {
+          var j = 0
+          while (j < 8) {
+            gray((by * 8 + i) * w + bx * 8 + j) = px(i * 8 + j).toByte
+            j += 1
+          }
+          i += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    (w, h, gray)
+  }
+
+  /** Feature stats of the DECODED pixels — the mm_decode contract. */
+  def decodeFeatures(a: MediaAsset): MediaFeatures = {
+    val (_, _, gray) = decodeGray(a.payload)
+    val hist = new Array[Long](FakeDecoder.HistBuckets)
+    var sum = 0L
+    var i = 0
+    while (i < gray.length) {
+      val b = gray(i) & 0xff
+      hist(b * FakeDecoder.HistBuckets / 256) += 1
+      sum += b
+      i += 1
+    }
+    MediaFeatures(a.asset_id, a.format, gray.length.toLong,
+      if (gray.length == 0) 0.0 else sum.toDouble / gray.length, hist)
+  }
+}

@@ -34,9 +34,12 @@ final case class ResizedFeatures(
   * environment, so the "decode" is a deterministic byte-level computation
   * with the same interface, batch shape and cost profile. Everything AROUND
   * this stub — schema, partitioning, per-partition batch iteration — is the
-  * real Spark plumbing a production decoder would use unchanged. The one
-  * format decodable in pure JVM bytes is NOT stubbed: see [[BmpCodec]],
-  * which the decode/resize routers prefer for `bmp` payloads. */
+  * real Spark plumbing a production decoder would use unchanged. Formats
+  * decodable in pure JVM bytes are NOT stubbed: [[BmpCodec]] (24bpp BMP),
+  * [[graft.ops.PngCodec]] (grayscale/truecolor/palette PNG),
+  * [[graft.ops.WavCodec]] (RIFF/PCM) and [[graft.ops.JpegCodec]] (baseline
+  * grayscale JPEG) all parse the genuine formats; the stub remains only for
+  * video and compressed-audio families that genuinely need native codecs. */
 object FakeDecoder {
   val HistBuckets = 16
 
@@ -373,9 +376,10 @@ object MultimodalOps {
         col("format"), col("asset_id"))
       .as[MediaAsset]
       .mapPartitions(_.map {
-        case a if a.format == "bmp" => BmpCodec.decodeFeatures(a)
-        case a if a.format == "png" => PngCodec.decodeFeatures(a)
-        case a                      => FakeDecoder.decode(a)
+        case a if a.format == "bmp"  => BmpCodec.decodeFeatures(a)
+        case a if a.format == "png"  => PngCodec.decodeFeatures(a)
+        case a if a.format == "jpeg" => JpegCodec.decodeFeatures(a)
+        case a                       => FakeDecoder.decode(a)
       })
   }
 
@@ -474,6 +478,30 @@ object MultimodalOps {
       octet_length(col("payload")).cast("long").as("n_bytes"),
       TextOps.fingerprint(TextOps.tokens(decoded)).as("checksum"),
       concat_ws(",", frames).as("frame_codes"))
+  }
+
+  /** Deterministic REAL-JPEG asset table from `documents`: each doc
+    * becomes a genuine baseline grayscale JPEG (SOI/DQT/SOF0/DHT/SOS
+    * markers, Annex-K Huffman tables, DC DPCM, byte stuffing) whose source
+    * pixels are the text's bytes tiled over an 8-multiple w×h grid. JPEG
+    * is LOSSY, but [[JpegCodec]]'s transform chain is integer-exact, so
+    * the decoded pixels are a deterministic function of the tiling — the
+    * oracle replays encode→decode arithmetic without touching the
+    * bitstream (which the entropy layer transports exactly). */
+  def jpegAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        // same LOUD ASCII contract as the other codec fixtures
+        require(text.forall(_ < 128),
+          s"jpeg fixture requires ASCII text (doc $id)")
+        val w = (8 * (id % 3 + 1)).toInt
+        val h = (8 * (id % 2 + 1)).toInt
+        val gray = Array.tabulate(w * h)(i =>
+          (if (text.isEmpty) 0 else text.charAt(i % text.length).toInt).toByte)
+        MediaAsset(id, "jpeg", JpegCodec.encodeGray(w, h, gray), w, h, 1, 0)
+      }.toDF()
   }
 
   // -------------------------------------------------------------- pHash

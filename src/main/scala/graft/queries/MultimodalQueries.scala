@@ -423,6 +423,68 @@ object MultimodalQueries {
         .orderBy("asset_id", "frame_idx")
     },
 
+    // REAL BASELINE JPEG: each doc becomes a genuine SOF0 grayscale JPEG
+    // (marker walk, Annex-K Huffman tables rebuilt FROM the stream's DHT,
+    // DC DPCM, byte stuffing, zigzag) whose transform stage is the repo's
+    // integer-exact DCT chain — JPEG is lossy, but the decoded pixels are
+    // a DETERMINISTIC function of the source tiling, so the oracle replays
+    // encode→decode arithmetic (forward DCT → quantize round → IDCT →
+    // clamp) term-by-term in SQL with the same fixed-point tables. The
+    // entropy layer transports coefficients exactly (proved by the
+    // bitstream-vs-transform-chain spec), so a Huffman, DPCM, stuffing,
+    // zigzag or marker bug in EITHER codec direction breaks this match.
+    QueryDef.withOracle("mm_decode_jpeg", {
+      val half = 1L << 41
+      val div = 1L << 42
+      val alphaRows = (0 until 8).map(u => s"($u,${if (u == 0) 724 else 1024})")
+        .mkString(",")
+      s"""WITH jya AS (SELECT doc_id AS asset_id, text,
+         |         CAST(8 * (doc_id % 3 + 1) AS INT) AS w,
+         |         CAST(8 * (doc_id % 2 + 1) AS INT) AS h FROM documents),
+         |jct(u, i, c) AS (SELECT * FROM (VALUES ${OraclePhash.dctRows}) t(u, i, c)),
+         |jal(u, a) AS (SELECT * FROM (VALUES $alphaRows) t(u, a)),
+         |jpx AS (SELECT asset_id, bi.b AS bi, bj.b AS bj, ri.i AS i, rj.j AS j,
+         |          CAST((CASE WHEN length(text) = 0 THEN 0
+         |                ELSE unicode(substr(text,
+         |                  CAST(((bi.b * 8 + ri.i) * w + bj.b * 8 + rj.j)
+         |                       % length(text) + 1 AS INT), 1)) END)
+         |               - 128 AS BIGINT) AS p
+         |        FROM jya, range(2) bi(b), range(3) bj(b),
+         |             range(8) ri(i), range(8) rj(j)
+         |        WHERE bi.b < h // 8 AND bj.b < w // 8),
+         |jf AS (SELECT asset_id, bi, bj, cu.u AS u, cv.u AS v,
+         |         CAST(SUM(p * cu.c * cv.c) AS BIGINT) AS fraw
+         |       FROM jpx JOIN jct cu ON cu.i = jpx.i
+         |                JOIN jct cv ON cv.i = jpx.j
+         |       GROUP BY 1, 2, 3, 4, 5),
+         |jq AS (SELECT f.asset_id, bi, bj, f.u AS u, f.v AS v,
+         |         (fraw * au.a * av.a + $half) // $div AS qc
+         |       FROM jf f JOIN jal au ON au.u = f.u JOIN jal av ON av.u = f.v),
+         |jr AS (SELECT q.asset_id, bi, bj, ci.i AS i, cj.i AS j,
+         |         CAST((SUM(qc * au.a * av.a * ci.c * cj.c) + $half) // $div
+         |              AS BIGINT) + 128 AS s
+         |       FROM jq q JOIN jal au ON au.u = q.u JOIN jal av ON av.u = q.v
+         |                 JOIN jct ci ON ci.u = q.u JOIN jct cj ON cj.u = q.v
+         |       GROUP BY 1, 2, 3, 4, 5),
+         |jpc AS (SELECT asset_id,
+         |          CAST(greatest(0, least(255, s)) AS BIGINT) AS px FROM jr),
+         |jl AS (SELECT asset_id, list(px) AS pxs FROM jpc GROUP BY 1)
+         |SELECT asset_id, 'jpeg' AS format,
+         |  CAST(len(pxs) AS BIGINT) AS n_bytes,
+         |  CAST(list_sum(pxs) AS DOUBLE) / len(pxs) AS mean_byte,
+         |  array_to_string(list_transform(range(0, 16),
+         |    b -> CAST(len(list_filter(pxs, x -> x * 16 // 256 = b))
+         |              AS VARCHAR)), ',') AS byte_hist
+         |FROM jl ORDER BY asset_id""".stripMargin
+    }) { (s, dir) =>
+      MultimodalOps.decodeFeatures(
+        MultimodalOps.jpegAssetsFromDocuments(Tables(s, dir, "documents")))
+        .toDF()
+        .select(col("asset_id"), col("format"), col("n_bytes"), col("mean_byte"),
+          concat_ws(",", col("byte_hist")).as("byte_hist"))
+        .orderBy("asset_id")
+    },
+
     // Perceptual hashes over REAL pixels: decode the grayscale-PNG fixture
     // (plus its brightened companions), 8x8 nearest-neighbor sample,
     // integer DCT, median-split bits — the oracle replays the whole chain
@@ -452,7 +514,9 @@ object MultimodalQueries {
 object OraclePhash {
   import graft.ops.MultimodalOps.{PhashCompanionOffset, PhashCompanionStep, PhashDct}
 
-  private val dctRows = (for { u <- 0 until 8; i <- 0 until 8 }
+  /** The fixed-point cosine table as VALUES rows — shared with the JPEG
+    * oracle (same C = round(cos·2^10) basis). */
+  val dctRows: String = (for { u <- 0 until 8; i <- 0 until 8 }
     yield s"($u,$i,${PhashDct(u)(i)})").mkString(",")
 
   val CTES: String =

@@ -1767,6 +1767,46 @@ class PipelineOpsSpec extends SparkTestBase {
       MultimodalOps.audioFeatures(bad).collect())
   }
 
+  test("JpegCodec: bitstream transports the integer transform chain exactly") {
+    import graft.ops.JpegCodec
+    val rnd = new scala.util.Random(5)
+    var stuffed = false
+    for (trial <- 0 until 20) {
+      val w = 8 * (1 + trial % 3); val h = 8 * (1 + trial % 2)
+      val gray = Array.fill(w * h)(rnd.nextInt(128).toByte)
+      val enc = JpegCodec.encodeGray(w, h, gray)
+      stuffed ||= enc.dropRight(2).sliding(2).exists(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0x00)
+      val (dw, dh, dec) = JpegCodec.decodeGray(enc)
+      assert(dw == w && dh == h)
+      // scalar reference: per block forward+inverse, NO bitstream — the
+      // decode must equal it bit-for-bit (Huffman/DPCM/stuffing/zigzag are
+      // exactly lossless on coefficients; only the DCT chain is lossy)
+      val ref = new Array[Byte](w * h)
+      for (by <- 0 until h / 8; bx <- 0 until w / 8) {
+        val blk = Array.tabulate(64)(k =>
+          (gray((by * 8 + k / 8) * w + bx * 8 + k % 8) & 0xff) - 128)
+        val px = JpegCodec.inverseBlock(JpegCodec.forwardBlock(blk))
+        for (k <- 0 until 64) ref((by * 8 + k / 8) * w + bx * 8 + k % 8) = px(k).toByte
+      }
+      assert(dec.toSeq == ref.toSeq, s"trial $trial ${w}x$h bitstream diverged from transform chain")
+      // quality: quant table of ones + truncation rounding loses only a
+      // few levels per sample (measured max 5 over seeded sweeps)
+      val maxErr = gray.zip(dec).map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.max
+      assert(maxErr <= 6, s"lossy error too large: $maxErr")
+    }
+    assert(stuffed, "0xFF byte stuffing never exercised across the sweep")
+    // malformed inputs fail loudly
+    intercept[IllegalArgumentException](JpegCodec.decodeGray(Array[Byte](1, 2, 3, 4, 5)))
+    val good = JpegCodec.encodeGray(8, 8, Array.fill(64)(65.toByte))
+    val progressive = good.clone()
+    // rewrite the SOF0 marker (FF C0) to SOF2 (progressive) -> loud reject
+    val sof = good.indices.find(i => (good(i) & 0xff) == 0xff &&
+      (good(i + 1) & 0xff) == 0xC0).get
+    progressive(sof + 1) = 0xC2.toByte
+    intercept[IllegalArgumentException](JpegCodec.decodeGray(progressive))
+  }
+
   test("phash64: brightness invariance, structure sensitivity, median split") {
     val rnd = new scala.util.Random(7)
     val w = 16; val h = 12
