@@ -202,18 +202,57 @@ object JpegCodec {
   /** Encode row-major 8-bit grayscale as a baseline JPEG. Dims must be
     * multiples of 8 (the fixture guarantees it; general edge replication
     * is orthogonal to the codec semantics under test). */
-  def encodeGray(w: Int, h: Int, gray: Array[Byte]): Array[Byte] = {
+  def encodeGray(w: Int, h: Int, gray: Array[Byte]): Array[Byte] =
+    encodePlanes(w, h, Array(gray))
+
+  /** Encode row-major RGB triples as a baseline YCbCr 4:4:4 COLOR JPEG
+    * (3 interleaved components, shared quant/Huffman table 0 — legal and
+    * what keeps the oracle replay single-tabled). Color conversion is the
+    * standard JFIF matrix in integer-exact form (scaled coefficients,
+    * add-half + truncating division — the DuckDB `//` semantics):
+    *   Y  = (299R + 587G + 114B + 500) / 1000
+    *   Cb = (−1687R − 3313G + 5000B + 5000) / 10000 + 128
+    *   Cr = (5000R − 4187G − 813B + 5000) / 10000 + 128, clamped. */
+  def encodeRgb(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"need ${w * h * 3} RGB bytes, got ${rgb.length}")
+    val y = new Array[Byte](w * h)
+    val cb = new Array[Byte](w * h)
+    val cr = new Array[Byte](w * h)
+    var p = 0
+    while (p < w * h) {
+      val r = rgb(3 * p) & 0xff; val g = rgb(3 * p + 1) & 0xff; val b = rgb(3 * p + 2) & 0xff
+      y(p) = clamp255((299L * r + 587L * g + 114L * b + 500L) / 1000L)
+      cb(p) = clamp255((-1687L * r - 3313L * g + 5000L * b + 5000L) / 10000L + 128L)
+      cr(p) = clamp255((5000L * r - 4187L * g - 813L * b + 5000L) / 10000L + 128L)
+      p += 1
+    }
+    encodePlanes(w, h, Array(y, cb, cr))
+  }
+
+  private def clamp255(v: Long): Byte =
+    (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+
+  /** Shared encoder: 1 plane = grayscale, 3 planes = YCbCr 4:4:4. All
+    * components are full-resolution and reference quant/Huffman table 0;
+    * MCUs interleave one 8×8 block per component in component order with
+    * per-component DC predictors, per T.81 interleaved scan rules. */
+  private def encodePlanes(w: Int, h: Int, planes: Array[Array[Byte]]): Array[Byte] = {
     require(w > 0 && h > 0 && w % 8 == 0 && h % 8 == 0, s"dims must be 8-multiples: ${w}x$h")
-    require(gray.length == w * h, s"need ${w * h} samples, got ${gray.length}")
+    require(planes.length == 1 || planes.length == 3, "1 or 3 components")
+    planes.foreach(pl => require(pl.length == w * h,
+      s"need ${w * h} samples per plane, got ${pl.length}"))
+    val nc = planes.length
     val out = new java.io.ByteArrayOutputStream()
     def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     marker(0xD8) // SOI
     marker(0xDB); u16(2 + 1 + 64) // DQT: one 8-bit table, id 0, all ones
     out.write(0x00); (0 until 64).foreach(_ => out.write(1))
-    marker(0xC0); u16(2 + 6 + 3) // SOF0: 8-bit, 1 component, no subsampling
-    out.write(8); u16(h); u16(w); out.write(1)
-    out.write(1); out.write(0x11); out.write(0) // comp 1, 1x1, qtable 0
+    marker(0xC0); u16(2 + 6 + 3 * nc) // SOF0: 8-bit, nc components, 1x1
+    out.write(8); u16(h); u16(w); out.write(nc)
+    (1 to nc).foreach { c =>
+      out.write(c); out.write(0x11); out.write(0) // comp id, 1x1, qtable 0
+    }
     def dht(clazz: Int, bits: Array[Int], vals: Array[Byte]): Unit = {
       marker(0xC4); u16(2 + 1 + 16 + vals.length)
       out.write(clazz << 4) // class, table id 0
@@ -221,56 +260,62 @@ object JpegCodec {
     }
     dht(0, DcBits, DcVals)
     dht(1, AcBits, AcVals)
-    marker(0xDA); u16(2 + 1 + 2 + 3) // SOS
-    out.write(1); out.write(1); out.write(0x00) // comp 1, DC 0 / AC 0
-    out.write(0); out.write(63); out.write(0)   // spectral selection
+    marker(0xDA); u16(2 + 1 + 2 * nc + 3) // SOS
+    out.write(nc)
+    (1 to nc).foreach { c => out.write(c); out.write(0x00) } // DC 0 / AC 0
+    out.write(0); out.write(63); out.write(0) // spectral selection
     val dcCode = canonical(DcBits, DcVals)
     val acCode = canonical(AcBits, AcVals)
     val bw = new BitWriter(out)
-    var prevDc = 0L
+    val prevDc = new Array[Long](nc)
     val block = new Array[Int](64)
     var by = 0
     while (by < h / 8) {
       var bx = 0
       while (bx < w / 8) {
-        var i = 0
-        while (i < 8) {
-          var j = 0
-          while (j < 8) {
-            block(i * 8 + j) = (gray((by * 8 + i) * w + bx * 8 + j) & 0xff) - 128
-            j += 1
+        var c = 0
+        while (c < nc) {
+          val plane = planes(c)
+          var i = 0
+          while (i < 8) {
+            var j = 0
+            while (j < 8) {
+              block(i * 8 + j) = (plane((by * 8 + i) * w + bx * 8 + j) & 0xff) - 128
+              j += 1
+            }
+            i += 1
           }
-          i += 1
-        }
-        val q = forwardBlock(block)
-        // DC: DPCM + category coding
-        val diff = q(0) - prevDc
-        prevDc = q(0)
-        val t = category(diff)
-        val (dc, dl) = dcCode(t)
-        bw.put(dc, dl)
-        if (t > 0) {
-          val v = if (diff < 0) (diff + (1L << t) - 1).toInt else diff.toInt
-          bw.put(v & ((1 << t) - 1), t)
-        }
-        // AC: run-length in zigzag order
-        var run = 0
-        var k = 1
-        while (k < 64) {
-          val c = q(Zigzag(k))
-          if (c == 0L) run += 1
-          else {
-            while (run > 15) { val (z, zl) = acCode(0xF0); bw.put(z, zl); run -= 16 }
-            val s = category(c)
-            val (a, al) = acCode((run << 4) | s)
-            bw.put(a, al)
-            val v = if (c < 0) (c + (1L << s) - 1).toInt else c.toInt
-            bw.put(v & ((1 << s) - 1), s)
-            run = 0
+          val q = forwardBlock(block)
+          // DC: DPCM + category coding (per-component predictor)
+          val diff = q(0) - prevDc(c)
+          prevDc(c) = q(0)
+          val t = category(diff)
+          val (dc, dl) = dcCode(t)
+          bw.put(dc, dl)
+          if (t > 0) {
+            val v = if (diff < 0) (diff + (1L << t) - 1).toInt else diff.toInt
+            bw.put(v & ((1 << t) - 1), t)
           }
-          k += 1
+          // AC: run-length in zigzag order
+          var run = 0
+          var k = 1
+          while (k < 64) {
+            val coef = q(Zigzag(k))
+            if (coef == 0L) run += 1
+            else {
+              while (run > 15) { val (z, zl) = acCode(0xF0); bw.put(z, zl); run -= 16 }
+              val s = category(coef)
+              val (a, al) = acCode((run << 4) | s)
+              bw.put(a, al)
+              val v = if (coef < 0) (coef + (1L << s) - 1).toInt else coef.toInt
+              bw.put(v & ((1 << s) - 1), s)
+              run = 0
+            }
+            k += 1
+          }
+          if (run > 0) { val (e, el) = acCode(0x00); bw.put(e, el) } // EOB
+          c += 1
         }
-        if (run > 0) { val (e, el) = acCode(0x00); bw.put(e, el) } // EOB
         bx += 1
       }
       by += 1
@@ -317,16 +362,50 @@ object JpegCodec {
     else if (v < (1 << (t - 1))) v.toLong - (1L << t) + 1
     else v.toLong
 
-  /** Parse a baseline grayscale JPEG into (width, height, gray). Validates
-    * the marker structure, rebuilds the Huffman tables FROM the stream's
-    * DHT segments, dequantizes with the stream's DQT, and runs the integer
-    * IDCT. Unsupported shapes (progressive, multi-component, 16-bit DQT)
-    * fail loudly. */
+  /** Parse a baseline grayscale JPEG into (width, height, gray). */
   def decodeGray(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val (w, h, planes) = decodePlanes(payload)
+    require(planes.length == 1, s"expected grayscale, got ${planes.length} components")
+    (w, h, planes(0))
+  }
+
+  /** Parse a baseline YCbCr 4:4:4 color JPEG into (width, height, RGB
+    * triples) — the inverse JFIF matrix in the same integer-exact,
+    * truncating-division form as [[encodeRgb]]:
+    *   R = Y + (1402(Cr−128) + 500)/1000
+    *   G = Y − (3441(Cb−128) + 7141(Cr−128) + 5000)/10000
+    *   B = Y + (1772(Cb−128) + 500)/1000, clamped. */
+  def decodeRgb(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val (w, h, planes) = decodePlanes(payload)
+    require(planes.length == 3, s"expected YCbCr, got ${planes.length} components")
+    (w, h, ycbcrToRgb(w, h, planes))
+  }
+
+  private def ycbcrToRgb(w: Int, h: Int, planes: Array[Array[Byte]]): Array[Byte] = {
+    val rgb = new Array[Byte](w * h * 3)
+    var p = 0
+    while (p < w * h) {
+      val y = (planes(0)(p) & 0xff).toLong
+      val cb = (planes(1)(p) & 0xff).toLong - 128
+      val cr = (planes(2)(p) & 0xff).toLong - 128
+      rgb(3 * p) = clamp255(y + (1402L * cr + 500L) / 1000L)
+      rgb(3 * p + 1) = clamp255(y - (3441L * cb + 7141L * cr + 5000L) / 10000L)
+      rgb(3 * p + 2) = clamp255(y + (1772L * cb + 500L) / 1000L)
+      p += 1
+    }
+    rgb
+  }
+
+  /** Core parse: marker walk, DHT/DQT rebuilt FROM the stream, interleaved
+    * MCU entropy decode with per-component DC predictors, dequantize,
+    * integer IDCT. 1 or 3 full-resolution components sharing table 0.
+    * Unsupported shapes (progressive, subsampling, 16-bit DQT) fail
+    * loudly. */
+  def decodePlanes(payload: Array[Byte]): (Int, Int, Array[Array[Byte]]) = {
     require(payload.length > 4 && (payload(0) & 0xff) == 0xff &&
       (payload(1) & 0xff) == 0xd8, "not a JPEG payload (no SOI)")
     var pos = 2
-    var w = -1; var h = -1
+    var w = -1; var h = -1; var nc = -1
     var qt: Array[Int] = null
     var dcH: Huff = null; var acH: Huff = null
     def u16(p: Int): Int = ((payload(p) & 0xff) << 8) | (payload(p + 1) & 0xff)
@@ -343,8 +422,12 @@ object JpegCodec {
         case 0xC0 =>
           require(payload(pos + 4) == 8, "JPEG: only 8-bit precision")
           h = u16(pos + 5); w = u16(pos + 7)
-          require((payload(pos + 9) & 0xff) == 1, "JPEG: only 1-component grayscale")
-          require((payload(pos + 11) & 0xff) == 0x11, "JPEG: subsampling unsupported")
+          nc = payload(pos + 9) & 0xff
+          require(nc == 1 || nc == 3, s"JPEG: $nc components unsupported")
+          (0 until nc).foreach { c =>
+            require((payload(pos + 11 + 3 * c) & 0xff) == 0x11,
+              "JPEG: subsampling unsupported")
+          }
         case 0xC1 | 0xC2 | 0xC3 =>
           throw new IllegalArgumentException("JPEG: only baseline SOF0 supported")
         case 0xC4 =>
@@ -362,55 +445,62 @@ object JpegCodec {
       }
       pos += 2 + len
     }
-    require(w > 0 && h > 0 && qt != null && dcH != null && acH != null,
+    require(w > 0 && h > 0 && nc > 0 && qt != null && dcH != null && acH != null,
       "JPEG: missing SOF/DQT/DHT before SOS")
     require(w % 8 == 0 && h % 8 == 0, "JPEG: non-8-multiple dims unsupported")
     val br = new BitReader(payload, sosAt)
-    val gray = new Array[Byte](w * h)
-    var prevDc = 0L
+    val planes = Array.fill(nc)(new Array[Byte](w * h))
+    val prevDc = new Array[Long](nc)
     val q = new Array[Long](64)
     var by = 0
     while (by < h / 8) {
       var bx = 0
       while (bx < w / 8) {
-        java.util.Arrays.fill(q, 0L)
-        val t = readSym(br, dcH)
-        prevDc += extend(br.bits(t), t)
-        q(0) = prevDc * qt(0)
-        var k = 1
-        var eob = false
-        while (k < 64 && !eob) {
-          val rs = readSym(br, acH)
-          if (rs == 0x00) eob = true
-          else if (rs == 0xF0) k += 16
-          else {
-            k += (rs >> 4)
-            require(k < 64, "JPEG: AC run overflows block")
-            val s = rs & 0x0f
-            q(Zigzag(k)) = extend(br.bits(s), s) * qt(Zigzag(k))
-            k += 1
+        var c = 0
+        while (c < nc) {
+          java.util.Arrays.fill(q, 0L)
+          val t = readSym(br, dcH)
+          prevDc(c) += extend(br.bits(t), t)
+          q(0) = prevDc(c) * qt(0)
+          var k = 1
+          var eob = false
+          while (k < 64 && !eob) {
+            val rs = readSym(br, acH)
+            if (rs == 0x00) eob = true
+            else if (rs == 0xF0) k += 16
+            else {
+              k += (rs >> 4)
+              require(k < 64, "JPEG: AC run overflows block")
+              val s = rs & 0x0f
+              q(Zigzag(k)) = extend(br.bits(s), s) * qt(Zigzag(k))
+              k += 1
+            }
           }
-        }
-        val px = inverseBlock(q)
-        var i = 0
-        while (i < 8) {
-          var j = 0
-          while (j < 8) {
-            gray((by * 8 + i) * w + bx * 8 + j) = px(i * 8 + j).toByte
-            j += 1
+          val px = inverseBlock(q)
+          var i = 0
+          while (i < 8) {
+            var j = 0
+            while (j < 8) {
+              planes(c)((by * 8 + i) * w + bx * 8 + j) = px(i * 8 + j).toByte
+              j += 1
+            }
+            i += 1
           }
-          i += 1
+          c += 1
         }
         bx += 1
       }
       by += 1
     }
-    (w, h, gray)
+    (w, h, planes)
   }
 
-  /** Feature stats of the DECODED pixels — the mm_decode contract. */
+  /** Feature stats of the DECODED pixels (gray samples or RGB bytes) —
+    * the mm_decode contract; routes on the stream's component count. */
   def decodeFeatures(a: MediaAsset): MediaFeatures = {
-    val (_, _, gray) = decodeGray(a.payload)
+    val (w, h, planes) = decodePlanes(a.payload)
+    val gray = if (planes.length == 1) planes(0)
+               else ycbcrToRgb(w, h, planes)
     val hist = new Array[Long](FakeDecoder.HistBuckets)
     var sum = 0L
     var i = 0

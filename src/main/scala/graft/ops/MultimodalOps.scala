@@ -411,8 +411,11 @@ object MultimodalOps {
         val (w, h, rgb) = a.format match {
           case "bmp" => BmpCodec.decode(a.payload)
           case "png" => PngCodec.decodeRgb(a.payload) // one parse: rgbOf inside
+          case "jpeg" => // baseline grayscale: replicate to 3 channels
+            val (jw, jh, g) = JpegCodec.decodeGray(a.payload)
+            (jw, jh, g.flatMap(b => Array(b, b, b)))
           case f => throw new IllegalArgumentException(
-            s"imagePatches needs bmp or png, got $f")
+            s"imagePatches needs bmp, png or jpeg, got $f")
         }
         for {
           py <- 0 until h / patch
@@ -501,6 +504,26 @@ object MultimodalOps {
         val gray = Array.tabulate(w * h)(i =>
           (if (text.isEmpty) 0 else text.charAt(i % text.length).toInt).toByte)
         MediaAsset(id, "jpeg", JpegCodec.encodeGray(w, h, gray), w, h, 1, 0)
+      }.toDF()
+  }
+
+  /** Deterministic COLOR-JPEG asset table: each doc becomes a genuine
+    * baseline YCbCr 4:4:4 JPEG whose source RGB bytes are the text tiled
+    * over w×h×3 (the [[bmpAssetsFromDocuments]] layout). Lossy but
+    * integer-deterministic end to end — color convert, DCT chain and the
+    * inverse all replay in the oracle. */
+  def jpegColorAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        require(text.forall(_ < 128),
+          s"jpeg color fixture requires ASCII text (doc $id)")
+        val w = (8 * (id % 3 + 1)).toInt
+        val h = (8 * (id % 2 + 1)).toInt
+        val rgb = Array.tabulate(w * h * 3)(i =>
+          (if (text.isEmpty) 0 else text.charAt(i % text.length).toInt).toByte)
+        MediaAsset(id, "jpeg", JpegCodec.encodeRgb(w, h, rgb), w, h, 3, 0)
       }.toDF()
   }
 
@@ -640,6 +663,9 @@ object MultimodalOps {
           case "png" =>
             val (pw, ph, g) = PngCodec.decode(a.payload)
             (g, pw, ph)
+          case "jpeg" =>
+            val (jw, jh, g) = JpegCodec.decodeGray(a.payload)
+            (g, jw, jh)
           case "bmp" =>
             val (bw, bh, rgb) = BmpCodec.decode(a.payload)
             val g = Array.tabulate(bw * bh) { p =>
@@ -648,7 +674,7 @@ object MultimodalOps {
             }
             (g, bw, bh)
           case f => throw new IllegalArgumentException(
-            s"imagePhash needs bmp or png, got $f")
+            s"imagePhash needs bmp, png or jpeg, got $f")
         }
         (a.asset_id, phash64(gray, w, h))
       })

@@ -485,6 +485,86 @@ object MultimodalQueries {
         .orderBy("asset_id")
     },
 
+    // REAL COLOR JPEG: YCbCr 4:4:4, three interleaved full-resolution
+    // components through the same Huffman/DPCM/stuffing machinery, integer
+    // JFIF color matrices on both sides. The oracle replays the WHOLE
+    // chain per channel — RGB tiling -> integer YCbCr (clamped) -> per
+    // component per block forward DCT -> quantize -> IDCT -> clamp ->
+    // inverse color matrix -> clamp -> RGB stats — so an interleave,
+    // per-component-DPCM, color-matrix or rounding bug in either codec
+    // direction breaks the value match.
+    QueryDef.withOracle("mm_decode_jpeg_rgb", {
+      val half = 1L << 41
+      val div = 1L << 42
+      val alphaRows = (0 until 8).map(u => s"($u,${if (u == 0) 724 else 1024})")
+        .mkString(",")
+      def ch(off: Int) =
+        s"""CAST(CASE WHEN length(text) = 0 THEN 0
+           |              ELSE unicode(substr(text,
+           |                CAST((3 * p.p + $off) % length(text) + 1 AS INT), 1)) END
+           |             AS BIGINT)""".stripMargin
+      s"""WITH kya AS (SELECT doc_id AS asset_id, text,
+         |         CAST(8 * (doc_id % 3 + 1) AS INT) AS w,
+         |         CAST(8 * (doc_id % 2 + 1) AS INT) AS h FROM documents),
+         |kct(u, i, c) AS (SELECT * FROM (VALUES ${OraclePhash.dctRows}) t(u, i, c)),
+         |kal(u, a) AS (SELECT * FROM (VALUES $alphaRows) t(u, a)),
+         |krgb0 AS (SELECT asset_id, w, p.p AS p,
+         |            ${ch(0)} AS r,
+         |            ${ch(1)} AS g,
+         |            ${ch(2)} AS b
+         |          FROM kya, range(${32 * 16}) p(p) WHERE p.p < w * h),
+         |kyc AS (SELECT asset_id, w, p,
+         |          greatest(0, least(255, (299 * r + 587 * g + 114 * b + 500) // 1000)) AS y,
+         |          greatest(0, least(255, (-1687 * r - 3313 * g + 5000 * b + 5000) // 10000 + 128)) AS cb,
+         |          greatest(0, least(255, (5000 * r - 4187 * g - 813 * b + 5000) // 10000 + 128)) AS cr
+         |        FROM krgb0),
+         |kcomp AS (SELECT asset_id, cc.c AS comp,
+         |            (p // w) // 8 AS bi, (p % w) // 8 AS bj,
+         |            (p // w) % 8 AS i, (p % w) % 8 AS j,
+         |            (CASE cc.c WHEN 0 THEN y WHEN 1 THEN cb ELSE cr END) - 128 AS s
+         |          FROM kyc, range(3) cc(c)),
+         |kf AS (SELECT asset_id, comp, bi, bj, cu.u AS u, cv.u AS v,
+         |         CAST(SUM(s * cu.c * cv.c) AS BIGINT) AS fraw
+         |       FROM kcomp JOIN kct cu ON cu.i = kcomp.i
+         |                  JOIN kct cv ON cv.i = kcomp.j
+         |       GROUP BY 1, 2, 3, 4, 5, 6),
+         |kq AS (SELECT f.asset_id, comp, bi, bj, f.u AS u, f.v AS v,
+         |         (fraw * au.a * av.a + $half) // $div AS qc
+         |       FROM kf f JOIN kal au ON au.u = f.u JOIN kal av ON av.u = f.v),
+         |kr AS (SELECT q.asset_id, comp, bi, bj, ci.i AS i, cj.i AS j,
+         |         greatest(0, least(255,
+         |           CAST((SUM(qc * au.a * av.a * ci.c * cj.c) + $half) // $div
+         |                AS BIGINT) + 128)) AS dv
+         |       FROM kq q JOIN kal au ON au.u = q.u JOIN kal av ON av.u = q.v
+         |                 JOIN kct ci ON ci.u = q.u JOIN kct cj ON cj.u = q.v
+         |       GROUP BY 1, 2, 3, 4, 5, 6),
+         |kpv AS (SELECT asset_id, bi, bj, i, j,
+         |          MAX(CASE WHEN comp = 0 THEN dv END) AS y2,
+         |          MAX(CASE WHEN comp = 1 THEN dv END) - 128 AS cb2,
+         |          MAX(CASE WHEN comp = 2 THEN dv END) - 128 AS cr2
+         |        FROM kr GROUP BY 1, 2, 3, 4, 5),
+         |kout AS (SELECT asset_id, unnest([
+         |           greatest(0, least(255, y2 + (1402 * cr2 + 500) // 1000)),
+         |           greatest(0, least(255, y2 - (3441 * cb2 + 7141 * cr2 + 5000) // 10000)),
+         |           greatest(0, least(255, y2 + (1772 * cb2 + 500) // 1000))]) AS px
+         |         FROM kpv),
+         |kl AS (SELECT asset_id, list(px) AS pxs FROM kout GROUP BY 1)
+         |SELECT asset_id, 'jpeg' AS format,
+         |  CAST(len(pxs) AS BIGINT) AS n_bytes,
+         |  CAST(list_sum(pxs) AS DOUBLE) / len(pxs) AS mean_byte,
+         |  array_to_string(list_transform(range(0, 16),
+         |    b -> CAST(len(list_filter(pxs, x -> x * 16 // 256 = b))
+         |              AS VARCHAR)), ',') AS byte_hist
+         |FROM kl ORDER BY asset_id""".stripMargin
+    }) { (s, dir) =>
+      MultimodalOps.decodeFeatures(
+        MultimodalOps.jpegColorAssetsFromDocuments(Tables(s, dir, "documents")))
+        .toDF()
+        .select(col("asset_id"), col("format"), col("n_bytes"), col("mean_byte"),
+          concat_ws(",", col("byte_hist")).as("byte_hist"))
+        .orderBy("asset_id")
+    },
+
     // Perceptual hashes over REAL pixels: decode the grayscale-PNG fixture
     // (plus its brightened companions), 8x8 nearest-neighbor sample,
     // integer DCT, median-split bits — the oracle replays the whole chain

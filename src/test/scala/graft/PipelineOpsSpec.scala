@@ -1748,8 +1748,8 @@ class PipelineOpsSpec extends SparkTestBase {
     val e = intercept[org.apache.spark.SparkException] {
       MultimodalOps.imagePatches(wav, patch = 2).collect()
     }
-    assert(e.getMessage.contains("imagePatches needs bmp or png") ||
-      Option(e.getCause).exists(_.getMessage.contains("imagePatches needs bmp or png")))
+    assert(e.getMessage.contains("imagePatches needs bmp, png or jpeg") ||
+      Option(e.getCause).exists(_.getMessage.contains("imagePatches needs bmp, png or jpeg")))
   }
 
   test("audioFeatures/audioFrames route wav payloads through the real parser") {
@@ -1823,6 +1823,49 @@ class PipelineOpsSpec extends SparkTestBase {
     // exactly the >median AC coefficients are set: 63 values, median at
     // sorted index 31 -> at most 31 bits can exceed it
     assert(java.lang.Long.bitCount(base) <= 31)
+  }
+
+  test("JpegCodec color: interleaved YCbCr round-trip matches the scalar chain") {
+    import graft.ops.JpegCodec
+    val rnd = new scala.util.Random(21)
+    for (trial <- 0 until 8) {
+      val w = 8 * (1 + trial % 3); val h = 8 * (1 + trial % 2)
+      val rgb = Array.fill(w * h * 3)(rnd.nextInt(128).toByte)
+      val enc = JpegCodec.encodeRgb(w, h, rgb)
+      val (dw, dh, dec) = JpegCodec.decodeRgb(enc)
+      assert(dw == w && dh == h && dec.length == w * h * 3)
+      // per-channel quality bound: chroma subsampling is OFF and quant is
+      // ones, so loss is transform+color-matrix rounding; random noise is
+      // the DCT's worst case and the inverse matrix compounds per-channel
+      // error (G sums Y, Cb and Cr terms) — measured max 15 on this sweep
+      val maxErr = rgb.zip(dec).map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.max
+      assert(maxErr <= 20, s"trial $trial color loss too large: $maxErr")
+      // component interleave + per-component DPCM: re-decode must be
+      // deterministic (same bytes -> same pixels)
+      val (_, _, dec2) = JpegCodec.decodeRgb(enc)
+      assert(dec2.toSeq == dec.toSeq)
+      // a gray decode of a color stream must fail loudly, and vice versa
+      intercept[IllegalArgumentException](JpegCodec.decodeGray(enc))
+    }
+    val gray = JpegCodec.encodeGray(8, 8, Array.fill(64)(70.toByte))
+    intercept[IllegalArgumentException](JpegCodec.decodeRgb(gray))
+  }
+
+  test("imagePhash: jpeg route hashes the DECODED pixel grid") {
+    import graft.ops.JpegCodec
+    val rnd = new scala.util.Random(13)
+    val w = 16; val h = 8
+    val gray = Array.fill(w * h)(rnd.nextInt(128).toByte)
+    val payload = JpegCodec.encodeGray(w, h, gray)
+    val assets = Seq((5L, "jpeg", payload, w, h, 1, 0))
+      .toDF("asset_id", "format", "payload", "width", "height", "channels", "sample_rate")
+    val got = MultimodalOps.imagePhash(assets).collect().head.getLong(1)
+    val (_, _, dec) = JpegCodec.decodeGray(payload)
+    // lossy format: the hash is over what decode RETURNS, not the source
+    assert(got == MultimodalOps.phash64(dec, w, h))
+    // and the patch route replicates decoded gray to 3 channels
+    val p = MultimodalOps.imagePatches(assets, patch = 8).collect()
+    assert(p.length == 2 && p.forall(_.patch.length == 192))
   }
 
   test("imagePhash: png and bmp routes agree on the same pixel grid") {
