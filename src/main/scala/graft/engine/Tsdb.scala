@@ -788,6 +788,62 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
                col(TimeCol).between(t0, t1))
   }
 
+  /** Visible points of EVERY series in `[t0, t1]` — the multi-series
+    * analogue of [[seriesData]]: ONE measurement-dir listing + one bounded
+    * bucket listing per series whose watermark range intersects the ask,
+    * each clamped to that series' own visible range before bucket
+    * admission. This is the reference's per-series chunk-index walk
+    * (src/libtsdb/select_op.cc:50-59) generalized to S series; the
+    * whole-tree `spark.read.parquet(dataDir)` it replaces paid partition
+    * DISCOVERY over every series×bucket directory of the measurement —
+    * ScaleBench held the all-series window face at 5.4× wall for 10× data
+    * on that listing alone. Discovery here is S+1 driver-side listings
+    * bounded by the admitted buckets; the per-row watermark clamp rides the
+    * same broadcast join as [[visible]]. */
+  private def visibleRange(db: String, m: String,
+                           t0: Long, t1: Long): DataFrame = {
+    val schema = getSchema(db, m)
+    def empty = spark.createDataFrame(
+      java.util.Collections.emptyList[Row](), readStructOf(schema))
+    // per-series clamp: series whose visible range misses [t0,t1] never
+    // reach the filesystem at all
+    val clamped = wmStore(db, m).load().flatMap { case (sn, r) =>
+      val c0 = math.max(t0, r.timeFirst); val c1 = math.min(t1, r.timeLast)
+      if (c0 > c1) None else Some(sn -> (c0, c1))
+    }
+    val dir = dataDir(db, m)
+    val fsys = fs(dir)
+    if (clamped.isEmpty || !fsys.exists(dir)) return empty
+    val (spfx, bpfx) = (s"$SeriesCol=", s"$BucketCol=")
+    val paths = fsys.listStatus(dir).iterator.flatMap { st =>
+      val n = st.getPath.getName
+      if (!st.isDirectory || !n.startsWith(spfx)) Iterator.empty
+      else clamped.get(org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.unescapePathName(n.substring(spfx.length)))
+        .iterator.flatMap { case (c0, c1) =>
+          val (b0, b1) =
+            (Math.floorDiv(c0, bucketWidth), Math.floorDiv(c1, bucketWidth))
+          fsys.listStatus(st.getPath).iterator.flatMap { bst =>
+            val bn = bst.getPath.getName
+            if (!bn.startsWith(bpfx)) None
+            else scala.util.Try(bn.substring(bpfx.length).toLong).toOption
+              .filter(b => b >= b0 && b <= b1)
+              .map(_ => bst.getPath.toString)
+          }
+        }
+    }.toIndexedSeq
+    if (paths.isEmpty) return empty
+    val raw = spark.read.option("basePath", dir.toString)
+      .schema(readStructOf(schema)).parquet(paths: _*)
+    import spark.implicits._
+    val wdf = clamped.toSeq.map { case (s, (c0, c1)) => (s, c0, c1) }
+      .toDF(SeriesCol, "_c0", "_c1")
+    raw.filter(col(TimeCol).between(t0, t1)) // constant bounds → parquet pushdown
+      .join(broadcast(wdf), SeriesCol)
+      .filter(col(TimeCol) >= col("_c0") && col(TimeCol) <= col("_c1"))
+      .drop("_c0", "_c1")
+  }
+
   private def readStructOf(schema: MeasurementSchema): StructType =
     StructType(schema.dataStruct.fields.toSeq :+
       StructField(SeriesCol, StringType) :+ StructField(BucketCol, LongType))
@@ -899,8 +955,7 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
     if (!schema.fields.exists(_.name == field))
       throw new InvalidSchemaException(s"unknown field: $field")
     require(windowWidth > 0, "window width must be positive")
-    visible(db, m)
-      .filter(col(TimeCol).between(t0, t1))
+    visibleRange(db, m, t0, t1)
       .groupBy(col(SeriesCol),
         (col(TimeCol) - pmod(col(TimeCol), lit(windowWidth))).as("window_start"))
       .agg(TimeSeriesOps.sumExact2(col(field)).as("sum_value"),
@@ -985,7 +1040,8 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
   /** LIST ACTIVE SERIES: series with ≥1 visible point in range, with counts
     * (reference src/libtsdb/measurement.cc:49-63). */
   def listActiveSeries(db: String, m: String, t0: Long, t1: Long): DataFrame =
-    TimeSeriesOps.activeSeries(visible(db, m), SeriesCol, TimeCol, t0, t1)
+    TimeSeriesOps.activeSeries(visibleRange(db, m, t0, t1),
+      SeriesCol, TimeCol, t0, t1)
 
   // -------------------------------------------------- value min-max index
 

@@ -316,6 +316,16 @@ class TsdbEngineSpec extends SparkTestBase {
     val r = t.listActiveSeries("db1", "m1", 0L, 1000L).collect()
       .map(x => (x.getString(0), x.getLong(1))).toSeq
     assert(r == Seq(("s1", 3L), ("s2", 2L))) // s1: 290,305,420 visible
+    // the all-series faces share the per-series pruned+clamped read: a
+    // range that misses s2's visible window entirely must not read it
+    val r2 = t.listActiveSeries("db1", "m1", 280L, 1000L).collect()
+      .map(x => (x.getString(0), x.getLong(1))).toSeq
+    assert(r2 == Seq(("s1", 3L)))
+    // and the measurement-wide window agg respects each series' own clamp
+    // (s1's deleteUpTo(250) hides its pre-250 points even in-range)
+    val w = t.sumWindowsAll("db1", "m1", "v", 0L, 1000L, 1000L).collect()
+      .map(x => (x.getString(0), x.getLong(5))).toSeq.sorted
+    assert(w == Seq(("s1", 3L), ("s2", 2L)))
   }
 
   test("u64 fields survive the round trip at full range; mean/minmax facade derive from sum_op") {
@@ -903,5 +913,12 @@ class TsdbEngineSpec extends SparkTestBase {
     val after = t.select("db1", "m1", key, Seq("a"), 0L, 1000L)
       .as[(Long, Option[Long])].collect().toSeq
     assert(after.map(_._1) == Seq(210L, 290L, 305L, 420L, 500L))
+    // multi-series faces reach the data through the unescape-matched
+    // per-series listing — an escape mismatch would silently drop the key
+    assert(t.listActiveSeries("db1", "m1", 0L, 1000L).collect()
+      .map(x => (x.getString(0), x.getLong(1))).toSeq == Seq((key, 5L)))
+    val wins = t.sumWindowsAll("db1", "m1", "v", 0L, 1000L, 1000L).collect()
+    assert(wins.map(_.getString(0)).toSeq == Seq(key) &&
+      wins.head.getLong(5) == 5L)
   }
 }
