@@ -796,6 +796,63 @@ object DedupOps {
     embeddingPairsLsh(df, idCol, vecCol, threshold,
       tables = TightLshTables, bits = TightLshBits, dim = dim, probeRadius = 2)
 
+  /** SEMANTIC dedup, the SemDeDup pipeline (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space, then search for
+    * near-duplicates ONLY within each cluster and keep, from every duplicate
+    * pair, the member FARTHER from its cluster centroid (the paper's
+    * keep-rule: low centroid similarity ≈ more informative example).
+    * Deterministic parallel variant of the paper's per-cluster sweep: a row
+    * is dropped iff SOME same-cluster row with strictly lower
+    * (sim_centroid, id) priority is cosine-`threshold`-similar to it — an
+    * order-free pairwise rule (the per-group minimum always survives, and
+    * results don't depend on visit order, which a greedy sweep's would).
+    *
+    * Scale shape: this is the published 100 TB recipe — the all-pairs
+    * problem is partitioned by the quantizer, so the only shuffle keys on
+    * `cluster` and per-task work is m² over MEMBERS OF ONE CLUSTER, with k
+    * chosen ∝ corpus size to bound m (the paper runs 50k clusters on
+    * LAION-440M). Assignment itself is one codegen'd nearest-centroids pass;
+    * vectors ride the cluster shuffle once.
+    *
+    * Output: every input row as (id, cluster, sim_centroid, kept). The
+    * trained quantizer persists to `centroidsOut` so an oracle can replay
+    * assignment, centroid similarity and the dominance rule exactly
+    * (left-fold dots throughout — see [[SimilarityOps.fastDot]]). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int, threshold: Double, iters: Int = 15,
+                    seed: Long = 42L,
+                    centroidsOut: Option[String] = None): DataFrame = {
+    val spark = df.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val centroids = SimilarityOps.trainKMeans(df, idCol, vecCol, k, iters, seed)
+    centroidsOut.foreach(SimilarityOps.persistCentroids(spark, centroids, _))
+    import spark.implicits._
+    val cdf = centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cluster", "c")
+      .withColumn("cn", SimilarityOps.norm(col("c")))
+    val scored = embeddingWithNorm(df, idCol, vecCol)
+      .withColumn("cluster",
+        element_at(call_function("nearest_centroids", col("v"),
+          typedLit(centroids.map(_.toSeq).toSeq)), 1))
+      .join(broadcast(cdf), "cluster")
+      .withColumn("simc",
+        SimilarityOps.fastDot(col("v"), col("c")) / (col("n") * col("cn")))
+      .select(col("cluster"), col("id"), col("v"), col("n"), col("simc"))
+      .localCheckpoint(false) // read by the pair join twice + the output join
+    // dominance: b beats a when (b.simc, b.id) < (a.simc, a.id); only the
+    // beaten side of each similar pair is dropped
+    val dominated = scored.as("a").join(scored.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+        (col("b.simc") < col("a.simc") ||
+          (col("b.simc") === col("a.simc") && col("b.id") < col("a.id"))))
+      .filter(SimilarityOps.fastDot(col("a.v"), col("b.v")) /
+        (col("a.n") * col("b.n")) >= threshold)
+      .select(col("a.id").as("_did")).distinct()
+    scored.join(dominated, col("id") === col("_did"), "left")
+      .select(col("id"), col("cluster"), col("simc").as("sim_centroid"),
+        col("_did").isNull.as("kept"))
+  }
+
   /** Measured prune factor of the hyperplane bucketing: (candidate pair
     * count, total pair count n·(n−1)/2) for a parameterization over `df` —
     * the number that converts the 100 TB scaling claim of

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ops.SimilarityOps
+import graft.ops.{DedupOps, SimilarityOps}
 import graft.tables.Tables
 
 /** Similarity search over the `embeddings` table — exact brute-force
@@ -48,6 +48,8 @@ object SimilarityQueries {
     sys.props("java.io.tmpdir"), s"graft-ivfpq-centroids-$Pid.parquet").getAbsolutePath
   private val PqCodebooksPath = new java.io.File(
     sys.props("java.io.tmpdir"), s"graft-pqcb-centroids-$Pid.parquet").getAbsolutePath
+  private val SemCentroidsPath = new java.io.File(
+    sys.props("java.io.tmpdir"), s"graft-sem-centroids-$Pid.parquet").getAbsolutePath
   /** PQ geometry: 64 dims → 8 subspaces × 16 codewords (4-bit codes). */
   private val PQ_M = 8
   private val PQ_KS = 16
@@ -62,7 +64,7 @@ object SimilarityQueries {
   // not mean the dir is garbage (a new run starting in that window would
   // otherwise delete centroids the pending replay is about to read).
   locally {
-    val re = """graft-(?:ivf|ivfq|ivfpq|pqcb|cluster|pca)-centroids-(\d+)\.parquet""".r
+    val re = """graft-(?:ivf|ivfq|ivfpq|pqcb|cluster|pca|sem)-centroids-(\d+)\.parquet""".r
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
     val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
     Option(tmp.listFiles()).toSeq.flatten.foreach { f =>
@@ -461,6 +463,54 @@ object SimilarityQueries {
       SimilarityOps.clusterAssign(Tables(s, dir, "embeddings"),
           "vec_id", "embedding", k = 16,
           centroidsOut = Some(ClusterCentroidsPath))
+        .orderBy("vec_id")
+    },
+
+    // SEMANTIC dedup — the full SemDeDup pipeline (cluster, then near-dup
+    // search WITHIN clusters only, keep the pair member farther from its
+    // centroid). The quantizer persists, so the oracle replays the whole
+    // chain: assignment (same ||c||²−2·v·c ranking as pipeline_cluster),
+    // centroid cosine, within-cluster pairwise cosine, and the
+    // (sim_centroid, id) dominance rule — a full hash-match on every row's
+    // kept/dropped verdict. Threshold 0.4 because this corpus is
+    // near-orthogonal (max pairwise cosine ≈ 0.51 — see
+    // dedup_embedding_lsh_tight's note); the production operating point
+    // (≥ 0.9) is exercised by the planted-near-dup spec.
+    QueryDef.withOracle("dedup_semantic", {
+      def c2 = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        "list_transform(cents.c, x -> x * x)), (s, x) -> s + x)"
+      def vc = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        "list_transform(range(1, len(e.v) + 1), i -> e.v[i] * cents.c[i])), (s, x) -> s + x)"
+      def fold(expr: String) =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $expr), (s, x) -> s + x)"
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |cents AS (SELECT list_id, list_transform(c, x -> CAST(x AS DOUBLE)) AS c,
+         |            sqrt(${fold("list_transform(c, x -> x * x)")}) AS cn
+         |          FROM read_parquet('$SemCentroidsPath/*.parquet')),
+         |cd AS (SELECT e.vec_id, cents.list_id, $c2 - 2.0 * $vc AS d FROM e, cents),
+         |asg AS (SELECT vec_id, list_id AS cluster FROM (
+         |          SELECT vec_id, list_id,
+         |            row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rk
+         |          FROM cd) WHERE rk = 1),
+         |s AS (SELECT e.vec_id, e.v, cluster,
+         |        sqrt(${fold("list_transform(e.v, x -> x * x)")}) AS nrm,
+         |        ${fold("list_transform(range(1, len(e.v) + 1), i -> e.v[i] * cents.c[i])")}
+         |          / (sqrt(${fold("list_transform(e.v, x -> x * x)")}) * cents.cn) AS simc
+         |      FROM e JOIN asg USING (vec_id) JOIN cents ON cents.list_id = asg.cluster),
+         |drp AS (SELECT DISTINCT a.vec_id FROM s a JOIN s b ON a.cluster = b.cluster
+         |          AND (b.simc < a.simc OR (b.simc = a.simc AND b.vec_id < a.vec_id))
+         |        WHERE ${fold("list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])")}
+         |                / (a.nrm * b.nrm) >= 0.4)
+         |SELECT s.vec_id, cluster, simc AS sim_centroid,
+         |  (drp.vec_id IS NULL) AS kept
+         |FROM s LEFT JOIN drp ON s.vec_id = drp.vec_id
+         |ORDER BY s.vec_id""".stripMargin
+    }) { (s, dir) =>
+      DedupOps.semanticDedup(Tables(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 16, threshold = 0.4,
+          centroidsOut = Some(SemCentroidsPath))
+        .withColumnRenamed("id", "vec_id")
         .orderBy("vec_id")
     },
 

@@ -1109,6 +1109,55 @@ class PipelineOpsSpec extends SparkTestBase {
       s"tight LSH candidate ratio ${cand.toDouble / total} not a real prune")
   }
 
+  test("semanticDedup: SemDeDup keep-rule at the production threshold on planted near-dups") {
+    // planted 15°-apart pairs (cosine ≈ 0.966) in a random 64-dim corpus:
+    // each pair that lands in one cluster must lose exactly its dominated
+    // member — verified by replaying the (sim_centroid, id) dominance rule
+    // scalar-side from the op's own output + the input vectors
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    def unit(): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val bases = (0 until 240).map(_ => unit())
+    val (cosA, sinA) = (math.cos(math.toRadians(15)), math.sin(math.toRadians(15)))
+    val dups = (0 until 30).map { i =>
+      val v = bases(i)
+      val u0 = unit()
+      val d = v.indices.map(j => u0(j) * v(j)).sum
+      val w = v.indices.map(j => u0(j) - d * v(j))
+      val nw = math.sqrt(w.map(x => x * x).sum)
+      v.indices.map(j => cosA * v(j) + sinA * w(j) / nw).toArray
+    }
+    val rows = bases.zipWithIndex.map { case (v, i) => (i.toLong, v.map(_.toFloat).toSeq) } ++
+      dups.zipWithIndex.map { case (v, i) => ((1000 + i).toLong, v.map(_.toFloat).toSeq) }
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = DedupOps.semanticDedup(emb, "vec_id", "embedding", k = 8, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3)))
+    assert(out.length == 270)
+    // exact double replay: float-cast vectors, ascending-index left-fold dot
+    val vecs = rows.map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(x: Long, y: Long): Double =
+      dot(vecs(x), vecs(y)) / (math.sqrt(dot(vecs(x), vecs(x))) * math.sqrt(dot(vecs(y), vecs(y))))
+    out.foreach { case (id, cl, simc, kept) =>
+      val expectDrop = out.exists { case (oid, ocl, osimc, _) =>
+        oid != id && ocl == cl &&
+          (osimc < simc || (osimc == simc && oid < id)) && cos(oid, id) >= 0.9
+      }
+      assert(kept == !expectDrop, s"row $id kept=$kept disagrees with the scalar rule")
+    }
+    // the rule bites: most planted pairs co-cluster and lose one member,
+    // and ONLY planted-pair members are ever dropped (no random pair ≥ 0.9)
+    val dropped = out.filterNot(_._4).map(_._1)
+    assert(dropped.length >= 20 && dropped.length <= 30, s"dropped ${dropped.length}")
+    assert(dropped.forall(id => id < 30 || id >= 1000))
+  }
+
   test("benchmarkContamination flags shingle overlap with the benchmark set") {
     // doc 0 is the benchmark; doc 3 is its verbatim copy (contamination 1.0),
     // doc 1 shares most shingles, doc 2 shares none (never reported)
