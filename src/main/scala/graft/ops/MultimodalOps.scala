@@ -28,6 +28,13 @@ final case class ResizedFeatures(
     asset_id: Long, format: String, width: Int, height: Int,
     n_bytes: Long, mean_byte: Double)
 
+/** One SAMPLED video frame's decoded stats: container geometry (frame
+  * count, fps) plus the per-frame pixel features a frame-selection /
+  * captioning stage filters on. */
+final case class VideoFrameFeatures(
+    asset_id: Long, frame_idx: Int, n_frames: Int, fps: Double,
+    width: Int, height: Int, n_bytes: Long, mean_byte: Double)
+
 /** STUB DECODER — deterministic fake. A real deployment would link an image/
   * audio codec (javacpp-ffmpeg, twelvemonkeys, …) and decode `payload` into
   * pixels/samples here; those libraries are not available in this
@@ -37,9 +44,11 @@ final case class ResizedFeatures(
   * real Spark plumbing a production decoder would use unchanged. Formats
   * decodable in pure JVM bytes are NOT stubbed: [[BmpCodec]] (24bpp BMP),
   * [[graft.ops.PngCodec]] (grayscale/truecolor/palette PNG),
-  * [[graft.ops.WavCodec]] (RIFF/PCM) and [[graft.ops.JpegCodec]] (baseline
-  * grayscale JPEG) all parse the genuine formats; the stub remains only for
-  * video and compressed-audio families that genuinely need native codecs. */
+  * [[graft.ops.WavCodec]] (RIFF/PCM), [[graft.ops.JpegCodec]] (baseline
+  * grayscale + YCbCr color JPEG) and [[graft.ops.AviCodec]] (MJPEG/AVI
+  * video) all parse the genuine formats; the stub remains only for
+  * inter-frame video (H.264-class) and compressed-audio families that
+  * genuinely need native codecs. */
 object FakeDecoder {
   val HistBuckets = 16
 
@@ -525,6 +534,66 @@ object MultimodalOps {
           (if (text.isEmpty) 0 else text.charAt(i % text.length).toInt).toByte)
         MediaAsset(id, "jpeg", JpegCodec.encodeRgb(w, h, rgb), w, h, 3, 0)
       }.toDF()
+  }
+
+  /** Deterministic REAL-VIDEO asset table: each doc becomes a genuine
+    * MJPEG AVI ([[AviCodec]]) of `2 + id % 3` grayscale-JPEG frames at
+    * fps `10 + (id % 3) * 5`; frame `f`'s source pixels are the text's
+    * bytes tiled with a per-frame offset of `7·f` (frames differ, so a
+    * sampler that returns the wrong frame fails the value match). */
+  def mjpegAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        require(text.forall(_ < 128),
+          s"mjpeg fixture requires ASCII text (doc $id)")
+        val w = (8 * (id % 3 + 1)).toInt
+        val h = (8 * (id % 2 + 1)).toInt
+        val nf = (2 + id % 3).toInt
+        val frames = (0 until nf).map { f =>
+          val gray = Array.tabulate(w * h)(i =>
+            (if (text.isEmpty) 0
+             else text.charAt((7 * f + i) % text.length).toInt).toByte)
+          JpegCodec.encodeGray(w, h, gray)
+        }
+        MediaAsset(id, "avi",
+          AviCodec.encode(w, h, 10 + (id % 3).toInt * 5, 1, frames), w, h, 1, 0)
+      }.toDF()
+  }
+
+  /** FRAME SAMPLING over real video: walk the AVI container, keep every
+    * `frameStride`-th frame, decode each kept frame with the REAL JPEG
+    * codec, emit one stats row per sampled frame. One typed map-side pass —
+    * the payload bytes never leave the task, the skipped frames' JPEG
+    * payloads are never entropy-decoded (the container walk indexes them
+    * for free), and fan-out is bounded at ceil(n_frames / stride) rows per
+    * asset. This is the shape a 100 TB video-curation stage needs: sampling
+    * is a map, not a shuffle, and decode cost scales with SAMPLED frames. */
+  def videoFrameFeatures(assets: DataFrame, frameStride: Int = 2): Dataset[VideoFrameFeatures] = {
+    require(frameStride > 0, "frame stride must be positive")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .repartitionByRange(spark.sparkContext.defaultParallelism,
+        col("format"), col("asset_id"))
+      .as[MediaAsset]
+      .flatMap { a =>
+        require(a.format == "avi",
+          s"videoFrameFeatures needs avi, got ${a.format}")
+        val v = AviCodec.decode(a.payload)
+        (0 until v.frames.length by frameStride).map { fi =>
+          val (w, h, g) = JpegCodec.decodeGray(v.frames(fi))
+          require(w == v.width && h == v.height,
+            s"frame $fi geometry ${w}x$h disagrees with container ${v.width}x${v.height}")
+          var s = 0L
+          var i = 0
+          while (i < g.length) { s += g(i) & 0xff; i += 1 }
+          VideoFrameFeatures(a.asset_id, fi, v.frames.length,
+            v.rate.toDouble / v.scale, w, h, g.length.toLong,
+            s.toDouble / g.length)
+        }
+      }
   }
 
   // -------------------------------------------------------------- pHash

@@ -565,6 +565,67 @@ object MultimodalQueries {
         .orderBy("asset_id")
     },
 
+    // REAL VIDEO: MJPEG-in-AVI container walk + per-frame baseline-JPEG
+    // decode, sampling every 2nd frame. The oracle replays the WHOLE chain
+    // per sampled frame — per-frame tiling offset (7·f) -> forward DCT ->
+    // quantize -> IDCT -> clamp -> pixel stats — plus the container
+    // geometry (frame count, fps) from the header fields, so a container
+    // walk that returns the wrong frame, drops the even-padding rule, or
+    // mis-reads strh breaks the value match.
+    QueryDef.withOracle("mm_video_frames", {
+      val half = 1L << 41
+      val div = 1L << 42
+      val alphaRows = (0 until 8).map(u => s"($u,${if (u == 0) 724 else 1024})")
+        .mkString(",")
+      s"""WITH vya AS (SELECT doc_id AS asset_id, text,
+         |         CAST(8 * (doc_id % 3 + 1) AS INT) AS w,
+         |         CAST(8 * (doc_id % 2 + 1) AS INT) AS h,
+         |         CAST(2 + doc_id % 3 AS INT) AS nf,
+         |         CAST(10 + (doc_id % 3) * 5 AS DOUBLE) AS fps FROM documents),
+         |vfr AS (SELECT vya.*, CAST(fr.f AS INT) AS f
+         |        FROM vya, range(4) fr(f) WHERE fr.f < nf AND fr.f % 2 = 0),
+         |vct(u, i, c) AS (SELECT * FROM (VALUES ${OraclePhash.dctRows}) t(u, i, c)),
+         |val2(u, a) AS (SELECT * FROM (VALUES $alphaRows) t(u, a)),
+         |vpx AS (SELECT asset_id, f, bi.b AS bi, bj.b AS bj, ri.i AS i, rj.j AS j,
+         |          CAST((CASE WHEN length(text) = 0 THEN 0
+         |                ELSE unicode(substr(text,
+         |                  CAST((7 * f + (bi.b * 8 + ri.i) * w + bj.b * 8 + rj.j)
+         |                       % length(text) + 1 AS INT), 1)) END)
+         |               - 128 AS BIGINT) AS p
+         |        FROM vfr, range(2) bi(b), range(3) bj(b),
+         |             range(8) ri(i), range(8) rj(j)
+         |        WHERE bi.b < h // 8 AND bj.b < w // 8),
+         |vf AS (SELECT asset_id, f, bi, bj, cu.u AS u, cv.u AS v,
+         |         CAST(SUM(p * cu.c * cv.c) AS BIGINT) AS fraw
+         |       FROM vpx JOIN vct cu ON cu.i = vpx.i
+         |                JOIN vct cv ON cv.i = vpx.j
+         |       GROUP BY 1, 2, 3, 4, 5, 6),
+         |vq AS (SELECT vf.asset_id, f, bi, bj, vf.u AS u, vf.v AS v,
+         |         (fraw * au.a * av.a + $half) // $div AS qc
+         |       FROM vf JOIN val2 au ON au.u = vf.u JOIN val2 av ON av.u = vf.v),
+         |vr AS (SELECT q.asset_id, f, bi, bj, ci.i AS i, cj.i AS j,
+         |         CAST((SUM(qc * au.a * av.a * ci.c * cj.c) + $half) // $div
+         |              AS BIGINT) + 128 AS s
+         |       FROM vq q JOIN val2 au ON au.u = q.u JOIN val2 av ON av.u = q.v
+         |                 JOIN vct ci ON ci.u = q.u JOIN vct cj ON cj.u = q.v
+         |       GROUP BY 1, 2, 3, 4, 5, 6),
+         |vpc AS (SELECT asset_id, f,
+         |          CAST(greatest(0, least(255, s)) AS BIGINT) AS px FROM vr),
+         |vl AS (SELECT asset_id, f, CAST(count(*) AS BIGINT) AS nb,
+         |         SUM(px) AS sp FROM vpc GROUP BY 1, 2)
+         |SELECT vl.asset_id, vl.f AS frame_idx, nf AS n_frames, fps,
+         |  w AS width, h AS height, nb AS n_bytes,
+         |  CAST(sp AS DOUBLE) / nb AS mean_byte
+         |FROM vl JOIN vfr ON vfr.asset_id = vl.asset_id AND vfr.f = vl.f
+         |ORDER BY vl.asset_id, frame_idx""".stripMargin
+    }) { (s, dir) =>
+      MultimodalOps.videoFrameFeatures(
+        MultimodalOps.mjpegAssetsFromDocuments(Tables(s, dir, "documents")),
+        frameStride = 2)
+        .toDF()
+        .orderBy("asset_id", "frame_idx")
+    },
+
     // Perceptual hashes over REAL pixels: decode the grayscale-PNG fixture
     // (plus its brightened companions), 8x8 nearest-neighbor sample,
     // integer DCT, median-split bits — the oracle replays the whole chain

@@ -57,7 +57,7 @@ object ScaleBench {
     // output-sized) and pHash dedup (decode+DCT map pass; pair output ∝
     // planted companions, which GenScale replicates linearly)
     "ann_ivf_pq", "dedup_phash", "mm_phash", "mm_decode_jpeg",
-    "mm_decode_jpeg_rgb",
+    "mm_decode_jpeg_rgb", "mm_video_frames",
     // round-11 additions: real-BPE token stats (work ∝ tokens, the merge
     // loop amortizes over distinct words per task), composed IVF×int8 ANN
     // (scan ∝ probed-list occupancy), streaming incremental dedup (work ∝

@@ -1900,6 +1900,66 @@ class PipelineOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](JpegCodec.decodeRgb(gray))
   }
 
+  test("AviCodec: MJPEG container round-trips frames, geometry and rate through the chunk walk") {
+    import graft.ops.{AviCodec, JpegCodec}
+    val rnd = new scala.util.Random(31)
+    val (w, h) = (16, 8)
+    val frames = (0 until 5).map(_ =>
+      JpegCodec.encodeGray(w, h, Array.fill(w * h)(rnd.nextInt(128).toByte)))
+    // JPEG payloads are routinely odd-sized — assert the fixture actually
+    // exercises the RIFF pad rule rather than passing vacuously
+    assert(frames.exists(_.length % 2 == 1), "fixture never hit the odd-size path")
+    for (junk <- Seq(false, true)) {
+      val avi = AviCodec.encode(w, h, rate = 30, scale = 2, frames, junkChunks = junk)
+      val v = AviCodec.decode(avi)
+      assert(v.width == w && v.height == h && v.rate == 30 && v.scale == 2)
+      assert(v.frames.length == 5)
+      v.frames.zip(frames).foreach { case (got, exp) =>
+        assert(java.util.Arrays.equals(got, exp), s"frame bytes diverged (junk=$junk)")
+      }
+    }
+    // loud failures: not-an-AVI, truncated stream, non-MJPG video handler
+    intercept[IllegalArgumentException](
+      AviCodec.decode(WavCodec.encode(8000, 1, Array[Short](1, 2, 3, 4))))
+    val good = AviCodec.encode(w, h, 30, 2, frames)
+    intercept[IllegalArgumentException](
+      AviCodec.decode(java.util.Arrays.copyOfRange(good, 0, good.length - 3)))
+    val xvid = good.clone()
+    // strh handler fourcc sits right after 'strh'+size+'vids' in this layout
+    val hIdx = good.indexOfSlice("vids".getBytes("US-ASCII")) + 4
+    "XVID".getBytes("US-ASCII").copyToArray(xvid, hIdx)
+    intercept[IllegalArgumentException](AviCodec.decode(xvid))
+  }
+
+  test("videoFrameFeatures: samples every k-th frame and decodes REAL pixels") {
+    import graft.ops.{AviCodec, JpegCodec}
+    val rnd = new scala.util.Random(37)
+    val (w, h) = (8, 8)
+    val grays = (0 until 5).map(_ => Array.fill(w * h)(rnd.nextInt(128).toByte))
+    val frames = grays.map(JpegCodec.encodeGray(w, h, _))
+    val avi = AviCodec.encode(w, h, rate = 24, scale = 1, frames, junkChunks = true)
+    val assets = Seq((9L, "avi", avi, w, h, 1, 0))
+      .toDF("asset_id", "format", "payload", "width", "height", "channels", "sample_rate")
+    val got = MultimodalOps.videoFrameFeatures(assets, frameStride = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(got.map(_.frame_idx).toSeq == Seq(0, 2, 4)) // stride over 5 frames
+    got.foreach { r =>
+      assert(r.n_frames == 5 && r.fps == 24.0 && r.width == w && r.height == h)
+      val (_, _, dec) = JpegCodec.decodeGray(frames(r.frame_idx))
+      val mean = dec.map(_ & 0xff).map(_.toLong).sum.toDouble / dec.length
+      assert(r.n_bytes == dec.length.toLong && r.mean_byte == mean,
+        s"frame ${r.frame_idx} stats must come from the DECODED pixels")
+    }
+    // non-video formats fail loudly instead of fake-decoding
+    val wav = Seq((1L, "wav", WavCodec.encode(8000, 1, Array[Short](0, 1)), 0, 0, 1, 8000))
+      .toDF("asset_id", "format", "payload", "width", "height", "channels", "sample_rate")
+    val e = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.videoFrameFeatures(wav).collect()
+    }
+    assert(e.getMessage.contains("needs avi") ||
+      Option(e.getCause).exists(_.getMessage.contains("needs avi")))
+  }
+
   test("imagePhash: jpeg route hashes the DECODED pixel grid") {
     import graft.ops.JpegCodec
     val rnd = new scala.util.Random(13)
