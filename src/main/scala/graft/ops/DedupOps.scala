@@ -1026,10 +1026,20 @@ object DedupOps {
     * it occurs anywhere in the indexed corpus OR at least twice within the
     * batch itself (exactly the visibility a batch arriving at corpus-epoch
     * t has). Per-batch cost scales with the increment: the corpus enters
-    * as ONE parquet read of its window-count table, never re-shingled.
-    * Output: maximal spans (idCol, span_start, span_end) of incoming docs. */
+    * as ONE parquet read of its window-count table, never re-shingled —
+    * and that read is BLOOM-PRUNED by the increment's own shingle set
+    * before the exchange ([[BloomOps]] scalar-subquery prune, the same
+    * "filter the fact table in the scan" shape as q_bloom_semijoin): the
+    * corpus window table is corpus-scale, so without the prune every batch
+    * SHUFFLES the whole corpus index on `sh`; with it only windows the
+    * batch might contain (+ ~1% false positives the left join discards)
+    * reach the exchange. No false negatives by construction, so output is
+    * bit-identical. Output: maximal spans (idCol, span_start, span_end) of
+    * incoming docs. */
   def incrementalSubstringSpans(indexDir: String, incoming: DataFrame,
-                                idCol: String, textCol: String, k: Int): DataFrame = {
+                                idCol: String, textCol: String, k: Int,
+                                bloomBits: Int = 1 << 22,
+                                bloomHashes: Int = 6): DataFrame = {
     val spark = incoming.sparkSession
     val mk = spark.read.parquet(s"$indexDir/manifest").head().getInt(0)
     require(mk == k,
@@ -1037,10 +1047,13 @@ object DedupOps {
     val idx = spark.read.parquet(s"$indexDir/windows")
       .select(col("sh"), col("cnt").as("corpus_cnt"))
     val ps = positionalShingles(incoming, idCol, textCol, k)
+      .localCheckpoint(false) // feeds the bloom build, batchCnt and the probe
+    val bits = BloomOps.bloomBits(ps, "sh", bloomBits, bloomHashes)
+    val idxPruned = BloomOps.bloomPruned(idx, "sh", bits, bloomBits, bloomHashes)
     val batchCnt = ps.groupBy("sh").agg(count(lit(1)).as("batch_cnt"))
     val dp = ps
       .join(batchCnt, Seq("sh"))
-      .join(idx, Seq("sh"), "left")
+      .join(idxPruned, Seq("sh"), "left")
       .filter(coalesce(col("corpus_cnt"), lit(0L)) + col("batch_cnt") >= 2)
       .select(col("id"), col("pos"))
     spansFromPositions(dp, k, idCol)
