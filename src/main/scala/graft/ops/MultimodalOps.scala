@@ -46,8 +46,9 @@ final case class VideoFrameFeatures(
   * [[graft.ops.PngCodec]] (grayscale/truecolor/palette PNG),
   * [[graft.ops.WavCodec]] (RIFF/PCM), [[graft.ops.JpegCodec]] (baseline
   * grayscale + YCbCr color JPEG) and [[graft.ops.AviCodec]] (MJPEG/AVI
-  * video) all parse the genuine formats; the stub remains only for
-  * inter-frame video (H.264-class) and compressed-audio families that
+  * video, plus G.711 µ-law audio behind WavCodec's format-7 dispatch) all
+  * parse the genuine formats; the stub remains only for inter-frame video
+  * (H.264-class) and perceptual-audio (MP3/AAC-class) families that
   * genuinely need native codecs. */
 object FakeDecoder {
   val HistBuckets = 16
@@ -260,6 +261,31 @@ object MultimodalOps {
         val rate = rates((id % 3).toInt)
         MediaAsset(id, "wav",
           WavCodec.encode(rate, 1, samples, junkChunk = id % 5 == 0),
+          0, 0, 1, rate)
+      }.toDF()
+  }
+
+  /** Deterministic COMPRESSED-audio asset table: each doc becomes a
+    * genuine G.711 µ-law WAV (format tag 7, 18-byte fmt chunk, one code
+    * byte per sample) whose code stream is the text's bytes with the sign
+    * bit keyed to byte parity — so the EXPANDED signal swings both signs
+    * and the oracle can replay code → linear → stats from the text alone
+    * (µ-law expansion is an exact integer formula). */
+  def mulawWavAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rates = Array(8000, 16000, 44100)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        require(text.forall(_ < 128),
+          s"mulaw fixture requires ASCII text (doc $id)")
+        val codes = Array.tabulate(text.length) { i =>
+          val b = text.charAt(i).toInt
+          (b + 128 * (b % 2)).toByte
+        }
+        val rate = rates((id % 3).toInt)
+        MediaAsset(id, "wav",
+          WavCodec.encodeMulaw(rate, 1, codes, junkChunk = id % 5 == 0),
           0, 0, 1, rate)
       }.toDF()
   }

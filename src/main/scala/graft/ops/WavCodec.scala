@@ -65,10 +65,75 @@ object WavCodec {
     buf.array()
   }
 
+  // ------------------------------------------------ G.711 µ-law (format 7)
+
+  /** ITU-T G.711 µ-law EXPANSION: one on-wire code byte → 16-bit linear
+    * sample (the public CCITT reference arithmetic: complement, 4-bit
+    * mantissa biased by 0x84, 3-bit exponent shift, signed de-bias). */
+  def mulawToLinear(code: Int): Short = {
+    val u = ~code & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+    (if ((u & 0x80) != 0) 0x84 - t else t - 0x84).toShort
+  }
+
+  /** ITU-T G.711 µ-law COMPRESSION: 16-bit linear sample → code byte
+    * (clip at 32635, add the 0x84 bias, segment = position of the leading
+    * bit, 4-bit mantissa, complement). Round-trip contracts are pinned by
+    * spec: `linearToMulaw(mulawToLinear(c)) == c` for every code except
+    * 0x7F (negative zero aliases to positive zero), and expansion error is
+    * bounded by the segment's step size. */
+  def linearToMulaw(sample: Short): Int = {
+    var s = sample.toInt
+    val sign = if (s < 0) { s = -s; 0x80 } else 0
+    if (s > 32635) s = 32635
+    s += 0x84
+    var exp = 7
+    var mask = 0x4000
+    while (exp > 0 && (s & mask) == 0) { exp -= 1; mask >>= 1 }
+    ~(sign | (exp << 4) | ((s >> (exp + 3)) & 0x0f)) & 0xff
+  }
+
+  /** Encode µ-law code bytes as a RIFF/WAVE file with format tag 7
+    * (WAVE_FORMAT_MULAW): 8 bits/sample, and the 18-byte fmt chunk
+    * (cbSize = 0) the WAVE spec requires for non-PCM formats — decoders
+    * that hard-assume the 16-byte PCM fmt body mis-walk exactly here. */
+  def encodeMulaw(sampleRate: Int, channels: Int, codes: Array[Byte],
+                  junkChunk: Boolean = false): Array[Byte] = {
+    require(channels > 0 && sampleRate > 0, "need positive rate/channels")
+    require(codes.length % channels == 0, "codes must interleave evenly")
+    val dataSize = codes.length
+    val junkBody = 5
+    val junkSize = if (junkChunk) 8 + junkBody + 1 else 0
+    val riffSize = 4 + (8 + 18) + junkSize + (8 + dataSize) + (dataSize & 1)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(18)
+      .putShort(7.toShort) // WAVE_FORMAT_MULAW
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels) // byte rate: one byte per sample
+      .putShort(channels.toShort)    // block align
+      .putShort(8.toShort)           // bits per sample
+      .putShort(0.toShort)           // cbSize
+    if (junkChunk) {
+      buf.put("JUNK".getBytes("US-ASCII")).putInt(junkBody)
+      var i = 0
+      while (i < junkBody) { buf.put(0x6a.toByte); i += 1 }
+      buf.put(0.toByte)
+    }
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize).put(codes)
+    if ((dataSize & 1) == 1) buf.put(0.toByte) // RIFF pad to even
+    buf.array()
+  }
+
   /** Parse a RIFF/WAVE payload into (sampleRate, channels, interleaved
     * 16-bit samples). Walks the chunk list (even-size padding honored),
-    * validates magics, PCM format code and bit depth — a malformed payload
-    * fails loudly instead of producing garbage stats. */
+    * validates magics, format code and bit depth — a malformed payload
+    * fails loudly instead of producing garbage stats. Format 1 (16-bit
+    * PCM) passes samples through; format 7 (G.711 µ-law) EXPANDS each
+    * code byte to its linear value, so every downstream stat runs over
+    * the real decoded signal regardless of the on-wire encoding. */
   def decode(payload: Array[Byte]): (Int, Int, Array[Short]) = {
     require(payload.length >= 12, "truncated RIFF header")
     def fourcc(off: Int) = new String(payload, off, 4, "US-ASCII")
@@ -78,6 +143,7 @@ object WavCodec {
     var pos = 12
     var rate = -1
     var channels = -1
+    var mulaw = false
     var samples: Array[Short] = null
     while (pos + 8 <= payload.length) {
       val id = fourcc(pos)
@@ -88,17 +154,28 @@ object WavCodec {
       id match {
         case "fmt " =>
           require(size >= 16, "fmt chunk too small")
-          require(buf.getShort(body) == 1, "only PCM (format 1) supported")
+          val tag = buf.getShort(body).toInt
+          require(tag == 1 || tag == 7,
+            s"only PCM (1) and mu-law (7) supported, got format $tag")
+          mulaw = tag == 7
           channels = buf.getShort(body + 2).toInt
           rate = buf.getInt(body + 4)
-          require(buf.getShort(body + 14) == 16, "only 16-bit PCM supported")
+          val bits = buf.getShort(body + 14).toInt
+          require(bits == (if (mulaw) 8 else 16),
+            s"format $tag requires ${if (mulaw) 8 else 16}-bit samples, got $bits")
           require(channels > 0 && rate > 0, "invalid fmt geometry")
         case "data" =>
           require(rate > 0, "data chunk before fmt")
-          require(size % 2 == 0, "odd data size for 16-bit samples")
-          samples = new Array[Short](size / 2)
-          var i = 0
-          while (i < samples.length) { samples(i) = buf.getShort(body + i * 2); i += 1 }
+          if (mulaw) {
+            samples = new Array[Short](size)
+            var i = 0
+            while (i < size) { samples(i) = mulawToLinear(payload(body + i) & 0xff); i += 1 }
+          } else {
+            require(size % 2 == 0, "odd data size for 16-bit samples")
+            samples = new Array[Short](size / 2)
+            var i = 0
+            while (i < samples.length) { samples(i) = buf.getShort(body + i * 2); i += 1 }
+          }
         case _ => () // unknown metadata chunk: skip
       }
       pos = body + size + (size & 1) // RIFF pads chunks to even offsets

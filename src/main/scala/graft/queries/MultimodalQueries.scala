@@ -565,6 +565,45 @@ object MultimodalQueries {
         .orderBy("asset_id")
     },
 
+    // REAL COMPRESSED AUDIO: G.711 µ-law WAV (format tag 7, 18-byte fmt
+    // chunk) — the decoder expands every on-wire code byte to its linear
+    // value with the exact ITU integer formula, so the oracle replays
+    // text byte -> code (parity-keyed sign) -> µ-law expansion -> signal
+    // stats; a complement, mantissa-bias, segment-shift or sign bug in the
+    // expansion breaks the value match.
+    QueryDef.withOracle("mm_decode_ulaw",
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, length(text) + 1),
+        |           i -> unicode(substr(text, CAST(i AS INT), 1))
+        |                + 128 * (unicode(substr(text, CAST(i AS INT), 1)) % 2)) AS cs,
+        |         ([8000, 16000, 44100])[CAST(doc_id % 3 AS INT) + 1] AS rate
+        |  FROM documents),
+        |s AS (SELECT doc_id, rate, list_transform(cs, c ->
+        |        CASE WHEN 255 - c >= 128
+        |             THEN 132 - ((((255 - c) % 16) * 8 + 132)
+        |                         * (1 << (((255 - c) // 16) % 8)))
+        |             ELSE (((255 - c) % 16) * 8 + 132)
+        |                  * (1 << (((255 - c) // 16) % 8)) - 132 END) AS ss
+        |      FROM c)
+        |SELECT doc_id AS asset_id, 'wav' AS format,
+        |  CAST(rate AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+        |  CAST(len(ss) AS BIGINT) AS n_samples,
+        |  CAST(len(ss) AS DOUBLE) / rate AS duration_s,
+        |  CASE WHEN len(ss) = 0 THEN 0.0
+        |       ELSE sqrt(CAST(list_sum(list_transform(ss, x -> x * x)) AS DOUBLE)
+        |                 / len(ss)) END AS rms,
+        |  CAST(COALESCE(list_max(list_transform(ss, x -> abs(x))), 0) AS INT) AS peak,
+        |  CAST(COALESCE(list_sum(list_transform(range(1, len(ss)),
+        |    i -> CASE WHEN (ss[i] >= 0) <> (ss[i + 1] >= 0)
+        |              THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
+        |FROM s ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      MultimodalOps.audioFeatures(
+        MultimodalOps.mulawWavAssetsFromDocuments(Tables(s, dir, "documents")))
+        .toDF()
+        .orderBy("asset_id")
+    },
+
     // REAL VIDEO: MJPEG-in-AVI container walk + per-frame baseline-JPEG
     // decode, sampling every 2nd frame. The oracle replays the WHOLE chain
     // per sampled frame — per-frame tiling offset (7·f) -> forward DCT ->

@@ -1900,6 +1900,39 @@ class PipelineOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](JpegCodec.decodeRgb(gray))
   }
 
+  test("WavCodec mu-law: G.711 arithmetic, code round-trip and the format-7 container path") {
+    // ITU anchor values: full-scale codes expand to ±32124, both zero
+    // codes to 0 (the public G.711 table's extremes)
+    assert(WavCodec.mulawToLinear(0x80) == 32124)
+    assert(WavCodec.mulawToLinear(0x00) == -32124)
+    assert(WavCodec.mulawToLinear(0xFF) == 0 && WavCodec.mulawToLinear(0x7F) == 0)
+    // code -> linear -> code is the identity for every code except 0x7F
+    // (negative zero re-encodes as positive zero 0xFF)
+    val broken = (0 until 256).filter(c =>
+      WavCodec.linearToMulaw(WavCodec.mulawToLinear(c)) != c)
+    assert(broken == Seq(0x7F), s"unexpected round-trip breaks: $broken")
+    // compression error is bounded by the segment step (half of 8 << exp)
+    val rnd = new scala.util.Random(17)
+    (0 until 2000).foreach { _ =>
+      val x = (rnd.nextInt(65536) - 32768).toShort
+      val dec = WavCodec.mulawToLinear(WavCodec.linearToMulaw(x))
+      val clipped = math.max(-32635, math.min(32635, x.toInt))
+      assert(math.abs(dec - clipped) <= 512, s"expansion error too large at $x -> $dec")
+    }
+    // container: format-7 fmt chunk (18 bytes), odd data size padding,
+    // junk chunk walk — decode returns the EXPANDED linear samples
+    val codes = Array.tabulate(33)(i => (i * 7 % 256).toByte) // odd length
+    val wav = WavCodec.encodeMulaw(8000, 1, codes, junkChunk = true)
+    val (rate, ch, ss) = WavCodec.decode(wav)
+    assert(rate == 8000 && ch == 1 && ss.length == 33)
+    ss.zip(codes).foreach { case (got, c) =>
+      assert(got == WavCodec.mulawToLinear(c & 0xff))
+    }
+    // a 16-bit PCM decode still works after the format dispatch
+    val pcm = WavCodec.encode(8000, 1, Array[Short](-3, 0, 7))
+    assert(WavCodec.decode(pcm)._3.toSeq == Seq[Short](-3, 0, 7))
+  }
+
   test("AviCodec: MJPEG container round-trips frames, geometry and rate through the chunk walk") {
     import graft.ops.{AviCodec, JpegCodec}
     val rnd = new scala.util.Random(31)
