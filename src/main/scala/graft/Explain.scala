@@ -18,7 +18,8 @@ object Explain {
         "tsdb_integral_multi", "text_top_terms", "text_vocab",
         "dedup_ngram_jaccard_capped", "dedup_contamination",
         "pipeline_pack", "pipeline_chunk", "pipeline_mixture",
-        "pipeline_cluster", "text_filter", "tsdb_gap_fill")
+        "pipeline_cluster", "text_filter", "tsdb_gap_fill",
+        "dedup_semantic", "mm_video_frames")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

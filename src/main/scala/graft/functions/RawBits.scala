@@ -57,6 +57,7 @@ object GraftFunctions {
     "double_raw_bits" -> (args => DoubleRawBits(args.head)),
     "float_raw_bits" -> (args => FloatRawBits(args.head)),
     "graft_dot" -> (args => DotProductDouble(args(0), args(1))),
+    "graft_idot" -> (args => DotProductInt(args(0), args(1))),
     "graft_minhash" -> (args =>
       GraftMinHash(args(0), args(1).eval().asInstanceOf[Number].intValue)),
     "graft_simhash" -> (args =>

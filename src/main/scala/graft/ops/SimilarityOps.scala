@@ -122,8 +122,7 @@ object SimilarityOps {
       .select(col("query_id"), quant(col("qnv")).as("qq"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        aggregate(zip_with(col("qq"), col("cq"), (a, b) => a.cast("long") * b),
-          lit(0L), (s, x) => s + x).as("qdot"))
+        call_function("graft_idot", col("qq"), col("cq")).as("qdot"))
     val w = Window.partitionBy("query_id").orderBy(col("qdot").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -352,8 +351,7 @@ object SimilarityOps {
     val scored = c.join(broadcast(q), Seq("list"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        aggregate(zip_with(col("qq"), col("cq"), (a, b) => a.cast("long") * b),
-          lit(0L), (s, x) => s + x).as("qdot"))
+        call_function("graft_idot", col("qq"), col("cq")).as("qdot"))
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id").orderBy(col("qdot").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -20,6 +20,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val names = graft.functions.GraftFunctions.specs.map(_._1)
     assert(names.distinct == names)
     assert(names.toSet == Set("double_raw_bits", "float_raw_bits", "graft_dot",
+      "graft_idot",
       "graft_minhash", "graft_simhash", "graft_word_hashes", "graft_shingles",
       "graft_shingles_all", "graft_text_counts", "nearest_centroids",
       "graft_bloom_contains", "graft_bpe_tokens", "graft_lsh_buckets"))

@@ -1158,6 +1158,61 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(dropped.forall(id => id < 30 || id >= 1000))
   }
 
+  test("graft_idot equals the interpreted zip_with fold on random int8 vectors") {
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(64)(rnd.nextInt(255) - 127), Seq.fill(64)(rnd.nextInt(255) - 127))
+    }.toDF("id", "a", "b")
+    val got = rows.select(col("id"),
+        call_function("graft_idot", col("a"), col("b")).as("native"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x.cast("long") * y),
+          lit(0L), (s, x) => s + x).as("fold"))
+      .collect()
+    got.foreach(r => assert(r.getLong(1) == r.getLong(2), s"id ${r.getLong(0)}"))
+    // overflow headroom: 64 × 127² fits int, but the accumulator is LONG by
+    // contract — max-magnitude vectors must not wrap
+    val ext = Seq((0L, Seq.fill(2048)(127), Seq.fill(2048)(127))).toDF("id", "a", "b")
+    assert(ext.select(call_function("graft_idot", col("a"), col("b")))
+      .head().getLong(0) == 2048L * 127 * 127)
+  }
+
+  test("semanticDedup plan gate: dominance pair join is cluster-keyed, never a cross join") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    def unwrap(p: SparkPlan): Seq[SparkPlan] = (p +: (p match {
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case q: QueryStageExec => unwrap(q.plan)
+      case _ => p.children.flatMap(unwrap)
+    })).distinct
+    val rnd = new scala.util.Random(3)
+    val base = (0 until 120).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat).toSeq))
+    // planted exact dups keep the dominance join non-empty — AQE's
+    // empty-relation propagation would otherwise ERASE the join from the
+    // final plan and the gate would inspect nothing
+    val emb = (base ++ base.take(10).map { case (i, v) => (1000 + i, v) })
+      .toDF("vec_id", "embedding")
+    val df = DedupOps.semanticDedup(emb, "vec_id", "embedding", k = 4, threshold = 0.9)
+    assert(df.filter(!col("kept")).count() >= 10)
+    val plan = unwrap(df.queryExecution.executedPlan)
+    // the m²-per-cluster work must ride a cluster EQUI-join — a cartesian
+    // or nested-loop here is the all-pairs shape SemDeDup exists to avoid
+    assert(!plan.exists(p => p.isInstanceOf[CartesianProductExec] ||
+      p.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "semanticDedup pair join degenerated to a cross join")
+    // at corpus scale this is a shuffled equi-join on `cluster`; at this
+    // test's row count AQE may legally broadcast one side — the gate is
+    // that SOME hash-keyed join exists (keys extracted), not its exchange
+    assert(plan.exists {
+      case j: SortMergeJoinExec => j.leftKeys.nonEmpty
+      case j: ShuffledHashJoinExec => j.leftKeys.nonEmpty
+      case j: BroadcastHashJoinExec => j.leftKeys.nonEmpty
+      case _ => false
+    }, "dominance join lost its cluster equi-key")
+  }
+
   test("benchmarkContamination flags shingle overlap with the benchmark set") {
     // doc 0 is the benchmark; doc 3 is its verbatim copy (contamination 1.0),
     // doc 1 shares most shingles, doc 2 shares none (never reported)
