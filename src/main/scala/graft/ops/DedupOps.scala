@@ -69,7 +69,39 @@ object DedupOps {
     * `maxDocFreq`: optionally drop shingles appearing in more than this many
     * documents before pairing (skew guard — see class doc). */
   def jaccardPairsExact(shingles: DataFrame, idCol: String, threshold: Double,
-                        maxDocFreq: Option[Int] = None): DataFrame = {
+                        maxDocFreq: Option[Int] = None): DataFrame =
+    pairCommonCounts(shingles, idCol, maxDocFreq)
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("common"), col("sz_a"), col("sz_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("id_a", "id_b")
+
+  /** NEAR-SUBSET (containment) dedup pairs — Broder's containment
+    * coefficient C(A,B) = |A∩B| / min(|A|,|B|) over distinct n-gram
+    * shingle sets: the curation measure for "one document is (mostly)
+    * embedded in another". Jaccard misses these BY CONSTRUCTION — a
+    * 100-token article quoted whole inside a 10,000-token page has
+    * J ≈ 0.01 but C = 1.0; boilerplate-wrapped rehosts, quote-farms and
+    * template-padded pages are exactly this shape. Same inverted-index
+    * equi-join skeleton (and df-cap skew guard) as [[jaccardPairsExact]];
+    * only the normalization differs. Output (id_a, id_b, containment,
+    * jaccard) at containment >= threshold — Jaccard rides along so a
+    * consumer separates near-SUBSET (high C, low J) from near-DUPLICATE
+    * (both high) without a second pass. */
+  def containmentPairs(shingles: DataFrame, idCol: String, threshold: Double,
+                       maxDocFreq: Option[Int] = None): DataFrame =
+    pairCommonCounts(shingles, idCol, maxDocFreq)
+      .select(col("id_a"), col("id_b"),
+        (col("common").cast("double") / least(col("sz_a"), col("sz_b")))
+          .as("containment"),
+        jaccard(col("common"), col("sz_a"), col("sz_b")).as("jaccard"))
+      .filter(col("containment") >= threshold)
+      .orderBy("id_a", "id_b")
+
+  /** Shared pair core of [[jaccardPairsExact]] / [[containmentPairs]]:
+    * (id_a, id_b, common, sz_a, sz_b) via the inverted index. */
+  private def pairCommonCounts(shingles: DataFrame, idCol: String,
+                               maxDocFreq: Option[Int]): DataFrame = {
     val ex0 = shingles.select(col(idCol).as("id"), explode(col("shingles")).as("sh"))
     val ex = maxDocFreq.fold(ex0) { cap =>
       // The HOT set (df > cap) is small by construction — bounded by
@@ -94,10 +126,6 @@ object DedupOps {
     common
       .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        jaccard(col("common"), col("sz_a"), col("sz_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .orderBy("id_a", "id_b")
   }
 
   /** Benchmark-contamination check — the decontamination pass every

@@ -1158,6 +1158,33 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(dropped.forall(id => id < 30 || id >= 1000))
   }
 
+  test("containmentPairs: finds the near-subset Jaccard misses by construction") {
+    // S = a contiguous 50-token slice of the 200-token L: every 3-shingle
+    // of S occurs in L, so C(S, L) = 1.0 while J ≈ 48/198 — the embedded-
+    // quote shape. (No driver query: the synthetic corpus has ZERO
+    // containment-only pairs at any threshold — measured, C-set == J-set —
+    // so a registered query would duplicate dedup_ngram_jaccard.)
+    // letters-only tokens: the [a-z]+ tokenizer splits on digits
+    val rnd = new scala.util.Random(41)
+    def tok(): String = Seq.fill(6)(('a' + rnd.nextInt(26)).toChar).mkString
+    val long = (0 until 200).map(_ => tok())
+    val short = long.slice(60, 110)
+    val noise = (0 until 6).map(d => (10L + d, (0 until 80).map(_ => tok()).mkString(" ")))
+    val docs = (Seq((1L, long.mkString(" ")), (2L, short.mkString(" "))) ++ noise)
+      .toDF("doc_id", "text")
+    val sh = DedupOps.shingleSets(docs, "doc_id", "text", 3)
+    val got = DedupOps.containmentPairs(sh, "doc_id", 0.9)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    assert(got.head._3 == 1.0, s"containment ${got.head._3}")
+    assert(got.head._4 < 0.5, "the planted pair must NOT be a Jaccard near-dup")
+    // Jaccard at the standard threshold is blind to it
+    assert(DedupOps.jaccardPairsExact(sh, "doc_id", 0.8).count() == 0)
+    // the df-cap guard flows through the shared pair core
+    assert(DedupOps.containmentPairs(sh, "doc_id", 0.9, maxDocFreq = Some(1000))
+      .count() == 1)
+  }
+
   test("graft_idot equals the interpreted zip_with fold on random int8 vectors") {
     graft.functions.GraftFunctions.register(spark)
     val rnd = new scala.util.Random(23)
