@@ -513,4 +513,29 @@ object JpegCodec {
     MediaFeatures(a.asset_id, a.format, gray.length.toLong,
       if (gray.length == 0) 0.0 else sum.toDouble / gray.length, hist)
   }
+
+  /** REAL nearest-neighbor resize on the DECODED grayscale grid —
+    * dst(x,y) = src(x·stride, y·stride), dims ceil-divided — fused with
+    * the stats of the resized pixels (the [[PngCodec.resizeFeatures]]
+    * contract; here the source pixels first pass the full entropy-decode +
+    * inverse-transform chain, so resize stats are a deterministic function
+    * of the encoded stream). */
+  def resizeFeatures(a: MediaAsset, stride: Int): ResizedFeatures = {
+    val (w, h, g) = decodeGray(a.payload)
+    val dw = (w + stride - 1) / stride
+    val dh = (h + stride - 1) / stride
+    var sum = 0L
+    var y = 0
+    while (y < dh) {
+      var x = 0
+      while (x < dw) {
+        sum += g((y * stride) * w + x * stride) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = dw.toLong * dh
+    ResizedFeatures(a.asset_id, a.format, dw, dh, n,
+      if (n == 0) 0.0 else sum.toDouble / n)
+  }
 }

@@ -490,8 +490,9 @@ object MultimodalOps {
         col("format"), col("asset_id"))
       .as[MediaAsset]
       .mapPartitions(_.map {
-        case a if a.format == "bmp" => BmpCodec.resizeFeatures(a, stride)
-        case a if a.format == "png" => PngCodec.resizeFeatures(a, stride)
+        case a if a.format == "bmp"  => BmpCodec.resizeFeatures(a, stride)
+        case a if a.format == "png"  => PngCodec.resizeFeatures(a, stride)
+        case a if a.format == "jpeg" => JpegCodec.resizeFeatures(a, stride)
         case a =>
           val r = FakeDecoder.resize(a, stride)
           val f = FakeDecoder.decode(r)

@@ -565,6 +565,65 @@ object MultimodalQueries {
         .orderBy("asset_id")
     },
 
+    // REAL resize through the LOSSY format: full entropy-decode + inverse
+    // transform chain, then nearest-neighbor sampling of the DECODED
+    // grayscale grid. The oracle replays the whole decode arithmetic and
+    // then the same sampling indices — fusing the mm_decode_jpeg chain
+    // with the resize contract, so a transform bug OR a sampling-index bug
+    // breaks the match.
+    QueryDef.withOracle("mm_resize_jpeg", {
+      val half = 1L << 41
+      val div = 1L << 42
+      val alphaRows = (0 until 8).map(u => s"($u,${if (u == 0) 724 else 1024})")
+        .mkString(",")
+      s"""WITH jya AS (SELECT doc_id AS asset_id, text,
+         |         CAST(8 * (doc_id % 3 + 1) AS INT) AS w,
+         |         CAST(8 * (doc_id % 2 + 1) AS INT) AS h FROM documents),
+         |jct(u, i, c) AS (SELECT * FROM (VALUES ${OraclePhash.dctRows}) t(u, i, c)),
+         |jal(u, a) AS (SELECT * FROM (VALUES $alphaRows) t(u, a)),
+         |jpx AS (SELECT asset_id, bi.b AS bi, bj.b AS bj, ri.i AS i, rj.j AS j,
+         |          CAST((CASE WHEN length(text) = 0 THEN 0
+         |                ELSE unicode(substr(text,
+         |                  CAST(((bi.b * 8 + ri.i) * w + bj.b * 8 + rj.j)
+         |                       % length(text) + 1 AS INT), 1)) END)
+         |               - 128 AS BIGINT) AS p
+         |        FROM jya, range(2) bi(b), range(3) bj(b),
+         |             range(8) ri(i), range(8) rj(j)
+         |        WHERE bi.b < h // 8 AND bj.b < w // 8),
+         |jf AS (SELECT asset_id, bi, bj, cu.u AS u, cv.u AS v,
+         |         CAST(SUM(p * cu.c * cv.c) AS BIGINT) AS fraw
+         |       FROM jpx JOIN jct cu ON cu.i = jpx.i
+         |                JOIN jct cv ON cv.i = jpx.j
+         |       GROUP BY 1, 2, 3, 4, 5),
+         |jq AS (SELECT f.asset_id, bi, bj, f.u AS u, f.v AS v,
+         |         (fraw * au.a * av.a + $half) // $div AS qc
+         |       FROM jf f JOIN jal au ON au.u = f.u JOIN jal av ON av.u = f.v),
+         |jr AS (SELECT q.asset_id, bi, bj, ci.i AS i, cj.i AS j,
+         |         CAST((SUM(qc * au.a * av.a * ci.c * cj.c) + $half) // $div
+         |              AS BIGINT) + 128 AS s
+         |       FROM jq q JOIN jal au ON au.u = q.u JOIN jal av ON av.u = q.v
+         |                 JOIN jct ci ON ci.u = q.u JOIN jct cj ON cj.u = q.v
+         |       GROUP BY 1, 2, 3, 4, 5),
+         |jsam AS (SELECT asset_id,
+         |           CAST(greatest(0, least(255, s)) AS BIGINT) AS px
+         |         FROM jr WHERE (bi * 8 + i) % 2 = 0 AND (bj * 8 + j) % 2 = 0),
+         |jagg AS (SELECT asset_id, CAST(count(*) AS BIGINT) AS nb,
+         |           SUM(px) AS sp FROM jsam GROUP BY 1)
+         |SELECT jagg.asset_id, 'jpeg' AS format,
+         |  CAST(w // 2 AS INT) AS dst_w, CAST(h // 2 AS INT) AS dst_h,
+         |  nb AS n_bytes, CAST(sp AS DOUBLE) / nb AS mean_byte
+         |FROM jagg JOIN jya ON jya.asset_id = jagg.asset_id
+         |ORDER BY jagg.asset_id""".stripMargin
+    }) { (s, dir) =>
+      MultimodalOps.resizeFeatures(
+        MultimodalOps.jpegAssetsFromDocuments(Tables(s, dir, "documents")), stride = 2)
+        .toDF()
+        .select(col("asset_id"), col("format"),
+          col("width").as("dst_w"), col("height").as("dst_h"),
+          col("n_bytes"), col("mean_byte"))
+        .orderBy("asset_id")
+    },
+
     // REAL COMPRESSED AUDIO: G.711 µ-law WAV (format tag 7, 18-byte fmt
     // chunk) — the decoder expands every on-wire code byte to its linear
     // value with the exact ITU integer formula, so the oracle replays

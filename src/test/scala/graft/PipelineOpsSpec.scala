@@ -2075,6 +2075,22 @@ class PipelineOpsSpec extends SparkTestBase {
       Option(e.getCause).exists(_.getMessage.contains("needs avi")))
   }
 
+  test("resizeFeatures: jpeg route samples the DECODED grid, not the payload") {
+    import graft.ops.JpegCodec
+    val rnd = new scala.util.Random(43)
+    val (w, h) = (24, 16)
+    val gray = Array.fill(w * h)(rnd.nextInt(128).toByte)
+    val payload = JpegCodec.encodeGray(w, h, gray)
+    val assets = Seq((3L, "jpeg", payload, w, h, 1, 0))
+      .toDF("asset_id", "format", "payload", "width", "height", "channels", "sample_rate")
+    val r = MultimodalOps.resizeFeatures(assets, stride = 2).collect().head
+    val (_, _, dec) = JpegCodec.decodeGray(payload) // lossy: stats over DECODED pixels
+    val sampled = for { y <- 0 until h / 2; x <- 0 until w / 2 }
+      yield dec((y * 2) * w + x * 2) & 0xff
+    assert(r.width == w / 2 && r.height == h / 2 && r.n_bytes == sampled.length.toLong)
+    assert(r.mean_byte == sampled.map(_.toLong).sum.toDouble / sampled.length)
+  }
+
   test("imagePhash: jpeg route hashes the DECODED pixel grid") {
     import graft.ops.JpegCodec
     val rnd = new scala.util.Random(13)
