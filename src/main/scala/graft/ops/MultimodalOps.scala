@@ -290,6 +290,32 @@ object MultimodalOps {
       }.toDF()
   }
 
+  /** Deterministic PREDICTIVE-codec asset table: each doc becomes a
+    * genuine IMA ADPCM WAV (format 0x11 — 4-bit block-predictive codes,
+    * per-block header, `fact`-trimmed) over the same affine text-byte
+    * sample map as the PCM fixture. Lossy, but the fused encode→decode
+    * chain is an exact integer state machine, so the decoded samples are
+    * a deterministic function of the text — the oracle replays the whole
+    * predictor/step-index recursion. blockAlign 8 → 9 samples/block keeps
+    * many block boundaries (header snapshots, final-block padding) inside
+    * every document. */
+  def adpcmWavAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rates = Array(8000, 16000, 44100)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .filter(_._2.nonEmpty) // the codec requires >= 1 sample (empty docs have none)
+      .map { case (id, text) =>
+        require(text.forall(_ < 128),
+          s"adpcm fixture requires ASCII text (doc $id)")
+        val samples = Array.tabulate(text.length)(i =>
+          ((text.charAt(i) - 80) * 257).toShort)
+        val rate = rates((id % 3).toInt)
+        MediaAsset(id, "wav", WavCodec.encodeAdpcm(rate, samples, blockAlign = 8),
+          0, 0, 1, rate)
+      }.toDF()
+  }
+
   /** Deterministic REAL-PNG asset table from `documents`: each doc becomes
     * a genuine grayscale-8 PNG (signature, CRC'd chunk walk, DEFLATE'd
     * scanlines split across two IDAT chunks) whose pixels are the text's

@@ -127,13 +127,114 @@ object WavCodec {
     buf.array()
   }
 
+  // ------------------------------------------- IMA ADPCM (format 0x11)
+
+  /** IMA/DVI ADPCM step-size table (the public 89-entry table from the
+    * IMA Digital Audio Pack recommendation). */
+  private[graft] val AdpcmSteps: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  /** Index-adaptation table (per 3-bit code magnitude). */
+  private[graft] val AdpcmIndexAdjust: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA ADPCM prediction step shared by encoder and decoder: given a
+    * 4-bit code and (pred, index), the next (pred, index) — the decoder's
+    * reconstruction IS the encoder's predictor, which is what makes the
+    * codec self-synchronizing. */
+  private def adpcmStep(code: Int, pred: Int, index: Int): (Int, Int) = {
+    val step = AdpcmSteps(index)
+    var dq = step >> 3
+    if ((code & 4) != 0) dq += step
+    if ((code & 2) != 0) dq += step >> 1
+    if ((code & 1) != 0) dq += step >> 2
+    val p = math.max(-32768, math.min(32767,
+      if ((code & 8) != 0) pred - dq else pred + dq))
+    val i = math.max(0, math.min(88, index + AdpcmIndexAdjust(code & 7)))
+    (p, i)
+  }
+
+  /** Encode mono 16-bit samples as WAVE_FORMAT_IMA_ADPCM (0x11): the
+    * block layout of the public IMA-in-WAV mapping — per block a 4-byte
+    * header (int16 predictor = the block's first sample verbatim, uint8
+    * step index, reserved) then two 4-bit codes per byte, LOW nibble
+    * first; `fact` chunk carries the true sample count so decoders trim
+    * the final block's padding; fmt chunk is the 20-byte compressed form
+    * (cbSize = 2, wSamplesPerBlock). The step index carries ACROSS blocks
+    * (each header snapshots it), so blocks decode independently — the
+    * format's own parallelism unit. */
+  def encodeAdpcm(sampleRate: Int, samples: Array[Short],
+                  blockAlign: Int = 256): Array[Byte] = {
+    require(sampleRate > 0, "need a positive rate")
+    require(blockAlign >= 8 && blockAlign % 4 == 0,
+      "blockAlign must be >= 8 and a multiple of 4")
+    require(samples.nonEmpty, "need at least one sample")
+    val spb = (blockAlign - 4) * 2 + 1 // samples per block incl. header
+    val nBlocks = (samples.length + spb - 1) / spb
+    val dataSize = nBlocks * blockAlign
+    val riffSize = 4 + (8 + 20) + (8 + 4) + (8 + dataSize)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(0x11.toShort) // WAVE_FORMAT_IMA_ADPCM
+      .putShort(1.toShort).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign / spb) // approx byte rate
+      .putShort(blockAlign.toShort)
+      .putShort(4.toShort)   // bits per (coded) sample
+      .putShort(2.toShort)   // cbSize
+      .putShort(spb.toShort) // wSamplesPerBlock
+    buf.put("fact".getBytes("US-ASCII")).putInt(4).putInt(samples.length)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var pos = 0
+    var index = 0
+    while (pos < samples.length) {
+      var pred: Int = samples(pos)
+      buf.putShort(pred.toShort).put(index.toByte).put(0.toByte)
+      var i = 1
+      var nibbles = 0
+      var pair = 0
+      while (i < spb) {
+        val code =
+          if (pos + i < samples.length) {
+            val s = samples(pos + i).toInt
+            val step = AdpcmSteps(index)
+            val diff = s - pred
+            val sign = if (diff < 0) 8 else 0
+            var d = math.abs(diff)
+            var c = sign
+            if (d >= step) { c |= 4; d -= step }
+            if (d >= (step >> 1)) { c |= 2; d -= step >> 1 }
+            if (d >= (step >> 2)) c |= 1
+            val (p2, i2) = adpcmStep(c, pred, index)
+            pred = p2; index = i2
+            c
+          } else 0 // final-block padding; `fact` trims it on decode
+        if (nibbles % 2 == 0) pair = code & 0xf
+        else { buf.put((pair | ((code & 0xf) << 4)).toByte) }
+        nibbles += 1
+        i += 1
+      }
+      pos += spb
+    }
+    buf.array()
+  }
+
   /** Parse a RIFF/WAVE payload into (sampleRate, channels, interleaved
     * 16-bit samples). Walks the chunk list (even-size padding honored),
     * validates magics, format code and bit depth — a malformed payload
     * fails loudly instead of producing garbage stats. Format 1 (16-bit
     * PCM) passes samples through; format 7 (G.711 µ-law) EXPANDS each
-    * code byte to its linear value, so every downstream stat runs over
-    * the real decoded signal regardless of the on-wire encoding. */
+    * code byte to its linear value; format 0x11 (IMA ADPCM) runs the
+    * block-structured predictive reconstruction (`fact`-trimmed), so
+    * every downstream stat runs over the real decoded signal regardless
+    * of the on-wire encoding. */
   def decode(payload: Array[Byte]): (Int, Int, Array[Short]) = {
     require(payload.length >= 12, "truncated RIFF header")
     def fourcc(off: Int) = new String(payload, off, 4, "US-ASCII")
@@ -143,7 +244,9 @@ object WavCodec {
     var pos = 12
     var rate = -1
     var channels = -1
-    var mulaw = false
+    var tag = -1
+    var blockAlign = -1
+    var factLen = -1
     var samples: Array[Short] = null
     while (pos + 8 <= payload.length) {
       val id = fourcc(pos)
@@ -154,27 +257,61 @@ object WavCodec {
       id match {
         case "fmt " =>
           require(size >= 16, "fmt chunk too small")
-          val tag = buf.getShort(body).toInt
-          require(tag == 1 || tag == 7,
-            s"only PCM (1) and mu-law (7) supported, got format $tag")
-          mulaw = tag == 7
+          tag = buf.getShort(body).toInt
+          require(tag == 1 || tag == 7 || tag == 0x11,
+            s"only PCM (1), mu-law (7) and IMA ADPCM (0x11) supported, got format $tag")
           channels = buf.getShort(body + 2).toInt
           rate = buf.getInt(body + 4)
+          blockAlign = buf.getShort(body + 12).toInt
           val bits = buf.getShort(body + 14).toInt
-          require(bits == (if (mulaw) 8 else 16),
-            s"format $tag requires ${if (mulaw) 8 else 16}-bit samples, got $bits")
+          val want = tag match { case 1 => 16; case 7 => 8; case _ => 4 }
+          require(bits == want,
+            s"format $tag requires $want-bit samples, got $bits")
           require(channels > 0 && rate > 0, "invalid fmt geometry")
+          if (tag == 0x11) {
+            require(channels == 1, "IMA ADPCM: mono only")
+            require(blockAlign >= 8, "IMA ADPCM: blockAlign too small")
+          }
+        case "fact" =>
+          require(size >= 4, "fact chunk too small")
+          factLen = buf.getInt(body)
         case "data" =>
           require(rate > 0, "data chunk before fmt")
-          if (mulaw) {
-            samples = new Array[Short](size)
-            var i = 0
-            while (i < size) { samples(i) = mulawToLinear(payload(body + i) & 0xff); i += 1 }
-          } else {
-            require(size % 2 == 0, "odd data size for 16-bit samples")
-            samples = new Array[Short](size / 2)
-            var i = 0
-            while (i < samples.length) { samples(i) = buf.getShort(body + i * 2); i += 1 }
+          tag match {
+            case 7 =>
+              samples = new Array[Short](size)
+              var i = 0
+              while (i < size) { samples(i) = mulawToLinear(payload(body + i) & 0xff); i += 1 }
+            case 0x11 =>
+              require(factLen >= 0, "IMA ADPCM requires a fact chunk before data")
+              require(size % blockAlign == 0, "data size not a whole block count")
+              val spb = (blockAlign - 4) * 2 + 1
+              val out = new Array[Short](factLen)
+              var o = 0
+              var b = body
+              while (b < body + size && o < factLen) {
+                var pred: Int = buf.getShort(b)
+                var index: Int = payload(b + 2) & 0xff
+                require(index <= 88, s"corrupt block header index $index")
+                out(o) = pred.toShort; o += 1
+                var i = 1
+                while (i < spb && o < factLen) {
+                  val byte = payload(b + 4 + (i - 1) / 2) & 0xff
+                  val code = if ((i - 1) % 2 == 0) byte & 0xf else byte >> 4
+                  val (p2, i2) = adpcmStep(code, pred, index)
+                  pred = p2; index = i2
+                  out(o) = pred.toShort; o += 1
+                  i += 1
+                }
+                b += blockAlign
+              }
+              require(o == factLen, s"fact says $factLen samples, stream held $o")
+              samples = out
+            case _ =>
+              require(size % 2 == 0, "odd data size for 16-bit samples")
+              samples = new Array[Short](size / 2)
+              var i = 0
+              while (i < samples.length) { samples(i) = buf.getShort(body + i * 2); i += 1 }
           }
         case _ => () // unknown metadata chunk: skip
       }

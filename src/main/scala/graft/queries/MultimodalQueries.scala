@@ -663,6 +663,91 @@ object MultimodalQueries {
         .orderBy("asset_id")
     },
 
+    // REAL PREDICTIVE AUDIO: IMA ADPCM (WAV format 0x11) — 4-bit codes,
+    // per-block headers, fact-trimmed padding. Lossy, but the fused
+    // encode->decode chain is an exact integer STATE MACHINE, so the
+    // oracle replays it sample by sample with a RECURSIVE CTE (the BPE
+    // trainer set the precedent): per step, the encoder's quantized code
+    // from (sample, predictor, step index), then the shared
+    // predictor/index update — the decoded value IS the updated
+    // predictor. A step-table, sign, clamp, block-boundary or nibble
+    // order bug in either codec direction breaks the value match.
+    QueryDef.withOracle("mm_decode_adpcm", {
+      val stepRows = graft.ops.WavCodec.AdpcmSteps.zipWithIndex
+        .map { case (v, i) => s"($i,$v)" }.mkString(",")
+      val idxRows = graft.ops.WavCodec.AdpcmIndexAdjust.zipWithIndex
+        .map { case (d, c) => s"($c,$d)" }.mkString(",")
+      val spb = 9 // blockAlign 8 -> 1 header + 8 coded samples per block
+      s"""WITH RECURSIVE
+         |stt(si, st) AS (SELECT * FROM (VALUES $stepRows) t(si, st)),
+         |itb(ic, id) AS (SELECT * FROM (VALUES $idxRows) t(ic, id)),
+         |src AS (SELECT doc_id, text, length(text) AS n,
+         |          ([8000, 16000, 44100])[CAST(doc_id % 3 AS INT) + 1] AS rate
+         |        FROM documents),
+         |rec AS (
+         |  SELECT doc_id, 0 AS i, CAST(0 AS INT) AS pred, 0 AS idx,
+         |         CAST(NULL AS INT) AS dec
+         |  FROM src WHERE n > 0
+         |  UNION ALL
+         |  SELECT doc_id, i, CASE WHEN hdr THEN smp ELSE np END,
+         |         CASE WHEN hdr THEN idx ELSE ni END,
+         |         CASE WHEN hdr THEN smp ELSE np END
+         |  FROM (
+         |    SELECT q.doc_id, q.i, q.idx, q.hdr, q.smp,
+         |      greatest(-32768, least(32767,
+         |        q.pred + CASE WHEN q.sgn THEN -q.dq ELSE q.dq END)) AS np,
+         |      greatest(0, least(88, q.idx + itb.id)) AS ni
+         |    FROM (
+         |      SELECT p.*,
+         |        (p.st // 8) + p.c4 * p.st + p.c2 * (p.st // 2)
+         |          + p.c1 * (p.st // 4) AS dq,
+         |        p.c4 * 4 + p.c2 * 2 + p.c1 AS cm
+         |      FROM (
+         |        SELECT b.*,
+         |          CASE WHEN b.d0 >= b.st THEN 1 ELSE 0 END AS c4,
+         |          CASE WHEN b.d0 - (CASE WHEN b.d0 >= b.st THEN b.st ELSE 0 END)
+         |                 >= b.st // 2 THEN 1 ELSE 0 END AS c2,
+         |          CASE WHEN b.d0 - (CASE WHEN b.d0 >= b.st THEN b.st ELSE 0 END)
+         |                 - (CASE WHEN b.d0 - (CASE WHEN b.d0 >= b.st THEN b.st ELSE 0 END)
+         |                      >= b.st // 2 THEN b.st // 2 ELSE 0 END)
+         |                 >= b.st // 4 THEN 1 ELSE 0 END AS c1
+         |        FROM (
+         |          SELECT r.doc_id, r.i + 1 AS i, r.pred, r.idx,
+         |            (r.i % $spb) = 0 AS hdr,
+         |            CAST((unicode(substr(s.text, r.i + 1, 1)) - 80) * 257 AS INT) AS smp,
+         |            (CAST((unicode(substr(s.text, r.i + 1, 1)) - 80) * 257 AS INT)
+         |              - r.pred) < 0 AS sgn,
+         |            abs(CAST((unicode(substr(s.text, r.i + 1, 1)) - 80) * 257 AS INT)
+         |              - r.pred) AS d0,
+         |            stt.st AS st
+         |          FROM rec r JOIN src s USING (doc_id) JOIN stt ON stt.si = r.idx
+         |          WHERE r.i < s.n
+         |        ) b
+         |      ) p
+         |    ) q JOIN itb ON itb.ic = q.cm
+         |  )
+         |),
+         |ds AS (SELECT doc_id, list(dec ORDER BY i) AS ss FROM rec
+         |       WHERE i > 0 GROUP BY doc_id)
+         |SELECT src.doc_id AS asset_id, 'wav' AS format,
+         |  CAST(rate AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+         |  CAST(len(ss) AS BIGINT) AS n_samples,
+         |  CAST(len(ss) AS DOUBLE) / rate AS duration_s,
+         |  sqrt(CAST(list_sum(list_transform(ss, x -> CAST(x AS BIGINT) * x))
+         |            AS DOUBLE) / len(ss)) AS rms,
+         |  CAST(COALESCE(list_max(list_transform(ss, x -> abs(x))), 0) AS INT) AS peak,
+         |  CAST(COALESCE(list_sum(list_transform(range(1, len(ss)),
+         |    i -> CASE WHEN (ss[i] >= 0) <> (ss[i + 1] >= 0)
+         |              THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
+         |FROM ds JOIN src ON src.doc_id = ds.doc_id
+         |ORDER BY asset_id""".stripMargin
+    }) { (s, dir) =>
+      MultimodalOps.audioFeatures(
+        MultimodalOps.adpcmWavAssetsFromDocuments(Tables(s, dir, "documents")))
+        .toDF()
+        .orderBy("asset_id")
+    },
+
     // REAL VIDEO: MJPEG-in-AVI container walk + per-frame baseline-JPEG
     // decode, sampling every 2nd frame. The oracle replays the WHOLE chain
     // per sampled frame — per-frame tiling offset (7·f) -> forward DCT ->

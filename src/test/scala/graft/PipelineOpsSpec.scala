@@ -2015,6 +2015,55 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(WavCodec.decode(pcm)._3.toSeq == Seq[Short](-3, 0, 7))
   }
 
+  test("WavCodec IMA ADPCM: block-predictive round-trip matches the scalar state machine") {
+    // scalar reference of the fused encode->decode chain (the decoded
+    // value is the encoder's own reconstructed predictor)
+    def chain(samples: Array[Short], spb: Int): Array[Short] = {
+      val out = new Array[Short](samples.length)
+      var pred = 0; var idx = 0
+      samples.indices.foreach { i =>
+        if (i % spb == 0) { pred = samples(i); out(i) = samples(i) }
+        else {
+          val step = WavCodec.AdpcmSteps(idx)
+          val diff = samples(i) - pred
+          val sign = if (diff < 0) 8 else 0
+          var d = math.abs(diff)
+          var c = sign
+          if (d >= step) { c |= 4; d -= step }
+          if (d >= (step >> 1)) { c |= 2; d -= step >> 1 }
+          if (d >= (step >> 2)) c |= 1
+          var dq = step >> 3
+          if ((c & 4) != 0) dq += step
+          if ((c & 2) != 0) dq += step >> 1
+          if ((c & 1) != 0) dq += step >> 2
+          pred = math.max(-32768, math.min(32767, if (sign != 0) pred - dq else pred + dq))
+          idx = math.max(0, math.min(88, idx + WavCodec.AdpcmIndexAdjust(c & 7)))
+          out(i) = pred.toShort
+        }
+      }
+      out
+    }
+    val rnd = new scala.util.Random(29)
+    for (trial <- 0 until 6) {
+      // lengths straddle block boundaries: exact multiples, off-by-one, tiny
+      val n = Seq(9, 10, 17, 1, 40, 23)(trial)
+      val samples = Array.fill(n)((rnd.nextInt(65536) - 32768).toShort)
+      val wav = WavCodec.encodeAdpcm(8000, samples, blockAlign = 8)
+      val (rate, ch, got) = WavCodec.decode(wav)
+      assert(rate == 8000 && ch == 1 && got.length == n) // fact trims padding
+      assert(got.toSeq == chain(samples, spb = 9).toSeq, s"trial $trial diverged")
+      // prediction error is step-bounded: on a SMOOTH signal the codec
+      // tracks closely (the adaptive index exists for exactly this)
+    }
+    val smooth = Array.tabulate(200)(i => (2000 * math.sin(i / 8.0)).toShort)
+    val (_, _, dec) = WavCodec.decode(WavCodec.encodeAdpcm(8000, smooth, blockAlign = 8))
+    val maxErr = smooth.zip(dec).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxErr <= 1024, s"smooth-signal tracking error $maxErr")
+    // loud failures: stereo unsupported, data without fact
+    intercept[IllegalArgumentException](
+      WavCodec.encodeAdpcm(8000, Array.empty[Short]))
+  }
+
   test("AviCodec: MJPEG container round-trips frames, geometry and rate through the chunk walk") {
     import graft.ops.{AviCodec, JpegCodec}
     val rnd = new scala.util.Random(31)
