@@ -44,12 +44,13 @@ final case class VideoFrameFeatures(
   * real Spark plumbing a production decoder would use unchanged. Formats
   * decodable in pure JVM bytes are NOT stubbed: [[BmpCodec]] (24bpp BMP),
   * [[graft.ops.PngCodec]] (grayscale/truecolor/palette PNG),
-  * [[graft.ops.WavCodec]] (RIFF/PCM), [[graft.ops.JpegCodec]] (baseline
-  * grayscale + YCbCr color JPEG) and [[graft.ops.AviCodec]] (MJPEG/AVI
-  * video, plus G.711 µ-law audio behind WavCodec's format-7 dispatch) all
-  * parse the genuine formats; the stub remains only for inter-frame video
-  * (H.264-class) and perceptual-audio (MP3/AAC-class) families that
-  * genuinely need native codecs. */
+  * [[graft.ops.GifCodec]] (GIF89a with the real adaptive LZW),
+  * [[graft.ops.WavCodec]] (RIFF/PCM + G.711 µ-law + IMA ADPCM),
+  * [[graft.ops.JpegCodec]] (baseline grayscale + YCbCr color JPEG) and
+  * [[graft.ops.AviCodec]] (MJPEG/AVI video) all parse the genuine
+  * formats; the stub remains only for inter-frame video (H.264-class)
+  * and perceptual-audio (MP3/AAC-class) families that genuinely need
+  * native codecs. */
 object FakeDecoder {
   val HistBuckets = 16
 
@@ -290,6 +291,27 @@ object MultimodalOps {
       }.toDF()
   }
 
+  /** Deterministic REAL-GIF asset table: each doc becomes a genuine
+    * GIF89a (grayscale global color table, comment extension, REAL
+    * adaptive-LZW image data) whose pixels are the text's bytes tiled
+    * over a (doc_id-derived) w×h grid. LZW is lossless, so the oracle
+    * recomputes decoded-pixel stats from the tiling alone — the whole
+    * variable-width entropy path has to be right for the match to hold. */
+  def gifAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        require(text.forall(_ < 128),
+          s"gif fixture requires ASCII text (doc $id)")
+        val w = (id % 11 + 1).toInt
+        val h = (id % 6 + 1).toInt
+        val px = Array.tabulate(w * h)(i =>
+          (if (text.isEmpty) 0 else text.charAt(i % text.length).toInt).toByte)
+        MediaAsset(id, "gif", GifCodec.encode(w, h, px), w, h, 1, 0)
+      }.toDF()
+  }
+
   /** Deterministic PREDICTIVE-codec asset table: each doc becomes a
     * genuine IMA ADPCM WAV (format 0x11 — 4-bit block-predictive codes,
     * per-block header, `fact`-trimmed) over the same affine text-byte
@@ -440,6 +462,7 @@ object MultimodalOps {
         case a if a.format == "bmp"  => BmpCodec.decodeFeatures(a)
         case a if a.format == "png"  => PngCodec.decodeFeatures(a)
         case a if a.format == "jpeg" => JpegCodec.decodeFeatures(a)
+        case a if a.format == "gif"  => GifCodec.decodeFeatures(a)
         case a                       => FakeDecoder.decode(a)
       })
   }

@@ -663,6 +663,38 @@ object MultimodalQueries {
         .orderBy("asset_id")
     },
 
+    // REAL GIF: logical-screen/GCT/extension/image-descriptor walk + the
+    // actual variable-width adaptive LZW decoder (clear/EOI, KwKwK,
+    // decoder-lags-encoder width sync). Lossless round-trip, so the
+    // oracle recomputes decoded-pixel stats from the tiling alone — any
+    // bit-packing, dictionary or width-boundary bug in EITHER direction
+    // breaks the value match.
+    QueryDef.withOracle("mm_decode_gif",
+      """WITH a AS (
+        |  SELECT doc_id, text,
+        |         CAST(doc_id % 11 + 1 AS INT) AS w,
+        |         CAST(doc_id % 6 + 1 AS INT) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, list_transform(range(0, w * h),
+        |           i -> CASE WHEN length(text) = 0 THEN 0
+        |                     ELSE unicode(substr(text,
+        |                            CAST(i % length(text) + 1 AS INT), 1)) END) AS cs
+        |  FROM a)
+        |SELECT doc_id AS asset_id, 'gif' AS format,
+        |  CAST(len(cs) AS BIGINT) AS n_bytes,
+        |  CAST(list_sum(cs) AS DOUBLE) / len(cs) AS mean_byte,
+        |  array_to_string(list_transform(range(0, 16),
+        |    b -> CAST(len(list_filter(cs, x -> x // 16 = b)) AS VARCHAR)), ',') AS byte_hist
+        |FROM c ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      MultimodalOps.decodeFeatures(
+        MultimodalOps.gifAssetsFromDocuments(Tables(s, dir, "documents")))
+        .toDF()
+        .select(col("asset_id"), col("format"), col("n_bytes"), col("mean_byte"),
+          concat_ws(",", col("byte_hist")).as("byte_hist"))
+        .orderBy("asset_id")
+    },
+
     // REAL PREDICTIVE AUDIO: IMA ADPCM (WAV format 0x11) — 4-bit codes,
     // per-block headers, fact-trimmed padding. Lossy, but the fused
     // encode->decode chain is an exact integer STATE MACHINE, so the

@@ -2015,6 +2015,38 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(WavCodec.decode(pcm)._3.toSeq == Seq[Short](-3, 0, 7))
   }
 
+  test("GifCodec: adaptive LZW round-trips pixels exactly across dictionary regimes") {
+    import graft.ops.GifCodec
+    val rnd = new scala.util.Random(47)
+    // regimes: tiny (no dict growth), repetitive (deep chains + KwKwK),
+    // random-256 (fast width growth), and LARGE random (fills the 4096
+    // dictionary -> mid-stream CLEAR + reset)
+    val cases = Seq(
+      (1, 1, Array[Byte](42)),
+      (3, 2, Array[Byte](7, 7, 7, 7, 7, 7)),
+      (40, 5, Array.tabulate(200)(i => (i % 3).toByte)), // aaabbb-style chains
+      (64, 32, Array.fill(2048)(rnd.nextInt(256).toByte)),
+      (128, 100, Array.fill(12800)(rnd.nextInt(256).toByte)) // dict overflow
+    )
+    cases.zipWithIndex.foreach { case ((w, h, px), k) =>
+      val gif = GifCodec.encode(w, h, px)
+      assert(new String(gif, 0, 6, "US-ASCII") == "GIF89a")
+      val (dw, dh, dec) = GifCodec.decode(gif)
+      assert(dw == w && dh == h, s"case $k dims")
+      assert(java.util.Arrays.equals(dec, px), s"case $k pixels diverged")
+    }
+    // KwKwK explicitly: "ababa..." makes the decoder read a code it hasn't
+    // defined yet on the second repetition
+    val kwk = Array.tabulate(64)(i => (if (i % 2 == 0) 1 else 2).toByte)
+    assert(java.util.Arrays.equals(GifCodec.decode(GifCodec.encode(8, 8, kwk))._3, kwk))
+    // loud failures: not a GIF, truncated stream
+    intercept[IllegalArgumentException](
+      GifCodec.decode("NOTAGIF89a000".getBytes("US-ASCII")))
+    val good = GifCodec.encode(4, 4, Array.fill(16)(9.toByte))
+    intercept[IllegalArgumentException](
+      GifCodec.decode(java.util.Arrays.copyOfRange(good, 0, good.length - 4)))
+  }
+
   test("WavCodec IMA ADPCM: block-predictive round-trip matches the scalar state machine") {
     // scalar reference of the fused encode->decode chain (the decoded
     // value is the encoder's own reconstructed predictor)
