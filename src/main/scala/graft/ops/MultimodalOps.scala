@@ -498,8 +498,11 @@ object MultimodalOps {
           case "jpeg" => // baseline grayscale: replicate to 3 channels
             val (jw, jh, g) = JpegCodec.decodeGray(a.payload)
             (jw, jh, g.flatMap(b => Array(b, b, b)))
+          case "gif" => // palette-expanded grayscale, replicated likewise
+            val (gw, gh, g) = GifCodec.decode(a.payload)
+            (gw, gh, g.flatMap(b => Array(b, b, b)))
           case f => throw new IllegalArgumentException(
-            s"imagePatches needs bmp, png or jpeg, got $f")
+            s"imagePatches needs bmp, png, gif or jpeg, got $f")
         }
         for {
           py <- 0 until h / patch
@@ -811,6 +814,9 @@ object MultimodalOps {
           case "jpeg" =>
             val (jw, jh, g) = JpegCodec.decodeGray(a.payload)
             (g, jw, jh)
+          case "gif" =>
+            val (gw, gh, g) = GifCodec.decode(a.payload)
+            (g, gw, gh)
           case "bmp" =>
             val (bw, bh, rgb) = BmpCodec.decode(a.payload)
             val g = Array.tabulate(bw * bh) { p =>
@@ -819,7 +825,7 @@ object MultimodalOps {
             }
             (g, bw, bh)
           case f => throw new IllegalArgumentException(
-            s"imagePhash needs bmp, png or jpeg, got $f")
+            s"imagePhash needs bmp, png, gif or jpeg, got $f")
         }
         (a.asset_id, phash64(gray, w, h))
       })

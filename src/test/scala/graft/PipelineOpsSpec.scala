@@ -1879,8 +1879,8 @@ class PipelineOpsSpec extends SparkTestBase {
     val e = intercept[org.apache.spark.SparkException] {
       MultimodalOps.imagePatches(wav, patch = 2).collect()
     }
-    assert(e.getMessage.contains("imagePatches needs bmp, png or jpeg") ||
-      Option(e.getCause).exists(_.getMessage.contains("imagePatches needs bmp, png or jpeg")))
+    assert(e.getMessage.contains("imagePatches needs bmp, png, gif or jpeg") ||
+      Option(e.getCause).exists(_.getMessage.contains("imagePatches needs bmp, png, gif or jpeg")))
   }
 
   test("audioFeatures/audioFrames route wav payloads through the real parser") {
@@ -2170,6 +2170,19 @@ class PipelineOpsSpec extends SparkTestBase {
       yield dec((y * 2) * w + x * 2) & 0xff
     assert(r.width == w / 2 && r.height == h / 2 && r.n_bytes == sampled.length.toLong)
     assert(r.mean_byte == sampled.map(_.toLong).sum.toDouble / sampled.length)
+  }
+
+  test("imagePhash/imagePatches: gif route uses the LZW-decoded pixel grid") {
+    import graft.ops.GifCodec
+    val rnd = new scala.util.Random(53)
+    val (w, h) = (16, 8)
+    val px = Array.fill(w * h)(rnd.nextInt(256).toByte)
+    val assets = Seq((6L, "gif", GifCodec.encode(w, h, px), w, h, 1, 0))
+      .toDF("asset_id", "format", "payload", "width", "height", "channels", "sample_rate")
+    val got = MultimodalOps.imagePhash(assets).collect().head.getLong(1)
+    assert(got == MultimodalOps.phash64(px, w, h)) // lossless: decode == source
+    val p = MultimodalOps.imagePatches(assets, patch = 8).collect()
+    assert(p.length == 2 && p.forall(_.patch.length == 192))
   }
 
   test("imagePhash: jpeg route hashes the DECODED pixel grid") {
