@@ -1461,11 +1461,20 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
     * "host=web-01,dc=us" are legal series. Safe on disk because seriesDir
     * Hive-escapes the physical directory name; db/measurement names stay
     * strict (they name catalog paths and parquet column namespaces). */
-  private def validSeriesName(s: String): Unit =
+  private def validSeriesName(s: String): Unit = {
     if (s == null || s.isEmpty || s.length > 123 ||
         s.exists(c => c == '/' || c == ' ' || c == '\\') ||
         s.startsWith("_") || s == "." || s == "..")
       throw new InvalidSchemaException(s"invalid series name '$s'")
+    // the RAW bound is not enough: Hive escaping expands each special
+    // char to %XX, and "series=" + escaped must stay under the 255-byte
+    // filesystem component limit — fail LOUDLY here instead of an
+    // ENAMETOOLONG mid-write that would leave a pending marker behind
+    if (org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(s).length > 240)
+      throw new InvalidSchemaException(
+        s"series name escapes past the filesystem path-component limit: '$s'")
+  }
 
   private def listDirs(p: Path): Seq[String] = {
     val f = fs(p)

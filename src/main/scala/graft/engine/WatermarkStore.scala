@@ -248,8 +248,14 @@ object WatermarkStore {
 
   private val SnapRe = """snap-(\d{16})(?:-[0-9a-f]{8})?\.jsonl""".r
   private val DeltaRe = """delta-(\d{16})-([0-9a-f]{8})\.jsonl""".r
+  // the series field is written Hive-ESCAPED (same canonical escape as
+  // seriesDir), so tag-encoded keys holding '=', ':', '%', '#', '"' or
+  // commas survive the JSON line format and a FRESH instance's re-parse;
+  // plain names escape to themselves, so pre-existing stores read
+  // unchanged. The pattern admits any escaped-name byte except the
+  // closing quote (escapePathName turns '"' into %22).
   private val LineRe =
-    """\{"series":"([A-Za-z0-9_.-]+)","time_first":(-?\d+),"time_last":(-?\d+)\}""".r
+    """\{"series":"([^"]+)","time_first":(-?\d+),"time_last":(-?\d+)\}""".r
   private val MergedRe = """\{"merged":\[(.*)\]\}""".r
 
   /** Snapshot body: a header naming the folded files, then the table. */
@@ -272,12 +278,16 @@ object WatermarkStore {
 
   private[graft] def encodeLines(m: Map[String, SeriesRange]): String =
     m.toSeq.sortBy(_._1).map { case (s, r) =>
-      s"""{"series":"$s","time_first":${r.timeFirst},"time_last":${r.timeLast}}"""
+      val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(s)
+      s"""{"series":"$esc","time_first":${r.timeFirst},"time_last":${r.timeLast}}"""
     }.mkString("", "\n", "\n")
 
   private[graft] def parseLines(s: String): Map[String, SeriesRange] =
     s.linesIterator.filter(_.nonEmpty).map {
-      case LineRe(name, tf, tl) => name -> SeriesRange(tf.toLong, tl.toLong)
+      case LineRe(name, tf, tl) =>
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(name) -> SeriesRange(tf.toLong, tl.toLong)
       case other => throw new InvalidSchemaException(s"corrupt watermark line: $other")
     }.toMap
 }

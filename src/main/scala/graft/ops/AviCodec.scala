@@ -114,6 +114,11 @@ object AviCodec {
     val buf = java.nio.ByteBuffer.wrap(payload)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     var w = -1; var h = -1; var rate = -1; var scale = -1
+    // stream numbers follow strl DECLARATION order — an AVI with [auds,
+    // vids] stores frames as '01dc', so the video stream's index must be
+    // learned from the header walk, not hard-coded to 00
+    var streamsSeen = 0
+    var vidStream = -1
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
 
     def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
@@ -139,12 +144,19 @@ object AviCodec {
             // only the video stream's header constrains this codec; other
             // stream types (auds…) may coexist and are skipped
             if (fourcc(body) == "vids") {
+              require(vidStream < 0, "multiple video streams unsupported")
               require(fourcc(body + 4) == "MJPG",
                 s"only MJPG video supported, got '${fourcc(body + 4)}'")
+              vidStream = streamsSeen
               scale = buf.getInt(body + 20); rate = buf.getInt(body + 24)
               require(scale > 0 && rate > 0, "invalid strh frame rate")
             }
-          case "00dc" | "00db" if inMovi =>
+            streamsSeen += 1
+          case vid if inMovi && vidStream >= 0 &&
+              vid == f"$vidStream%02ddc" =>
+            frames += java.util.Arrays.copyOfRange(payload, body, body + size)
+          case vid if inMovi && vidStream >= 0 &&
+              vid == f"$vidStream%02ddb" =>
             frames += java.util.Arrays.copyOfRange(payload, body, body + size)
           case _ => () // idx1 / JUNK / audio data / vendor chunks: skip
         }

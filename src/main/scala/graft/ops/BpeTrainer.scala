@@ -95,7 +95,7 @@ object BpeTrainer {
         val rows = hist.collect().map(r =>
           (r.getSeq[String](0).toArray, r.getLong(1)))
         localTrain(rows, nMerges)
-      } else trainWithRounds(docs, textCol, nMerges)._1
+      } else trainWithRoundsFromHistogram(hist, nMerges)._1
     } finally hist.unpersist()
   }
 
@@ -111,6 +111,21 @@ object BpeTrainer {
     * merge. This is what makes a 32k–50k vocab trainable: after the one
     * distributed histogram job, merges cost no cluster round trips at
     * all. */
+  /** Unsigned UTF-8 byte comparison — the collation Spark's `asc()` uses
+    * on strings (UTF8String.binaryCompare); see the heap comparator note. */
+  private def utf8Compare(x: String, y: String): Int = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
   def localTrain(histogram: Array[(Array[String], Long)], nMerges: Int)
       : IndexedSeq[(String, String)] = {
     import scala.collection.mutable
@@ -144,8 +159,14 @@ object BpeTrainer {
         val c = java.lang.Long.compare(y._1, x._1) // count desc
         if (c != 0) c
         else {
-          val a = x._2.compareTo(y._2) // then pair asc
-          if (a != 0) a else x._3.compareTo(y._3)
+          // UTF-8 BINARY order, not String.compareTo: the Spark rounds
+          // tie-break with asc() (UTF8String unsigned byte order), and the
+          // two diverge exactly on supplementary-plane symbols (U+FFFD
+          // sorts before U+1F600 in UTF-8 bytes, AFTER it in UTF-16 code
+          // units) — a count tie there would silently fork the merge
+          // table between the in-driver and distributed paths
+          val a = utf8Compare(x._2, y._2) // then pair asc
+          if (a != 0) a else utf8Compare(x._3, y._3)
         }
       })
     pairCount.foreach { case ((a, b), n) => heap.add((n, a, b)) }
@@ -214,6 +235,15 @@ object BpeTrainer {
     * skipped when the disjoint prefix is a single pair, so the worst case
     * degenerates to the old one-merge-per-round trainer. */
   def trainWithRounds(docs: DataFrame, textCol: String, nMerges: Int,
+                      maxBatch: Int = 16): (IndexedSeq[(String, String)], Int) =
+    trainWithRoundsFromHistogram(
+      wordHistogram(docs, textCol).localCheckpoint(), nMerges, maxBatch)
+
+  /** [[trainWithRounds]] starting from an ALREADY-materialized histogram —
+    * `train()` routes here so the big-corpus path never pays the
+    * corpus-scale tokenize+histogram job twice (once for the size probe,
+    * once inside the rounds). */
+  def trainWithRoundsFromHistogram(hist: DataFrame, nMerges: Int,
                       maxBatch: Int = 16): (IndexedSeq[(String, String)], Int) = {
     require(maxBatch >= 1, "maxBatch must be >= 1")
     def pairStats(v: DataFrame): DataFrame = v
@@ -222,7 +252,7 @@ object BpeTrainer {
         col("syms"), col("c"))
       .select(col("a"), element_at(col("syms"), col("i") + 2).as("b"), col("c"))
       .groupBy("a", "b").agg(sum("c").as("n"))
-    var vocab = wordHistogram(docs, textCol).localCheckpoint()
+    var vocab = hist
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var rounds = 0
     var exhausted = false

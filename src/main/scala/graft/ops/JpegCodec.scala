@@ -417,7 +417,16 @@ object JpegCodec {
       val len = u16(pos + 2)
       m match {
         case 0xDB =>
+          // loud-failure contract: a DQT segment may legally hold SEVERAL
+          // tables (libjpeg writes luma id 0 + chroma id 1 in one segment)
+          // and components reference tables by id — this decoder supports
+          // exactly one table, id 0, used by every component, and must
+          // REJECT anything else rather than silently dequantize with the
+          // wrong table
+          require(len == 2 + 1 + 64,
+            s"JPEG: multi-table or non-8-bit DQT segment unsupported (len $len)")
           require((payload(pos + 4) & 0xf0) == 0, "JPEG: 16-bit DQT unsupported")
+          require((payload(pos + 4) & 0x0f) == 0, "JPEG: only DQT table id 0 supported")
           qt = Array.tabulate(64)(i => payload(pos + 5 + i) & 0xff)
         case 0xC0 =>
           require(payload(pos + 4) == 8, "JPEG: only 8-bit precision")
@@ -427,6 +436,8 @@ object JpegCodec {
           (0 until nc).foreach { c =>
             require((payload(pos + 11 + 3 * c) & 0xff) == 0x11,
               "JPEG: subsampling unsupported")
+            require((payload(pos + 12 + 3 * c) & 0xff) == 0,
+              "JPEG: only quantization table 0 supported (component Tq != 0)")
           }
         case 0xC1 | 0xC2 | 0xC3 =>
           throw new IllegalArgumentException("JPEG: only baseline SOF0 supported")
@@ -475,6 +486,18 @@ object JpegCodec {
               q(Zigzag(k)) = extend(br.bits(s), s) * qt(Zigzag(k))
               k += 1
             }
+          }
+          // loud overflow guard: inverseBlock's direct double sum carries
+          // up to 64 terms of |q|·Alpha²·Dct² ≈ |q|·2^46 in a Long, so
+          // coefficients must stay under ~2^17. Real 8-bit image content
+          // dequantizes to |q| ≲ 2.3k whatever the table; only a hostile
+          // (valid-syntax) stream can exceed this — reject it instead of
+          // wrapping silently.
+          var g = 0
+          while (g < 64) {
+            require(math.abs(q(g)) <= (1L << 17),
+              "JPEG: coefficient magnitude exceeds the baseline 8-bit range")
+            g += 1
           }
           val px = inverseBlock(q)
           var i = 0

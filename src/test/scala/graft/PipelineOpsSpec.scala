@@ -1185,6 +1185,31 @@ class PipelineOpsSpec extends SparkTestBase {
       .count() == 1)
   }
 
+  test("graft_lsh_buckets equals the declarative per-table lshBucket reference") {
+    // SimilarityOps.lshBucket is retained exactly as the oracle side of
+    // this equivalence (like graft_idot vs the fold): the native
+    // expression's 'bit-identical by construction' claim is enforced
+    // here, not by comments
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(59)
+    val (tables, bits, dim) = (6, 8, 64)
+    val df = (0 until 80).map(i =>
+        (i.toLong, Seq.fill(dim)(rnd.nextGaussian())))
+      .toDF("id", "v")
+    val native = df.select(col("id"),
+        call_function("graft_lsh_buckets", col("v"),
+          lit(tables), lit(bits), lit(dim)).as("bs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val refCols = (0 until tables).map(t =>
+      SimilarityOps.lshBucket(col("v"), t, bits, dim).as(s"b$t"))
+    df.select(col("id") +: refCols: _*).collect().foreach { r =>
+      val nb = native(r.getLong(0))
+      (0 until tables).foreach { t =>
+        assert(nb(t) == r.getLong(1 + t), s"id ${r.getLong(0)} table $t")
+      }
+    }
+  }
+
   test("graft_idot equals the interpreted zip_with fold on random int8 vectors") {
     graft.functions.GraftFunctions.register(spark)
     val rnd = new scala.util.Random(23)
@@ -1765,6 +1790,21 @@ class PipelineOpsSpec extends SparkTestBase {
         s"got      $local\nexpected $exp")
       info(s"trial $trial: ${got.size} merges in $rounds rounds")
     }
+  }
+
+  test("localTrain ties break in UTF-8 binary order like the Spark rounds") {
+    // U+FFFD sorts BEFORE U+1F600 in UTF-8 bytes (EF BF BD < F0 9F 98 80)
+    // but AFTER it in UTF-16 code units (0xFFFD > 0xD83D) — a count tie
+    // between pairs led by them is where String.compareTo would fork the
+    // in-driver table from the distributed (asc() = binary) one
+    val fffd = "\uFFFD"
+    val emoji = new String(Character.toChars(0x1F600))
+    val hist: Array[(Array[String], Long)] = Array(
+      (Array(fffd, "q"), 3L), (Array(emoji, "q"), 3L))
+    val merges = graft.ops.BpeTrainer.localTrain(hist, 2)
+    assert(merges.head == (fffd, "q"),
+      s"tie must resolve in UTF-8 byte order, got ${merges.head}")
+    assert(merges == Seq((fffd, "q"), (emoji, "q")))
   }
 
   test("PngCodec: encode/decode round-trips pixels through every filter type") {

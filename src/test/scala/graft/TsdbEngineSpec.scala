@@ -892,7 +892,8 @@ class TsdbEngineSpec extends SparkTestBase {
     // tag-encoded TSDB keys routinely hold '=', ':', '%', '#' — writer and
     // pruned reader must agree on ONE escaped directory (r11 advice: raw
     // write dir vs escaped read dir silently returned empty)
-    val t = mkTsdb()
+    val root = tmpDir("tsdb-test-")
+    val t = new Tsdb(spark, root, requestedBucketWidth = 100L)
     t.createDatabase("db1")
     t.createMeasurement("db1", "m1", schema)
     val key = "host=web-01:9100,dc=us%east#1"
@@ -920,5 +921,17 @@ class TsdbEngineSpec extends SparkTestBase {
     val wins = t.sumWindowsAll("db1", "m1", "v", 0L, 1000L, 1000L).collect()
     assert(wins.map(_.getString(0)).toSeq == Seq(key) &&
       wins.head.getLong(5) == 5L)
+    // PERSISTENCE, not just in-session cache: a FRESH instance over the
+    // same root must re-parse the watermark lines for the escaped key
+    // (the store's signature cache hides a broken line format from the
+    // writing instance — a restart is the only honest test)
+    val t2 = new Tsdb(spark, root, requestedBucketWidth = 100L)
+    assert(t2.listSeries("db1", "m1") == Seq(key))
+    assert(t2.countPoints("db1", "m1", key, 0L, 1000L)
+      .select("npoints").as[Long].head() == 5L)
+    // raw-length-legal names whose ESCAPED form exceeds the filesystem
+    // component limit fail loudly at validation, not mid-write
+    intercept[InvalidSchemaException](
+      t2.writePoints("db1", "m1", "=" * 100, pts(baseRows.head)))
   }
 }
