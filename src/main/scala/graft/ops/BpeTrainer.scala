@@ -145,7 +145,16 @@ object BpeTrainer {
         val p = (s(i), s(i + 1))
         val n = pairCount.getOrElse(p, 0L) + sign * counts(wi)
         if (n == 0L) pairCount.remove(p) else pairCount.update(p, n)
+        // membership mirrors the count exactly: the -1 pass removes the
+        // word from every pair it contributed to, the +1 pass re-adds the
+        // pairs the REWRITTEN word still holds — without the removal the
+        // index only grows, and every later merge rescans (and
+        // identity-rewrites) stale members
         if (sign > 0) pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += wi
+        else pairWords.get(p).foreach { set =>
+          set -= wi
+          if (set.isEmpty) pairWords.remove(p)
+        }
         touched += p
         i += 1
       }

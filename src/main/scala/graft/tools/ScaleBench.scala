@@ -58,6 +58,9 @@ object ScaleBench {
     // planted companions, which GenScale replicates linearly)
     "ann_ivf_pq", "dedup_phash", "mm_phash", "mm_decode_jpeg",
     "mm_decode_jpeg_rgb", "mm_video_frames",
+    // late-r12 codec faces, all map-only typed passes (work ∝ documents):
+    // real GIF LZW, IMA ADPCM state machine, µ-law expansion, lossy resize
+    "mm_decode_gif", "mm_decode_adpcm", "mm_decode_ulaw", "mm_resize_jpeg",
     // round-11 additions: real-BPE token stats (work ∝ tokens, the merge
     // loop amortizes over distinct words per task), composed IVF×int8 ANN
     // (scan ∝ probed-list occupancy), streaming incremental dedup (work ∝
