@@ -176,7 +176,7 @@ object Bench {
       "ann_lsh", "ann_quantized", "ann_pca", "pipeline_cluster",
       "mm_decode_jpeg", "mm_decode_jpeg_rgb", "dedup_semantic",
       "mm_video_frames", "mm_decode_ulaw", "mm_resize_jpeg",
-      "mm_decode_adpcm", "mm_decode_gif")
+      "mm_decode_adpcm", "mm_decode_gif", "mm_video_patches")
     var sf1Failed = 0
     val sf1Results: Seq[(String, Double)] =
       if (args.nonEmpty || !sfDir.replace("/", "").endsWith("sf0.1") ||

@@ -35,6 +35,12 @@ final case class VideoFrameFeatures(
     asset_id: Long, frame_idx: Int, n_frames: Int, fps: Double,
     width: Int, height: Int, n_bytes: Long, mean_byte: Double)
 
+/** One ViT-style patch of one SAMPLED video frame (the video-training
+  * input unit: sample frames, tile each into patch tokens). */
+final case class VideoPatch(
+    asset_id: Long, frame_idx: Int, py: Int, px: Int,
+    patch: Array[Long], mean_byte: Double)
+
 /** STUB DECODER — deterministic fake. A real deployment would link an image/
   * audio codec (javacpp-ffmpeg, twelvemonkeys, …) and decode `payload` into
   * pixels/samples here; those libraries are not available in this
@@ -671,6 +677,49 @@ object MultimodalOps {
           VideoFrameFeatures(a.asset_id, fi, v.frames.length,
             v.rate.toDouble / v.scale, w, h, g.length.toLong,
             s.toDouble / g.length)
+        }
+      }
+  }
+
+  /** FRAME SAMPLING + PATCHING fused: the video-ViT input pipeline — keep
+    * every `frameStride`-th frame, decode ONLY those, tile each decoded
+    * grayscale grid into `patch`×`patch` tokens (floor grid, remainders
+    * drop, like [[imagePatches]]). One typed map-side pass: payload bytes
+    * and full frames never leave the task, only patch-sized vectors do;
+    * fan-out is bounded at ceil(frames/stride)·(w/p)·(h/p) rows/asset. */
+  def videoFramePatches(assets: DataFrame, frameStride: Int = 2,
+                        patch: Int = 8): Dataset[VideoPatch] = {
+    require(frameStride > 0 && patch > 0, "need positive stride and patch")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .repartitionByRange(spark.sparkContext.defaultParallelism,
+        col("format"), col("asset_id"))
+      .as[MediaAsset]
+      .flatMap { a =>
+        require(a.format == "avi",
+          s"videoFramePatches needs avi, got ${a.format}")
+        val v = AviCodec.decode(a.payload)
+        for {
+          fi <- 0 until v.frames.length by frameStride
+          (w, h, g) = JpegCodec.decodeGray(v.frames(fi))
+          py <- 0 until h / patch
+          px <- 0 until w / patch
+        } yield {
+          val vals = new Array[Long](patch * patch)
+          var sum = 0L
+          var k = 0
+          var dy = 0
+          while (dy < patch) {
+            var dx = 0
+            while (dx < patch) {
+              val pv = g((py * patch + dy) * w + px * patch + dx) & 0xff
+              vals(k) = pv.toLong; sum += pv; k += 1
+              dx += 1
+            }
+            dy += 1
+          }
+          VideoPatch(a.asset_id, fi, py, px, vals, sum.toDouble / vals.length)
         }
       }
   }

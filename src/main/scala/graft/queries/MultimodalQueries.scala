@@ -841,6 +841,66 @@ object MultimodalQueries {
         .orderBy("asset_id", "frame_idx")
     },
 
+    // VIDEO -> FRAME SAMPLE -> PATCH TOKENS, the video-ViT input pipeline
+    // fused in one typed pass. patch = 8 aligns with the JPEG block grid,
+    // so the oracle reuses the per-frame decode chain and groups each
+    // block's 64 clamped pixels in row-major order — a sampling, tiling,
+    // ordering or decode bug anywhere breaks the CSV match.
+    QueryDef.withOracle("mm_video_patches", {
+      val half = 1L << 41
+      val div = 1L << 42
+      val alphaRows = (0 until 8).map(u => s"($u,${if (u == 0) 724 else 1024})")
+        .mkString(",")
+      s"""WITH vya AS (SELECT doc_id AS asset_id, text,
+         |         CAST(8 * (doc_id % 3 + 1) AS INT) AS w,
+         |         CAST(8 * (doc_id % 2 + 1) AS INT) AS h,
+         |         CAST(2 + doc_id % 3 AS INT) AS nf FROM documents),
+         |vfr AS (SELECT vya.*, CAST(fr.f AS INT) AS f
+         |        FROM vya, range(4) fr(f) WHERE fr.f < nf AND fr.f % 2 = 0),
+         |vct(u, i, c) AS (SELECT * FROM (VALUES ${OraclePhash.dctRows}) t(u, i, c)),
+         |val2(u, a) AS (SELECT * FROM (VALUES $alphaRows) t(u, a)),
+         |vpx AS (SELECT asset_id, f, bi.b AS bi, bj.b AS bj, ri.i AS i, rj.j AS j,
+         |          CAST((CASE WHEN length(text) = 0 THEN 0
+         |                ELSE unicode(substr(text,
+         |                  CAST((7 * f + (bi.b * 8 + ri.i) * w + bj.b * 8 + rj.j)
+         |                       % length(text) + 1 AS INT), 1)) END)
+         |               - 128 AS BIGINT) AS p
+         |        FROM vfr, range(2) bi(b), range(3) bj(b),
+         |             range(8) ri(i), range(8) rj(j)
+         |        WHERE bi.b < h // 8 AND bj.b < w // 8),
+         |vf AS (SELECT asset_id, f, bi, bj, cu.u AS u, cv.u AS v,
+         |         CAST(SUM(p * cu.c * cv.c) AS BIGINT) AS fraw
+         |       FROM vpx JOIN vct cu ON cu.i = vpx.i
+         |                JOIN vct cv ON cv.i = vpx.j
+         |       GROUP BY 1, 2, 3, 4, 5, 6),
+         |vq AS (SELECT vf.asset_id, f, bi, bj, vf.u AS u, vf.v AS v,
+         |         (fraw * au.a * av.a + $half) // $div AS qc
+         |       FROM vf JOIN val2 au ON au.u = vf.u JOIN val2 av ON av.u = vf.v),
+         |vr AS (SELECT q.asset_id, f, bi, bj, ci.i AS i, cj.i AS j,
+         |         CAST((SUM(qc * au.a * av.a * ci.c * cj.c) + $half) // $div
+         |              AS BIGINT) + 128 AS s
+         |       FROM vq q JOIN val2 au ON au.u = q.u JOIN val2 av ON av.u = q.v
+         |                 JOIN vct ci ON ci.u = q.u JOIN vct cj ON cj.u = q.v
+         |       GROUP BY 1, 2, 3, 4, 5, 6),
+         |vb AS (SELECT asset_id, f, bi, bj, i, j,
+         |         CAST(greatest(0, least(255, s)) AS BIGINT) AS px FROM vr),
+         |vp AS (SELECT asset_id, f, bi, bj,
+         |         array_to_string(list(px ORDER BY i, j), ',') AS patch_csv,
+         |         CAST(SUM(px) AS DOUBLE) / 64 AS mean_byte
+         |       FROM vb GROUP BY 1, 2, 3, 4)
+         |SELECT asset_id, f AS frame_idx, CAST(bi AS INT) AS py,
+         |  CAST(bj AS INT) AS px, patch_csv, mean_byte
+         |FROM vp ORDER BY asset_id, frame_idx, py, px""".stripMargin
+    }) { (s, dir) =>
+      MultimodalOps.videoFramePatches(
+        MultimodalOps.mjpegAssetsFromDocuments(Tables(s, dir, "documents")),
+        frameStride = 2, patch = 8)
+        .toDF()
+        .select(col("asset_id"), col("frame_idx"), col("py"), col("px"),
+          concat_ws(",", col("patch")).as("patch_csv"), col("mean_byte"))
+        .orderBy("asset_id", "frame_idx", "py", "px")
+    },
+
     // Perceptual hashes over REAL pixels: decode the grayscale-PNG fixture
     // (plus its brightened companions), 8x8 nearest-neighbor sample,
     // integer DCT, median-split bits — the oracle replays the whole chain

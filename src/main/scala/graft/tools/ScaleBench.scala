@@ -61,6 +61,7 @@ object ScaleBench {
     // late-r12 codec faces, all map-only typed passes (work ∝ documents):
     // real GIF LZW, IMA ADPCM state machine, µ-law expansion, lossy resize
     "mm_decode_gif", "mm_decode_adpcm", "mm_decode_ulaw", "mm_resize_jpeg",
+    "mm_video_patches",
     // round-11 additions: real-BPE token stats (work ∝ tokens, the merge
     // loop amortizes over distinct words per task), composed IVF×int8 ANN
     // (scan ∝ probed-list occupancy), streaming incremental dedup (work ∝

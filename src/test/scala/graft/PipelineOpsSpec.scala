@@ -2212,6 +2212,28 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(r.mean_byte == sampled.map(_.toLong).sum.toDouble / sampled.length)
   }
 
+  test("videoFramePatches: tiles only the SAMPLED frames' decoded grids") {
+    import graft.ops.{AviCodec, JpegCodec}
+    val rnd = new scala.util.Random(61)
+    val (w, h) = (16, 8)
+    val grays = (0 until 3).map(_ => Array.fill(w * h)(rnd.nextInt(128).toByte))
+    val avi = AviCodec.encode(w, h, 10, 1, grays.map(JpegCodec.encodeGray(w, h, _)))
+    val assets = Seq((4L, "avi", avi, w, h, 1, 0))
+      .toDF("asset_id", "format", "payload", "width", "height", "channels", "sample_rate")
+    val got = MultimodalOps.videoFramePatches(assets, frameStride = 2, patch = 8)
+      .collect().sortBy(r => (r.frame_idx, r.py, r.px))
+    assert(got.map(_.frame_idx).distinct.toSeq == Seq(0, 2)) // frame 1 skipped
+    assert(got.length == 4) // 2 frames x (16/8)x(8/8) patches
+    got.foreach { r =>
+      val (_, _, dec) = JpegCodec.decodeGray(
+        AviCodec.decode(avi).frames(r.frame_idx))
+      val exp = for { dy <- 0 until 8; dx <- 0 until 8 }
+        yield (dec((r.py * 8 + dy) * w + r.px * 8 + dx) & 0xff).toLong
+      assert(r.patch.toSeq == exp, s"patch (${r.frame_idx},${r.py},${r.px})")
+      assert(r.mean_byte == exp.sum.toDouble / 64)
+    }
+  }
+
   test("imagePhash/imagePatches: gif route uses the LZW-decoded pixel grid") {
     import graft.ops.GifCodec
     val rnd = new scala.util.Random(53)
