@@ -1469,9 +1469,11 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
     // the RAW bound is not enough: Hive escaping expands each special
     // char to %XX, and "series=" + escaped must stay under the 255-byte
     // filesystem component limit — fail LOUDLY here instead of an
-    // ENAMETOOLONG mid-write that would leave a pending marker behind
+    // ENAMETOOLONG mid-write that would leave a pending marker behind.
+    // Measure BYTES, not UTF-16 chars: escapePathName passes >0x7F
+    // through, so a 123-char non-ASCII name is up to ~369 bytes on disk.
     if (org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .escapePathName(s).length > 240)
+          .escapePathName(s).getBytes(java.nio.charset.StandardCharsets.UTF_8).length > 240)
       throw new InvalidSchemaException(
         s"series name escapes past the filesystem path-component limit: '$s'")
   }

@@ -53,10 +53,13 @@ case class LshBuckets(child: Expression, tables: Int, bits: Int, dim: Int)
 }
 
 object LshBuckets {
-  /** Shared by interpreted and generated paths. Accumulation order and the
-    * null/length handling replicate DotProductDouble exactly (min-length
-    * loop, null elements skipped, left-to-right double adds), so bucket
-    * values — and therefore every oracle replay — are unchanged. */
+  /** Shared by interpreted and generated paths. Left-to-right double adds
+    * keep bucket values bit-identical to the `graft_dot`-per-plane
+    * formulation on the dense, equal-length vectors this is registered
+    * over. The defensive min-length/null-skip handling here is local
+    * (planes are internal constants, so neither case can fire) — unlike
+    * [[DotProductDouble]], which now propagates NULL to match the SQL
+    * fold. */
   def buckets(v: ArrayData, planes: Array[Array[Array[Double]]]): ArrayData = {
     val out = new Array[Any](planes.length)
     var t = 0

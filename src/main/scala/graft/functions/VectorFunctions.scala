@@ -17,12 +17,25 @@ import org.apache.spark.sql.types._
   * results stay bit-for-bit equal to the fold and to the DuckDB oracle's
   * `list_reduce`.
   *
-  * Null handling: a NULL array yields NULL (BinaryExpression default); NULL
-  * *elements* contribute as 0-weight (skipped) — embeddings are dense, so
-  * this path never fires in practice but must not crash.
+  * Null handling MATCHES the fold it replaces exactly: a NULL array yields
+  * NULL (BinaryExpression default); a length mismatch or a NULL *element*
+  * also yields NULL, because `zip_with` pads the shorter array with nulls
+  * and SQL `+` propagates them through the aggregate. Embeddings are dense
+  * so neither fires in practice, but the equivalence must hold on any
+  * input — and when both array types carry `containsNull = false` the
+  * generated loop drops the per-element null checks entirely (the hot
+  * ANN-scan shape).
   */
 case class DotProductDouble(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
+
+  // length mismatch / null element → null regardless of input nullability
+  override def nullable: Boolean = true
+
+  private def elementsNullable: Boolean = (left.dataType, right.dataType) match {
+    case (ArrayType(_, ln), ArrayType(_, rn)) => ln || rn
+    case _ => true
+  }
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
@@ -34,11 +47,13 @@ case class DotProductDouble(left: Expression, right: Expression) extends BinaryE
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i)) s += x.getDouble(i) * y.getDouble(i)
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
     s
@@ -49,15 +64,31 @@ case class DotProductDouble(left: Expression, right: Expression) extends BinaryE
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      val bad = ctx.freshName("bad")
+      val body =
+        if (elementsNullable)
+          s"""
+             |boolean $bad = false;
+             |for (int $i = 0; $i < $n && !$bad; $i++) {
+             |  if ($x.isNullAt($i) || $y.isNullAt($i)) { $bad = true; }
+             |  else { $s += $x.getDouble($i) * $y.getDouble($i); }
+             |}
+             |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $s; }
+           """.stripMargin
+        else
+          s"""
+             |for (int $i = 0; $i < $n; $i++) {
+             |  $s += $x.getDouble($i) * $y.getDouble($i);
+             |}
+             |${ev.value} = $s;
+           """.stripMargin
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $n = $x.numElements();
          |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$x.isNullAt($i) && !$y.isNullAt($i)) {
-         |    $s += $x.getDouble($i) * $y.getDouble($i);
-         |  }
+         |if ($n != $y.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |$body
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -80,6 +111,14 @@ case class DotProductDouble(left: Expression, right: Expression) extends BinaryE
 case class DotProductInt(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = LongType
 
+  // fold-exact null semantics, same contract as [[DotProductDouble]]
+  override def nullable: Boolean = true
+
+  private def elementsNullable: Boolean = (left.dataType, right.dataType) match {
+    case (ArrayType(_, ln), ArrayType(_, rn)) => ln || rn
+    case _ => true
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
       TypeCheckResult.TypeCheckSuccess
@@ -90,11 +129,13 @@ case class DotProductInt(left: Expression, right: Expression) extends BinaryExpr
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0L
     var i = 0
     while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i)) s += x.getInt(i).toLong * y.getInt(i)
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getInt(i).toLong * y.getInt(i)
       i += 1
     }
     s
@@ -105,15 +146,31 @@ case class DotProductInt(left: Expression, right: Expression) extends BinaryExpr
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      val bad = ctx.freshName("bad")
+      val body =
+        if (elementsNullable)
+          s"""
+             |boolean $bad = false;
+             |for (int $i = 0; $i < $n && !$bad; $i++) {
+             |  if ($x.isNullAt($i) || $y.isNullAt($i)) { $bad = true; }
+             |  else { $s += (long) $x.getInt($i) * $y.getInt($i); }
+             |}
+             |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $s; }
+           """.stripMargin
+        else
+          s"""
+             |for (int $i = 0; $i < $n; $i++) {
+             |  $s += (long) $x.getInt($i) * $y.getInt($i);
+             |}
+             |${ev.value} = $s;
+           """.stripMargin
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $n = $x.numElements();
          |long $s = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$x.isNullAt($i) && !$y.isNullAt($i)) {
-         |    $s += (long) $x.getInt($i) * $y.getInt($i);
-         |  }
+         |if ($n != $y.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |$body
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

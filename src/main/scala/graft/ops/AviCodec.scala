@@ -126,7 +126,10 @@ object AviCodec {
       while (pos + 8 <= to) {
         val id = fourcc(pos)
         val size = buf.getInt(pos + 4)
-        require(size >= 0 && pos + 8 + size <= to, s"chunk '$id' overruns payload")
+        // bound in Long: a hostile size near Int.MaxValue overflows the
+        // Int sum negative and would pass the check, surfacing later as a
+        // raw ArrayIndexOutOfBoundsException instead of this message
+        require(size >= 0 && pos.toLong + 8 + size <= to, s"chunk '$id' overruns payload")
         val body = pos + 8
         id match {
           case "LIST" =>

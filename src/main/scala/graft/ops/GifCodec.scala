@@ -145,7 +145,7 @@ object GifCodec {
     val data = new java.io.ByteArrayOutputStream()
     while (at(pos) != 0) {
       val n = at(pos)
-      require(pos + 1 + n <= payload.length, "truncated GIF sub-block")
+      require(pos.toLong + 1 + n <= payload.length, "truncated GIF sub-block")
       data.write(payload, pos + 1, n)
       pos += 1 + n
     }

@@ -232,26 +232,70 @@ object JpegCodec {
   private def clamp255(v: Long): Byte =
     (if (v < 0) 0 else if (v > 255) 255 else v).toByte
 
-  /** Shared encoder: 1 plane = grayscale, 3 planes = YCbCr 4:4:4. All
-    * components are full-resolution and reference quant/Huffman table 0;
-    * MCUs interleave one 8×8 block per component in component order with
-    * per-component DC predictors, per T.81 interleaved scan rules. */
-  private def encodePlanes(w: Int, h: Int, planes: Array[Array[Byte]]): Array[Byte] = {
-    require(w > 0 && h > 0 && w % 8 == 0 && h % 8 == 0, s"dims must be 8-multiples: ${w}x$h")
-    require(planes.length == 1 || planes.length == 3, "1 or 3 components")
-    planes.foreach(pl => require(pl.length == w * h,
-      s"need ${w * h} samples per plane, got ${pl.length}"))
-    val nc = planes.length
-    val out = new java.io.ByteArrayOutputStream()
+  /** Entropy-code one quantized block: DC DPCM + category coding, AC
+    * run-length with ZRL/EOB — per T.81 scan rules. Returns the new DC
+    * predictor (this block's DC). */
+  private def writeBlock(bw: BitWriter, q: Array[Long], prev: Long,
+                         dcCode: Map[Int, (Int, Int)],
+                         acCode: Map[Int, (Int, Int)]): Long = {
+    val diff = q(0) - prev
+    val t = category(diff)
+    val (dc, dl) = dcCode(t)
+    bw.put(dc, dl)
+    if (t > 0) {
+      val v = if (diff < 0) (diff + (1L << t) - 1).toInt else diff.toInt
+      bw.put(v & ((1 << t) - 1), t)
+    }
+    var run = 0
+    var k = 1
+    while (k < 64) {
+      val coef = q(Zigzag(k))
+      if (coef == 0L) run += 1
+      else {
+        while (run > 15) { val (z, zl) = acCode(0xF0); bw.put(z, zl); run -= 16 }
+        val s = category(coef)
+        val (a, al) = acCode((run << 4) | s)
+        bw.put(a, al)
+        val v = if (coef < 0) (coef + (1L << s) - 1).toInt else coef.toInt
+        bw.put(v & ((1 << s) - 1), s)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) { val (e, el) = acCode(0x00); bw.put(e, el) } // EOB
+    q(0)
+  }
+
+  /** Level-shift the 8×8 block at block coords (bx, by) of a `pw`-wide
+    * plane into `block`. */
+  private def grabBlock(plane: Array[Byte], pw: Int, bx: Int, by: Int,
+                        block: Array[Int]): Unit = {
+    var i = 0
+    while (i < 8) {
+      var j = 0
+      while (j < 8) {
+        block(i * 8 + j) = (plane((by * 8 + i) * pw + bx * 8 + j) & 0xff) - 128
+        j += 1
+      }
+      i += 1
+    }
+  }
+
+  /** Header writer shared by the 4:4:4 and 4:2:0 encoders: SOI, DQT (one
+    * all-ones 8-bit table, id 0), SOF0 with the given per-component
+    * sampling factors, both Annex-K DHTs, SOS. */
+  private def writeHeaders(out: java.io.ByteArrayOutputStream, w: Int, h: Int,
+                           samp: Array[Int]): Unit = {
+    val nc = samp.length
     def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     marker(0xD8) // SOI
     marker(0xDB); u16(2 + 1 + 64) // DQT: one 8-bit table, id 0, all ones
     out.write(0x00); (0 until 64).foreach(_ => out.write(1))
-    marker(0xC0); u16(2 + 6 + 3 * nc) // SOF0: 8-bit, nc components, 1x1
+    marker(0xC0); u16(2 + 6 + 3 * nc) // SOF0
     out.write(8); u16(h); u16(w); out.write(nc)
-    (1 to nc).foreach { c =>
-      out.write(c); out.write(0x11); out.write(0) // comp id, 1x1, qtable 0
+    (0 until nc).foreach { c =>
+      out.write(c + 1); out.write(samp(c)); out.write(0) // id, HiVi, qtable 0
     }
     def dht(clazz: Int, bits: Array[Int], vals: Array[Byte]): Unit = {
       marker(0xC4); u16(2 + 1 + 16 + vals.length)
@@ -264,6 +308,20 @@ object JpegCodec {
     out.write(nc)
     (1 to nc).foreach { c => out.write(c); out.write(0x00) } // DC 0 / AC 0
     out.write(0); out.write(63); out.write(0) // spectral selection
+  }
+
+  /** Shared encoder: 1 plane = grayscale, 3 planes = YCbCr 4:4:4. All
+    * components are full-resolution and reference quant/Huffman table 0;
+    * MCUs interleave one 8×8 block per component in component order with
+    * per-component DC predictors, per T.81 interleaved scan rules. */
+  private def encodePlanes(w: Int, h: Int, planes: Array[Array[Byte]]): Array[Byte] = {
+    require(w > 0 && h > 0 && w % 8 == 0 && h % 8 == 0, s"dims must be 8-multiples: ${w}x$h")
+    require(planes.length == 1 || planes.length == 3, "1 or 3 components")
+    planes.foreach(pl => require(pl.length == w * h,
+      s"need ${w * h} samples per plane, got ${pl.length}"))
+    val nc = planes.length
+    val out = new java.io.ByteArrayOutputStream()
+    writeHeaders(out, w, h, Array.fill(nc)(0x11))
     val dcCode = canonical(DcBits, DcVals)
     val acCode = canonical(AcBits, AcVals)
     val bw = new BitWriter(out)
@@ -275,45 +333,8 @@ object JpegCodec {
       while (bx < w / 8) {
         var c = 0
         while (c < nc) {
-          val plane = planes(c)
-          var i = 0
-          while (i < 8) {
-            var j = 0
-            while (j < 8) {
-              block(i * 8 + j) = (plane((by * 8 + i) * w + bx * 8 + j) & 0xff) - 128
-              j += 1
-            }
-            i += 1
-          }
-          val q = forwardBlock(block)
-          // DC: DPCM + category coding (per-component predictor)
-          val diff = q(0) - prevDc(c)
-          prevDc(c) = q(0)
-          val t = category(diff)
-          val (dc, dl) = dcCode(t)
-          bw.put(dc, dl)
-          if (t > 0) {
-            val v = if (diff < 0) (diff + (1L << t) - 1).toInt else diff.toInt
-            bw.put(v & ((1 << t) - 1), t)
-          }
-          // AC: run-length in zigzag order
-          var run = 0
-          var k = 1
-          while (k < 64) {
-            val coef = q(Zigzag(k))
-            if (coef == 0L) run += 1
-            else {
-              while (run > 15) { val (z, zl) = acCode(0xF0); bw.put(z, zl); run -= 16 }
-              val s = category(coef)
-              val (a, al) = acCode((run << 4) | s)
-              bw.put(a, al)
-              val v = if (coef < 0) (coef + (1L << s) - 1).toInt else coef.toInt
-              bw.put(v & ((1 << s) - 1), s)
-              run = 0
-            }
-            k += 1
-          }
-          if (run > 0) { val (e, el) = acCode(0x00); bw.put(e, el) } // EOB
+          grabBlock(planes(c), w, bx, by, block)
+          prevDc(c) = writeBlock(bw, forwardBlock(block), prevDc(c), dcCode, acCode)
           c += 1
         }
         bx += 1
@@ -321,7 +342,85 @@ object JpegCodec {
       by += 1
     }
     bw.flush()
-    marker(0xD9) // EOI
+    out.write(0xff); out.write(0xD9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode row-major RGB triples as a baseline YCbCr **4:2:0** JPEG —
+    * the sampling every real-world camera JPEG uses: Y at full resolution
+    * (factor 2×2), Cb/Cr at half resolution both directions (1×1). Each
+    * chroma sample is the REPLAYABLE average of its 2×2 full-resolution
+    * block: (c00 + c01 + c10 + c11 + 2) / 4 with truncating division
+    * (values are 0..255 so this equals DuckDB's `//`). MCUs are 16×16
+    * pixels: four Y blocks left-to-right top-to-bottom, then one Cb and
+    * one Cr block, per the T.81 interleaved-scan block order. Dims must
+    * be multiples of 16 (one full MCU grid; the fixture guarantees it). */
+  def encodeRgb420(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0 && w % 16 == 0 && h % 16 == 0,
+      s"4:2:0 dims must be 16-multiples: ${w}x$h")
+    require(rgb.length == w * h * 3, s"need ${w * h * 3} RGB bytes, got ${rgb.length}")
+    val y = new Array[Byte](w * h)
+    val cbF = new Array[Byte](w * h)
+    val crF = new Array[Byte](w * h)
+    var p = 0
+    while (p < w * h) {
+      val r = rgb(3 * p) & 0xff; val g = rgb(3 * p + 1) & 0xff; val b = rgb(3 * p + 2) & 0xff
+      y(p) = clamp255((299L * r + 587L * g + 114L * b + 500L) / 1000L)
+      cbF(p) = clamp255((-1687L * r - 3313L * g + 5000L * b + 5000L) / 10000L + 128L)
+      crF(p) = clamp255((5000L * r - 4187L * g - 813L * b + 5000L) / 10000L + 128L)
+      p += 1
+    }
+    val hw = w / 2; val hh = h / 2
+    def subsample(full: Array[Byte]): Array[Byte] = {
+      val half = new Array[Byte](hw * hh)
+      var y2 = 0
+      while (y2 < hh) {
+        var x2 = 0
+        while (x2 < hw) {
+          val base = (2 * y2) * w + 2 * x2
+          val s = (full(base) & 0xff) + (full(base + 1) & 0xff) +
+                  (full(base + w) & 0xff) + (full(base + w + 1) & 0xff)
+          half(y2 * hw + x2) = ((s + 2) / 4).toByte
+          x2 += 1
+        }
+        y2 += 1
+      }
+      half
+    }
+    val cb = subsample(cbF)
+    val cr = subsample(crF)
+    val out = new java.io.ByteArrayOutputStream()
+    writeHeaders(out, w, h, Array(0x22, 0x11, 0x11))
+    val dcCode = canonical(DcBits, DcVals)
+    val acCode = canonical(AcBits, AcVals)
+    val bw = new BitWriter(out)
+    val prevDc = new Array[Long](3)
+    val block = new Array[Int](64)
+    var by = 0
+    while (by < h / 16) {
+      var bx = 0
+      while (bx < w / 16) {
+        // four Y blocks: (0,0) (0,1) (1,0) (1,1) in (row, col) block order
+        var dy = 0
+        while (dy < 2) {
+          var dx = 0
+          while (dx < 2) {
+            grabBlock(y, w, bx * 2 + dx, by * 2 + dy, block)
+            prevDc(0) = writeBlock(bw, forwardBlock(block), prevDc(0), dcCode, acCode)
+            dx += 1
+          }
+          dy += 1
+        }
+        grabBlock(cb, hw, bx, by, block)
+        prevDc(1) = writeBlock(bw, forwardBlock(block), prevDc(1), dcCode, acCode)
+        grabBlock(cr, hw, bx, by, block)
+        prevDc(2) = writeBlock(bw, forwardBlock(block), prevDc(2), dcCode, acCode)
+        bx += 1
+      }
+      by += 1
+    }
+    bw.flush()
+    out.write(0xff); out.write(0xD9) // EOI
     out.toByteArray
   }
 
@@ -398,14 +497,17 @@ object JpegCodec {
 
   /** Core parse: marker walk, DHT/DQT rebuilt FROM the stream, interleaved
     * MCU entropy decode with per-component DC predictors, dequantize,
-    * integer IDCT. 1 or 3 full-resolution components sharing table 0.
-    * Unsupported shapes (progressive, subsampling, 16-bit DQT) fail
-    * loudly. */
+    * integer IDCT. 1 or 3 components sharing table 0, full-resolution
+    * (grayscale / 4:4:4) or 4:2:0 (subsampled chroma is decoded on its
+    * half-resolution grid, then upsampled to full resolution by sample
+    * replication, so the returned planes are always w×h). Unsupported
+    * shapes (progressive, 4:2:2/4:1:1, 16-bit DQT) fail loudly. */
   def decodePlanes(payload: Array[Byte]): (Int, Int, Array[Array[Byte]]) = {
     require(payload.length > 4 && (payload(0) & 0xff) == 0xff &&
       (payload(1) & 0xff) == 0xd8, "not a JPEG payload (no SOI)")
     var pos = 2
     var w = -1; var h = -1; var nc = -1
+    var samp: Array[Int] = null // per-component packed HiVi byte
     var qt: Array[Int] = null
     var dcH: Huff = null; var acH: Huff = null
     def u16(p: Int): Int = ((payload(p) & 0xff) << 8) | (payload(p + 1) & 0xff)
@@ -433,9 +535,15 @@ object JpegCodec {
           h = u16(pos + 5); w = u16(pos + 7)
           nc = payload(pos + 9) & 0xff
           require(nc == 1 || nc == 3, s"JPEG: $nc components unsupported")
+          samp = Array.tabulate(nc)(c => payload(pos + 11 + 3 * c) & 0xff)
+          // supported sampling shapes: all components full-resolution
+          // (grayscale / YCbCr 4:4:4) or the real-world camera default,
+          // 4:2:0 (Y at 2×2, chroma at 1×1). Anything else (4:2:2, 4:1:1,
+          // asymmetric factors) fails LOUDLY rather than mis-tiling.
+          require(samp.forall(_ == 0x11) ||
+                  (nc == 3 && samp(0) == 0x22 && samp(1) == 0x11 && samp(2) == 0x11),
+            s"JPEG: unsupported sampling ${samp.map(v => f"$v%02x").mkString(",")}")
           (0 until nc).foreach { c =>
-            require((payload(pos + 11 + 3 * c) & 0xff) == 0x11,
-              "JPEG: subsampling unsupported")
             require((payload(pos + 12 + 3 * c) & 0xff) == 0,
               "JPEG: only quantization table 0 supported (component Tq != 0)")
           }
@@ -445,75 +553,136 @@ object JpegCodec {
           var p = pos + 4
           while (p < pos + 2 + len) {
             val clazz = (payload(p) & 0xf0) >> 4
+            // same loud-failure contract as DQT: only table id 0 exists
+            // here, so a stream carrying DC/AC table id 1 must be rejected,
+            // not silently decoded with whichever table was parsed last
+            require((payload(p) & 0x0f) == 0, "JPEG: only Huffman table id 0 supported")
             val bits = Array.tabulate(16)(i => payload(p + 1 + i) & 0xff)
             val nv = bits.sum
             val vals = java.util.Arrays.copyOfRange(payload, p + 17, p + 17 + nv)
             if (clazz == 0) dcH = buildHuff(bits, vals) else acH = buildHuff(bits, vals)
             p += 17 + nv
           }
-        case 0xDA => sosAt = pos + 2 + len
+        case 0xDA =>
+          // validate the scan header's Td/Tc selectors reference table 0
+          // (byte after each component id), mirroring the DHT check above
+          val ns = payload(pos + 4) & 0xff
+          (0 until ns).foreach { c =>
+            require((payload(pos + 6 + 2 * c) & 0xff) == 0,
+              "JPEG: SOS references a non-zero Huffman table")
+          }
+          sosAt = pos + 2 + len
         case _ => () // APPn / COM: skip after length
       }
       pos += 2 + len
     }
     require(w > 0 && h > 0 && nc > 0 && qt != null && dcH != null && acH != null,
       "JPEG: missing SOF/DQT/DHT before SOS")
-    require(w % 8 == 0 && h % 8 == 0, "JPEG: non-8-multiple dims unsupported")
+    // per-component sampling factors and plane geometry
+    val hs = samp.map(v => (v >> 4) & 0x0f)
+    val vs = samp.map(v => v & 0x0f)
+    val hmax = hs.max
+    val vmax = vs.max
+    val mcuW = 8 * hmax
+    val mcuH = 8 * vmax
+    require(w % mcuW == 0 && h % mcuH == 0,
+      s"JPEG: dims must tile whole MCUs (${mcuW}x$mcuH), got ${w}x$h")
+    // component plane dims (half-resolution for subsampled chroma)
+    val cw = Array.tabulate(nc)(c => w * hs(c) / hmax)
+    val ch = Array.tabulate(nc)(c => h * vs(c) / vmax)
     val br = new BitReader(payload, sosAt)
-    val planes = Array.fill(nc)(new Array[Byte](w * h))
+    val comps = Array.tabulate(nc)(c => new Array[Byte](cw(c) * ch(c)))
     val prevDc = new Array[Long](nc)
     val q = new Array[Long](64)
+
+    /** Entropy-decode + dequantize + IDCT one block into component `c`'s
+      * plane at block coords (bx, by) of that plane's own grid. */
+    def decodeBlock(c: Int, bx: Int, by: Int): Unit = {
+      java.util.Arrays.fill(q, 0L)
+      val t = readSym(br, dcH)
+      prevDc(c) += extend(br.bits(t), t)
+      q(0) = prevDc(c) * qt(0)
+      var k = 1
+      var eob = false
+      while (k < 64 && !eob) {
+        val rs = readSym(br, acH)
+        if (rs == 0x00) eob = true
+        else if (rs == 0xF0) k += 16
+        else {
+          k += (rs >> 4)
+          require(k < 64, "JPEG: AC run overflows block")
+          val s = rs & 0x0f
+          q(Zigzag(k)) = extend(br.bits(s), s) * qt(Zigzag(k))
+          k += 1
+        }
+      }
+      // loud overflow guard: inverseBlock's direct double sum carries
+      // up to 64 terms of |q|·Alpha²·Dct² ≈ |q|·2^46 in a Long, so
+      // coefficients must stay under ~2^17. Real 8-bit image content
+      // dequantizes to |q| ≲ 2.3k whatever the table; only a hostile
+      // (valid-syntax) stream can exceed this — reject it instead of
+      // wrapping silently.
+      var g = 0
+      while (g < 64) {
+        require(math.abs(q(g)) <= (1L << 17),
+          "JPEG: coefficient magnitude exceeds the baseline 8-bit range")
+        g += 1
+      }
+      val px = inverseBlock(q)
+      val pw = cw(c)
+      var i = 0
+      while (i < 8) {
+        var j = 0
+        while (j < 8) {
+          comps(c)((by * 8 + i) * pw + bx * 8 + j) = px(i * 8 + j).toByte
+          j += 1
+        }
+        i += 1
+      }
+    }
+
+    // interleaved scan: per MCU, hs(c)×vs(c) blocks per component in
+    // component order, each component's blocks left-to-right top-to-bottom
+    // (T.81 A.2.3) — degenerates to one block per component at 1×1
     var by = 0
-    while (by < h / 8) {
+    while (by < h / mcuH) {
       var bx = 0
-      while (bx < w / 8) {
+      while (bx < w / mcuW) {
         var c = 0
         while (c < nc) {
-          java.util.Arrays.fill(q, 0L)
-          val t = readSym(br, dcH)
-          prevDc(c) += extend(br.bits(t), t)
-          q(0) = prevDc(c) * qt(0)
-          var k = 1
-          var eob = false
-          while (k < 64 && !eob) {
-            val rs = readSym(br, acH)
-            if (rs == 0x00) eob = true
-            else if (rs == 0xF0) k += 16
-            else {
-              k += (rs >> 4)
-              require(k < 64, "JPEG: AC run overflows block")
-              val s = rs & 0x0f
-              q(Zigzag(k)) = extend(br.bits(s), s) * qt(Zigzag(k))
-              k += 1
+          var dy = 0
+          while (dy < vs(c)) {
+            var dx = 0
+            while (dx < hs(c)) {
+              decodeBlock(c, bx * hs(c) + dx, by * vs(c) + dy)
+              dx += 1
             }
-          }
-          // loud overflow guard: inverseBlock's direct double sum carries
-          // up to 64 terms of |q|·Alpha²·Dct² ≈ |q|·2^46 in a Long, so
-          // coefficients must stay under ~2^17. Real 8-bit image content
-          // dequantizes to |q| ≲ 2.3k whatever the table; only a hostile
-          // (valid-syntax) stream can exceed this — reject it instead of
-          // wrapping silently.
-          var g = 0
-          while (g < 64) {
-            require(math.abs(q(g)) <= (1L << 17),
-              "JPEG: coefficient magnitude exceeds the baseline 8-bit range")
-            g += 1
-          }
-          val px = inverseBlock(q)
-          var i = 0
-          while (i < 8) {
-            var j = 0
-            while (j < 8) {
-              planes(c)((by * 8 + i) * w + bx * 8 + j) = px(i * 8 + j).toByte
-              j += 1
-            }
-            i += 1
+            dy += 1
           }
           c += 1
         }
         bx += 1
       }
       by += 1
+    }
+    // upsample subsampled components to full resolution by sample
+    // replication (nearest neighbor): full(x, y) = half(x·cw/w, y·ch/h)
+    val planes = Array.tabulate(nc) { c =>
+      if (cw(c) == w && ch(c) == h) comps(c)
+      else {
+        val full = new Array[Byte](w * h)
+        val fx = w / cw(c); val fy = h / ch(c)
+        var yy = 0
+        while (yy < h) {
+          var xx = 0
+          while (xx < w) {
+            full(yy * w + xx) = comps(c)((yy / fy) * cw(c) + xx / fx)
+            xx += 1
+          }
+          yy += 1
+        }
+        full
+      }
     }
     (w, h, planes)
   }

@@ -621,6 +621,28 @@ object MultimodalOps {
       }.toDF()
   }
 
+  /** Deterministic 4:2:0 COLOR-JPEG asset table: same RGB tiling as
+    * [[jpegColorAssetsFromDocuments]] but encoded with the real-world
+    * camera sampling — Y at 2×2, chroma subsampled 2× both directions
+    * ([[JpegCodec.encodeRgb420]]). Dims are 16-multiples (whole MCUs).
+    * Lossy but integer-deterministic end to end: the oracle replays color
+    * convert, chroma subsample average, the DCT chain per grid, and the
+    * replication upsample. */
+  def jpeg420AssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        require(text.forall(_ < 128),
+          s"jpeg 4:2:0 fixture requires ASCII text (doc $id)")
+        val w = (16 * (id % 2 + 1)).toInt
+        val h = 16
+        val rgb = Array.tabulate(w * h * 3)(i =>
+          (if (text.isEmpty) 0 else text.charAt(i % text.length).toInt).toByte)
+        MediaAsset(id, "jpeg", JpegCodec.encodeRgb420(w, h, rgb), w, h, 3, 0)
+      }.toDF()
+  }
+
   /** Deterministic REAL-VIDEO asset table: each doc becomes a genuine
     * MJPEG AVI ([[AviCodec]]) of `2 + id % 3` grayscale-JPEG frames at
     * fps `10 + (id % 3) * 5`; frame `f`'s source pixels are the text's

@@ -251,7 +251,8 @@ object WavCodec {
     while (pos + 8 <= payload.length) {
       val id = fourcc(pos)
       val size = buf.getInt(pos + 4)
-      require(size >= 0 && pos + 8 + size <= payload.length,
+      // Long bound: hostile sizes near Int.MaxValue must not wrap negative
+      require(size >= 0 && pos.toLong + 8 + size <= payload.length,
         s"chunk '$id' overruns payload")
       val body = pos + 8
       id match {

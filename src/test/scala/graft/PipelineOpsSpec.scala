@@ -2022,6 +2022,81 @@ class PipelineOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](JpegCodec.decodeRgb(gray))
   }
 
+  test("JpegCodec 4:2:0: decoded pixels equal the scalar subsample/upsample chain") {
+    import graft.ops.JpegCodec
+    val rnd = new scala.util.Random(420)
+    for (trial <- 0 until 4) {
+      val w = 16 * (1 + trial % 2); val h = 16
+      val rgb = Array.fill(w * h * 3)(rnd.nextInt(128).toByte)
+      val enc = JpegCodec.encodeRgb420(w, h, rgb)
+      val (dw, dh, dec) = JpegCodec.decodeRgb(enc)
+      assert(dw == w && dh == h && dec.length == w * h * 3)
+
+      // independent scalar replay of the whole 4:2:0 chain: color convert,
+      // 2x2 chroma average, per-grid DCT round-trip, replication upsample,
+      // inverse matrix — the bitstream must transport this EXACTLY, so any
+      // MCU block-order, per-component-DPCM or upsample-index bug fails
+      def clamp(v: Long): Int = if (v < 0) 0 else if (v > 255) 255 else v.toInt
+      val y = new Array[Int](w * h); val cbF = new Array[Int](w * h); val crF = new Array[Int](w * h)
+      for (p <- 0 until w * h) {
+        val r = rgb(3 * p) & 0xff; val g = rgb(3 * p + 1) & 0xff; val b = rgb(3 * p + 2) & 0xff
+        y(p) = clamp((299L * r + 587L * g + 114L * b + 500L) / 1000L)
+        cbF(p) = clamp((-1687L * r - 3313L * g + 5000L * b + 5000L) / 10000L + 128L)
+        crF(p) = clamp((5000L * r - 4187L * g - 813L * b + 5000L) / 10000L + 128L)
+      }
+      val hw = w / 2; val hh = h / 2
+      def sub(full: Array[Int]): Array[Int] =
+        Array.tabulate(hw * hh) { q =>
+          val x2 = q % hw; val y2 = q / hw; val base = 2 * y2 * w + 2 * x2
+          (full(base) + full(base + 1) + full(base + w) + full(base + w + 1) + 2) / 4
+        }
+      def dctPlane(plane: Array[Int], pw: Int, ph: Int): Array[Int] = {
+        val out = new Array[Int](pw * ph)
+        val blk = new Array[Int](64)
+        for (by <- 0 until ph / 8; bx <- 0 until pw / 8) {
+          for (i <- 0 until 8; j <- 0 until 8)
+            blk(i * 8 + j) = plane((by * 8 + i) * pw + bx * 8 + j) - 128
+          val px = JpegCodec.inverseBlock(JpegCodec.forwardBlock(blk))
+          for (i <- 0 until 8; j <- 0 until 8)
+            out((by * 8 + i) * pw + bx * 8 + j) = px(i * 8 + j)
+        }
+        out
+      }
+      val yD = dctPlane(y, w, h)
+      val cbD = dctPlane(sub(cbF), hw, hh)
+      val crD = dctPlane(sub(crF), hw, hh)
+      for (p <- 0 until w * h) {
+        val x = p % w; val yy = p / w
+        val y2 = yD(p).toLong
+        val cb2 = cbD((yy / 2) * hw + x / 2).toLong - 128
+        val cr2 = crD((yy / 2) * hw + x / 2).toLong - 128
+        assert((dec(3 * p) & 0xff) == clamp(y2 + (1402L * cr2 + 500L) / 1000L), s"R at $p")
+        assert((dec(3 * p + 1) & 0xff) == clamp(y2 - (3441L * cb2 + 7141L * cr2 + 5000L) / 10000L), s"G at $p")
+        assert((dec(3 * p + 2) & 0xff) == clamp(y2 + (1772L * cb2 + 500L) / 1000L), s"B at $p")
+      }
+      // re-decode is deterministic
+      val (_, _, dec2) = JpegCodec.decodeRgb(enc)
+      assert(dec2.toSeq == dec.toSeq)
+    }
+    // a constant-color image survives subsampling near-exactly (chroma is
+    // uniform, so the only loss is transform rounding)
+    val flat = Array.tabulate(16 * 16 * 3)(i => (Seq(90, 40, 120)(i % 3)).toByte)
+    val (_, _, flatDec) = JpegCodec.decodeRgb(JpegCodec.encodeRgb420(16, 16, flat))
+    val flatErr = flat.zip(flatDec).map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.max
+    assert(flatErr <= 2, s"flat-color 4:2:0 loss too large: $flatErr")
+    // unsupported sampling (4:2:2) must fail loudly: patch the SOF Hi/Vi
+    // byte of a real 4:2:0 stream (offset 82: SOI 2 + DQT 69 + SOF hdr 10
+    // + comp id 1)
+    val enc422 = JpegCodec.encodeRgb420(16, 16, flat).clone()
+    assert((enc422(82) & 0xff) == 0x22, "fixture layout moved; update the patch offset")
+    enc422(82) = 0x21.toByte
+    val e = intercept[IllegalArgumentException](JpegCodec.decodeRgb(enc422))
+    assert(e.getMessage.contains("unsupported sampling"))
+    // non-16-multiple dims refuse to encode
+    intercept[IllegalArgumentException](
+      JpegCodec.encodeRgb420(8, 8, Array.fill(8 * 8 * 3)(0.toByte)))
+  }
+
   test("WavCodec mu-law: G.711 arithmetic, code round-trip and the format-7 container path") {
     // ITU anchor values: full-scale codes expand to ±32124, both zero
     // codes to 0 (the public G.711 table's extremes)
