@@ -1003,6 +1003,48 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
     }
   }
 
+  /** Grafana "All"-series ZOOM dispatch — the reference datasource's
+    * per-series loop (datasource.go:209-221 fans out one count + one
+    * select/mean round trip per series) collapsed into TWO jobs total:
+    * a count pre-pass (one aggregate-only scan, shuffles S per-series
+    * counts — column-pruned to series + time at the parquet reader) whose
+    * result drives the per-series raw-vs-mean decision exactly like
+    * [[zoom]]'s npoints check, then ONE data scan + ONE shuffle where the
+    * grouping key is conditional: raw series group by their own timestamp
+    * (groups of one row — the point itself), dense series by the
+    * absolute-aligned window. Per-series semantics are identical to S
+    * independent [[zoom]] calls: raw rows keep NULL field values (n = 0),
+    * mean windows are non-empty decimal-2 means. Output: (series,
+    * time_ns, v, n, zoom_mode). */
+  def zoomAll(db: String, m: String, field: String,
+              t0: Long, t1: Long, maxDataPoints: Int): DataFrame = {
+    require(maxDataPoints > 0, "maxDataPoints must be positive")
+    val schema = getSchema(db, m)
+    if (!schema.fields.exists(_.name == field))
+      throw new InvalidSchemaException(s"unknown field: $field")
+    val base = visibleRange(db, m, t0, t1)
+    // decision pre-pass: S counts to the driver (S = dashboard dropdown
+    // scale, bounded by the measurement's series list, never data-scale)
+    val rawSeries = base.groupBy(col(SeriesCol)).count()
+      .filter(col("count") <= maxDataPoints)
+      .collect().map(_.getString(0)).toSeq
+    val span = t1 - t0 + 1
+    val w = (span + maxDataPoints - 1) / maxDataPoints
+    val isRaw = col(SeriesCol).isin(rawSeries: _*)
+    base
+      .filter(isRaw || col(field).isNotNull) // mean side drops nulls pre-shuffle
+      .groupBy(col(SeriesCol),
+        when(isRaw, col(TimeCol))
+          .otherwise(col(TimeCol) - pmod(col(TimeCol), lit(w))).as(TimeCol))
+      .agg(first(col(field)).as("raw_v"),
+        (TimeSeriesOps.sumExact2(col(field)) / count(col(field))).as("mean_v"),
+        count(col(field)).as("n"))
+      .select(col(SeriesCol), col(TimeCol),
+        when(isRaw, col("raw_v").cast("double")).otherwise(col("mean_v")).as("v"),
+        col("n"),
+        when(isRaw, "raw").otherwise("mean").as("zoom_mode"))
+  }
+
   /** Windowed MIN/MAX zoom (reference grafana datasource.go:384-430). */
   def minMaxWindows(db: String, m: String, series: String, field: String,
                     t0: Long, t1: Long, windowWidth: Long): DataFrame =

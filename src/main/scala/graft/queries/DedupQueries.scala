@@ -229,6 +229,55 @@ object DedupQueries {
         "doc_id", 0.8, maxDocFreq = Some(DocFreqCap))
     },
 
+    // NEAR-SUBSET (containment) pairs — Broder C = common/min(|A|,|B|),
+    // the measure Jaccard misses BY CONSTRUCTION (a snippet quoted whole
+    // inside a long page has C = 1, J ≈ |snippet|/|page|). The synthetic
+    // corpus has ZERO containment-only pairs (near-dups are same-length —
+    // measured in r11), so the query PLANTS them: every 10th sufficiently
+    // long doc contributes a snippet companion (its first 12 tokens
+    // rejoined with single spaces — tokenization-stable, so the snippet's
+    // shingle set is a strict subset of the original's). The oracle
+    // replays the same planting and the same df-capped pair core; the
+    // result provably differs from the Jaccard pair set (planted pairs
+    // sit at C = 1.0, J ≈ 0.2).
+    QueryDef.withOracle("dedup_containment", {
+      s"""WITH cdocs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id,
+         |         array_to_string(list_slice(${OracleText.TOKS}, 1, 12), ' ') AS text
+         |  FROM documents
+         |  WHERE doc_id % 10 = 0 AND len(${OracleText.TOKS}) >= 24),
+         |whst AS (SELECT doc_id, $WHS AS whs FROM cdocs),
+         |shs AS (SELECT doc_id, ${OracleText.shingleDistinctSql("whs", 3)} AS shingles
+         |        FROM whst WHERE len(whs) >= 3),
+         |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM shs),
+         |exc AS (SELECT ex.doc_id, ex.sh FROM ex
+         |        JOIN (SELECT sh FROM ex GROUP BY sh HAVING count(*) <= $DocFreqCap) r
+         |        USING (sh)),
+         |sz AS (SELECT doc_id, len(shingles) AS sz FROM shs),
+         |cm AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS cnt
+         |       FROM exc a JOIN exc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2)
+         |SELECT ia AS id_a, ib AS id_b,
+         |       CAST(cnt AS DOUBLE) / least(sa.sz, sb.sz) AS containment,
+         |       CAST(cnt AS DOUBLE) / (sa.sz + sb.sz - cnt) AS jaccard
+         |FROM cm JOIN sz sa ON sa.doc_id = cm.ia JOIN sz sb ON sb.doc_id = cm.ib
+         |WHERE CAST(cnt AS DOUBLE) / least(sa.sz, sb.sz) >= 0.9
+         |ORDER BY 1, 2""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val toks = TextOps.tokens(col("text"))
+      val snippets = docs
+        .filter(col("doc_id") % 10 === 0 && size(toks) >= 24)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat_ws(" ", slice(toks, 1, 12)).as("text"))
+      val planted = docs.select("doc_id", "text").unionByName(snippets)
+      DedupOps.containmentPairs(
+        DedupOps.shingleSets(planted, "doc_id", "text", 3),
+        "doc_id", 0.9, maxDocFreq = Some(DocFreqCap))
+    },
+
     // MinHash(128) + LSH(32 bands × 4 rows) candidates, exact-verified.
     // Same oracle as the brute force: candidate recall must be total.
     QueryDef.withOracle("dedup_minhash_lsh", JaccardBruteSql) { (s, dir) =>

@@ -690,6 +690,36 @@ object EngineQueries {
         .orderBy("time_ns")
     },
 
+    // Grafana "All"-series zoom: the per-series count-guarded raw-vs-mean
+    // dispatch of engine_zoom over EVERY series in one data scan + one
+    // conditional-key shuffle (the reference datasource loops one count +
+    // one select/mean round trip per series, datasource.go:209-221).
+    // maxDataPoints = 1150 splits the sf0.01 fixture: click/purchase/view
+    // land raw, error/signup land mean — BOTH branches and the per-series
+    // decision replay are under the oracle.
+    QueryDef.withOracle("engine_zoom_all_series", {
+      val MAXP = 1150
+      val W = (T1 - T0 + 1 + MAXP - 1) / MAXP
+      s"""WITH pts AS (SELECT series, time_us, v FROM $PTS
+         |             WHERE time_us BETWEEN $T0 AND $T1),
+         |c AS (SELECT series, count(*) AS np FROM pts GROUP BY 1),
+         |raw AS (SELECT p.series, time_us AS time_ns, v,
+         |               CASE WHEN v IS NULL THEN 0 ELSE 1 END AS n,
+         |               'raw' AS zoom_mode
+         |        FROM pts p JOIN c ON c.series = p.series WHERE c.np <= $MAXP),
+         |agg AS (SELECT p.series, time_us - (time_us % $W) AS time_ns,
+         |               CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / COUNT(v) AS v,
+         |               COUNT(v) AS n, 'mean' AS zoom_mode
+         |        FROM pts p JOIN c ON c.series = p.series
+         |        WHERE c.np > $MAXP AND v IS NOT NULL GROUP BY 1, 2)
+         |SELECT * FROM (SELECT * FROM raw UNION ALL SELECT * FROM agg)
+         |ORDER BY series, time_ns""".stripMargin
+    }) { (s, dir) =>
+      Fixture.tsdb(s, dir)
+        .zoomAll("bench", "events", "v", T0, T1, maxDataPoints = 1150)
+        .orderBy("series", "time_ns")
+    },
+
     // Sessionization THROUGH the engine layout (facade .sessionize over
     // the watermark-clamped visible range; the flat-parquet face is
     // tsdb_sessionize): activity bursts split at >30 min silence.

@@ -316,7 +316,10 @@ object TextQueries {
         .agg(count(lit(1)).as("vocab_size"), sum("c").as("total_tokens"))
       val nDocs = docs
         .agg(count(when(size(TextOps.tokens(col("text"))) > 0, 1)).as("n_docs"))
-      byTerm.crossJoin(nDocs)
+      // both sides are single-row aggregates; the explicit hint pins a
+      // BroadcastNestedLoopJoin so no plain CartesianProduct (which would
+      // be a full shuffle-and-pair at scale) can enter the plan
+      byTerm.crossJoin(broadcast(nDocs))
         .select("vocab_size", "total_tokens", "n_docs")
     },
 

@@ -75,4 +75,27 @@ class RelationalPlanSpec extends SparkTestBase {
           df.queryExecution.executedPlan)
     }
   }
+
+  test("no registered text query plans a plain CartesianProduct") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.SparkPlan
+    val dir = "/root/testdata/sf0.001"
+    def flat(p: SparkPlan): Seq[SparkPlan] = (p match {
+      case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
+      case s: QueryStageExec        => flat(s.plan)
+      case other                    => other +: other.children.flatMap(flat)
+    }).distinct
+    // a CartesianProduct pairs every partition with every partition — at
+    // corpus scale that's quadratic task count. Single-row cross joins
+    // (text_vocab) must carry a broadcast hint instead; this gate keeps
+    // an accidental hint-loss from regressing silently.
+    for (q <- graft.queries.TextQueries.defs) {
+      val df = q.fn(spark, dir)
+      val bad = flat(df.queryExecution.executedPlan)
+        .filter(_.isInstanceOf[CartesianProductExec])
+      assert(bad.isEmpty,
+        s"${q.name} plans a CartesianProduct:\n${df.queryExecution.executedPlan}")
+    }
+  }
 }

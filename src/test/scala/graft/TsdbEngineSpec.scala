@@ -328,6 +328,53 @@ class TsdbEngineSpec extends SparkTestBase {
     assert(w == Seq(("s1", 3L), ("s2", 2L)))
   }
 
+  test("zoomAll: per-series dispatch equals per-series zoom; one scan + one shuffle") {
+    val t = mkTsdb()
+    t.createDatabase("db1")
+    t.createMeasurement("db1", "m1", schema)
+    // sparse series (3 points, one NULL v) -> raw at maxDataPoints = 5;
+    // dense series (8 points) -> mean
+    t.writePoints("db1", "m1", "sparse", pts(
+      (100L, Some(1L), Some(1.5), None),
+      (150L, Some(2L), None, None),
+      (205L, Some(3L), Some(2.5), None)))
+    t.writePoints("db1", "m1", "dense",
+      pts((0 until 8).map(i => (100L + 10L * i, Some(i.toLong),
+        Some(i + 0.25), Option.empty[Float])): _*))
+    val all = t.zoomAll("db1", "m1", "v", 100L, 219L, maxDataPoints = 5)
+    val rows = all.collect()
+    // per-series results equal S independent zoom() calls (decision incl.)
+    for (sn <- Seq("sparse", "dense")) {
+      val got = rows.filter(_.getString(0) == sn)
+        .map(r => (r.getLong(1), Option(r.get(2)), r.getLong(3), r.getString(4)))
+        .sortBy(_._1).toSeq
+      val want = t.zoom("db1", "m1", sn, "v", 100L, 219L, maxDataPoints = 5)
+        .collect()
+        .map(r => (r.getLong(0), Option(r.get(1)), r.getLong(2), r.getString(3)))
+        .sortBy(_._1).toSeq
+      assert(got == want, s"series $sn: $got vs $want")
+    }
+    assert(rows.count(_.getString(4) == "raw") == 3) // incl. the NULL point, n=0
+    assert(rows.filter(_.getString(0) == "dense").forall(_.getString(4) == "mean"))
+    // plan gate: the data job is ONE parquet scan + ONE exchange (the
+    // conditional-key aggregate); the count pre-pass already ran at call
+    // time. A per-series loop or a second data shuffle regresses this.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def flat(p: SparkPlan): Seq[SparkPlan] = (p match {
+      case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
+      case s: QueryStageExec        => flat(s.plan)
+      case other                    => other +: other.children.flatMap(flat)
+    }).distinct
+    val nodes = flat(all.queryExecution.executedPlan)
+    assert(nodes.count(_.isInstanceOf[FileSourceScanExec]) == 1,
+      s"expected one scan:\n${all.queryExecution.executedPlan}")
+    assert(nodes.count(_.isInstanceOf[ShuffleExchangeExec]) == 1,
+      s"expected one shuffle:\n${all.queryExecution.executedPlan}")
+  }
+
   test("u64 fields survive the round trip at full range; mean/minmax facade derive from sum_op") {
     val t = mkTsdb()
     t.createDatabase("db1")
