@@ -17,6 +17,14 @@ final case class MediaFeatures(
     asset_id: Long, format: String, n_bytes: Long,
     mean_byte: Double, byte_hist: Array[Long])
 
+/** Decoded features of one 16-bit grayscale image: sample count, mean
+  * sample value (0..65535), the first ≤12 samples (position-sensitive —
+  * catches a de-interlace that permutes pixels without changing the mean)
+  * and a position-weighted checksum Σ v(i)·(i+1). */
+final case class Gray16Features(
+    asset_id: Long, format: String, n_px: Long, mean_val: Double,
+    head: Array[Long], wsum: Long)
+
 /** One ViT-style image patch: flattened row-major RGB values of a
   * `p`×`p` tile at patch-grid position (py, px). */
 final case class ImagePatch(
@@ -369,6 +377,54 @@ object MultimodalOps {
         MediaAsset(id, "png", PngCodec.encode(w, h, gray, (id % 5).toInt),
           w, h, 1, 0)
       }.toDF()
+  }
+
+  /** Deterministic 16-BIT grayscale PNG asset table: sample i is the
+    * 16-bit value `text[i]·256 + text[i+1]` (tiled) — both bytes of every
+    * big-endian pair carry signal, so a byte-order or pairing bug changes
+    * the values. Filter types cycle through all five by id; ODD doc_ids
+    * are Adam7-INTERLACED (even sequential), so the corpus drives the
+    * seven-pass scatter path. Lossless round trip: the oracle recomputes
+    * the decoded stats from the tiling arithmetic alone. */
+  def png16AssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        require(text.forall(_ < 128),
+          s"png16 fixture requires ASCII text (doc $id)")
+        val w = (id % 9 + 1).toInt
+        val h = (id % 7 + 1).toInt
+        def c(k: Int): Int =
+          if (text.isEmpty) 0 else text.charAt(k % text.length).toInt
+        val vs = Array.tabulate(w * h)(i => c(i) * 256 + c(i + 1))
+        MediaAsset(id, "png",
+          PngCodec.encodeGray16(w, h, vs, (id % 5).toInt,
+            interlaced = id % 2 == 1),
+          w, h, 1, 0)
+      }.toDF()
+  }
+
+  /** Decode 16-bit grayscale PNGs ([[PngCodec.decodeGray16]]) into
+    * [[Gray16Features]] — a typed map pass; payloads never leave the
+    * task. */
+  def decodeGray16Features(assets: DataFrame): org.apache.spark.sql.Dataset[Gray16Features] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.as[MediaAsset].map { a =>
+      val (w, h, vs) = PngCodec.decodeGray16(a.payload)
+      var sum = 0L
+      var wsum = 0L
+      var i = 0
+      while (i < vs.length) {
+        sum += vs(i)
+        wsum += vs(i).toLong * (i + 1)
+        i += 1
+      }
+      Gray16Features(a.asset_id, a.format, vs.length.toLong,
+        if (vs.isEmpty) 0.0 else sum.toDouble / vs.length,
+        vs.take(12).map(_.toLong), wsum)
+    }
   }
 
   /** Deterministic COLOR-PNG asset table from `documents`: even doc_ids

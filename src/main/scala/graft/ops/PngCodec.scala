@@ -12,7 +12,11 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * deliberately splits it so a concatenation bug cannot hide), a full
   * INFLATE of the scanline stream, and per-row UNFILTERING of all five
   * standard filter types (None/Sub/Up/Average/Paeth, each with the exact
-  * mod-256 + floor/Paeth-predictor arithmetic of the spec).
+  * mod-256 + floor/Paeth-predictor arithmetic of the spec). Grayscale also
+  * comes in 16-bit (big-endian samples, bpp = 2 filter offsets — the
+  * scientific-imaging shape) and both gray depths support Adam7
+  * interlacing (interlace method 1: seven passes, each filtered and
+  * unfiltered as an independent image, then scattered to the pixel grid).
   *
   * Everything here is the public PNG file format (RFC 2083 / ISO 15948);
   * the reference has no image code — this is an LLM-pipeline extension
@@ -94,15 +98,60 @@ object PngCodec {
     } else Seq(chunk("IDAT", z))
   }
 
+  /** Adam7 pass grid (PNG spec §8.2): (xStart, yStart, xStep, yStep) per
+    * pass, in transmission order. */
+  private val Adam7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  private def passDims(w: Int, h: Int, p: (Int, Int, Int, Int)): (Int, Int) = {
+    val (x0, y0, dx, dy) = p
+    (if (w > x0) (w - x0 + dx - 1) / dx else 0,
+     if (h > y0) (h - y0 + dy - 1) / dy else 0)
+  }
+
+  /** Serialize the filtered scanline stream for interlace method 1: each
+    * Adam7 pass is extracted as its OWN little image and filtered
+    * independently (per spec, the previous-scanline neighbor of a pass row
+    * is the pass's own previous row, NOT an adjacent image row); empty
+    * passes transmit nothing. */
+  private def filterAdam7(w: Int, h: Int, bpp: Int, data: Array[Byte],
+                          filterType: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    for (p <- Adam7) {
+      val (x0, y0, dx, dy) = p
+      val (pw, ph) = passDims(w, h, p)
+      if (pw > 0 && ph > 0) {
+        val sub = new Array[Byte](pw * ph * bpp)
+        var py = 0
+        while (py < ph) {
+          var px = 0
+          while (px < pw) {
+            val srcOff = ((y0 + py * dy) * w + x0 + px * dx) * bpp
+            System.arraycopy(data, srcOff, sub, (py * pw + px) * bpp, bpp)
+            px += 1
+          }
+          py += 1
+        }
+        out.write(filterScanlines(pw, ph, bpp, sub, filterType))
+      }
+    }
+    out.toByteArray
+  }
+
   private def assemble(w: Int, h: Int, colorType: Int, bpp: Int,
                        data: Array[Byte], plte: Option[Array[Byte]],
-                       filterType: Int): Array[Byte] = {
+                       filterType: Int, depth: Int = 8,
+                       interlaced: Boolean = false): Array[Byte] = {
     require(w > 0 && h > 0, s"bad dims ${w}x$h")
     require(data.length == w * h * bpp,
       s"need ${w * h * bpp} bytes, got ${data.length}")
     require(filterType >= 0 && filterType <= 4, s"bad filter $filterType")
-    val ihdr = be32(w) ++ be32(h) ++ Array[Byte](8, colorType.toByte, 0, 0, 0)
-    val raw = filterScanlines(w, h, bpp, data, filterType)
+    val ihdr = be32(w) ++ be32(h) ++
+      Array[Byte](depth.toByte, colorType.toByte, 0, 0,
+        if (interlaced) 1 else 0)
+    val raw = if (interlaced) filterAdam7(w, h, bpp, data, filterType)
+              else filterScanlines(w, h, bpp, data, filterType)
     Signature ++ chunk("IHDR", ihdr) ++
       plte.map(p => chunk("PLTE", p)).getOrElse(Array.emptyByteArray) ++
       idatChunks(raw).reduce(_ ++ _) ++
@@ -111,9 +160,31 @@ object PngCodec {
 
   /** Encode row-major 8-bit grayscale (color type 0) as a
     * standards-conformant PNG. `filterType` selects the per-row filter
-    * (0–4) so round-trip tests can drive every unfilter branch. */
-  def encode(w: Int, h: Int, gray: Array[Byte], filterType: Int = 0): Array[Byte] =
-    assemble(w, h, 0, 1, gray, None, filterType)
+    * (0–4) so round-trip tests can drive every unfilter branch;
+    * `interlaced` writes Adam7 (interlace method 1). */
+  def encode(w: Int, h: Int, gray: Array[Byte], filterType: Int = 0,
+             interlaced: Boolean = false): Array[Byte] =
+    assemble(w, h, 0, 1, gray, None, filterType, interlaced = interlaced)
+
+  /** Encode row-major 16-bit grayscale (color type 0, bit depth 16 — the
+    * scientific/medical-imaging shape) as a standards-conformant PNG.
+    * Samples are big-endian per spec; filters operate on BYTES with the
+    * "left" neighbor one whole pixel (2 bytes) back. Values 0..65535. */
+  def encodeGray16(w: Int, h: Int, gray: Array[Int], filterType: Int = 0,
+                   interlaced: Boolean = false): Array[Byte] = {
+    require(gray.length == w * h, s"need ${w * h} samples, got ${gray.length}")
+    val bytes = new Array[Byte](w * h * 2)
+    var i = 0
+    while (i < gray.length) {
+      val v = gray(i)
+      require(v >= 0 && v <= 0xffff, s"16-bit sample out of range: $v")
+      bytes(2 * i) = (v >>> 8).toByte
+      bytes(2 * i + 1) = (v & 0xff).toByte
+      i += 1
+    }
+    assemble(w, h, 0, 2, bytes, None, filterType, depth = 16,
+      interlaced = interlaced)
+  }
 
   /** Encode row-major 8-bit RGB triples (color type 2, bpp = 3) — the
     * format real corpora actually carry. Same filter machinery as
@@ -132,10 +203,46 @@ object PngCodec {
   }
 
   /** Decoded image before palette expansion: `px` holds the unfiltered
-    * bytes (bpp = 3 for truecolor, 1 for grayscale/palette); `plte` is the
-    * PLTE chunk's RGB triples for color type 3. */
+    * bytes (bpp = 3 for truecolor-8, 2 for grayscale-16 big-endian, 1 for
+    * grayscale-8/palette); `plte` is the PLTE chunk's RGB triples for
+    * color type 3; `depth` is the bit depth (8 or 16). */
   final case class RawImage(w: Int, h: Int, colorType: Int,
-                            px: Array[Byte], plte: Array[Byte])
+                            px: Array[Byte], plte: Array[Byte],
+                            depth: Int = 8)
+
+  /** Reverse one image's per-row filters: `raw` holds `h` scanlines of
+    * `1 + w*bpp` bytes starting at `off`. Returns the `w*h*bpp` pixel
+    * bytes. Shared by the sequential path (one whole-image call) and the
+    * Adam7 path (one call per pass — per spec each pass unfilters as an
+    * independent image). */
+  private def unfilterImage(raw: Array[Byte], off: Int, w: Int, h: Int,
+                            bpp: Int): Array[Byte] = {
+    val stride = w * bpp
+    val px = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      val ft = raw(off + y * (stride + 1)) & 0xff
+      require(ft <= 4, s"bad PNG filter type $ft in row $y")
+      var x = 0
+      while (x < stride) {
+        val f = raw(off + y * (stride + 1) + 1 + x) & 0xff
+        val left = if (x >= bpp) px(y * stride + x - bpp) & 0xff else 0
+        val up = if (y > 0) px((y - 1) * stride + x) & 0xff else 0
+        val upLeft = if (x >= bpp && y > 0) px((y - 1) * stride + x - bpp) & 0xff else 0
+        val v = ft match {
+          case 0 => f
+          case 1 => f + left
+          case 2 => f + up
+          case 3 => f + (left + up) / 2
+          case 4 => f + paeth(left, up, upLeft)
+        }
+        px(y * stride + x) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    px
+  }
 
   /** Full chunk walk + inflate + unfilter for color types 0 (grayscale-8),
     * 2 (truecolor RGB8) and 3 (palette-8). CRC-verifies every chunk
@@ -147,6 +254,7 @@ object PngCodec {
       payload.take(8).sameElements(Signature), "not a PNG payload")
     var off = 8
     var w = 0; var h = 0; var colorType = -1
+    var depth = 0; var interlace = 0
     var sawIhdr = false; var sawIend = false
     var plte: Array[Byte] = Array.emptyByteArray
     val zstream = new java.io.ByteArrayOutputStream()
@@ -165,12 +273,15 @@ object PngCodec {
           require(!sawIhdr && len == 13, "bad IHDR")
           w = readBe32(payload, off + 8); h = readBe32(payload, off + 12)
           require(w > 0 && h > 0, s"bad PNG dims ${w}x$h")
-          val bitDepth = payload(off + 16); colorType = payload(off + 17)
-          require(bitDepth == 8 &&
-            (colorType == 0 || colorType == 2 || colorType == 3),
-            s"only gray-8/RGB-8/palette-8 supported (depth=$bitDepth color=$colorType)")
-          require(payload(off + 18) == 0 && payload(off + 19) == 0 &&
-            payload(off + 20) == 0, "unsupported compression/filter/interlace")
+          depth = payload(off + 16) & 0xff; colorType = payload(off + 17)
+          require((depth == 8 && (colorType == 0 || colorType == 2 || colorType == 3)) ||
+                  (depth == 16 && colorType == 0),
+            s"only gray-8/RGB-8/palette-8/gray-16 supported (depth=$depth color=$colorType)")
+          require(payload(off + 18) == 0 && payload(off + 19) == 0,
+            "unsupported compression/filter method")
+          interlace = payload(off + 20) & 0xff
+          require(interlace == 0 || interlace == 1,
+            s"unsupported interlace method $interlace")
           sawIhdr = true
         case "PLTE" =>
           require(sawIhdr, "PLTE before IHDR")
@@ -186,11 +297,16 @@ object PngCodec {
     }
     require(sawIhdr, "missing IHDR")
     require(colorType != 3 || plte.nonEmpty, "palette PNG missing PLTE")
-    val bpp = if (colorType == 2) 3 else 1
-    val stride = w * bpp
+    val bpp = (if (colorType == 2) 3 else 1) * (depth / 8)
+    val rawLen =
+      if (interlace == 0) (w * bpp + 1) * h
+      else Adam7.map { p =>
+        val (pw, ph) = passDims(w, h, p)
+        if (pw > 0 && ph > 0) (pw * bpp + 1) * ph else 0
+      }.sum
     val inflater = new Inflater()
     inflater.setInput(zstream.toByteArray)
-    val raw = new Array[Byte]((stride + 1) * h)
+    val raw = new Array[Byte](rawLen)
     var got = 0
     while (got < raw.length && !inflater.finished()) {
       val n = inflater.inflate(raw, got, raw.length - got)
@@ -200,39 +316,57 @@ object PngCodec {
     require(got == raw.length && inflater.inflate(new Array[Byte](1)) == 0,
       s"PNG scanline stream length mismatch (got $got, want ${raw.length})")
     inflater.end()
-    // unfilter into the pixel array ("left" neighbor = bpp bytes back)
-    val px = new Array[Byte](stride * h)
-    var y = 0
-    while (y < h) {
-      val ft = raw(y * (stride + 1)) & 0xff
-      require(ft <= 4, s"bad PNG filter type $ft in row $y")
-      var x = 0
-      while (x < stride) {
-        val f = raw(y * (stride + 1) + 1 + x) & 0xff
-        val left = if (x >= bpp) px(y * stride + x - bpp) & 0xff else 0
-        val up = if (y > 0) px((y - 1) * stride + x) & 0xff else 0
-        val upLeft = if (x >= bpp && y > 0) px((y - 1) * stride + x - bpp) & 0xff else 0
-        val v = ft match {
-          case 0 => f
-          case 1 => f + left
-          case 2 => f + up
-          case 3 => f + (left + up) / 2
-          case 4 => f + paeth(left, up, upLeft)
+    val px =
+      if (interlace == 0) unfilterImage(raw, 0, w, h, bpp)
+      else {
+        // Adam7: unfilter each pass as its own image, then scatter its
+        // pixels to their grid positions
+        val full = new Array[Byte](w * bpp * h)
+        var off2 = 0
+        for (p <- Adam7) {
+          val (x0, y0, dx, dy) = p
+          val (pw, ph) = passDims(w, h, p)
+          if (pw > 0 && ph > 0) {
+            val sub = unfilterImage(raw, off2, pw, ph, bpp)
+            var py = 0
+            while (py < ph) {
+              var sx = 0
+              while (sx < pw) {
+                System.arraycopy(sub, (py * pw + sx) * bpp,
+                  full, ((y0 + py * dy) * w + x0 + sx * dx) * bpp, bpp)
+                sx += 1
+              }
+              py += 1
+            }
+            off2 += (pw * bpp + 1) * ph
+          }
         }
-        px(y * stride + x) = (v & 0xff).toByte
-        x += 1
+        full
       }
-      y += 1
-    }
-    RawImage(w, h, colorType, px, plte)
+    RawImage(w, h, colorType, px, plte, depth)
   }
 
   /** Parse a grayscale-8 PNG back into (width, height, row-major pixels). */
   def decode(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
     val img = decodeRaw(payload)
-    require(img.colorType == 0,
-      s"decode expects grayscale-8, got color type ${img.colorType}")
+    require(img.colorType == 0 && img.depth == 8,
+      s"decode expects grayscale-8, got color type ${img.colorType} depth ${img.depth}")
     (img.w, img.h, img.px)
+  }
+
+  /** Parse a grayscale-16 PNG back into (width, height, row-major samples
+    * 0..65535) — big-endian byte pairs reassembled per spec. */
+  def decodeGray16(payload: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = decodeRaw(payload)
+    require(img.colorType == 0 && img.depth == 16,
+      s"decodeGray16 expects grayscale-16, got color type ${img.colorType} depth ${img.depth}")
+    val vs = new Array[Int](img.w * img.h)
+    var i = 0
+    while (i < vs.length) {
+      vs(i) = ((img.px(2 * i) & 0xff) << 8) | (img.px(2 * i + 1) & 0xff)
+      i += 1
+    }
+    (img.w, img.h, vs)
   }
 
   /** Parse any supported PNG into (width, height, row-major RGB triples):
@@ -248,6 +382,8 @@ object PngCodec {
     * passes through, palette expands, grayscale replicates each plane
     * byte across the three channels. */
   def rgbOf(img: RawImage): Array[Byte] = img.colorType match {
+    case _ if img.depth != 8 => throw new IllegalArgumentException(
+      s"rgbOf expects 8-bit channels, got depth ${img.depth}")
     case 2 => img.px
     case 3 => expandPalette(img)
     case 0 =>
@@ -310,6 +446,8 @@ object PngCodec {
 
   def decodeFeatures(a: MediaAsset): MediaFeatures = {
     val img = decodeRaw(a.payload)
+    require(img.depth == 8,
+      s"decodeFeatures is byte-stat shaped; 16-bit images go through decodeGray16")
     val px = if (img.colorType == 3) expandPalette(img) else img.px
     val hist = new Array[Long](FakeDecoder.HistBuckets)
     var sum = 0L

@@ -1821,6 +1821,51 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("PngCodec: 16-bit grayscale round-trips every filter x interlace combination") {
+    // dims chosen so Adam7 passes 1-7 are all non-empty (needs w,h >= 5;
+    // 9x10 also exercises partial pass rows) and values use BOTH bytes of
+    // the big-endian pair
+    val w = 9; val h = 10
+    val vs = Array.tabulate(w * h)(i => (i * 1009 + 77) % 65536)
+    for (ft <- 0 to 4; il <- Seq(false, true)) {
+      val png = PngCodec.encodeGray16(w, h, vs, ft, interlaced = il)
+      val (dw, dh, back) = PngCodec.decodeGray16(png)
+      assert(dw == w && dh == h, s"filter $ft interlaced=$il dims")
+      assert(back.toSeq == vs.toSeq, s"filter $ft interlaced=$il samples")
+    }
+    // interlaced and sequential streams decode to the SAME image
+    val a = PngCodec.decodeGray16(PngCodec.encodeGray16(w, h, vs, 4, interlaced = true))
+    val b = PngCodec.decodeGray16(PngCodec.encodeGray16(w, h, vs, 4, interlaced = false))
+    assert(a._3.toSeq == b._3.toSeq)
+    // tiny images leave some Adam7 passes empty — still exact
+    for ((tw, th) <- Seq((1, 1), (2, 3), (4, 4), (5, 2))) {
+      val tv = Array.tabulate(tw * th)(i => (i * 25013 + 1) % 65536)
+      val (_, _, tb) = PngCodec.decodeGray16(
+        PngCodec.encodeGray16(tw, th, tv, 1, interlaced = true))
+      assert(tb.toSeq == tv.toSeq, s"${tw}x$th interlaced")
+    }
+    // range guard + byte-stat routing guard + depth cross-checks
+    intercept[IllegalArgumentException](PngCodec.encodeGray16(1, 1, Array(65536)))
+    val png16 = PngCodec.encodeGray16(2, 2, Array(1, 2, 3, 4))
+    intercept[IllegalArgumentException](PngCodec.decode(png16)) // 8-bit face
+    val png8 = PngCodec.encode(2, 2, Array[Byte](1, 2, 3, 4))
+    intercept[IllegalArgumentException](PngCodec.decodeGray16(png8))
+  }
+
+  test("PngCodec: Adam7 applies to 8-bit grayscale too, and position matters") {
+    val w = 8; val h = 8
+    val px = Array.tabulate[Byte](w * h)(i => (i * 37 + 11).toByte)
+    for (ft <- 0 to 4) {
+      val (dw, dh, back) = PngCodec.decode(PngCodec.encode(w, h, px, ft, interlaced = true))
+      assert(dw == w && dh == h && back.toSeq == px.toSeq, s"filter $ft")
+    }
+    // the de-interlace must place pixels, not just collect them: an
+    // asymmetric image decodes with its exact row-major layout
+    val asym = Array.tabulate[Byte](w * h)(i => if (i / w == 0) 100 else 0)
+    val (_, _, back) = PngCodec.decode(PngCodec.encode(w, h, asym, 0, interlaced = true))
+    assert(back.take(w).forall(_ == 100) && back.drop(w).forall(_ == 0))
+  }
+
   test("PngCodec: truecolor RGB8 round-trips through every filter type (bpp=3 left neighbor)") {
     val w = 3; val h = 4
     // per-channel gradients with different strides so a bpp-offset bug in
