@@ -76,6 +76,123 @@ object EngineQueries {
     org.apache.spark.sql.types.StructField("v",
       org.apache.spark.sql.types.DoubleType)))
 
+  /** Shared STREAM-SOURCE batch files, staged once per JVM per (sf dir,
+    * family) — VERDICT r12 #4: the 12 streaming faces each paid
+    * persist + two filtered parquet writes (+ horizon aggregates) per
+    * invocation to stage the SAME canonical batches; only the two-drain
+    * checkpoint lifecycle is the thing under test, so the input batches
+    * are staged once and per-query stage dirs are fed by FILE COPY (no
+    * Spark job). Checkpoints stay strictly per-invocation — state
+    * carry-over across drains is exactly the semantics the faces gate.
+    * Families:
+    *  - pv: canonical (series, time_us, v) — b1 (<= MID), b2 (> MID),
+    *    all, sentinel (one horizon-derived row), b2s (b2 + sentinel)
+    *  - pn: click series as (series, time_ns, v) — b1/b2 (ingest face)
+    *  - us: distinct (series, time_us, user_id) — b1/b2
+    *  - ue: (user_id, event_type, time_us) — b1/b2
+    *  - dc: (doc_id, time_us = doc_id + DAY, text) — b1/b2 at the doc
+    *    median (multi-file per batch, exactly like the original staging)
+    * Metadata (maxTs / docMid / docMax) is computed once with the files. */
+  private object StreamSrcStage {
+    private val dirs = scala.collection.mutable.Map[(String, String), String]()
+    private val meta = scala.collection.mutable.Map[String, Map[String, Long]]()
+
+    def metaOf(s: SparkSession, dir: String): Map[String, Long] = synchronized {
+      meta.getOrElseUpdate(dir, {
+        val pts = canonicalPoints(s, dir)
+        val maxTs = pts.agg(max("time_us")).head().getLong(0)
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), (col("doc_id") + DAY).as("time_us"))
+        val r = docs.agg(
+          expr("percentile_approx(doc_id, 0.5)"), max("time_us")).head()
+        Map("maxTs" -> maxTs, "docMid" -> r.getLong(0), "docMax" -> r.getLong(1))
+      })
+    }
+
+    private def family(s: SparkSession, dir: String, fam: String): String =
+      synchronized {
+        dirs.getOrElseUpdate((dir, fam), {
+          val base = java.nio.file.Files
+            .createTempDirectory(s"graft-streamsrc-$fam-").toString
+          import s.implicits._
+          fam match {
+            case "pv" =>
+              val pts = canonicalPoints(s, dir)
+                .select(col("series"), col("time_us"), col("v")).persist()
+              val sentinelTs = metaOf(s, dir)("maxTs") + 30 * DAY
+              val sentinel = Seq(("zzz_sentinel", sentinelTs, 0.0))
+                .toDF("series", "time_us", "v")
+              try {
+                pts.filter(col("time_us") <= MID).repartition(1)
+                  .write.parquet(s"$base/b1")
+                pts.filter(col("time_us") > MID).repartition(1)
+                  .write.parquet(s"$base/b2")
+                pts.repartition(1).write.parquet(s"$base/all")
+                sentinel.repartition(1).write.parquet(s"$base/sentinel")
+                pts.filter(col("time_us") > MID).union(sentinel)
+                  .repartition(1).write.parquet(s"$base/b2s")
+              } finally pts.unpersist()
+            case "pn" =>
+              val pts = canonicalPoints(s, dir).filter(col("series") === "click")
+                .select(col("series"), col("time_us").as("time_ns"), col("v"))
+                .persist()
+              try {
+                pts.filter(col("time_ns") <= MID).repartition(1)
+                  .write.parquet(s"$base/b1")
+                pts.filter(col("time_ns") > MID).repartition(1)
+                  .write.parquet(s"$base/b2")
+              } finally pts.unpersist()
+            case "us" =>
+              val us = Tables.eventsTsdb(s, dir)
+                .select(col("series"), col("time_us"), col("user_id"))
+                .distinct().persist()
+              try {
+                us.filter(col("time_us") <= MID).repartition(1)
+                  .write.parquet(s"$base/b1")
+                us.filter(col("time_us") > MID).repartition(1)
+                  .write.parquet(s"$base/b2")
+              } finally us.unpersist()
+            case "ue" =>
+              val ue = Tables.eventsTsdb(s, dir)
+                .select(col("user_id"), col("series").as("event_type"),
+                  col("time_us")).persist()
+              try {
+                ue.filter(col("time_us") <= MID).repartition(1)
+                  .write.parquet(s"$base/b1")
+                ue.filter(col("time_us") > MID).repartition(1)
+                  .write.parquet(s"$base/b2")
+              } finally ue.unpersist()
+            case "dc" =>
+              val docMid = metaOf(s, dir)("docMid")
+              val docs = Tables(s, dir, "documents")
+                .select(col("doc_id"), (col("doc_id") + DAY).as("time_us"),
+                  col("text")).persist()
+              try {
+                docs.filter(col("doc_id") <= docMid).write.parquet(s"$base/b1")
+                docs.filter(col("doc_id") > docMid).write.parquet(s"$base/b2")
+              } finally docs.unpersist()
+          }
+          base
+        })
+      }
+
+    /** Feed one staged batch into a query's stage dir by FILE COPY with a
+      * collision-proof name prefix (the file-stream source tracks seen
+      * files by name in the checkpoint, so batch 2's files must not shadow
+      * batch 1's). */
+    def feed(s: SparkSession, dir: String, fam: String, batch: String,
+             dest: String): Unit = {
+      val src = java.nio.file.Paths.get(family(s, dir, fam), batch)
+      val d = java.nio.file.Paths.get(dest)
+      val stream = java.nio.file.Files.list(src)
+      try stream.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+          java.nio.file.Files.copy(p, d.resolve(s"$batch-$n"))
+      } finally stream.close()
+    }
+  }
+
   /** Shared READ-ONLY engine root, built once per JVM per sf dir: every
     * canonical series written through the full validated append path
     * (concurrently — series are independent, reference doc/LOCKING.txt:3-8).
@@ -865,31 +982,25 @@ object EngineQueries {
       t.createMeasurement("bench", "events", schema)
       val stage = java.nio.file.Files.createTempDirectory("graft-stage-").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
-      val pts = canonicalPoints(s, dir).filter(col("series") === "click")
-        .select(col("series"), col("time_us").as("time_ns"), col("v")).persist()
-      try {
-        val srcSchema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("series",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("time_ns",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("v",
-            org.apache.spark.sql.types.DoubleType)))
-        def drain(): Unit = {
-          val src = s.readStream.schema(srcSchema).parquet(stage)
-          graft.streaming.StreamingIngest
-            .start(t, "bench", "events", src, "series", ckpt)
-            .awaitTermination()
-        }
-        // run 1: everything up to MID; run 2 appends the remainder (later
-        // times only, so micro-batch boundaries respect the append contract)
-        pts.filter(col("time_ns") <= MID).repartition(1)
-          .write.mode("append").parquet(stage)
-        drain()
-        pts.filter(col("time_ns") > MID).repartition(1)
-          .write.mode("append").parquet(stage)
-        drain()
-      } finally pts.unpersist()
+      val srcSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("series",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("time_ns",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType)))
+      def drain(): Unit = {
+        val src = s.readStream.schema(srcSchema).parquet(stage)
+        graft.streaming.StreamingIngest
+          .start(t, "bench", "events", src, "series", ckpt)
+          .awaitTermination()
+      }
+      // run 1: everything up to MID; run 2 appends the remainder (later
+      // times only, so micro-batch boundaries respect the append contract)
+      StreamSrcStage.feed(s, dir, "pn", "b1", stage)
+      drain()
+      StreamSrcStage.feed(s, dir, "pn", "b2", stage)
+      drain()
       t.select("bench", "events", "click", Seq("v"), 0L, Long.MaxValue - 1)
         .select(col("time_ns").as("time_us"), col("v"))
     },
@@ -1066,8 +1177,6 @@ object EngineQueries {
       t.createDatabase("bench")
       val stage = java.nio.file.Files.createTempDirectory("graft-rstage-").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft-rckpt-").toString
-      val pts = canonicalPoints(s, dir)
-        .select(col("series"), col("time_us"), col("v")).persist()
       // streaming state (and thus every micro-batch's state-store commit)
       // is partitioned by shuffle.partitions at query start — 150 finalized
       // windows do not need 32 state partitions × N batches of commit files
@@ -1079,21 +1188,14 @@ object EngineQueries {
             s.readStream.schema(PointSchema).parquet(stage),
             windowUs = DAY, watermarkUs = 1000000L, checkpoint = ckpt)
             .awaitTermination()
-        pts.repartition(1).write.mode("append").parquet(stage)
+        StreamSrcStage.feed(s, dir, "pv", "all", stage)
         drain()
         // sentinel DERIVED from the data horizon (a hardcoded date breaks
         // silently on scaled-up inputs): its own window never finalizes,
         // but drain 2's watermark now closes every REAL window
-        import s.implicits._
-        val sentinelTs = pts.agg(max("time_us")).head().getLong(0) + 30 * DAY
-        Seq(("zzz_sentinel", sentinelTs, 0.0))
-          .toDF("series", "time_us", "v")
-          .repartition(1).write.mode("append").parquet(stage)
+        StreamSrcStage.feed(s, dir, "pv", "sentinel", stage)
         drain()
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-        pts.unpersist()
-      }
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       val rollup = StreamingRollup.rollupMeasurement("events", DAY)
       t.visible("bench", rollup)
         .select(col("series"), col("time_ns").as("time_us"),
@@ -1129,8 +1231,6 @@ object EngineQueries {
       val stage = java.nio.file.Files.createTempDirectory("graft-sstage-").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft-sckpt-").toString
       val out = java.nio.file.Files.createTempDirectory("graft-sout-").toString
-      val pts = canonicalPoints(s, dir)
-        .select(col("series"), col("time_us"), col("v")).persist()
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
@@ -1143,22 +1243,15 @@ object EngineQueries {
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .format("parquet").option("path", out)
             .start().awaitTermination()
-        pts.repartition(1).write.mode("append").parquet(stage)
+        StreamSrcStage.feed(s, dir, "pv", "all", stage)
         drain()
-        import s.implicits._
         // sentinel DERIVED from the data horizon (hardcoding a date breaks
         // silently on scaled-up inputs whose horizon passes it): its own
         // session never finalizes, but drain 2's watermark now closes
         // every REAL session
-        val sentinelTs = pts.agg(max("time_us")).head().getLong(0) + 30 * DAY
-        Seq(("zzz_sentinel", sentinelTs, 0.0))
-          .toDF("series", "time_us", "v")
-          .repartition(1).write.mode("append").parquet(stage)
+        StreamSrcStage.feed(s, dir, "pv", "sentinel", stage)
         drain()
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-        pts.unpersist()
-      }
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.read.parquet(out).filter(col("series") =!= "zzz_sentinel")
         .orderBy("series", "session_start")
     },
@@ -1181,8 +1274,6 @@ object EngineQueries {
       val stage = java.nio.file.Files.createTempDirectory("graft-rtstage-").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft-rtckpt-").toString
       val out = java.nio.file.Files.createTempDirectory("graft-rtout-").toString
-      val pts = canonicalPoints(s, dir)
-        .select(col("series"), col("time_us"), col("v")).persist()
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
@@ -1198,16 +1289,11 @@ object EngineQueries {
             .start().awaitTermination()
         // split at MID: the first rate of batch 2 must join across the
         // checkpoint boundary via carried state
-        pts.filter(col("time_us") <= MID).repartition(1)
-          .write.mode("append").parquet(stage)
+        StreamSrcStage.feed(s, dir, "pv", "b1", stage)
         drain()
-        pts.filter(col("time_us") > MID).repartition(1)
-          .write.mode("append").parquet(stage)
+        StreamSrcStage.feed(s, dir, "pv", "b2", stage)
         drain()
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-        pts.unpersist()
-      }
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.read.parquet(out).orderBy("series", "time_us")
     },
 
@@ -1230,8 +1316,6 @@ object EngineQueries {
       val stage = java.nio.file.Files.createTempDirectory("graft-dfstage-").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft-dfckpt-").toString
       val out = java.nio.file.Files.createTempDirectory("graft-dfout-").toString
-      val pts = canonicalPoints(s, dir)
-        .select(col("series"), col("time_us"), col("v")).persist()
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
@@ -1246,16 +1330,11 @@ object EngineQueries {
             .start().awaitTermination()
         // split at MID: the first difference of batch 2 must join across
         // the checkpoint boundary via carried state
-        pts.filter(col("time_us") <= MID).repartition(1)
-          .write.mode("append").parquet(stage)
+        StreamSrcStage.feed(s, dir, "pv", "b1", stage)
         drain()
-        pts.filter(col("time_us") > MID).repartition(1)
-          .write.mode("append").parquet(stage)
+        StreamSrcStage.feed(s, dir, "pv", "b2", stage)
         drain()
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-        pts.unpersist()
-      }
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.read.parquet(out).orderBy("series", "time_us")
     },
 
@@ -1294,9 +1373,6 @@ object EngineQueries {
       val stage = java.nio.file.Files.createTempDirectory("graft-sdstage-").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft-sdckpt-").toString
       val out = java.nio.file.Files.createTempDirectory("graft-sdout-").toString
-      val pts = Tables.eventsTsdb(s, dir)
-        .select(col("series"), col("time_us"), col("user_id"))
-        .distinct().persist()
       val upSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("series",
           org.apache.spark.sql.types.StringType),
@@ -1316,16 +1392,11 @@ object EngineQueries {
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .format("parquet").option("path", out)
             .start().awaitTermination()
-        pts.filter(col("time_us") <= MID).repartition(1)
-          .write.mode("append").parquet(stage)
+        StreamSrcStage.feed(s, dir, "us", "b1", stage)
         drain()
-        pts.filter(col("time_us") > MID).repartition(1)
-          .write.mode("append").parquet(stage)
+        StreamSrcStage.feed(s, dir, "us", "b2", stage)
         drain()
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-        pts.unpersist()
-      }
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.read.parquet(out).orderBy("series", "time_us", "user_id")
     },
 
@@ -1350,10 +1421,11 @@ object EngineQueries {
       val stage = java.nio.file.Files.createTempDirectory("graft-sjstage-").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft-sjckpt-").toString
       val out = java.nio.file.Files.createTempDirectory("graft-sjout-").toString
-      val pts = canonicalPoints(s, dir)
-        .select(col("series"), col("time_us"), col("v"))
-        .filter(col("series").isin("click", "purchase")).persist()
-      val horizonUs = pts.agg(max("time_us")).head().getLong(0) + 1000000L
+      // the staged batches carry all series; both stream sides filter to
+      // their own series, and the global horizon only keeps join state
+      // LONGER than the subset horizon would (inner matches emit eagerly,
+      // so the output set is unchanged)
+      val horizonUs = StreamSrcStage.metaOf(s, dir)("maxTs") + 1000000L
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
@@ -1369,16 +1441,11 @@ object EngineQueries {
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .format("parquet").option("path", out)
             .start().awaitTermination()
-        pts.filter(col("time_us") <= MID).repartition(1)
-          .write.mode("append").parquet(stage)
+        StreamSrcStage.feed(s, dir, "pv", "b1", stage)
         drain()
-        pts.filter(col("time_us") > MID).repartition(1)
-          .write.mode("append").parquet(stage)
+        StreamSrcStage.feed(s, dir, "pv", "b2", stage)
         drain()
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-        pts.unpersist()
-      }
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.read.parquet(out).orderBy("l_time_us", "r_time_us")
     },
 
@@ -1410,9 +1477,6 @@ object EngineQueries {
       val stage = java.nio.file.Files.createTempDirectory("graft-fnstage-").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft-fnckpt-").toString
       val out = java.nio.file.Files.createTempDirectory("graft-fnout-").toString
-      val ev = Tables.eventsTsdb(s, dir)
-        .select(col("user_id"), col("series").as("event_type"), col("time_us"))
-        .persist()
       val evSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("user_id",
           org.apache.spark.sql.types.LongType),
@@ -1433,16 +1497,11 @@ object EngineQueries {
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .format("parquet").option("path", out)
             .start().awaitTermination()
-        ev.filter(col("time_us") <= MID).repartition(1)
-          .write.mode("append").parquet(stage)
+        StreamSrcStage.feed(s, dir, "ue", "b1", stage)
         drain()
-        ev.filter(col("time_us") > MID).repartition(1)
-          .write.mode("append").parquet(stage)
+        StreamSrcStage.feed(s, dir, "ue", "b2", stage)
         drain()
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-        ev.unpersist()
-      }
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.read.parquet(out).orderBy("user_id", "stage_idx")
     },
 
@@ -1472,9 +1531,6 @@ object EngineQueries {
       val stage = java.nio.file.Files.createTempDirectory("graft-fwstage-").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft-fwckpt-").toString
       val out = java.nio.file.Files.createTempDirectory("graft-fwout-").toString
-      val ev = Tables.eventsTsdb(s, dir)
-        .select(col("user_id"), col("series").as("event_type"), col("time_us"))
-        .persist()
       val evSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("user_id",
           org.apache.spark.sql.types.LongType),
@@ -1495,16 +1551,11 @@ object EngineQueries {
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .format("parquet").option("path", out)
             .start().awaitTermination()
-        ev.filter(col("time_us") <= MID).repartition(1)
-          .write.mode("append").parquet(stage)
+        StreamSrcStage.feed(s, dir, "ue", "b1", stage)
         drain()
-        ev.filter(col("time_us") > MID).repartition(1)
-          .write.mode("append").parquet(stage)
+        StreamSrcStage.feed(s, dir, "ue", "b2", stage)
         drain()
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-        ev.unpersist()
-      }
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.read.parquet(out).orderBy("user_id", "stage_idx")
     },
 
@@ -1528,8 +1579,6 @@ object EngineQueries {
       val stage = java.nio.file.Files.createTempDirectory("graft-wstage-").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft-wckpt-").toString
       val out = java.nio.file.Files.createTempDirectory("graft-wout-").toString
-      val pts = canonicalPoints(s, dir)
-        .select(col("series"), col("time_us"), col("v")).persist()
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
@@ -1542,21 +1591,13 @@ object EngineQueries {
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .format("parquet").option("path", out)
             .start().awaitTermination()
-        pts.filter(col("time_us") <= MID).repartition(1)
-          .write.mode("append").parquet(stage)
+        StreamSrcStage.feed(s, dir, "pv", "b1", stage)
         drain()
         // batch 2: the rest, plus a horizon-derived sentinel whose own
         // window never finalizes but whose watermark closes every real one
-        val sentinelTs = pts.agg(max("time_us")).head().getLong(0) + 30 * DAY
-        pts.filter(col("time_us") > MID)
-          .union(Seq(("zzz_sentinel", sentinelTs, 0.0))
-            .toDF("series", "time_us", "v"))
-          .repartition(1).write.mode("append").parquet(stage)
+        StreamSrcStage.feed(s, dir, "pv", "b2s", stage)
         drain()
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-        pts.unpersist()
-      }
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.read.parquet(out).filter(col("series") =!= "zzz_sentinel")
         .orderBy("series", "window_start")
     },
@@ -1582,8 +1623,6 @@ object EngineQueries {
       val stage = java.nio.file.Files.createTempDirectory("graft-slstage-").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft-slckpt-").toString
       val out = java.nio.file.Files.createTempDirectory("graft-slout-").toString
-      val pts = canonicalPoints(s, dir)
-        .select(col("series"), col("time_us"), col("v")).persist()
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
@@ -1596,19 +1635,11 @@ object EngineQueries {
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .format("parquet").option("path", out)
             .start().awaitTermination()
-        pts.filter(col("time_us") <= MID).repartition(1)
-          .write.mode("append").parquet(stage)
+        StreamSrcStage.feed(s, dir, "pv", "b1", stage)
         drain()
-        val sentinelTs = pts.agg(max("time_us")).head().getLong(0) + 30 * DAY
-        pts.filter(col("time_us") > MID)
-          .union(Seq(("zzz_sentinel", sentinelTs, 0.0))
-            .toDF("series", "time_us", "v"))
-          .repartition(1).write.mode("append").parquet(stage)
+        StreamSrcStage.feed(s, dir, "pv", "b2s", stage)
         drain()
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-        pts.unpersist()
-      }
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.read.parquet(out).filter(col("series") =!= "zzz_sentinel")
         .orderBy("series", "window_start")
     },
@@ -1634,9 +1665,6 @@ object EngineQueries {
       val stage = java.nio.file.Files.createTempDirectory("graft-ddstage-").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft-ddckpt-").toString
       val out = java.nio.file.Files.createTempDirectory("graft-ddout-").toString
-      val docs = Tables(s, dir, "documents")
-        .select(col("doc_id"), (col("doc_id") + DAY).as("time_us"), col("text"))
-        .persist()
       val docSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
           org.apache.spark.sql.types.LongType),
@@ -1644,8 +1672,7 @@ object EngineQueries {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("text",
           org.apache.spark.sql.types.StringType)))
-      val mid = docs.agg(expr("percentile_approx(doc_id, 0.5)")).head().getLong(0)
-      val horizonUs = docs.agg(max("time_us")).head().getLong(0) + 1000000L
+      val horizonUs = StreamSrcStage.metaOf(s, dir)("docMax") + 1000000L
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
@@ -1659,14 +1686,11 @@ object EngineQueries {
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .format("parquet").option("path", out)
             .start().awaitTermination()
-        docs.filter(col("doc_id") <= mid).write.mode("append").parquet(stage)
+        StreamSrcStage.feed(s, dir, "dc", "b1", stage)
         drain()
-        docs.filter(col("doc_id") > mid).write.mode("append").parquet(stage)
+        StreamSrcStage.feed(s, dir, "dc", "b2", stage)
         drain()
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-        docs.unpersist()
-      }
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.read.parquet(out).orderBy("doc_id")
     },
 

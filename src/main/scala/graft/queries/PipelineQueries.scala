@@ -235,12 +235,23 @@ object PipelineQueries {
       // CSE across join subtrees without caching corpus-scale arrays. The
       // repeat is pure map-side CPU amortized by the per-task merge memo;
       // the skewed exchange it avoids is the actual 100 TB bottleneck.
-      val toks = docs
+      //
+      // Join at DOC level, explode AFTER: the join's shuffle moves one
+      // ~(id, text, start_tok) row per document, and the token-volume
+      // explode + id mapping stay map-side on the join output — joining a
+      // pre-exploded token stream instead would sort/shuffle ~50× the
+      // rows for the same result (the r12 shape; measured 1.5× slower at
+      // 10× data). The repartition spreads the merge-loop CPU before the
+      // explode (AQE coalesces the small doc-level join output).
+      packed
+        .join(docs.select(col("doc_id"), col("text")), "doc_id")
         .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"),
+        .select(col("source"), col("doc_id"), col("start_tok"),
           posexplode(graft.ops.TextOps.bpeMergedTokens(col("text")))
             .as(Seq("pos", "token")))
-        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        .select(col("source"), col("doc_id"), col("pos").cast("long").as("pos"),
+          expr("(start_tok + pos) div 2048L").as("bin_id"),
+          pmod(col("start_tok") + col("pos"), lit(2048L)).as("bin_off"),
           // coalesce, not a length()==1 branch: Spark length() counts
           // UTF-16 units, so a supplementary-plane single-CODEPOINT token
           // (surrogate pair, length 2) would miss the branch — but every
@@ -248,11 +259,6 @@ object PipelineQueries {
           // "not in the merge map" == "single codepoint" exactly
           coalesce(element_at(idMap, col("token")),
             ascii(col("token")).cast("long")).as("token_id"))
-      packed.join(toks, "doc_id")
-        .select(col("source"), col("doc_id"), col("pos"),
-          expr("(start_tok + pos) div 2048L").as("bin_id"),
-          pmod(col("start_tok") + col("pos"), lit(2048L)).as("bin_off"),
-          col("token_id"))
         .orderBy("source", "bin_id", "bin_off")
     },
 

@@ -76,6 +76,34 @@ class RelationalPlanSpec extends SparkTestBase {
     }
   }
 
+  test("pipeline_pack_tokens joins at DOC level: no explode below a join") {
+    import org.apache.spark.sql.execution.{GenerateExec, SparkPlan}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val dir = "/root/testdata/sf0.001"
+    val q = graft.queries.PipelineQueries.defs.find(_.name == "pipeline_pack_tokens").get
+    val df = q.fn(spark, dir)
+    df.write.format("noop").mode("overwrite").save() // finalize AQE stages
+    def subtree(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => subtree(a.executedPlan)
+      case s: QueryStageExec        => subtree(s.plan)
+      case other                    => other +: other.children.flatMap(subtree)
+    }
+    val nodes = subtree(df.queryExecution.executedPlan)
+    val joins = nodes.filter(n => n.isInstanceOf[SortMergeJoinExec] ||
+      n.isInstanceOf[ShuffledHashJoinExec] || n.isInstanceOf[BroadcastHashJoinExec])
+    assert(joins.nonEmpty, "pack_tokens should contain the pack/doc join")
+    // the slot join must move one row per DOCUMENT; a Generate (the
+    // token posexplode) under a join means the token stream is being
+    // shuffled/sorted — ~50x the rows of the doc-level shape (the r12
+    // regression this guards: 12.7 s -> 4.7 s at 10x data)
+    for (j <- joins) {
+      val below = j.children.flatMap(subtree)
+      assert(!below.exists(_.isInstanceOf[GenerateExec]),
+        s"token explode below a join:\n$j")
+    }
+  }
+
   test("no registered text query plans a plain CartesianProduct") {
     import org.apache.spark.sql.execution.joins.CartesianProductExec
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
