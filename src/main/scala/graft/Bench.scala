@@ -176,7 +176,11 @@ object Bench {
       "ann_lsh", "ann_quantized", "ann_pca", "pipeline_cluster",
       "mm_decode_jpeg", "mm_decode_jpeg_rgb", "dedup_semantic",
       "mm_video_frames", "mm_decode_ulaw", "mm_resize_jpeg",
-      "mm_decode_adpcm", "mm_decode_gif", "mm_video_patches")
+      "mm_decode_adpcm", "mm_decode_gif", "mm_video_patches",
+      // round-13 additions: 4:2:0 JPEG + 16-bit/Adam7 PNG codec faces,
+      // the all-series zoom dispatch, planted containment pairs
+      "mm_decode_jpeg_420", "mm_decode_png16", "engine_zoom_all_series",
+      "dedup_containment")
     var sf1Failed = 0
     val sf1Results: Seq[(String, Double)] =
       if (args.nonEmpty || !sfDir.replace("/", "").endsWith("sf0.1") ||

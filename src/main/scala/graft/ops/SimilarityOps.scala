@@ -203,26 +203,48 @@ object SimilarityOps {
                              iters: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     // k-means++ seeding: spread the initial centroids (D² sampling) — on
-    // near-uniform data random init leaves clusters lopsided and recall low
+    // near-uniform data random init leaves clusters lopsided and recall low.
+    // The D² array is maintained INCREMENTALLY (min with the newest
+    // centroid only): identical values to the recompute-from-scratch form —
+    // min over centroids commutes — but O(sample·k) instead of O(sample·k²)
+    // distance evaluations, which is what lets k grow ∝ corpus (SemDeDup's
+    // m² bound needs exactly that) without the seeding loop going quadratic.
     var centroids = {
       val init = scala.collection.mutable.ArrayBuffer(sample(rnd.nextInt(sample.length)))
+      val d2 = sample.map(v => sqDist(v, init(0)))
       while (init.length < k) {
-        val d2 = sample.map(v => init.map(c => sqDist(v, c)).min)
         val total = d2.sum
         var r = rnd.nextDouble() * total
         var i = 0
         while (i < sample.length - 1 && r > d2(i)) { r -= d2(i); i += 1 }
         init += sample(i)
+        val c = sample(i)
+        var j = 0
+        while (j < sample.length) {
+          val d = sqDist(sample(j), c)
+          if (d < d2(j)) d2(j) = d
+          j += 1
+        }
       }
       init.toArray
     }
+    val assign = new Array[Int](sample.length)
     for (_ <- 1 to iters) {
+      // assignment is a pure read-only function per sample — parallelize
+      // it (the dominant cost at large k); the SUMS accumulate afterwards
+      // in sequential sample order, so centroid arithmetic is bit-identical
+      // to the sequential loop regardless of thread scheduling
+      val cents = centroids
+      java.util.Arrays.parallelSetAll(assign, (i: Int) => nearest(sample(i), cents))
       val sums = Array.fill(k)(new Array[Double](centroids(0).length))
       val counts = new Array[Int](k)
-      sample.foreach { v =>
-        val c = nearest(v, centroids)
+      var s = 0
+      while (s < sample.length) {
+        val v = sample(s)
+        val c = assign(s)
         counts(c) += 1
         var i = 0; while (i < v.length) { sums(c)(i) += v(i); i += 1 }
+        s += 1
       }
       centroids = centroids.indices.map { c =>
         if (counts(c) == 0) centroids(c)

@@ -103,14 +103,21 @@ object ScaleBench {
     // is excluded like the other pair-threshold queries — replicas make
     // its OUTPUT quadratic); masked packing: map-side bin intersection
     // after the pack cumsum, output ∝ docs + straddles
-    "dedup_winnow", "pipeline_pack_masked")
-    // pipeline_pack_tokens is EXCLUDED like the pair-threshold queries:
-    // GenScale's replica token prefix ('z??q') rarely merges under the
-    // trained table, so replicated words emit ~3× the BPE tokens of their
-    // originals — the query's OUTPUT grows ~29× for 10× data (measured),
-    // and its 12.5× wall is sub-linear vs that output. Data physics of
-    // the replication scheme, not an operator property; text_tokens_bpe
-    // (per-doc output, work ∝ tokens) stays in and gates the tokenizer.
+    "dedup_winnow", "pipeline_pack_masked",
+    // pipeline_pack_tokens re-joined the gate in r13: the doc-level slot
+    // join (explode AFTER the pack join, not before) took it from 12.7 s
+    // to 4.7 s at 10× data (ratio 2.2) even though GenScale's replica
+    // token prefix ('z??q') rarely merges and the OUTPUT grows ~29× for
+    // 10× data — comfortably inside the wall gate now
+    "pipeline_pack_tokens",
+    // round-13 additions: 4:2:0 JPEG + 16-bit/Adam7 PNG (map-only typed
+    // codec passes, work ∝ documents), the all-series zoom dispatch (one
+    // count pre-pass + one conditional-key aggregation), and containment
+    // pairs (rides the df-capped pair core exactly like
+    // dedup_ngram_jaccard_capped — replica-shared shingles exceed the cap
+    // and drop before pairing, so the join stays linear)
+    "mm_decode_jpeg_420", "mm_decode_png16", "engine_zoom_all_series",
+    "dedup_containment")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
