@@ -128,6 +128,35 @@ object DedupOps {
       .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
   }
 
+  /** VIDEO temporal dedup over per-frame hash sets — near-duplicate
+    * videos (re-cuts, re-keyframed rips, trims) share most of their
+    * frame-level perceptual hashes even when no byte of the container
+    * matches. Input: one row per (id, frame hash) — e.g.
+    * [[graft.ops.MultimodalOps.videoPhashes]] output. Candidacy is an
+    * inverted-index equi-join on the 8-byte hash (the shingle-Jaccard
+    * skeleton: only id pairs shuffle, frames never do); the score is
+    * Broder containment over DISTINCT frame-hash sets — shared /
+    * min(|A|,|B|) — so a short clip cut from a longer video still scores
+    * 1.0. Output (id_a, id_b, shared, overlap) at overlap >= threshold. */
+  def videoDupPairs(frameHashes: DataFrame, idCol: String, hashCol: String,
+                    threshold: Double): DataFrame = {
+    val sets = frameHashes
+      .select(col(idCol).as("id"), col(hashCol).as("fh")).distinct()
+      .localCheckpoint(false) // read by both sides of the pair join + sizes
+    val sizes = sets.groupBy("id").agg(count(lit(1)).as("np"))
+    val cm = sets.as("a").join(sets.as("b"),
+        col("a.fh") === col("b.fh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    cm.join(sizes.select(col("id").as("id_a"), col("np").as("np_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("np").as("np_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("shared"),
+        (col("shared").cast("double") / least(col("np_a"), col("np_b")))
+          .as("overlap"))
+      .filter(col("overlap") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Benchmark-contamination check — the decontamination pass every
     * training corpus needs before an eval is trustworthy: for each TRAINING
     * document, the fraction of its distinct n-gram shingles that appear

@@ -759,6 +759,76 @@ object MultimodalOps {
       }
   }
 
+  /** Companion-asset id offset and planting step of
+    * [[mjpegCompanionAssetsFromDocuments]]. */
+  val VideoCompanionOffset = 20000000L
+  val VideoCompanionStep = 7L
+
+  /** MJPEG asset table for VIDEO temporal dedup: every doc becomes the
+    * same AVI as [[mjpegAssetsFromDocuments]]; every
+    * [[VideoCompanionStep]]-th doc ADDITIONALLY yields a companion video
+    * (id + [[VideoCompanionOffset]], same geometry/fps/frame count, dims
+    * still derived from the ORIGINAL doc_id) whose frame f carries the
+    * original's frame f+1 pixel pattern — a one-frame TEMPORAL SHIFT, the
+    * re-cut/re-keyframed shape video dedup exists for. Shifted frames are
+    * byte-identical JPEGs to the original's (same tiling arithmetic), so
+    * nf−1 of the nf frame hashes are shared and the companion's last
+    * frame (pattern 7·nf, which the original never shows) is novel:
+    * planted pairs at overlap (nf−1)/nf ∈ {1/2, 2/3, 3/4}, all ≥ the 0.5
+    * operating point, replayable by the oracle from text + tiling alone. */
+  def mjpegCompanionAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        require(text.forall(_ < 128),
+          s"mjpeg companion fixture requires ASCII text (doc $id)")
+        val w = (8 * (id % 3 + 1)).toInt
+        val h = (8 * (id % 2 + 1)).toInt
+        val nf = (2 + id % 3).toInt
+        val fps = 10 + (id % 3).toInt * 5
+        def frame(pattern: Int): Array[Byte] = {
+          val gray = Array.tabulate(w * h)(i =>
+            (if (text.isEmpty) 0
+             else text.charAt((7 * pattern + i) % text.length).toInt).toByte)
+          JpegCodec.encodeGray(w, h, gray)
+        }
+        def avi(shift: Int): Array[Byte] =
+          AviCodec.encode(w, h, fps, 1, (0 until nf).map(f => frame(f + shift)))
+        val base = MediaAsset(id, "avi", avi(0), w, h, 1, 0)
+        if (id % VideoCompanionStep == 0)
+          Seq(base,
+            MediaAsset(id + VideoCompanionOffset, "avi", avi(1), w, h, 1, 0))
+        else Seq(base)
+      }.toDF()
+  }
+
+  /** Per-frame perceptual hashes of real MJPEG video — the signature
+    * stage of video temporal dedup: container walk, per-frame baseline
+    * JPEG decode, [[phash64]] on each kept frame. One typed map-side
+    * pass; payloads and frames never leave the task, 20 bytes per kept
+    * frame come out. `frameStride` is the scale knob (the fixture's
+    * videos are short, so the registered query keeps every frame; a real
+    * corpus samples). */
+  def videoPhashes(assets: DataFrame, frameStride: Int = 1): DataFrame = {
+    require(frameStride > 0, "frame stride must be positive")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .repartitionByRange(spark.sparkContext.defaultParallelism,
+        col("format"), col("asset_id"))
+      .as[MediaAsset]
+      .flatMap { a =>
+        require(a.format == "avi", s"videoPhashes needs avi, got ${a.format}")
+        val v = AviCodec.decode(a.payload)
+        (0 until v.frames.length by frameStride).map { fi =>
+          val (w, h, g) = JpegCodec.decodeGray(v.frames(fi))
+          (a.asset_id, fi, phash64(g, w, h))
+        }
+      }
+      .toDF("asset_id", "frame_idx", "phash")
+  }
+
   /** FRAME SAMPLING + PATCHING fused: the video-ViT input pipeline — keep
     * every `frameStride`-th frame, decode ONLY those, tile each decoded
     * grayscale grid into `patch`×`patch` tokens (floor grid, remainders

@@ -658,6 +658,35 @@ object DedupQueries {
         bits = 63, maxHamming = 4)
     },
 
+    // VIDEO temporal dedup: near-duplicate videos found by frame-hash set
+    // containment — shared / min(|A|,|B|) over DISTINCT per-frame pHashes
+    // (inverted-index join on the 8-byte hash; frames never shuffle). The
+    // fixture plants a one-frame-temporal-shift companion for every 7th
+    // doc, so the planted pairs surface at overlap (nf-1)/nf >= 0.5 and
+    // the oracle — which replays container tiling, the lossy JPEG decode,
+    // the pHash chain AND the pair scoring — value-checks both their
+    // recall and the absence of spurious pairs.
+    QueryDef.withOracle("dedup_video",
+      s"""WITH ${OracleVideoPhash.CTES},
+         |vset AS (SELECT DISTINCT asset_id, phash FROM vph),
+         |vn AS (SELECT asset_id, count(*) AS np FROM vset GROUP BY 1),
+         |vcm AS (SELECT a.asset_id AS ia, b.asset_id AS ib, count(*) AS shared
+         |        FROM vset a JOIN vset b
+         |          ON a.phash = b.phash AND a.asset_id < b.asset_id
+         |        GROUP BY 1, 2)
+         |SELECT ia AS id_a, ib AS id_b, shared,
+         |       CAST(shared AS DOUBLE) / least(na.np, nb.np) AS overlap
+         |FROM vcm JOIN vn na ON na.asset_id = ia JOIN vn nb ON nb.asset_id = ib
+         |WHERE CAST(shared AS DOUBLE) / least(na.np, nb.np) >= 0.5
+         |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      DedupOps.videoDupPairs(
+        graft.ops.MultimodalOps.videoPhashes(
+          graft.ops.MultimodalOps.mjpegCompanionAssetsFromDocuments(
+            Tables(s, dir, "documents")),
+          frameStride = 1),
+        "asset_id", "phash", threshold = 0.5)
+    },
+
     // Embedding-cosine near-dup pairs. Since r10 this registered query IS
     // the corpus-scale LSH path (VERDICT r9 #7): hyperplane-bucket
     // candidates (24 tables × 8 bits, Hamming-2 probe) + exact cosine

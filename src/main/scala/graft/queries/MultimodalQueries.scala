@@ -1035,6 +1035,25 @@ object MultimodalQueries {
         .orderBy("asset_id", "frame_idx", "py", "px")
     },
 
+    // VIDEO perceptual hashes: container walk + per-frame JPEG decode +
+    // pHash, over the companion-planted corpus (every 7th doc gets a
+    // one-frame-temporal-shift twin). The oracle replays the ENTIRE chain
+    // per frame — container tiling, lossy decode arithmetic, 8x8 sample,
+    // fixed-point DCT, median split — so a frame-order bug, a decode bug,
+    // or a sample-index slip breaks the hash match. Shifted companion
+    // frames MUST hash identically to the original's next frame (their
+    // JPEGs are byte-identical by construction) — dedup_video consumes
+    // exactly that.
+    QueryDef.withOracle("mm_video_phash",
+      s"""WITH ${OracleVideoPhash.CTES}
+         |SELECT asset_id, f AS frame_idx, phash FROM vph
+         |ORDER BY asset_id, frame_idx""".stripMargin) { (s, dir) =>
+      MultimodalOps.videoPhashes(
+        MultimodalOps.mjpegCompanionAssetsFromDocuments(Tables(s, dir, "documents")),
+        frameStride = 1)
+        .orderBy("asset_id", "frame_idx")
+    },
+
     // Perceptual hashes over REAL pixels: decode the grayscale-PNG fixture
     // (plus its brightened companions), 8x8 nearest-neighbor sample,
     // integer DCT, median-split bits — the oracle replays the whole chain
@@ -1061,6 +1080,83 @@ object MultimodalQueries {
   * exact int64 arithmetic; the DCT basis is interpolated from
   * [[graft.ops.MultimodalOps.PhashDct]] so no trig crosses the engine
   * boundary. */
+/** DuckDB CTE block for the VIDEO perceptual-hash family: replays the
+  * companion-planted MJPEG corpus (one-frame temporal shift at every
+  * [[graft.ops.MultimodalOps.VideoCompanionStep]]-th doc), the per-frame
+  * baseline-JPEG decode chain (tiling offset 7·(f+shift) → forward DCT →
+  * quantize → IDCT → clamp), then the pHash chain per frame (8×8
+  * nearest-neighbor sample of the DECODED pixels → fixed-point DCT →
+  * median split). Ends in `vph(asset_id, f, phash)`. Shared by
+  * `mm_video_phash` and `dedup_video`. */
+object OracleVideoPhash {
+  import graft.ops.MultimodalOps.{VideoCompanionOffset, VideoCompanionStep}
+  private val half = 1L << 41
+  private val div = 1L << 42
+  private val alphaRows = (0 until 8).map(u => s"($u,${if (u == 0) 724 else 1024})")
+    .mkString(",")
+
+  val CTES: String =
+    s"""vya AS (SELECT doc_id AS asset_id, text,
+       |          CAST(8 * (doc_id % 3 + 1) AS INT) AS w,
+       |          CAST(8 * (doc_id % 2 + 1) AS INT) AS h,
+       |          CAST(2 + doc_id % 3 AS INT) AS nf, 0 AS shift FROM documents
+       |        UNION ALL
+       |        SELECT doc_id + $VideoCompanionOffset, text,
+       |          CAST(8 * (doc_id % 3 + 1) AS INT),
+       |          CAST(8 * (doc_id % 2 + 1) AS INT),
+       |          CAST(2 + doc_id % 3 AS INT), 1
+       |        FROM documents WHERE doc_id % $VideoCompanionStep = 0),
+       |vfr AS (SELECT vya.*, CAST(fr.f AS INT) AS f
+       |        FROM vya, range(4) fr(f) WHERE fr.f < nf),
+       |vct(u, i, c) AS (SELECT * FROM (VALUES ${OraclePhash.dctRows}) t(u, i, c)),
+       |val2(u, a) AS (SELECT * FROM (VALUES $alphaRows) t(u, a)),
+       |vpx AS (SELECT asset_id, f, bi.b AS bi, bj.b AS bj, ri.i AS i, rj.j AS j,
+       |          CAST((CASE WHEN length(text) = 0 THEN 0
+       |                ELSE unicode(substr(text,
+       |                  CAST((7 * (f + shift) + (bi.b * 8 + ri.i) * w + bj.b * 8 + rj.j)
+       |                       % length(text) + 1 AS INT), 1)) END)
+       |               - 128 AS BIGINT) AS p
+       |        FROM vfr, range(2) bi(b), range(3) bj(b),
+       |             range(8) ri(i), range(8) rj(j)
+       |        WHERE bi.b < h // 8 AND bj.b < w // 8),
+       |vf AS (SELECT asset_id, f, bi, bj, cu.u AS u, cv.u AS v,
+       |         CAST(SUM(p * cu.c * cv.c) AS BIGINT) AS fraw
+       |       FROM vpx JOIN vct cu ON cu.i = vpx.i
+       |                JOIN vct cv ON cv.i = vpx.j
+       |       GROUP BY 1, 2, 3, 4, 5, 6),
+       |vq AS (SELECT vf.asset_id, f, bi, bj, vf.u AS u, vf.v AS v,
+       |         (fraw * au.a * av.a + $half) // $div AS qc
+       |       FROM vf JOIN val2 au ON au.u = vf.u JOIN val2 av ON av.u = vf.v),
+       |vr AS (SELECT q.asset_id, f, bi, bj, ci.i AS i, cj.i AS j,
+       |         CAST((SUM(qc * au.a * av.a * ci.c * cj.c) + $half) // $div
+       |              AS BIGINT) + 128 AS s
+       |       FROM vq q JOIN val2 au ON au.u = q.u JOIN val2 av ON av.u = q.v
+       |                 JOIN vct ci ON ci.u = q.u JOIN vct cj ON cj.u = q.v
+       |       GROUP BY 1, 2, 3, 4, 5, 6),
+       |vdp AS (SELECT asset_id, f, bi * 8 + i AS y, bj * 8 + j AS x,
+       |          greatest(0, least(255, s)) AS px FROM vr),
+       |vs8 AS (SELECT v.asset_id, v.f, si.i AS si, sj.j AS sj, d.px AS p
+       |        FROM (SELECT DISTINCT asset_id, f, w, h FROM vfr) v,
+       |             range(8) si(i), range(8) sj(j), vdp d
+       |        WHERE d.asset_id = v.asset_id AND d.f = v.f
+       |          AND d.y = si.i * v.h // 8 AND d.x = sj.j * v.w // 8),
+       |vco AS (SELECT asset_id, f, cu.u AS u, cv.u AS v,
+       |          CAST(SUM(p * cu.c * cv.c) AS BIGINT) AS fc
+       |        FROM vs8 JOIN vct cu ON cu.i = vs8.si
+       |                 JOIN vct cv ON cv.i = vs8.sj
+       |        GROUP BY 1, 2, 3, 4),
+       |vmed AS (SELECT asset_id, f, fc AS med FROM (
+       |           SELECT asset_id, f, fc,
+       |             row_number() OVER (PARTITION BY asset_id, f ORDER BY fc) AS rn
+       |           FROM vco WHERE NOT (u = 0 AND v = 0)) WHERE rn = 32),
+       |vph AS (SELECT c.asset_id, c.f,
+       |          CAST(SUM(CASE WHEN c.fc > m.med
+       |                   THEN 1::BIGINT << (c.u * 8 + c.v - 1)
+       |                   ELSE 0::BIGINT END) AS BIGINT) AS phash
+       |        FROM vco c JOIN vmed m ON m.asset_id = c.asset_id AND m.f = c.f
+       |        WHERE NOT (c.u = 0 AND c.v = 0) GROUP BY 1, 2)""".stripMargin
+}
+
 object OraclePhash {
   import graft.ops.MultimodalOps.{PhashCompanionOffset, PhashCompanionStep, PhashDct}
 

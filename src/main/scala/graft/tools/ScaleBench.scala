@@ -117,7 +117,12 @@ object ScaleBench {
     // dedup_ngram_jaccard_capped — replica-shared shingles exceed the cap
     // and drop before pairing, so the join stays linear)
     "mm_decode_jpeg_420", "mm_decode_png16", "engine_zoom_all_series",
-    "dedup_containment")
+    "dedup_containment",
+    // video temporal dedup: the phash stage is a map-only decode pass and
+    // companion planting replicates linearly with the docs (GenScale
+    // replica texts carry distinct prefixes, so cross-replica frames never
+    // hash-collide; identical-text groups replicate as disjoint groups)
+    "mm_video_phash", "dedup_video")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -2142,6 +2142,32 @@ class PipelineOpsSpec extends SparkTestBase {
       JpegCodec.encodeRgb420(8, 8, Array.fill(8 * 8 * 3)(0.toByte)))
   }
 
+  test("videoDupPairs: temporal-shift companions pair at (nf-1)/nf; frames never collide across texts") {
+    import graft.ops.{AviCodec, JpegCodec, MultimodalOps}
+    import spark.implicits._
+    // two unrelated texts + one shifted companion of video 0: the planted
+    // pair must surface at exactly (nf-1)/nf and nothing else pairs
+    val w = 16; val h = 8; val nf = 3
+    def frame(text: String, pattern: Int): Array[Byte] =
+      JpegCodec.encodeGray(w, h, Array.tabulate(w * h)(i =>
+        text.charAt((7 * pattern + i) % text.length).toByte))
+    def avi(text: String, shift: Int): Array[Byte] =
+      AviCodec.encode(w, h, 10, 1, (0 until nf).map(f => frame(text, f + shift)))
+    val tA = "the quick brown fox jumps over the lazy dog"
+    val tB = "pack my box with five dozen liquor jugs now"
+    // companion frame f IS the original frame f+1 — byte-identical JPEG
+    assert(frame(tA, 1).toSeq == frame(tA, 1).toSeq)
+    val assets = Seq(
+      graft.ops.MediaAsset(0L, "avi", avi(tA, 0), w, h, 1, 0),
+      graft.ops.MediaAsset(1L, "avi", avi(tB, 0), w, h, 1, 0),
+      graft.ops.MediaAsset(100L, "avi", avi(tA, 1), w, h, 1, 0)).toDF()
+    val fp = MultimodalOps.videoPhashes(assets, frameStride = 1)
+    val pairs = graft.ops.DedupOps.videoDupPairs(fp, "asset_id", "phash", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(pairs.toSeq == Seq((0L, 100L, (nf - 1).toLong, (nf - 1).toDouble / nf)),
+      s"got ${pairs.toSeq}")
+  }
+
   test("WavCodec mu-law: G.711 arithmetic, code round-trip and the format-7 container path") {
     // ITU anchor values: full-scale codes expand to ±32124, both zero
     // codes to 0 (the public G.711 table's extremes)
