@@ -180,7 +180,8 @@ object Bench {
       // round-13 additions: 4:2:0 JPEG + 16-bit/Adam7 PNG codec faces,
       // the all-series zoom dispatch, planted containment pairs
       "mm_decode_jpeg_420", "mm_decode_png16", "engine_zoom_all_series",
-      "dedup_containment", "mm_video_phash", "dedup_video")
+      "dedup_containment", "mm_video_phash", "dedup_video",
+      "mm_audio_fp", "dedup_audio")
     var sf1Failed = 0
     val sf1Results: Seq[(String, Double)] =
       if (args.nonEmpty || !sfDir.replace("/", "").endsWith("sf0.1") ||

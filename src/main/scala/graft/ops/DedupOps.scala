@@ -138,7 +138,7 @@ object DedupOps {
     * Broder containment over DISTINCT frame-hash sets — shared /
     * min(|A|,|B|) — so a short clip cut from a longer video still scores
     * 1.0. Output (id_a, id_b, shared, overlap) at overlap >= threshold. */
-  def videoDupPairs(frameHashes: DataFrame, idCol: String, hashCol: String,
+  def hashSetContainmentPairs(frameHashes: DataFrame, idCol: String, hashCol: String,
                     threshold: Double): DataFrame = {
     val sets = frameHashes
       .select(col(idCol).as("id"), col(hashCol).as("fh")).distinct()

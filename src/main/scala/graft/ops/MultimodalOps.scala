@@ -280,6 +280,113 @@ object MultimodalOps {
       }.toDF()
   }
 
+  /** Companion-asset id offset and planting step of
+    * [[fpWavAssetsFromDocuments]]. */
+  val AudioCompanionOffset = 30000000L
+  val AudioCompanionStep = 9L
+
+  /** Audio-fingerprint frame geometry: 32-sample analysis frames, DFT
+    * bands k = 1..9 (9 powers → 8 difference bits per frame — the
+    * Haitsma-Kalker band-energy-difference shape), fingerprints hash a
+    * 4-frame window. */
+  val AudioFpFrame = 32
+  val AudioFpBands = 9
+  val AudioFpWindow = 4
+
+  /** Fixed-point DFT basis for the audio fingerprint, same 2^10 scale as
+    * [[PhashDct]]: Cos(k)(n) = round(cos(2π(k+1)n/32)·1024) for bands
+    * k+1 = 1..9. All downstream arithmetic is exact int64, so the DuckDB
+    * oracle (interpolating these constants as literals) agrees bitwise. */
+  val AudioFpCos: Array[Array[Long]] = Array.tabulate(AudioFpBands, AudioFpFrame)(
+    (k, n) => Math.round(Math.cos(2 * Math.PI * (k + 1) * n / AudioFpFrame) * 1024))
+  val AudioFpSin: Array[Array[Long]] = Array.tabulate(AudioFpBands, AudioFpFrame)(
+    (k, n) => Math.round(Math.sin(2 * Math.PI * (k + 1) * n / AudioFpFrame) * 1024))
+
+  /** PCM WAV asset table for AUDIO fingerprint dedup: every doc becomes
+    * the same 16-bit PCM WAV as [[wavAssetsFromDocuments]]; every
+    * [[AudioCompanionStep]]-th doc ADDITIONALLY yields a POLARITY-INVERTED
+    * companion (id + [[AudioCompanionOffset]], every sample negated — the
+    * inaudible inversion re-encoded rips commonly carry). Band POWERS are
+    * exactly invariant under negation (|−X|² = |X|²), so companion
+    * fingerprints are identical and the planted pairs surface at overlap
+    * 1.0 — replayable by the oracle from the text alone. */
+  def fpWavAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rates = Array(8000, 16000, 44100)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        require(text.forall(_ < 128),
+          s"audio fp fixture requires ASCII text (doc $id)")
+        def wav(sgn: Int) = WavCodec.encode(rates((id % 3).toInt), 1,
+          Array.tabulate(text.length)(i =>
+            (sgn * (text.charAt(i) - 80) * 257).toShort),
+          junkChunk = id % 5 == 0)
+        val base = MediaAsset(id, "wav", wav(1), 0, 0, 1, rates((id % 3).toInt))
+        if (id % AudioCompanionStep == 0)
+          Seq(base, MediaAsset(id + AudioCompanionOffset, "wav", wav(-1),
+            0, 0, 1, rates((id % 3).toInt)))
+        else Seq(base)
+      }.toDF()
+  }
+
+  /** AUDIO FINGERPRINTS (Haitsma-Kalker 2002 shape, integer-exact): decode
+    * PCM, frame into [[AudioFpFrame]]-sample windows (complete frames
+    * only), per frame compute band powers E_k = Re² + Im² at the
+    * fixed-point DFT bands, emit one bit per adjacent-band energy
+    * difference (E_k > E_{k+1} — amplitude-scale-robust, polarity-exact),
+    * then hash each [[AudioFpWindow]]-frame byte window with the repo's
+    * polynomial (B2/P). One typed map pass: payloads never leave the
+    * task, 20 bytes per fingerprint come out. Output
+    * (asset_id, frame_idx, fp). */
+  def audioFingerprints(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .repartitionByRange(spark.sparkContext.defaultParallelism,
+        col("format"), col("asset_id"))
+      .as[MediaAsset]
+      .flatMap { a =>
+        require(a.format == "wav", s"audioFingerprints needs wav, got ${a.format}")
+        val (_, channels, ss) = WavCodec.decode(a.payload)
+        require(channels == 1, s"audioFingerprints expects mono, got $channels")
+        val nF = ss.length / AudioFpFrame
+        val bytes = Array.tabulate(nF) { f =>
+          val e = new Array[Long](AudioFpBands)
+          var k = 0
+          while (k < AudioFpBands) {
+            var re = 0L; var im = 0L
+            var n = 0
+            while (n < AudioFpFrame) {
+              val s = ss(f * AudioFpFrame + n).toLong
+              re += s * AudioFpCos(k)(n)
+              im += s * AudioFpSin(k)(n)
+              n += 1
+            }
+            e(k) = re * re + im * im
+            k += 1
+          }
+          var b = 0L
+          var j = 0
+          while (j < AudioFpBands - 1) {
+            if (e(j) > e(j + 1)) b |= 1L << j
+            j += 1
+          }
+          b
+        }
+        (0 to nF - AudioFpWindow).map { f =>
+          var h = 0L
+          var w = 0
+          while (w < AudioFpWindow) {
+            h = (h * TextOps.B2 + bytes(f + w)) % TextOps.P
+            w += 1
+          }
+          (a.asset_id, f, h)
+        }
+      }
+      .toDF("asset_id", "frame_idx", "fp")
+  }
+
   /** Deterministic COMPRESSED-audio asset table: each doc becomes a
     * genuine G.711 µ-law WAV (format tag 7, 18-byte fmt chunk, one code
     * byte per sample) whose code stream is the text's bytes with the sign

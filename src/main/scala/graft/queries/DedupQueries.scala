@@ -679,12 +679,39 @@ object DedupQueries {
          |FROM vcm JOIN vn na ON na.asset_id = ia JOIN vn nb ON nb.asset_id = ib
          |WHERE CAST(shared AS DOUBLE) / least(na.np, nb.np) >= 0.5
          |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
-      DedupOps.videoDupPairs(
+      DedupOps.hashSetContainmentPairs(
         graft.ops.MultimodalOps.videoPhashes(
           graft.ops.MultimodalOps.mjpegCompanionAssetsFromDocuments(
             Tables(s, dir, "documents")),
           frameStride = 1),
         "asset_id", "phash", threshold = 0.5)
+    },
+
+    // AUDIO temporal dedup: near-duplicate audio found by fingerprint-set
+    // containment — the same inverted-index + Broder-containment core as
+    // dedup_video, over the Haitsma-Kalker window fingerprints. The
+    // fixture plants a polarity-inverted companion for every 9th doc
+    // (band powers are exactly negation-invariant), so planted pairs
+    // surface at overlap 1.0 and the oracle value-checks both their
+    // recall and the absence of spurious pairs.
+    QueryDef.withOracle("dedup_audio",
+      s"""WITH ${OracleAudioFp.CTES},
+         |aset AS (SELECT DISTINCT asset_id, fp FROM aff),
+         |an AS (SELECT asset_id, count(*) AS np FROM aset GROUP BY 1),
+         |acm AS (SELECT a.asset_id AS ia, b.asset_id AS ib, count(*) AS shared
+         |        FROM aset a JOIN aset b
+         |          ON a.fp = b.fp AND a.asset_id < b.asset_id
+         |        GROUP BY 1, 2)
+         |SELECT ia AS id_a, ib AS id_b, shared,
+         |       CAST(shared AS DOUBLE) / least(na.np, nb.np) AS overlap
+         |FROM acm JOIN an na ON na.asset_id = ia JOIN an nb ON nb.asset_id = ib
+         |WHERE CAST(shared AS DOUBLE) / least(na.np, nb.np) >= 0.5
+         |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      DedupOps.hashSetContainmentPairs(
+        graft.ops.MultimodalOps.audioFingerprints(
+          graft.ops.MultimodalOps.fpWavAssetsFromDocuments(
+            Tables(s, dir, "documents"))),
+        "asset_id", "fp", threshold = 0.5)
     },
 
     // Embedding-cosine near-dup pairs. Since r10 this registered query IS

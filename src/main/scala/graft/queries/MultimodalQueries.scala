@@ -1035,6 +1035,23 @@ object MultimodalQueries {
         .orderBy("asset_id", "frame_idx", "py", "px")
     },
 
+    // AUDIO FINGERPRINTS (Haitsma-Kalker band-energy-difference shape,
+    // integer-exact): PCM decode -> 32-sample frames -> fixed-point DFT
+    // band powers -> adjacent-band difference bits -> 4-frame window
+    // polyhash, over the polarity-companion-planted corpus. The oracle
+    // replays sample mapping, the DFT (exact int64), the bit rule and the
+    // window hash term-by-term; inverted companions MUST fingerprint
+    // identically (powers are invariant under negation) — dedup_audio
+    // consumes exactly that.
+    QueryDef.withOracle("mm_audio_fp",
+      s"""WITH ${OracleAudioFp.CTES}
+         |SELECT asset_id, f AS frame_idx, fp FROM aff
+         |ORDER BY asset_id, frame_idx""".stripMargin) { (s, dir) =>
+      MultimodalOps.audioFingerprints(
+        MultimodalOps.fpWavAssetsFromDocuments(Tables(s, dir, "documents")))
+        .orderBy("asset_id", "frame_idx")
+    },
+
     // VIDEO perceptual hashes: container walk + per-frame JPEG decode +
     // pHash, over the companion-planted corpus (every 7th doc gets a
     // one-frame-temporal-shift twin). The oracle replays the ENTIRE chain
@@ -1080,6 +1097,58 @@ object MultimodalQueries {
   * exact int64 arithmetic; the DCT basis is interpolated from
   * [[graft.ops.MultimodalOps.PhashDct]] so no trig crosses the engine
   * boundary. */
+/** DuckDB CTE block for the AUDIO fingerprint family: replays the
+  * polarity-companion-planted PCM corpus (sample i = sgn·(byte−80)·257),
+  * the per-frame fixed-point DFT band powers (E = Re² + Im², exact
+  * int64), the adjacent-band difference bits, and the 4-frame polynomial
+  * window hash. Ends in `aff(asset_id, f, fp)`. Shared by `mm_audio_fp`
+  * and `dedup_audio`. */
+object OracleAudioFp {
+  import graft.ops.MultimodalOps.{AudioCompanionOffset, AudioCompanionStep,
+    AudioFpBands, AudioFpCos, AudioFpFrame, AudioFpSin, AudioFpWindow}
+  import graft.ops.TextOps.{B2, P}
+
+  private val trigRows = (for { k <- 0 until AudioFpBands; n <- 0 until AudioFpFrame }
+    yield s"(${k + 1},$n,${AudioFpCos(k)(n)},${AudioFpSin(k)(n)})").mkString(",")
+
+  val CTES: String =
+    s"""afa AS (SELECT doc_id AS asset_id, text, 1 AS sgn FROM documents
+       |        UNION ALL
+       |        SELECT doc_id + $AudioCompanionOffset, text, -1
+       |        FROM documents WHERE doc_id % $AudioCompanionStep = 0),
+       |afs AS (SELECT asset_id,
+       |          list_transform(range(1, length(text) + 1),
+       |            i -> CAST(sgn * (unicode(substr(text, CAST(i AS INT), 1)) - 80)
+       |                 * 257 AS BIGINT)) AS ss
+       |        FROM afa),
+       |afc(k, n, c, s) AS (SELECT * FROM (VALUES $trigRows) t(k, n, c, s)),
+       |aft AS (SELECT asset_id, ss,
+       |          CAST(unnest(range(0, len(ss) // $AudioFpFrame)) AS INT) AS f
+       |        FROM afs),
+       |afe AS (SELECT a.asset_id, a.f, t.k AS k,
+       |          SUM(a.ss[CAST(a.f * $AudioFpFrame + t.n + 1 AS INT)] * t.c) AS re,
+       |          SUM(a.ss[CAST(a.f * $AudioFpFrame + t.n + 1 AS INT)] * t.s) AS im
+       |        FROM aft a, afc t
+       |        GROUP BY 1, 2, 3),
+       |afp AS (SELECT asset_id, f, k,
+       |          CAST(re AS BIGINT) * re + CAST(im AS BIGINT) * im AS e
+       |        FROM afe),
+       |afb AS (SELECT x.asset_id, x.f,
+       |          CAST(COALESCE(SUM(CASE WHEN x.e > y.e
+       |                 THEN 1::BIGINT << (x.k - 1) ELSE 0::BIGINT END), 0)
+       |               AS BIGINT) AS b
+       |        FROM afp x JOIN afp y
+       |          ON y.asset_id = x.asset_id AND y.f = x.f AND y.k = x.k + 1
+       |        GROUP BY 1, 2),
+       |aff AS (SELECT b0.asset_id, b0.f AS f,
+       |          ((((b0.b * $B2 + b1.b) % $P) * $B2 + b2.b) % $P * $B2 + b3.b)
+       |            % $P AS fp
+       |        FROM afb b0
+       |        JOIN afb b1 ON b1.asset_id = b0.asset_id AND b1.f = b0.f + 1
+       |        JOIN afb b2 ON b2.asset_id = b0.asset_id AND b2.f = b0.f + 2
+       |        JOIN afb b3 ON b3.asset_id = b0.asset_id AND b3.f = b0.f + 3)""".stripMargin
+}
+
 /** DuckDB CTE block for the VIDEO perceptual-hash family: replays the
   * companion-planted MJPEG corpus (one-frame temporal shift at every
   * [[graft.ops.MultimodalOps.VideoCompanionStep]]-th doc), the per-frame

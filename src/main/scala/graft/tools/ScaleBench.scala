@@ -122,7 +122,10 @@ object ScaleBench {
     // companion planting replicates linearly with the docs (GenScale
     // replica texts carry distinct prefixes, so cross-replica frames never
     // hash-collide; identical-text groups replicate as disjoint groups)
-    "mm_video_phash", "dedup_video")
+    "mm_video_phash", "dedup_video",
+    // audio fingerprint dedup: map-only DFT pass; polarity companions
+    // replicate linearly with the docs
+    "mm_audio_fp", "dedup_audio")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

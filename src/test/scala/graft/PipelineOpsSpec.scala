@@ -2142,7 +2142,7 @@ class PipelineOpsSpec extends SparkTestBase {
       JpegCodec.encodeRgb420(8, 8, Array.fill(8 * 8 * 3)(0.toByte)))
   }
 
-  test("videoDupPairs: temporal-shift companions pair at (nf-1)/nf; frames never collide across texts") {
+  test("hashSetContainmentPairs: temporal-shift companions pair at (nf-1)/nf; frames never collide across texts") {
     import graft.ops.{AviCodec, JpegCodec, MultimodalOps}
     import spark.implicits._
     // two unrelated texts + one shifted companion of video 0: the planted
@@ -2162,10 +2162,41 @@ class PipelineOpsSpec extends SparkTestBase {
       graft.ops.MediaAsset(1L, "avi", avi(tB, 0), w, h, 1, 0),
       graft.ops.MediaAsset(100L, "avi", avi(tA, 1), w, h, 1, 0)).toDF()
     val fp = MultimodalOps.videoPhashes(assets, frameStride = 1)
-    val pairs = graft.ops.DedupOps.videoDupPairs(fp, "asset_id", "phash", 0.5)
+    val pairs = graft.ops.DedupOps.hashSetContainmentPairs(fp, "asset_id", "phash", 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(pairs.toSeq == Seq((0L, 100L, (nf - 1).toLong, (nf - 1).toDouble / nf)),
       s"got ${pairs.toSeq}")
+  }
+
+  test("audioFingerprints: polarity-invariant, amplitude-difference-driven, unrelated audio distinct") {
+    import graft.ops.{MultimodalOps, WavCodec}
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 256 // 8 frames -> 5 window fingerprints
+    val s0 = Array.tabulate(n)(_ => ((rnd.nextInt(200) - 100) * 150).toShort)
+    val s1 = Array.tabulate(n)(_ => ((rnd.nextInt(200) - 100) * 150).toShort)
+    val neg = s0.map(v => (-v).toShort)
+    def asset(id: Long, ss: Array[Short]) =
+      graft.ops.MediaAsset(id, "wav", WavCodec.encode(8000, 1, ss), 0, 0, 1, 8000)
+    val fp = MultimodalOps.audioFingerprints(
+      Seq(asset(0, s0), asset(1, s1), asset(2, neg)).toDF())
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val by = fp.groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2).map(_._3).toSeq }
+    // |−X|² = |X|²: phase inversion leaves every band power — and so every
+    // fingerprint — EXACTLY unchanged
+    assert(by(2L) == by(0L), "polarity inversion must not change fingerprints")
+    // unrelated noise shares no window fingerprint (32-bit-ish entropy)
+    assert(by(0L).toSet.intersect(by(1L).toSet).isEmpty)
+    // and the pair op surfaces exactly the planted (0, 2) pair at 1.0
+    val pairs = graft.ops.DedupOps.hashSetContainmentPairs(
+      MultimodalOps.audioFingerprints(
+        Seq(asset(0, s0), asset(1, s1), asset(2, neg)).toDF()),
+      "asset_id", "fp", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(pairs.toSeq == Seq((0L, 2L, 1.0)), s"got ${pairs.toSeq}")
+    // frames shorter than one window emit nothing (no 0-size divisions)
+    assert(MultimodalOps.audioFingerprints(
+      Seq(asset(9, Array.fill(40)(5.toShort))).toDF()).count() == 0)
   }
 
   test("WavCodec mu-law: G.711 arithmetic, code round-trip and the format-7 container path") {
