@@ -1011,8 +1011,11 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
     * result drives the per-series raw-vs-mean decision exactly like
     * [[zoom]]'s npoints check, then ONE data scan + ONE shuffle where the
     * grouping key is conditional: raw series group by their own timestamp
-    * (groups of one row — the point itself), dense series by the
-    * absolute-aligned window. Per-series semantics are identical to S
+    * (groups of ONE row — the validated append path enforces strictly
+    * increasing timestamps per series, reference doc/README.txt:20-29, so
+    * a (series, ts) group can never hold two points and the aggregate
+    * returns each point verbatim), dense series by the absolute-aligned
+    * window. Per-series semantics are identical to S
     * independent [[zoom]] calls: raw rows keep NULL field values (n = 0),
     * mean windows are non-empty decimal-2 means. Output: (series,
     * time_ns, v, n, zoom_mode). */

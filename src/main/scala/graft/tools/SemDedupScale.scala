@@ -31,6 +31,7 @@ object SemDedupScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    var failed = false // exit AFTER the finally cleanup, never inside the try
     try {
       GenScale.generate(spark, src, scaled, factor)
       def run(dir: String, k: Int): Double = {
@@ -50,7 +51,7 @@ object SemDedupScale {
       println(f"dedup_semantic k∝corpus  base(k=$baseK)=$base%7.2fs " +
         f"x$factor(k=${baseK * factor})=$big%8.2fs ratio=$ratio%6.2f" +
         (if (ratio > factor) "  <-- SUPER-LINEAR" else ""))
-      if (ratio > factor) { spark.stop(); sys.exit(1) }
+      failed = ratio > factor
     } finally {
       try {
         val root = java.nio.file.Paths.get(scaled)
@@ -63,5 +64,6 @@ object SemDedupScale {
       } catch { case _: Throwable => () }
       spark.stop()
     }
+    if (failed) sys.exit(1)
   }
 }
