@@ -181,7 +181,7 @@ object Bench {
       // the all-series zoom dispatch, planted containment pairs
       "mm_decode_jpeg_420", "mm_decode_png16", "engine_zoom_all_series",
       "dedup_containment", "mm_video_phash", "dedup_video",
-      "mm_audio_fp", "dedup_audio")
+      "mm_audio_fp", "dedup_audio", "dedup_multimodal")
     var sf1Failed = 0
     val sf1Results: Seq[(String, Double)] =
       if (args.nonEmpty || !sfDir.replace("/", "").endsWith("sf0.1") ||

@@ -714,6 +714,106 @@ object DedupQueries {
         "asset_id", "fp", threshold = 0.5)
     },
 
+    // MULTIMODAL CORPUS BUILD — the composed keep decision a real
+    // multimodal training-data pipeline makes per document: drop any doc
+    // that is a near-duplicate of a LOWER-id doc in ANY modality (text
+    // shingle Jaccard >= 0.8 through the df-capped pair core, image pHash
+    // Hamming <= 4, video frame-hash overlap >= 0.5, audio fingerprint
+    // overlap >= 0.5 — each the machinery its own registered query gates).
+    // Four pair pipelines + id-level joins; drop sets are duplicate-scale.
+    // Output: one row per doc with the per-modality drop flags and the
+    // final kept verdict, all replayed by the oracle through every
+    // modality's full chain (decode arithmetic included).
+    QueryDef.withOracle("dedup_multimodal", {
+      import graft.ops.MultimodalOps.{AudioCompanionOffset, PhashCompanionOffset,
+        VideoCompanionOffset}
+      s"""WITH ${jaccardPairCtes(Some(DocFreqCap))},
+         |tdrop AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
+         |${OraclePhash.CTES},
+         |idrop AS (SELECT DISTINCT b.asset_id AS doc_id FROM ph a, ph b
+         |          WHERE a.asset_id < b.asset_id
+         |            AND a.asset_id < $PhashCompanionOffset
+         |            AND b.asset_id < $PhashCompanionOffset
+         |            AND bit_count(xor(a.phash, b.phash)) <= 4),
+         |${OracleVideoPhash.CTES},
+         |vvset AS (SELECT DISTINCT asset_id, phash FROM vph
+         |          WHERE asset_id < $VideoCompanionOffset),
+         |vvn AS (SELECT asset_id, count(*) AS np FROM vvset GROUP BY 1),
+         |vvcm AS (SELECT a.asset_id AS ia, b.asset_id AS ib, count(*) AS sh
+         |         FROM vvset a JOIN vvset b
+         |           ON a.phash = b.phash AND a.asset_id < b.asset_id
+         |         GROUP BY 1, 2),
+         |vdrop AS (SELECT DISTINCT ib AS doc_id
+         |          FROM vvcm JOIN vvn na ON na.asset_id = ia
+         |                    JOIN vvn nb ON nb.asset_id = ib
+         |          WHERE CAST(sh AS DOUBLE) / least(na.np, nb.np) >= 0.5),
+         |${OracleAudioFp.CTES},
+         |aaset AS (SELECT DISTINCT asset_id, fp FROM aff
+         |          WHERE asset_id < $AudioCompanionOffset),
+         |aan AS (SELECT asset_id, count(*) AS np FROM aaset GROUP BY 1),
+         |aacm AS (SELECT a.asset_id AS ia, b.asset_id AS ib, count(*) AS sh
+         |         FROM aaset a JOIN aaset b
+         |           ON a.fp = b.fp AND a.asset_id < b.asset_id
+         |         GROUP BY 1, 2),
+         |adrop AS (SELECT DISTINCT ib AS doc_id
+         |          FROM aacm JOIN aan na ON na.asset_id = ia
+         |                    JOIN aan nb ON nb.asset_id = ib
+         |          WHERE CAST(sh AS DOUBLE) / least(na.np, nb.np) >= 0.5)
+         |SELECT d.doc_id,
+         |  (t.doc_id IS NOT NULL) AS drop_text,
+         |  (i.doc_id IS NOT NULL) AS drop_image,
+         |  (v.doc_id IS NOT NULL) AS drop_video,
+         |  (a.doc_id IS NOT NULL) AS drop_audio,
+         |  (t.doc_id IS NULL AND i.doc_id IS NULL
+         |   AND v.doc_id IS NULL AND a.doc_id IS NULL) AS kept
+         |FROM documents d
+         |LEFT JOIN tdrop t ON t.doc_id = d.doc_id
+         |LEFT JOIN idrop i ON i.doc_id = d.doc_id
+         |LEFT JOIN vdrop v ON v.doc_id = d.doc_id
+         |LEFT JOIN adrop a ON a.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    }) { (s, dir) =>
+      import graft.ops.MultimodalOps
+      val docs = Tables(s, dir, "documents")
+      def drops(pairs: org.apache.spark.sql.DataFrame, flag: String) =
+        pairs.select(col("id_b").as("doc_id")).distinct()
+          .withColumn(flag, lit(true))
+      val textDrop = drops(DedupOps.jaccardPairsExact(
+        DedupOps.shingleSets(docs, "doc_id", "text", 3),
+        "doc_id", 0.8, maxDocFreq = Some(DocFreqCap)), "drop_text")
+      // base assets only: companions are planted test artifacts, not docs
+      // (filtered BEFORE decode, so no wasted codec work)
+      val imgDrop = drops(DedupOps.bandedHammingPairs(
+        MultimodalOps.imagePhash(
+          MultimodalOps.phashAssetsFromDocuments(docs)
+            .filter(col("asset_id") < MultimodalOps.PhashCompanionOffset))
+          .select(col("asset_id").as("id"), col("phash").as("fp")),
+        bits = 63, maxHamming = 4), "drop_image")
+      val vidDrop = drops(DedupOps.hashSetContainmentPairs(
+        MultimodalOps.videoPhashes(
+          MultimodalOps.mjpegAssetsFromDocuments(docs)),
+        "asset_id", "phash", threshold = 0.5), "drop_video")
+      val audDrop = drops(DedupOps.hashSetContainmentPairs(
+        MultimodalOps.audioFingerprints(
+          MultimodalOps.wavAssetsFromDocuments(docs)),
+        "asset_id", "fp", threshold = 0.5), "drop_audio")
+      docs.select("doc_id")
+        .join(textDrop, Seq("doc_id"), "left")
+        .join(imgDrop, Seq("doc_id"), "left")
+        .join(vidDrop, Seq("doc_id"), "left")
+        .join(audDrop, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("drop_text"), lit(false)).as("drop_text"),
+          coalesce(col("drop_image"), lit(false)).as("drop_image"),
+          coalesce(col("drop_video"), lit(false)).as("drop_video"),
+          coalesce(col("drop_audio"), lit(false)).as("drop_audio"),
+          (coalesce(col("drop_text"), lit(false)) ||
+           coalesce(col("drop_image"), lit(false)) ||
+           coalesce(col("drop_video"), lit(false)) ||
+           coalesce(col("drop_audio"), lit(false))) === false as "kept")
+        .orderBy("doc_id")
+    },
+
     // Embedding-cosine near-dup pairs. Since r10 this registered query IS
     // the corpus-scale LSH path (VERDICT r9 #7): hyperplane-bucket
     // candidates (24 tables × 8 bits, Hamming-2 probe) + exact cosine

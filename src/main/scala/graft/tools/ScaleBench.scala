@@ -125,7 +125,10 @@ object ScaleBench {
     "mm_video_phash", "dedup_video",
     // audio fingerprint dedup: map-only DFT pass; polarity companions
     // replicate linearly with the docs
-    "mm_audio_fp", "dedup_audio")
+    "mm_audio_fp", "dedup_audio",
+    // the composed multimodal corpus build: four pair pipelines (each
+    // individually gated above) + id-level joins, drop sets duplicate-scale
+    "dedup_multimodal")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
