@@ -5,8 +5,12 @@ package graft.ops
   * parser: SOI/DQT/SOF0/DHT/SOS/EOI marker walk, canonical Huffman tables
   * (the public Annex-K luminance tables, read back FROM the DHT segment —
   * the decoder trusts the stream, not compiled-in constants), DC DPCM with
-  * category coding, AC run-length with ZRL/EOB, 0xFF byte stuffing, and
-  * zigzag coefficient order.
+  * category coding, AC run-length with ZRL/EOB, 0xFF byte stuffing,
+  * zigzag coefficient order, and RESTART MARKERS (DRI + RSTn every N
+  * MCUs: byte-aligned markers between MCU groups, DC predictors reset —
+  * the error-resilience/parallel-decode structure real camera files
+  * carry; restart is entropy TRANSPORT only, decoded pixels are
+  * bit-identical with or without it).
   *
   * The transform stage is this repo's INTEGER-EXACT chain (not libjpeg's
   * float or its scaled-integer AAN): with C = round(cos((2i+1)uπ/16)·2^10)
@@ -170,6 +174,14 @@ object JpegCodec {
       if (acc == 0xff) buf.write(0x00)
       acc = 0; n = 0
     }
+    /** Byte-align (1-padded) and emit RSTm — the restart marker between
+      * MCU groups (T.81 §B.2.3.7; markers sit OUTSIDE the stuffed entropy
+      * bytes, which is why the pad byte above still stuffs but the marker
+      * itself never does). */
+    def restart(m: Int): Unit = {
+      flush()
+      buf.write(0xff); buf.write(0xD0 + (m & 7))
+    }
   }
 
   private final class BitReader(data: Array[Byte], var pos: Int) {
@@ -189,6 +201,18 @@ object JpegCodec {
       (acc >> n) & 1
     }
     def bits(k: Int): Int = { var v = 0; var i = 0; while (i < k) { v = (v << 1) | bit(); i += 1 }; v }
+    /** Consume an expected RSTm at an MCU-group boundary: drop the pad
+      * bits of the current byte (already fetched — the byte holding the
+      * last code bit carries them), then the two marker bytes must follow
+      * verbatim. A wrong or missing restart marker fails loudly instead of
+      * silently decoding the next group against stale DC predictors. */
+    def resync(m: Int): Unit = {
+      n = 0; acc = 0
+      require(pos + 2 <= data.length &&
+        (data(pos) & 0xff) == 0xff && (data(pos + 1) & 0xff) == (0xD0 + (m & 7)),
+        s"JPEG: expected RST${m & 7} restart marker at $pos")
+      pos += 2
+    }
   }
 
   private def category(v: Long): Int = {
@@ -202,8 +226,9 @@ object JpegCodec {
   /** Encode row-major 8-bit grayscale as a baseline JPEG. Dims must be
     * multiples of 8 (the fixture guarantees it; general edge replication
     * is orthogonal to the codec semantics under test). */
-  def encodeGray(w: Int, h: Int, gray: Array[Byte]): Array[Byte] =
-    encodePlanes(w, h, Array(gray))
+  def encodeGray(w: Int, h: Int, gray: Array[Byte],
+                 restartInterval: Int = 0): Array[Byte] =
+    encodePlanes(w, h, Array(gray), restartInterval)
 
   /** Encode row-major RGB triples as a baseline YCbCr 4:4:4 COLOR JPEG
     * (3 interleaved components, shared quant/Huffman table 0 — legal and
@@ -213,7 +238,8 @@ object JpegCodec {
     *   Y  = (299R + 587G + 114B + 500) / 1000
     *   Cb = (−1687R − 3313G + 5000B + 5000) / 10000 + 128
     *   Cr = (5000R − 4187G − 813B + 5000) / 10000 + 128, clamped. */
-  def encodeRgb(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+  def encodeRgb(w: Int, h: Int, rgb: Array[Byte],
+                restartInterval: Int = 0): Array[Byte] = {
     require(rgb.length == w * h * 3, s"need ${w * h * 3} RGB bytes, got ${rgb.length}")
     val y = new Array[Byte](w * h)
     val cb = new Array[Byte](w * h)
@@ -226,7 +252,7 @@ object JpegCodec {
       cr(p) = clamp255((5000L * r - 4187L * g - 813L * b + 5000L) / 10000L + 128L)
       p += 1
     }
-    encodePlanes(w, h, Array(y, cb, cr))
+    encodePlanes(w, h, Array(y, cb, cr), restartInterval)
   }
 
   private def clamp255(v: Long): Byte =
@@ -285,7 +311,7 @@ object JpegCodec {
     * all-ones 8-bit table, id 0), SOF0 with the given per-component
     * sampling factors, both Annex-K DHTs, SOS. */
   private def writeHeaders(out: java.io.ByteArrayOutputStream, w: Int, h: Int,
-                           samp: Array[Int]): Unit = {
+                           samp: Array[Int], restartInterval: Int = 0): Unit = {
     val nc = samp.length
     def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
@@ -304,6 +330,9 @@ object JpegCodec {
     }
     dht(0, DcBits, DcVals)
     dht(1, AcBits, AcVals)
+    if (restartInterval > 0) { // DRI: restart every N MCUs
+      marker(0xDD); u16(4); u16(restartInterval)
+    }
     marker(0xDA); u16(2 + 1 + 2 * nc + 3) // SOS
     out.write(nc)
     (1 to nc).foreach { c => out.write(c); out.write(0x00) } // DC 0 / AC 0
@@ -314,33 +343,45 @@ object JpegCodec {
     * components are full-resolution and reference quant/Huffman table 0;
     * MCUs interleave one 8×8 block per component in component order with
     * per-component DC predictors, per T.81 interleaved scan rules. */
-  private def encodePlanes(w: Int, h: Int, planes: Array[Array[Byte]]): Array[Byte] = {
+  private def encodePlanes(w: Int, h: Int, planes: Array[Array[Byte]],
+                           restartInterval: Int = 0): Array[Byte] = {
     require(w > 0 && h > 0 && w % 8 == 0 && h % 8 == 0, s"dims must be 8-multiples: ${w}x$h")
     require(planes.length == 1 || planes.length == 3, "1 or 3 components")
     planes.foreach(pl => require(pl.length == w * h,
       s"need ${w * h} samples per plane, got ${pl.length}"))
     val nc = planes.length
     val out = new java.io.ByteArrayOutputStream()
-    writeHeaders(out, w, h, Array.fill(nc)(0x11))
+    require(restartInterval >= 0, "restart interval must be non-negative")
+    writeHeaders(out, w, h, Array.fill(nc)(0x11), restartInterval)
     val dcCode = canonical(DcBits, DcVals)
     val acCode = canonical(AcBits, AcVals)
     val bw = new BitWriter(out)
     val prevDc = new Array[Long](nc)
     val block = new Array[Int](64)
+    val nMcu = (h / 8) * (w / 8)
+    var mcu = 0
     var by = 0
     while (by < h / 8) {
       var bx = 0
       while (bx < w / 8) {
+        // restart marker BETWEEN interval groups (never before the first
+        // or after the last MCU); DC predictors reset with each group
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.restart((mcu / restartInterval - 1) % 8)
+          java.util.Arrays.fill(prevDc, 0L)
+        }
         var c = 0
         while (c < nc) {
           grabBlock(planes(c), w, bx, by, block)
           prevDc(c) = writeBlock(bw, forwardBlock(block), prevDc(c), dcCode, acCode)
           c += 1
         }
+        mcu += 1
         bx += 1
       }
       by += 1
     }
+    require(mcu == nMcu, s"MCU count mismatch: $mcu vs $nMcu")
     bw.flush()
     out.write(0xff); out.write(0xD9) // EOI
     out.toByteArray
@@ -355,7 +396,8 @@ object JpegCodec {
     * pixels: four Y blocks left-to-right top-to-bottom, then one Cb and
     * one Cr block, per the T.81 interleaved-scan block order. Dims must
     * be multiples of 16 (one full MCU grid; the fixture guarantees it). */
-  def encodeRgb420(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+  def encodeRgb420(w: Int, h: Int, rgb: Array[Byte],
+                   restartInterval: Int = 0): Array[Byte] = {
     require(w > 0 && h > 0 && w % 16 == 0 && h % 16 == 0,
       s"4:2:0 dims must be 16-multiples: ${w}x$h")
     require(rgb.length == w * h * 3, s"need ${w * h * 3} RGB bytes, got ${rgb.length}")
@@ -390,16 +432,22 @@ object JpegCodec {
     val cb = subsample(cbF)
     val cr = subsample(crF)
     val out = new java.io.ByteArrayOutputStream()
-    writeHeaders(out, w, h, Array(0x22, 0x11, 0x11))
+    require(restartInterval >= 0, "restart interval must be non-negative")
+    writeHeaders(out, w, h, Array(0x22, 0x11, 0x11), restartInterval)
     val dcCode = canonical(DcBits, DcVals)
     val acCode = canonical(AcBits, AcVals)
     val bw = new BitWriter(out)
     val prevDc = new Array[Long](3)
     val block = new Array[Int](64)
+    var mcu = 0
     var by = 0
     while (by < h / 16) {
       var bx = 0
       while (bx < w / 16) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.restart((mcu / restartInterval - 1) % 8)
+          java.util.Arrays.fill(prevDc, 0L)
+        }
         // four Y blocks: (0,0) (0,1) (1,0) (1,1) in (row, col) block order
         var dy = 0
         while (dy < 2) {
@@ -415,6 +463,7 @@ object JpegCodec {
         prevDc(1) = writeBlock(bw, forwardBlock(block), prevDc(1), dcCode, acCode)
         grabBlock(cr, hw, bx, by, block)
         prevDc(2) = writeBlock(bw, forwardBlock(block), prevDc(2), dcCode, acCode)
+        mcu += 1
         bx += 1
       }
       by += 1
@@ -509,6 +558,7 @@ object JpegCodec {
     var w = -1; var h = -1; var nc = -1
     var samp: Array[Int] = null // per-component packed HiVi byte
     var qt: Array[Int] = null
+    var restartInterval = 0 // DRI; 0 = no restart markers
     var dcH: Huff = null; var acH: Huff = null
     def u16(p: Int): Int = ((payload(p) & 0xff) << 8) | (payload(p + 1) & 0xff)
     var sosAt = -1
@@ -563,6 +613,11 @@ object JpegCodec {
             if (clazz == 0) dcH = buildHuff(bits, vals) else acH = buildHuff(bits, vals)
             p += 17 + nv
           }
+        case 0xDD =>
+          // DRI: restart interval in MCUs (real-world encoders emit this
+          // for error resilience / parallel segment decode)
+          require(len == 4, s"JPEG: bad DRI length $len")
+          restartInterval = u16(pos + 4)
         case 0xDA =>
           // validate the scan header's Td/Tc selectors reference table 0
           // (byte after each component id), mirroring the DHT check above
@@ -644,10 +699,20 @@ object JpegCodec {
     // interleaved scan: per MCU, hs(c)×vs(c) blocks per component in
     // component order, each component's blocks left-to-right top-to-bottom
     // (T.81 A.2.3) — degenerates to one block per component at 1×1
+    var mcu = 0
     var by = 0
     while (by < h / mcuH) {
       var bx = 0
       while (bx < w / mcuW) {
+        // consume the expected RSTm at each interval boundary: pad bits
+        // drop, DC predictors reset — a missing/misnumbered marker or a
+        // decoder that forgets the reset fails loudly here or diverges in
+        // the round-trip values
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          br.resync((mcu / restartInterval - 1) % 8)
+          java.util.Arrays.fill(prevDc, 0L)
+        }
+        mcu += 1
         var c = 0
         while (c < nc) {
           var dy = 0

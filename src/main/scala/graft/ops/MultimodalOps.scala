@@ -760,7 +760,13 @@ object MultimodalOps {
         val h = (8 * (id % 2 + 1)).toInt
         val gray = Array.tabulate(w * h)(i =>
           (if (text.isEmpty) 0 else text.charAt(i % text.length).toInt).toByte)
-        MediaAsset(id, "jpeg", JpegCodec.encodeGray(w, h, gray), w, h, 1, 0)
+        // every 4th doc carries RESTART MARKERS (DRI + RSTn every 2 MCUs):
+        // the corpus itself drives the resync/predictor-reset path, and
+        // the decoded pixels are unchanged (entropy transport only), so
+        // the oracle needs no change at all
+        MediaAsset(id, "jpeg",
+          JpegCodec.encodeGray(w, h, gray,
+            restartInterval = if (id % 4 == 0) 2 else 0), w, h, 1, 0)
       }.toDF()
   }
 
@@ -780,7 +786,9 @@ object MultimodalOps {
         val h = (8 * (id % 2 + 1)).toInt
         val rgb = Array.tabulate(w * h * 3)(i =>
           (if (text.isEmpty) 0 else text.charAt(i % text.length).toInt).toByte)
-        MediaAsset(id, "jpeg", JpegCodec.encodeRgb(w, h, rgb), w, h, 3, 0)
+        MediaAsset(id, "jpeg",
+          JpegCodec.encodeRgb(w, h, rgb,
+            restartInterval = if (id % 5 == 0) 2 else 0), w, h, 3, 0)
       }.toDF()
   }
 
@@ -802,7 +810,9 @@ object MultimodalOps {
         val h = 16
         val rgb = Array.tabulate(w * h * 3)(i =>
           (if (text.isEmpty) 0 else text.charAt(i % text.length).toInt).toByte)
-        MediaAsset(id, "jpeg", JpegCodec.encodeRgb420(w, h, rgb), w, h, 3, 0)
+        MediaAsset(id, "jpeg",
+          JpegCodec.encodeRgb420(w, h, rgb,
+            restartInterval = if (id % 3 == 0) 1 else 0), w, h, 3, 0)
       }.toDF()
   }
 

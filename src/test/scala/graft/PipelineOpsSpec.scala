@@ -2067,6 +2067,43 @@ class PipelineOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](JpegCodec.decodeRgb(gray))
   }
 
+  test("JpegCodec restart markers: DRI/RSTn round-trip, predictor reset, loud resync failures") {
+    import graft.ops.JpegCodec
+    val rnd = new scala.util.Random(0xD0)
+    val w = 24; val h = 16 // 6 MCUs gray, so intervals 1/2/5 all hit groups
+    val gray = Array.fill(w * h)(rnd.nextInt(128).toByte)
+    val plain = JpegCodec.decodeGray(JpegCodec.encodeGray(w, h, gray))._3
+    for (ri <- Seq(1, 2, 5)) {
+      val enc = JpegCodec.encodeGray(w, h, gray, restartInterval = ri)
+      // a DRI segment (FF DD 00 04) must be present, and RST markers appear
+      val hasDri = enc.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xDD)
+      assert(hasDri, s"interval $ri: missing DRI")
+      assert(enc.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) >= 0xD0
+        && (p(1) & 0xff) <= 0xD7), s"interval $ri: no RST markers")
+      // decoded pixels are IDENTICAL to the no-restart stream: restart is
+      // entropy transport only (this is why the fixtures could turn it on
+      // with zero oracle change) — and it proves the decoder resets DC
+      // predictors, since the encoder's DPCM diffs assume the reset
+      val (dw, dh, dec) = JpegCodec.decodeGray(enc)
+      assert(dw == w && dh == h && dec.toSeq == plain.toSeq, s"interval $ri")
+    }
+    // color + 4:2:0 restart round-trips agree with their no-restart decode
+    val rgb = Array.fill(w * h * 3)(rnd.nextInt(128).toByte)
+    assert(JpegCodec.decodeRgb(JpegCodec.encodeRgb(w, h, rgb, restartInterval = 2))._3.toSeq ==
+      JpegCodec.decodeRgb(JpegCodec.encodeRgb(w, h, rgb))._3.toSeq)
+    val rgb420 = Array.fill(32 * 16 * 3)(rnd.nextInt(128).toByte)
+    assert(JpegCodec.decodeRgb(JpegCodec.encodeRgb420(32, 16, rgb420, restartInterval = 1))._3.toSeq ==
+      JpegCodec.decodeRgb(JpegCodec.encodeRgb420(32, 16, rgb420))._3.toSeq)
+    // a corrupted restart marker number fails LOUDLY (mis-sync would
+    // otherwise decode the next group against the wrong predictors)
+    val enc2 = JpegCodec.encodeGray(w, h, gray, restartInterval = 2).clone()
+    val rstAt = enc2.indices.drop(2).find(i => (enc2(i - 1) & 0xff) == 0xff &&
+      (enc2(i) & 0xff) == 0xD0).get
+    enc2(rstAt) = 0xD5.toByte
+    val e = intercept[IllegalArgumentException](JpegCodec.decodeGray(enc2))
+    assert(e.getMessage.contains("restart marker") || e.getMessage.contains("JPEG"))
+  }
+
   test("JpegCodec 4:2:0: decoded pixels equal the scalar subsample/upsample chain") {
     import graft.ops.JpegCodec
     val rnd = new scala.util.Random(420)
