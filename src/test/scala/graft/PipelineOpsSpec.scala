@@ -2193,7 +2193,15 @@ class PipelineOpsSpec extends SparkTestBase {
     val tA = "the quick brown fox jumps over the lazy dog"
     val tB = "pack my box with five dozen liquor jugs now"
     // companion frame f IS the original frame f+1 — byte-identical JPEG
-    assert(frame(tA, 1).toSeq == frame(tA, 1).toSeq)
+    // (compare through the CONTAINERS, so the AVI chunk walk and the
+    // fixture's shift arithmetic are both under test)
+    val origFrames = AviCodec.decode(avi(tA, 0)).frames
+    val compFrames = AviCodec.decode(avi(tA, 1)).frames
+    for (f <- 0 until nf - 1)
+      assert(compFrames(f).toSeq == origFrames(f + 1).toSeq,
+        s"companion frame $f != original frame ${f + 1}")
+    assert(!compFrames(nf - 1).sameElements(origFrames(nf - 1)),
+      "companion tail frame must be novel")
     val assets = Seq(
       graft.ops.MediaAsset(0L, "avi", avi(tA, 0), w, h, 1, 0),
       graft.ops.MediaAsset(1L, "avi", avi(tB, 0), w, h, 1, 0),
