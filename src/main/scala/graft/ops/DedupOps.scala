@@ -137,12 +137,39 @@ object DedupOps {
     * skeleton: only id pairs shuffle, frames never do); the score is
     * Broder containment over DISTINCT frame-hash sets — shared /
     * min(|A|,|B|) — so a short clip cut from a longer video still scores
-    * 1.0. Output (id_a, id_b, shared, overlap) at overlap >= threshold. */
+    * 1.0. Output (id_a, id_b, shared, overlap) at overlap >= threshold.
+    *
+    * `maxDocFreq` — the skew guard this join NEEDS at corpus scale: a
+    * frame hash shared by k assets contributes k² join rows, and real
+    * video/audio corpora have a fat head of CORPUS-COMMON hashes (black
+    * frames, title cards, silence windows fingerprint identically across
+    * millions of assets). Hashes whose document frequency exceeds the cap
+    * are dropped BEFORE both the pair join and the set sizes — i.e. the
+    * score becomes containment over the INFORMATIVE hash sets. Unlike the
+    * Jaccard twin [[jaccardPairsExact]] (sizes stay uncapped there), the
+    * sizes here must shrink with the cap: min-normalization would
+    * otherwise sink a short clip whose set is dominated by common hashes
+    * (a 3-frame clip with a corpus-common title card falls from C = 1/2
+    * to 1/3 under uncapped sizes), and "shares all its distinctive
+    * content" is exactly what containment dedup is asking. An asset whose
+    * EVERY hash is corpus-common (all-black video, pure silence) carries
+    * zero distinguishing signal and drops out entirely. Same broadcast-
+    * size guard as the text core ([[MaxBroadcastHotShingles]]). */
   def hashSetContainmentPairs(frameHashes: DataFrame, idCol: String, hashCol: String,
-                    threshold: Double): DataFrame = {
-    val sets = frameHashes
+                    threshold: Double, maxDocFreq: Option[Int] = None): DataFrame = {
+    val raw = frameHashes
       .select(col(idCol).as("id"), col(hashCol).as("fh")).distinct()
       .localCheckpoint(false) // read by both sides of the pair join + sizes
+    val sets = maxDocFreq.fold(raw) { cap =>
+      // identical shape to pairCommonCounts' guard: the HOT set is bounded
+      // by total-postings/cap members, so anti-join against IT (broadcast
+      // while it actually fits, shuffled anti-join past the bound).
+      val hot = raw.groupBy("fh").count().filter(col("count") > cap)
+        .select("fh").localCheckpoint(false)
+      val hotSide =
+        if (hot.count() <= MaxBroadcastHotShingles) broadcast(hot) else hot
+      raw.join(hotSide, Seq("fh"), "left_anti").localCheckpoint(false)
+    }
     val sizes = sets.groupBy("id").agg(count(lit(1)).as("np"))
     val cm = sets.as("a").join(sets.as("b"),
         col("a.fh") === col("b.fh") && col("a.id") < col("b.id"))

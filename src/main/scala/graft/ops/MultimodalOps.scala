@@ -285,6 +285,19 @@ object MultimodalOps {
   val AudioCompanionOffset = 30000000L
   val AudioCompanionStep = 9L
 
+  /** CORPUS-COMMON fingerprint planting for [[fpWavAssetsFromDocuments]]:
+    * every [[AudioSilenceStep]]-th doc's clip (and its polarity companion,
+    * coinciding at lcm(5,9) = 45) opens with [[AudioSilenceFrames]] frames
+    * of digital silence. A zero frame has all band powers 0 → difference
+    * byte 0; the all-silence 4-frame window hashes to fp = 0 — ONE
+    * fingerprint value planted across ~n/5 of the corpus, exactly the
+    * silence-window skew head [[graft.ops.DedupOps
+    * .hashSetContainmentPairs]]'s `maxDocFreq` cap exists to drop. (The 3
+    * silence→content transition windows are text-dependent, hence
+    * doc-specific — only the pure-silence window goes corpus-common.) */
+  val AudioSilenceStep = 5L
+  val AudioSilenceFrames = 4
+
   /** Audio-fingerprint frame geometry: 32-sample analysis frames, DFT
     * bands k = 1..9 (9 powers → 8 difference bits per frame — the
     * Haitsma-Kalker band-energy-difference shape), fingerprints hash a
@@ -309,7 +322,16 @@ object MultimodalOps {
     * inaudible inversion re-encoded rips commonly carry). Band POWERS are
     * exactly invariant under negation (|−X|² = |X|²), so companion
     * fingerprints are identical and the planted pairs surface at overlap
-    * 1.0 — replayable by the oracle from the text alone. */
+    * 1.0 — replayable by the oracle from the text alone.
+    *
+    * Every [[AudioSilenceStep]]-th doc's clip (and its companion — the
+    * inverted rip keeps the leading silence; −0 = 0) opens with
+    * [[AudioSilenceFrames]] frames of digital silence, planting the
+    * corpus-common fp = 0 window the containment join's `maxDocFreq` cap
+    * must drop. Planted-pair overlap stays 1.0 under the cap (both sets
+    * lose the same element); without it, `shared`/`np` for
+    * silence-planted pairs differ value-visibly from the cap-modeling
+    * oracle. */
   def fpWavAssetsFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -318,9 +340,13 @@ object MultimodalOps {
       .flatMap { case (id, text) =>
         require(text.forall(_ < 128),
           s"audio fp fixture requires ASCII text (doc $id)")
+        val lead =
+          if (id % AudioSilenceStep == 0) AudioSilenceFrames * AudioFpFrame
+          else 0
         def wav(sgn: Int) = WavCodec.encode(rates((id % 3).toInt), 1,
-          Array.tabulate(text.length)(i =>
-            (sgn * (text.charAt(i) - 80) * 257).toShort),
+          Array.tabulate(lead + text.length)(i =>
+            if (i < lead) 0.toShort
+            else (sgn * (text.charAt(i - lead) - 80) * 257).toShort),
           junkChunk = id % 5 == 0)
         val base = MediaAsset(id, "wav", wav(1), 0, 0, 1, rates((id % 3).toInt))
         if (id % AudioCompanionStep == 0)
@@ -881,6 +907,20 @@ object MultimodalOps {
   val VideoCompanionOffset = 20000000L
   val VideoCompanionStep = 7L
 
+  /** CORPUS-COMMON frame planting for [[mjpegCompanionAssetsFromDocuments]]:
+    * every [[VideoCommonStep]]-th doc's video (and its temporal-shift
+    * companion, when both plantings coincide at lcm(5,7) = 35) opens with a
+    * constant-gray "title card" frame. A constant 8×8 block has EXACTLY
+    * zero AC forward-DCT coefficients (the fixed-point cosine rows sum to
+    * zero by the table's symmetry), so the lossy decode returns the
+    * constant unchanged for EVERY geometry — and pHash of a constant image
+    * is 0 (all AC coefficients equal the median). One hash value therefore
+    * appears in ~n/5 of the corpus's videos: the skewed-join-key head
+    * (black frames / intro cards) that [[graft.ops.DedupOps
+    * .hashSetContainmentPairs]]'s `maxDocFreq` cap exists to drop. */
+  val VideoCommonStep = 5L
+  val TitleCardGray = 200
+
   /** MJPEG asset table for VIDEO temporal dedup: every doc becomes the
     * same AVI as [[mjpegAssetsFromDocuments]]; every
     * [[VideoCompanionStep]]-th doc ADDITIONALLY yields a companion video
@@ -892,7 +932,17 @@ object MultimodalOps {
     * nf−1 of the nf frame hashes are shared and the companion's last
     * frame (pattern 7·nf, which the original never shows) is novel:
     * planted pairs at overlap (nf−1)/nf ∈ {1/2, 2/3, 3/4}, all ≥ the 0.5
-    * operating point, replayable by the oracle from text + tiling alone. */
+    * operating point, replayable by the oracle from text + tiling alone.
+    *
+    * Every [[VideoCommonStep]]-th doc's video ADDITIONALLY opens with the
+    * corpus-common constant-gray title-card frame (its companion too — a
+    * re-cut keeps the intro card): one pHash value planted across ~n/5 of
+    * the corpus, the skewed-key head the containment join's `maxDocFreq`
+    * cap must drop. With the cap the title card leaves both `shared` and
+    * the set sizes, so planted-pair scores are invariant under the
+    * planting ((nf−1)/nf as above); WITHOUT the cap a title-carded
+    * planted pair reports shared = nf, np = nf+1 — a value-visible
+    * difference the oracle (which models the cap) fails on. */
   def mjpegCompanionAssetsFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -910,8 +960,14 @@ object MultimodalOps {
              else text.charAt((7 * pattern + i) % text.length).toInt).toByte)
           JpegCodec.encodeGray(w, h, gray)
         }
+        val title: Seq[Array[Byte]] =
+          if (id % VideoCommonStep == 0)
+            Seq(JpegCodec.encodeGray(w, h,
+              Array.fill(w * h)(TitleCardGray.toByte)))
+          else Seq.empty
         def avi(shift: Int): Array[Byte] =
-          AviCodec.encode(w, h, fps, 1, (0 until nf).map(f => frame(f + shift)))
+          AviCodec.encode(w, h, fps, 1,
+            title ++ (0 until nf).map(f => frame(f + shift)))
         val base = MediaAsset(id, "avi", avi(0), w, h, 1, 0)
         if (id % VideoCompanionStep == 0)
           Seq(base,

@@ -182,6 +182,15 @@ object DedupQueries {
     * baseline. */
   private val DocFreqCap = 20
 
+  /** Document-frequency cap for the frame-hash / audio-fingerprint
+    * containment joins: the fixtures plant a corpus-common title-card
+    * frame (pHash 0, ~115 of 500 videos) and a corpus-common silence
+    * fingerprint (fp 0, ~112 of 500 clips) — df ≫ this cap at every SF,
+    * so the cap is LOAD-BEARING in the oracle comparison: an uncapped
+    * Spark side would report shared/np/overlap values the cap-modeling
+    * oracle rejects. */
+  private val FrameHashDocFreqCap = 8
+
   private val JaccardBruteSql =
     s"WITH $JaccardPairCtes\nSELECT id_a, id_b, jaccard FROM pairs ORDER BY 1, 2"
 
@@ -660,15 +669,24 @@ object DedupQueries {
 
     // VIDEO temporal dedup: near-duplicate videos found by frame-hash set
     // containment — shared / min(|A|,|B|) over DISTINCT per-frame pHashes
-    // (inverted-index join on the 8-byte hash; frames never shuffle). The
-    // fixture plants a one-frame-temporal-shift companion for every 7th
-    // doc, so the planted pairs surface at overlap (nf-1)/nf >= 0.5 and
-    // the oracle — which replays container tiling, the lossy JPEG decode,
-    // the pHash chain AND the pair scoring — value-checks both their
-    // recall and the absence of spurious pairs.
+    // (inverted-index join on the 8-byte hash; frames never shuffle),
+    // through the df-capped informative-hash core: hashes in more than
+    // FrameHashDocFreqCap assets leave both the join and the set sizes
+    // BEFORE pairing (black frames / title cards / intro bumpers are
+    // skewed join keys with m² pair fan-out at corpus scale). The fixture
+    // plants BOTH shapes: a one-frame-temporal-shift companion for every
+    // 7th doc (planted pairs at overlap (nf-1)/nf >= 0.5, invariant under
+    // the cap) and a corpus-common constant title card opening every 5th
+    // video (pHash 0 in ~115 of 500 assets — the hash the cap MUST drop;
+    // skipping the cap shifts shared/np value-visibly). The oracle
+    // replays container tiling, the lossy JPEG decode, the pHash chain,
+    // the df cap AND the pair scoring.
     QueryDef.withOracle("dedup_video",
       s"""WITH ${OracleVideoPhash.CTES},
-         |vset AS (SELECT DISTINCT asset_id, phash FROM vph),
+         |vset0 AS (SELECT DISTINCT asset_id, phash FROM vph),
+         |vset AS (SELECT v.asset_id, v.phash FROM vset0 v
+         |         JOIN (SELECT phash FROM vset0 GROUP BY 1
+         |               HAVING count(*) <= $FrameHashDocFreqCap) k USING (phash)),
          |vn AS (SELECT asset_id, count(*) AS np FROM vset GROUP BY 1),
          |vcm AS (SELECT a.asset_id AS ia, b.asset_id AS ib, count(*) AS shared
          |        FROM vset a JOIN vset b
@@ -684,19 +702,28 @@ object DedupQueries {
           graft.ops.MultimodalOps.mjpegCompanionAssetsFromDocuments(
             Tables(s, dir, "documents")),
           frameStride = 1),
-        "asset_id", "phash", threshold = 0.5)
+        "asset_id", "phash", threshold = 0.5,
+        maxDocFreq = Some(FrameHashDocFreqCap))
     },
 
     // AUDIO temporal dedup: near-duplicate audio found by fingerprint-set
     // containment — the same inverted-index + Broder-containment core as
-    // dedup_video, over the Haitsma-Kalker window fingerprints. The
-    // fixture plants a polarity-inverted companion for every 9th doc
-    // (band powers are exactly negation-invariant), so planted pairs
-    // surface at overlap 1.0 and the oracle value-checks both their
-    // recall and the absence of spurious pairs.
+    // dedup_video through the same df-capped informative-hash core
+    // (silence windows fingerprint identically corpus-wide — the skewed
+    // join key the cap drops). The fixture plants BOTH shapes: a
+    // polarity-inverted companion for every 9th doc (band powers are
+    // exactly negation-invariant, planted pairs at overlap 1.0 — the cap
+    // removes fp 0 from both sides of a pair, so 1.0 is cap-invariant)
+    // and 4 frames of leading silence in every 5th clip (fp 0 in ~112 of
+    // 500 assets, the corpus-common fingerprint the cap MUST drop). The
+    // oracle replays the PCM mapping, the integer DFT, the bit rule, the
+    // window hash, the df cap and the pair scoring.
     QueryDef.withOracle("dedup_audio",
       s"""WITH ${OracleAudioFp.CTES},
-         |aset AS (SELECT DISTINCT asset_id, fp FROM aff),
+         |aset0 AS (SELECT DISTINCT asset_id, fp FROM aff),
+         |aset AS (SELECT a.asset_id, a.fp FROM aset0 a
+         |         JOIN (SELECT fp FROM aset0 GROUP BY 1
+         |               HAVING count(*) <= $FrameHashDocFreqCap) k USING (fp)),
          |an AS (SELECT asset_id, count(*) AS np FROM aset GROUP BY 1),
          |acm AS (SELECT a.asset_id AS ia, b.asset_id AS ib, count(*) AS shared
          |        FROM aset a JOIN aset b
@@ -711,7 +738,8 @@ object DedupQueries {
         graft.ops.MultimodalOps.audioFingerprints(
           graft.ops.MultimodalOps.fpWavAssetsFromDocuments(
             Tables(s, dir, "documents"))),
-        "asset_id", "fp", threshold = 0.5)
+        "asset_id", "fp", threshold = 0.5,
+        maxDocFreq = Some(FrameHashDocFreqCap))
     },
 
     // MULTIMODAL CORPUS BUILD — the composed keep decision a real
@@ -736,8 +764,11 @@ object DedupQueries {
          |            AND b.asset_id < $PhashCompanionOffset
          |            AND bit_count(xor(a.phash, b.phash)) <= 4),
          |${OracleVideoPhash.CTES},
-         |vvset AS (SELECT DISTINCT asset_id, phash FROM vph
-         |          WHERE asset_id < $VideoCompanionOffset),
+         |vvset0 AS (SELECT DISTINCT asset_id, phash FROM vph
+         |           WHERE asset_id < $VideoCompanionOffset),
+         |vvset AS (SELECT v.asset_id, v.phash FROM vvset0 v
+         |          JOIN (SELECT phash FROM vvset0 GROUP BY 1
+         |                HAVING count(*) <= $FrameHashDocFreqCap) k USING (phash)),
          |vvn AS (SELECT asset_id, count(*) AS np FROM vvset GROUP BY 1),
          |vvcm AS (SELECT a.asset_id AS ia, b.asset_id AS ib, count(*) AS sh
          |         FROM vvset a JOIN vvset b
@@ -748,8 +779,11 @@ object DedupQueries {
          |                    JOIN vvn nb ON nb.asset_id = ib
          |          WHERE CAST(sh AS DOUBLE) / least(na.np, nb.np) >= 0.5),
          |${OracleAudioFp.CTES},
-         |aaset AS (SELECT DISTINCT asset_id, fp FROM aff
-         |          WHERE asset_id < $AudioCompanionOffset),
+         |aaset0 AS (SELECT DISTINCT asset_id, fp FROM aff
+         |           WHERE asset_id < $AudioCompanionOffset),
+         |aaset AS (SELECT a.asset_id, a.fp FROM aaset0 a
+         |          JOIN (SELECT fp FROM aaset0 GROUP BY 1
+         |                HAVING count(*) <= $FrameHashDocFreqCap) k USING (fp)),
          |aan AS (SELECT asset_id, count(*) AS np FROM aaset GROUP BY 1),
          |aacm AS (SELECT a.asset_id AS ia, b.asset_id AS ib, count(*) AS sh
          |         FROM aaset a JOIN aaset b
@@ -789,14 +823,21 @@ object DedupQueries {
             .filter(col("asset_id") < MultimodalOps.PhashCompanionOffset))
           .select(col("asset_id").as("id"), col("phash").as("fp")),
         bits = 63, maxHamming = 4), "drop_image")
+      // video/audio legs read the PLANTED corpora (title cards, leading
+      // silence) so the df cap is exercised here too; companions filtered
+      // out up front — the base corpus is what a real build deduplicates.
       val vidDrop = drops(DedupOps.hashSetContainmentPairs(
         MultimodalOps.videoPhashes(
-          MultimodalOps.mjpegAssetsFromDocuments(docs)),
-        "asset_id", "phash", threshold = 0.5), "drop_video")
+          MultimodalOps.mjpegCompanionAssetsFromDocuments(docs)
+            .filter(col("asset_id") < MultimodalOps.VideoCompanionOffset)),
+        "asset_id", "phash", threshold = 0.5,
+        maxDocFreq = Some(FrameHashDocFreqCap)), "drop_video")
       val audDrop = drops(DedupOps.hashSetContainmentPairs(
         MultimodalOps.audioFingerprints(
-          MultimodalOps.wavAssetsFromDocuments(docs)),
-        "asset_id", "fp", threshold = 0.5), "drop_audio")
+          MultimodalOps.fpWavAssetsFromDocuments(docs)
+            .filter(col("asset_id") < MultimodalOps.AudioCompanionOffset)),
+        "asset_id", "fp", threshold = 0.5,
+        maxDocFreq = Some(FrameHashDocFreqCap)), "drop_audio")
       docs.select("doc_id")
         .join(textDrop, Seq("doc_id"), "left")
         .join(imgDrop, Seq("doc_id"), "left")

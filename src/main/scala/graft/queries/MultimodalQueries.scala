@@ -1105,18 +1105,27 @@ object MultimodalQueries {
   * and `dedup_audio`. */
 object OracleAudioFp {
   import graft.ops.MultimodalOps.{AudioCompanionOffset, AudioCompanionStep,
-    AudioFpBands, AudioFpCos, AudioFpFrame, AudioFpSin, AudioFpWindow}
+    AudioFpBands, AudioFpCos, AudioFpFrame, AudioFpSin, AudioFpWindow,
+    AudioSilenceFrames, AudioSilenceStep}
   import graft.ops.TextOps.{B2, P}
 
   private val trigRows = (for { k <- 0 until AudioFpBands; n <- 0 until AudioFpFrame }
     yield s"(${k + 1},$n,${AudioFpCos(k)(n)},${AudioFpSin(k)(n)})").mkString(",")
 
+  private val silenceSamples = AudioSilenceFrames * AudioFpFrame
+
   val CTES: String =
-    s"""afa AS (SELECT doc_id AS asset_id, text, 1 AS sgn FROM documents
+    s"""afa AS (SELECT doc_id AS asset_id, text, 1 AS sgn,
+       |          CASE WHEN doc_id % $AudioSilenceStep = 0
+       |               THEN $silenceSamples ELSE 0 END AS lead
+       |        FROM documents
        |        UNION ALL
-       |        SELECT doc_id + $AudioCompanionOffset, text, -1
+       |        SELECT doc_id + $AudioCompanionOffset, text, -1,
+       |          CASE WHEN doc_id % $AudioSilenceStep = 0
+       |               THEN $silenceSamples ELSE 0 END
        |        FROM documents WHERE doc_id % $AudioCompanionStep = 0),
        |afs AS (SELECT asset_id,
+       |          list_transform(range(lead), z -> CAST(0 AS BIGINT)) ||
        |          list_transform(range(1, length(text) + 1),
        |            i -> CAST(sgn * (unicode(substr(text, CAST(i AS INT), 1)) - 80)
        |                 * 257 AS BIGINT)) AS ss
@@ -1158,7 +1167,8 @@ object OracleAudioFp {
   * median split). Ends in `vph(asset_id, f, phash)`. Shared by
   * `mm_video_phash` and `dedup_video`. */
 object OracleVideoPhash {
-  import graft.ops.MultimodalOps.{VideoCompanionOffset, VideoCompanionStep}
+  import graft.ops.MultimodalOps.{TitleCardGray, VideoCommonStep,
+    VideoCompanionOffset, VideoCompanionStep}
   private val half = 1L << 41
   private val div = 1L << 42
   private val alphaRows = (0 until 8).map(u => s"($u,${if (u == 0) 724 else 1024})")
@@ -1168,21 +1178,25 @@ object OracleVideoPhash {
     s"""vya AS (SELECT doc_id AS asset_id, text,
        |          CAST(8 * (doc_id % 3 + 1) AS INT) AS w,
        |          CAST(8 * (doc_id % 2 + 1) AS INT) AS h,
-       |          CAST(2 + doc_id % 3 AS INT) AS nf, 0 AS shift FROM documents
+       |          CAST(2 + doc_id % 3 AS INT) AS nf, 0 AS shift,
+       |          CASE WHEN doc_id % $VideoCommonStep = 0 THEN 1 ELSE 0 END AS tc
+       |        FROM documents
        |        UNION ALL
        |        SELECT doc_id + $VideoCompanionOffset, text,
        |          CAST(8 * (doc_id % 3 + 1) AS INT),
        |          CAST(8 * (doc_id % 2 + 1) AS INT),
-       |          CAST(2 + doc_id % 3 AS INT), 1
+       |          CAST(2 + doc_id % 3 AS INT), 1,
+       |          CASE WHEN doc_id % $VideoCommonStep = 0 THEN 1 ELSE 0 END
        |        FROM documents WHERE doc_id % $VideoCompanionStep = 0),
        |vfr AS (SELECT vya.*, CAST(fr.f AS INT) AS f
-       |        FROM vya, range(4) fr(f) WHERE fr.f < nf),
+       |        FROM vya, range(5) fr(f) WHERE fr.f < nf + tc),
        |vct(u, i, c) AS (SELECT * FROM (VALUES ${OraclePhash.dctRows}) t(u, i, c)),
        |val2(u, a) AS (SELECT * FROM (VALUES $alphaRows) t(u, a)),
        |vpx AS (SELECT asset_id, f, bi.b AS bi, bj.b AS bj, ri.i AS i, rj.j AS j,
-       |          CAST((CASE WHEN length(text) = 0 THEN 0
+       |          CAST((CASE WHEN tc = 1 AND f = 0 THEN $TitleCardGray
+       |                WHEN length(text) = 0 THEN 0
        |                ELSE unicode(substr(text,
-       |                  CAST((7 * (f + shift) + (bi.b * 8 + ri.i) * w + bj.b * 8 + rj.j)
+       |                  CAST((7 * (f - tc + shift) + (bi.b * 8 + ri.i) * w + bj.b * 8 + rj.j)
        |                       % length(text) + 1 AS INT), 1)) END)
        |               - 128 AS BIGINT) AS p
        |        FROM vfr, range(2) bi(b), range(3) bj(b),

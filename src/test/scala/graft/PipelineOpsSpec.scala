@@ -2213,6 +2213,34 @@ class PipelineOpsSpec extends SparkTestBase {
       s"got ${pairs.toSeq}")
   }
 
+  test("hashSetContainmentPairs maxDocFreq: corpus-common hash leaves join AND sizes; all-common asset drops out") {
+    import spark.implicits._
+    // hash 99 is corpus-common (df 5 > cap 3); assets 1/2 share {10, 11}
+    // beyond it, asset 3 is unrelated, asset 4 carries ONLY the common hash
+    // (an all-black video: zero distinguishing signal)
+    val rows = Seq(
+      (1L, 99L), (1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 99L), (2L, 10L), (2L, 11L), (2L, 13L),
+      (3L, 99L), (3L, 20L), (3L, 21L),
+      (4L, 99L),
+      (5L, 99L), (5L, 98L), (5L, 30L), (5L, 31L), (5L, 32L)).toDF("id", "fh")
+    // 98 has df 1 <= cap: stays. 99 has df 5 > cap: dropped everywhere.
+    val got = graft.ops.DedupOps.hashSetContainmentPairs(
+        rows, "id", "fh", threshold = 0.5, maxDocFreq = Some(3))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // capped sets: 1->{10,11,12} 2->{10,11,13} 3->{20,21} 4->{} 5->{98,30,31,32}
+    // pairs at C>=0.5: only (1,2) shared 2 / min(3,3) = 2/3
+    assert(got.toSeq == Seq((1L, 2L, 2L, 2.0 / 3)), s"got ${got.toSeq}")
+    // uncapped control: the common hash inflates shared ((1,2) reports 3)
+    // and the zero-signal asset 4 pairs with EVERYTHING at 1/min(1,·) = 1.0
+    val unc = graft.ops.DedupOps.hashSetContainmentPairs(rows, "id", "fh", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(unc.exists { case (a, b, sh) => a == 1L && b == 2L && sh == 3L },
+      s"uncapped control must count the common hash, got ${unc.toSeq}")
+    assert(unc.count { case (a, b, _) => a == 4L || b == 4L } == 4,
+      s"uncapped control: the zero-signal asset pairs with all 4 others, got ${unc.toSeq}")
+  }
+
   test("audioFingerprints: polarity-invariant, amplitude-difference-driven, unrelated audio distinct") {
     import graft.ops.{MultimodalOps, WavCodec}
     import spark.implicits._
