@@ -1,7 +1,8 @@
 package graft.ops
 
-/** REAL baseline JPEG codec (ITU-T T.81 sequential DCT, SOF0), grayscale,
-  * pure JVM — the last `FakeDecoder` image family promoted to a genuine
+/** REAL JPEG codec (ITU-T T.81: sequential baseline SOF0 + progressive
+  * SOF2 grayscale), pure JVM — the last `FakeDecoder` image family
+  * promoted to a genuine
   * parser: SOI/DQT/SOF0/DHT/SOS/EOI marker walk, canonical Huffman tables
   * (the public Annex-K luminance tables, read back FROM the DHT segment —
   * the decoder trusts the stream, not compiled-in constants), DC DPCM with
@@ -387,6 +388,154 @@ object JpegCodec {
     out.toByteArray
   }
 
+  /** Encode row-major 8-bit grayscale as a PROGRESSIVE JPEG (SOF2, T.81
+    * Annex G) — the coding most web JPEGs actually use. The quantized
+    * coefficient grid is IDENTICAL to [[encodeGray]]'s (same integer DCT,
+    * same all-ones table); progressive coding is entropy TRANSPORT only,
+    * so the decoded pixels are byte-identical across the two codings —
+    * the property the mm_decode_jpeg_prog oracle pins.
+    *
+    * Two scan scripts (both real-world shapes):
+    *  - `successiveApprox = true` (the libjpeg-style default): DC first at
+    *    Al=1 → AC 1..5 first at Al=1 → AC 6..63 first at Al=1 → DC
+    *    refinement bit → AC refinement 1..63 to Al=0. Exercises point
+    *    transforms, newly-significant insertion, buffered correction
+    *    bits and the ZRL/EOB refinement transport.
+    *  - `successiveApprox = false`: spectral selection only (Al=0
+    *    everywhere): DC → AC 1..9 → AC 10..63. Exercises multi-scan band
+    *    assembly without approximation.
+    *
+    * Single component, non-interleaved scans (one block per MCU, raster
+    * order), EOB runs of length 1 only (EOB0 — keeps the scan symbols
+    * inside the Annex-K alphabet), no restart markers. */
+  def encodeGrayProgressive(w: Int, h: Int, gray: Array[Byte],
+                            successiveApprox: Boolean = true): Array[Byte] = {
+    require(w > 0 && h > 0 && w % 8 == 0 && h % 8 == 0, s"dims must be 8-multiples: ${w}x$h")
+    require(gray.length == w * h, s"need ${w * h} samples, got ${gray.length}")
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    marker(0xD8) // SOI
+    marker(0xDB); u16(2 + 1 + 64) // DQT: one 8-bit table, id 0, all ones
+    out.write(0x00); (0 until 64).foreach(_ => out.write(1))
+    marker(0xC2); u16(2 + 6 + 3) // SOF2, 1 component, 1x1, qtable 0
+    out.write(8); u16(h); u16(w); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    def dht(clazz: Int, bits: Array[Int], vals: Array[Byte]): Unit = {
+      marker(0xC4); u16(2 + 1 + 16 + vals.length)
+      out.write(clazz << 4)
+      bits.foreach(out.write); out.write(vals, 0, vals.length)
+    }
+    dht(0, DcBits, DcVals)
+    dht(1, AcBits, AcVals)
+    // quantized blocks, raster order — the SAME grid encodeGray transports
+    val block = new Array[Int](64)
+    val blocks = (for (by <- 0 until h / 8; bx <- 0 until w / 8) yield {
+      grabBlock(gray, w, bx, by, block)
+      forwardBlock(block)
+    }).toArray
+    val dcCode = canonical(DcBits, DcVals)
+    val acCode = canonical(AcBits, AcVals)
+    def scan(ss: Int, se: Int, ah: Int, al: Int)(body: BitWriter => Unit): Unit = {
+      marker(0xDA); u16(2 + 1 + 2 + 3) // SOS: 1 component
+      out.write(1); out.write(1); out.write(0x00) // comp id 1, DC 0 / AC 0
+      out.write(ss); out.write(se); out.write((ah << 4) | al)
+      val bw = new BitWriter(out)
+      body(bw)
+      bw.flush()
+    }
+    def putMag(bw: BitWriter, v: Long, t: Int): Unit = if (t > 0) {
+      val bitsv = if (v < 0) (v + (1L << t) - 1).toInt else v.toInt
+      bw.put(bitsv & ((1 << t) - 1), t)
+    }
+    // DC first: DPCM over the point-transformed DC (arithmetic shift,
+    // T.81 G.1.2.1), same category coding as sequential
+    def dcFirst(al: Int): Unit = scan(0, 0, 0, al) { bw =>
+      var prev = 0L
+      blocks.foreach { q =>
+        val v = q(0) >> al
+        val diff = v - prev; prev = v
+        val t = category(diff)
+        val (c, l) = dcCode(t); bw.put(c, l)
+        putMag(bw, diff, t)
+      }
+    }
+    // DC refinement: one raw bit per block (no Huffman)
+    def dcRefine(al: Int): Unit = scan(0, 0, al + 1, al) { bw =>
+      blocks.foreach(q => bw.put(((q(0) >> al) & 1L).toInt, 1))
+    }
+    // AC first scan of a band: sequential run-length coding over the
+    // point-transformed values (signed division truncating toward zero,
+    // T.81 G.1.2.2), EOB0 closing each block with trailing zeros
+    def acFirst(ss: Int, se: Int, al: Int): Unit = scan(ss, se, 0, al) { bw =>
+      blocks.foreach { q =>
+        var run = 0
+        var k = ss
+        while (k <= se) {
+          val v = q(Zigzag(k)) / (1L << al)
+          if (v == 0L) run += 1
+          else {
+            while (run > 15) { val (z, zl) = acCode(0xF0); bw.put(z, zl); run -= 16 }
+            val t = category(v)
+            val (a, alen) = acCode((run << 4) | t); bw.put(a, alen)
+            putMag(bw, v, t)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) { val (e, el) = acCode(0x00); bw.put(e, el) }
+      }
+    }
+    // AC refinement scan (T.81 G.1.2.3 / the public libjpeg shape):
+    // newly-significant coefficients (|v|>>Al == 1) emit run/1 symbols
+    // whose runs count only ZERO-HISTORY positions; already-nonzero
+    // coefficients contribute buffered correction bits, flushed after
+    // each emitted symbol (the decoder consumes them while advancing);
+    // pending ZRLs flush BEFORE buffering a correction so the bit order
+    // matches the decoder's walk exactly; trailing runs/corrections fold
+    // into EOB0.
+    def acRefine(ss: Int, se: Int, al: Int): Unit = scan(ss, se, al + 1, al) { bw =>
+      blocks.foreach { q =>
+        val pending = scala.collection.mutable.ArrayBuffer.empty[Int]
+        def flush(): Unit = { pending.foreach(b => bw.put(b, 1)); pending.clear() }
+        var r = 0
+        var k = ss
+        while (k <= se) {
+          val v = q(Zigzag(k))
+          val t = math.abs(v) >> al
+          if (t == 0L) r += 1
+          else {
+            while (r > 15) { val (z, zl) = acCode(0xF0); bw.put(z, zl); r -= 16; flush() }
+            if (t > 1L) pending += (t & 1L).toInt
+            else {
+              val (a, alen) = acCode((r << 4) | 1); bw.put(a, alen); r = 0
+              bw.put(if (v > 0) 1 else 0, 1)
+              flush()
+            }
+          }
+          k += 1
+        }
+        if (r > 0 || pending.nonEmpty) {
+          val (e, el) = acCode(0x00); bw.put(e, el)
+          flush()
+        }
+      }
+    }
+    if (successiveApprox) {
+      dcFirst(1)
+      acFirst(1, 5, 1)
+      acFirst(6, 63, 1)
+      dcRefine(0)
+      acRefine(1, 63, 0)
+    } else {
+      dcFirst(0)
+      acFirst(1, 9, 0)
+      acFirst(10, 63, 0)
+    }
+    marker(0xD9) // EOI
+    out.toByteArray
+  }
+
   /** Encode row-major RGB triples as a baseline YCbCr **4:2:0** JPEG —
     * the sampling every real-world camera JPEG uses: Y at full resolution
     * (factor 2×2), Cb/Cr at half resolution both directions (1×1). Each
@@ -549,8 +698,10 @@ object JpegCodec {
     * integer IDCT. 1 or 3 components sharing table 0, full-resolution
     * (grayscale / 4:4:4) or 4:2:0 (subsampled chroma is decoded on its
     * half-resolution grid, then upsampled to full resolution by sample
-    * replication, so the returned planes are always w×h). Unsupported
-    * shapes (progressive, 4:2:2/4:1:1, 16-bit DQT) fail loudly. */
+    * replication, so the returned planes are always w×h). PROGRESSIVE
+    * (SOF2) grayscale streams route to the multi-scan coefficient
+    * assembly below. Unsupported shapes (progressive color, 4:2:2/4:1:1,
+    * 16-bit DQT) fail loudly. */
   def decodePlanes(payload: Array[Byte]): (Int, Int, Array[Array[Byte]]) = {
     require(payload.length > 4 && (payload(0) & 0xff) == 0xff &&
       (payload(1) & 0xff) == 0xd8, "not a JPEG payload (no SOI)")
@@ -560,8 +711,27 @@ object JpegCodec {
     var qt: Array[Int] = null
     var restartInterval = 0 // DRI; 0 = no restart markers
     var dcH: Huff = null; var acH: Huff = null
+    var progressive = false // SOF2
     def u16(p: Int): Int = ((payload(p) & 0xff) << 8) | (payload(p + 1) & 0xff)
+    /** Parse one DHT segment's tables into dcH/acH (shared by the header
+      * walk and, for progressive streams, inter-scan table redefinition). */
+    def parseDht(segStart: Int, segEnd: Int): Unit = {
+      var p = segStart
+      while (p < segEnd) {
+        val clazz = (payload(p) & 0xf0) >> 4
+        // same loud-failure contract as DQT: only table id 0 exists
+        // here, so a stream carrying DC/AC table id 1 must be rejected,
+        // not silently decoded with whichever table was parsed last
+        require((payload(p) & 0x0f) == 0, "JPEG: only Huffman table id 0 supported")
+        val bits = Array.tabulate(16)(i => payload(p + 1 + i) & 0xff)
+        val nv = bits.sum
+        val vals = java.util.Arrays.copyOfRange(payload, p + 17, p + 17 + nv)
+        if (clazz == 0) dcH = buildHuff(bits, vals) else acH = buildHuff(bits, vals)
+        p += 17 + nv
+      }
+    }
     var sosAt = -1
+    var sosHdr = -1 // position of the current SOS segment's ns byte
     while (sosAt < 0) {
       require(pos + 4 <= payload.length, "JPEG: truncated marker stream")
       require((payload(pos) & 0xff) == 0xff, s"JPEG: expected marker at $pos")
@@ -580,7 +750,8 @@ object JpegCodec {
           require((payload(pos + 4) & 0xf0) == 0, "JPEG: 16-bit DQT unsupported")
           require((payload(pos + 4) & 0x0f) == 0, "JPEG: only DQT table id 0 supported")
           qt = Array.tabulate(64)(i => payload(pos + 5 + i) & 0xff)
-        case 0xC0 =>
+        case 0xC0 | 0xC2 =>
+          progressive = (payload(pos + 1) & 0xff) == 0xC2
           require(payload(pos + 4) == 8, "JPEG: only 8-bit precision")
           h = u16(pos + 5); w = u16(pos + 7)
           nc = payload(pos + 9) & 0xff
@@ -597,22 +768,11 @@ object JpegCodec {
             require((payload(pos + 12 + 3 * c) & 0xff) == 0,
               "JPEG: only quantization table 0 supported (component Tq != 0)")
           }
-        case 0xC1 | 0xC2 | 0xC3 =>
-          throw new IllegalArgumentException("JPEG: only baseline SOF0 supported")
+        case 0xC1 | 0xC3 =>
+          throw new IllegalArgumentException(
+            "JPEG: only baseline SOF0 and progressive SOF2 supported")
         case 0xC4 =>
-          var p = pos + 4
-          while (p < pos + 2 + len) {
-            val clazz = (payload(p) & 0xf0) >> 4
-            // same loud-failure contract as DQT: only table id 0 exists
-            // here, so a stream carrying DC/AC table id 1 must be rejected,
-            // not silently decoded with whichever table was parsed last
-            require((payload(p) & 0x0f) == 0, "JPEG: only Huffman table id 0 supported")
-            val bits = Array.tabulate(16)(i => payload(p + 1 + i) & 0xff)
-            val nv = bits.sum
-            val vals = java.util.Arrays.copyOfRange(payload, p + 17, p + 17 + nv)
-            if (clazz == 0) dcH = buildHuff(bits, vals) else acH = buildHuff(bits, vals)
-            p += 17 + nv
-          }
+          parseDht(pos + 4, pos + 2 + len)
         case 0xDD =>
           // DRI: restart interval in MCUs (real-world encoders emit this
           // for error resilience / parallel segment decode)
@@ -626,6 +786,7 @@ object JpegCodec {
             require((payload(pos + 6 + 2 * c) & 0xff) == 0,
               "JPEG: SOS references a non-zero Huffman table")
           }
+          sosHdr = pos + 4
           sosAt = pos + 2 + len
         case _ => () // APPn / COM: skip after length
       }
@@ -633,6 +794,182 @@ object JpegCodec {
     }
     require(w > 0 && h > 0 && nc > 0 && qt != null && dcH != null && acH != null,
       "JPEG: missing SOF/DQT/DHT before SOS")
+    // -------------------------------------------------- progressive path
+    // SOF2 (T.81 Annex G): coefficients accumulate across SCANS — DC
+    // first/refinement, AC spectral bands first/refinement with EOB runs —
+    // then one dequantize + IDCT at the end. Entropy transport only: the
+    // reconstructed coefficient grid equals what a sequential scan of the
+    // same quantized blocks would carry, so decoded pixels are
+    // byte-identical to the baseline coding (the mm_decode_jpeg_prog
+    // oracle replays the baseline chain for both codings on that basis).
+    // Scope: single-component (grayscale) non-interleaved scans, no DRI —
+    // anything else fails loudly below.
+    if (progressive) {
+      require(nc == 1, "JPEG: progressive color unsupported")
+      require(restartInterval == 0, "JPEG: DRI inside progressive unsupported")
+      require(w % 8 == 0 && h % 8 == 0,
+        s"JPEG: dims must tile whole blocks, got ${w}x$h")
+      val nBlocks = (w / 8) * (h / 8)
+      val coefs = Array.fill(nBlocks)(new Array[Long](64))
+
+      // decode one scan's entropy data over all blocks in raster order;
+      // returns the reader (its pos marks the end of consumed bytes)
+      def decodeScan(entStart: Int, ss: Int, se: Int, ah: Int, al: Int): BitReader = {
+        val br = new BitReader(payload, entStart)
+        var eobrun = 0L
+        var pred = 0L
+        val p1 = 1L << al
+        var b = 0
+        while (b < nBlocks) {
+          val q = coefs(b)
+          if (ss == 0) { // DC scan
+            require(se == 0, "JPEG: progressive DC scan must have Se=0")
+            if (ah == 0) {
+              val t = readSym(br, dcH)
+              pred += extend(br.bits(t), t)
+              q(0) = pred << al
+            } else {
+              // refinement appends the next lower bit (two's-complement OR
+              // matches the arithmetic-shift point transform exactly)
+              if (br.bit() == 1) q(0) |= p1
+            }
+          } else if (ah == 0) { // AC first scan of the band [ss, se]
+            require(ss >= 1 && se <= 63 && ss <= se, "JPEG: bad spectral band")
+            if (eobrun > 0) eobrun -= 1
+            else {
+              var k = ss
+              var brk = false
+              while (k <= se && !brk) {
+                val rs = readSym(br, acH)
+                val r = rs >> 4; val s = rs & 15
+                if (s == 0) {
+                  if (r == 15) k += 16 // ZRL
+                  else { // EOBn: this block ends; r more whole blocks skip
+                    eobrun = (1L << r) - 1 + (if (r > 0) br.bits(r) else 0)
+                    brk = true
+                  }
+                } else {
+                  k += r
+                  require(k <= se, "JPEG: AC run overflows band")
+                  q(Zigzag(k)) = extend(br.bits(s), s) << al
+                  k += 1
+                }
+              }
+            }
+          } else { // AC refinement scan
+            require(ss >= 1 && se <= 63 && ss <= se, "JPEG: bad spectral band")
+            def correct(z: Int): Unit =
+              if (br.bit() == 1 && (math.abs(q(z)) & p1) == 0L)
+                q(z) += (if (q(z) > 0) p1 else -p1)
+            var k = ss
+            if (eobrun == 0) {
+              var brk = false
+              while (k <= se && !brk) {
+                val rs = readSym(br, acH)
+                var r = rs >> 4; val s = rs & 15
+                var newval = 0L
+                if (s != 0) {
+                  require(s == 1, "JPEG: refinement symbol magnitude must be 1")
+                  newval = if (br.bit() == 1) p1 else -p1
+                } else if (r != 15) { // EOBn (ZRL keeps r=15, s=0)
+                  eobrun = (1L << r) + (if (r > 0) br.bits(r) else 0)
+                  brk = true
+                }
+                if (!brk) {
+                  // advance: skip r zero-HISTORY coefficients, consuming a
+                  // correction bit at each nonzero-history one passed
+                  var adv = true
+                  while (adv && k <= se) {
+                    val z = Zigzag(k)
+                    if (q(z) != 0L) { correct(z); k += 1 }
+                    else if (r == 0) adv = false
+                    else { r -= 1; k += 1 }
+                  }
+                  if (newval != 0L) {
+                    require(k <= se, "JPEG: refinement insert overruns band")
+                    q(Zigzag(k)) = newval
+                  }
+                  k += 1
+                }
+              }
+            }
+            if (eobrun > 0) { // EOB covers the block tail: corrections only
+              while (k <= se) {
+                val z = Zigzag(k)
+                if (q(z) != 0L) correct(z)
+                k += 1
+              }
+              eobrun -= 1
+            }
+          }
+          b += 1
+        }
+        br
+      }
+
+      var scanHdr = sosHdr
+      var entStart = sosAt
+      var done = false
+      while (!done) {
+        val ns = payload(scanHdr) & 0xff
+        require(ns == 1, "JPEG: progressive interleaved scans unsupported")
+        val ss = payload(scanHdr + 1 + 2 * ns) & 0xff
+        val se = payload(scanHdr + 2 + 2 * ns) & 0xff
+        val ahal = payload(scanHdr + 3 + 2 * ns) & 0xff
+        val br = decodeScan(entStart, ss, se, (ahal >> 4) & 0x0f, ahal & 0x0f)
+        // skip pad bits / stuffed bytes to the next true marker
+        var p = br.pos
+        while (p + 1 < payload.length &&
+               !((payload(p) & 0xff) == 0xff && (payload(p + 1) & 0xff) != 0x00))
+          p += 1
+        // walk markers until the next SOS or EOI (DHT may redefine tables)
+        var cont = true
+        while (cont) {
+          require(p + 2 <= payload.length && (payload(p) & 0xff) == 0xff,
+            s"JPEG: expected marker after scan at $p")
+          val m = payload(p + 1) & 0xff
+          if (m == 0xD9) { done = true; cont = false }
+          else {
+            require(m != 0xDD && (m < 0xD0 || m > 0xD7),
+              "JPEG: restart markers inside progressive unsupported")
+            val len = u16(p + 2)
+            m match {
+              case 0xC4 => parseDht(p + 4, p + 2 + len)
+              case 0xDA => scanHdr = p + 4; entStart = p + 2 + len; cont = false
+              case _ => () // APPn / COM between scans: skip
+            }
+            p += 2 + len
+          }
+        }
+      }
+
+      // dequantize + IDCT every block (same overflow guard as baseline)
+      val plane = new Array[Byte](w * h)
+      val qd = new Array[Long](64)
+      var b = 0
+      while (b < nBlocks) {
+        var g = 0
+        while (g < 64) {
+          qd(g) = coefs(b)(g) * qt(g)
+          require(math.abs(qd(g)) <= (1L << 17),
+            "JPEG: coefficient magnitude exceeds the baseline 8-bit range")
+          g += 1
+        }
+        val px = inverseBlock(qd)
+        val bx = b % (w / 8); val by = b / (w / 8)
+        var i = 0
+        while (i < 8) {
+          var j = 0
+          while (j < 8) {
+            plane((by * 8 + i) * w + bx * 8 + j) = px(i * 8 + j).toByte
+            j += 1
+          }
+          i += 1
+        }
+        b += 1
+      }
+      return (w, h, Array(plane))
+    }
     // per-component sampling factors and plane geometry
     val hs = samp.map(v => (v >> 4) & 0x0f)
     val vs = samp.map(v => v & 0x0f)

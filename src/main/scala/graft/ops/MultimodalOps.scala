@@ -796,6 +796,63 @@ object MultimodalOps {
       }.toDF()
   }
 
+  /** Companion-asset id offset of [[progressiveJpegAssetsFromDocuments]]. */
+  val ProgJpegCompanionOffset = 40000000L
+
+  /** PROGRESSIVE-JPEG asset table: every doc becomes TWO real JPEGs of
+    * the SAME pixel grid — a baseline SOF0 coding at doc_id and a
+    * progressive SOF2 coding at doc_id + [[ProgJpegCompanionOffset]],
+    * scan script alternating by id (even: successive-approximation
+    * script with DC/AC refinement scans; odd: spectral-selection-only).
+    * Both codings transport the IDENTICAL quantized coefficient grid
+    * (progressive is entropy transport), so the decodes must be
+    * byte-identical — the oracle replays the baseline decode chain once
+    * per doc and expects it for both asset ids, which pins the whole
+    * SOF2 scan-assembly logic positionally. */
+  def progressiveJpegAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        require(text.forall(_ < 128),
+          s"jpeg fixture requires ASCII text (doc $id)")
+        val w = (8 * (id % 3 + 1)).toInt
+        val h = (8 * (id % 2 + 1)).toInt
+        val gray = Array.tabulate(w * h)(i =>
+          (if (text.isEmpty) 0 else text.charAt(i % text.length).toInt).toByte)
+        Seq(
+          MediaAsset(id, "jpeg", JpegCodec.encodeGray(w, h, gray), w, h, 1, 0),
+          MediaAsset(id + ProgJpegCompanionOffset, "jpeg",
+            JpegCodec.encodeGrayProgressive(w, h, gray,
+              successiveApprox = id % 2 == 0), w, h, 1, 0))
+      }.toDF()
+  }
+
+  /** Position-sensitive decoded-pixel features of 8-bit grayscale JPEGs —
+    * the [[decodeGray16Features]] shape (head + Σ v(i)·(i+1) checksum)
+    * over [[graft.ops.JpegCodec.decodeGray]], so a scan-assembly bug that
+    * permutes or mis-places pixels without moving the mean still breaks
+    * the value match. One typed map pass; payloads never leave the task. */
+  def decodeGrayFeatures(assets: DataFrame): org.apache.spark.sql.Dataset[Gray16Features] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.as[MediaAsset].map { a =>
+      val (_, _, g) = JpegCodec.decodeGray(a.payload)
+      var sum = 0L
+      var wsum = 0L
+      var i = 0
+      while (i < g.length) {
+        val v = (g(i) & 0xff).toLong
+        sum += v
+        wsum += v * (i + 1)
+        i += 1
+      }
+      Gray16Features(a.asset_id, a.format, g.length.toLong,
+        if (g.isEmpty) 0.0 else sum.toDouble / g.length,
+        g.take(12).map(b => (b & 0xff).toLong), wsum)
+    }
+  }
+
   /** Deterministic COLOR-JPEG asset table: each doc becomes a genuine
     * baseline YCbCr 4:4:4 JPEG whose source RGB bytes are the text tiled
     * over w×h×3 (the [[bmpAssetsFromDocuments]] layout). Lossy but

@@ -523,6 +523,71 @@ object MultimodalQueries {
         .orderBy("asset_id")
     },
 
+    // PROGRESSIVE JPEG (SOF2): every doc carries a baseline coding AND a
+    // progressive coding (successive-approximation script on even ids,
+    // spectral-selection-only on odd) of the SAME pixel grid. Progressive
+    // is entropy TRANSPORT over the identical quantized coefficients, so
+    // the decoded pixels must be byte-identical across codings — the
+    // oracle replays the baseline decode chain once per doc and expects
+    // it for BOTH asset ids, with position-sensitive stats (head + a
+    // Σ v(i)·(i+1) checksum): a DC-refinement slip, a band mis-assembly,
+    // an EOB-run or correction-bit bug all move wsum/head.
+    QueryDef.withOracle("mm_decode_jpeg_prog", {
+      val half = 1L << 41
+      val div = 1L << 42
+      val alphaRows = (0 until 8).map(u => s"($u,${if (u == 0) 724 else 1024})")
+        .mkString(",")
+      val off = graft.ops.MultimodalOps.ProgJpegCompanionOffset
+      s"""WITH pja AS (SELECT doc_id AS asset_id, text,
+         |         CAST(8 * (doc_id % 3 + 1) AS INT) AS w,
+         |         CAST(8 * (doc_id % 2 + 1) AS INT) AS h FROM documents),
+         |pjt(u, i, c) AS (SELECT * FROM (VALUES ${OraclePhash.dctRows}) t(u, i, c)),
+         |pjl(u, a) AS (SELECT * FROM (VALUES $alphaRows) t(u, a)),
+         |pjx AS (SELECT asset_id, w, bi.b AS bi, bj.b AS bj, ri.i AS i, rj.j AS j,
+         |          CAST((CASE WHEN length(text) = 0 THEN 0
+         |                ELSE unicode(substr(text,
+         |                  CAST(((bi.b * 8 + ri.i) * w + bj.b * 8 + rj.j)
+         |                       % length(text) + 1 AS INT), 1)) END)
+         |               - 128 AS BIGINT) AS p
+         |        FROM pja, range(2) bi(b), range(3) bj(b),
+         |             range(8) ri(i), range(8) rj(j)
+         |        WHERE bi.b < h // 8 AND bj.b < w // 8),
+         |pjf AS (SELECT asset_id, w, bi, bj, cu.u AS u, cv.u AS v,
+         |          CAST(SUM(p * cu.c * cv.c) AS BIGINT) AS fraw
+         |        FROM pjx JOIN pjt cu ON cu.i = pjx.i
+         |                 JOIN pjt cv ON cv.i = pjx.j
+         |        GROUP BY 1, 2, 3, 4, 5, 6),
+         |pjq AS (SELECT f.asset_id, w, bi, bj, f.u AS u, f.v AS v,
+         |          (fraw * au.a * av.a + $half) // $div AS qc
+         |        FROM pjf f JOIN pjl au ON au.u = f.u JOIN pjl av ON av.u = f.v),
+         |pjr AS (SELECT q.asset_id, w, bi, bj, ci.i AS i, cj.i AS j,
+         |          CAST((SUM(qc * au.a * av.a * ci.c * cj.c) + $half) // $div
+         |               AS BIGINT) + 128 AS s
+         |        FROM pjq q JOIN pjl au ON au.u = q.u JOIN pjl av ON av.u = q.v
+         |                  JOIN pjt ci ON ci.u = q.u JOIN pjt cj ON cj.u = q.v
+         |        GROUP BY 1, 2, 3, 4, 5, 6),
+         |pjc AS (SELECT asset_id,
+         |          CAST((bi * 8 + i) * w + bj * 8 + j AS BIGINT) AS pos,
+         |          CAST(greatest(0, least(255, s)) AS BIGINT) AS px FROM pjr),
+         |pjls AS (SELECT asset_id, list(px ORDER BY pos) AS pxs FROM pjc GROUP BY 1),
+         |pjb AS (SELECT asset_id, pxs FROM pjls
+         |        UNION ALL SELECT asset_id + $off, pxs FROM pjls)
+         |SELECT asset_id, 'jpeg' AS format,
+         |  CAST(len(pxs) AS BIGINT) AS n_px,
+         |  CAST(list_sum(pxs) AS DOUBLE) / len(pxs) AS mean_val,
+         |  array_to_string(list_slice(pxs, 1, 12), ',') AS head_csv,
+         |  CAST(list_sum(list_transform(range(1, len(pxs) + 1), k -> pxs[k] * k))
+         |       AS BIGINT) AS wsum
+         |FROM pjb ORDER BY asset_id""".stripMargin
+    }) { (s, dir) =>
+      MultimodalOps.decodeGrayFeatures(
+        MultimodalOps.progressiveJpegAssetsFromDocuments(Tables(s, dir, "documents")))
+        .toDF()
+        .select(col("asset_id"), col("format"), col("n_px"), col("mean_val"),
+          concat_ws(",", col("head")).as("head_csv"), col("wsum"))
+        .orderBy("asset_id")
+    },
+
     // REAL COLOR JPEG: YCbCr 4:4:4, three interleaved full-resolution
     // components through the same Huffman/DPCM/stuffing machinery, integer
     // JFIF color matrices on both sides. The oracle replays the WHOLE

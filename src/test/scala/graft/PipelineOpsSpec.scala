@@ -2179,6 +2179,34 @@ class PipelineOpsSpec extends SparkTestBase {
       JpegCodec.encodeRgb420(8, 8, Array.fill(8 * 8 * 3)(0.toByte)))
   }
 
+  test("JpegCodec progressive: SOF2 decode byte-identical to baseline, both scan scripts") {
+    import graft.ops.JpegCodec
+    val rnd = new scala.util.Random(42)
+    val cases = Seq(
+      (8, 8, Array.fill(64)(0.toByte)),          // all-flat: pure-EOB scans
+      (8, 8, Array.fill(64)(255.toByte)),        // flat extreme: DC-only
+      (16, 8, Array.tabulate(128)(i => ((i * 37) % 256).toByte)),
+      // sparse spikes on a flat field: long ZRL runs + isolated
+      // refinement insertions far down the band
+      (24, 16, Array.tabulate(24 * 16)(i =>
+        (if (i % 97 == 0) 250 else 64).toByte))) ++
+      (0 until 12).map { t =>                    // dense random AC content
+        val w = 8 * (t % 3 + 1); val h = 8 * (t % 2 + 1)
+        (w, h, Array.fill(w * h)(rnd.nextInt(256).toByte))
+      }
+    for ((w, h, img) <- cases; sa <- Seq(true, false)) {
+      val (_, _, base) = JpegCodec.decodeGray(JpegCodec.encodeGray(w, h, img))
+      val enc = JpegCodec.encodeGrayProgressive(w, h, img, successiveApprox = sa)
+      val (pw, ph, prog) = JpegCodec.decodeGray(enc)
+      assert(pw == w && ph == h)
+      assert(prog.toSeq == base.toSeq, s"pixels diverge at ${w}x$h sa=$sa")
+    }
+    // the stream really is SOF2, and baseline-only guards stay loud
+    val enc = JpegCodec.encodeGrayProgressive(8, 8, Array.fill(64)(7.toByte))
+    assert(enc.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xC2))
+  }
+
   test("hashSetContainmentPairs: temporal-shift companions pair at (nf-1)/nf; frames never collide across texts") {
     import graft.ops.{AviCodec, JpegCodec, MultimodalOps}
     import spark.implicits._
