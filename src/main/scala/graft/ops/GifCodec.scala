@@ -9,23 +9,44 @@ package graft.ops
   * with the decoder lagging the encoder by exactly one entry).
   *
   * Grayscale subset on the ENCODE side (a 256-entry (i,i,i) palette — the
-  * fixture's shape); the DECODER handles any global color table and
+  * fixture's shape; an optional LOCAL color table with entry
+  * j = (j, 7j mod 256, 13j mod 256) overrides it per image descriptor,
+  * per spec); the DECODER handles any global or local color table and
   * returns the palette-expanded grayscale via the integer luma the other
-  * codecs use. Interlaced images and local color tables fail loudly
-  * rather than mis-decode. Like PNG, the compression round-trip is
-  * LOSSLESS, so decoded pixels are exactly the source and an oracle can
-  * recompute decoded-pixel stats from the tiling arithmetic alone — the
-  * whole LZW path has to be right for the value match to hold. */
+  * codecs use. INTERLACED images transport rows in the spec's four-pass
+  * order (rows 0,8,16…; 4,12…; 2,6…; 1,3,5…) and the decoder scatters
+  * them back — transport-only, decoded pixels identical, so a decoder
+  * that ignores the flag produces row-permuted output the
+  * position-sensitive oracle rejects. Like PNG, the compression
+  * round-trip is LOSSLESS, so decoded pixels are exactly the source and
+  * an oracle can recompute decoded-pixel stats from the tiling
+  * arithmetic alone — the whole LZW path has to be right for the value
+  * match to hold. */
 object GifCodec {
 
   private val MaxCode = 4096 // 12-bit ceiling fixed by the spec
 
-  /** Encode row-major 8-bit pixels as a non-interlaced GIF89a with a
-    * 256-entry grayscale global color table and one comment extension
-    * (so every fixture payload exercises the decoder's extension skip).
-    * The LZW stream is the real adaptive-dictionary coder, not the
-    * no-compression trick. */
-  def encode(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
+  /** The four-pass interlace row schedule: target row index of each
+    * transmitted row, in transmission order (GIF89a appendix E). */
+  def interlaceRows(h: Int): Array[Int] =
+    (Seq.range(0, h, 8) ++ Seq.range(4, h, 8) ++
+     Seq.range(2, h, 4) ++ Seq.range(1, h, 2)).toArray
+
+  /** The local color table the LCT variant writes: entry j =
+    * (j, 7j mod 256, 13j mod 256) — deliberately NOT the grayscale
+    * identity, so a decoder that wrongly expands through the global
+    * table produces different luma values. */
+  def lctEntry(j: Int): (Int, Int, Int) = (j, (7 * j) % 256, (13 * j) % 256)
+
+  /** Encode row-major 8-bit pixels as a GIF89a with a 256-entry grayscale
+    * global color table and one comment extension (so every fixture
+    * payload exercises the decoder's extension skip). The LZW stream is
+    * the real adaptive-dictionary coder, not the no-compression trick.
+    * `interlaced` transmits rows in the four-pass order; `localPalette`
+    * writes the [[lctEntry]] table in the image descriptor (overriding
+    * the GCT for this image, per spec). */
+  def encode(w: Int, h: Int, px: Array[Byte], interlaced: Boolean = false,
+             localPalette: Boolean = false): Array[Byte] = {
     require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff, "bad dimensions")
     require(px.length == w * h, s"need ${w * h} pixels, got ${px.length}")
     val out = new java.io.ByteArrayOutputStream()
@@ -42,10 +63,30 @@ object GifCodec {
     out.write(comment.length); out.write(comment); out.write(0)
     out.write(0x2c) // image descriptor
     u16(0); u16(0); u16(w); u16(h)
-    out.write(0) // no LCT, not interlaced
+    out.write((if (localPalette) 0x87 else 0) | (if (interlaced) 0x40 else 0))
+    if (localPalette) {
+      var j = 0
+      while (j < 256) {
+        val (r, g, b) = lctEntry(j)
+        out.write(r); out.write(g); out.write(b)
+        j += 1
+      }
+    }
+    val stream =
+      if (!interlaced) px
+      else { // rows in four-pass transmission order
+        val t = new Array[Byte](px.length)
+        val order = interlaceRows(h)
+        var ri = 0
+        while (ri < h) {
+          System.arraycopy(px, order(ri) * w, t, ri * w, w)
+          ri += 1
+        }
+        t
+      }
     val mcs = 8
     out.write(mcs)
-    out.write(lzwCompress(px, mcs))
+    out.write(lzwCompress(stream, mcs))
     out.write(0x3b) // trailer
     out.toByteArray
   }
@@ -135,10 +176,18 @@ object GifCodec {
     require(pos + 10 <= payload.length, "truncated image descriptor")
     val iw = u16(pos + 5); val ih = u16(pos + 7)
     val ipacked = payload(pos + 9) & 0xff
-    require((ipacked & 0x80) == 0, "local color tables unsupported")
-    require((ipacked & 0x40) == 0, "interlaced GIFs unsupported")
     require(iw == w && ih == h, "sub-rectangle frames unsupported")
     pos += 10
+    // a LOCAL color table overrides the global one for this image (spec
+    // §20); size field is this descriptor's own, independent of the GCT's
+    val pal = if ((ipacked & 0x80) != 0) {
+      val lctSize = 2 << (ipacked & 7)
+      require(pos + lctSize * 3 <= payload.length, "truncated local color table")
+      val t = java.util.Arrays.copyOfRange(payload, pos, pos + lctSize * 3)
+      pos += lctSize * 3
+      t
+    } else gct
+    val interlaced = (ipacked & 0x40) != 0
     val mcs = at(pos)
     pos += 1
     // gather the LZW stream from the sub-blocks
@@ -149,13 +198,28 @@ object GifCodec {
       data.write(payload, pos + 1, n)
       pos += 1 + n
     }
-    val idx = lzwDecompress(data.toByteArray, mcs, w * h)
+    val idx0 = lzwDecompress(data.toByteArray, mcs, w * h)
+    // interlaced streams transmit rows in the four-pass order — scatter
+    // them back to their raster positions (transport-only: the result is
+    // identical to a non-interlaced coding of the same pixels)
+    val idx =
+      if (!interlaced) idx0
+      else {
+        val t = new Array[Byte](idx0.length)
+        val order = interlaceRows(h)
+        var ri = 0
+        while (ri < h) {
+          System.arraycopy(idx0, ri * w, t, order(ri) * w, w)
+          ri += 1
+        }
+        t
+      }
     val px = new Array[Byte](w * h)
     var i = 0
     while (i < px.length) {
       val p = (idx(i) & 0xff) * 3
-      require(p + 2 < gct.length, s"palette index ${idx(i) & 0xff} out of range")
-      val (r, g, b) = (gct(p) & 0xff, gct(p + 1) & 0xff, gct(p + 2) & 0xff)
+      require(p + 2 < pal.length, s"palette index ${idx(i) & 0xff} out of range")
+      val (r, g, b) = (pal(p) & 0xff, pal(p + 1) & 0xff, pal(p + 2) & 0xff)
       px(i) = ((299 * r + 587 * g + 114 * b) / 1000).toByte
       i += 1
     }

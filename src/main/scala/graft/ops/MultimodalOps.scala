@@ -441,9 +441,15 @@ object MultimodalOps {
   /** Deterministic REAL-GIF asset table: each doc becomes a genuine
     * GIF89a (grayscale global color table, comment extension, REAL
     * adaptive-LZW image data) whose pixels are the text's bytes tiled
-    * over a (doc_id-derived) w×h grid. LZW is lossless, so the oracle
-    * recomputes decoded-pixel stats from the tiling alone — the whole
-    * variable-width entropy path has to be right for the match to hold. */
+    * over a (doc_id-derived) w×h grid. The corpus cycles the descriptor
+    * shapes by id%4: plain / INTERLACED (rows transported in the
+    * four-pass order, scattered back on decode) / LOCAL color table
+    * (entry j = (j, 7j mod 256, 13j mod 256), overriding the grayscale
+    * GCT → decoded value is that entry's integer luma) / both. LZW is
+    * lossless, so the oracle recomputes decoded-pixel stats from the
+    * tiling (+ LCT luma map) alone — an entropy bug, a de-interlace bug
+    * (row-permuted output) or a palette-selection bug all break the
+    * position-sensitive value match. */
   def gifAssetsFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -455,8 +461,35 @@ object MultimodalOps {
         val h = (id % 6 + 1).toInt
         val px = Array.tabulate(w * h)(i =>
           (if (text.isEmpty) 0 else text.charAt(i % text.length).toInt).toByte)
-        MediaAsset(id, "gif", GifCodec.encode(w, h, px), w, h, 1, 0)
+        MediaAsset(id, "gif",
+          GifCodec.encode(w, h, px,
+            interlaced = id % 4 == 1 || id % 4 == 3,
+            localPalette = id % 4 == 2 || id % 4 == 3), w, h, 1, 0)
       }.toDF()
+  }
+
+  /** Position-sensitive decoded-pixel features of GIF assets — the
+    * [[decodeGray16Features]] shape over [[graft.ops.GifCodec.decode]],
+    * so a de-interlace bug that permutes rows without moving the mean
+    * still breaks the value match. */
+  def gifPositionalFeatures(assets: DataFrame): org.apache.spark.sql.Dataset[Gray16Features] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.as[MediaAsset].map { a =>
+      val (_, _, g) = GifCodec.decode(a.payload)
+      var sum = 0L
+      var wsum = 0L
+      var i = 0
+      while (i < g.length) {
+        val v = (g(i) & 0xff).toLong
+        sum += v
+        wsum += v * (i + 1)
+        i += 1
+      }
+      Gray16Features(a.asset_id, a.format, g.length.toLong,
+        if (g.isEmpty) 0.0 else sum.toDouble / g.length,
+        g.take(12).map(b => (b & 0xff).toLong), wsum)
+    }
   }
 
   /** Deterministic PREDICTIVE-codec asset table: each doc becomes a

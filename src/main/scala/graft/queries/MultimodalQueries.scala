@@ -864,10 +864,16 @@ object MultimodalQueries {
 
     // REAL GIF: logical-screen/GCT/extension/image-descriptor walk + the
     // actual variable-width adaptive LZW decoder (clear/EOI, KwKwK,
-    // decoder-lags-encoder width sync). Lossless round-trip, so the
-    // oracle recomputes decoded-pixel stats from the tiling alone — any
-    // bit-packing, dictionary or width-boundary bug in EITHER direction
-    // breaks the value match.
+    // decoder-lags-encoder width sync), with the corpus cycling the
+    // descriptor shapes by id%4: plain / INTERLACED (rows transported in
+    // the spec's four-pass order, scattered back on decode — transport
+    // only, so the oracle expects the ORIGINAL pixel order and a decoder
+    // that ignores the flag emits row-permuted values) / LOCAL color
+    // table (entry j = (j, 7j mod 256, 13j mod 256) overrides the
+    // grayscale GCT → decoded value is that entry's integer luma, which
+    // the oracle maps) / both. Lossless round-trip + position-sensitive
+    // stats (head + Σ v(i)·(i+1)): any entropy, de-interlace or
+    // palette-selection bug breaks the value match.
     QueryDef.withOracle("mm_decode_gif",
       """WITH a AS (
         |  SELECT doc_id, text,
@@ -878,19 +884,27 @@ object MultimodalQueries {
         |  SELECT doc_id, list_transform(range(0, w * h),
         |           i -> CASE WHEN length(text) = 0 THEN 0
         |                     ELSE unicode(substr(text,
-        |                            CAST(i % length(text) + 1 AS INT), 1)) END) AS cs
-        |  FROM a)
+        |                            CAST(i % length(text) + 1 AS INT), 1)) END) AS idxs
+        |  FROM a),
+        |v AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 IN (2, 3) THEN
+        |      list_transform(idxs, j ->
+        |        (299 * j + 587 * ((7 * j) % 256) + 114 * ((13 * j) % 256)) // 1000)
+        |    ELSE idxs END AS vs
+        |  FROM c)
         |SELECT doc_id AS asset_id, 'gif' AS format,
-        |  CAST(len(cs) AS BIGINT) AS n_bytes,
-        |  CAST(list_sum(cs) AS DOUBLE) / len(cs) AS mean_byte,
-        |  array_to_string(list_transform(range(0, 16),
-        |    b -> CAST(len(list_filter(cs, x -> x // 16 = b)) AS VARCHAR)), ',') AS byte_hist
-        |FROM c ORDER BY asset_id""".stripMargin) { (s, dir) =>
-      MultimodalOps.decodeFeatures(
+        |  CAST(len(vs) AS BIGINT) AS n_px,
+        |  CAST(list_sum(vs) AS DOUBLE) / len(vs) AS mean_val,
+        |  array_to_string(list_slice(vs, 1, 12), ',') AS head_csv,
+        |  CAST(list_sum(list_transform(range(1, len(vs) + 1), k -> vs[k] * k))
+        |       AS BIGINT) AS wsum
+        |FROM v ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      MultimodalOps.gifPositionalFeatures(
         MultimodalOps.gifAssetsFromDocuments(Tables(s, dir, "documents")))
         .toDF()
-        .select(col("asset_id"), col("format"), col("n_bytes"), col("mean_byte"),
-          concat_ws(",", col("byte_hist")).as("byte_hist"))
+        .select(col("asset_id"), col("format"), col("n_px"), col("mean_val"),
+          concat_ws(",", col("head")).as("head_csv"), col("wsum"))
         .orderBy("asset_id")
     },
 

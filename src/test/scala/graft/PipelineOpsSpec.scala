@@ -2365,6 +2365,58 @@ class PipelineOpsSpec extends SparkTestBase {
       GifCodec.decode(java.util.Arrays.copyOfRange(good, 0, good.length - 4)))
   }
 
+  test("GifCodec interlace + local color table: spec'd pass order, transport-only, LCT overrides GCT") {
+    import graft.ops.GifCodec
+    // the four-pass schedule itself (GIF89a appendix E anchors)
+    assert(GifCodec.interlaceRows(5).toSeq == Seq(0, 4, 2, 1, 3))
+    assert(GifCodec.interlaceRows(8).toSeq == Seq(0, 4, 2, 6, 1, 3, 5, 7))
+    assert(GifCodec.interlaceRows(1).toSeq == Seq(0))
+    val rnd = new scala.util.Random(11)
+    // interlace is TRANSPORT: decode(encode(interlaced)) == original, for
+    // every height class that exercises a different pass subset
+    for (h <- 1 to 9) {
+      val w = 7
+      val px = Array.fill(w * h)(rnd.nextInt(256).toByte)
+      val (dw, dh, dec) = GifCodec.decode(GifCodec.encode(w, h, px, interlaced = true))
+      assert(dw == w && dh == h)
+      assert(java.util.Arrays.equals(dec, px), s"interlaced round-trip h=$h")
+    }
+    // the WIRE really permutes: an interlaced coding equals the plain
+    // coding of the row-permuted image except the descriptor flag byte
+    val w = 5; val h = 8
+    val px = Array.fill(w * h)(rnd.nextInt(256).toByte)
+    val order = GifCodec.interlaceRows(h)
+    val permuted = new Array[Byte](px.length)
+    for (ri <- 0 until h)
+      System.arraycopy(px, order(ri) * w, permuted, ri * w, w)
+    val inter = GifCodec.encode(w, h, px, interlaced = true)
+    val plain = GifCodec.encode(w, h, permuted)
+    assert(inter.length == plain.length)
+    val diffs = inter.indices.filter(i => inter(i) != plain(i))
+    // header 13 + GCT 768 + comment ext 9 = descriptor at 790; packed at +9
+    val descPacked = 13 + 768 + 9 + 9
+    assert(diffs == Seq(descPacked), s"wire diff at $diffs, expected only $descPacked")
+    assert((inter(descPacked) & 0x40) != 0)
+    // LCT overrides the grayscale GCT: decoded = luma of (j, 7j, 13j)
+    val idx = Array.tabulate(16)(i => (i * 16 + 3).toByte)
+    val (_, _, viaLct) = GifCodec.decode(GifCodec.encode(4, 4, idx, localPalette = true))
+    val expect = idx.map { b =>
+      val j = b & 0xff
+      ((299 * j + 587 * ((7 * j) % 256) + 114 * ((13 * j) % 256)) / 1000).toByte
+    }
+    assert(java.util.Arrays.equals(viaLct, expect))
+    assert(!java.util.Arrays.equals(viaLct, GifCodec.decode(GifCodec.encode(4, 4, idx))._3),
+      "LCT decode must differ from GCT decode for these indices")
+    // both flags composed
+    val (_, _, both) = GifCodec.decode(
+      GifCodec.encode(w, h, px, interlaced = true, localPalette = true))
+    val expectBoth = px.map { b =>
+      val j = b & 0xff
+      ((299 * j + 587 * ((7 * j) % 256) + 114 * ((13 * j) % 256)) / 1000).toByte
+    }
+    assert(java.util.Arrays.equals(both, expectBoth))
+  }
+
   test("WavCodec IMA ADPCM: block-predictive round-trip matches the scalar state machine") {
     // scalar reference of the fused encode->decode chain (the decoded
     // value is the encoder's own reconstructed predictor)
