@@ -1020,32 +1020,52 @@ final class Tsdb(val spark: SparkSession, val rootDir: String,
     * mean windows are non-empty decimal-2 means. Output: (series,
     * time_ns, v, n, zoom_mode). */
   def zoomAll(db: String, m: String, field: String,
-              t0: Long, t1: Long, maxDataPoints: Int): DataFrame = {
+              t0: Long, t1: Long, maxDataPoints: Int,
+              inListMax: Int = Tsdb.ZoomAllInListMax): DataFrame = {
     require(maxDataPoints > 0, "maxDataPoints must be positive")
+    require(inListMax >= 0, "inListMax must be non-negative")
     val schema = getSchema(db, m)
     if (!schema.fields.exists(_.name == field))
       throw new InvalidSchemaException(s"unknown field: $field")
     val base = visibleRange(db, m, t0, t1)
-    // decision pre-pass: S counts to the driver (S = dashboard dropdown
-    // scale, bounded by the measurement's series list, never data-scale)
-    val rawSeries = base.groupBy(col(SeriesCol)).count()
-      .filter(col("count") <= maxDataPoints)
-      .collect().map(_.getString(0)).toSeq
     val span = t1 - t0 + 1
     val w = (span + maxDataPoints - 1) / maxDataPoints
-    val isRaw = col(SeriesCol).isin(rawSeries: _*)
-    base
-      .filter(isRaw || col(field).isNotNull) // mean side drops nulls pre-shuffle
-      .groupBy(col(SeriesCol),
-        when(isRaw, col(TimeCol))
-          .otherwise(col(TimeCol) - pmod(col(TimeCol), lit(w))).as(TimeCol))
-      .agg(first(col(field)).as("raw_v"),
-        (TimeSeriesOps.sumExact2(col(field)) / count(col(field))).as("mean_v"),
-        count(col(field)).as("n"))
-      .select(col(SeriesCol), col(TimeCol),
-        when(isRaw, col("raw_v").cast("double")).otherwise(col("mean_v")).as("v"),
-        col("n"),
-        when(isRaw, "raw").otherwise("mean").as("zoom_mode"))
+    // decision pre-pass: per-series point counts (aggregate-only job). At
+    // dashboard scale the raw-side series list collects into a literal
+    // In-list predicate — the data job stays ONE scan + ONE exchange with
+    // no join. Past `inListMax` raw series the literal list would bloat
+    // the plan/codegen linearly in S, so the decision ships as a
+    // BROADCAST join on the pre-pass output instead: same two-job shape,
+    // plan size independent of series cardinality. limit(inListMax+1)
+    // picks the regime without a separate count job — getting back fewer
+    // rows than the cap+1 means the list is complete.
+    val counts = base.groupBy(col(SeriesCol)).count()
+    val rawProbe = counts.filter(col("count") <= maxDataPoints)
+      .select(col(SeriesCol)).limit(inListMax + 1).collect()
+    def result(src: DataFrame, isRaw: Column, extraKeys: Seq[Column]): DataFrame =
+      src
+        .filter(isRaw || col(field).isNotNull) // mean side drops nulls pre-shuffle
+        .groupBy(col(SeriesCol) +: extraKeys :+
+          when(isRaw, col(TimeCol))
+            .otherwise(col(TimeCol) - pmod(col(TimeCol), lit(w))).as(TimeCol): _*)
+        .agg(first(col(field)).as("raw_v"),
+          (TimeSeriesOps.sumExact2(col(field)) / count(col(field))).as("mean_v"),
+          count(col(field)).as("n"))
+        .select(col(SeriesCol), col(TimeCol),
+          when(isRaw, col("raw_v").cast("double")).otherwise(col("mean_v")).as("v"),
+          col("n"),
+          when(isRaw, "raw").otherwise("mean").as("zoom_mode"))
+    if (rawProbe.length <= inListMax) {
+      val rawSeries = rawProbe.map(_.getString(0)).toSeq
+      result(base, col(SeriesCol).isin(rawSeries: _*), Seq.empty)
+    } else {
+      val flags = counts
+        .select(col(SeriesCol), (col("count") <= maxDataPoints).as("is_raw"))
+      // is_raw is functionally dependent on the series, so adding it to
+      // the grouping keys is free and makes it usable post-aggregate
+      result(base.join(broadcast(flags), Seq(SeriesCol)),
+        col("is_raw"), Seq(col("is_raw")))
+    }
   }
 
   /** Windowed MIN/MAX zoom (reference grafana datasource.go:384-430). */
@@ -1541,6 +1561,12 @@ object Tsdb {
     * tune per deployment via the constructor (persisted like the reference's
     * `chunk_size`, src/libtsdb/constants.h:9). */
   val DefaultBucketWidth: Long = 3600L * 1000000000L
+
+  /** zoomAll's regime switch: up to this many RAW-side series, the
+    * dispatch decision is a literal In-list (no join in the data job);
+    * beyond it, a broadcast semi-join on the count pre-pass output, so
+    * plan/codegen size never grows with series cardinality. */
+  val ZoomAllInListMax: Int = 1000
   /** Constructor sentinel: adopt the persisted width (or the default when
     * creating a new root) rather than requesting a specific one. */
   val UseExistingWidth: Long = Long.MinValue

@@ -373,6 +373,25 @@ class TsdbEngineSpec extends SparkTestBase {
       s"expected one scan:\n${all.queryExecution.executedPlan}")
     assert(nodes.count(_.isInstanceOf[ShuffleExchangeExec]) == 1,
       s"expected one shuffle:\n${all.queryExecution.executedPlan}")
+
+    // HIGH-CARDINALITY regime: past inListMax raw series the decision
+    // ships as a broadcast semi-join instead of a literal In-list, so
+    // plan size never depends on S. Forcing inListMax = 0 exercises the
+    // join path on the same fixture — results must be IDENTICAL and the
+    // executed plan must carry a broadcast join and no In-list of series.
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val bcast = t.zoomAll("db1", "m1", "v", 100L, 219L, maxDataPoints = 5,
+      inListMax = 0)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), Option(r.get(2)), r.getLong(3), r.getString(4))
+    assert(bcast.collect().map(key).sortBy(k => (k._1, k._2)).toSeq ==
+           rows.map(key).sortBy(k => (k._1, k._2)).toSeq,
+      "broadcast regime must produce identical rows")
+    val bnodes = flat(bcast.queryExecution.executedPlan)
+    assert(bnodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"expected a broadcast join:\n${bcast.queryExecution.executedPlan}")
+    assert(!bcast.queryExecution.executedPlan.toString.contains("dense, sparse"),
+      "broadcast regime must not carry a literal series list")
   }
 
   test("u64 fields survive the round trip at full range; mean/minmax facade derive from sum_op") {
