@@ -571,6 +571,55 @@ object MultimodalOps {
       }.toDF()
   }
 
+  /** Deterministic 16-BIT TRUECOLOR PNG asset table (color type 2 at bit
+    * depth 16 — the last PNG depth face): channel k of pixel i carries
+    * c(3i+k)·256 + c(3i+k+1) over the text bytes, filter types cycle all
+    * five by id over bpp = 6 scanlines (the spec's widest "left" offset),
+    * odd ids are Adam7-interlaced. Lossless, so the oracle recomputes the
+    * decoded samples from the tiling alone — a bpp-6 filter-offset bug, a
+    * byte-order slip, or an interlace scatter bug breaks the
+    * position-sensitive match. */
+  def png16RgbAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        require(text.forall(_ < 128),
+          s"png16rgb fixture requires ASCII text (doc $id)")
+        val w = (id % 9 + 1).toInt
+        val h = (id % 7 + 1).toInt
+        def c(k: Int): Int =
+          if (text.isEmpty) 0 else text.charAt(k % text.length).toInt
+        val vs = Array.tabulate(w * h * 3)(i => c(i) * 256 + c(i + 1))
+        MediaAsset(id, "png",
+          PngCodec.encodeRgb16(w, h, vs, (id % 5).toInt,
+            interlaced = id % 2 == 1),
+          w, h, 3, 0)
+      }.toDF()
+  }
+
+  /** Decode 16-bit truecolor PNGs ([[PngCodec.decodeRgb16]]) into
+    * [[Gray16Features]] (n/mean/head/wsum over the flattened channel
+    * samples) — a typed map pass; payloads never leave the task. */
+  def decodeRgb16Features(assets: DataFrame): org.apache.spark.sql.Dataset[Gray16Features] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.as[MediaAsset].map { a =>
+      val (_, _, vs) = PngCodec.decodeRgb16(a.payload)
+      var sum = 0L
+      var wsum = 0L
+      var i = 0
+      while (i < vs.length) {
+        sum += vs(i)
+        wsum += vs(i).toLong * (i + 1)
+        i += 1
+      }
+      Gray16Features(a.asset_id, a.format, vs.length.toLong,
+        if (vs.isEmpty) 0.0 else sum.toDouble / vs.length,
+        vs.take(12).map(_.toLong), wsum)
+    }
+  }
+
   /** Decode 16-bit grayscale PNGs ([[PngCodec.decodeGray16]]) into
     * [[Gray16Features]] — a typed map pass; payloads never leave the
     * task. */

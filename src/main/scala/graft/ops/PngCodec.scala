@@ -192,6 +192,27 @@ object PngCodec {
   def encodeRgb(w: Int, h: Int, rgb: Array[Byte], filterType: Int = 0): Array[Byte] =
     assemble(w, h, 2, 3, rgb, None, filterType)
 
+  /** Encode row-major 16-bit RGB triples (color type 2, bit depth 16 —
+    * the deep-color/scanner shape; the last PNG depth face). Channel
+    * values 0..65535, big-endian per spec; filters operate on BYTES with
+    * the "left" neighbor one whole pixel (bpp = 6 bytes) back — the
+    * widest filter offset the spec defines. */
+  def encodeRgb16(w: Int, h: Int, rgb: Array[Int], filterType: Int = 0,
+                  interlaced: Boolean = false): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"need ${w * h * 3} samples, got ${rgb.length}")
+    val bytes = new Array[Byte](rgb.length * 2)
+    var i = 0
+    while (i < rgb.length) {
+      val v = rgb(i)
+      require(v >= 0 && v <= 0xffff, s"16-bit sample out of range: $v")
+      bytes(2 * i) = (v >>> 8).toByte
+      bytes(2 * i + 1) = (v & 0xff).toByte
+      i += 1
+    }
+    assemble(w, h, 2, 6, bytes, None, filterType, depth = 16,
+      interlaced = interlaced)
+  }
+
   /** Encode 8-bit palette indices (color type 3) with the given PLTE of
     * RGB triples (≤256 entries). Filters apply to the INDEX bytes
     * (bpp = 1), per spec. */
@@ -275,8 +296,8 @@ object PngCodec {
           require(w > 0 && h > 0, s"bad PNG dims ${w}x$h")
           depth = payload(off + 16) & 0xff; colorType = payload(off + 17)
           require((depth == 8 && (colorType == 0 || colorType == 2 || colorType == 3)) ||
-                  (depth == 16 && colorType == 0),
-            s"only gray-8/RGB-8/palette-8/gray-16 supported (depth=$depth color=$colorType)")
+                  (depth == 16 && (colorType == 0 || colorType == 2)),
+            s"only gray-8/RGB-8/palette-8/gray-16/RGB-16 supported (depth=$depth color=$colorType)")
           require(payload(off + 18) == 0 && payload(off + 19) == 0,
             "unsupported compression/filter method")
           interlace = payload(off + 20) & 0xff
@@ -361,6 +382,22 @@ object PngCodec {
     require(img.colorType == 0 && img.depth == 16,
       s"decodeGray16 expects grayscale-16, got color type ${img.colorType} depth ${img.depth}")
     val vs = new Array[Int](img.w * img.h)
+    var i = 0
+    while (i < vs.length) {
+      vs(i) = ((img.px(2 * i) & 0xff) << 8) | (img.px(2 * i + 1) & 0xff)
+      i += 1
+    }
+    (img.w, img.h, vs)
+  }
+
+  /** Parse a 16-bit truecolor PNG back into (width, height, row-major
+    * RGB channel samples 0..65535) — big-endian byte pairs reassembled
+    * per spec, 3 samples per pixel. */
+  def decodeRgb16(payload: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = decodeRaw(payload)
+    require(img.colorType == 2 && img.depth == 16,
+      s"decodeRgb16 expects truecolor-16, got color type ${img.colorType} depth ${img.depth}")
+    val vs = new Array[Int](img.w * img.h * 3)
     var i = 0
     while (i < vs.length) {
       vs(i) = ((img.px(2 * i) & 0xff) << 8) | (img.px(2 * i + 1) & 0xff)

@@ -281,6 +281,42 @@ object MultimodalQueries {
         .orderBy("asset_id")
     },
 
+    // 16-BIT TRUECOLOR PNG (color type 2, depth 16 — the last PNG depth
+    // face): big-endian channel pairs, filters over bpp = 6 scanlines
+    // (the widest "left" offset the spec defines), odd ids Adam7. The
+    // lossless round-trip lets the oracle recompute decoded samples from
+    // the text tiling alone, position-sensitively (head + wsum) — a
+    // filter-offset, byte-order or interlace-scatter bug all break it.
+    QueryDef.withOracle("mm_decode_png16_rgb", {
+      def c(idx: String) =
+        s"""(CASE WHEN length(text) = 0 THEN 0
+           |      ELSE unicode(substr(text, CAST(($idx) % length(text) + 1 AS INT), 1))
+           | END)""".stripMargin.replace("\n", "")
+      s"""WITH a AS (
+         |  SELECT doc_id, text,
+         |         CAST(doc_id % 9 + 1 AS INT) AS w,
+         |         CAST(doc_id % 7 + 1 AS INT) AS h
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, list_transform(range(0, w * h * 3),
+         |           i -> ${c("i")} * 256 + ${c("i + 1")}) AS vs
+         |  FROM a)
+         |SELECT doc_id AS asset_id, 'png' AS format,
+         |  CAST(len(vs) AS BIGINT) AS n_px,
+         |  CAST(list_sum(vs) AS DOUBLE) / len(vs) AS mean_val,
+         |  array_to_string(list_slice(vs, 1, 12), ',') AS head_csv,
+         |  CAST(list_sum(list_transform(range(1, len(vs) + 1), k -> vs[k] * k))
+         |       AS BIGINT) AS wsum
+         |FROM c ORDER BY asset_id""".stripMargin
+    }) { (s, dir) =>
+      MultimodalOps.decodeRgb16Features(
+        MultimodalOps.png16RgbAssetsFromDocuments(Tables(s, dir, "documents")))
+        .toDF()
+        .select(col("asset_id"), col("format"), col("n_px"), col("mean_val"),
+          concat_ws(",", col("head")).as("head_csv"), col("wsum"))
+        .orderBy("asset_id")
+    },
+
     // REAL COLOR decoding: even docs become truecolor RGB8 PNGs (color
     // type 2 — what real corpora carry), odd docs PALETTE PNGs (color type
     // 3, indices through a fixed 256-entry PLTE with entry j =

@@ -1852,6 +1852,34 @@ class PipelineOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](PngCodec.decodeGray16(png8))
   }
 
+  test("PngCodec: 16-bit truecolor round-trips every filter x interlace combination (bpp=6)") {
+    // 9x10 keeps all Adam7 passes non-empty; channel values exercise both
+    // bytes of each big-endian pair and the full 0/65535 extremes
+    val w = 9; val h = 10
+    val vs = Array.tabulate(w * h * 3)(i =>
+      if (i == 0) 0 else if (i == 1) 65535 else (i * 40503 + 129) % 65536)
+    for (ft <- 0 to 4; il <- Seq(false, true)) {
+      val png = PngCodec.encodeRgb16(w, h, vs, ft, interlaced = il)
+      val (dw, dh, back) = PngCodec.decodeRgb16(png)
+      assert(dw == w && dh == h, s"filter $ft interlaced=$il dims")
+      assert(back.toSeq == vs.toSeq, s"filter $ft interlaced=$il samples")
+    }
+    // tiny images leave Adam7 passes empty — still exact with bpp=6
+    for ((tw, th) <- Seq((1, 1), (2, 3), (5, 2))) {
+      val tv = Array.tabulate(tw * th * 3)(i => (i * 25013 + 1) % 65536)
+      val (_, _, tb) = PngCodec.decodeRgb16(
+        PngCodec.encodeRgb16(tw, th, tv, 3, interlaced = true))
+      assert(tb.toSeq == tv.toSeq, s"${tw}x$th interlaced")
+    }
+    // guards: range, wrong-face routing in both directions
+    intercept[IllegalArgumentException](PngCodec.encodeRgb16(1, 1, Array(0, 65536, 0)))
+    val rgb16 = PngCodec.encodeRgb16(2, 2, Array.tabulate(12)(_ * 1111))
+    intercept[IllegalArgumentException](PngCodec.decodeGray16(rgb16))
+    intercept[IllegalArgumentException](PngCodec.decodeRgb(rgb16)) // rgbOf is 8-bit
+    val gray16 = PngCodec.encodeGray16(2, 2, Array(1, 2, 3, 4))
+    intercept[IllegalArgumentException](PngCodec.decodeRgb16(gray16))
+  }
+
   test("PngCodec: Adam7 applies to 8-bit grayscale too, and position matters") {
     val w = 8; val h = 8
     val px = Array.tabulate[Byte](w * h)(i => (i * 37 + 11).toByte)
