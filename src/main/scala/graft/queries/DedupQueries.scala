@@ -75,6 +75,31 @@ object DedupQueries {
       }
   }
 
+  /** Planted multimodal asset corpora, staged to parquet once per JVM per
+    * sf dir. The pure-READ dedup consumers (dedup_phash / dedup_video /
+    * dedup_audio / dedup_multimodal) score SIGNATURES of existing assets —
+    * re-encoding the deterministic fixture inside every timed run benches
+    * the encoder, not the dedup operator, exactly like the engine read
+    * queries' shared root (EngineQueries.Fixture). The mm_decode_* /
+    * mm_*_phash/fp faces keep per-invocation encode: there the codec IS
+    * the operator. Safe to sweep at harness startup ("graft-mmstage-"):
+    * the oracle replays from the source tables, never from the stage. */
+  private object MmAssetStage {
+    private val staged = scala.collection.mutable.Map[(String, String), String]()
+    def df(s: org.apache.spark.sql.SparkSession, dirPath: String, kind: String)
+          (build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val p = synchronized {
+        staged.getOrElseUpdate((dirPath, kind), {
+          val d = java.nio.file.Files
+            .createTempDirectory(s"graft-mmstage-$kind-").toString
+          build.write.mode("overwrite").parquet(d)
+          d
+        })
+      }
+      s.read.parquet(p)
+    }
+  }
+
   /** `shs(doc_id, shingles)`: distinct 3-word shingle hashes per document —
     * the exact arithmetic of `DedupOps.shingleSets(_, _, _, 3)`. */
   private val ShingleCtes =
@@ -661,8 +686,9 @@ object DedupQueries {
          |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
       DedupOps.bandedHammingPairs(
         graft.ops.MultimodalOps.imagePhash(
-          graft.ops.MultimodalOps.phashAssetsFromDocuments(
-            Tables(s, dir, "documents")))
+          MmAssetStage.df(s, dir, "img")(
+            graft.ops.MultimodalOps.phashAssetsFromDocuments(
+              Tables(s, dir, "documents"))))
           .select(col("asset_id").as("id"), col("phash").as("fp")),
         bits = 63, maxHamming = 4)
     },
@@ -699,8 +725,9 @@ object DedupQueries {
          |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
       DedupOps.hashSetContainmentPairs(
         graft.ops.MultimodalOps.videoPhashes(
-          graft.ops.MultimodalOps.mjpegCompanionAssetsFromDocuments(
-            Tables(s, dir, "documents")),
+          MmAssetStage.df(s, dir, "vid")(
+            graft.ops.MultimodalOps.mjpegCompanionAssetsFromDocuments(
+              Tables(s, dir, "documents"))),
           frameStride = 1),
         "asset_id", "phash", threshold = 0.5,
         maxDocFreq = Some(FrameHashDocFreqCap))
@@ -736,8 +763,9 @@ object DedupQueries {
          |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
       DedupOps.hashSetContainmentPairs(
         graft.ops.MultimodalOps.audioFingerprints(
-          graft.ops.MultimodalOps.fpWavAssetsFromDocuments(
-            Tables(s, dir, "documents"))),
+          MmAssetStage.df(s, dir, "aud")(
+            graft.ops.MultimodalOps.fpWavAssetsFromDocuments(
+              Tables(s, dir, "documents")))),
         "asset_id", "fp", threshold = 0.5,
         maxDocFreq = Some(FrameHashDocFreqCap))
     },
@@ -816,10 +844,12 @@ object DedupQueries {
         DedupOps.shingleSets(docs, "doc_id", "text", 3),
         "doc_id", 0.8, maxDocFreq = Some(DocFreqCap)), "drop_text")
       // base assets only: companions are planted test artifacts, not docs
-      // (filtered BEFORE decode, so no wasted codec work)
+      // (the asset_id filter pushes into the staged-parquet scan, so
+      // companions are pruned before any decode work)
       val imgDrop = drops(DedupOps.bandedHammingPairs(
         MultimodalOps.imagePhash(
-          MultimodalOps.phashAssetsFromDocuments(docs)
+          MmAssetStage.df(s, dir, "img")(
+            MultimodalOps.phashAssetsFromDocuments(docs))
             .filter(col("asset_id") < MultimodalOps.PhashCompanionOffset))
           .select(col("asset_id").as("id"), col("phash").as("fp")),
         bits = 63, maxHamming = 4), "drop_image")
@@ -828,13 +858,15 @@ object DedupQueries {
       // out up front — the base corpus is what a real build deduplicates.
       val vidDrop = drops(DedupOps.hashSetContainmentPairs(
         MultimodalOps.videoPhashes(
-          MultimodalOps.mjpegCompanionAssetsFromDocuments(docs)
+          MmAssetStage.df(s, dir, "vid")(
+            MultimodalOps.mjpegCompanionAssetsFromDocuments(docs))
             .filter(col("asset_id") < MultimodalOps.VideoCompanionOffset)),
         "asset_id", "phash", threshold = 0.5,
         maxDocFreq = Some(FrameHashDocFreqCap)), "drop_video")
       val audDrop = drops(DedupOps.hashSetContainmentPairs(
         MultimodalOps.audioFingerprints(
-          MultimodalOps.fpWavAssetsFromDocuments(docs)
+          MmAssetStage.df(s, dir, "aud")(
+            MultimodalOps.fpWavAssetsFromDocuments(docs))
             .filter(col("asset_id") < MultimodalOps.AudioCompanionOffset)),
         "asset_id", "fp", threshold = 0.5,
         maxDocFreq = Some(FrameHashDocFreqCap)), "drop_audio")
