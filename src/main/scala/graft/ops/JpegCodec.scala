@@ -545,11 +545,10 @@ object JpegCodec {
     * pixels: four Y blocks left-to-right top-to-bottom, then one Cb and
     * one Cr block, per the T.81 interleaved-scan block order. Dims must
     * be multiples of 16 (one full MCU grid; the fixture guarantees it). */
-  def encodeRgb420(w: Int, h: Int, rgb: Array[Byte],
-                   restartInterval: Int = 0): Array[Byte] = {
-    require(w > 0 && h > 0 && w % 16 == 0 && h % 16 == 0,
-      s"4:2:0 dims must be 16-multiples: ${w}x$h")
-    require(rgb.length == w * h * 3, s"need ${w * h * 3} RGB bytes, got ${rgb.length}")
+  /** Integer-exact JFIF color conversion shared by the subsampled
+    * encoders: full-resolution (Y, Cb, Cr) planes of an RGB image. */
+  private def yccPlanes(w: Int, h: Int, rgb: Array[Byte])
+      : (Array[Byte], Array[Byte], Array[Byte]) = {
     val y = new Array[Byte](w * h)
     val cbF = new Array[Byte](w * h)
     val crF = new Array[Byte](w * h)
@@ -561,6 +560,15 @@ object JpegCodec {
       crF(p) = clamp255((5000L * r - 4187L * g - 813L * b + 5000L) / 10000L + 128L)
       p += 1
     }
+    (y, cbF, crF)
+  }
+
+  def encodeRgb420(w: Int, h: Int, rgb: Array[Byte],
+                   restartInterval: Int = 0): Array[Byte] = {
+    require(w > 0 && h > 0 && w % 16 == 0 && h % 16 == 0,
+      s"4:2:0 dims must be 16-multiples: ${w}x$h")
+    require(rgb.length == w * h * 3, s"need ${w * h * 3} RGB bytes, got ${rgb.length}")
+    val (y, cbF, crF) = yccPlanes(w, h, rgb)
     val hw = w / 2; val hh = h / 2
     def subsample(full: Array[Byte]): Array[Byte] = {
       val half = new Array[Byte](hw * hh)
@@ -607,6 +615,76 @@ object JpegCodec {
             dx += 1
           }
           dy += 1
+        }
+        grabBlock(cb, hw, bx, by, block)
+        prevDc(1) = writeBlock(bw, forwardBlock(block), prevDc(1), dcCode, acCode)
+        grabBlock(cr, hw, bx, by, block)
+        prevDc(2) = writeBlock(bw, forwardBlock(block), prevDc(2), dcCode, acCode)
+        mcu += 1
+        bx += 1
+      }
+      by += 1
+    }
+    bw.flush()
+    out.write(0xff); out.write(0xD9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode row-major RGB triples as a baseline YCbCr **4:2:2** JPEG —
+    * the broadcast/video-editing sampling (Rec. 601 studio pipelines,
+    * MJPEG hardware): Y at 2×1, Cb/Cr at half HORIZONTAL resolution only.
+    * Each chroma sample is the replayable average of its 2 horizontal
+    * full-resolution neighbors: (c0 + c1 + 1) / 2 with truncating
+    * division. MCUs are 16×8 pixels: two Y blocks left-to-right, then one
+    * Cb and one Cr block, per the T.81 interleaved block order. Dims must
+    * be multiples of 16 (w) and 8 (h). */
+  def encodeRgb422(w: Int, h: Int, rgb: Array[Byte],
+                   restartInterval: Int = 0): Array[Byte] = {
+    require(w > 0 && h > 0 && w % 16 == 0 && h % 8 == 0,
+      s"4:2:2 dims must be 16 (w) / 8 (h) multiples: ${w}x$h")
+    require(rgb.length == w * h * 3, s"need ${w * h * 3} RGB bytes, got ${rgb.length}")
+    val (y, cbF, crF) = yccPlanes(w, h, rgb)
+    val hw = w / 2
+    def subsampleH(full: Array[Byte]): Array[Byte] = {
+      val half = new Array[Byte](hw * h)
+      var yy = 0
+      while (yy < h) {
+        var x2 = 0
+        while (x2 < hw) {
+          val base = yy * w + 2 * x2
+          val s = (full(base) & 0xff) + (full(base + 1) & 0xff)
+          half(yy * hw + x2) = ((s + 1) / 2).toByte
+          x2 += 1
+        }
+        yy += 1
+      }
+      half
+    }
+    val cb = subsampleH(cbF)
+    val cr = subsampleH(crF)
+    val out = new java.io.ByteArrayOutputStream()
+    require(restartInterval >= 0, "restart interval must be non-negative")
+    writeHeaders(out, w, h, Array(0x21, 0x11, 0x11), restartInterval)
+    val dcCode = canonical(DcBits, DcVals)
+    val acCode = canonical(AcBits, AcVals)
+    val bw = new BitWriter(out)
+    val prevDc = new Array[Long](3)
+    val block = new Array[Int](64)
+    var mcu = 0
+    var by = 0
+    while (by < h / 8) {
+      var bx = 0
+      while (bx < w / 16) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.restart((mcu / restartInterval - 1) % 8)
+          java.util.Arrays.fill(prevDc, 0L)
+        }
+        // two Y blocks left-to-right, then Cb, then Cr
+        var dx = 0
+        while (dx < 2) {
+          grabBlock(y, w, bx * 2 + dx, by, block)
+          prevDc(0) = writeBlock(bw, forwardBlock(block), prevDc(0), dcCode, acCode)
+          dx += 1
         }
         grabBlock(cb, hw, bx, by, block)
         prevDc(1) = writeBlock(bw, forwardBlock(block), prevDc(1), dcCode, acCode)
@@ -758,11 +836,15 @@ object JpegCodec {
           require(nc == 1 || nc == 3, s"JPEG: $nc components unsupported")
           samp = Array.tabulate(nc)(c => payload(pos + 11 + 3 * c) & 0xff)
           // supported sampling shapes: all components full-resolution
-          // (grayscale / YCbCr 4:4:4) or the real-world camera default,
-          // 4:2:0 (Y at 2×2, chroma at 1×1). Anything else (4:2:2, 4:1:1,
-          // asymmetric factors) fails LOUDLY rather than mis-tiling.
+          // (grayscale / YCbCr 4:4:4), the real-world camera default
+          // 4:2:0 (Y at 2×2, chroma at 1×1), or broadcast 4:2:2 (Y at
+          // 2×1). Anything else (4:1:1, asymmetric factors) fails LOUDLY
+          // rather than mis-tiling. The plane machinery below is generic
+          // over the factors — only this gate and the encoders are
+          // shape-specific.
           require(samp.forall(_ == 0x11) ||
-                  (nc == 3 && samp(0) == 0x22 && samp(1) == 0x11 && samp(2) == 0x11),
+                  (nc == 3 && (samp(0) == 0x22 || samp(0) == 0x21) &&
+                   samp(1) == 0x11 && samp(2) == 0x11),
             s"JPEG: unsupported sampling ${samp.map(v => f"$v%02x").mkString(",")}")
           (0 until nc).foreach { c =>
             require((payload(pos + 12 + 3 * c) & 0xff) == 0,

@@ -981,6 +981,30 @@ object MultimodalOps {
       }.toDF()
   }
 
+  /** Deterministic 4:2:2 COLOR-JPEG asset table (Y at 2×1, chroma
+    * half-horizontal — the broadcast/MJPEG-hardware sampling): text bytes
+    * tiled over w×h×3, 16×8 MCUs, every 3rd doc with restart markers.
+    * Lossy but integer-exact, so the oracle replays the whole chain —
+    * horizontal (c0+c1+1)/2 chroma averaging, per-component DCT
+    * round-trip, horizontal-only replication upsample, inverse color
+    * matrix — from the text alone. */
+  def jpeg422AssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        require(text.forall(_ < 128),
+          s"jpeg 4:2:2 fixture requires ASCII text (doc $id)")
+        val w = (16 * (id % 2 + 1)).toInt
+        val h = (8 * (id % 3 + 1)).toInt
+        val rgb = Array.tabulate(w * h * 3)(i =>
+          (if (text.isEmpty) 0 else text.charAt(i % text.length).toInt).toByte)
+        MediaAsset(id, "jpeg",
+          JpegCodec.encodeRgb422(w, h, rgb,
+            restartInterval = if (id % 3 == 0) 1 else 0), w, h, 3, 0)
+      }.toDF()
+  }
+
   /** Deterministic REAL-VIDEO asset table: each doc becomes a genuine
     * MJPEG AVI ([[AviCodec]]) of `2 + id % 3` grayscale-JPEG frames at
     * fps `10 + (id % 3) * 5`; frame `f`'s source pixels are the text's

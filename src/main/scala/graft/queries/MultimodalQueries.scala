@@ -800,6 +800,102 @@ object MultimodalQueries {
         .orderBy("asset_id")
     },
 
+    // 4:2:2 CHROMA SUBSAMPLING (r14): Y at 2x1, chroma half-horizontal —
+    // the broadcast/video-editing sampling between 4:4:4 and 4:2:0. 16x8
+    // MCUs of two Y blocks + one Cb + one Cr in T.81 interleaved order;
+    // chroma averages its 2 horizontal neighbors ((c0+c1+1)//2) on encode
+    // and replicates horizontally only on decode. The oracle replays the
+    // ENTIRE chain per component grid — a vertical-averaging slip (the
+    // 4:2:0 rule applied here), a block-order bug, or a 2D-replication
+    // upsample all break the value match.
+    QueryDef.withOracle("mm_decode_jpeg_422", {
+      val half = 1L << 41
+      val div = 1L << 42
+      val alphaRows = (0 until 8).map(u => s"($u,${if (u == 0) 724 else 1024})")
+        .mkString(",")
+      def ch(off: Int) =
+        s"""CAST(CASE WHEN length(text) = 0 THEN 0
+           |              ELSE unicode(substr(text,
+           |                CAST((3 * p.p + $off) % length(text) + 1 AS INT), 1)) END
+           |             AS BIGINT)""".stripMargin
+      s"""WITH m5a AS (SELECT doc_id AS asset_id, text,
+         |         CAST(16 * (doc_id % 2 + 1) AS INT) AS w,
+         |         CAST(8 * (doc_id % 3 + 1) AS INT) AS h FROM documents),
+         |m5ct(u, i, c) AS (SELECT * FROM (VALUES ${OraclePhash.dctRows}) t(u, i, c)),
+         |m5al(u, a) AS (SELECT * FROM (VALUES $alphaRows) t(u, a)),
+         |m5rgb AS (SELECT asset_id, w, h, p.p AS p,
+         |            ${ch(0)} AS r,
+         |            ${ch(1)} AS g,
+         |            ${ch(2)} AS b
+         |          FROM m5a, range(${32 * 24}) p(p) WHERE p.p < w * h),
+         |m5yc AS (SELECT asset_id, w, h, p,
+         |          greatest(0, least(255, (299 * r + 587 * g + 114 * b + 500) // 1000)) AS y,
+         |          greatest(0, least(255, (-1687 * r - 3313 * g + 5000 * b + 5000) // 10000 + 128)) AS cb,
+         |          greatest(0, least(255, (5000 * r - 4187 * g - 813 * b + 5000) // 10000 + 128)) AS cr
+         |        FROM m5rgb),
+         |m5ys AS (SELECT asset_id, 0 AS comp,
+         |           (p // w) // 8 AS bi, (p % w) // 8 AS bj,
+         |           (p // w) % 8 AS i, (p % w) % 8 AS j,
+         |           y - 128 AS s
+         |         FROM m5yc),
+         |m5cv AS (SELECT asset_id, w,
+         |           (p % w) // 2 AS x2, p // w AS y2,
+         |           (SUM(cb) + 1) // 2 AS cbs, (SUM(cr) + 1) // 2 AS crs
+         |         FROM m5yc GROUP BY 1, 2, 3, 4),
+         |m5cs AS (SELECT asset_id, cc.c AS comp,
+         |           y2 // 8 AS bi, x2 // 8 AS bj, y2 % 8 AS i, x2 % 8 AS j,
+         |           (CASE cc.c WHEN 1 THEN cbs ELSE crs END) - 128 AS s
+         |         FROM m5cv, (VALUES (1), (2)) cc(c)),
+         |m5all AS (SELECT * FROM m5ys UNION ALL SELECT * FROM m5cs),
+         |m5f AS (SELECT asset_id, comp, bi, bj, cu.u AS u, cv.u AS v,
+         |          CAST(SUM(s * cu.c * cv.c) AS BIGINT) AS fraw
+         |        FROM m5all JOIN m5ct cu ON cu.i = m5all.i
+         |                   JOIN m5ct cv ON cv.i = m5all.j
+         |        GROUP BY 1, 2, 3, 4, 5, 6),
+         |m5q AS (SELECT f.asset_id, comp, bi, bj, f.u AS u, f.v AS v,
+         |          (fraw * au.a * av.a + $half) // $div AS qc
+         |        FROM m5f f JOIN m5al au ON au.u = f.u JOIN m5al av ON av.u = f.v),
+         |m5r AS (SELECT q.asset_id, comp, bi, bj, ci.i AS i, cj.i AS j,
+         |          greatest(0, least(255,
+         |            CAST((SUM(qc * au.a * av.a * ci.c * cj.c) + $half) // $div
+         |                 AS BIGINT) + 128)) AS dv
+         |        FROM m5q q JOIN m5al au ON au.u = q.u JOIN m5al av ON av.u = q.v
+         |                  JOIN m5ct ci ON ci.u = q.u JOIN m5ct cj ON cj.u = q.v
+         |        GROUP BY 1, 2, 3, 4, 5, 6),
+         |m5d AS (SELECT asset_id, comp, bi * 8 + i AS py, bj * 8 + j AS px, dv
+         |        FROM m5r),
+         |m5px AS (SELECT asset_id, w, p.p % w AS x, p.p // w AS y
+         |         FROM m5a, range(${32 * 24}) p(p) WHERE p.p < w * h),
+         |m5j AS (SELECT px.asset_id, px.x, px.y,
+         |          MAX(CASE WHEN d.comp = 0 THEN dv END) AS y2,
+         |          MAX(CASE WHEN d.comp = 1 THEN dv END) - 128 AS cb2,
+         |          MAX(CASE WHEN d.comp = 2 THEN dv END) - 128 AS cr2
+         |        FROM m5px px JOIN m5d d ON d.asset_id = px.asset_id
+         |          AND ((d.comp = 0 AND d.px = px.x AND d.py = px.y)
+         |            OR (d.comp > 0 AND d.px = px.x // 2 AND d.py = px.y))
+         |        GROUP BY 1, 2, 3),
+         |m5out AS (SELECT asset_id, unnest([
+         |            greatest(0, least(255, y2 + (1402 * cr2 + 500) // 1000)),
+         |            greatest(0, least(255, y2 - (3441 * cb2 + 7141 * cr2 + 5000) // 10000)),
+         |            greatest(0, least(255, y2 + (1772 * cb2 + 500) // 1000))]) AS px
+         |          FROM m5j),
+         |m5l AS (SELECT asset_id, list(px) AS pxs FROM m5out GROUP BY 1)
+         |SELECT asset_id, 'jpeg' AS format,
+         |  CAST(len(pxs) AS BIGINT) AS n_bytes,
+         |  CAST(list_sum(pxs) AS DOUBLE) / len(pxs) AS mean_byte,
+         |  array_to_string(list_transform(range(0, 16),
+         |    b -> CAST(len(list_filter(pxs, x -> x * 16 // 256 = b))
+         |              AS VARCHAR)), ',') AS byte_hist
+         |FROM m5l ORDER BY asset_id""".stripMargin
+    }) { (s, dir) =>
+      MultimodalOps.decodeFeatures(
+        MultimodalOps.jpeg422AssetsFromDocuments(Tables(s, dir, "documents")))
+        .toDF()
+        .select(col("asset_id"), col("format"), col("n_bytes"), col("mean_byte"),
+          concat_ws(",", col("byte_hist")).as("byte_hist"))
+        .orderBy("asset_id")
+    },
+
     // REAL resize through the LOSSY format: full entropy-decode + inverse
     // transform chain, then nearest-neighbor sampling of the DECODED
     // grayscale grid. The oracle replays the whole decode arithmetic and

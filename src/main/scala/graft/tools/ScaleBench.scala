@@ -128,7 +128,11 @@ object ScaleBench {
     "mm_audio_fp", "dedup_audio",
     // the composed multimodal corpus build: four pair pipelines (each
     // individually gated above) + id-level joins, drop sets duplicate-scale
-    "dedup_multimodal")
+    "dedup_multimodal",
+    // round-14 additions: progressive JPEG + 16-bit truecolor PNG (map-only
+    // typed codec passes, work ∝ documents; the GIF face above now also
+    // carries interlace/LCT variants through the same map pass)
+    "mm_decode_jpeg_prog", "mm_decode_png16_rgb", "mm_decode_jpeg_422")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

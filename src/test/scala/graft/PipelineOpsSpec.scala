@@ -2194,17 +2194,56 @@ class PipelineOpsSpec extends SparkTestBase {
     val (_, _, flatDec) = JpegCodec.decodeRgb(JpegCodec.encodeRgb420(16, 16, flat))
     val flatErr = flat.zip(flatDec).map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.max
     assert(flatErr <= 2, s"flat-color 4:2:0 loss too large: $flatErr")
-    // unsupported sampling (4:2:2) must fail loudly: patch the SOF Hi/Vi
+    // unsupported sampling (4:1:1) must fail loudly: patch the SOF Hi/Vi
     // byte of a real 4:2:0 stream (offset 82: SOI 2 + DQT 69 + SOF hdr 10
-    // + comp id 1)
-    val enc422 = JpegCodec.encodeRgb420(16, 16, flat).clone()
-    assert((enc422(82) & 0xff) == 0x22, "fixture layout moved; update the patch offset")
-    enc422(82) = 0x21.toByte
-    val e = intercept[IllegalArgumentException](JpegCodec.decodeRgb(enc422))
+    // + comp id 1). 0x21 (4:2:2) became a SUPPORTED shape in r14 — the
+    // guard now gates on genuinely unimplemented factors only.
+    val enc411 = JpegCodec.encodeRgb420(16, 16, flat).clone()
+    assert((enc411(82) & 0xff) == 0x22, "fixture layout moved; update the patch offset")
+    enc411(82) = 0x41.toByte
+    val e = intercept[IllegalArgumentException](JpegCodec.decodeRgb(enc411))
     assert(e.getMessage.contains("unsupported sampling"))
     // non-16-multiple dims refuse to encode
     intercept[IllegalArgumentException](
       JpegCodec.encodeRgb420(8, 8, Array.fill(8 * 8 * 3)(0.toByte)))
+  }
+
+  test("JpegCodec 4:2:2: horizontal-only chroma subsampling, restart transport, dims guards") {
+    import graft.ops.JpegCodec
+    // flat color: chroma uniform, only transform rounding survives
+    val flat = Array.tabulate(16 * 8 * 3)(i => (Seq(90, 40, 120)(i % 3)).toByte)
+    val (fw, fh, flatDec) = JpegCodec.decodeRgb(JpegCodec.encodeRgb422(16, 8, flat))
+    assert(fw == 16 && fh == 8)
+    val flatErr = flat.zip(flatDec).map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.max
+    assert(flatErr <= 2, s"flat-color 4:2:2 loss too large: $flatErr")
+    // the defining property vs 4:2:0: chroma varying by ROW (constant
+    // within each row) is PRESERVED by 4:2:2 (vertical chroma is full
+    // resolution) but blended by 4:2:0's 2x2 averaging
+    val rows = Array.tabulate(16 * 16 * 3) { i =>
+      val y = (i / 3) / 16
+      (if (y % 2 == 0) Seq(200, 60, 60) else Seq(60, 60, 200))(i % 3).toByte
+    }
+    def maxErr(dec: Array[Byte]) =
+      rows.zip(dec).map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.max
+    val err422 = maxErr(JpegCodec.decodeRgb(JpegCodec.encodeRgb422(16, 16, rows))._3)
+    val err420 = maxErr(JpegCodec.decodeRgb(JpegCodec.encodeRgb420(16, 16, rows))._3)
+    // 4:2:2 keeps vertical chroma exactly at subsample time; the residual
+    // error is transform rounding on the high-vertical-frequency chroma
+    // plane (a few levels). 4:2:0's 2x2 average collapses the alternating
+    // rows toward gray — an order of magnitude worse.
+    assert(err422 <= 8, s"4:2:2 must keep per-row chroma, err=$err422")
+    assert(err420 > 20 && err420 > 3 * err422,
+      s"4:2:0 must blend alternating-row chroma, err420=$err420 err422=$err422")
+    // restart markers are entropy transport only
+    val txt = Array.tabulate(32 * 8 * 3)(i => (((i * 37) % 200) + 20).toByte)
+    val plain = JpegCodec.decodeRgb(JpegCodec.encodeRgb422(32, 8, txt))._3
+    val rst = JpegCodec.decodeRgb(JpegCodec.encodeRgb422(32, 8, txt, restartInterval = 1))._3
+    assert(rst.toSeq == plain.toSeq, "restart markers must not change decoded pixels")
+    // dims guards: w % 16, h % 8
+    intercept[IllegalArgumentException](
+      JpegCodec.encodeRgb422(8, 8, Array.fill(8 * 8 * 3)(0.toByte)))
+    intercept[IllegalArgumentException](
+      JpegCodec.encodeRgb422(16, 4, Array.fill(16 * 4 * 3)(0.toByte)))
   }
 
   test("JpegCodec progressive: SOF2 decode byte-identical to baseline, both scan scripts") {
