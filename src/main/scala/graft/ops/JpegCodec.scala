@@ -700,6 +700,75 @@ object JpegCodec {
     out.toByteArray
   }
 
+  /** Encode row-major RGB triples as a baseline YCbCr **4:1:1** JPEG —
+    * the DV/consumer-camcorder sampling: Y at 4×1, Cb/Cr at quarter
+    * HORIZONTAL resolution. Each chroma sample is the replayable average
+    * of its 4 horizontal neighbors: (c0 + c1 + c2 + c3 + 2) / 4. MCUs are
+    * 32×8 pixels: four Y blocks left-to-right, then Cb, then Cr. Dims
+    * must be multiples of 32 (w) and 8 (h). */
+  def encodeRgb411(w: Int, h: Int, rgb: Array[Byte],
+                   restartInterval: Int = 0): Array[Byte] = {
+    require(w > 0 && h > 0 && w % 32 == 0 && h % 8 == 0,
+      s"4:1:1 dims must be 32 (w) / 8 (h) multiples: ${w}x$h")
+    require(rgb.length == w * h * 3, s"need ${w * h * 3} RGB bytes, got ${rgb.length}")
+    val (y, cbF, crF) = yccPlanes(w, h, rgb)
+    val qw = w / 4
+    def subsampleQ(full: Array[Byte]): Array[Byte] = {
+      val quarter = new Array[Byte](qw * h)
+      var yy = 0
+      while (yy < h) {
+        var x4 = 0
+        while (x4 < qw) {
+          val base = yy * w + 4 * x4
+          val s = (full(base) & 0xff) + (full(base + 1) & 0xff) +
+                  (full(base + 2) & 0xff) + (full(base + 3) & 0xff)
+          quarter(yy * qw + x4) = ((s + 2) / 4).toByte
+          x4 += 1
+        }
+        yy += 1
+      }
+      quarter
+    }
+    val cb = subsampleQ(cbF)
+    val cr = subsampleQ(crF)
+    val out = new java.io.ByteArrayOutputStream()
+    require(restartInterval >= 0, "restart interval must be non-negative")
+    writeHeaders(out, w, h, Array(0x41, 0x11, 0x11), restartInterval)
+    val dcCode = canonical(DcBits, DcVals)
+    val acCode = canonical(AcBits, AcVals)
+    val bw = new BitWriter(out)
+    val prevDc = new Array[Long](3)
+    val block = new Array[Int](64)
+    var mcu = 0
+    var by = 0
+    while (by < h / 8) {
+      var bx = 0
+      while (bx < w / 32) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.restart((mcu / restartInterval - 1) % 8)
+          java.util.Arrays.fill(prevDc, 0L)
+        }
+        // four Y blocks left-to-right, then Cb, then Cr
+        var dx = 0
+        while (dx < 4) {
+          grabBlock(y, w, bx * 4 + dx, by, block)
+          prevDc(0) = writeBlock(bw, forwardBlock(block), prevDc(0), dcCode, acCode)
+          dx += 1
+        }
+        grabBlock(cb, qw, bx, by, block)
+        prevDc(1) = writeBlock(bw, forwardBlock(block), prevDc(1), dcCode, acCode)
+        grabBlock(cr, qw, bx, by, block)
+        prevDc(2) = writeBlock(bw, forwardBlock(block), prevDc(2), dcCode, acCode)
+        mcu += 1
+        bx += 1
+      }
+      by += 1
+    }
+    bw.flush()
+    out.write(0xff); out.write(0xD9) // EOI
+    out.toByteArray
+  }
+
   // ----------------------------------------------------------- decode
 
   private final case class Huff(maxLen: Int, lookup: Map[(Int, Int), Int])
@@ -837,13 +906,14 @@ object JpegCodec {
           samp = Array.tabulate(nc)(c => payload(pos + 11 + 3 * c) & 0xff)
           // supported sampling shapes: all components full-resolution
           // (grayscale / YCbCr 4:4:4), the real-world camera default
-          // 4:2:0 (Y at 2×2, chroma at 1×1), or broadcast 4:2:2 (Y at
-          // 2×1). Anything else (4:1:1, asymmetric factors) fails LOUDLY
-          // rather than mis-tiling. The plane machinery below is generic
-          // over the factors — only this gate and the encoders are
-          // shape-specific.
+          // 4:2:0 (Y at 2×2, chroma at 1×1), broadcast 4:2:2 (Y at 2×1),
+          // or DV/camcorder 4:1:1 (Y at 4×1). Anything else (vertical-only
+          // 4:4:0, asymmetric factors) fails LOUDLY rather than
+          // mis-tiling. The plane machinery below is generic over the
+          // factors — only this gate and the encoders are shape-specific.
           require(samp.forall(_ == 0x11) ||
-                  (nc == 3 && (samp(0) == 0x22 || samp(0) == 0x21) &&
+                  (nc == 3 &&
+                   (samp(0) == 0x22 || samp(0) == 0x21 || samp(0) == 0x41) &&
                    samp(1) == 0x11 && samp(2) == 0x11),
             s"JPEG: unsupported sampling ${samp.map(v => f"$v%02x").mkString(",")}")
           (0 until nc).foreach { c =>

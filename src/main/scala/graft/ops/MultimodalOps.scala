@@ -1005,6 +1005,28 @@ object MultimodalOps {
       }.toDF()
   }
 
+  /** Deterministic 4:1:1 COLOR-JPEG asset table (Y at 4×1, chroma
+    * quarter-horizontal — the DV/camcorder sampling): text bytes tiled
+    * over w×h×3, 32×8 MCUs of four Y blocks + Cb + Cr, every 3rd doc
+    * with restart markers. The oracle replays the whole chain with the
+    * (c0+c1+c2+c3+2)/4 horizontal average and x//4 upsample indices. */
+  def jpeg411AssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        require(text.forall(_ < 128),
+          s"jpeg 4:1:1 fixture requires ASCII text (doc $id)")
+        val w = (32 * (id % 2 + 1)).toInt
+        val h = (8 * (id % 3 + 1)).toInt
+        val rgb = Array.tabulate(w * h * 3)(i =>
+          (if (text.isEmpty) 0 else text.charAt(i % text.length).toInt).toByte)
+        MediaAsset(id, "jpeg",
+          JpegCodec.encodeRgb411(w, h, rgb,
+            restartInterval = if (id % 3 == 0) 1 else 0), w, h, 3, 0)
+      }.toDF()
+  }
+
   /** Deterministic REAL-VIDEO asset table: each doc becomes a genuine
     * MJPEG AVI ([[AviCodec]]) of `2 + id % 3` grayscale-JPEG frames at
     * fps `10 + (id % 3) * 5`; frame `f`'s source pixels are the text's

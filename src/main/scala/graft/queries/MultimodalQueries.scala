@@ -896,6 +896,98 @@ object MultimodalQueries {
         .orderBy("asset_id")
     },
 
+    // 4:1:1 CHROMA SUBSAMPLING (r14): Y at 4x1, chroma quarter-horizontal
+    // — the DV/consumer-camcorder sampling. 32x8 MCUs of FOUR Y blocks +
+    // Cb + Cr; chroma averages 4 horizontal neighbors ((sum+2)//4) and
+    // replicates x//4 on decode. Same whole-chain oracle as 4:2:0/4:2:2.
+    QueryDef.withOracle("mm_decode_jpeg_411", {
+      val half = 1L << 41
+      val div = 1L << 42
+      val alphaRows = (0 until 8).map(u => s"($u,${if (u == 0) 724 else 1024})")
+        .mkString(",")
+      def ch(off: Int) =
+        s"""CAST(CASE WHEN length(text) = 0 THEN 0
+           |              ELSE unicode(substr(text,
+           |                CAST((3 * p.p + $off) % length(text) + 1 AS INT), 1)) END
+           |             AS BIGINT)""".stripMargin
+      s"""WITH m6a AS (SELECT doc_id AS asset_id, text,
+         |         CAST(32 * (doc_id % 2 + 1) AS INT) AS w,
+         |         CAST(8 * (doc_id % 3 + 1) AS INT) AS h FROM documents),
+         |m6ct(u, i, c) AS (SELECT * FROM (VALUES ${OraclePhash.dctRows}) t(u, i, c)),
+         |m6al(u, a) AS (SELECT * FROM (VALUES $alphaRows) t(u, a)),
+         |m6rgb AS (SELECT asset_id, w, h, p.p AS p,
+         |            ${ch(0)} AS r,
+         |            ${ch(1)} AS g,
+         |            ${ch(2)} AS b
+         |          FROM m6a, range(${64 * 24}) p(p) WHERE p.p < w * h),
+         |m6yc AS (SELECT asset_id, w, h, p,
+         |          greatest(0, least(255, (299 * r + 587 * g + 114 * b + 500) // 1000)) AS y,
+         |          greatest(0, least(255, (-1687 * r - 3313 * g + 5000 * b + 5000) // 10000 + 128)) AS cb,
+         |          greatest(0, least(255, (5000 * r - 4187 * g - 813 * b + 5000) // 10000 + 128)) AS cr
+         |        FROM m6rgb),
+         |m6ys AS (SELECT asset_id, 0 AS comp,
+         |           (p // w) // 8 AS bi, (p % w) // 8 AS bj,
+         |           (p // w) % 8 AS i, (p % w) % 8 AS j,
+         |           y - 128 AS s
+         |         FROM m6yc),
+         |m6cv AS (SELECT asset_id, w,
+         |           (p % w) // 4 AS x4, p // w AS y4,
+         |           (SUM(cb) + 2) // 4 AS cbs, (SUM(cr) + 2) // 4 AS crs
+         |         FROM m6yc GROUP BY 1, 2, 3, 4),
+         |m6cs AS (SELECT asset_id, cc.c AS comp,
+         |           y4 // 8 AS bi, x4 // 8 AS bj, y4 % 8 AS i, x4 % 8 AS j,
+         |           (CASE cc.c WHEN 1 THEN cbs ELSE crs END) - 128 AS s
+         |         FROM m6cv, (VALUES (1), (2)) cc(c)),
+         |m6all AS (SELECT * FROM m6ys UNION ALL SELECT * FROM m6cs),
+         |m6f AS (SELECT asset_id, comp, bi, bj, cu.u AS u, cv.u AS v,
+         |          CAST(SUM(s * cu.c * cv.c) AS BIGINT) AS fraw
+         |        FROM m6all JOIN m6ct cu ON cu.i = m6all.i
+         |                   JOIN m6ct cv ON cv.i = m6all.j
+         |        GROUP BY 1, 2, 3, 4, 5, 6),
+         |m6q AS (SELECT f.asset_id, comp, bi, bj, f.u AS u, f.v AS v,
+         |          (fraw * au.a * av.a + $half) // $div AS qc
+         |        FROM m6f f JOIN m6al au ON au.u = f.u JOIN m6al av ON av.u = f.v),
+         |m6r AS (SELECT q.asset_id, comp, bi, bj, ci.i AS i, cj.i AS j,
+         |          greatest(0, least(255,
+         |            CAST((SUM(qc * au.a * av.a * ci.c * cj.c) + $half) // $div
+         |                 AS BIGINT) + 128)) AS dv
+         |        FROM m6q q JOIN m6al au ON au.u = q.u JOIN m6al av ON av.u = q.v
+         |                  JOIN m6ct ci ON ci.u = q.u JOIN m6ct cj ON cj.u = q.v
+         |        GROUP BY 1, 2, 3, 4, 5, 6),
+         |m6d AS (SELECT asset_id, comp, bi * 8 + i AS py, bj * 8 + j AS px, dv
+         |        FROM m6r),
+         |m6px AS (SELECT asset_id, w, p.p % w AS x, p.p // w AS y
+         |         FROM m6a, range(${64 * 24}) p(p) WHERE p.p < w * h),
+         |m6j AS (SELECT px.asset_id, px.x, px.y,
+         |          MAX(CASE WHEN d.comp = 0 THEN dv END) AS y2,
+         |          MAX(CASE WHEN d.comp = 1 THEN dv END) - 128 AS cb2,
+         |          MAX(CASE WHEN d.comp = 2 THEN dv END) - 128 AS cr2
+         |        FROM m6px px JOIN m6d d ON d.asset_id = px.asset_id
+         |          AND ((d.comp = 0 AND d.px = px.x AND d.py = px.y)
+         |            OR (d.comp > 0 AND d.px = px.x // 4 AND d.py = px.y))
+         |        GROUP BY 1, 2, 3),
+         |m6out AS (SELECT asset_id, unnest([
+         |            greatest(0, least(255, y2 + (1402 * cr2 + 500) // 1000)),
+         |            greatest(0, least(255, y2 - (3441 * cb2 + 7141 * cr2 + 5000) // 10000)),
+         |            greatest(0, least(255, y2 + (1772 * cb2 + 500) // 1000))]) AS px
+         |          FROM m6j),
+         |m6l AS (SELECT asset_id, list(px) AS pxs FROM m6out GROUP BY 1)
+         |SELECT asset_id, 'jpeg' AS format,
+         |  CAST(len(pxs) AS BIGINT) AS n_bytes,
+         |  CAST(list_sum(pxs) AS DOUBLE) / len(pxs) AS mean_byte,
+         |  array_to_string(list_transform(range(0, 16),
+         |    b -> CAST(len(list_filter(pxs, x -> x * 16 // 256 = b))
+         |              AS VARCHAR)), ',') AS byte_hist
+         |FROM m6l ORDER BY asset_id""".stripMargin
+    }) { (s, dir) =>
+      MultimodalOps.decodeFeatures(
+        MultimodalOps.jpeg411AssetsFromDocuments(Tables(s, dir, "documents")))
+        .toDF()
+        .select(col("asset_id"), col("format"), col("n_bytes"), col("mean_byte"),
+          concat_ws(",", col("byte_hist")).as("byte_hist"))
+        .orderBy("asset_id")
+    },
+
     // REAL resize through the LOSSY format: full entropy-decode + inverse
     // transform chain, then nearest-neighbor sampling of the DECODED
     // grayscale grid. The oracle replays the whole decode arithmetic and

@@ -132,7 +132,8 @@ object ScaleBench {
     // round-14 additions: progressive JPEG + 16-bit truecolor PNG (map-only
     // typed codec passes, work ∝ documents; the GIF face above now also
     // carries interlace/LCT variants through the same map pass)
-    "mm_decode_jpeg_prog", "mm_decode_png16_rgb", "mm_decode_jpeg_422")
+    "mm_decode_jpeg_prog", "mm_decode_png16_rgb", "mm_decode_jpeg_422",
+    "mm_decode_jpeg_411")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -2194,14 +2194,15 @@ class PipelineOpsSpec extends SparkTestBase {
     val (_, _, flatDec) = JpegCodec.decodeRgb(JpegCodec.encodeRgb420(16, 16, flat))
     val flatErr = flat.zip(flatDec).map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.max
     assert(flatErr <= 2, s"flat-color 4:2:0 loss too large: $flatErr")
-    // unsupported sampling (4:1:1) must fail loudly: patch the SOF Hi/Vi
-    // byte of a real 4:2:0 stream (offset 82: SOI 2 + DQT 69 + SOF hdr 10
-    // + comp id 1). 0x21 (4:2:2) became a SUPPORTED shape in r14 — the
-    // guard now gates on genuinely unimplemented factors only.
-    val enc411 = JpegCodec.encodeRgb420(16, 16, flat).clone()
-    assert((enc411(82) & 0xff) == 0x22, "fixture layout moved; update the patch offset")
-    enc411(82) = 0x41.toByte
-    val e = intercept[IllegalArgumentException](JpegCodec.decodeRgb(enc411))
+    // unsupported sampling (vertical-only 4:4:0, Hi/Vi = 0x12) must fail
+    // loudly: patch the SOF Hi/Vi byte of a real 4:2:0 stream (offset 82:
+    // SOI 2 + DQT 69 + SOF hdr 10 + comp id 1). 0x21 (4:2:2) and 0x41
+    // (4:1:1) became SUPPORTED shapes in r14 — the guard now gates on
+    // genuinely unimplemented factors only.
+    val enc440 = JpegCodec.encodeRgb420(16, 16, flat).clone()
+    assert((enc440(82) & 0xff) == 0x22, "fixture layout moved; update the patch offset")
+    enc440(82) = 0x12.toByte
+    val e = intercept[IllegalArgumentException](JpegCodec.decodeRgb(enc440))
     assert(e.getMessage.contains("unsupported sampling"))
     // non-16-multiple dims refuse to encode
     intercept[IllegalArgumentException](
