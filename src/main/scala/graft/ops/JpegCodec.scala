@@ -409,18 +409,46 @@ object JpegCodec {
     * order), EOB runs of length 1 only (EOB0 — keeps the scan symbols
     * inside the Annex-K alphabet), no restart markers. */
   def encodeGrayProgressive(w: Int, h: Int, gray: Array[Byte],
-                            successiveApprox: Boolean = true): Array[Byte] = {
+                            successiveApprox: Boolean = true): Array[Byte] =
+    encodeProgressiveCore(w, h, Array(gray), successiveApprox)
+
+  /** Encode row-major RGB triples as a PROGRESSIVE YCbCr 4:4:4 COLOR JPEG
+    * (SOF2, 3 components) — the shape most web JPEGs actually are. Same
+    * integer-exact color matrix and coefficient grid as [[encodeRgb]];
+    * the DC scans are INTERLEAVED across the three components (legal and
+    * the common encoder choice) while every AC scan is single-component,
+    * as T.81 REQUIRES in progressive mode. Decoded pixels are
+    * byte-identical to the baseline 4:4:4 coding. */
+  def encodeRgbProgressive(w: Int, h: Int, rgb: Array[Byte],
+                           successiveApprox: Boolean = true): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"need ${w * h * 3} RGB bytes, got ${rgb.length}")
+    val (y, cb, cr) = yccPlanes(w, h, rgb)
+    encodeProgressiveCore(w, h, Array(y, cb, cr), successiveApprox)
+  }
+
+  /** Shared progressive encoder: 1 plane = grayscale, 3 = YCbCr 4:4:4.
+    * DC scans interleave all components in MCU order (one block per
+    * component at 1×1 sampling); AC scans are per-component per the
+    * progressive-mode rule. EOB runs of length 1 only (EOB0 — keeps the
+    * scan symbols inside the Annex-K alphabet), no restart markers. */
+  private def encodeProgressiveCore(w: Int, h: Int, planes: Array[Array[Byte]],
+                                    successiveApprox: Boolean): Array[Byte] = {
     require(w > 0 && h > 0 && w % 8 == 0 && h % 8 == 0, s"dims must be 8-multiples: ${w}x$h")
-    require(gray.length == w * h, s"need ${w * h} samples, got ${gray.length}")
+    require(planes.length == 1 || planes.length == 3, "1 or 3 components")
+    planes.foreach(pl => require(pl.length == w * h,
+      s"need ${w * h} samples per plane, got ${pl.length}"))
+    val nc = planes.length
     val out = new java.io.ByteArrayOutputStream()
     def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     marker(0xD8) // SOI
     marker(0xDB); u16(2 + 1 + 64) // DQT: one 8-bit table, id 0, all ones
     out.write(0x00); (0 until 64).foreach(_ => out.write(1))
-    marker(0xC2); u16(2 + 6 + 3) // SOF2, 1 component, 1x1, qtable 0
-    out.write(8); u16(h); u16(w); out.write(1)
-    out.write(1); out.write(0x11); out.write(0)
+    marker(0xC2); u16(2 + 6 + 3 * nc) // SOF2
+    out.write(8); u16(h); u16(w); out.write(nc)
+    (0 until nc).foreach { c =>
+      out.write(c + 1); out.write(0x11); out.write(0) // id, 1x1, qtable 0
+    }
     def dht(clazz: Int, bits: Array[Int], vals: Array[Byte]): Unit = {
       marker(0xC4); u16(2 + 1 + 16 + vals.length)
       out.write(clazz << 4)
@@ -428,17 +456,23 @@ object JpegCodec {
     }
     dht(0, DcBits, DcVals)
     dht(1, AcBits, AcVals)
-    // quantized blocks, raster order — the SAME grid encodeGray transports
+    // per-component quantized blocks, raster order — the same grids the
+    // sequential encoders transport
     val block = new Array[Int](64)
-    val blocks = (for (by <- 0 until h / 8; bx <- 0 until w / 8) yield {
-      grabBlock(gray, w, bx, by, block)
-      forwardBlock(block)
-    }).toArray
+    val blocks: Array[Array[Array[Long]]] = planes.map { pl =>
+      (for (by <- 0 until h / 8; bx <- 0 until w / 8) yield {
+        grabBlock(pl, w, bx, by, block)
+        forwardBlock(block)
+      }).toArray
+    }
+    val nBlocks = blocks(0).length
     val dcCode = canonical(DcBits, DcVals)
     val acCode = canonical(AcBits, AcVals)
-    def scan(ss: Int, se: Int, ah: Int, al: Int)(body: BitWriter => Unit): Unit = {
-      marker(0xDA); u16(2 + 1 + 2 + 3) // SOS: 1 component
-      out.write(1); out.write(1); out.write(0x00) // comp id 1, DC 0 / AC 0
+    def scan(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int)
+            (body: BitWriter => Unit): Unit = {
+      marker(0xDA); u16(2 + 1 + 2 * comps.length + 3)
+      out.write(comps.length)
+      comps.foreach { c => out.write(c + 1); out.write(0x00) } // id, DC 0 / AC 0
       out.write(ss); out.write(se); out.write((ah << 4) | al)
       val bw = new BitWriter(out)
       body(bw)
@@ -448,44 +482,60 @@ object JpegCodec {
       val bitsv = if (v < 0) (v + (1L << t) - 1).toInt else v.toInt
       bw.put(bitsv & ((1 << t) - 1), t)
     }
-    // DC first: DPCM over the point-transformed DC (arithmetic shift,
+    // DC first: interleaved MCU order (block b, components in order),
+    // per-component DPCM over the point-transformed DC (arithmetic shift,
     // T.81 G.1.2.1), same category coding as sequential
-    def dcFirst(al: Int): Unit = scan(0, 0, 0, al) { bw =>
-      var prev = 0L
-      blocks.foreach { q =>
-        val v = q(0) >> al
-        val diff = v - prev; prev = v
-        val t = category(diff)
-        val (c, l) = dcCode(t); bw.put(c, l)
-        putMag(bw, diff, t)
-      }
-    }
-    // DC refinement: one raw bit per block (no Huffman)
-    def dcRefine(al: Int): Unit = scan(0, 0, al + 1, al) { bw =>
-      blocks.foreach(q => bw.put(((q(0) >> al) & 1L).toInt, 1))
-    }
-    // AC first scan of a band: sequential run-length coding over the
-    // point-transformed values (signed division truncating toward zero,
-    // T.81 G.1.2.2), EOB0 closing each block with trailing zeros
-    def acFirst(ss: Int, se: Int, al: Int): Unit = scan(ss, se, 0, al) { bw =>
-      blocks.foreach { q =>
-        var run = 0
-        var k = ss
-        while (k <= se) {
-          val v = q(Zigzag(k)) / (1L << al)
-          if (v == 0L) run += 1
-          else {
-            while (run > 15) { val (z, zl) = acCode(0xF0); bw.put(z, zl); run -= 16 }
-            val t = category(v)
-            val (a, alen) = acCode((run << 4) | t); bw.put(a, alen)
-            putMag(bw, v, t)
-            run = 0
-          }
-          k += 1
+    def dcFirst(al: Int): Unit = scan(0 until nc, 0, 0, 0, al) { bw =>
+      val prev = new Array[Long](nc)
+      var b = 0
+      while (b < nBlocks) {
+        var c = 0
+        while (c < nc) {
+          val v = blocks(c)(b)(0) >> al
+          val diff = v - prev(c); prev(c) = v
+          val t = category(diff)
+          val (code, l) = dcCode(t); bw.put(code, l)
+          putMag(bw, diff, t)
+          c += 1
         }
-        if (run > 0) { val (e, el) = acCode(0x00); bw.put(e, el) }
+        b += 1
       }
     }
+    // DC refinement: one raw bit per block per component (no Huffman)
+    def dcRefine(al: Int): Unit = scan(0 until nc, 0, 0, al + 1, al) { bw =>
+      var b = 0
+      while (b < nBlocks) {
+        var c = 0
+        while (c < nc) {
+          bw.put(((blocks(c)(b)(0) >> al) & 1L).toInt, 1)
+          c += 1
+        }
+        b += 1
+      }
+    }
+    // AC first scan of one component's band: sequential run-length coding
+    // over the point-transformed values (signed division truncating
+    // toward zero, T.81 G.1.2.2), EOB0 closing each block
+    def acFirst(comp: Int, ss: Int, se: Int, al: Int): Unit =
+      scan(Seq(comp), ss, se, 0, al) { bw =>
+        blocks(comp).foreach { q =>
+          var run = 0
+          var k = ss
+          while (k <= se) {
+            val v = q(Zigzag(k)) / (1L << al)
+            if (v == 0L) run += 1
+            else {
+              while (run > 15) { val (z, zl) = acCode(0xF0); bw.put(z, zl); run -= 16 }
+              val t = category(v)
+              val (a, alen) = acCode((run << 4) | t); bw.put(a, alen)
+              putMag(bw, v, t)
+              run = 0
+            }
+            k += 1
+          }
+          if (run > 0) { val (e, el) = acCode(0x00); bw.put(e, el) }
+        }
+      }
     // AC refinement scan (T.81 G.1.2.3 / the public libjpeg shape):
     // newly-significant coefficients (|v|>>Al == 1) emit run/1 symbols
     // whose runs count only ZERO-HISTORY positions; already-nonzero
@@ -494,43 +544,44 @@ object JpegCodec {
     // pending ZRLs flush BEFORE buffering a correction so the bit order
     // matches the decoder's walk exactly; trailing runs/corrections fold
     // into EOB0.
-    def acRefine(ss: Int, se: Int, al: Int): Unit = scan(ss, se, al + 1, al) { bw =>
-      blocks.foreach { q =>
-        val pending = scala.collection.mutable.ArrayBuffer.empty[Int]
-        def flush(): Unit = { pending.foreach(b => bw.put(b, 1)); pending.clear() }
-        var r = 0
-        var k = ss
-        while (k <= se) {
-          val v = q(Zigzag(k))
-          val t = math.abs(v) >> al
-          if (t == 0L) r += 1
-          else {
-            while (r > 15) { val (z, zl) = acCode(0xF0); bw.put(z, zl); r -= 16; flush() }
-            if (t > 1L) pending += (t & 1L).toInt
+    def acRefine(comp: Int, ss: Int, se: Int, al: Int): Unit =
+      scan(Seq(comp), ss, se, al + 1, al) { bw =>
+        blocks(comp).foreach { q =>
+          val pending = scala.collection.mutable.ArrayBuffer.empty[Int]
+          def flush(): Unit = { pending.foreach(b => bw.put(b, 1)); pending.clear() }
+          var r = 0
+          var k = ss
+          while (k <= se) {
+            val v = q(Zigzag(k))
+            val t = math.abs(v) >> al
+            if (t == 0L) r += 1
             else {
-              val (a, alen) = acCode((r << 4) | 1); bw.put(a, alen); r = 0
-              bw.put(if (v > 0) 1 else 0, 1)
-              flush()
+              while (r > 15) { val (z, zl) = acCode(0xF0); bw.put(z, zl); r -= 16; flush() }
+              if (t > 1L) pending += (t & 1L).toInt
+              else {
+                val (a, alen) = acCode((r << 4) | 1); bw.put(a, alen); r = 0
+                bw.put(if (v > 0) 1 else 0, 1)
+                flush()
+              }
             }
+            k += 1
           }
-          k += 1
-        }
-        if (r > 0 || pending.nonEmpty) {
-          val (e, el) = acCode(0x00); bw.put(e, el)
-          flush()
+          if (r > 0 || pending.nonEmpty) {
+            val (e, el) = acCode(0x00); bw.put(e, el)
+            flush()
+          }
         }
       }
-    }
     if (successiveApprox) {
       dcFirst(1)
-      acFirst(1, 5, 1)
-      acFirst(6, 63, 1)
+      (0 until nc).foreach(c => acFirst(c, 1, 5, 1))
+      (0 until nc).foreach(c => acFirst(c, 6, 63, 1))
       dcRefine(0)
-      acRefine(1, 63, 0)
+      (0 until nc).foreach(c => acRefine(c, 1, 63, 0))
     } else {
       dcFirst(0)
-      acFirst(1, 9, 0)
-      acFirst(10, 63, 0)
+      (0 until nc).foreach(c => acFirst(c, 1, 9, 0))
+      (0 until nc).foreach(c => acFirst(c, 10, 63, 0))
     }
     marker(0xD9) // EOI
     out.toByteArray
@@ -855,6 +906,7 @@ object JpegCodec {
     var pos = 2
     var w = -1; var h = -1; var nc = -1
     var samp: Array[Int] = null // per-component packed HiVi byte
+    var compIds: Array[Int] = null // SOF component ids, scan-header lookup
     var qt: Array[Int] = null
     var restartInterval = 0 // DRI; 0 = no restart markers
     var dcH: Huff = null; var acH: Huff = null
@@ -903,6 +955,7 @@ object JpegCodec {
           h = u16(pos + 5); w = u16(pos + 7)
           nc = payload(pos + 9) & 0xff
           require(nc == 1 || nc == 3, s"JPEG: $nc components unsupported")
+          compIds = Array.tabulate(nc)(c => payload(pos + 10 + 3 * c) & 0xff)
           samp = Array.tabulate(nc)(c => payload(pos + 11 + 3 * c) & 0xff)
           // supported sampling shapes: all components full-resolution
           // (grayscale / YCbCr 4:4:4), the real-world camera default
@@ -954,38 +1007,59 @@ object JpegCodec {
     // same quantized blocks would carry, so decoded pixels are
     // byte-identical to the baseline coding (the mm_decode_jpeg_prog
     // oracle replays the baseline chain for both codings on that basis).
-    // Scope: single-component (grayscale) non-interleaved scans, no DRI —
-    // anything else fails loudly below.
+    // Scope: 1×1-sampled components (grayscale / YCbCr 4:4:4), DC scans
+    // optionally interleaved, AC scans single-component (the
+    // progressive-mode RULE, T.81 §G.1), no DRI — anything else fails
+    // loudly below.
     if (progressive) {
-      require(nc == 1, "JPEG: progressive color unsupported")
+      require(samp.forall(_ == 0x11),
+        "JPEG: progressive subsampled components unsupported")
       require(restartInterval == 0, "JPEG: DRI inside progressive unsupported")
       require(w % 8 == 0 && h % 8 == 0,
         s"JPEG: dims must tile whole blocks, got ${w}x$h")
       val nBlocks = (w / 8) * (h / 8)
-      val coefs = Array.fill(nBlocks)(new Array[Long](64))
+      val coefs = Array.fill(nc, nBlocks)(new Array[Long](64))
 
-      // decode one scan's entropy data over all blocks in raster order;
-      // returns the reader (its pos marks the end of consumed bytes)
-      def decodeScan(entStart: Int, ss: Int, se: Int, ah: Int, al: Int): BitReader = {
+      // decode one scan's entropy data (scomps = component indices in scan
+      // order) over all blocks in raster order; returns the reader (its
+      // pos marks the end of consumed bytes)
+      def decodeScan(scomps: Array[Int], entStart: Int,
+                     ss: Int, se: Int, ah: Int, al: Int): BitReader = {
         val br = new BitReader(payload, entStart)
         var eobrun = 0L
-        var pred = 0L
+        val preds = new Array[Long](nc)
         val p1 = 1L << al
+        if (ss == 0) { // DC scan — may interleave components (MCU order)
+          require(se == 0, "JPEG: progressive DC scan must have Se=0")
+          var b = 0
+          while (b < nBlocks) {
+            var ci = 0
+            while (ci < scomps.length) {
+              val c = scomps(ci)
+              val q = coefs(c)(b)
+              if (ah == 0) {
+                val t = readSym(br, dcH)
+                preds(c) += extend(br.bits(t), t)
+                q(0) = preds(c) << al
+              } else {
+                // refinement appends the next lower bit (two's-complement
+                // OR matches the arithmetic-shift point transform exactly)
+                if (br.bit() == 1) q(0) |= p1
+              }
+              ci += 1
+            }
+            b += 1
+          }
+          return br
+        }
+        // AC scans: exactly one component, per the progressive-mode rule
+        require(scomps.length == 1,
+          "JPEG: progressive AC scans must be single-component")
+        val comp = scomps(0)
         var b = 0
         while (b < nBlocks) {
-          val q = coefs(b)
-          if (ss == 0) { // DC scan
-            require(se == 0, "JPEG: progressive DC scan must have Se=0")
-            if (ah == 0) {
-              val t = readSym(br, dcH)
-              pred += extend(br.bits(t), t)
-              q(0) = pred << al
-            } else {
-              // refinement appends the next lower bit (two's-complement OR
-              // matches the arithmetic-shift point transform exactly)
-              if (br.bit() == 1) q(0) |= p1
-            }
-          } else if (ah == 0) { // AC first scan of the band [ss, se]
+          val q = coefs(comp)(b)
+          if (ah == 0) { // AC first scan of the band [ss, se]
             require(ss >= 1 && se <= 63 && ss <= se, "JPEG: bad spectral band")
             if (eobrun > 0) eobrun -= 1
             else {
@@ -1064,11 +1138,18 @@ object JpegCodec {
       var done = false
       while (!done) {
         val ns = payload(scanHdr) & 0xff
-        require(ns == 1, "JPEG: progressive interleaved scans unsupported")
+        require(ns >= 1 && ns <= nc, s"JPEG: bad scan component count $ns")
+        val scomps = Array.tabulate(ns) { k =>
+          val id = payload(scanHdr + 1 + 2 * k) & 0xff
+          val ix = compIds.indexOf(id)
+          require(ix >= 0, s"JPEG: scan references unknown component id $id")
+          ix
+        }
         val ss = payload(scanHdr + 1 + 2 * ns) & 0xff
         val se = payload(scanHdr + 2 + 2 * ns) & 0xff
         val ahal = payload(scanHdr + 3 + 2 * ns) & 0xff
-        val br = decodeScan(entStart, ss, se, (ahal >> 4) & 0x0f, ahal & 0x0f)
+        val br = decodeScan(scomps, entStart, ss, se,
+          (ahal >> 4) & 0x0f, ahal & 0x0f)
         // skip pad bits / stuffed bytes to the next true marker
         var p = br.pos
         while (p + 1 < payload.length &&
@@ -1095,32 +1176,36 @@ object JpegCodec {
         }
       }
 
-      // dequantize + IDCT every block (same overflow guard as baseline)
-      val plane = new Array[Byte](w * h)
+      // dequantize + IDCT every block of every component (same overflow
+      // guard as baseline)
       val qd = new Array[Long](64)
-      var b = 0
-      while (b < nBlocks) {
-        var g = 0
-        while (g < 64) {
-          qd(g) = coefs(b)(g) * qt(g)
-          require(math.abs(qd(g)) <= (1L << 17),
-            "JPEG: coefficient magnitude exceeds the baseline 8-bit range")
-          g += 1
-        }
-        val px = inverseBlock(qd)
-        val bx = b % (w / 8); val by = b / (w / 8)
-        var i = 0
-        while (i < 8) {
-          var j = 0
-          while (j < 8) {
-            plane((by * 8 + i) * w + bx * 8 + j) = px(i * 8 + j).toByte
-            j += 1
+      val progPlanes = Array.tabulate(nc) { c =>
+        val plane = new Array[Byte](w * h)
+        var b = 0
+        while (b < nBlocks) {
+          var g = 0
+          while (g < 64) {
+            qd(g) = coefs(c)(b)(g) * qt(g)
+            require(math.abs(qd(g)) <= (1L << 17),
+              "JPEG: coefficient magnitude exceeds the baseline 8-bit range")
+            g += 1
           }
-          i += 1
+          val px = inverseBlock(qd)
+          val bx = b % (w / 8); val by = b / (w / 8)
+          var i = 0
+          while (i < 8) {
+            var j = 0
+            while (j < 8) {
+              plane((by * 8 + i) * w + bx * 8 + j) = px(i * 8 + j).toByte
+              j += 1
+            }
+            i += 1
+          }
+          b += 1
         }
-        b += 1
+        plane
       }
-      return (w, h, Array(plane))
+      return (w, h, progPlanes)
     }
     // per-component sampling factors and plane geometry
     val hs = samp.map(v => (v >> 4) & 0x0f)

@@ -935,6 +935,53 @@ object MultimodalOps {
     }
   }
 
+  /** PROGRESSIVE COLOR JPEG asset table: every doc becomes TWO real
+    * JPEGs of the SAME RGB grid — the baseline 4:4:4 coding at doc_id and
+    * a progressive SOF2 coding (interleaved DC scans, per-component AC
+    * scans) at doc_id + [[ProgJpegCompanionOffset]], script alternating
+    * by id parity. Decodes must be byte-identical (entropy transport),
+    * which the positional oracle pins across the whole color chain. */
+  def progressiveRgbJpegAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        require(text.forall(_ < 128),
+          s"jpeg fixture requires ASCII text (doc $id)")
+        val w = (8 * (id % 3 + 1)).toInt
+        val h = (8 * (id % 2 + 1)).toInt
+        val rgb = Array.tabulate(w * h * 3)(i =>
+          (if (text.isEmpty) 0 else text.charAt(i % text.length).toInt).toByte)
+        Seq(
+          MediaAsset(id, "jpeg", JpegCodec.encodeRgb(w, h, rgb), w, h, 3, 0),
+          MediaAsset(id + ProgJpegCompanionOffset, "jpeg",
+            JpegCodec.encodeRgbProgressive(w, h, rgb,
+              successiveApprox = id % 2 == 0), w, h, 3, 0))
+      }.toDF()
+  }
+
+  /** Position-sensitive decoded-RGB features (the [[decodeGray16Features]]
+    * shape over [[graft.ops.JpegCodec.decodeRgb]]'s flattened bytes). */
+  def decodeRgbPositionalFeatures(assets: DataFrame): org.apache.spark.sql.Dataset[Gray16Features] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.as[MediaAsset].map { a =>
+      val (_, _, g) = JpegCodec.decodeRgb(a.payload)
+      var sum = 0L
+      var wsum = 0L
+      var i = 0
+      while (i < g.length) {
+        val v = (g(i) & 0xff).toLong
+        sum += v
+        wsum += v * (i + 1)
+        i += 1
+      }
+      Gray16Features(a.asset_id, a.format, g.length.toLong,
+        if (g.isEmpty) 0.0 else sum.toDouble / g.length,
+        g.take(12).map(b => (b & 0xff).toLong), wsum)
+    }
+  }
+
   /** Deterministic COLOR-JPEG asset table: each doc becomes a genuine
     * baseline YCbCr 4:4:4 JPEG whose source RGB bytes are the text tiled
     * over w×h×3 (the [[bmpAssetsFromDocuments]] layout). Lossy but

@@ -704,6 +704,92 @@ object MultimodalQueries {
         .orderBy("asset_id")
     },
 
+    // PROGRESSIVE COLOR JPEG (r14): SOF2 with 3 components — interleaved
+    // DC scans + single-component AC scans (the progressive-mode RULE).
+    // Every doc carries the baseline 4:4:4 coding AND the progressive
+    // coding of the same RGB grid; entropy transport over identical
+    // quantized grids means byte-identical decodes, so the oracle replays
+    // the baseline color chain once per doc and expects it for BOTH asset
+    // ids with position-sensitive stats.
+    QueryDef.withOracle("mm_decode_jpeg_prog_rgb", {
+      val half = 1L << 41
+      val div = 1L << 42
+      val alphaRows = (0 until 8).map(u => s"($u,${if (u == 0) 724 else 1024})")
+        .mkString(",")
+      val off = graft.ops.MultimodalOps.ProgJpegCompanionOffset
+      def ch(off: Int) =
+        s"""CAST(CASE WHEN length(text) = 0 THEN 0
+           |              ELSE unicode(substr(text,
+           |                CAST((3 * p.p + $off) % length(text) + 1 AS INT), 1)) END
+           |             AS BIGINT)""".stripMargin
+      s"""WITH qya AS (SELECT doc_id AS asset_id, text,
+         |         CAST(8 * (doc_id % 3 + 1) AS INT) AS w,
+         |         CAST(8 * (doc_id % 2 + 1) AS INT) AS h FROM documents),
+         |qct(u, i, c) AS (SELECT * FROM (VALUES ${OraclePhash.dctRows}) t(u, i, c)),
+         |qal(u, a) AS (SELECT * FROM (VALUES $alphaRows) t(u, a)),
+         |qrgb AS (SELECT asset_id, w, p.p AS p,
+         |           ${ch(0)} AS r,
+         |           ${ch(1)} AS g,
+         |           ${ch(2)} AS b
+         |         FROM qya, range(${24 * 16}) p(p) WHERE p.p < w * h),
+         |qyc AS (SELECT asset_id, w, p,
+         |          greatest(0, least(255, (299 * r + 587 * g + 114 * b + 500) // 1000)) AS y,
+         |          greatest(0, least(255, (-1687 * r - 3313 * g + 5000 * b + 5000) // 10000 + 128)) AS cb,
+         |          greatest(0, least(255, (5000 * r - 4187 * g - 813 * b + 5000) // 10000 + 128)) AS cr
+         |        FROM qrgb),
+         |qcomp AS (SELECT asset_id, cc.c AS comp,
+         |            (p // w) // 8 AS bi, (p % w) // 8 AS bj,
+         |            (p // w) % 8 AS i, (p % w) % 8 AS j,
+         |            (CASE cc.c WHEN 0 THEN y WHEN 1 THEN cb ELSE cr END) - 128 AS s
+         |          FROM qyc, range(3) cc(c)),
+         |qf AS (SELECT asset_id, comp, bi, bj, cu.u AS u, cv.u AS v,
+         |         CAST(SUM(s * cu.c * cv.c) AS BIGINT) AS fraw
+         |       FROM qcomp JOIN qct cu ON cu.i = qcomp.i
+         |                  JOIN qct cv ON cv.i = qcomp.j
+         |       GROUP BY 1, 2, 3, 4, 5, 6),
+         |qq AS (SELECT f.asset_id, comp, bi, bj, f.u AS u, f.v AS v,
+         |         (fraw * au.a * av.a + $half) // $div AS qc
+         |       FROM qf f JOIN qal au ON au.u = f.u JOIN qal av ON av.u = f.v),
+         |qr AS (SELECT q.asset_id, comp, bi, bj, ci.i AS i, cj.i AS j,
+         |         greatest(0, least(255,
+         |           CAST((SUM(qc * au.a * av.a * ci.c * cj.c) + $half) // $div
+         |                AS BIGINT) + 128)) AS dv
+         |       FROM qq q JOIN qal au ON au.u = q.u JOIN qal av ON av.u = q.v
+         |                 JOIN qct ci ON ci.u = q.u JOIN qct cj ON cj.u = q.v
+         |       GROUP BY 1, 2, 3, 4, 5, 6),
+         |qpv AS (SELECT r0.asset_id,
+         |          (bi * 8 + i) * a.w + bj * 8 + j AS p,
+         |          MAX(CASE WHEN comp = 0 THEN dv END) AS y2,
+         |          MAX(CASE WHEN comp = 1 THEN dv END) - 128 AS cb2,
+         |          MAX(CASE WHEN comp = 2 THEN dv END) - 128 AS cr2
+         |        FROM qr r0 JOIN qya a ON a.asset_id = r0.asset_id
+         |        GROUP BY 1, 2),
+         |qout AS (SELECT asset_id, 3 * p + chn.c AS pos,
+         |           CASE chn.c
+         |             WHEN 0 THEN greatest(0, least(255, y2 + (1402 * cr2 + 500) // 1000))
+         |             WHEN 1 THEN greatest(0, least(255, y2 - (3441 * cb2 + 7141 * cr2 + 5000) // 10000))
+         |             ELSE greatest(0, least(255, y2 + (1772 * cb2 + 500) // 1000))
+         |           END AS px
+         |         FROM qpv, (VALUES (0), (1), (2)) chn(c)),
+         |ql AS (SELECT asset_id, list(px ORDER BY pos) AS pxs FROM qout GROUP BY 1),
+         |qb AS (SELECT asset_id, pxs FROM ql
+         |       UNION ALL SELECT asset_id + $off, pxs FROM ql)
+         |SELECT asset_id, 'jpeg' AS format,
+         |  CAST(len(pxs) AS BIGINT) AS n_px,
+         |  CAST(list_sum(pxs) AS DOUBLE) / len(pxs) AS mean_val,
+         |  array_to_string(list_slice(pxs, 1, 12), ',') AS head_csv,
+         |  CAST(list_sum(list_transform(range(1, len(pxs) + 1), k -> pxs[k] * k))
+         |       AS BIGINT) AS wsum
+         |FROM qb ORDER BY asset_id""".stripMargin
+    }) { (s, dir) =>
+      MultimodalOps.decodeRgbPositionalFeatures(
+        MultimodalOps.progressiveRgbJpegAssetsFromDocuments(Tables(s, dir, "documents")))
+        .toDF()
+        .select(col("asset_id"), col("format"), col("n_px"), col("mean_val"),
+          concat_ws(",", col("head")).as("head_csv"), col("wsum"))
+        .orderBy("asset_id")
+    },
+
     // REAL 4:2:0 COLOR JPEG — the sampling every camera JPEG uses: Y at
     // full resolution (2×2), chroma subsampled 2× both directions. The
     // oracle replays the ENTIRE chain: RGB tiling -> integer YCbCr ->

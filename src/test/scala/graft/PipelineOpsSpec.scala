@@ -2273,6 +2273,17 @@ class PipelineOpsSpec extends SparkTestBase {
     val enc = JpegCodec.encodeGrayProgressive(8, 8, Array.fill(64)(7.toByte))
     assert(enc.sliding(2).exists(p =>
       (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xC2))
+    // COLOR progressive: interleaved DC scans + per-component AC scans
+    // decode byte-identical to the baseline 4:4:4 coding, both scripts
+    val crnd = new scala.util.Random(7)
+    for ((w, h) <- Seq((8, 8), (24, 16)); sa <- Seq(true, false)) {
+      val rgb = Array.fill(w * h * 3)(crnd.nextInt(256).toByte)
+      val (_, _, base) = JpegCodec.decodeRgb(JpegCodec.encodeRgb(w, h, rgb))
+      val (pw, ph, prog) = JpegCodec.decodeRgb(
+        JpegCodec.encodeRgbProgressive(w, h, rgb, successiveApprox = sa))
+      assert(pw == w && ph == h)
+      assert(prog.toSeq == base.toSeq, s"color pixels diverge at ${w}x$h sa=$sa")
+    }
   }
 
   test("hashSetContainmentPairs: temporal-shift companions pair at (nf-1)/nf; frames never collide across texts") {
