@@ -91,6 +91,121 @@ object GifCodec {
     out.toByteArray
   }
 
+  /** Encode an ANIMATED GIF89a: one grayscale-GCT logical screen, a
+    * NETSCAPE 2.0 looping application extension (the block real animated
+    * GIFs carry — the decoder's extension walk must skip its sub-blocks),
+    * then per frame a Graphic Control Extension (disposal none, the
+    * frame's delay in centiseconds, no transparency) followed by a
+    * full-frame image descriptor + LZW data. `interlaced`/`localPalette`
+    * apply to every frame (the per-frame LCT is the [[lctEntry]] table). */
+  def encodeAnimated(w: Int, h: Int, frames: Seq[Array[Byte]],
+                     delaysCs: Seq[Int], interlaced: Boolean = false,
+                     localPalette: Boolean = false): Array[Byte] = {
+    require(frames.nonEmpty && frames.length == delaysCs.length,
+      s"need one delay per frame: ${frames.length} vs ${delaysCs.length}")
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff, "bad dimensions")
+    frames.foreach(f => require(f.length == w * h,
+      s"need ${w * h} pixels per frame, got ${f.length}"))
+    delaysCs.foreach(d => require(d >= 0 && d <= 0xffff, s"bad delay $d"))
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    u16(w); u16(h)
+    out.write(0xf7); out.write(0); out.write(0)
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    // NETSCAPE 2.0 loop-forever extension
+    out.write(0x21); out.write(0xff); out.write(11)
+    out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+    out.write(3); out.write(1); u16(0); out.write(0)
+    frames.zip(delaysCs).foreach { case (px, delay) =>
+      out.write(0x21); out.write(0xf9); out.write(4) // GCE
+      out.write(0) // disposal none, no transparency
+      u16(delay)
+      out.write(0) // transparent index (unused)
+      out.write(0) // block terminator
+      out.write(0x2c) // image descriptor, full frame
+      u16(0); u16(0); u16(w); u16(h)
+      out.write((if (localPalette) 0x87 else 0) | (if (interlaced) 0x40 else 0))
+      if (localPalette) {
+        var j = 0
+        while (j < 256) {
+          val (r, g, b) = lctEntry(j)
+          out.write(r); out.write(g); out.write(b)
+          j += 1
+        }
+      }
+      val stream =
+        if (!interlaced) px
+        else {
+          val t = new Array[Byte](px.length)
+          val order = interlaceRows(h)
+          var ri = 0
+          while (ri < h) {
+            System.arraycopy(px, order(ri) * w, t, ri * w, w)
+            ri += 1
+          }
+          t
+        }
+      val mcs = 8
+      out.write(mcs)
+      out.write(lzwCompress(stream, mcs))
+    }
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Decode EVERY frame of a (possibly animated) GIF: walk the block
+    * stream to the trailer, tracking each frame's Graphic Control
+    * Extension delay (0 when a frame carries none — legal for stills).
+    * Returns (w, h, frames) with one (delay_cs, grayscale plane) per
+    * image descriptor. Interlace and local color tables apply per frame
+    * through the same single-image machinery as [[decode]]. */
+  def decodeFrames(payload: Array[Byte]): (Int, Int, Seq[(Int, Array[Byte])]) = {
+    require(payload.length >= 13, "truncated GIF header")
+    val sig = new String(payload, 0, 6, "US-ASCII")
+    require(sig == "GIF89a" || sig == "GIF87a", s"not a GIF payload: '$sig'")
+    def u16(off: Int) = (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8)
+    def at(p: Int): Int = {
+      require(p < payload.length, "truncated GIF stream"); payload(p) & 0xff
+    }
+    val w = u16(6); val h = u16(8)
+    val packed = payload(10) & 0xff
+    require((packed & 0x80) != 0, "GIF without a global color table")
+    val gctSize = 2 << (packed & 7)
+    var pos = 13
+    require(pos + gctSize * 3 <= payload.length, "truncated color table")
+    val gct = java.util.Arrays.copyOfRange(payload, pos, pos + gctSize * 3)
+    pos += gctSize * 3
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+    var pendingDelay = 0
+    var done = false
+    while (!done) {
+      at(pos) match {
+        case 0x3b => done = true // trailer
+        case 0x21 =>
+          val label = at(pos + 1)
+          if (label == 0xf9) { // GCE: delay for the NEXT image
+            require(at(pos + 2) == 4, "bad GCE block size")
+            // block: [size=4][packed][delay lo][delay hi][transp index]
+            pendingDelay = u16(pos + 4)
+          }
+          pos += 2 // introducer + label, then the sub-block walk
+          while (at(pos) != 0) pos += 1 + at(pos)
+          pos += 1
+        case 0x2c =>
+          val (px, next) = decodeImageAt(payload, pos, w, h, gct)
+          frames += ((pendingDelay, px))
+          pendingDelay = 0
+          pos = next
+        case b => throw new IllegalArgumentException(
+          f"GIF: unexpected block 0x$b%02x at $pos")
+      }
+    }
+    require(frames.nonEmpty, "GIF with no image data")
+    (w, h, frames.toSeq)
+  }
+
   /** The GIF LZW coder: variable code width starting at mcs+1, CLEAR at
     * stream start and on dictionary overflow, EOI at end; the encoder
     * widens one entry LATER than the decoder (the decoder's dictionary
@@ -173,6 +288,23 @@ object GifCodec {
       pos += 1
     }
     require(at(pos) == 0x2c, "no image descriptor")
+    val (px, _) = decodeImageAt(payload, pos, w, h, gct)
+    (w, h, px)
+  }
+
+  /** Decode ONE image (descriptor at `pos`) of a GIF whose logical screen
+    * is w×h with global color table `gct`: LCT override, optional
+    * interlace scatter, LZW, palette-luma expansion. Returns the decoded
+    * grayscale plane and the position just past the image's data
+    * terminator — the single-image face ([[decode]]) calls it once, the
+    * animation walk ([[decodeFrames]]) repeatedly. */
+  private def decodeImageAt(payload: Array[Byte], pos0: Int, w: Int, h: Int,
+                            gct: Array[Byte]): (Array[Byte], Int) = {
+    var pos = pos0
+    def at(p: Int): Int = {
+      require(p < payload.length, "truncated GIF stream"); payload(p) & 0xff
+    }
+    def u16(off: Int) = (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8)
     require(pos + 10 <= payload.length, "truncated image descriptor")
     val iw = u16(pos + 5); val ih = u16(pos + 7)
     val ipacked = payload(pos + 9) & 0xff
@@ -198,6 +330,7 @@ object GifCodec {
       data.write(payload, pos + 1, n)
       pos += 1 + n
     }
+    pos += 1 // data terminator
     val idx0 = lzwDecompress(data.toByteArray, mcs, w * h)
     // interlaced streams transmit rows in the four-pass order — scatter
     // them back to their raster positions (transport-only: the result is
@@ -223,7 +356,7 @@ object GifCodec {
       px(i) = ((299 * r + 587 * g + 114 * b) / 1000).toByte
       i += 1
     }
-    (w, h, px)
+    (px, pos)
   }
 
   /** Feature stats of the DECODED pixels — same contract as

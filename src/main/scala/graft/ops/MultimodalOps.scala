@@ -25,6 +25,12 @@ final case class Gray16Features(
     asset_id: Long, format: String, n_px: Long, mean_val: Double,
     head: Array[Long], wsum: Long)
 
+/** One decoded ANIMATED-GIF frame's stats: GCE delay plus the
+  * position-sensitive pixel features (head + Σ v(i)·(i+1)). */
+final case class GifFrameFeatures(
+    asset_id: Long, frame_idx: Int, delay_cs: Int, n_px: Long,
+    mean_val: Double, head: Array[Long], wsum: Long)
+
 /** One ViT-style image patch: flattened row-major RGB values of a
   * `p`×`p` tile at patch-grid position (py, px). */
 final case class ImagePatch(
@@ -466,6 +472,61 @@ object MultimodalOps {
             interlaced = id % 4 == 1 || id % 4 == 3,
             localPalette = id % 4 == 2 || id % 4 == 3), w, h, 1, 0)
       }.toDF()
+  }
+
+  /** Deterministic ANIMATED-GIF asset table: each doc becomes a genuine
+    * multi-frame GIF89a (NETSCAPE loop extension, per-frame GCE delays) of
+    * `2 + id % 3` frames; frame f's pixels are the text tiled with offset
+    * 11·f (frames differ, so a walk that returns the wrong frame fails the
+    * value match) and its delay is `4 + f` centiseconds. Descriptor
+    * variants cycle by id%4 exactly like the still fixture (plain /
+    * interlaced / LCT / both), applied to every frame. */
+  def animGifAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        require(text.forall(_ < 128),
+          s"animated-gif fixture requires ASCII text (doc $id)")
+        val w = (id % 7 + 2).toInt
+        val h = (id % 5 + 2).toInt
+        val nf = (2 + id % 3).toInt
+        val frames = (0 until nf).map { f =>
+          Array.tabulate(w * h)(i =>
+            (if (text.isEmpty) 0
+             else text.charAt((11 * f + i) % text.length).toInt).toByte)
+        }
+        MediaAsset(id, "gif",
+          GifCodec.encodeAnimated(w, h, frames, (0 until nf).map(4 + _),
+            interlaced = id % 4 == 1 || id % 4 == 3,
+            localPalette = id % 4 == 2 || id % 4 == 3), w, h, 1, 0)
+      }.toDF()
+  }
+
+  /** Per-frame positional features of animated GIFs: one row per frame
+    * with its GCE delay and the position-sensitive pixel stats. One typed
+    * map pass; payloads never leave the task. */
+  def gifFrameFeatures(assets: DataFrame)
+      : org.apache.spark.sql.Dataset[GifFrameFeatures] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.as[MediaAsset].flatMap { a =>
+      val (_, _, frames) = GifCodec.decodeFrames(a.payload)
+      frames.zipWithIndex.map { case ((delay, g), fi) =>
+        var sum = 0L
+        var wsum = 0L
+        var i = 0
+        while (i < g.length) {
+          val v = (g(i) & 0xff).toLong
+          sum += v
+          wsum += v * (i + 1)
+          i += 1
+        }
+        GifFrameFeatures(a.asset_id, fi, delay, g.length.toLong,
+          if (g.isEmpty) 0.0 else sum.toDouble / g.length,
+          g.take(12).map(b => (b & 0xff).toLong), wsum)
+      }
+    }
   }
 
   /** Position-sensitive decoded-pixel features of GIF assets — the

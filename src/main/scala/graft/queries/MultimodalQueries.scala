@@ -1218,6 +1218,53 @@ object MultimodalQueries {
         .orderBy("asset_id")
     },
 
+    // ANIMATED GIF (r14): multi-frame GIF89a — NETSCAPE loop extension,
+    // per-frame Graphic Control Extension delays, one image descriptor +
+    // LZW stream per frame (descriptor variants cycle plain/interlaced/
+    // LCT/both by id). One row per frame with the GCE delay and
+    // position-sensitive pixel stats; the oracle recomputes every frame
+    // from the text tiling (offset 11·f per frame — a walk returning the
+    // wrong frame, dropping a GCE, or mis-scoping a per-frame LCT all
+    // break the value match).
+    QueryDef.withOracle("mm_gif_frames",
+      """WITH a AS (
+        |  SELECT doc_id, text,
+        |         CAST(doc_id % 7 + 2 AS INT) AS w,
+        |         CAST(doc_id % 5 + 2 AS INT) AS h,
+        |         CAST(2 + doc_id % 3 AS INT) AS nf
+        |  FROM documents),
+        |fr AS (SELECT a.*, CAST(f.f AS INT) AS f
+        |       FROM a, range(4) f(f) WHERE f.f < nf),
+        |c AS (
+        |  SELECT doc_id, f, list_transform(range(0, w * h),
+        |           i -> CASE WHEN length(text) = 0 THEN 0
+        |                     ELSE unicode(substr(text,
+        |                            CAST((11 * f + i) % length(text) + 1 AS INT), 1)) END) AS idxs
+        |  FROM fr),
+        |v AS (
+        |  SELECT doc_id, f,
+        |    CASE WHEN doc_id % 4 IN (2, 3) THEN
+        |      list_transform(idxs, j ->
+        |        (299 * j + 587 * ((7 * j) % 256) + 114 * ((13 * j) % 256)) // 1000)
+        |    ELSE idxs END AS vs
+        |  FROM c)
+        |SELECT doc_id AS asset_id, CAST(f AS INT) AS frame_idx,
+        |  CAST(4 + f AS INT) AS delay_cs,
+        |  CAST(len(vs) AS BIGINT) AS n_px,
+        |  CAST(list_sum(vs) AS DOUBLE) / len(vs) AS mean_val,
+        |  array_to_string(list_slice(vs, 1, 12), ',') AS head_csv,
+        |  CAST(list_sum(list_transform(range(1, len(vs) + 1), k -> vs[k] * k))
+        |       AS BIGINT) AS wsum
+        |FROM v ORDER BY asset_id, frame_idx""".stripMargin) { (s, dir) =>
+      MultimodalOps.gifFrameFeatures(
+        MultimodalOps.animGifAssetsFromDocuments(Tables(s, dir, "documents")))
+        .toDF()
+        .select(col("asset_id"), col("frame_idx"), col("delay_cs"),
+          col("n_px"), col("mean_val"),
+          concat_ws(",", col("head")).as("head_csv"), col("wsum"))
+        .orderBy("asset_id", "frame_idx")
+    },
+
     // REAL PREDICTIVE AUDIO: IMA ADPCM (WAV format 0x11) — 4-bit codes,
     // per-block headers, fact-trimmed padding. Lossy, but the fused
     // encode->decode chain is an exact integer STATE MACHINE, so the

@@ -2496,6 +2496,38 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(java.util.Arrays.equals(both, expectBoth))
   }
 
+  test("GifCodec animation: multi-frame walk, GCE delays, variant frames, still compatibility") {
+    import graft.ops.GifCodec
+    val rnd = new scala.util.Random(23)
+    val w = 6; val h = 5
+    val frames = (0 until 4).map(_ => Array.fill(w * h)(rnd.nextInt(256).toByte))
+    val delays = Seq(4, 5, 6, 7)
+    for (il <- Seq(false, true); lct <- Seq(false, true)) {
+      val gif = GifCodec.encodeAnimated(w, h, frames, delays,
+        interlaced = il, localPalette = lct)
+      val (dw, dh, got) = GifCodec.decodeFrames(gif)
+      assert(dw == w && dh == h)
+      assert(got.map(_._1) == delays, s"delays il=$il lct=$lct")
+      got.map(_._2).zip(frames).zipWithIndex.foreach { case ((d, src), fi) =>
+        val expect = if (!lct) src else src.map { b =>
+          val j = b & 0xff
+          ((299 * j + 587 * ((7 * j) % 256) + 114 * ((13 * j) % 256)) / 1000).toByte
+        }
+        assert(java.util.Arrays.equals(d, expect), s"frame $fi il=$il lct=$lct")
+      }
+      // decode() on an animated payload returns the FIRST frame
+      assert(java.util.Arrays.equals(GifCodec.decode(gif)._3, got.head._2))
+    }
+    // a still GIF through decodeFrames: one frame, delay 0 (no GCE)
+    val still = GifCodec.encode(4, 3, Array.tabulate(12)(_.toByte))
+    val (_, _, one) = GifCodec.decodeFrames(still)
+    assert(one.length == 1 && one.head._1 == 0)
+    assert(java.util.Arrays.equals(one.head._2, GifCodec.decode(still)._3))
+    // guards: frame/delay arity, per-frame size
+    intercept[IllegalArgumentException](
+      GifCodec.encodeAnimated(4, 3, frames.take(2).map(_.take(12)), Seq(1)))
+  }
+
   test("WavCodec IMA ADPCM: block-predictive round-trip matches the scalar state machine") {
     // scalar reference of the fused encode->decode chain (the decoded
     // value is the encoder's own reconstructed predictor)
