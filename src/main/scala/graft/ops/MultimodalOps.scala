@@ -25,6 +25,12 @@ final case class Gray16Features(
     asset_id: Long, format: String, n_px: Long, mean_val: Double,
     head: Array[Long], wsum: Long)
 
+/** One RESAMPLED audio clip's stats: source/target rates, sample counts
+  * and position-sensitive features of the resampled signal. */
+final case class AudioResampleFeatures(
+    asset_id: Long, rate_in: Int, rate_out: Int, n_in: Long, n_out: Long,
+    mean_val: Double, head: Array[Long], wsum: Long)
+
 /** One decoded ANIMATED-GIF frame's stats: GCE delay plus the
   * position-sensitive pixel features (head + Σ v(i)·(i+1)). */
 final case class GifFrameFeatures(
@@ -360,6 +366,50 @@ object MultimodalOps {
             0, 0, 1, rates((id % 3).toInt)))
         else Seq(base)
       }.toDF()
+  }
+
+  /** SAMPLE-RATE CONVERSION — the 16 kHz normalization every speech/audio
+    * training pipeline runs before featurization: integer-exact LINEAR
+    * interpolation from each container's native rate to `outRate`. Output
+    * sample k sits at source position k·rIn/rOut; with i = (k·rIn)/rOut
+    * and num = (k·rIn) mod rOut,
+    *   out(k) = s(i)                                   when num = 0
+    *          = s(i) + ((s(i+1) − s(i)) · num) / rOut  otherwise
+    * (truncating division, exactly DuckDB's `//`), and
+    * n_out = (n−1)·rOut/rIn + 1 so the last tap never reads past the
+    * signal. Upsampling (8 kHz →), identity (16 kHz) and downsampling
+    * (44.1 kHz →) all occur in the fixture corpus. One typed map pass:
+    * payloads never leave the task, only the stats rows do. */
+  def audioResampleFeatures(assets: DataFrame, outRate: Int)
+      : org.apache.spark.sql.Dataset[AudioResampleFeatures] = {
+    require(outRate > 0, "output rate must be positive")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.as[MediaAsset].map { a =>
+      require(a.format == "wav", s"audioResampleFeatures needs wav, got ${a.format}")
+      val (rateIn, channels, ss) = WavCodec.decode(a.payload)
+      require(channels == 1, s"audioResampleFeatures expects mono, got $channels")
+      require(ss.nonEmpty, s"empty signal (asset ${a.asset_id})")
+      val nOut = ((ss.length - 1).toLong * outRate / rateIn + 1).toInt
+      var sum = 0L
+      var wsum = 0L
+      val head = new Array[Long](math.min(12, nOut))
+      var k = 0
+      while (k < nOut) {
+        val pos = k.toLong * rateIn
+        val i = (pos / outRate).toInt
+        val num = pos % outRate
+        val v =
+          if (num == 0L) ss(i).toLong
+          else ss(i) + (ss(i + 1) - ss(i)).toLong * num / outRate
+        sum += v
+        wsum += v * (k + 1)
+        if (k < head.length) head(k) = v
+        k += 1
+      }
+      AudioResampleFeatures(a.asset_id, rateIn, outRate, ss.length.toLong,
+        nOut.toLong, sum.toDouble / nOut, head, wsum)
+    }
   }
 
   /** AUDIO FINGERPRINTS (Haitsma-Kalker 2002 shape, integer-exact): decode

@@ -466,6 +466,52 @@ object MultimodalQueries {
         .orderBy("asset_id")
     },
 
+    // SAMPLE-RATE CONVERSION (r14): the 16 kHz normalization every
+    // speech/audio pipeline runs — integer-exact linear interpolation
+    // from each clip's native rate (8k upsamples 2x, 16k is identity,
+    // 44.1k downsamples ~2.76x — all three live in the corpus). The
+    // oracle replays the tap positions and the truncating-division
+    // interpolation sample-by-sample over the text-derived signal, with
+    // position-sensitive stats — a tap-index off-by-one, a rounding-mode
+    // slip, or an output-length fencepost all break the value match.
+    QueryDef.withOracle("mm_audio_resample",
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, length(text) + 1),
+        |           i -> CAST((unicode(substr(text, CAST(i AS INT), 1)) - 80) * 257
+        |                AS BIGINT)) AS ss,
+        |         ([8000, 16000, 44100])[CAST(doc_id % 3 AS INT) + 1] AS rate
+        |  FROM documents),
+        |r AS (SELECT doc_id, rate, ss,
+        |        (len(ss) - 1) * 16000 // rate + 1 AS n_out FROM s),
+        |o AS (SELECT doc_id, rate, len(ss) AS n_in, n_out,
+        |        list_transform(range(0, n_out), k ->
+        |          CASE WHEN (k * rate) % 16000 = 0
+        |               THEN ss[CAST((k * rate) // 16000 + 1 AS INT)]
+        |               ELSE ss[CAST((k * rate) // 16000 + 1 AS INT)]
+        |                    + ((ss[CAST((k * rate) // 16000 + 2 AS INT)]
+        |                        - ss[CAST((k * rate) // 16000 + 1 AS INT)])
+        |                       * ((k * rate) % 16000)) // 16000
+        |          END) AS vs
+        |      FROM r)
+        |SELECT doc_id AS asset_id, CAST(rate AS INT) AS rate_in,
+        |  CAST(16000 AS INT) AS rate_out,
+        |  CAST(n_in AS BIGINT) AS n_in, CAST(n_out AS BIGINT) AS n_out,
+        |  CAST(list_sum(vs) AS DOUBLE) / len(vs) AS mean_val,
+        |  array_to_string(list_slice(vs, 1, 12), ',') AS head_csv,
+        |  CAST(list_sum(list_transform(range(1, len(vs) + 1), k -> vs[k] * k))
+        |       AS BIGINT) AS wsum
+        |FROM o ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      MultimodalOps.audioResampleFeatures(
+        MultimodalOps.wavAssetsFromDocuments(Tables(s, dir, "documents")),
+        outRate = 16000)
+        .toDF()
+        .select(col("asset_id"), col("rate_in"), col("rate_out"),
+          col("n_in"), col("n_out"), col("mean_val"),
+          concat_ws(",", col("head")).as("head_csv"), col("wsum"))
+        .orderBy("asset_id")
+    },
+
     // Frame-level audio features (decode fused with 64-sample framing, one
     // ROW per analysis frame, first 4 frames per asset — the VAD /
     // loudness-normalization access pattern). The oracle slices the same

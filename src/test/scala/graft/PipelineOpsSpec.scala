@@ -2496,6 +2496,43 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(java.util.Arrays.equals(both, expectBoth))
   }
 
+  test("audioResampleFeatures: exact linear-interpolation taps across up/identity/down regimes") {
+    import graft.ops.{MultimodalOps, WavCodec}
+    import spark.implicits._
+    def asset(id: Long, rate: Int, ss: Array[Short]) =
+      graft.ops.MediaAsset(id, "wav", WavCodec.encode(rate, 1, ss), 0, 0, 1, rate)
+    // scalar reference of the documented formula
+    def ref(ss: Array[Short], rIn: Int, rOut: Int): Seq[Long] = {
+      val nOut = ((ss.length - 1).toLong * rOut / rIn + 1).toInt
+      (0 until nOut).map { k =>
+        val pos = k.toLong * rIn
+        val i = (pos / rOut).toInt
+        val num = pos % rOut
+        if (num == 0L) ss(i).toLong
+        else ss(i) + (ss(i + 1) - ss(i)).toLong * num / rOut
+      }
+    }
+    val s8 = Array[Short](0, 100, -101, 7)         // upsample 2x, negative interp
+    val s16 = Array[Short](5, -5, 9)               // identity
+    val s44 = Array.tabulate(200)(i => ((i * 131) % 997 - 498).toShort) // ~2.76x down
+    val rows = MultimodalOps.audioResampleFeatures(
+        Seq(asset(0, 8000, s8), asset(1, 16000, s16), asset(2, 44100, s44)).toDF(),
+        outRate = 16000)
+      .collect().map(r => r.asset_id -> r).toMap
+    // upsample 2x: even taps are the sources, odd taps the truncating
+    // midpoints ((0+100)/2=50, (100-101)/2 trunc-toward-zero = 0, (-101+7)/2 = -47)
+    val e8 = ref(s8, 8000, 16000)
+    assert(e8 == Seq(0L, 50L, 100L, 0L, -101L, -47L, 7L))
+    assert(rows(0L).n_out == e8.length && rows(0L).head.toSeq == e8.take(12)
+      && rows(0L).wsum == e8.zipWithIndex.map { case (v, i) => v * (i + 1) }.sum)
+    // identity: output == input
+    assert(rows(1L).head.toSeq == s16.map(_.toLong).toSeq && rows(1L).n_out == 3)
+    // downsample: n_out fencepost + full positional checksum vs reference
+    val e44 = ref(s44, 44100, 16000)
+    assert(rows(2L).n_out == e44.length)
+    assert(rows(2L).wsum == e44.zipWithIndex.map { case (v, i) => v * (i + 1) }.sum)
+  }
+
   test("GifCodec animation: multi-frame walk, GCE delays, variant frames, still compatibility") {
     import graft.ops.GifCodec
     val rnd = new scala.util.Random(23)
