@@ -656,6 +656,64 @@ object MultimodalOps {
       }.toDF()
   }
 
+  /** BILINEAR RESIZE to a fixed model-input grid — the real preprocessing
+    * resize (nearest-neighbor is the fast path, bilinear is what training
+    * pipelines actually normalize with). Integer-exact ALIGN-CORNERS
+    * mapping: destination (x, y) samples source position
+    * (x·(w−1)/(dw−1), y·(h−1)/(dh−1)); with D = dw−1, E = dh−1,
+    * px = x·(w−1) = ix·D + nx and py = y·(h−1) = iy·E + ny,
+    *   out = (s00·(D−nx)·(E−ny) + s01·nx·(E−ny)
+    *        + s10·(D−nx)·ny + s11·nx·ny) / (D·E)
+    * with truncating division (DuckDB `//`), taps clamped at the last
+    * row/column (their weights are zero exactly when clamping engages).
+    * Degenerate 1-wide/1-tall sources (the fixture includes them) hit the
+    * nx = 0 / ny = 0 paths everywhere. One typed map pass over the
+    * grayscale-PNG decode. */
+  def imageBilinearFeatures(assets: DataFrame, dw: Int, dh: Int)
+      : org.apache.spark.sql.Dataset[Gray16Features] = {
+    require(dw > 1 && dh > 1, "destination dims must exceed 1 for align-corners")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.as[MediaAsset].map { a =>
+      require(a.format == "png", s"imageBilinearFeatures needs png, got ${a.format}")
+      val (w, h, g) = PngCodec.decode(a.payload)
+      val dD = (dw - 1).toLong
+      val eE = (dh - 1).toLong
+      def s(yy: Int, xx: Int): Long = (g(yy * w + xx) & 0xff).toLong
+      var sum = 0L
+      var wsum = 0L
+      val head = new Array[Long](math.min(12, dw * dh))
+      var k = 0
+      var y = 0
+      while (y < dh) {
+        val py = y.toLong * (h - 1)
+        val iy = (py / eE).toInt
+        val ny = py % eE
+        val iy1 = math.min(iy + 1, h - 1)
+        var x = 0
+        while (x < dw) {
+          val px = x.toLong * (w - 1)
+          val ix = (px / dD).toInt
+          val nx = px % dD
+          val ix1 = math.min(ix + 1, w - 1)
+          val v = (s(iy, ix) * (dD - nx) * (eE - ny) +
+                   s(iy, ix1) * nx * (eE - ny) +
+                   s(iy1, ix) * (dD - nx) * ny +
+                   s(iy1, ix1) * nx * ny) / (dD * eE)
+          sum += v
+          wsum += v * (k + 1)
+          if (k < head.length) head(k) = v
+          k += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = dw * dh
+      Gray16Features(a.asset_id, a.format, n.toLong, sum.toDouble / n,
+        head, wsum)
+    }
+  }
+
   /** Deterministic 16-BIT grayscale PNG asset table: sample i is the
     * 16-bit value `text[i]·256 + text[i+1]` (tiled) — both bytes of every
     * big-endian pair carry signal, so a byte-order or pairing bug changes

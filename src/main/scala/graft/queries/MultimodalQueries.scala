@@ -1120,6 +1120,58 @@ object MultimodalQueries {
         .orderBy("asset_id")
     },
 
+    // BILINEAR RESIZE (r14): align-corners interpolation of every decoded
+    // grayscale PNG onto a fixed 16x16 model-input grid — the resize
+    // training pipelines actually normalize with (the NN faces cover the
+    // fast path). Integer-exact 4-tap weighting with truncating division;
+    // the corpus includes 1-wide and 1-tall sources, so the degenerate
+    // nx=0/ny=0 paths and the clamped last-row/column taps are all live.
+    // The oracle replays the tap indices and weights per destination
+    // pixel over the lossless text tiling, position-sensitively.
+    QueryDef.withOracle("mm_resize_bilinear",
+      """WITH a AS (
+        |  SELECT doc_id, text,
+        |         CAST(doc_id % 9 + 1 AS INT) AS w,
+        |         CAST(doc_id % 7 + 1 AS INT) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, w, h, list_transform(range(0, w * h),
+        |           i -> CASE WHEN length(text) = 0 THEN 0
+        |                     ELSE unicode(substr(text,
+        |                            CAST(i % length(text) + 1 AS INT), 1)) END) AS vs
+        |  FROM a),
+        |d AS (SELECT doc_id, w, h, vs, t.t AS t,
+        |        t.t % 16 AS x, t.t // 16 AS y
+        |      FROM c, range(256) t(t)),
+        |e AS (SELECT doc_id, vs, t, w,
+        |        (x * (w - 1)) // 15 AS ix, (x * (w - 1)) % 15 AS nx,
+        |        (y * (h - 1)) // 15 AS iy, (y * (h - 1)) % 15 AS ny,
+        |        least((x * (w - 1)) // 15 + 1, w - 1) AS ix1,
+        |        least((y * (h - 1)) // 15 + 1, h - 1) AS iy1
+        |      FROM d),
+        |f AS (SELECT doc_id, t,
+        |        (vs[CAST(iy * w + ix + 1 AS INT)] * (15 - nx) * (15 - ny)
+        |         + vs[CAST(iy * w + ix1 + 1 AS INT)] * nx * (15 - ny)
+        |         + vs[CAST(iy1 * w + ix + 1 AS INT)] * (15 - nx) * ny
+        |         + vs[CAST(iy1 * w + ix1 + 1 AS INT)] * nx * ny) // 225 AS v
+        |      FROM e),
+        |g2 AS (SELECT doc_id, list(v ORDER BY t) AS rs FROM f GROUP BY 1)
+        |SELECT doc_id AS asset_id, 'png' AS format,
+        |  CAST(256 AS BIGINT) AS n_px,
+        |  CAST(list_sum(rs) AS DOUBLE) / 256 AS mean_val,
+        |  array_to_string(list_slice(rs, 1, 12), ',') AS head_csv,
+        |  CAST(list_sum(list_transform(range(1, 257), k -> rs[k] * k))
+        |       AS BIGINT) AS wsum
+        |FROM g2 ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      MultimodalOps.imageBilinearFeatures(
+        MultimodalOps.pngAssetsFromDocuments(Tables(s, dir, "documents")),
+        dw = 16, dh = 16)
+        .toDF()
+        .select(col("asset_id"), col("format"), col("n_px"), col("mean_val"),
+          concat_ws(",", col("head")).as("head_csv"), col("wsum"))
+        .orderBy("asset_id")
+    },
+
     // REAL resize through the LOSSY format: full entropy-decode + inverse
     // transform chain, then nearest-neighbor sampling of the DECODED
     // grayscale grid. The oracle replays the whole decode arithmetic and

@@ -2496,6 +2496,29 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(java.util.Arrays.equals(both, expectBoth))
   }
 
+  test("imageBilinearFeatures: align-corners taps — constant, gradient ramp, degenerate 1-pixel axes") {
+    import graft.ops.{MultimodalOps, PngCodec}
+    import spark.implicits._
+    def asset(id: Long, w: Int, h: Int, px: Array[Byte]) =
+      graft.ops.MediaAsset(id, "png", PngCodec.encode(w, h, px), w, h, 1, 0)
+    val rows = MultimodalOps.imageBilinearFeatures(
+        Seq(
+          asset(0, 4, 3, Array.fill(12)(77.toByte)),            // constant
+          asset(1, 2, 1, Array[Byte](0, 150.toByte)),           // 1-tall ramp
+          asset(2, 1, 1, Array[Byte](42))                       // single pixel
+        ).toDF(), dw = 16, dh = 16)
+      .collect().map(r => r.asset_id -> r).toMap
+    // constant image resizes to the constant (weights sum to D*E exactly)
+    assert(rows(0L).mean_val == 77.0 && rows(0L).head.forall(_ == 77L))
+    assert(rows(0L).wsum == 77L * (1 to 256).sum)
+    // horizontal ramp on a 1-tall source: row = 0,10,20,...,150 repeated
+    // for all 16 rows (x*(w-1) = x, v = 150*x/15 = 10x; ny = 0 throughout)
+    assert(rows(1L).head.toSeq == (0 until 12).map(x => 10L * x))
+    assert(rows(1L).wsum == (0 until 256).map(t => 10L * (t % 16) * (t + 1)).sum)
+    // 1x1 source: every destination pixel is the pixel
+    assert(rows(2L).mean_val == 42.0 && rows(2L).wsum == 42L * (1 to 256).sum)
+  }
+
   test("audioResampleFeatures: exact linear-interpolation taps across up/identity/down regimes") {
     import graft.ops.{MultimodalOps, WavCodec}
     import spark.implicits._
