@@ -391,18 +391,11 @@ object SimilarityOps {
     * faiss `by_residual=false` inner-product configuration.
     * @return codebooks(m)(ks)(dim/m) */
   def trainPq(corpus: DataFrame, idCol: String, vecCol: String,
-              m: Int, ks: Int, iters: Int = 15, seed: Long = 42L)
+              m: Int, ks: Int, iters: Int = 15, seed: Long = 42L,
+              rot: Option[Array[Array[Double]]] = None)
       : Array[Array[Array[Double]]] = {
-    val sample = corpus
-      .select(asDouble(col(vecCol)).as("v"), xxhash64(col(idCol)).as("_h"))
-      .orderBy("_h").limit(math.max(ks * 32, 512)).collect()
-      .map(_.getSeq[Double](0).toArray)
-      .map { v =>
-        var s = 0.0; var i = 0
-        while (i < v.length) { s += v(i) * v(i); i += 1 }
-        val n = math.sqrt(s)
-        if (n == 0) v else v.map(_ / n)
-      }
+    val sample0 = unitSample(corpus, idCol, vecCol, math.max(ks * 32, 512))
+    val sample = rot.fold(sample0)(r => sample0.map(rotate(r, _)))
     val d = sample(0).length
     require(m > 0 && d % m == 0, s"dim $d must split evenly into $m subspaces")
     val sub = d / m
@@ -410,6 +403,143 @@ object SimilarityOps {
       val slice = sample.map(v => java.util.Arrays.copyOfRange(v, ms * sub, (ms + 1) * sub))
       kMeansOnSample(slice, ks, iters, seed + ms)
     }
+  }
+
+  /** Unit-normalized hash-ordered sample (the [[trainKMeans]] contract),
+    * shared by PQ and OPQ training. */
+  private def unitSample(corpus: DataFrame, idCol: String, vecCol: String,
+                         n: Int): Array[Array[Double]] =
+    corpus
+      .select(asDouble(col(vecCol)).as("v"), xxhash64(col(idCol)).as("_h"))
+      .orderBy("_h").limit(n).collect()
+      .map(_.getSeq[Double](0).toArray)
+      .map { v =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        val nm = math.sqrt(s)
+        if (nm == 0) v else v.map(_ / nm)
+      }
+
+  private def rotate(rot: Array[Array[Double]], v: Array[Double]): Array[Double] =
+    Array.tabulate(rot.length) { r =>
+      var s = 0.0; var i = 0
+      val row = rot(r)
+      while (i < row.length) { s += row(i) * v(i); i += 1 }
+      s
+    }
+
+  /** Full eigendecomposition of a symmetric d×d matrix by CYCLIC JACOBI
+    * with a FIXED sweep count (no convergence branching — the same
+    * determinism contract as [[trainPca]]'s fixed-iteration power method).
+    * Returns (eigenvalues, eigenvector ROWS): M ≈ Vᵀ·diag(λ)·V with
+    * V·Vᵀ = I; residuals property-tested in the spec. d = 64 here, so
+    * this is sub-millisecond driver work. */
+  def jacobiEigen(m0: Array[Array[Double]], sweeps: Int = 16)
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = m0.length
+    val a = m0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    while (sweep < sweeps) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (apq != 0.0) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t =
+              if (theta == 0.0) 1.0
+              else math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            // closed-form diagonal update; rotate the remaining rows/cols
+            val app = a(p)(p); val aqq = a(q)(q)
+            a(p)(p) = app - t * apq
+            a(q)(q) = aqq + t * apq
+            a(p)(q) = 0.0; a(q)(p) = 0.0
+            var k = 0
+            while (k < d) {
+              if (k != p && k != q) {
+                val akp = a(k)(p); val akq = a(k)(q)
+                a(k)(p) = c * akp - s * akq; a(p)(k) = a(k)(p)
+                a(k)(q) = s * akp + c * akq; a(q)(k) = a(k)(q)
+              }
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val vpk = v(p)(k); val vqk = v(q)(k)
+              v(p)(k) = c * vpk - s * vqk
+              v(q)(k) = s * vpk + c * vqk
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** OPQ rotation — the PARAMETRIC solution of Ge et al., CVPR 2013
+    * ("Optimized Product Quantization", OPQ-P): eigendecompose the unit
+    * sample's second-moment matrix (uncentered — an orthogonal rotation
+    * must preserve inner products, which centering would break), then
+    * allocate principal directions to the `m` PQ subspaces BALANCING the
+    * product of eigenvalues (greedy on log-λ sums, largest eigenvalue
+    * first), so every subspace carries comparable variance instead of the
+    * raw layout's arbitrary split. Deterministic end-to-end: hash-ordered
+    * sample, fixed-sweep Jacobi, ties broken by eigen index. Returns the
+    * d×d rotation as ROWS (rotated(r) = Σᵢ R(r)(i)·u(i)); subspace ms
+    * owns rows [ms·d/m, (ms+1)·d/m). */
+  def trainOpqRotation(corpus: DataFrame, idCol: String, vecCol: String,
+                       m: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val sample = unitSample(corpus, idCol, vecCol, 512)
+    val d = sample(0).length
+    require(m > 0 && d % m == 0, s"dim $d must split evenly into $m subspaces")
+    val sub = d / m
+    val mom = Array.ofDim[Double](d, d)
+    sample.foreach { u =>
+      var i = 0
+      while (i < d) {
+        var j = i
+        while (j < d) { mom(i)(j) += u(i) * u(j); j += 1 }
+        i += 1
+      }
+    }
+    var i = 0
+    while (i < d) {
+      var j = 0
+      while (j < i) { mom(i)(j) = mom(j)(i); j += 1 }
+      i += 1
+    }
+    val (evals, evecs) = jacobiEigen(mom)
+    // eigen pairs by descending eigenvalue (ties by index — determinism)
+    val order = (0 until d).sortBy(i => (-evals(i), i))
+    // greedy balanced allocation: next-largest direction goes to the
+    // open subspace with the smallest log-eigenvalue sum so far
+    val slots = Array.fill(m)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    val logSum = new Array[Double](m)
+    order.foreach { ei =>
+      val target = (0 until m).filter(slots(_).length < sub)
+        .minBy(ms => (logSum(ms), ms))
+      slots(target) += ei
+      logSum(target) += math.log(math.max(evals(ei), 1e-12))
+    }
+    slots.flatMap(_.map(evecs)).toArray
+  }
+
+  /** Persist the OPQ rotation as (r, c) parquet rows — one row per output
+    * dimension — so the oracle re-derives the rotated vectors exactly. */
+  def persistOpqRotation(spark: org.apache.spark.sql.SparkSession,
+                         rot: Array[Array[Double]], path: String): Unit = {
+    import spark.implicits._
+    rot.zipWithIndex.map { case (row, r) => (r, row.toSeq) }
+      .toSeq.toDF("r", "c").coalesce(1)
+      .write.mode("overwrite").parquet(path)
   }
 
   /** Persist PQ codebooks as (m, j, c) parquet — one row per codeword — so
@@ -505,6 +635,90 @@ object SimilarityOps {
     // 4-bit ADC alone on near-uniform vectors measured recall@5 = 0.12;
     // the 150-candidate refine measures 0.92 (spec-gated >= 0.85). The
     // refine join is output-sized (nq × rerank rows against `base`).
+    val wAdc = Window.partitionBy("query_id").orderBy(col("adc").desc, col("neighbor_id"))
+    val cand = scored.withColumn("crk", row_number().over(wAdc))
+      .filter(col("crk") <= rerank).select("query_id", "neighbor_id")
+    val qvec = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv2"))
+      .withColumn("qn2", norm(col("qv2")))
+    val refined = cand
+      .join(base.select(col("id").as("neighbor_id"), col("v").as("cv"),
+        col("nn").as("cn")), "neighbor_id")
+      .join(broadcast(qvec), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (fastDot(col("qv2"), col("cv")) / (col("qn2") * col("cn"))).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    refined.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  /** OPQ × IVF × PQ composed top-k — [[topKIvfPq]] with the
+    * [[trainOpqRotation]] rotation applied before product quantization
+    * (faiss's `OPQ8,IVF16,PQ8x4` index-factory shape): codebooks train on
+    * ROTATED unit vectors, corpus codes and query LUTs compute in the
+    * rotated space (an orthogonal rotation preserves inner products, so
+    * ADC still approximates cosine), while the coarse IVF quantizer and
+    * the exact-cosine refine stay in the ORIGINAL space. Every stage is
+    * deterministic and SQL-replayable from the persisted rotation +
+    * centroids + codebooks. Output contract identical to [[topKIvfPq]]. */
+  def topKOpqPq(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 4,
+                m: Int = 8, ks: Int = 16, rerank: Int = 150,
+                iters: Int = 15, seed: Long = 42L,
+                centroidsOut: Option[String] = None,
+                codebooksOut: Option[String] = None,
+                rotationOut: Option[String] = None): DataFrame = {
+    require(rerank >= k, s"rerank window $rerank must cover k=$k")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val rot = trainOpqRotation(corpus, idCol, vecCol, m, seed)
+    rotationOut.foreach(persistOpqRotation(corpus.sparkSession, rot, _))
+    val centroids = trainKMeans(corpus, idCol, vecCol, nLists, iters, seed)
+    centroidsOut.foreach(persistCentroids(corpus.sparkSession, centroids, _))
+    val codebooks = trainPq(corpus, idCol, vecCol, m, ks, iters, seed, Some(rot))
+    codebooksOut.foreach(persistPqCodebooks(corpus.sparkSession, codebooks, _))
+    val d = rot.length
+    val sub = codebooks(0)(0).length
+    def ranked(v: Column): Column =
+      call_function("nearest_centroids", v,
+        typedLit(centroids.map(_.toSeq).toSeq))
+    def unit(v: Column): Column = {
+      val n = norm(v)
+      transform(v, x => x / n)
+    }
+    // rotated unit vector: d codegen'd strict-fold dots against the
+    // rotation-row literals — one map-side pass per row, no shuffle
+    def rotated(uv: Column): Column =
+      array((0 until d).map(r => fastDot(uv, typedLit(rot(r).toSeq))): _*)
+    def subv(v: Column, ms: Int): Column = slice(v, ms * sub + 1, sub)
+    def code(v: Column): Column = array((0 until m).map { ms =>
+      element_at(call_function("nearest_centroids", subv(v, ms),
+        typedLit(codebooks(ms).map(_.toSeq).toSeq)), 1)
+    }: _*)
+    val base = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nn", norm(col("v")))
+      .localCheckpoint(false)
+    val c = base.select(col("id").as("neighbor_id"),
+      element_at(ranked(col("v")), 1).as("list"),
+      code(rotated(transform(col("v"), x => x / col("nn")))).as("code"))
+    val lut = array((0 until m).map { ms =>
+      array((0 until ks).map { j =>
+        fastDot(subv(col("rqv"), ms), typedLit(codebooks(ms)(j).toSeq))
+      }: _*)
+    }: _*)
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("rqv", rotated(unit(col("qv"))))
+      .select(col("query_id"), lut.as("lut"),
+        explode(slice(ranked(col("qv")), 1, nProbe)).as("list"))
+    val adc = (0 until m).map(ms =>
+        element_at(element_at(col("lut"), ms + 1),
+          element_at(col("code"), ms + 1) + 1))
+      .reduceLeft(_ + _)
+    val scored = c.join(broadcast(q), Seq("list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), adc.as("adc"))
+      .dropDuplicates("query_id", "neighbor_id")
     val wAdc = Window.partitionBy("query_id").orderBy(col("adc").desc, col("neighbor_id"))
     val cand = scored.withColumn("crk", row_number().over(wAdc))
       .filter(col("crk") <= rerank).select("query_id", "neighbor_id")

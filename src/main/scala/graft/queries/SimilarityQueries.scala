@@ -50,6 +50,12 @@ object SimilarityQueries {
     sys.props("java.io.tmpdir"), s"graft-pqcb-centroids-$Pid.parquet").getAbsolutePath
   private val SemCentroidsPath = new java.io.File(
     sys.props("java.io.tmpdir"), s"graft-sem-centroids-$Pid.parquet").getAbsolutePath
+  private val OpqCentroidsPath = new java.io.File(
+    sys.props("java.io.tmpdir"), s"graft-opqc-centroids-$Pid.parquet").getAbsolutePath
+  private val OpqCodebooksPath = new java.io.File(
+    sys.props("java.io.tmpdir"), s"graft-opqcb-centroids-$Pid.parquet").getAbsolutePath
+  private val OpqRotationPath = new java.io.File(
+    sys.props("java.io.tmpdir"), s"graft-opqrot-centroids-$Pid.parquet").getAbsolutePath
   /** PQ geometry: 64 dims → 8 subspaces × 16 codewords (4-bit codes). */
   private val PQ_M = 8
   private val PQ_KS = 16
@@ -64,7 +70,7 @@ object SimilarityQueries {
   // not mean the dir is garbage (a new run starting in that window would
   // otherwise delete centroids the pending replay is about to read).
   locally {
-    val re = """graft-(?:ivf|ivfq|ivfpq|pqcb|cluster|pca|sem)-centroids-(\d+)\.parquet""".r
+    val re = """graft-(?:ivf|ivfq|ivfpq|pqcb|cluster|pca|sem|opqc|opqcb|opqrot)-centroids-(\d+)\.parquet""".r
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
     val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
     Option(tmp.listFiles()).toSeq.flatten.foreach { f =>
@@ -342,6 +348,79 @@ object SimilarityQueries {
         m = PQ_M, ks = PQ_KS, rerank = PQ_RERANK,
         centroidsOut = Some(IvfPqCentroidsPath),
         codebooksOut = Some(PqCodebooksPath))
+    },
+
+    // OPQ x IVF x PQ (r14): ann_ivf_pq with the OPQ-P rotation of Ge et
+    // al. 2013 in front of product quantization — PCA-rotate the unit
+    // vectors, allocate principal directions to the 8 subspaces balancing
+    // eigenvalue products, then the same 4-bit ADC + exact-cosine refine
+    // (faiss "OPQ8,IVF16,PQ8x4"). The rotation persists beside the
+    // centroids/codebooks and the oracle replays rotated vectors, code
+    // assignment, LUT, the fixed-order ADC chain and the refine ranking —
+    // the TRIPLY-approximate operator still hash-matches exactly.
+    QueryDef.withOracle("ann_opq_pq", {
+      val sub = DIM / PQ_M
+      def cbc2 = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        "list_transform(cb.c, x -> x * x)), (s, x) -> s + x)"
+      def subDot(vec: String) =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"list_transform(range(1, $sub + 1), " +
+          s"i -> $vec[cb.m * $sub + i] * cb.c[i])), (s, x) -> s + x)"
+      val rdot = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(1, $DIM + 1), i -> u0.uv[i] * rot.c[i])), " +
+        "(s, x) -> s + x)"
+      val adcChain = (0 until PQ_M).map(ms =>
+        s"l.lut[${ms * PQ_KS} + e.code[${ms + 1}] + 1]").mkString(" + ")
+      s"""WITH $NORMED,
+         |${ivfAssignCtes(OpqCentroidsPath)},
+         |cbk AS (SELECT m, j, list_transform(c, x -> CAST(x AS DOUBLE)) AS c
+         |        FROM read_parquet('$OpqCodebooksPath/*.parquet')),
+         |rot AS (SELECT r, list_transform(c, x -> CAST(x AS DOUBLE)) AS c
+         |        FROM read_parquet('$OpqRotationPath/*.parquet')),
+         |u0 AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS uv FROM n),
+         |ru AS (SELECT vec_id, list(d ORDER BY r) AS uv FROM (
+         |         SELECT u0.vec_id, rot.r, $rdot AS d FROM u0, rot)
+         |       GROUP BY vec_id),
+         |ed AS (SELECT ru.vec_id, cb.m, cb.j,
+         |         $cbc2 - 2.0 * ${subDot("ru.uv")} AS d
+         |       FROM ru, cbk cb),
+         |enc AS (SELECT vec_id, list(j ORDER BY m) AS code FROM (
+         |          SELECT vec_id, m, j,
+         |            row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rk
+         |          FROM ed) WHERE rk = 1 GROUP BY vec_id),
+         |lt AS (SELECT ru.vec_id, cb.m, cb.j, ${subDot("ru.uv")} AS ip
+         |       FROM ru, cbk cb WHERE ru.vec_id < $NQ),
+         |lutl AS (SELECT vec_id, list(ip ORDER BY m, j) AS lut FROM lt GROUP BY 1),
+         |icand AS (SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id
+         |          FROM probes p JOIN assign a USING (list_id)
+         |          WHERE a.vec_id <> p.vec_id),
+         |scored AS (SELECT icand.query_id, icand.neighbor_id,
+         |             $adcChain AS adc
+         |           FROM icand JOIN lutl l ON l.vec_id = icand.query_id
+         |                      JOIN enc e ON e.vec_id = icand.neighbor_id),
+         |cand AS (SELECT query_id, neighbor_id FROM (
+         |           SELECT query_id, neighbor_id,
+         |             row_number() OVER (PARTITION BY query_id
+         |               ORDER BY adc DESC, neighbor_id) AS crk
+         |           FROM scored) WHERE crk <= $PQ_RERANK),
+         |rr AS (SELECT cand.query_id, cand.neighbor_id,
+         |         ${dotSql("qn", "cn")} / (qn.nrm * cn.nrm) AS cosine
+         |       FROM cand JOIN n qn ON qn.vec_id = cand.query_id
+         |                 JOIN n cn ON cn.vec_id = cand.neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, cosine,
+         |        CAST(row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rk
+         |      FROM rr)
+         |SELECT query_id, rk AS "rank", neighbor_id, cosine FROM r WHERE rk <= $K
+         |ORDER BY query_id, rk""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      SimilarityOps.topKOpqPq(emb, emb.filter(col("vec_id") < NQ),
+        "vec_id", "embedding", K, nLists = 16, nProbe = NPROBE,
+        m = PQ_M, ks = PQ_KS, rerank = PQ_RERANK,
+        centroidsOut = Some(OpqCentroidsPath),
+        codebooksOut = Some(OpqCodebooksPath),
+        rotationOut = Some(OpqRotationPath))
     },
 
     // PCA-PROJECTED approximate top-5 — the third embedding-compression

@@ -133,7 +133,10 @@ object ScaleBench {
     // typed codec passes, work ∝ documents; the GIF face above now also
     // carries interlace/LCT variants through the same map pass)
     "mm_decode_jpeg_prog", "mm_decode_png16_rgb", "mm_decode_jpeg_422",
-    "mm_decode_jpeg_411", "mm_decode_jpeg_prog_rgb", "mm_gif_frames", "mm_audio_resample", "mm_resize_bilinear")
+    "mm_decode_jpeg_411", "mm_decode_jpeg_prog_rgb", "mm_gif_frames", "mm_audio_resample", "mm_resize_bilinear",
+    // OPQ rotation is a map-side 64-dot pass per row; assignment ∀ corpus,
+    // refine output-sized — same linear shape as ann_ivf_pq
+    "ann_opq_pq")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -977,6 +977,53 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(ivfpq >= 0.85, s"IVF×PQ(refine 50) recall@5 regressed: $ivfpq")
   }
 
+  test("OPQ: Jacobi eigen residuals, orthonormal balanced rotation, recall floor") {
+    import org.apache.spark.sql.functions.col
+    // deterministic random symmetric matrix: M v_i = lambda_i v_i within 1e-8
+    val rnd = new scala.util.Random(5)
+    val d = 16
+    val m0 = Array.ofDim[Double](d, d)
+    for (i <- 0 until d; j <- i until d) {
+      val x = rnd.nextDouble() * 2 - 1
+      m0(i)(j) = x; m0(j)(i) = x
+    }
+    val (evals, evecs) = SimilarityOps.jacobiEigen(m0)
+    for (i <- 0 until d) {
+      val mv = Array.tabulate(d)(r => (0 until d).map(c => m0(r)(c) * evecs(i)(c)).sum)
+      val res = math.sqrt((0 until d).map(r => math.pow(mv(r) - evals(i) * evecs(i)(r), 2)).sum)
+      assert(res < 1e-8, s"eigen residual $res at $i")
+    }
+    for (i <- 0 until d; j <- 0 until d) {
+      val ip = (0 until d).map(k => evecs(i)(k) * evecs(j)(k)).sum
+      assert(math.abs(ip - (if (i == j) 1.0 else 0.0)) < 1e-10, s"V not orthonormal at ($i,$j)")
+    }
+    // the trained rotation is orthonormal (rows) on the real table
+    val f = new java.io.File("/root/testdata/sf0.001/embeddings.parquet")
+    assume(f.exists(), "driver testdata not present")
+    val emb = spark.read.parquet(f.getPath)
+    val rot = SimilarityOps.trainOpqRotation(emb, "vec_id", "embedding", m = 8)
+    assert(rot.length == 64 && rot.forall(_.length == 64))
+    for (i <- 0 until 64; j <- i until 64) {
+      val ip = (0 until 64).map(k => rot(i)(k) * rot(j)(k)).sum
+      assert(math.abs(ip - (if (i == j) 1.0 else 0.0)) < 1e-8,
+        s"rotation not orthonormal at ($i,$j): $ip")
+    }
+    // end-to-end recall: same floor as ivf_pq (rotation must not LOSE
+    // recall; on near-uniform vectors the balanced allocation is ~neutral,
+    // on clustered/real embeddings it is what OPQ exists for)
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = SimilarityOps.topKExact(emb, q, "vec_id", "embedding", 5).persist()
+    exact.count()
+    import spark.implicits._
+    val opq = SimilarityOps.recallAtK(exact,
+        SimilarityOps.topKOpqPq(emb, q, "vec_id", "embedding", 5,
+          nLists = 16, nProbe = 12))
+      .select("recall").as[Double].head()
+    exact.unpersist()
+    info(s"recall@5: opq×ivf×pq=$opq")
+    assert(opq >= 0.85, s"OPQ×IVF×PQ recall@5 regressed: $opq")
+  }
+
   test("PCA coarse-rank + exact re-rank: recall measured on uniform AND clustered") {
     // near-uniform vectors spread variance evenly across dimensions — the
     // WORST case for a 16-of-64-dim projection (reduced-space rank ALONE
