@@ -181,7 +181,13 @@ object Bench {
       // the all-series zoom dispatch, planted containment pairs
       "mm_decode_jpeg_420", "mm_decode_png16", "engine_zoom_all_series",
       "dedup_containment", "mm_video_phash", "dedup_video",
-      "mm_audio_fp", "dedup_audio", "dedup_multimodal")
+      "mm_audio_fp", "dedup_audio", "dedup_multimodal",
+      // round-14 additions: progressive gray/color JPEG, 4:2:2/4:1:1,
+      // 16-bit truecolor PNG, animated GIF, audio resample, bilinear
+      // resize (all map-only codec passes) and the OPQ-rotated PQ ANN
+      "mm_decode_jpeg_prog", "mm_decode_jpeg_prog_rgb", "mm_decode_jpeg_422",
+      "mm_decode_jpeg_411", "mm_decode_png16_rgb", "mm_gif_frames",
+      "mm_audio_resample", "mm_resize_bilinear", "ann_opq_pq")
     var sf1Failed = 0
     val sf1Results: Seq[(String, Double)] =
       if (args.nonEmpty || !sfDir.replace("/", "").endsWith("sf0.1") ||

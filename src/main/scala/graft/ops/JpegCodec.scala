@@ -1137,6 +1137,8 @@ object JpegCodec {
       var entStart = sosAt
       var done = false
       while (!done) {
+        require(scanHdr + 1 + 2 * (payload(scanHdr) & 0xff) + 3 <= payload.length,
+          "JPEG: truncated progressive scan header")
         val ns = payload(scanHdr) & 0xff
         require(ns >= 1 && ns <= nc, s"JPEG: bad scan component count $ns")
         val scomps = Array.tabulate(ns) { k =>
