@@ -61,32 +61,7 @@ object GifCodec {
     out.write(0x21); out.write(0xfe)
     val comment = "graft".getBytes("US-ASCII")
     out.write(comment.length); out.write(comment); out.write(0)
-    out.write(0x2c) // image descriptor
-    u16(0); u16(0); u16(w); u16(h)
-    out.write((if (localPalette) 0x87 else 0) | (if (interlaced) 0x40 else 0))
-    if (localPalette) {
-      var j = 0
-      while (j < 256) {
-        val (r, g, b) = lctEntry(j)
-        out.write(r); out.write(g); out.write(b)
-        j += 1
-      }
-    }
-    val stream =
-      if (!interlaced) px
-      else { // rows in four-pass transmission order
-        val t = new Array[Byte](px.length)
-        val order = interlaceRows(h)
-        var ri = 0
-        while (ri < h) {
-          System.arraycopy(px, order(ri) * w, t, ri * w, w)
-          ri += 1
-        }
-        t
-      }
-    val mcs = 8
-    out.write(mcs)
-    out.write(lzwCompress(stream, mcs))
+    writeImage(out, w, h, px, interlaced, localPalette)
     out.write(0x3b) // trailer
     out.toByteArray
   }
@@ -124,32 +99,7 @@ object GifCodec {
       u16(delay)
       out.write(0) // transparent index (unused)
       out.write(0) // block terminator
-      out.write(0x2c) // image descriptor, full frame
-      u16(0); u16(0); u16(w); u16(h)
-      out.write((if (localPalette) 0x87 else 0) | (if (interlaced) 0x40 else 0))
-      if (localPalette) {
-        var j = 0
-        while (j < 256) {
-          val (r, g, b) = lctEntry(j)
-          out.write(r); out.write(g); out.write(b)
-          j += 1
-        }
-      }
-      val stream =
-        if (!interlaced) px
-        else {
-          val t = new Array[Byte](px.length)
-          val order = interlaceRows(h)
-          var ri = 0
-          while (ri < h) {
-            System.arraycopy(px, order(ri) * w, t, ri * w, w)
-            ri += 1
-          }
-          t
-        }
-      val mcs = 8
-      out.write(mcs)
-      out.write(lzwCompress(stream, mcs))
+      writeImage(out, w, h, px, interlaced, localPalette)
     }
     out.write(0x3b) // trailer
     out.toByteArray
@@ -188,6 +138,7 @@ object GifCodec {
           if (label == 0xf9) { // GCE: delay for the NEXT image
             require(at(pos + 2) == 4, "bad GCE block size")
             // block: [size=4][packed][delay lo][delay hi][transp index]
+            require(pos + 6 <= payload.length, "truncated GIF stream")
             pendingDelay = u16(pos + 4)
           }
           pos += 2 // introducer + label, then the sub-block walk
@@ -204,6 +155,42 @@ object GifCodec {
     }
     require(frames.nonEmpty, "GIF with no image data")
     (w, h, frames.toSeq)
+  }
+
+  /** Write one image's descriptor + optional LCT + (optionally
+    * interlace-permuted) LZW data — ONE definition of the per-image wire
+    * format, shared by the still encoder and every animation frame so the
+    * two can never desynchronize. */
+  private def writeImage(out: java.io.ByteArrayOutputStream, w: Int, h: Int,
+                         px: Array[Byte], interlaced: Boolean,
+                         localPalette: Boolean): Unit = {
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write(0x2c) // image descriptor, full frame
+    u16(0); u16(0); u16(w); u16(h)
+    out.write((if (localPalette) 0x87 else 0) | (if (interlaced) 0x40 else 0))
+    if (localPalette) {
+      var j = 0
+      while (j < 256) {
+        val (r, g, b) = lctEntry(j)
+        out.write(r); out.write(g); out.write(b)
+        j += 1
+      }
+    }
+    val stream =
+      if (!interlaced) px
+      else { // rows in four-pass transmission order
+        val t = new Array[Byte](px.length)
+        val order = interlaceRows(h)
+        var ri = 0
+        while (ri < h) {
+          System.arraycopy(px, order(ri) * w, t, ri * w, w)
+          ri += 1
+        }
+        t
+      }
+    val mcs = 8
+    out.write(mcs)
+    out.write(lzwCompress(stream, mcs))
   }
 
   /** The GIF LZW coder: variable code width starting at mcs+1, CLEAR at

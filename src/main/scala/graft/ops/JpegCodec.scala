@@ -1152,10 +1152,14 @@ object JpegCodec {
         val ahal = payload(scanHdr + 3 + 2 * ns) & 0xff
         val br = decodeScan(scomps, entStart, ss, se,
           (ahal >> 4) & 0x0f, ahal & 0x0f)
-        // skip pad bits / stuffed bytes to the next true marker
+        // skip pad bits / stuffed bytes to the next true marker; a marker
+        // may be preceded by any number of 0xFF FILL bytes (T.81 B.1.1.2),
+        // which are not themselves a marker code
         var p = br.pos
         while (p + 1 < payload.length &&
                !((payload(p) & 0xff) == 0xff && (payload(p + 1) & 0xff) != 0x00))
+          p += 1
+        while (p + 1 < payload.length && (payload(p + 1) & 0xff) == 0xff)
           p += 1
         // walk markers until the next SOS or EOI (DHT may redefine tables)
         var cont = true
@@ -1167,6 +1171,8 @@ object JpegCodec {
           else {
             require(m != 0xDD && (m < 0xD0 || m > 0xD7),
               "JPEG: restart markers inside progressive unsupported")
+            require(p + 4 <= payload.length,
+              s"JPEG: truncated marker segment at $p")
             val len = u16(p + 2)
             m match {
               case 0xC4 => parseDht(p + 4, p + 2 + len)

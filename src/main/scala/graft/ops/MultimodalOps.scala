@@ -389,8 +389,11 @@ object MultimodalOps {
       require(a.format == "wav", s"audioResampleFeatures needs wav, got ${a.format}")
       val (rateIn, channels, ss) = WavCodec.decode(a.payload)
       require(channels == 1, s"audioResampleFeatures expects mono, got $channels")
-      require(ss.nonEmpty, s"empty signal (asset ${a.asset_id})")
-      val nOut = ((ss.length - 1).toLong * outRate / rateIn + 1).toInt
+      // empty-signal contract: a 0-sample clip resamples to 0 samples
+      // (mean 0.0) — matching the oracle's CASE, not a mid-query abort
+      val nOut =
+        if (ss.isEmpty) 0
+        else ((ss.length - 1).toLong * outRate / rateIn + 1).toInt
       var sum = 0L
       var wsum = 0L
       val head = new Array[Long](math.min(12, nOut))
@@ -408,7 +411,7 @@ object MultimodalOps {
         k += 1
       }
       AudioResampleFeatures(a.asset_id, rateIn, outRate, ss.length.toLong,
-        nOut.toLong, sum.toDouble / nOut, head, wsum)
+        nOut.toLong, if (nOut == 0) 0.0 else sum.toDouble / nOut, head, wsum)
     }
   }
 
@@ -563,18 +566,8 @@ object MultimodalOps {
     assets.as[MediaAsset].flatMap { a =>
       val (_, _, frames) = GifCodec.decodeFrames(a.payload)
       frames.zipWithIndex.map { case ((delay, g), fi) =>
-        var sum = 0L
-        var wsum = 0L
-        var i = 0
-        while (i < g.length) {
-          val v = (g(i) & 0xff).toLong
-          sum += v
-          wsum += v * (i + 1)
-          i += 1
-        }
-        GifFrameFeatures(a.asset_id, fi, delay, g.length.toLong,
-          if (g.isEmpty) 0.0 else sum.toDouble / g.length,
-          g.take(12).map(b => (b & 0xff).toLong), wsum)
+        val (mean, head, wsum) = positionalStats(g.length, i => (g(i) & 0xff).toLong)
+        GifFrameFeatures(a.asset_id, fi, delay, g.length.toLong, mean, head, wsum)
       }
     }
   }
@@ -588,18 +581,8 @@ object MultimodalOps {
     import spark.implicits._
     assets.as[MediaAsset].map { a =>
       val (_, _, g) = GifCodec.decode(a.payload)
-      var sum = 0L
-      var wsum = 0L
-      var i = 0
-      while (i < g.length) {
-        val v = (g(i) & 0xff).toLong
-        sum += v
-        wsum += v * (i + 1)
-        i += 1
-      }
-      Gray16Features(a.asset_id, a.format, g.length.toLong,
-        if (g.isEmpty) 0.0 else sum.toDouble / g.length,
-        g.take(12).map(b => (b & 0xff).toLong), wsum)
+      val (mean, head, wsum) = positionalStats(g.length, i => (g(i) & 0xff).toLong)
+      Gray16Features(a.asset_id, a.format, g.length.toLong, mean, head, wsum)
     }
   }
 
@@ -775,17 +758,8 @@ object MultimodalOps {
     import spark.implicits._
     assets.as[MediaAsset].map { a =>
       val (_, _, vs) = PngCodec.decodeRgb16(a.payload)
-      var sum = 0L
-      var wsum = 0L
-      var i = 0
-      while (i < vs.length) {
-        sum += vs(i)
-        wsum += vs(i).toLong * (i + 1)
-        i += 1
-      }
-      Gray16Features(a.asset_id, a.format, vs.length.toLong,
-        if (vs.isEmpty) 0.0 else sum.toDouble / vs.length,
-        vs.take(12).map(_.toLong), wsum)
+      val (mean, head, wsum) = positionalStats(vs.length, i => vs(i).toLong)
+      Gray16Features(a.asset_id, a.format, vs.length.toLong, mean, head, wsum)
     }
   }
 
@@ -797,17 +771,8 @@ object MultimodalOps {
     import spark.implicits._
     assets.as[MediaAsset].map { a =>
       val (w, h, vs) = PngCodec.decodeGray16(a.payload)
-      var sum = 0L
-      var wsum = 0L
-      var i = 0
-      while (i < vs.length) {
-        sum += vs(i)
-        wsum += vs(i).toLong * (i + 1)
-        i += 1
-      }
-      Gray16Features(a.asset_id, a.format, vs.length.toLong,
-        if (vs.isEmpty) 0.0 else sum.toDouble / vs.length,
-        vs.take(12).map(_.toLong), wsum)
+      val (mean, head, wsum) = positionalStats(vs.length, i => vs(i).toLong)
+      Gray16Features(a.asset_id, a.format, vs.length.toLong, mean, head, wsum)
     }
   }
 
@@ -1047,6 +1012,26 @@ object MultimodalOps {
       }.toDF()
   }
 
+  /** Shared positional-stats accumulation behind every Gray16Features
+    * face: (mean, head ≤ 12 values, Σ v(i)·(i+1)) over `n` values read
+    * through `at` — ONE definition of the position-weighted checksum
+    * contract, so the oracle-facing arithmetic cannot drift between
+    * codec faces. */
+  private def positionalStats(n: Int, at: Int => Long): (Double, Array[Long], Long) = {
+    var sum = 0L
+    var wsum = 0L
+    val head = new Array[Long](math.min(12, n))
+    var i = 0
+    while (i < n) {
+      val v = at(i)
+      sum += v
+      wsum += v * (i + 1)
+      if (i < head.length) head(i) = v
+      i += 1
+    }
+    (if (n == 0) 0.0 else sum.toDouble / n, head, wsum)
+  }
+
   /** Companion-asset id offset of [[progressiveJpegAssetsFromDocuments]]. */
   val ProgJpegCompanionOffset = 40000000L
 
@@ -1089,18 +1074,8 @@ object MultimodalOps {
     import spark.implicits._
     assets.as[MediaAsset].map { a =>
       val (_, _, g) = JpegCodec.decodeGray(a.payload)
-      var sum = 0L
-      var wsum = 0L
-      var i = 0
-      while (i < g.length) {
-        val v = (g(i) & 0xff).toLong
-        sum += v
-        wsum += v * (i + 1)
-        i += 1
-      }
-      Gray16Features(a.asset_id, a.format, g.length.toLong,
-        if (g.isEmpty) 0.0 else sum.toDouble / g.length,
-        g.take(12).map(b => (b & 0xff).toLong), wsum)
+      val (mean, head, wsum) = positionalStats(g.length, i => (g(i) & 0xff).toLong)
+      Gray16Features(a.asset_id, a.format, g.length.toLong, mean, head, wsum)
     }
   }
 
@@ -1136,18 +1111,8 @@ object MultimodalOps {
     import spark.implicits._
     assets.as[MediaAsset].map { a =>
       val (_, _, g) = JpegCodec.decodeRgb(a.payload)
-      var sum = 0L
-      var wsum = 0L
-      var i = 0
-      while (i < g.length) {
-        val v = (g(i) & 0xff).toLong
-        sum += v
-        wsum += v * (i + 1)
-        i += 1
-      }
-      Gray16Features(a.asset_id, a.format, g.length.toLong,
-        if (g.isEmpty) 0.0 else sum.toDouble / g.length,
-        g.take(12).map(b => (b & 0xff).toLong), wsum)
+      val (mean, head, wsum) = positionalStats(g.length, i => (g(i) & 0xff).toLong)
+      Gray16Features(a.asset_id, a.format, g.length.toLong, mean, head, wsum)
     }
   }
 

@@ -392,9 +392,11 @@ object SimilarityOps {
     * @return codebooks(m)(ks)(dim/m) */
   def trainPq(corpus: DataFrame, idCol: String, vecCol: String,
               m: Int, ks: Int, iters: Int = 15, seed: Long = 42L,
-              rot: Option[Array[Array[Double]]] = None)
+              rot: Option[Array[Array[Double]]] = None,
+              sampleIn: Option[Array[Array[Double]]] = None)
       : Array[Array[Array[Double]]] = {
-    val sample0 = unitSample(corpus, idCol, vecCol, math.max(ks * 32, 512))
+    val sample0 = sampleIn.getOrElse(
+      unitSample(corpus, idCol, vecCol, math.max(ks * 32, 512)))
     val sample = rot.fold(sample0)(r => sample0.map(rotate(r, _)))
     val d = sample(0).length
     require(m > 0 && d % m == 0, s"dim $d must split evenly into $m subspaces")
@@ -496,8 +498,10 @@ object SimilarityOps {
     * d×d rotation as ROWS (rotated(r) = Σᵢ R(r)(i)·u(i)); subspace ms
     * owns rows [ms·d/m, (ms+1)·d/m). */
   def trainOpqRotation(corpus: DataFrame, idCol: String, vecCol: String,
-                       m: Int, seed: Long = 42L): Array[Array[Double]] = {
-    val sample = unitSample(corpus, idCol, vecCol, 512)
+                       m: Int, seed: Long = 42L,
+                       sampleIn: Option[Array[Array[Double]]] = None)
+      : Array[Array[Double]] = {
+    val sample = sampleIn.getOrElse(unitSample(corpus, idCol, vecCol, 512))
     val d = sample(0).length
     require(m > 0 && d % m == 0, s"dim $d must split evenly into $m subspaces")
     val sub = d / m
@@ -574,12 +578,15 @@ object SimilarityOps {
                 m: Int = 8, ks: Int = 16, rerank: Int = 150,
                 iters: Int = 15, seed: Long = 42L,
                 centroidsOut: Option[String] = None,
-                codebooksOut: Option[String] = None): DataFrame = {
+                codebooksOut: Option[String] = None,
+                rotation: Option[Array[Array[Double]]] = None,
+                pqSample: Option[Array[Array[Double]]] = None): DataFrame = {
     require(rerank >= k, s"rerank window $rerank must cover k=$k")
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val centroids = trainKMeans(corpus, idCol, vecCol, nLists, iters, seed)
     centroidsOut.foreach(persistCentroids(corpus.sparkSession, centroids, _))
-    val codebooks = trainPq(corpus, idCol, vecCol, m, ks, iters, seed)
+    val codebooks = trainPq(corpus, idCol, vecCol, m, ks, iters, seed, rotation,
+      sampleIn = pqSample)
     codebooksOut.foreach(persistPqCodebooks(corpus.sparkSession, codebooks, _))
     val sub = codebooks(0)(0).length
     def ranked(v: Column): Column =
@@ -588,6 +595,12 @@ object SimilarityOps {
     def unit(v: Column): Column = {
       val n = norm(v)
       transform(v, x => x / n)
+    }
+    // OPQ hook: with a rotation, PQ codes and ADC tables compute in the
+    // rotated space (d codegen'd strict-fold dots, map-side, fused into
+    // the same pass); the coarse quantizer and the refine stay raw
+    def maybeRotated(uv: Column): Column = rotation.fold(uv) { rot =>
+      array(rot.indices.map(r => fastDot(uv, typedLit(rot(r).toSeq))): _*)
     }
     def subv(v: Column, ms: Int): Column = slice(v, ms * sub + 1, sub)
     // per-subspace codeword id: the same codegen'd ranked-centroids
@@ -606,7 +619,7 @@ object SimilarityOps {
     // m-nibble PQ code (unit vector); floats never ride the candidate join
     val c = base.select(col("id").as("neighbor_id"),
       element_at(ranked(col("v")), 1).as("list"),
-      code(transform(col("v"), x => x / col("nn"))).as("code"))
+      code(maybeRotated(transform(col("v"), x => x / col("nn")))).as("code"))
     // queries: nProbe probed lists + the m×ks ADC lookup table, built by
     // codegen'd strict-left-fold dots against codebook literals (m·ks=128
     // dots per QUERY row — queries are the tiny side)
@@ -616,7 +629,7 @@ object SimilarityOps {
       }: _*)
     }: _*)
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("qnv", unit(col("qv")))
+      .withColumn("qnv", maybeRotated(unit(col("qv"))))
       .select(col("query_id"), lut.as("lut"),
         explode(slice(ranked(col("qv")), 1, nProbe)).as("list"))
     // ADC: fixed left-to-right chain of m table lookups — the same
@@ -669,72 +682,18 @@ object SimilarityOps {
                 centroidsOut: Option[String] = None,
                 codebooksOut: Option[String] = None,
                 rotationOut: Option[String] = None): DataFrame = {
-    require(rerank >= k, s"rerank window $rerank must cover k=$k")
-    graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val rot = trainOpqRotation(corpus, idCol, vecCol, m, seed)
+    // ONE sample job feeds both the rotation and the PQ codebooks (the
+    // ks*32 floor and the 512 rotation floor coincide at the defaults)
+    val sample = unitSample(corpus, idCol, vecCol, math.max(ks * 32, 512))
+    val rot = trainOpqRotation(corpus, idCol, vecCol, m, seed, Some(sample))
     rotationOut.foreach(persistOpqRotation(corpus.sparkSession, rot, _))
-    val centroids = trainKMeans(corpus, idCol, vecCol, nLists, iters, seed)
-    centroidsOut.foreach(persistCentroids(corpus.sparkSession, centroids, _))
-    val codebooks = trainPq(corpus, idCol, vecCol, m, ks, iters, seed, Some(rot))
-    codebooksOut.foreach(persistPqCodebooks(corpus.sparkSession, codebooks, _))
-    val d = rot.length
-    val sub = codebooks(0)(0).length
-    def ranked(v: Column): Column =
-      call_function("nearest_centroids", v,
-        typedLit(centroids.map(_.toSeq).toSeq))
-    def unit(v: Column): Column = {
-      val n = norm(v)
-      transform(v, x => x / n)
-    }
-    // rotated unit vector: d codegen'd strict-fold dots against the
-    // rotation-row literals — one map-side pass per row, no shuffle
-    def rotated(uv: Column): Column =
-      array((0 until d).map(r => fastDot(uv, typedLit(rot(r).toSeq))): _*)
-    def subv(v: Column, ms: Int): Column = slice(v, ms * sub + 1, sub)
-    def code(v: Column): Column = array((0 until m).map { ms =>
-      element_at(call_function("nearest_centroids", subv(v, ms),
-        typedLit(codebooks(ms).map(_.toSeq).toSeq)), 1)
-    }: _*)
-    val base = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .withColumn("nn", norm(col("v")))
-      .localCheckpoint(false)
-    val c = base.select(col("id").as("neighbor_id"),
-      element_at(ranked(col("v")), 1).as("list"),
-      code(rotated(transform(col("v"), x => x / col("nn")))).as("code"))
-    val lut = array((0 until m).map { ms =>
-      array((0 until ks).map { j =>
-        fastDot(subv(col("rqv"), ms), typedLit(codebooks(ms)(j).toSeq))
-      }: _*)
-    }: _*)
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("rqv", rotated(unit(col("qv"))))
-      .select(col("query_id"), lut.as("lut"),
-        explode(slice(ranked(col("qv")), 1, nProbe)).as("list"))
-    val adc = (0 until m).map(ms =>
-        element_at(element_at(col("lut"), ms + 1),
-          element_at(col("code"), ms + 1) + 1))
-      .reduceLeft(_ + _)
-    val scored = c.join(broadcast(q), Seq("list"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), adc.as("adc"))
-      .dropDuplicates("query_id", "neighbor_id")
-    val wAdc = Window.partitionBy("query_id").orderBy(col("adc").desc, col("neighbor_id"))
-    val cand = scored.withColumn("crk", row_number().over(wAdc))
-      .filter(col("crk") <= rerank).select("query_id", "neighbor_id")
-    val qvec = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv2"))
-      .withColumn("qn2", norm(col("qv2")))
-    val refined = cand
-      .join(base.select(col("id").as("neighbor_id"), col("v").as("cv"),
-        col("nn").as("cn")), "neighbor_id")
-      .join(broadcast(qvec), "query_id")
-      .select(col("query_id"), col("neighbor_id"),
-        (fastDot(col("qv2"), col("cv")) / (col("qn2") * col("cn"))).as("cosine"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    refined.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cosine")
-      .orderBy("query_id", "rank")
+    // everything downstream IS topKIvfPq with the rotation threaded into
+    // the PQ training, the corpus code derivation and the query ADC table
+    // — one pipeline, so any fix to the ADC/refine machinery applies to
+    // both registered operators
+    topKIvfPq(corpus, queries, idCol, vecCol, k, nLists, nProbe, m, ks,
+      rerank, iters, seed, centroidsOut, codebooksOut,
+      rotation = Some(rot), pqSample = Some(sample))
   }
 
   /** Deterministic PCA training on the hash-ordered sample (same sampling

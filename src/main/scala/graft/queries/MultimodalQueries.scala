@@ -483,7 +483,8 @@ object MultimodalQueries {
         |         ([8000, 16000, 44100])[CAST(doc_id % 3 AS INT) + 1] AS rate
         |  FROM documents),
         |r AS (SELECT doc_id, rate, ss,
-        |        (len(ss) - 1) * 16000 // rate + 1 AS n_out FROM s),
+        |        CASE WHEN len(ss) = 0 THEN 0
+        |             ELSE (len(ss) - 1) * 16000 // rate + 1 END AS n_out FROM s),
         |o AS (SELECT doc_id, rate, len(ss) AS n_in, n_out,
         |        list_transform(range(0, n_out), k ->
         |          CASE WHEN (k * rate) % 16000 = 0
@@ -497,10 +498,11 @@ object MultimodalQueries {
         |SELECT doc_id AS asset_id, CAST(rate AS INT) AS rate_in,
         |  CAST(16000 AS INT) AS rate_out,
         |  CAST(n_in AS BIGINT) AS n_in, CAST(n_out AS BIGINT) AS n_out,
-        |  CAST(list_sum(vs) AS DOUBLE) / len(vs) AS mean_val,
+        |  CASE WHEN n_out = 0 THEN 0.0
+        |       ELSE CAST(list_sum(vs) AS DOUBLE) / len(vs) END AS mean_val,
         |  array_to_string(list_slice(vs, 1, 12), ',') AS head_csv,
-        |  CAST(list_sum(list_transform(range(1, len(vs) + 1), k -> vs[k] * k))
-        |       AS BIGINT) AS wsum
+        |  CAST(COALESCE(list_sum(list_transform(range(1, len(vs) + 1),
+        |         k -> vs[k] * k)), 0) AS BIGINT) AS wsum
         |FROM o ORDER BY asset_id""".stripMargin) { (s, dir) =>
       MultimodalOps.audioResampleFeatures(
         MultimodalOps.wavAssetsFromDocuments(Tables(s, dir, "documents")),
