@@ -697,6 +697,20 @@ object MultimodalOps {
     }
   }
 
+  /** Position-sensitive decoded-pixel features of grayscale PNGs — the
+    * [[decodeGray16Features]] shape over [[graft.ops.PngCodec.decode]].
+    * A stateless typed map, so it applies to STREAMING asset Datasets
+    * unchanged (the mm_stream_decode face). */
+  def pngPositionalFeatures(assets: DataFrame): org.apache.spark.sql.Dataset[Gray16Features] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.as[MediaAsset].map { a =>
+      val (_, _, g) = PngCodec.decode(a.payload)
+      val (mean, head, wsum) = positionalStats(g.length, i => (g(i) & 0xff).toLong)
+      Gray16Features(a.asset_id, a.format, g.length.toLong, mean, head, wsum)
+    }
+  }
+
   /** Deterministic 16-BIT grayscale PNG asset table: sample i is the
     * 16-bit value `text[i]·256 + text[i+1]` (tiled) — both bytes of every
     * big-endian pair carry signal, so a byte-order or pairing bug changes

@@ -317,6 +317,65 @@ object MultimodalQueries {
         .orderBy("asset_id")
     },
 
+    // STREAMING MULTIMODAL INGEST (r14): the shape a production asset
+    // pipeline actually runs — assets LAND continuously (file source,
+    // two batches), and feature extraction is a STATELESS typed map over
+    // the stream: no shuffle, no watermark, no state store; exactly-once
+    // comes from the file-source + checkpoint contract alone. Two
+    // AvailableNow drains over one checkpoint: the second batch must not
+    // re-emit the first batch's assets (a replay or a missed file changes
+    // the row count / values against the all-docs oracle). Decode is the
+    // REAL PNG chain; the oracle recomputes every doc's positional stats
+    // from the lossless text tiling.
+    QueryDef.withOracle("mm_stream_decode", {
+      val J = "CASE WHEN length(text) = 0 THEN 0 ELSE unicode(substr(text, " +
+        "CAST(i % length(text) + 1 AS INT), 1)) END"
+      s"""WITH a AS (
+         |  SELECT doc_id, text,
+         |         CAST(doc_id % 9 + 1 AS INT) AS w,
+         |         CAST(doc_id % 7 + 1 AS INT) AS h
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, list_transform(range(0, w * h), i -> $J) AS vs
+         |  FROM a)
+         |SELECT doc_id AS asset_id, 'png' AS format,
+         |  CAST(len(vs) AS BIGINT) AS n_px,
+         |  CAST(list_sum(vs) AS DOUBLE) / len(vs) AS mean_val,
+         |  array_to_string(list_slice(vs, 1, 12), ',') AS head_csv,
+         |  CAST(list_sum(list_transform(range(1, len(vs) + 1), k -> vs[k] * k))
+         |       AS BIGINT) AS wsum
+         |FROM c ORDER BY asset_id""".stripMargin
+    }) { (s, dir) =>
+      val stage = java.nio.file.Files.createTempDirectory("graft-mmsstage-").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-mmsckpt-").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-mmsout-").toString
+      val assets = MultimodalOps.pngAssetsFromDocuments(Tables(s, dir, "documents"))
+        .localCheckpoint(false) // encode once; both batch writes read it
+      val assetSchema = assets.schema
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        def drain(): Unit =
+          MultimodalOps.pngPositionalFeatures(
+              s.readStream.schema(assetSchema).parquet(stage).toDF())
+            .writeStream.option("checkpointLocation", ckpt)
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .format("parquet").option("path", out)
+            .start().awaitTermination()
+        assets.filter(col("asset_id") % 2 === 0)
+          .write.mode("append").parquet(stage)
+        drain()
+        assets.filter(col("asset_id") % 2 === 1)
+          .write.mode("append").parquet(stage)
+        drain()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.read.parquet(out)
+        .select(col("asset_id"), col("format"), col("n_px"), col("mean_val"),
+          concat_ws(",", col("head")).as("head_csv"), col("wsum"))
+        .orderBy("asset_id")
+    },
+
     // REAL COLOR decoding: even docs become truecolor RGB8 PNGs (color
     // type 2 — what real corpora carry), odd docs PALETTE PNGs (color type
     // 3, indices through a fixed 256-entry PLTE with entry j =

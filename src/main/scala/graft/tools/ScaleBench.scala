@@ -136,7 +136,10 @@ object ScaleBench {
     "mm_decode_jpeg_411", "mm_decode_jpeg_prog_rgb", "mm_gif_frames", "mm_audio_resample", "mm_resize_bilinear",
     // OPQ rotation is a map-side 64-dot pass per row; assignment ∀ corpus,
     // refine output-sized — same linear shape as ann_ivf_pq
-    "ann_opq_pq")
+    "ann_opq_pq",
+    // streaming asset ingest: stateless map over the file stream — decode
+    // work ∝ landed assets, fixed two-drain lifecycle amortizes
+    "mm_stream_decode")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
