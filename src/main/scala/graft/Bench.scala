@@ -188,7 +188,7 @@ object Bench {
       "mm_decode_jpeg_prog", "mm_decode_jpeg_prog_rgb", "mm_decode_jpeg_422",
       "mm_decode_jpeg_411", "mm_decode_png16_rgb", "mm_gif_frames",
       "mm_audio_resample", "mm_resize_bilinear", "ann_opq_pq",
-      "mm_stream_decode")
+      "mm_stream_decode", "dedup_gif")
     var sf1Failed = 0
     val sf1Results: Seq[(String, Double)] =
       if (args.nonEmpty || !sfDir.replace("/", "").endsWith("sf0.1") ||

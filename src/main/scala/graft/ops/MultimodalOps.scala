@@ -556,6 +556,79 @@ object MultimodalOps {
       }.toDF()
   }
 
+  /** Planting constants of [[animGifCompanionAssetsFromDocuments]]: the
+    * temporal-shift companion scheme (every 6th doc, ids offset by 5·10⁷)
+    * and the corpus-common SPLASH frame (a constant-gray intro card
+    * opening every 5th animation — GIF is lossless and this fixture fixes
+    * the geometry, so the splash frame's content hash is ONE value across
+    * ~23% of the corpus: the skewed join key the containment cap drops).
+    * Fixed geometry: frame identity is content, not size, and a fixed
+    * grid is what makes the splash hash corpus-common. */
+  val GifCompanionOffset = 50000000L
+  val GifCompanionStep = 6L
+  val GifSplashStep = 5L
+  val GifSplashGray = 200
+  val GifDedupW = 6
+  val GifDedupH = 4
+
+  /** ANIMATED-GIF asset table for temporal dedup: every doc becomes a
+    * [[GifDedupW]]×[[GifDedupH]] animation of `2 + id % 3` frames (frame
+    * f = text tiled at offset 11·f); every [[GifCompanionStep]]-th doc
+    * ADDITIONALLY yields a one-frame TEMPORAL-SHIFT companion (the re-cut
+    * shape — frame f carries pattern f+1, so nf−1 of nf frame hashes are
+    * shared); every [[GifSplashStep]]-th doc's animation (and its
+    * companion) opens with the corpus-common constant splash frame. */
+  def animGifCompanionAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        require(text.forall(_ < 128),
+          s"gif dedup fixture requires ASCII text (doc $id)")
+        val w = GifDedupW; val h = GifDedupH
+        val nf = (2 + id % 3).toInt
+        def frame(pattern: Int): Array[Byte] =
+          Array.tabulate(w * h)(i =>
+            (if (text.isEmpty) 0
+             else text.charAt((11 * pattern + i) % text.length).toInt).toByte)
+        val splash: Seq[Array[Byte]] =
+          if (id % GifSplashStep == 0)
+            Seq(Array.fill(w * h)(GifSplashGray.toByte))
+          else Seq.empty
+        def gif(shift: Int): Array[Byte] = {
+          val frames = splash ++ (0 until nf).map(f => frame(f + shift))
+          GifCodec.encodeAnimated(w, h, frames, frames.indices.map(4 + _))
+        }
+        val base = MediaAsset(id, "gif", gif(0), w, h, 1, 0)
+        if (id % GifCompanionStep == 0)
+          Seq(base, MediaAsset(id + GifCompanionOffset, "gif", gif(1), w, h, 1, 0))
+        else Seq(base)
+      }.toDF()
+  }
+
+  /** Frame CONTENT hashes of animated GIFs — the lossless-format twin of
+    * [[videoPhashes]]: GIF decode is exact, so the polynomial hash of the
+    * decoded pixel bytes IS a frame identity (no perceptual tolerance
+    * needed), 20 bytes out per frame, payloads never leave the task. The
+    * same [[graft.ops.DedupOps.hashSetContainmentPairs]] core (with its
+    * df cap — splash/intro frames are corpus-common) scores the pairs. */
+  def gifFrameHashes(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.as[MediaAsset].flatMap { a =>
+      val (_, _, frames) = GifCodec.decodeFrames(a.payload)
+      frames.zipWithIndex.map { case ((_, g), fi) =>
+        var hsh = 0L
+        var i = 0
+        while (i < g.length) {
+          hsh = (hsh * TextOps.B2 + (g(i) & 0xff)) % TextOps.P
+          i += 1
+        }
+        (a.asset_id, fi, hsh)
+      }
+    }.toDF("asset_id", "frame_idx", "fh")
+  }
+
   /** Per-frame positional features of animated GIFs: one row per frame
     * with its GCE delay and the position-sensitive pixel stats. One typed
     * map pass; payloads never leave the task. */

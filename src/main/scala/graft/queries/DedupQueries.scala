@@ -733,6 +733,68 @@ object DedupQueries {
         maxDocFreq = Some(FrameHashDocFreqCap))
     },
 
+    // ANIMATED-GIF temporal dedup (r14): the LOSSLESS twin of dedup_video —
+    // GIF decode is exact, so the polynomial hash of each decoded frame's
+    // pixels is a frame identity and containment over the frame-hash sets
+    // finds re-cuts directly. Same df-capped core: the fixture plants a
+    // constant SPLASH frame opening every 5th animation (fixed geometry ⇒
+    // ONE hash value in ~117 of 500 assets — the intro-card skew head the
+    // cap must drop) and a one-frame temporal-shift companion for every
+    // 6th doc (planted pairs at (nf-1)/nf >= 0.5, cap-invariant). The
+    // oracle replays the frame tiling, the polynomial hash, the df cap
+    // and the pair scoring.
+    QueryDef.withOracle("dedup_gif", {
+      import graft.ops.MultimodalOps.{GifCompanionOffset, GifCompanionStep,
+        GifDedupH, GifDedupW, GifSplashGray, GifSplashStep}
+      import graft.ops.TextOps.{B2, P}
+      val npx = GifDedupW * GifDedupH
+      s"""WITH ga AS (SELECT doc_id AS asset_id, text,
+         |         CAST(2 + doc_id % 3 AS INT) AS nf, 0 AS shift,
+         |         CASE WHEN doc_id % $GifSplashStep = 0 THEN 1 ELSE 0 END AS sp
+         |       FROM documents
+         |       UNION ALL
+         |       SELECT doc_id + $GifCompanionOffset, text,
+         |         CAST(2 + doc_id % 3 AS INT), 1,
+         |         CASE WHEN doc_id % $GifSplashStep = 0 THEN 1 ELSE 0 END
+         |       FROM documents WHERE doc_id % $GifCompanionStep = 0),
+         |gfr AS (SELECT ga.*, CAST(f.f AS INT) AS f
+         |        FROM ga, range(5) f(f) WHERE f.f < nf + sp),
+         |gpx AS (SELECT asset_id, f,
+         |          list_transform(range(0, $npx), i -> CAST(
+         |            CASE WHEN sp = 1 AND f = 0 THEN $GifSplashGray
+         |                 WHEN length(text) = 0 THEN 0
+         |                 ELSE unicode(substr(text,
+         |                   CAST((11 * (f - sp + shift) + i) % length(text) + 1
+         |                        AS INT), 1)) END AS BIGINT)) AS vs
+         |        FROM gfr),
+         |gfh AS (SELECT asset_id, f,
+         |          list_reduce(list_prepend(CAST(0 AS BIGINT), vs),
+         |            (s, x) -> (s * $B2 + x) % $P) AS fh
+         |        FROM gpx),
+         |gset0 AS (SELECT DISTINCT asset_id, fh FROM gfh),
+         |gset AS (SELECT g.asset_id, g.fh FROM gset0 g
+         |         JOIN (SELECT fh FROM gset0 GROUP BY 1
+         |               HAVING count(*) <= $FrameHashDocFreqCap) k USING (fh)),
+         |gn AS (SELECT asset_id, count(*) AS np FROM gset GROUP BY 1),
+         |gcm AS (SELECT a.asset_id AS ia, b.asset_id AS ib, count(*) AS shared
+         |        FROM gset a JOIN gset b
+         |          ON a.fh = b.fh AND a.asset_id < b.asset_id
+         |        GROUP BY 1, 2)
+         |SELECT ia AS id_a, ib AS id_b, shared,
+         |       CAST(shared AS DOUBLE) / least(na.np, nb.np) AS overlap
+         |FROM gcm JOIN gn na ON na.asset_id = ia JOIN gn nb ON nb.asset_id = ib
+         |WHERE CAST(shared AS DOUBLE) / least(na.np, nb.np) >= 0.5
+         |ORDER BY 1, 2""".stripMargin
+    }) { (s, dir) =>
+      DedupOps.hashSetContainmentPairs(
+        graft.ops.MultimodalOps.gifFrameHashes(
+          MmAssetStage.df(s, dir, "gif")(
+            graft.ops.MultimodalOps.animGifCompanionAssetsFromDocuments(
+              Tables(s, dir, "documents")))),
+        "asset_id", "fh", threshold = 0.5,
+        maxDocFreq = Some(FrameHashDocFreqCap))
+    },
+
     // AUDIO temporal dedup: near-duplicate audio found by fingerprint-set
     // containment — the same inverted-index + Broder-containment core as
     // dedup_video through the same df-capped informative-hash core

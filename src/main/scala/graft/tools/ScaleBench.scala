@@ -139,7 +139,10 @@ object ScaleBench {
     "ann_opq_pq",
     // streaming asset ingest: stateless map over the file stream — decode
     // work ∝ landed assets, fixed two-drain lifecycle amortizes
-    "mm_stream_decode")
+    "mm_stream_decode",
+    // animated-GIF temporal dedup: lossless frame-hash map pass + the
+    // df-capped containment core (splash-frame skew head planted)
+    "dedup_gif")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
