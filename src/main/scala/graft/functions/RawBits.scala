@@ -72,6 +72,8 @@ object GraftFunctions {
       GraftShingles(args(0), args(1).eval().asInstanceOf[Number].intValue)),
     "graft_shingles_all" -> (args =>
       GraftShinglesAll(args(0), args(1).eval().asInstanceOf[Number].intValue)),
+    "graft_shingles_all_wide" -> (args =>
+      GraftShinglesAllWide(args(0), args(1).eval().asInstanceOf[Number].intValue)),
     // arg 1 is a foldable array<array<double>> literal (the trained
     // centroids) — evaluated once at resolution, then baked into the
     // expression as a reference object rather than plan literals

@@ -138,6 +138,72 @@ case class GraftShinglesAll(child: Expression, n: Int)
   override def prettyName: String = "graft_shingles_all"
 }
 
+/** ALL n-word shingle hashes in positional order under the PACKED
+  * DOUBLE-PRIME 62-bit identity key (TextOps hash-width policy): takes the
+  * TOKEN array (not pre-hashed words — both prime streams need the chars),
+  * char-folds each token mod P and mod P2 with base B1, word-folds each
+  * window mod the matching prime with base B2, and packs `h1 * P2 + h2`.
+  * By CRT a packed collision requires polynomial congruence mod
+  * P·P2 ≈ 9.98e17, so hash equality is safe to treat as content identity
+  * at 100 TB window counts (expected false pairs n²/(2·P·P2) ≈ 0.5 at
+  * n = 10⁹ windows, vs ~5·10⁸ in the single-prime space). Every
+  * intermediate stays < 2^63, so the DuckDB oracle replays the exact
+  * integer math. Short docs (< n tokens) yield the empty array. */
+case class GraftShinglesAllWide(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  import graft.ops.TextOps.{B1, P2}
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingles_all_wide requires array<string>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val nt = toks.numElements()
+    val cnt = nt - n + 1
+    if (cnt <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val w1 = new Array[Long](nt)
+    val w2 = new Array[Long](nt)
+    var i = 0
+    while (i < nt) {
+      val bytes = toks.getUTF8String(i).getBytes
+      var h1 = 0L
+      var h2 = 0L
+      var j = 0
+      while (j < bytes.length) {
+        val c = bytes(j) & 0xffL
+        h1 = (h1 * B1 + c) % P
+        h2 = (h2 * B1 + c) % P2
+        j += 1
+      }
+      w1(i) = h1; w2(i) = h2
+      i += 1
+    }
+    val out = new Array[Long](cnt)
+    i = 0
+    while (i < cnt) {
+      var h1 = 0L
+      var h2 = 0L
+      var j = 0
+      while (j < n) {
+        h1 = (h1 * B2 + w1(i + j)) % P
+        h2 = (h2 * B2 + w2(i + j)) % P2
+        j += 1
+      }
+      out(i) = h1 * P2 + h2
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GraftShinglesAllWide =
+    copy(child = newChild)
+  override def prettyName: String = "graft_shingles_all_wide"
+}
+
 case class GraftMinHash(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -34,6 +34,31 @@ object DedupOps {
     * OOM on a corpus whose boilerplate head is itself huge. */
   val MaxBroadcastHotShingles: Long = 5000000L
 
+  /** CLUSTER-SAFE pin for a DataFrame read by several consumers inside one
+    * pair-core job graph (VERDICT r14 watch item #2): `persist(DISK_ONLY)`,
+    * not `localCheckpoint`.
+    *
+    * Node-loss semantics — the design decision: `localCheckpoint` truncates
+    * lineage and stores UNREPLICATED executor-local blocks; compute-once
+    * and cheap on local[32], but on a 1000-executor cluster one lost node
+    * fails the whole job mid-dedup because the truncated lineage cannot
+    * rebuild the lost blocks. `persist` keeps the lineage rooted at the
+    * parquet scan, so a lost block is recomputed and the job degrades
+    * instead of dying. DISK_ONLY because the pinned sets are corpus-scale
+    * at the 100 TB design point — they must never compete with shuffle and
+    * aggregation memory on the executors.
+    *
+    * The accepted trade: persisted plans are tracked by the session
+    * CacheManager until released (Bench's per-rep `clearCache` does; a
+    * long-lived session eventually should too), where localCheckpoint
+    * blocks die with the RDD reference. Iterative faces that NEED lineage
+    * truncation — BPE trainer rounds, label propagation, k-means, the
+    * quality-model GD loop — keep `localCheckpoint` by design: persisting
+    * every round of an iterative plan keeps the whole lineage chain AND
+    * every round's blocks alive at once. */
+  private def pin(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+
   /** (id, shingles) — distinct n-word shingle hash sets per document; docs
     * with fewer than n tokens drop out (no shingles → no similarity).
     *
@@ -41,22 +66,20 @@ object DedupOps {
     * native expressions that evaluate their child exactly once (the portable
     * higher-order formulation re-evaluated the word-hash array per shingle
     * position — no CSE inside lambda bodies). The result is materialized
-    * with a localCheckpoint barrier because every consumer (inverted index,
-    * LSH, verification) reads it 2-3×; localCheckpoint (not persist) so the
-    * blocks are released by the ContextCleaner once the DataFrame is
-    * unreferenced, instead of leaking in the session CacheManager. */
+    * with a [[pin]] barrier (cluster-safe persist — see pin's scaladoc for
+    * the node-loss decision) because every consumer (inverted index, LSH,
+    * verification) reads it 2-3×. */
   def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     // spread the per-row hash compute across cores: small benchmark inputs
     // arrive as a single parquet row group = ONE scan task (a real corpus
     // arrives as thousands of splits and doesn't need this)
     val par = df.sparkSession.sparkContext.defaultParallelism
-    df.repartition(par)
+    pin(df.repartition(par)
       .select(col(idCol),
         TextOps.shingleHashesOfHashes(
           TextOps.wordHashes(TextOps.tokens(col(textCol))), n).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .localCheckpoint(false)
+      .filter(size(col("shingles")) > 0))
   }
 
   private def jaccard(common: Column, sa: Column, sb: Column): Column =
@@ -112,8 +135,8 @@ object DedupOps {
       // the bound is postings/cap, which a 100 TB corpus can push past any
       // driver; past the threshold fall back to a shuffled anti-join (AQE
       // still picks the best physical strategy for the measured size).
-      val hot = ex0.groupBy("sh").count().filter(col("count") > cap)
-        .select("sh").localCheckpoint(false)
+      val hot = pin(ex0.groupBy("sh").count().filter(col("count") > cap)
+        .select("sh"))
       val hotSide =
         if (hot.count() <= MaxBroadcastHotShingles) broadcast(hot) else hot
       ex0.join(hotSide, Seq("sh"), "left_anti")
@@ -157,18 +180,18 @@ object DedupOps {
     * size guard as the text core ([[MaxBroadcastHotShingles]]). */
   def hashSetContainmentPairs(frameHashes: DataFrame, idCol: String, hashCol: String,
                     threshold: Double, maxDocFreq: Option[Int] = None): DataFrame = {
-    val raw = frameHashes
+    val raw = pin(frameHashes
       .select(col(idCol).as("id"), col(hashCol).as("fh")).distinct()
-      .localCheckpoint(false) // read by both sides of the pair join + sizes
+    ) // read by both sides of the pair join + sizes
     val sets = maxDocFreq.fold(raw) { cap =>
       // identical shape to pairCommonCounts' guard: the HOT set is bounded
       // by total-postings/cap members, so anti-join against IT (broadcast
       // while it actually fits, shuffled anti-join past the bound).
-      val hot = raw.groupBy("fh").count().filter(col("count") > cap)
-        .select("fh").localCheckpoint(false)
+      val hot = pin(raw.groupBy("fh").count().filter(col("count") > cap)
+        .select("fh"))
       val hotSide =
         if (hot.count() <= MaxBroadcastHotShingles) broadcast(hot) else hot
-      raw.join(hotSide, Seq("fh"), "left_anti").localCheckpoint(false)
+      pin(raw.join(hotSide, Seq("fh"), "left_anti"))
     }
     val sizes = sets.groupBy("id").agg(count(lit(1)).as("np"))
     val cm = sets.as("a").join(sets.as("b"),
@@ -1028,18 +1051,22 @@ object DedupOps {
   // ---------------------------------------------------------------------
 
   /** (id, pos, sh): every k-token window of every doc, rolling-hashed, with
-    * its 0-based token offset. One native pass per row (see
-    * TextOps.shingleHashesAll); checkpointed because substring dedup reads
-    * it twice (duplicate-hash aggregation + position join-back). */
+    * its 0-based token offset. `sh` is the PACKED DOUBLE-PRIME 62-bit
+    * identity key (TextOps.shingleHashesAllWide): downstream this family
+    * treats hash equality as content identity with NO exact verification,
+    * and a single 31-bit space statistically saturates at 100 TB window
+    * counts (n²/2P false spans at n ≈ 10⁹ windows); the packed key drops
+    * the expected false-pair count to n²/(2·P·P2) ≈ 0.5 at the same n
+    * while still replaying exactly in DuckDB BIGINT math. One native pass
+    * per row; pinned because substring dedup reads it twice
+    * (duplicate-hash aggregation + position join-back). */
   def positionalShingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val par = df.sparkSession.sparkContext.defaultParallelism
-    df.repartition(par)
+    pin(df.repartition(par)
       .select(col(idCol).as("id"),
-        TextOps.shingleHashesAll(
-          TextOps.wordHashes(TextOps.tokens(col(textCol))), k).as("shl"))
-      .select(col("id"), posexplode(col("shl")).as(Seq("pos", "sh")))
-      .localCheckpoint(false)
+        TextOps.shingleHashesAllWide(TextOps.tokens(col(textCol)), k).as("shl"))
+      .select(col("id"), posexplode(col("shl")).as(Seq("pos", "sh"))))
   }
 
   /** Maximal duplicated token spans per document: (id, span_start,
@@ -1130,8 +1157,9 @@ object DedupOps {
       s"window index at $indexDir was built with k=$mk, probed with k=$k")
     val idx = spark.read.parquet(s"$indexDir/windows")
       .select(col("sh"), col("cnt").as("corpus_cnt"))
+    // positionalShingles is already pinned; it feeds the bloom build,
+    // batchCnt and the probe
     val ps = positionalShingles(incoming, idCol, textCol, k)
-      .localCheckpoint(false) // feeds the bloom build, batchCnt and the probe
     val bits = BloomOps.bloomBits(ps, "sh", bloomBits, bloomHashes)
     val idxPruned = BloomOps.bloomPruned(idx, "sh", bits, bloomBits, bloomHashes)
     val batchCnt = ps.groupBy("sh").agg(count(lit(1)).as("batch_cnt"))
@@ -1163,14 +1191,18 @@ object DedupOps {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     docs.repartition(par)
       .select(col(idCol),
-        TextOps.shingleHashesAll(
-          TextOps.wordHashes(TextOps.tokens(col(textCol))), n).as("shl"))
+        // packed double-prime 62-bit shingle identity (TextOps hash-width
+        // policy): the winnow SELECTION is a sketch, but the selected
+        // values are compared as content identity in winnowPairs' inverted
+        // index and Jaccard — the identity space must not saturate at
+        // corpus-scale window counts.
+        TextOps.shingleHashesAllWide(TextOps.tokens(col(textCol)), n).as("shl"))
       .withColumn("win",
         when(size(col("shl")) >= w,
           array_distinct(transform(sequence(lit(0), size(col("shl")) - w),
             i => array_min(slice(col("shl"), i + 1, lit(w))))))
           .otherwise(array_distinct(col("shl")))) // short docs: keep all
-      .localCheckpoint(false)
+      .transform(pin) // read twice by winnowPairs (inverted index + sets)
   }
 
   /** Near-dup pairs by winnowed-fingerprint collision + exact verify:

@@ -611,20 +611,30 @@ object MultimodalOps {
     * decoded pixel bytes IS a frame identity (no perceptual tolerance
     * needed), 20 bytes out per frame, payloads never leave the task. The
     * same [[graft.ops.DedupOps.hashSetContainmentPairs]] core (with its
-    * df cap — splash/intro frames are corpus-common) scores the pairs. */
+    * df cap — splash/intro frames are corpus-common) scores the pairs.
+    *
+    * Because hash EQUALITY is the frame identity here (no pixel-level
+    * verify), the hash is the PACKED DOUBLE-PRIME 62-bit key of the
+    * TextOps hash-width policy: the pixel polynomial folded mod P and mod
+    * P2 (base B2), packed `h1 * P2 + h2` — a 31-bit space saturates at
+    * 100 TB frame counts, the ~2⁶⁰ space does not, and the pack stays
+    * exact in DuckDB BIGINT math for the oracle. */
   def gifFrameHashes(assets: DataFrame): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.as[MediaAsset].flatMap { a =>
       val (_, _, frames) = GifCodec.decodeFrames(a.payload)
       frames.zipWithIndex.map { case ((_, g), fi) =>
-        var hsh = 0L
+        var h1 = 0L
+        var h2 = 0L
         var i = 0
         while (i < g.length) {
-          hsh = (hsh * TextOps.B2 + (g(i) & 0xff)) % TextOps.P
+          val px = (g(i) & 0xff).toLong
+          h1 = (h1 * TextOps.B2 + px) % TextOps.P
+          h2 = (h2 * TextOps.B2 + px) % TextOps.P2
           i += 1
         }
-        (a.asset_id, fi, hsh)
+        (a.asset_id, fi, h1 * TextOps.P2 + h2)
       }
     }.toDF("asset_id", "frame_idx", "fh")
   }

@@ -123,11 +123,12 @@ object DedupQueries {
     * the pluggable part — corpus-wide duplicates for substring dedup,
     * benchmark membership for span decontamination. */
   private val PositionalShingleCtes =
-    s"""whst AS (SELECT doc_id, $WHS AS whs FROM documents),
+    s"""whst AS (SELECT doc_id, $WHS AS whs, ${OracleText.WHS2} AS whs2
+       |         FROM documents),
        |ps AS (SELECT doc_id, unnest(shl) AS sh,
        |         generate_subscripts(shl, 1) - 1 AS pos
        |       FROM (SELECT doc_id,
-       |               ${OracleText.shingleAllSql("whs", SubstringK)} AS shl
+       |               ${OracleText.shingleAllWideSql("whs", "whs2", SubstringK)} AS shl
        |             FROM whst))""".stripMargin
 
   private val IslandCtes =
@@ -154,14 +155,15 @@ object DedupQueries {
     * short-doc keep-all branch. */
   private val WinnowCtes = {
     val w = 4
-    s"""whst AS (SELECT doc_id, $WHS AS whs FROM documents),
+    s"""whst AS (SELECT doc_id, $WHS AS whs, ${OracleText.WHS2} AS whs2
+       |         FROM documents),
        |wfp AS (SELECT doc_id, shl,
        |          CASE WHEN len(shl) >= $w THEN
        |            list_distinct(list_transform(range(0, len(shl) - ${w - 1}),
        |              i -> list_aggregate(list_slice(shl, i + 1, i + $w), 'min')))
        |          ELSE list_distinct(shl) END AS win
        |        FROM (SELECT doc_id,
-       |                ${OracleText.shingleAllSql("whs", 3)} AS shl
+       |                ${OracleText.shingleAllWideSql("whs", "whs2", 3)} AS shl
        |              FROM whst))""".stripMargin
   }
 
@@ -769,7 +771,9 @@ object DedupQueries {
          |        FROM gfr),
          |gfh AS (SELECT asset_id, f,
          |          list_reduce(list_prepend(CAST(0 AS BIGINT), vs),
-         |            (s, x) -> (s * $B2 + x) % $P) AS fh
+         |            (s, x) -> (s * $B2 + x) % $P) * ${TextOps.P2} +
+         |          list_reduce(list_prepend(CAST(0 AS BIGINT), vs),
+         |            (s, x) -> (s * $B2 + x) % ${TextOps.P2}) AS fh
          |        FROM gpx),
          |gset0 AS (SELECT DISTINCT asset_id, fh FROM gfh),
          |gset AS (SELECT g.asset_id, g.fh FROM gset0 g

@@ -627,14 +627,23 @@ object OracleText {
   /** Lowercase word tokens. */
   val TOKS = "regexp_extract_all(lower(text), '[a-z]+')"
 
-  /** Polynomial char hash of one token `t` (mirrors TextOps.polyHash). */
-  def wordHashSql(tok: String): String =
+  /** Polynomial char hash of one token `t` (mirrors TextOps.polyHash),
+    * parameterized on the prime so both streams of the packed double-prime
+    * identity key share one definition. */
+  def wordHashSqlMod(tok: String, p: Long): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(string_split($tok, ''), ch -> CAST(unicode(ch) AS BIGINT))), " +
-      s"(h, c) -> (h * ${TextOps.B1} + c) % ${TextOps.P})"
+      s"(h, c) -> (h * ${TextOps.B1} + c) % $p)"
+
+  def wordHashSql(tok: String): String = wordHashSqlMod(tok, TextOps.P)
 
   /** Array of token hashes of the document (mirrors TextOps.wordHashes). */
   val WHS = s"list_transform($TOKS, t -> ${wordHashSql("t")})"
+
+  /** Second-prime token-hash stream (mod P2) of the packed double-prime
+    * identity key — mirrors the `w2` stream of
+    * graft.functions.GraftShinglesAllWide. */
+  val WHS2 = s"list_transform($TOKS, t -> ${wordHashSqlMod("t", TextOps.P2)})"
 
   /** Distinct k-word shingle hashes of a word-hash array expression
     * (mirrors TextOps.shingleHashesOfHashes) — ONE definition keeps the
@@ -652,6 +661,18 @@ object OracleText {
     s"list_transform(range(0, len($whs) - ${k - 1}), i -> " +
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice($whs, i + 1, i + $k)), " +
       s"(h, w) -> (h * ${TextOps.B2} + w) % ${TextOps.P}))"
+
+  /** ALL k-word shingle hashes under the PACKED DOUBLE-PRIME 62-bit
+    * identity key (mirrors TextOps.shingleHashesAllWide / the native
+    * GraftShinglesAllWide): window i folds `whs1` mod P and `whs2` mod P2
+    * with base B2 and packs `h1 * P2 + h2`. Every intermediate < 2^63, so
+    * BIGINT arithmetic is exact. */
+  def shingleAllWideSql(whs1: String, whs2: String, k: Int): String =
+    s"list_transform(range(0, len($whs1) - ${k - 1}), i -> " +
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice($whs1, i + 1, i + $k)), " +
+      s"(h, w) -> (h * ${TextOps.B2} + w) % ${TextOps.P}) * ${TextOps.P2} + " +
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice($whs2, i + 1, i + $k)), " +
+      s"(h, w) -> (h * ${TextOps.B2} + w) % ${TextOps.P2}))"
 
   /** Rolling fingerprint over the token hash stream. */
   val FINGERPRINT =

@@ -22,7 +22,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(names.toSet == Set("double_raw_bits", "float_raw_bits", "graft_dot",
       "graft_idot",
       "graft_minhash", "graft_simhash", "graft_word_hashes", "graft_shingles",
-      "graft_shingles_all", "graft_text_counts", "nearest_centroids",
+      "graft_shingles_all", "graft_shingles_all_wide", "graft_text_counts",
+      "nearest_centroids",
       "graft_bloom_contains", "graft_bpe_tokens", "graft_lsh_buckets"))
   }
 }

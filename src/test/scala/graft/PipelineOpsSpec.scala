@@ -445,6 +445,84 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(wp == bf)
   }
 
+  test("pair-core pins are cluster-safe: DISK_ONLY persist, lineage retained") {
+    // VERDICT r14 watch item #2: localCheckpoint stores unreplicated
+    // executor blocks and truncates lineage — one lost node kills the job.
+    // The pair cores must pin with persist(DISK_ONLY): lineage stays rooted
+    // at the source, a lost block recomputes.
+    import org.apache.spark.storage.StorageLevel
+    val sh = DedupOps.shingleSets(docs, "doc_id", "text", 3)
+    sh.count()
+    assert(sh.storageLevel == StorageLevel.DISK_ONLY,
+      s"shingleSets pin must be DISK_ONLY persist, got ${sh.storageLevel}")
+    // lineage retained: the logical plan still roots at the LocalRelation
+    // source, not at a checkpoint-scan of pre-materialized blocks
+    assert(!sh.queryExecution.analyzed.toString.contains("LogicalRDD"),
+      "pin must not truncate lineage (LogicalRDD means checkpoint semantics)")
+    val ps = DedupOps.positionalShingles(docs, "doc_id", "text", 3)
+    ps.count()
+    assert(ps.storageLevel == StorageLevel.DISK_ONLY)
+    assert(!ps.queryExecution.analyzed.toString.contains("LogicalRDD"))
+    sh.unpersist(); ps.unpersist()
+  }
+
+  test("wide identity key: double-prime pack matches reference; 31-bit collisions split") {
+    // scalar reference of the packed double-prime key (mirrors
+    // GraftShinglesAllWide: char-fold both primes, word-fold both, pack)
+    def whRefMod(w: String, p: Long): Long =
+      w.foldLeft(0L)((h, c) => (h * TextOps.B1 + c.toInt) % p)
+    def wideRef(ws: Seq[String]): Long = {
+      val h1 = ws.foldLeft(0L)((h, w) => (h * TextOps.B2 + whRefMod(w, TextOps.P)) % TextOps.P)
+      val h2 = ws.foldLeft(0L)((h, w) => (h * TextOps.B2 + whRefMod(w, TextOps.P2)) % TextOps.P2)
+      h1 * TextOps.P2 + h2
+    }
+    val words = "the quick brown fox jumps over the lazy dog".split(" ").toSeq
+    val got = docs.filter($"doc_id" === 0)
+      .select(TextOps.shingleHashesAllWide(TextOps.tokens($"text"), 3).as("s"))
+      .as[Seq[Long]].head()
+    val exp = words.sliding(3).map(wideRef).toSeq
+    assert(got == exp, "wide window keys must match the scalar reference, in position order")
+    // the pack is reversible: both 31-bit streams recover exactly
+    got.zip(words.sliding(3).toSeq).foreach { case (fh, ws) =>
+      assert(fh / TextOps.P2 ==
+        ws.foldLeft(0L)((h, w) => (h * TextOps.B2 + whRefMod(w, TextOps.P)) % TextOps.P))
+      assert(fh % TextOps.P2 ==
+        ws.foldLeft(0L)((h, w) => (h * TextOps.B2 + whRefMod(w, TextOps.P2)) % TextOps.P2))
+    }
+
+    // COLLISION BOUND (the reason this key exists — VERDICT r14 #1): in the
+    // single 31-bit space, expected false window collisions are n²/2P —
+    // ~5e8 at n = 1e9 windows (100 TB scale), i.e. statistically saturated.
+    // The packed key needs polynomial congruence mod P·P2 ≈ 9.98e17 (CRT),
+    // dropping the expectation to n²/(2·P·P2) ≈ 0.5 at the same n. Exhibit
+    // a REAL 31-bit collision (birthday search over deterministic words)
+    // and show the wide key separates it.
+    val rng = new scala.util.Random(0x5eed)
+    val pool = Vector.fill(300000)((0 until 8).map(_ => ('a' + rng.nextInt(26)).toChar).mkString)
+    val seen = scala.collection.mutable.HashMap[Long, String]()
+    val collision = pool.iterator.flatMap { w =>
+      val h = whRefMod(w, TextOps.P)
+      seen.get(h) match {
+        case Some(prev) if prev != w => Some((prev, w))
+        case _ => seen.update(h, w); None
+      }
+    }.buffered.headOption
+    assert(collision.isDefined, "deterministic 300k-word pool must contain a mod-P collision")
+    val (wa, wb) = collision.get
+    assert(whRefMod(wa, TextOps.P) == whRefMod(wb, TextOps.P))
+    // through the actual expressions: single-token windows (k=1) — the
+    // 31-bit face collides, the wide face does not
+    val pair = Seq((0L, wa), (1L, wb)).toDF("doc_id", "text")
+    val narrow = pair.select(
+      TextOps.shingleHashesAll(TextOps.wordHashes(TextOps.tokens($"text")), 1).as("s"))
+      .as[Seq[Long]].collect()
+    assert(narrow(0) == narrow(1), "planted pair must collide in the 31-bit space")
+    val wide = pair.select(
+      TextOps.shingleHashesAllWide(TextOps.tokens($"text"), 1).as("s"))
+      .as[Seq[Long]].collect()
+    assert(wide(0) != wide(1), "wide key must separate the planted 31-bit collision")
+  }
+
   test("substringDedupApply: kept stream drops covered tokens only; clean docs pass whole") {
     val sd = Seq(
       (0L, "aa bb cc dd ee ff gg hh"),
