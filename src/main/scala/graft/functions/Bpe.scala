@@ -81,7 +81,7 @@ object BpeVocab {
     if (w.isEmpty) return Array.empty
     // split by CODE POINT (regex engines and DuckDB string_split('') both
     // treat a supplementary-plane char as one unit)
-    var sym: Array[String] = {
+    val sym: Array[String] = {
       val out = new scala.collection.mutable.ArrayBuffer[String](w.length)
       var i = 0
       while (i < w.length) {
@@ -91,6 +91,18 @@ object BpeVocab {
       }
       out.toArray
     }
+    GreedyBpe.run(sym, rank, Merges)
+  }
+}
+
+/** The greedy lowest-rank-first merge loop, shared by the word-level
+  * ([[BpeVocab]]) and byte-level ([[ByteBpeVocab]]) tokenizers — the
+  * algorithm is table-agnostic; only the base alphabet and the trained
+  * table differ. */
+private[graft] object GreedyBpe {
+  def run(sym0: Array[String], rank: scala.collection.Map[(String, String), Int],
+          merges: IndexedSeq[(String, String)]): Array[String] = {
+    var sym = sym0
     var done = false
     while (!done && sym.length > 1) {
       var best = Int.MaxValue
@@ -102,7 +114,7 @@ object BpeVocab {
       }
       if (best == Int.MaxValue) done = true
       else {
-        val (a, b) = Merges(best)
+        val (a, b) = merges(best)
         val merged = a + b
         val out = new scala.collection.mutable.ArrayBuffer[String](sym.length)
         var j = 0

@@ -68,6 +68,8 @@ object GraftFunctions {
       args(3).eval().asInstanceOf[Number].intValue)),
     "graft_text_counts" -> (args => GraftTextCounts(args.head)),
     "graft_bpe_tokens" -> (args => GraftBpeTokens(args.head)),
+    "graft_byte_bpe_ids" -> (args => GraftByteBpeIds(args.head)),
+    "graft_byte_map_syms" -> (args => GraftByteMapSyms(args.head)),
     "graft_shingles" -> (args =>
       GraftShingles(args(0), args(1).eval().asInstanceOf[Number].intValue)),
     "graft_shingles_all" -> (args =>

@@ -53,6 +53,22 @@ object BpeTrainer {
       .select(regexp_extract_all(col("w"), lit("(?s)."), lit(0)).as("syms"),
         col("c"))
 
+  /** BYTE-LEVEL weighted pre-token histogram — the GPT-2-shaped trainer
+    * feed: pre-tokens come from [[graft.functions.ByteBpeVocab.PreTokenRe]]
+    * (contractions, space-attached letter/digit/punct runs, whitespace
+    * runs) and symbols start as the byte→printable-char mapped UTF-8 bytes
+    * ([[graft.functions.GraftByteMapSyms]]). Same (syms, c) shape, so both
+    * training paths ([[localTrain]] / [[trainWithRoundsFromHistogram]])
+    * run unchanged on it — the merge machinery is alphabet-agnostic. */
+  def byteHistogram(docs: DataFrame, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(explode(regexp_extract_all(col(textCol),
+        lit(graft.functions.ByteBpeVocab.PreTokenRe), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .select(call_function("graft_byte_map_syms", col("w")).as("syms"),
+        col("c"))
+  }
+
   /** One round's merge application: fold `syms`, fusing adjacent pairs of
     * the batch. Batch pairs are SYMBOL-DISJOINT (see [[trainWithRounds]]),
     * so their fusions can never overlap in a word and one simultaneous
@@ -88,8 +104,18 @@ object BpeTrainer {
     * histogram too big → [[trainWithRounds]] (guarded batched rounds,
     * also exact). */
   def train(docs: DataFrame, textCol: String, nMerges: Int)
+      : IndexedSeq[(String, String)] = trainFromHistogram(
+    wordHistogram(docs, textCol), nMerges)
+
+  /** [[train]] over the byte-level histogram — identical routing, only the
+    * pre-tokenizer and base alphabet differ. */
+  def trainBytes(docs: DataFrame, textCol: String, nMerges: Int)
+      : IndexedSeq[(String, String)] = trainFromHistogram(
+    byteHistogram(docs, textCol), nMerges)
+
+  private def trainFromHistogram(histogram: DataFrame, nMerges: Int)
       : IndexedSeq[(String, String)] = {
-    val hist = wordHistogram(docs, textCol).localCheckpoint()
+    val hist = histogram.localCheckpoint()
     try {
       if (hist.count() <= MaxLocalHistogram) {
         val rows = hist.collect().map(r =>
@@ -336,6 +362,15 @@ object BpeTrainer {
     val spark = docs.sparkSession
     import spark.implicits._
     train(docs, textCol, nMerges).zipWithIndex
+      .map { case ((a, b), r) => (r.toLong, a, b) }
+      .toDF("rank", "lhs", "rhs")
+  }
+
+  /** [[trainBytes]] as a relation: (rank BIGINT, lhs, rhs) in rank order. */
+  def trainBytesDf(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    trainBytes(docs, textCol, nMerges).zipWithIndex
       .map { case ((a, b), r) => (r.toLong, a, b) }
       .toDF("rank", "lhs", "rhs")
   }

@@ -72,6 +72,13 @@ object TextOps {
   def bpeMergedTokens(text: Column): Column =
     call_function("graft_bpe_tokens", text)
 
+  /** BYTE-LEVEL BPE token ids (GPT-2 shape: regex pre-tokens, UTF-8 bytes
+    * through the printable alphabet, trained merges, id = byte or
+    * 256 + rank) — see graft.functions.ByteBpeVocab. Native expression;
+    * requires `GraftFunctions.register(spark)`. */
+  def byteBpeIds(text: Column): Column =
+    call_function("graft_byte_bpe_ids", text)
+
   /** Every token/char COUNT the quality operators need, as one struct
     * (`n_ws, n_bpe, n_word, n_punct, sw_hits`) from a single compiled pass —
     * see `functions.GraftTextCounts` for the exactness contract. Alias the

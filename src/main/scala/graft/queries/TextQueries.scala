@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ops.{QualityModelOps, TextOps}
+import graft.ops.{HtmlOps, QualityModelOps, TextOps}
 import graft.tables.Tables
 
 /** Text-analysis operators over the `documents` table, each oracle-checked:
@@ -181,6 +181,142 @@ object TextQueries {
           Tables(s, dir, "documents"), "text",
           graft.functions.BpeVocab.Merges.size)
         .orderBy("rank")
+    },
+
+    // BYTE-LEVEL BPE tokenization (graft.functions.ByteBpeVocab — the
+    // GPT-2/tiktoken production shape: regex pre-tokens, UTF-8 bytes
+    // through the printable alphabet, trained byte-level merges, ids =
+    // byte value or 256 + rank). The oracle replays pre-tokenization, the
+    // byte mapping, THE MERGE LOOP (recursive CTE, rank-order fixpoint —
+    // same technique and equivalence argument as text_tokens_bpe) and the
+    // id assignment, then folds the id stream — a pre-tokenizer drift, a
+    // wrong merge, or an id-scheme slip all break the hash.
+    QueryDef.withOracle("text_tokens_bpe_bytes", {
+      val idVals = graft.functions.ByteBpeVocab.idValuesSql
+      s"""WITH RECURSIVE ${OracleText.BPE_BYTE_CTES},
+         |bb_ids(tok, tid) AS (VALUES
+         |    $idVals),
+         |tk AS (SELECT doc_id,
+         |         unnest(string_split(alltok, '${OracleText.BpeDelim}')) AS token,
+         |         generate_subscripts(string_split(alltok, '${OracleText.BpeDelim}'), 1) AS pos
+         |       FROM bb_doctok),
+         |ids AS (SELECT doc_id, pos,
+         |          CAST(${OracleText.BB_ID_CASE} AS BIGINT) AS id
+         |        FROM tk LEFT JOIN bb_ids i ON i.tok = tk.token),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |          CAST(count(DISTINCT id) AS BIGINT) AS n_distinct,
+         |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |            list(id ORDER BY pos)),
+         |            (f, t) -> (f * ${TextOps.B2} + t) % ${TextOps.P}) AS bpe_fp
+         |        FROM ids GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(a.n_tokens, 0) AS n_tokens,
+         |  COALESCE(a.n_distinct, 0) AS n_distinct,
+         |  COALESCE(a.bpe_fp, 0) AS bpe_fp
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), TextOps.byteBpeIds(col("text")).as("_t"))
+        .select(col("doc_id"),
+          size(col("_t")).cast("long").as("n_tokens"),
+          size(array_distinct(col("_t"))).cast("long").as("n_distinct"),
+          aggregate(col("_t"), lit(0L),
+            (f, t) => (f * TextOps.B2 + t) % TextOps.P).as("bpe_fp"))
+        .orderBy("doc_id")
+    },
+
+    // BYTE-LEVEL distributed BPE training — the trainer machinery
+    // (histogram sufficient statistic + exact classic merge loop) is
+    // alphabet-agnostic, so only the pre-tokenizer and the byte→char base
+    // alphabet differ from text_bpe_train. The oracle is the embedded
+    // ByteBpeVocab table (classic algorithm's output on this corpus,
+    // trained offline by the reference implementation): the distributed
+    // byte-level trainer must reproduce it rank-for-rank.
+    QueryDef.withOracle("text_bpe_train_bytes",
+      s"""SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs
+         |FROM (VALUES
+         |    ${graft.functions.ByteBpeVocab.mergeValuesSql}) t(rank, lhs, rhs)
+         |ORDER BY rank""".stripMargin) { (s, dir) =>
+      graft.ops.BpeTrainer.trainBytesDf(
+          Tables(s, dir, "documents"), "text",
+          graft.functions.ByteBpeVocab.Merges.size)
+        .orderBy("rank")
+    },
+
+    // HTML BOILERPLATE EXTRACTION (ops/HtmlOps — the CCNet/trafilatura
+    // curation stage): the fixture wraps every document in generated
+    // markup (nav/footer/link-heavy-li chrome, script with a literal '<',
+    // entities, a comment), the operator strips script/style/comments,
+    // segments block elements, culls by EXACT-INTEGER link density
+    // (3·len(anchor_text) ≤ len(text)), strips tags, decodes entities and
+    // collapses whitespace. Output proves COMPOSITION with the text stack:
+    // token count and token-stream fingerprint of the extracted text are
+    // the same arithmetic text_stats/text_fingerprint gate. The oracle
+    // replays every stage (same regexes — Java∩RE2 subset — same folds).
+    QueryDef.withOracle("text_extract_html", {
+      def tagless(e: String) = s"regexp_replace($e, '${HtmlOps.TagRe}', '', 'g')"
+      val linkTxt = "list_reduce(list_prepend('', " +
+        s"list_transform(regexp_extract_all(x, '${HtmlOps.LinkRe}'), " +
+        s"a -> ${tagless("a")})), (p, q) -> p || q)"
+      val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "''", "&nbsp;" -> " ", "&amp;" -> "&").foldLeft(
+        "list_reduce(list_prepend('', kept), " +
+          "(a, x) -> CASE WHEN a = '' THEN x ELSE a || ' ' || x END)") {
+        case (c, (e, r)) => s"replace($c, '$e', '$r')"
+      }
+      s"""WITH h AS (SELECT doc_id,
+         |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+         |    || '</title><style>body { color: #fff; }</style><script>var x = 1 < 2; track('
+         |    || CAST(doc_id AS VARCHAR)
+         |    || ');</script></head><body><div id="nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></div><p>'
+         |    || text
+         |    || ' <a href="/ref">ref</a></p><li><a href="/x">more links</a> <a href="/y">other pages</a></li><p>short &amp; sweet '
+         |    || CAST(doc_id % 7 AS VARCHAR)
+         |    || '</p><!-- generated page ' || CAST(doc_id AS VARCHAR)
+         |    || ' --><footer><a href="/tos">Terms</a> | <a href="/privacy">Privacy</a></footer></body></html>'
+         |    AS html FROM documents),
+         |b AS (SELECT doc_id,
+         |        regexp_extract_all(regexp_replace(html, '${HtmlOps.StripRe}', '', 'g'),
+         |          '${HtmlOps.BlockRe}') AS blocks
+         |      FROM h),
+         |k AS (SELECT doc_id, len(blocks) AS n_blocks,
+         |        list_transform(list_filter(blocks, x ->
+         |          len(${tagless("x")}) > 0 AND
+         |          ${HtmlOps.DensityNum} * len($linkTxt) <= len(${tagless("x")})),
+         |          x -> ${tagless("x")}) AS kept
+         |      FROM b),
+         |j AS (SELECT doc_id, n_blocks, len(kept) AS n_kept,
+         |        trim(regexp_replace($decoded, '\\s+', ' ', 'g')) AS extracted
+         |      FROM k)
+         |SELECT doc_id, CAST(n_blocks AS BIGINT) AS n_blocks,
+         |  CAST(n_kept AS BIGINT) AS n_kept,
+         |  CAST(length(extracted) AS BIGINT) AS n_chars,
+         |  CAST(len(${OracleText.toksSql("extracted")}) AS BIGINT) AS n_tokens,
+         |  ${OracleText.fingerprintSql("extracted")} AS x_fp
+         |FROM j ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          HtmlOps.htmlFixture(col("doc_id"), col("text")).as("html"))
+        .select(col("doc_id"), HtmlOps.blocks(col("html")).as("blocks"))
+        .select(col("doc_id"),
+          size(col("blocks")).cast("long").as("n_blocks"),
+          HtmlOps.keptTexts(col("blocks")).as("kept"))
+        .select(col("doc_id"), col("n_blocks"),
+          size(col("kept")).cast("long").as("n_kept"),
+          HtmlOps.joinAndClean(col("kept")).as("extracted"))
+        .select(col("doc_id"), col("n_blocks"), col("n_kept"),
+          length(col("extracted")).cast("long").as("n_chars"),
+          TextOps.tokens(col("extracted")).as("_t"))
+        .select(col("doc_id"), col("n_blocks"), col("n_kept"), col("n_chars"),
+          size(col("_t")).cast("long").as("n_tokens"),
+          TextOps.fingerprint(col("_t")).as("x_fp"))
+        .orderBy("doc_id")
     },
 
     // Rule-based quality FILTER — the decision layer on top of text_stats:
@@ -674,6 +810,16 @@ object OracleText {
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice($whs2, i + 1, i + $k)), " +
       s"(h, w) -> (h * ${TextOps.B2} + w) % ${TextOps.P2}))"
 
+  /** Lowercase word tokens of an arbitrary string expression. */
+  def toksSql(e: String): String = s"regexp_extract_all(lower($e), '[a-z]+')"
+
+  /** Rolling fingerprint over the token hash stream of an arbitrary
+    * string expression (mirrors TextOps.fingerprint ∘ tokens). */
+  def fingerprintSql(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(${toksSql(e)}, t -> ${wordHashSql("t")})), " +
+      s"(f, wh) -> (f * ${TextOps.B2} + wh) % ${TextOps.P})"
+
   /** Rolling fingerprint over the token hash stream. */
   val FINGERPRINT =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), $WHS), " +
@@ -749,6 +895,65 @@ object OracleText {
        |                 string_agg(trim(t.s, '$D'), '$D' ORDER BY p.ord) AS alltok
        |               FROM bpe_wtok p JOIN bpe_tok t USING (w) GROUP BY 1)""".stripMargin
   }
+
+  /** BYTE-LEVEL BPE replay CTEs (mirrors graft.functions.ByteBpeVocab):
+    * same rank-order fixpoint sweep over [[BpeDelim]]-delimited symbol
+    * strings as [[BPE_CTES]] — the equivalence argument carries over
+    * verbatim because the merge machinery is alphabet-agnostic — but the
+    * initial symbols are the pre-token's UTF-8 bytes mapped through the
+    * GPT-2 byte→printable-char table. The corpus is ASCII, so the SQL
+    * mapping is the exact ASCII projection of the full table: printable
+    * 33..126 identity, DEL(127) → chr(289), controls/space 0..32 →
+    * chr(code+256). TAB stays delimiter-safe: no MAPPED char is ever
+    * whitespace (that is the point of the GPT-2 alphabet). Produces
+    * `bb_doctok(doc_id, alltok)` — the document's ordered byte-level
+    * token stream, [[BpeDelim]]-joined. */
+  val BPE_BYTE_CTES: String = {
+    import graft.functions.ByteBpeVocab
+    val nm = ByteBpeVocab.Merges.length
+    val D = BpeDelim
+    val re = ByteBpeVocab.PreTokenRe.replace("'", "''")
+    val vals = ByteBpeVocab.Merges.zipWithIndex.map {
+      case ((a, b), i) => s"($i, '$D$a$D$b$D', '$D$a$b$D')"
+    }.mkString(",\n    ")
+    s"""bb_m(rnk, pat, rep) AS (VALUES
+       |    $vals),
+       |bb_pre AS (SELECT doc_id, regexp_extract_all(text, '$re') AS ws
+       |           FROM documents),
+       |bb_wd AS (SELECT DISTINCT unnest(ws) AS w FROM bb_pre),
+       |bb_it(w, s, rnk) AS (
+       |  SELECT w, '$D' || list_reduce(list_transform(string_split(w, ''),
+       |      ch -> CASE WHEN unicode(ch) BETWEEN 33 AND 126 THEN ch
+       |                 WHEN unicode(ch) = 127 THEN chr(289)
+       |                 ELSE chr(unicode(ch) + 256) END || '$D'),
+       |      (a, c) -> a || c), 0
+       |  FROM bb_wd
+       |  UNION ALL
+       |  SELECT i.w,
+       |    CASE WHEN contains(i.s, m.pat) THEN replace(i.s, m.pat, m.rep)
+       |         ELSE i.s END,
+       |    CASE WHEN contains(i.s, m.pat) THEN i.rnk ELSE i.rnk + 1 END
+       |  FROM bb_it i JOIN bb_m m ON m.rnk = i.rnk
+       |  WHERE i.rnk < $nm),
+       |bb_tok AS (SELECT w, s FROM bb_it WHERE rnk = $nm),
+       |bb_wtok AS (SELECT doc_id, w, ord FROM (
+       |              SELECT doc_id, unnest(ws) AS w,
+       |                     generate_subscripts(ws, 1) AS ord
+       |              FROM bb_pre)),
+       |bb_doctok AS (SELECT p.doc_id,
+       |                string_agg(trim(t.s, '$D'), '$D' ORDER BY p.ord) AS alltok
+       |              FROM bb_wtok p JOIN bb_tok t USING (w) GROUP BY 1)""".stripMargin
+  }
+
+  /** Byte-level token → GPT-2-convention id: single mapped char inverts
+    * the byte map (ASCII projection), merge outputs join the VALUES list.
+    * `tok` / `tid` reference columns of the embedding query. */
+  val BB_ID_CASE: String =
+    s"""CASE WHEN length(token) = 1 THEN
+       |       CASE WHEN unicode(token) BETWEEN 33 AND 126 THEN unicode(token)
+       |            WHEN unicode(token) = 289 THEN 127
+       |            ELSE unicode(token) - 256 END
+       |     ELSE tid END""".stripMargin.replace("\n", " ")
 
   private val EnStop = TextOps.StopwordLists.toMap.apply("en")
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")

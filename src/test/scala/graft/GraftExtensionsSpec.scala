@@ -24,6 +24,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "graft_minhash", "graft_simhash", "graft_word_hashes", "graft_shingles",
       "graft_shingles_all", "graft_shingles_all_wide", "graft_text_counts",
       "nearest_centroids",
-      "graft_bloom_contains", "graft_bpe_tokens", "graft_lsh_buckets"))
+      "graft_bloom_contains", "graft_bpe_tokens", "graft_byte_bpe_ids",
+      "graft_byte_map_syms", "graft_lsh_buckets"))
   }
 }

@@ -1917,6 +1917,144 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  // reference byte-level trainer: same classic loop as refTrain, but
+  // pre-tokens come from the GPT-2-shaped regex and symbols are the
+  // byte→printable-char mapped UTF-8 bytes
+  private def refTrainBytes(texts: Seq[String], nMerges: Int): Seq[(String, String)] = {
+    import graft.functions.ByteBpeVocab
+    val pre = ByteBpeVocab.PreTokenRe.r
+    var vocab: Map[Vector[String], Long] =
+      texts.flatMap(t => pre.findAllIn(t)).groupBy(identity)
+        .map { case (w, ws) =>
+          ByteBpeVocab.mapBytes(w).toCharArray.map(_.toString).toVector -> ws.size.toLong
+        }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (out.size < nMerges && !done) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- vocab; i <- 0 until syms.size - 1)
+        pairs((syms(i), syms(i + 1))) =
+          pairs.getOrElse((syms(i), syms(i + 1)), 0L) + c
+      if (pairs.isEmpty) done = true
+      else {
+        val mx = pairs.values.max
+        val (a, b) = pairs.filter(_._2 == mx).keys.toSeq.min
+        out += ((a, b))
+        vocab = vocab.toSeq.map { case (syms, c) =>
+          val nb = Vector.newBuilder[String]; var i = 0
+          while (i < syms.size) {
+            if (i + 1 < syms.size && syms(i) == a && syms(i + 1) == b) {
+              nb += (a + b); i += 2
+            } else { nb += syms(i); i += 1 }
+          }
+          nb.result() -> c
+        }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+      }
+    }
+    out.toSeq
+  }
+
+  test("byte-level BPE: GPT-2 alphabet, pre-tokenization, ids, losslessness") {
+    import graft.functions.ByteBpeVocab
+    // the byte→char table is the GPT-2 bijection: 256 distinct chars,
+    // printables map to themselves, space → Ġ (U+0120), newline → Ċ
+    assert(ByteBpeVocab.ByteToChar.distinct.length == 256)
+    assert(ByteBpeVocab.ByteToChar('a'.toInt) == 'a')
+    assert(ByteBpeVocab.ByteToChar(' '.toInt) == 'Ġ')
+    assert(ByteBpeVocab.ByteToChar('\n'.toInt) == 'Ċ')
+    assert(ByteBpeVocab.ByteToChar(127) == 'ġ')
+    (0 until 256).foreach { b =>
+      assert(ByteBpeVocab.CharToByte(ByteBpeVocab.ByteToChar(b)) == b)
+    }
+    // pre-tokenization shapes: contraction split, space attach, digit run,
+    // punctuation run, multi-space run staying whole (the documented
+    // no-lookahead deviation)
+    def pre(s: String): Seq[String] =
+      ByteBpeVocab.PreTokenRe.r.findAllIn(s).toSeq
+    assert(pre("don't stop") == Seq("don", "'t", " stop"))
+    assert(pre("a  b") == Seq("a", "  ", "b"))
+    assert(pre("x=42, ok?") == Seq("x", "=", "42", ",", " ok", "?"))
+    // LOSSLESS: ids reconstruct the exact original bytes for arbitrary
+    // input, including non-ASCII (every byte is in the alphabet)
+    val idToBytes: Long => Array[Byte] = id =>
+      if (id < 256) Array(id.toByte)
+      else ByteBpeVocab.Merges(id.toInt - 256)._1
+        .concat(ByteBpeVocab.Merges(id.toInt - 256)._2)
+        .toCharArray.map(c => ByteBpeVocab.CharToByte(c).toByte)
+    for (s <- Seq("the quick brown fox", " join scan merge", "don't",
+                  "tabs\tand\nnewlines", "café über 😀",
+                  "x=1;y=2", "")) {
+      val ids = pre(s).flatMap(w => ByteBpeVocab.idsOfWord(w))
+      val rebuilt = new String(ids.toArray.flatMap(idToBytes),
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(rebuilt == s, s"byte-level BPE must be lossless on: $s")
+    }
+    // merged ids really fire on corpus-shaped text (space-prefixed merges)
+    val ids = pre(" scan small rows").flatMap(w => ByteBpeVocab.idsOfWord(w))
+    assert(ids.exists(_ >= 256), "trained merges must apply")
+    // the native expression matches the scalar pipeline end-to-end
+    val docsB = Seq((0L, "the quick scan"), (1L, "don't  stop x=42"),
+      (2L, "")).toDF("doc_id", "text")
+    val got = docsB.select($"doc_id", TextOps.byteBpeIds($"text").as("ids"))
+      .as[(Long, Seq[Long])].collect().toMap
+    for ((id, t) <- Seq((0L, "the quick scan"), (1L, "don't  stop x=42"), (2L, ""))) {
+      val exp = pre(t).flatMap(w => ByteBpeVocab.idsOfWord(w))
+      assert(got(id) == exp, s"doc $id: native ids diverge from scalar reference")
+    }
+  }
+
+  test("byte-level trainer matches the classic algorithm on stress corpora") {
+    // space-attach, contractions, multi-space runs, digits, punctuation,
+    // ties — the byte-level twins of the word-level trainer stresses
+    val texts = Seq(
+      "aaaa aaaa bab abab", "xy xy xy uv uv uv", "the the the quick",
+      "don't don't won't", "order  order merge! 123 123", "a b c")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for (k <- Seq(1, 3, 8, 20)) {
+      val exp = refTrainBytes(texts, k)
+      val got = graft.ops.BpeTrainer.trainBytes(df, "text", k)
+      assert(got == exp, s"nMerges=$k: got $got expected $exp")
+    }
+    // the embedded table IS the classic output on the sf0.01 corpus —
+    // gated end-to-end by text_bpe_train_bytes; here pin the first merge
+    // shape (space-prefixed, like any real byte-level vocab)
+    assert(graft.functions.ByteBpeVocab.Merges.head._1 == "Ġ")
+  }
+
+  test("HtmlOps: script '<' trap, density boundary, entity order, empty doc") {
+    import graft.ops.HtmlOps
+    def extract(html: String): (Long, Long, String) = {
+      val r = Seq((0L, html)).toDF("doc_id", "html")
+        .select(HtmlOps.blocks($"html").as("blocks"))
+        .select(size($"blocks").cast("long").as("nb"),
+          HtmlOps.keptTexts($"blocks").as("kept"))
+        .select($"nb", size($"kept").cast("long").as("nk"),
+          HtmlOps.joinAndClean($"kept").as("x"))
+        .as[(Long, Long, String)].head()
+      r
+    }
+    // a '<' INSIDE script text must not survive as a fake tag boundary —
+    // script strip runs before tag strip
+    val (nb1, nk1, x1) = extract(
+      "<body><script>if (1 < 2) track();</script><p>real content here</p></body>")
+    assert((nb1, nk1, x1) == (1L, 1L, "real content here"))
+    // density boundary is EXACT integer 3*link <= text: 4 link chars out
+    // of 12 keeps (3*4 <= 12), 5 of 12 drops
+    val keep = extract("<p>abcdefg <a>king</a></p>")   // text 12, link 4
+    val drop = extract("<p>abcdef <a>kings</a></p>")   // text 12, link 5
+    assert(keep._2 == 1L && keep._3 == "abcdefg king")
+    assert(drop._2 == 0L && drop._3 == "")
+    // entity decode order: &amp;lt; must become the literal 4 chars "&lt;"
+    // (decode &amp; LAST), never "<"
+    val (_, _, x2) = extract("<p>a &amp;lt; b &amp; c</p>")
+    assert(x2 == "a &lt; b & c")
+    // link-only and empty blocks drop; comment stripped; whitespace collapses
+    val (nb3, nk3, x3) = extract(
+      "<div><a>Home</a> <a>About</a></div><!-- x --><p>  two   words  </p><p></p>")
+    assert((nb3, nk3, x3) == (3L, 1L, "two words"))
+  }
+
   test("localTrain ties break in UTF-8 binary order like the Spark rounds") {
     // U+FFFD sorts BEFORE U+1F600 in UTF-8 bytes (EF BF BD < F0 9F 98 80)
     // but AFTER it in UTF-16 code units (0xFFFD > 0xD83D) — a count tie
