@@ -121,8 +121,9 @@ object GifCodec {
     }
     val w = u16(6); val h = u16(8)
     val packed = payload(10) & 0xff
-    require((packed & 0x80) != 0, "GIF without a global color table")
-    val gctSize = 2 << (packed & 7)
+    // LCT-only GIFs are spec-legal: empty gct + per-frame LCT override
+    // (see the decode() note — the bounds check keeps failure loud)
+    val gctSize = if ((packed & 0x80) != 0) 2 << (packed & 7) else 0
     var pos = 13
     require(pos + gctSize * 3 <= payload.length, "truncated color table")
     val gct = java.util.Arrays.copyOfRange(payload, pos, pos + gctSize * 3)
@@ -259,8 +260,11 @@ object GifCodec {
     def u16(off: Int) = (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8)
     val w = u16(6); val h = u16(8)
     val packed = payload(10) & 0xff
-    require((packed & 0x80) != 0, "GIF without a global color table")
-    val gctSize = 2 << (packed & 7)
+    // a GIF carrying only per-image LOCAL color tables is spec-legal (the
+    // GCT flag is optional) — pass an empty gct and let decodeImageAt's
+    // LCT override / palette-index bounds check decide per frame: a frame
+    // with NEITHER table fails loudly there, never decodes garbage
+    val gctSize = if ((packed & 0x80) != 0) 2 << (packed & 7) else 0
     var pos = 13
     require(pos + gctSize * 3 <= payload.length, "truncated color table")
     val gct = java.util.Arrays.copyOfRange(payload, pos, pos + gctSize * 3)

@@ -1145,6 +1145,13 @@ object JpegCodec {
           val id = payload(scanHdr + 1 + 2 * k) & 0xff
           val ix = compIds.indexOf(id)
           require(ix >= 0, s"JPEG: scan references unknown component id $id")
+          // Td/Ta: this decoder installs only table id 0 (DHT enforces it);
+          // a conforming foreign stream whose later scan selects table 1
+          // must fail LOUDLY here, not decode silently with table 0 —
+          // mirrors the first-SOS check
+          val tdta = payload(scanHdr + 2 + 2 * k) & 0xff
+          require(tdta == 0,
+            s"JPEG: progressive scan selects Huffman table ${tdta >> 4}/${tdta & 0x0f}, only 0/0 is defined")
           ix
         }
         val ss = payload(scanHdr + 1 + 2 * ns) & 0xff

@@ -390,8 +390,35 @@ class TsdbEngineSpec extends SparkTestBase {
     val bnodes = flat(bcast.queryExecution.executedPlan)
     assert(bnodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
       s"expected a broadcast join:\n${bcast.queryExecution.executedPlan}")
-    assert(!bcast.queryExecution.executedPlan.toString.contains("dense, sparse"),
-      "broadcast regime must not carry a literal series list")
+    // structural, not a rendered-string match (a substring check on the
+    // fixture series names silently passes if Spark's In rendering or the
+    // fixture changes — and DID: with one raw series the In optimizes to
+    // EqualTo and never renders a list at all): no literal series
+    // membership test — In, InSet, or EqualTo-vs-literal — anywhere in
+    // the executed plan; the decision must ship as the broadcast join
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, In, InSet, Literal}
+    val series = graft.engine.MeasurementSchema.SeriesCol
+    def seriesLiteralTests(nodes: Seq[SparkPlan]) =
+      nodes.flatMap(_.expressions).flatMap(_.collect {
+        case e: In if e.value.references.exists(_.name == series) => e
+        case e: InSet if e.child.references.exists(_.name == series) => e
+        case e @ EqualTo(l, _: Literal)
+          if l.references.exists(_.name == series) => e
+      })
+    assert(seriesLiteralTests(bnodes).isEmpty,
+      s"broadcast regime must not test series against literals: " +
+        seriesLiteralTests(bnodes).mkString(", "))
+    // the assertion machinery itself must BITE, in both optimizer shapes:
+    // 2 raw series keep a literal In, 1 raw series collapses to EqualTo
+    val in2 = t.zoomAll("db1", "m1", "v", 100L, 219L, maxDataPoints = 1000)
+    in2.collect()
+    assert(seriesLiteralTests(flat(in2.queryExecution.executedPlan))
+      .exists(_.isInstanceOf[In]),
+      "2-raw-series In-list regime must carry a literal In " +
+        "(otherwise the structural check proves nothing)")
+    assert(seriesLiteralTests(flat(all.queryExecution.executedPlan))
+      .exists(_.isInstanceOf[EqualTo]),
+      "1-raw-series In-list regime must carry the collapsed EqualTo")
   }
 
   test("u64 fields survive the round trip at full range; mean/minmax facade derive from sum_op") {
