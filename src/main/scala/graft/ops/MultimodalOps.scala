@@ -292,6 +292,29 @@ object MultimodalOps {
       }.toDF()
   }
 
+  /** FLAC twin of [[wavAssetsFromDocuments]]: the SAME text→sample map and
+    * rate rotation, losslessly compressed ([[graft.ops.FlacCodec]]) — so
+    * the decoded signal stats are bit-identical to the WAV face and the
+    * oracle replays them from the text alone. Every 5th asset carries a
+    * PADDING metadata block (the metadata-walk trap, twin of the WAV JUNK
+    * chunk). */
+  def flacAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rates = Array(8000, 16000, 44100)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        require(text.forall(_ < 128),
+          s"flac fixture requires ASCII text (doc $id)")
+        val samples = Array.tabulate(text.length)(i =>
+          ((text.charAt(i) - 80) * 257).toShort)
+        val rate = rates((id % 3).toInt)
+        MediaAsset(id, "flac",
+          FlacCodec.encode(rate, samples, paddingBlock = id % 5 == 0),
+          0, 0, 1, rate)
+      }.toDF()
+  }
+
   /** Companion-asset id offset and planting step of
     * [[fpWavAssetsFromDocuments]]. */
   val AudioCompanionOffset = 30000000L
@@ -927,8 +950,12 @@ object MultimodalOps {
         col("format"), col("asset_id"))
       .as[MediaAsset]
       .mapPartitions(_.map { a =>
-        require(a.format == "wav", s"audioFeatures needs wav, got ${a.format}")
-        WavCodec.decodeFeatures(a)
+        a.format match {
+          case "wav"  => WavCodec.decodeFeatures(a)
+          case "flac" => FlacCodec.decodeFeatures(a)
+          case f => throw new IllegalArgumentException(
+            s"audioFeatures: unsupported format $f")
+        }
       })
   }
 

@@ -329,6 +329,13 @@ object WavCodec {
     * per-channel frames over the rate. */
   def decodeFeatures(a: MediaAsset): AudioFeatures = {
     val (rate, channels, ss) = decode(a.payload)
+    featuresOf(a.asset_id, a.format, rate, channels, ss)
+  }
+
+  /** The stats pass alone, shared with the other lossless audio decoders
+    * ([[FlacCodec.decodeFeatures]]) — one definition of rms/peak/zc. */
+  def featuresOf(assetId: Long, format: String, rate: Int, channels: Int,
+                 ss: Array[Short]): AudioFeatures = {
     var sumSq = 0L
     var peak = 0
     var zc = 0L
@@ -342,7 +349,7 @@ object WavCodec {
       i += 1
     }
     val n = ss.length
-    AudioFeatures(a.asset_id, a.format, rate, channels, n.toLong,
+    AudioFeatures(assetId, format, rate, channels, n.toLong,
       (n / channels).toDouble / rate,
       if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n), peak, zc)
   }

@@ -2055,6 +2055,91 @@ class PipelineOpsSpec extends SparkTestBase {
     assert((nb3, nk3, x3) == (3L, 1L, "two words"))
   }
 
+  test("GIF: LCT-only files decode (GCT optional); neither table fails loudly") {
+    import graft.ops.GifCodec
+    val (w, h) = (9, 7)
+    val px = Array.tabulate(w * h)(i => ((i * 37) % 256).toByte)
+    val full = GifCodec.encode(w, h, px, interlaced = false, localPalette = true)
+    val packed = full(10) & 0xff
+    assert((packed & 0x80) != 0, "fixture encoder always writes a GCT")
+    val gctSize = 2 << (packed & 7)
+    // surgically drop the GCT: clear the flag, remove the table bytes —
+    // a spec-legal GIF whose only palette is the image descriptor's LCT
+    def dropGct(p: Array[Byte]): Array[Byte] =
+      (p.slice(0, 10) :+ ((p(10) & 0x7f).toByte)) ++ p.slice(11, 13) ++
+        p.slice(13 + gctSize * 3, p.length)
+    val lctOnly = dropGct(full)
+    assert(GifCodec.decode(lctOnly)._3.toSeq == GifCodec.decode(full)._3.toSeq)
+    val (_, _, fr) = GifCodec.decodeFrames(lctOnly)
+    assert(fr.head._2.toSeq == GifCodec.decode(full)._3.toSeq)
+    // NEITHER table: the palette-index bounds check must reject loudly
+    val noTables = dropGct(GifCodec.encode(w, h, px, interlaced = false,
+      localPalette = false))
+    intercept[IllegalArgumentException](GifCodec.decode(noTables))
+  }
+
+  test("progressive JPEG: a later scan selecting Huffman table 1 fails loudly") {
+    import graft.ops.JpegCodec
+    val (w, h) = (16, 16)
+    val gray = Array.tabulate(w * h)(i => ((i * 29) % 256).toByte)
+    val p = JpegCodec.encodeGrayProgressive(w, h, gray)
+    // entropy data cannot contain FF DA (stuffing writes FF 00), so every
+    // FF DA pair is a true SOS marker; patch the SECOND scan's Td/Ta byte
+    val sosAt = (0 until p.length - 1).filter(i =>
+      (p(i) & 0xff) == 0xff && (p(i + 1) & 0xff) == 0xda)
+    assert(sosAt.length >= 2, "progressive stream must carry several scans")
+    val bad = p.clone()
+    bad(sosAt(1) + 6) = 0x10.toByte // comp 1's Td/Ta: select DC table 1
+    assert(JpegCodec.decodeGray(p)._3.nonEmpty)
+    intercept[IllegalArgumentException](JpegCodec.decodeGray(bad))
+  }
+
+  test("FlacCodec: lossless round trip across every predictor order and Rice escape") {
+    import graft.ops.FlacCodec
+    def roundTrip(ss: Array[Short], rate: Int = 16000, bsz: Int = 256,
+                  pad: Boolean = false): Unit = {
+      val enc = FlacCodec.encode(rate, ss, blockSize = bsz, paddingBlock = pad)
+      val (r, ch, back) = FlacCodec.decode(enc)
+      assert((r, ch) == (rate, 1))
+      assert(back.toSeq == ss.toSeq, s"lossless violated (n=${ss.length})")
+    }
+    // each signal shape forces a different subframe/predictor choice:
+    roundTrip(Array.fill(300)(1234.toShort))                       // constant
+    roundTrip(Array.tabulate(300)(i => (i * 7 - 900).toShort))     // linear (order 2 zeros)
+    roundTrip(Array.tabulate(300)(i => ((i * i) % 3000 - 1500).toShort)) // quadratic-ish
+    val rnd = new scala.util.Random(42)
+    roundTrip(Array.fill(1000)((rnd.nextInt(65536) - 32768).toShort)) // white noise
+    // Rice ESCAPE: alternating extremes make residuals huge at every
+    // order — raw two's complement beats any k <= 14
+    roundTrip(Array.tabulate(300)(i => (if (i % 2 == 0) 32767 else -32768).toShort))
+    // multi-frame + partial tail + UTF-8 frame numbers + padding block
+    roundTrip(Array.tabulate(2000)(i => ((i * 31) % 4001 - 2000).toShort),
+      rate = 44100, bsz = 64, pad = true)
+    // empty stream
+    roundTrip(Array.empty[Short])
+    // wav/flac parity on the fixture signal map: identical decoded stats
+    val text = "key agg row scan slow fast table value part hash"
+    val samples = text.map(c => ((c - 80) * 257).toShort).toArray
+    val wavF = graft.ops.WavCodec.featuresOf(0L, "x", 8000, 1, {
+      val (_, _, s) = graft.ops.WavCodec.decode(
+        graft.ops.WavCodec.encode(8000, 1, samples)); s
+    })
+    val flacF = graft.ops.WavCodec.featuresOf(0L, "x", 8000, 1, {
+      val (_, _, s) = FlacCodec.decode(FlacCodec.encode(8000, samples)); s
+    })
+    assert(wavF == flacF, "FLAC and WAV of the same signal must yield identical stats")
+    // LOUD failure: a flipped entropy byte breaks the frame CRC-16
+    val enc = FlacCodec.encode(8000, samples)
+    val corrupt = enc.clone()
+    corrupt(corrupt.length - 5) = (corrupt(corrupt.length - 5) ^ 0x40).toByte
+    intercept[IllegalArgumentException](FlacCodec.decode(corrupt))
+    // compression actually happens on corpus-shaped signals (not verbatim
+    // dressed up): the smooth ramp codes well under 16 bits/sample
+    val ramp = Array.tabulate(4096)(i => ((i % 997) * 3).toShort)
+    val bytes = FlacCodec.encode(16000, ramp).length
+    assert(bytes < 4096 * 2 * 3 / 4, s"expected real compression, got $bytes bytes")
+  }
+
   test("localTrain ties break in UTF-8 binary order like the Spark rounds") {
     // U+FFFD sorts BEFORE U+1F600 in UTF-8 bytes (EF BF BD < F0 9F 98 80)
     // but AFTER it in UTF-16 code units (0xFFFD > 0xD83D) — a count tie
