@@ -292,6 +292,51 @@ object MultimodalOps {
       }.toDF()
   }
 
+  /** Baseline-TIFF asset table ([[graft.ops.TiffCodec]]): per doc one
+    * grayscale TIFF of the text-tiled pixels. Every 3rd doc's pixels
+    * repeat in 4-runs (the PackBits RLE path); the rest are literal-heavy;
+    * every 4th asset is UNCOMPRESSED (compression 1 — both baseline strip
+    * paths live in the corpus); every 5th carries an externally-stored
+    * Software tag the IFD walk must skip (the TIFF twin of the WAV JUNK
+    * chunk). Multi-strip always (rowsPerStrip 4). */
+  def tiffAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        require(text.forall(_ < 128),
+          s"tiff fixture requires ASCII text (doc $id)")
+        val w = (id % 13 + 1).toInt
+        val h = (id % 5 + 2).toInt
+        val px = Array.tabulate(w * h) { i =>
+          if (text.isEmpty) 0.toByte
+          else {
+            val k = if (id % 3 == 0) (i / 4) % text.length else i % text.length
+            text.charAt(k).toByte
+          }
+        }
+        val comp = if (id % 4 == 0) TiffCodec.CompressionNone
+                   else TiffCodec.CompressionPackBits
+        MediaAsset(id, "tiff",
+          TiffCodec.encode(w, h, px, comp, rowsPerStrip = 4,
+            softwareTag = id % 5 == 0), w, h, 1, 0)
+      }.toDF()
+  }
+
+  /** Position-sensitive decoded-pixel features of TIFF assets — the
+    * [[decodeGray16Features]] shape over [[graft.ops.TiffCodec.decode]]
+    * (a strip-offset, PackBits-control or IFD-walk bug permutes or shifts
+    * bytes and breaks head/wsum even when the mean survives). */
+  def tiffPositionalFeatures(assets: DataFrame): org.apache.spark.sql.Dataset[Gray16Features] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.as[MediaAsset].map { a =>
+      val (_, _, g) = TiffCodec.decode(a.payload)
+      val (mean, head, wsum) = positionalStats(g.length, i => (g(i) & 0xff).toLong)
+      Gray16Features(a.asset_id, a.format, g.length.toLong, mean, head, wsum)
+    }
+  }
+
   /** FLAC twin of [[wavAssetsFromDocuments]]: the SAME text→sample map and
     * rate rotation, losslessly compressed ([[graft.ops.FlacCodec]]) — so
     * the decoded signal stats are bit-identical to the WAV face and the

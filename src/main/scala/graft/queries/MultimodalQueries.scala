@@ -525,6 +525,42 @@ object MultimodalQueries {
         .orderBy("asset_id")
     },
 
+    // REAL baseline-TIFF decoding (r15 — the scientific-imaging container):
+    // per doc one grayscale TIFF through the full layout — byte-order
+    // header, IFD walk (with a planted external Software tag to skip),
+    // multi-strip data, PackBits with per-row restart (every 3rd doc's
+    // pixels run in 4s to exercise RLE; every 4th asset is uncompressed).
+    // Position-sensitive oracle like mm_decode_png16: head bytes and the
+    // index-weighted sum break on any strip-offset/PackBits/IFD slip even
+    // when the mean survives.
+    QueryDef.withOracle("mm_decode_tiff",
+      """WITH a AS (
+        |  SELECT doc_id, text,
+        |         CAST(doc_id % 13 + 1 AS INT) AS w,
+        |         CAST(doc_id % 5 + 2 AS INT) AS h
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, list_transform(range(0, w * h),
+        |           i -> CASE WHEN length(text) = 0 THEN 0
+        |                     ELSE unicode(substr(text, CAST(
+        |                       CASE WHEN doc_id % 3 = 0 THEN (i // 4) % length(text)
+        |                            ELSE i % length(text) END + 1 AS INT), 1)) END) AS vs
+        |  FROM a)
+        |SELECT doc_id AS asset_id, 'tiff' AS format,
+        |  CAST(len(vs) AS BIGINT) AS n_px,
+        |  CAST(list_sum(vs) AS DOUBLE) / len(vs) AS mean_val,
+        |  array_to_string(list_slice(vs, 1, 12), ',') AS head_csv,
+        |  CAST(list_sum(list_transform(range(1, len(vs) + 1), k -> vs[k] * k))
+        |       AS BIGINT) AS wsum
+        |FROM v ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      MultimodalOps.tiffPositionalFeatures(
+        MultimodalOps.tiffAssetsFromDocuments(Tables(s, dir, "documents")))
+        .toDF()
+        .select(col("asset_id"), col("format"), col("n_px"), col("mean_val"),
+          concat_ws(",", col("head")).as("head_csv"), col("wsum"))
+        .orderBy("asset_id")
+    },
+
     // REAL FLAC decoding (r15 — the lossless-compression audio face):
     // each doc becomes a genuine FLAC stream (STREAMINFO, CRC-8-guarded
     // fixed-blocksize frame headers, constant/fixed-predictor subframes

@@ -2140,6 +2140,42 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(bytes < 4096 * 2 * 3 / 4, s"expected real compression, got $bytes bytes")
   }
 
+  test("TiffCodec: PackBits round trip, IFD walk, both byte paths, loud failures") {
+    import graft.ops.TiffCodec
+    // PackBits primitives: runs >= 3 RLE, literals batch, 128-caps
+    val row = Array[Byte](1, 1, 1, 1, 2, 3, 4, 4, 5, 5, 5, 5, 5)
+    assert(TiffCodec.unpackBits(TiffCodec.packRow(row), 0,
+      TiffCodec.packRow(row).length, row.length).toSeq == row.toSeq)
+    val longRun = Array.fill[Byte](300)(7)
+    assert(TiffCodec.unpackBits(TiffCodec.packRow(longRun), 0,
+      TiffCodec.packRow(longRun).length, 300).toSeq == longRun.toSeq)
+    val noise = Array.tabulate[Byte](300)(i => ((i * 131 + 17) % 251).toByte)
+    assert(TiffCodec.unpackBits(TiffCodec.packRow(noise), 0,
+      TiffCodec.packRow(noise).length, 300).toSeq == noise.toSeq)
+    // full file round trip: multi-strip, partial tail strip, both
+    // compressions, skipped Software tag
+    for {
+      (w, h) <- Seq((13, 7), (1, 2), (5, 4), (31, 9))
+      comp <- Seq(TiffCodec.CompressionNone, TiffCodec.CompressionPackBits)
+      sw <- Seq(false, true)
+    } {
+      val px = Array.tabulate[Byte](w * h)(i => ((i * 37 + 11) % 256).toByte)
+      val enc = TiffCodec.encode(w, h, px, comp, rowsPerStrip = 4, softwareTag = sw)
+      val (dw, dh, back) = TiffCodec.decode(enc)
+      assert((dw, dh) == (w, h))
+      assert(back.toSeq == px.toSeq, s"w=$w h=$h comp=$comp sw=$sw")
+    }
+    // RLE actually bites: a run-heavy plane compresses well below raw
+    val runs = Array.tabulate[Byte](64 * 64)(i => ((i / 32) % 256).toByte)
+    val packed = TiffCodec.encode(64, 64, runs)
+    assert(packed.length < 64 * 64 / 2, s"expected real compression, got ${packed.length}")
+    // loud failures: bad magic, unsupported compression, truncation
+    intercept[IllegalArgumentException](TiffCodec.decode("JUNKJUNK".getBytes))
+    val good = TiffCodec.encode(5, 4, Array.tabulate[Byte](20)(_.toByte))
+    intercept[IllegalArgumentException](TiffCodec.decode(
+      java.util.Arrays.copyOf(good, good.length - 6)))
+  }
+
   test("localTrain ties break in UTF-8 binary order like the Spark rounds") {
     // U+FFFD sorts BEFORE U+1F600 in UTF-8 bytes (EF BF BD < F0 9F 98 80)
     // but AFTER it in UTF-16 code units (0xFFFD > 0xD83D) — a count tie
