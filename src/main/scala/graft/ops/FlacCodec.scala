@@ -272,9 +272,9 @@ object FlacCodec {
   /** Encode 16-bit mono samples as a real FLAC stream. `paddingBlock`
     * inserts a PADDING metadata block between STREAMINFO and the frames —
     * the metadata-walk trap, like the WAV fixture's JUNK chunk. */
-  def encode(sampleRate: Int, samples: Array[Short],
-             blockSize: Int = DefaultBlockSize,
-             paddingBlock: Boolean = false): Array[Byte] = {
+  private def streamHeader(sampleRate: Int, channels: Int, totalPerChannel: Long,
+                           blockSize: Int, paddingBlock: Boolean)
+      : java.io.ByteArrayOutputStream = {
     require(sampleRate > 0 && sampleRate < (1 << 20), "bad sample rate")
     require(blockSize >= 16 && blockSize <= 0xffff, "bad block size")
     val out = new java.io.ByteArrayOutputStream()
@@ -284,9 +284,9 @@ object FlacCodec {
     si.write(blockSize.toLong, 16); si.write(blockSize.toLong, 16)
     si.write(0, 24); si.write(0, 24) // frame sizes unknown
     si.write(sampleRate.toLong, 20)
-    si.write(0, 3)  // channels - 1 = 0 (mono)
+    si.write(channels.toLong - 1, 3)
     si.write(15, 5) // bits per sample - 1
-    si.write(samples.length.toLong, 36)
+    si.write(totalPerChannel, 36)
     (0 until 16).foreach(_ => si.write(0, 8)) // MD5 unknown (all zero)
     val siBytes = si.toBytes
     out.write(if (paddingBlock) 0x00 else 0x80) // last-block flag | type 0
@@ -297,6 +297,14 @@ object FlacCodec {
       out.write(0); out.write(0); out.write(8)
       (0 until 8).foreach(_ => out.write(0))
     }
+    out
+  }
+
+  def encode(sampleRate: Int, samples: Array[Short],
+             blockSize: Int = DefaultBlockSize,
+             paddingBlock: Boolean = false): Array[Byte] = {
+    val out = streamHeader(sampleRate, 1, samples.length.toLong,
+      blockSize, paddingBlock)
     val s = samples.map(_.toInt)
     var frame = 0
     var from = 0
@@ -310,32 +318,85 @@ object FlacCodec {
     out.toByteArray
   }
 
-  private def encodeFrame(s: Array[Int], from: Int, untl: Int, frameNo: Int): Array[Byte] = {
+  /** Encode 16-bit STEREO (interleaved L R L R …). The channel assignment
+    * CYCLES independent → left/side → side/right → mid/side by frame
+    * index, so every decorrelation mode of the spec lives in any
+    * multi-frame asset. Decorrelation is exactly invertible in integers:
+    * side = L−R fits 17 bits (the spec's widened SIDE subframe), and
+    * mid = (L+R)>>1 floors — the side's low bit restores the lost unit —
+    * so stereo stays bit-lossless. */
+  def encodeStereo(sampleRate: Int, interleaved: Array[Short],
+                   blockSize: Int = DefaultBlockSize,
+                   paddingBlock: Boolean = false): Array[Byte] = {
+    require(interleaved.length % 2 == 0, "stereo needs interleaved L/R pairs")
+    val n = interleaved.length / 2
+    val out = streamHeader(sampleRate, 2, n.toLong, blockSize, paddingBlock)
+    var frame = 0
+    var from = 0
+    while (from < n) {
+      val untl = math.min(from + blockSize, n)
+      val bs = untl - from
+      val l = Array.tabulate(bs)(i => interleaved(2 * (from + i)).toInt)
+      val r = Array.tabulate(bs)(i => interleaved(2 * (from + i) + 1).toInt)
+      val mode = frame % 4
+      val chanBits = mode match { case 0 => 1; case 1 => 8; case 2 => 9; case _ => 10 }
+      val hdrBytes = frameHeaderBytes(bs, frame, chanBits)
+      val bw = new BitWriter
+      bw.writeBytes(hdrBytes)
+      bw.write(crc8(hdrBytes, hdrBytes.length).toLong, 8)
+      val side = Array.tabulate(bs)(i => l(i) - r(i))
+      mode match {
+        case 0 =>
+          writeSubframe(bw, l, 0, bs, 16); writeSubframe(bw, r, 0, bs, 16)
+        case 1 =>
+          writeSubframe(bw, l, 0, bs, 16); writeSubframe(bw, side, 0, bs, 17)
+        case 2 =>
+          writeSubframe(bw, side, 0, bs, 17); writeSubframe(bw, r, 0, bs, 16)
+        case _ =>
+          val mid = Array.tabulate(bs)(i => (l(i) + r(i)) >> 1)
+          writeSubframe(bw, mid, 0, bs, 16); writeSubframe(bw, side, 0, bs, 17)
+      }
+      val fb = finishFrame(bw)
+      out.write(fb, 0, fb.length)
+      frame += 1
+      from = untl
+    }
+    out.toByteArray
+  }
+
+  /** One subframe's bits: constant, else best fixed order by |residual|
+    * sum. `bits` is the subframe sample width (17 for a SIDE channel —
+    * the spec's stereo-decorrelation width). */
+  private def writeSubframe(bw: BitWriter, s: Array[Int], from: Int, untl: Int,
+                            bits: Int): Unit = {
     val bs = untl - from
-    val hdr = new java.io.ByteArrayOutputStream()
-    hdr.write(0xff); hdr.write(0xf8) // sync 11111111 111110, reserved 0, fixed-blocksize 0
-    hdr.write(0x70)                  // blocksize: 0111 (16-bit at end); rate: 0000 (STREAMINFO)
-    hdr.write(0x08)                  // channels 0000 (mono); size 100 (16-bit); reserved 0
-    writeUtf8Number(hdr, frameNo.toLong)
-    hdr.write((bs - 1) >> 8); hdr.write((bs - 1) & 0xff)
-    val hdrBytes = hdr.toByteArray
-    val bw = new BitWriter
-    bw.writeBytes(hdrBytes)
-    bw.write(crc8(hdrBytes, hdrBytes.length).toLong, 8)
-    // subframe choice: constant, else best fixed order by |residual| sum
     val allEqual = (from until untl).forall(i => s(i) == s(from))
     if (allEqual) {
       bw.write(0, 1); bw.write(0, 6); bw.write(0, 1) // SUBFRAME_CONSTANT
-      bw.write(s(from).toLong & 0xffffL, 16)
+      bw.write(s(from).toLong & ((1L << bits) - 1), bits)
     } else {
       val maxOrder = math.min(4, bs - 1)
       val best = (0 to maxOrder).minBy { o =>
         residuals(s, from, untl, o).map(r => math.abs(r.toLong)).sum
       }
       bw.write(0, 1); bw.write(8L + best, 6); bw.write(0, 1) // SUBFRAME_FIXED
-      (from until from + best).foreach(i => bw.write(s(i).toLong & 0xffffL, 16))
+      (from until from + best).foreach(i =>
+        bw.write(s(i).toLong & ((1L << bits) - 1), bits))
       writeResidual(bw, residuals(s, from, untl, best))
     }
+  }
+
+  private def frameHeaderBytes(bs: Int, frameNo: Int, chanBits: Int): Array[Byte] = {
+    val hdr = new java.io.ByteArrayOutputStream()
+    hdr.write(0xff); hdr.write(0xf8) // sync 11111111 111110, reserved 0, fixed-blocksize 0
+    hdr.write(0x70)                  // blocksize: 0111 (16-bit at end); rate: 0000 (STREAMINFO)
+    hdr.write((chanBits << 4) | 0x08) // channel assignment; size 100 (16-bit); reserved 0
+    writeUtf8Number(hdr, frameNo.toLong)
+    hdr.write((bs - 1) >> 8); hdr.write((bs - 1) & 0xff)
+    hdr.toByteArray
+  }
+
+  private def finishFrame(bw: BitWriter): Array[Byte] = {
     bw.align()
     val frameBytes = bw.toBytes
     val c16 = crc16(frameBytes, 0, frameBytes.length)
@@ -343,6 +404,16 @@ object FlacCodec {
     res(frameBytes.length) = (c16 >> 8).toByte
     res(frameBytes.length + 1) = (c16 & 0xff).toByte
     res
+  }
+
+  private def encodeFrame(s: Array[Int], from: Int, untl: Int, frameNo: Int): Array[Byte] = {
+    val bs = untl - from
+    val hdrBytes = frameHeaderBytes(bs, frameNo, 0) // mono
+    val bw = new BitWriter
+    bw.writeBytes(hdrBytes)
+    bw.write(crc8(hdrBytes, hdrBytes.length).toLong, 8)
+    writeSubframe(bw, s, from, untl, 16)
+    finishFrame(bw)
   }
 
   // ---------------------------------------------------------------- decode
@@ -358,6 +429,7 @@ object FlacCodec {
     var rate = -1
     var total = -1L
     var blockMax = -1
+    var channels = 1
     while (!last) {
       require(pos + 4 <= payload.length, "FLAC: truncated metadata header")
       val h = payload(pos) & 0xff
@@ -376,14 +448,15 @@ object FlacCodec {
         rate = br.read(20).toInt
         val ch = br.read(3).toInt + 1
         val bps = br.read(5).toInt + 1
-        require(ch == 1 && bps == 16,
-          s"FLAC: only 16-bit mono implemented (got $ch ch / $bps bit)")
+        require((ch == 1 || ch == 2) && bps == 16,
+          s"FLAC: only 16-bit mono/stereo implemented (got $ch ch / $bps bit)")
+        channels = ch
         total = br.read(36)
       }
       pos += len
     }
     require(rate > 0 && total >= 0, "FLAC: missing STREAMINFO")
-    val out = new Array[Short](total.toInt)
+    val out = new Array[Short](total.toInt * channels)
     var got = 0
     while (got < total) {
       val br = new BitReader(payload, pos)
@@ -394,7 +467,7 @@ object FlacCodec {
       val bsCode = br.read(4).toInt
       val rateCode = br.read(4).toInt
       require(rateCode == 0, "FLAC: only STREAMINFO-rate frames implemented")
-      require(br.read(4) == 0, "FLAC: only mono frames implemented")
+      val chanAsn = br.read(4).toInt
       require(br.read(3) == 4, "FLAC: only 16-bit frames implemented")
       require(br.read(1) == 0, "FLAC: reserved bit set")
       readUtf8Number(br)
@@ -410,34 +483,38 @@ object FlacCodec {
       val hdrCrc = br.read(8).toInt
       require(hdrCrc == crc8(payload.slice(frameStart, br.bytePos - 1),
         br.bytePos - 1 - frameStart), "FLAC: frame header CRC-8 mismatch")
-      // subframe
-      require(br.read(1) == 0, "FLAC: subframe padding bit set")
-      val tpe = br.read(6).toInt
-      require(br.read(1) == 0, "FLAC: wasted bits not implemented")
-      val block = new Array[Int](bs)
-      tpe match {
-        case 0 => // CONSTANT
-          val v = br.read(16).toInt
-          val sv = if ((v & 0x8000) != 0) v - 0x10000 else v
-          java.util.Arrays.fill(block, sv)
-        case 1 => // VERBATIM
-          var i = 0
-          while (i < bs) {
-            val v = br.read(16).toInt
-            block(i) = if ((v & 0x8000) != 0) v - 0x10000 else v
-            i += 1
+      // subframes per the channel assignment (§9.1.3): SIDE channels carry
+      // one extra bit; decorrelation inverts after both subframes decode
+      val chans: Array[Array[Int]] = chanAsn match {
+        case 0 => // mono
+          require(channels == 1, "FLAC: mono frame in stereo stream")
+          Array(readSubframe(br, bs, 16))
+        case 1 => // independent stereo
+          require(channels == 2, "FLAC: stereo frame in mono stream")
+          Array(readSubframe(br, bs, 16), readSubframe(br, bs, 16))
+        case 8 => // left/side
+          require(channels == 2, "FLAC: stereo frame in mono stream")
+          val l = readSubframe(br, bs, 16)
+          val sd = readSubframe(br, bs, 17)
+          Array(l, Array.tabulate(bs)(i => l(i) - sd(i)))
+        case 9 => // side/right
+          require(channels == 2, "FLAC: stereo frame in mono stream")
+          val sd = readSubframe(br, bs, 17)
+          val r = readSubframe(br, bs, 16)
+          Array(Array.tabulate(bs)(i => r(i) + sd(i)), r)
+        case 10 => // mid/side
+          require(channels == 2, "FLAC: stereo frame in mono stream")
+          val m = readSubframe(br, bs, 16)
+          val sd = readSubframe(br, bs, 17)
+          val l = Array.tabulate(bs) { i =>
+            (((m(i) << 1) | (sd(i) & 1)) + sd(i)) >> 1
           }
-        case t if t >= 8 && t <= 12 => // FIXED, order t-8
-          val order = t - 8
-          var i = 0
-          while (i < order) {
-            val v = br.read(16).toInt
-            block(i) = if ((v & 0x8000) != 0) v - 0x10000 else v
-            i += 1
+          val r = Array.tabulate(bs) { i =>
+            (((m(i) << 1) | (sd(i) & 1)) - sd(i)) >> 1
           }
-          restore(block, 0, bs, order, readResidual(br, bs - order))
-        case t => throw new IllegalArgumentException(
-          s"FLAC: subframe type $t not implemented (LPC)")
+          Array(l, r)
+        case a => throw new IllegalArgumentException(
+          s"FLAC: channel assignment $a not implemented")
       }
       br.align()
       val c16 = crc16(payload, frameStart, br.bytePos)
@@ -446,14 +523,46 @@ object FlacCodec {
       pos = br.bytePos + 2
       var i = 0
       while (i < bs) {
-        require(block(i) >= Short.MinValue && block(i) <= Short.MaxValue,
-          "FLAC: sample out of 16-bit range")
-        out(got + i) = block(i).toShort
+        var c = 0
+        while (c < channels) {
+          val v = chans(c)(i)
+          require(v >= Short.MinValue && v <= Short.MaxValue,
+            "FLAC: sample out of 16-bit range")
+          out((got + i) * channels + c) = v.toShort
+          c += 1
+        }
         i += 1
       }
       got += bs
     }
-    (rate, 1, out)
+    (rate, channels, out)
+  }
+
+  /** One subframe at the given sample width (17 for SIDE channels). */
+  private def readSubframe(br: BitReader, bs: Int, bits: Int): Array[Int] = {
+    require(br.readBit() == 0, "FLAC: subframe padding bit set")
+    val tpe = br.read(6).toInt
+    require(br.readBit() == 0, "FLAC: wasted bits not implemented")
+    def sample(): Int = {
+      val v = br.read(bits)
+      (if ((v & (1L << (bits - 1))) != 0) v - (1L << bits) else v).toInt
+    }
+    val block = new Array[Int](bs)
+    tpe match {
+      case 0 => // CONSTANT
+        java.util.Arrays.fill(block, sample())
+      case 1 => // VERBATIM
+        var i = 0
+        while (i < bs) { block(i) = sample(); i += 1 }
+      case t if t >= 8 && t <= 12 => // FIXED, order t-8
+        val order = t - 8
+        var i = 0
+        while (i < order) { block(i) = sample(); i += 1 }
+        restore(block, 0, bs, order, readResidual(br, bs - order))
+      case t => throw new IllegalArgumentException(
+        s"FLAC: subframe type $t not implemented (LPC)")
+    }
+    block
   }
 
   /** Decode + the same one-pass signal stats as [[WavCodec.decodeFeatures]]

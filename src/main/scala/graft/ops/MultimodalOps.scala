@@ -360,6 +360,35 @@ object MultimodalOps {
       }.toDF()
   }
 
+  /** STEREO FLAC asset table: L is the standard text→sample map, R the
+    * same map shifted 3 chars — correlated channels, so the cycling
+    * decorrelation modes (independent / left-side / side-right / mid-side,
+    * one per frame at blockSize 64) genuinely compress. Lossless ⇒ the
+    * oracle replays interleaved stats from the text alone. */
+  def flacStereoAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rates = Array(8000, 16000, 44100)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        require(text.forall(_ < 128),
+          s"flac fixture requires ASCII text (doc $id)")
+        val n = text.length
+        val inter = new Array[Short](2 * n)
+        var i = 0
+        while (i < n) {
+          inter(2 * i) = ((text.charAt(i) - 80) * 257).toShort
+          inter(2 * i + 1) = ((text.charAt((i + 3) % n) - 80) * 257).toShort
+          i += 1
+        }
+        val rate = rates((id % 3).toInt)
+        MediaAsset(id, "flac",
+          FlacCodec.encodeStereo(rate, inter, blockSize = 64,
+            paddingBlock = id % 5 == 0),
+          0, 0, 2, rate)
+      }.toDF()
+  }
+
   /** Companion-asset id offset and planting step of
     * [[fpWavAssetsFromDocuments]]. */
   val AudioCompanionOffset = 30000000L

@@ -596,6 +596,42 @@ object MultimodalQueries {
         .orderBy("asset_id")
     },
 
+    // STEREO FLAC (r15): the spec's inter-channel decorrelation — frames
+    // CYCLE independent / left-side / side-right / mid-side (blockSize 64
+    // ⇒ every corpus doc exercises all four), SIDE subframes carry the
+    // 17-bit widened samples, mid floors (L+R)/2 with the side's low bit
+    // restoring the unit. R is L shifted 3 chars, so decorrelation
+    // genuinely compresses. Lossless ⇒ the oracle replays interleaved
+    // rms/peak/zero-crossings from the text; any decorrelation or width
+    // slip lands directly in the values.
+    QueryDef.withOracle("mm_decode_flac_stereo",
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         flatten(list_transform(range(1, length(text) + 1), i ->
+        |           [(unicode(substr(text, CAST(i AS INT), 1)) - 80) * 257,
+        |            (unicode(substr(text,
+        |               CAST((i + 2) % length(text) + 1 AS INT), 1)) - 80) * 257]))
+        |           AS ss,
+        |         ([8000, 16000, 44100])[CAST(doc_id % 3 AS INT) + 1] AS rate
+        |  FROM documents)
+        |SELECT doc_id AS asset_id, 'flac' AS format,
+        |  CAST(rate AS INT) AS sample_rate, CAST(2 AS INT) AS channels,
+        |  CAST(len(ss) AS BIGINT) AS n_samples,
+        |  CAST(len(ss) // 2 AS DOUBLE) / rate AS duration_s,
+        |  CASE WHEN len(ss) = 0 THEN 0.0
+        |       ELSE sqrt(CAST(list_sum(list_transform(ss, x -> x * x)) AS DOUBLE)
+        |                 / len(ss)) END AS rms,
+        |  CAST(COALESCE(list_max(list_transform(ss, x -> abs(x))), 0) AS INT) AS peak,
+        |  CAST(COALESCE(list_sum(list_transform(range(1, len(ss)),
+        |    i -> CASE WHEN (ss[i] >= 0) <> (ss[i + 1] >= 0)
+        |              THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
+        |FROM s ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      MultimodalOps.audioFeatures(
+        MultimodalOps.flacStereoAssetsFromDocuments(Tables(s, dir, "documents")))
+        .toDF()
+        .orderBy("asset_id")
+    },
+
     // SAMPLE-RATE CONVERSION (r14): the 16 kHz normalization every
     // speech/audio pipeline runs — integer-exact linear interpolation
     // from each clip's native rate (8k upsamples 2x, 16k is identity,

@@ -142,7 +142,14 @@ object ScaleBench {
     "mm_stream_decode",
     // animated-GIF temporal dedup: lossless frame-hash map pass + the
     // df-capped containment core (splash-frame skew head planted)
-    "dedup_gif")
+    "dedup_gif",
+    // round-15 additions: byte-level BPE tokenize (map pass, merge loop
+    // amortized over distinct pre-tokens per task) and train (histogram
+    // sufficient statistic → driver merges, like text_bpe_train); HTML
+    // extraction (map-side regex/HOF string ops, work ∝ markup bytes);
+    // FLAC + TIFF decode (map-only typed codec passes, work ∝ documents)
+    "text_tokens_bpe_bytes", "text_bpe_train_bytes", "text_extract_html",
+    "mm_decode_flac", "mm_decode_tiff")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -2176,6 +2176,37 @@ class PipelineOpsSpec extends SparkTestBase {
       java.util.Arrays.copyOf(good, good.length - 6)))
   }
 
+  test("FlacCodec stereo: all four channel assignments round-trip losslessly") {
+    import graft.ops.FlacCodec
+    // correlated channels; blockSize 64 over 300 frames/channel -> 5
+    // frames cycling independent -> left/side -> side/right -> mid/side
+    val n = 300
+    val inter = new Array[Short](2 * n)
+    for (i <- 0 until n) {
+      inter(2 * i) = ((i * 13) % 2001 - 1000).toShort
+      inter(2 * i + 1) = (inter(2 * i) + 77).toShort
+    }
+    val enc = FlacCodec.encodeStereo(16000, inter, blockSize = 64)
+    val (r, ch, back) = FlacCodec.decode(enc)
+    assert((r, ch) == (16000, 2))
+    assert(back.toSeq == inter.toSeq, "stereo decorrelation must be lossless")
+    // full-swing SIDE values (L=32767, R=-32768 -> side=65535, the 17-bit
+    // max) and odd mids (floor + low-bit restore) through every mode
+    val m = 64
+    val ext = new Array[Short](2 * m)
+    for (i <- 0 until m) {
+      ext(2 * i) = (if (i % 2 == 0) 32767 else -32768).toShort
+      ext(2 * i + 1) = (if (i % 3 == 0) -32768 else 32767).toShort
+    }
+    val (_, _, back2) = FlacCodec.decode(
+      FlacCodec.encodeStereo(8000, ext, blockSize = 16))
+    assert(back2.toSeq == ext.toSeq, "17-bit side extremes must survive")
+    // decorrelation pays: the correlated fixture codes smaller than
+    // forcing independent channels would (side is near-constant 77)
+    assert(enc.length < 2 * n * 2,
+      s"correlated stereo should compress below raw, got ${enc.length}")
+  }
+
   test("localTrain ties break in UTF-8 binary order like the Spark rounds") {
     // U+FFFD sorts BEFORE U+1F600 in UTF-8 bytes (EF BF BD < F0 9F 98 80)
     // but AFTER it in UTF-16 code units (0xFFFD > 0xD83D) — a count tie
