@@ -25,6 +25,11 @@ final case class Gray16Features(
     asset_id: Long, format: String, n_px: Long, mean_val: Double,
     head: Array[Long], wsum: Long)
 
+/** One decoded page of a multi-page TIFF with position-sensitive stats. */
+final case class TiffPageFeatures(
+    asset_id: Long, page_idx: Int, n_px: Long, mean_val: Double,
+    head: Array[Long], wsum: Long)
+
 /** One RESAMPLED audio clip's stats: source/target rates, sample counts
   * and position-sensitive features of the resampled signal. */
 final case class AudioResampleFeatures(
@@ -334,6 +339,49 @@ object MultimodalOps {
       val (_, _, g) = TiffCodec.decode(a.payload)
       val (mean, head, wsum) = positionalStats(g.length, i => (g(i) & 0xff).toLong)
       Gray16Features(a.asset_id, a.format, g.length.toLong, mean, head, wsum)
+    }
+  }
+
+  /** MULTI-PAGE TIFF asset table (the scanned-document shape): per doc one
+    * TIFF of 2 + id%3 pages chained through next-IFD pointers, page f
+    * tiled from the text at offset 11·f (the GIF-frames tiling). Same
+    * compression/tag rotation as [[tiffAssetsFromDocuments]]. */
+  def tiffPageAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        require(text.forall(_ < 128),
+          s"tiff fixture requires ASCII text (doc $id)")
+        val w = (id % 7 + 2).toInt
+        val h = (id % 4 + 2).toInt
+        val nf = (2 + id % 3).toInt
+        val pages = (0 until nf).map { f =>
+          val px = Array.tabulate(w * h)(i =>
+            (if (text.isEmpty) 0
+             else text.charAt((11 * f + i) % text.length).toInt).toByte)
+          (w, h, px)
+        }
+        val comp = if (id % 4 == 0) TiffCodec.CompressionNone
+                   else TiffCodec.CompressionPackBits
+        MediaAsset(id, "tiff",
+          TiffCodec.encodePages(pages, comp, rowsPerStrip = 4,
+            softwareTag = id % 5 == 0), w, h, 1, 0)
+      }.toDF()
+  }
+
+  /** Per-page positional features of multi-page TIFFs — one row per IFD in
+    * chain order; a chain-walk bug (wrong next pointer, page skipped,
+    * strip data crossing pages) lands in page_idx/head/wsum directly. */
+  def tiffPageFeatures(assets: DataFrame)
+      : org.apache.spark.sql.Dataset[TiffPageFeatures] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.as[MediaAsset].flatMap { a =>
+      TiffCodec.decodePages(a.payload).zipWithIndex.map { case ((_, _, g), pi) =>
+        val (mean, head, wsum) = positionalStats(g.length, i => (g(i) & 0xff).toLong)
+        TiffPageFeatures(a.asset_id, pi, g.length.toLong, mean, head, wsum)
+      }
     }
   }
 

@@ -561,6 +561,42 @@ object MultimodalQueries {
         .orderBy("asset_id")
     },
 
+    // MULTI-PAGE TIFF (r15): the scanned-document shape — one IFD per
+    // page chained through next-IFD pointers, each page its own strips.
+    // One row per page in CHAIN order; the oracle recomputes every page
+    // from the text tiling (offset 11·f), so a chain-walk bug (wrong next
+    // pointer, skipped page, strips crossing pages) breaks page_idx /
+    // head / wsum directly.
+    QueryDef.withOracle("mm_tiff_pages",
+      """WITH a AS (
+        |  SELECT doc_id, text,
+        |         CAST(doc_id % 7 + 2 AS INT) AS w,
+        |         CAST(doc_id % 4 + 2 AS INT) AS h,
+        |         CAST(2 + doc_id % 3 AS INT) AS nf
+        |  FROM documents),
+        |pf AS (SELECT a.*, CAST(f.f AS INT) AS f
+        |       FROM a, range(4) f(f) WHERE f.f < nf),
+        |v AS (
+        |  SELECT doc_id, f, list_transform(range(0, w * h),
+        |           i -> CASE WHEN length(text) = 0 THEN 0
+        |                     ELSE unicode(substr(text,
+        |                            CAST((11 * f + i) % length(text) + 1 AS INT), 1)) END) AS vs
+        |  FROM pf)
+        |SELECT doc_id AS asset_id, CAST(f AS INT) AS page_idx,
+        |  CAST(len(vs) AS BIGINT) AS n_px,
+        |  CAST(list_sum(vs) AS DOUBLE) / len(vs) AS mean_val,
+        |  array_to_string(list_slice(vs, 1, 12), ',') AS head_csv,
+        |  CAST(list_sum(list_transform(range(1, len(vs) + 1), k -> vs[k] * k))
+        |       AS BIGINT) AS wsum
+        |FROM v ORDER BY asset_id, page_idx""".stripMargin) { (s, dir) =>
+      MultimodalOps.tiffPageFeatures(
+        MultimodalOps.tiffPageAssetsFromDocuments(Tables(s, dir, "documents")))
+        .toDF()
+        .select(col("asset_id"), col("page_idx"), col("n_px"), col("mean_val"),
+          concat_ws(",", col("head")).as("head_csv"), col("wsum"))
+        .orderBy("asset_id", "page_idx")
+    },
+
     // REAL FLAC decoding (r15 — the lossless-compression audio face):
     // each doc becomes a genuine FLAC stream (STREAMINFO, CRC-8-guarded
     // fixed-blocksize frame headers, constant/fixed-predictor subframes

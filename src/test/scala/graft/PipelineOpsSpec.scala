@@ -2169,6 +2169,18 @@ class PipelineOpsSpec extends SparkTestBase {
     val runs = Array.tabulate[Byte](64 * 64)(i => ((i / 32) % 256).toByte)
     val packed = TiffCodec.encode(64, 64, runs)
     assert(packed.length < 64 * 64 / 2, s"expected real compression, got ${packed.length}")
+    // MULTI-PAGE: IFD chain round trip, page order, decode() = first page
+    val pages = (0 until 3).map { f =>
+      (6, 5, Array.tabulate[Byte](30)(i => ((11 * f + i * 3) % 256).toByte))
+    }
+    val mp = TiffCodec.encodePages(pages, softwareTag = true)
+    val back = TiffCodec.decodePages(mp)
+    assert(back.length == 3)
+    back.zip(pages).foreach { case ((dw, dh, g), (w, h, px)) =>
+      assert((dw, dh) == (w, h)); assert(g.toSeq == px.toSeq)
+    }
+    assert(TiffCodec.decode(mp)._3.toSeq == pages.head._3.toSeq,
+      "decode() must return the FIRST page of a multi-page file")
     // loud failures: bad magic, unsupported compression, truncation
     intercept[IllegalArgumentException](TiffCodec.decode("JUNKJUNK".getBytes))
     val good = TiffCodec.encode(5, 4, Array.tabulate[Byte](20)(_.toByte))
