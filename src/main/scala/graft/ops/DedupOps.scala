@@ -1171,6 +1171,66 @@ object DedupOps {
     spansFromPositions(dp, k, idCol)
   }
 
+  /** LINE-LEVEL corpus dedup — the CCNet paragraph/line stage: hash each
+    * LINE, count occurrences corpus-wide, and drop every line that occurs
+    * at least `minCount` times (boilerplate headers, navigation residue,
+    * repeated disclaimers — the dominant duplication mode of web text at
+    * the sub-document level). Lines here are fixed `wordsPerLine`-word
+    * groups (the corpus fixture is unstructured word text; a real crawl
+    * splits on newlines and feeds the same machinery — the line HASH is
+    * the pluggable part). A trailing partial group is not a line.
+    *
+    * Line identity is the PACKED DOUBLE-PRIME 62-bit key (hash-width
+    * policy at [[TextOps.P]]): equality IS the drop decision with no
+    * verify, exactly the face the 31-bit space must not carry at corpus
+    * scale. The line hashes are a stride-`wordsPerLine` selection of the
+    * wide window hashes — one native pass, row-local.
+    *
+    * Scale shape: only (id, line_idx, 8-byte hash) rows shuffle; the
+    * corpus-wide duplicate test is one hash-keyed count with map-side
+    * partials; the join-back is hash-keyed (AQE broadcasts the usually
+    * small duplicated head); the per-doc fold runs on doc-bounded
+    * collected arrays (same stance as substringDedupApply).
+    *
+    * Output: (idCol, n_lines, n_dup_lines, kept_fp) — kept_fp is the
+    * order-sensitive fold of the SURVIVING line hashes, the contract a
+    * downstream re-materialization checks against. */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+                wordsPerLine: Int, minCount: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val n = wordsPerLine
+    val withLines = pin(docs.repartition(par)
+      .select(col(idCol).as("id"),
+        TextOps.shingleHashesAllWide(TextOps.tokens(col(textCol)), n).as("shl"),
+        (size(TextOps.tokens(col(textCol))) / n).cast("int").as("nl"))
+      .select(col("id"), col("nl"),
+        when(col("nl") > 0,
+          transform(sequence(lit(0), col("nl") - 1),
+            j => element_at(col("shl"), j * n + 1)))
+          .otherwise(array().cast("array<bigint>")).as("lines")))
+    val ex = withLines.select(col("id"),
+      posexplode(col("lines")).as(Seq("li", "lh")))
+    val dup = ex.groupBy("lh").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount).select("lh", "cnt")
+    val marked = ex.join(dup.select(col("lh"), lit(true).as("isdup")), Seq("lh"), "left")
+      .select(col("id"), col("li"), col("lh"),
+        coalesce(col("isdup"), lit(false)).as("isdup"))
+    val agg = marked.groupBy("id")
+      .agg(sum(when(col("isdup"), 1L).otherwise(0L)).as("n_dup_lines"),
+        aggregate(
+          sort_array(collect_list(
+            when(!col("isdup"), struct(col("li"), col("lh"))))),
+          lit(0L),
+          (f, s) => (f * TextOps.B2 + s.getField("lh")) % TextOps.P).as("kept_fp"))
+    withLines.select(col("id").as(idCol), col("nl").cast("long").as("n_lines"))
+      .join(agg.select(col("id").as(idCol), col("n_dup_lines"), col("kept_fp")),
+        Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col("n_dup_lines"), lit(0L)).as("n_dup_lines"),
+        coalesce(col("kept_fp"), lit(0L)).as("kept_fp"))
+  }
+
   /** WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
     * the MOSS sketch): slide a width-`w` window over the positional
     * n-gram shingle hashes and keep each window's MINIMUM; the distinct

@@ -571,6 +571,45 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // LINE-LEVEL corpus dedup (the CCNet paragraph stage): every 8-word
+    // line hashed with the 62-bit wide key, corpus-common lines (count >=
+    // 2, within-doc repeats included) dropped, surviving line stream
+    // fingerprinted in order. The oracle replays the stride selection over
+    // the wide window hashes, the corpus count, the drop decision and the
+    // ordered fold — exact duplicate docs share EVERY line, so the planted
+    // dup structure fires corpus-wide.
+    QueryDef.withOracle("dedup_lines", {
+      val n = 8
+      s"""WITH whst AS (SELECT doc_id, $WHS AS whs, ${OracleText.WHS2} AS whs2
+         |              FROM documents),
+         |sl AS (SELECT doc_id,
+         |         ${OracleText.shingleAllWideSql("whs", "whs2", n)} AS shl,
+         |         CAST(len(whs) // $n AS INT) AS nl
+         |       FROM whst),
+         |ln AS (SELECT doc_id, CAST(f.j AS INT) AS li,
+         |         shl[CAST(f.j * $n + 1 AS INT)] AS lh
+         |       FROM sl, range(200) f(j) WHERE f.j < nl),
+         |dupl AS (SELECT lh FROM ln GROUP BY lh HAVING count(*) >= 2),
+         |mk AS (SELECT ln.doc_id, ln.li, ln.lh, (d.lh IS NOT NULL) AS isdup
+         |       FROM ln LEFT JOIN dupl d ON ln.lh = d.lh),
+         |ag AS (SELECT doc_id,
+         |         CAST(SUM(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_dup_lines,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list(lh ORDER BY li) FILTER (WHERE NOT isdup)),
+         |           (f, h) -> (f * ${TextOps.B2} + h) % ${TextOps.P}) AS kept_fp
+         |       FROM mk GROUP BY doc_id)
+         |SELECT s.doc_id, CAST(s.nl AS BIGINT) AS n_lines,
+         |  COALESCE(a.n_dup_lines, 0) AS n_dup_lines,
+         |  COALESCE(a.kept_fp, 0) AS kept_fp
+         |FROM sl s LEFT JOIN ag a USING (doc_id)
+         |ORDER BY s.doc_id""".stripMargin
+    }) { (s, dir) =>
+      DedupOps.lineDedup(Tables(s, dir, "documents"), "doc_id", "text",
+          wordsPerLine = 8)
+        .orderBy("doc_id")
+    },
+
     // WINNOWING fingerprints (Schleimer/MOSS): per-window minima over the
     // positional 3-shingle hashes at w=4 — a deterministic local sketch
     // (expected density 2/(w+1)) whose guarantee is structural: any shared

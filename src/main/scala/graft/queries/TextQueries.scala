@@ -12,6 +12,51 @@ object TextQueries {
 
   import OracleText._
 
+  /** CTE chain ending in `j(doc_id, n_blocks, n_kept, extracted)` — the
+    * HTML fixture wrap + the full extraction stack (mirrors ops/HtmlOps
+    * stage for stage). ONE definition shared by text_extract_html and the
+    * composed curation query, so the two can never drift. */
+  private val HtmlExtractCtes: String = {
+    def tagless(e: String) = s"regexp_replace($e, '${HtmlOps.TagRe}', '', 'g')"
+    val linkTxt = "list_reduce(list_prepend('', " +
+      s"list_transform(regexp_extract_all(x, '${HtmlOps.LinkRe}'), " +
+      s"a -> ${tagless("a")})), (p, q) -> p || q)"
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "''", "&nbsp;" -> " ", "&amp;" -> "&").foldLeft(
+      "list_reduce(list_prepend('', kept), " +
+        "(a, x) -> CASE WHEN a = '' THEN x ELSE a || ' ' || x END)") {
+      case (c, (e, r)) => s"replace($c, '$e', '$r')"
+    }
+    // NOTE: this block is EMBEDDED in queries that call .stripMargin, so
+    // no line may begin with '|' after whitespace — concatenation
+    // operators sit at line ends (a leading '||' would lose its first
+    // pipe to the OUTER stripMargin and bind as bitwise-or)
+    s"""h AS (SELECT doc_id,
+       |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+       |    '</title><style>body { color: #fff; }</style><script>var x = 1 < 2; track(' ||
+       |    CAST(doc_id AS VARCHAR) ||
+       |    ');</script></head><body><div id="nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></div><p>' ||
+       |    text ||
+       |    ' <a href="/ref">ref</a></p><li><a href="/x">more links</a> <a href="/y">other pages</a></li><p>short &amp; sweet ' ||
+       |    CAST(doc_id % 7 AS VARCHAR) ||
+       |    '</p><!-- generated page ' || CAST(doc_id AS VARCHAR) ||
+       |    ' --><footer><a href="/tos">Terms</a> | <a href="/privacy">Privacy</a></footer></body></html>'
+       |    AS html FROM documents),
+       |b AS (SELECT doc_id,
+       |        regexp_extract_all(regexp_replace(html, '${HtmlOps.StripRe}', '', 'g'),
+       |          '${HtmlOps.BlockRe}') AS blocks
+       |      FROM h),
+       |k AS (SELECT doc_id, len(blocks) AS n_blocks,
+       |        list_transform(list_filter(blocks, x ->
+       |          len(${tagless("x")}) > 0 AND
+       |          ${HtmlOps.DensityNum} * len($linkTxt) <= len(${tagless("x")})),
+       |          x -> ${tagless("x")}) AS kept
+       |      FROM b),
+       |j AS (SELECT doc_id, n_blocks, len(kept) AS n_kept,
+       |        trim(regexp_replace($decoded, '\\s+', ' ', 'g')) AS extracted
+       |      FROM k)""".stripMargin
+  }
+
   /** "Curated" source whitelist for the quality-classifier label (the
     * wiki-vs-crawl split of the reference-corpus training recipe).
     * Declared BEFORE `defs` — object vals initialize in order. */
@@ -256,48 +301,14 @@ object TextQueries {
     // token count and token-stream fingerprint of the extracted text are
     // the same arithmetic text_stats/text_fingerprint gate. The oracle
     // replays every stage (same regexes — Java∩RE2 subset — same folds).
-    QueryDef.withOracle("text_extract_html", {
-      def tagless(e: String) = s"regexp_replace($e, '${HtmlOps.TagRe}', '', 'g')"
-      val linkTxt = "list_reduce(list_prepend('', " +
-        s"list_transform(regexp_extract_all(x, '${HtmlOps.LinkRe}'), " +
-        s"a -> ${tagless("a")})), (p, q) -> p || q)"
-      val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-        "&#39;" -> "''", "&nbsp;" -> " ", "&amp;" -> "&").foldLeft(
-        "list_reduce(list_prepend('', kept), " +
-          "(a, x) -> CASE WHEN a = '' THEN x ELSE a || ' ' || x END)") {
-        case (c, (e, r)) => s"replace($c, '$e', '$r')"
-      }
-      s"""WITH h AS (SELECT doc_id,
-         |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
-         |    || '</title><style>body { color: #fff; }</style><script>var x = 1 < 2; track('
-         |    || CAST(doc_id AS VARCHAR)
-         |    || ');</script></head><body><div id="nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></div><p>'
-         |    || text
-         |    || ' <a href="/ref">ref</a></p><li><a href="/x">more links</a> <a href="/y">other pages</a></li><p>short &amp; sweet '
-         |    || CAST(doc_id % 7 AS VARCHAR)
-         |    || '</p><!-- generated page ' || CAST(doc_id AS VARCHAR)
-         |    || ' --><footer><a href="/tos">Terms</a> | <a href="/privacy">Privacy</a></footer></body></html>'
-         |    AS html FROM documents),
-         |b AS (SELECT doc_id,
-         |        regexp_extract_all(regexp_replace(html, '${HtmlOps.StripRe}', '', 'g'),
-         |          '${HtmlOps.BlockRe}') AS blocks
-         |      FROM h),
-         |k AS (SELECT doc_id, len(blocks) AS n_blocks,
-         |        list_transform(list_filter(blocks, x ->
-         |          len(${tagless("x")}) > 0 AND
-         |          ${HtmlOps.DensityNum} * len($linkTxt) <= len(${tagless("x")})),
-         |          x -> ${tagless("x")}) AS kept
-         |      FROM b),
-         |j AS (SELECT doc_id, n_blocks, len(kept) AS n_kept,
-         |        trim(regexp_replace($decoded, '\\s+', ' ', 'g')) AS extracted
-         |      FROM k)
+    QueryDef.withOracle("text_extract_html",
+      s"""WITH $HtmlExtractCtes
          |SELECT doc_id, CAST(n_blocks AS BIGINT) AS n_blocks,
          |  CAST(n_kept AS BIGINT) AS n_kept,
          |  CAST(length(extracted) AS BIGINT) AS n_chars,
          |  CAST(len(${OracleText.toksSql("extracted")}) AS BIGINT) AS n_tokens,
          |  ${OracleText.fingerprintSql("extracted")} AS x_fp
-         |FROM j ORDER BY doc_id""".stripMargin
-    }) { (s, dir) =>
+         |FROM j ORDER BY doc_id""".stripMargin) { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
       Tables(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
@@ -316,6 +327,48 @@ object TextQueries {
         .select(col("doc_id"), col("n_blocks"), col("n_kept"), col("n_chars"),
           size(col("_t")).cast("long").as("n_tokens"),
           TextOps.fingerprint(col("_t")).as("x_fp"))
+        .orderBy("doc_id")
+    },
+
+    // MARKUP → CURATION composition (the real pipeline's first two
+    // stages end-to-end): extract from the generated boilerplate, then
+    // apply the text_filter rule stack to the EXTRACTED text — length
+    // bounds, language-ID, stopword density. Oracle rides the SAME
+    // HtmlExtractCtes as text_extract_html (one definition — the stages
+    // cannot drift) with the parametric rule SQL over `extracted`.
+    QueryDef.withOracle("text_extract_filter", {
+      val reason =
+        s"""CASE WHEN len(${OracleText.toksSql("extracted")}) < 20 THEN 'too_short'
+           |     WHEN len(${OracleText.toksSql("extracted")}) > 80 THEN 'too_long'
+           |     WHEN ${OracleText.langPredSql("extracted")} <> 'en' THEN 'non_english'
+           |     WHEN ${OracleText.swRatioSql("extracted")} < 0.05 THEN 'low_stopword_density'
+           |END""".stripMargin.replace("\n", " ")
+      s"""WITH $HtmlExtractCtes
+         |SELECT doc_id, $reason AS reason, ($reason) IS NULL AS kept
+         |FROM j ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val extracted = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          HtmlOps.htmlFixture(col("doc_id"), col("text")).as("html"))
+        .select(col("doc_id"), HtmlOps.blocks(col("html")).as("blocks"))
+        .select(col("doc_id"), HtmlOps.keptTexts(col("blocks")).as("kept"))
+        .select(col("doc_id"), HtmlOps.joinAndClean(col("kept")).as("x"))
+      val counted = extracted
+        .select(col("doc_id"), TextOps.textCounts(col("x")).as("_c"))
+      val nWord = col("_c.n_word")
+      val (pred, _) = TextOps.langIdFromHits(col("_c.sw_hits"))
+      val swRatio = when(nWord === 0, lit(0.0))
+        .otherwise(element_at(col("_c.sw_hits"),
+          graft.functions.GraftTextCounts.langIndex("en") + 1)
+          .cast("double") / nWord)
+      val reason = when(nWord < 20, "too_short")
+        .when(nWord > 80, "too_long")
+        .when(pred =!= "en", "non_english")
+        .when(swRatio < 0.05, "low_stopword_density")
+      counted
+        .select(col("doc_id"), reason.as("reason"), reason.isNull.as("kept"))
         .orderBy("doc_id")
     },
 
@@ -958,11 +1011,15 @@ object OracleText {
   private val EnStop = TextOps.StopwordLists.toMap.apply("en")
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
 
-  /** English stopword-hit ratio (with multiplicity), 0.0 for empty docs. */
-  val SW_RATIO =
-    s"CASE WHEN len($TOKS) = 0 THEN 0.0 ELSE " +
-      s"CAST(len(list_filter($TOKS, t -> list_contains(${inList(EnStop)}, t))) AS DOUBLE)" +
-      s" / len($TOKS) END"
+  /** English stopword-hit ratio (with multiplicity), 0.0 for empty docs —
+    * parametric on the string expression so the extraction-composed
+    * queries reuse the exact arithmetic. */
+  def swRatioSql(e: String): String =
+    s"CASE WHEN len(${toksSql(e)}) = 0 THEN 0.0 ELSE " +
+      s"CAST(len(list_filter(${toksSql(e)}, t -> list_contains(${inList(EnStop)}, t))) AS DOUBLE)" +
+      s" / len(${toksSql(e)}) END"
+
+  val SW_RATIO = swRatioSql("text")
 
   /** Punctuation char ratio. */
   val PUNCT_RATIO =
@@ -970,8 +1027,22 @@ object OracleText {
       "CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)" +
       " / length(text) END"
 
-  private def hit(ws: Seq[String]) =
-    s"len(list_filter($TOKS, t -> list_contains(${inList(ws)}, t)))"
+  private def hitOf(toksE: String, ws: Seq[String]) =
+    s"len(list_filter($toksE, t -> list_contains(${inList(ws)}, t)))"
+  private def hit(ws: Seq[String]) = hitOf(TOKS, ws)
+
+  /** Parametric language-ID (winner by score desc, language asc) over an
+    * arbitrary string expression — same fold as LANG_PRED/LANG_SCORE. */
+  def langScoreSql(e: String): String = TextOps.StopwordLists
+    .map { case (_, ws) => hitOf(toksSql(e), ws) }
+    .reduce((a, b) => s"greatest($a, $b)")
+  def langPredSql(e: String): String = {
+    val sc = langScoreSql(e)
+    val cases = TextOps.StopwordLists.map { case (l, ws) =>
+      s"WHEN ${hitOf(toksSql(e), ws)} = $sc THEN '$l'"
+    }
+    s"CASE ${cases.mkString(" ")} END"
+  }
 
   /** Quality-classifier features (mirror QualityModelOps.features exactly —
     * guarded single divisions of the same integer counts). */

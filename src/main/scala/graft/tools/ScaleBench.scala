@@ -149,7 +149,12 @@ object ScaleBench {
     // extraction (map-side regex/HOF string ops, work ∝ markup bytes);
     // FLAC + TIFF decode (map-only typed codec passes, work ∝ documents)
     "text_tokens_bpe_bytes", "text_bpe_train_bytes", "text_extract_html",
-    "mm_decode_flac", "mm_decode_tiff")
+    "mm_decode_flac", "mm_decode_tiff",
+    // line-level corpus dedup: one hash-keyed count + join-back, 8-byte
+    // keys only (GenScale replicas duplicate whole docs, so line posting
+    // lists grow with replication — the join-back must stay ∝ occurrences);
+    // the markup→curation composition is the extract map pass + per-row rules
+    "dedup_lines", "text_extract_filter")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -2219,6 +2219,37 @@ class PipelineOpsSpec extends SparkTestBase {
       s"correlated stereo should compress below raw, got ${enc.length}")
   }
 
+  test("lineDedup: corpus-common lines drop, order-sensitive kept stream, tail ignored") {
+    // 3-word lines. doc0/doc1 share line "aa bb cc" (corpus-common,
+    // must drop from BOTH); doc2 repeats its own line twice (within-doc
+    // occurrences count toward minCount); doc3 is clean; doc4 is shorter
+    // than one line (0 lines). Tails ("zz", "q1 q2") are not lines.
+    val sd = Seq(
+      (0L, "aa bb cc dd ee ff zz"),
+      (1L, "aa bb cc gg hh ii"),
+      (2L, "pp qq rr pp qq rr ss tt uu"),
+      (3L, "ka kb kc kd ke kf qa qb"),
+      (4L, "wa wb")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.lineDedup(sd, "doc_id", "text", wordsPerLine = 3)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    def lineHash(ws: String): Long = {
+      val toks = ws.split(" ")
+      def wh(w: String, p: Long) = w.foldLeft(0L)((h, c) => (h * TextOps.B1 + c.toInt) % p)
+      val h1 = toks.foldLeft(0L)((h, w) => (h * TextOps.B2 + wh(w, TextOps.P)) % TextOps.P)
+      val h2 = toks.foldLeft(0L)((h, w) => (h * TextOps.B2 + wh(w, TextOps.P2)) % TextOps.P2)
+      h1 * TextOps.P2 + h2
+    }
+    def fp(lines: Seq[String]): Long =
+      lines.map(lineHash).foldLeft(0L)((f, h) => (f * TextOps.B2 + h) % TextOps.P)
+    assert(got(0L) == ((0L, 2L, 1L, fp(Seq("dd ee ff")))))
+    assert(got(1L) == ((1L, 2L, 1L, fp(Seq("gg hh ii")))))
+    assert(got(2L) == ((2L, 3L, 2L, fp(Seq("ss tt uu")))),
+      "within-doc repeated line must count toward the corpus threshold")
+    assert(got(3L) == ((3L, 2L, 0L, fp(Seq("ka kb kc", "kd ke kf")))))
+    assert(got(4L) == ((4L, 0L, 0L, 0L)))
+  }
+
   test("localTrain ties break in UTF-8 binary order like the Spark rounds") {
     // U+FFFD sorts BEFORE U+1F600 in UTF-8 bytes (EF BF BD < F0 9F 98 80)
     // but AFTER it in UTF-16 code units (0xFFFD > 0xD83D) — a count tie
