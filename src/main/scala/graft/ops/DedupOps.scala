@@ -1197,10 +1197,36 @@ object DedupOps {
     * downstream re-materialization checks against. */
   def lineDedup(docs: DataFrame, idCol: String, textCol: String,
                 wordsPerLine: Int, minCount: Int = 2): DataFrame = {
+    val withLines = lineHashes(docs, idCol, textCol, wordsPerLine)
+    val ex = withLines.select(col("id"),
+      posexplode(col("lines")).as(Seq("li", "lh")))
+    val dup = ex.groupBy("lh").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount).select("lh", "cnt")
+    val marked = ex.join(dup.select(col("lh"), lit(true).as("isdup")), Seq("lh"), "left")
+      .select(col("id"), col("li"), col("lh"),
+        coalesce(col("isdup"), lit(false)).as("isdup"))
+    val agg = marked.groupBy("id")
+      .agg(sum(when(col("isdup"), 1L).otherwise(0L)).as("n_dup_lines"),
+        aggregate(
+          sort_array(collect_list(
+            when(!col("isdup"), struct(col("li"), col("lh"))))),
+          lit(0L),
+          (f, s) => (f * TextOps.B2 + s.getField("lh")) % TextOps.P).as("kept_fp"))
+    withLines.select(col("id").as(idCol), col("nl").cast("long").as("n_lines"))
+      .join(agg.select(col("id").as(idCol), col("n_dup_lines"), col("kept_fp")),
+        Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col("n_dup_lines"), lit(0L)).as("n_dup_lines"),
+        coalesce(col("kept_fp"), lit(0L)).as("kept_fp"))
+  }
+
+  /** (id, nl, lines) — the line-hash projection [[lineDedup]] is built on,
+    * exposed so the batch and incremental faces share one definition. */
+  private def lineHashes(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val n = wordsPerLine
-    val withLines = pin(docs.repartition(par)
+    pin(docs.repartition(par)
       .select(col(idCol).as("id"),
         TextOps.shingleHashesAllWide(TextOps.tokens(col(textCol)), n).as("shl"),
         (size(TextOps.tokens(col(textCol))) / n).cast("int").as("nl"))
@@ -1209,13 +1235,56 @@ object DedupOps {
           transform(sequence(lit(0), col("nl") - 1),
             j => element_at(col("shl"), j * n + 1)))
           .otherwise(array().cast("array<bigint>")).as("lines")))
+  }
+
+  /** Persist the corpus's LINE-HASH counts as the line-dedup index:
+    * (lh, cnt) parquet + a manifest pinning `wordsPerLine` (validated on
+    * read — a width mismatch silently zeroes recall). The corpus-build
+    * artifact the incremental face probes per batch. */
+  def writeLineIndex(corpus: DataFrame, idCol: String, textCol: String,
+                     wordsPerLine: Int, dir: String): Unit = {
+    val ln = lineHashes(corpus, idCol, textCol, wordsPerLine)
+      .select(col("id"), explode(col("lines")).as("lh"))
+    ln.groupBy("lh").agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(s"$dir/lines")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq(wordsPerLine).toDF("n").coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/manifest")
+  }
+
+  /** INCREMENTAL line dedup — the per-batch face of [[lineDedup]]: a line
+    * of the incoming batch drops if its corpus count plus its batch count
+    * reaches `minCount` (the visibility a batch has at corpus-epoch t).
+    * The corpus enters as ONE read of its line-count table, BLOOM-pruned
+    * by the batch's own line set before the exchange (same shape as
+    * [[incrementalSubstringSpans]] — the corpus index is corpus-scale,
+    * the batch is not; false positives only cost index rows the left
+    * join discards, so output is bit-identical). Per-batch cost scales
+    * with the increment. Output shape = [[lineDedup]]. */
+  def incrementalLineDedup(indexDir: String, incoming: DataFrame,
+                           idCol: String, textCol: String, wordsPerLine: Int,
+                           minCount: Int = 2,
+                           bloomBits: Int = 1 << 22,
+                           bloomHashes: Int = 6): DataFrame = {
+    val spark = incoming.sparkSession
+    val mn = spark.read.parquet(s"$indexDir/manifest").head().getInt(0)
+    require(mn == wordsPerLine,
+      s"line index at $indexDir was built with n=$mn, probed with n=$wordsPerLine")
+    val withLines = lineHashes(incoming, idCol, textCol, wordsPerLine)
     val ex = withLines.select(col("id"),
       posexplode(col("lines")).as(Seq("li", "lh")))
-    val dup = ex.groupBy("lh").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= minCount).select("lh", "cnt")
-    val marked = ex.join(dup.select(col("lh"), lit(true).as("isdup")), Seq("lh"), "left")
+    val idx = spark.read.parquet(s"$indexDir/lines")
+      .select(col("lh"), col("cnt").as("corpus_cnt"))
+    val bits = BloomOps.bloomBits(ex, "lh", bloomBits, bloomHashes)
+    val idxPruned = BloomOps.bloomPruned(idx, "lh", bits, bloomBits, bloomHashes)
+    val batchCnt = ex.groupBy("lh").agg(count(lit(1)).as("batch_cnt"))
+    val marked = ex
+      .join(batchCnt, Seq("lh"))
+      .join(idxPruned, Seq("lh"), "left")
       .select(col("id"), col("li"), col("lh"),
-        coalesce(col("isdup"), lit(false)).as("isdup"))
+        (coalesce(col("corpus_cnt"), lit(0L)) + col("batch_cnt") >= minCount)
+          .as("isdup"))
     val agg = marked.groupBy("id")
       .agg(sum(when(col("isdup"), 1L).otherwise(0L)).as("n_dup_lines"),
         aggregate(

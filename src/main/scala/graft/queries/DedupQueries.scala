@@ -75,6 +75,24 @@ object DedupQueries {
       }
   }
 
+  /** Corpus (doc_id < 250) LINE-HASH index, staged once per JVM per sf
+    * dir — the corpus-build artifact incremental line dedup probes per
+    * batch. Safe to sweep at harness startup: the oracle replays from the
+    * source tables. */
+  private object LineIdxStage {
+    private val staged = scala.collection.mutable.Map[String, String]()
+    def dir(s: org.apache.spark.sql.SparkSession, dirPath: String): String =
+      synchronized {
+        staged.getOrElseUpdate(dirPath, {
+          val d = java.nio.file.Files.createTempDirectory("graft-lineidx-").toString
+          DedupOps.writeLineIndex(
+            Tables(s, dirPath, "documents").filter(col("doc_id") < 250),
+            "doc_id", "text", LineWords, d)
+          d
+        })
+      }
+  }
+
   /** Planted multimodal asset corpora, staged to parquet once per JVM per
     * sf dir. The pure-READ dedup consumers (dedup_phash / dedup_video /
     * dedup_audio / dedup_multimodal) score SIGNATURES of existing assets —
@@ -106,6 +124,35 @@ object DedupQueries {
     s"""whst AS (SELECT doc_id, $WHS AS whs FROM documents),
        |shs AS (SELECT doc_id, ${OracleText.shingleDistinctSql("whs", 3)} AS shingles
        |        FROM whst WHERE len(whs) >= 3)""".stripMargin
+
+  /** Fixed line width (words) for the CCNet-style line-dedup family. */
+  private val LineWords = 8
+
+  /** CTEs ending in `ln(doc_id, li, lh)` — per-doc wide-key line hashes
+    * (stride-[[LineWords]] selection over the wide window hashes; partial
+    * tails are not lines) plus `sl(doc_id, nl, …)` for the per-doc line
+    * count. Shared by the batch and incremental line-dedup oracles. */
+  private val LineCtes =
+    s"""whst AS (SELECT doc_id, $WHS AS whs, ${OracleText.WHS2} AS whs2
+       |         FROM documents),
+       |sl AS (SELECT doc_id,
+       |         ${OracleText.shingleAllWideSql("whs", "whs2", LineWords)} AS shl,
+       |         CAST(len(whs) // $LineWords AS INT) AS nl
+       |       FROM whst),
+       |ln AS (SELECT doc_id, CAST(f.j AS INT) AS li,
+       |         shl[CAST(f.j * $LineWords + 1 AS INT)] AS lh
+       |       FROM sl, range(200) f(j) WHERE f.j < nl)""".stripMargin
+
+  /** Per-doc aggregation over a `mk(doc_id, li, lh, isdup)` CTE: dup-line
+    * count + order-sensitive fold of the surviving line hashes. */
+  private val LineAggCte =
+    s"""ag AS (SELECT doc_id,
+       |         CAST(SUM(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_dup_lines,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list(lh ORDER BY li) FILTER (WHERE NOT isdup)),
+       |           (f, h) -> (f * ${TextOps.B2} + h) % ${TextOps.P}) AS kept_fp
+       |       FROM mk GROUP BY doc_id)""".stripMargin
 
   /** Window width (tokens) for span-level substring dedup. The paper uses
     * 50 BPE tokens on web text; the synthetic corpus's docs average ~54
@@ -578,35 +625,47 @@ object DedupQueries {
     // the wide window hashes, the corpus count, the drop decision and the
     // ordered fold — exact duplicate docs share EVERY line, so the planted
     // dup structure fires corpus-wide.
-    QueryDef.withOracle("dedup_lines", {
-      val n = 8
-      s"""WITH whst AS (SELECT doc_id, $WHS AS whs, ${OracleText.WHS2} AS whs2
-         |              FROM documents),
-         |sl AS (SELECT doc_id,
-         |         ${OracleText.shingleAllWideSql("whs", "whs2", n)} AS shl,
-         |         CAST(len(whs) // $n AS INT) AS nl
-         |       FROM whst),
-         |ln AS (SELECT doc_id, CAST(f.j AS INT) AS li,
-         |         shl[CAST(f.j * $n + 1 AS INT)] AS lh
-         |       FROM sl, range(200) f(j) WHERE f.j < nl),
+    QueryDef.withOracle("dedup_lines",
+      s"""WITH $LineCtes,
          |dupl AS (SELECT lh FROM ln GROUP BY lh HAVING count(*) >= 2),
          |mk AS (SELECT ln.doc_id, ln.li, ln.lh, (d.lh IS NOT NULL) AS isdup
          |       FROM ln LEFT JOIN dupl d ON ln.lh = d.lh),
-         |ag AS (SELECT doc_id,
-         |         CAST(SUM(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT)
-         |           AS n_dup_lines,
-         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |           list(lh ORDER BY li) FILTER (WHERE NOT isdup)),
-         |           (f, h) -> (f * ${TextOps.B2} + h) % ${TextOps.P}) AS kept_fp
-         |       FROM mk GROUP BY doc_id)
+         |$LineAggCte
          |SELECT s.doc_id, CAST(s.nl AS BIGINT) AS n_lines,
          |  COALESCE(a.n_dup_lines, 0) AS n_dup_lines,
          |  COALESCE(a.kept_fp, 0) AS kept_fp
          |FROM sl s LEFT JOIN ag a USING (doc_id)
-         |ORDER BY s.doc_id""".stripMargin
-    }) { (s, dir) =>
+         |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
       DedupOps.lineDedup(Tables(s, dir, "documents"), "doc_id", "text",
-          wordsPerLine = 8)
+          wordsPerLine = LineWords)
+        .orderBy("doc_id")
+    },
+
+    // INCREMENTAL line dedup — the per-batch corpus-build face: incoming
+    // docs (doc_id >= 250) probe the PERSISTED corpus line-count index
+    // (staged once per epoch, one bloom-pruned parquet read — the corpus
+    // is never re-hashed); a batch line drops if corpus count + batch
+    // count reaches 2. Per-batch cost scales with the increment.
+    QueryDef.withOracle("dedup_lines_incremental",
+      s"""WITH $LineCtes,
+         |ccnt AS (SELECT lh, CAST(count(*) AS BIGINT) AS cc FROM ln
+         |         WHERE doc_id < 250 GROUP BY lh),
+         |inc AS (SELECT * FROM ln WHERE doc_id >= 250),
+         |bcnt AS (SELECT lh, CAST(count(*) AS BIGINT) AS bc FROM inc GROUP BY lh),
+         |mk AS (SELECT i.doc_id, i.li, i.lh,
+         |         (COALESCE(c.cc, 0) + b.bc >= 2) AS isdup
+         |       FROM inc i JOIN bcnt b ON i.lh = b.lh
+         |       LEFT JOIN ccnt c ON i.lh = c.lh),
+         |$LineAggCte
+         |SELECT s.doc_id, CAST(s.nl AS BIGINT) AS n_lines,
+         |  COALESCE(a.n_dup_lines, 0) AS n_dup_lines,
+         |  COALESCE(a.kept_fp, 0) AS kept_fp
+         |FROM sl s LEFT JOIN ag a USING (doc_id)
+         |WHERE s.doc_id >= 250
+         |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+      DedupOps.incrementalLineDedup(LineIdxStage.dir(s, dir),
+          Tables(s, dir, "documents").filter(col("doc_id") >= 250),
+          "doc_id", "text", LineWords)
         .orderBy("doc_id")
     },
 

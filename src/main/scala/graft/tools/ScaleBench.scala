@@ -154,7 +154,10 @@ object ScaleBench {
     // keys only (GenScale replicas duplicate whole docs, so line posting
     // lists grow with replication — the join-back must stay ∝ occurrences);
     // the markup→curation composition is the extract map pass + per-row rules
-    "dedup_lines", "text_extract_filter")
+    "dedup_lines", "text_extract_filter",
+    // incremental line dedup: per-batch cost ∝ increment; the corpus
+    // enters as one bloom-pruned index read (staged once per epoch)
+    "dedup_lines_incremental")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

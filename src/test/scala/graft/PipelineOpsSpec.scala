@@ -2250,6 +2250,34 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got(4L) == ((4L, 0L, 0L, 0L)))
   }
 
+  test("incrementalLineDedup: corpus visibility, batch dups, manifest pin, whole-corpus equivalence") {
+    val corpus = Seq(
+      (0L, "aa bb cc dd ee ff"),
+      (1L, "gg hh ii jj kk ll")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "aa bb cc mm nn oo"),          // line 0 hits the corpus
+      (11L, "pp qq rr pp qq rr"),          // within-batch dup
+      (12L, "ss tt uu vv ww xx")           // clean
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lineidx-test-").toString
+    DedupOps.writeLineIndex(corpus, "doc_id", "text", wordsPerLine = 3, dir)
+    val got = DedupOps.incrementalLineDedup(dir, batch, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(10L)._3 == 1L, "corpus-hit line must drop")
+    assert(got(11L)._3 == 2L, "within-batch duplicate lines must drop")
+    assert(got(12L)._3 == 0L)
+    // width mismatch fails loudly (manifest pin)
+    intercept[IllegalArgumentException](
+      DedupOps.incrementalLineDedup(dir, batch, "doc_id", "text", 4).collect())
+    // equivalence: incremental verdicts == whole-corpus lineDedup
+    // restricted to the batch (count_C + count_B >= 2 IS the global count)
+    val whole = DedupOps.lineDedup(corpus.union(batch), "doc_id", "text", 3)
+      .filter($"doc_id" >= 10L)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got == whole, "incremental face must equal the whole-corpus verdicts")
+  }
+
   test("localTrain ties break in UTF-8 binary order like the Spark rounds") {
     // U+FFFD sorts BEFORE U+1F600 in UTF-8 bytes (EF BF BD < F0 9F 98 80)
     // but AFTER it in UTF-16 code units (0xFFFD > 0xD83D) — a count tie
