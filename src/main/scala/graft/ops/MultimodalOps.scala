@@ -342,6 +342,39 @@ object MultimodalOps {
     }
   }
 
+  /** Gzip asset table — documents as they arrive off a crawl: every doc's
+    * UTF-8 text gzipped; every 3rd doc as TWO concatenated members (the
+    * WARC multi-member shape — a first-member-only reader truncates it,
+    * which the value gate catches via n_chars/fingerprint). */
+  def gzipAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val payload =
+          if (id % 3 == 0 && bytes.length >= 2) {
+            val half = bytes.length / 2
+            GzipCodec.gzipMembers(Seq(bytes.take(half), bytes.drop(half)))
+          } else GzipCodec.gzip(bytes)
+        MediaAsset(id, "gz", payload, 0, 0, 1, 0)
+      }.toDF()
+  }
+
+  /** Decompressed text of gzip assets — the ingestion map pass a crawl
+    * pipeline runs before any text operator. One typed map per asset;
+    * downstream stats compute in the same stage (no shuffle ever carries
+    * the text). */
+  def gunzipText(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.as[MediaAsset].map { a =>
+      (a.asset_id,
+        new String(GzipCodec.gunzip(a.payload),
+          java.nio.charset.StandardCharsets.UTF_8))
+    }.toDF("asset_id", "text")
+  }
+
   /** MULTI-PAGE TIFF asset table (the scanned-document shape): per doc one
     * TIFF of 2 + id%3 pages chained through next-IFD pointers, page f
     * tiled from the text at offset 11·f (the GIF-frames tiling). Same

@@ -330,6 +330,32 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // GZIP INGESTION (how crawl text actually arrives — WARC/WET files
+    // are multi-member gzip): every doc gzipped (every 3rd as TWO
+    // concatenated members — a first-member-only reader truncates, which
+    // the value gate catches), decompressed in one typed map, then the
+    // standard text stats over the RECOVERED text. Losslessness is the
+    // oracle contract: n_chars / token count / fingerprint replay from
+    // the source text exactly.
+    QueryDef.withOracle("text_from_gzip",
+      s"""SELECT doc_id AS asset_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len($TOKS) AS BIGINT) AS n_tokens,
+         |  $FINGERPRINT AS fp
+         |FROM documents ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      graft.ops.MultimodalOps.gunzipText(
+        graft.ops.MultimodalOps.gzipAssetsFromDocuments(
+          Tables(s, dir, "documents")))
+        .select(col("asset_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          TextOps.tokens(col("text")).as("_t"))
+        .select(col("asset_id"), col("n_chars"),
+          size(col("_t")).cast("long").as("n_tokens"),
+          TextOps.fingerprint(col("_t")).as("fp"))
+        .orderBy("asset_id")
+    },
+
     // MARKUP → CURATION composition (the real pipeline's first two
     // stages end-to-end): extract from the generated boilerplate, then
     // apply the text_filter rule stack to the EXTRACTED text — length

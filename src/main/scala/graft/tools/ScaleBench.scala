@@ -157,7 +157,9 @@ object ScaleBench {
     "dedup_lines", "text_extract_filter",
     // incremental line dedup: per-batch cost ∝ increment; the corpus
     // enters as one bloom-pruned index read (staged once per epoch)
-    "dedup_lines_incremental")
+    "dedup_lines_incremental",
+    // gzip ingestion: one typed decompress map pass, work ∝ compressed bytes
+    "text_from_gzip")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

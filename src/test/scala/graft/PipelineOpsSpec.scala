@@ -2278,6 +2278,22 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got == whole, "incremental face must equal the whole-corpus verdicts")
   }
 
+  test("GzipCodec: multi-member streams decode whole; corruption fails loudly") {
+    import graft.ops.GzipCodec
+    val a = "first member text ".getBytes("UTF-8")
+    val b = "second member text".getBytes("UTF-8")
+    assert(new String(GzipCodec.gunzip(GzipCodec.gzip(a ++ b)), "UTF-8") ==
+      "first member text second member text")
+    // multi-member (the WARC shape): BOTH members must come back
+    assert(new String(GzipCodec.gunzip(GzipCodec.gzipMembers(Seq(a, b))), "UTF-8") ==
+      "first member text second member text")
+    assert(GzipCodec.gunzip(GzipCodec.gzip(Array.emptyByteArray)).isEmpty)
+    intercept[IllegalArgumentException](GzipCodec.gunzip("not gzip".getBytes))
+    val corrupt = GzipCodec.gzip(a ++ b)
+    corrupt(corrupt.length - 5) = (corrupt(corrupt.length - 5) ^ 0x7f).toByte
+    intercept[IllegalArgumentException](GzipCodec.gunzip(corrupt))
+  }
+
   test("localTrain ties break in UTF-8 binary order like the Spark rounds") {
     // U+FFFD sorts BEFORE U+1F600 in UTF-8 bytes (EF BF BD < F0 9F 98 80)
     // but AFTER it in UTF-16 code units (0xFFFD > 0xD83D) — a count tie
