@@ -38,9 +38,13 @@ import org.apache.spark.unsafe.types.UTF8String
 object ByteBpeVocab {
 
   /** The cross-engine pre-token regex (see class doc for the two
-    * deviations from GPT-2's original). */
+    * deviations from GPT-2's original). Whitespace is the EXPLICIT class
+    * `[ \t\n\x0b\f\r]` rather than `\s`: Java's `\s` includes vertical
+    * tab, RE2's does not — spelling it out is the only way the two
+    * engines match byte-for-byte on every input. */
+  private val Ws = " \\t\\n\\x0b\\f\\r"
   val PreTokenRe: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+"
+    s"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9$Ws]+|[$Ws]+"
 
   /** GPT-2 `bytes_to_unicode`: printable bytes (33..126, 161..172,
     * 174..255) map to themselves; the rest (controls, space, DEL, 127..160

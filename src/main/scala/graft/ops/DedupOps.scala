@@ -1228,8 +1228,14 @@ object DedupOps {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     pin(docs.repartition(par)
       .select(col(idCol).as("id"),
-        TextOps.shingleHashesAllWide(TextOps.tokens(col(textCol)), n).as("shl"),
-        (size(TextOps.tokens(col(textCol))) / n).cast("int").as("nl"))
+        TextOps.shingleHashesAllWide(TextOps.tokens(col(textCol)), n).as("shl"))
+      // nl derives from the window count — tokenizing again for size()
+      // would run the dominant regex pass twice per row: |windows| =
+      // |tokens| - n + 1, so |tokens| = |windows| + n - 1 when any window
+      // exists, and fewer than n tokens (no window) means zero lines
+      .select(col("id"), col("shl"),
+        when(size(col("shl")) > 0, (size(col("shl")) + (n - 1)) / n)
+          .otherwise(0).cast("int").as("nl"))
       .select(col("id"), col("nl"),
         when(col("nl") > 0,
           transform(sequence(lit(0), col("nl") - 1),

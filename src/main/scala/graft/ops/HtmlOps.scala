@@ -48,6 +48,11 @@ object HtmlOps {
   /** Any remaining tag. */
   val TagRe: String = "<[^>]*>"
 
+  /** Whitespace runs, as an EXPLICIT class shared with the oracle: Java's
+    * `\s` includes vertical tab, RE2's does not — spelled out, the two
+    * engines agree on every input. */
+  val WsRe: String = "[ \\t\\n\\x0b\\f\\r]+"
+
   /** Link-density keep rule: text non-empty and anchor text ≤ 1/3 of it. */
   val DensityNum = 3
 
@@ -67,14 +72,19 @@ object HtmlOps {
   def blocks(html: Column): Column =
     regexp_extract_all(regexp_replace(html, StripRe, ""), lit(BlockRe), lit(0))
 
-  /** Kept block texts (tag-stripped), in document order. */
-  def keptTexts(blocksCol: Column): Column =
+  /** Kept block texts (tag-stripped), in document order. Staged through a
+    * (txt, link_len) struct so the tag-strip regex runs ONCE per block —
+    * Catalyst has no CSE inside HOF lambdas (the shingleSets rule), and a
+    * naive filter-then-transform re-strips every block three times. */
+  def keptTexts(blocksCol: Column): Column = {
+    val scored = transform(blocksCol, b =>
+      struct(stripTags(b).as("txt"), length(linkText(b)).as("ll")))
     transform(
-      filter(blocksCol, b => {
-        val t = stripTags(b)
-        length(t) > 0 && length(linkText(b)) * DensityNum <= length(t)
-      }),
-      b => stripTags(b))
+      filter(scored, s =>
+        length(s.getField("txt")) > 0 &&
+          s.getField("ll") * DensityNum <= length(s.getField("txt"))),
+      s => s.getField("txt"))
+  }
 
   /** Join kept texts with single spaces, decode entities (`&amp;` last),
     * collapse whitespace runs, trim. */
@@ -86,7 +96,7 @@ object HtmlOps {
       .foldLeft(joined) { case (c, (e, r)) =>
         call_function("replace", c, lit(e), lit(r))
       }
-    trim(regexp_replace(decoded, "\\s+", " "))
+    trim(regexp_replace(decoded, WsRe, " "))
   }
 
   /** Deterministic markup fixture: wraps a document's text in generated

@@ -232,8 +232,12 @@ object TiffCodec {
     val n = u16(ifd)
     var w = -1; var h = -1; var bits = 8; var comp = 1; var photo = 1
     var spp = 1; var rps = Int.MaxValue
-    var offTag: Option[(Int, Long, Int)] = None // (count, valueOrOffset, type)
-    var cntTag: Option[(Int, Long, Int)] = None
+    // strip tags keep (count, type, ENTRY offset): value resolution must
+    // be type- and count-aware — SHORT values with cnt <= 2 live INLINE
+    // left-justified in the 4-byte field (the common foreign-writer shape
+    // for tags 273/279), not behind an offset
+    var offTag: Option[(Int, Int, Int)] = None // (count, type, entry offset)
+    var cntTag: Option[(Int, Int, Int)] = None
     (0 until n).foreach { k =>
       val e = ifd + 2 + 12 * k
       val tag = u16(e); val tpe = u16(e + 2); val cnt = u32(e + 4).toInt
@@ -248,10 +252,10 @@ object TiffCodec {
         case 258 => bits = scalar.toInt
         case 259 => comp = scalar.toInt
         case 262 => photo = scalar.toInt
-        case 273 => offTag = Some((cnt, u32(e + 8), tpe))
+        case 273 => offTag = Some((cnt, tpe, e))
         case 277 => spp = scalar.toInt
         case 278 => rps = scalar.toInt
-        case 279 => cntTag = Some((cnt, u32(e + 8), tpe))
+        case 279 => cntTag = Some((cnt, tpe, e))
         case _ => () // unknown tags (Software, ...) are skipped by design
       }
     }
@@ -261,11 +265,17 @@ object TiffCodec {
       s"TIFF: only baseline 8-bit grayscale implemented ($bits bit, $spp spp, photo $photo)")
     require(comp == CompressionNone || comp == CompressionPackBits,
       s"TIFF: compression $comp not implemented")
-    def longAt(t: (Int, Long, Int), i: Int): Long = {
-      val (cnt, v, tpe) = t
-      if (cnt == 1) v
-      else if (tpe == 4) u32(v.toInt + 4 * i)
-      else u16(v.toInt + 2 * i).toLong
+    def longAt(t: (Int, Int, Int), i: Int): Long = {
+      val (cnt, tpe, e) = t
+      tpe match {
+        case 3 => // SHORT: cnt <= 2 fits inline in the 4-byte value field
+          if (cnt <= 2) u16(e + 8 + 2 * i).toLong
+          else u16(u32(e + 8).toInt + 2 * i).toLong
+        case 4 => // LONG: only cnt == 1 fits inline
+          if (cnt == 1) u32(e + 8)
+          else u32(u32(e + 8).toInt + 4 * i)
+        case t => throw new IllegalArgumentException(s"TIFF: strip tag bad type $t")
+      }
     }
     val (nStrips, _, _) = offTag.getOrElse(
       throw new IllegalArgumentException("TIFF: missing StripOffsets"))

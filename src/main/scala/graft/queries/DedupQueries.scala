@@ -135,13 +135,17 @@ object DedupQueries {
   private val LineCtes =
     s"""whst AS (SELECT doc_id, $WHS AS whs, ${OracleText.WHS2} AS whs2
        |         FROM documents),
-       |sl AS (SELECT doc_id,
-       |         ${OracleText.shingleAllWideSql("whs", "whs2", LineWords)} AS shl,
-       |         CAST(len(whs) // $LineWords AS INT) AS nl
-       |       FROM whst),
-       |ln AS (SELECT doc_id, CAST(f.j AS INT) AS li,
-       |         shl[CAST(f.j * $LineWords + 1 AS INT)] AS lh
-       |       FROM sl, range(200) f(j) WHERE f.j < nl)""".stripMargin
+       |shlt AS (SELECT doc_id,
+       |           ${OracleText.shingleAllWideSql("whs", "whs2", LineWords)} AS shl,
+       |           CAST(len(whs) // $LineWords AS INT) AS nl
+       |         FROM whst),
+       |sl AS (SELECT doc_id, nl,
+       |         list_transform(range(0, nl),
+       |           j -> shl[CAST(j * $LineWords + 1 AS INT)]) AS lx
+       |       FROM shlt),
+       |ln AS (SELECT doc_id, generate_subscripts(lx, 1) - 1 AS li,
+       |         unnest(lx) AS lh
+       |       FROM sl)""".stripMargin
 
   /** Per-doc aggregation over a `mk(doc_id, li, lh, isdup)` CTE: dup-line
     * count + order-sensitive fold of the surviving line hashes. */

@@ -29,6 +29,7 @@ object TempHygiene {
     "graft-fwstage-", "graft-fwckpt-", "graft-fwout-",
     "graft-incidx-", // corpus band index, re-staged per JVM; oracle never reads it
     "graft-subidx-", // substring window-hash index, same staging contract
+    "graft-lineidx-", // line-hash index, same staging contract
     "graft-mmstage-", // planted multimodal asset corpora, same staging contract
     "graft-mmsstage-", "graft-mmsckpt-", "graft-mmsout-", // streaming asset ingest face
     // streaming incremental dedup (engine_stream_incremental): per-run

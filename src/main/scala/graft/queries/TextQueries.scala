@@ -53,7 +53,7 @@ object TextQueries {
        |          x -> ${tagless("x")}) AS kept
        |      FROM b),
        |j AS (SELECT doc_id, n_blocks, len(kept) AS n_kept,
-       |        trim(regexp_replace($decoded, '\\s+', ' ', 'g')) AS extracted
+       |        trim(regexp_replace($decoded, '${HtmlOps.WsRe}', ' ', 'g')) AS extracted
        |      FROM k)""".stripMargin
   }
 

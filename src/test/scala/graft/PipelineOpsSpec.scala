@@ -2181,6 +2181,46 @@ class PipelineOpsSpec extends SparkTestBase {
     }
     assert(TiffCodec.decode(mp)._3.toSeq == pages.head._3.toSeq,
       "decode() must return the FIRST page of a multi-page file")
+    // FOREIGN-WRITER shapes: SHORT-typed strip tags (spec-legal for
+    // 273/279) — inline left-justified in the value field. Big-endian
+    // single-strip with SHORT StripByteCounts, and little-endian
+    // two-strip with an INLINE cnt=2 SHORT counts pair (fits the 4-byte
+    // field — must NOT be read as an external offset).
+    locally {
+      def be16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+      def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+      def ent(tag: Int, tpe: Int, cnt: Int, vb: Array[Byte]) =
+        be16(tag) ++ be16(tpe) ++ be32(cnt) ++ vb.padTo(4, 0.toByte)
+      val px = Array[Byte](10, 20, 30, 40)
+      val entries = Seq(
+        ent(256, 3, 1, be16(2)), ent(257, 3, 1, be16(2)), ent(258, 3, 1, be16(8)),
+        ent(259, 3, 1, be16(1)), ent(262, 3, 1, be16(1)), ent(273, 4, 1, be32(8)),
+        ent(277, 3, 1, be16(1)), ent(278, 3, 1, be16(2)), ent(279, 3, 1, be16(4)))
+      val mm = "MM".getBytes ++ be16(42) ++ be32(12) ++ px ++
+        be16(entries.length) ++ entries.flatten ++ be32(0)
+      val (mw, mh, mg) = TiffCodec.decode(mm)
+      assert((mw, mh) == (2, 2) && mg.toSeq == px.toSeq,
+        "big-endian inline-SHORT StripByteCounts must decode")
+    }
+    locally {
+      def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+      def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+      def ent(tag: Int, tpe: Int, cnt: Int, vb: Array[Byte]) =
+        le16(tag) ++ le16(tpe) ++ le32(cnt) ++ vb.padTo(4, 0.toByte)
+      val px = Array[Byte](1, 2, 3, 4)
+      val entries = Seq(
+        ent(256, 3, 1, le16(2)), ent(257, 3, 1, le16(2)), ent(258, 3, 1, le16(8)),
+        ent(259, 3, 1, le16(1)), ent(262, 3, 1, le16(1)),
+        ent(273, 4, 2, le32(12)), // external offsets array at 12
+        ent(277, 3, 1, le16(1)), ent(278, 3, 1, le16(1)),
+        ent(279, 3, 2, le16(2) ++ le16(2))) // cnt=2 SHORT pair INLINE
+      val ii = "II".getBytes ++ le16(42) ++ le32(20) ++ px ++
+        le32(8) ++ le32(10) ++ // strip offsets: rows at 8 and 10
+        le16(entries.length) ++ entries.flatten ++ le32(0)
+      val (lw, lh, lg) = TiffCodec.decode(ii)
+      assert((lw, lh) == (2, 2) && lg.toSeq == px.toSeq,
+        "inline cnt=2 SHORT StripByteCounts must not be read as an offset")
+    }
     // loud failures: bad magic, unsupported compression, truncation
     intercept[IllegalArgumentException](TiffCodec.decode("JUNKJUNK".getBytes))
     val good = TiffCodec.encode(5, 4, Array.tabulate[Byte](20)(_.toByte))
@@ -2292,6 +2332,17 @@ class PipelineOpsSpec extends SparkTestBase {
     val corrupt = GzipCodec.gzip(a ++ b)
     corrupt(corrupt.length - 5) = (corrupt(corrupt.length - 5) ^ 0x7f).toByte
     intercept[IllegalArgumentException](GzipCodec.gunzip(corrupt))
+    // the silent-truncation mode the container walk exists to close
+    // (JDK GZIPInputStream reads a corrupt SECOND-member header as EOF
+    // and returns only the first member with no error): must THROW
+    val twoM = GzipCodec.gzipMembers(Seq(a, b))
+    val m2at = GzipCodec.gzip(a).length
+    val badHdr = twoM.clone()
+    badHdr(m2at) = 0x1e.toByte // flip the second member's magic
+    intercept[IllegalArgumentException](GzipCodec.gunzip(badHdr))
+    // trailing garbage after the last member must also throw
+    intercept[IllegalArgumentException](
+      GzipCodec.gunzip(GzipCodec.gzip(a) ++ Array[Byte](1, 2, 3)))
   }
 
   test("localTrain ties break in UTF-8 binary order like the Spark rounds") {
