@@ -126,15 +126,23 @@ object DedupQueries {
        |        FROM whst WHERE len(whs) >= 3)""".stripMargin
 
   /** Fixed line width (words) for the CCNet-style line-dedup family. */
-  private val LineWords = 8
+  private[queries] val LineWords = 8
 
   /** CTEs ending in `ln(doc_id, li, lh)` — per-doc wide-key line hashes
     * (stride-[[LineWords]] selection over the wide window hashes; partial
     * tails are not lines) plus `sl(doc_id, nl, …)` for the per-doc line
     * count. Shared by the batch and incremental line-dedup oracles. */
-  private val LineCtes =
-    s"""whst AS (SELECT doc_id, $WHS AS whs, ${OracleText.WHS2} AS whs2
-       |         FROM documents),
+  /** The line-hash CTE chain over an arbitrary (doc_id, text-expression)
+    * source — `documents.text` for the standalone faces, the extracted
+    * text for the composed web-curation pipeline. Ends in
+    * `sl(doc_id, nl, lx)` + `ln(doc_id, li, lh)`. */
+  private[queries] def lineCtesOver(srcRel: String, textE: String): String =
+    s"""whst AS (SELECT doc_id,
+       |           list_transform(${OracleText.toksSql(textE)},
+       |             t -> ${OracleText.wordHashSql("t")}) AS whs,
+       |           list_transform(${OracleText.toksSql(textE)},
+       |             t -> ${OracleText.wordHashSqlMod("t", TextOps.P2)}) AS whs2
+       |         FROM $srcRel),
        |shlt AS (SELECT doc_id,
        |           ${OracleText.shingleAllWideSql("whs", "whs2", LineWords)} AS shl,
        |           CAST(len(whs) // $LineWords AS INT) AS nl
@@ -146,6 +154,8 @@ object DedupQueries {
        |ln AS (SELECT doc_id, generate_subscripts(lx, 1) - 1 AS li,
        |         unnest(lx) AS lh
        |       FROM sl)""".stripMargin
+
+  private val LineCtes = lineCtesOver("documents", "text")
 
   /** Per-doc aggregation over a `mk(doc_id, li, lh, isdup)` CTE: dup-line
     * count + order-sensitive fold of the surviving line hashes. */
@@ -670,6 +680,89 @@ object DedupQueries {
       DedupOps.incrementalLineDedup(LineIdxStage.dir(s, dir),
           Tables(s, dir, "documents").filter(col("doc_id") >= 250),
           "doc_id", "text", LineWords)
+        .orderBy("doc_id")
+    },
+
+    // WEB-CURATION PIPELINE, end to end (the flagship composition — what
+    // a crawl actually goes through before training): gzip-compressed
+    // markup lands → RFC 1952 multi-member gunzip → HTML boilerplate
+    // extraction → rule filter (length / language / stopword density) →
+    // LINE-LEVEL dedup over the surviving extracted text (cheap stages
+    // first, corpus-wide stage last — the real order) → final keep
+    // verdict (filter-kept AND < half the lines corpus-common). Every
+    // stage is individually gated by its own query; here the oracle
+    // replays the WHOLE chain from the source text (gunzip∘gzip = id is
+    // text_from_gzip's proven contract, so the oracle starts at the
+    // markup wrap) — a drift in any stage or in the stage ORDER breaks
+    // the value match.
+    QueryDef.withOracle("pipeline_curate_web", {
+      val reason =
+        s"""CASE WHEN len(${OracleText.toksSql("extracted")}) < 20 THEN 'too_short'
+           |     WHEN len(${OracleText.toksSql("extracted")}) > 80 THEN 'too_long'
+           |     WHEN ${OracleText.langPredSql("extracted")} <> 'en' THEN 'non_english'
+           |     WHEN ${OracleText.swRatioSql("extracted")} < 0.05 THEN 'low_stopword_density'
+           |END""".stripMargin.replace("\n", " ")
+      s"""WITH ${TextQueries.HtmlExtractCtes},
+         |f AS (SELECT doc_id, extracted, $reason AS reason FROM j),
+         |fk AS (SELECT doc_id, extracted AS text FROM f WHERE reason IS NULL),
+         |${lineCtesOver("fk", "text")},
+         |dupl AS (SELECT lh FROM ln GROUP BY lh HAVING count(*) >= 2),
+         |mk AS (SELECT ln.doc_id, ln.li, ln.lh, (d.lh IS NOT NULL) AS isdup
+         |       FROM ln LEFT JOIN dupl d ON ln.lh = d.lh),
+         |nd AS (SELECT doc_id,
+         |         CAST(SUM(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |       FROM mk GROUP BY doc_id)
+         |SELECT f.doc_id, f.reason,
+         |  CAST(COALESCE(s.nl, 0) AS BIGINT) AS n_lines,
+         |  COALESCE(nd.n_dup, 0) AS n_dup_lines,
+         |  (f.reason IS NULL AND
+         |   (COALESCE(s.nl, 0) = 0 OR COALESCE(nd.n_dup, 0) * 2 <= s.nl)) AS kept
+         |FROM f LEFT JOIN sl s USING (doc_id) LEFT JOIN nd USING (doc_id)
+         |ORDER BY f.doc_id""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      import graft.ops.{HtmlOps, MultimodalOps}
+      // stage 1-2: compressed markup lands, gunzips, extracts
+      val extracted = MultimodalOps.gunzipText(
+          MultimodalOps.gzipAssetsFromDocuments(
+            Tables(s, dir, "documents")
+              .select(col("doc_id"),
+                HtmlOps.htmlFixture(col("doc_id"), col("text")).as("text"))))
+        .select(col("asset_id").as("doc_id"), col("text").as("html"))
+        .select(col("doc_id"), HtmlOps.blocks(col("html")).as("blocks"))
+        .select(col("doc_id"), HtmlOps.keptTexts(col("blocks")).as("kept"))
+        .select(col("doc_id"), HtmlOps.joinAndClean(col("kept")).as("extracted"))
+      // stage 3: rule filter over the extracted text
+      val counted = extracted
+        .select(col("doc_id"), col("extracted"),
+          graft.ops.TextOps.textCounts(col("extracted")).as("_c"))
+      val nWord = col("_c.n_word")
+      val (pred, _) = graft.ops.TextOps.langIdFromHits(col("_c.sw_hits"))
+      val swRatio = when(nWord === 0, lit(0.0))
+        .otherwise(element_at(col("_c.sw_hits"),
+          graft.functions.GraftTextCounts.langIndex("en") + 1)
+          .cast("double") / nWord)
+      val reason = when(nWord < 20, "too_short")
+        .when(nWord > 80, "too_long")
+        .when(pred =!= "en", "non_english")
+        .when(swRatio < 0.05, "low_stopword_density")
+      val filtered = counted
+        .select(col("doc_id"), col("extracted"), reason.as("reason"))
+        .localCheckpoint(false) // read by the line stage AND the final join
+      // stage 4: line dedup over the SURVIVORS only
+      val lines = DedupOps.lineDedup(
+        filtered.filter(col("reason").isNull), "doc_id", "extracted",
+        wordsPerLine = LineWords)
+      filtered.select(col("doc_id"), col("reason"))
+        .join(lines.select(col("doc_id"), col("n_lines"), col("n_dup_lines")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("reason"),
+          coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+          coalesce(col("n_dup_lines"), lit(0L)).as("n_dup_lines"),
+          (col("reason").isNull &&
+            (coalesce(col("n_lines"), lit(0L)) === 0L ||
+              coalesce(col("n_dup_lines"), lit(0L)) * 2 <= col("n_lines")))
+            .as("kept"))
         .orderBy("doc_id")
     },
 

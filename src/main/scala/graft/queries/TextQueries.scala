@@ -16,7 +16,7 @@ object TextQueries {
     * HTML fixture wrap + the full extraction stack (mirrors ops/HtmlOps
     * stage for stage). ONE definition shared by text_extract_html and the
     * composed curation query, so the two can never drift. */
-  private val HtmlExtractCtes: String = {
+  private[queries] val HtmlExtractCtes: String = {
     def tagless(e: String) = s"regexp_replace($e, '${HtmlOps.TagRe}', '', 'g')"
     val linkTxt = "list_reduce(list_prepend('', " +
       s"list_transform(regexp_extract_all(x, '${HtmlOps.LinkRe}'), " +

@@ -159,7 +159,10 @@ object ScaleBench {
     // enters as one bloom-pruned index read (staged once per epoch)
     "dedup_lines_incremental",
     // gzip ingestion: one typed decompress map pass, work ∝ compressed bytes
-    "text_from_gzip")
+    "text_from_gzip",
+    // the composed web-curation pipeline: gunzip/extract/filter map stages
+    // + ONE corpus-wide line count over the survivors
+    "pipeline_curate_web")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
