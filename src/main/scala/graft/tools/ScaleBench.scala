@@ -149,7 +149,8 @@ object ScaleBench {
     // extraction (map-side regex/HOF string ops, work ∝ markup bytes);
     // FLAC + TIFF decode (map-only typed codec passes, work ∝ documents)
     "text_tokens_bpe_bytes", "text_bpe_train_bytes", "text_extract_html",
-    "mm_decode_flac", "mm_decode_tiff",
+    "mm_decode_flac", "mm_decode_flac_stereo", "mm_decode_tiff",
+    "mm_tiff_pages",
     // line-level corpus dedup: one hash-keyed count + join-back, 8-byte
     // keys only (GenScale replicas duplicate whole docs, so line posting
     // lists grow with replication — the join-back must stay ∝ occurrences);
