@@ -375,6 +375,76 @@ object MultimodalOps {
     }.toDF("asset_id", "text")
   }
 
+  /** WARC asset table — documents as Common Crawl actually ships them:
+    * per doc one `.warc.gz` holding a warcinfo record, a request record,
+    * a 404 response (which a correct reader must STATUS-FILTER out — a
+    * pipeline that ingests error pages poisons the corpus) and the
+    * HTTP-200 response record(s) carrying the doc text; every 5th doc's
+    * text is split across TWO 200-responses (a first-response-only reader
+    * truncates it — same trap as the two-member gzip fixture). Every
+    * record is its own gzip member (record-at-time compression, the WARC
+    * spec's split-friendly layout), so the [[GzipCodec]] multi-member
+    * walk is load-bearing underneath. */
+  def warcAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val uri = s"http://example.com/doc/$id"
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        val info = WarcCodec.record("warcinfo", s"info-$id",
+          Seq("Content-Type" -> "application/warc-fields"),
+          "software: graft/1.0\r\nformat: WARC File Format 1.0\r\n"
+            .getBytes(utf8))
+        val req = WarcCodec.record("request", s"req-$id",
+          Seq("Content-Type" -> "application/http; msgtype=request",
+            "WARC-Target-URI" -> uri),
+          s"GET /doc/$id HTTP/1.1\r\nHost: example.com\r\n\r\n".getBytes(utf8))
+        val notFound = WarcCodec.record("response", s"err-$id",
+          Seq("Content-Type" -> "application/http; msgtype=response",
+            "WARC-Target-URI" -> s"$uri/gone"),
+          WarcCodec.httpResponse(404, "Not Found", "text/plain",
+            "not found".getBytes(utf8)))
+        // split the STRING (not its UTF-8 bytes): per-part encodings
+        // concatenate back to the whole encoding, and the split condition
+        // replays in DuckDB as length(text) >= 2 (character semantics)
+        val parts =
+          if (id % 5 == 0 && text.length >= 2) {
+            val half = text.length / 2
+            Seq(text.substring(0, half), text.substring(half))
+          } else Seq(text)
+        val oks = parts.zipWithIndex.map { case (part, i) =>
+          WarcCodec.record("response", s"resp-$id-$i",
+            Seq("Content-Type" -> "application/http; msgtype=response",
+              "WARC-Target-URI" -> uri),
+            WarcCodec.httpResponse(200, "OK", "text/plain; charset=utf-8",
+              part.getBytes(utf8)))
+        }
+        val payload = GzipCodec.gzipMembers(Seq(info, req, notFound) ++ oks)
+        MediaAsset(id, "warc.gz", payload, 0, 0, 1, 0)
+      }.toDF()
+  }
+
+  /** Crawl-reader map pass over WARC assets: gunzip all members, walk the
+    * records, keep `response` records, status-filter to 200 and
+    * concatenate the HTTP bodies in record order (multi-part fetches) —
+    * one typed map per asset, the text never shuffles. Returns
+    * (asset_id, n_records, n_responses, text). */
+  def warcTexts(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.as[MediaAsset].map { a =>
+      val recs = WarcCodec.readRecords(GzipCodec.gunzip(a.payload))
+      val resp = recs.filter(_.warcType == "response")
+      val body = resp.iterator
+        .filter(r => WarcCodec.httpStatus(r.payload) == 200)
+        .map(r => WarcCodec.httpResponseBody(r.payload))
+        .foldLeft(Array.emptyByteArray)(_ ++ _)
+      (a.asset_id, recs.length.toLong, resp.length.toLong,
+        new String(body, java.nio.charset.StandardCharsets.UTF_8))
+    }.toDF("asset_id", "n_records", "n_responses", "text")
+  }
+
   /** MULTI-PAGE TIFF asset table (the scanned-document shape): per doc one
     * TIFF of 2 + id%3 pages chained through next-IFD pointers, page f
     * tiled from the text at offset 11·f (the GIF-frames tiling). Same

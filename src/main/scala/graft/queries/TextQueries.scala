@@ -356,6 +356,40 @@ object TextQueries {
         .orderBy("asset_id")
     },
 
+    // WARC INGESTION (the actual Common Crawl container): per doc a
+    // .warc.gz of warcinfo + request + a 404 response + the HTTP-200
+    // response record(s), each record its own gzip member. The reader
+    // must walk ALL members, keep only response records, STATUS-FILTER
+    // to 200 (ingesting the planted 404 poisons the value gate) and
+    // concatenate multi-part bodies (every 5th doc splits across two
+    // responses). Losslessness of the whole transport — gzip members,
+    // WARC record framing, HTTP message framing — is the oracle
+    // contract: record counts are fixture arithmetic, text stats replay
+    // from the source text exactly.
+    QueryDef.withOracle("text_from_warc",
+      s"""SELECT doc_id AS asset_id,
+         |  CAST(4 + CASE WHEN doc_id % 5 = 0 AND length(text) >= 2
+         |           THEN 1 ELSE 0 END AS BIGINT) AS n_records,
+         |  CAST(2 + CASE WHEN doc_id % 5 = 0 AND length(text) >= 2
+         |           THEN 1 ELSE 0 END AS BIGINT) AS n_responses,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len($TOKS) AS BIGINT) AS n_tokens,
+         |  $FINGERPRINT AS fp
+         |FROM documents ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      graft.ops.MultimodalOps.warcTexts(
+        graft.ops.MultimodalOps.warcAssetsFromDocuments(
+          Tables(s, dir, "documents")))
+        .select(col("asset_id"), col("n_records"), col("n_responses"),
+          length(col("text")).cast("long").as("n_chars"),
+          TextOps.tokens(col("text")).as("_t"))
+        .select(col("asset_id"), col("n_records"), col("n_responses"),
+          col("n_chars"),
+          size(col("_t")).cast("long").as("n_tokens"),
+          TextOps.fingerprint(col("_t")).as("fp"))
+        .orderBy("asset_id")
+    },
+
     // MARKUP → CURATION composition (the real pipeline's first two
     // stages end-to-end): extract from the generated boilerplate, then
     // apply the text_filter rule stack to the EXTRACTED text — length

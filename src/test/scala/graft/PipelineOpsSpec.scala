@@ -2345,6 +2345,79 @@ class PipelineOpsSpec extends SparkTestBase {
       GzipCodec.gunzip(GzipCodec.gzip(a) ++ Array[Byte](1, 2, 3)))
   }
 
+  test("WarcCodec: record walk round-trips; malformed records fail loudly") {
+    import graft.ops.{GzipCodec, WarcCodec}
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val body = "the quick brown fox".getBytes(utf8)
+    val resp = WarcCodec.record("response", "r-1",
+      Seq("Content-Type" -> "application/http; msgtype=response",
+        "WARC-Target-URI" -> "http://example.com/a"),
+      WarcCodec.httpResponse(200, "OK", "text/plain", body))
+    val info = WarcCodec.record("warcinfo", "i-1",
+      Seq("Content-Type" -> "application/warc-fields"),
+      "software: graft/1.0\r\n".getBytes(utf8))
+    // multi-record walk: both records, in order, payloads byte-exact
+    val recs = WarcCodec.readRecords(info ++ resp)
+    assert(recs.map(_.warcType) == Seq("warcinfo", "response"))
+    assert(recs(1).headers("warc-target-uri") == "http://example.com/a")
+    assert(WarcCodec.httpStatus(recs(1).payload) == 200)
+    assert(WarcCodec.httpResponseBody(recs(1).payload).sameElements(body))
+    // record-at-time gzip composition (the .warc.gz layout)
+    val gz = GzipCodec.gzipMembers(Seq(info, resp))
+    assert(WarcCodec.readRecords(GzipCodec.gunzip(gz)).map(_.warcType) ==
+      Seq("warcinfo", "response"))
+    // HTTP contract: non-200 extraction throws; Content-Length must agree
+    val err = WarcCodec.httpResponse(404, "Not Found", "text/plain",
+      "gone".getBytes(utf8))
+    assert(WarcCodec.httpStatus(err) == 404)
+    intercept[IllegalArgumentException](WarcCodec.httpResponseBody(err))
+    val lied = WarcCodec.httpResponse(200, "OK", "text/plain", body)
+      .dropRight(1) // body one byte short of its declared Content-Length
+    intercept[IllegalArgumentException](WarcCodec.httpResponseBody(lied))
+    // WARC framing contract, each mode loud:
+    def ascii(s: String) = s.getBytes(utf8)
+    intercept[IllegalArgumentException]( // bad version line
+      WarcCodec.readRecords(ascii("WARC/9.9\r\n\r\n\r\n\r\n")))
+    intercept[IllegalArgumentException]( // missing Content-Length
+      WarcCodec.readRecords(ascii(
+        "WARC/1.0\r\nWARC-Type: metadata\r\n\r\n\r\n\r\n")))
+    intercept[IllegalArgumentException]( // length overruns the stream
+      WarcCodec.readRecords(ascii(
+        "WARC/1.0\r\nWARC-Type: metadata\r\nContent-Length: 9999\r\n\r\nx")))
+    intercept[IllegalArgumentException]( // missing CRLFCRLF terminator
+      WarcCodec.readRecords(ascii(
+        "WARC/1.0\r\nWARC-Type: metadata\r\nContent-Length: 1\r\n\r\nx")))
+    intercept[IllegalArgumentException]( // trailing garbage after last record
+      WarcCodec.readRecords(info ++ ascii("junk")))
+    intercept[IllegalArgumentException]( // malformed header line
+      WarcCodec.readRecords(ascii(
+        "WARC/1.0\r\nno colon here\r\nContent-Length: 0\r\n\r\n\r\n\r\n")))
+  }
+
+  test("warcTexts: status filter + multi-response concatenation, 5-doc corpus") {
+    import spark.implicits._
+    // ids 0 and 5 hit the two-response split; all hit the 404 skip
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "epsilon zeta"),
+      (4L, "eta theta iota"),
+      (5L, "kappa lambda mu nu xi"),
+      (7L, "omicron")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.MultimodalOps.warcTexts(
+        graft.ops.MultimodalOps.warcAssetsFromDocuments(docs))
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    val src = Map(0L -> "alpha beta gamma delta", 1L -> "epsilon zeta",
+      4L -> "eta theta iota", 5L -> "kappa lambda mu nu xi", 7L -> "omicron")
+    src.foreach { case (id, text) =>
+      val (_, nRec, nResp, out) = got(id)
+      assert(out == text, s"doc $id text must survive the transport whole")
+      val split = if (id % 5 == 0) 1 else 0
+      assert(nRec == 4 + split, s"doc $id record count")
+      assert(nResp == 2 + split, s"doc $id response count (incl. the 404)")
+    }
+  }
+
   test("localTrain ties break in UTF-8 binary order like the Spark rounds") {
     // U+FFFD sorts BEFORE U+1F600 in UTF-8 bytes (EF BF BD < F0 9F 98 80)
     // but AFTER it in UTF-16 code units (0xFFFD > 0xD83D) — a count tie
