@@ -168,6 +168,83 @@ object DedupQueries {
        |           (f, h) -> (f * ${TextOps.B2} + h) % ${TextOps.P}) AS kept_fp
        |       FROM mk GROUP BY doc_id)""".stripMargin
 
+  /** Oracle SQL of the whole curation chain from the markup wrap down
+    * (extraction → rule filter → line dedup over survivors → keep).
+    * Shared VERBATIM by pipeline_curate_web and pipeline_curate_warc:
+    * both ingestion transports are lossless (proven by text_from_gzip /
+    * text_from_warc respectively), so the expected values are identical
+    * — the two queries differ only in how the markup arrives. */
+  private lazy val CurateChainOracleSql: String = {
+    val reason =
+      s"""CASE WHEN len(${OracleText.toksSql("extracted")}) < 20 THEN 'too_short'
+         |     WHEN len(${OracleText.toksSql("extracted")}) > 80 THEN 'too_long'
+         |     WHEN ${OracleText.langPredSql("extracted")} <> 'en' THEN 'non_english'
+         |     WHEN ${OracleText.swRatioSql("extracted")} < 0.05 THEN 'low_stopword_density'
+         |END""".stripMargin.replace("\n", " ")
+    s"""WITH ${TextQueries.HtmlExtractCtes},
+       |f AS (SELECT doc_id, extracted, $reason AS reason FROM j),
+       |fk AS (SELECT doc_id, extracted AS text FROM f WHERE reason IS NULL),
+       |${lineCtesOver("fk", "text")},
+       |dupl AS (SELECT lh FROM ln GROUP BY lh HAVING count(*) >= 2),
+       |mk AS (SELECT ln.doc_id, ln.li, ln.lh, (d.lh IS NOT NULL) AS isdup
+       |       FROM ln LEFT JOIN dupl d ON ln.lh = d.lh),
+       |nd AS (SELECT doc_id,
+       |         CAST(SUM(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+       |       FROM mk GROUP BY doc_id)
+       |SELECT f.doc_id, f.reason,
+       |  CAST(COALESCE(s.nl, 0) AS BIGINT) AS n_lines,
+       |  COALESCE(nd.n_dup, 0) AS n_dup_lines,
+       |  (f.reason IS NULL AND
+       |   (COALESCE(s.nl, 0) = 0 OR COALESCE(nd.n_dup, 0) * 2 <= s.nl)) AS kept
+       |FROM f LEFT JOIN sl s USING (doc_id) LEFT JOIN nd USING (doc_id)
+       |ORDER BY f.doc_id""".stripMargin
+  }
+
+  /** Curation stages over ARRIVED markup `(doc_id, html)`: HTML
+    * boilerplate extraction → rule filter (length / language / stopword
+    * density) → line-level dedup over the surviving extracted text (cheap
+    * map stages first, the one corpus-wide aggregation last — the real
+    * order) → keep verdict (filter-kept AND < half the lines
+    * corpus-common). The Spark half of [[CurateChainOracleSql]]. */
+  private def curateFromMarkup(
+      html: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.ops.HtmlOps
+    val extracted = html
+      .select(col("doc_id"), HtmlOps.blocks(col("html")).as("blocks"))
+      .select(col("doc_id"), HtmlOps.keptTexts(col("blocks")).as("kept"))
+      .select(col("doc_id"), HtmlOps.joinAndClean(col("kept")).as("extracted"))
+    val counted = extracted
+      .select(col("doc_id"), col("extracted"),
+        graft.ops.TextOps.textCounts(col("extracted")).as("_c"))
+    val nWord = col("_c.n_word")
+    val (pred, _) = graft.ops.TextOps.langIdFromHits(col("_c.sw_hits"))
+    val swRatio = when(nWord === 0, lit(0.0))
+      .otherwise(element_at(col("_c.sw_hits"),
+        graft.functions.GraftTextCounts.langIndex("en") + 1)
+        .cast("double") / nWord)
+    val reason = when(nWord < 20, "too_short")
+      .when(nWord > 80, "too_long")
+      .when(pred =!= "en", "non_english")
+      .when(swRatio < 0.05, "low_stopword_density")
+    val filtered = counted
+      .select(col("doc_id"), col("extracted"), reason.as("reason"))
+      .localCheckpoint(false) // read by the line stage AND the final join
+    val lines = DedupOps.lineDedup(
+      filtered.filter(col("reason").isNull), "doc_id", "extracted",
+      wordsPerLine = LineWords)
+    filtered.select(col("doc_id"), col("reason"))
+      .join(lines.select(col("doc_id"), col("n_lines"), col("n_dup_lines")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("reason"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_dup_lines"), lit(0L)).as("n_dup_lines"),
+        (col("reason").isNull &&
+          (coalesce(col("n_lines"), lit(0L)) === 0L ||
+            coalesce(col("n_dup_lines"), lit(0L)) * 2 <= col("n_lines")))
+          .as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** Window width (tokens) for span-level substring dedup. The paper uses
     * 50 BPE tokens on web text; the synthetic corpus's docs average ~54
     * word tokens, so 8 keeps the duplicated-run structure non-trivial
@@ -695,75 +772,36 @@ object DedupQueries {
     // text_from_gzip's proven contract, so the oracle starts at the
     // markup wrap) — a drift in any stage or in the stage ORDER breaks
     // the value match.
-    QueryDef.withOracle("pipeline_curate_web", {
-      val reason =
-        s"""CASE WHEN len(${OracleText.toksSql("extracted")}) < 20 THEN 'too_short'
-           |     WHEN len(${OracleText.toksSql("extracted")}) > 80 THEN 'too_long'
-           |     WHEN ${OracleText.langPredSql("extracted")} <> 'en' THEN 'non_english'
-           |     WHEN ${OracleText.swRatioSql("extracted")} < 0.05 THEN 'low_stopword_density'
-           |END""".stripMargin.replace("\n", " ")
-      s"""WITH ${TextQueries.HtmlExtractCtes},
-         |f AS (SELECT doc_id, extracted, $reason AS reason FROM j),
-         |fk AS (SELECT doc_id, extracted AS text FROM f WHERE reason IS NULL),
-         |${lineCtesOver("fk", "text")},
-         |dupl AS (SELECT lh FROM ln GROUP BY lh HAVING count(*) >= 2),
-         |mk AS (SELECT ln.doc_id, ln.li, ln.lh, (d.lh IS NOT NULL) AS isdup
-         |       FROM ln LEFT JOIN dupl d ON ln.lh = d.lh),
-         |nd AS (SELECT doc_id,
-         |         CAST(SUM(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
-         |       FROM mk GROUP BY doc_id)
-         |SELECT f.doc_id, f.reason,
-         |  CAST(COALESCE(s.nl, 0) AS BIGINT) AS n_lines,
-         |  COALESCE(nd.n_dup, 0) AS n_dup_lines,
-         |  (f.reason IS NULL AND
-         |   (COALESCE(s.nl, 0) = 0 OR COALESCE(nd.n_dup, 0) * 2 <= s.nl)) AS kept
-         |FROM f LEFT JOIN sl s USING (doc_id) LEFT JOIN nd USING (doc_id)
-         |ORDER BY f.doc_id""".stripMargin
-    }) { (s, dir) =>
+    QueryDef.withOracle("pipeline_curate_web", CurateChainOracleSql) {
+      (s, dir) =>
       graft.functions.GraftFunctions.register(s)
       import graft.ops.{HtmlOps, MultimodalOps}
-      // stage 1-2: compressed markup lands, gunzips, extracts
-      val extracted = MultimodalOps.gunzipText(
+      // stage 1: compressed markup lands as multi-member gzip, gunzips
+      curateFromMarkup(MultimodalOps.gunzipText(
           MultimodalOps.gzipAssetsFromDocuments(
             Tables(s, dir, "documents")
               .select(col("doc_id"),
                 HtmlOps.htmlFixture(col("doc_id"), col("text")).as("text"))))
-        .select(col("asset_id").as("doc_id"), col("text").as("html"))
-        .select(col("doc_id"), HtmlOps.blocks(col("html")).as("blocks"))
-        .select(col("doc_id"), HtmlOps.keptTexts(col("blocks")).as("kept"))
-        .select(col("doc_id"), HtmlOps.joinAndClean(col("kept")).as("extracted"))
-      // stage 3: rule filter over the extracted text
-      val counted = extracted
-        .select(col("doc_id"), col("extracted"),
-          graft.ops.TextOps.textCounts(col("extracted")).as("_c"))
-      val nWord = col("_c.n_word")
-      val (pred, _) = graft.ops.TextOps.langIdFromHits(col("_c.sw_hits"))
-      val swRatio = when(nWord === 0, lit(0.0))
-        .otherwise(element_at(col("_c.sw_hits"),
-          graft.functions.GraftTextCounts.langIndex("en") + 1)
-          .cast("double") / nWord)
-      val reason = when(nWord < 20, "too_short")
-        .when(nWord > 80, "too_long")
-        .when(pred =!= "en", "non_english")
-        .when(swRatio < 0.05, "low_stopword_density")
-      val filtered = counted
-        .select(col("doc_id"), col("extracted"), reason.as("reason"))
-        .localCheckpoint(false) // read by the line stage AND the final join
-      // stage 4: line dedup over the SURVIVORS only
-      val lines = DedupOps.lineDedup(
-        filtered.filter(col("reason").isNull), "doc_id", "extracted",
-        wordsPerLine = LineWords)
-      filtered.select(col("doc_id"), col("reason"))
-        .join(lines.select(col("doc_id"), col("n_lines"), col("n_dup_lines")),
-          Seq("doc_id"), "left")
-        .select(col("doc_id"), col("reason"),
-          coalesce(col("n_lines"), lit(0L)).as("n_lines"),
-          coalesce(col("n_dup_lines"), lit(0L)).as("n_dup_lines"),
-          (col("reason").isNull &&
-            (coalesce(col("n_lines"), lit(0L)) === 0L ||
-              coalesce(col("n_dup_lines"), lit(0L)) * 2 <= col("n_lines")))
-            .as("kept"))
-        .orderBy("doc_id")
+        .select(col("asset_id").as("doc_id"), col("text").as("html")))
+    },
+
+    // The SAME curation chain fed by the REAL crawl container: per doc a
+    // .warc.gz (warcinfo + request + a 404 that must be status-filtered +
+    // the 200-response(s) carrying the markup, each record a gzip member)
+    // → record walk → HTTP bodies → extraction → rule filter → line
+    // dedup → keep. The oracle is VERBATIM pipeline_curate_web's: both
+    // transports are lossless (gzip by text_from_gzip's contract, WARC by
+    // text_from_warc's), so a value drift here isolates a transport bug.
+    QueryDef.withOracle("pipeline_curate_warc", CurateChainOracleSql) {
+      (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      import graft.ops.{HtmlOps, MultimodalOps}
+      curateFromMarkup(MultimodalOps.warcTexts(
+          MultimodalOps.warcAssetsFromDocuments(
+            Tables(s, dir, "documents")
+              .select(col("doc_id"),
+                HtmlOps.htmlFixture(col("doc_id"), col("text")).as("text"))))
+        .select(col("asset_id").as("doc_id"), col("text").as("html")))
     },
 
     // WINNOWING fingerprints (Schleimer/MOSS): per-window minima over the
