@@ -468,6 +468,68 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // PII REDACTION (the scrubbing stage before text ships): planted
+    // doc_id-derived emails / NANP phone / IPv4 (plus a dotted version
+    // string whose 4-digit tail must NOT match the word-bounded IP
+    // pattern — a boundary-semantics trap in the VALUE gate), counted
+    // per category and replaced by digit-free placeholders in the
+    // normative email → phone → IP order. Pure map-side regex in the
+    // Java∩RE2 subset; the oracle replays the fixture arithmetic, the
+    // counts, the redaction chain and the redacted text's stats.
+    QueryDef.withOracle("text_pii_redact", {
+      import graft.ops.PiiOps
+      def m(k: Int, base: Int, mul: Int = 1): String =
+        s"CAST(doc_id * $mul % $k + $base AS VARCHAR)"
+      val planted =
+        s"""text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@mail' ||
+           |    ${m(7, 0)} || '.example.org' ||
+           |    CASE WHEN doc_id % 3 = 0
+           |      THEN ' and admin' || CAST(doc_id AS VARCHAR) || '@example.com'
+           |      ELSE '' END ||
+           |    CASE WHEN doc_id % 4 = 0 THEN ''
+           |      ELSE ' or call +1-' || ${m(700, 200)} || '-' ||
+           |           ${m(900, 100)} || '-' || ${m(9000, 1000)} END ||
+           |    ' from ' || ${m(223, 1)} || '.' || ${m(256, 0, 7)} || '.' ||
+           |    ${m(256, 0, 13)} || '.' || ${m(256, 0, 31)} ||
+           |    CASE WHEN doc_id % 6 = 0 THEN ' v1.2.3.4000 released'
+           |      ELSE '' END || ' end'""".stripMargin.replace("\n", " ")
+      s"""WITH p AS (SELECT doc_id, $planted AS t FROM documents),
+         |r AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(t, '${PiiOps.EmailRe}')) AS BIGINT)
+         |      AS n_emails,
+         |    CAST(len(regexp_extract_all(t, '${PiiOps.PhoneRe}')) AS BIGINT)
+         |      AS n_phones,
+         |    CAST(len(regexp_extract_all(t, '${PiiOps.IpRe}')) AS BIGINT)
+         |      AS n_ips,
+         |    regexp_replace(regexp_replace(regexp_replace(t,
+         |      '${PiiOps.EmailRe}', '[EMAIL]', 'g'),
+         |      '${PiiOps.PhoneRe}', '[PHONE]', 'g'),
+         |      '${PiiOps.IpRe}', '[IP]', 'g') AS red
+         |  FROM p)
+         |SELECT doc_id, n_emails, n_phones, n_ips,
+         |  CAST(length(red) AS BIGINT) AS n_chars,
+         |  ${OracleText.fingerprintSql("red")} AS fp
+         |FROM r ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      import graft.ops.PiiOps
+      graft.functions.GraftFunctions.register(s)
+      Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          PiiOps.piiFixture(col("doc_id"), col("text")).as("t"))
+        .select(col("doc_id"),
+          PiiOps.piiCount(col("t"), PiiOps.EmailRe).as("n_emails"),
+          PiiOps.piiCount(col("t"), PiiOps.PhoneRe).as("n_phones"),
+          PiiOps.piiCount(col("t"), PiiOps.IpRe).as("n_ips"),
+          PiiOps.redact(col("t")).as("red"))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+          length(col("red")).cast("long").as("n_chars"),
+          TextOps.tokens(col("red")).as("_t"))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+          col("n_chars"), TextOps.fingerprint(col("_t")).as("fp"))
+        .orderBy("doc_id")
+    },
+
     // Language-ID: per-language stopword-hit scores, winner by
     // (score desc, language asc) — same fold order in both engines.
     QueryDef.withOracle("text_langid",

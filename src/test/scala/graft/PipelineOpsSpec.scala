@@ -2418,6 +2418,39 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("PiiOps: category patterns, boundary trap, normative redaction order") {
+    import spark.implicits._
+    import graft.ops.PiiOps
+    val df = Seq((0L,
+      "write bob.smith+x@mail.example.org or call +1-415-555-0199 " +
+        "from 10.0.0.255 but v1.2.3.4000 and 1.2.3 and foo@bar stay"))
+      .toDF("doc_id", "t")
+    val got = df.select(
+        PiiOps.piiCount($"t", PiiOps.EmailRe).as("e"),
+        PiiOps.piiCount($"t", PiiOps.PhoneRe).as("p"),
+        PiiOps.piiCount($"t", PiiOps.IpRe).as("i"),
+        PiiOps.redact($"t").as("r"))
+      .as[(Long, Long, Long, String)].head()
+    assert((got._1, got._2, got._3) == ((1L, 1L, 1L)),
+      "version string / 3-octet / TLD-less lookalikes must not count")
+    assert(got._4 ==
+      "write [EMAIL] or call [PHONE] from [IP] but v1.2.3.4000 and 1.2.3 " +
+        "and foo@bar stay")
+    // fixture counts replay: 2nd email iff id%3=0, no phone iff id%4=0
+    val counts = Seq(0L, 1L, 3L, 4L, 6L).toDF("doc_id")
+      .withColumn("t", PiiOps.piiFixture($"doc_id", lit("base text")))
+      .select($"doc_id",
+        PiiOps.piiCount($"t", PiiOps.EmailRe).as("e"),
+        PiiOps.piiCount($"t", PiiOps.PhoneRe).as("p"),
+        PiiOps.piiCount($"t", PiiOps.IpRe).as("i"))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(counts(0L) == ((0L, 2L, 0L, 1L))) // %3=0 two emails, %4=0 no phone
+    assert(counts(1L) == ((1L, 1L, 1L, 1L)))
+    assert(counts(3L) == ((3L, 2L, 1L, 1L)))
+    assert(counts(4L) == ((4L, 1L, 0L, 1L)))
+    assert(counts(6L) == ((6L, 2L, 1L, 1L))) // + the v1.2.3.4000 trap: still 1 IP
+  }
+
   test("localTrain ties break in UTF-8 binary order like the Spark rounds") {
     // U+FFFD sorts BEFORE U+1F600 in UTF-8 bytes (EF BF BD < F0 9F 98 80)
     // but AFTER it in UTF-16 code units (0xFFFD > 0xD83D) — a count tie
