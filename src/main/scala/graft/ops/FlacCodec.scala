@@ -4,9 +4,12 @@ package graft.ops
   * layout (RFC 9639 / the published xiph format spec): `fLaC` marker,
   * STREAMINFO metadata block, fixed-blocksize frames with CRC-8-guarded
   * headers and CRC-16-guarded footers, CONSTANT / VERBATIM / FIXED
-  * subframes (predictor orders 0–4), and Rice-coded residuals with the
-  * 5-bit-width escape. 16-bit mono — the fixture's shape; the frame and
-  * subframe machinery is the real format's.
+  * subframes (predictor orders 0–4), SUBFRAME_LPC (Levinson-Durbin
+  * coefficients quantized to 12-bit ints, 64-bit prediction accumulator,
+  * explicit shift — the subframe type real encoders emit on real audio),
+  * and Rice-coded residuals with the 5-bit-width escape. 16-bit
+  * mono/stereo — the fixture's shape; the frame and subframe machinery is
+  * the real format's.
   *
   * Why this matters for the pipeline: FLAC is the most common LOSSLESS
   * audio format in scraped corpora, and unlike the perceptual families
@@ -19,8 +22,9 @@ package graft.ops
   *
   * Loud-failure contract (same stance as JpegCodec/GifCodec): bad sync,
   * CRC-8/CRC-16 mismatch, reserved codes, or truncation all throw — a
-  * foreign conforming stream outside the implemented subset (stereo,
-  * non-16-bit, LPC subframes) is rejected, never silently mis-decoded.
+  * foreign conforming stream outside the implemented subset (non-16-bit,
+  * variable blocksize, wasted bits) is rejected, never silently
+  * mis-decoded.
   */
 object FlacCodec {
 
@@ -386,6 +390,139 @@ object FlacCodec {
     }
   }
 
+  // ------------------------------------------------------------- LPC path
+
+  /** Quantized-coefficient precision used by [[encodeLpc]] (a common real
+    * encoder default; any 2..15 is legal on the wire — the subframe header
+    * carries precision−1 explicitly). */
+  val LpcPrecision = 12
+
+  /** LPC coefficients by autocorrelation + Levinson-Durbin (the classic
+    * public recipe every FLAC encoder uses). None when the normal
+    * equations are degenerate (zero/constant signal, non-positive
+    * prediction error) — callers fall back to a FIXED subframe. Encoder
+    *-side only: any coefficient choice yields a lossless stream because
+    * residuals are computed from the QUANTIZED integer predictor. */
+  private def lpcCoefficients(
+      s: Array[Int], from: Int, untl: Int, order: Int): Option[Array[Double]] = {
+    val autoc = Array.tabulate(order + 1) { lag =>
+      var acc = 0.0
+      var i = from + lag
+      while (i < untl) { acc += s(i).toDouble * s(i - lag); i += 1 }
+      acc
+    }
+    if (autoc(0) <= 0.0) return None
+    val lpc = new Array[Double](order)
+    var err = autoc(0)
+    var j = 0
+    while (j < order) {
+      var k = autoc(j + 1)
+      var i = 0
+      while (i < j) { k -= lpc(i) * autoc(j - i); i += 1 }
+      k /= err
+      // reflection update: lpc'[i] = lpc[i] - k*lpc[j-1-i], symmetric pairs
+      var lo = 0
+      var hi = j - 1
+      while (lo < hi) {
+        val a = lpc(lo); val b = lpc(hi)
+        lpc(lo) = a - k * b
+        lpc(hi) = b - k * a
+        lo += 1; hi -= 1
+      }
+      if (lo == hi) lpc(lo) -= k * lpc(lo)
+      lpc(j) = k
+      err *= 1.0 - k * k
+      if (err <= 0.0) return None
+      j += 1
+    }
+    Some(lpc)
+  }
+
+  /** Quantize doubles to `precision`-bit signed ints with the largest
+    * shift (≤ 15) that keeps every coefficient in range. */
+  private def quantizeLpc(lpc: Array[Double], precision: Int): (Array[Int], Int) = {
+    val lim = (1 << (precision - 1)) - 1
+    val cmax = lpc.map(math.abs).max
+    if (cmax <= 0.0) return (new Array[Int](lpc.length), 0)
+    var shift = 0
+    while (shift < 15 && cmax * (1L << (shift + 1)).toDouble <= lim) shift += 1
+    val q = lpc.map { c =>
+      math.max(-lim - 1, math.min(lim, math.round(c * (1L << shift)).toInt))
+    }
+    (q, shift)
+  }
+
+  /** Residuals of the quantized predictor — the encoder twin of the
+    * decoder's reconstruction, so losslessness is algebraic. */
+  private def lpcResiduals(s: Array[Int], from: Int, untl: Int,
+                           coefs: Array[Int], shift: Int): Array[Int] = {
+    val order = coefs.length
+    val out = new Array[Int](untl - from - order)
+    var i = from + order
+    while (i < untl) {
+      var acc = 0L
+      var j = 0
+      while (j < order) { acc += coefs(j).toLong * s(i - 1 - j); j += 1 }
+      out(i - from - order) = s(i) - (acc >> shift).toInt
+      i += 1
+    }
+    out
+  }
+
+  /** One SUBFRAME_LPC at the given order (constant blocks still emit
+    * SUBFRAME_CONSTANT; degenerate normal equations or an all-zero
+    * quantization fall back to the FIXED chooser — both spec-legal and
+    * still lossless). */
+  private def writeLpcSubframe(bw: BitWriter, s: Array[Int], from: Int,
+                               untl: Int, bits: Int, order: Int): Unit = {
+    val bs = untl - from
+    val allEqual = (from until untl).forall(i => s(i) == s(from))
+    val ord = math.min(order, bs - 1)
+    if (allEqual || ord < 1) { writeSubframe(bw, s, from, untl, bits); return }
+    lpcCoefficients(s, from, untl, ord) match {
+      case Some(lpc) =>
+        val (q, shift) = quantizeLpc(lpc, LpcPrecision)
+        if (q.forall(_ == 0)) { writeSubframe(bw, s, from, untl, bits); return }
+        bw.write(0, 1); bw.write(32L | (ord - 1), 6); bw.write(0, 1)
+        (from until from + ord).foreach(i =>
+          bw.write(s(i).toLong & ((1L << bits) - 1), bits))
+        bw.write(LpcPrecision.toLong - 1, 4)
+        bw.write(shift.toLong, 5)
+        q.foreach(c =>
+          bw.write(c.toLong & ((1L << LpcPrecision) - 1), LpcPrecision))
+        writeResidual(bw, lpcResiduals(s, from, untl, q, shift))
+      case None => writeSubframe(bw, s, from, untl, bits)
+    }
+  }
+
+  /** Encode 16-bit mono with SUBFRAME_LPC frames — the path real encoders
+    * take on real audio. The LPC order CYCLES 1..8 by frame index, so a
+    * multi-frame asset exercises every order's warm-up/coefficient/
+    * prediction shape. Lossless like [[encode]]: same stream layout, only
+    * the subframe type differs. */
+  def encodeLpc(sampleRate: Int, samples: Array[Short],
+                blockSize: Int = DefaultBlockSize,
+                paddingBlock: Boolean = false): Array[Byte] = {
+    val out = streamHeader(sampleRate, 1, samples.length.toLong,
+      blockSize, paddingBlock)
+    val s = samples.map(_.toInt)
+    var frame = 0
+    var from = 0
+    while (from < s.length) {
+      val untl = math.min(from + blockSize, s.length)
+      val hdrBytes = frameHeaderBytes(untl - from, frame, 0)
+      val bw = new BitWriter
+      bw.writeBytes(hdrBytes)
+      bw.write(crc8(hdrBytes, hdrBytes.length).toLong, 8)
+      writeLpcSubframe(bw, s, from, untl, 16, order = 1 + frame % 8)
+      val fb = finishFrame(bw)
+      out.write(fb, 0, fb.length)
+      frame += 1
+      from = untl
+    }
+    out.toByteArray
+  }
+
   private def frameHeaderBytes(bs: Int, frameNo: Int, chanBits: Int): Array[Byte] = {
     val hdr = new java.io.ByteArrayOutputStream()
     hdr.write(0xff); hdr.write(0xf8) // sync 11111111 111110, reserved 0, fixed-blocksize 0
@@ -559,8 +696,34 @@ object FlacCodec {
         var i = 0
         while (i < order) { block(i) = sample(); i += 1 }
         restore(block, 0, bs, order, readResidual(br, bs - order))
+      case t if t >= 32 => // LPC, order (t & 31) + 1 (§9.2.3)
+        val order = (t & 31) + 1
+        require(order <= bs, "FLAC: LPC order exceeds block size")
+        var i = 0
+        while (i < order) { block(i) = sample(); i += 1 }
+        val precM1 = br.read(4).toInt
+        require(precM1 != 0xf, "FLAC: invalid qlp coefficient precision")
+        val prec = precM1 + 1
+        val shiftRaw = br.read(5).toInt
+        // 5-bit two's complement per the spec; negative shifts are
+        // spec-forbidden in practice — reject loudly
+        val shift = if ((shiftRaw & 0x10) != 0) shiftRaw - 32 else shiftRaw
+        require(shift >= 0, "FLAC: negative qlp shift")
+        val coefs = Array.fill(order) {
+          val v = br.read(prec)
+          (if ((v & (1L << (prec - 1))) != 0) v - (1L << prec) else v).toInt
+        }
+        val res = readResidual(br, bs - order)
+        var k = order
+        while (k < bs) {
+          var acc = 0L // 64-bit accumulator per the spec's width analysis
+          var j = 0
+          while (j < order) { acc += coefs(j).toLong * block(k - 1 - j); j += 1 }
+          block(k) = res(k - order) + (acc >> shift).toInt
+          k += 1
+        }
       case t => throw new IllegalArgumentException(
-        s"FLAC: subframe type $t not implemented (LPC)")
+        s"FLAC: reserved subframe type $t")
     }
     block
   }

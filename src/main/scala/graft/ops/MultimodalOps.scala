@@ -540,6 +540,32 @@ object MultimodalOps {
       }.toDF()
   }
 
+  /** LPC-FLAC asset table: the same signal/rate map as
+    * [[flacAssetsFromDocuments]] but encoded through SUBFRAME_LPC
+    * ([[graft.ops.FlacCodec.encodeLpc]] — Levinson-Durbin coefficients
+    * quantized to 12 bits, order cycling 1..8 by frame, blockSize 64 so
+    * every doc spans several orders). Lossless ⇒ the oracle replays the
+    * identical stats from the text; a slip anywhere in the LPC chain
+    * (coefficient read width, shift sign, 64-bit accumulator, warm-up)
+    * lands in rms/peak/zero-crossings exactly. */
+  def flacLpcAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rates = Array(8000, 16000, 44100)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        require(text.forall(_ < 128),
+          s"flac fixture requires ASCII text (doc $id)")
+        val samples = Array.tabulate(text.length)(i =>
+          ((text.charAt(i) - 80) * 257).toShort)
+        val rate = rates((id % 3).toInt)
+        MediaAsset(id, "flac",
+          FlacCodec.encodeLpc(rate, samples, blockSize = 64,
+            paddingBlock = id % 5 == 0),
+          0, 0, 1, rate)
+      }.toDF()
+  }
+
   /** Companion-asset id offset and planting step of
     * [[fpWavAssetsFromDocuments]]. */
   val AudioCompanionOffset = 30000000L

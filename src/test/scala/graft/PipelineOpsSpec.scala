@@ -2140,6 +2140,46 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(bytes < 4096 * 2 * 3 / 4, s"expected real compression, got $bytes bytes")
   }
 
+  test("FlacCodec LPC: lossless round trip at every order; LPC genuinely compresses") {
+    import graft.ops.FlacCodec
+    def roundTrip(ss: Array[Short], rate: Int = 16000, bsz: Int = 64,
+                  pad: Boolean = false): Array[Byte] = {
+      val enc = FlacCodec.encodeLpc(rate, ss, blockSize = bsz, paddingBlock = pad)
+      val (r, ch, back) = FlacCodec.decode(enc)
+      assert((r, ch) == (rate, 1))
+      assert(back.toSeq == ss.toSeq, s"LPC lossless violated (n=${ss.length})")
+      enc
+    }
+    // multi-frame at blockSize 64 cycles orders 1..8 (incl. warm-up +
+    // coefficient reads at every order); partial tail; padding block
+    roundTrip(Array.tabulate(1000)(i =>
+      (math.sin(i * 0.1) * 12000 + math.sin(i * 0.37) * 5000).toShort),
+      rate = 44100, pad = true)
+    // degenerate signals take the documented fallbacks and stay lossless:
+    roundTrip(Array.fill(300)(77.toShort))          // constant subframes
+    roundTrip(Array.fill(300)(0.toShort))           // autoc(0)=0 → fixed path
+    val rnd = new scala.util.Random(7)
+    roundTrip(Array.fill(500)((rnd.nextInt(65536) - 32768).toShort)) // noise
+    roundTrip(Array.empty[Short])
+    roundTrip(Array[Short](5))                      // single-sample frame
+    // a strongly-periodic signal: LPC must beat 16-bit verbatim clearly
+    // (the order cycle includes order-1 frames, which hold the average up)
+    val tone = Array.tabulate(4096)(i => (math.sin(i * 0.05) * 14000).toShort)
+    val lpcBytes = FlacCodec.encodeLpc(16000, tone).length
+    assert(lpcBytes < 4096 * 2 * 3 / 4, s"expected real compression, got $lpcBytes")
+    // fixture-map parity with the FIXED encoder: identical decoded samples
+    val text = "key agg row scan slow fast table value part hash"
+    val samples = text.map(c => ((c - 80) * 257).toShort).toArray
+    val viaFixed = FlacCodec.decode(FlacCodec.encode(8000, samples))._3
+    val viaLpc = FlacCodec.decode(FlacCodec.encodeLpc(8000, samples))._3
+    assert(viaFixed.toSeq == viaLpc.toSeq)
+    // loud failure: corrupt a coefficient byte → frame CRC-16 mismatch
+    val enc = FlacCodec.encodeLpc(8000, samples)
+    val corrupt = enc.clone()
+    corrupt(corrupt.length - 5) = (corrupt(corrupt.length - 5) ^ 0x11).toByte
+    intercept[IllegalArgumentException](FlacCodec.decode(corrupt))
+  }
+
   test("TiffCodec: PackBits round trip, IFD walk, both byte paths, loud failures") {
     import graft.ops.TiffCodec
     // PackBits primitives: runs >= 3 RLE, literals batch, 128-caps
