@@ -445,6 +445,50 @@ object MultimodalOps {
     }.toDF("asset_id", "n_records", "n_responses", "text")
   }
 
+  /** TAR asset table — the dataset-dump shape (`.tar.gz`): per doc one
+    * gzipped ustar archive holding a directory entry (must be walked
+    * over, it carries no data), the doc text as `.txt` member(s) — every
+    * 4th doc split across TWO `.txt` members whose ENTRY ORDER carries
+    * the concatenation — and a `.json` sidecar that a text reader must
+    * name-filter out. */
+  def tarAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        val parts =
+          if (id % 4 == 0 && text.length >= 2) {
+            val half = text.length / 2
+            Seq(text.substring(0, half), text.substring(half))
+          } else Seq(text)
+        val txts = parts.zipWithIndex.map { case (p, i) =>
+          TarCodec.entry(s"docs/doc_${id}_$i.txt", '0', p.getBytes(utf8))
+        }
+        val dir = TarCodec.entry("docs/", '5', Array.emptyByteArray)
+        val json = TarCodec.entry(s"docs/meta_$id.json", '0',
+          s"""{"id": $id}""".getBytes(utf8))
+        val payload = GzipCodec.gzip(TarCodec.archive(Seq(dir) ++ txts ++ Seq(json)))
+        MediaAsset(id, "tar.gz", payload, 0, 0, 1, 0)
+      }.toDF()
+  }
+
+  /** Dump-reader map pass over tar assets: gunzip, walk the archive, keep
+    * regular `.txt` members and concatenate their data in entry order.
+    * Returns (asset_id, n_entries, n_files, text). */
+  def tarTexts(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.as[MediaAsset].map { a =>
+      val entries = TarCodec.readEntries(GzipCodec.gunzip(a.payload))
+      val files = entries.filter(_.typeflag == '0')
+      val body = files.iterator.filter(_.name.endsWith(".txt")).map(_.data)
+        .foldLeft(Array.emptyByteArray)(_ ++ _)
+      (a.asset_id, entries.length.toLong, files.length.toLong,
+        new String(body, java.nio.charset.StandardCharsets.UTF_8))
+    }.toDF("asset_id", "n_entries", "n_files", "text")
+  }
+
   /** MULTI-PAGE TIFF asset table (the scanned-document shape): per doc one
     * TIFF of 2 + id%3 pages chained through next-IFD pointers, page f
     * tiled from the text at offset 11·f (the GIF-frames tiling). Same

@@ -390,6 +390,37 @@ object TextQueries {
         .orderBy("asset_id")
     },
 
+    // TAR INGESTION (the dataset-dump container, .tar.gz): per doc a
+    // gzipped ustar archive — a directory entry to walk over, the text
+    // as .txt member(s) (every 4th doc split across TWO, concatenated in
+    // ENTRY order) and a .json sidecar the reader must name-filter out.
+    // Checksums/magic/end-of-archive are verified by the walk; the
+    // transport is lossless, so entry counts are fixture arithmetic and
+    // text stats replay from the source text exactly.
+    QueryDef.withOracle("text_from_tar",
+      s"""SELECT doc_id AS asset_id,
+         |  CAST(3 + CASE WHEN doc_id % 4 = 0 AND length(text) >= 2
+         |           THEN 1 ELSE 0 END AS BIGINT) AS n_entries,
+         |  CAST(2 + CASE WHEN doc_id % 4 = 0 AND length(text) >= 2
+         |           THEN 1 ELSE 0 END AS BIGINT) AS n_files,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len($TOKS) AS BIGINT) AS n_tokens,
+         |  $FINGERPRINT AS fp
+         |FROM documents ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      graft.ops.MultimodalOps.tarTexts(
+        graft.ops.MultimodalOps.tarAssetsFromDocuments(
+          Tables(s, dir, "documents")))
+        .select(col("asset_id"), col("n_entries"), col("n_files"),
+          length(col("text")).cast("long").as("n_chars"),
+          TextOps.tokens(col("text")).as("_t"))
+        .select(col("asset_id"), col("n_entries"), col("n_files"),
+          col("n_chars"),
+          size(col("_t")).cast("long").as("n_tokens"),
+          TextOps.fingerprint(col("_t")).as("fp"))
+        .orderBy("asset_id")
+    },
+
     // MARKUP → CURATION composition (the real pipeline's first two
     // stages end-to-end): extract from the generated boilerplate, then
     // apply the text_filter rule stack to the EXTRACTED text — length

@@ -2458,6 +2458,65 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("TarCodec: ustar walk round-trips; corrupt archives fail loudly") {
+    import graft.ops.{GzipCodec, TarCodec}
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val a = TarCodec.entry("docs/", '5', Array.emptyByteArray)
+    val b = TarCodec.entry("docs/one.txt", '0', "hello tar".getBytes(utf8))
+    val c = TarCodec.entry("docs/meta.json", '0', "{}".getBytes(utf8))
+    val arch = TarCodec.archive(Seq(a, b, c))
+    val got = TarCodec.readEntries(arch)
+    assert(got.map(e => (e.name, e.typeflag)) ==
+      Seq(("docs/", '5'), ("docs/one.txt", '0'), ("docs/meta.json", '0')))
+    assert(new String(got(1).data, utf8) == "hello tar")
+    // data padding: a 512-byte-exact member and an empty member both walk
+    val exact = TarCodec.entry("x.txt", '0', Array.fill(512)('z'.toByte))
+    val empty = TarCodec.entry("e.txt", '0', Array.emptyByteArray)
+    assert(TarCodec.readEntries(TarCodec.archive(Seq(exact, empty)))
+      .map(_.data.length) == Seq(512, 0))
+    // gzip composition (.tar.gz)
+    assert(TarCodec.readEntries(GzipCodec.gunzip(GzipCodec.gzip(arch)))
+      .map(_.name) == Seq("docs/", "docs/one.txt", "docs/meta.json"))
+    // loud failures:
+    val badSum = arch.clone()
+    badSum(0) = 'X'.toByte // name byte changes the checksum
+    intercept[IllegalArgumentException](TarCodec.readEntries(badSum))
+    val badMagic = arch.clone()
+    badMagic(257) = 'q'.toByte
+    intercept[IllegalArgumentException](TarCodec.readEntries(badMagic))
+    intercept[IllegalArgumentException]( // not whole blocks
+      TarCodec.readEntries(arch.dropRight(1)))
+    intercept[IllegalArgumentException]( // missing 2nd end block
+      TarCodec.readEntries(arch.dropRight(512)))
+    val junkTail = arch.clone()
+    junkTail(junkTail.length - 1) = 1 // non-zero after end-of-archive
+    intercept[IllegalArgumentException](TarCodec.readEntries(junkTail))
+    val badOctal = arch.clone()
+    badOctal(124) = '9'.toByte // 9 is not octal
+    intercept[IllegalArgumentException](TarCodec.readEntries(badOctal))
+  }
+
+  test("tarTexts: entry-order concatenation and sidecar filtering, 4-doc corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"), // %4=0: split across two members
+      (1L, "epsilon zeta"),
+      (4L, "eta theta iota"),         // %4=0: split
+      (7L, "omicron")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.MultimodalOps.tarTexts(
+        graft.ops.MultimodalOps.tarAssetsFromDocuments(docs))
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    val src = Map(0L -> "alpha beta gamma delta", 1L -> "epsilon zeta",
+      4L -> "eta theta iota", 7L -> "omicron")
+    src.foreach { case (id, text) =>
+      val (_, nEnt, nFile, out) = got(id)
+      assert(out == text, s"doc $id text must survive the archive whole")
+      val split = if (id % 4 == 0) 1 else 0
+      assert((nEnt, nFile) == ((3L + split, 2L + split)), s"doc $id counts")
+    }
+  }
+
   test("PiiOps: category patterns, boundary trap, normative redaction order") {
     import spark.implicits._
     import graft.ops.PiiOps
