@@ -48,6 +48,59 @@ object PipelineQueries {
         .orderBy("keep_id")
     },
 
+    // URL PARSE (the provenance face of a crawl pipeline): deterministic
+    // fixture URLs (hot domain d0 planted on every 3rd doc; every 2nd URL
+    // carries a query string) parsed into host + query-stripped path with
+    // one Java∩RE2 regex — pure map-side, oracle-replayed character for
+    // character.
+    QueryDef.withOracle("text_url_parse", {
+      val domain = "CASE WHEN doc_id % 3 = 0 THEN 'd0' " +
+        "ELSE 'd' || CAST(doc_id % 23 AS VARCHAR) END || '.example.com'"
+      val url = s"'https://' || $domain || '/p/' || CAST(doc_id AS VARCHAR)" +
+        " || CASE WHEN doc_id % 2 = 0 THEN '?utm=x' ELSE '' END"
+      s"""WITH u AS (SELECT doc_id, $url AS url FROM documents)
+         |SELECT doc_id, url,
+         |  regexp_extract(url, '${graft.ops.UrlOps.UrlRe}', 1) AS host,
+         |  regexp_extract(url, '${graft.ops.UrlOps.UrlRe}', 2) AS path
+         |FROM u ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      import graft.ops.UrlOps
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), UrlOps.urlFixture(col("doc_id")).as("url"))
+        .select(col("doc_id"), col("url"),
+          UrlOps.host(col("url")).as("host"),
+          UrlOps.path(col("url")).as("path"))
+        .orderBy("doc_id")
+    },
+
+    // PER-DOMAIN QUOTA (the boilerplate-mill defense): keep the 10
+    // lowest-id docs per domain. The Spark side runs the SALTED two-stage
+    // top-Q (no window task ever sees a whole hot domain — see
+    // ops/UrlOps scaladoc), the oracle the plain global row_number — so
+    // the gate proves the bounded plan EQUALS the naive semantics. The
+    // planted d0 holds ~1/3 of the corpus, so both the quota and the
+    // skew path genuinely bite.
+    QueryDef.withOracle("pipeline_domain_quota", {
+      val domain = "CASE WHEN doc_id % 3 = 0 THEN 'd0' " +
+        "ELSE 'd' || CAST(doc_id % 23 AS VARCHAR) END || '.example.com'"
+      s"""WITH u AS (SELECT doc_id, $domain AS domain FROM documents),
+         |r AS (SELECT doc_id, domain,
+         |        row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
+         |      FROM u)
+         |SELECT doc_id, domain,
+         |  CAST(CASE WHEN rk <= 10 THEN rk ELSE 0 END AS BIGINT) AS rk,
+         |  rk <= 10 AS kept
+         |FROM r ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      import graft.ops.UrlOps
+      val withDomain = Tables(s, dir, "documents")
+        .select(col("doc_id"), UrlOps.urlFixture(col("doc_id")).as("url"))
+        .select(col("doc_id"),
+          UrlOps.host(col("url")).as("domain"))
+      UrlOps.domainQuota(withDomain, "doc_id", "domain", quota = 10, salts = 8)
+        .orderBy("doc_id")
+    },
+
     // Deterministic train/val/test split (80/10/10): the id hashes to a
     // bucket, the bucket to a split — stable across runs, machines and
     // engines (the polynomial hash both engines replay bit-for-bit), no

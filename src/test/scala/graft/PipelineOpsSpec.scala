@@ -2517,6 +2517,33 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("UrlOps.domainQuota: salted two-stage equals the naive global rank") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.UrlOps
+    // skewed corpus: 'hot' holds 60 of 100 docs, ids deliberately
+    // interleaved so salt buckets are uneven
+    val docs = (0L until 100L).map { id =>
+      (id, if (id % 5 != 2 && id % 5 != 4) "hot" else s"cold${id % 7}")
+    }.toDF("doc_id", "domain")
+    for (q <- Seq(1, 3, 10); s <- Seq(1, 4, 32)) {
+      val got = UrlOps.domainQuota(docs, "doc_id", "domain", q, s)
+        .as[(Long, String, Long, Boolean)].collect().sortBy(_._1)
+      val naive = docs
+        .withColumn("rk0", row_number()
+          .over(Window.partitionBy($"domain").orderBy($"doc_id")).cast("long"))
+        .select($"doc_id", $"domain",
+          when($"rk0" <= q, $"rk0").otherwise(0L).as("rk"),
+          ($"rk0" <= q).as("kept"))
+        .as[(Long, String, Long, Boolean)].collect().sortBy(_._1)
+      assert(got.toSeq == naive.toSeq, s"quota=$q salts=$s diverged")
+    }
+    // the quota actually bites on the hot domain
+    val kept = UrlOps.domainQuota(docs, "doc_id", "domain", 3, 8)
+      .filter($"kept" && $"domain" === "hot").count()
+    assert(kept == 3L)
+  }
+
   test("PiiOps: category patterns, boundary trap, normative redaction order") {
     import spark.implicits._
     import graft.ops.PiiOps
