@@ -499,6 +499,148 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // GOPHER-STYLE QUALITY RULES (the Rae et al. 2021 repetition-free
+    // document heuristics beyond text_filter's length/lang/stopword
+    // stack): mean word length, alphabetic-word fraction, symbol-to-word
+    // ratio (# and ellipsis), bullet-line and ellipsis-line fractions —
+    // line-structure rules, so the fixture PLANTS structure (bullet
+    // blocks on every 5th doc, an ellipsis line on every 7th, #-symbols
+    // on every 11th, a numeric run on every 13th) and each rule fires
+    // somewhere in the corpus. First-failing-rule verdict like
+    // text_filter. Pure map-side HOF arithmetic, every ratio divided
+    // once in double — the oracle replays it bitwise.
+    QueryDef.withOracle("text_gopher_rules", {
+      val planted =
+        """text ||
+          |  CASE WHEN doc_id % 5 = 0 THEN chr(10) || '- first point' ||
+          |    chr(10) || '- second point' || chr(10) || '- third point'
+          |    ELSE '' END ||
+          |  CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'to be continued...'
+          |    ELSE '' END ||
+          |  CASE WHEN doc_id % 11 = 0 THEN chr(10) || '## section # mark #'
+          |    ELSE '' END ||
+          |  CASE WHEN doc_id % 13 = 0 THEN chr(10) ||
+          |    '0 1 2 3 4 5 6 7 8 9 10 11 12 13 14' ELSE '' END"""
+          .stripMargin.replace("\n", " ")
+      val reason =
+        """CASE WHEN mean_word_len < 3.0 OR mean_word_len > 10.0
+          |       THEN 'word_length'
+          |     WHEN frac_alpha_words < 0.8 THEN 'low_alpha'
+          |     WHEN symbol_ratio > 0.1 THEN 'symbol_ratio'
+          |     WHEN bullet_line_frac > 0.5 THEN 'bullet_lines'
+          |     WHEN ellipsis_line_frac > 0.3 THEN 'ellipsis_lines'
+          |END""".stripMargin.replace("\n", " ")
+      s"""WITH p AS (SELECT doc_id, $planted AS t FROM documents),
+         |m AS (SELECT doc_id,
+         |    regexp_extract_all(t, '\\S+') AS ws,
+         |    string_split(t, chr(10)) AS lns,
+         |    length(t) - length(replace(t, '#', '')) AS n_hash,
+         |    len(regexp_extract_all(t, '\\.\\.\\.')) AS n_ell
+         |  FROM p),
+         |d AS (SELECT doc_id,
+         |    CAST(len(ws) AS BIGINT) AS n_words,
+         |    CAST(len(lns) AS BIGINT) AS n_lines,
+         |    CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+         |      / len(ws) AS mean_word_len,
+         |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
+         |      AS DOUBLE) / len(ws) AS frac_alpha_words,
+         |    CAST(n_hash + n_ell AS DOUBLE) / len(ws) AS symbol_ratio,
+         |    CAST(len(list_filter(lns, l -> l LIKE '- %')) AS DOUBLE)
+         |      / len(lns) AS bullet_line_frac,
+         |    CAST(len(list_filter(lns, l -> l LIKE '%...')) AS DOUBLE)
+         |      / len(lns) AS ellipsis_line_frac
+         |  FROM m)
+         |SELECT doc_id, n_words, n_lines, mean_word_len, frac_alpha_words,
+         |  symbol_ratio, bullet_line_frac, ellipsis_line_frac,
+         |  $reason AS reason, ($reason) IS NULL AS kept
+         |FROM d ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val planted = concat(col("text"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          lit("\n- first point\n- second point\n- third point"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          lit("\nto be continued...")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          lit("\n## section # mark #")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          lit("\n0 1 2 3 4 5 6 7 8 9 10 11 12 13 14")).otherwise(lit("")))
+      val m = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), planted.as("t"))
+        .select(col("doc_id"),
+          regexp_extract_all(col("t"), lit("\\S+"), lit(0)).as("ws"),
+          split(col("t"), "\n").as("lns"),
+          (length(col("t")) -
+            length(regexp_replace(col("t"), "#", ""))).as("n_hash"),
+          size(regexp_extract_all(col("t"), lit("\\.\\.\\."), lit(0)))
+            .as("n_ell"))
+      val d = m.select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        size(col("lns")).cast("long").as("n_lines"),
+        (aggregate(col("ws"), lit(0L), (a, w) => a + length(w))
+          .cast("double") / size(col("ws"))).as("mean_word_len"),
+        (size(filter(col("ws"), w => w.rlike("[a-zA-Z]")))
+          .cast("double") / size(col("ws"))).as("frac_alpha_words"),
+        ((col("n_hash") + col("n_ell")).cast("double") / size(col("ws")))
+          .as("symbol_ratio"),
+        (size(filter(col("lns"), l => l.startsWith("- ")))
+          .cast("double") / size(col("lns"))).as("bullet_line_frac"),
+        (size(filter(col("lns"), l => l.endsWith("...")))
+          .cast("double") / size(col("lns"))).as("ellipsis_line_frac"))
+      val reason = when(
+          col("mean_word_len") < 3.0 || col("mean_word_len") > 10.0,
+          "word_length")
+        .when(col("frac_alpha_words") < 0.8, "low_alpha")
+        .when(col("symbol_ratio") > 0.1, "symbol_ratio")
+        .when(col("bullet_line_frac") > 0.5, "bullet_lines")
+        .when(col("ellipsis_line_frac") > 0.3, "ellipsis_lines")
+      d.select(col("doc_id"), col("n_words"), col("n_lines"),
+          col("mean_word_len"), col("frac_alpha_words"), col("symbol_ratio"),
+          col("bullet_line_frac"), col("ellipsis_line_frac"),
+          reason.as("reason"), reason.isNull.as("kept"))
+        .orderBy("doc_id")
+    },
+
+    // BLOCKLIST FILTER (the C4-style lexicon stage): a document drops if
+    // ANY token is blocklisted. The lexicon here is an in-plan literal
+    // IN-list (codegen'd, zero shuffle); a production 100k-word lexicon
+    // becomes a broadcast set or an Aho-Corasick pass — either way
+    // map-side, which is the property this face pins. Reports the hit
+    // count and the FIRST hit in token order (what a pipeline owner
+    // debugs with).
+    QueryDef.withOracle("text_blocklist_filter", {
+      val lex = "'zorp', 'frobnicate', 'grok'"
+      val planted = "text || CASE WHEN doc_id % 9 = 0 THEN ' zorp' ELSE '' END" +
+        " || CASE WHEN doc_id % 27 = 0 THEN ' frobnicate grok zorp' ELSE '' END"
+      s"""WITH m AS (SELECT doc_id,
+         |    list_filter(${OracleText.toksSql(s"($planted)")},
+         |      t -> t IN ($lex)) AS hits
+         |  FROM documents)
+         |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_hits,
+         |  CASE WHEN len(hits) > 0 THEN hits[1] ELSE '' END AS first_hit,
+         |  len(hits) = 0 AS kept
+         |FROM m ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val lex = Seq("zorp", "frobnicate", "grok")
+      val planted = concat(col("text"),
+        when(pmod(col("doc_id"), lit(9)) === 0, lit(" zorp"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(27)) === 0, lit(" frobnicate grok zorp"))
+          .otherwise(lit("")))
+      Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          filter(TextOps.tokens(planted), t => t.isin(lex: _*))
+            .as("hits"))
+        .select(col("doc_id"),
+          size(col("hits")).cast("long").as("n_hits"),
+          when(size(col("hits")) > 0, element_at(col("hits"), 1))
+            .otherwise(lit("")).as("first_hit"),
+          (size(col("hits")) === 0).as("kept"))
+        .orderBy("doc_id")
+    },
+
     // PII REDACTION (the scrubbing stage before text ships): planted
     // doc_id-derived emails / NANP phone / IPv4 (plus a dotted version
     // string whose 4-digit tail must NOT match the word-bounded IP
