@@ -390,6 +390,61 @@ object TextQueries {
         .orderBy("asset_id")
     },
 
+    // STREAMING WARC INGESTION — the crawl arriving CONTINUOUSLY (what a
+    // live fetch pipeline actually sees): .warc.gz assets land as a file
+    // stream in two batches; the whole reader — gzip member walk, WARC
+    // record walk, status filter, multi-response body concat, token
+    // stats — is one STATELESS typed map, so exactly-once comes from the
+    // file-source + checkpoint contract alone (no state store at all).
+    // The oracle is text_from_warc's verbatim: the batch and streaming
+    // faces must agree value-for-value.
+    QueryDef.withOracle("text_stream_warc",
+      s"""SELECT doc_id AS asset_id,
+         |  CAST(4 + CASE WHEN doc_id % 5 = 0 AND length(text) >= 2
+         |           THEN 1 ELSE 0 END AS BIGINT) AS n_records,
+         |  CAST(2 + CASE WHEN doc_id % 5 = 0 AND length(text) >= 2
+         |           THEN 1 ELSE 0 END AS BIGINT) AS n_responses,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len($TOKS) AS BIGINT) AS n_tokens,
+         |  $FINGERPRINT AS fp
+         |FROM documents ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      import graft.ops.MultimodalOps
+      graft.functions.GraftFunctions.register(s)
+      val stage = java.nio.file.Files.createTempDirectory("graft-warcstage-").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-warcckpt-").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-warcout-").toString
+      val assets = MultimodalOps.warcAssetsFromDocuments(
+          Tables(s, dir, "documents"))
+        .localCheckpoint(false) // encode once; both batch writes read it
+      val assetSchema = assets.schema
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        def drain(): Unit =
+          MultimodalOps.warcTexts(
+              s.readStream.schema(assetSchema).parquet(stage).toDF())
+            .select(col("asset_id"), col("n_records"), col("n_responses"),
+              length(col("text")).cast("long").as("n_chars"),
+              TextOps.tokens(col("text")).as("_t"))
+            .select(col("asset_id"), col("n_records"), col("n_responses"),
+              col("n_chars"),
+              size(col("_t")).cast("long").as("n_tokens"),
+              TextOps.fingerprint(col("_t")).as("fp"))
+            .writeStream.option("checkpointLocation", ckpt)
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .format("parquet").option("path", out)
+            .start().awaitTermination()
+        assets.filter(col("asset_id") % 2 === 0)
+          .write.mode("append").parquet(stage)
+        drain()
+        assets.filter(col("asset_id") % 2 === 1)
+          .write.mode("append").parquet(stage)
+        drain()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.read.parquet(out).orderBy("asset_id")
+    },
+
     // TAR INGESTION (the dataset-dump container, .tar.gz): per doc a
     // gzipped ustar archive — a directory entry to walk over, the text
     // as .txt member(s) (every 4th doc split across TWO, concatenated in
