@@ -610,6 +610,28 @@ object MultimodalOps {
       }.toDF()
   }
 
+  /** AIFF asset table: the same signal/rate map as the WAV/FLAC twins in
+    * the big-endian IFF container ([[graft.ops.AiffCodec]]) — every 5th
+    * asset carries an odd-size ANNO chunk (the IFF even-padding trap,
+    * this family's JUNK/PADDING sibling). Identical decoded stats to the
+    * other audio faces, replayed from the text alone. */
+  def aiffAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rates = Array(8000, 16000, 44100)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        require(text.forall(_ < 128),
+          s"aiff fixture requires ASCII text (doc $id)")
+        val samples = Array.tabulate(text.length)(i =>
+          ((text.charAt(i) - 80) * 257).toShort)
+        val rate = rates((id % 3).toInt)
+        MediaAsset(id, "aiff",
+          AiffCodec.encode(rate, 1, samples, annoChunk = id % 5 == 0),
+          0, 0, 1, rate)
+      }.toDF()
+  }
+
   /** Companion-asset id offset and planting step of
     * [[fpWavAssetsFromDocuments]]. */
   val AudioCompanionOffset = 30000000L
@@ -1248,6 +1270,7 @@ object MultimodalOps {
         a.format match {
           case "wav"  => WavCodec.decodeFeatures(a)
           case "flac" => FlacCodec.decodeFeatures(a)
+          case "aiff" => AiffCodec.decodeFeatures(a)
           case f => throw new IllegalArgumentException(
             s"audioFeatures: unsupported format $f")
         }

@@ -701,6 +701,38 @@ object MultimodalQueries {
         .orderBy("asset_id")
     },
 
+    // AIFF (the big-endian IFF twin of WAV, still common in scraped
+    // music corpora): COMM carries the sample rate as an 80-bit IEEE 754
+    // extended float (the format's one exotic field — encoded/decoded
+    // exactly for integer rates), SSND holds big-endian PCM behind an
+    // offset/blockSize preamble, and every 5th asset plants an odd-size
+    // ANNO chunk exercising the IFF even-padding rule. Same signal map
+    // as the WAV/FLAC faces ⇒ identical oracle stats from the text.
+    QueryDef.withOracle("mm_decode_aiff",
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, length(text) + 1),
+        |           i -> (unicode(substr(text, CAST(i AS INT), 1)) - 80) * 257) AS ss,
+        |         ([8000, 16000, 44100])[CAST(doc_id % 3 AS INT) + 1] AS rate
+        |  FROM documents)
+        |SELECT doc_id AS asset_id, 'aiff' AS format,
+        |  CAST(rate AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+        |  CAST(len(ss) AS BIGINT) AS n_samples,
+        |  CAST(len(ss) AS DOUBLE) / rate AS duration_s,
+        |  CASE WHEN len(ss) = 0 THEN 0.0
+        |       ELSE sqrt(CAST(list_sum(list_transform(ss, x -> x * x)) AS DOUBLE)
+        |                 / len(ss)) END AS rms,
+        |  CAST(COALESCE(list_max(list_transform(ss, x -> abs(x))), 0) AS INT) AS peak,
+        |  CAST(COALESCE(list_sum(list_transform(range(1, len(ss)),
+        |    i -> CASE WHEN (ss[i] >= 0) <> (ss[i + 1] >= 0)
+        |              THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
+        |FROM s ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      MultimodalOps.audioFeatures(
+        MultimodalOps.aiffAssetsFromDocuments(Tables(s, dir, "documents")))
+        .toDF()
+        .orderBy("asset_id")
+    },
+
     // SAMPLE-RATE CONVERSION (r14): the 16 kHz normalization every
     // speech/audio pipeline runs — integer-exact linear interpolation
     // from each clip's native rate (8k upsamples 2x, 16k is identity,

@@ -2180,6 +2180,41 @@ class PipelineOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](FlacCodec.decode(corrupt))
   }
 
+  test("AiffCodec: 80-bit extended rate exact, IFF padding walk, loud failures") {
+    import graft.ops.AiffCodec
+    // the extended-float field is exact for every practical integer rate
+    for (r <- Seq(1, 8000, 11025, 16000, 22050, 44100, 48000, 96000, 192000))
+      assert(AiffCodec.parseExtended(AiffCodec.extended(r), 0) == r)
+    // a fractional mantissa (44100.5-like) must throw, not truncate
+    val frac = AiffCodec.extended(44100)
+    frac(9) = (frac(9) | 1).toByte // set a low mantissa bit below the rate
+    intercept[IllegalArgumentException](AiffCodec.parseExtended(frac, 0))
+    // round trip mono + stereo, with and without the odd-size ANNO chunk
+    val mono = Array.tabulate(777)(i => ((i * 31) % 4001 - 2000).toShort)
+    for (anno <- Seq(false, true)) {
+      val (r, ch, back) = AiffCodec.decode(AiffCodec.encode(22050, 1, mono, anno))
+      assert((r, ch) == (22050, 1) && back.toSeq == mono.toSeq)
+    }
+    val stereo = Array.tabulate(400)(i => (i * 17 - 3000).toShort)
+    val (r2, ch2, back2) = AiffCodec.decode(AiffCodec.encode(8000, 2, stereo))
+    assert((r2, ch2) == (8000, 2) && back2.toSeq == stereo.toSeq)
+    // wav/aiff parity: identical features for the same signal
+    val text = "key agg row scan slow fast table value part hash"
+    val samples = text.map(c => ((c - 80) * 257).toShort).toArray
+    val wav = graft.ops.WavCodec.featuresOf(0L, "x", 8000, 1,
+      graft.ops.WavCodec.decode(graft.ops.WavCodec.encode(8000, 1, samples))._3)
+    val aiff = graft.ops.WavCodec.featuresOf(0L, "x", 8000, 1,
+      AiffCodec.decode(AiffCodec.encode(8000, 1, samples))._3)
+    assert(wav == aiff)
+    // loud failures
+    intercept[IllegalArgumentException](AiffCodec.decode("FORMxxxx".getBytes))
+    val enc = AiffCodec.encode(8000, 1, mono)
+    val badForm = enc.clone(); badForm(9) = 'X'.toByte // AIFF -> AXFF
+    intercept[IllegalArgumentException](AiffCodec.decode(badForm))
+    intercept[IllegalArgumentException]( // truncated SSND
+      AiffCodec.decode(enc.dropRight(10)))
+  }
+
   test("TiffCodec: PackBits round trip, IFD walk, both byte paths, loud failures") {
     import graft.ops.TiffCodec
     // PackBits primitives: runs >= 3 RLE, literals batch, 128-caps
