@@ -206,7 +206,10 @@ object DedupQueries {
     * map stages first, the one corpus-wide aggregation last — the real
     * order) → keep verdict (filter-kept AND < half the lines
     * corpus-common). The Spark half of [[CurateChainOracleSql]]. */
-  private def curateFromMarkup(
+  /** Stages 2-3 (extraction + rule filter) of [[curateFromMarkup]]:
+    * returns `(doc_id, extracted, reason)`, pinned — the line stage and
+    * the final join both read it. */
+  private def curateFiltered(
       html: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import graft.ops.HtmlOps
     val extracted = html
@@ -226,9 +229,14 @@ object DedupQueries {
       .when(nWord > 80, "too_long")
       .when(pred =!= "en", "non_english")
       .when(swRatio < 0.05, "low_stopword_density")
-    val filtered = counted
+    counted
       .select(col("doc_id"), col("extracted"), reason.as("reason"))
       .localCheckpoint(false) // read by the line stage AND the final join
+  }
+
+  private def curateFromMarkup(
+      html: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val filtered = curateFiltered(html)
     val lines = DedupOps.lineDedup(
       filtered.filter(col("reason").isNull), "doc_id", "extracted",
       wordsPerLine = LineWords)
@@ -243,6 +251,23 @@ object DedupQueries {
             coalesce(col("n_dup_lines"), lit(0L)) * 2 <= col("n_lines")))
           .as("kept"))
       .orderBy("doc_id")
+  }
+
+  /** The curated corpus itself — `(doc_id, extracted)` for every doc that
+    * survives the rule filter AND the line-dedup verdict. The capstone's
+    * tokenize/pack stages consume this. */
+  private def curatedSurvivors(
+      html: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val filtered = curateFiltered(html)
+    val lines = DedupOps.lineDedup(
+      filtered.filter(col("reason").isNull), "doc_id", "extracted",
+      wordsPerLine = LineWords)
+    filtered.filter(col("reason").isNull)
+      .join(lines.select(col("doc_id"), col("n_lines"), col("n_dup_lines")),
+        Seq("doc_id"), "left")
+      .filter(coalesce(col("n_lines"), lit(0L)) === 0L ||
+        coalesce(col("n_dup_lines"), lit(0L)) * 2 <= col("n_lines"))
+      .select(col("doc_id"), col("extracted"))
   }
 
   /** Window width (tokens) for span-level substring dedup. The paper uses
@@ -824,6 +849,71 @@ object DedupQueries {
           aggregate(array_sort(col("win")), lit(0L),
             (a, b) => (a * TextOps.B2 + b) % TextOps.P).as("prints_fp"))
         .orderBy("doc_id")
+    },
+
+    // CRAWL → TRAINING-ORDER CAPSTONE (the WHOLE feed in one oracled
+    // query): .warc.gz of markup → gzip members → WARC records → HTTP
+    // bodies → HTML extraction → rule filter → line-level dedup → the
+    // CURATED corpus → real greedy-merge BPE token counts → deterministic
+    // pack into 2048-token training bins per source. Every stage is
+    // individually gated elsewhere; this query pins their COMPOSITION —
+    // the oracle replays transport (lossless, so it starts at the markup
+    // wrap), curation verdicts, the recursive-CTE merge loop over the
+    // EXTRACTED text and the pack cumsum in one statement. A drift in any
+    // stage, any stage ORDER, or the survivor set shifts every start_tok
+    // after it.
+    QueryDef.withOracle("pipeline_build_train", {
+      val reason =
+        s"""CASE WHEN len(${OracleText.toksSql("extracted")}) < 20 THEN 'too_short'
+           |     WHEN len(${OracleText.toksSql("extracted")}) > 80 THEN 'too_long'
+           |     WHEN ${OracleText.langPredSql("extracted")} <> 'en' THEN 'non_english'
+           |     WHEN ${OracleText.swRatioSql("extracted")} < 0.05 THEN 'low_stopword_density'
+           |END""".stripMargin.replace("\n", " ")
+      val h = OracleText.wordHashSql("CAST(k.doc_id AS VARCHAR)")
+      s"""WITH RECURSIVE ${TextQueries.HtmlExtractCtes},
+         |f AS (SELECT doc_id, extracted, $reason AS reason FROM j),
+         |fk AS (SELECT doc_id, extracted AS text FROM f WHERE reason IS NULL),
+         |${lineCtesOver("fk", "text")},
+         |dupl AS (SELECT lh FROM ln GROUP BY lh HAVING count(*) >= 2),
+         |mk AS (SELECT ln.doc_id, ln.li, ln.lh, (d.lh IS NOT NULL) AS isdup
+         |       FROM ln LEFT JOIN dupl d ON ln.lh = d.lh),
+         |nd AS (SELECT doc_id,
+         |         CAST(SUM(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |       FROM mk GROUP BY doc_id),
+         |kd AS (SELECT f.doc_id, f.extracted AS text
+         |       FROM f LEFT JOIN sl s USING (doc_id) LEFT JOIN nd USING (doc_id)
+         |       WHERE f.reason IS NULL AND
+         |         (COALESCE(s.nl, 0) = 0 OR COALESCE(nd.n_dup, 0) * 2 <= s.nl)),
+         |${OracleText.bpeCtesOver("kd")}
+         |SELECT source, doc_id, n_tokens, start_tok,
+         |  start_tok // 2048 AS bin_id
+         |FROM (SELECT pk.source, pk.doc_id, pk.n_tokens,
+         |        CAST(COALESCE(sum(pk.n_tokens) OVER (PARTITION BY pk.source
+         |          ORDER BY pk.hv, pk.doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS BIGINT) AS start_tok
+         |      FROM (SELECT d.source, k.doc_id,
+         |              COALESCE(b.n_tokens, 0) AS n_tokens, $h AS hv
+         |            FROM kd k JOIN documents d ON d.doc_id = k.doc_id
+         |            LEFT JOIN bpe_doc b ON b.doc_id = k.doc_id) pk)
+         |ORDER BY source, doc_id""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      import graft.ops.{HtmlOps, MultimodalOps}
+      val docs = Tables(s, dir, "documents")
+      val arrived = MultimodalOps.warcTexts(
+          MultimodalOps.warcAssetsFromDocuments(
+            docs.select(col("doc_id"),
+              HtmlOps.htmlFixture(col("doc_id"), col("text")).as("text"))))
+        .select(col("asset_id").as("doc_id"), col("text").as("html"))
+      val curated = curatedSurvivors(arrived)
+      val withSource = curated
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      graft.ops.PackingOps.packSequences(withSource,
+          "doc_id", "extracted", "source", 2048L,
+          tokenCount = c =>
+            size(graft.ops.TextOps.bpeMergedTokens(c)).cast("long"))
+        .orderBy("source", "doc_id")
     },
 
     // Winnow-collision candidate pairs + exact verify: candidates share a

@@ -1264,7 +1264,12 @@ object OracleText {
     *    count (docs with no pre-tokens absent — LEFT JOIN + COALESCE)
     *  - `bpe_doctok(doc_id, alltok)`: the document's full ordered token
     *    stream, [[BpeDelim]]-joined */
-  val BPE_CTES: String = {
+  val BPE_CTES: String = bpeCtesOver("documents")
+
+  /** [[BPE_CTES]] over an arbitrary `(doc_id, text)` relation — the
+    * composed crawl→train capstone tokenizes CURATED text, not the raw
+    * corpus, through the same replay. */
+  def bpeCtesOver(rel: String): String = {
     val nm = graft.functions.BpeVocab.Merges.length
     val D = BpeDelim
     val vals = graft.functions.BpeVocab.Merges.zipWithIndex.map {
@@ -1274,7 +1279,7 @@ object OracleText {
        |    $vals),
        |bpe_pre AS (SELECT doc_id,
        |              regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]') AS ws
-       |            FROM documents),
+       |            FROM $rel),
        |bpe_wd AS (SELECT DISTINCT unnest(ws) AS w FROM bpe_pre),
        |bpe_it(w, s, rnk) AS (
        |  SELECT w, '$D' || regexp_replace(w, '(.)', '\\1$D', 'g'), 0 FROM bpe_wd
