@@ -163,7 +163,26 @@ object ScaleBench {
     "text_from_gzip",
     // the composed web-curation pipeline: gunzip/extract/filter map stages
     // + ONE corpus-wide line count over the survivors
-    "pipeline_curate_web")
+    "pipeline_curate_web",
+    // late-r15 additions — container walks are typed map passes (work ∝
+    // payload bytes): WARC record walk over gzip members (batch +
+    // streaming faces), ustar walk, and the WARC-fed curation composition
+    "text_from_warc", "text_stream_warc", "text_from_tar",
+    "pipeline_curate_warc",
+    // map-side regex/HOF curation rules: PII scrub, Gopher heuristics,
+    // lexicon blocklist, URL parse — all per-row compute, zero state
+    "text_pii_redact", "text_gopher_rules", "text_blocklist_filter",
+    "text_url_parse",
+    // per-domain quota: the salted two-stage top-Q — GenScale replicas
+    // re-derive domains from fresh ids (same skewed distribution), and no
+    // window task ever sees a whole domain, so wall must stay ∝ docs
+    "pipeline_domain_quota",
+    // LPC-FLAC and AIFF decode: map-only typed codec passes
+    "mm_decode_flac_lpc", "mm_decode_aiff",
+    // the crawl→train capstone: transport + curation map stages, ONE
+    // corpus-wide line count, then the chunked pack cumsum — every stage
+    // individually linear, the composition must stay so
+    "pipeline_build_train")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
