@@ -632,6 +632,44 @@ object MultimodalOps {
       }.toDF()
   }
 
+  /** MP3 asset table for the HEADER-WALK audit face: constant-bitrate
+    * MPEG-1 Layer III frame sequences (bitrate/rate/frame-count/padding
+    * all doc_id-derived), every 3rd asset behind an ID3v2.3 prefix with a
+    * synchsafe size. Payload bytes are deterministic filler — the walk
+    * never reads them (that is the point: audits measure without
+    * decoding). */
+  def mp3AssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val kbpss = Array(64, 96, 128, 192, 320)
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val kbps = kbpss((id % 5).toInt)
+        val rate = Mp3Codec.SampleRates((id % 3).toInt)
+        val nFrames = (5 + id % 7).toInt
+        val id3 = if (id % 3 == 0) (17 + id % 9).toInt else 0
+        MediaAsset(id, "mp3",
+          Mp3Codec.encode(kbps, rate, nFrames,
+            f => if ((id + f) % 3 == 0) 1 else 0, id3),
+          0, 0, 1, rate)
+      }.toDF()
+  }
+
+  /** Header-walk scan of MP3 assets — one typed map, payload bytes never
+    * shuffle. Returns the corpus-audit columns (frame count, bitrate,
+    * rate, sample count, duration, section sizes). */
+  def mp3Scan(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.as[MediaAsset].map { a =>
+      val (nf, kbps, rate, frameBytes, id3Bytes) = Mp3Codec.scan(a.payload)
+      val nSamples = nf.toLong * Mp3Codec.SamplesPerFrame
+      (a.asset_id, nf.toLong, kbps, rate, nSamples,
+        nSamples.toDouble / rate, frameBytes, id3Bytes)
+    }.toDF("asset_id", "n_frames", "bitrate_kbps", "sample_rate",
+      "n_samples", "duration_s", "frame_bytes", "id3_bytes")
+  }
+
   /** Companion-asset id offset and planting step of
     * [[fpWavAssetsFromDocuments]]. */
   val AudioCompanionOffset = 30000000L

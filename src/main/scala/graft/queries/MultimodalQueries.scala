@@ -701,6 +701,36 @@ object MultimodalQueries {
         .orderBy("asset_id")
     },
 
+    // MP3 HEADER-WALK audit (the honest metadata face of the perceptual
+    // family — psychoacoustic decode stays behind FakeDecoder by policy,
+    // but a corpus audit doesn't decode: it walks FRAME HEADERS for
+    // duration/bitrate/rate distributions, pure public MPEG-1 table
+    // arithmetic). Every 3rd asset sits behind an ID3v2 synchsafe-size
+    // prefix; padding bits vary per frame, so the frame-length formula
+    // (144·bitrate/rate + pad) is value-load-bearing byte for byte.
+    QueryDef.withOracle("mm_mp3_scan",
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    ([64, 96, 128, 192, 320])[CAST(doc_id % 5 AS INT) + 1] AS kbps,
+        |    ([44100, 48000, 32000])[CAST(doc_id % 3 AS INT) + 1] AS rate,
+        |    5 + doc_id % 7 AS nf
+        |  FROM documents)
+        |SELECT doc_id AS asset_id, CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(kbps AS INT) AS bitrate_kbps, CAST(rate AS INT) AS sample_rate,
+        |  CAST(nf * 1152 AS BIGINT) AS n_samples,
+        |  CAST(nf * 1152 AS DOUBLE) / rate AS duration_s,
+        |  CAST(list_sum(list_transform(range(0, nf), f ->
+        |    144 * (kbps * 1000) // rate +
+        |    CASE WHEN (doc_id + f) % 3 = 0 THEN 1 ELSE 0 END)) AS BIGINT)
+        |    AS frame_bytes,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 10 + 17 + doc_id % 9
+        |       ELSE 0 END AS BIGINT) AS id3_bytes
+        |FROM p ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      MultimodalOps.mp3Scan(
+        MultimodalOps.mp3AssetsFromDocuments(Tables(s, dir, "documents")))
+        .orderBy("asset_id")
+    },
+
     // AIFF (the big-endian IFF twin of WAV, still common in scraped
     // music corpora): COMM carries the sample rate as an 80-bit IEEE 754
     // extended float (the format's one exotic field — encoded/decoded

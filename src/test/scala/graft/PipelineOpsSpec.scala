@@ -2215,6 +2215,38 @@ class PipelineOpsSpec extends SparkTestBase {
       AiffCodec.decode(enc.dropRight(10)))
   }
 
+  test("Mp3Codec: header walk measures without decoding; malformed streams throw") {
+    import graft.ops.Mp3Codec
+    // frame arithmetic: 128 kbps @ 44100, padding on every 3rd frame
+    val enc = Mp3Codec.encode(128, 44100, 7, f => if (f % 3 == 0) 1 else 0)
+    val (nf, kbps, rate, fb, id3) = Mp3Codec.scan(enc)
+    assert((nf, kbps, rate, id3) == ((7, 128, 44100, 0L)))
+    assert(fb == 7L * (144 * 128000 / 44100) + 3 /* padded frames 0,3,6 */)
+    assert(fb == enc.length.toLong)
+    // ID3v2 prefix skipped by synchsafe size (incl. a size > 127 that
+    // exercises the 7-bit-per-byte packing)
+    val withId3 = Mp3Codec.encode(320, 32000, 3, _ => 0, id3Bytes = 300)
+    val s2 = Mp3Codec.scan(withId3)
+    assert((s2._1, s2._2, s2._3, s2._5) == ((3, 320, 32000, 310L)))
+    // every bitrate/rate combination walks
+    for (k <- Mp3Codec.BitrateKbps.drop(1); r <- Mp3Codec.SampleRates)
+      assert(Mp3Codec.scan(Mp3Codec.encode(k, r, 2, _ => 0))._1 == 2)
+    // loud failures: truncated tail frame, bad sync, free bitrate,
+    // reserved sample rate, non-synchsafe ID3 size, trailing garbage
+    intercept[IllegalArgumentException](Mp3Codec.scan(enc.dropRight(3)))
+    val badSync = enc.clone(); badSync(0) = 0x7f.toByte
+    intercept[IllegalArgumentException](Mp3Codec.scan(badSync))
+    val freeBr = enc.clone(); freeBr(2) = (freeBr(2) & 0x0f).toByte
+    intercept[IllegalArgumentException](Mp3Codec.scan(freeBr))
+    val resRate = enc.clone(); resRate(2) = (resRate(2) | 0x0c).toByte
+    intercept[IllegalArgumentException](Mp3Codec.scan(resRate))
+    val badId3 = Mp3Codec.encode(128, 44100, 2, _ => 0, id3Bytes = 40)
+    badId3(6) = 0x80.toByte
+    intercept[IllegalArgumentException](Mp3Codec.scan(badId3))
+    intercept[IllegalArgumentException](
+      Mp3Codec.scan(enc ++ Array[Byte](1, 2)))
+  }
+
   test("TiffCodec: PackBits round trip, IFD walk, both byte paths, loud failures") {
     import graft.ops.TiffCodec
     // PackBits primitives: runs >= 3 RLE, literals batch, 128-caps
