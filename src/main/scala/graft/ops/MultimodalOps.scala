@@ -670,6 +670,47 @@ object MultimodalOps {
       "n_samples", "duration_s", "frame_bytes", "id3_bytes")
   }
 
+  /** Netpbm asset table: even ids P5 grayscale, odd ids P6 RGB; every
+    * 3rd asset 16-BIT (samples c·257, maxval 65535 — both bytes carry
+    * signal), every 4th carries a `#` header comment (the header-walk
+    * trap). Uncompressed ⇒ the oracle replays decoded samples from the
+    * text tiling alone. */
+  def pnmAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        require(text.forall(_ < 128),
+          s"pnm fixture requires ASCII text (doc $id)")
+        val w = (id % 9 + 1).toInt
+        val h = (id % 7 + 1).toInt
+        val ch = if (id % 2 == 1) 3 else 1
+        val wide = id % 3 == 0
+        def c(k: Int): Int =
+          if (text.isEmpty) 0 else text.charAt(k % text.length).toInt
+        val vs = Array.tabulate(w * h * ch)(i =>
+          if (wide) c(i) * 257 else c(i))
+        val payload =
+          if (ch == 3) PnmCodec.encodeRgb(w, h, if (wide) 65535 else 255, vs,
+            comment = id % 4 == 0)
+          else PnmCodec.encodeGray(w, h, if (wide) 65535 else 255, vs,
+            comment = id % 4 == 0)
+        MediaAsset(id, "pnm", payload, w, h, ch, 0)
+      }.toDF()
+  }
+
+  /** Position-sensitive decoded-sample features of netpbm assets — the
+    * [[Gray16Features]] shape over [[graft.ops.PnmCodec.decode]]. */
+  def pnmPositionalFeatures(assets: DataFrame): org.apache.spark.sql.Dataset[Gray16Features] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.as[MediaAsset].map { a =>
+      val (_, _, _, _, vs) = PnmCodec.decode(a.payload)
+      val (mean, head, wsum) = positionalStats(vs.length, i => vs(i).toLong)
+      Gray16Features(a.asset_id, a.format, vs.length.toLong, mean, head, wsum)
+    }
+  }
+
   /** Companion-asset id offset and planting step of
     * [[fpWavAssetsFromDocuments]]. */
   val AudioCompanionOffset = 30000000L

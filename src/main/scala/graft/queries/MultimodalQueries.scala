@@ -701,6 +701,44 @@ object MultimodalQueries {
         .orderBy("asset_id")
     },
 
+    // NETPBM (P5 grayscale / P6 RGB — the no-compression interchange
+    // dump scientific pipelines still ship): even ids P5, odd ids P6,
+    // every 3rd asset 16-BIT big-endian (samples c·257 — both bytes
+    // carry signal), every 4th a '#' header comment the ASCII header
+    // walk must skip. Uncompressed ⇒ position-sensitive stats replay
+    // from the text tiling alone.
+    QueryDef.withOracle("mm_decode_pnm", {
+      def c(idx: String) =
+        s"""(CASE WHEN length(text) = 0 THEN 0
+           |      ELSE unicode(substr(text, CAST(($idx) % length(text) + 1 AS INT), 1))
+           | END)""".stripMargin.replace("\n", "")
+      s"""WITH a AS (
+         |  SELECT doc_id, text,
+         |         CAST(doc_id % 9 + 1 AS INT) AS w,
+         |         CAST(doc_id % 7 + 1 AS INT) AS h,
+         |         CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END AS ch,
+         |         CASE WHEN doc_id % 3 = 0 THEN 257 ELSE 1 END AS scale
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, list_transform(range(0, w * h * ch),
+         |           i -> ${c("i")} * scale) AS vs
+         |  FROM a)
+         |SELECT doc_id AS asset_id, 'pnm' AS format,
+         |  CAST(len(vs) AS BIGINT) AS n_px,
+         |  CAST(list_sum(vs) AS DOUBLE) / len(vs) AS mean_val,
+         |  array_to_string(list_slice(vs, 1, 12), ',') AS head_csv,
+         |  CAST(list_sum(list_transform(range(1, len(vs) + 1), k -> vs[k] * k))
+         |       AS BIGINT) AS wsum
+         |FROM c ORDER BY asset_id""".stripMargin
+    }) { (s, dir) =>
+      MultimodalOps.pnmPositionalFeatures(
+        MultimodalOps.pnmAssetsFromDocuments(Tables(s, dir, "documents")))
+        .toDF()
+        .select(col("asset_id"), col("format"), col("n_px"), col("mean_val"),
+          concat_ws(",", col("head")).as("head_csv"), col("wsum"))
+        .orderBy("asset_id")
+    },
+
     // MP3 HEADER-WALK audit (the honest metadata face of the perceptual
     // family — psychoacoustic decode stays behind FakeDecoder by policy,
     // but a corpus audit doesn't decode: it walks FRAME HEADERS for

@@ -2215,6 +2215,30 @@ class PipelineOpsSpec extends SparkTestBase {
       AiffCodec.decode(enc.dropRight(10)))
   }
 
+  test("PnmCodec: P5/P6 round trips both widths; header traps fail loudly") {
+    import graft.ops.PnmCodec
+    val g8 = Array.tabulate(12)(i => i * 20)
+    val (w1, h1, c1, m1, v1) = PnmCodec.decode(PnmCodec.encodeGray(4, 3, 255, g8))
+    assert((w1, h1, c1, m1) == ((4, 3, 1, 255)) && v1.toSeq == g8.toSeq)
+    val g16 = Array.tabulate(6)(i => i * 13000)
+    val (_, _, _, m2, v2) =
+      PnmCodec.decode(PnmCodec.encodeGray(3, 2, 65535, g16, comment = true))
+    assert(m2 == 65535 && v2.toSeq == g16.toSeq, "16-bit BE + comment walk")
+    val rgb = Array.tabulate(2 * 2 * 3)(i => (i * 40) % 256)
+    val (_, _, c3, _, v3) = PnmCodec.decode(PnmCodec.encodeRgb(2, 2, 255, rgb))
+    assert(c3 == 3 && v3.toSeq == rgb.toSeq)
+    // loud failures: bad magic, truncated samples, trailing garbage,
+    // sample exceeding maxval (a 16-bit file read as 8-bit can't — the
+    // sample section length check catches the width confusion first)
+    intercept[IllegalArgumentException](PnmCodec.decode("P3\n1 1\n255\n0".getBytes))
+    val enc = PnmCodec.encodeGray(4, 3, 255, g8)
+    intercept[IllegalArgumentException](PnmCodec.decode(enc.dropRight(1)))
+    intercept[IllegalArgumentException](PnmCodec.decode(enc ++ Array[Byte](7)))
+    val bigSample = PnmCodec.encodeGray(1, 1, 10, Array(10))
+    bigSample(bigSample.length - 1) = 11
+    intercept[IllegalArgumentException](PnmCodec.decode(bigSample))
+  }
+
   test("Mp3Codec: header walk measures without decoding; malformed streams throw") {
     import graft.ops.Mp3Codec
     // frame arithmetic: 128 kbps @ 44100, padding on every 3rd frame
