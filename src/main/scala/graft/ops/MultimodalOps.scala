@@ -711,6 +711,48 @@ object MultimodalOps {
     }
   }
 
+  /** CSV asset table (RFC 4180): per doc one file with an
+    * `id,title,body,note` header and the doc text as the `body` field —
+    * every 3rd doc's body carries an embedded comma + doubled-quote
+    * escape, every 4th an embedded NEWLINE (the shapes that shear a
+    * naive line-splitter), every 5th doc a second data row. */
+  def csvAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val body = text +
+          (if (id % 3 == 0) ", \"q\" x" else "") +
+          (if (id % 4 == 0) "\nsecond line" else "")
+        val rows = Seq(
+          Seq("id", "title", "body", "note"),
+          Seq(id.toString, s"Doc $id", body, "n1")) ++
+          (if (id % 5 == 0) Seq(Seq(id.toString, "t2", "short", "r2"))
+           else Seq.empty)
+        MediaAsset(id, "csv",
+          CsvCodec.write(rows)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          0, 0, 1, 0)
+      }.toDF()
+  }
+
+  /** CSV-reader map pass: strict RFC 4180 parse, header check, uniform
+    * width enforced by the parser, first data row's `body` recovered.
+    * Returns (asset_id, n_rows, n_fields, text). */
+  def csvTexts(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.as[MediaAsset].map { a =>
+      val rows = CsvCodec.parse(new String(a.payload,
+        java.nio.charset.StandardCharsets.UTF_8))
+      require(rows.nonEmpty && rows.head == Seq("id", "title", "body", "note"),
+        s"csv: unexpected header in asset ${a.asset_id}")
+      require(rows.length >= 2, s"csv: no data rows in asset ${a.asset_id}")
+      (a.asset_id, (rows.length - 1).toLong, rows.head.length.toLong,
+        rows(1)(2))
+    }.toDF("asset_id", "n_rows", "n_fields", "text")
+  }
+
   /** Companion-asset id offset and planting step of
     * [[fpWavAssetsFromDocuments]]. */
   val AudioCompanionOffset = 30000000L

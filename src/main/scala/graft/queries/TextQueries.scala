@@ -476,6 +476,41 @@ object TextQueries {
         .orderBy("asset_id")
     },
 
+    // CSV INGESTION (RFC 4180 — the tabular dump shape): the doc text
+    // rides the `body` field with planted embedded commas, doubled-quote
+    // escapes and embedded NEWLINES (every naive split-on-newline reader
+    // shears these; the strict state machine recovers them exactly).
+    // Ragged rows and bare/dangling quotes throw. Lossless field
+    // transport is the oracle contract: the recovered body's stats
+    // replay from the same planting arithmetic.
+    QueryDef.withOracle("text_from_csv", {
+      val b = """text || CASE WHEN doc_id % 3 = 0 THEN ', "q" x' ELSE '' END
+                | || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'second line'
+                |    ELSE '' END""".stripMargin.replace("\n", " ")
+      s"""WITH p AS (SELECT doc_id, $b AS b FROM documents)
+         |SELECT doc_id AS asset_id,
+         |  CAST(1 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS n_rows,
+         |  CAST(4 AS BIGINT) AS n_fields,
+         |  CAST(length(b) AS BIGINT) AS n_chars,
+         |  CAST(len(${OracleText.toksSql("b")}) AS BIGINT) AS n_tokens,
+         |  ${OracleText.fingerprintSql("b")} AS fp
+         |FROM p ORDER BY asset_id""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      graft.ops.MultimodalOps.csvTexts(
+        graft.ops.MultimodalOps.csvAssetsFromDocuments(
+          Tables(s, dir, "documents")))
+        .select(col("asset_id"), col("n_rows"), col("n_fields"),
+          length(col("text")).cast("long").as("n_chars"),
+          TextOps.tokens(col("text")).as("_t"))
+        .select(col("asset_id"), col("n_rows"), col("n_fields"),
+          col("n_chars"),
+          size(col("_t")).cast("long").as("n_tokens"),
+          TextOps.fingerprint(col("_t")).as("fp"))
+        .orderBy("asset_id")
+    },
+
     // MARKUP → CURATION composition (the real pipeline's first two
     // stages end-to-end): extract from the generated boilerplate, then
     // apply the text_filter rule stack to the EXTRACTED text — length

@@ -2215,6 +2215,34 @@ class PipelineOpsSpec extends SparkTestBase {
       AiffCodec.decode(enc.dropRight(10)))
   }
 
+  test("CsvCodec: RFC 4180 state machine; quoting round-trips; malformed throws") {
+    import graft.ops.CsvCodec
+    // embedded comma, doubled-quote escape, embedded CRLF and LF — the
+    // shapes a split-on-newline reader shears
+    val rows = Seq(
+      Seq("id", "body", "note"),
+      Seq("1", "plain", ""),
+      Seq("2", "has, comma", "x"),
+      Seq("3", "she said \"hi\"", "y"),
+      Seq("4", "line one\nline two", "z"),
+      Seq("5", "crlf\r\ninside", "w"))
+    assert(CsvCodec.parse(CsvCodec.write(rows)) == rows)
+    // a final record without trailing CRLF still parses
+    assert(CsvCodec.parse("a,b\r\n1,2") == Seq(Seq("a", "b"), Seq("1", "2")))
+    // bare-LF line endings tolerated
+    assert(CsvCodec.parse("a,b\n1,2\n") == Seq(Seq("a", "b"), Seq("1", "2")))
+    // empty fields and empty quoted fields
+    assert(CsvCodec.parse("a,,c\r\n\"\",2,\r\n") ==
+      Seq(Seq("a", "", "c"), Seq("", "2", "")))
+    // loud failures: ragged row, bare quote mid-field, char after closing
+    // quote, unterminated quote, bare CR
+    intercept[IllegalArgumentException](CsvCodec.parse("a,b\r\n1,2,3\r\n"))
+    intercept[IllegalArgumentException](CsvCodec.parse("a,b\"c\r\n"))
+    intercept[IllegalArgumentException](CsvCodec.parse("\"a\"b,c\r\n"))
+    intercept[IllegalArgumentException](CsvCodec.parse("\"abc\r\n"))
+    intercept[IllegalArgumentException](CsvCodec.parse("a,b\rc\r\n"))
+  }
+
   test("PnmCodec: P5/P6 round trips both widths; header traps fail loudly") {
     import graft.ops.PnmCodec
     val g8 = Array.tabulate(12)(i => i * 20)
