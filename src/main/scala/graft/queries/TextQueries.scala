@@ -511,6 +511,54 @@ object TextQueries {
         .orderBy("asset_id")
     },
 
+    // JSONL INGESTION (the most common corpus dump shape): one JSON
+    // object per line, the doc text in the `text` field with a PLANTED
+    // escape gauntlet — \" \\ \n \t and a literal A unicode escape
+    // — decoded by the REAL JSON parsers on both sides (Spark from_json
+    // in FAILFAST mode; DuckDB's native JSON). The oracle reconstructs
+    // the expected recovered string from the planting arithmetic, so a
+    // decoder that mishandles any escape breaks the value match.
+    QueryDef.withOracle("text_from_jsonl", {
+      // recovered suffix: space q " w \ e NL r TAB t A
+      val b = """text || ' q"w\e' || chr(10) || 'r' || chr(9) || 'tA'"""
+      s"""WITH p AS (SELECT doc_id, $b AS b FROM documents)
+         |SELECT doc_id, 'en' AS lang,
+         |  CAST(length(b) AS BIGINT) AS n_chars,
+         |  CAST(len(${OracleText.toksSql("b")}) AS BIGINT) AS n_tokens,
+         |  ${OracleText.fingerprintSql("b")} AS fp
+         |FROM p ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      graft.functions.GraftFunctions.register(s)
+      val lines = {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (id, text) =>
+            require(text.forall(c => c >= ' ' && c < 127 && c != '"' &&
+              c != '\\'), s"jsonl fixture requires escape-free text (doc $id)")
+            (id,
+              s"""{"id": $id, "lang": "en", """ +
+                s""""text": "$text q\\"w\\\\e\\nr\\tt\\u0041"}""")
+          }.toDF("doc_id", "line")
+      }
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("lang", StringType),
+        StructField("text", StringType)))
+      val parsed = lines.select(col("doc_id"),
+          from_json(col("line"), schema,
+            Map("mode" -> "FAILFAST")).as("j"))
+        .select(col("doc_id"), col("j.lang").as("lang"),
+          col("j.text").as("b"))
+      parsed.select(col("doc_id"), col("lang"),
+          length(col("b")).cast("long").as("n_chars"),
+          TextOps.tokens(col("b")).as("_t"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          size(col("_t")).cast("long").as("n_tokens"),
+          TextOps.fingerprint(col("_t")).as("fp"))
+        .orderBy("doc_id")
+    },
+
     // MARKUP → CURATION composition (the real pipeline's first two
     // stages end-to-end): extract from the generated boilerplate, then
     // apply the text_filter rule stack to the EXTRACTED text — length
