@@ -169,6 +169,77 @@ object NgramLmOps {
     * scale at worst, unigram + scalars T/V); scoring is four hash joins
     * over the trigram stream + the same position-ordered fold as
     * [[lmScore]]. */
+  /** Interpolated KNESER-NEY bigram scoring (the smoothing real LM-filter
+    * deployments actually use — KenLM's default): absolute discount D on
+    * seen bigrams, mass redistributed through the CONTINUATION
+    * distribution (how many distinct contexts a word follows, not how
+    * often it occurs — the "San Francisco" insight: "Francisco" is
+    * frequent but follows one context, so its continuation probability is
+    * tiny). Per transition, with all counts from the reference slice:
+    *
+    *   p(w2|w1) = max(c(w1,w2) − D, 0)/c(w1) + (D·N1+(w1,·)/c(w1)) · pc(w2)
+    *   pc(w2)   = N1+(·,w2) / N1+(·,·)    (floor 1/(N1+(·,·)+1) unseen)
+    *   c(w1)=0  → p = pc(w2)              (unseen context backs off whole)
+    *
+    * Every term is a ratio of integer counts with a fixed fold order, so
+    * the oracle replays it bit-for-bit (same no-transcendental stance as
+    * [[lmScore]]). Same distributed shape too: vocabulary-scale count
+    * tables (c1 + follower-fanout keyed by h1, bigram counts by h12,
+    * predecessor-fanout by h2), three hash joins over the 32-byte bigram
+    * stream, position-ordered per-doc fold.
+    * Output: (idCol, n_bigrams, n_unseen, mean_p). */
+  def knScore(docs: DataFrame, idCol: String, textCol: String,
+              reference: DataFrame, discount: Double = 0.75): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    // (id, pos, h1, h2, h12) — the bigramStream shape plus the SECOND
+    // word's hash (the continuation distribution keys on it)
+    def stream(src: DataFrame): DataFrame = src.repartition(par)
+      .select(col(idCol).as("id"),
+        TextOps.wordHashes(TextOps.tokens(col(textCol))).as("whs"))
+      .select(col("id"),
+        posexplode(arrays_zip(
+          when(size(col("whs")) >= 2,
+            slice(col("whs"), lit(1), size(col("whs")) - 1))
+            .otherwise(array().cast("array<bigint>")).as("h1"),
+          when(size(col("whs")) >= 2,
+            slice(col("whs"), lit(2), size(col("whs")) - 1))
+            .otherwise(array().cast("array<bigint>")).as("h2"),
+          TextOps.shingleHashesAll(col("whs"), 2).as("h12"))))
+      .select(col("id"), col("pos"), col("col.h1").as("h1"),
+        col("col.h2").as("h2"), col("col.h12").as("h12"))
+    val ref = stream(reference).localCheckpoint(false)
+    val c1t = ref.groupBy("h1")
+      .agg(count(lit(1)).as("c1"), countDistinct("h12").as("nf1"))
+    val c12t = ref.groupBy("h12").agg(count(lit(1)).as("c12"))
+    val nbt = ref.groupBy("h2").agg(countDistinct("h12").as("nb2"))
+    val nbb = ref.select(countDistinct("h12")).head().getLong(0)
+    val joined = stream(docs)
+      .join(c1t, Seq("h1"), "left")
+      .join(c12t, Seq("h12"), "left")
+      .join(nbt, Seq("h2"), "left")
+      .select(col("id"), col("pos"), col("c12").isNull.as("unseen"),
+        col("c1"), col("nf1"), col("c12"),
+        when(col("nb2").isNull, lit(1.0) / (nbb + 1))
+          .otherwise(col("nb2").cast("double") / nbb).as("pcont"))
+    val probs = joined.select(col("id"), col("pos"), col("unseen"),
+      when(col("c1").isNull, col("pcont"))
+        .otherwise(
+          greatest(coalesce(col("c12"), lit(0L)) - lit(discount), lit(0.0))
+            / col("c1") +
+            (lit(discount) * col("nf1") / col("c1")) * col("pcont"))
+        .as("p"))
+    probs.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("unseen"), 1L).otherwise(0L)).as("n_unseen"),
+        aggregate(
+          transform(sort_array(collect_list(struct(col("pos"), col("p")))),
+            x => x("p")),
+          lit(0.0), (a, b) => a + b).as("sum_p"))
+      .select(col("id").as(idCol), col("n_bigrams"), col("n_unseen"),
+        (col("sum_p") / col("n_bigrams")).as("mean_p"))
+  }
+
   def lmScoreBackoff(docs: DataFrame, idCol: String, textCol: String,
                      reference: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)

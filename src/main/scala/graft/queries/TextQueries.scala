@@ -1141,6 +1141,55 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Interpolated KNESER-NEY bigram scoring (KenLM's default smoothing —
+    // what CCNet-style perplexity filters actually run): absolute
+    // discount 0.75 on seen bigrams, held-out mass routed through the
+    // CONTINUATION distribution (distinct-context counts, not raw
+    // frequency), whole-backoff on unseen contexts, a 1/(N+1) floor on
+    // unseen words. Every term is a ratio of integer counts folded in
+    // position order — no transcendental rides the compared output (the
+    // lmScore stance) — so the oracle replays mean_p bit-for-bit.
+    QueryDef.withOracle("text_lm_kneser_ney",
+      s"""WITH whst AS (SELECT doc_id, lang, $WHS AS whs FROM documents),
+         |bg AS (SELECT doc_id, lang, generate_subscripts(shl, 1) - 1 AS pos,
+         |         unnest(shl) AS h12
+         |       FROM (SELECT doc_id, lang,
+         |               ${shingleAllSql("whs", 2)} AS shl FROM whst)),
+         |st AS (SELECT b.doc_id, b.lang, b.pos, w.whs[b.pos + 1] AS h1,
+         |         w.whs[b.pos + 2] AS h2, b.h12
+         |       FROM bg b JOIN whst w USING (doc_id)),
+         |c1t AS (SELECT h1, CAST(count(*) AS BIGINT) AS c1,
+         |          CAST(count(DISTINCT h12) AS BIGINT) AS nf1
+         |        FROM st WHERE lang = 'en' GROUP BY h1),
+         |c12t AS (SELECT h12, CAST(count(*) AS BIGINT) AS c12 FROM st
+         |         WHERE lang = 'en' GROUP BY h12),
+         |nbt AS (SELECT h2, CAST(count(DISTINCT h12) AS BIGINT) AS nb2
+         |        FROM st WHERE lang = 'en' GROUP BY h2),
+         |tot AS (SELECT CAST(count(DISTINCT h12) AS BIGINT) AS nbb FROM st
+         |        WHERE lang = 'en'),
+         |pj AS (SELECT s.doc_id, s.pos, (b.c12 IS NULL) AS unseen,
+         |         u.c1, u.nf1, b.c12,
+         |         CASE WHEN n.nb2 IS NULL THEN 1.0 / (t.nbb + 1)
+         |              ELSE CAST(n.nb2 AS DOUBLE) / t.nbb END AS pcont
+         |       FROM st s LEFT JOIN c1t u USING (h1)
+         |            LEFT JOIN c12t b USING (h12)
+         |            LEFT JOIN nbt n USING (h2), tot t),
+         |probs AS (SELECT doc_id, pos, unseen,
+         |            CASE WHEN c1 IS NULL THEN pcont
+         |                 ELSE greatest(COALESCE(c12, 0) - 0.75, 0.0) / c1
+         |                      + (0.75 * nf1 / c1) * pcont END AS p
+         |          FROM pj)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(CASE WHEN unseen THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(p ORDER BY pos)),
+         |    (a, b) -> a + b) / count(*) AS mean_p
+         |FROM probs GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      graft.ops.NgramLmOps.knScore(docs, "doc_id", "text",
+          docs.filter(col("lang") === "en"))
+        .orderBy("doc_id")
+    },
+
     // DSIR importance weights (Xie et al. 2023): likelihood ratio of the
     // reference-domain bigram LM (lang='en' slice) to the self (whole-
     // corpus) LM — the hashed-n-gram importance-resampling signal. Both

@@ -2215,6 +2215,25 @@ class PipelineOpsSpec extends SparkTestBase {
       AiffCodec.decode(enc.dropRight(10)))
   }
 
+  test("knScore: hand-computed Kneser-Ney transitions on a 4-doc reference") {
+    import spark.implicits._
+    // reference bigrams: (a,b)x2, (a,c), (c,b) =>
+    //   c1: a=3, c=1; nf1: a=2, c=1; c12: ab=2, ac=1, cb=1
+    //   continuation: nb2(b)=2, nb2(c)=1; nbb=3
+    val ref = Seq((100L, "a b"), (101L, "a b"), (102L, "a c"), (103L, "c b"))
+      .toDF("doc_id", "text")
+    val scored = Seq(
+      (1L, "a b"), // (2-.75)/3 + (.75*2/3)*(2/3) = 0.75
+      (2L, "x b"), // unseen context -> pcont(b) = 2/3
+      (3L, "a z") // unseen word: 0 + (.75*2/3)*(1/(3+1)) = 0.125
+    ).toDF("doc_id", "text")
+    val got = graft.ops.NgramLmOps.knScore(scored, "doc_id", "text", ref)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 1L, 0L, 0.75)))
+    assert(got(2L)._4 == 2.0 / 3.0 && got(2L)._3 == 1L)
+    assert(got(3L)._4 == 0.125 && got(3L)._3 == 1L)
+  }
+
   test("CsvCodec: RFC 4180 state machine; quoting round-trips; malformed throws") {
     import graft.ops.CsvCodec
     // embedded comma, doubled-quote escape, embedded CRLF and LF — the
