@@ -601,6 +601,66 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // DSIR importance RESAMPLING (the decision layer over
+    // text_dsir_weight — the paper's second half): Bernoulli keep with
+    // per-doc rate ∝ weight, normalized by the corpus max. The coin is
+    // DETERMINISTIC — u = polyhash(doc_id)/P, a rational in [0,1) both
+    // engines compute identically — so the sample is reproducible across
+    // runs/machines/engines and the oracle replays the keep verdicts
+    // exactly (the same no-transcendental stance as the LM scores: no
+    // pow/log ever reaches the compared output). One scalar aggregate
+    // (max weight) rides beside the weight pass; the verdict is map-side.
+    QueryDef.withOracle("pipeline_dsir_sample", {
+      def side(sfx: String, where: String): String =
+        s"""uni$sfx AS (SELECT h1, CAST(count(*) AS BIGINT) AS c1 FROM st
+           |            $where GROUP BY h1),
+           |big$sfx AS (SELECT h12, CAST(count(*) AS BIGINT) AS c2 FROM st
+           |            $where GROUP BY h12),
+           |vv$sfx AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni$sfx),
+           |m$sfx AS (SELECT doc_id,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list(p ORDER BY pos)), (a, b) -> a + b) / count(*) AS mean_p
+           |  FROM (SELECT s.doc_id, s.pos,
+           |          CAST(COALESCE(b.c2, 0) + 1 AS DOUBLE)
+           |            / (COALESCE(u.c1, 0) + vv$sfx.v) AS p
+           |        FROM st s LEFT JOIN uni$sfx u USING (h1)
+           |                  LEFT JOIN big$sfx b USING (h12), vv$sfx)
+           |  GROUP BY doc_id)""".stripMargin
+      // the salt suffix pushes the polynomial past P so u wraps uniform
+      // (a bare short id string hashes far below P -> u would sit ~0)
+      val hv = OracleText.wordHashSql("(CAST(doc_id AS VARCHAR) || 'dsirsalt')")
+      s"""WITH whst AS (SELECT doc_id, lang, $WHS AS whs FROM documents),
+         |bg AS (SELECT doc_id, lang, generate_subscripts(shl, 1) - 1 AS pos,
+         |         unnest(shl) AS h12
+         |       FROM (SELECT doc_id, lang,
+         |               ${shingleAllSql("whs", 2)} AS shl FROM whst)),
+         |st AS (SELECT b.doc_id, b.lang, b.pos, w.whs[b.pos + 1] AS h1, b.h12
+         |       FROM bg b JOIN whst w USING (doc_id)),
+         |${side("r", "WHERE lang = 'en'")},
+         |${side("s", "")},
+         |wt AS (SELECT mr.doc_id, mr.mean_p / ms.mean_p AS weight
+         |       FROM mr JOIN ms USING (doc_id)),
+         |mx AS (SELECT max(weight) AS maxw FROM wt)
+         |SELECT wt.doc_id, wt.weight,
+         |  CAST($hv AS DOUBLE) / ${graft.ops.TextOps.P} AS u,
+         |  CAST($hv AS DOUBLE) / ${graft.ops.TextOps.P}
+         |    < wt.weight / mx.maxw * 0.5 AS keep
+         |FROM wt, mx ORDER BY wt.doc_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val wt = graft.ops.NgramLmOps.dsirWeights(docs, "doc_id", "text",
+          docs.filter(col("lang") === "en"))
+        .select(col("doc_id"), col("weight"))
+        .localCheckpoint(false) // read by the scalar max AND the verdict
+      val maxw = wt.agg(max("weight")).head().getDouble(0)
+      val u = TextOps.polyHash(concat(col("doc_id").cast("string"),
+          lit("dsirsalt")))
+        .cast("double") / TextOps.P
+      wt.select(col("doc_id"), col("weight"), u.as("u"),
+          (u < col("weight") / maxw * 0.5).as("keep"))
+        .orderBy("doc_id")
+    },
+
     // Rule-based quality FILTER — the decision layer on top of text_stats:
     // every document gets a keep/drop verdict plus the FIRST failing rule
     // (the reason a doc was dropped is what a pipeline owner debugs with).
