@@ -753,6 +753,107 @@ object MultimodalOps {
     }.toDF("asset_id", "n_rows", "n_fields", "text")
   }
 
+  /** UNLABELED mixed-format corpus — what a crawled blob store actually
+    * looks like (no extension, no content-type): per doc ONE asset whose
+    * real encoding rotates through all ten pure-JVM codec families by
+    * id % 10, with the stored format deliberately `bin`. Geometry/signal
+    * arithmetic matches each family's own fixture, so the sniffer's
+    * decoded unit counts replay in the oracle. */
+  def mixedAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rates = Array(8000, 16000, 44100)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        require(text.forall(_ < 128),
+          s"mixed fixture requires ASCII text (doc $id)")
+        def c(k: Int): Int =
+          if (text.isEmpty) 0 else text.charAt(k % text.length).toInt
+        val samples = Array.tabulate(text.length)(i =>
+          ((text.charAt(i) - 80) * 257).toShort)
+        val payload = (id % 10).toInt match {
+          case 0 =>
+            val (w, h) = ((id % 9 + 1).toInt, (id % 7 + 1).toInt)
+            PngCodec.encode(w, h,
+              Array.tabulate(w * h)(i => c(i).toByte), (id % 5).toInt)
+          case 1 =>
+            val (w, h) = ((id % 11 + 1).toInt, (id % 6 + 1).toInt)
+            GifCodec.encode(w, h, Array.tabulate(w * h)(i => c(i).toByte))
+          case 2 =>
+            val (w, h) = ((id % 8 + 1).toInt, (id % 6 + 1).toInt)
+            BmpCodec.encode(w, h, Array.tabulate(w * h * 3)(i => c(i).toByte))
+          case 3 => WavCodec.encode(rates((id % 3).toInt), 1, samples)
+          case 4 => FlacCodec.encode(rates((id % 3).toInt), samples)
+          case 5 =>
+            val (w, h) = ((id % 13 + 1).toInt, (id % 5 + 2).toInt)
+            TiffCodec.encode(w, h, Array.tabulate(w * h)(i => c(i).toByte),
+              TiffCodec.CompressionPackBits, rowsPerStrip = 4)
+          case 6 =>
+            val (w, h) = ((8 * (id % 3 + 1)).toInt, (8 * (id % 2 + 1)).toInt)
+            JpegCodec.encodeGray(w, h, Array.tabulate(w * h)(i => c(i).toByte))
+          case 7 =>
+            val (w, h) = ((id % 9 + 1).toInt, (id % 7 + 1).toInt)
+            val ch = if (id % 2 == 1) 3 else 1
+            val wide = id % 3 == 0
+            val vs = Array.tabulate(w * h * ch)(i =>
+              if (wide) c(i) * 257 else c(i))
+            if (ch == 3) PnmCodec.encodeRgb(w, h, if (wide) 65535 else 255, vs)
+            else PnmCodec.encodeGray(w, h, if (wide) 65535 else 255, vs)
+          case 8 => AiffCodec.encode(rates((id % 3).toInt), 1, samples)
+          case _ => GzipCodec.gzip(
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        MediaAsset(id, "bin", payload, 0, 0, 1, 0)
+      }.toDF()
+  }
+
+  /** Magic-byte sniff: identify the container from the first bytes alone
+    * (unrecognized magic throws — a blob store reader that guesses
+    * formats corrupts downstream decode). */
+  def sniff(p: Array[Byte]): String = {
+    def at(i: Int) = if (i < p.length) p(i) & 0xff else -1
+    if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G') "png"
+    else if (at(0) == 'G' && at(1) == 'I' && at(2) == 'F' && at(3) == '8') "gif"
+    else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
+      at(8) == 'W' && at(9) == 'A' && at(10) == 'V' && at(11) == 'E') "wav"
+    else if (at(0) == 'f' && at(1) == 'L' && at(2) == 'a' && at(3) == 'C') "flac"
+    else if ((at(0) == 'I' && at(1) == 'I' && at(2) == 42 && at(3) == 0) ||
+      (at(0) == 'M' && at(1) == 'M' && at(2) == 0 && at(3) == 42)) "tiff"
+    else if (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) "jpeg"
+    else if (at(0) == 'P' && (at(1) == '5' || at(1) == '6')) "pnm"
+    else if (at(0) == 'F' && at(1) == 'O' && at(2) == 'R' && at(3) == 'M' &&
+      at(8) == 'A' && at(9) == 'I' && at(10) == 'F' && at(11) == 'F') "aiff"
+    else if (at(0) == 0x1f && at(1) == 0x8b) "gz"
+    else if (at(0) == 'B' && at(1) == 'M') "bmp"
+    else throw new IllegalArgumentException(
+      s"sniff: unrecognized payload magic ${at(0)} ${at(1)}")
+  }
+
+  /** Sniff + DISPATCH: detect each unlabeled asset's container and run
+    * the matching real decoder, returning the modality kind and decoded
+    * unit count (pixels·channels / samples / decompressed bytes) — one
+    * typed map, the blob never shuffles. */
+  def sniffDecode(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.as[MediaAsset].map { a =>
+      val fmt = sniff(a.payload)
+      val (kind, nUnits) = fmt match {
+        case "png"  => ("image", PngCodec.decode(a.payload)._3.length.toLong)
+        case "gif"  => ("image", GifCodec.decode(a.payload)._3.length.toLong)
+        case "bmp"  => ("image", BmpCodec.decode(a.payload)._3.length.toLong)
+        case "tiff" => ("image", TiffCodec.decode(a.payload)._3.length.toLong)
+        case "jpeg" => ("image", JpegCodec.decodeGray(a.payload)._3.length.toLong)
+        case "pnm"  => ("image", PnmCodec.decode(a.payload)._5.length.toLong)
+        case "wav"  => ("audio", WavCodec.decode(a.payload)._3.length.toLong)
+        case "flac" => ("audio", FlacCodec.decode(a.payload)._3.length.toLong)
+        case "aiff" => ("audio", AiffCodec.decode(a.payload)._3.length.toLong)
+        case "gz"   => ("archive", GzipCodec.gunzip(a.payload).length.toLong)
+      }
+      (a.asset_id, fmt, kind, nUnits)
+    }.toDF("asset_id", "detected", "kind", "n_units")
+  }
+
   /** Companion-asset id offset and planting step of
     * [[fpWavAssetsFromDocuments]]. */
   val AudioCompanionOffset = 30000000L

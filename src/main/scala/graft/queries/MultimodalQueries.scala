@@ -739,6 +739,42 @@ object MultimodalQueries {
         .orderBy("asset_id")
     },
 
+    // FORMAT DETECTION + DISPATCH over an UNLABELED corpus (crawled blob
+    // stores have no extensions or content-types — sniffing magic bytes
+    // and routing to the right decoder IS a pipeline stage): one mixed
+    // corpus rotating through all ten pure-JVM codec families, detected
+    // from first bytes alone, dispatched to the REAL decoder, unit counts
+    // (pixels·channels / samples / bytes) replayed from each family's
+    // fixture arithmetic. Unrecognized magic throws — guessing corrupts
+    // downstream decode.
+    QueryDef.withOracle("mm_detect_format",
+      """SELECT doc_id AS asset_id,
+        |  CASE CAST(doc_id % 10 AS INT)
+        |    WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'bmp'
+        |    WHEN 3 THEN 'wav' WHEN 4 THEN 'flac' WHEN 5 THEN 'tiff'
+        |    WHEN 6 THEN 'jpeg' WHEN 7 THEN 'pnm' WHEN 8 THEN 'aiff'
+        |    ELSE 'gz' END AS detected,
+        |  CASE WHEN doc_id % 10 IN (0, 1, 2, 5, 6, 7) THEN 'image'
+        |       WHEN doc_id % 10 IN (3, 4, 8) THEN 'audio'
+        |       ELSE 'archive' END AS kind,
+        |  CAST(CASE CAST(doc_id % 10 AS INT)
+        |    WHEN 0 THEN (doc_id % 9 + 1) * (doc_id % 7 + 1)
+        |    WHEN 1 THEN (doc_id % 11 + 1) * (doc_id % 6 + 1)
+        |    WHEN 2 THEN (doc_id % 8 + 1) * (doc_id % 6 + 1) * 3
+        |    WHEN 3 THEN length(text)
+        |    WHEN 4 THEN length(text)
+        |    WHEN 5 THEN (doc_id % 13 + 1) * (doc_id % 5 + 2)
+        |    WHEN 6 THEN 8 * (doc_id % 3 + 1) * 8 * (doc_id % 2 + 1)
+        |    WHEN 7 THEN (doc_id % 9 + 1) * (doc_id % 7 + 1) *
+        |                (CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END)
+        |    WHEN 8 THEN length(text)
+        |    ELSE length(text) END AS BIGINT) AS n_units
+        |FROM documents ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      MultimodalOps.sniffDecode(
+        MultimodalOps.mixedAssetsFromDocuments(Tables(s, dir, "documents")))
+        .orderBy("asset_id")
+    },
+
     // MP3 HEADER-WALK audit (the honest metadata face of the perceptual
     // family — psychoacoustic decode stays behind FakeDecoder by policy,
     // but a corpus audit doesn't decode: it walks FRAME HEADERS for

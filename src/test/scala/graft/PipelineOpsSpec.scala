@@ -2215,6 +2215,29 @@ class PipelineOpsSpec extends SparkTestBase {
       AiffCodec.decode(enc.dropRight(10)))
   }
 
+  test("sniff: magic bytes identify all ten families; unknown magic throws") {
+    import graft.ops._
+    val s = Array.tabulate(40)(i => ((i - 20) * 700).toShort)
+    val px = Array.tabulate(6)(i => (i * 30).toByte)
+    assert(MultimodalOps.sniff(PngCodec.encode(3, 2, px, 0)) == "png")
+    assert(MultimodalOps.sniff(GifCodec.encode(3, 2, px)) == "gif")
+    assert(MultimodalOps.sniff(BmpCodec.encode(1, 2, px)) == "bmp")
+    assert(MultimodalOps.sniff(WavCodec.encode(8000, 1, s)) == "wav")
+    assert(MultimodalOps.sniff(FlacCodec.encode(8000, s)) == "flac")
+    assert(MultimodalOps.sniff(TiffCodec.encode(3, 2, px,
+      TiffCodec.CompressionNone, rowsPerStrip = 4)) == "tiff")
+    assert(MultimodalOps.sniff(JpegCodec.encodeGray(8, 8,
+      Array.tabulate(64)(_.toByte))) == "jpeg")
+    assert(MultimodalOps.sniff(PnmCodec.encodeGray(3, 2, 255,
+      px.map(_ & 0xff))) == "pnm")
+    assert(MultimodalOps.sniff(AiffCodec.encode(8000, 1, s)) == "aiff")
+    assert(MultimodalOps.sniff(GzipCodec.gzip("x".getBytes)) == "gz")
+    // BMP's 2-byte magic must not shadow longer magics (checked LAST)
+    intercept[IllegalArgumentException](
+      MultimodalOps.sniff(Array[Byte]('Q', 'Q', 3, 4)))
+    intercept[IllegalArgumentException](MultimodalOps.sniff(Array[Byte]()))
+  }
+
   test("knScore: hand-computed Kneser-Ney transitions on a 4-doc reference") {
     import spark.implicits._
     // reference bigrams: (a,b)x2, (a,c), (c,b) =>
