@@ -182,7 +182,15 @@ object ScaleBench {
     // the crawl→train capstone: transport + curation map stages, ONE
     // corpus-wide line count, then the chunked pack cumsum — every stage
     // individually linear, the composition must stay so
-    "pipeline_build_train")
+    "pipeline_build_train",
+    // final-r15 additions: MP3 header walk (never reads payload bodies),
+    // netpbm decode, CSV/JSONL parses (typed map passes), the unlabeled
+    // mixed-corpus sniff+dispatch, Kneser-Ney scoring (vocabulary-scale
+    // count tables + three hash joins over the bigram stream — the
+    // lmScore shape plus one join), and DSIR resampling (the weight pass
+    // + one scalar max + a map-side verdict)
+    "mm_mp3_scan", "mm_decode_pnm", "text_from_csv", "text_from_jsonl",
+    "mm_detect_format", "text_lm_kneser_ney", "pipeline_dsir_sample")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
