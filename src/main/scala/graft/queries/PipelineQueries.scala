@@ -101,6 +101,87 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // SFT EXAMPLE FORMATTING (the trainer-feed shape instruction tuning
+    // actually consumes): each doc splits into a prompt prefix (first
+    // min(8, n/2) BPE tokens) and a response, framed
+    // [BOS] prompt [SEP] response [EOS] with a LOSS MASK that is 0
+    // through the separator and 1 on response+EOS (the standard
+    // "don't train on the prompt" rule). Ids are the REAL trained-BPE
+    // ids; the whole framed (id, mask) stream folds into one
+    // order-sensitive fingerprint, so a one-token framing slip or a
+    // mask off-by-one breaks the value gate. Pure map-side after the
+    // tokenize pass.
+    QueryDef.withOracle("pipeline_sft_pack", {
+      import graft.ops.TextOps.{B2, P => PM}
+      val idVals = graft.functions.BpeVocab.idValuesSql
+      s"""WITH RECURSIVE ${OracleText.BPE_CTES},
+         |bpe_ids(tok, tid) AS (VALUES
+         |    $idVals),
+         |tk AS (SELECT doc_id,
+         |         unnest(string_split(alltok, '${OracleText.BpeDelim}')) AS token,
+         |         generate_subscripts(string_split(alltok, '${OracleText.BpeDelim}'), 1) AS pos
+         |       FROM bpe_doctok),
+         |idt AS (SELECT tk.doc_id, tk.pos,
+         |          CAST(CASE WHEN length(tk.token) = 1 THEN unicode(tk.token)
+         |               ELSE i.tid END AS BIGINT) AS tid
+         |        FROM tk LEFT JOIN bpe_ids i ON i.tok = tk.token),
+         |seq AS (SELECT doc_id, list(tid ORDER BY pos) AS ids FROM idt
+         |        GROUP BY doc_id),
+         |fr AS (SELECT doc_id, ids,
+         |         greatest(1, least(8, len(ids) // 2)) AS np FROM seq),
+         |fl AS (SELECT doc_id, np, CAST(len(ids) - np AS BIGINT) AS nr,
+         |         list_concat(list_concat(list_concat(list_concat(
+         |           [CAST(2000001 AS BIGINT)], list_slice(ids, 1, np)),
+         |           [CAST(2000002 AS BIGINT)]),
+         |           list_slice(ids, np + 1, len(ids))),
+         |           [CAST(2000003 AS BIGINT)]) AS fids
+         |       FROM fr)
+         |SELECT doc_id, CAST(np AS BIGINT) AS n_prompt, nr AS n_response,
+         |  CAST(len(fids) AS BIGINT) AS n_total,
+         |  nr + 1 AS mask_sum,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(1, len(fids) + 1), k ->
+         |      fids[k] * 2 + (CASE WHEN k <= np + 2 THEN 0 ELSE 1 END))),
+         |    (f, x) -> (f * $B2 + x) % $PM) AS ids_fp
+         |FROM fl ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      import graft.ops.TextOps
+      graft.functions.GraftFunctions.register(s)
+      val idMap = typedLit(graft.functions.BpeVocab.IdMap)
+      val toks = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), TextOps.bpeMergedTokens(col("text")).as("tks"))
+        .filter(size(col("tks")) > 0)
+        .select(col("doc_id"),
+          transform(col("tks"), t =>
+            coalesce(element_at(idMap, t), ascii(t).cast("long"))).as("ids"))
+      val np = greatest(lit(1), least(lit(8), (size(col("ids")) / 2)
+        .cast("int")))
+      val framed = toks
+        .select(col("doc_id"), col("ids"), np.as("np"))
+        .select(col("doc_id"), col("np"),
+          (size(col("ids")) - col("np")).cast("long").as("nr"),
+          concat(
+            array(lit(2000001L)),
+            slice(col("ids"), lit(1), col("np")),
+            array(lit(2000002L)),
+            slice(col("ids"), col("np") + 1,
+              size(col("ids")) - col("np")),
+            array(lit(2000003L))).as("full"))
+      framed.select(col("doc_id"),
+          col("np").cast("long").as("n_prompt"),
+          col("nr").as("n_response"),
+          size(col("full")).cast("long").as("n_total"),
+          (col("nr") + 1L).as("mask_sum"),
+          aggregate(
+            zip_with(col("full"),
+              sequence(lit(1), size(col("full"))),
+              (v, k) => v * 2 + when(k <= col("np") + 2, 0L).otherwise(1L)),
+            lit(0L),
+            (f, x) => (f * TextOps.B2 + x) % TextOps.P).as("ids_fp"))
+        .orderBy("doc_id")
+    },
+
     // Deterministic train/val/test split (80/10/10): the id hashes to a
     // bucket, the bucket to a split — stable across runs, machines and
     // engines (the polynomial hash both engines replay bit-for-bit), no
