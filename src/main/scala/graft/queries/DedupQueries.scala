@@ -916,6 +916,68 @@ object DedupQueries {
         .orderBy("source", "doc_id")
     },
 
+    // CONTRASTIVE PAIR MINING (the embedding-training feed built from the
+    // dedup machinery): POSITIVES are the verified near-dup pairs (the
+    // LSH contraction, oracle-equal to brute force), NEGATIVES one
+    // deterministic partner per doc — its successor in (hash, id) order
+    // WITHIN a hash chunk (bounded windows, never a global sort), chunk
+    // tail wrapping to the chunk head — normalized, deduped, and
+    // anti-joined against the positive set so no labeled-0 pair is
+    // secretly a near-dup. Both engines define the negative the same
+    // chunked way, so the pair list replays exactly.
+    QueryDef.withOracle("pipeline_contrastive_pairs", {
+      val h = OracleText.wordHashSql("CAST(doc_id AS VARCHAR)")
+      val span = TextOps.P / 32 + 1
+      s"""WITH $JaccardPairCtes,
+         |hvt AS (SELECT doc_id, $h AS hv, ($h) // $span AS ck FROM documents),
+         |nxt AS (SELECT doc_id,
+         |          COALESCE(
+         |            lead(doc_id) OVER (PARTITION BY ck ORDER BY hv, doc_id),
+         |            first_value(doc_id) OVER (PARTITION BY ck
+         |              ORDER BY hv, doc_id
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+         |            AS partner
+         |        FROM hvt),
+         |negd AS (SELECT DISTINCT least(doc_id, partner) AS id_a,
+         |           greatest(doc_id, partner) AS id_b
+         |         FROM nxt WHERE doc_id <> partner),
+         |negx AS (SELECT n.id_a, n.id_b FROM negd n
+         |         LEFT JOIN pairs p ON p.id_a = n.id_a AND p.id_b = n.id_b
+         |         WHERE p.id_a IS NULL)
+         |SELECT id_a, id_b, CAST(1 AS BIGINT) AS label, jaccard FROM pairs
+         |UNION ALL
+         |SELECT id_a, id_b, CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE) FROM negx
+         |ORDER BY label DESC, id_a, id_b""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables(s, dir, "documents")
+      val pos = DedupOps.jaccardPairsLsh(
+          DedupOps.shingleSets(docs, "doc_id", "text", 3),
+          "doc_id", 0.8, bands = 32, rows = 4)
+        .localCheckpoint(false) // read by the output AND the anti-join
+      val span = TextOps.P / 32 + 1
+      val hv = TextOps.polyHash(col("doc_id").cast("string"))
+      val w = Window.partitionBy(col("ck")).orderBy(col("hv"), col("doc_id"))
+      val wAll = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val neg = docs
+        .select(col("doc_id"), hv.as("hv"))
+        .withColumn("ck", expr(s"hv div ${span}L"))
+        .select(col("doc_id"),
+          coalesce(lead(col("doc_id"), 1).over(w),
+            first(col("doc_id")).over(wAll)).as("partner"))
+        .filter(col("doc_id") =!= col("partner"))
+        .select(least(col("doc_id"), col("partner")).as("id_a"),
+          greatest(col("doc_id"), col("partner")).as("id_b"))
+        .distinct()
+        .join(pos.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
+      pos.select(col("id_a"), col("id_b"), lit(1L).as("label"), col("jaccard"))
+        .unionAll(neg.select(col("id_a"), col("id_b"), lit(0L).as("label"),
+          lit(0.0).as("jaccard")))
+        .orderBy(col("label").desc, col("id_a"), col("id_b"))
+    },
+
     // Winnow-collision candidate pairs + exact verify: candidates share a
     // fingerprint (inverted index over the sketch, ~2/(w+1) the posting
     // volume of the full shingle index), true Jaccard then computes

@@ -182,6 +182,37 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // TOKEN-BUDGET SUBSET ("give me a 10k-token slice of this corpus,
+    // reproducibly"): docs take a deterministic hash order, and a doc is
+    // selected iff the running token total BEFORE it is under the
+    // budget — so the cut point is exact and stable across runs/engines.
+    // The cumsum rides PackingOps.packSequences' CHUNKED prefix sum
+    // (per-chunk windows + one broadcast carry — never a global
+    // single-partition window), with the whole corpus as one group: the
+    // 100 TB shape of "take the first N tokens". The oracle runs the
+    // naive global window, proving chunked ≡ naive.
+    QueryDef.withOracle("pipeline_token_budget", {
+      val h = OracleText.wordHashSql("CAST(doc_id AS VARCHAR)")
+      s"""SELECT doc_id, n_tokens, start_tok, start_tok < 10000 AS selected
+         |FROM (SELECT doc_id, n_tokens,
+         |        CAST(COALESCE(sum(n_tokens) OVER (ORDER BY hv, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS BIGINT) AS start_tok
+         |      FROM (SELECT doc_id,
+         |              CAST(len(${OracleText.TOKS}) AS BIGINT) AS n_tokens,
+         |              $h AS hv
+         |            FROM documents))
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      graft.ops.PackingOps.packSequences(
+          Tables(s, dir, "documents").withColumn("g", lit("all")),
+          "doc_id", "text", "g", 10000L)
+        .select(col("doc_id"), col("n_tokens"), col("start_tok"),
+          (col("start_tok") < 10000L).as("selected"))
+        .orderBy("doc_id")
+    },
+
     // Deterministic train/val/test split (80/10/10): the id hashes to a
     // bucket, the bucket to a split — stable across runs, machines and
     // engines (the polynomial hash both engines replay bit-for-bit), no
