@@ -182,6 +182,90 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // FIM (fill-in-the-middle, Bavarian et al. 2022 — the code-model
+    // training transform): every SECOND doc is rearranged
+    // [PRE] prefix [SUF] suffix [MID] middle (the PSM order: thirds by
+    // token count), the rest pass through [BOS] ids [EOS] — the 50% FIM
+    // rate real recipes use, so both paths live in the corpus. The
+    // emitted id stream folds order-sensitively: a boundary off-by-one
+    // or a segment-order slip breaks the value gate. Pure map-side after
+    // tokenize, like the SFT face.
+    QueryDef.withOracle("pipeline_fim_pack", {
+      import graft.ops.TextOps.{B2, P => PM}
+      val idVals = graft.functions.BpeVocab.idValuesSql
+      s"""WITH RECURSIVE ${OracleText.BPE_CTES},
+         |bpe_ids(tok, tid) AS (VALUES
+         |    $idVals),
+         |tk AS (SELECT doc_id,
+         |         unnest(string_split(alltok, '${OracleText.BpeDelim}')) AS token,
+         |         generate_subscripts(string_split(alltok, '${OracleText.BpeDelim}'), 1) AS pos
+         |       FROM bpe_doctok),
+         |idt AS (SELECT tk.doc_id, tk.pos,
+         |          CAST(CASE WHEN length(tk.token) = 1 THEN unicode(tk.token)
+         |               ELSE i.tid END AS BIGINT) AS tid
+         |        FROM tk LEFT JOIN bpe_ids i ON i.tok = tk.token),
+         |seq AS (SELECT doc_id, list(tid ORDER BY pos) AS ids FROM idt
+         |        GROUP BY doc_id),
+         |fr AS (SELECT doc_id, ids, len(ids) // 3 AS np, len(ids) // 3 AS nm
+         |       FROM seq),
+         |fl AS (SELECT doc_id, (doc_id % 2 = 0) AS fim,
+         |         CAST(np AS BIGINT) AS n_prefix, CAST(nm AS BIGINT) AS n_middle,
+         |         CAST(len(ids) - np - nm AS BIGINT) AS n_suffix,
+         |         CASE WHEN doc_id % 2 = 0 THEN
+         |           list_concat(list_concat(list_concat(list_concat(list_concat(
+         |             [CAST(2000011 AS BIGINT)], list_slice(ids, 1, np)),
+         |             [CAST(2000012 AS BIGINT)]),
+         |             list_slice(ids, np + nm + 1, len(ids))),
+         |             [CAST(2000013 AS BIGINT)]),
+         |             list_slice(ids, np + 1, np + nm))
+         |         ELSE list_concat(list_concat(
+         |           [CAST(2000001 AS BIGINT)], ids), [CAST(2000003 AS BIGINT)])
+         |         END AS fids
+         |       FROM fr)
+         |SELECT doc_id, fim, n_prefix, n_middle, n_suffix,
+         |  CAST(len(fids) AS BIGINT) AS n_total,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), fids),
+         |    (f, x) -> (f * $B2 + x) % $PM) AS ids_fp
+         |FROM fl ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      import graft.ops.TextOps
+      graft.functions.GraftFunctions.register(s)
+      val idMap = typedLit(graft.functions.BpeVocab.IdMap)
+      val toks = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), TextOps.bpeMergedTokens(col("text")).as("tks"))
+        .filter(size(col("tks")) > 0)
+        .select(col("doc_id"),
+          transform(col("tks"), t =>
+            coalesce(element_at(idMap, t), ascii(t).cast("long"))).as("ids"))
+      val np = (size(col("ids")) / 3).cast("int")
+      val framed = toks
+        .select(col("doc_id"), col("ids"), np.as("np"), np.as("nm"))
+        .select(col("doc_id"),
+          (pmod(col("doc_id"), lit(2)) === 0).as("fim"),
+          col("np").cast("long").as("n_prefix"),
+          col("nm").cast("long").as("n_middle"),
+          (size(col("ids")) - col("np") - col("nm")).cast("long")
+            .as("n_suffix"),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            concat(
+              array(lit(2000011L)),
+              slice(col("ids"), lit(1), col("np")),
+              array(lit(2000012L)),
+              slice(col("ids"), col("np") + col("nm") + 1,
+                size(col("ids")) - col("np") - col("nm")),
+              array(lit(2000013L)),
+              slice(col("ids"), col("np") + 1, col("nm"))))
+            .otherwise(concat(array(lit(2000001L)), col("ids"),
+              array(lit(2000003L)))).as("fids"))
+      framed.select(col("doc_id"), col("fim"), col("n_prefix"),
+          col("n_middle"), col("n_suffix"),
+          size(col("fids")).cast("long").as("n_total"),
+          aggregate(col("fids"), lit(0L),
+            (f, x) => (f * TextOps.B2 + x) % TextOps.P).as("ids_fp"))
+        .orderBy("doc_id")
+    },
+
     // TOKEN-BUDGET SUBSET ("give me a 10k-token slice of this corpus,
     // reproducibly"): docs take a deterministic hash order, and a doc is
     // selected iff the running token total BEFORE it is under the
