@@ -495,6 +495,68 @@ object EventQueries {
         "series", "value", Seq(0.5, 0.9, 0.99))
     },
 
+    // EXTENSION: per-series WINSORIZATION (the robust-stats clamp sensor
+    // pipelines run before aggregation — a stuck gauge's spikes poison a
+    // plain mean): exact p05/p95 per series through the SAME distributed
+    // counting-sort quantiles as tsdb_quantile ("lower" interpolation —
+    // bounds are stored values, so the oracle matches bitwise), bounds
+    // broadcast back, every value clamped map-side, the winsorized mean
+    // kept DECIMAL-exact until the one final double division.
+    QueryDef.withOracle("tsdb_winsorize",
+      s"""WITH pts AS (
+         |  SELECT series, value AS v FROM $EV
+         |  WHERE value IS NOT NULL AND time_us BETWEEN $T0 AND $T1),
+         |cnt AS (SELECT series, v, count(*) AS c FROM pts GROUP BY 1, 2),
+         |cum AS (SELECT series, v, c,
+         |          sum(c) OVER (PARTITION BY series ORDER BY v
+         |                       ROWS UNBOUNDED PRECEDING) AS cum
+         |        FROM cnt),
+         |tot AS (SELECT series, sum(c) AS n FROM cnt GROUP BY 1),
+         |qs AS (SELECT unnest([0.05, 0.95]) AS q),
+         |qv AS (SELECT c.series, qs.q, c.v
+         |       FROM cum c JOIN tot USING (series) CROSS JOIN qs
+         |       WHERE c.cum >= CAST(floor((tot.n - 1) * qs.q) AS BIGINT) + 1
+         |         AND c.cum - c.c < CAST(floor((tot.n - 1) * qs.q) AS BIGINT) + 1),
+         |b AS (SELECT series, MIN(CASE WHEN q = 0.05 THEN v END) AS lo,
+         |        MAX(CASE WHEN q = 0.95 THEN v END) AS hi
+         |      FROM qv GROUP BY 1),
+         |cl AS (SELECT p.series, b.lo, b.hi,
+         |         greatest(b.lo, least(b.hi, p.v)) AS cv,
+         |         CASE WHEN p.v < b.lo THEN 1 ELSE 0 END AS il,
+         |         CASE WHEN p.v > b.hi THEN 1 ELSE 0 END AS ih
+         |       FROM pts p JOIN b USING (series))
+         |SELECT series, lo, hi, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(il) AS BIGINT) AS n_clamped_low,
+         |  CAST(sum(ih) AS BIGINT) AS n_clamped_high,
+         |  CAST(SUM(CAST(cv AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+         |    AS mean_winsorized
+         |FROM cl GROUP BY series, lo, hi ORDER BY series""".stripMargin) {
+      (s, dir) =>
+      val pts = Tables.eventsTsdb(s, dir)
+        .filter(col("value").isNotNull && col("time_us").between(T0, T1))
+        .select(col("series"), col("value").as("v"))
+      val bounds = TimeSeriesOps.quantiles(pts, "series", "v",
+          Seq(0.05, 0.95))
+        .groupBy("series")
+        .agg(min(when(col("q") === 0.05, col("quantile_value"))).as("lo"),
+          max(when(col("q") === 0.95, col("quantile_value"))).as("hi"))
+      pts.join(broadcast(bounds), "series")
+        .select(col("series"), col("lo"), col("hi"),
+          greatest(col("lo"), least(col("hi"), col("v"))).as("cv"),
+          when(col("v") < col("lo"), 1L).otherwise(0L).as("il"),
+          when(col("v") > col("hi"), 1L).otherwise(0L).as("ih"))
+        .groupBy("series", "lo", "hi")
+        .agg(count(lit(1)).as("n"),
+          sum("il").as("n_clamped_low"),
+          sum("ih").as("n_clamped_high"),
+          (sum(col("cv").cast("decimal(18,2)")).cast("double") /
+            count(lit(1))).as("mean_winsorized"))
+        .select(col("series"), col("lo"), col("hi"), col("n"),
+          col("n_clamped_low"), col("n_clamped_high"),
+          col("mean_winsorized"))
+        .orderBy("series")
+    },
+
     // EXTENSION: semi-structured extraction — the events `props` column is
     // a JSON string (the shape every web-scale event/metadata pipeline
     // carries). Typed `from_json` with an explicit schema (no sampling
