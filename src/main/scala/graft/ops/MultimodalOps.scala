@@ -854,6 +854,39 @@ object MultimodalOps {
     }.toDF("asset_id", "detected", "kind", "n_units")
   }
 
+  /** HISTOGRAM EQUALIZATION (the classic contrast augmentation): per
+    * image, the integer CDF remap `out = (cdf(v) − cdf_min)·255 / (n −
+    * cdf_min)` (floor division; constant images map to 0 — the n =
+    * cdf_min branch). Decode + 256-bin histogram + remap run in ONE typed
+    * map over the real PNG chain; position-sensitive stats of the
+    * equalized pixels gate the value. */
+  def histEqualizeFeatures(assets: DataFrame): org.apache.spark.sql.Dataset[Gray16Features] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.as[MediaAsset].map { a =>
+      val (_, _, g) = PngCodec.decode(a.payload)
+      val n = g.length
+      val hist = new Array[Int](256)
+      g.foreach(b => hist(b & 0xff) += 1)
+      val cdf = new Array[Int](256)
+      var acc = 0
+      var v = 0
+      while (v < 256) { acc += hist(v); cdf(v) = acc; v += 1 }
+      val cdfMin = if (n == 0) 0 else {
+        var m = 0
+        while (hist(m) == 0) m += 1
+        cdf(m)
+      }
+      val denom = n - cdfMin
+      val eq = Array.tabulate(n) { i =>
+        val px = g(i) & 0xff
+        if (denom == 0) 0 else (cdf(px) - cdfMin) * 255 / denom
+      }
+      val (mean, head, wsum) = positionalStats(n, i => eq(i).toLong)
+      Gray16Features(a.asset_id, a.format, n.toLong, mean, head, wsum)
+    }
+  }
+
   /** Companion-asset id offset and planting step of
     * [[fpWavAssetsFromDocuments]]. */
   val AudioCompanionOffset = 30000000L

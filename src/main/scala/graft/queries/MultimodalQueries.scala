@@ -739,6 +739,53 @@ object MultimodalQueries {
         .orderBy("asset_id")
     },
 
+    // HISTOGRAM EQUALIZATION (the classic contrast augmentation, the
+    // remaining sibling of resize/patches): integer CDF remap
+    // (cdf(v)−cdf_min)·255/(n−cdf_min) with floor division, fused with
+    // the REAL PNG decode in one typed map. The oracle rebuilds the
+    // per-image CDF from the text tiling (rank-of-value counting) and
+    // replays the remap pixel-for-pixel — position-sensitive stats, so a
+    // CDF off-by-one or a rounding-mode slip breaks the match.
+    QueryDef.withOracle("mm_hist_equalize", {
+      def c(idx: String) =
+        s"""(CASE WHEN length(text) = 0 THEN 0
+           |      ELSE unicode(substr(text, CAST(($idx) % length(text) + 1 AS INT), 1))
+           | END)""".stripMargin.replace("\n", "")
+      s"""WITH a AS (
+         |  SELECT doc_id, text,
+         |         CAST(doc_id % 9 + 1 AS INT) AS w,
+         |         CAST(doc_id % 7 + 1 AS INT) AS h
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, list_transform(range(0, w * h), i -> ${c("i")}) AS vs
+         |  FROM a),
+         |e AS (
+         |  SELECT doc_id, len(vs) AS n,
+         |    len(list_filter(vs, x -> x = list_min(vs))) AS cm,
+         |    vs
+         |  FROM c),
+         |q AS (
+         |  SELECT doc_id, n,
+         |    list_transform(vs, v -> CASE WHEN n = cm THEN 0
+         |      ELSE (len(list_filter(vs, x -> x <= v)) - cm) * 255 // (n - cm)
+         |      END) AS eq
+         |  FROM e)
+         |SELECT doc_id AS asset_id, 'png' AS format,
+         |  CAST(n AS BIGINT) AS n_px,
+         |  CAST(list_sum(eq) AS DOUBLE) / n AS mean_val,
+         |  array_to_string(list_slice(eq, 1, 12), ',') AS head_csv,
+         |  CAST(list_sum(list_transform(range(1, len(eq) + 1), k -> eq[k] * k))
+         |       AS BIGINT) AS wsum
+         |FROM q ORDER BY asset_id""".stripMargin
+    }) { (s, dir) =>
+      MultimodalOps.histEqualizeFeatures(
+        MultimodalOps.pngAssetsFromDocuments(Tables(s, dir, "documents")))
+        .toDF()
+        .select(col("asset_id"), col("format"), col("n_px"), col("mean_val"),
+          concat_ws(",", col("head")).as("head_csv"), col("wsum"))
+        .orderBy("asset_id")
+    },
+
     // FORMAT DETECTION + DISPATCH over an UNLABELED corpus (crawled blob
     // stores have no extensions or content-types — sniffing magic bytes
     // and routing to the right decoder IS a pipeline stage): one mixed
