@@ -190,7 +190,14 @@ object ScaleBench {
     // lmScore shape plus one join), and DSIR resampling (the weight pass
     // + one scalar max + a map-side verdict)
     "mm_mp3_scan", "mm_decode_pnm", "text_from_csv", "text_from_jsonl",
-    "mm_detect_format", "text_lm_kneser_ney", "pipeline_dsir_sample")
+    "mm_detect_format", "text_lm_kneser_ney", "pipeline_dsir_sample",
+    // trainer-feed formatting (map-side after tokenize), the chunked
+    // token-budget cut (pack cumsum as ONE group), contrastive mining
+    // (LSH positives — individually gated — + chunk-bounded negative
+    // windows), winsorization (quantile tables broadcast, clamp
+    // map-side) and histogram equalization (decode-fused map pass)
+    "pipeline_sft_pack", "pipeline_fim_pack", "pipeline_token_budget",
+    "pipeline_contrastive_pairs", "tsdb_winsorize", "mm_hist_equalize")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
