@@ -59,6 +59,12 @@ object DedupOps {
   private def pin(df: DataFrame): DataFrame =
     df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
 
+  /** Identity-hash width pinned in the persisted index MANIFESTS: the
+    * packed double-prime 62-bit key. Bumping the hash scheme must bump
+    * this, so a stale on-disk index fails loudly at probe time instead of
+    * joining nothing (silent zero recall). */
+  val HashWidthBits = 62
+
   /** (id, shingles) — distinct n-word shingle hash sets per document; docs
     * with fewer than n tokens drop out (no shingles → no similarity).
     *
@@ -1124,11 +1130,17 @@ object DedupOps {
   def writeWindowIndex(corpus: DataFrame, idCol: String, textCol: String,
                        k: Int, dir: String): Unit = {
     val sh = positionalShingles(corpus, idCol, textCol, k)
-    sh.groupBy("sh").agg(count(lit(1)).as("cnt"))
+    try sh.groupBy("sh").agg(count(lit(1)).as("cnt"))
       .write.mode("overwrite").parquet(s"$dir/windows")
+    // single-consumer here: drop the pin once written (the pin() trade is
+    // for the multi-consumer pair cores, not index builds)
+    finally sh.unpersist()
     val spark = corpus.sparkSession
     import spark.implicits._
-    Seq(k).toDF("k").coalesce(1).write.mode("overwrite")
+    // hw pins the identity-hash WIDTH (the packed double-prime 62-bit
+    // key): an index written before the widening carries no hw column, so
+    // probing it fails loudly instead of silently zeroing recall
+    Seq((k, HashWidthBits)).toDF("k", "hw").coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/manifest")
   }
 
@@ -1152,9 +1164,13 @@ object DedupOps {
                                 bloomBits: Int = 1 << 22,
                                 bloomHashes: Int = 6): DataFrame = {
     val spark = incoming.sparkSession
-    val mk = spark.read.parquet(s"$indexDir/manifest").head().getInt(0)
+    val mrow = spark.read.parquet(s"$indexDir/manifest").head()
+    val mk = mrow.getInt(mrow.fieldIndex("k"))
     require(mk == k,
       s"window index at $indexDir was built with k=$mk, probed with k=$k")
+    val mhw = mrow.getInt(mrow.fieldIndex("hw")) // absent column throws: pre-widening index
+    require(mhw == HashWidthBits,
+      s"window index at $indexDir carries $mhw-bit hashes, probe expects $HashWidthBits")
     val idx = spark.read.parquet(s"$indexDir/windows")
       .select(col("sh"), col("cnt").as("corpus_cnt"))
     // positionalShingles is already pinned; it feeds the bloom build,
@@ -1249,14 +1265,15 @@ object DedupOps {
     * artifact the incremental face probes per batch. */
   def writeLineIndex(corpus: DataFrame, idCol: String, textCol: String,
                      wordsPerLine: Int, dir: String): Unit = {
-    val ln = lineHashes(corpus, idCol, textCol, wordsPerLine)
-      .select(col("id"), explode(col("lines")).as("lh"))
-    ln.groupBy("lh").agg(count(lit(1)).as("cnt"))
+    val base = lineHashes(corpus, idCol, textCol, wordsPerLine)
+    try base.select(col("id"), explode(col("lines")).as("lh"))
+      .groupBy("lh").agg(count(lit(1)).as("cnt"))
       .write.mode("overwrite").parquet(s"$dir/lines")
+    finally base.unpersist() // single consumer — see writeWindowIndex
     val spark = corpus.sparkSession
     import spark.implicits._
-    Seq(wordsPerLine).toDF("n").coalesce(1).write.mode("overwrite")
-      .parquet(s"$dir/manifest")
+    Seq((wordsPerLine, HashWidthBits)).toDF("n", "hw").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/manifest")
   }
 
   /** INCREMENTAL line dedup — the per-batch face of [[lineDedup]]: a line
@@ -1274,9 +1291,13 @@ object DedupOps {
                            bloomBits: Int = 1 << 22,
                            bloomHashes: Int = 6): DataFrame = {
     val spark = incoming.sparkSession
-    val mn = spark.read.parquet(s"$indexDir/manifest").head().getInt(0)
+    val mrow = spark.read.parquet(s"$indexDir/manifest").head()
+    val mn = mrow.getInt(mrow.fieldIndex("n"))
     require(mn == wordsPerLine,
       s"line index at $indexDir was built with n=$mn, probed with n=$wordsPerLine")
+    val mhw = mrow.getInt(mrow.fieldIndex("hw")) // absent column throws: pre-widening index
+    require(mhw == HashWidthBits,
+      s"line index at $indexDir carries $mhw-bit hashes, probe expects $HashWidthBits")
     val withLines = lineHashes(incoming, idCol, textCol, wordsPerLine)
     val ex = withLines.select(col("id"),
       posexplode(col("lines")).as(Seq("li", "lh")))

@@ -616,6 +616,8 @@ object FlacCodec {
         case c if c >= 8 => 256 << (c - 8)
         case _ => throw new IllegalArgumentException("FLAC: reserved blocksize code")
       }
+      require(got + bs <= total,
+        s"FLAC: frame block size $bs overruns STREAMINFO total $total")
       require(br.aligned, "FLAC: header must be byte-aligned before CRC-8")
       val hdrCrc = br.read(8).toInt
       require(hdrCrc == crc8(payload.slice(frameStart, br.bytePos - 1),
@@ -654,6 +656,7 @@ object FlacCodec {
           s"FLAC: channel assignment $a not implemented")
       }
       br.align()
+      require(br.bytePos + 2 <= payload.length, "FLAC: truncated frame footer")
       val c16 = crc16(payload, frameStart, br.bytePos)
       val want = ((payload(br.bytePos) & 0xff) << 8) | (payload(br.bytePos + 1) & 0xff)
       require(c16 == want, "FLAC: frame CRC-16 mismatch")

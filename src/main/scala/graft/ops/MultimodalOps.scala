@@ -390,6 +390,11 @@ object MultimodalOps {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
+        // ASCII contract, enforced loudly like the codec fixtures: the
+        // half-split below is by UTF-16 code units and the oracle's
+        // length(text) counts codepoints — identical only below 128
+        require(text.forall(_ < 128),
+          s"warc fixture requires ASCII text (doc $id)")
         val uri = s"http://example.com/doc/$id"
         val utf8 = java.nio.charset.StandardCharsets.UTF_8
         val info = WarcCodec.record("warcinfo", s"info-$id",
@@ -456,6 +461,8 @@ object MultimodalOps {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
+        require(text.forall(_ < 128), // same ASCII contract as the WARC fixture
+          s"tar fixture requires ASCII text (doc $id)")
         val utf8 = java.nio.charset.StandardCharsets.UTF_8
         val parts =
           if (id % 4 == 0 && text.length >= 2) {
@@ -721,6 +728,8 @@ object MultimodalOps {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
+        require(text.forall(_ < 128), // oracle length() counts codepoints
+          s"csv fixture requires ASCII text (doc $id)")
         val body = text +
           (if (id % 3 == 0) ", \"q\" x" else "") +
           (if (id % 4 == 0) "\nsecond line" else "")

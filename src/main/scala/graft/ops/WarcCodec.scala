@@ -73,17 +73,20 @@ object WarcCodec {
       val warcType = headers.getOrElse("warc-type",
         throw new IllegalArgumentException(
           s"warc: record at $pos missing WARC-Type"))
-      val len = headers.get("content-length") match {
+      val lenL = headers.get("content-length") match {
         case Some(s) =>
-          try s.toLong.toInt
+          try s.toLong
           catch { case _: NumberFormatException =>
             throw new IllegalArgumentException(
               s"warc: record at $pos has non-numeric Content-Length '$s'") }
         case None => throw new IllegalArgumentException(
           s"warc: record at $pos missing Content-Length")
       }
-      require(len >= 0 && bodyAt + len <= bytes.length,
-        s"warc: record at $pos Content-Length $len overruns the stream")
+      // range-check as Long FIRST: a declared length past 2^31 must reject
+      // here, not wrap to a bogus small int and mis-frame the record
+      require(lenL >= 0 && lenL <= bytes.length.toLong - bodyAt,
+        s"warc: record at $pos Content-Length $lenL overruns the stream")
+      val len = lenL.toInt
       val payload = java.util.Arrays.copyOfRange(bytes, bodyAt, bodyAt + len)
       val termAt = bodyAt + len
       require(termAt + 4 <= bytes.length &&

@@ -11,6 +11,32 @@ import graft.tables.Tables
   * path by replaying the byte-level stats in SQL (the corpus is ASCII, so
   * DuckDB's code points are the payload bytes). */
 object MultimodalQueries {
+  /** The mono-audio stats oracle, ONE definition for every lossless face
+    * (WAV, FLAC fixed + LPC, AIFF): all four fixtures share the text-to-
+    * sample map and rate rotation, and losslessness makes the expected
+    * stats identical - a shared definition keeps the faces from drifting
+    * (the HtmlExtractCtes/CurateChainOracleSql stance). */
+  private def MonoAudioOracleSql(format: String): String =
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |         list_transform(range(1, length(text) + 1),
+       |           i -> (unicode(substr(text, CAST(i AS INT), 1)) - 80) * 257) AS ss,
+       |         ([8000, 16000, 44100])[CAST(doc_id % 3 AS INT) + 1] AS rate
+       |  FROM documents)
+       |SELECT doc_id AS asset_id, '$format' AS format,
+       |  CAST(rate AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+       |  CAST(len(ss) AS BIGINT) AS n_samples,
+       |  CAST(len(ss) AS DOUBLE) / rate AS duration_s,
+       |  CASE WHEN len(ss) = 0 THEN 0.0
+       |       ELSE sqrt(CAST(list_sum(list_transform(ss, x -> x * x)) AS DOUBLE)
+       |                 / len(ss)) END AS rms,
+       |  CAST(COALESCE(list_max(list_transform(ss, x -> abs(x))), 0) AS INT) AS peak,
+       |  CAST(COALESCE(list_sum(list_transform(range(1, len(ss)),
+       |    i -> CASE WHEN (ss[i] >= 0) <> (ss[i + 1] >= 0)
+       |              THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
+       |FROM s ORDER BY asset_id""".stripMargin
+
+
 
   import OracleText.FINGERPRINT
 
@@ -501,24 +527,7 @@ object MultimodalQueries {
     // sample map alone — a header-offset, endianness, chunk-padding or
     // sign-handling bug in either codec direction breaks the hash.
     QueryDef.withOracle("mm_decode_wav",
-      """WITH s AS (
-        |  SELECT doc_id,
-        |         list_transform(range(1, length(text) + 1),
-        |           i -> (unicode(substr(text, CAST(i AS INT), 1)) - 80) * 257) AS ss,
-        |         ([8000, 16000, 44100])[CAST(doc_id % 3 AS INT) + 1] AS rate
-        |  FROM documents)
-        |SELECT doc_id AS asset_id, 'wav' AS format,
-        |  CAST(rate AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
-        |  CAST(len(ss) AS BIGINT) AS n_samples,
-        |  CAST(len(ss) AS DOUBLE) / rate AS duration_s,
-        |  CASE WHEN len(ss) = 0 THEN 0.0
-        |       ELSE sqrt(CAST(list_sum(list_transform(ss, x -> x * x)) AS DOUBLE)
-        |                 / len(ss)) END AS rms,
-        |  CAST(COALESCE(list_max(list_transform(ss, x -> abs(x))), 0) AS INT) AS peak,
-        |  CAST(COALESCE(list_sum(list_transform(range(1, len(ss)),
-        |    i -> CASE WHEN (ss[i] >= 0) <> (ss[i + 1] >= 0)
-        |              THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
-        |FROM s ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      MonoAudioOracleSql("wav")) { (s, dir) =>
       MultimodalOps.audioFeatures(
         MultimodalOps.wavAssetsFromDocuments(Tables(s, dir, "documents")))
         .toDF()
@@ -608,24 +617,7 @@ object MultimodalQueries {
     // polynomial, Rice zigzag, CRC, warm-up handling, UTF-8 frame number)
     // changes decoded samples and breaks rms/peak/zc exactly.
     QueryDef.withOracle("mm_decode_flac",
-      """WITH s AS (
-        |  SELECT doc_id,
-        |         list_transform(range(1, length(text) + 1),
-        |           i -> (unicode(substr(text, CAST(i AS INT), 1)) - 80) * 257) AS ss,
-        |         ([8000, 16000, 44100])[CAST(doc_id % 3 AS INT) + 1] AS rate
-        |  FROM documents)
-        |SELECT doc_id AS asset_id, 'flac' AS format,
-        |  CAST(rate AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
-        |  CAST(len(ss) AS BIGINT) AS n_samples,
-        |  CAST(len(ss) AS DOUBLE) / rate AS duration_s,
-        |  CASE WHEN len(ss) = 0 THEN 0.0
-        |       ELSE sqrt(CAST(list_sum(list_transform(ss, x -> x * x)) AS DOUBLE)
-        |                 / len(ss)) END AS rms,
-        |  CAST(COALESCE(list_max(list_transform(ss, x -> abs(x))), 0) AS INT) AS peak,
-        |  CAST(COALESCE(list_sum(list_transform(range(1, len(ss)),
-        |    i -> CASE WHEN (ss[i] >= 0) <> (ss[i + 1] >= 0)
-        |              THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
-        |FROM s ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      MonoAudioOracleSql("flac")) { (s, dir) =>
       MultimodalOps.audioFeatures(
         MultimodalOps.flacAssetsFromDocuments(Tables(s, dir, "documents")))
         .toDF()
@@ -677,24 +669,7 @@ object MultimodalQueries {
     // quantized predictor), so the oracle replays identical stats from
     // the text alone.
     QueryDef.withOracle("mm_decode_flac_lpc",
-      """WITH s AS (
-        |  SELECT doc_id,
-        |         list_transform(range(1, length(text) + 1),
-        |           i -> (unicode(substr(text, CAST(i AS INT), 1)) - 80) * 257) AS ss,
-        |         ([8000, 16000, 44100])[CAST(doc_id % 3 AS INT) + 1] AS rate
-        |  FROM documents)
-        |SELECT doc_id AS asset_id, 'flac' AS format,
-        |  CAST(rate AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
-        |  CAST(len(ss) AS BIGINT) AS n_samples,
-        |  CAST(len(ss) AS DOUBLE) / rate AS duration_s,
-        |  CASE WHEN len(ss) = 0 THEN 0.0
-        |       ELSE sqrt(CAST(list_sum(list_transform(ss, x -> x * x)) AS DOUBLE)
-        |                 / len(ss)) END AS rms,
-        |  CAST(COALESCE(list_max(list_transform(ss, x -> abs(x))), 0) AS INT) AS peak,
-        |  CAST(COALESCE(list_sum(list_transform(range(1, len(ss)),
-        |    i -> CASE WHEN (ss[i] >= 0) <> (ss[i + 1] >= 0)
-        |              THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
-        |FROM s ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      MonoAudioOracleSql("flac")) { (s, dir) =>
       MultimodalOps.audioFeatures(
         MultimodalOps.flacLpcAssetsFromDocuments(Tables(s, dir, "documents")))
         .toDF()
@@ -860,24 +835,7 @@ object MultimodalQueries {
     // ANNO chunk exercising the IFF even-padding rule. Same signal map
     // as the WAV/FLAC faces ⇒ identical oracle stats from the text.
     QueryDef.withOracle("mm_decode_aiff",
-      """WITH s AS (
-        |  SELECT doc_id,
-        |         list_transform(range(1, length(text) + 1),
-        |           i -> (unicode(substr(text, CAST(i AS INT), 1)) - 80) * 257) AS ss,
-        |         ([8000, 16000, 44100])[CAST(doc_id % 3 AS INT) + 1] AS rate
-        |  FROM documents)
-        |SELECT doc_id AS asset_id, 'aiff' AS format,
-        |  CAST(rate AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
-        |  CAST(len(ss) AS BIGINT) AS n_samples,
-        |  CAST(len(ss) AS DOUBLE) / rate AS duration_s,
-        |  CASE WHEN len(ss) = 0 THEN 0.0
-        |       ELSE sqrt(CAST(list_sum(list_transform(ss, x -> x * x)) AS DOUBLE)
-        |                 / len(ss)) END AS rms,
-        |  CAST(COALESCE(list_max(list_transform(ss, x -> abs(x))), 0) AS INT) AS peak,
-        |  CAST(COALESCE(list_sum(list_transform(range(1, len(ss)),
-        |    i -> CASE WHEN (ss[i] >= 0) <> (ss[i + 1] >= 0)
-        |              THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
-        |FROM s ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      MonoAudioOracleSql("aiff")) { (s, dir) =>
       MultimodalOps.audioFeatures(
         MultimodalOps.aiffAssetsFromDocuments(Tables(s, dir, "documents")))
         .toDF()

@@ -730,7 +730,7 @@ object TextQueries {
           |END""".stripMargin.replace("\n", " ")
       s"""WITH p AS (SELECT doc_id, $planted AS t FROM documents),
          |m AS (SELECT doc_id,
-         |    regexp_extract_all(t, '\\S+') AS ws,
+         |    regexp_extract_all(t, '[^ \\t\\n\\x0B\\f\\r]+') AS ws,
          |    string_split(t, chr(10)) AS lns,
          |    length(t) - length(replace(t, '#', '')) AS n_hash,
          |    len(regexp_extract_all(t, '\\.\\.\\.')) AS n_ell
@@ -767,7 +767,9 @@ object TextQueries {
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), planted.as("t"))
         .select(col("doc_id"),
-          regexp_extract_all(col("t"), lit("\\S+"), lit(0)).as("ws"),
+          // whitespace spelled out (NOT \S): Java's \s includes VT, RE2's
+          // does not — the same divergence the byte-BPE pre-tokenizer fixed
+          regexp_extract_all(col("t"), lit("[^ \\t\\n\\x0B\\f\\r]+"), lit(0)).as("ws"),
           split(col("t"), "\n").as("lns"),
           (length(col("t")) -
             length(regexp_replace(col("t"), "#", ""))).as("n_hash"),

@@ -2511,6 +2511,15 @@ class PipelineOpsSpec extends SparkTestBase {
     // width mismatch fails loudly (manifest pin)
     intercept[IllegalArgumentException](
       DedupOps.incrementalLineDedup(dir, batch, "doc_id", "text", 4).collect())
+    // a PRE-WIDENING index (manifest without the hash-width column) must
+    // also fail loudly — probing 62-bit keys against a 31-bit index would
+    // otherwise silently zero recall
+    val legacy = java.nio.file.Files.createTempDirectory("graft-lineidx-test-").toString
+    DedupOps.writeLineIndex(corpus, "doc_id", "text", wordsPerLine = 3, legacy)
+    Seq(3).toDF("n").coalesce(1).write.mode("overwrite")
+      .parquet(s"$legacy/manifest")
+    intercept[IllegalArgumentException](
+      DedupOps.incrementalLineDedup(legacy, batch, "doc_id", "text", 3).collect())
     // equivalence: incremental verdicts == whole-corpus lineDedup
     // restricted to the batch (count_C + count_B >= 2 IS the global count)
     val whole = DedupOps.lineDedup(corpus.union(batch), "doc_id", "text", 3)
