@@ -208,6 +208,66 @@ object SimilarityQueries {
         "vec_id", "embedding", K)
     },
 
+    // MATRYOSHKA truncation recall (Kusupati et al. 2022 — the modern
+    // serve-cheap trick: an MRL-trained embedding's PREFIX dims are
+    // themselves a usable embedding, so search can run at half/quarter
+    // width and 2-4× the throughput): exact top-5 over the first 32 and
+    // first 16 of 64 dims, measured against the full-width exact top-5.
+    // On these near-uniform random vectors prefix-truncation recall is
+    // the WORST case (no MRL training concentrated information in the
+    // prefix) — the measured value is the floor a real MRL model beats.
+    // Every arithmetic step (slice, fold dot, rank, recall ratio) replays
+    // exactly, so even this measurement face is hash-gated.
+    QueryDef.withOracle("ann_matryoshka", {
+      def truncCtes(d: Int): String =
+        s"""t$d AS (SELECT vec_id, list_slice(v, 1, $d) AS v FROM e),
+           |n$d AS (SELECT vec_id, v,
+           |          sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |            list_transform(v, x -> x * x)), (s, x) -> s + x)) AS nrm
+           |        FROM t$d),
+           |q$d AS (SELECT * FROM n$d WHERE vec_id < $NQ),
+           |s$d AS (SELECT q$d.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |          ${dotSql(s"q$d", "c")} / (q$d.nrm * c.nrm) AS cosine
+           |        FROM n$d c, q$d WHERE q$d.vec_id <> c.vec_id),
+           |r$d AS (SELECT query_id, neighbor_id,
+           |          CAST(row_number() OVER (PARTITION BY query_id
+           |            ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rk
+           |        FROM s$d),
+           |tk$d AS (SELECT query_id, neighbor_id FROM r$d WHERE rk <= $K)"""
+          .stripMargin
+      def row(d: Int): String =
+        s"""SELECT 'matryoshka_$d' AS method,
+           |  (SELECT count(*) FROM ex_tk) AS n_exact,
+           |  (SELECT count(*) FROM ex_tk JOIN tk$d USING (query_id, neighbor_id)) AS n_found,
+           |  CAST((SELECT count(*) FROM ex_tk JOIN tk$d USING (query_id, neighbor_id)) AS DOUBLE)
+           |    / (SELECT count(*) FROM ex_tk) AS recall""".stripMargin
+      s"""WITH $NORMED,
+         |$exactCtes,
+         |ex_tk AS (SELECT query_id, neighbor_id FROM ex_r WHERE rk <= $K),
+         |${truncCtes(32)},
+         |${truncCtes(16)}
+         |SELECT * FROM (
+         |${row(32)}
+         |UNION ALL
+         |${row(16)}
+         |) ORDER BY method""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < NQ)
+      val exact = SimilarityOps.topKExact(emb, q, "vec_id", "embedding", K)
+        .persist() // both recall branches probe it; materialize once
+      exact.count()
+      def tr(d: Int) = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, d).as("embedding"))
+      def row(d: Int) = SimilarityOps.recallAtK(exact,
+          SimilarityOps.topKExact(tr(d), tr(d).filter(col("vec_id") < NQ),
+            "vec_id", "embedding", K))
+        .withColumn("method", lit(s"matryoshka_$d"))
+      row(32).unionAll(row(16))
+        .select(col("method"), col("n_exact"), col("n_found"), col("recall"))
+        .orderBy("method")
+    },
+
     // INT8-QUANTIZED top-5 (SimilarityOps.topKQuantized): unit-normalize,
     // one global symmetric scale, clamp(floor(x/absmax*127 + 0.5)) per
     // component, integer-dot ranking — the 4×-compression scan that keeps

@@ -197,7 +197,10 @@ object ScaleBench {
     // windows), winsorization (quantile tables broadcast, clamp
     // map-side) and histogram equalization (decode-fused map pass)
     "pipeline_sft_pack", "pipeline_fim_pack", "pipeline_token_budget",
-    "pipeline_contrastive_pairs", "tsdb_winsorize", "mm_hist_equalize")
+    "pipeline_contrastive_pairs", "tsdb_winsorize", "mm_hist_equalize",
+    // matryoshka recall: two truncated exact scans + the full exact scan,
+    // all the ann_topk shape (broadcast queries × corpus)
+    "ann_matryoshka")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
