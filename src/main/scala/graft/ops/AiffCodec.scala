@@ -123,7 +123,10 @@ object AiffCodec {
           require(channels > 0, "aiff: SSND before COMM")
           val offset = u32(at)
           val n = frames * channels
-          require(len >= 8 + offset + 2 * n, "aiff: SSND too short for COMM frames")
+          // EQUALITY, not >=: an SSND larger than COMM's frame count would
+          // silently truncate the extra samples — the mismatch must throw
+          require(len == 8 + offset + 2 * n,
+            s"aiff: SSND size $len disagrees with COMM frames ($n samples)")
           val base = (at + 8 + offset).toInt
           data = Array.tabulate(n.toInt)(i =>
             (((payload(base + 2 * i) & 0xff) << 8) |

@@ -441,12 +441,18 @@ object MultimodalOps {
     assets.as[MediaAsset].map { a =>
       val recs = WarcCodec.readRecords(GzipCodec.gunzip(a.payload))
       val resp = recs.filter(_.warcType == "response")
-      val body = resp.iterator
+      // linear concat (array ++ in a fold is O(parts²) copying — this is
+      // the hot per-asset map path)
+      val body = new java.io.ByteArrayOutputStream()
+      resp.iterator
         .filter(r => WarcCodec.httpStatus(r.payload) == 200)
-        .map(r => WarcCodec.httpResponseBody(r.payload))
-        .foldLeft(Array.emptyByteArray)(_ ++ _)
+        .foreach { r =>
+          val b = WarcCodec.httpResponseBody(r.payload)
+          body.write(b, 0, b.length)
+        }
       (a.asset_id, recs.length.toLong, resp.length.toLong,
-        new String(body, java.nio.charset.StandardCharsets.UTF_8))
+        new String(body.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8))
     }.toDF("asset_id", "n_records", "n_responses", "text")
   }
 
@@ -489,10 +495,12 @@ object MultimodalOps {
     assets.as[MediaAsset].map { a =>
       val entries = TarCodec.readEntries(GzipCodec.gunzip(a.payload))
       val files = entries.filter(_.typeflag == '0')
-      val body = files.iterator.filter(_.name.endsWith(".txt")).map(_.data)
-        .foldLeft(Array.emptyByteArray)(_ ++ _)
+      val body = new java.io.ByteArrayOutputStream() // linear, see warcTexts
+      files.iterator.filter(_.name.endsWith(".txt"))
+        .foreach(e => body.write(e.data, 0, e.data.length))
       (a.asset_id, entries.length.toLong, files.length.toLong,
-        new String(body, java.nio.charset.StandardCharsets.UTF_8))
+        new String(body.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8))
     }.toDF("asset_id", "n_entries", "n_files", "text")
   }
 
@@ -889,7 +897,9 @@ object MultimodalOps {
       val denom = n - cdfMin
       val eq = Array.tabulate(n) { i =>
         val px = g(i) & 0xff
-        if (denom == 0) 0 else (cdf(px) - cdfMin) * 255 / denom
+        // Long multiply: (cdf - cdfMin) * 255 wraps Int past ~8.4M pixels
+        if (denom == 0) 0
+        else ((cdf(px) - cdfMin).toLong * 255 / denom).toInt
       }
       val (mean, head, wsum) = positionalStats(n, i => eq(i).toLong)
       Gray16Features(a.asset_id, a.format, n.toLong, mean, head, wsum)

@@ -80,11 +80,14 @@ object PnmCodec {
     require(pos < payload.length && isWs(payload(pos)),
       "pnm: missing single whitespace before samples")
     pos += 1 // EXACTLY one whitespace byte, per the spec
-    val n = w * h * ch
+    // Long arithmetic: a crafted 65536×65536 header must not wrap w*h*ch
+    // past the length check and silently "decode" an empty image
+    val nL = w.toLong * h * ch
     val wide = maxval > 255
-    val need = n * (if (wide) 2 else 1)
-    require(pos + need == payload.length,
-      s"pnm: sample section is ${payload.length - pos} bytes, expected $need")
+    val needL = nL * (if (wide) 2 else 1)
+    require(pos + needL == payload.length,
+      s"pnm: sample section is ${payload.length - pos} bytes, expected $needL")
+    val n = nL.toInt
     val vs = new Array[Int](n)
     var i = 0
     while (i < n) {

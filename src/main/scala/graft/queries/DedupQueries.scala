@@ -200,12 +200,6 @@ object DedupQueries {
        |ORDER BY f.doc_id""".stripMargin
   }
 
-  /** Curation stages over ARRIVED markup `(doc_id, html)`: HTML
-    * boilerplate extraction → rule filter (length / language / stopword
-    * density) → line-level dedup over the surviving extracted text (cheap
-    * map stages first, the one corpus-wide aggregation last — the real
-    * order) → keep verdict (filter-kept AND < half the lines
-    * corpus-common). The Spark half of [[CurateChainOracleSql]]. */
   /** Stages 2-3 (extraction + rule filter) of [[curateFromMarkup]]:
     * returns `(doc_id, extracted, reason)`, pinned — the line stage and
     * the final join both read it. */
@@ -234,6 +228,12 @@ object DedupQueries {
       .localCheckpoint(false) // read by the line stage AND the final join
   }
 
+  /** Curation stages over ARRIVED markup `(doc_id, html)`: HTML
+    * boilerplate extraction → rule filter (length / language / stopword
+    * density) → line-level dedup over the surviving extracted text (cheap
+    * map stages first, the one corpus-wide aggregation last — the real
+    * order) → keep verdict (filter-kept AND < half the lines
+    * corpus-common). The Spark half of [[CurateChainOracleSql]]. */
   private def curateFromMarkup(
       html: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val filtered = curateFiltered(html)

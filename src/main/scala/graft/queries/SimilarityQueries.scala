@@ -263,9 +263,14 @@ object SimilarityQueries {
           SimilarityOps.topKExact(tr(d), tr(d).filter(col("vec_id") < NQ),
             "vec_id", "embedding", K))
         .withColumn("method", lit(s"matryoshka_$d"))
-      row(32).unionAll(row(16))
+      // eager 2-row materialization so the pinned exact table can be
+      // dropped before the result leaves the closure (no leaked blocks)
+      val out = row(32).unionAll(row(16))
         .select(col("method"), col("n_exact"), col("n_found"), col("recall"))
         .orderBy("method")
+        .localCheckpoint()
+      exact.unpersist()
+      out
     },
 
     // INT8-QUANTIZED top-5 (SimilarityOps.topKQuantized): unit-normalize,
