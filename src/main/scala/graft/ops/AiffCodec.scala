@@ -96,6 +96,9 @@ object AiffCodec {
     require(tag(0) == "FORM", "not an AIFF payload")
     val formLen = u32(4)
     require(12 + formLen - 4 <= payload.length, "aiff: FORM size overruns stream")
+    // family-wide every-byte-accounted rule (tar/WARC/PNM/gzip): bytes
+    // trailing the FORM chunk are corruption, not padding
+    require(8 + formLen == payload.length, "aiff: trailing bytes after FORM chunk")
     require(tag(8) == "AIFF", s"aiff: bad form type '${tag(8)}'")
     var pos = 12
     val end = (8 + formLen).toInt

@@ -106,7 +106,12 @@ object Mp3Codec {
       val kbps = BitrateKbps(bIdx)
       val rate = SampleRates(rIdx)
       if (nFrames == 0) { kbps0 = kbps; rate0 = rate }
-      else require(rate == rate0, "mp3: sample-rate change mid-stream not implemented")
+      else {
+        require(rate == rate0, "mp3: sample-rate change mid-stream not implemented")
+        // a VBR stream summarized by its first frame's kbps would be
+        // mis-reported as CBR — reject per the strict-subset stance
+        require(kbps == kbps0, "mp3: bitrate change mid-stream not implemented")
+      }
       val len = frameLen(kbps, rate, padding)
       require(pos + len <= payload.length, s"mp3: frame at $pos overruns the stream")
       pos += len

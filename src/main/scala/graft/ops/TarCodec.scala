@@ -24,6 +24,9 @@ object TarCodec {
   /** Serialize one entry (header block + zero-padded data blocks). */
   def entry(name: String, typeflag: Char, data: Array[Byte]): Array[Byte] = {
     require(name.length <= 100, s"tar: name too long (${name.length})")
+    // a directory entry with data would silently drop it (size written 0,
+    // no data blocks) — never-silently-drop, so reject at build time
+    require(typeflag != '5' || data.isEmpty, "tar: directory entry cannot carry data")
     val hdr = new Array[Byte](BlockSize)
     def put(at: Int, s: String): Unit = {
       val bs = s.getBytes(ISO_8859_1)

@@ -40,6 +40,98 @@ object UrlOps {
   def host(url: Column): Column = regexp_extract(url, UrlRe, 1)
   def path(url: Column): Column = regexp_extract(url, UrlRe, 2)
 
+  // ---------------------------------------------------------------- canon
+
+  /** Full URL split for canonicalization (fragment already stripped):
+    * 1 scheme, 2 host, 3 ":port" (or ""), 4 path (or ""), 5 "?query"
+    * (or ""). Java∩RE2 common subset so DuckDB replays it verbatim. */
+  val UrlFullRe =
+    "^([A-Za-z][A-Za-z0-9+.-]*)://([^/:?#]+)(:[0-9]+)?(/[^?#]*)?(\\?[^#]*)?"
+
+  /** Query parameters dropped by canonicalization: the analytics
+    * decorations that alias one resource into many spellings. */
+  val TrackingParams: Seq[String] = Seq("fbclid", "gclid", "ref")
+  val TrackingPrefix = "utm_"
+
+  /** Percent-decode UNRESERVED octets only (RFC 3986 §2.3 / §6.2.2):
+    * "%70" → "p"; reserved or non-ASCII octets keep their escape with the
+    * hex uppercased (§6.2.2.1). Strict subset: escapes are assumed
+    * well-formed two-hex-digit (the fixture's are; a crawl frontier runs
+    * a validity filter before canonicalization). */
+  def pctDecodeUnreserved(s: Column): Column = {
+    val parts = split(s, "%", -1)
+    aggregate(
+      slice(parts, lit(2), size(parts) - 1),
+      element_at(parts, 1),
+      (acc, p) => {
+        val hex = upper(substring(p, 1, 2))
+        val ch = decode(unhex(hex), "UTF-8")
+        concat(acc,
+          when(ch.rlike("^[A-Za-z0-9._~-]$"), ch)
+            .otherwise(concat(lit("%"), hex)),
+          substring(p, 3, Int.MaxValue))
+      })
+  }
+
+  /** RFC 3986 §6 syntax-based normalization, the stage BEFORE any
+    * domain-keyed dedup/quota — without it one resource under two
+    * spellings double-counts (r15 verdict gap #6). The chain (replayed
+    * verbatim by the DuckDB oracle): strip fragment; lowercase scheme +
+    * host (§6.2.2.1); drop the scheme-default port (:80/http, :443/https,
+    * §6.2.3); percent-decode unreserved octets in the path, uppercasing
+    * kept escapes; empty path → "/"; drop tracking params
+    * ([[TrackingParams]] + utm_*) and SORT the survivors (one key order —
+    * beyond RFC 3986 but standard crawl-frontier practice, e.g. Apache
+    * Nutch's urlnormalizer); empty query → no "?". Pure map-side —
+    * nothing shuffles, canonicalization cost is one projection at scan
+    * time even at 100 TB. */
+  def canonicalize(url: Column): Column = {
+    val u = element_at(split(url, "#", 2), 1)
+    val scheme = lower(regexp_extract(u, UrlFullRe, 1))
+    val hostL = lower(regexp_extract(u, UrlFullRe, 2))
+    val port = regexp_extract(u, UrlFullRe, 3)
+    val rawPath = regexp_extract(u, UrlFullRe, 4)
+    val rawQ = regexp_extract(u, UrlFullRe, 5)
+    val portC = when(
+      (scheme === "https" && port === ":443") ||
+        (scheme === "http" && port === ":80"), lit(""))
+      .otherwise(port)
+    val pathC = pctDecodeUnreserved(
+      when(rawPath === "", lit("/")).otherwise(rawPath))
+    val kept = filter(split(substring(rawQ, 2, Int.MaxValue), "&", -1), p => {
+      val name = element_at(split(p, "=", 2), 1)
+      !(name.startsWith(TrackingPrefix) ||
+        name.isin(TrackingParams.map(x => x: Any): _*))
+    })
+    val qC = when(rawQ === "" || size(kept) === 0, lit(""))
+      .otherwise(concat(lit("?"), array_join(array_sort(kept), "&")))
+    concat(scheme, lit("://"), hostL, portC, pathC, qC)
+  }
+
+  /** [[urlFixture]] with PLANTED SPELLING VARIANTS of the same resources
+    * (doc_id % 6 picks one): upper-cased scheme+host with default port
+    * and a tracking query, already-canonical, %-encoded path with :443,
+    * mixed-case host with an unsorted query, tracking params interleaved
+    * with real ones, fragment-only. [[canonicalize]] must collapse every
+    * variant to one spelling — the domain-quota fixture, so the quota
+    * genuinely sees one domain per (d0/dK), not a case-split of it. */
+  def urlVariantFixture(docId: Column): Column = {
+    val dPart = when(pmod(docId, lit(3)) === 0, lit("d0"))
+      .otherwise(concat(lit("d"), pmod(docId, lit(23)).cast("string")))
+    val hostLc = concat(dPart, lit(".example.com"))
+    val hostUc = concat(upper(dPart), lit(".EXAMPLE.COM"))
+    val hostMc = concat(dPart, lit(".Example.COM"))
+    val p = concat(lit("/p/"), docId.cast("string"))
+    val pEnc = concat(lit("/%70/"), docId.cast("string"))
+    val v = pmod(docId, lit(6))
+    when(v === 0, concat(lit("HTTPS://"), hostUc, lit(":443"), p, lit("?utm_source=x#top")))
+      .when(v === 1, concat(lit("https://"), hostLc, p))
+      .when(v === 2, concat(lit("https://"), hostLc, lit(":443"), pEnc))
+      .when(v === 3, concat(lit("https://"), hostMc, p, lit("?b=2&a=1")))
+      .when(v === 4, concat(lit("https://"), hostLc, p, lit("?a=1&utm_campaign=z&b=2")))
+      .otherwise(concat(lit("https://"), hostLc, p, lit("#frag")))
+  }
+
   /** Top-Q-per-domain quota (lowest `idCol` wins — deterministic), salted
     * two-stage as per the object scaladoc. Returns every input row with
     * `rk` (1-based rank for kept rows, 0 otherwise) and `kept`. */

@@ -9,6 +9,59 @@ import graft.tables.Tables
   * oracle whenever the computation is portable SQL. */
 object PipelineQueries {
 
+  /** Oracle CTEs `u(doc_id, url)` → `cu(doc_id, url, curl)`: the
+    * spelling-variant URL fixture ([[graft.ops.UrlOps.urlVariantFixture]])
+    * and its RFC 3986 §6 canonicalization, replayed stage-for-stage in
+    * DuckDB (same regex — Java∩RE2 subset — same percent-decode fold,
+    * same tracking-param filter + sort). Shared by `text_url_canonical`
+    * and the canonical-domain quota. */
+  private[queries] val UrlCanonCtes: String = {
+    val re = graft.ops.UrlOps.UrlFullRe // \? survives into the SQL literal
+    val fixture =
+      """CASE CAST(doc_id % 6 AS INTEGER)
+        |  WHEN 0 THEN 'HTTPS://' || upper(dp) || '.EXAMPLE.COM:443/p/' || ds || '?utm_source=x#top'
+        |  WHEN 1 THEN 'https://' || dp || '.example.com/p/' || ds
+        |  WHEN 2 THEN 'https://' || dp || '.example.com:443/%70/' || ds
+        |  WHEN 3 THEN 'https://' || dp || '.Example.COM/p/' || ds || '?b=2&a=1'
+        |  WHEN 4 THEN 'https://' || dp || '.example.com/p/' || ds || '?a=1&utm_campaign=z&b=2'
+        |  ELSE 'https://' || dp || '.example.com/p/' || ds || '#frag'
+        |END""".stripMargin
+    val pct =
+      """list_reduce(list_prepend(string_split(pp, '%')[1],
+        |  list_transform(string_split(pp, '%')[2:], s ->
+        |    CASE WHEN regexp_matches(decode(unhex(upper(substr(s, 1, 2)))),
+        |                             '^[A-Za-z0-9._~-]$')
+        |         THEN decode(unhex(upper(substr(s, 1, 2)))) || substr(s, 3)
+        |         ELSE '%' || upper(substr(s, 1, 2)) || substr(s, 3) END)),
+        |  (a, b) -> a || b)""".stripMargin
+    s"""u AS (SELECT doc_id, $fixture AS url
+       |      FROM (SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds,
+       |              CASE WHEN doc_id % 3 = 0 THEN 'd0'
+       |                   ELSE 'd' || CAST(doc_id % 23 AS VARCHAR) END AS dp
+       |            FROM documents)),
+       |uparts AS (SELECT doc_id, url,
+       |    lower(regexp_extract(uf, '$re', 1)) AS sch,
+       |    lower(regexp_extract(uf, '$re', 2)) AS hostl,
+       |    regexp_extract(uf, '$re', 3) AS port,
+       |    CASE WHEN regexp_extract(uf, '$re', 4) = '' THEN '/'
+       |         ELSE regexp_extract(uf, '$re', 4) END AS pp,
+       |    regexp_extract(uf, '$re', 5) AS rawq
+       |  FROM (SELECT doc_id, url, string_split(url, '#')[1] AS uf FROM u)),
+       |uq AS (SELECT doc_id, url, sch, hostl, pp, rawq,
+       |    CASE WHEN (sch = 'https' AND port = ':443')
+       |           OR (sch = 'http' AND port = ':80') THEN '' ELSE port END AS portc,
+       |    list_sort(list_filter(string_split(substr(rawq, 2), '&'), s ->
+       |      NOT (starts_with(string_split(s, '=')[1], 'utm_') OR
+       |           list_contains(['fbclid', 'gclid', 'ref'],
+       |                         string_split(s, '=')[1])))) AS keptq
+       |  FROM uparts),
+       |cu AS (SELECT doc_id, url,
+       |    sch || '://' || hostl || portc || $pct ||
+       |    CASE WHEN rawq = '' OR len(keptq) = 0 THEN ''
+       |         ELSE '?' || array_to_string(keptq, '&') END AS curl
+       |  FROM uq)""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact deduplication: hash-groupBy on content; keep the lowest doc_id
@@ -80,24 +133,55 @@ object PipelineQueries {
     // the gate proves the bounded plan EQUALS the naive semantics. The
     // planted d0 holds ~1/3 of the corpus, so both the quota and the
     // skew path genuinely bite.
-    QueryDef.withOracle("pipeline_domain_quota", {
-      val domain = "CASE WHEN doc_id % 3 = 0 THEN 'd0' " +
-        "ELSE 'd' || CAST(doc_id % 23 AS VARCHAR) END || '.example.com'"
-      s"""WITH u AS (SELECT doc_id, $domain AS domain FROM documents),
+    // r16: the quota now runs over CANONICALIZED URLs (r15 verdict gap
+    // #6): the fixture plants case/port/escape spelling VARIANTS of the
+    // same domains, so without the RFC 3986 normalization d0 would split
+    // into D0/d0 spellings and the quota would double-admit the hot
+    // domain. The oracle replays fixture + canonicalization + the naive
+    // global rank.
+    QueryDef.withOracle("pipeline_domain_quota",
+      s"""WITH $UrlCanonCtes,
+         |h AS (SELECT doc_id,
+         |        regexp_extract(curl, '${graft.ops.UrlOps.UrlRe}', 1) AS domain
+         |      FROM cu),
          |r AS (SELECT doc_id, domain,
          |        row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
-         |      FROM u)
+         |      FROM h)
          |SELECT doc_id, domain,
          |  CAST(CASE WHEN rk <= 10 THEN rk ELSE 0 END AS BIGINT) AS rk,
          |  rk <= 10 AS kept
-         |FROM r ORDER BY doc_id""".stripMargin
-    }) { (s, dir) =>
+         |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import graft.ops.UrlOps
       val withDomain = Tables(s, dir, "documents")
-        .select(col("doc_id"), UrlOps.urlFixture(col("doc_id")).as("url"))
         .select(col("doc_id"),
-          UrlOps.host(col("url")).as("domain"))
+          UrlOps.canonicalize(UrlOps.urlVariantFixture(col("doc_id"))).as("curl"))
+        .select(col("doc_id"),
+          UrlOps.host(col("curl")).as("domain"))
       UrlOps.domainQuota(withDomain, "doc_id", "domain", quota = 10, salts = 8)
+        .orderBy("doc_id")
+    },
+
+    // URL CANONICALIZATION (RFC 3986 §6 syntax normalization — the stage
+    // BEFORE any domain-keyed dedup/quota, without which one resource
+    // under two spellings double-counts): lowercase scheme/host, drop
+    // default ports, percent-decode unreserved path octets (uppercase the
+    // kept escapes), strip fragments and tracking params, sort surviving
+    // query keys. Fixture plants all six spelling variants; the oracle
+    // replays every stage character-for-character (same regex, same
+    // percent-decode fold, same filter + sort), so one mis-normalized
+    // octet anywhere breaks the value gate.
+    QueryDef.withOracle("text_url_canonical",
+      s"""WITH $UrlCanonCtes
+         |SELECT doc_id, url, curl,
+         |  regexp_extract(curl, '${graft.ops.UrlOps.UrlRe}', 1) AS domain
+         |FROM cu ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.ops.UrlOps
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), UrlOps.urlVariantFixture(col("doc_id")).as("url"))
+        .select(col("doc_id"), col("url"),
+          UrlOps.canonicalize(col("url")).as("curl"))
+        .select(col("doc_id"), col("url"), col("curl"),
+          UrlOps.host(col("curl")).as("domain"))
         .orderBy("doc_id")
     },
 

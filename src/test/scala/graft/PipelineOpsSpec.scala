@@ -445,23 +445,27 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(wp == bf)
   }
 
-  test("pair-core pins are cluster-safe: DISK_ONLY persist, lineage retained") {
+  test("pair-core pins are cluster-safe: evictable persist, lineage retained") {
     // VERDICT r14 watch item #2: localCheckpoint stores unreplicated
     // executor blocks and truncates lineage — one lost node kills the job.
-    // The pair cores must pin with persist(DISK_ONLY): lineage stays rooted
-    // at the source, a lost block recomputes.
+    // The pair cores must pin with persist: lineage stays rooted at the
+    // source, a lost block recomputes. r15 verdict watch item #1: the
+    // level is MEMORY_AND_DISK (not DISK_ONLY) so small pinned sets skip
+    // the disk round-trip while corpus-scale ones are evicted to disk by
+    // the unified memory manager — see DedupOps.pin's scaladoc.
     import org.apache.spark.storage.StorageLevel
     val sh = DedupOps.shingleSets(docs, "doc_id", "text", 3)
     sh.count()
-    assert(sh.storageLevel == StorageLevel.DISK_ONLY,
-      s"shingleSets pin must be DISK_ONLY persist, got ${sh.storageLevel}")
+    assert(sh.storageLevel == StorageLevel.MEMORY_AND_DISK,
+      s"shingleSets pin must be MEMORY_AND_DISK persist, got ${sh.storageLevel}")
+    assert(sh.storageLevel.useDisk, "pin must be able to evict to disk")
     // lineage retained: the logical plan still roots at the LocalRelation
     // source, not at a checkpoint-scan of pre-materialized blocks
     assert(!sh.queryExecution.analyzed.toString.contains("LogicalRDD"),
       "pin must not truncate lineage (LogicalRDD means checkpoint semantics)")
     val ps = DedupOps.positionalShingles(docs, "doc_id", "text", 3)
     ps.count()
-    assert(ps.storageLevel == StorageLevel.DISK_ONLY)
+    assert(ps.storageLevel == StorageLevel.MEMORY_AND_DISK)
     assert(!ps.queryExecution.analyzed.toString.contains("LogicalRDD"))
     sh.unpersist(); ps.unpersist()
   }
@@ -2213,6 +2217,8 @@ class PipelineOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](AiffCodec.decode(badForm))
     intercept[IllegalArgumentException]( // truncated SSND
       AiffCodec.decode(enc.dropRight(10)))
+    intercept[IllegalArgumentException]( // bytes trailing the FORM chunk
+      AiffCodec.decode(enc ++ Array[Byte](0)))
   }
 
   test("sniff: magic bytes identify all ten families; unknown magic throws") {
@@ -2339,6 +2345,9 @@ class PipelineOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Mp3Codec.scan(badId3))
     intercept[IllegalArgumentException](
       Mp3Codec.scan(enc ++ Array[Byte](1, 2)))
+    intercept[IllegalArgumentException]( // VBR: bitrate change mid-stream
+      Mp3Codec.scan(Mp3Codec.encode(128, 44100, 1, _ => 0) ++
+        Mp3Codec.encode(192, 44100, 1, _ => 0)))
   }
 
   test("TiffCodec: PackBits round trip, IFD walk, both byte paths, loud failures") {
@@ -2664,6 +2673,8 @@ class PipelineOpsSpec extends SparkTestBase {
     val badOctal = arch.clone()
     badOctal(124) = '9'.toByte // 9 is not octal
     intercept[IllegalArgumentException](TarCodec.readEntries(badOctal))
+    intercept[IllegalArgumentException]( // dir entry would drop its data
+      TarCodec.entry("d/", '5', "x".getBytes(utf8)))
   }
 
   test("tarTexts: entry-order concatenation and sidecar filtering, 4-doc corpus") {
