@@ -2725,6 +2725,40 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(kept == 3L)
   }
 
+  test("UrlOps.canonicalize: spelling variants collapse, non-variants survive") {
+    import spark.implicits._
+    import graft.ops.UrlOps
+    def canon(urls: String*): Seq[String] =
+      urls.toDF("url").select(UrlOps.canonicalize($"url")).as[String].collect().toSeq
+    // one resource under six spellings → ONE canonical form
+    val variants = canon(
+      "HTTPS://D7.EXAMPLE.COM:443/p/7?utm_source=x#top",
+      "https://d7.example.com/p/7",
+      "https://d7.example.com:443/%70/7",
+      "https://d7.Example.COM/p/7#frag",
+      "https://d7.example.com/p/7?fbclid=abc&gclid=z&ref=rss",
+      "http://d7.example.com:443/p/7") // http: NON-default port 443 kept
+    assert(variants.take(5).distinct == Seq("https://d7.example.com/p/7"))
+    assert(variants(5) == "http://d7.example.com:443/p/7")
+    // query handling: tracking dropped, survivors sorted, empty query no '?'
+    assert(canon("https://h.co/a?b=2&a=1&utm_campaign=z") ==
+      Seq("https://h.co/a?a=1&b=2"))
+    assert(canon("http://h.co:80/a?utm_x=1") == Seq("http://h.co/a"))
+    // percent handling: unreserved decodes, reserved keeps UPPERCASED escape
+    assert(canon("https://h.co/%7Euser/%2fx") == Seq("https://h.co/~user/%2Fx"))
+    // empty path → "/", fragment-only URL
+    assert(canon("https://h.co#frag") == Seq("https://h.co/"))
+    // every fixture variant of one (doc mod) family collapses to one URL
+    val fix = spark.range(0, 600).select($"id".as("doc_id"))
+      .select(UrlOps.canonicalize(UrlOps.urlVariantFixture($"doc_id")).as("c"),
+        $"doc_id")
+    // ids 21 and 45: both %3==0 (d0) with variants 3 and 5 — same domain
+    val d0hosts = fix.filter($"doc_id" % 3 === 0)
+      .select(UrlOps.host($"c")).distinct().as[String].collect().toSeq
+    assert(d0hosts == Seq("d0.example.com"),
+      s"d0 spelling variants must collapse to one domain, got $d0hosts")
+  }
+
   test("PiiOps: category patterns, boundary trap, normative redaction order") {
     import spark.implicits._
     import graft.ops.PiiOps
