@@ -67,6 +67,7 @@ object GraftFunctions {
       args(2).eval().asInstanceOf[Number].intValue,
       args(3).eval().asInstanceOf[Number].intValue)),
     "graft_text_counts" -> (args => GraftTextCounts(args.head)),
+    "graft_nfc" -> (args => GraftNfc(args.head)),
     "graft_bpe_tokens" -> (args => GraftBpeTokens(args.head)),
     "graft_byte_bpe_ids" -> (args => GraftByteBpeIds(args.head)),
     "graft_byte_map_syms" -> (args => GraftByteMapSyms(args.head)),

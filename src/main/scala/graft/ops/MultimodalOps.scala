@@ -390,11 +390,6 @@ object MultimodalOps {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        // ASCII contract, enforced loudly like the codec fixtures: the
-        // half-split below is by UTF-16 code units and the oracle's
-        // length(text) counts codepoints — identical only below 128
-        require(text.forall(_ < 128),
-          s"warc fixture requires ASCII text (doc $id)")
         val uri = s"http://example.com/doc/$id"
         val utf8 = java.nio.charset.StandardCharsets.UTF_8
         val info = WarcCodec.record("warcinfo", s"info-$id",
@@ -410,13 +405,17 @@ object MultimodalOps {
             "WARC-Target-URI" -> s"$uri/gone"),
           WarcCodec.httpResponse(404, "Not Found", "text/plain",
             "not found".getBytes(utf8)))
-        // split the STRING (not its UTF-8 bytes): per-part encodings
-        // concatenate back to the whole encoding, and the split condition
-        // replays in DuckDB as length(text) >= 2 (character semantics)
+        // split the STRING by CODE POINTS (not its UTF-8 bytes, and not
+        // UTF-16 code units): per-part encodings concatenate back to the
+        // whole encoding, and the split condition replays in DuckDB as
+        // length(text) >= 2 — DuckDB length() counts code points, so the
+        // split point is engine-exact even for the normalization plants'
+        // non-ASCII text (r15's ASCII guard dropped; r15 verdict task 2)
+        val cps = text.codePoints.toArray
         val parts =
-          if (id % 5 == 0 && text.length >= 2) {
-            val half = text.length / 2
-            Seq(text.substring(0, half), text.substring(half))
+          if (id % 5 == 0 && cps.length >= 2) {
+            val half = cps.length / 2
+            Seq(new String(cps, 0, half), new String(cps, half, cps.length - half))
           } else Seq(text)
         val oks = parts.zipWithIndex.map { case (part, i) =>
           WarcCodec.record("response", s"resp-$id-$i",
@@ -467,13 +466,13 @@ object MultimodalOps {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        require(text.forall(_ < 128), // same ASCII contract as the WARC fixture
-          s"tar fixture requires ASCII text (doc $id)")
         val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        // code-point split, same engine-exact contract as the WARC fixture
+        val cps = text.codePoints.toArray
         val parts =
-          if (id % 4 == 0 && text.length >= 2) {
-            val half = text.length / 2
-            Seq(text.substring(0, half), text.substring(half))
+          if (id % 4 == 0 && cps.length >= 2) {
+            val half = cps.length / 2
+            Seq(new String(cps, 0, half), new String(cps, half, cps.length - half))
           } else Seq(text)
         val txts = parts.zipWithIndex.map { case (p, i) =>
           TarCodec.entry(s"docs/doc_${id}_$i.txt", '0', p.getBytes(utf8))
@@ -502,6 +501,72 @@ object MultimodalOps {
         new String(body.toByteArray,
           java.nio.charset.StandardCharsets.UTF_8))
     }.toDF("asset_id", "n_entries", "n_files", "text")
+  }
+
+  /** WET asset table — Common Crawl's PRE-EXTRACTED text sibling of the
+    * WARC fixture (r15 verdict task 8): per doc one `.wet.gz` holding a
+    * warcinfo record, the doc text as `WARC-Type: conversion` record(s)
+    * with `text/plain` bodies and NO HTTP framing (the WET difference
+    * from WARC response records), and a WAT-style `metadata` record
+    * carrying a JSON envelope that a text reader must TYPE-FILTER out
+    * (ingesting it poisons the corpus with crawl metadata). Every 6th
+    * doc's text splits across TWO conversion records (code-point split,
+    * same engine-exact contract as the WARC fixture); every record is its
+    * own gzip member (record-at-time compression). */
+  def wetAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val uri = s"http://example.com/doc/$id"
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        val info = WarcCodec.record("warcinfo", s"info-$id",
+          Seq("Content-Type" -> "application/warc-fields"),
+          "software: graft/1.0\r\nformat: WARC File Format 1.0\r\n"
+            .getBytes(utf8))
+        val meta = WarcCodec.record("metadata", s"meta-$id",
+          Seq("Content-Type" -> "application/json",
+            "WARC-Target-URI" -> uri),
+          s"""{"Envelope": {"WARC-Header-Length": "0", "doc": $id}}"""
+            .getBytes(utf8))
+        val cps = text.codePoints.toArray
+        val parts =
+          if (id % 6 == 0 && cps.length >= 2) {
+            val half = cps.length / 2
+            Seq(new String(cps, 0, half), new String(cps, half, cps.length - half))
+          } else Seq(text)
+        val convs = parts.zipWithIndex.map { case (part, i) =>
+          WarcCodec.record("conversion", s"conv-$id-$i",
+            Seq("Content-Type" -> "text/plain",
+              "WARC-Target-URI" -> uri),
+            part.getBytes(utf8))
+        }
+        val payload = GzipCodec.gzipMembers(Seq(info, meta) ++ convs)
+        MediaAsset(id, "wet.gz", payload, 0, 0, 1, 0)
+      }.toDF()
+  }
+
+  /** WET-reader map pass: gunzip all members, walk the records, keep
+    * `conversion` records and concatenate their text/plain bodies in
+    * record order — no HTTP parse (WET bodies are the text itself, which
+    * is the format's entire point: extraction already happened upstream).
+    * Returns (asset_id, n_records, n_conversions, text). */
+  def wetTexts(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.as[MediaAsset].map { a =>
+      val recs = WarcCodec.readRecords(GzipCodec.gunzip(a.payload))
+      val convs = recs.filter(_.warcType == "conversion")
+      convs.foreach { r =>
+        require(r.headers.get("content-type").contains("text/plain"),
+          s"wet: conversion record in asset ${a.asset_id} is not text/plain")
+      }
+      val body = new java.io.ByteArrayOutputStream() // linear, see warcTexts
+      convs.foreach(r => body.write(r.payload, 0, r.payload.length))
+      (a.asset_id, recs.length.toLong, convs.length.toLong,
+        new String(body.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8))
+    }.toDF("asset_id", "n_records", "n_conversions", "text")
   }
 
   /** MULTI-PAGE TIFF asset table (the scanned-document shape): per doc one

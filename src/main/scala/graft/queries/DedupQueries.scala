@@ -169,11 +169,19 @@ object DedupQueries {
        |       FROM mk GROUP BY doc_id)""".stripMargin
 
   /** Oracle SQL of the whole curation chain from the markup wrap down
-    * (extraction → rule filter → line dedup over survivors → keep).
-    * Shared VERBATIM by pipeline_curate_web and pipeline_curate_warc:
-    * both ingestion transports are lossless (proven by text_from_gzip /
-    * text_from_warc respectively), so the expected values are identical
-    * — the two queries differ only in how the markup arrives. */
+    * (normalization → extraction → rule filter → line dedup over
+    * survivors → keep). Shared VERBATIM by pipeline_curate_web and
+    * pipeline_curate_warc: both ingestion transports are lossless (proven
+    * by text_from_gzip / text_from_warc respectively), so the expected
+    * values are identical — the two queries differ only in how the markup
+    * arrives.
+    *
+    * r16: the wrapped text carries PLANTED encoding damage
+    * (OracleText.damageSql — NFD, mojibake, zero-width/control) and the
+    * chain normalizes the arrived markup BEFORE extraction
+    * (TextOps.normalizeText / its SQL replay), so the curate capstones
+    * gate the normalization stage in composition — without it the planted
+    * docs' token counts, language votes and line hashes all shift. */
   private lazy val CurateChainOracleSql: String = {
     val reason =
       s"""CASE WHEN len(${OracleText.toksSql("extracted")}) < 20 THEN 'too_short'
@@ -181,7 +189,8 @@ object DedupQueries {
          |     WHEN ${OracleText.langPredSql("extracted")} <> 'en' THEN 'non_english'
          |     WHEN ${OracleText.swRatioSql("extracted")} < 0.05 THEN 'low_stopword_density'
          |END""".stripMargin.replace("\n", " ")
-    s"""WITH ${TextQueries.HtmlExtractCtes},
+    s"""WITH ${TextQueries.htmlExtractCtesOver(
+            OracleText.damageSql("text"), normalize = true)},
        |f AS (SELECT doc_id, extracted, $reason AS reason FROM j),
        |fk AS (SELECT doc_id, extracted AS text FROM f WHERE reason IS NULL),
        |${lineCtesOver("fk", "text")},
@@ -801,13 +810,18 @@ object DedupQueries {
       (s, dir) =>
       graft.functions.GraftFunctions.register(s)
       import graft.ops.{HtmlOps, MultimodalOps}
-      // stage 1: compressed markup lands as multi-member gzip, gunzips
+      // stage 1: compressed markup (wrapping encoding-DAMAGED text — NFD /
+      // mojibake / zero-width plants) lands as multi-member gzip, gunzips;
+      // stage 2 (r16): normalize the arrived markup BEFORE extraction
       curateFromMarkup(MultimodalOps.gunzipText(
           MultimodalOps.gzipAssetsFromDocuments(
             Tables(s, dir, "documents")
               .select(col("doc_id"),
-                HtmlOps.htmlFixture(col("doc_id"), col("text")).as("text"))))
-        .select(col("asset_id").as("doc_id"), col("text").as("html")))
+                HtmlOps.htmlFixture(col("doc_id"),
+                  graft.ops.TextOps.damageFixture(col("doc_id"), col("text")))
+                  .as("text"))))
+        .select(col("asset_id").as("doc_id"),
+          graft.ops.TextOps.normalizeText(col("text")).as("html")))
     },
 
     // The SAME curation chain fed by the REAL crawl container: per doc a
@@ -825,8 +839,11 @@ object DedupQueries {
           MultimodalOps.warcAssetsFromDocuments(
             Tables(s, dir, "documents")
               .select(col("doc_id"),
-                HtmlOps.htmlFixture(col("doc_id"), col("text")).as("text"))))
-        .select(col("asset_id").as("doc_id"), col("text").as("html")))
+                HtmlOps.htmlFixture(col("doc_id"),
+                  graft.ops.TextOps.damageFixture(col("doc_id"), col("text")))
+                  .as("text"))))
+        .select(col("asset_id").as("doc_id"),
+          graft.ops.TextOps.normalizeText(col("text")).as("html")))
     },
 
     // WINNOWING fingerprints (Schleimer/MOSS): per-window minima over the

@@ -15,8 +15,15 @@ object TextQueries {
   /** CTE chain ending in `j(doc_id, n_blocks, n_kept, extracted)` — the
     * HTML fixture wrap + the full extraction stack (mirrors ops/HtmlOps
     * stage for stage). ONE definition shared by text_extract_html and the
-    * composed curation query, so the two can never drift. */
-  private[queries] val HtmlExtractCtes: String = {
+    * composed curation queries, so they can never drift.
+    *
+    * `textE` is the text expression the markup wraps (the curate
+    * capstones wrap encoding-DAMAGED text, OracleText.damageSql);
+    * `normalize` inserts the TextOps.normalizeText replay between arrival
+    * and extraction — the r16 curate-chain order: transport → normalize →
+    * extract. */
+  private[queries] def htmlExtractCtesOver(
+      textE: String, normalize: Boolean): String = {
     def tagless(e: String) = s"regexp_replace($e, '${HtmlOps.TagRe}', '', 'g')"
     val linkTxt = "list_reduce(list_prepend('', " +
       s"list_transform(regexp_extract_all(x, '${HtmlOps.LinkRe}'), " +
@@ -31,17 +38,19 @@ object TextQueries {
     // no line may begin with '|' after whitespace — concatenation
     // operators sit at line ends (a leading '||' would lose its first
     // pipe to the OUTER stripMargin and bind as bitwise-or)
-    s"""h AS (SELECT doc_id,
+    val arrived = if (normalize) OracleText.normalizeSql("html0") else "html0"
+    s"""h0 AS (SELECT doc_id,
        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
        |    '</title><style>body { color: #fff; }</style><script>var x = 1 < 2; track(' ||
        |    CAST(doc_id AS VARCHAR) ||
        |    ');</script></head><body><div id="nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></div><p>' ||
-       |    text ||
+       |    ($textE) ||
        |    ' <a href="/ref">ref</a></p><li><a href="/x">more links</a> <a href="/y">other pages</a></li><p>short &amp; sweet ' ||
        |    CAST(doc_id % 7 AS VARCHAR) ||
        |    '</p><!-- generated page ' || CAST(doc_id AS VARCHAR) ||
        |    ' --><footer><a href="/tos">Terms</a> | <a href="/privacy">Privacy</a></footer></body></html>'
-       |    AS html FROM documents),
+       |    AS html0 FROM documents),
+       |h AS (SELECT doc_id, $arrived AS html FROM h0),
        |b AS (SELECT doc_id,
        |        regexp_extract_all(regexp_replace(html, '${HtmlOps.StripRe}', '', 'g'),
        |          '${HtmlOps.BlockRe}') AS blocks
@@ -56,6 +65,11 @@ object TextQueries {
        |        trim(regexp_replace($decoded, '${HtmlOps.WsRe}', ' ', 'g')) AS extracted
        |      FROM k)""".stripMargin
   }
+
+  /** The clean-text, no-normalization instance (text_extract_html and the
+    * build_train capstone, whose transport fixtures stay byte-clean). */
+  private[queries] val HtmlExtractCtes: String =
+    htmlExtractCtesOver("text", normalize = false)
 
   /** "Curated" source whitelist for the quality-classifier label (the
     * wiki-vs-crawl split of the reference-corpus training recipe).
@@ -330,6 +344,41 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // UNICODE NORMALIZATION + ENCODING REPAIR (the stage every real
+    // pipeline runs before tokenization — r15 verdict gap #2): fixture
+    // plants NFD decomposition, UTF-8-as-Latin-1 mojibake, and zero-
+    // width/control garbage on docs %4=0/1/2 (%4=3 stays clean, gating
+    // the identity path). The chain — derived repair table, NFC
+    // (native graft_nfc / DuckDB nfc_normalize, both UAX #15), control
+    // strip — replays verbatim; head40 pins the repaired characters
+    // themselves, n_chars both sides of the repair, tokens/fp the
+    // downstream composition.
+    QueryDef.withOracle("text_normalize",
+      s"""WITH raw AS (SELECT doc_id, ${OracleText.damageSql("text")} AS raw
+         |             FROM documents),
+         |nrm AS (SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_raw,
+         |          ${OracleText.normalizeSql("raw")} AS norm FROM raw)
+         |SELECT doc_id, n_raw, CAST(length(norm) AS BIGINT) AS n_norm,
+         |  substr(norm, 1, 40) AS head40,
+         |  CAST(len(${OracleText.toksSql("norm")}) AS BIGINT) AS n_tokens,
+         |  ${OracleText.fingerprintSql("norm")} AS fp
+         |FROM nrm ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.damageFixture(col("doc_id"), col("text")).as("raw"))
+        .select(col("doc_id"), length(col("raw")).cast("long").as("n_raw"),
+          TextOps.normalizeText(col("raw")).as("norm"))
+        .select(col("doc_id"), col("n_raw"),
+          length(col("norm")).cast("long").as("n_norm"),
+          substring(col("norm"), 1, 40).as("head40"),
+          TextOps.tokens(col("norm")).as("_t"))
+        .select(col("doc_id"), col("n_raw"), col("n_norm"), col("head40"),
+          size(col("_t")).cast("long").as("n_tokens"),
+          TextOps.fingerprint(col("_t")).as("fp"))
+        .orderBy("doc_id")
+    },
+
     // GZIP INGESTION (how crawl text actually arrives — WARC/WET files
     // are multi-member gzip): every doc gzipped (every 3rd as TWO
     // concatenated members — a first-member-only reader truncates, which
@@ -384,6 +433,37 @@ object TextQueries {
           length(col("text")).cast("long").as("n_chars"),
           TextOps.tokens(col("text")).as("_t"))
         .select(col("asset_id"), col("n_records"), col("n_responses"),
+          col("n_chars"),
+          size(col("_t")).cast("long").as("n_tokens"),
+          TextOps.fingerprint(col("_t")).as("fp"))
+        .orderBy("asset_id")
+    },
+
+    // WET INGESTION (Common Crawl's PRE-EXTRACTED text format): per doc a
+    // .wet.gz of warcinfo + a WAT-style metadata record (JSON envelope
+    // the reader must TYPE-FILTER out) + the text as conversion
+    // record(s) with text/plain bodies and NO HTTP framing — every 6th
+    // doc splits across two conversions whose record order carries the
+    // concatenation. Same losslessness contract as text_from_warc; the
+    // record counts are fixture arithmetic.
+    QueryDef.withOracle("text_from_wet",
+      s"""SELECT doc_id AS asset_id,
+         |  CAST(3 + CASE WHEN doc_id % 6 = 0 AND length(text) >= 2
+         |           THEN 1 ELSE 0 END AS BIGINT) AS n_records,
+         |  CAST(1 + CASE WHEN doc_id % 6 = 0 AND length(text) >= 2
+         |           THEN 1 ELSE 0 END AS BIGINT) AS n_conversions,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len($TOKS) AS BIGINT) AS n_tokens,
+         |  $FINGERPRINT AS fp
+         |FROM documents ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      graft.ops.MultimodalOps.wetTexts(
+        graft.ops.MultimodalOps.wetAssetsFromDocuments(
+          Tables(s, dir, "documents")))
+        .select(col("asset_id"), col("n_records"), col("n_conversions"),
+          length(col("text")).cast("long").as("n_chars"),
+          TextOps.tokens(col("text")).as("_t"))
+        .select(col("asset_id"), col("n_records"), col("n_conversions"),
           col("n_chars"),
           size(col("_t")).cast("long").as("n_tokens"),
           TextOps.fingerprint(col("_t")).as("fp"))
@@ -1359,6 +1439,43 @@ object TextQueries {
 object OracleText {
   /** Lowercase word tokens. */
   val TOKS = "regexp_extract_all(lower(text), '[a-z]+')"
+
+  /** A Scala string as a pure-ASCII DuckDB expression: printable-ASCII
+    * runs become quoted literals, everything else `chr(codepoint)` —
+    * keeps oracle_sql.json ASCII-clean no matter what damage the
+    * normalization fixtures plant. */
+  def chrSql(s: String): String = {
+    if (s.isEmpty) return "''"
+    val parts = Seq.newBuilder[String]
+    val run = new StringBuilder
+    def flush(): Unit =
+      if (run.nonEmpty) { parts += s"'${run.toString.replace("'", "''")}'"; run.clear() }
+    s.codePoints().toArray.foreach { c =>
+      if (c >= 0x20 && c < 0x7f) run.append(c.toChar)
+      else { flush(); parts += s"chr($c)" }
+    }
+    flush()
+    val ps = parts.result()
+    if (ps.length == 1) ps.head else ps.mkString("(", " || ", ")")
+  }
+
+  /** TextOps.normalizeText replayed in DuckDB: the same repair chain
+    * (entries rendered via [[chrSql]]), `nfc_normalize` (UAX #15, same
+    * form as graft_nfc), the same strip class with the 'g' flag. */
+  def normalizeSql(e: String): String = {
+    val repaired = TextOps.MojibakeRepairs.foldLeft(e) { case (acc, (m, f)) =>
+      s"replace($acc, ${chrSql(m)}, ${chrSql(f)})"
+    }
+    s"regexp_replace(nfc_normalize($repaired), '${TextOps.StripClassRe}', '', 'g')"
+  }
+
+  /** TextOps.damageFixture replayed in DuckDB over a text expression. */
+  def damageSql(textE: String): String =
+    s"CASE CAST(doc_id % 4 AS INTEGER)" +
+      s" WHEN 0 THEN ${chrSql(TextOps.DamageNfd)} || $textE" +
+      s" WHEN 1 THEN ${chrSql(TextOps.DamageMojibake)} || $textE" +
+      s" WHEN 2 THEN ${chrSql(TextOps.DamageZw)} || $textE" +
+      s" ELSE $textE END"
 
   /** Polynomial char hash of one token `t` (mirrors TextOps.polyHash),
     * parameterized on the prime so both streams of the packed double-prime

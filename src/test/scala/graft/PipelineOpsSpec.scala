@@ -2759,6 +2759,82 @@ class PipelineOpsSpec extends SparkTestBase {
       s"d0 spelling variants must collapse to one domain, got $d0hosts")
   }
 
+  test("TextOps.normalizeText: NFD composes, mojibake repairs, controls strip") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    graft.functions.GraftFunctions.register(spark)
+    def norm(ss: String*): Seq[String] =
+      ss.toDF("t").select(TextOps.normalizeText($"t")).as[String].collect().toSeq
+    // the three planted damage classes repair to the same clean form
+    assert(norm(TextOps.DamageNfd) == Seq("Café du Monde "))
+    assert(norm(TextOps.DamageMojibake) ==
+      Seq("Café àçöü — ’ "))
+    assert(norm(TextOps.DamageZw) == Seq("abcd "))
+    // NFD == mojibake == clean NFC after normalization (the dedup-facing
+    // property: one resource, one byte string)
+    assert(norm("Café", new String("Café".getBytes("UTF-8"), "ISO-8859-1"),
+      "Café").distinct.size == 1)
+    // clean ASCII is untouched (incl. \t and \n, which are NOT stripped)
+    val clean = "plain text\twith tabs\nand lines"
+    assert(norm(clean) == Seq(clean))
+    // idempotent: normalize ∘ normalize == normalize
+    val damaged = TextOps.DamageNfd + TextOps.DamageMojibake + TextOps.DamageZw
+    val once = norm(damaged).head
+    assert(norm(once) == Seq(once))
+    // C1 controls that are NOT part of a repair digraph are stripped
+    assert(norm("xyz") == Seq("xyz"))
+    // the repair table is derived, not typed: spot-check one derivation
+    assert(TextOps.MojibakeRepairs.toMap.apply(new String(
+      "’".getBytes("UTF-8"), "ISO-8859-1")) == "’")
+  }
+
+  test("warc/tar transports carry non-ASCII text whole (code-point split)") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    // ids %5==0 / %4==0 force the two-part split; the text's combining
+    // mark and multi-byte chars must survive splitting + reassembly
+    val txt = "Café é— naïve résumé end"
+    val docs = Seq((0L, txt), (5L, txt), (4L, txt)).toDF("doc_id", "text")
+    val viaWarc = MultimodalOps.warcTexts(
+        MultimodalOps.warcAssetsFromDocuments(docs))
+      .select($"asset_id", $"text").as[(Long, String)].collect().toMap
+    assert(viaWarc(0L) == txt && viaWarc(5L) == txt)
+    val viaTar = MultimodalOps.tarTexts(
+        MultimodalOps.tarAssetsFromDocuments(docs))
+      .select($"asset_id", $"text").as[(Long, String)].collect().toMap
+    assert(viaTar(0L) == txt && viaTar(4L) == txt)
+  }
+
+  test("wetTexts: conversion-record concat, metadata type-filter, loud failures") {
+    import spark.implicits._
+    import graft.ops.{GzipCodec, MultimodalOps, WarcCodec}
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"), // %6=0: split across two conversions
+      (1L, "epsilon zeta"),
+      (6L, "eta theta iota"),         // %6=0: split
+      (7L, "")                        // empty doc: single empty conversion
+    ).toDF("doc_id", "text")
+    val got = MultimodalOps.wetTexts(MultimodalOps.wetAssetsFromDocuments(docs))
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    Map(0L -> "alpha beta gamma delta", 1L -> "epsilon zeta",
+      6L -> "eta theta iota", 7L -> "").foreach { case (id, text) =>
+      val (_, nRec, nConv, out) = got(id)
+      assert(out == text, s"doc $id text must survive the WET transport whole")
+      val split = if (id % 6 == 0 && text.length >= 2) 1 else 0
+      assert((nRec, nConv) == ((3L + split, 1L + split)), s"doc $id counts")
+    }
+    // loud failure: a conversion record that is NOT text/plain throws
+    // (a reader that ingests mislabeled bodies corrupts the corpus)
+    val bad = GzipCodec.gzip(WarcCodec.record("conversion", "bad",
+      Seq("Content-Type" -> "application/octet-stream"),
+      "binary!".getBytes("UTF-8")))
+    val badDf = Seq(graft.ops.MediaAsset(9L, "wet.gz", bad, 0, 0, 1, 0)).toDF()
+    val e = intercept[org.apache.spark.SparkException](
+      MultimodalOps.wetTexts(badDf).collect())
+    assert(e.getMessage.contains("text/plain") ||
+      e.getCause != null && e.getCause.getMessage.contains("text/plain"))
+  }
+
   test("PiiOps: category patterns, boundary trap, normative redaction order") {
     import spark.implicits._
     import graft.ops.PiiOps
