@@ -69,6 +69,7 @@ object GraftFunctions {
     "graft_text_counts" -> (args => GraftTextCounts(args.head)),
     "graft_nfc" -> (args => GraftNfc(args.head)),
     "graft_bpe_tokens" -> (args => GraftBpeTokens(args.head)),
+    "graft_unigram_tokens" -> (args => GraftUnigramTokens(args.head)),
     "graft_byte_bpe_ids" -> (args => GraftByteBpeIds(args.head)),
     "graft_byte_map_syms" -> (args => GraftByteMapSyms(args.head)),
     "graft_shingles" -> (args =>

@@ -461,28 +461,107 @@ object MultimodalOps {
     * 4th doc split across TWO `.txt` members whose ENTRY ORDER carries
     * the concatenation — and a `.json` sidecar that a text reader must
     * name-filter out. */
+  /** The ustar archive body shared by the .tar.gz and .tar.zst fixtures:
+    * directory entry + the text as `.txt` member(s) (every 4th doc split
+    * across TWO by code points) + a `.json` sidecar to name-filter out. */
+  private def tarArchiveOf(id: Long, text: String): Array[Byte] = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    // code-point split, same engine-exact contract as the WARC fixture
+    val cps = text.codePoints.toArray
+    val parts =
+      if (id % 4 == 0 && cps.length >= 2) {
+        val half = cps.length / 2
+        Seq(new String(cps, 0, half), new String(cps, half, cps.length - half))
+      } else Seq(text)
+    val txts = parts.zipWithIndex.map { case (p, i) =>
+      TarCodec.entry(s"docs/doc_${id}_$i.txt", '0', p.getBytes(utf8))
+    }
+    val dir = TarCodec.entry("docs/", '5', Array.emptyByteArray)
+    val json = TarCodec.entry(s"docs/meta_$id.json", '0',
+      s"""{"id": $id}""".getBytes(utf8))
+    TarCodec.archive(Seq(dir) ++ txts ++ Seq(json))
+  }
+
   def tarAssetsFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        val utf8 = java.nio.charset.StandardCharsets.UTF_8
-        // code-point split, same engine-exact contract as the WARC fixture
-        val cps = text.codePoints.toArray
-        val parts =
-          if (id % 4 == 0 && cps.length >= 2) {
-            val half = cps.length / 2
-            Seq(new String(cps, 0, half), new String(cps, half, cps.length - half))
-          } else Seq(text)
-        val txts = parts.zipWithIndex.map { case (p, i) =>
-          TarCodec.entry(s"docs/doc_${id}_$i.txt", '0', p.getBytes(utf8))
-        }
-        val dir = TarCodec.entry("docs/", '5', Array.emptyByteArray)
-        val json = TarCodec.entry(s"docs/meta_$id.json", '0',
-          s"""{"id": $id}""".getBytes(utf8))
-        val payload = GzipCodec.gzip(TarCodec.archive(Seq(dir) ++ txts ++ Seq(json)))
-        MediaAsset(id, "tar.gz", payload, 0, 0, 1, 0)
+        MediaAsset(id, "tar.gz", GzipCodec.gzip(tarArchiveOf(id, text)),
+          0, 0, 1, 0)
       }.toDF()
+  }
+
+  /** `.tar.zst` asset table — the SAME archive body as
+    * [[tarAssetsFromDocuments]] but shipped through the from-scratch
+    * RFC 8878 encoder ([[graft.ops.ZstdCodec]]): one zstd frame with a
+    * content checksum per doc (how Dolma-class dumps actually arrive). */
+  def tarZstAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        MediaAsset(id, "tar.zst", ZstdCodec.zstd(tarArchiveOf(id, text)),
+          0, 0, 1, 0)
+      }.toDF()
+  }
+
+  /** Dump-reader map pass over `.tar.zst` assets: zstd-decode (checksum
+    * verified), then the same ustar walk as [[tarTexts]]. */
+  def tarZstTexts(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.as[MediaAsset].map { a =>
+      val entries = TarCodec.readEntries(ZstdCodec.decompress(a.payload))
+      val files = entries.filter(_.typeflag == '0')
+      val body = new java.io.ByteArrayOutputStream()
+      files.iterator.filter(_.name.endsWith(".txt"))
+        .foreach(e => body.write(e.data, 0, e.data.length))
+      (a.asset_id, entries.length.toLong, files.length.toLong,
+        new String(body.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8))
+    }.toDF("asset_id", "n_entries", "n_files", "text")
+  }
+
+  /** `.zst` text asset table (the .jsonl.zst dump shape, minus the JSONL
+    * framing the CSV/JSONL faces already gate): per doc the UTF-8 text as
+    * zstd frame(s) from the from-scratch encoder — every 3rd doc as TWO
+    * concatenated frames (byte-split: frames concatenate at the byte
+    * level, so a first-frame-only reader truncates — the gzip fixture's
+    * trap), every 7th doc with a skippable frame planted between them
+    * that the reader must walk over. Content checksums everywhere. */
+  def zstdAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val frames =
+          if (id % 3 == 0 && bytes.length >= 2) {
+            val half = bytes.length / 2
+            Seq(bytes.take(half), bytes.drop(half))
+          } else Seq(bytes)
+        val skip =
+          if (id % 7 == 0) ZstdCodec.skippableFrame(s"meta $id".getBytes)
+          else Array.emptyByteArray
+        val payload = ZstdCodec.zstd(frames.head) ++ skip ++
+          frames.drop(1).map(ZstdCodec.zstd)
+            .foldLeft(Array.emptyByteArray)(_ ++ _)
+        MediaAsset(id, "zst", payload, 0, 0, 1, 0)
+      }.toDF()
+  }
+
+  /** Decompressed text of zstd assets + frame accounting (the fixture
+    * pins frame and skippable counts, so a reader that stops at the first
+    * frame or chokes on a skippable fails the value gate, not silently). */
+  def zstdText(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.as[MediaAsset].map { a =>
+      val d = ZstdCodec.decode(a.payload)
+      (a.asset_id, d.nFrames.toLong, d.nSkippable.toLong,
+        new String(d.bytes, java.nio.charset.StandardCharsets.UTF_8))
+    }.toDF("asset_id", "n_frames", "n_skippable", "text")
   }
 
   /** Dump-reader map pass over tar assets: gunzip, walk the archive, keep

@@ -292,8 +292,8 @@ object ZstdCodec {
     2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1)
   private val MLDefaultNorm = Array(
     1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
-    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1,
-    -1, -1, -1, -1, -1, -1, -1, -1)
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    -1, -1, -1, -1, -1, -1, -1)
   private val OFDefaultNorm = Array(
     1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
     1, -1, -1, -1, -1, -1)
@@ -331,10 +331,10 @@ object ZstdCodec {
       if (w > 0) total += 1L << (w - 1)
     }
     if (total == 0) fail("huffman table with no symbols")
-    val tableLog = 64 - java.lang.Long.numberOfLeadingZeros(total - 1) match {
-      case 0 => 1
-      case n => n.toInt
-    }
+    // tableLog = highbit(total) + 1: the implied last weight always adds
+    // at least one share, so the full tree needs the NEXT power of two
+    // even when the transmitted total is itself a power of two
+    val tableLog = (63 - java.lang.Long.numberOfLeadingZeros(total)).toInt + 1
     if (tableLog > 11) fail(s"huffman tableLog $tableLog exceeds 11")
     val left = (1L << tableLog) - total
     // the implied LAST weight must complete the tree exactly: left must be
@@ -799,5 +799,351 @@ object ZstdCodec {
       outBuf.write(literals, litPos, literals.length - litPos)
     val blockOut = outBuf.toByteArray
     frame.write(blockOut, 0, blockOut.length)
+  }
+
+  // =================================================== encoder (fixtures)
+
+  /** FSE encode table (libzstd's FSE_buildCTable shape, built from the
+    * same [[fseSpread]] as the decoder so the two sides cannot drift). */
+  private final class FseEncTable(norm: Array[Int], val tableLog: Int) {
+    val tableSize: Int = 1 << tableLog
+    val stateTable = new Array[Int](tableSize)
+    val deltaNbBits = new Array[Int](norm.length)
+    val deltaFindState = new Array[Int](norm.length)
+    locally {
+      val spread = fseSpread(norm, tableLog)
+      val cursor = new Array[Int](norm.length)
+      var acc = 0
+      var s = 0
+      while (s < norm.length) {
+        cursor(s) = acc
+        acc += (if (norm(s) == -1) 1 else norm(s))
+        s += 1
+      }
+      var u = 0
+      while (u < tableSize) {
+        val sym = spread(u)
+        stateTable(cursor(sym)) = tableSize + u
+        cursor(sym) += 1
+        u += 1
+      }
+      var total = 0
+      s = 0
+      while (s < norm.length) {
+        norm(s) match {
+          case 0 =>
+            deltaNbBits(s) = ((tableLog + 1) << 16) - tableSize
+          case -1 | 1 =>
+            deltaNbBits(s) = (tableLog << 16) - tableSize
+            deltaFindState(s) = total - 1
+            total += 1
+          case c =>
+            val maxBitsOut = tableLog - (31 - Integer.numberOfLeadingZeros(c - 1))
+            deltaNbBits(s) = (maxBitsOut << 16) - (c << maxBitsOut)
+            deltaFindState(s) = total - c
+            total += c
+        }
+        s += 1
+      }
+    }
+  }
+
+  private final class FseEncState(t: FseEncTable) {
+    private var value = 0
+    def init(sym: Int): Unit = {
+      val nbBitsOut = (t.deltaNbBits(sym) + (1 << 15)) >> 16
+      value = t.stateTable(
+        (((nbBitsOut << 16) - t.deltaNbBits(sym)) >> nbBitsOut) +
+          t.deltaFindState(sym))
+    }
+    def encode(w: WBits, sym: Int): Unit = {
+      val nbBitsOut = (value + t.deltaNbBits(sym)) >> 16
+      w.add((value & ((1 << nbBitsOut) - 1)).toLong, nbBitsOut)
+      value = t.stateTable((value >> nbBitsOut) + t.deltaFindState(sym))
+    }
+    def flush(w: WBits): Unit =
+      w.add((value & (t.tableSize - 1)).toLong, t.tableLog)
+  }
+
+  private lazy val LLEncTable = new FseEncTable(LLDefaultNorm, LLDefaultLog)
+  private lazy val OFEncTable = new FseEncTable(OFDefaultNorm, OFDefaultLog)
+  private lazy val MLEncTable = new FseEncTable(MLDefaultNorm, MLDefaultLog)
+
+  private def llCodeOf(ll: Int): Int =
+    if (ll <= 15) ll
+    else {
+      var c = 16
+      while (c + 1 < LLBaseline.length && LLBaseline(c + 1) <= ll) c += 1
+      c
+    }
+  private def mlCodeOf(ml: Int): Int =
+    if (ml <= 34) ml - 3
+    else {
+      var c = 32
+      while (c + 1 < MLBaseline.length && MLBaseline(c + 1) <= ml) c += 1
+      c
+    }
+
+  private final case class Sequence(ll: Int, ml: Int, offset: Int)
+
+  /** Greedy hash-chain LZ77 over one block (offsets stay block-local —
+    * the decoder supports cross-block reach, the encoder doesn't need
+    * it). Min match 4 (format minimum is 3; 4 keeps the hash simple). */
+  private def findSequences(data: Array[Byte], off: Int, len: Int)
+      : (Array[Sequence], Array[Byte]) = {
+    val end = off + len
+    val table = new Array[Int](1 << 15)
+    java.util.Arrays.fill(table, -1)
+    def h4(p: Int): Int = {
+      val v = (data(p) & 0xff) | ((data(p + 1) & 0xff) << 8) |
+        ((data(p + 2) & 0xff) << 16) | ((data(p + 3) & 0xff) << 24)
+      (v * 0x9E3779B1) >>> 17
+    }
+    val seqs = Array.newBuilder[Sequence]
+    val lits = new java.io.ByteArrayOutputStream()
+    var i = off
+    var anchor = off
+    while (i + 4 <= end) {
+      val h = h4(i)
+      val cand = table(h)
+      table(h) = i
+      if (cand >= off &&
+          data(cand) == data(i) && data(cand + 1) == data(i + 1) &&
+          data(cand + 2) == data(i + 2) && data(cand + 3) == data(i + 3)) {
+        var ml = 4
+        while (i + ml < end && data(cand + ml) == data(i + ml)) ml += 1
+        lits.write(data, anchor, i - anchor)
+        seqs += Sequence(i - anchor, ml, i - cand)
+        anchor = i + ml
+        i = anchor
+      } else i += 1
+    }
+    lits.write(data, anchor, end - anchor)
+    (seqs.result(), lits.toByteArray)
+  }
+
+  /** Raw (type 0) or RLE (type 1) literals-section bytes. */
+  private def rawRleLitSection(tpe: Int, regen: Int, content: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    if (regen <= 31) out.write(tpe | (regen << 3)) // size_format 00
+    else if (regen <= 4095) { // size_format 01
+      out.write(tpe | (1 << 2) | ((regen & 0xf) << 4))
+      out.write(regen >> 4)
+    } else { // size_format 11 (20-bit)
+      out.write(tpe | (3 << 2) | ((regen & 0xf) << 4))
+      out.write((regen >> 4) & 0xff)
+      out.write(regen >> 12)
+    }
+    out.write(content, 0, content.length)
+    out.toByteArray
+  }
+
+  /** Huffman-compressed literals section (1 stream, direct weights,
+    * 3-byte sf=00 header). None when the literals don't fit the format
+    * (symbols ≥ 128 present, > 1023 bytes, degenerate histogram, depth
+    * > 11, or compression doesn't pay) — callers fall back to Raw. */
+  private def hufLitSection(lits: Array[Byte]): Option[Array[Byte]] = {
+    val n = lits.length
+    if (n < 2 || n > 1023) return None
+    val freq = new Array[Long](256)
+    lits.foreach(b => freq(b & 0xff) += 1)
+    val maxSym = freq.lastIndexWhere(_ > 0)
+    if (maxSym >= 128) return None // direct weights carry at most 128 symbols
+    val present = freq.count(_ > 0)
+    if (present < 2) return None // single-symbol: RLE literals win anyway
+    // Huffman code lengths via pairwise merge
+    final case class Node(f: Long, syms: List[Int])
+    val depth = new Array[Int](maxSym + 1)
+    var heap = scala.collection.mutable.PriorityQueue.empty[Node](
+      Ordering.by[Node, Long](_.f).reverse)
+    (0 to maxSym).foreach(s => if (freq(s) > 0) heap += Node(freq(s), List(s)))
+    while (heap.size > 1) {
+      val a = heap.dequeue(); val b = heap.dequeue()
+      (a.syms ++ b.syms).foreach(s => depth(s) += 1)
+      heap += Node(a.f + b.f, a.syms ++ b.syms)
+    }
+    val maxBits = depth.max
+    if (maxBits > 11) return None // skip the rare deep tree, use Raw
+    // weights; the LAST present symbol's weight is implied
+    val weights = (0 to maxSym).map(s =>
+      if (freq(s) == 0) 0 else maxBits + 1 - depth(s)).toArray
+    // canonical code assignment must mirror hufDecodeTable's rank layout
+    val tableLog = maxBits
+    val maxW = weights.max
+    val rankVal = new Array[Int](maxW + 2)
+    var pos = 0
+    var w = 1
+    while (w <= maxW) {
+      rankVal(w) = pos
+      var s = 0
+      while (s <= maxSym) { if (weights(s) == w) pos += 1 << (w - 1); s += 1 }
+      w += 1
+    }
+    val codes = new Array[Int](maxSym + 1)
+    val nbits = new Array[Int](maxSym + 1)
+    var s = 0
+    while (s <= maxSym) {
+      val ws = weights(s)
+      if (ws > 0) {
+        nbits(s) = tableLog + 1 - ws
+        codes(s) = rankVal(ws) >> (tableLog - nbits(s))
+        rankVal(ws) += 1 << (ws - 1)
+      }
+      s += 1
+    }
+    // weights description: direct 4-bit, excluding the last present symbol
+    val wlist = weights.take(maxSym) // symbol ids 0 .. maxSym-1
+    val desc = new java.io.ByteArrayOutputStream()
+    desc.write(127 + wlist.length)
+    var i = 0
+    while (i < wlist.length) {
+      val hi = wlist(i)
+      val lo = if (i + 1 < wlist.length) wlist(i + 1) else 0
+      desc.write((hi << 4) | lo)
+      i += 2
+    }
+    // stream: symbols encoded in REVERSE so the backward reader emits
+    // them forward
+    val wb = new WBits
+    var k = n - 1
+    while (k >= 0) {
+      val sym = lits(k) & 0xff
+      wb.add(codes(sym).toLong, nbits(sym))
+      k -= 1
+    }
+    val stream = wb.close()
+    val comp = desc.size() + stream.length
+    if (comp > 1023 || comp >= n) return None // must pay for itself
+    // 3-byte sf=00 header: byte0[7:4]=regen[3:0], byte1[5:0]=regen[9:4],
+    // byte1[7:6]=comp[1:0], byte2=comp[9:2]
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(2 | ((n & 0xf) << 4)) // type=2 Compressed, sf=00
+    out.write(((n >> 4) & 0x3f) | ((comp & 0x3) << 6))
+    out.write((comp >> 2) & 0xff)
+    val db = desc.toByteArray
+    out.write(db, 0, db.length)
+    out.write(stream, 0, stream.length)
+    Some(out.toByteArray)
+  }
+
+  /** Sequences section under the PREDEFINED FSE tables: count, modes byte
+    * (all Predefined), then the backward-read interleaved bitstream —
+    * states initialized with the LAST sequence, loop from nbSeq-2 down to
+    * 0, flush order ML/OF/LL (the reader meets LL/OF/ML first). */
+  private def seqSection(seqs: Array[Sequence]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val n = seqs.length
+    if (n == 0) { out.write(0); return out.toByteArray }
+    if (n < 128) out.write(n)
+    else if (n < 0x7f00) { out.write((n >> 8) + 128); out.write(n & 0xff) }
+    else { out.write(255); out.write((n - 0x7f00) & 0xff); out.write((n - 0x7f00) >> 8) }
+    out.write(0) // modes: LL/OF/ML all Predefined, reserved 0
+    val llc = seqs.map(s => llCodeOf(s.ll))
+    val mlc = seqs.map(s => mlCodeOf(s.ml))
+    val ofv = seqs.map(s => s.offset.toLong + 3) // never a repeat code
+    val ofc = ofv.map(v => 63 - java.lang.Long.numberOfLeadingZeros(v))
+    val wb = new WBits
+    val llS = new FseEncState(LLEncTable)
+    val ofS = new FseEncState(OFEncTable)
+    val mlS = new FseEncState(MLEncTable)
+    val last = n - 1
+    mlS.init(mlc(last)); ofS.init(ofc(last).toInt); llS.init(llc(last))
+    def extras(i: Int): Unit = {
+      wb.add((seqs(i).ll - LLBaseline(llc(i))).toLong, LLBits(llc(i)))
+      wb.add((seqs(i).ml - MLBaseline(mlc(i))).toLong, MLBits(mlc(i)))
+      wb.add(ofv(i) - (1L << ofc(i)), ofc(i).toInt)
+    }
+    extras(last)
+    var i = n - 2
+    while (i >= 0) {
+      ofS.encode(wb, ofc(i).toInt)
+      mlS.encode(wb, mlc(i))
+      llS.encode(wb, llc(i))
+      extras(i)
+      i -= 1
+    }
+    mlS.flush(wb); ofS.flush(wb); llS.flush(wb)
+    val bits = wb.close()
+    out.write(bits, 0, bits.length)
+    out.toByteArray
+  }
+
+  /** One block's worth of content → (blockType, blockBody). Compressed
+    * when it pays, RLE for constant runs, Raw otherwise. */
+  private def encodeBlock(data: Array[Byte], off: Int, len: Int): (Int, Array[Byte]) = {
+    if (len > 0) {
+      var allSame = true
+      var i = off + 1
+      while (allSame && i < off + len) { allSame = data(i) == data(off); i += 1 }
+      if (allSame) return (1, Array(data(off)))
+    }
+    val (seqs, lits) = findSequences(data, off, len)
+    val litSec = hufLitSection(lits).getOrElse {
+      if (lits.length == 0 || lits.distinct.length > 1)
+        rawRleLitSection(0, lits.length, lits)
+      else rawRleLitSection(1, lits.length, Array(lits(0)))
+    }
+    val body = new java.io.ByteArrayOutputStream()
+    body.write(litSec, 0, litSec.length)
+    val ss = seqSection(seqs)
+    body.write(ss, 0, ss.length)
+    val comp = body.toByteArray
+    if (comp.length >= len) (0, java.util.Arrays.copyOfRange(data, off, off + len))
+    else (2, comp)
+  }
+
+  /** Block chunk size for multi-block coverage on ordinary documents. */
+  val BlockChunk = 1800
+
+  /** One complete zstd frame (single-segment, content checksum). */
+  def zstd(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    w32(0xFD2FB528L)
+    val n = data.length
+    val fcsFlag = if (n <= 255) 0 else if (n - 256 < 65536) 1 else 2
+    out.write((fcsFlag << 6) | 0x20 | 0x04) // single-segment + checksum
+    fcsFlag match {
+      case 0 => out.write(n)
+      case 1 => out.write((n - 256) & 0xff); out.write((n - 256) >> 8)
+      case _ => w32(n.toLong)
+    }
+    if (n == 0) {
+      out.write(1); out.write(0); out.write(0) // last, Raw, size 0
+    } else {
+      var off = 0
+      while (off < n) {
+        val len = math.min(BlockChunk, n - off)
+        val lastBit = if (off + len >= n) 1 else 0
+        val (tpe, body) = encodeBlock(data, off, len)
+        val sizeField = if (tpe == 1) len else body.length
+        val bh = lastBit | (tpe << 1) | (sizeField << 3)
+        out.write(bh & 0xff); out.write((bh >> 8) & 0xff); out.write((bh >> 16) & 0xff)
+        out.write(body, 0, body.length)
+        off += len
+      }
+    }
+    w32(xxh64(data, 0, data.length) & 0xffffffffL)
+    out.toByteArray
+  }
+
+  /** Concatenated frames (the multi-frame dump shape). */
+  def zstdMembers(parts: Seq[Array[Byte]]): Array[Byte] =
+    parts.map(zstd).foldLeft(Array.emptyByteArray)(_ ++ _)
+
+  /** A skippable frame (magic 0x184D2A50) carrying `payload`. */
+  def skippableFrame(payload: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    w32(0x184D2A50L)
+    w32(payload.length.toLong)
+    out.write(payload, 0, payload.length)
+    out.toByteArray
   }
 }

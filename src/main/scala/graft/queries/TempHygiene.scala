@@ -51,12 +51,25 @@ object TempHygiene {
   def sweep(): Unit = {
     val tmp = Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
     if (!Files.isDirectory(tmp)) return
+    // age guard: only roots older than [[MinAgeMillis]] are stale. Without
+    // it, two harnesses running concurrently (a dev subset-Verify next to
+    // a full gate run) sweep each other's LIVE roots at startup — observed
+    // r16: a parallel Verify deleted the gate's graft-incidx working index
+    // mid-query. A single run finishes in minutes; 2 h is comfortably past
+    // any live run and still bounds accumulation to one day's debris.
+    val cutoff = System.currentTimeMillis() - MinAgeMillis
     val stream = Files.list(tmp)
     try stream.forEach { p =>
       val name = p.getFileName.toString
-      if (Prefixes.exists(name.startsWith)) deleteRecursively(p)
+      if (Prefixes.exists(name.startsWith) &&
+          (try Files.getLastModifiedTime(p).toMillis < cutoff
+           catch { case _: Exception => false }))
+        deleteRecursively(p)
     } finally stream.close()
   }
+
+  /** Roots younger than this are presumed owned by a LIVE harness. */
+  val MinAgeMillis: Long = 2L * 3600 * 1000
 
   private def deleteRecursively(root: Path): Unit =
     try {

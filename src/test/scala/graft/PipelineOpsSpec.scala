@@ -2805,6 +2805,81 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(viaTar(0L) == txt && viaTar(4L) == txt)
   }
 
+  test("UnigramVocab: Viterbi is DP-optimal (vs brute force) and the expression matches") {
+    import spark.implicits._
+    import graft.functions.UnigramVocab
+    graft.functions.GraftFunctions.register(spark)
+    val costOf = UnigramVocab.Pieces.toMap
+    // brute force: enumerate ALL segmentations of short words
+    def allSegs(w: String): Seq[Seq[String]] =
+      if (w.isEmpty) Seq(Seq.empty)
+      else (1 to math.min(w.length, UnigramVocab.MaxPieceLen)).flatMap { l =>
+        val p = w.substring(0, l)
+        if (costOf.contains(p)) allSegs(w.substring(l)).map(p +: _) else Seq.empty
+      }
+    val words = Seq("spark", "rowind", "valueue", "batches", "qzx",
+      "window", "thequick", "stor", "erinst")
+    words.foreach { w =>
+      val seg = UnigramVocab.segmentWord(w).toSeq
+      val segCost = seg.map(costOf).map(_.toLong).sum
+      val bestCost = allSegs(w).map(_.map(costOf).map(_.toLong).sum).min
+      assert(segCost == bestCost, s"'$w': viterbi $seg cost $segCost != optimal $bestCost")
+      assert(seg.mkString == w, s"'$w': segmentation must concatenate back")
+      assert(segCost == UnigramVocab.wordCost(w))
+    }
+    // multi-char pieces actually win over single-letter fallbacks
+    assert(UnigramVocab.segmentWord("window").toSeq == Seq("window"))
+    assert(UnigramVocab.segmentWord("windows").toSeq == Seq("window", "s"))
+    // the native expression flattens per-word segmentations in order
+    val got = Seq("Window batch! qzx7stream").toDF("t")
+      .select(call_function("graft_unigram_tokens", $"t"))
+      .as[Seq[String]].head()
+    assert(got == Seq("window", "batch", "q", "z", "x", "stream"))
+  }
+
+  test("LangIdOps: trained char-n-gram model beats the stopword heuristic") {
+    import spark.implicits._
+    import graft.ops.{LangIdOps, TextOps}
+    graft.functions.GraftFunctions.register(spark)
+    // marker lists must stay disjoint from every stopword list — the
+    // property that makes the accuracy gap real, not fixture leakage
+    val stopwords = TextOps.StopwordLists.flatMap(_._2).toSet
+    LangIdOps.LangMarkers.foreach { case (l, ms) =>
+      assert(ms.forall(m => !stopwords.contains(m)), s"$l markers leak stopwords")
+    }
+    // synthetic labeled corpus: same base soup, per-lang markers planted
+    val base = "key agg row scan slow fast table value part hash merge batch "
+    val langs = LangIdOps.LangMarkers.map(_._1)
+    val docs = (0L until 200L).map(i => (i, langs((i % 5).toInt), base * 3))
+      .toDF("doc_id", "lang", "text")
+    val marked = docs.select($"doc_id", $"lang",
+      LangIdOps.markedFixture($"doc_id", $"lang", $"text").as("mtext"))
+    val feats = LangIdOps.features(marked, "doc_id", "lang", $"mtext")
+    val ws = LangIdOps.trainOneVsRest(feats, "doc_id", langs)
+    val pred = LangIdOps.predict(feats, "doc_id", LangIdOps.weightRows(spark, ws))
+    val acc = pred.select(avg(($"pred" === $"lang").cast("double")))
+      .head().getDouble(0)
+    assert(acc >= 0.95, s"trained language-ID accuracy $acc below floor")
+    // the heuristic on the same marked text cannot see the markers
+    val heurAcc = marked
+      .select($"lang", TextOps.textCounts($"mtext").as("_c"))
+      .select($"lang", TextOps.langIdFromHits(col("_c.sw_hits"))._1.as("p"))
+      .select(avg(($"p" === $"lang").cast("double"))).head().getDouble(0)
+    assert(heurAcc <= 0.6, s"heuristic accuracy $heurAcc unexpectedly high")
+    // gramBuckets == scalar reference on a spot sample
+    val got = Seq("abc def").toDF("t")
+      .select(LangIdOps.gramBuckets($"t")).as[Seq[Long]].head()
+    def ref(s: String): Seq[Long] = {
+      val cs = s.toLowerCase.filter(c => c == ' ' || (c >= 'a' && c <= 'z'))
+        .map(_.toLong)
+      (0 to cs.length - 3).map { i =>
+        (((cs(i) * TextOps.B1 + cs(i + 1)) % TextOps.P) * TextOps.B1 +
+          cs(i + 2)) % TextOps.P % LangIdOps.Buckets
+      }
+    }
+    assert(got == ref("abc def"))
+  }
+
   test("wetTexts: conversion-record concat, metadata type-filter, loud failures") {
     import spark.implicits._
     import graft.ops.{GzipCodec, MultimodalOps, WarcCodec}
