@@ -67,6 +67,8 @@ object GraftFunctions {
       args(2).eval().asInstanceOf[Number].intValue,
       args(3).eval().asInstanceOf[Number].intValue)),
     "graft_text_counts" -> (args => GraftTextCounts(args.head)),
+    "graft_gram_buckets" -> (args => GraftGramBuckets(args(0),
+      args(1).eval().asInstanceOf[Number].intValue)),
     "graft_nfc" -> (args => GraftNfc(args.head)),
     "graft_bpe_tokens" -> (args => GraftBpeTokens(args.head)),
     "graft_unigram_tokens" -> (args => GraftUnigramTokens(args.head)),

@@ -1182,6 +1182,94 @@ object MultimodalOps {
     * polynomial (B2/P). One typed map pass: payloads never leave the
     * task, 20 bytes per fingerprint come out. Output
     * (asset_id, frame_idx, fp). */
+  /** Fixed-point DFT band powers of frame `f` of sample stream `ss`:
+    * E_k = Re² + Im² over the [[AudioFpCos]]/[[AudioFpSin]] integer trig
+    * tables — exact int64 (|s| ≤ 2^14, ×1024 ×32 → |Re| ≤ 2^29, E ≤
+    * 2^59). Shared by the fingerprint and mel-filterbank faces. */
+  def bandEnergiesOf(ss: Array[Short], f: Int): Array[Long] = {
+    val e = new Array[Long](AudioFpBands)
+    var k = 0
+    while (k < AudioFpBands) {
+      var re = 0L; var im = 0L
+      var n = 0
+      while (n < AudioFpFrame) {
+        val s = ss(f * AudioFpFrame + n).toLong
+        re += s * AudioFpCos(k)(n)
+        im += s * AudioFpSin(k)(n)
+        n += 1
+      }
+      e(k) = re * re + im * im
+      k += 1
+    }
+    e
+  }
+
+  /** Mel filterbank size and integer weight table — the speech-curation
+    * frame features (r15 verdict gap #5). The published mel construction
+    * (triangular filters equally spaced on the mel axis,
+    * m(f) = 2595·log₁₀(1+f/700), here over the [[AudioFpBands]] DFT bins
+    * at a nominal 16 kHz) is evaluated ONCE at build time and quantized
+    * to integer weights ×64 — so the per-frame energies are pure int64
+    * folds both engines replay exactly. Band powers are pre-scaled by
+    * >> [[MelShift]] before weighting: E ≤ 2^59, shifted ≤ 2^39, ×64
+    * weight ×9 bands ≤ 2^51 — no overflow even summed over every frame of
+    * a clip. */
+  val MelBins = 4
+  val MelShift = 20
+  val MelWeights: Array[Array[Long]] = {
+    val fs = 16000.0
+    def mel(f: Double) = 2595.0 * math.log10(1 + f / 700.0)
+    val fk = (1 to AudioFpBands).map(k => k * fs / AudioFpFrame)
+    val lo = mel(fk.head); val hi = mel(fk.last)
+    val pts = (0 to MelBins + 1).map(i => lo + (hi - lo) * i / (MelBins + 1))
+    Array.tabulate(MelBins, AudioFpBands) { (m, k) =>
+      val fm = mel(fk(k))
+      val l = pts(m); val c = pts(m + 1); val r = pts(m + 2)
+      val w =
+        if (fm <= l || fm >= r) 0.0
+        else if (fm <= c) (fm - l) / (c - l)
+        else (r - fm) / (r - c)
+      Math.round(w * 64)
+    }
+  }
+
+  /** Per-frame mel-filterbank energies over PCM WAV assets: decode, frame
+    * into [[AudioFpFrame]] windows, band powers ([[bandEnergiesOf]]),
+    * integer mel fold, plus the 1-based argmax bin (strict `>` — ties go
+    * to the LOWEST bin, the deterministic rule the oracle replays). One
+    * typed map pass; payloads never leave the task. */
+  def audioMel(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .repartitionByRange(spark.sparkContext.defaultParallelism,
+        col("format"), col("asset_id"))
+      .as[MediaAsset]
+      .flatMap { a =>
+        require(a.format == "wav", s"audioMel needs wav, got ${a.format}")
+        val (_, channels, ss) = WavCodec.decode(a.payload)
+        require(channels == 1, s"audioMel expects mono, got $channels")
+        val nF = ss.length / AudioFpFrame
+        (0 until nF).map { f =>
+          val e = bandEnergiesOf(ss, f)
+          val melE = Array.tabulate(MelBins) { m =>
+            var acc = 0L
+            var k = 0
+            while (k < AudioFpBands) {
+              acc += MelWeights(m)(k) * (e(k) >> MelShift)
+              k += 1
+            }
+            acc
+          }
+          var top = 0
+          var m = 1
+          while (m < MelBins) { if (melE(m) > melE(top)) top = m; m += 1 }
+          (a.asset_id, f, melE(0), melE(1), melE(2), melE(3), (top + 1).toLong)
+        }
+      }
+      .toDF("asset_id", "f", "m0", "m1", "m2", "m3", "top")
+  }
+
   def audioFingerprints(assets: DataFrame): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
@@ -1195,20 +1283,7 @@ object MultimodalOps {
         require(channels == 1, s"audioFingerprints expects mono, got $channels")
         val nF = ss.length / AudioFpFrame
         val bytes = Array.tabulate(nF) { f =>
-          val e = new Array[Long](AudioFpBands)
-          var k = 0
-          while (k < AudioFpBands) {
-            var re = 0L; var im = 0L
-            var n = 0
-            while (n < AudioFpFrame) {
-              val s = ss(f * AudioFpFrame + n).toLong
-              re += s * AudioFpCos(k)(n)
-              im += s * AudioFpSin(k)(n)
-              n += 1
-            }
-            e(k) = re * re + im * im
-            k += 1
-          }
+          val e = bandEnergiesOf(ss, f)
           var b = 0L
           var j = 0
           while (j < AudioFpBands - 1) {

@@ -447,6 +447,41 @@ object ZstdCodec {
     if (bits.bitPos != 0) fail("huffman stream not fully consumed")
   }
 
+  // ----------------------------------------------------- output buffer
+
+  /** Growable frame-output buffer with direct self-copy — the sequence
+    * executor appends literals and match copies straight into the frame
+    * so a match offset reaches any earlier byte of the SAME frame without
+    * materializing per-block or per-sequence copies (a
+    * ByteArrayOutputStream formulation re-copied the whole frame per
+    * block AND the block per sequence — quadratic on sequence-heavy
+    * blocks, and this is the hot decode path). */
+  private final class ByteBuf(initial: Int) {
+    var buf = new Array[Byte](math.max(initial, 64))
+    var len = 0
+    private def ensure(n: Int): Unit =
+      if (len + n > buf.length) {
+        var c = buf.length
+        while (c < len + n) c = c << 1
+        buf = java.util.Arrays.copyOf(buf, c)
+      }
+    def append(src: Array[Byte], off: Int, n: Int): Unit = {
+      ensure(n); System.arraycopy(src, off, buf, len, n); len += n
+    }
+    def appendFill(b: Byte, n: Int): Unit = {
+      ensure(n); java.util.Arrays.fill(buf, len, len + n, b); len += n
+    }
+    /** Overlap-safe match copy from `len - offset` (byte-at-a-time by the
+      * format's semantics: offset < n repeats the copied prefix). */
+    def selfCopy(offset: Int, n: Int): Unit = {
+      ensure(n)
+      var k = 0
+      while (k < n) { buf(len + k) = buf(len - offset + k); k += 1 }
+      len += n
+    }
+    def toArray: Array[Byte] = java.util.Arrays.copyOf(buf, len)
+  }
+
   // ----------------------------------------------------- frame state
 
   /** Tables that persist across blocks within one frame (Repeat modes /
@@ -539,7 +574,7 @@ object ZstdCodec {
     if (singleSegment) windowSize = fcs
     val blockMax = math.min(if (windowSize > 0) windowSize else (1L << 17), 1L << 17).toInt
 
-    val frame = new java.io.ByteArrayOutputStream()
+    val frame = new ByteBuf(1 << 14)
     val st = new FrameState
     var lastBlock = false
     while (!lastBlock) {
@@ -553,14 +588,13 @@ object ZstdCodec {
       blockType match {
         case 0 => // Raw
           if (pos + blockSize > buf.length) fail("raw block overruns payload")
-          frame.write(buf, pos, blockSize)
+          frame.append(buf, pos, blockSize)
           pos += blockSize
         case 1 => // RLE
           if (pos >= buf.length) fail("truncated RLE block")
           if (blockSize > blockMax) fail("RLE block exceeds maximum size")
-          val b = buf(pos); pos += 1
-          var k = 0
-          while (k < blockSize) { frame.write(b); k += 1 }
+          frame.appendFill(buf(pos), blockSize)
+          pos += 1
         case 2 => // Compressed
           if (blockSize > blockMax) fail("block exceeds maximum size")
           if (pos + blockSize > buf.length) fail("compressed block overruns payload")
@@ -569,7 +603,7 @@ object ZstdCodec {
         case _ => fail("reserved block type")
       }
     }
-    val content = frame.toByteArray
+    val content = frame.toArray
     if (fcs >= 0 && content.length != fcs)
       fail(s"frame content size $fcs disagrees with decoded ${content.length}")
     if (hasChecksum) {
@@ -586,7 +620,7 @@ object ZstdCodec {
 
   private def decodeCompressedBlock(buf: Array[Byte], off: Int, size: Int,
                                     st: FrameState,
-                                    frame: java.io.ByteArrayOutputStream): Unit = {
+                                    frame: ByteBuf): Unit = {
     val end = off + size
     // ---- literals section
     if (size < 1) fail("empty compressed block")
@@ -688,7 +722,7 @@ object ZstdCodec {
       }
     if (nbSeq == 0) {
       if (p != end) fail("bytes trailing a literals-only block")
-      frame.write(literals, 0, literals.length)
+      frame.append(literals, 0, literals.length)
       return
     }
     if (p >= end) fail("truncated compression modes")
@@ -726,9 +760,6 @@ object ZstdCodec {
     var ofState = bits.read(ofLog)
     var mlState = bits.read(mlLog)
 
-    // the frame buffer built so far + this block's output, for match copies
-    val history = frame.toByteArray
-    val outBuf = new java.io.ByteArrayOutputStream()
     var litPos = 0
     var seq = 0
     while (seq < nbSeq) {
@@ -766,25 +797,11 @@ object ZstdCodec {
       }
 
       if (litPos + ll > literals.length) fail("sequence literals overrun")
-      outBuf.write(literals, litPos, ll)
+      frame.append(literals, litPos, ll)
       litPos += ll
-      // match copy from history + current output (overlap allowed)
-      val produced = history.length + outBuf.size()
-      if (offset > produced) fail("match offset reaches before frame start")
-      val cur = outBuf.toByteArray // bounded: block output <= 128 KB
-      var srcIdx = produced - offset.toInt
-      var k = 0
-      val merged = new Array[Byte](ml)
-      while (k < ml) {
-        val idxAll = srcIdx + k
-        val b =
-          if (idxAll < history.length) history(idxAll)
-          else if (idxAll - history.length < cur.length) cur(idxAll - history.length)
-          else merged(idxAll - history.length - cur.length)
-        merged(k) = b
-        k += 1
-      }
-      outBuf.write(merged, 0, ml)
+      // match copy straight from the frame built so far (overlap allowed)
+      if (offset > frame.len) fail("match offset reaches before frame start")
+      frame.selfCopy(offset.toInt, ml)
 
       if (seq < nbSeq - 1) {
         // state updates, order LL -> ML -> OF
@@ -796,9 +813,7 @@ object ZstdCodec {
     }
     if (bits.bitPos != 0) fail("sequence bitstream not fully consumed")
     if (litPos < literals.length)
-      outBuf.write(literals, litPos, literals.length - litPos)
-    val blockOut = outBuf.toByteArray
-    frame.write(blockOut, 0, blockOut.length)
+      frame.append(literals, litPos, literals.length - litPos)
   }
 
   // =================================================== encoder (fixtures)

@@ -200,7 +200,18 @@ object ScaleBench {
     "pipeline_contrastive_pairs", "tsdb_winsorize", "mm_hist_equalize",
     // matryoshka recall: two truncated exact scans + the full exact scan,
     // all the ann_topk shape (broadcast queries × corpus)
-    "ann_matryoshka")
+    "ann_matryoshka",
+    // round-16 additions — all typed map passes or already-gated shapes:
+    // zstd decode (FSE/Huffman work ∝ compressed bytes), the .tar.zst
+    // walk, WET conversion-record walk, unicode normalization (map-side
+    // replace chain + NFC with the isNormalized fast path),
+    // canonicalization (map-side regex/HOFs), trained language-ID
+    // (bounded-sample train + broadcast-weights argmax scoring), unigram
+    // Viterbi (merge-memo map pass like text_tokens_bpe), mel filterbank
+    // (the mm_audio_fp DFT pass + an integer weight fold)
+    "text_from_zstd", "text_from_tar_zst", "text_from_wet",
+    "text_normalize", "text_url_canonical", "text_langid_model",
+    "text_tokens_unigram", "mm_audio_mel")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

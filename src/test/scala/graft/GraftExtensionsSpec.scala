@@ -25,6 +25,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "graft_shingles_all", "graft_shingles_all_wide", "graft_text_counts",
       "nearest_centroids",
       "graft_bloom_contains", "graft_bpe_tokens", "graft_byte_bpe_ids",
-      "graft_byte_map_syms", "graft_lsh_buckets"))
+      "graft_byte_map_syms", "graft_lsh_buckets", "graft_nfc",
+      "graft_unigram_tokens", "graft_gram_buckets"))
   }
 }

@@ -2878,6 +2878,19 @@ class PipelineOpsSpec extends SparkTestBase {
       }
     }
     assert(got == ref("abc def"))
+    // the native histogram (graft_gram_buckets, the features() hot path)
+    // == the HOF reference formulation, including the <3-kept-chars empty
+    // branch and non-ASCII damage the [a-z ] filter must drop
+    val samples = Seq("abc def", "", "ab", "  a  ", "MiXeD CaSe!",
+      "café touché 中文 mix", base * 2)
+    val hofCounts = samples.toDF("t").select(
+      LangIdOps.gramBuckets($"t").as("g")).as[Seq[Long]].collect()
+      .map(g => (0 until LangIdOps.Buckets).map(k => g.count(_ == k).toLong))
+    val native = samples.toDF("t").select(
+      call_function("graft_gram_buckets", $"t", lit(LangIdOps.Buckets)))
+      .as[Seq[Long]].collect().toSeq
+    assert(native == hofCounts.toSeq,
+      "native gram histogram must equal the HOF formulation")
   }
 
   test("wetTexts: conversion-record concat, metadata type-filter, loud failures") {
@@ -3528,6 +3541,44 @@ class PipelineOpsSpec extends SparkTestBase {
     // frames shorter than one window emit nothing (no 0-size divisions)
     assert(MultimodalOps.audioFingerprints(
       Seq(asset(9, Array.fill(40)(5.toShort))).toDF()).count() == 0)
+  }
+
+  test("audioMel: filterbank shape, brute-force agreement, tie-to-lowest-bin") {
+    import graft.ops.{MultimodalOps => M, WavCodec}
+    import spark.implicits._
+    // filterbank invariants: MelBins triangles, nonnegative, every interior
+    // DFT band under at least one filter, and the bin centers strictly
+    // ascend in frequency (triangles are ORDERED on the mel axis)
+    assert(M.MelWeights.length == M.MelBins)
+    assert(M.MelWeights.forall(_.forall(_ >= 0)))
+    val covered = (1 until M.AudioFpBands - 1).forall(k =>
+      (0 until M.MelBins).exists(m => M.MelWeights(m)(k) > 0))
+    assert(covered, "interior DFT bands must be covered by the filterbank")
+    val peaks = M.MelWeights.map(row => row.indexOf(row.max))
+    assert(peaks.toSeq == peaks.sorted.toSeq && peaks.distinct.length == M.MelBins,
+      s"filter peaks must strictly ascend, got ${peaks.toSeq}")
+    // brute-force agreement on random audio (2 frames)
+    val rnd = new scala.util.Random(23)
+    val ss = Array.tabulate(2 * M.AudioFpFrame)(_ =>
+      ((rnd.nextInt(200) - 100) * 150).toShort)
+    def asset(id: Long, s: Array[Short]) =
+      graft.ops.MediaAsset(id, "wav", WavCodec.encode(8000, 1, s), 0, 0, 1, 8000)
+    val got = M.audioMel(Seq(asset(0, ss)).toDF())
+      .collect().sortBy(_.getInt(1))
+      .map(r => (r.getInt(1), (0 until M.MelBins).map(i => r.getLong(2 + i)), r.getLong(6)))
+    assert(got.length == 2)
+    for (f <- 0 until 2) {
+      val e = M.bandEnergiesOf(ss, f)
+      val mel = (0 until M.MelBins).map(m =>
+        (0 until M.AudioFpBands).map(k => M.MelWeights(m)(k) * (e(k) >> M.MelShift)).sum)
+      assert(got(f)._2 == mel, s"frame $f mel mismatch")
+      val top = mel.zipWithIndex.maxBy { case (v, i) => (v, -i) }._2 + 1
+      assert(got(f)._3 == top.toLong, s"frame $f argmax mismatch")
+    }
+    // silence: every mel energy 0, strict > keeps top at the LOWEST bin (1)
+    val quiet = M.audioMel(
+      Seq(asset(1, Array.fill(M.AudioFpFrame)(0.toShort))).toDF()).collect()
+    assert(quiet.length == 1 && quiet(0).getLong(6) == 1L)
   }
 
   test("WavCodec mu-law: G.711 arithmetic, code round-trip and the format-7 container path") {
