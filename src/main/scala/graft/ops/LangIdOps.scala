@@ -117,12 +117,15 @@ object LangIdOps {
   def logit(w: Seq[Column], f: Seq[Column]): Column =
     f.zip(w.tail).foldLeft(w.head) { case (acc, (fi, wi)) => acc + wi * fi }
 
-  /** Training-sample cap: at [[Buckets]]+2 doubles/row the collected
-    * sample is ≤ ~27 MB on the driver. The fastText/langid.py reality
-    * this mirrors: production language-ID models train on a BOUNDED
-    * curated sample (10⁵–10⁷ docs), never the whole corpus — the corpus
-    * is what gets SCORED, and scoring here is fully distributed. */
-  val SampleCap = 100000
+  /** Training-sample cap: the model is [[Buckets]]+1 weights × L
+    * languages (~330 parameters), so 20k samples is a ~60× data:param
+    * ratio — more sample past that moves nothing but the O(iters·n)
+    * driver GD bill (measured: the 10× ScaleBench row was 4.6 with the
+    * cap at 100k purely from pre-cap sample growth). The fastText /
+    * langid.py reality this mirrors: production language-ID models train
+    * on a BOUNDED curated sample, never the whole corpus — the corpus is
+    * what gets SCORED, and scoring here is fully distributed. */
+  val SampleCap = 20000
 
   /** One-vs-rest training: deterministic bounded sample (every k-th doc
     * by id when the corpus exceeds [[SampleCap]]) collected to the

@@ -1238,6 +1238,21 @@ object MultimodalOps {
     * integer mel fold, plus the 1-based argmax bin (strict `>` — ties go
     * to the LOWEST bin, the deterministic rule the oracle replays). One
     * typed map pass; payloads never leave the task. */
+  /** Integer mel energies of frame `f`: prescaled band powers folded
+    * through [[MelWeights]]. Shared by [[audioMel]] and [[audioMfcc]]. */
+  def melEnergiesOf(ss: Array[Short], f: Int): Array[Long] = {
+    val e = bandEnergiesOf(ss, f)
+    Array.tabulate(MelBins) { m =>
+      var acc = 0L
+      var k = 0
+      while (k < AudioFpBands) {
+        acc += MelWeights(m)(k) * (e(k) >> MelShift)
+        k += 1
+      }
+      acc
+    }
+  }
+
   def audioMel(assets: DataFrame): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
@@ -1251,16 +1266,7 @@ object MultimodalOps {
         require(channels == 1, s"audioMel expects mono, got $channels")
         val nF = ss.length / AudioFpFrame
         (0 until nF).map { f =>
-          val e = bandEnergiesOf(ss, f)
-          val melE = Array.tabulate(MelBins) { m =>
-            var acc = 0L
-            var k = 0
-            while (k < AudioFpBands) {
-              acc += MelWeights(m)(k) * (e(k) >> MelShift)
-              k += 1
-            }
-            acc
-          }
+          val melE = melEnergiesOf(ss, f)
           var top = 0
           var m = 1
           while (m < MelBins) { if (melE(m) > melE(top)) top = m; m += 1 }
@@ -1268,6 +1274,66 @@ object MultimodalOps {
         }
       }
       .toDF("asset_id", "f", "m0", "m1", "m2", "m3", "top")
+  }
+
+  /** Fixed-point log₂ for the MFCC log-compression stage, exact in both
+    * engines: `logFix(x) = (bitlen(x)−1)·[[LogScale]] + LogTable(mant)`
+    * where `mant` is the [[LogMantBits]] bits after the leading 1 —
+    * integer-only given the 64-entry table (built once from
+    * `log2(1 + i/64)`, quantized ×[[LogScale]]). `x ≤ 0 → 0` by
+    * definition (digital silence has no level). The oracle replays it
+    * with `length(bin(x))` + shifts + the table as VALUES. */
+  val LogScale = 1024L
+  val LogMantBits = 6
+  val LogTable: Array[Long] = Array.tabulate(1 << LogMantBits)(i =>
+    Math.round(math.log(1 + i / 64.0) / math.log(2.0) * LogScale))
+  def logFix(x: Long): Long =
+    if (x <= 0) 0L
+    else {
+      val intPart = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      val mant =
+        if (intPart >= LogMantBits) (x >> (intPart - LogMantBits)) & 63
+        else (x << (LogMantBits - intPart)) & 63
+      intPart * LogScale + LogTable(mant.toInt)
+    }
+
+  /** DCT-II basis over the [[MelBins]] log-mel energies, quantized to
+    * integer weights ×64 like [[MelWeights]]:
+    * `DctWeights(c)(m) = round(cos(π·c·(2m+1)/(2·MelBins))·64)`. Row 0 is
+    * the all-64 energy term; rows 1.. are the cepstral shapes. */
+  val DctWeights: Array[Array[Long]] = Array.tabulate(MelBins, MelBins)(
+    (c, m) => Math.round(math.cos(math.Pi * c * (2 * m + 1) / (2.0 * MelBins)) * 64))
+
+  /** MFCC frame features — the standard speech front-end completed:
+    * DFT band powers → mel fold ([[melEnergiesOf]]) → fixed-point log
+    * ([[logFix]]) → integer DCT-II ([[DctWeights]]). Every coefficient is
+    * exact int64 (log ≤ 63·1024, ×64 ×[[MelBins]] ≪ 2^31), so the oracle
+    * replays the whole chain. One typed map pass; payloads never leave
+    * the task. Output (asset_id, f, c0..c{MelBins-1}). */
+  def audioMfcc(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .repartitionByRange(spark.sparkContext.defaultParallelism,
+        col("format"), col("asset_id"))
+      .as[MediaAsset]
+      .flatMap { a =>
+        require(a.format == "wav", s"audioMfcc needs wav, got ${a.format}")
+        val (_, channels, ss) = WavCodec.decode(a.payload)
+        require(channels == 1, s"audioMfcc expects mono, got $channels")
+        val nF = ss.length / AudioFpFrame
+        (0 until nF).map { f =>
+          val lg = melEnergiesOf(ss, f).map(logFix)
+          val cc = Array.tabulate(MelBins) { c =>
+            var acc = 0L
+            var m = 0
+            while (m < MelBins) { acc += DctWeights(c)(m) * lg(m); m += 1 }
+            acc
+          }
+          (a.asset_id, f, cc(0), cc(1), cc(2), cc(3))
+        }
+      }
+      .toDF("asset_id", "f", "c0", "c1", "c2", "c3")
   }
 
   def audioFingerprints(assets: DataFrame): DataFrame = {

@@ -1004,6 +1004,104 @@ object MultimodalQueries {
         .orderBy("asset_id")
     },
 
+    // MFCC frame features (the standard speech front-end COMPLETED): the
+    // mm_audio_mel chain extended by fixed-point log compression
+    // (bitlen-1 integer part + a 64-entry quantized mantissa table — no
+    // transcendental rides the compared output) and an integer DCT-II
+    // over the log-mel vector. Compared: per-asset frame count, EXACT
+    // per-coefficient totals, and an order-sensitive fold of c1 mod P.
+    // The oracle replays logfix via length(bin(x)) + shifts + the table
+    // as VALUES, and the DCT as a weight join.
+    QueryDef.withOracle("mm_audio_mfcc", {
+      import graft.ops.MultimodalOps.{AudioFpBands, AudioFpCos, AudioFpFrame,
+        AudioFpSin, DctWeights, LogScale, LogTable, MelBins, MelShift,
+        MelWeights}
+      import graft.ops.TextOps.{B2, P}
+      val trigRows = (for {
+        k <- 0 until AudioFpBands; n <- 0 until AudioFpFrame
+      } yield s"(${k + 1},$n,${AudioFpCos(k)(n)},${AudioFpSin(k)(n)})").mkString(",")
+      val melRows = (for { m <- 0 until MelBins; k <- 0 until AudioFpBands }
+        yield s"(${m + 1},${k + 1},${MelWeights(m)(k)})").mkString(",")
+      val logRows = LogTable.zipWithIndex
+        .map { case (v, i) => s"($i,$v)" }.mkString(",")
+      val dctRows = (for { c <- 0 until MelBins; m <- 0 until MelBins }
+        yield s"($c,${m + 1},${DctWeights(c)(m)})").mkString(",")
+      val sums = (0 until MelBins).map(c =>
+        s"CAST(SUM(CASE WHEN c = $c THEN mfc END) AS BIGINT) AS c$c")
+        .mkString(", ")
+      s"""WITH s AS (SELECT doc_id AS asset_id,
+         |    list_transform(range(1, length(text) + 1),
+         |      i -> CAST((unicode(substr(text, CAST(i AS INT), 1)) - 80) * 257
+         |           AS BIGINT)) AS ss
+         |  FROM documents),
+         |tg(k, n, c, sn) AS (SELECT * FROM (VALUES $trigRows) t(k, n, c, sn)),
+         |mw(m, k, w) AS (SELECT * FROM (VALUES $melRows) t(m, k, w)),
+         |lt(i, v) AS (SELECT * FROM (VALUES $logRows) t(i, v)),
+         |dw(c, m, w) AS (SELECT * FROM (VALUES $dctRows) t(c, m, w)),
+         |fr AS (SELECT asset_id, ss,
+         |         CAST(unnest(range(0, len(ss) // $AudioFpFrame)) AS INT) AS f
+         |       FROM s),
+         |be AS (SELECT a.asset_id, a.f, t.k,
+         |         SUM(a.ss[CAST(a.f * $AudioFpFrame + t.n + 1 AS INT)] * t.c) AS re,
+         |         SUM(a.ss[CAST(a.f * $AudioFpFrame + t.n + 1 AS INT)] * t.sn) AS im
+         |       FROM fr a, tg t GROUP BY 1, 2, 3),
+         |ep AS (SELECT asset_id, f, k,
+         |         (CAST(re AS BIGINT) * re + CAST(im AS BIGINT) * im)
+         |           >> $MelShift AS es
+         |       FROM be),
+         |me AS (SELECT e.asset_id, e.f, w.m, CAST(SUM(w.w * e.es) AS BIGINT) AS men
+         |       FROM ep e JOIN mw w USING (k) GROUP BY 1, 2, 3),
+         |mt AS (SELECT asset_id, f, m, men,
+         |         CASE WHEN men <= 0 THEN 0
+         |              ELSE length(bin(men)) - 1 END AS ip,
+         |         CASE WHEN men <= 0 THEN 0
+         |              WHEN length(bin(men)) - 1 >= 6
+         |                THEN (men >> (length(bin(men)) - 1 - 6)) & 63
+         |              ELSE (men << (6 - (length(bin(men)) - 1))) & 63 END AS mant
+         |       FROM me),
+         |lg AS (SELECT t.asset_id, t.f, t.m,
+         |         CASE WHEN t.men <= 0 THEN 0
+         |              ELSE t.ip * $LogScale + lt.v END AS lg
+         |       FROM mt t JOIN lt ON lt.i = t.mant),
+         |mf AS (SELECT l.asset_id, l.f, d.c, CAST(SUM(d.w * l.lg) AS BIGINT) AS mfc
+         |       FROM lg l JOIN dw d ON d.m = l.m GROUP BY 1, 2, 3),
+         |pv AS (SELECT asset_id, f, $sums FROM mf GROUP BY 1, 2),
+         |ag AS (SELECT asset_id, CAST(count(*) AS BIGINT) AS n_frames,
+         |        ${(0 until MelBins).map(c => s"CAST(SUM(c$c) AS BIGINT) AS sum_c$c").mkString(", ")},
+         |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |          list(((c1 % $P) + $P) % $P ORDER BY f)),
+         |          (h, x) -> (h * $B2 + x) % $P) AS c1_fp
+         |       FROM pv GROUP BY 1)
+         |SELECT d.doc_id AS asset_id,
+         |  COALESCE(ag.n_frames, 0) AS n_frames,
+         |  ${(0 until MelBins).map(c => s"COALESCE(ag.sum_c$c, 0) AS sum_c$c").mkString(", ")},
+         |  COALESCE(ag.c1_fp, 0) AS c1_fp
+         |FROM documents d LEFT JOIN ag ON ag.asset_id = d.doc_id
+         |ORDER BY asset_id""".stripMargin
+    }) { (s, dir) =>
+      import graft.ops.TextOps.{B2, P}
+      val mfcc = MultimodalOps.audioMfcc(
+        MultimodalOps.wavAssetsFromDocuments(Tables(s, dir, "documents")))
+      val agg = mfcc.groupBy("asset_id").agg(
+        count(lit(1)).as("n_frames"),
+        sum("c0").as("sum_c0"), sum("c1").as("sum_c1"),
+        sum("c2").as("sum_c2"), sum("c3").as("sum_c3"),
+        aggregate(
+          array_sort(collect_list(struct(col("f"), col("c1")))), lit(0L),
+          (h, x) => pmod(h * B2 + pmod(x.getField("c1"), lit(P)), lit(P)))
+          .as("c1_fp"))
+      Tables(s, dir, "documents").select(col("doc_id").as("asset_id"))
+        .join(agg, Seq("asset_id"), "left")
+        .select(col("asset_id"),
+          coalesce(col("n_frames"), lit(0L)).as("n_frames"),
+          coalesce(col("sum_c0"), lit(0L)).as("sum_c0"),
+          coalesce(col("sum_c1"), lit(0L)).as("sum_c1"),
+          coalesce(col("sum_c2"), lit(0L)).as("sum_c2"),
+          coalesce(col("sum_c3"), lit(0L)).as("sum_c3"),
+          coalesce(col("c1_fp"), lit(0L)).as("c1_fp"))
+        .orderBy("asset_id")
+    },
+
     // REAL BASELINE JPEG: each doc becomes a genuine SOF0 grayscale JPEG
     // (marker walk, Annex-K Huffman tables rebuilt FROM the stream's DHT,
     // DC DPCM, byte stuffing, zigzag) whose transform stage is the repo's

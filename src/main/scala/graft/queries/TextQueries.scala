@@ -105,6 +105,42 @@ object TextQueries {
     }
   }
 
+  /** The interpolated Kneser-Ney per-transition probability chain (see
+    * `text_lm_kneser_ney`), as a reusable CTE block ending in
+    * `probs(doc_id, pos, unseen, p)` — shared verbatim by the raw scoring
+    * face and the CCNet bucket face so the replayed arithmetic cannot
+    * drift between them. */
+  private lazy val KnProbsCtes: String =
+    s"""whst AS (SELECT doc_id, lang, $WHS AS whs FROM documents),
+       |bg AS (SELECT doc_id, lang, generate_subscripts(shl, 1) - 1 AS pos,
+       |         unnest(shl) AS h12
+       |       FROM (SELECT doc_id, lang,
+       |               ${shingleAllSql("whs", 2)} AS shl FROM whst)),
+       |st AS (SELECT b.doc_id, b.lang, b.pos, w.whs[b.pos + 1] AS h1,
+       |         w.whs[b.pos + 2] AS h2, b.h12
+       |       FROM bg b JOIN whst w USING (doc_id)),
+       |c1t AS (SELECT h1, CAST(count(*) AS BIGINT) AS c1,
+       |          CAST(count(DISTINCT h12) AS BIGINT) AS nf1
+       |        FROM st WHERE lang = 'en' GROUP BY h1),
+       |c12t AS (SELECT h12, CAST(count(*) AS BIGINT) AS c12 FROM st
+       |         WHERE lang = 'en' GROUP BY h12),
+       |nbt AS (SELECT h2, CAST(count(DISTINCT h12) AS BIGINT) AS nb2
+       |        FROM st WHERE lang = 'en' GROUP BY h2),
+       |tot AS (SELECT CAST(count(DISTINCT h12) AS BIGINT) AS nbb FROM st
+       |        WHERE lang = 'en'),
+       |pj AS (SELECT s.doc_id, s.pos, (b.c12 IS NULL) AS unseen,
+       |         u.c1, u.nf1, b.c12,
+       |         CASE WHEN n.nb2 IS NULL THEN 1.0 / (t.nbb + 1)
+       |              ELSE CAST(n.nb2 AS DOUBLE) / t.nbb END AS pcont
+       |       FROM st s LEFT JOIN c1t u USING (h1)
+       |            LEFT JOIN c12t b USING (h12)
+       |            LEFT JOIN nbt n USING (h2), tot t),
+       |probs AS (SELECT doc_id, pos, unseen,
+       |            CASE WHEN c1 IS NULL THEN pcont
+       |                 ELSE greatest(COALESCE(c12, 0) - 0.75, 0.0) / c1
+       |                      + (0.75 * nf1 / c1) * pcont END AS p
+       |          FROM pj)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Token counting (whitespace + BPE-ish) and quality scoring:
@@ -714,6 +750,61 @@ object TextQueries {
           size(col("_t")).cast("long").as("n_tokens"),
           TextOps.fingerprint(col("_t")).as("fp"))
         .orderBy("asset_id")
+    },
+
+    // STREAMING ZSTD INGESTION — the dump arriving continuously (a
+    // mirror sync delivering .zst shards): assets land as a file stream
+    // in two batches; the whole RFC 8878 decode (frame walk, FSE/Huffman,
+    // skippable-frame skip, checksum verify) is one STATELESS typed map,
+    // so exactly-once comes from the file-source + checkpoint contract
+    // alone — the text_stream_warc shape with the modern transport. The
+    // oracle is text_from_zstd's verbatim: batch and streaming faces
+    // must agree value-for-value.
+    QueryDef.withOracle("text_stream_zstd",
+      s"""SELECT doc_id AS asset_id,
+         |  CAST(1 + CASE WHEN doc_id % 3 = 0 AND strlen(text) >= 2
+         |           THEN 1 ELSE 0 END AS BIGINT) AS n_frames,
+         |  CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS n_skippable,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len($TOKS) AS BIGINT) AS n_tokens,
+         |  $FINGERPRINT AS fp
+         |FROM documents ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      import graft.ops.MultimodalOps
+      graft.functions.GraftFunctions.register(s)
+      val stage = java.nio.file.Files.createTempDirectory("graft-zststage-").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-zstckpt-").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-zstout-").toString
+      val assets = MultimodalOps.zstdAssetsFromDocuments(
+          Tables(s, dir, "documents"))
+        .localCheckpoint(false) // encode once; both batch writes read it
+      val assetSchema = assets.schema
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        def drain(): Unit =
+          MultimodalOps.zstdText(
+              s.readStream.schema(assetSchema).parquet(stage).toDF())
+            .select(col("asset_id"), col("n_frames"), col("n_skippable"),
+              length(col("text")).cast("long").as("n_chars"),
+              TextOps.tokens(col("text")).as("_t"))
+            .select(col("asset_id"), col("n_frames"), col("n_skippable"),
+              col("n_chars"),
+              size(col("_t")).cast("long").as("n_tokens"),
+              TextOps.fingerprint(col("_t")).as("fp"))
+            .writeStream.option("checkpointLocation", ckpt)
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .format("parquet").option("path", out)
+            .start().awaitTermination()
+        assets.filter(col("asset_id") % 2 === 0)
+          .write.mode("append").parquet(stage)
+        drain()
+        assets.filter(col("asset_id") % 2 === 1)
+          .write.mode("append").parquet(stage)
+        drain()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.read.parquet(out).orderBy("asset_id")
     },
 
     // CSV INGESTION (RFC 4180 — the tabular dump shape): the doc text
@@ -1523,35 +1614,7 @@ object TextQueries {
     // position order — no transcendental rides the compared output (the
     // lmScore stance) — so the oracle replays mean_p bit-for-bit.
     QueryDef.withOracle("text_lm_kneser_ney",
-      s"""WITH whst AS (SELECT doc_id, lang, $WHS AS whs FROM documents),
-         |bg AS (SELECT doc_id, lang, generate_subscripts(shl, 1) - 1 AS pos,
-         |         unnest(shl) AS h12
-         |       FROM (SELECT doc_id, lang,
-         |               ${shingleAllSql("whs", 2)} AS shl FROM whst)),
-         |st AS (SELECT b.doc_id, b.lang, b.pos, w.whs[b.pos + 1] AS h1,
-         |         w.whs[b.pos + 2] AS h2, b.h12
-         |       FROM bg b JOIN whst w USING (doc_id)),
-         |c1t AS (SELECT h1, CAST(count(*) AS BIGINT) AS c1,
-         |          CAST(count(DISTINCT h12) AS BIGINT) AS nf1
-         |        FROM st WHERE lang = 'en' GROUP BY h1),
-         |c12t AS (SELECT h12, CAST(count(*) AS BIGINT) AS c12 FROM st
-         |         WHERE lang = 'en' GROUP BY h12),
-         |nbt AS (SELECT h2, CAST(count(DISTINCT h12) AS BIGINT) AS nb2
-         |        FROM st WHERE lang = 'en' GROUP BY h2),
-         |tot AS (SELECT CAST(count(DISTINCT h12) AS BIGINT) AS nbb FROM st
-         |        WHERE lang = 'en'),
-         |pj AS (SELECT s.doc_id, s.pos, (b.c12 IS NULL) AS unseen,
-         |         u.c1, u.nf1, b.c12,
-         |         CASE WHEN n.nb2 IS NULL THEN 1.0 / (t.nbb + 1)
-         |              ELSE CAST(n.nb2 AS DOUBLE) / t.nbb END AS pcont
-         |       FROM st s LEFT JOIN c1t u USING (h1)
-         |            LEFT JOIN c12t b USING (h12)
-         |            LEFT JOIN nbt n USING (h2), tot t),
-         |probs AS (SELECT doc_id, pos, unseen,
-         |            CASE WHEN c1 IS NULL THEN pcont
-         |                 ELSE greatest(COALESCE(c12, 0) - 0.75, 0.0) / c1
-         |                      + (0.75 * nf1 / c1) * pcont END AS p
-         |          FROM pj)
+      s"""WITH $KnProbsCtes
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
          |  CAST(sum(CASE WHEN unseen THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
          |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(p ORDER BY pos)),
@@ -1560,6 +1623,62 @@ object TextQueries {
       val docs = Tables(s, dir, "documents")
       graft.ops.NgramLmOps.knScore(docs, "doc_id", "text",
           docs.filter(col("lang") === "en"))
+        .orderBy("doc_id")
+    },
+
+    // CCNet PERPLEXITY BUCKETING (Wenzek et al. 2020 §4.4 — the stage
+    // after LM scoring): per-language head/middle/tail terciles of the
+    // Kneser-Ney score (higher mean_p = lower perplexity = head). The
+    // 100 TB shape: thresholds come from the DISTINCT-SCORE histogram
+    // (one agg + a histogram-cardinality window, never a per-doc sort
+    // partitioned by ~30 language keys), then broadcast back for a
+    // map-side bucket compare. Ties share a score, hence a bucket —
+    // thresholds are SCORE-valued (t1 = score at desc-rank ceil(n/3)),
+    // so head can exceed n/3 only by tied docs; deterministic in both
+    // engines because mean_p replays bit-for-bit (the KN face's gate).
+    QueryDef.withOracle("text_ccnet_buckets",
+      s"""WITH $KnProbsCtes,
+         |sc AS (SELECT p.doc_id,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list(p.p ORDER BY p.pos)), (a, b) -> a + b)
+         |           / count(*) AS mean_p
+         |       FROM probs p GROUP BY p.doc_id),
+         |sl AS (SELECT s.doc_id, d.lang, s.mean_p
+         |       FROM sc s JOIN documents d USING (doc_id)),
+         |hist AS (SELECT lang, mean_p, CAST(count(*) AS BIGINT) AS cnt
+         |         FROM sl GROUP BY 1, 2),
+         |cum AS (SELECT lang, mean_p, SUM(cnt) OVER
+         |          (PARTITION BY lang ORDER BY mean_p DESC) AS cum
+         |        FROM hist),
+         |nn AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM sl GROUP BY 1),
+         |th AS (SELECT c.lang,
+         |         MAX(CASE WHEN c.cum >= (n.n + 2) // 3 THEN c.mean_p END) AS t1,
+         |         MAX(CASE WHEN c.cum >= (2 * n.n + 2) // 3 THEN c.mean_p END) AS t2
+         |       FROM cum c JOIN nn n USING (lang) GROUP BY 1)
+         |SELECT s.doc_id, s.lang, s.mean_p,
+         |  CASE WHEN s.mean_p >= t.t1 THEN 'head'
+         |       WHEN s.mean_p >= t.t2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM sl s JOIN th t USING (lang)
+         |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+      val scored = graft.ops.NgramLmOps.knScore(docs, "doc_id", "text",
+          docs.filter(col("lang") === "en"))
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("mean_p"))
+      val hist = scored.groupBy("lang", "mean_p").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("lang").orderBy(col("mean_p").desc)
+      val cum = hist.withColumn("cum", sum("cnt").over(w))
+      val nn = scored.groupBy("lang").agg(count(lit(1)).as("n"))
+      val th = cum.join(nn, "lang").groupBy("lang").agg(
+        max(when(col("cum") >= expr("(n + 2) div 3"), col("mean_p"))).as("t1"),
+        max(when(col("cum") >= expr("(2 * n + 2) div 3"), col("mean_p"))).as("t2"))
+      scored.join(broadcast(th), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("mean_p"),
+          when(col("mean_p") >= col("t1"), "head")
+            .when(col("mean_p") >= col("t2"), "middle")
+            .otherwise("tail").as("bucket"))
         .orderBy("doc_id")
     },
 

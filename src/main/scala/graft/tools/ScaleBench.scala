@@ -211,7 +211,12 @@ object ScaleBench {
     // (the mm_audio_fp DFT pass + an integer weight fold)
     "text_from_zstd", "text_from_tar_zst", "text_from_wet",
     "text_normalize", "text_url_canonical", "text_langid_model",
-    "text_tokens_unigram", "mm_audio_mel")
+    "text_tokens_unigram", "mm_audio_mel",
+    // r16 second half: MFCC (the mel pass + a log/DCT fold),
+    // CCNet buckets (the KN scoring joins + a histogram-scale window +
+    // broadcast threshold join), streaming zstd (stateless decode map
+    // under the file-source/checkpoint lifecycle)
+    "mm_audio_mfcc", "text_ccnet_buckets", "text_stream_zstd")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

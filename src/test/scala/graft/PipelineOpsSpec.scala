@@ -3581,6 +3581,39 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(quiet.length == 1 && quiet(0).getLong(6) == 1L)
   }
 
+  test("audioMfcc: fixed-point log anchors, DCT energy row, brute-force agreement") {
+    import graft.ops.{MultimodalOps => M, WavCodec}
+    import spark.implicits._
+    // logFix anchors: exact powers of two hit k*1024 with zero mantissa;
+    // x=3 lands on the halfway table entry; nonpositive is 0 by definition
+    assert(M.logFix(0) == 0L && M.logFix(-5) == 0L)
+    assert(M.logFix(1) == 0L && M.logFix(2) == 1024L && M.logFix(1L << 40) == 40960L)
+    assert(M.logFix(3) == 1024L + M.LogTable(32))
+    assert(M.LogTable(32) == Math.round(math.log(1.5) / math.log(2.0) * 1024))
+    // monotone non-decreasing over a mixed-magnitude sweep
+    val xs = (0L to 200L) ++ Seq(1L << 20, (1L << 20) + 1, 1L << 45, Long.MaxValue)
+    assert(xs.sorted.map(M.logFix).sliding(2).forall(p => p.head <= p.last))
+    // DCT-II row 0 is the all-64 energy term; every row bounded by 64
+    assert(M.DctWeights(0).forall(_ == 64L))
+    assert(M.DctWeights.forall(_.forall(w => math.abs(w) <= 64L)))
+    // brute-force agreement on random audio
+    val rnd = new scala.util.Random(29)
+    val ss = Array.tabulate(3 * M.AudioFpFrame)(_ =>
+      ((rnd.nextInt(200) - 100) * 150).toShort)
+    def asset(id: Long, s: Array[Short]) =
+      graft.ops.MediaAsset(id, "wav", WavCodec.encode(8000, 1, s), 0, 0, 1, 8000)
+    val got = M.audioMfcc(Seq(asset(0, ss)).toDF())
+      .collect().sortBy(_.getInt(1))
+      .map(r => (0 until M.MelBins).map(i => r.getLong(2 + i)))
+    assert(got.length == 3)
+    for (f <- 0 until 3) {
+      val lg = M.melEnergiesOf(ss, f).map(M.logFix)
+      val ref = (0 until M.MelBins).map(c =>
+        (0 until M.MelBins).map(m => M.DctWeights(c)(m) * lg(m)).sum)
+      assert(got(f) == ref, s"frame $f mfcc mismatch")
+    }
+  }
+
   test("WavCodec mu-law: G.711 arithmetic, code round-trip and the format-7 container path") {
     // ITU anchor values: full-scale codes expand to ±32124, both zero
     // codes to 0 (the public G.711 table's extremes)
