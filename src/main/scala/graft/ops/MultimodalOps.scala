@@ -1336,6 +1336,89 @@ object MultimodalOps {
       .toDF("asset_id", "f", "c0", "c1", "c2", "c3")
   }
 
+  /** VAD fixture: the [[wavAssetsFromDocuments]] sample map with SILENCE
+    * GAPS planted so the segmenter has real segment structure to find —
+    * after every `3 + doc_id % 3` full content frames, two frames (64
+    * samples) of digital silence. Content truncates to whole frames
+    * before gapping so every block boundary is frame-aligned, which is
+    * what lets the oracle rebuild the identical gapped stream with list
+    * slicing. Uniform-energy audio segments trivially (the whole clip is
+    * one run over the half-mean threshold — measured: 500/500 single-
+    * segment on the ungapped fixture); the gaps make n_segments/longest/
+    * starts_fp informative. */
+  def vadAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rates = Array(8000, 16000, 44100)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        require(text.forall(_ < 128),
+          s"wav fixture requires ASCII text (doc $id)") // the WAV contract
+        val raw = Array.tabulate(text.length)(i =>
+          ((text.charAt(i) - 80) * 257).toShort)
+        val nF0 = raw.length / AudioFpFrame
+        val content = raw.take(nF0 * AudioFpFrame)
+        val per = (3 + id % 3).toInt
+        val blockLen = per * AudioFpFrame
+        val out = Array.newBuilder[Short]
+        var b = 0
+        while (b * blockLen < content.length) {
+          val end = math.min((b + 1) * blockLen, content.length)
+          out ++= content.slice(b * blockLen, end)
+          out ++= Array.fill(2 * AudioFpFrame)(0.toShort)
+          b += 1
+        }
+        val rate = rates((id % 3).toInt)
+        MediaAsset(id, "wav", WavCodec.encode(rate, 1, out.result()),
+          0, 0, 1, rate)
+      }.toDF()
+  }
+
+  /** Energy VAD (voice-activity detection) — the speech-curation segmenter
+    * (a training pipeline drops non-speech before transcribing): per-frame
+    * total mel energy, per-asset threshold T = totalE / (2·nF) (half the
+    * mean — integer division, deterministic), speech = E > T, segments =
+    * maximal speech runs. One typed map pass computes the whole state
+    * machine in-task; the oracle replays it relationally (threshold from
+    * the energy totals, runs via the gaps-and-islands row_number trick).
+    * Output (asset_id, n_frames, n_speech, n_segments, longest,
+    * starts_fp) where starts_fp folds the 1-based segment starts in
+    * order. */
+  def audioVad(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .repartitionByRange(spark.sparkContext.defaultParallelism,
+        col("format"), col("asset_id"))
+      .as[MediaAsset]
+      .map { a =>
+        require(a.format == "wav", s"audioVad needs wav, got ${a.format}")
+        val (_, channels, ss) = WavCodec.decode(a.payload)
+        require(channels == 1, s"audioVad expects mono, got $channels")
+        val nF = ss.length / AudioFpFrame
+        val e = Array.tabulate(nF)(f => melEnergiesOf(ss, f).sum)
+        val t = if (nF == 0) 0L else e.sum / (2L * nF)
+        var nSpeech = 0L; var nSeg = 0L; var longest = 0L
+        var run = 0L; var fp = 0L
+        var f = 0
+        while (f < nF) {
+          if (e(f) > t) {
+            if (run == 0) {
+              nSeg += 1
+              fp = java.lang.Math.floorMod(
+                fp * TextOps.B2 + (f + 1), TextOps.P)
+            }
+            run += 1; nSpeech += 1
+            if (run > longest) longest = run
+          } else run = 0
+          f += 1
+        }
+        (a.asset_id, nF.toLong, nSpeech, nSeg, longest, fp)
+      }
+      .toDF("asset_id", "n_frames", "n_speech", "n_segments", "longest",
+        "starts_fp")
+  }
+
   def audioFingerprints(assets: DataFrame): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._

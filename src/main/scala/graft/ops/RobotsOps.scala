@@ -1,0 +1,106 @@
+package graft.ops
+
+/** robots.txt evaluation — the crawl-politeness stage every fetch pipeline
+  * runs before a URL is even downloaded (RFC 9309, published 2022; the
+  * Google/REP semantics). Strict subset, loud where it matters:
+  *
+  *  - GROUPS: consecutive `User-agent:` lines open a group; the rules that
+  *    follow (until the next user-agent line) belong to every agent named.
+  *    Group selection is EXCLUSIVE most-specific-match: if any group names
+  *    the crawler's product token (case-insensitive exact token match),
+  *    only those groups apply; otherwise only the `*` groups do (RFC 9309
+  *    §2.2.1 — a specific group REPLACES the default, it does not union).
+  *  - RULES: `Allow:` / `Disallow:` path patterns, `*` matching any char
+  *    sequence and `$` anchoring the end (§2.2.3). An empty pattern sets
+  *    no restriction and is ignored. Unknown directives and `#` comments
+  *    are skipped (§2.2.4 tolerance), but a rule line BEFORE any group
+  *    throws — membership would be ambiguous and a politeness layer that
+  *    guesses is worse than one that fails.
+  *  - PRECEDENCE: the matching rule with the LONGEST pattern (octet
+  *    length) wins; at equal length Allow beats Disallow (§2.2.2). No
+  *    matching rule → allowed.
+  */
+object RobotsOps {
+
+  final case class Rule(allow: Boolean, pattern: String)
+
+  /** Parsed groups: (user-agent tokens, rules in file order). */
+  def parse(txt: String): Seq[(Seq[String], Seq[Rule])] = {
+    val groups = scala.collection.mutable.ArrayBuffer[(Seq[String], scala.collection.mutable.ArrayBuffer[Rule])]()
+    var openAgents: List[String] = Nil // UA lines not yet closed by a rule
+    txt.split("\n", -1).foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      if (line.nonEmpty) {
+        val ci = line.indexOf(':')
+        require(ci > 0, s"robots: malformed line (no directive): $line")
+        val key = line.substring(0, ci).trim.toLowerCase
+        val value = line.substring(ci + 1).trim
+        key match {
+          case "user-agent" =>
+            openAgents = value.toLowerCase :: openAgents
+          case "allow" | "disallow" =>
+            if (openAgents.nonEmpty) {
+              groups += ((openAgents.reverse, scala.collection.mutable.ArrayBuffer[Rule]()))
+              openAgents = Nil
+            }
+            require(groups.nonEmpty, "robots: rule before any user-agent group")
+            if (value.nonEmpty) groups.last._2 += Rule(key == "allow", value)
+          case _ => () // sitemap, crawl-delay, unknown: tolerated, ignored
+        }
+      }
+    }
+    if (openAgents.nonEmpty) // trailing empty group (UA lines, no rules)
+      groups += ((openAgents.reverse, scala.collection.mutable.ArrayBuffer[Rule]()))
+    groups.map { case (as, rs) => (as, rs.toSeq) }.toSeq
+  }
+
+  /** `*`/`$` pattern match, anchored at path start (RFC 9309 §2.2.3):
+    * greedy segment scan — each literal segment between `*`s must appear
+    * in order; a trailing `$` requires the match to consume the whole
+    * path. */
+  def matches(pattern: String, path: String): Boolean = {
+    val anchored = pattern.endsWith("$")
+    val pat = if (anchored) pattern.dropRight(1) else pattern
+    val segs = pat.split("\\*", -1) // empty segs from leading/double '*'
+    // first segment is start-anchored
+    if (!path.startsWith(segs.head)) return false
+    var pos = segs.head.length
+    val lastIdx = segs.length - 1
+    // middle segments: leftmost-greedy is complete for '*' globs (matching
+    // a segment earlier never blocks a later one — '*' absorbs the gap)
+    var i = 1
+    while (i < lastIdx) {
+      val s = segs(i)
+      if (s.nonEmpty) {
+        val at = path.indexOf(s, pos)
+        if (at < 0) return false
+        pos = at + s.length
+      }
+      i += 1
+    }
+    if (lastIdx == 0) !anchored || pos == path.length // no '*' at all
+    else {
+      val last = segs(lastIdx)
+      if (last.isEmpty) true // pattern ends in '*' — eats the rest either way
+      else if (anchored) path.length - last.length >= pos && path.endsWith(last)
+      else path.indexOf(last, pos) >= 0
+    }
+  }
+
+  /** Evaluate `path` for crawler `agent`:
+    * (n_rules in the applicable groups, allowed, winning pattern or ""). */
+  def evaluate(txt: String, agent: String, path: String): (Long, Boolean, String) = {
+    val groups = parse(txt)
+    val a = agent.toLowerCase
+    val specific = groups.filter(_._1.contains(a))
+    val chosen = if (specific.nonEmpty) specific else groups.filter(_._1.contains("*"))
+    val rules = chosen.flatMap(_._2)
+    val hit = rules.filter(r => matches(r.pattern, path))
+    if (hit.isEmpty) (rules.length.toLong, true, "")
+    else {
+      // longest pattern wins; Allow beats Disallow at equal length
+      val best = hit.maxBy(r => (r.pattern.length, r.allow))
+      (rules.length.toLong, best.allow, best.pattern)
+    }
+  }
+}

@@ -40,6 +40,71 @@ object MultimodalQueries {
 
   import OracleText.FINGERPRINT
 
+  /** The samples-from-text → fixed-point DFT → integer mel-fold CTE chain,
+    * ending in `me(asset_id, f, m, men)` — ONE definition shared by the
+    * mel / MFCC / VAD oracles so the replayed arithmetic cannot drift
+    * between the audio-feature faces (the MonoAudioOracleSql stance). */
+  private def melCtesFrom(sBody: String): String = {
+    import graft.ops.MultimodalOps.{AudioFpBands, AudioFpCos, AudioFpFrame,
+      AudioFpSin, MelBins, MelShift, MelWeights}
+    val trigRows = (for {
+      k <- 0 until AudioFpBands; n <- 0 until AudioFpFrame
+    } yield s"(${k + 1},$n,${AudioFpCos(k)(n)},${AudioFpSin(k)(n)})").mkString(",")
+    val melRows = (for { m <- 0 until MelBins; k <- 0 until AudioFpBands }
+      yield s"(${m + 1},${k + 1},${MelWeights(m)(k)})").mkString(",")
+    s"""s AS ($sBody),
+       |tg(k, n, c, sn) AS (SELECT * FROM (VALUES $trigRows) t(k, n, c, sn)),
+       |mw(m, k, w) AS (SELECT * FROM (VALUES $melRows) t(m, k, w)),
+       |fr AS (SELECT asset_id, ss,
+       |         CAST(unnest(range(0, len(ss) // $AudioFpFrame)) AS INT) AS f
+       |       FROM s),
+       |be AS (SELECT a.asset_id, a.f, t.k,
+       |         SUM(a.ss[CAST(a.f * $AudioFpFrame + t.n + 1 AS INT)] * t.c) AS re,
+       |         SUM(a.ss[CAST(a.f * $AudioFpFrame + t.n + 1 AS INT)] * t.sn) AS im
+       |       FROM fr a, tg t GROUP BY 1, 2, 3),
+       |ep AS (SELECT asset_id, f, k,
+       |         (CAST(re AS BIGINT) * re + CAST(im AS BIGINT) * im)
+       |           >> $MelShift AS es
+       |       FROM be),
+       |me AS (SELECT e.asset_id, e.f, w.m, CAST(SUM(w.w * e.es) AS BIGINT) AS men
+       |       FROM ep e JOIN mw w USING (k) GROUP BY 1, 2, 3)""".stripMargin
+  }
+
+  /** The standard samples-from-text source (every WAV-fixture face). */
+  private lazy val MelCtes: String = melCtesFrom(
+    s"""SELECT doc_id AS asset_id,
+       |    list_transform(range(1, length(text) + 1),
+       |      i -> CAST((unicode(substr(text, CAST(i AS INT), 1)) - 80) * 257
+       |           AS BIGINT)) AS ss
+       |  FROM documents""".stripMargin)
+
+  /** The VAD fixture's source: the same sample map truncated to whole
+    * frames, with 2 silence frames after every `3 + doc_id % 3` content
+    * frames (MultimodalOps.vadAssetsFromDocuments replayed with list
+    * slicing — block boundaries are frame-aligned by construction). */
+  private lazy val VadMelCtes: String = {
+    import graft.ops.MultimodalOps.AudioFpFrame
+    melCtesFrom(
+      s"""SELECT doc_id AS asset_id,
+         |    flatten(list_transform(range(0, (nf0 + per - 1) // per),
+         |      b -> list_concat(
+         |        content[CAST(b * per * $AudioFpFrame + 1 AS INT) :
+         |                CAST(least((b + 1) * per * $AudioFpFrame,
+         |                     nf0 * $AudioFpFrame) AS INT)],
+         |        list_transform(range(0, ${2 * AudioFpFrame}),
+         |          x -> CAST(0 AS BIGINT))))) AS ss
+         |  FROM (SELECT doc_id,
+         |          ss0[1 : CAST((len(ss0) // $AudioFpFrame) * $AudioFpFrame
+         |                  AS INT)] AS content,
+         |          len(ss0) // $AudioFpFrame AS nf0,
+         |          3 + doc_id % 3 AS per
+         |        FROM (SELECT doc_id,
+         |                list_transform(range(1, length(text) + 1),
+         |                  i -> CAST((unicode(substr(text, CAST(i AS INT), 1))
+         |                       - 80) * 257 AS BIGINT)) AS ss0
+         |              FROM documents))""".stripMargin)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Binary column round-trip + periodic frame sampling, pure expressions:
@@ -932,37 +997,12 @@ object MultimodalQueries {
     // replays samples-from-text, the trig VALUES, the >> 20 prescale and
     // the weight join term-by-term.
     QueryDef.withOracle("mm_audio_mel", {
-      import graft.ops.MultimodalOps.{AudioFpBands, AudioFpCos, AudioFpFrame,
-        AudioFpSin, MelBins, MelShift, MelWeights}
+      import graft.ops.MultimodalOps.MelBins
       import graft.ops.TextOps.{B2, P}
-      val trigRows = (for {
-        k <- 0 until AudioFpBands; n <- 0 until AudioFpFrame
-      } yield s"(${k + 1},$n,${AudioFpCos(k)(n)},${AudioFpSin(k)(n)})").mkString(",")
-      val melRows = (for { m <- 0 until MelBins; k <- 0 until AudioFpBands }
-        yield s"(${m + 1},${k + 1},${MelWeights(m)(k)})").mkString(",")
       val sums = (1 to MelBins).map(m =>
         s"CAST(SUM(CASE WHEN m = $m THEN men END) AS BIGINT) AS m${m - 1}")
         .mkString(", ")
-      s"""WITH s AS (SELECT doc_id AS asset_id,
-         |    list_transform(range(1, length(text) + 1),
-         |      i -> CAST((unicode(substr(text, CAST(i AS INT), 1)) - 80) * 257
-         |           AS BIGINT)) AS ss
-         |  FROM documents),
-         |tg(k, n, c, sn) AS (SELECT * FROM (VALUES $trigRows) t(k, n, c, sn)),
-         |mw(m, k, w) AS (SELECT * FROM (VALUES $melRows) t(m, k, w)),
-         |fr AS (SELECT asset_id, ss,
-         |         CAST(unnest(range(0, len(ss) // $AudioFpFrame)) AS INT) AS f
-         |       FROM s),
-         |be AS (SELECT a.asset_id, a.f, t.k,
-         |         SUM(a.ss[CAST(a.f * $AudioFpFrame + t.n + 1 AS INT)] * t.c) AS re,
-         |         SUM(a.ss[CAST(a.f * $AudioFpFrame + t.n + 1 AS INT)] * t.sn) AS im
-         |       FROM fr a, tg t GROUP BY 1, 2, 3),
-         |ep AS (SELECT asset_id, f, k,
-         |         (CAST(re AS BIGINT) * re + CAST(im AS BIGINT) * im)
-         |           >> $MelShift AS es
-         |       FROM be),
-         |me AS (SELECT e.asset_id, e.f, w.m, CAST(SUM(w.w * e.es) AS BIGINT) AS men
-         |       FROM ep e JOIN mw w USING (k) GROUP BY 1, 2, 3),
+      s"""WITH $MelCtes,
          |pv AS (SELECT asset_id, f, $sums FROM me GROUP BY 1, 2),
          |tp AS (SELECT asset_id, f, m, row_number() OVER
          |         (PARTITION BY asset_id, f ORDER BY men DESC, m) AS rk
@@ -1013,15 +1053,8 @@ object MultimodalQueries {
     // The oracle replays logfix via length(bin(x)) + shifts + the table
     // as VALUES, and the DCT as a weight join.
     QueryDef.withOracle("mm_audio_mfcc", {
-      import graft.ops.MultimodalOps.{AudioFpBands, AudioFpCos, AudioFpFrame,
-        AudioFpSin, DctWeights, LogScale, LogTable, MelBins, MelShift,
-        MelWeights}
+      import graft.ops.MultimodalOps.{DctWeights, LogScale, LogTable, MelBins}
       import graft.ops.TextOps.{B2, P}
-      val trigRows = (for {
-        k <- 0 until AudioFpBands; n <- 0 until AudioFpFrame
-      } yield s"(${k + 1},$n,${AudioFpCos(k)(n)},${AudioFpSin(k)(n)})").mkString(",")
-      val melRows = (for { m <- 0 until MelBins; k <- 0 until AudioFpBands }
-        yield s"(${m + 1},${k + 1},${MelWeights(m)(k)})").mkString(",")
       val logRows = LogTable.zipWithIndex
         .map { case (v, i) => s"($i,$v)" }.mkString(",")
       val dctRows = (for { c <- 0 until MelBins; m <- 0 until MelBins }
@@ -1029,28 +1062,9 @@ object MultimodalQueries {
       val sums = (0 until MelBins).map(c =>
         s"CAST(SUM(CASE WHEN c = $c THEN mfc END) AS BIGINT) AS c$c")
         .mkString(", ")
-      s"""WITH s AS (SELECT doc_id AS asset_id,
-         |    list_transform(range(1, length(text) + 1),
-         |      i -> CAST((unicode(substr(text, CAST(i AS INT), 1)) - 80) * 257
-         |           AS BIGINT)) AS ss
-         |  FROM documents),
-         |tg(k, n, c, sn) AS (SELECT * FROM (VALUES $trigRows) t(k, n, c, sn)),
-         |mw(m, k, w) AS (SELECT * FROM (VALUES $melRows) t(m, k, w)),
+      s"""WITH $MelCtes,
          |lt(i, v) AS (SELECT * FROM (VALUES $logRows) t(i, v)),
          |dw(c, m, w) AS (SELECT * FROM (VALUES $dctRows) t(c, m, w)),
-         |fr AS (SELECT asset_id, ss,
-         |         CAST(unnest(range(0, len(ss) // $AudioFpFrame)) AS INT) AS f
-         |       FROM s),
-         |be AS (SELECT a.asset_id, a.f, t.k,
-         |         SUM(a.ss[CAST(a.f * $AudioFpFrame + t.n + 1 AS INT)] * t.c) AS re,
-         |         SUM(a.ss[CAST(a.f * $AudioFpFrame + t.n + 1 AS INT)] * t.sn) AS im
-         |       FROM fr a, tg t GROUP BY 1, 2, 3),
-         |ep AS (SELECT asset_id, f, k,
-         |         (CAST(re AS BIGINT) * re + CAST(im AS BIGINT) * im)
-         |           >> $MelShift AS es
-         |       FROM be),
-         |me AS (SELECT e.asset_id, e.f, w.m, CAST(SUM(w.w * e.es) AS BIGINT) AS men
-         |       FROM ep e JOIN mw w USING (k) GROUP BY 1, 2, 3),
          |mt AS (SELECT asset_id, f, m, men,
          |         CASE WHEN men <= 0 THEN 0
          |              ELSE length(bin(men)) - 1 END AS ip,
@@ -1099,6 +1113,58 @@ object MultimodalQueries {
           coalesce(col("sum_c2"), lit(0L)).as("sum_c2"),
           coalesce(col("sum_c3"), lit(0L)).as("sum_c3"),
           coalesce(col("c1_fp"), lit(0L)).as("c1_fp"))
+        .orderBy("asset_id")
+    },
+
+    // Energy VAD (voice-activity detection — the speech-curation
+    // segmenter): per-frame total mel energy, per-asset threshold
+    // T = totalE / (2·nF) (half the mean, integer division), speech =
+    // E > T, segments = maximal speech runs. The Spark side runs the
+    // whole state machine in one typed map; the oracle replays it
+    // relationally — threshold from the energy totals, runs via the
+    // gaps-and-islands row_number trick, the ordered segment-start fold
+    // in a list_reduce. Compared: frame/speech/segment counts, longest
+    // run, and the start-position fingerprint.
+    QueryDef.withOracle("mm_audio_vad", {
+      import graft.ops.TextOps.{B2, P}
+      s"""WITH $VadMelCtes,
+         |fe AS (SELECT asset_id, f, CAST(SUM(men) AS BIGINT) AS e
+         |       FROM me GROUP BY 1, 2),
+         |tt AS (SELECT asset_id, CAST(count(*) AS BIGINT) AS nf,
+         |         CAST(SUM(e) AS BIGINT) AS te
+         |       FROM fe GROUP BY 1),
+         |sp AS (SELECT fe.asset_id, fe.f,
+         |         fe.e > (tt.te // (2 * tt.nf)) AS speech
+         |       FROM fe JOIN tt USING (asset_id)),
+         |isl AS (SELECT asset_id, f,
+         |          f - row_number() OVER (PARTITION BY asset_id ORDER BY f)
+         |            AS grp
+         |        FROM sp WHERE speech),
+         |seg AS (SELECT asset_id, CAST(min(f) AS BIGINT) AS start,
+         |          CAST(count(*) AS BIGINT) AS len
+         |        FROM isl GROUP BY asset_id, grp),
+         |ag AS (SELECT asset_id, CAST(count(*) AS BIGINT) AS n_segments,
+         |         CAST(SUM(len) AS BIGINT) AS n_speech,
+         |         CAST(MAX(len) AS BIGINT) AS longest,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list(start + 1 ORDER BY start)),
+         |           (h, x) -> (h * $B2 + x) % $P) AS starts_fp
+         |       FROM seg GROUP BY 1)
+         |SELECT d.doc_id AS asset_id,
+         |  COALESCE(tt.nf, 0) AS n_frames,
+         |  COALESCE(ag.n_speech, 0) AS n_speech,
+         |  COALESCE(ag.n_segments, 0) AS n_segments,
+         |  COALESCE(ag.longest, 0) AS longest,
+         |  COALESCE(ag.starts_fp, 0) AS starts_fp
+         |FROM documents d
+         |LEFT JOIN tt ON tt.asset_id = d.doc_id
+         |LEFT JOIN ag ON ag.asset_id = d.doc_id
+         |ORDER BY asset_id""".stripMargin
+    }) { (s, dir) =>
+      // audioVad is per-asset (map, not per-frame flatMap), so every doc
+      // already has its row — no completion join needed
+      MultimodalOps.audioVad(
+        MultimodalOps.vadAssetsFromDocuments(Tables(s, dir, "documents")))
         .orderBy("asset_id")
     },
 

@@ -141,6 +141,12 @@ object TextQueries {
        |                      + (0.75 * nf1 / c1) * pcont END AS p
        |          FROM pj)""".stripMargin
 
+  /** The robots fixture's probe paths — one definition shared by the
+    * Spark fixture and the oracle's CASE so they cannot drift. */
+  private val RobotsProbePaths: Seq[String] = Seq(
+    "/private/ok/page.html", "/private/secret.html", "/data/file.json",
+    "/tmp/pub/x.json", "/docs/raw/data.bin")
+
   val defs: Seq[QueryDef] = Seq(
 
     // Token counting (whitespace + BPE-ish) and quality scoring:
@@ -805,6 +811,79 @@ object TextQueries {
         drain()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.read.parquet(out).orderBy("asset_id")
+    },
+
+    // ROBOTS.TXT EVALUATION (RFC 9309 — the crawl-politeness check every
+    // fetch pipeline runs BEFORE a URL is downloaded): the fixture plants
+    // three robots.txt shapes (wildcard+anchor rules, an agent-specific
+    // group that must EXCLUSIVELY replace the `*` group, a blanket-deny
+    // for a different crawler that must not apply) × five probe paths.
+    // The Spark side parses the real text (groups, `*`/`$` patterns,
+    // longest-match precedence, Allow-beats-Disallow ties — RobotsOps);
+    // the oracle replays the closed rule set as VALUES with per-rule
+    // regex equivalents and the same (length desc, allow desc) winner
+    // pick. Compared: per-doc applicable-rule count, the verdict and the
+    // winning pattern.
+    QueryDef.withOracle("text_robots_rules", {
+      val rules = Seq(
+        // (variant, group, allow, pattern, regex)
+        (0, "*", false, "/private/", "^/private/"),
+        (0, "*", true, "/private/ok/", "^/private/ok/"),
+        (0, "*", false, "/*.json$", "^/.*\\.json$"),
+        (1, "*", false, "/private/", "^/private/"),
+        (1, "*", true, "/private/ok/", "^/private/ok/"),
+        (1, "*", false, "/*.json$", "^/.*\\.json$"),
+        (1, "graftbot", false, "/tmp/", "^/tmp/"),
+        (1, "graftbot", true, "/tmp/pub/", "^/tmp/pub/"),
+        (2, "other", false, "/", "^/"),
+        (2, "*", true, "/docs", "^/docs"),
+        (2, "*", false, "/docs/raw*", "^/docs/raw"))
+      val ruleRows = rules.map { case (v, g, a, pat, rx) =>
+        s"($v,'$g',$a,'$pat',${pat.length},'$rx')"
+      }.mkString(",")
+      val pathCase = RobotsProbePaths.zipWithIndex
+        .map { case (p, i) => s"WHEN $i THEN '$p'" }.mkString(" ")
+      s"""WITH d AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS v,
+         |      (CASE CAST(doc_id % 5 AS INT) $pathCase END) AS path
+         |    FROM documents),
+         |r(v, grp, allow, pattern, plen, rx) AS
+         |  (SELECT * FROM (VALUES $ruleRows) t(v, grp, allow, pattern, plen, rx)),
+         |ch AS (SELECT d.doc_id, d.path, r.allow, r.pattern, r.plen, r.rx
+         |       FROM d JOIN r ON r.v = d.v AND r.grp =
+         |         (CASE WHEN d.v = 1 THEN 'graftbot' ELSE '*' END)),
+         |nr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rules
+         |       FROM ch GROUP BY 1),
+         |hit AS (SELECT doc_id, allow, pattern, row_number() OVER
+         |          (PARTITION BY doc_id ORDER BY plen DESC, allow DESC) AS rk
+         |        FROM ch WHERE regexp_matches(path, rx)),
+         |w AS (SELECT doc_id, allow, pattern FROM hit WHERE rk = 1)
+         |SELECT d.doc_id, d.path, nr.n_rules,
+         |  COALESCE(w.allow, TRUE) AS allowed,
+         |  COALESCE(w.pattern, '') AS rule
+         |FROM d JOIN nr USING (doc_id) LEFT JOIN w USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val v0 = "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n" +
+        "Disallow: /*.json$\n"
+      val v1 = v0 + "\nUser-agent: GraftBot\nDisallow: /tmp/\nAllow: /tmp/pub/\n"
+      val v2 = "# blanket-deny for one crawler, shallow allow for the rest\n" +
+        "User-agent: other\nDisallow: /\n\n" +
+        "User-agent: *\nAllow: /docs\nDisallow: /docs/raw*\n"
+      val paths = RobotsProbePaths
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), pmod(col("doc_id"), lit(3L)).as("v"),
+          pmod(col("doc_id"), lit(5L)).as("p"))
+        .as[(Long, Long, Long)]
+        .map { case (id, v, p) =>
+          val txt = v match { case 0 => v0; case 1 => v1; case _ => v2 }
+          val path = paths(p.toInt)
+          val (n, allowed, rule) =
+            graft.ops.RobotsOps.evaluate(txt, "GraftBot", path)
+          (id, path, n, allowed, rule)
+        }
+        .toDF("doc_id", "path", "n_rules", "allowed", "rule")
+        .orderBy("doc_id")
     },
 
     // CSV INGESTION (RFC 4180 — the tabular dump shape): the doc text

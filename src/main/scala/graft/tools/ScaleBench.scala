@@ -216,7 +216,10 @@ object ScaleBench {
     // CCNet buckets (the KN scoring joins + a histogram-scale window +
     // broadcast threshold join), streaming zstd (stateless decode map
     // under the file-source/checkpoint lifecycle)
-    "mm_audio_mfcc", "text_ccnet_buckets", "text_stream_zstd")
+    "mm_audio_mfcc", "text_ccnet_buckets", "text_stream_zstd",
+    // VAD (one typed map, the mel pass + a per-asset scan), robots (pure
+    // map-side parse+match per row)
+    "mm_audio_vad", "text_robots_rules")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -3614,6 +3614,74 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("audioVad: threshold rule, gap segmentation, zero-energy edge") {
+    import graft.ops.{MultimodalOps => M, WavCodec}
+    import spark.implicits._
+    def asset(id: Long, s: Array[Short]) =
+      graft.ops.MediaAsset(id, "wav", WavCodec.encode(8000, 1, s), 0, 0, 1, 8000)
+    // loud-soft-loud: 2 loud frames, 2 silent, 1 loud -> 2 segments,
+    // longest 2, starts at frames 0 and 4
+    // period-8 square wave: energy lands in band 4 (constant DC has zero
+    // energy in bands 1..9, and a ±alternation is pure band-16 Nyquist —
+    // both invisible to the measured bands)
+    val loud = Array.tabulate(M.AudioFpFrame)(i =>
+      (if ((i / 4) % 2 == 0) 9000 else -9000).toShort)
+    val quiet = Array.fill(M.AudioFpFrame)(0.toShort)
+    val ss = loud ++ loud ++ quiet ++ quiet ++ loud
+    val r = M.audioVad(Seq(asset(0, ss)).toDF()).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((5L, 3L, 2L, 2L)), s"got $r")
+    val expFp = ((0L * graft.ops.TextOps.B2 + 1) % graft.ops.TextOps.P *
+      graft.ops.TextOps.B2 + 5) % graft.ops.TextOps.P
+    assert(r.getLong(5) == expFp, "starts fold must be (f0+1, f4+1) in order")
+    // all-zero audio: T = 0, nothing exceeds it -> no segments
+    val z = M.audioVad(
+      Seq(asset(1, Array.fill(3 * M.AudioFpFrame)(0.toShort))).toDF()).collect()(0)
+    assert((z.getLong(1), z.getLong(3)) == ((3L, 0L)))
+    // fixture gapping: frame-aligned silence gaps -> >1 segment for a
+    // long-enough doc, and frame count grows by 2 per block
+    val docs = Seq((0L, "abcdefgh" * 20)).toDF("doc_id", "text")
+    val v = M.audioVad(M.vadAssetsFromDocuments(docs)).collect()(0)
+    assert(v.getLong(3) >= 2, s"gapped fixture must segment, got $v")
+  }
+
+  test("RobotsOps: groups, wildcard/anchor matching, precedence, loud failures") {
+    import graft.ops.RobotsOps
+    // matching: anchors, wildcards, the repeated-suffix trap
+    assert(RobotsOps.matches("/private/", "/private/x"))
+    assert(!RobotsOps.matches("/private/", "/priv"))
+    assert(RobotsOps.matches("/*.json$", "/a/b.json"))
+    assert(!RobotsOps.matches("/*.json$", "/a/b.json.txt"))
+    assert(RobotsOps.matches("/*.json$", "/a.json.json"), "must try the LAST suffix")
+    assert(RobotsOps.matches("/a$", "/a") && !RobotsOps.matches("/a$", "/ab"))
+    assert(RobotsOps.matches("/a*b*c", "/a-x-b-y-c-z"))
+    assert(!RobotsOps.matches("/a*b*c", "/a-x-c"))
+    assert(RobotsOps.matches("/x*$", "/x/anything"))
+    // group exclusivity: a named group REPLACES *, never unions with it
+    val txt = "User-agent: *\nDisallow: /all/\n\n" +
+      "User-agent: bot\nUser-agent: other\nDisallow: /b/\nAllow: /b/ok/\n"
+    assert(RobotsOps.evaluate(txt, "BOT", "/all/x") == ((2L, true, "")),
+      "named group must not inherit the * rules")
+    assert(RobotsOps.evaluate(txt, "bot", "/b/ok/p") == ((2L, true, "/b/ok/")))
+    assert(RobotsOps.evaluate(txt, "bot", "/b/x") == ((2L, false, "/b/")))
+    assert(RobotsOps.evaluate(txt, "stranger", "/all/x") == ((1L, false, "/all/")))
+    // allow beats disallow at equal pattern length
+    val tie = "User-agent: *\nDisallow: /p/\nAllow: /q/\n"
+    assert(RobotsOps.evaluate(
+      "User-agent: *\nDisallow: /z/\nAllow: /z/\n", "bot", "/z/f")._2,
+      "Allow wins the equal-length tie")
+    assert(!RobotsOps.evaluate(tie, "bot", "/p/f")._2)
+    // tolerance + loud failure: comments/unknown directives skip; a rule
+    // before any group throws
+    val tol = "# c\nSitemap: http://x/s.xml\nUser-agent: *\nCrawl-delay: 5\nDisallow: /d\n"
+    assert(!RobotsOps.evaluate(tol, "bot", "/d/x")._2)
+    intercept[IllegalArgumentException](RobotsOps.parse("Disallow: /x\n"))
+    intercept[IllegalArgumentException](RobotsOps.parse("just some text\n"))
+    // empty disallow = no restriction
+    assert(RobotsOps.evaluate("User-agent: *\nDisallow:\n", "b", "/x") ==
+      ((0L, true, "")))
+  }
+
   test("WavCodec mu-law: G.711 arithmetic, code round-trip and the format-7 container path") {
     // ITU anchor values: full-scale codes expand to ±32124, both zero
     // codes to 0 (the public G.711 table's extremes)
