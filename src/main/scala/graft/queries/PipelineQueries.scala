@@ -64,6 +64,98 @@ object PipelineQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // LINK GRAPH + PAGERANK (the crawl-frontier prioritization signal —
+    // which pages are worth fetching/keeping): the fixture builds real
+    // markup with two planted anchors per doc, the Spark side EXTRACTS
+    // the hrefs back out of the HTML (the builder is load-bearing — a
+    // broken anchor loses an edge and every downstream score), dedups
+    // them into an edge list, and runs 5 synchronous PageRank iterations
+    // (d = 0.85, uniform init; the fixture guarantees out-degree ≥ 1 so
+    // there is no dangling mass). Per-target contributions fold in
+    // src order, so the doubles replay bitwise. Scale shape: scores ⋈
+    // edges ⋈ out-degree then one groupBy(dst) per iteration — the
+    // Pregel exchange pattern; edges persist once (cluster-safe pin,
+    // lineage kept) and feed all five rounds plus both degree aggs.
+    // The oracle unrolls the five iterations as generated CTE pairs.
+    QueryDef.withOracle("pipeline_pagerank", {
+      val iters = (1 to 5).map { k =>
+        s"""c$k AS (SELECT e.dst AS v,
+           |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |           list(s${k - 1}.s / od.od ORDER BY e.src)),
+           |           (a, b) -> a + b) AS m
+           |       FROM e JOIN s${k - 1} ON s${k - 1}.v = e.src
+           |            JOIN od ON od.src = e.src
+           |       GROUP BY e.dst),
+           |s$k AS (SELECT d.doc_id AS v,
+           |         0.15 / nn.n + 0.85 * COALESCE(c$k.m, 0.0) AS s
+           |       FROM documents d CROSS JOIN nn
+           |            LEFT JOIN c$k ON c$k.v = d.doc_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |e0 AS (SELECT doc_id AS src,
+         |         CASE WHEN (doc_id * 3 + 5) % nn.n = doc_id
+         |              THEN (doc_id * 3 + 6) % nn.n
+         |              ELSE (doc_id * 3 + 5) % nn.n END AS d1,
+         |         CASE WHEN (doc_id + 1) % nn.n = doc_id
+         |              THEN (doc_id + 2) % nn.n
+         |              ELSE (doc_id + 1) % nn.n END AS d2
+         |       FROM documents CROSS JOIN nn),
+         |e AS (SELECT DISTINCT src, dst FROM
+         |        (SELECT src, unnest([d1, d2]) AS dst FROM e0)),
+         |od AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM e GROUP BY 1),
+         |idg AS (SELECT dst, CAST(count(*) AS BIGINT) AS ind FROM e GROUP BY 1),
+         |s0 AS (SELECT doc_id AS v, 1.0 / nn.n AS s
+         |       FROM documents CROSS JOIN nn),
+         |$iters
+         |SELECT d.doc_id, COALESCE(od.od, 0) AS out_deg,
+         |  COALESCE(idg.ind, 0) AS in_deg, s5.s AS pr
+         |FROM documents d
+         |LEFT JOIN od ON od.src = d.doc_id
+         |LEFT JOIN idg ON idg.dst = d.doc_id
+         |JOIN s5 ON s5.v = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val n = docs.count() // catalog-scale action: one count, drives the ring
+      def tgt(raw: org.apache.spark.sql.Column) =
+        when(pmod(raw, lit(n)) === col("doc_id"), pmod(raw + 1, lit(n)))
+          .otherwise(pmod(raw, lit(n)))
+      val pages = docs.select(col("doc_id"),
+        concat(lit("<html><body><p>"), substring(col("text"), 1, 40),
+          lit("</p><a href=\"/doc/"), tgt(col("doc_id") * 3 + 5),
+          lit("\">a</a><a href=\"/doc/"), tgt(col("doc_id") + 1),
+          lit("\">b</a></body></html>")).as("html"))
+      val edges = pages.select(col("doc_id").as("src"),
+          explode(array_distinct(transform(
+            regexp_extract_all(col("html"),
+              lit("href=\"/doc/(\\d+)\""), lit(1)),
+            x => x.cast("long")))).as("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val od = edges.groupBy("src").agg(count(lit(1)).as("od"))
+      var scores = docs.select(col("doc_id").as("v"), (lit(1.0) / n).as("s"))
+      for (_ <- 1 to 5) {
+        val contrib = edges
+          .join(scores, edges("src") === scores("v"))
+          .join(od, "src")
+          .select(col("dst"), col("src"), (col("s") / col("od")).as("c"))
+        val m = contrib.groupBy("dst").agg(
+          aggregate(array_sort(collect_list(struct(col("src"), col("c")))),
+            lit(0.0), (a, x) => a + x.getField("c")).as("m"))
+        scores = docs.select(col("doc_id").as("v"))
+          .join(m, col("v") === m("dst"), "left")
+          .select(col("v"),
+            (lit(0.15) / n + lit(0.85) * coalesce(col("m"), lit(0.0))).as("s"))
+      }
+      val idg = edges.groupBy("dst").agg(count(lit(1)).as("ind"))
+      docs.select(col("doc_id"))
+        .join(od.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+        .join(idg.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+        .join(scores.withColumnRenamed("v", "doc_id"), Seq("doc_id"))
+        .select(col("doc_id"), coalesce(col("od"), lit(0L)).as("out_deg"),
+          coalesce(col("ind"), lit(0L)).as("in_deg"), col("s").as("pr"))
+        .orderBy("doc_id")
+    },
+
     // Exact deduplication: hash-groupBy on content; keep the lowest doc_id
     // (at sf0.1 documents has real duplicate texts). Scale note: grouping on
     // sha2(text) shuffles 32-byte keys instead of the full document corpus —

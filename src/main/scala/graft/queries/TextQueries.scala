@@ -886,6 +886,101 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // CONTENT-DEFINED CHUNKING (the rsync/LBFS storage-dedup primitive):
+    // boundaries where a W-point rolling window hash hits the divisor,
+    // so chunking re-synchronizes on content — the fixture's shared
+    // footer chunks dedup corpus-wide despite every doc having a
+    // different prefix, which is the property the operator exists for
+    // (n_dup/dup_len carry it in the gated output). First-occurrence
+    // ordering is (doc_id, chunk_idx); chunk identity is (len, hash).
+    // The Spark side rolls the window hash in O(n) per doc; the oracle
+    // re-folds every window from scratch — same modular values, so the
+    // cheap path is gated by the obvious one. The corpus stage is ONE
+    // shuffle keyed by chunk identity (the real CDC store's hash index).
+    QueryDef.withOracle("text_cdc_chunks", {
+      import graft.ops.CdcOps.{D, Footer, W}
+      import graft.ops.TextOps.{B1, B2, P}
+      s"""WITH ct AS (SELECT doc_id, text || '$Footer' AS t FROM documents),
+         |cs AS (SELECT doc_id,
+         |         list_transform(range(1, length(t) + 1),
+         |           i -> CAST(unicode(substr(t, CAST(i AS INT), 1)) AS BIGINT))
+         |           AS c
+         |       FROM ct),
+         |hs AS (SELECT doc_id, c, len(c) AS n,
+         |         list_transform(range($W, len(c) + 1), i ->
+         |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |             c[CAST(i - $W + 1 AS INT):CAST(i AS INT)]),
+         |             (h, x) -> (h * $B1 + x) % $P)) AS wh
+         |       FROM cs),
+         |bl AS (SELECT doc_id, c, n,
+         |         list_append(
+         |           list_filter(range($W, n),
+         |             i -> wh[CAST(i - $W + 1 AS INT)] % $D = 0),
+         |           n) AS bs
+         |       FROM hs),
+         |ch AS (SELECT doc_id, c, bs, generate_subscripts(bs, 1) AS idx,
+         |         unnest(bs) AS e
+         |       FROM bl),
+         |ck AS (SELECT doc_id, idx - 1 AS pos,
+         |         CAST(e - st AS BIGINT) AS clen,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           c[CAST(st + 1 AS INT):CAST(e AS INT)]),
+         |           (h, x) -> (h * $B1 + x) % $P) AS chash
+         |       FROM (SELECT doc_id, c, e, idx,
+         |               CASE WHEN idx = 1 THEN 0
+         |                    ELSE bs[CAST(idx - 1 AS INT)] END AS st
+         |             FROM ch)),
+         |fo AS (SELECT doc_id, clen, row_number() OVER
+         |         (PARTITION BY clen, chash ORDER BY doc_id, pos) AS rk
+         |       FROM ck),
+         |da AS (SELECT doc_id,
+         |         CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_dup,
+         |         CAST(SUM(CASE WHEN rk > 1 THEN clen ELSE 0 END) AS BIGINT)
+         |           AS dup_len
+         |       FROM fo GROUP BY 1),
+         |nb AS (SELECT doc_id, CAST(len(bs) AS BIGINT) AS n_chunks,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(bs, b -> CAST(b AS BIGINT))),
+         |           (h, x) -> (h * $B2 + x) % $P) AS bounds_fp
+         |       FROM bl)
+         |SELECT doc_id, n_chunks, bounds_fp, n_dup, dup_len
+         |FROM nb JOIN da USING (doc_id) ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      import graft.ops.{CdcOps, TextOps}
+      val per = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val codes = (text + CdcOps.Footer).codePoints.toArray
+          val (bs, hs, ls) = CdcOps.chunks(codes)
+          val fp = bs.foldLeft(0L)((h, b) => (h * TextOps.B2 + b) % TextOps.P)
+          (id, bs.length.toLong, fp, ls.map(_.toLong).sum, hs,
+            ls.map(_.toLong))
+        }.toDF("doc_id", "n_chunks", "bounds_fp", "total_len", "hs", "ls")
+      // skew note: the footer chunks' keys hold the whole corpus, so a
+      // row_number window per key (one reducer sees every copy) is the
+      // wrong shape. Two aggregations instead, both map-side partial:
+      // first occurrence per chunk key, then firsts per doc —
+      // n_dup = n_chunks − n_first needs no row-level join back.
+      val exploded = per
+        .select(col("doc_id"), posexplode(arrays_zip(col("hs"), col("ls"))))
+        .select(col("doc_id"), col("pos"),
+          col("col.hs").as("chash"), col("col.ls").as("clen"))
+      val firstPerDoc = exploded
+        .groupBy("clen", "chash")
+        .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+        .groupBy(col("first.doc_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_first"), sum("clen").as("first_len"))
+      per.select("doc_id", "n_chunks", "bounds_fp", "total_len")
+        .join(firstPerDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"), col("bounds_fp"),
+          (col("n_chunks") - coalesce(col("n_first"), lit(0L))).as("n_dup"),
+          (col("total_len") - coalesce(col("first_len"), lit(0L)))
+            .as("dup_len"))
+        .orderBy("doc_id")
+    },
+
     // CSV INGESTION (RFC 4180 — the tabular dump shape): the doc text
     // rides the `body` field with planted embedded commas, doubled-quote
     // escapes and embedded NEWLINES (every naive split-on-newline reader

@@ -219,7 +219,10 @@ object ScaleBench {
     "mm_audio_mfcc", "text_ccnet_buckets", "text_stream_zstd",
     // VAD (one typed map, the mel pass + a per-asset scan), robots (pure
     // map-side parse+match per row)
-    "mm_audio_vad", "text_robots_rules")
+    "mm_audio_vad", "text_robots_rules",
+    // CDC (map-side chunking + two partial aggs keyed by chunk identity),
+    // PageRank (5 Pregel-style join+agg exchanges over a pinned edge list)
+    "text_cdc_chunks", "pipeline_pagerank")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

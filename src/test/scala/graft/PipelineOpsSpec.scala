@@ -3645,6 +3645,62 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(v.getLong(3) >= 2, s"gapped fixture must segment, got $v")
   }
 
+  test("CdcOps: rolling==refold, shift resistance, boundary contract") {
+    import graft.ops.{CdcOps, TextOps}
+    val rnd = new scala.util.Random(41)
+    val body = Array.fill(600)(('a' + rnd.nextInt(26)).toChar).mkString
+    val codes = body.codePoints.toArray
+    val (bs, hs, ls) = CdcOps.chunks(codes)
+    // boundaries: strictly increasing, end at n, each divisor-qualified
+    assert(bs.last == codes.length && bs.toSeq == bs.sorted.toSeq.distinct)
+    for (b <- bs.dropRight(1)) {
+      var h = 0L
+      for (j <- b - CdcOps.W until b) h = (h * TextOps.B1 + codes(j)) % TextOps.P
+      assert(h % CdcOps.D == 0, s"boundary $b not divisor-qualified")
+    }
+    // chunk hashes re-fold to the slice hashes; lengths partition n
+    assert(ls.sum == codes.length)
+    var st = 0
+    for (i <- bs.indices) {
+      var h = 0L
+      for (j <- st until bs(i)) h = (h * TextOps.B1 + codes(j)) % TextOps.P
+      assert(hs(i) == h); st = bs(i)
+    }
+    // SHIFT RESISTANCE — the property CDC exists for: a prefix insertion
+    // leaves every chunk after the first re-sync boundary identical
+    val shifted = ("PREFIX-" + body).codePoints.toArray
+    val (_, hs2, ls2) = CdcOps.chunks(shifted)
+    val tail = hs.zip(ls).drop(1).toSet
+    val tail2 = hs2.zip(ls2).drop(1).toSet
+    val shared = tail.intersect(tail2)
+    assert(shared.size >= tail.size - 1,
+      s"insertion must only disturb chunks up to the first re-sync " +
+        s"(shared ${shared.size} of ${tail.size})")
+    // sub-window input: one chunk, the whole string
+    val tiny = "abc".codePoints.toArray
+    assert(CdcOps.chunks(tiny) match {
+      case (b, _, l) => b.toSeq == Seq(3) && l.toSeq == Seq(3)
+    })
+    assert(CdcOps.chunks(Array.empty[Int])._1.isEmpty)
+  }
+
+  test("pipeline_pagerank: probability conservation and degree sanity") {
+    // no dangling nodes (fixture guarantees out >= 1), so total score mass
+    // is conserved at every iteration up to float association error
+    val got = graft.SparkEntry.queries("pipeline_pagerank")(
+      spark, "/root/testdata/sf0.001").collect()
+    val n = got.length
+    assert(n > 0)
+    val total = got.map(_.getDouble(3)).sum
+    assert(math.abs(total - 1.0) < 1e-9, s"PR mass $total must stay ~1")
+    assert(got.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= 2),
+      "out-degree is 1 or 2 by fixture construction")
+    assert(got.map(_.getLong(2)).sum == got.map(_.getLong(1)).sum,
+      "in-degree total must equal out-degree total")
+    assert(got.forall(_.getDouble(3) >= 0.15 / n - 1e-12),
+      "every score keeps at least the teleport floor")
+  }
+
   test("RobotsOps: groups, wildcard/anchor matching, precedence, loud failures") {
     import graft.ops.RobotsOps
     // matching: anchors, wildcards, the repeated-suffix trap
