@@ -20,8 +20,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * lambda calls — measured 78 ms/doc at 64 buckets. This expression
   * produces the identical counts in a single char scan.
   *
-  * Exactness contract: lowercasing via `String.toLowerCase` (the
-  * GraftTextCounts precedent for `lower(text)` agreement); the `[a-z ]`
+  * Exactness contract: lowercasing via `String.toLowerCase` — the
+  * GraftTextCounts precedent for `lower(text)` agreement: Spark's own
+  * `UTF8String.toLowerCase` takes the default-locale `String.toLowerCase`
+  * path for non-ASCII input, so pinning `Locale.ROOT` here would diverge
+  * from the `lower()` reference formulation; like every lower()-comparing
+  * face, this assumes the harness JVM runs under an English/POSIX locale
+  * (a Turkish-locale JVM changes `lower()` itself). The `[a-z ]`
   * keep-filter applied per UTF-16 unit equals the per-codepoint
   * `regexp_replace` because every unit of a multi-unit codepoint is
   * outside `[a-z ]`. Hash arithmetic is exact int64: codes ≤ 122, so

@@ -98,9 +98,13 @@ object UrlOps {
       .otherwise(port)
     val pathC = pctDecodeUnreserved(
       when(rawPath === "", lit("/")).otherwise(rawPath))
+    // the p =!= "" leg drops the degenerate spellings ("?&a=1", bare "?")
+    // so they collapse to the same canonical form as their clean twins —
+    // without it a trailing "?" survived, violating the documented
+    // empty-query → no-"?" rule
     val kept = filter(split(substring(rawQ, 2, Int.MaxValue), "&", -1), p => {
       val name = element_at(split(p, "=", 2), 1)
-      !(name.startsWith(TrackingPrefix) ||
+      p =!= "" && !(name.startsWith(TrackingPrefix) ||
         name.isin(TrackingParams.map(x => x: Any): _*))
     })
     val qC = when(rawQ === "" || size(kept) === 0, lit(""))

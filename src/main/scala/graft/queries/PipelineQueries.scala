@@ -51,6 +51,7 @@ object PipelineQueries {
        |    CASE WHEN (sch = 'https' AND port = ':443')
        |           OR (sch = 'http' AND port = ':80') THEN '' ELSE port END AS portc,
        |    list_sort(list_filter(string_split(substr(rawq, 2), '&'), s ->
+       |      s <> '' AND
        |      NOT (starts_with(string_split(s, '=')[1], 'utm_') OR
        |           list_contains(['fbclid', 'gclid', 'ref'],
        |                         string_split(s, '=')[1])))) AS keptq
@@ -120,8 +121,14 @@ object PipelineQueries {
       def tgt(raw: org.apache.spark.sql.Column) =
         when(pmod(raw, lit(n)) === col("doc_id"), pmod(raw + 1, lit(n)))
           .otherwise(pmod(raw, lit(n)))
+      // the embedded snippet is sanitized to [A-Za-z0-9 ] — raw corpus
+      // text containing an href-shaped substring would inject an edge the
+      // oracle's arithmetic never sees (review finding); the planted
+      // anchors stay the only extractable links by construction
       val pages = docs.select(col("doc_id"),
-        concat(lit("<html><body><p>"), substring(col("text"), 1, 40),
+        concat(lit("<html><body><p>"),
+          regexp_replace(substring(col("text"), 1, 40),
+            "[^A-Za-z0-9 ]", ""),
           lit("</p><a href=\"/doc/"), tgt(col("doc_id") * 3 + 5),
           lit("\">a</a><a href=\"/doc/"), tgt(col("doc_id") + 1),
           lit("\">b</a></body></html>")).as("html"))

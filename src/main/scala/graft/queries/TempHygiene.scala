@@ -33,6 +33,7 @@ object TempHygiene {
     "graft-mmstage-", // planted multimodal asset corpora, same staging contract
     "graft-mmsstage-", "graft-mmsckpt-", "graft-mmsout-", // streaming asset ingest face
     "graft-warcstage-", "graft-warcckpt-", "graft-warcout-", // streaming WARC ingest face
+    "graft-zststage-", "graft-zstckpt-", "graft-zstout-", // streaming zstd ingest face
     // streaming incremental dedup (engine_stream_incremental): per-run
     // working index / stage / checkpoint / output, plus the per-JVM
     // epoch-form template

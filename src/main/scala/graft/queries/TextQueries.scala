@@ -1482,7 +1482,12 @@ object TextQueries {
       val marked = docs.select(col("doc_id"), col("lang"),
         LangIdOps.markedFixture(col("doc_id"), col("lang"), col("text"))
           .as("mtext"))
+      // pin: three actions consume feats (the trainer's count + sample
+      // collect, then the corpus-wide predict) — without it each one
+      // re-runs the projection scan (review finding; the DedupOps pin
+      // stance: cluster-safe persist, lineage kept)
       val feats = LangIdOps.features(marked, "doc_id", "lang", col("mtext"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ws = LangIdOps.trainOneVsRest(feats, "doc_id", langs)
       val wrows = LangIdOps.weightRows(s, ws)
       wrows.coalesce(1).write.mode("overwrite").parquet(LidWeightsPath)

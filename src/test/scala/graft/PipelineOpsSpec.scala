@@ -2744,6 +2744,11 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(canon("https://h.co/a?b=2&a=1&utm_campaign=z") ==
       Seq("https://h.co/a?a=1&b=2"))
     assert(canon("http://h.co:80/a?utm_x=1") == Seq("http://h.co/a"))
+    // degenerate queries: a bare '?' and empty '&&' params collapse to the
+    // clean spelling (review finding: they previously survived, so two
+    // spellings of one resource double-counted downstream)
+    assert(canon("https://h.co/a?") == Seq("https://h.co/a"))
+    assert(canon("https://h.co/a?b=2&&a=1") == Seq("https://h.co/a?a=1&b=2"))
     // percent handling: unreserved decodes, reserved keeps UPPERCASED escape
     assert(canon("https://h.co/%7Euser/%2fx") == Seq("https://h.co/~user/%2Fx"))
     // empty path → "/", fragment-only URL
