@@ -494,6 +494,116 @@ object DedupQueries {
         "doc_id", 0.8, bands = 32, rows = 4)
     },
 
+    // MinHash-LSH QUALITY measurement (the dedup analog of ann_recall):
+    // candidate recall AND precision of a DELIBERATELY LOOSE sketch
+    // (32 hashes, 16 bands × 2 rows) against brute-force Jaccard ground
+    // truth at t=0.8, on a BOUNDED sample (doc_id < 150 — sketch quality
+    // is corpus-size-independent, and the ground truth is quadratic by
+    // definition, so the sample cannot grow with the corpus). The
+    // production face (dedup_minhash_lsh, 128 hashes, 32×4) is gated
+    // recall-total against the same brute force — THIS face puts the
+    // approximation trade itself (how many band collisions are false,
+    // what a thinner sketch misses) in the gated output. The oracle
+    // replays the LCG hash family, the banding, the candidate join and
+    // the exact verification end-to-end.
+    QueryDef.withOracle("dedup_minhash_quality", {
+      import graft.ops.TextOps.P
+      import OracleText.TOKS
+      // companion fixture: every m-th token replaced (m by doc_id % 4),
+      // giving planted pairs across the similarity spectrum (~0.1 to
+      // ~0.85 shingle-Jaccard) — the spectrum is what makes recall AND
+      // precision informative at t=0.8
+      val mCase = "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 4 WHEN 1 THEN 8 " +
+        "WHEN 2 THEN 16 ELSE 32 END"
+      s"""WITH u AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 150
+         |  UNION ALL
+         |  SELECT doc_id + 1000000,
+         |    array_to_string(list_transform($TOKS, (t, i) ->
+         |      CASE WHEN (i - 1) % ($mCase) = 0 THEN 'zqx' ELSE t END), ' ')
+         |  FROM documents WHERE doc_id < 150 AND len($TOKS) >= 40),
+         |whst AS (SELECT doc_id, $WHS AS whs FROM u),
+         |shs AS (SELECT doc_id,
+         |          ${OracleText.shingleDistinctSql("whs", 3)} AS shingles
+         |        FROM whst WHERE len(whs) >= 3),
+         |sg AS (SELECT doc_id, list_transform(range(0, 32), k ->
+         |         list_min(list_transform(shingles, x ->
+         |           (((k * 1103515245 + 12345) % ${P - 1} + 1) * x
+         |            + ((k * 69069 + 362437) % $P)) % $P))) AS sig
+         |       FROM shs),
+         |bd AS (SELECT doc_id, b, sig[CAST(2 * b + 1 AS INT)] AS v1,
+         |         sig[CAST(2 * b + 2 AS INT)] AS v2
+         |       FROM (SELECT doc_id, sig, unnest(range(0, 16)) AS b FROM sg)),
+         |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+         |         FROM bd a JOIN bd b ON a.b = b.b AND a.v1 = b.v1
+         |              AND a.v2 = b.v2 AND a.doc_id < b.doc_id),
+         |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM shs),
+         |sz AS (SELECT doc_id, len(shingles) AS sz FROM shs),
+         |cm AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS cnt
+         |       FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |tp AS (SELECT ia, ib FROM cm
+         |       JOIN sz sa ON sa.doc_id = cm.ia
+         |       JOIN sz sb ON sb.doc_id = cm.ib
+         |       WHERE CAST(cnt AS DOUBLE) / (sa.sz + sb.sz - cnt) >= 0.8),
+         |nn AS (SELECT
+         |        (SELECT CAST(count(*) AS BIGINT) FROM tp) AS n_true,
+         |        (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+         |        (SELECT CAST(count(*) AS BIGINT)
+         |         FROM cand JOIN tp USING (ia, ib)) AS n_hit)
+         |SELECT n_true, n_cand, n_hit,
+         |  CASE WHEN n_true = 0 THEN 1.0
+         |       ELSE CAST(n_hit AS DOUBLE) / n_true END AS recall,
+         |  CASE WHEN n_cand = 0 THEN 1.0
+         |       ELSE CAST(n_hit AS DOUBLE) / n_cand END AS precision
+         |FROM nn""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val sample = Tables(s, dir, "documents").filter(col("doc_id") < 150)
+        .select(col("doc_id"), col("text"))
+      // companions: every m-th token (m = 4/8/16/32 by doc_id % 4)
+      // replaced — planted pairs across the similarity spectrum
+      val toks = TextOps.tokens(col("text"))
+      val m = when(pmod(col("doc_id"), lit(4)) === 0, 4)
+        .when(pmod(col("doc_id"), lit(4)) === 1, 8)
+        .when(pmod(col("doc_id"), lit(4)) === 2, 16).otherwise(32)
+      val companions = sample
+        .filter(size(toks) >= 40)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          array_join(transform(toks, (t, i) =>
+            when(pmod(i, m) === 0, lit("zqx")).otherwise(t)), " ").as("text"))
+      val planted = sample.unionByName(companions)
+      val shs = DedupOps.shingleSets(planted, "doc_id", "text", 3)
+      val sig = shs.select(col("doc_id"),
+        call_function("graft_minhash", col("shingles"), lit(32)).as("sig"))
+      val bd = sig.select(col("doc_id"),
+          explode(transform(sequence(lit(0), lit(15)), b =>
+            struct(b.as("b"),
+              element_at(col("sig"), (b * 2 + 1).cast("int")).as("v1"),
+              element_at(col("sig"), (b * 2 + 2).cast("int")).as("v2"))))
+            .as("bk"))
+        .select(col("doc_id"), col("bk.b").as("b"),
+          col("bk.v1").as("v1"), col("bk.v2").as("v2"))
+      val cand = bd.as("a").join(bd.as("b"),
+          col("a.b") === col("b.b") && col("a.v1") === col("b.v1") &&
+            col("a.v2") === col("b.v2") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+        .distinct()
+      val exact = DedupOps.jaccardPairsExact(shs, "doc_id", 0.8)
+        .select(col("id_a").as("ia"), col("id_b").as("ib"))
+      // bounded-sample scalars (the ann_recall stance: a measurement face
+      // may collect its handful of counters)
+      val nTrue = exact.count()
+      val nCand = cand.count()
+      val nHit = cand.join(exact, Seq("ia", "ib")).count()
+      val recall = if (nTrue == 0) 1.0 else nHit.toDouble / nTrue
+      val precision = if (nCand == 0) 1.0 else nHit.toDouble / nCand
+      Seq((nTrue, nCand, nHit, recall, precision))
+        .toDF("n_true", "n_cand", "n_hit", "recall", "precision")
+    },
+
     // INCREMENTAL dedup — the production shape: an incoming batch
     // (doc_id >= 250) is matched against the EXISTING corpus (doc_id < 250)
     // through the corpus's PERSISTED band index (staged once per JVM below,
