@@ -1050,6 +1050,70 @@ object MultimodalOps {
     }
   }
 
+  /** Companion-asset id offset of [[blurCompanionAssets]]. */
+  val BlurCompanionOffset = 1000000L
+
+  /** BLUR-PLANTED companion corpus for the blur-detection face: every
+    * grayscale-PNG asset additionally yields a horizontally BOX-BLURRED
+    * twin (id + [[BlurCompanionOffset]]) — pixel (y, x) becomes the
+    * truncating mean of its edge-clamped 3-tap row neighborhood,
+    * re-encoded through the real PNG encoder so the codec round-trip
+    * stays load-bearing. A 1-wide image blurs to itself ((3p)/3 = p),
+    * which the oracle's clamp arithmetic reproduces. */
+  def blurCompanionAssets(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val companions = assets.as[MediaAsset].map { a =>
+      val (w, h, g) = PngCodec.decode(a.payload)
+      val q = Array.tabulate(w * h) { i =>
+        val y = i / w
+        val x = i % w
+        val l = g(y * w + math.max(x - 1, 0)) & 0xff
+        val c = g(i) & 0xff
+        val r = g(y * w + math.min(x + 1, w - 1)) & 0xff
+        ((l + c + r) / 3).toByte
+      }
+      MediaAsset(a.asset_id + BlurCompanionOffset, "png",
+        PngCodec.encode(w, h, q, (a.asset_id % 5).toInt), w, h, 1, 0)
+    }
+    assets.unionByName(companions.toDF())
+  }
+
+  /** BLUR DETECTION — variance of the 4-neighbor Laplacian, the standard
+    * vision-corpus sharpness filter (a blurred image has small
+    * second-derivative energy). One typed map per asset: decode, fold
+    * L(y,x) = 4·p − up − down − left − right over INTERIOR pixels, carry
+    * the exact integer moments (Σ L, Σ L²); the variance is one double
+    * division of the integer numerator n·ΣL² − (ΣL)² at the very end, so
+    * the oracle replays it bitwise. Images with no interior (w < 3 or
+    * h < 3 — the fixture includes them) report n_int = 0 and a NULL
+    * sharpness rather than a fake 0 score. */
+  def lapSharpness(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.as[MediaAsset].map { a =>
+      val (w, h, g) = PngCodec.decode(a.payload)
+      var n = 0L
+      var s1 = 0L
+      var s2 = 0L
+      var y = 1
+      while (y < h - 1) {
+        var x = 1
+        while (x < w - 1) {
+          val i = y * w + x
+          val l = 4L * (g(i) & 0xff) - (g(i - w) & 0xff) - (g(i + w) & 0xff) -
+            (g(i - 1) & 0xff) - (g(i + 1) & 0xff)
+          n += 1; s1 += l; s2 += l * l
+          x += 1
+        }
+        y += 1
+      }
+      val sharp: Option[Double] =
+        if (n == 0) None else Some((n * s2 - s1 * s1).toDouble / (n * n))
+      (a.asset_id, n, s1, s2, sharp)
+    }.toDF("asset_id", "n_int", "lap_sum", "lap_sum2", "sharpness")
+  }
+
   /** Companion-asset id offset and planting step of
     * [[fpWavAssetsFromDocuments]]. */
   val AudioCompanionOffset = 30000000L

@@ -826,6 +826,70 @@ object MultimodalQueries {
         .orderBy("asset_id")
     },
 
+    // BLUR DETECTION (variance of Laplacian — the standard vision-corpus
+    // sharpness filter): every grayscale PNG plus a horizontally
+    // box-blurred companion (re-encoded through the real PNG encoder, so
+    // both codec directions stay load-bearing); the face carries the
+    // exact integer Laplacian moments and ONE double division at the end.
+    // The planted companions give the score its discriminative evidence:
+    // the spec gates blurred ≤ original pairwise. No-interior images
+    // (w < 3 or h < 3) report NULL, not a fake sharp/blurry verdict.
+    QueryDef.withOracle("mm_image_blur", {
+      def px(idx: String) =
+        s"""(CASE WHEN length(text) = 0 THEN 0
+           |      ELSE unicode(substr(text, CAST(($idx) % length(text) + 1 AS INT), 1))
+           | END)""".stripMargin.replace("\n", "")
+      s"""WITH a AS (
+         |  SELECT doc_id, text,
+         |         CAST(doc_id % 9 + 1 AS INT) AS w,
+         |         CAST(doc_id % 7 + 1 AS INT) AS h
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, w, h,
+         |         list_transform(range(0, w * h), i -> ${px("i")}) AS vs
+         |  FROM a),
+         |u AS (
+         |  SELECT doc_id, w, h, vs, 'orig' AS kind FROM c
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, w, h,
+         |    list_transform(range(0, w * h), i ->
+         |      (vs[CAST((i // w) * w + greatest((i % w) - 1, 0) + 1 AS INT)]
+         |       + vs[CAST(i + 1 AS INT)]
+         |       + vs[CAST((i // w) * w + least((i % w) + 1, w - 1) + 1 AS INT)])
+         |      // 3),
+         |    'blur' AS kind FROM c),
+         |l AS (
+         |  SELECT doc_id, kind,
+         |    list_filter(list_transform(range(0, w * h), i ->
+         |      CASE WHEN i // w >= 1 AND i // w <= h - 2
+         |            AND i % w >= 1 AND i % w <= w - 2
+         |        THEN 4 * vs[CAST(i + 1 AS INT)] - vs[CAST(i + 1 - w AS INT)]
+         |             - vs[CAST(i + 1 + w AS INT)] - vs[CAST(i AS INT)]
+         |             - vs[CAST(i + 2 AS INT)]
+         |        ELSE NULL END), x -> x IS NOT NULL) AS lap
+         |  FROM u),
+         |m AS (
+         |  SELECT doc_id, kind, CAST(len(lap) AS BIGINT) AS n_int,
+         |    CAST(coalesce(list_sum(lap), 0) AS BIGINT) AS lap_sum,
+         |    CAST(coalesce(list_sum(list_transform(lap, x -> x * x)), 0)
+         |         AS BIGINT) AS lap_sum2
+         |  FROM l)
+         |SELECT doc_id AS asset_id, kind, n_int, lap_sum, lap_sum2,
+         |  CASE WHEN n_int = 0 THEN NULL
+         |       ELSE CAST(n_int * lap_sum2 - lap_sum * lap_sum AS DOUBLE)
+         |            / (n_int * n_int) END AS sharpness
+         |FROM m ORDER BY asset_id""".stripMargin
+    }) { (s, dir) =>
+      val assets = MultimodalOps.blurCompanionAssets(
+        MultimodalOps.pngAssetsFromDocuments(Tables(s, dir, "documents")))
+      MultimodalOps.lapSharpness(assets)
+        .select(col("asset_id"),
+          when(col("asset_id") >= MultimodalOps.BlurCompanionOffset,
+            lit("blur")).otherwise(lit("orig")).as("kind"),
+          col("n_int"), col("lap_sum"), col("lap_sum2"), col("sharpness"))
+        .orderBy("asset_id")
+    },
+
     // FORMAT DETECTION + DISPATCH over an UNLABELED corpus (crawled blob
     // stores have no extensions or content-types — sniffing magic bytes
     // and routing to the right decoder IS a pipeline stage): one mixed

@@ -221,8 +221,11 @@ object ScaleBench {
     // map-side parse+match per row)
     "mm_audio_vad", "text_robots_rules",
     // CDC (map-side chunking + two partial aggs keyed by chunk identity),
-    // PageRank (5 Pregel-style join+agg exchanges over a pinned edge list)
-    "text_cdc_chunks", "pipeline_pagerank")
+    // PageRank (5 Pregel-style join+agg exchanges over a pinned edge list),
+    // minhash quality (bounded sample — constant work at any corpus size)
+    "text_cdc_chunks", "pipeline_pagerank", "dedup_minhash_quality",
+    // blur detection (typed-map codec pass + per-asset integer moments)
+    "mm_image_blur")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -4166,4 +4166,50 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got == exp)
     assert(exp.size >= 10, s"planted pairs missing from expectation (${exp.size})")
   }
+
+  test("lapSharpness: blur companions score lower; no-interior images NULL") {
+    val rnd = new scala.util.Random(29)
+    // real-sized grids (interior >= 2 px) plus degenerate 2x5 / 7x1 rows
+    val docs = ((0 until 30).map { i =>
+      val len = 20 + rnd.nextInt(60)
+      (i.toLong, (0 until len).map(_ => (32 + rnd.nextInt(95)).toChar).mkString)
+    }).toDF("doc_id", "text")
+    val assets = MultimodalOps.blurCompanionAssets(
+      MultimodalOps.pngAssetsFromDocuments(docs))
+    val rows = MultimodalOps.lapSharpness(assets).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    // NULL exactly when there is no interior (w < 3 or h < 3)
+    (0 until 30).foreach { i =>
+      val (w, h) = ((i % 9 + 1), (i % 7 + 1))
+      val (n, sh) = rows(i.toLong)
+      assert((n == 0) == (w < 3 || h < 3), s"doc $i n_int=$n w=$w h=$h")
+      assert(sh.isEmpty == (n == 0))
+    }
+    // discriminative: over informative assets (>= 2 interior px), the
+    // blurred twin never scores sharper, and the corpus mean strictly drops
+    val pairs = (0 until 30).flatMap { i =>
+      val (no, so) = rows(i.toLong)
+      val (_, sb) = rows(i.toLong + MultimodalOps.BlurCompanionOffset)
+      if (no >= 2) Some((so.get, sb.get)) else None
+    }
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (o, b) => b <= o + 1e-9 },
+      "a box-blurred image scored sharper than its source")
+    val (mo, mb) = (pairs.map(_._1).sum / pairs.size,
+      pairs.map(_._2).sum / pairs.size)
+    assert(mb < mo, s"mean sharpness must drop under blur ($mb vs $mo)")
+    // blur arithmetic: companion pixels are the clamped 3-tap row means
+    val byId = assets.collect().map(r =>
+      r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    val (w0, h0, g0) = graft.ops.PngCodec.decode(byId(4L))
+    val (_, _, gb) = graft.ops.PngCodec.decode(
+      byId(4L + MultimodalOps.BlurCompanionOffset))
+    (0 until w0 * h0).foreach { i =>
+      val (y, x) = (i / w0, i % w0)
+      val exp = ((g0(y * w0 + math.max(x - 1, 0)) & 0xff) + (g0(i) & 0xff) +
+        (g0(y * w0 + math.min(x + 1, w0 - 1)) & 0xff)) / 3
+      assert((gb(i) & 0xff) == exp, s"pixel $i")
+    }
+  }
 }
