@@ -161,4 +161,41 @@ object PackingOps {
       .withColumn("shard", pmod(col("skey"), lit(nShards.toLong)))
       .withColumn("pos_in_shard", row_number().over(w).cast("long") - 1)
   }
+
+  /** EPOCH-SEEDED deterministic global shuffle ORDER — the reproducible
+    * training-order stage: every epoch visits the whole corpus in a
+    * different pseudorandom permutation, and a restarted job (or a second
+    * engine) derives the identical order from (seed, epoch, id) alone.
+    *
+    * The shuffle key is the epoch-salted polynomial hash
+    * `skey = (id·B2 + seed + epoch·B1) mod P`; the epoch's total order is
+    * the COMPOSITE (skey mod buckets, skey, id) — bucket-major. Any
+    * deterministic pseudorandom total order is a valid shuffle, and the
+    * bucket-major one is what makes the rank computation embarrassingly
+    * partitionable: positions come from within-bucket window ranks
+    * (epochs×buckets parallel window partitions — never a single-task
+    * per-epoch sort) plus broadcast bucket-count prefix offsets, the same
+    * chunked-cumsum shape as the packer. The offsets table is
+    * epochs×buckets rows — histogram-scale at any corpus size. */
+  def epochShuffleOrder(df: DataFrame, idCol: String, epochs: Int,
+                        seed: Long, buckets: Int = 64): DataFrame = {
+    require(epochs > 0 && buckets > 0, "epochShuffleOrder needs epochs, buckets > 0")
+    val spark = df.sparkSession
+    val eps = spark.range(epochs).select(col("id").as("epoch"))
+    val keyed = df.select(col(idCol)).crossJoin(broadcast(eps))
+      .withColumn("skey", pmod(
+        pmod(col(idCol), lit(TextOps.P)) * TextOps.B2
+          + lit(seed) + col("epoch") * TextOps.B1, lit(TextOps.P)))
+      .withColumn("bucket", pmod(col("skey"), lit(buckets.toLong)))
+    val wo = Window.partitionBy("epoch").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = keyed.groupBy("epoch", "bucket").agg(count(lit(1)).as("n"))
+      .withColumn("offset", coalesce(sum("n").over(wo), lit(0L)))
+      .select("epoch", "bucket", "offset")
+    val wr = Window.partitionBy("epoch", "bucket").orderBy(col("skey"), col(idCol))
+    keyed.withColumn("rn", row_number().over(wr).cast("long") - 1)
+      .join(broadcast(offs), Seq("epoch", "bucket"))
+      .select(col("epoch"), col(idCol), col("skey"),
+        (col("offset") + col("rn")).as("pos"))
+  }
 }

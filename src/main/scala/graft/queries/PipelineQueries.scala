@@ -764,6 +764,30 @@ object PipelineQueries {
       graft.ops.PackingOps.shardAssign(Tables(s, dir, "documents"),
           "doc_id", nShards = 16, seed = 42L)
         .orderBy("shard", "pos_in_shard")
+    },
+
+    // EPOCH-SEEDED deterministic SHUFFLE — the reproducible training-order
+    // stage: every epoch is a different pseudorandom permutation of the
+    // whole corpus, derivable from (seed, epoch, id) alone, so a restarted
+    // job resumes mid-epoch at the exact same order. Positions are ranks
+    // of the composite key (skey % 64, skey, id) — bucket-major, computed
+    // from within-bucket window ranks + broadcast prefix offsets (never a
+    // single-task per-epoch sort; see PackingOps.epochShuffleOrder).
+    QueryDef.withOracle("pipeline_shuffle", {
+      import graft.ops.TextOps.{B1, B2, P}
+      s"""WITH e AS (SELECT CAST(unnest([0, 1]) AS BIGINT) AS epoch),
+         |k AS (SELECT epoch, doc_id,
+         |        (((((doc_id % $P) + $P) % $P) * $B2 + 7 + epoch * $B1)
+         |         % $P + $P) % $P AS skey
+         |      FROM documents CROSS JOIN e)
+         |SELECT epoch, doc_id, skey,
+         |  CAST(row_number() OVER (PARTITION BY epoch
+         |    ORDER BY skey % 64, skey, doc_id) - 1 AS BIGINT) AS pos
+         |FROM k ORDER BY epoch, pos""".stripMargin
+    }) { (s, dir) =>
+      graft.ops.PackingOps.epochShuffleOrder(Tables(s, dir, "documents"),
+          "doc_id", epochs = 2, seed = 7L)
+        .orderBy("epoch", "pos")
     }
   )
 }

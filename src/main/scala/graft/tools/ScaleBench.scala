@@ -225,7 +225,9 @@ object ScaleBench {
     // minhash quality (bounded sample — constant work at any corpus size)
     "text_cdc_chunks", "pipeline_pagerank", "dedup_minhash_quality",
     // blur detection (typed-map codec pass + per-asset integer moments)
-    "mm_image_blur")
+    "mm_image_blur",
+    // epoch shuffle (bucketed windows + broadcast offsets — no global sort)
+    "pipeline_shuffle")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

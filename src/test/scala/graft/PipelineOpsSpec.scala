@@ -4167,6 +4167,32 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(exp.size >= 10, s"planted pairs missing from expectation (${exp.size})")
   }
 
+  test("epochShuffleOrder: each epoch is a full permutation, orders differ") {
+    val ids = ((0 until 300).map(_.toLong) ++ Seq(100000L, 999999L))
+      .toDF("doc_id")
+    val got = graft.ops.PackingOps
+      .epochShuffleOrder(ids, "doc_id", epochs = 3, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val n = 302
+    (0 until 3).foreach { e =>
+      val ep = got.filter(_._1 == e)
+      assert(ep.length == n)
+      // positions are exactly 0..n-1 (no gap, no collision)
+      assert(ep.map(_._3).sorted.toSeq == (0L until n).toSeq, s"epoch $e")
+      // and every doc appears exactly once
+      assert(ep.map(_._2).distinct.length == n)
+    }
+    def order(e: Long): Seq[Long] =
+      got.filter(_._1 == e).sortBy(_._3).map(_._2).toSeq
+    assert(order(0) != order(1) && order(1) != order(2),
+      "epoch salts must produce different permutations")
+    // reproducible: a second evaluation derives the identical order
+    val again = graft.ops.PackingOps
+      .epochShuffleOrder(ids, "doc_id", epochs = 3, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(again == got.toSet)
+  }
+
   test("lapSharpness: blur companions score lower; no-interior images NULL") {
     val rnd = new scala.util.Random(29)
     // real-sized grids (interior >= 2 px) plus degenerate 2x5 / 7x1 rows
