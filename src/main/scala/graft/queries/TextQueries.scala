@@ -232,6 +232,53 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // TOKENIZER FERTILITY — the standard tokenizer-eval metric: per
+    // language, tokens-per-word (fertility) and chars-per-token
+    // (compression) of the TRAINED BPE. A tokenizer whose fertility blows
+    // up on some language silently multiplies that language's training
+    // cost; this face puts the number in the gated output. All moments
+    // exact integers; the two ratios are one double division each at the
+    // end. Aggregation is language-cardinality — histogram-scale at any
+    // corpus size; the heavy part (the merge loop) is the same map-side
+    // work every BPE face does.
+    QueryDef.withOracle("text_bpe_fertility",
+      s"""WITH RECURSIVE $BPE_CTES,
+         |w AS (SELECT doc_id, len($TOKS) AS nw, length(text) AS nc
+         |      FROM documents),
+         |per AS (SELECT d.doc_id, d.lang, COALESCE(b.n_tokens, 0) AS nt,
+         |               w.nw, w.nc
+         |        FROM documents d LEFT JOIN bpe_doc b USING (doc_id)
+         |        JOIN w USING (doc_id))
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(nw) AS BIGINT) AS n_words,
+         |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |  CAST(sum(nc) AS BIGINT) AS n_chars,
+         |  CASE WHEN sum(nw) = 0 THEN NULL
+         |       ELSE CAST(sum(nt) AS DOUBLE) / sum(nw) END AS fertility,
+         |  CASE WHEN sum(nt) = 0 THEN NULL
+         |       ELSE CAST(sum(nc) AS DOUBLE) / sum(nt) END AS chars_per_token
+         |FROM per GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val agg = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("lang"),
+          size(TextOps.tokens(col("text"))).cast("long").as("nw"),
+          size(TextOps.bpeMergedTokens(col("text"))).cast("long").as("nt"),
+          length(col("text")).cast("long").as("nc"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("nw").as("n_words"),
+          sum("nt").as("n_tokens"), sum("nc").as("n_chars"))
+      agg.select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+          col("n_chars"),
+          when(col("n_words") === 0, lit(null))
+            .otherwise(col("n_tokens").cast("double") / col("n_words"))
+            .as("fertility"),
+          when(col("n_tokens") === 0, lit(null))
+            .otherwise(col("n_chars").cast("double") / col("n_tokens"))
+            .as("chars_per_token"))
+        .orderBy("lang")
+    },
+
     // BPE token IDS — the integer stream a trainer actually consumes:
     // single-codepoint tokens map to their codepoint, merged tokens to
     // 0x110000 + merge rank (merge outputs are unique in a trained table,
