@@ -1114,6 +1114,38 @@ object MultimodalOps {
     }.toDF("asset_id", "n_int", "lap_sum", "lap_sum2", "sharpness")
   }
 
+  /** Per-asset moments for the composite image-curation filter: geometry,
+    * exact brightness sum, and the Laplacian moments of [[lapSharpness]] —
+    * one typed decode pass; every downstream rule is an integer compare
+    * (brightness bounds as `sum ≷ k·n`, sharpness as
+    * `n·ΣL² − (ΣL)² ≥ T·n²`), so the whole verdict chain replays exactly. */
+  def imageCurationMoments(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.as[MediaAsset].map { a =>
+      val (w, h, g) = PngCodec.decode(a.payload)
+      var bright = 0L
+      var i = 0
+      while (i < g.length) { bright += (g(i) & 0xff); i += 1 }
+      var n = 0L
+      var s1 = 0L
+      var s2 = 0L
+      var y = 1
+      while (y < h - 1) {
+        var x = 1
+        while (x < w - 1) {
+          val j = y * w + x
+          val l = 4L * (g(j) & 0xff) - (g(j - w) & 0xff) - (g(j + w) & 0xff) -
+            (g(j - 1) & 0xff) - (g(j + 1) & 0xff)
+          n += 1; s1 += l; s2 += l * l
+          x += 1
+        }
+        y += 1
+      }
+      (a.asset_id, w, h, (w * h).toLong, bright, n, n * s2 - s1 * s1)
+    }.toDF("asset_id", "w", "h", "n_px", "bright_sum", "n_int", "lap_num")
+  }
+
   /** Companion-asset id offset and planting step of
     * [[fpWavAssetsFromDocuments]]. */
   val AudioCompanionOffset = 30000000L

@@ -890,6 +890,89 @@ object MultimodalQueries {
         .orderBy("asset_id")
     },
 
+    // COMPOSITE image-curation FILTER (the LAION-style keep/drop stage):
+    // aspect-ratio gate, minimum-size gate, brightness band, sharpness
+    // floor — checked in that priority order, first failing rule is the
+    // recorded drop reason. EVERY rule is an integer comparison
+    // (brightness as sum ≷ k·n_px, sharpness as n·ΣL² − (ΣL)² ≥ 8000·n²),
+    // so the verdict chain is bit-portable with no float thresholds. The
+    // blur companions make 'blurry' fire; the fixture's 1-row/1-column
+    // geometries make 'aspect' and 'too_small' fire; 'keep' is the
+    // majority — the spec checks every reason occurs.
+    QueryDef.withOracle("mm_image_filter", {
+      def px(idx: String) =
+        s"""(CASE WHEN length(text) = 0 THEN 0
+           |      ELSE unicode(substr(text, CAST(($idx) % length(text) + 1 AS INT), 1))
+           | END)""".stripMargin.replace("\n", "")
+      s"""WITH a AS (
+         |  SELECT doc_id, text,
+         |         CAST(doc_id % 9 + 1 AS INT) AS w,
+         |         CAST(doc_id % 7 + 1 AS INT) AS h
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, w, h,
+         |         list_transform(range(0, w * h), i -> ${px("i")}) AS vs
+         |  FROM a),
+         |u AS (
+         |  SELECT doc_id, w, h, vs FROM c
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, w, h,
+         |    list_transform(range(0, w * h), i ->
+         |      (vs[CAST((i // w) * w + greatest((i % w) - 1, 0) + 1 AS INT)]
+         |       + vs[CAST(i + 1 AS INT)]
+         |       + vs[CAST((i // w) * w + least((i % w) + 1, w - 1) + 1 AS INT)])
+         |      // 3) AS vs
+         |  FROM c),
+         |l AS (
+         |  SELECT doc_id, w, h,
+         |    CAST(w * h AS BIGINT) AS n_px,
+         |    CAST(list_sum(vs) AS BIGINT) AS bright_sum,
+         |    list_filter(list_transform(range(0, w * h), i ->
+         |      CASE WHEN i // w >= 1 AND i // w <= h - 2
+         |            AND i % w >= 1 AND i % w <= w - 2
+         |        THEN 4 * vs[CAST(i + 1 AS INT)] - vs[CAST(i + 1 - w AS INT)]
+         |             - vs[CAST(i + 1 + w AS INT)] - vs[CAST(i AS INT)]
+         |             - vs[CAST(i + 2 AS INT)]
+         |        ELSE NULL END), x -> x IS NOT NULL) AS lap
+         |  FROM u),
+         |m AS (
+         |  SELECT doc_id, w, h, n_px, bright_sum,
+         |    CAST(len(lap) AS BIGINT) AS n_int,
+         |    CAST(len(lap) * coalesce(list_sum(list_transform(lap, x -> x * x)), 0)
+         |         - coalesce(list_sum(lap), 0) * coalesce(list_sum(lap), 0)
+         |         AS BIGINT) AS lap_num
+         |  FROM l),
+         |v AS (
+         |  SELECT *, CASE
+         |    WHEN w > 4 * h OR h > 4 * w THEN 'aspect'
+         |    WHEN w < 3 OR h < 3 THEN 'too_small'
+         |    WHEN bright_sum < 90 * n_px THEN 'dark'
+         |    WHEN bright_sum > 101 * n_px THEN 'bright'
+         |    WHEN lap_num < 8000 * n_int * n_int THEN 'blurry'
+         |    ELSE 'keep' END AS reason
+         |  FROM m)
+         |SELECT doc_id AS asset_id, w, h, n_px, bright_sum, n_int, lap_num,
+         |       reason = 'keep' AS keep, reason
+         |FROM v ORDER BY asset_id""".stripMargin
+    }) { (s, dir) =>
+      val assets = MultimodalOps.blurCompanionAssets(
+        MultimodalOps.pngAssetsFromDocuments(Tables(s, dir, "documents")))
+      val m = MultimodalOps.imageCurationMoments(assets)
+      val reason = when(col("w") > lit(4) * col("h") ||
+            col("h") > lit(4) * col("w"), "aspect")
+        .when(col("w") < 3 || col("h") < 3, "too_small")
+        .when(col("bright_sum") < lit(90L) * col("n_px"), "dark")
+        .when(col("bright_sum") > lit(101L) * col("n_px"), "bright")
+        .when(col("lap_num") < lit(8000L) * col("n_int") * col("n_int"),
+          "blurry")
+        .otherwise("keep")
+      m.withColumn("reason", reason)
+        .select(col("asset_id"), col("w"), col("h"), col("n_px"),
+          col("bright_sum"), col("n_int"), col("lap_num"),
+          (col("reason") === "keep").as("keep"), col("reason"))
+        .orderBy("asset_id")
+    },
+
     // FORMAT DETECTION + DISPATCH over an UNLABELED corpus (crawled blob
     // stores have no extensions or content-types — sniffing magic bytes
     // and routing to the right decoder IS a pipeline stage): one mixed

@@ -227,7 +227,10 @@ object ScaleBench {
     // blur detection (typed-map codec pass + per-asset integer moments)
     "mm_image_blur",
     // epoch shuffle (bucketed windows + broadcast offsets — no global sort)
-    "pipeline_shuffle")
+    "pipeline_shuffle",
+    // image curation filter (one typed decode pass + integer rule chain),
+    // tokenizer fertility (map-side BPE + language-cardinality agg)
+    "mm_image_filter", "text_bpe_fertility")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

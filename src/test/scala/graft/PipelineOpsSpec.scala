@@ -4167,6 +4167,29 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(exp.size >= 10, s"planted pairs missing from expectation (${exp.size})")
   }
 
+  test("imageCurationMoments + filter chain: every reason reachable, priority order holds") {
+    val f = new java.io.File("/root/testdata/sf0.001/documents.parquet")
+    assume(f.exists(), "driver testdata missing")
+    val got = graft.SparkEntry.queries("mm_image_filter")(
+      spark, "/root/testdata/sf0.001").collect()
+    val reasons = got.map(_.getAs[String]("reason")).toSet
+    assert(Set("aspect", "too_small", "dark", "bright", "blurry", "keep")
+      .subsetOf(reasons), s"unreachable rule: got only $reasons")
+    got.foreach { r =>
+      val (w, h) = (r.getAs[Int]("w"), r.getAs[Int]("h"))
+      val reason = r.getAs[String]("reason")
+      // priority: an extreme-aspect asset reports 'aspect' even when it is
+      // also too small / blurry; a too-small one never reports 'blurry'
+      if (w > 4 * h || h > 4 * w) assert(reason == "aspect")
+      else if (w < 3 || h < 3) assert(reason == "too_small")
+      assert(r.getAs[Boolean]("keep") == (reason == "keep"))
+      if (reason == "keep") {
+        val (n, num) = (r.getAs[Long]("n_int"), r.getAs[Long]("lap_num"))
+        assert(n > 0 && num >= 8000L * n * n)
+      }
+    }
+  }
+
   test("epochShuffleOrder: each epoch is a full permutation, orders differ") {
     val ids = ((0 until 300).map(_.toLong) ++ Seq(100000L, 999999L))
       .toDF("doc_id")
