@@ -713,6 +713,61 @@ object PipelineQueries {
         .orderBy("source", "doc_id")
     },
 
+    // PACKING EFFICIENCY — the feed-quality numbers a trainer team actually
+    // watches: per source, how many capacity-2048 bins the contiguous pack
+    // uses, the fill rate of those bins (the final partial bin is the only
+    // padding a contiguous pack pays), and how many documents SPAN a bin
+    // boundary (each spanning doc is one cross-bin attention block the mask
+    // table must carry). One aggregation over the pack layout; the fill
+    // rate is the single double division at the end.
+    QueryDef.withOracle("pipeline_pack_stats", {
+      val h = OracleText.wordHashSql("CAST(doc_id AS VARCHAR)")
+      s"""WITH RECURSIVE ${OracleText.BPE_CTES},
+         |p AS (SELECT source, doc_id, n_tokens,
+         |        CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY hv, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+         |      FROM (SELECT d.source, d.doc_id,
+         |              COALESCE(b.n_tokens, 0) AS n_tokens, $h AS hv
+         |            FROM documents d LEFT JOIN bpe_doc b USING (doc_id)))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST((sum(n_tokens) + 2047) // 2048 AS BIGINT) AS n_bins,
+         |  CAST(max(n_tokens) AS BIGINT) AS max_doc_tokens,
+         |  CAST(sum(CASE WHEN n_tokens > 0 AND
+         |        start_tok // 2048 != (start_tok + n_tokens - 1) // 2048
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning,
+         |  CASE WHEN sum(n_tokens) = 0 THEN NULL
+         |       ELSE CAST(sum(n_tokens) AS DOUBLE)
+         |            / (((sum(n_tokens) + 2047) // 2048) * 2048)
+         |  END AS fill_rate
+         |FROM p GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val packed = graft.ops.PackingOps.packSequences(
+        Tables(s, dir, "documents"), "doc_id", "text", "source", 2048L,
+        tokenCount = c => size(graft.ops.TextOps.bpeMergedTokens(c)).cast("long"))
+      // shiftright(x, 11) = x div 2048 for the nonnegative longs here —
+      // exact integer division (Spark's Column./ on longs is DOUBLE
+      // division, exact only below 2^53; the integer-exact contract
+      // shouldn't depend on that margin)
+      packed.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("n_tokens"),
+          shiftright(sum("n_tokens") + 2047L, 11).cast("long").as("n_bins"),
+          max("n_tokens").as("max_doc_tokens"),
+          sum(when(col("n_tokens") > 0 &&
+              shiftright(col("start_tok"), 11) =!=
+                shiftright(col("start_tok") + col("n_tokens") - 1L, 11), 1L)
+            .otherwise(0L)).as("n_spanning"))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("n_bins"),
+          col("max_doc_tokens"), col("n_spanning"),
+          when(col("n_tokens") === 0, lit(null))
+            .otherwise(col("n_tokens").cast("double") /
+              (col("n_bins") * 2048L))
+            .as("fill_rate"))
+        .orderBy("source")
+    },
+
     // Packed ATTENTION-MASK spans (the block-diagonal mask table a trainer
     // feed ships beside the packed ids): every doc EOS-terminated
     // (n_tokens+1), packed contiguously, then intersected with its bins —

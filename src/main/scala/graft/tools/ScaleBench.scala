@@ -230,7 +230,9 @@ object ScaleBench {
     "pipeline_shuffle",
     // image curation filter (one typed decode pass + integer rule chain),
     // tokenizer fertility (map-side BPE + language-cardinality agg)
-    "mm_image_filter", "text_bpe_fertility")
+    "mm_image_filter", "text_bpe_fertility",
+    // pack stats (pack cumsum + source-cardinality agg)
+    "pipeline_pack_stats")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
