@@ -821,6 +821,58 @@ object PipelineQueries {
         .orderBy("shard", "pos_in_shard")
     },
 
+    // CORPUS SNAPSHOT DIFF — the dataset-versioning stage: two releases of
+    // the same corpus compared by CONTENT fingerprint (not mtime, not row
+    // count): per doc — added (v2 only), removed (v1 only), changed (both,
+    // fingerprints differ), unchanged. The fixture derives both snapshots
+    // deterministically (v1 drops doc_id % 10 == 7; v2 drops
+    // doc_id % 11 == 3 and edits doc_id % 13 == 0), so every status is
+    // planted. ONE full-outer join
+    // keyed on the id — the scalable diff shape (content hashes are
+    // map-side; no corpus-wide sort or distinct).
+    QueryDef.withOracle("pipeline_corpus_diff", {
+      import graft.ops.TextOps.{B2, P}
+      def toks(e: String) = s"regexp_extract_all(lower($e), '[a-z]+')"
+      def fp(e: String) =
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          s"list_transform(${toks(e)}, t -> ${OracleText.wordHashSql("t")})), " +
+          s"(f, wh) -> (f * $B2 + wh) % $P)"
+      s"""WITH v1 AS (
+         |  SELECT doc_id, ${fp("text")} AS fp_old FROM documents
+         |  WHERE doc_id % 10 != 7),
+         |v2 AS (
+         |  SELECT doc_id, ${fp("CASE WHEN doc_id % 13 = 0 THEN text || ' vtwo' ELSE text END")} AS fp_new
+         |  FROM documents WHERE doc_id % 11 != 3)
+         |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id, fp_old, fp_new,
+         |  CASE WHEN v1.doc_id IS NULL THEN 'added'
+         |       WHEN v2.doc_id IS NULL THEN 'removed'
+         |       WHEN fp_old != fp_new THEN 'changed'
+         |       ELSE 'unchanged' END AS status
+         |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      import graft.ops.TextOps
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables(s, dir, "documents")
+      val v1 = docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+        .select(col("doc_id").as("id1"),
+          TextOps.fingerprint(TextOps.tokens(col("text"))).as("fp_old"))
+      val v2 = docs.filter(pmod(col("doc_id"), lit(11)) =!= 3)
+        .select(col("doc_id").as("id2"),
+        TextOps.fingerprint(TextOps.tokens(
+          when(pmod(col("doc_id"), lit(13)) === 0,
+            concat(col("text"), lit(" vtwo"))).otherwise(col("text"))))
+          .as("fp_new"))
+      v1.join(v2, col("id1") === col("id2"), "full_outer")
+        .select(coalesce(col("id1"), col("id2")).as("doc_id"),
+          col("fp_old"), col("fp_new"),
+          when(col("id1").isNull, "added")
+            .when(col("id2").isNull, "removed")
+            .when(col("fp_old") =!= col("fp_new"), "changed")
+            .otherwise("unchanged").as("status"))
+        .orderBy("doc_id")
+    },
+
     // EPOCH-SEEDED deterministic SHUFFLE — the reproducible training-order
     // stage: every epoch is a different pseudorandom permutation of the
     // whole corpus, derivable from (seed, epoch, id) alone, so a restarted

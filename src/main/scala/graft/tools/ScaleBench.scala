@@ -232,7 +232,9 @@ object ScaleBench {
     // tokenizer fertility (map-side BPE + language-cardinality agg)
     "mm_image_filter", "text_bpe_fertility",
     // pack stats (pack cumsum + source-cardinality agg)
-    "pipeline_pack_stats")
+    "pipeline_pack_stats",
+    // corpus diff (map-side fingerprints + one full-outer id join)
+    "pipeline_corpus_diff")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
