@@ -125,6 +125,92 @@ object DedupQueries {
        |shs AS (SELECT doc_id, ${OracleText.shingleDistinctSql("whs", 3)} AS shingles
        |        FROM whst WHERE len(whs) >= 3)""".stripMargin
 
+  /** Planted similarity-SPECTRUM sample shared by the sketch-quality
+    * measurement faces (`dedup_minhash_quality`, `dedup_simhash_quality`):
+    * docs < 150 plus companions with every m-th token replaced
+    * (m ∈ {4, 8, 16, 32} by doc_id % 4 — ~0.1 to ~0.85 shingle-Jaccard),
+    * ending in `u(doc_id, text)` → `shs(doc_id, shingles)`. Bounded by
+    * design: sketch quality is corpus-size-independent and the brute-force
+    * ground truth is quadratic, so the sample must not grow with the
+    * corpus. */
+  private val SpectrumMCase =
+    "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 4 WHEN 1 THEN 8 " +
+      "WHEN 2 THEN 16 ELSE 32 END"
+  private val SpectrumCtes =
+    s"""u AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < 150
+       |  UNION ALL
+       |  SELECT doc_id + 1000000,
+       |    array_to_string(list_transform(${OracleText.TOKS}, (t, i) ->
+       |      CASE WHEN (i - 1) % ($SpectrumMCase) = 0 THEN 'zqx' ELSE t END), ' ')
+       |  FROM documents WHERE doc_id < 150 AND len(${OracleText.TOKS}) >= 40),
+       |whst AS (SELECT doc_id, $WHS AS whs FROM u),
+       |shs AS (SELECT doc_id,
+       |          ${OracleText.shingleDistinctSql("whs", 3)} AS shingles
+       |        FROM whst WHERE len(whs) >= 3)""".stripMargin
+
+  /** Brute-force shingle-Jaccard ground truth at t = 0.8 over `shs` +
+    * the recall/precision counters over a `cand(ia, ib)` CTE. */
+  private val QualityCounterCtes =
+    s"""ex AS (SELECT doc_id, unnest(shingles) AS sh FROM shs),
+       |sz AS (SELECT doc_id, len(shingles) AS sz FROM shs),
+       |cm AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS cnt
+       |       FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |tp AS (SELECT ia, ib FROM cm
+       |       JOIN sz sa ON sa.doc_id = cm.ia
+       |       JOIN sz sb ON sb.doc_id = cm.ib
+       |       WHERE CAST(cnt AS DOUBLE) / (sa.sz + sb.sz - cnt) >= 0.8),
+       |nn AS (SELECT
+       |        (SELECT CAST(count(*) AS BIGINT) FROM tp) AS n_true,
+       |        (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+       |        (SELECT CAST(count(*) AS BIGINT)
+       |         FROM cand JOIN tp USING (ia, ib)) AS n_hit)""".stripMargin
+  private val QualityCounterSelect =
+    """SELECT n_true, n_cand, n_hit,
+      |  CASE WHEN n_true = 0 THEN 1.0
+      |       ELSE CAST(n_hit AS DOUBLE) / n_true END AS recall,
+      |  CASE WHEN n_cand = 0 THEN 1.0
+      |       ELSE CAST(n_hit AS DOUBLE) / n_cand END AS precision
+      |FROM nn""".stripMargin
+
+  /** Spark side of [[SpectrumCtes]]: the same bounded planted sample. */
+  private def plantedSpectrum(s: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame = {
+    val sample = Tables(s, dir, "documents").filter(col("doc_id") < 150)
+      .select(col("doc_id"), col("text"))
+    val toks = TextOps.tokens(col("text"))
+    val m = when(pmod(col("doc_id"), lit(4)) === 0, 4)
+      .when(pmod(col("doc_id"), lit(4)) === 1, 8)
+      .when(pmod(col("doc_id"), lit(4)) === 2, 16).otherwise(32)
+    val companions = sample
+      .filter(size(toks) >= 40)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(transform(toks, (t, i) =>
+          when(pmod(i, m) === 0, lit("zqx")).otherwise(t)), " ").as("text"))
+    sample.unionByName(companions)
+  }
+
+  /** Recall/precision counters of a candidate pair set vs the brute-force
+    * shingle-Jaccard truth at t = 0.8 — the Spark side of
+    * [[QualityCounterCtes]]. A measurement face may collect its handful of
+    * scalars (the ann_recall stance). */
+  private def qualityCounters(s: org.apache.spark.sql.SparkSession,
+                              cand: org.apache.spark.sql.DataFrame,
+                              shs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val exact = DedupOps.jaccardPairsExact(shs, "doc_id", 0.8)
+      .select(col("id_a").as("ia"), col("id_b").as("ib"))
+    val nTrue = exact.count()
+    val nCand = cand.count()
+    val nHit = cand.join(exact, Seq("ia", "ib")).count()
+    val recall = if (nTrue == 0) 1.0 else nHit.toDouble / nTrue
+    val precision = if (nCand == 0) 1.0 else nHit.toDouble / nCand
+    Seq((nTrue, nCand, nHit, recall, precision))
+      .toDF("n_true", "n_cand", "n_hit", "recall", "precision")
+  }
+
   /** Fixed line width (words) for the CCNet-style line-dedup family. */
   private[queries] val LineWords = 8
 
@@ -508,24 +594,7 @@ object DedupQueries {
     // the exact verification end-to-end.
     QueryDef.withOracle("dedup_minhash_quality", {
       import graft.ops.TextOps.P
-      import OracleText.TOKS
-      // companion fixture: every m-th token replaced (m by doc_id % 4),
-      // giving planted pairs across the similarity spectrum (~0.1 to
-      // ~0.85 shingle-Jaccard) — the spectrum is what makes recall AND
-      // precision informative at t=0.8
-      val mCase = "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 4 WHEN 1 THEN 8 " +
-        "WHEN 2 THEN 16 ELSE 32 END"
-      s"""WITH u AS (
-         |  SELECT doc_id, text FROM documents WHERE doc_id < 150
-         |  UNION ALL
-         |  SELECT doc_id + 1000000,
-         |    array_to_string(list_transform($TOKS, (t, i) ->
-         |      CASE WHEN (i - 1) % ($mCase) = 0 THEN 'zqx' ELSE t END), ' ')
-         |  FROM documents WHERE doc_id < 150 AND len($TOKS) >= 40),
-         |whst AS (SELECT doc_id, $WHS AS whs FROM u),
-         |shs AS (SELECT doc_id,
-         |          ${OracleText.shingleDistinctSql("whs", 3)} AS shingles
-         |        FROM whst WHERE len(whs) >= 3),
+      s"""WITH $SpectrumCtes,
          |sg AS (SELECT doc_id, list_transform(range(0, 32), k ->
          |         list_min(list_transform(shingles, x ->
          |           (((k * 1103515245 + 12345) % ${P - 1} + 1) * x
@@ -537,44 +606,11 @@ object DedupQueries {
          |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
          |         FROM bd a JOIN bd b ON a.b = b.b AND a.v1 = b.v1
          |              AND a.v2 = b.v2 AND a.doc_id < b.doc_id),
-         |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM shs),
-         |sz AS (SELECT doc_id, len(shingles) AS sz FROM shs),
-         |cm AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS cnt
-         |       FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |       GROUP BY 1, 2),
-         |tp AS (SELECT ia, ib FROM cm
-         |       JOIN sz sa ON sa.doc_id = cm.ia
-         |       JOIN sz sb ON sb.doc_id = cm.ib
-         |       WHERE CAST(cnt AS DOUBLE) / (sa.sz + sb.sz - cnt) >= 0.8),
-         |nn AS (SELECT
-         |        (SELECT CAST(count(*) AS BIGINT) FROM tp) AS n_true,
-         |        (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
-         |        (SELECT CAST(count(*) AS BIGINT)
-         |         FROM cand JOIN tp USING (ia, ib)) AS n_hit)
-         |SELECT n_true, n_cand, n_hit,
-         |  CASE WHEN n_true = 0 THEN 1.0
-         |       ELSE CAST(n_hit AS DOUBLE) / n_true END AS recall,
-         |  CASE WHEN n_cand = 0 THEN 1.0
-         |       ELSE CAST(n_hit AS DOUBLE) / n_cand END AS precision
-         |FROM nn""".stripMargin
+         |$QualityCounterCtes
+         |$QualityCounterSelect""".stripMargin
     }) { (s, dir) =>
-      import s.implicits._
       graft.functions.GraftFunctions.register(s)
-      val sample = Tables(s, dir, "documents").filter(col("doc_id") < 150)
-        .select(col("doc_id"), col("text"))
-      // companions: every m-th token (m = 4/8/16/32 by doc_id % 4)
-      // replaced — planted pairs across the similarity spectrum
-      val toks = TextOps.tokens(col("text"))
-      val m = when(pmod(col("doc_id"), lit(4)) === 0, 4)
-        .when(pmod(col("doc_id"), lit(4)) === 1, 8)
-        .when(pmod(col("doc_id"), lit(4)) === 2, 16).otherwise(32)
-      val companions = sample
-        .filter(size(toks) >= 40)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
-          array_join(transform(toks, (t, i) =>
-            when(pmod(i, m) === 0, lit("zqx")).otherwise(t)), " ").as("text"))
-      val planted = sample.unionByName(companions)
-      val shs = DedupOps.shingleSets(planted, "doc_id", "text", 3)
+      val shs = DedupOps.shingleSets(plantedSpectrum(s, dir), "doc_id", "text", 3)
       val sig = shs.select(col("doc_id"),
         call_function("graft_minhash", col("shingles"), lit(32)).as("sig"))
       val bd = sig.select(col("doc_id"),
@@ -591,17 +627,40 @@ object DedupQueries {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
         .distinct()
-      val exact = DedupOps.jaccardPairsExact(shs, "doc_id", 0.8)
+      qualityCounters(s, cand, shs)
+    },
+
+    // SimHash QUALITY on the SAME planted spectrum and the SAME t = 0.8
+    // shingle-Jaccard ground truth as dedup_minhash_quality — the two
+    // sketches' numbers are directly comparable: a 30-bit SimHash within
+    // Hamming radius 3 (exact via pigeonhole banding, so candidate recall
+    // measures the SKETCH, not the banding) vs MinHash's 16×2 bands. The
+    // published trade surfaces in the gated output: SimHash compresses a
+    // whole token multiset into 30 bits, so its candidate set is cheaper
+    // but noisier than MinHash's at the same truth threshold.
+    QueryDef.withOracle("dedup_simhash_quality", {
+      import OracleText.SIMHASH
+      s"""WITH $SpectrumCtes,
+         |sh AS (SELECT u.doc_id, $SIMHASH AS sh FROM u
+         |       JOIN shs ON shs.doc_id = u.doc_id),
+         |cand AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+         |         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |         WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+         |$QualityCounterCtes
+         |$QualityCounterSelect""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val planted = plantedSpectrum(s, dir)
+      val shs = DedupOps.shingleSets(planted, "doc_id", "text", 3)
+      // restrict fingerprints to docs with >= 3 word hashes (the shingle
+      // universe) so both sketches measure the same population
+      val sims = planted.join(shs.select(col("doc_id")), "doc_id")
+        .select(col("doc_id").as("id"),
+          TextOps.simHashOfHashes(
+            TextOps.wordHashes(TextOps.tokens(col("text"))), 30).as("fp"))
+      val cand = DedupOps.bandedHammingPairs(sims, bits = 30, maxHamming = 3)
         .select(col("id_a").as("ia"), col("id_b").as("ib"))
-      // bounded-sample scalars (the ann_recall stance: a measurement face
-      // may collect its handful of counters)
-      val nTrue = exact.count()
-      val nCand = cand.count()
-      val nHit = cand.join(exact, Seq("ia", "ib")).count()
-      val recall = if (nTrue == 0) 1.0 else nHit.toDouble / nTrue
-      val precision = if (nCand == 0) 1.0 else nHit.toDouble / nCand
-      Seq((nTrue, nCand, nHit, recall, precision))
-        .toDF("n_true", "n_cand", "n_hit", "recall", "precision")
+      qualityCounters(s, cand, shs)
     },
 
     // INCREMENTAL dedup — the production shape: an incoming batch

@@ -234,7 +234,9 @@ object ScaleBench {
     // pack stats (pack cumsum + source-cardinality agg)
     "pipeline_pack_stats",
     // corpus diff (map-side fingerprints + one full-outer id join)
-    "pipeline_corpus_diff")
+    "pipeline_corpus_diff",
+    // simhash quality (bounded sample — constant work at any corpus size)
+    "dedup_simhash_quality")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
