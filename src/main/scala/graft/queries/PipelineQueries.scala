@@ -821,6 +821,69 @@ object PipelineQueries {
         .orderBy("shard", "pos_in_shard")
     },
 
+    // DATASET CARD — the one-row release summary every published corpus
+    // ships: document/language/source counts, word and trained-BPE token
+    // volume, and the exact-duplicate rate (docs whose content fingerprint
+    // occurs more than once, minus the one kept copy each). Composition of
+    // the families the engine already gates — counts and fingerprints are
+    // map-side, the card is two aggregations (one corpus fold + one
+    // fingerprint-distinct), both exact integers; the two rates are single
+    // double divisions at the end.
+    QueryDef.withOracle("pipeline_dataset_card", {
+      import graft.ops.TextOps.{B2, P}
+      def toks(e: String) = s"regexp_extract_all(lower($e), '[a-z]+')"
+      def fp(e: String) =
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          s"list_transform(${toks(e)}, t -> ${OracleText.wordHashSql("t")})), " +
+          s"(f, wh) -> (f * $B2 + wh) % $P)"
+      s"""WITH RECURSIVE ${OracleText.BPE_CTES},
+         |base AS (SELECT d.doc_id, d.lang, d.source,
+         |           len(${toks("text")}) AS nw, length(text) AS nc,
+         |           COALESCE(b.n_tokens, 0) AS nt, ${fp("text")} AS fp
+         |         FROM documents d LEFT JOIN bpe_doc b USING (doc_id)),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |          CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |          CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |          CAST(sum(nw) AS BIGINT) AS n_words,
+         |          CAST(sum(nc) AS BIGINT) AS n_chars,
+         |          CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |          CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fp
+         |        FROM base)
+         |SELECT n_docs, n_langs, n_sources, n_words, n_chars, n_tokens,
+         |  n_docs - n_distinct_fp AS n_exact_dups,
+         |  CASE WHEN n_docs = 0 THEN NULL
+         |       ELSE CAST(n_docs - n_distinct_fp AS DOUBLE) / n_docs
+         |  END AS dup_rate,
+         |  CASE WHEN n_docs = 0 THEN NULL
+         |       ELSE CAST(n_words AS DOUBLE) / n_docs END AS words_per_doc
+         |FROM agg""".stripMargin
+    }) { (s, dir) =>
+      import graft.ops.TextOps
+      graft.functions.GraftFunctions.register(s)
+      val base = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("lang"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("nw"),
+          length(col("text")).cast("long").as("nc"),
+          size(TextOps.bpeMergedTokens(col("text"))).cast("long").as("nt"),
+          TextOps.fingerprint(TextOps.tokens(col("text"))).as("fp"))
+      base.agg(count(lit(1)).as("n_docs"),
+          countDistinct("lang").as("n_langs"),
+          countDistinct("source").as("n_sources"),
+          sum("nw").as("n_words"), sum("nc").as("n_chars"),
+          sum("nt").as("n_tokens"),
+          countDistinct("fp").as("n_distinct_fp"))
+        .select(col("n_docs"), col("n_langs"), col("n_sources"),
+          col("n_words"), col("n_chars"), col("n_tokens"),
+          (col("n_docs") - col("n_distinct_fp")).as("n_exact_dups"),
+          when(col("n_docs") === 0, lit(null))
+            .otherwise((col("n_docs") - col("n_distinct_fp")).cast("double")
+              / col("n_docs")).as("dup_rate"),
+          when(col("n_docs") === 0, lit(null))
+            .otherwise(col("n_words").cast("double") / col("n_docs"))
+            .as("words_per_doc"))
+    },
+
     // CORPUS SNAPSHOT DIFF — the dataset-versioning stage: two releases of
     // the same corpus compared by CONTENT fingerprint (not mtime, not row
     // count): per doc — added (v2 only), removed (v1 only), changed (both,

@@ -236,7 +236,9 @@ object ScaleBench {
     // corpus diff (map-side fingerprints + one full-outer id join)
     "pipeline_corpus_diff",
     // simhash quality (bounded sample — constant work at any corpus size)
-    "dedup_simhash_quality")
+    "dedup_simhash_quality",
+    // dataset card (one corpus fold + one fingerprint-distinct)
+    "pipeline_dataset_card")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
