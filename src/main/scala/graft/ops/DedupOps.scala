@@ -508,13 +508,15 @@ object DedupOps {
     // expansion and the three epoch appends all read only the persisted
     // pair core + the checkpointed increment index, so serializing them
     // wastes 3 jobs of wall latency per batch (measured: the streaming
-    // face's cost is lifecycle-fixed, not data work — at sf0.001 the whole
-    // row was 8.3 s, and the serial→parallel change took the sf0.1 row
-    // 13.3 → ~10.5 s). No explicit materialization barrier is needed:
-    // concurrent jobs sharing the same lineage objects share shuffle map
-    // stages (the DAGScheduler runs each stage once), and persisted-block
-    // computation is lock-deduplicated per block by the BlockManager —
-    // each output dir has exactly one writer thread, so there is no race.
+    // face's cost is lifecycle-fixed, not data work — the serial→parallel
+    // change took the sf0.1 row 13.3 → ~8 s). Mechanics: each write plans
+    // its own job (independent QueryExecutions do NOT share shuffle
+    // stages), but every expensive input is materialized-once-and-cached —
+    // the pair core via persist (block computation is lock-deduplicated
+    // per block by the BlockManager, so concurrent first-touch is safe)
+    // and the increment index via prepBandIndex's localCheckpoint; what
+    // each job re-derives from those cached blocks is cheap projection.
+    // Each output dir has exactly one writer thread, so there is no race.
     val matched = repm.select(col("rid_new").as("rid")).distinct()
     def keep(df: DataFrame): DataFrame =
       df.join(matched, Seq("rid"), "left_anti")
@@ -531,9 +533,13 @@ object DedupOps {
         .parquet(s"$workIndexDir/members/epoch=${batchId + 1}")),
       Future(keep(bndI).write.mode("overwrite")
         .parquet(s"$workIndexDir/bands/epoch=${batchId + 1}")))
-    writes.foreach(Await.result(_, Duration.Inf))
+    // await ALL writers before surfacing any failure: rethrowing at the
+    // first failed future would leave sibling writers running while the
+    // replayed batch's overwrite races their late commits (and would leak
+    // the persisted core)
+    val results = writes.map(w => scala.util.Try(Await.result(w, Duration.Inf)))
     repm.unpersist()
-    ()
+    results.foreach(_.get)
   }
 
   /** The per-batch half of incremental dedup against a PERSISTED index

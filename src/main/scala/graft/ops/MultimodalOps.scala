@@ -1093,25 +1093,34 @@ object MultimodalOps {
     import spark.implicits._
     assets.as[MediaAsset].map { a =>
       val (w, h, g) = PngCodec.decode(a.payload)
-      var n = 0L
-      var s1 = 0L
-      var s2 = 0L
-      var y = 1
-      while (y < h - 1) {
-        var x = 1
-        while (x < w - 1) {
-          val i = y * w + x
-          val l = 4L * (g(i) & 0xff) - (g(i - w) & 0xff) - (g(i + w) & 0xff) -
-            (g(i - 1) & 0xff) - (g(i + 1) & 0xff)
-          n += 1; s1 += l; s2 += l * l
-          x += 1
-        }
-        y += 1
-      }
+      val (n, s1, s2) = lapMoments(w, h, g)
       val sharp: Option[Double] =
         if (n == 0) None else Some((n * s2 - s1 * s1).toDouble / (n * n))
       (a.asset_id, n, s1, s2, sharp)
     }.toDF("asset_id", "n_int", "lap_sum", "lap_sum2", "sharpness")
+  }
+
+  /** Exact integer moments (n, Σ L, Σ L²) of the 4-neighbor Laplacian over
+    * interior pixels — ONE definition shared by [[lapSharpness]] and
+    * [[imageCurationMoments]] (their oracles must agree bitwise on the
+    * numerator n·ΣL² − (ΣL)²). */
+  private def lapMoments(w: Int, h: Int, g: Array[Byte]): (Long, Long, Long) = {
+    var n = 0L
+    var s1 = 0L
+    var s2 = 0L
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        val i = y * w + x
+        val l = 4L * (g(i) & 0xff) - (g(i - w) & 0xff) - (g(i + w) & 0xff) -
+          (g(i - 1) & 0xff) - (g(i + 1) & 0xff)
+        n += 1; s1 += l; s2 += l * l
+        x += 1
+      }
+      y += 1
+    }
+    (n, s1, s2)
   }
 
   /** Per-asset moments for the composite image-curation filter: geometry,
@@ -1127,21 +1136,7 @@ object MultimodalOps {
       var bright = 0L
       var i = 0
       while (i < g.length) { bright += (g(i) & 0xff); i += 1 }
-      var n = 0L
-      var s1 = 0L
-      var s2 = 0L
-      var y = 1
-      while (y < h - 1) {
-        var x = 1
-        while (x < w - 1) {
-          val j = y * w + x
-          val l = 4L * (g(j) & 0xff) - (g(j - w) & 0xff) - (g(j + w) & 0xff) -
-            (g(j - 1) & 0xff) - (g(j + 1) & 0xff)
-          n += 1; s1 += l; s2 += l * l
-          x += 1
-        }
-        y += 1
-      }
+      val (n, s1, s2) = lapMoments(w, h, g)
       (a.asset_id, w, h, (w * h).toLong, bright, n, n * s2 - s1 * s1)
     }.toDF("asset_id", "w", "h", "n_px", "bright_sum", "n_int", "lap_num")
   }

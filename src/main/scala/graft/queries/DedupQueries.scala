@@ -199,12 +199,19 @@ object DedupQueries {
                               cand: org.apache.spark.sql.DataFrame,
                               shs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     import s.implicits._
+    // both sides feed two actions each (own count + the hit join): pin so
+    // the quadratic brute force and the candidate pipeline run once
     val exact = DedupOps.jaccardPairsExact(shs, "doc_id", 0.8)
       .select(col("id_a").as("ia"), col("id_b").as("ib"))
+      .persist(MEMORY_AND_DISK)
+    val candP = cand.persist(MEMORY_AND_DISK)
     val nTrue = exact.count()
-    val nCand = cand.count()
-    val nHit = cand.join(exact, Seq("ia", "ib")).count()
+    val nCand = candP.count()
+    val nHit = candP.join(exact, Seq("ia", "ib")).count()
+    exact.unpersist()
+    candP.unpersist()
     val recall = if (nTrue == 0) 1.0 else nHit.toDouble / nTrue
     val precision = if (nCand == 0) 1.0 else nHit.toDouble / nCand
     Seq((nTrue, nCand, nHit, recall, precision))

@@ -36,7 +36,52 @@ object MultimodalQueries {
        |              THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
        |FROM s ORDER BY asset_id""".stripMargin
 
+  /** Oracle CTEs ending in `u(doc_id, w, h, vs, kind)`: the grayscale-PNG
+    * pixel tiling plus the horizontally box-blurred companion corpus
+    * (mirrors [[graft.ops.MultimodalOps.blurCompanionAssets]] — clamped
+    * 3-tap truncating row means at doc_id + 1e6). ONE definition shared by
+    * `mm_image_blur` and `mm_image_filter`, so the blur arithmetic cannot
+    * drift between the faces. */
+  private val BlurPixCtes: String = {
+    def px(idx: String) =
+      s"""(CASE WHEN length(text) = 0 THEN 0
+         |      ELSE unicode(substr(text, CAST(($idx) % length(text) + 1 AS INT), 1))
+         | END)""".stripMargin.replace("\n", "")
+    s"""a AS (
+       |  SELECT doc_id, text,
+       |         CAST(doc_id % 9 + 1 AS INT) AS w,
+       |         CAST(doc_id % 7 + 1 AS INT) AS h
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, w, h,
+       |         list_transform(range(0, w * h), i -> ${px("i")}) AS vs
+       |  FROM a),
+       |u AS (
+       |  SELECT doc_id, w, h, vs, 'orig' AS kind FROM c
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, w, h,
+       |    list_transform(range(0, w * h), i ->
+       |      (vs[CAST((i // w) * w + greatest((i % w) - 1, 0) + 1 AS INT)]
+       |       + vs[CAST(i + 1 AS INT)]
+       |       + vs[CAST((i // w) * w + least((i % w) + 1, w - 1) + 1 AS INT)])
+       |      // 3) AS vs,
+       |    'blur' AS kind FROM c)""".stripMargin
+  }
 
+  /** Laplacian-list CTE `l` over [[BlurPixCtes]]'s `u` — the 4-neighbor
+    * interior fold both image-quality faces aggregate. Carries the columns
+    * in `extra` through. */
+  private def lapCte(extra: String): String =
+    s"""l AS (
+       |  SELECT doc_id$extra,
+       |    list_filter(list_transform(range(0, w * h), i ->
+       |      CASE WHEN i // w >= 1 AND i // w <= h - 2
+       |            AND i % w >= 1 AND i % w <= w - 2
+       |        THEN 4 * vs[CAST(i + 1 AS INT)] - vs[CAST(i + 1 - w AS INT)]
+       |             - vs[CAST(i + 1 + w AS INT)] - vs[CAST(i AS INT)]
+       |             - vs[CAST(i + 2 AS INT)]
+       |        ELSE NULL END), x -> x IS NOT NULL) AS lap
+       |  FROM u)""".stripMargin
 
   import OracleText.FINGERPRINT
 
@@ -834,40 +879,9 @@ object MultimodalQueries {
     // The planted companions give the score its discriminative evidence:
     // the spec gates blurred ≤ original pairwise. No-interior images
     // (w < 3 or h < 3) report NULL, not a fake sharp/blurry verdict.
-    QueryDef.withOracle("mm_image_blur", {
-      def px(idx: String) =
-        s"""(CASE WHEN length(text) = 0 THEN 0
-           |      ELSE unicode(substr(text, CAST(($idx) % length(text) + 1 AS INT), 1))
-           | END)""".stripMargin.replace("\n", "")
-      s"""WITH a AS (
-         |  SELECT doc_id, text,
-         |         CAST(doc_id % 9 + 1 AS INT) AS w,
-         |         CAST(doc_id % 7 + 1 AS INT) AS h
-         |  FROM documents),
-         |c AS (
-         |  SELECT doc_id, w, h,
-         |         list_transform(range(0, w * h), i -> ${px("i")}) AS vs
-         |  FROM a),
-         |u AS (
-         |  SELECT doc_id, w, h, vs, 'orig' AS kind FROM c
-         |  UNION ALL
-         |  SELECT doc_id + 1000000, w, h,
-         |    list_transform(range(0, w * h), i ->
-         |      (vs[CAST((i // w) * w + greatest((i % w) - 1, 0) + 1 AS INT)]
-         |       + vs[CAST(i + 1 AS INT)]
-         |       + vs[CAST((i // w) * w + least((i % w) + 1, w - 1) + 1 AS INT)])
-         |      // 3),
-         |    'blur' AS kind FROM c),
-         |l AS (
-         |  SELECT doc_id, kind,
-         |    list_filter(list_transform(range(0, w * h), i ->
-         |      CASE WHEN i // w >= 1 AND i // w <= h - 2
-         |            AND i % w >= 1 AND i % w <= w - 2
-         |        THEN 4 * vs[CAST(i + 1 AS INT)] - vs[CAST(i + 1 - w AS INT)]
-         |             - vs[CAST(i + 1 + w AS INT)] - vs[CAST(i AS INT)]
-         |             - vs[CAST(i + 2 AS INT)]
-         |        ELSE NULL END), x -> x IS NOT NULL) AS lap
-         |  FROM u),
+    QueryDef.withOracle("mm_image_blur",
+      s"""WITH $BlurPixCtes,
+         |${lapCte(", kind")},
          |m AS (
          |  SELECT doc_id, kind, CAST(len(lap) AS BIGINT) AS n_int,
          |    CAST(coalesce(list_sum(lap), 0) AS BIGINT) AS lap_sum,
@@ -879,12 +893,16 @@ object MultimodalQueries {
          |       ELSE CAST(n_int * lap_sum2 - lap_sum * lap_sum AS DOUBLE)
          |            / (n_int * n_int) END AS sharpness
          |FROM m ORDER BY asset_id""".stripMargin
-    }) { (s, dir) =>
+    ) { (s, dir) =>
       val assets = MultimodalOps.blurCompanionAssets(
         MultimodalOps.pngAssetsFromDocuments(Tables(s, dir, "documents")))
       MultimodalOps.lapSharpness(assets)
         .select(col("asset_id"),
-          when(col("asset_id") >= MultimodalOps.BlurCompanionOffset,
+          // classify MODULO the GenScale replica stride: a scaled corpus
+          // offsets doc_ids by r*1e9, and a raw >= comparison would label
+          // every replica original 'blur' (review finding)
+          when(pmod(col("asset_id"), lit(graft.tools.GenScale.DocIdStride))
+              >= MultimodalOps.BlurCompanionOffset,
             lit("blur")).otherwise(lit("orig")).as("kind"),
           col("n_int"), col("lap_sum"), col("lap_sum2"), col("sharpness"))
         .orderBy("asset_id")
@@ -899,42 +917,9 @@ object MultimodalQueries {
     // blur companions make 'blurry' fire; the fixture's 1-row/1-column
     // geometries make 'aspect' and 'too_small' fire; 'keep' is the
     // majority — the spec checks every reason occurs.
-    QueryDef.withOracle("mm_image_filter", {
-      def px(idx: String) =
-        s"""(CASE WHEN length(text) = 0 THEN 0
-           |      ELSE unicode(substr(text, CAST(($idx) % length(text) + 1 AS INT), 1))
-           | END)""".stripMargin.replace("\n", "")
-      s"""WITH a AS (
-         |  SELECT doc_id, text,
-         |         CAST(doc_id % 9 + 1 AS INT) AS w,
-         |         CAST(doc_id % 7 + 1 AS INT) AS h
-         |  FROM documents),
-         |c AS (
-         |  SELECT doc_id, w, h,
-         |         list_transform(range(0, w * h), i -> ${px("i")}) AS vs
-         |  FROM a),
-         |u AS (
-         |  SELECT doc_id, w, h, vs FROM c
-         |  UNION ALL
-         |  SELECT doc_id + 1000000, w, h,
-         |    list_transform(range(0, w * h), i ->
-         |      (vs[CAST((i // w) * w + greatest((i % w) - 1, 0) + 1 AS INT)]
-         |       + vs[CAST(i + 1 AS INT)]
-         |       + vs[CAST((i // w) * w + least((i % w) + 1, w - 1) + 1 AS INT)])
-         |      // 3) AS vs
-         |  FROM c),
-         |l AS (
-         |  SELECT doc_id, w, h,
-         |    CAST(w * h AS BIGINT) AS n_px,
-         |    CAST(list_sum(vs) AS BIGINT) AS bright_sum,
-         |    list_filter(list_transform(range(0, w * h), i ->
-         |      CASE WHEN i // w >= 1 AND i // w <= h - 2
-         |            AND i % w >= 1 AND i % w <= w - 2
-         |        THEN 4 * vs[CAST(i + 1 AS INT)] - vs[CAST(i + 1 - w AS INT)]
-         |             - vs[CAST(i + 1 + w AS INT)] - vs[CAST(i AS INT)]
-         |             - vs[CAST(i + 2 AS INT)]
-         |        ELSE NULL END), x -> x IS NOT NULL) AS lap
-         |  FROM u),
+    QueryDef.withOracle("mm_image_filter",
+      s"""WITH $BlurPixCtes,
+         |${lapCte(", w, h, CAST(w * h AS BIGINT) AS n_px, CAST(list_sum(vs) AS BIGINT) AS bright_sum")},
          |m AS (
          |  SELECT doc_id, w, h, n_px, bright_sum,
          |    CAST(len(lap) AS BIGINT) AS n_int,
@@ -954,7 +939,7 @@ object MultimodalQueries {
          |SELECT doc_id AS asset_id, w, h, n_px, bright_sum, n_int, lap_num,
          |       reason = 'keep' AS keep, reason
          |FROM v ORDER BY asset_id""".stripMargin
-    }) { (s, dir) =>
+    ) { (s, dir) =>
       val assets = MultimodalOps.blurCompanionAssets(
         MultimodalOps.pngAssetsFromDocuments(Tables(s, dir, "documents")))
       val m = MultimodalOps.imageCurationMoments(assets)

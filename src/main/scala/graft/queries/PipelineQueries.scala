@@ -830,16 +830,11 @@ object PipelineQueries {
     // fingerprint-distinct), both exact integers; the two rates are single
     // double divisions at the end.
     QueryDef.withOracle("pipeline_dataset_card", {
-      import graft.ops.TextOps.{B2, P}
-      def toks(e: String) = s"regexp_extract_all(lower($e), '[a-z]+')"
-      def fp(e: String) =
-        s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-          s"list_transform(${toks(e)}, t -> ${OracleText.wordHashSql("t")})), " +
-          s"(f, wh) -> (f * $B2 + wh) % $P)"
+      import OracleText.{fingerprintSql, toksSql}
       s"""WITH RECURSIVE ${OracleText.BPE_CTES},
          |base AS (SELECT d.doc_id, d.lang, d.source,
-         |           len(${toks("text")}) AS nw, length(text) AS nc,
-         |           COALESCE(b.n_tokens, 0) AS nt, ${fp("text")} AS fp
+         |           len(${toksSql("text")}) AS nw, length(text) AS nc,
+         |           COALESCE(b.n_tokens, 0) AS nt, ${fingerprintSql("text")} AS fp
          |         FROM documents d LEFT JOIN bpe_doc b USING (doc_id)),
          |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
          |          CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
@@ -894,17 +889,12 @@ object PipelineQueries {
     // keyed on the id — the scalable diff shape (content hashes are
     // map-side; no corpus-wide sort or distinct).
     QueryDef.withOracle("pipeline_corpus_diff", {
-      import graft.ops.TextOps.{B2, P}
-      def toks(e: String) = s"regexp_extract_all(lower($e), '[a-z]+')"
-      def fp(e: String) =
-        s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-          s"list_transform(${toks(e)}, t -> ${OracleText.wordHashSql("t")})), " +
-          s"(f, wh) -> (f * $B2 + wh) % $P)"
+      import OracleText.fingerprintSql
       s"""WITH v1 AS (
-         |  SELECT doc_id, ${fp("text")} AS fp_old FROM documents
+         |  SELECT doc_id, ${fingerprintSql("text")} AS fp_old FROM documents
          |  WHERE doc_id % 10 != 7),
          |v2 AS (
-         |  SELECT doc_id, ${fp("CASE WHEN doc_id % 13 = 0 THEN text || ' vtwo' ELSE text END")} AS fp_new
+         |  SELECT doc_id, ${fingerprintSql("CASE WHEN doc_id % 13 = 0 THEN text || ' vtwo' ELSE text END")} AS fp_new
          |  FROM documents WHERE doc_id % 11 != 3)
          |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id, fp_old, fp_new,
          |  CASE WHEN v1.doc_id IS NULL THEN 'added'

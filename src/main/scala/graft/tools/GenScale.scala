@@ -36,6 +36,11 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.tools.GenScale <srcDir> <outDir> [factor=10]
   */
 object GenScale {
+
+  /** Per-replica `doc_id` stride. Derived-id fixtures that classify rows by
+    * an id offset (e.g. the blur-companion corpus) must classify MODULO this
+    * stride so replica originals are not mistaken for companions. */
+  val DocIdStride = 1000000000L
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft-sf1")
@@ -88,7 +93,7 @@ object GenScale {
       "ts" -> shiftedTs)
 
     replicated("documents")(
-      "doc_id" -> (col("doc_id") + col("_r") * 1000000000L),
+      "doc_id" -> (col("doc_id") + col("_r") * DocIdStride),
       // bijective per-replica token prefix: within-replica dup structure
       // preserved exactly, cross-replica token collisions impossible;
       // replica 0 is the untouched source. The tag must be LOWERCASE
