@@ -1409,22 +1409,63 @@ object MultimodalOps {
         col("format"), col("asset_id"))
       .as[MediaAsset]
       .flatMap { a =>
-        require(a.format == "wav", s"audioMfcc needs wav, got ${a.format}")
-        val (_, channels, ss) = WavCodec.decode(a.payload)
-        require(channels == 1, s"audioMfcc expects mono, got $channels")
-        val nF = ss.length / AudioFpFrame
-        (0 until nF).map { f =>
-          val lg = melEnergiesOf(ss, f).map(logFix)
-          val cc = Array.tabulate(MelBins) { c =>
-            var acc = 0L
-            var m = 0
-            while (m < MelBins) { acc += DctWeights(c)(m) * lg(m); m += 1 }
-            acc
-          }
-          (a.asset_id, f, cc(0), cc(1), cc(2), cc(3))
-        }
+        val cs = mfccFrames(a)
+        cs.indices.map(f => (a.asset_id, f, cs(f)(0), cs(f)(1), cs(f)(2), cs(f)(3)))
       }
       .toDF("asset_id", "f", "c0", "c1", "c2", "c3")
+  }
+
+  /** The per-frame MFCC matrix (nF × [[MelBins]]) of one mono WAV asset —
+    * ONE definition shared by [[audioMfcc]] and [[audioMfccDeltas]] so the
+    * delta face differentiates exactly the coefficients the MFCC face
+    * gates. */
+  private def mfccFrames(a: MediaAsset): Array[Array[Long]] = {
+    require(a.format == "wav", s"mfccFrames needs wav, got ${a.format}")
+    val (_, channels, ss) = WavCodec.decode(a.payload)
+    require(channels == 1, s"mfccFrames expects mono, got $channels")
+    val nF = ss.length / AudioFpFrame
+    Array.tabulate(nF) { f =>
+      val lg = melEnergiesOf(ss, f).map(logFix)
+      Array.tabulate(MelBins) { c =>
+        var acc = 0L
+        var m = 0
+        while (m < MelBins) { acc += DctWeights(c)(m) * lg(m); m += 1 }
+        acc
+      }
+    }
+  }
+
+  /** Δ / ΔΔ cepstral features — the standard ASR front-end finisher: the
+    * 2-point slope Δc(t) = c(t+1) − c(t−1) over interior frames and its
+    * second difference ΔΔ over the Δ stream, all exact int64 on the shared
+    * [[mfccFrames]] coefficients. One row PER ASSET straight out of the
+    * typed map (frames are task-local): interior counts, the non-telescoping
+    * |Δ| energies (a plain ΣΔ telescopes to 4 endpoint terms and would gate
+    * nothing), and order-sensitive fingerprints of the Δc₁ / ΔΔc₁ streams. */
+  def audioMfccDeltas(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val P = graft.ops.TextOps.P
+    val B2 = graft.ops.TextOps.B2
+    def fp(xs: Seq[Long]): Long =
+      xs.foldLeft(0L)((h, x) => (h * B2 + ((x % P) + P) % P) % P)
+    assets
+      .repartitionByRange(spark.sparkContext.defaultParallelism,
+        col("format"), col("asset_id"))
+      .as[MediaAsset]
+      .map { a =>
+        val cs = mfccFrames(a)
+        val n = cs.length
+        val d = (1 until math.max(n - 1, 1)).map(t =>
+          Array.tabulate(MelBins)(c => cs(t + 1)(c) - cs(t - 1)(c)))
+        val dd = (1 until math.max(d.length - 1, 1)).map(t =>
+          d(t + 1)(1) - d(t - 1)(1))
+        (a.asset_id, d.length.toLong, dd.length.toLong,
+          d.map(x => math.abs(x(0))).sum, d.map(x => math.abs(x(1))).sum,
+          fp(d.map(_(1))), fp(dd))
+      }
+      .toDF("asset_id", "n_d", "n_dd", "sum_abs_d0", "sum_abs_d1",
+        "d1_fp", "dd1_fp")
   }
 
   /** VAD fixture: the [[wavAssetsFromDocuments]] sample map with SILENCE

@@ -150,6 +150,38 @@ object MultimodalQueries {
          |              FROM documents))""".stripMargin)
   }
 
+  /** CTE chain `lt/dw/mt/lg/mf/pv` over [[MelCtes]]'s `me`, ending in
+    * `pv(asset_id, f, c0..c3)` — the per-frame MFCC coefficients. ONE
+    * definition shared by `mm_audio_mfcc` and `mm_audio_deltas` so the
+    * delta face differentiates exactly the replayed coefficients. */
+  private lazy val MfccPvCtes: String = {
+    import graft.ops.MultimodalOps.{DctWeights, LogScale, LogTable, MelBins}
+    val logRows = LogTable.zipWithIndex
+      .map { case (v, i) => s"($i,$v)" }.mkString(",")
+    val dctRows = (for { c <- 0 until MelBins; m <- 0 until MelBins }
+      yield s"($c,${m + 1},${DctWeights(c)(m)})").mkString(",")
+    val sums = (0 until MelBins).map(c =>
+      s"CAST(SUM(CASE WHEN c = $c THEN mfc END) AS BIGINT) AS c$c")
+      .mkString(", ")
+    s"""lt(i, v) AS (SELECT * FROM (VALUES $logRows) t(i, v)),
+       |dw(c, m, w) AS (SELECT * FROM (VALUES $dctRows) t(c, m, w)),
+       |mt AS (SELECT asset_id, f, m, men,
+       |         CASE WHEN men <= 0 THEN 0
+       |              ELSE length(bin(men)) - 1 END AS ip,
+       |         CASE WHEN men <= 0 THEN 0
+       |              WHEN length(bin(men)) - 1 >= 6
+       |                THEN (men >> (length(bin(men)) - 1 - 6)) & 63
+       |              ELSE (men << (6 - (length(bin(men)) - 1))) & 63 END AS mant
+       |       FROM me),
+       |lg AS (SELECT t.asset_id, t.f, t.m,
+       |         CASE WHEN t.men <= 0 THEN 0
+       |              ELSE t.ip * $LogScale + lt.v END AS lg
+       |       FROM mt t JOIN lt ON lt.i = t.mant),
+       |mf AS (SELECT l.asset_id, l.f, d.c, CAST(SUM(d.w * l.lg) AS BIGINT) AS mfc
+       |       FROM lg l JOIN dw d ON d.m = l.m GROUP BY 1, 2, 3),
+       |pv AS (SELECT asset_id, f, $sums FROM mf GROUP BY 1, 2)""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Binary column round-trip + periodic frame sampling, pure expressions:
@@ -1184,34 +1216,69 @@ object MultimodalQueries {
     // per-coefficient totals, and an order-sensitive fold of c1 mod P.
     // The oracle replays logfix via length(bin(x)) + shifts + the table
     // as VALUES, and the DCT as a weight join.
-    QueryDef.withOracle("mm_audio_mfcc", {
-      import graft.ops.MultimodalOps.{DctWeights, LogScale, LogTable, MelBins}
+    // DELTA / DELTA-DELTA cepstral features (the standard ASR front-end
+    // finisher — trainers consume [c, Δc, ΔΔc] stacks, and the slopes are
+    // what carry the phonetic transitions): 2-point Δc(t) = c(t+1) − c(t−1)
+    // over interior frames, ΔΔ as the second difference over the Δ stream,
+    // exact int64 on the SAME replayed coefficients as mm_audio_mfcc (one
+    // shared pv chain). Gates the non-telescoping |Δ| energies (a plain ΣΔ
+    // collapses to 4 endpoint terms) and order-sensitive fingerprints of
+    // the Δc₁ / ΔΔc₁ streams. One row per asset straight from the typed
+    // map — frames never leave the task.
+    QueryDef.withOracle("mm_audio_deltas", {
       import graft.ops.TextOps.{B2, P}
-      val logRows = LogTable.zipWithIndex
-        .map { case (v, i) => s"($i,$v)" }.mkString(",")
-      val dctRows = (for { c <- 0 until MelBins; m <- 0 until MelBins }
-        yield s"($c,${m + 1},${DctWeights(c)(m)})").mkString(",")
-      val sums = (0 until MelBins).map(c =>
-        s"CAST(SUM(CASE WHEN c = $c THEN mfc END) AS BIGINT) AS c$c")
-        .mkString(", ")
+      def fpOf(col: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           | list((($col % $P) + $P) % $P ORDER BY f)),
+           | (h, x) -> (h * $B2 + x) % $P)""".stripMargin.replace("\n", " ")
       s"""WITH $MelCtes,
-         |lt(i, v) AS (SELECT * FROM (VALUES $logRows) t(i, v)),
-         |dw(c, m, w) AS (SELECT * FROM (VALUES $dctRows) t(c, m, w)),
-         |mt AS (SELECT asset_id, f, m, men,
-         |         CASE WHEN men <= 0 THEN 0
-         |              ELSE length(bin(men)) - 1 END AS ip,
-         |         CASE WHEN men <= 0 THEN 0
-         |              WHEN length(bin(men)) - 1 >= 6
-         |                THEN (men >> (length(bin(men)) - 1 - 6)) & 63
-         |              ELSE (men << (6 - (length(bin(men)) - 1))) & 63 END AS mant
-         |       FROM me),
-         |lg AS (SELECT t.asset_id, t.f, t.m,
-         |         CASE WHEN t.men <= 0 THEN 0
-         |              ELSE t.ip * $LogScale + lt.v END AS lg
-         |       FROM mt t JOIN lt ON lt.i = t.mant),
-         |mf AS (SELECT l.asset_id, l.f, d.c, CAST(SUM(d.w * l.lg) AS BIGINT) AS mfc
-         |       FROM lg l JOIN dw d ON d.m = l.m GROUP BY 1, 2, 3),
-         |pv AS (SELECT asset_id, f, $sums FROM mf GROUP BY 1, 2),
+         |$MfccPvCtes,
+         |dl AS (SELECT asset_id, f,
+         |         lead(c0) OVER w - lag(c0) OVER w AS d0,
+         |         lead(c1) OVER w - lag(c1) OVER w AS d1
+         |       FROM pv WINDOW w AS (PARTITION BY asset_id ORDER BY f)),
+         |dv AS (SELECT asset_id, f, d0, d1 FROM dl WHERE d1 IS NOT NULL),
+         |ddl AS (SELECT asset_id, f,
+         |          lead(d1) OVER w2 - lag(d1) OVER w2 AS dd1
+         |        FROM dv WINDOW w2 AS (PARTITION BY asset_id ORDER BY f)),
+         |ddv AS (SELECT asset_id, f, dd1 FROM ddl WHERE dd1 IS NOT NULL),
+         |ad AS (SELECT asset_id, CAST(count(*) AS BIGINT) AS n_d,
+         |         CAST(sum(abs(d0)) AS BIGINT) AS sum_abs_d0,
+         |         CAST(sum(abs(d1)) AS BIGINT) AS sum_abs_d1,
+         |         ${fpOf("d1")} AS d1_fp
+         |       FROM dv GROUP BY 1),
+         |add2 AS (SELECT asset_id, CAST(count(*) AS BIGINT) AS n_dd,
+         |           ${fpOf("dd1")} AS dd1_fp
+         |         FROM ddv GROUP BY 1)
+         |SELECT d.doc_id AS asset_id,
+         |  COALESCE(ad.n_d, 0) AS n_d, COALESCE(add2.n_dd, 0) AS n_dd,
+         |  COALESCE(ad.sum_abs_d0, 0) AS sum_abs_d0,
+         |  COALESCE(ad.sum_abs_d1, 0) AS sum_abs_d1,
+         |  COALESCE(ad.d1_fp, 0) AS d1_fp, COALESCE(add2.dd1_fp, 0) AS dd1_fp
+         |FROM documents d
+         |LEFT JOIN ad ON ad.asset_id = d.doc_id
+         |LEFT JOIN add2 ON add2.asset_id = d.doc_id
+         |ORDER BY asset_id""".stripMargin
+    }) { (s, dir) =>
+      val d = MultimodalOps.audioMfccDeltas(
+        MultimodalOps.wavAssetsFromDocuments(Tables(s, dir, "documents")))
+      Tables(s, dir, "documents").select(col("doc_id").as("asset_id"))
+        .join(d, Seq("asset_id"), "left")
+        .select(col("asset_id"),
+          coalesce(col("n_d"), lit(0L)).as("n_d"),
+          coalesce(col("n_dd"), lit(0L)).as("n_dd"),
+          coalesce(col("sum_abs_d0"), lit(0L)).as("sum_abs_d0"),
+          coalesce(col("sum_abs_d1"), lit(0L)).as("sum_abs_d1"),
+          coalesce(col("d1_fp"), lit(0L)).as("d1_fp"),
+          coalesce(col("dd1_fp"), lit(0L)).as("dd1_fp"))
+        .orderBy("asset_id")
+    },
+
+    QueryDef.withOracle("mm_audio_mfcc", {
+      import graft.ops.MultimodalOps.MelBins
+      import graft.ops.TextOps.{B2, P}
+      s"""WITH $MelCtes,
+         |$MfccPvCtes,
          |ag AS (SELECT asset_id, CAST(count(*) AS BIGINT) AS n_frames,
          |        ${(0 until MelBins).map(c => s"CAST(SUM(c$c) AS BIGINT) AS sum_c$c").mkString(", ")},
          |        list_reduce(list_prepend(CAST(0 AS BIGINT),

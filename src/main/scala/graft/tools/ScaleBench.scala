@@ -238,7 +238,9 @@ object ScaleBench {
     // simhash quality (bounded sample — constant work at any corpus size)
     "dedup_simhash_quality",
     // dataset card (one corpus fold + one fingerprint-distinct)
-    "pipeline_dataset_card")
+    "pipeline_dataset_card",
+    // cepstral deltas (typed decode map, one row per asset)
+    "mm_audio_deltas")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

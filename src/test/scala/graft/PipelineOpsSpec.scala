@@ -4167,6 +4167,34 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(exp.size >= 10, s"planted pairs missing from expectation (${exp.size})")
   }
 
+  test("audioMfccDeltas: slopes are exact differences of the MFCC face's coefficients") {
+    import graft.ops.{MultimodalOps, WavCodec}
+    val rnd = new scala.util.Random(17)
+    val ss = Array.fill(32 * 9 + 7)((rnd.nextInt(4000) - 2000).toShort)
+    val assets = Seq((3L, "wav", WavCodec.encode(16000, 1, ss), 0, 0, 1, 16000))
+      .toDF("asset_id", "format", "payload", "width", "height", "channels",
+        "sample_rate")
+    val cs = MultimodalOps.audioMfcc(assets).orderBy("f").collect()
+      .map(r => Array(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(cs.length == 9)
+    val d = (1 until 8).map(t => Array.tabulate(4)(c => cs(t + 1)(c) - cs(t - 1)(c)))
+    val dd = (1 until 6).map(t => d(t + 1)(1) - d(t - 1)(1))
+    val got = MultimodalOps.audioMfccDeltas(assets).collect().head
+    assert(got.getLong(1) == 7 && got.getLong(2) == 5)
+    assert(got.getLong(3) == d.map(x => math.abs(x(0))).sum)
+    assert(got.getLong(4) == d.map(x => math.abs(x(1))).sum)
+    val P = graft.ops.TextOps.P; val B2 = graft.ops.TextOps.B2
+    def fp(xs: Seq[Long]) = xs.foldLeft(0L)((h, x) => (h * B2 + ((x % P) + P) % P) % P)
+    assert(got.getLong(5) == fp(d.map(_(1))) && got.getLong(6) == fp(dd))
+    // degenerate: 2 frames -> no interior, all-zero row
+    val tiny = Seq((4L, "wav", WavCodec.encode(16000, 1,
+        Array.fill(64)(100.toShort)), 0, 0, 1, 16000))
+      .toDF("asset_id", "format", "payload", "width", "height", "channels",
+        "sample_rate")
+    val z = MultimodalOps.audioMfccDeltas(tiny).collect().head
+    assert((1 to 6).forall(i => z.getLong(i) == 0L))
+  }
+
   test("imageCurationMoments + filter chain: every reason reachable, priority order holds") {
     val f = new java.io.File("/root/testdata/sf0.001/documents.parquet")
     assume(f.exists(), "driver testdata missing")
