@@ -71,7 +71,7 @@ object MultimodalQueries {
   /** Laplacian-list CTE `l` over [[BlurPixCtes]]'s `u` — the 4-neighbor
     * interior fold both image-quality faces aggregate. Carries the columns
     * in `extra` through. */
-  private def lapCte(extra: String): String =
+  private def lapCte(extra: String, src: String = "u"): String =
     s"""l AS (
        |  SELECT doc_id$extra,
        |    list_filter(list_transform(range(0, w * h), i ->
@@ -81,7 +81,7 @@ object MultimodalQueries {
        |             - vs[CAST(i + 1 + w AS INT)] - vs[CAST(i AS INT)]
        |             - vs[CAST(i + 2 AS INT)]
        |        ELSE NULL END), x -> x IS NOT NULL) AS lap
-       |  FROM u)""".stripMargin
+       |  FROM $src)""".stripMargin
 
   import OracleText.FINGERPRINT
 
@@ -1216,6 +1216,131 @@ object MultimodalQueries {
     // per-coefficient totals, and an order-sensitive fold of c1 mod P.
     // The oracle replays logfix via length(bin(x)) + shifts + the table
     // as VALUES, and the DCT as a weight join.
+    // VISION CURATION CAPSTONE — the whole image-side pipeline as ONE
+    // oracled plan (the pipeline_curate_web stance for the multimodal
+    // family): real-PNG corpus (the pHash fixture: brightness twins planted
+    // every 40th doc) plus box-blurred companions of every 7th doc →
+    // decode + sharpness FILTER (variance-of-Laplacian floor drops the
+    // blurred) → perceptual-hash DEDUP among the survivors (63-bit pHash,
+    // Hamming ≤ 4 via exact pigeonhole banding, connected components,
+    // keep-min canonical) → per-asset verdict. The planted structure makes
+    // every verdict reachable: blur companions MUST be filtered, brightness
+    // twins MUST dedup onto their base (pHash is brightness-invariant by
+    // construction), everything else MUST survive. Stage order is the
+    // production one — filter before dedup, so the pair stage never hashes
+    // assets the filter already dropped.
+    QueryDef.withOracle("pipeline_curate_images", {
+      def px(idx: String) =
+        s"""(CASE WHEN length(text) = 0 THEN 0
+           |      ELSE unicode(substr(text, CAST(($idx) % length(text) + 1 AS INT), 1))
+           | END)""".stripMargin.replace("\n", "")
+      s"""WITH RECURSIVE geo AS (
+         |  SELECT doc_id, text,
+         |         CAST(doc_id % 24 + 8 AS INT) AS w,
+         |         CAST(doc_id % 16 + 8 AS INT) AS h
+         |  FROM documents),
+         |g0 AS (SELECT doc_id, w, h,
+         |         list_transform(range(0, w * h), i -> ${px("i")}) AS vs
+         |       FROM geo),
+         |pxg AS (
+         |  SELECT doc_id, w, h, vs FROM g0
+         |  UNION ALL
+         |  SELECT doc_id + 10000000, w, h, list_transform(vs, v -> v + 16)
+         |  FROM g0 WHERE doc_id % 40 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, w, h,
+         |    list_transform(range(0, w * h), i ->
+         |      (vs[CAST((i // w) * w + greatest((i % w) - 1, 0) + 1 AS INT)]
+         |       + vs[CAST(i + 1 AS INT)]
+         |       + vs[CAST((i // w) * w + least((i % w) + 1, w - 1) + 1 AS INT)])
+         |      // 3)
+         |  FROM g0 WHERE doc_id % 7 = 0),
+         |${lapCte("", "pxg")},
+         |fm AS (SELECT doc_id, CAST(len(lap) AS BIGINT) AS n_int,
+         |        CAST(len(lap) * coalesce(list_sum(list_transform(lap, x -> x * x)), 0)
+         |             - coalesce(list_sum(lap), 0) * coalesce(list_sum(lap), 0)
+         |             AS BIGINT) AS lap_num
+         |       FROM l),
+         |fv AS (SELECT doc_id,
+         |         CASE WHEN lap_num < 8000 * n_int * n_int THEN 'blurry'
+         |              ELSE 'keep' END AS freason
+         |       FROM fm),
+         |keptg AS (SELECT p.* FROM pxg p JOIN fv USING (doc_id)
+         |          WHERE fv.freason = 'keep'),
+         |phct(u, i, c) AS (SELECT * FROM (VALUES ${OraclePhash.dctRows}) t(u, i, c)),
+         |phpx AS (SELECT k.doc_id, ri.i AS i, rj.j AS j,
+         |           CAST(k.vs[CAST((ri.i * k.h // 8) * k.w
+         |                          + (rj.j * k.w // 8) + 1 AS INT)] AS BIGINT) AS p
+         |         FROM keptg k, range(8) ri(i), range(8) rj(j)),
+         |phco AS (SELECT doc_id, cu.u AS u, cv.u AS v,
+         |           CAST(SUM(p * cu.c * cv.c) AS BIGINT) AS f
+         |         FROM phpx px JOIN phct cu ON cu.i = px.i
+         |                      JOIN phct cv ON cv.i = px.j
+         |         GROUP BY 1, 2, 3),
+         |phmed AS (SELECT doc_id, f AS med FROM (
+         |            SELECT doc_id, f,
+         |              row_number() OVER (PARTITION BY doc_id ORDER BY f) AS rn
+         |            FROM phco WHERE NOT (u = 0 AND v = 0)) WHERE rn = 32),
+         |ph AS (SELECT c.doc_id,
+         |         CAST(SUM(CASE WHEN c.f > m.med
+         |                  THEN 1::BIGINT << (c.u * 8 + c.v - 1)
+         |                  ELSE 0::BIGINT END) AS BIGINT) AS phash
+         |       FROM phco c JOIN phmed m USING (doc_id)
+         |       WHERE NOT (c.u = 0 AND c.v = 0) GROUP BY 1),
+         |prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |        FROM ph a, ph b WHERE a.doc_id < b.doc_id
+         |          AND bit_count(xor(a.phash, b.phash)) <= 4),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+         |          UNION ALL SELECT id_b, id_a FROM prs),
+         |walk(id, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id),
+         |comp AS (SELECT id, min(label) AS component FROM walk GROUP BY id)
+         |SELECT p.doc_id AS asset_id,
+         |  CASE WHEN fv.freason = 'blurry' THEN 'filtered_blurry'
+         |       WHEN comp.id IS NOT NULL AND comp.component != p.doc_id
+         |         THEN 'dup'
+         |       ELSE 'kept' END AS status,
+         |  CASE WHEN fv.freason = 'blurry' THEN NULL
+         |       WHEN comp.id IS NOT NULL THEN comp.component
+         |       ELSE p.doc_id END AS canon
+         |FROM pxg p JOIN fv USING (doc_id)
+         |LEFT JOIN comp ON comp.id = p.doc_id
+         |ORDER BY asset_id""".stripMargin
+    }) { (s, dir) =>
+      import graft.ops.DedupOps
+      graft.functions.GraftFunctions.register(s)
+      val base = MultimodalOps.phashAssetsFromDocuments(
+        Tables(s, dir, "documents"))
+      val blurOnly = MultimodalOps.blurCompanionAssets(
+          base.filter(col("asset_id") % 7 === 0 &&
+            col("asset_id") < MultimodalOps.PhashCompanionOffset))
+        .filter(col("asset_id") >= MultimodalOps.BlurCompanionOffset)
+      val assets = base.unionByName(blurOnly)
+      val fv = MultimodalOps.imageCurationMoments(assets)
+        .select(col("asset_id"),
+          when(col("lap_num") < lit(8000L) * col("n_int") * col("n_int"),
+            lit("blurry")).otherwise(lit("keep")).as("freason"))
+      val kept = assets.join(
+        fv.filter(col("freason") === "keep").select("asset_id"), "asset_id")
+      val ph = MultimodalOps.imagePhash(kept)
+        .select(col("asset_id").as("id"), col("phash").as("fp"))
+      val comp = DedupOps.connectedComponents(
+        DedupOps.bandedHammingPairs(ph, bits = 63, maxHamming = 4)
+          .select("id_a", "id_b"))
+      fv.join(comp, fv("asset_id") === comp("id"), "left")
+        .select(col("asset_id"),
+          when(col("freason") === "blurry", "filtered_blurry")
+            .when(col("id").isNotNull && col("component") =!= col("asset_id"),
+              "dup")
+            .otherwise("kept").as("status"),
+          when(col("freason") === "blurry", lit(null))
+            .when(col("id").isNotNull, col("component"))
+            .otherwise(col("asset_id")).as("canon"))
+        .orderBy("asset_id")
+    },
+
     // DELTA / DELTA-DELTA cepstral features (the standard ASR front-end
     // finisher — trainers consume [c, Δc, ΔΔc] stacks, and the slopes are
     // what carry the phonetic transitions): 2-point Δc(t) = c(t+1) − c(t−1)

@@ -240,7 +240,9 @@ object ScaleBench {
     // dataset card (one corpus fold + one fingerprint-distinct)
     "pipeline_dataset_card",
     // cepstral deltas (typed decode map, one row per asset)
-    "mm_audio_deltas")
+    "mm_audio_deltas",
+    // vision curation capstone (decode map -> filter -> banded pHash dedup)
+    "pipeline_curate_images")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

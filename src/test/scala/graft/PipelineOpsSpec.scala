@@ -4167,6 +4167,38 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(exp.size >= 10, s"planted pairs missing from expectation (${exp.size})")
   }
 
+  test("pipeline_curate_images: planted blur companions filter, brightness twins dedup onto base") {
+    val f = new java.io.File("/root/testdata/sf0.001/documents.parquet")
+    assume(f.exists(), "driver testdata missing")
+    val got = graft.SparkEntry.queries("pipeline_curate_images")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    val docIds = got.keys.filter(_ < 1000000L)
+    // every blur companion (id + 1e6 of each 7th doc) must be filtered
+    val blurIds = docIds.filter(_ % 7 == 0).map(_ + 1000000L)
+    assert(blurIds.nonEmpty)
+    blurIds.foreach { id =>
+      assert(got(id)._1 == "filtered_blurry", s"blur companion $id survived")
+    }
+    // every brightness twin (id + 1e7 of each 40th doc) must be 'dup' and
+    // share its base's component (pHash is brightness-invariant; the twin
+    // is Hamming-0 of its base, but the CANONICAL may be a third asset if
+    // the base itself near-matches one — same-component is the guarantee)
+    val twinIds = docIds.filter(_ % 40 == 0).map(_ + 10000000L)
+    assert(twinIds.nonEmpty)
+    twinIds.foreach { id =>
+      val base = got(id - 10000000L)
+      val baseCanon = if (base._1 == "kept") id - 10000000L else base._2
+      assert(got(id)._1 == "dup" && got(id)._2 == baseCanon,
+        s"brightness twin $id: ${got(id)} vs base $base")
+    }
+    // and the canonical of every kept asset is itself
+    got.foreach { case (id, (st, canon)) =>
+      if (st == "kept") assert(canon == id)
+    }
+  }
+
   test("audioMfccDeltas: slopes are exact differences of the MFCC face's coefficients") {
     import graft.ops.{MultimodalOps, WavCodec}
     val rnd = new scala.util.Random(17)
