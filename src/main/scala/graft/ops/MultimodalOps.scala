@@ -1551,6 +1551,31 @@ object MultimodalOps {
         "starts_fp")
   }
 
+  /** Per-asset silence audit for the audio-curation filter: frame counts
+    * plus the number of DIGITALLY SILENT analysis frames (every sample 0 —
+    * the planted lead-in of [[fpWavAssetsFromDocuments]], and exactly what
+    * a Σ|s| = 0 energy rule detects). One typed decode pass. */
+  def audioSilence(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.as[MediaAsset].map { a =>
+      require(a.format == "wav", s"audioSilence needs wav, got ${a.format}")
+      val (_, channels, ss) = WavCodec.decode(a.payload)
+      require(channels == 1, s"audioSilence expects mono, got $channels")
+      val nF = ss.length / AudioFpFrame
+      var silent = 0L
+      var f = 0
+      while (f < nF) {
+        var e = 0L
+        var i = 0
+        while (i < AudioFpFrame) { e += math.abs(ss(f * AudioFpFrame + i).toLong); i += 1 }
+        if (e == 0) silent += 1
+        f += 1
+      }
+      (a.asset_id, nF.toLong, silent)
+    }.toDF("asset_id", "n_frames", "n_silent")
+  }
+
   def audioFingerprints(assets: DataFrame): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._

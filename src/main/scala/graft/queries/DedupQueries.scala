@@ -1414,7 +1414,94 @@ object DedupQueries {
         maxDocFreq = Some(FrameHashDocFreqCap))
     },
 
-    // MULTIMODAL CORPUS BUILD — the composed keep decision a real
+// AUDIO CURATION CAPSTONE — the speech-side pipeline as ONE oracled
+    // plan (completing the text/vision/audio capstone trilogy): the
+    // fingerprint-fixture corpus (polarity twins every 9th doc, 4 planted
+    // lead-in silence frames every 5th) → decode + SILENCE filter (clips
+    // whose silent-frame share crosses the floor drop — the planted
+    // lead-ins make the rule fire exactly on short %5 clips) → fingerprint
+    // DEDUP among survivors (Haitsma-Kalker window hashes, df-capped
+    // containment >= 0.5, connected components, keep-min canonical) →
+    // per-asset verdict. Polarity twins MUST dedup onto their base's
+    // component (band powers are invariant under negation); the oracle
+    // replays samples, silence audit, the whole fingerprint chain,
+    // brute-force containment and recursive-CTE components.
+    QueryDef.withOracle("pipeline_curate_audio",
+      s"""WITH RECURSIVE ${OracleAudioFp.CTES},
+         |sfr AS (SELECT asset_id, f,
+         |          coalesce(list_sum(list_transform(
+         |            ss[CAST(f * 32 + 1 AS INT) : CAST(f * 32 + 32 AS INT)],
+         |            x -> abs(x))), 0) AS en
+         |        FROM aft),
+         |scnt AS (SELECT asset_id, CAST(count(*) AS BIGINT) AS n_frames,
+         |           CAST(sum(CASE WHEN en = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |             AS n_silent
+         |         FROM sfr GROUP BY 1),
+         |fv AS (SELECT a.asset_id,
+         |         CASE WHEN s.n_silent > 0 AND 4 * s.n_silent >= s.n_frames
+         |              THEN 'silence' ELSE 'keep' END AS freason
+         |       FROM (SELECT DISTINCT asset_id FROM afa) a
+         |       LEFT JOIN scnt s USING (asset_id)),
+         |aset0 AS (SELECT DISTINCT x.asset_id, x.fp FROM aff x
+         |          JOIN fv ON fv.asset_id = x.asset_id
+         |          WHERE fv.freason = 'keep'),
+         |aset AS (SELECT a.asset_id, a.fp FROM aset0 a
+         |         JOIN (SELECT fp FROM aset0 GROUP BY 1
+         |               HAVING count(*) <= $FrameHashDocFreqCap) k USING (fp)),
+         |an AS (SELECT asset_id, count(*) AS np FROM aset GROUP BY 1),
+         |acm AS (SELECT a.asset_id AS ia, b.asset_id AS ib, count(*) AS shared
+         |        FROM aset a JOIN aset b
+         |          ON a.fp = b.fp AND a.asset_id < b.asset_id
+         |        GROUP BY 1, 2),
+         |prs AS (SELECT ia AS id_a, ib AS id_b
+         |        FROM acm JOIN an na ON na.asset_id = ia
+         |                 JOIN an nb ON nb.asset_id = ib
+         |        WHERE CAST(shared AS DOUBLE) / least(na.np, nb.np) >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+         |          UNION ALL SELECT id_b, id_a FROM prs),
+         |walk(id, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id),
+         |comp AS (SELECT id, min(label) AS component FROM walk GROUP BY id)
+         |SELECT fv.asset_id,
+         |  CASE WHEN fv.freason = 'silence' THEN 'filtered_silence'
+         |       WHEN comp.id IS NOT NULL AND comp.component != fv.asset_id
+         |         THEN 'dup'
+         |       ELSE 'kept' END AS status,
+         |  CASE WHEN fv.freason = 'silence' THEN NULL
+         |       WHEN comp.id IS NOT NULL THEN comp.component
+         |       ELSE fv.asset_id END AS canon
+         |FROM fv LEFT JOIN comp ON comp.id = fv.asset_id
+         |ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      import graft.ops.MultimodalOps
+      val assets = MmAssetStage.df(s, dir, "aud")(
+        MultimodalOps.fpWavAssetsFromDocuments(Tables(s, dir, "documents")))
+      val fv = MultimodalOps.audioSilence(assets)
+        .select(col("asset_id"),
+          when(col("n_silent") > 0 &&
+              lit(4L) * col("n_silent") >= col("n_frames"),
+            lit("silence")).otherwise(lit("keep")).as("freason"))
+      val kept = assets.join(
+        fv.filter(col("freason") === "keep").select("asset_id"), "asset_id")
+      val comp = DedupOps.connectedComponents(
+        DedupOps.hashSetContainmentPairs(
+            MultimodalOps.audioFingerprints(kept), "asset_id", "fp",
+            threshold = 0.5, maxDocFreq = Some(FrameHashDocFreqCap))
+          .select("id_a", "id_b"))
+      fv.join(comp, fv("asset_id") === comp("id"), "left")
+        .select(col("asset_id"),
+          when(col("freason") === "silence", "filtered_silence")
+            .when(col("id").isNotNull && col("component") =!= col("asset_id"),
+              "dup")
+            .otherwise("kept").as("status"),
+          when(col("freason") === "silence", lit(null))
+            .when(col("id").isNotNull, col("component"))
+            .otherwise(col("asset_id")).as("canon"))
+        .orderBy("asset_id")
+    },
+
+        // MULTIMODAL CORPUS BUILD — the composed keep decision a real
     // multimodal training-data pipeline makes per document: drop any doc
     // that is a near-duplicate of a LOWER-id doc in ANY modality (text
     // shingle Jaccard >= 0.8 through the df-capped pair core, image pHash

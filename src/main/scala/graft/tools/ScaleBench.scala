@@ -242,7 +242,9 @@ object ScaleBench {
     // cepstral deltas (typed decode map, one row per asset)
     "mm_audio_deltas",
     // vision curation capstone (decode map -> filter -> banded pHash dedup)
-    "pipeline_curate_images")
+    "pipeline_curate_images",
+    // audio curation capstone (decode map -> silence filter -> fp dedup)
+    "pipeline_curate_audio")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

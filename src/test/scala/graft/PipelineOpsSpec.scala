@@ -4199,6 +4199,47 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("pipeline_curate_audio: silence rule fires on planted lead-ins, polarity twins dedup") {
+    val f = new java.io.File("/root/testdata/sf0.001/documents.parquet")
+    assume(f.exists(), "driver testdata missing")
+    import graft.ops.MultimodalOps.{AudioCompanionOffset, AudioCompanionStep}
+    val got = graft.SparkEntry.queries("pipeline_curate_audio")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    // silence verdicts exist and ONLY on the planted families (%5 docs and
+    // their polarity companions — negation preserves digital silence)
+    val sil = got.filter(_._2._1 == "filtered_silence").keys
+    assert(sil.nonEmpty)
+    sil.foreach(id => assert(id % AudioCompanionStep % 5 == 0 ||
+      (id % AudioCompanionOffset) % 5 == 0, s"unplanted silence verdict $id"))
+    // every polarity twin of a KEPT base must be 'dup' in the base's
+    // component (band powers are invariant under negation) — provided the
+    // clip is long enough to yield at least one 4-frame fingerprint window
+    // (samples = text chars [+ 4×32 planted lead for %5 docs])
+    val lens = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "length(text) AS n").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue()).toMap
+    def frames(docId: Long) =
+      (lens(docId) + (if (docId % 5 == 0) 128 else 0)) / 32
+    val twins = got.keys.filter(_ >= AudioCompanionOffset)
+      .filter(id => frames(id - AudioCompanionOffset) >= 7)
+    assert(twins.nonEmpty)
+    twins.foreach { id =>
+      val base = got(id - AudioCompanionOffset)
+      if (base._1 != "filtered_silence") {
+        val baseCanon =
+          if (base._1 == "kept") id - AudioCompanionOffset else base._2
+        assert(got(id)._1 == "dup" && got(id)._2 == baseCanon,
+          s"polarity twin $id: ${got(id)} vs base $base")
+      } else assert(got(id)._1 == "filtered_silence",
+        s"twin of a silent clip must be silent too: $id ${got(id)}")
+    }
+    got.foreach { case (id, (st, canon)) =>
+      if (st == "kept") assert(canon == id)
+    }
+  }
+
   test("audioMfccDeltas: slopes are exact differences of the MFCC face's coefficients") {
     import graft.ops.{MultimodalOps, WavCodec}
     val rnd = new scala.util.Random(17)
