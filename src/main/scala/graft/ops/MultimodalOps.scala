@@ -1053,6 +1053,15 @@ object MultimodalOps {
   /** Companion-asset id offset of [[blurCompanionAssets]]. */
   val BlurCompanionOffset = 1000000L
 
+  /** Per-replica `doc_id` stride of the scaled-corpus generator
+    * ([[graft.tools.GenScale]] consumes this constant): derived-id fixtures
+    * that CLASSIFY rows by an id offset (blur companions, brightness
+    * twins) must compare MODULO this stride, or every replica original
+    * would be mistaken for a companion. Lives here with the other
+    * fixture-id-space constants — query semantics must not depend on a
+    * tools/ definition. */
+  val DocIdStride = 1000000000L
+
   /** BLUR-PLANTED companion corpus for the blur-detection face: every
     * grayscale-PNG asset additionally yields a horizontally BOX-BLURRED
     * twin (id + [[BlurCompanionOffset]]) — pixel (y, x) becomes the

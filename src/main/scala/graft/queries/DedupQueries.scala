@@ -1430,7 +1430,8 @@ object DedupQueries {
       s"""WITH RECURSIVE ${OracleAudioFp.CTES},
          |sfr AS (SELECT asset_id, f,
          |          coalesce(list_sum(list_transform(
-         |            ss[CAST(f * 32 + 1 AS INT) : CAST(f * 32 + 32 AS INT)],
+         |            ss[CAST(f * ${graft.ops.MultimodalOps.AudioFpFrame} + 1 AS INT) :
+         |               CAST((f + 1) * ${graft.ops.MultimodalOps.AudioFpFrame} AS INT)],
          |            x -> abs(x))), 0) AS en
          |        FROM aft),
          |scnt AS (SELECT asset_id, CAST(count(*) AS BIGINT) AS n_frames,
@@ -1477,11 +1478,14 @@ object DedupQueries {
       import graft.ops.MultimodalOps
       val assets = MmAssetStage.df(s, dir, "aud")(
         MultimodalOps.fpWavAssetsFromDocuments(Tables(s, dir, "documents")))
+      // pinned: the silence audit is a full WAV-decode pass and feeds BOTH
+      // the kept-filter and the final verdict join
       val fv = MultimodalOps.audioSilence(assets)
         .select(col("asset_id"),
           when(col("n_silent") > 0 &&
               lit(4L) * col("n_silent") >= col("n_frames"),
             lit("silence")).otherwise(lit("keep")).as("freason"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val kept = assets.join(
         fv.filter(col("freason") === "keep").select("asset_id"), "asset_id")
       val comp = DedupOps.connectedComponents(

@@ -36,6 +36,17 @@ object MultimodalQueries {
        |              THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
        |FROM s ORDER BY asset_id""".stripMargin
 
+  /** The clamped 3-tap truncating horizontal box blur as a DuckDB list
+    * expression over columns `vs`, `w` — ONE definition for BlurPixCtes
+    * and the vision capstone (mirrors
+    * [[graft.ops.MultimodalOps.blurCompanionAssets]]). */
+  private val BlurVsSql: String =
+    """list_transform(range(0, w * h), i ->
+      |      (vs[CAST((i // w) * w + greatest((i % w) - 1, 0) + 1 AS INT)]
+      |       + vs[CAST(i + 1 AS INT)]
+      |       + vs[CAST((i // w) * w + least((i % w) + 1, w - 1) + 1 AS INT)])
+      |      // 3)""".stripMargin
+
   /** Oracle CTEs ending in `u(doc_id, w, h, vs, kind)`: the grayscale-PNG
     * pixel tiling plus the horizontally box-blurred companion corpus
     * (mirrors [[graft.ops.MultimodalOps.blurCompanionAssets]] — clamped
@@ -60,11 +71,7 @@ object MultimodalQueries {
        |  SELECT doc_id, w, h, vs, 'orig' AS kind FROM c
        |  UNION ALL
        |  SELECT doc_id + 1000000, w, h,
-       |    list_transform(range(0, w * h), i ->
-       |      (vs[CAST((i // w) * w + greatest((i % w) - 1, 0) + 1 AS INT)]
-       |       + vs[CAST(i + 1 AS INT)]
-       |       + vs[CAST((i // w) * w + least((i % w) + 1, w - 1) + 1 AS INT)])
-       |      // 3) AS vs,
+       |    $BlurVsSql AS vs,
        |    'blur' AS kind FROM c)""".stripMargin
   }
 
@@ -933,7 +940,7 @@ object MultimodalQueries {
           // classify MODULO the GenScale replica stride: a scaled corpus
           // offsets doc_ids by r*1e9, and a raw >= comparison would label
           // every replica original 'blur' (review finding)
-          when(pmod(col("asset_id"), lit(graft.tools.GenScale.DocIdStride))
+          when(pmod(col("asset_id"), lit(MultimodalOps.DocIdStride))
               >= MultimodalOps.BlurCompanionOffset,
             lit("blur")).otherwise(lit("orig")).as("kind"),
           col("n_int"), col("lap_sum"), col("lap_sum2"), col("sharpness"))
@@ -1248,12 +1255,7 @@ object MultimodalQueries {
          |  SELECT doc_id + 10000000, w, h, list_transform(vs, v -> v + 16)
          |  FROM g0 WHERE doc_id % 40 = 0
          |  UNION ALL
-         |  SELECT doc_id + 1000000, w, h,
-         |    list_transform(range(0, w * h), i ->
-         |      (vs[CAST((i // w) * w + greatest((i % w) - 1, 0) + 1 AS INT)]
-         |       + vs[CAST(i + 1 AS INT)]
-         |       + vs[CAST((i // w) * w + least((i % w) + 1, w - 1) + 1 AS INT)])
-         |      // 3)
+         |  SELECT doc_id + 1000000, w, h, $BlurVsSql
          |  FROM g0 WHERE doc_id % 7 = 0),
          |${lapCte("", "pxg")},
          |fm AS (SELECT doc_id, CAST(len(lap) AS BIGINT) AS n_int,
@@ -1267,26 +1269,7 @@ object MultimodalQueries {
          |       FROM fm),
          |keptg AS (SELECT p.* FROM pxg p JOIN fv USING (doc_id)
          |          WHERE fv.freason = 'keep'),
-         |phct(u, i, c) AS (SELECT * FROM (VALUES ${OraclePhash.dctRows}) t(u, i, c)),
-         |phpx AS (SELECT k.doc_id, ri.i AS i, rj.j AS j,
-         |           CAST(k.vs[CAST((ri.i * k.h // 8) * k.w
-         |                          + (rj.j * k.w // 8) + 1 AS INT)] AS BIGINT) AS p
-         |         FROM keptg k, range(8) ri(i), range(8) rj(j)),
-         |phco AS (SELECT doc_id, cu.u AS u, cv.u AS v,
-         |           CAST(SUM(p * cu.c * cv.c) AS BIGINT) AS f
-         |         FROM phpx px JOIN phct cu ON cu.i = px.i
-         |                      JOIN phct cv ON cv.i = px.j
-         |         GROUP BY 1, 2, 3),
-         |phmed AS (SELECT doc_id, f AS med FROM (
-         |            SELECT doc_id, f,
-         |              row_number() OVER (PARTITION BY doc_id ORDER BY f) AS rn
-         |            FROM phco WHERE NOT (u = 0 AND v = 0)) WHERE rn = 32),
-         |ph AS (SELECT c.doc_id,
-         |         CAST(SUM(CASE WHEN c.f > m.med
-         |                  THEN 1::BIGINT << (c.u * 8 + c.v - 1)
-         |                  ELSE 0::BIGINT END) AS BIGINT) AS phash
-         |       FROM phco c JOIN phmed m USING (doc_id)
-         |       WHERE NOT (c.u = 0 AND c.v = 0) GROUP BY 1),
+         |${OraclePhash.gridChain("keptg", "doc_id")},
          |prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
          |        FROM ph a, ph b WHERE a.doc_id < b.doc_id
          |          AND bit_count(xor(a.phash, b.phash)) <= 4),
@@ -1313,19 +1296,31 @@ object MultimodalQueries {
       graft.functions.GraftFunctions.register(s)
       val base = MultimodalOps.phashAssetsFromDocuments(
         Tables(s, dir, "documents"))
+      // classify modulo the replica stride (the mm_image_blur lesson): on a
+      // GenScale corpus replica ids are r*1e9 + orig, and raw comparisons
+      // would plant blur companions for replica 0 only
+      val rid = pmod(col("asset_id"), lit(MultimodalOps.DocIdStride))
       val blurOnly = MultimodalOps.blurCompanionAssets(
-          base.filter(col("asset_id") % 7 === 0 &&
-            col("asset_id") < MultimodalOps.PhashCompanionOffset))
-        .filter(col("asset_id") >= MultimodalOps.BlurCompanionOffset)
-      val assets = base.unionByName(blurOnly)
+          base.filter(rid % 7 === 0 &&
+            rid < MultimodalOps.PhashCompanionOffset))
+        .filter(pmod(col("asset_id"), lit(MultimodalOps.DocIdStride))
+          >= MultimodalOps.BlurCompanionOffset)
+      // pinned: the fixture is PNG-encoded per traversal and the moments /
+      // hash maps are full decode passes — assets feeds the filter AND the
+      // survivor hash, fv feeds the kept-filter AND the verdict join, and
+      // the banding core re-references the fingerprints on both join sides
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val assets = base.unionByName(blurOnly).persist(MEMORY_AND_DISK)
       val fv = MultimodalOps.imageCurationMoments(assets)
         .select(col("asset_id"),
           when(col("lap_num") < lit(8000L) * col("n_int") * col("n_int"),
             lit("blurry")).otherwise(lit("keep")).as("freason"))
+        .persist(MEMORY_AND_DISK)
       val kept = assets.join(
         fv.filter(col("freason") === "keep").select("asset_id"), "asset_id")
       val ph = MultimodalOps.imagePhash(kept)
         .select(col("asset_id").as("id"), col("phash").as("fp"))
+        .persist(MEMORY_AND_DISK)
       val comp = DedupOps.connectedComponents(
         DedupOps.bandedHammingPairs(ph, bits = 63, maxHamming = 4)
           .select("id_a", "id_b"))
@@ -2731,6 +2726,33 @@ object OraclePhash {
   val dctRows: String = (for { u <- 0 until 8; i <- 0 until 8 }
     yield s"($u,$i,${PhashDct(u)(i)})").mkString(",")
 
+  /** pHash chain `phct/phpx/phco/phmed/ph` over a GRID CTE
+    * `src(idCol, w, h, vs)` (vs = 1-based full pixel list) — ONE
+    * definition consumed by [[CTES]] (the fixture corpus) and the vision
+    * curation capstone (filtered grids incl. blurred companions), so the
+    * 8x8 sampling, DCT, median rank and bit fold cannot drift. */
+  def gridChain(src: String, idCol: String): String =
+    s"""phct(u, i, c) AS (SELECT * FROM (VALUES $dctRows) t(u, i, c)),
+       |phpx AS (SELECT k.$idCol, ri.i AS i, rj.j AS j,
+       |           CAST(k.vs[CAST((ri.i * k.h // 8) * k.w
+       |                          + (rj.j * k.w // 8) + 1 AS INT)] AS BIGINT) AS p
+       |         FROM $src k, range(8) ri(i), range(8) rj(j)),
+       |phco AS (SELECT $idCol, cu.u AS u, cv.u AS v,
+       |           CAST(SUM(p * cu.c * cv.c) AS BIGINT) AS f
+       |         FROM phpx px JOIN phct cu ON cu.i = px.i
+       |                      JOIN phct cv ON cv.i = px.j
+       |         GROUP BY 1, 2, 3),
+       |phmed AS (SELECT $idCol, f AS med FROM (
+       |            SELECT $idCol, f,
+       |              row_number() OVER (PARTITION BY $idCol ORDER BY f) AS rn
+       |            FROM phco WHERE NOT (u = 0 AND v = 0)) WHERE rn = 32),
+       |ph AS (SELECT c.$idCol,
+       |         CAST(SUM(CASE WHEN c.f > m.med
+       |                  THEN 1::BIGINT << (c.u * 8 + c.v - 1)
+       |                  ELSE 0::BIGINT END) AS BIGINT) AS phash
+       |       FROM phco c JOIN phmed m USING ($idCol)
+       |       WHERE NOT (c.u = 0 AND c.v = 0) GROUP BY 1)""".stripMargin
+
   val CTES: String =
     s"""pha AS (SELECT doc_id AS asset_id, text,
        |          CAST(doc_id % 24 + 8 AS INT) AS w,
@@ -2739,27 +2761,12 @@ object OraclePhash {
        |        SELECT doc_id + $PhashCompanionOffset, text,
        |          CAST(doc_id % 24 + 8 AS INT), CAST(doc_id % 16 + 8 AS INT), 16
        |        FROM documents WHERE doc_id % $PhashCompanionStep = 0),
-       |phct(u, i, c) AS (SELECT * FROM (VALUES $dctRows) t(u, i, c)),
-       |phpx AS (SELECT asset_id, ri.i AS i, rj.j AS j,
-       |           CAST((CASE WHEN length(text) = 0 THEN 0
-       |                 ELSE unicode(substr(text,
-       |                   CAST(((ri.i * h // 8) * w + rj.j * w // 8)
-       |                        % length(text) + 1 AS INT), 1)) END)
-       |                + boost AS BIGINT) AS p
-       |         FROM pha, range(8) ri(i), range(8) rj(j)),
-       |phco AS (SELECT asset_id, cu.u AS u, cv.u AS v,
-       |           CAST(SUM(p * cu.c * cv.c) AS BIGINT) AS f
-       |         FROM phpx px JOIN phct cu ON cu.i = px.i
-       |                      JOIN phct cv ON cv.i = px.j
-       |         GROUP BY 1, 2, 3),
-       |phmed AS (SELECT asset_id, f AS med FROM (
-       |            SELECT asset_id, f,
-       |              row_number() OVER (PARTITION BY asset_id ORDER BY f) AS rn
-       |            FROM phco WHERE NOT (u = 0 AND v = 0)) WHERE rn = 32),
-       |ph AS (SELECT c.asset_id,
-       |         CAST(SUM(CASE WHEN c.f > m.med
-       |                  THEN 1::BIGINT << (c.u * 8 + c.v - 1)
-       |                  ELSE 0::BIGINT END) AS BIGINT) AS phash
-       |       FROM phco c JOIN phmed m USING (asset_id)
-       |       WHERE NOT (c.u = 0 AND c.v = 0) GROUP BY 1)""".stripMargin
+       |phg AS (SELECT asset_id, w, h,
+       |          list_transform(range(0, w * h), i ->
+       |            (CASE WHEN length(text) = 0 THEN 0
+       |                  ELSE unicode(substr(text,
+       |                    CAST(i % length(text) + 1 AS INT), 1)) END)
+       |            + boost) AS vs
+       |        FROM pha),
+       |${gridChain("phg", "asset_id")}""".stripMargin
 }

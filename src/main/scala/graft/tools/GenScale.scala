@@ -37,10 +37,10 @@ import org.apache.spark.sql.functions._
   */
 object GenScale {
 
-  /** Per-replica `doc_id` stride. Derived-id fixtures that classify rows by
-    * an id offset (e.g. the blur-companion corpus) must classify MODULO this
-    * stride so replica originals are not mistaken for companions. */
-  val DocIdStride = 1000000000L
+  /** Per-replica `doc_id` stride — the fixture-id-space contract is owned
+    * by the ops layer (query semantics must not depend on a tools/
+    * constant); the scaler consumes it. */
+  val DocIdStride: Long = graft.ops.MultimodalOps.DocIdStride
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft-sf1")

@@ -4211,8 +4211,8 @@ class PipelineOpsSpec extends SparkTestBase {
     // their polarity companions — negation preserves digital silence)
     val sil = got.filter(_._2._1 == "filtered_silence").keys
     assert(sil.nonEmpty)
-    sil.foreach(id => assert(id % AudioCompanionStep % 5 == 0 ||
-      (id % AudioCompanionOffset) % 5 == 0, s"unplanted silence verdict $id"))
+    sil.foreach(id => assert((id % AudioCompanionOffset) % 5 == 0,
+      s"unplanted silence verdict $id"))
     // every polarity twin of a KEPT base must be 'dup' in the base's
     // component (band powers are invariant under negation) — provided the
     // clip is long enough to yield at least one 4-frame fingerprint window
