@@ -926,6 +926,24 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // EXACT-K uniform sample — the reproducible "give me exactly 200
+    // random docs" primitive every eval-set build starts from: global
+    // top-K by the seeded id hash. Spark plans ORDER BY + LIMIT as
+    // TakeOrderedAndProject (per-partition top-K then a driver-side merge
+    // of K-sized heads) — no global sort, no single-task window, and the
+    // same K rows on any cluster layout. Deterministic tie-break by id.
+    QueryDef.withOracle("pipeline_sample_k", {
+      val h = OracleText.wordHashSql("CAST(doc_id AS VARCHAR)")
+      s"""SELECT doc_id, $h AS hv FROM documents
+         |ORDER BY hv, doc_id LIMIT 200""".stripMargin
+    }) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ops.TextOps.polyHash(col("doc_id").cast("string")).as("hv"))
+        .orderBy("hv", "doc_id")
+        .limit(200)
+    },
+
     // EPOCH-SEEDED deterministic SHUFFLE — the reproducible training-order
     // stage: every epoch is a different pseudorandom permutation of the
     // whole corpus, derivable from (seed, epoch, id) alone, so a restarted

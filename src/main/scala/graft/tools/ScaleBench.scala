@@ -244,7 +244,9 @@ object ScaleBench {
     // vision curation capstone (decode map -> filter -> banded pHash dedup)
     "pipeline_curate_images",
     // audio curation capstone (decode map -> silence filter -> fp dedup)
-    "pipeline_curate_audio")
+    "pipeline_curate_audio",
+    // exact-K sample (TakeOrderedAndProject — per-partition heads only)
+    "pipeline_sample_k")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
