@@ -1414,7 +1414,89 @@ object DedupQueries {
         maxDocFreq = Some(FrameHashDocFreqCap))
     },
 
-// AUDIO CURATION CAPSTONE — the speech-side pipeline as ONE oracled
+// VIDEO CURATION CAPSTONE — the fourth modality, same one-plan shape:
+    // MJPEG corpus (temporal-shift re-cut twins every 7th doc, corpus-
+    // common constant-gray title card opening every 5th) → per-frame
+    // decode + pHash ONCE (pinned — the signature table feeds BOTH
+    // stages) → STATIC-FRAME filter (a constant frame has zero AC energy,
+    // so its pHash is exactly 0 — the title card IS the planted static
+    // frame; intro-card clips drop) → frame-hash containment DEDUP among
+    // survivors (df-capped, components, keep-min) → per-asset verdict.
+    // Re-cut twins of kept bases MUST dedup ((nf−1)/nf ≥ the 0.5
+    // operating point); the oracle replays the whole JPEG decode chain,
+    // the phash-0 rule, capped containment and recursive components.
+    QueryDef.withOracle("pipeline_curate_video",
+      s"""WITH RECURSIVE ${OracleVideoPhash.CTES},
+         |fvv AS MATERIALIZED (SELECT asset_id,
+         |          CASE WHEN max(CASE WHEN phash = 0 THEN 1 ELSE 0 END) = 1
+         |               THEN 'static' ELSE 'keep' END AS freason
+         |        FROM vph GROUP BY 1),
+         |vset0 AS (SELECT DISTINCT v.asset_id, v.phash FROM vph v
+         |          JOIN fvv ON fvv.asset_id = v.asset_id
+         |          WHERE fvv.freason = 'keep'),
+         |vset AS (SELECT v.asset_id, v.phash FROM vset0 v
+         |         JOIN (SELECT phash FROM vset0 GROUP BY 1
+         |               HAVING count(*) <= $FrameHashDocFreqCap) k USING (phash)),
+         |vn AS (SELECT asset_id, count(*) AS np FROM vset GROUP BY 1),
+         |vcm AS (SELECT a.asset_id AS ia, b.asset_id AS ib, count(*) AS shared
+         |        FROM vset a JOIN vset b
+         |          ON a.phash = b.phash AND a.asset_id < b.asset_id
+         |        GROUP BY 1, 2),
+         |prs AS (SELECT ia AS id_a, ib AS id_b
+         |        FROM vcm JOIN vn na ON na.asset_id = ia
+         |                 JOIN vn nb ON nb.asset_id = ib
+         |        WHERE CAST(shared AS DOUBLE) / least(na.np, nb.np) >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+         |          UNION ALL SELECT id_b, id_a FROM prs),
+         |walk(id, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id),
+         |comp AS (SELECT id, min(label) AS component FROM walk GROUP BY id)
+         |SELECT fvv.asset_id,
+         |  CASE WHEN fvv.freason = 'static' THEN 'filtered_static'
+         |       WHEN comp.id IS NOT NULL AND comp.component != fvv.asset_id
+         |         THEN 'dup'
+         |       ELSE 'kept' END AS status,
+         |  CASE WHEN fvv.freason = 'static' THEN NULL
+         |       WHEN comp.id IS NOT NULL THEN comp.component
+         |       ELSE fvv.asset_id END AS canon
+         |FROM fvv LEFT JOIN comp ON comp.id = fvv.asset_id
+         |ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      import graft.ops.MultimodalOps
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      // ONE decode+hash pass feeds both the static filter and the dedup
+      val vph = MultimodalOps.videoPhashes(
+          MmAssetStage.df(s, dir, "vid")(
+            MultimodalOps.mjpegCompanionAssetsFromDocuments(
+              Tables(s, dir, "documents"))),
+          frameStride = 1)
+        .persist(MEMORY_AND_DISK)
+      val fv = vph.groupBy("asset_id")
+        .agg(max((col("phash") === 0L).cast("int")).as("st"))
+        .select(col("asset_id"),
+          when(col("st") === 1, lit("static")).otherwise(lit("keep"))
+            .as("freason"))
+        .persist(MEMORY_AND_DISK)
+      val keptPh = vph.join(
+        fv.filter(col("freason") === "keep").select("asset_id"), "asset_id")
+      val comp = DedupOps.connectedComponents(
+        DedupOps.hashSetContainmentPairs(keptPh, "asset_id", "phash",
+            threshold = 0.5, maxDocFreq = Some(FrameHashDocFreqCap))
+          .select("id_a", "id_b"))
+      fv.join(comp, fv("asset_id") === comp("id"), "left")
+        .select(col("asset_id"),
+          when(col("freason") === "static", "filtered_static")
+            .when(col("id").isNotNull && col("component") =!= col("asset_id"),
+              "dup")
+            .otherwise("kept").as("status"),
+          when(col("freason") === "static", lit(null))
+            .when(col("id").isNotNull, col("component"))
+            .otherwise(col("asset_id")).as("canon"))
+        .orderBy("asset_id")
+    },
+
+    // AUDIO CURATION CAPSTONE — the speech-side pipeline as ONE oracled
     // plan (completing the text/vision/audio capstone trilogy): the
     // fingerprint-fixture corpus (polarity twins every 9th doc, 4 planted
     // lead-in silence frames every 5th) → decode + SILENCE filter (clips

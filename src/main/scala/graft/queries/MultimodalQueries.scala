@@ -2710,7 +2710,11 @@ object OracleVideoPhash {
        |           SELECT asset_id, f, fc,
        |             row_number() OVER (PARTITION BY asset_id, f ORDER BY fc) AS rn
        |           FROM vco WHERE NOT (u = 0 AND v = 0)) WHERE rn = 32),
-       |vph AS (SELECT c.asset_id, c.f,
+       |vph AS MATERIALIZED (
+       |  -- MATERIALIZED: the whole per-frame JPEG decode chain sits above;
+       |  -- consumers reference vph several times (filter + dedup legs) and
+       |  -- DuckDB would otherwise re-evaluate the chain per reference
+       |  SELECT c.asset_id, c.f,
        |          CAST(SUM(CASE WHEN c.fc > m.med
        |                   THEN 1::BIGINT << (c.u * 8 + c.v - 1)
        |                   ELSE 0::BIGINT END) AS BIGINT) AS phash

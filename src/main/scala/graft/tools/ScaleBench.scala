@@ -246,7 +246,9 @@ object ScaleBench {
     // audio curation capstone (decode map -> silence filter -> fp dedup)
     "pipeline_curate_audio",
     // exact-K sample (TakeOrderedAndProject — per-partition heads only)
-    "pipeline_sample_k")
+    "pipeline_sample_k",
+    // video curation capstone (one decode+hash pass -> filter -> dedup)
+    "pipeline_curate_video")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -4199,6 +4199,43 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("pipeline_curate_video: title cards filter as static, re-cut twins dedup") {
+    val f = new java.io.File("/root/testdata/sf0.001/documents.parquet")
+    assume(f.exists(), "driver testdata missing")
+    import graft.ops.MultimodalOps.{VideoCommonStep, VideoCompanionOffset,
+      VideoCompanionStep}
+    val got = graft.SparkEntry.queries("pipeline_curate_video")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    // the constant-gray title card is the ONLY planted static frame: the
+    // filter verdict must be exactly the %VideoCommonStep family (and its
+    // re-cut twins, which keep the intro card)
+    got.foreach { case (id, (st, _)) =>
+      assert((st == "filtered_static") ==
+        ((id % VideoCompanionOffset) % VideoCommonStep == 0),
+        s"static verdict mismatch for $id: $st")
+    }
+    // every re-cut twin of a KEPT base shares nf-1 of nf frame hashes ->
+    // must be 'dup' in the base's component
+    val twins = got.keys.filter(_ >= VideoCompanionOffset)
+    assert(twins.nonEmpty)
+    twins.foreach { id =>
+      val base = got(id - VideoCompanionOffset)
+      if (base._1 != "filtered_static") {
+        val baseCanon =
+          if (base._1 == "kept") id - VideoCompanionOffset else base._2
+        assert(got(id)._1 == "dup" && got(id)._2 == baseCanon,
+          s"re-cut twin $id: ${got(id)} vs base $base")
+      }
+    }
+    got.foreach { case (id, (st, canon)) =>
+      if (st == "kept") assert(canon == id)
+    }
+    assert(got.values.exists(_._1 == "dup") &&
+      got.values.exists(_._1 == "kept"))
+  }
+
   test("pipeline_curate_audio: silence rule fires on planted lead-ins, polarity twins dedup") {
     val f = new java.io.File("/root/testdata/sf0.001/documents.parquet")
     assume(f.exists(), "driver testdata missing")
