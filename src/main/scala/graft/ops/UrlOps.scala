@@ -57,7 +57,13 @@ object UrlOps {
     * "%70" → "p"; reserved or non-ASCII octets keep their escape with the
     * hex uppercased (§6.2.2.1). Strict subset: escapes are assumed
     * well-formed two-hex-digit (the fixture's are; a crawl frontier runs
-    * a validity filter before canonicalization). */
+    * a validity filter before canonicalization). Octets ≥ 0x80 are gated
+    * BEFORE the byte→string decode: a lone high byte is not valid UTF-8,
+    * and while Spark's decode would yield a replacement char (failing the
+    * unreserved match, escape kept), DuckDB's raises — so both engines
+    * must skip the decode entirely for the escape to survive the oracle
+    * replay (uppercase hex compares lexicographically = numerically, so
+    * `hex < "80"` is the octet < 0x80 test). */
   def pctDecodeUnreserved(s: Column): Column = {
     val parts = split(s, "%", -1)
     aggregate(
@@ -65,7 +71,7 @@ object UrlOps {
       element_at(parts, 1),
       (acc, p) => {
         val hex = upper(substring(p, 1, 2))
-        val ch = decode(unhex(hex), "UTF-8")
+        val ch = when(hex < "80", decode(unhex(hex), "UTF-8"))
         concat(acc,
           when(ch.rlike("^[A-Za-z0-9._~-]$"), ch)
             .otherwise(concat(lit("%"), hex)),
@@ -126,7 +132,10 @@ object UrlOps {
     val hostUc = concat(upper(dPart), lit(".EXAMPLE.COM"))
     val hostMc = concat(dPart, lit(".Example.COM"))
     val p = concat(lit("/p/"), docId.cast("string"))
-    val pEnc = concat(lit("/%70/"), docId.cast("string"))
+    // %70 decodes (unreserved "p"); %e9 is a high octet — not valid UTF-8
+    // alone — which must survive as an UPPERCASED kept escape (%E9) without
+    // either engine attempting the byte→string decode
+    val pEnc = concat(lit("/%70%e9/"), docId.cast("string"))
     val v = pmod(docId, lit(6))
     when(v === 0, concat(lit("HTTPS://"), hostUc, lit(":443"), p, lit("?utm_source=x#top")))
       .when(v === 1, concat(lit("https://"), hostLc, p))

@@ -1256,7 +1256,7 @@ object MultimodalQueries {
          |  FROM g0 WHERE doc_id % 40 = 0
          |  UNION ALL
          |  SELECT doc_id + 1000000, w, h, $BlurVsSql
-         |  FROM g0 WHERE doc_id % 7 = 0),
+         |  FROM g0 WHERE (doc_id % 1000000000) % 7 = 0),
          |${lapCte("", "pxg")},
          |fm AS (SELECT doc_id, CAST(len(lap) AS BIGINT) AS n_int,
          |        CAST(len(lap) * coalesce(list_sum(list_transform(lap, x -> x * x)), 0)

@@ -21,7 +21,7 @@ object PipelineQueries {
       """CASE CAST(doc_id % 6 AS INTEGER)
         |  WHEN 0 THEN 'HTTPS://' || upper(dp) || '.EXAMPLE.COM:443/p/' || ds || '?utm_source=x#top'
         |  WHEN 1 THEN 'https://' || dp || '.example.com/p/' || ds
-        |  WHEN 2 THEN 'https://' || dp || '.example.com:443/%70/' || ds
+        |  WHEN 2 THEN 'https://' || dp || '.example.com:443/%70%e9/' || ds
         |  WHEN 3 THEN 'https://' || dp || '.Example.COM/p/' || ds || '?b=2&a=1'
         |  WHEN 4 THEN 'https://' || dp || '.example.com/p/' || ds || '?a=1&utm_campaign=z&b=2'
         |  ELSE 'https://' || dp || '.example.com/p/' || ds || '#frag'
@@ -29,7 +29,9 @@ object PipelineQueries {
     val pct =
       """list_reduce(list_prepend(string_split(pp, '%')[1],
         |  list_transform(string_split(pp, '%')[2:], s ->
-        |    CASE WHEN regexp_matches(decode(unhex(upper(substr(s, 1, 2)))),
+        |    CASE WHEN upper(substr(s, 1, 2)) >= '80'
+        |         THEN '%' || upper(substr(s, 1, 2)) || substr(s, 3)
+        |         WHEN regexp_matches(decode(unhex(upper(substr(s, 1, 2)))),
         |                             '^[A-Za-z0-9._~-]$')
         |         THEN decode(unhex(upper(substr(s, 1, 2)))) || substr(s, 3)
         |         ELSE '%' || upper(substr(s, 1, 2)) || substr(s, 3) END)),
