@@ -1399,35 +1399,71 @@ object DedupOps {
   /** Near-dup pairs by winnowed-fingerprint collision + exact verify:
     * candidates share at least one fingerprint (inverted-index join on the
     * ~2/(w+1)-density sketch instead of the full posting lists), then the
-    * TRUE n-gram Jaccard computes ROW-LOCALLY from the carried shingle
-    * arrays (array_intersect — no second corpus pass, candidate count is
-    * sketch-collision bounded). Output (id_a, id_b, jaccard) at
-    * `threshold`. Recall contract: total for pairs whose edits leave
-    * shared runs >= w+n-1 tokens (the winnowing guarantee); the oracle
-    * replays the SAME sketch, so a selection drift breaks the gate.
+    * TRUE n-gram Jaccard over the full DISTINCT shingle sets computes via
+    * an 8-BYTE-KEY common-count join — the candidate list fans out on
+    * id_a's shingles and equi-joins (id_b, sh), so only (id, id, 8-byte
+    * hash) rows ever reach an exchange; shingle ARRAYS never shuffle (the
+    * PLANS §4 pair-core invariant — the prior carried-array verify shipped
+    * both docs' full shingle sets through two joins). Output
+    * (id_a, id_b, jaccard) at `threshold`.
+    *
+    * `maxDocFreq` — the skew guard this join needs MORE than
+    * [[jaccardPairsExact]] does: the winnowing guarantee (any shared exact
+    * run >= w+n-1 tokens contributes a shared print) means corpus-common
+    * BOILERPLATE — a license header, a template footer — is GUARANTEED a
+    * shared fingerprint across every doc carrying it, i.e. an m² hot join
+    * key at corpus scale. Prints whose doc frequency exceeds the cap leave
+    * the collision join BEFORE pairing (candidacy only — the verify
+    * Jaccard stays over the full uncapped sets, like the Jaccard twin),
+    * so the recall contract narrows to pairs whose shared runs include at
+    * least one sub-cap print: docs whose ONLY overlap is the
+    * corpus-common boilerplate stop pairing, which is the curation
+    * intent. Same broadcast-size guard as the text core
+    * ([[MaxBroadcastHotShingles]]).
     *
     * Skew note: like the exact inverted index (jaccardPairsExact), pair
     * output over a group of m identical docs is m²-bounded — on corpora
     * with large exact-duplicate groups run [[dedup_exact]]-style
     * contraction FIRST (or use [[jaccardPairsLsh]], whose rep contraction
     * absorbs identical sets); winnowing shrinks the index, not the pair
-    * combinatorics. */
+    * combinatorics, and the df cap bounds only the SHARED-boilerplate
+    * blow-up, not true duplicate groups. */
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
-                  n: Int, w: Int, threshold: Double): DataFrame = {
+                  n: Int, w: Int, threshold: Double,
+                  maxDocFreq: Option[Int] = None): DataFrame = {
     val fp = winnowedFingerprints(docs, idCol, textCol, n, w)
-    val ex = fp.select(col(idCol).as("id"), explode(col("win")).as("p"))
+    val ex0 = fp.select(col(idCol).as("id"), explode(col("win")).as("p"))
+    val ex = maxDocFreq.fold(ex0) { cap =>
+      // `win` is array_distinct per doc, so count(*) per print IS its doc
+      // frequency; identical guard shape to pairCommonCounts (broadcast
+      // the hot head while it fits, shuffled anti-join past the bound)
+      val hot = pin(ex0.groupBy("p").count().filter(col("count") > cap)
+        .select("p"))
+      val hotSide =
+        if (hot.count() <= MaxBroadcastHotShingles) broadcast(hot) else hot
+      ex0.join(hotSide, Seq("p"), "left_anti")
+    }
     val cand = ex.as("a").join(ex.as("b"),
         col("a.p") === col("b.p") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-    val sets = fp.select(col(idCol).as("id"),
-      array_distinct(col("shl")).as("sh"))
-    val common = size(array_intersect(col("sh_a"), col("sh_b")))
-    cand
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+    // common-count verify restricted to the candidate pairs: fan cand out
+    // on id_a's distinct shingles (bounded by candidates × avg set size),
+    // then the composite (id_b, sh) equi-join keeps exactly the shared
+    // ones — a shared print is a shared shingle value, so common >= 1 for
+    // every candidate and the inner joins lose nothing
+    val exsh = fp.select(col(idCol).as("id"),
+      explode(array_distinct(col("shl"))).as("sh"))
+    val common = cand
+      .join(exsh.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
+      .join(exsh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    common
+      .join(fp.select(col(idCol).as("id_a"),
+        size(array_distinct(col("shl"))).as("sz_a")), "id_a")
+      .join(fp.select(col(idCol).as("id_b"),
+        size(array_distinct(col("shl"))).as("sz_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        (common.cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - common)).as("jaccard"))
+        jaccard(col("common"), col("sz_a"), col("sz_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -418,10 +418,10 @@ object DedupQueries {
     * (w=4 window-min) fingerprint set — mirrors
     * `DedupOps.winnowedFingerprints(_, _, _, 3, 4)` exactly, including the
     * short-doc keep-all branch. */
-  private val WinnowCtes = {
+  private def winnowCtesOver(src: String) = {
     val w = 4
     s"""whst AS (SELECT doc_id, $WHS AS whs, ${OracleText.WHS2} AS whs2
-       |         FROM documents),
+       |         FROM $src),
        |wfp AS (SELECT doc_id, shl,
        |          CASE WHEN len(shl) >= $w THEN
        |            list_distinct(list_transform(range(0, len(shl) - ${w - 1}),
@@ -431,6 +431,22 @@ object DedupQueries {
        |                ${OracleText.shingleAllWideSql("whs", "whs2", 3)} AS shl
        |              FROM whst))""".stripMargin
   }
+  private val WinnowCtes = winnowCtesOver("documents")
+
+  /** Corpus-common boilerplate planted ahead of every 3rd doc in the
+    * winnow-pairs fixture (the MIT-header shape): 16 tokens >= w+n-1 = 6,
+    * so the winnowing guarantee makes its prints GUARANTEED shared across
+    * all ~N/3 carriers — doc frequency ~167 at sf0.01, far over
+    * [[WinnowDocFreqCap]], exactly the m² hot key the cap must drop. */
+  private val WinnowBoilerplate =
+    "permission is hereby granted free of charge to any person obtaining" +
+      " a copy of this software"
+
+  /** Print doc-frequency cap for `dedup_winnow_pairs`: well above any
+    * organic sketch collision in the fixture, well below the planted
+    * boilerplate's ~N/3 carriers — so the cap is value-load-bearing in
+    * the oracle (skipping it admits boilerplate-only candidate pairs). */
+  private val WinnowDocFreqCap = 32
 
   private val ContaminationSpanCtes =
     s"""$PositionalShingleCtes,
@@ -1172,12 +1188,26 @@ object DedupQueries {
     },
 
     // Winnow-collision candidate pairs + exact verify: candidates share a
-    // fingerprint (inverted index over the sketch, ~2/(w+1) the posting
-    // volume of the full shingle index), true Jaccard then computes
-    // ROW-LOCALLY from the carried shingle arrays — no second corpus pass.
+    // SUB-CAP fingerprint (inverted index over the sketch, ~2/(w+1) the
+    // posting volume of the full shingle index, prints with doc frequency
+    // over WinnowDocFreqCap dropped BEFORE pairing — the winnowing
+    // guarantee makes corpus-common boilerplate a GUARANTEED shared print,
+    // i.e. an m² hot join key, so the fixture PLANTS an MIT-style license
+    // header on every 3rd doc whose prints the cap MUST drop for the pair
+    // list to match), true Jaccard then verifies via the 8-byte
+    // common-count join over the full uncapped shingle sets. The oracle
+    // replays fixture, sketch, df cap, candidacy AND the Jaccard — a cap
+    // drift or a boilerplate-only pair admitted anywhere breaks the gate.
     QueryDef.withOracle("dedup_winnow_pairs",
-      s"""WITH $WinnowCtes,
-         |ex AS (SELECT doc_id, unnest(win) AS p FROM wfp),
+      s"""WITH bdocs AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN '$WinnowBoilerplate ' || text
+         |       ELSE text END AS text FROM documents),
+         |${winnowCtesOver("bdocs")},
+         |ex0 AS (SELECT doc_id, unnest(win) AS p FROM wfp),
+         |hot AS (SELECT p FROM ex0 GROUP BY p
+         |        HAVING count(*) > $WinnowDocFreqCap),
+         |ex AS (SELECT e.doc_id, e.p FROM ex0 e
+         |       LEFT JOIN hot h ON e.p = h.p WHERE h.p IS NULL),
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |         FROM ex a JOIN ex b ON a.p = b.p AND a.doc_id < b.doc_id),
          |sets AS (SELECT doc_id, list_distinct(shl) AS sh FROM wfp)
@@ -1191,8 +1221,13 @@ object DedupQueries {
          |    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
          |    >= 0.8
          |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
-      DedupOps.winnowPairs(Tables(s, dir, "documents"), "doc_id", "text",
-          n = 3, w = 4, threshold = 0.8)
+      val docs = Tables(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(WinnowBoilerplate + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+      DedupOps.winnowPairs(docs, "doc_id", "text",
+          n = 3, w = 4, threshold = 0.8,
+          maxDocFreq = Some(WinnowDocFreqCap))
         .orderBy("id_a", "id_b")
     },
 

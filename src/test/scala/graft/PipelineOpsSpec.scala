@@ -445,6 +445,35 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(wp == bf)
   }
 
+  test("winnowPairs df cap: boilerplate-only pairs stop, true dups survive") {
+    val n = 3; val w = 4
+    // the winnowing guarantee makes a shared >= w+n-1 run a GUARANTEED
+    // shared print — so corpus-common boilerplate (the MIT-header shape)
+    // is an m² hot join key unless the df cap drops it before pairing
+    val boiler = "permission is hereby granted free of charge to any person"
+    val sd = Seq(
+      (0L, s"$boiler alpha one"),
+      (1L, s"$boiler beta two"),
+      (2L, s"$boiler gamma three"),
+      (3L, s"$boiler delta four"),
+      (10L, "unique shared content about winnowing sketches here today"),
+      (11L, "unique shared content about winnowing sketches here today")
+    ).toDF("doc_id", "text")
+    val uncapped = DedupOps.winnowPairs(sd, "doc_id", "text", n, w, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // sanity: at 0.5 the boilerplate-dominated docs DO pair uncapped
+    // (9 shared interior shingles of 11 -> J = 9/13), so the cap is
+    // observable in the output, not just in the plan
+    assert(uncapped.contains((10L, 11L)))
+    assert(uncapped.exists(_._1 < 10L))
+    // boilerplate prints have df = 4 > cap; the true pair's prints df = 2
+    val capped = DedupOps.winnowPairs(sd, "doc_id", "text", n, w, 0.5,
+        maxDocFreq = Some(3))
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(capped == Set((10L, 11L, 1.0)))
+  }
+
   test("pair-core pins are cluster-safe: evictable persist, lineage retained") {
     // VERDICT r14 watch item #2: localCheckpoint stores unreplicated
     // executor blocks and truncates lineage — one lost node kills the job.
