@@ -267,6 +267,16 @@ object Bench {
     // tail-window capture (r5's BENCH json was cut mid-stream this way).
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    // bench_out.json is overwritten per run (and gitignored), which made
+    // per-query regression diffs across rounds impossible (r16 verdict
+    // what's-wrong #2) — ALSO append the full line, stamped, to a tracked
+    // archive so every round's queries/sf1_queries maps survive in git.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_ARCHIVE", "BENCH_ARCHIVE.jsonl")),
+      s"""{"at":"${java.time.Instant.now()}",${line.drop(1)}""" + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     spark.stop()
     println(line)
     // The driver captures only a bounded tail of stdout (r7/r8: 2000 chars,

@@ -176,17 +176,34 @@ object PackingOps {
     * (epochs×buckets parallel window partitions — never a single-task
     * per-epoch sort) plus broadcast bucket-count prefix offsets, the same
     * chunked-cumsum shape as the packer. The offsets table is
-    * epochs×buckets rows — histogram-scale at any corpus size. */
+    * epochs×buckets rows — histogram-scale at any corpus size.
+    *
+    * `buckets` sizing (r16 verdict #9): each within-bucket rank is ONE
+    * task sorting ~corpus/buckets rows, so choose
+    * buckets ≈ corpusRows / targetRowsPerTask (a few million rows per
+    * task; a fixed 64 at 100 TB would hand one task corpus/64 rows).
+    * Passing 0 (the default) derives 4× the session's default
+    * parallelism — right-sized for the CURRENT cluster, but note the
+    * bucket count is PART OF THE PERMUTATION IDENTITY (the total order is
+    * (skey mod buckets, skey, id)): a training config that must reproduce
+    * the same order across differently-sized clusters or engines must PIN
+    * buckets explicitly, as the oracle-gated face does. Every bucket
+    * count yields a valid permutation — positions are a bijection onto
+    * [0, n) per epoch for any value (spec-checked at two counts). */
   def epochShuffleOrder(df: DataFrame, idCol: String, epochs: Int,
-                        seed: Long, buckets: Int = 64): DataFrame = {
-    require(epochs > 0 && buckets > 0, "epochShuffleOrder needs epochs, buckets > 0")
+                        seed: Long, buckets: Int = 0): DataFrame = {
+    require(epochs > 0 && buckets >= 0,
+      "epochShuffleOrder needs epochs > 0, buckets >= 0 (0 = derive)")
     val spark = df.sparkSession
+    val nBuckets =
+      if (buckets > 0) buckets
+      else math.max(64, spark.sparkContext.defaultParallelism * 4)
     val eps = spark.range(epochs).select(col("id").as("epoch"))
     val keyed = df.select(col(idCol)).crossJoin(broadcast(eps))
       .withColumn("skey", pmod(
         pmod(col(idCol), lit(TextOps.P)) * TextOps.B2
           + lit(seed) + col("epoch") * TextOps.B1, lit(TextOps.P)))
-      .withColumn("bucket", pmod(col("skey"), lit(buckets.toLong)))
+      .withColumn("bucket", pmod(col("skey"), lit(nBuckets.toLong)))
     val wo = Window.partitionBy("epoch").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = keyed.groupBy("epoch", "bucket").agg(count(lit(1)).as("n"))

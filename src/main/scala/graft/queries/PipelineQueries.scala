@@ -965,8 +965,12 @@ object PipelineQueries {
          |    ORDER BY skey % 64, skey, doc_id) - 1 AS BIGINT) AS pos
          |FROM k ORDER BY epoch, pos""".stripMargin
     }) { (s, dir) =>
+      // buckets PINNED (not the parallelism-derived default): the bucket
+      // count is part of the permutation identity and the oracle replays
+      // skey % 64 — a cluster-sized default would make the training order
+      // env-dependent
       graft.ops.PackingOps.epochShuffleOrder(Tables(s, dir, "documents"),
-          "doc_id", epochs = 2, seed = 7L)
+          "doc_id", epochs = 2, seed = 7L, buckets = 64)
         .orderBy("epoch", "pos")
     }
   )

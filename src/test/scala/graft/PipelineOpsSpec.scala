@@ -4381,6 +4381,16 @@ class PipelineOpsSpec extends SparkTestBase {
       .epochShuffleOrder(ids, "doc_id", epochs = 3, seed = 7L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
     assert(again == got.toSet)
+    // the bucket count is part of the permutation identity, but EVERY
+    // count yields a full permutation (r16 verdict #9) — two explicit
+    // counts, both bijective onto [0, n)
+    Seq(8, 128).foreach { b =>
+      val gb = graft.ops.PackingOps
+        .epochShuffleOrder(ids, "doc_id", epochs = 1, seed = 7L, buckets = b)
+        .collect().map(r => (r.getLong(1), r.getLong(3)))
+      assert(gb.map(_._2).sorted.toSeq == (0L until n).toSeq, s"buckets=$b")
+      assert(gb.map(_._1).distinct.length == n, s"buckets=$b")
+    }
   }
 
   test("lapSharpness: blur companions score lower; no-interior images NULL") {
