@@ -149,6 +149,23 @@ object WarcCodec {
     status
   }
 
+  /** Body bytes + Content-Type header of a 200-status HTTP response —
+    * the pair the charset sniff needs ([[CharsetOps.decodeBody]] takes
+    * the transport declaration alongside the bytes). Same strictness as
+    * [[httpResponseBody]]. */
+  def httpBodyAndContentType(
+      payload: Array[Byte]): (Array[Byte], Option[String]) = {
+    val (status, headers, bodyAt) = parseHttpHead(payload)
+    require(status == 200,
+      s"http: refusing body extraction from status $status (filter first)")
+    val body = java.util.Arrays.copyOfRange(payload, bodyAt, payload.length)
+    headers.get("content-length").foreach { s =>
+      require(s.toLong == body.length,
+        s"http: Content-Length $s disagrees with body length ${body.length}")
+    }
+    (body, headers.get("content-type"))
+  }
+
   /** Body bytes of a 200-status HTTP response. Non-200 throws (filter on
     * [[httpStatus]] first); a `Content-Length` header that disagrees with
     * the actual body length throws. */
