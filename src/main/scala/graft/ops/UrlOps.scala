@@ -40,6 +40,90 @@ object UrlOps {
   def host(url: Column): Column = regexp_extract(url, UrlRe, 1)
   def path(url: Column): Column = regexp_extract(url, UrlRe, 2)
 
+  // ---------------------------------------------------------------- eTLD+1
+
+  /** Bundled public-suffix rules (r16 verdict missing #3) — a curated,
+    * bounded subset of the public-suffix list's RULE GRAMMAR (exact,
+    * `*.` wildcard, `!` exception, multi-level and "private" registry
+    * suffixes), spanning every rule class the matcher must handle. The
+    * full Mozilla PSL is ~9k rules and updates continuously; production
+    * swaps this Seq for the generated full table — the MATCHER is
+    * complete, only the table is abbreviated. Keying quotas/dedup on the
+    * raw host splits `a.example.com` / `b.example.com` into separate
+    * budgets, which a boilerplate mill exploits by minting subdomains;
+    * the registrable domain (eTLD+1) is the production quota key. */
+  val PublicSuffixRules: Seq[String] = Seq(
+    // generic TLDs
+    "com", "org", "net", "edu", "gov", "io", "co", "ai", "dev", "app",
+    // country TLDs incl. multi-level registries
+    "uk", "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "au", "com.au", "net.au", "org.au",
+    "jp", "co.jp", "ne.jp", "or.jp",
+    "br", "com.br", "net.br",
+    "in", "co.in", "de", "fr", "nl", "cn", "com.cn", "ru",
+    // wildcard registry (every label under ck is a suffix) + exception
+    "*.ck", "!www.ck",
+    "*.bd", "*.kw",
+    // "private" suffixes — platform domains whose subdomains are
+    // independently registrable (the PSL private section)
+    "github.io", "gitlab.io", "blogspot.com", "herokuapp.com",
+    "cloudfront.net", "s3.amazonaws.com", "web.app", "netlify.app")
+
+  private val PslExact: Set[String] =
+    PublicSuffixRules.filterNot(r => r.startsWith("*.") || r.startsWith("!"))
+      .toSet
+  private val PslWildcardParents: Set[String] =
+    PublicSuffixRules.filter(_.startsWith("*.")).map(_.drop(2)).toSet
+  private val PslExceptions: Set[String] =
+    PublicSuffixRules.filter(_.startsWith("!")).map(_.drop(1)).toSet
+  /** Longest rule in labels (bounds the candidate scan). */
+  private val PslMaxLabels: Int =
+    PublicSuffixRules.map(r => r.stripPrefix("!").stripPrefix("*.")
+      .count(_ == '.') + 1).max + 1 // +1: a wildcard consumes one more
+
+  /** PUBLIC SUFFIX of a lowercase host per the PSL algorithm: the
+    * prevailing rule is the exception if one matches, else the longest
+    * match (wildcard `*.P` matches one label under P; nothing matches →
+    * the implicit `*` rule, i.e. the last label). Pure Column chain over
+    * literal `isin` sets — codegen'd, map-side, no lookup join at any
+    * scale. */
+  def publicSuffix(hostCol: Column): Column = {
+    val labels = split(hostCol, "\\.")
+    val n = size(labels)
+    def lastK(k: Int): Column =
+      array_join(slice(labels, -k, k), ".")
+    def inSet(c: Column, s: Set[String]): Column =
+      if (s.isEmpty) lit(false)
+      else c.isin(s.toSeq.map(x => x: Any): _*)
+    // exception prevails: its suffix is the exception minus the leftmost
+    // label (!www.ck -> suffix "ck")
+    val exc = (1 to PslMaxLabels).map { k =>
+      when(n >= k && inSet(lastK(k), PslExceptions),
+        array_join(slice(labels, -(k - 1), k - 1), "."))
+    }.reduceRight(_.otherwise(_))
+    // longest-first over exact and wildcard rules; a wildcard with parent
+    // of k labels yields a k+1-label suffix
+    val longest = (PslMaxLabels to 1 by -1).map { k =>
+      when(n >= k &&
+        (inSet(lastK(k), PslExact) ||
+          (if (k >= 2) inSet(lastK(k - 1), PslWildcardParents)
+           else lit(false))), lastK(k))
+    }.reduceRight(_.otherwise(_))
+    coalesce(exc, longest, lastK(1))
+  }
+
+  /** REGISTRABLE DOMAIN (eTLD+1) of a lowercase host: the public suffix
+    * plus one label. NULL when the host IS a public suffix (nothing is
+    * registrable at "github.io" itself) — callers must decide the policy
+    * for such hosts, not silently pool them. */
+  def registrableDomain(hostCol: Column): Column = {
+    val labels = split(hostCol, "\\.")
+    val n = size(labels)
+    val sfxLabels = size(split(publicSuffix(hostCol), "\\."))
+    when(n > sfxLabels,
+      array_join(slice(labels, -(sfxLabels + 1), sfxLabels + 1), "."))
+  }
+
   // ---------------------------------------------------------------- canon
 
   /** Full URL split for canonicalization (fragment already stripped):
@@ -118,19 +202,57 @@ object UrlOps {
     concat(scheme, lit("://"), hostL, portC, pathC, qC)
   }
 
+  /** Lowercase host fixture with SUBDOMAIN FAMILIES over every
+    * public-suffix rule class (r16 verdict missing #3): doc_id % 4 picks
+    * the subdomain ("" / www. / cdn. / m.) and doc_id % 8 the registry
+    * class — plain .com, multi-level .co.uk, the github.io private
+    * suffix, and the *.ck wildcard (with the d0 hot domain planted as
+    * the !www.ck EXCEPTION). Subdomain family members must SHARE one
+    * registrable domain under [[registrableDomain]] — except the
+    * wildcard class, where dp.foo.ck is itself suffix+1 for every
+    * subdomain. The expected eTLD+1 is pure doc_id arithmetic, so
+    * oracles replay it without re-implementing the suffix match. */
+  def hostVariantFixture(docId: Column): Column = {
+    val dPart = when(pmod(docId, lit(3)) === 0, lit("d0"))
+      .otherwise(concat(lit("d"), pmod(docId, lit(23)).cast("string")))
+    val sub = when(pmod(docId, lit(4)) === 0, lit(""))
+      .when(pmod(docId, lit(4)) === 1, lit("www."))
+      .when(pmod(docId, lit(4)) === 2, lit("cdn."))
+      .otherwise(lit("m."))
+    val c8 = pmod(docId, lit(8))
+    val domain = when(c8 <= 3, concat(dPart, lit("-site.com")))
+      .when(c8.isin(4, 5), concat(dPart, lit("-site.co.uk")))
+      .when(c8 === 6, concat(dPart, lit("-site.github.io")))
+      .otherwise(when(dPart === "d0", lit("www.ck"))
+        .otherwise(concat(dPart, lit(".foo.ck"))))
+    concat(sub, domain)
+  }
+
+  /** The eTLD+1 every [[hostVariantFixture]] host must map to — the
+    * ARITHMETIC the oracles replay (never the suffix matcher itself, so
+    * a matcher bug is a value mismatch, not a shared blind spot). */
+  def hostVariantEtld1(docId: Column): Column = {
+    val dPart = when(pmod(docId, lit(3)) === 0, lit("d0"))
+      .otherwise(concat(lit("d"), pmod(docId, lit(23)).cast("string")))
+    val c8 = pmod(docId, lit(8))
+    when(c8 <= 3, concat(dPart, lit("-site.com")))
+      .when(c8.isin(4, 5), concat(dPart, lit("-site.co.uk")))
+      .when(c8 === 6, concat(dPart, lit("-site.github.io")))
+      .otherwise(when(dPart === "d0", lit("www.ck"))
+        .otherwise(concat(dPart, lit(".foo.ck"))))
+  }
+
   /** [[urlFixture]] with PLANTED SPELLING VARIANTS of the same resources
     * (doc_id % 6 picks one): upper-cased scheme+host with default port
     * and a tracking query, already-canonical, %-encoded path with :443,
-    * mixed-case host with an unsorted query, tracking params interleaved
+    * upper-cased host with an unsorted query, tracking params interleaved
     * with real ones, fragment-only. [[canonicalize]] must collapse every
-    * variant to one spelling — the domain-quota fixture, so the quota
-    * genuinely sees one domain per (d0/dK), not a case-split of it. */
+    * variant to one spelling; hosts come from [[hostVariantFixture]], so
+    * the canonical chain feeds the eTLD+1 quota with subdomain families
+    * over every suffix rule class. */
   def urlVariantFixture(docId: Column): Column = {
-    val dPart = when(pmod(docId, lit(3)) === 0, lit("d0"))
-      .otherwise(concat(lit("d"), pmod(docId, lit(23)).cast("string")))
-    val hostLc = concat(dPart, lit(".example.com"))
-    val hostUc = concat(upper(dPart), lit(".EXAMPLE.COM"))
-    val hostMc = concat(dPart, lit(".Example.COM"))
+    val hostLc = hostVariantFixture(docId)
+    val hostUc = upper(hostLc)
     val p = concat(lit("/p/"), docId.cast("string"))
     // %70 decodes (unreserved "p"); %e9 is a high octet — not valid UTF-8
     // alone — which must survive as an UPPERCASED kept escape (%E9) without
@@ -140,7 +262,7 @@ object UrlOps {
     when(v === 0, concat(lit("HTTPS://"), hostUc, lit(":443"), p, lit("?utm_source=x#top")))
       .when(v === 1, concat(lit("https://"), hostLc, p))
       .when(v === 2, concat(lit("https://"), hostLc, lit(":443"), pEnc))
-      .when(v === 3, concat(lit("https://"), hostMc, p, lit("?b=2&a=1")))
+      .when(v === 3, concat(lit("https://"), hostUc, p, lit("?b=2&a=1")))
       .when(v === 4, concat(lit("https://"), hostLc, p, lit("?a=1&utm_campaign=z&b=2")))
       .otherwise(concat(lit("https://"), hostLc, p, lit("#frag")))
   }

@@ -15,16 +15,47 @@ object PipelineQueries {
     * DuckDB (same regex — Java∩RE2 subset — same percent-decode fold,
     * same tracking-param filter + sort). Shared by `text_url_canonical`
     * and the canonical-domain quota. */
+  /** [[graft.ops.UrlOps.hostVariantFixture]] replayed in SQL (expects a
+    * `dp` column in scope): subdomain by doc_id % 4 over the registry
+    * class by doc_id % 8 — .com, .co.uk, github.io, *.ck wildcard with
+    * the d0 !www.ck exception. */
+  private[queries] val HostLcSql: String =
+    ("""(CASE CAST(doc_id % 4 AS INTEGER)
+       |   WHEN 0 THEN '' WHEN 1 THEN 'www.' WHEN 2 THEN 'cdn.'
+       |   ELSE 'm.' END
+       | || CASE WHEN doc_id % 8 <= 3 THEN dp || '-site.com'
+       |         WHEN doc_id % 8 IN (4, 5) THEN dp || '-site.co.uk'
+       |         WHEN doc_id % 8 = 6 THEN dp || '-site.github.io'
+       |         WHEN dp = 'd0' THEN 'www.ck'
+       |         ELSE dp || '.foo.ck' END)""").stripMargin.replace("\n", "")
+
+  /** The eTLD+1 every fixture host must map to — FIXTURE ARITHMETIC (the
+    * [[graft.ops.UrlOps.hostVariantEtld1]] twin), never the suffix
+    * matcher itself, so a matcher bug breaks the value gate instead of
+    * hiding in a shared implementation. Expects `dp` in scope. */
+  private[queries] val Etld1Sql: String =
+    ("""CASE WHEN doc_id % 8 <= 3 THEN dp || '-site.com'
+       |     WHEN doc_id % 8 IN (4, 5) THEN dp || '-site.co.uk'
+       |     WHEN doc_id % 8 = 6 THEN dp || '-site.github.io'
+       |     WHEN dp = 'd0' THEN 'www.ck'
+       |     ELSE dp || '.foo.ck' END""").stripMargin.replace("\n", "")
+
+  /** The `dp` hot-domain part (d0 every 3rd doc) as a subselect body. */
+  private[queries] val DpSql: String =
+    """CASE WHEN doc_id % 3 = 0 THEN 'd0'
+      |     ELSE 'd' || CAST(doc_id % 23 AS VARCHAR) END""".stripMargin
+      .replace("\n", "")
+
   private[queries] val UrlCanonCtes: String = {
     val re = graft.ops.UrlOps.UrlFullRe // \? survives into the SQL literal
     val fixture =
       """CASE CAST(doc_id % 6 AS INTEGER)
-        |  WHEN 0 THEN 'HTTPS://' || upper(dp) || '.EXAMPLE.COM:443/p/' || ds || '?utm_source=x#top'
-        |  WHEN 1 THEN 'https://' || dp || '.example.com/p/' || ds
-        |  WHEN 2 THEN 'https://' || dp || '.example.com:443/%70%e9/' || ds
-        |  WHEN 3 THEN 'https://' || dp || '.Example.COM/p/' || ds || '?b=2&a=1'
-        |  WHEN 4 THEN 'https://' || dp || '.example.com/p/' || ds || '?a=1&utm_campaign=z&b=2'
-        |  ELSE 'https://' || dp || '.example.com/p/' || ds || '#frag'
+        |  WHEN 0 THEN 'HTTPS://' || upper(hl) || ':443/p/' || ds || '?utm_source=x#top'
+        |  WHEN 1 THEN 'https://' || hl || '/p/' || ds
+        |  WHEN 2 THEN 'https://' || hl || ':443/%70%e9/' || ds
+        |  WHEN 3 THEN 'https://' || upper(hl) || '/p/' || ds || '?b=2&a=1'
+        |  WHEN 4 THEN 'https://' || hl || '/p/' || ds || '?a=1&utm_campaign=z&b=2'
+        |  ELSE 'https://' || hl || '/p/' || ds || '#frag'
         |END""".stripMargin
     val pct =
       """list_reduce(list_prepend(string_split(pp, '%')[1],
@@ -37,10 +68,12 @@ object PipelineQueries {
         |         ELSE '%' || upper(substr(s, 1, 2)) || substr(s, 3) END)),
         |  (a, b) -> a || b)""".stripMargin
     s"""u AS (SELECT doc_id, $fixture AS url
-       |      FROM (SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds,
-       |              CASE WHEN doc_id % 3 = 0 THEN 'd0'
-       |                   ELSE 'd' || CAST(doc_id % 23 AS VARCHAR) END AS dp
-       |            FROM documents)),
+       |      FROM (SELECT doc_id, ds, $HostLcSql AS hl
+       |            FROM (SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds,
+       |                    CASE WHEN doc_id % 3 = 0 THEN 'd0'
+       |                         ELSE 'd' || CAST(doc_id % 23 AS VARCHAR)
+       |                    END AS dp
+       |                  FROM documents))),
        |uparts AS (SELECT doc_id, url,
        |    lower(regexp_extract(uf, '$re', 1)) AS sch,
        |    lower(regexp_extract(uf, '$re', 2)) AS hostl,
@@ -242,9 +275,8 @@ object PipelineQueries {
     // global rank.
     QueryDef.withOracle("pipeline_domain_quota",
       s"""WITH $UrlCanonCtes,
-         |h AS (SELECT doc_id,
-         |        regexp_extract(curl, '${graft.ops.UrlOps.UrlRe}', 1) AS domain
-         |      FROM cu),
+         |h AS (SELECT doc_id, $Etld1Sql AS domain
+         |      FROM (SELECT doc_id, $DpSql AS dp FROM documents)),
          |r AS (SELECT doc_id, domain,
          |        row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
          |      FROM h)
@@ -253,12 +285,47 @@ object PipelineQueries {
          |  rk <= 10 AS kept
          |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import graft.ops.UrlOps
+      // quota keys on the REGISTRABLE domain (eTLD+1), not the raw host:
+      // host-keyed quotas hand every minted subdomain its own budget (the
+      // r16 gap). The oracle derives the expected eTLD+1 from fixture
+      // arithmetic while the Spark side runs the real PSL matcher over
+      // the canonicalized host — subdomain families (www./cdn./m.) must
+      // collapse into ONE quota, including under the co.uk multi-level
+      // suffix and the github.io private suffix, while *.ck wildcard
+      // hosts stay per-registrant and www.ck rides the !www.ck exception.
       val withDomain = Tables(s, dir, "documents")
         .select(col("doc_id"),
           UrlOps.canonicalize(UrlOps.urlVariantFixture(col("doc_id"))).as("curl"))
         .select(col("doc_id"),
-          UrlOps.host(col("curl")).as("domain"))
+          UrlOps.registrableDomain(UrlOps.host(col("curl"))).as("domain"))
       UrlOps.domainQuota(withDomain, "doc_id", "domain", quota = 10, salts = 8)
+        .orderBy("doc_id")
+    },
+
+    // PUBLIC-SUFFIX (eTLD+1) EXTRACTION — every rule class of the PSL
+    // grammar on one host fixture: exact TLDs, multi-level registries
+    // (co.uk), private platform suffixes (github.io), the *.ck wildcard
+    // and its !www.ck exception, under four subdomain spellings. The
+    // Spark side runs the real longest-match/exception-precedence matcher
+    // (UrlOps.publicSuffix / registrableDomain); the oracle replays the
+    // EXPECTED suffix and eTLD+1 from doc_id arithmetic alone.
+    QueryDef.withOracle("text_etld",
+      s"""SELECT doc_id, $HostLcSql AS host,
+         |  CASE WHEN doc_id % 8 <= 3 THEN 'com'
+         |       WHEN doc_id % 8 IN (4, 5) THEN 'co.uk'
+         |       WHEN doc_id % 8 = 6 THEN 'github.io'
+         |       WHEN dp = 'd0' THEN 'ck'
+         |       ELSE 'foo.ck' END AS suffix,
+         |  $Etld1Sql AS etld1
+         |FROM (SELECT doc_id, $DpSql AS dp FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.ops.UrlOps
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          UrlOps.hostVariantFixture(col("doc_id")).as("host"))
+        .select(col("doc_id"), col("host"),
+          UrlOps.publicSuffix(col("host")).as("suffix"),
+          UrlOps.registrableDomain(col("host")).as("etld1"))
         .orderBy("doc_id")
     },
 
