@@ -551,6 +551,51 @@ object MultimodalOps {
     }.toDF("asset_id", "charset", "text")
   }
 
+  /** MP4 asset table (ISO-BMFF audit fixture — r16 verdict missing #4):
+    * per doc one minimal conforming file whose every audited field is
+    * doc_id arithmetic — brand isom/mp42 by %2, movie duration
+    * (%240+30)·20 at timescale 600, an avc1 video track of %50+10
+    * samples (29.97 fps timescale), an mp4a audio track of %80+20
+    * samples on even docs, a planted `free` box every 3rd doc (walked
+    * over by size), the 64-bit largesize `mdat` form every 5th doc, and
+    * a TWO-entry `stts` table every 7th doc (a first-entry-only reader
+    * mis-sums). */
+  def mp4AssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val video = Mp4Codec.TrackMeta("vide", "avc1", 30000L, id % 50 + 10)
+      val tracks =
+        if (id % 2 == 0)
+          Seq(video, Mp4Codec.TrackMeta("soun", "mp4a", 48000L, id % 80 + 20))
+        else Seq(video)
+      val payload = Mp4Codec.encode(
+        brand = if (id % 2 == 0) "isom" else "mp42",
+        timescale = 600L, duration = (id % 240 + 30) * 20,
+        tracks = tracks, mdatBytes = (id % 100 + 8).toInt,
+        planFree = id % 3 == 0, largeMdat = id % 5 == 0,
+        sttsEntries = if (id % 7 == 0) 2 else 1)
+      MediaAsset(id, "mp4", payload, 0, 0, 1, 0)
+    }.toDF()
+  }
+
+  /** Box-tree audit of MP4 assets ([[Mp4Codec.scan]]): duration, track
+    * and codec census, sample counts, mdat extent — all WITHOUT decoding
+    * a single media byte (mdat is skipped by size). One typed map per
+    * asset. */
+  def mp4Scan(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.as[MediaAsset].map { a =>
+      val s = Mp4Codec.scan(a.payload)
+      (a.asset_id, s.nTopBoxes, s.brand, s.timescale, s.duration,
+        s.duration.toDouble / s.timescale, s.tracks.length.toLong,
+        s.tracks.map(_.codec).mkString(","),
+        s.tracks.map(_.samples).sum, s.mdatBytes)
+    }.toDF("asset_id", "n_boxes", "brand", "timescale", "duration",
+      "duration_s", "n_tracks", "codecs", "n_samples", "mdat_bytes")
+  }
+
   /** TAR asset table — the dataset-dump shape (`.tar.gz`): per doc one
     * gzipped ustar archive holding a directory entry (must be walked
     * over, it carries no data), the doc text as `.txt` member(s) — every

@@ -1063,6 +1063,35 @@ object MultimodalQueries {
         .orderBy("asset_id")
     },
 
+    // MP4 / ISO-BMFF BOX-TREE audit (real crawled video is MP4/H.264,
+    // not MJPEG-AVI — the mm_mp3_scan pattern extended to the box
+    // grammar): walk ftyp/moov/mvhd/trak/mdia/mdhd/hdlr/minf/stbl/stsd/
+    // stts, census tracks + codecs + sample counts + duration WITHOUT
+    // touching a media byte (mdat skipped by size, incl. the 64-bit
+    // largesize form every 5th doc; a planted free box every 3rd; a
+    // two-entry stts every 7th that a first-entry-only reader mis-sums).
+    // Every output field is fixture arithmetic the oracle replays.
+    QueryDef.withOracle("mm_mp4_scan",
+      """SELECT doc_id AS asset_id,
+        |  CAST(3 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_boxes,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+        |  CAST(600 AS BIGINT) AS timescale,
+        |  CAST((doc_id % 240 + 30) * 20 AS BIGINT) AS duration,
+        |  CAST((doc_id % 240 + 30) * 20 AS DOUBLE) / 600 AS duration_s,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT)
+        |    AS n_tracks,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'avc1,mp4a' ELSE 'avc1' END
+        |    AS codecs,
+        |  CAST(doc_id % 50 + 10 + CASE WHEN doc_id % 2 = 0
+        |       THEN doc_id % 80 + 20 ELSE 0 END AS BIGINT) AS n_samples,
+        |  CAST(doc_id % 100 + 8 AS BIGINT) AS mdat_bytes
+        |FROM documents ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      MultimodalOps.mp4Scan(
+        MultimodalOps.mp4AssetsFromDocuments(Tables(s, dir, "documents")))
+        .orderBy("asset_id")
+    },
+
     // AIFF (the big-endian IFF twin of WAV, still common in scraped
     // music corpora): COMM carries the sample rate as an 80-bit IEEE 754
     // extended float (the format's one exotic field — encoded/decoded
