@@ -91,8 +91,10 @@ object TiffCodec {
     * ASCII tag the decoder must skip. */
   def encode(w: Int, h: Int, gray: Array[Byte],
              compression: Int = CompressionPackBits,
-             rowsPerStrip: Int = 4, softwareTag: Boolean = false): Array[Byte] =
-    encodePages(Seq((w, h, gray)), compression, rowsPerStrip, softwareTag)
+             rowsPerStrip: Int = 4, softwareTag: Boolean = false,
+             orientation: Int = 1): Array[Byte] =
+    encodePages(Seq((w, h, gray)), compression, rowsPerStrip, softwareTag,
+      orientation)
 
   /** MULTI-PAGE TIFF (the scanned-document shape): one IFD per page,
     * chained through the next-IFD pointers, each page with its own strips
@@ -101,7 +103,10 @@ object TiffCodec {
     * the following page's. */
   def encodePages(pages: Seq[(Int, Int, Array[Byte])],
                   compression: Int = CompressionPackBits,
-                  rowsPerStrip: Int = 4, softwareTag: Boolean = false): Array[Byte] = {
+                  rowsPerStrip: Int = 4, softwareTag: Boolean = false,
+                  orientation: Int = 1): Array[Byte] = {
+    require(orientation >= 1 && orientation <= 8,
+      s"TIFF: orientation $orientation not in 1..8")
     require(pages.nonEmpty, "need at least one page")
     require(compression == CompressionNone || compression == CompressionPackBits,
       "unsupported compression")
@@ -132,7 +137,8 @@ object TiffCodec {
       var extPos = dataEnd + (dataEnd & 1)
       if (strips.length > 1) extPos += 8 * strips.length
       if (softwareTag) extPos += software.length + (software.length & 1)
-      val nEntries = 9 + (if (softwareTag) 1 else 0)
+      val nEntries = 9 + (if (softwareTag) 1 else 0) +
+        (if (orientation != 1) 1 else 0)
       val end = extPos + 2 + 12 * nEntries + 4
       val p = PagePlan(strips, w, h, start, extPos, end)
       cursor = end
@@ -166,6 +172,8 @@ object TiffCodec {
         (277, 3, 1L, 1L), (278, 4, 1L, rowsPerStrip.toLong),
         (279, 4, p.strips.length.toLong,
           if (needArrays) cntArrayPos.toLong else p.strips.head.length.toLong))
+      if (orientation != 1)
+        entries += ((274, 3, 1L, orientation.toLong))
       if (softwareTag)
         entries += ((305, 2, software.length.toLong, swPos.toLong))
       val sorted = entries.sortBy(_._1)
@@ -184,8 +192,18 @@ object TiffCodec {
   /** Decode a baseline grayscale TIFF (either byte order). Returns
     * (w, h, gray). */
   def decode(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
-    val (w, h, g, _) = decodeIfd(payload, headerIfd(payload))
+    val (w, h, g, _, _) = decodeIfd(payload, headerIfd(payload))
     (w, h, g)
+  }
+
+  /** Decode with the Orientation tag (274) APPLIED as a grid permutation
+    * ([[ExifCodec.orientGrid]]): returns the UPRIGHT image. The raw
+    * [[decode]] ignores orientation (stored-order pixels) — perceptual
+    * pipelines (pHash, patches) must use THIS entry point or rotated
+    * assets silently mis-hash (r16 verdict missing #5). */
+  def decodeOriented(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val (w, h, g, _, o) = decodeIfd(payload, headerIfd(payload))
+    ExifCodec.orientGrid(w, h, g, o)
   }
 
   /** Decode EVERY page of a (possibly multi-IFD) TIFF in chain order. */
@@ -193,7 +211,7 @@ object TiffCodec {
     val pages = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Array[Byte])]
     var ifd = headerIfd(payload)
     while (ifd != 0) {
-      val (w, h, g, next) = decodeIfd(payload, ifd)
+      val (w, h, g, next, _) = decodeIfd(payload, ifd)
       pages += ((w, h, g))
       require(next == 0 || next > ifd,
         "TIFF: IFD chain must advance (cycle guard)")
@@ -216,8 +234,9 @@ object TiffCodec {
     ifd
   }
 
-  /** One IFD's image + the next-IFD pointer. */
-  private def decodeIfd(payload: Array[Byte], ifd: Int): (Int, Int, Array[Byte], Int) = {
+  /** One IFD's image + the next-IFD pointer + the Orientation tag. */
+  private def decodeIfd(payload: Array[Byte],
+                        ifd: Int): (Int, Int, Array[Byte], Int, Int) = {
     val le = payload(0) == 'I'
     def u16(off: Int): Int = {
       require(off + 2 <= payload.length, "TIFF: truncated")
@@ -231,7 +250,7 @@ object TiffCodec {
     }
     val n = u16(ifd)
     var w = -1; var h = -1; var bits = 8; var comp = 1; var photo = 1
-    var spp = 1; var rps = Int.MaxValue
+    var spp = 1; var rps = Int.MaxValue; var orient = 1
     // strip tags keep (count, type, ENTRY offset): value resolution must
     // be type- and count-aware — SHORT values with cnt <= 2 live INLINE
     // left-justified in the 4-byte field (the common foreign-writer shape
@@ -253,6 +272,10 @@ object TiffCodec {
         case 259 => comp = scalar.toInt
         case 262 => photo = scalar.toInt
         case 273 => offTag = Some((cnt, tpe, e))
+        case 274 =>
+          orient = scalar.toInt
+          require(orient >= 1 && orient <= 8,
+            s"TIFF: orientation $orient out of range")
         case 277 => spp = scalar.toInt
         case 278 => rps = scalar.toInt
         case 279 => cntTag = Some((cnt, tpe, e))
@@ -304,6 +327,6 @@ object TiffCodec {
       var i = 0
       while (i < out.length) { out(i) = (255 - (out(i) & 0xff)).toByte; i += 1 }
     }
-    (w, h, out, nextIfd)
+    (w, h, out, nextIfd, orient)
   }
 }

@@ -1299,11 +1299,19 @@ object DedupQueries {
          |WHERE a.asset_id < b.asset_id
          |  AND bit_count(xor(a.phash, b.phash)) <= 4
          |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      // "imgo" stage = base PNGs + rotated TIFF companions (NOT the "img"
+      // stage: dedup_multimodal's < PhashCompanionOffset filter would
+      // admit the 2e6-offset rotated ids). Corrected decode restores the
+      // base grid, so every (base, rotated) pair MUST surface at
+      // Hamming 0 alongside the brightness pairs.
       DedupOps.bandedHammingPairs(
         graft.ops.MultimodalOps.imagePhash(
-          MmAssetStage.df(s, dir, "img")(
-            graft.ops.MultimodalOps.phashAssetsFromDocuments(
-              Tables(s, dir, "documents"))))
+          MmAssetStage.df(s, dir, "imgo") {
+            val base = graft.ops.MultimodalOps.phashAssetsFromDocuments(
+              Tables(s, dir, "documents"))
+            base.unionByName(
+              graft.ops.MultimodalOps.orientedCompanionAssets(base))
+          })
           .select(col("asset_id").as("id"), col("phash").as("fp")),
         bits = 63, maxHamming = 4)
     },
