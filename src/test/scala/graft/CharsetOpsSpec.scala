@@ -101,6 +101,26 @@ class CharsetOpsSpec extends SparkTestBase {
     assert(!body.sameElements("café déjà vu naïve".getBytes(UTF_8)))
   }
 
+  test("wat link extraction: metadata envelope replays the planted edges") {
+    val links = Seq(
+      (0L, Seq(5L, 1L)),
+      (1L, Seq(8L, 2L)),
+      (2L, Seq(11L, 3L))).toDF("doc_id", "dsts")
+    val got = MultimodalOps.watLinks(
+      MultimodalOps.watAssetsFromDocuments(links))
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 5L), (0L, 1L), (1L, 8L), (1L, 2L),
+      (2L, 11L), (2L, 3L)))
+    // the envelope is genuinely WAT-shaped: the JSON path exists and the
+    // warcinfo record is type-filtered out (2 records, 1 metadata)
+    val payload = MultimodalOps.watAssetsFromDocuments(links)
+      .filter($"asset_id" === 0L).select("payload").as[Array[Byte]].head()
+    val recs = WarcCodec.readRecords(graft.ops.GzipCodec.gunzip(payload))
+    assert(recs.length == 2 && recs.count(_.warcType == "metadata") == 1)
+    val json = new String(recs.find(_.warcType == "metadata").get.payload, UTF_8)
+    assert(json.contains("\"HTML-Metadata\"") && json.contains("A@/href"))
+  }
+
   test("httpAssets fixture: all five declaration shapes decode to the oracle text") {
     val docs = Seq.tabulate(10)(i => (i.toLong, s"doc body $i")).toDF("doc_id", "text")
     val got = MultimodalOps.httpTexts(MultimodalOps.httpAssetsFromDocuments(docs))

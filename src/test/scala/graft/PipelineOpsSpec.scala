@@ -2782,15 +2782,29 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(canon("https://h.co/%7Euser/%2fx") == Seq("https://h.co/~user/%2Fx"))
     // empty path → "/", fragment-only URL
     assert(canon("https://h.co#frag") == Seq("https://h.co/"))
-    // every fixture variant of one (doc mod) family collapses to one URL
+    // fixture spelling variants collapse: canonicalization kills every
+    // case-split (the UPPER-host variants 0 and 3 land on the lowercase
+    // spelling), so the canonical host set equals the lowercase fixture
+    // host set exactly
     val fix = spark.range(0, 600).select($"id".as("doc_id"))
       .select(UrlOps.canonicalize(UrlOps.urlVariantFixture($"doc_id")).as("c"),
         $"doc_id")
-    // ids 21 and 45: both %3==0 (d0) with variants 3 and 5 — same domain
-    val d0hosts = fix.filter($"doc_id" % 3 === 0)
-      .select(UrlOps.host($"c")).distinct().as[String].collect().toSeq
-    assert(d0hosts == Seq("d0.example.com"),
-      s"d0 spelling variants must collapse to one domain, got $d0hosts")
+    val canonHosts = fix.select(UrlOps.host($"c"))
+      .distinct().as[String].collect().toSet
+    val lcHosts = spark.range(0, 600)
+      .select(UrlOps.hostVariantFixture($"id").as("h"))
+      .distinct().as[String].collect().toSet
+    assert(canonHosts == lcHosts,
+      "canonical hosts must equal the lowercase fixture hosts (no case-split)")
+    assert(canonHosts.forall(h => h == h.toLowerCase))
+    // and the d0 subdomain family pools at the REGISTRABLE level: every
+    // d0 host maps to one of the five arithmetic eTLD+1s (the quota key)
+    val d0doms = fix.filter($"doc_id" % 3 === 0)
+      .select(UrlOps.registrableDomain(UrlOps.host($"c")))
+      .distinct().as[String].collect().toSet
+    assert(d0doms == Set("d0-site.com", "d0-site.co.uk",
+      "d0-site.github.io", "www.ck"),
+      s"d0 family must pool at eTLD+1, got $d0doms")
   }
 
   test("TextOps.normalizeText: NFD composes, mojibake repairs, controls strip") {
