@@ -1000,22 +1000,23 @@ object MultimodalQueries {
     // FORMAT DETECTION + DISPATCH over an UNLABELED corpus (crawled blob
     // stores have no extensions or content-types — sniffing magic bytes
     // and routing to the right decoder IS a pipeline stage): one mixed
-    // corpus rotating through all ten pure-JVM codec families, detected
-    // from first bytes alone, dispatched to the REAL decoder, unit counts
-    // (pixels·channels / samples / bytes) replayed from each family's
-    // fixture arithmetic. Unrecognized magic throws — guessing corrupts
-    // downstream decode.
+    // corpus rotating through all ELEVEN pure-JVM codec families (incl.
+    // WebP-VP8L, which shares RIFF magic with WAV — the offset-8 fourcc
+    // disambiguates), detected from first bytes alone, dispatched to the
+    // REAL decoder, unit counts (pixels·channels / samples / bytes)
+    // replayed from each family's fixture arithmetic. Unrecognized magic
+    // throws — guessing corrupts downstream decode.
     QueryDef.withOracle("mm_detect_format",
       """SELECT doc_id AS asset_id,
-        |  CASE CAST(doc_id % 10 AS INT)
+        |  CASE CAST(doc_id % 11 AS INT)
         |    WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'bmp'
         |    WHEN 3 THEN 'wav' WHEN 4 THEN 'flac' WHEN 5 THEN 'tiff'
         |    WHEN 6 THEN 'jpeg' WHEN 7 THEN 'pnm' WHEN 8 THEN 'aiff'
-        |    ELSE 'gz' END AS detected,
-        |  CASE WHEN doc_id % 10 IN (0, 1, 2, 5, 6, 7) THEN 'image'
-        |       WHEN doc_id % 10 IN (3, 4, 8) THEN 'audio'
+        |    WHEN 9 THEN 'gz' ELSE 'webp' END AS detected,
+        |  CASE WHEN doc_id % 11 IN (0, 1, 2, 5, 6, 7, 10) THEN 'image'
+        |       WHEN doc_id % 11 IN (3, 4, 8) THEN 'audio'
         |       ELSE 'archive' END AS kind,
-        |  CAST(CASE CAST(doc_id % 10 AS INT)
+        |  CAST(CASE CAST(doc_id % 11 AS INT)
         |    WHEN 0 THEN (doc_id % 9 + 1) * (doc_id % 7 + 1)
         |    WHEN 1 THEN (doc_id % 11 + 1) * (doc_id % 6 + 1)
         |    WHEN 2 THEN (doc_id % 8 + 1) * (doc_id % 6 + 1) * 3
@@ -1026,10 +1027,48 @@ object MultimodalQueries {
         |    WHEN 7 THEN (doc_id % 9 + 1) * (doc_id % 7 + 1) *
         |                (CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END)
         |    WHEN 8 THEN length(text)
-        |    ELSE length(text) END AS BIGINT) AS n_units
+        |    WHEN 9 THEN length(text)
+        |    ELSE (doc_id % 10 + 2) * (doc_id % 6 + 2) END AS BIGINT)
+        |    AS n_units
         |FROM documents ORDER BY asset_id""".stripMargin) { (s, dir) =>
       MultimodalOps.sniffDecode(
         MultimodalOps.mixedAssetsFromDocuments(Tables(s, dir, "documents")))
+        .orderBy("asset_id")
+    },
+
+    // WebP-VP8L DECODE (the modern web's second image format — r16
+    // verdict missing #2): real RIFF/WEBP containers decoded through the
+    // from-scratch VP8L path (canonical prefix codes incl. the
+    // code-length-coded form, LZ77 distance-1 runs, the multiply-shift
+    // color cache, subtract-green on even docs), to position-sensitive
+    // per-channel stats. The three channel laws (r = g + 64, b = 2g)
+    // make a channel swap, a transform slip or a cache corruption
+    // value-visible; the oracle replays everything from text + geometry
+    // arithmetic alone — the DuckDB side never sees a WebP byte.
+    QueryDef.withOracle("mm_decode_webp",
+      """WITH a AS (
+        |  SELECT doc_id, text,
+        |         CAST(doc_id % 14 + 4 AS INT) AS w,
+        |         CAST(doc_id % 9 + 4 AS INT) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, w, h, list_transform(range(0, w * h),
+        |           i -> CASE WHEN length(text) = 0 THEN 0
+        |                     ELSE unicode(substr(text,
+        |                            CAST(i % length(text) + 1 AS INT), 1)) END)
+        |           AS cs
+        |  FROM a)
+        |SELECT doc_id AS asset_id,
+        |  CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        |  CAST(w * h AS BIGINT) AS n_px,
+        |  CAST(list_sum(cs) AS BIGINT) AS sum_g,
+        |  CAST(list_sum(list_transform(range(1, w * h + 1),
+        |    i -> i * cs[CAST(i AS INT)])) AS BIGINT) AS wsum_g,
+        |  CAST(list_sum(cs) + 64 * w * h AS BIGINT) AS sum_r,
+        |  CAST(2 * list_sum(cs) AS BIGINT) AS sum_b
+        |FROM c ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      MultimodalOps.webpFeatures(
+        MultimodalOps.webpAssetsFromDocuments(Tables(s, dir, "documents")))
         .orderBy("asset_id")
     },
 
