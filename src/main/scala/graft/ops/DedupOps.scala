@@ -517,6 +517,17 @@ object DedupOps {
     // and the increment index via prepBandIndex's localCheckpoint; what
     // each job re-derives from those cached blocks is cheap projection.
     // Each output dir has exactly one writer thread, so there is no race.
+    //
+    // MATERIALIZE the pinned pair core EAGERLY, before any writer spawns
+    // (r17, observed at sf1 in the driver-parity bench): the FIRST touch
+    // of an un-built InMemoryRelation runs the cache build inside the
+    // CachedRDDBuilder monitor, and under AQE that build parks in its own
+    // plan-update event loop while holding the monitor; a sibling job's
+    // AQE loop probing isCachedColumnBuffersLoaded() then BLOCKS on the
+    // same monitor — jstack showed the classic hold-and-wait with zero
+    // load. With the core pre-built, every concurrent read is a
+    // loaded-block read and the monitor is only ever held briefly.
+    repm.count()
     val matched = repm.select(col("rid_new").as("rid")).distinct()
     def keep(df: DataFrame): DataFrame =
       df.join(matched, Seq("rid"), "left_anti")

@@ -10,30 +10,12 @@ import graft.tables.Tables
   * oracle whenever the computation is portable SQL. */
 object PipelineQueries {
 
-  /** Oracle CTEs `u(doc_id, url)` → `cu(doc_id, url, curl)`: the
-    * spelling-variant URL fixture ([[graft.ops.UrlOps.urlVariantFixture]])
-    * and its RFC 3986 §6 canonicalization, replayed stage-for-stage in
-    * DuckDB (same regex — Java∩RE2 subset — same percent-decode fold,
-    * same tracking-param filter + sort). Shared by `text_url_canonical`
-    * and the canonical-domain quota. */
-  /** [[graft.ops.UrlOps.hostVariantFixture]] replayed in SQL (expects a
-    * `dp` column in scope): subdomain by doc_id % 4 over the registry
-    * class by doc_id % 8 — .com, .co.uk, github.io, *.ck wildcard with
-    * the d0 !www.ck exception. */
-  private[queries] val HostLcSql: String =
-    ("""(CASE CAST(doc_id % 4 AS INTEGER)
-       |   WHEN 0 THEN '' WHEN 1 THEN 'www.' WHEN 2 THEN 'cdn.'
-       |   ELSE 'm.' END
-       | || CASE WHEN doc_id % 8 <= 3 THEN dp || '-site.com'
-       |         WHEN doc_id % 8 IN (4, 5) THEN dp || '-site.co.uk'
-       |         WHEN doc_id % 8 = 6 THEN dp || '-site.github.io'
-       |         WHEN dp = 'd0' THEN 'www.ck'
-       |         ELSE dp || '.foo.ck' END)""").stripMargin.replace("\n", "")
-
   /** The eTLD+1 every fixture host must map to — FIXTURE ARITHMETIC (the
     * [[graft.ops.UrlOps.hostVariantEtld1]] twin), never the suffix
     * matcher itself, so a matcher bug breaks the value gate instead of
-    * hiding in a shared implementation. Expects `dp` in scope. */
+    * hiding in a shared implementation. Expects `dp` in scope. Also the
+    * registrable-domain part of [[HostLcSql]] — ONE definition, so the
+    * host fixture and the expected eTLD+1 cannot drift. */
   private[queries] val Etld1Sql: String =
     ("""CASE WHEN doc_id % 8 <= 3 THEN dp || '-site.com'
        |     WHEN doc_id % 8 IN (4, 5) THEN dp || '-site.co.uk'
@@ -41,12 +23,28 @@ object PipelineQueries {
        |     WHEN dp = 'd0' THEN 'www.ck'
        |     ELSE dp || '.foo.ck' END""").stripMargin.replace("\n", "")
 
+  /** [[graft.ops.UrlOps.hostVariantFixture]] replayed in SQL (expects a
+    * `dp` column in scope): subdomain by doc_id % 4 over [[Etld1Sql]]'s
+    * registry class — .com, .co.uk, github.io, *.ck wildcard with the
+    * d0 !www.ck exception. */
+  private[queries] val HostLcSql: String =
+    ("""(CASE CAST(doc_id % 4 AS INTEGER)
+       |   WHEN 0 THEN '' WHEN 1 THEN 'www.' WHEN 2 THEN 'cdn.'
+       |   ELSE 'm.' END || """).stripMargin.replace("\n", "") +
+      Etld1Sql + ")"
+
   /** The `dp` hot-domain part (d0 every 3rd doc) as a subselect body. */
   private[queries] val DpSql: String =
     """CASE WHEN doc_id % 3 = 0 THEN 'd0'
       |     ELSE 'd' || CAST(doc_id % 23 AS VARCHAR) END""".stripMargin
       .replace("\n", "")
 
+  /** Oracle CTEs `u(doc_id, url)` → `cu(doc_id, url, curl)`: the
+    * spelling-variant URL fixture ([[graft.ops.UrlOps.urlVariantFixture]])
+    * and its RFC 3986 §6 canonicalization, replayed stage-for-stage in
+    * DuckDB (same regex — Java∩RE2 subset — same percent-decode fold,
+    * same tracking-param filter + sort). Shared by `text_url_canonical`
+    * and the canonical-domain quota. */
   private[queries] val UrlCanonCtes: String = {
     val re = graft.ops.UrlOps.UrlFullRe // \? survives into the SQL literal
     val fixture =

@@ -248,7 +248,14 @@ object ScaleBench {
     // exact-K sample (TakeOrderedAndProject — per-partition heads only)
     "pipeline_sample_k",
     // video curation capstone (one decode+hash pass -> filter -> dedup)
-    "pipeline_curate_video")
+    "pipeline_curate_video",
+    // r17 additions: charset sniff+transcode (typed map over raw HTTP
+    // bodies), eTLD+1 extraction (codegen'd isin chain, map-side),
+    // MP4 box walk + EXIF APP1 walk (metadata-only typed maps),
+    // WebP-VP8L decode (bit-level map pass), WAT link ingestion
+    // (record walk + native from_json + the pinned Pregel rounds)
+    "text_charset", "text_etld", "mm_mp4_scan", "mm_exif",
+    "mm_decode_webp", "pipeline_pagerank_wat")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
