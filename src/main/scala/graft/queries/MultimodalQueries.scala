@@ -2823,8 +2823,8 @@ object OracleVideoPhash {
 }
 
 object OraclePhash {
-  import graft.ops.MultimodalOps.{PhashCompanionOffset, PhashCompanionStep,
-    PhashDct, RotCompanionOffset, RotCompanionStep}
+  import graft.ops.MultimodalOps.{DocIdStride, PhashCompanionOffset,
+    PhashCompanionStep, PhashDct, RotCompanionOffset, RotCompanionStep}
 
   /** The fixed-point cosine table as VALUES rows — shared with the JPEG
     * oracle (same C = round(cos·2^10) basis). */
@@ -2873,7 +2873,12 @@ object OraclePhash {
        |        -- doc's chain verbatim — boost 0, same dims, same text
        |        SELECT doc_id + $RotCompanionOffset, text,
        |          CAST(doc_id % 24 + 8 AS INT), CAST(doc_id % 16 + 8 AS INT), 0
-       |        FROM documents WHERE doc_id % $RotCompanionStep = 0),
+       |        FROM documents
+       |        -- modulo the replica stride (the mm_image_blur lesson):
+       |        -- the Spark side classifies rid = asset_id % 1e9, and
+       |        -- 1e9 % $RotCompanionStep != 0, so raw doc_id % step picks
+       |        -- a DIFFERENT companion set on GenScale replica corpora
+       |        WHERE (doc_id % $DocIdStride) % $RotCompanionStep = 0),
        |phg AS (SELECT asset_id, w, h,
        |          list_transform(range(0, w * h), i ->
        |            (CASE WHEN length(text) = 0 THEN 0
