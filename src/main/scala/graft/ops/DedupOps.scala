@@ -1443,7 +1443,14 @@ object DedupOps {
                   n: Int, w: Int, threshold: Double,
                   maxDocFreq: Option[Int] = None): DataFrame = {
     val fp = winnowedFingerprints(docs, idCol, textCol, n, w)
-    val ex0 = fp.select(col(idCol).as("id"), explode(col("win")).as("p"))
+    // the array-laden fp is read exactly TWICE (its pin contract); every
+    // downstream reuse goes through COMPACT 8-byte-row pins — under
+    // memory pressure in a long-lived session the wide-array pin is the
+    // first thing evicted, and re-deriving the winnow HOF chain per plan
+    // reference cost 54 s at sf1 before this split (r17 bench)
+    val ex0 = pin(fp.select(col(idCol).as("id"), explode(col("win")).as("p")))
+    val exsh = pin(fp.select(col(idCol).as("id"),
+      explode(array_distinct(col("shl"))).as("sh")))
     val ex = maxDocFreq.fold(ex0) { cap =>
       // `win` is array_distinct per doc, so count(*) per print IS its doc
       // frequency; identical guard shape to pairCommonCounts (broadcast
@@ -1462,17 +1469,16 @@ object DedupOps {
     // then the composite (id_b, sh) equi-join keeps exactly the shared
     // ones — a shared print is a shared shingle value, so common >= 1 for
     // every candidate and the inner joins lose nothing
-    val exsh = fp.select(col(idCol).as("id"),
-      explode(array_distinct(col("shl"))).as("sh"))
     val common = cand
       .join(exsh.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
       .join(exsh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    // sizes from the pinned posting rows (one 8-byte-key agg), not a
+    // third read of the array pin
+    val sizes = exsh.groupBy("id").agg(count(lit(1)).as("sz"))
     common
-      .join(fp.select(col(idCol).as("id_a"),
-        size(array_distinct(col("shl"))).as("sz_a")), "id_a")
-      .join(fp.select(col(idCol).as("id_b"),
-        size(array_distinct(col("shl"))).as("sz_b")), "id_b")
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         jaccard(col("common"), col("sz_a"), col("sz_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)

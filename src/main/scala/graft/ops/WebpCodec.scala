@@ -118,15 +118,37 @@ object WebpCodec {
   /** Decoder-side prefix code: either a zero-bit single symbol or a
     * (length -> code -> symbol) walk table. */
   private class PrefixCode(val single: Int, lens: Array[Int]) {
-    private val table: Map[Int, Map[Int, Int]] =
-      if (single >= 0) Map.empty
-      else {
-        val codes = canonicalCodes(lens)
-        lens.indices.filter(lens(_) > 0)
-          .groupBy(lens(_))
-          .map { case (l, syms) => l -> syms.map(s => codes(s) -> s).toMap }
-      }
+    // canonical first-code/offset arrays (the JPEG-decoder shape): per
+    // length, symbols sorted by (length, symbol) occupy a contiguous
+    // code range starting at firstCode(l) — the per-bit walk is two
+    // array reads, no boxing (the Map walk cost ~2x decode time)
     val maxLen: Int = if (single >= 0) 0 else lens.max
+    private val count = new Array[Int](maxLen + 1)
+    private val firstCode = new Array[Int](maxLen + 1)
+    private val offset = new Array[Int](maxLen + 1)
+    private val syms: Array[Int] =
+      if (single >= 0) Array.emptyIntArray
+      else {
+        lens.foreach(l => if (l > 0) count(l) += 1)
+        var code = 0
+        var off = 0
+        var l = 1
+        while (l <= maxLen) {
+          firstCode(l) = code
+          offset(l) = off
+          code = (code + count(l)) << 1
+          off += count(l)
+          l += 1
+        }
+        val out = new Array[Int](off)
+        val fill = offset.clone()
+        var s2 = 0
+        while (s2 < lens.length) {
+          if (lens(s2) > 0) { out(fill(lens(s2))) = s2; fill(lens(s2)) += 1 }
+          s2 += 1
+        }
+        out
+      }
     def read(r: BitReader): Int = {
       if (single >= 0) return single
       var codeAcc = 0
@@ -134,10 +156,8 @@ object WebpCodec {
       while (l < maxLen) {
         codeAcc = (codeAcc << 1) | r.one()
         l += 1
-        table.get(l).flatMap(_.get(codeAcc)) match {
-          case Some(s) => return s
-          case None => ()
-        }
+        val idx = codeAcc - firstCode(l)
+        if (idx >= 0 && idx < count(l)) return syms(offset(l) + idx)
       }
       throw new IllegalArgumentException("webp: invalid prefix code in stream")
     }

@@ -341,11 +341,16 @@ object PipelineQueries {
       // collapse into ONE quota, including under the co.uk multi-level
       // suffix and the github.io private suffix, while *.ck wildcard
       // hosts stay per-registrant and www.ck rides the !www.ck exception.
+      // pinned: domainQuota references its input on BOTH quota stages and
+      // the final join-back, and the canonicalization chain's percent-
+      // decode fold is an interpreted HOF — without the pin it re-runs
+      // per plan reference (3x the map work at any scale)
       val withDomain = Tables(s, dir, "documents")
         .select(col("doc_id"),
           UrlOps.canonicalize(UrlOps.urlVariantFixture(col("doc_id"))).as("curl"))
         .select(col("doc_id"),
           UrlOps.registrableDomain(UrlOps.host(col("curl"))).as("domain"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       UrlOps.domainQuota(withDomain, "doc_id", "domain", quota = 10, salts = 8)
         .orderBy("doc_id")
     },
