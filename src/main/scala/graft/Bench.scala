@@ -188,7 +188,12 @@ object Bench {
       "mm_decode_jpeg_prog", "mm_decode_jpeg_prog_rgb", "mm_decode_jpeg_422",
       "mm_decode_jpeg_411", "mm_decode_png16_rgb", "mm_gif_frames",
       "mm_audio_resample", "mm_resize_bilinear", "ann_opq_pq",
-      "mm_stream_decode", "dedup_gif")
+      "mm_stream_decode", "dedup_gif",
+      // round-17 additions: charset sniff+transcode, eTLD+1 extraction,
+      // MP4/EXIF metadata walks, WebP-VP8L decode, WAT-fed PageRank —
+      // all documents-family faces GenScale replicates
+      "text_charset", "text_etld", "mm_mp4_scan", "mm_exif",
+      "mm_decode_webp", "pipeline_pagerank_wat")
     var sf1Failed = 0
     val sf1Results: Seq[(String, Double)] =
       if (args.nonEmpty || !sfDir.replace("/", "").endsWith("sf0.1") ||
