@@ -597,25 +597,35 @@ object MultimodalOps {
   def watLinks(assets: DataFrame): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
-    val raw = assets.as[MediaAsset].map { a =>
+    // ONE ROW PER metadata RECORD (review finding: concatenating multiple
+    // records' payloads is invalid JSON that a permissive parse would
+    // silently null out — real WAT files carry several records per page)
+    val raw = assets.as[MediaAsset].flatMap { a =>
       val recs = WarcCodec.readRecords(GzipCodec.gunzip(a.payload))
       val metas = recs.filter(_.warcType == "metadata")
       require(metas.nonEmpty, s"wat: no metadata record in asset ${a.asset_id}")
-      (a.asset_id, metas.map(r => new String(r.payload,
-        java.nio.charset.StandardCharsets.UTF_8)).mkString)
+      metas.map(r => (a.asset_id, new String(r.payload,
+        java.nio.charset.StandardCharsets.UTF_8)))
     }.toDF("asset_id", "wat_json")
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "Envelope STRUCT<`WARC-Header-Metadata`: STRUCT<`WARC-Target-URI`: STRING>, " +
         "`Payload-Metadata`: STRUCT<`HTTP-Response-Metadata`: " +
         "STRUCT<`HTML-Metadata`: STRUCT<Links: " +
         "ARRAY<STRUCT<path: STRING, url: STRING>>>>>>")
+    // FAILFAST: a malformed envelope throws instead of nulling out the
+    // asset's whole edge set (the loud-failure contract every reader in
+    // this file keeps); non-/doc/ urls are links LEAVING the corpus —
+    // dropped explicitly, never as a null dst that would still count in
+    // the out-degree
     raw.select(col("asset_id"),
-        from_json(col("wat_json"), schema).as("env"))
+        from_json(col("wat_json"), schema,
+          Map("mode" -> "FAILFAST")).as("env"))
       .select(col("asset_id").as("src"),
         explode(col("env.Envelope.`Payload-Metadata`" +
           ".`HTTP-Response-Metadata`.`HTML-Metadata`.Links")).as("l"))
       .select(col("src"),
         regexp_extract(col("l.url"), "/doc/(\\d+)", 1).cast("long").as("dst"))
+      .filter(col("dst").isNotNull)
   }
 
   /** MP4 asset table (ISO-BMFF audit fixture — r16 verdict missing #4):
@@ -3061,8 +3071,12 @@ object MultimodalOps {
     * `Step`-th doc gets a TIFF twin stored under a non-trivial EXIF
     * orientation whose corrected decode restores the upright grid EXACTLY
     * (pure permutation, lossless container) — so each (base, rotated)
-    * pair MUST pHash at Hamming 0 (r16 verdict missing #5). */
-  val RotCompanionOffset = 2000000L
+    * pair MUST pHash at Hamming 0 (r16 verdict missing #5). The offset
+    * extends the 1e7/2e7/3e7 companion family (review finding: a 2e6
+    * offset sat BELOW PhashCompanionOffset, so the `< 1e7` base-only
+    * filters would have admitted rotated ids on corpora past 2e6 docs —
+    * at 4e7 every existing filter excludes them on both sides). */
+  val RotCompanionOffset = 40000000L
   val RotCompanionStep = 9L
 
   /** TIFF rotated companions of the pHash fixture: for every

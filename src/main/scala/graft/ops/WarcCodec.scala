@@ -169,17 +169,8 @@ object WarcCodec {
   /** Body bytes of a 200-status HTTP response. Non-200 throws (filter on
     * [[httpStatus]] first); a `Content-Length` header that disagrees with
     * the actual body length throws. */
-  def httpResponseBody(payload: Array[Byte]): Array[Byte] = {
-    val (status, headers, bodyAt) = parseHttpHead(payload)
-    require(status == 200,
-      s"http: refusing body extraction from status $status (filter first)")
-    val body = java.util.Arrays.copyOfRange(payload, bodyAt, payload.length)
-    headers.get("content-length").foreach { s =>
-      require(s.toLong == body.length,
-        s"http: Content-Length $s disagrees with body length ${body.length}")
-    }
-    body
-  }
+  def httpResponseBody(payload: Array[Byte]): Array[Byte] =
+    httpBodyAndContentType(payload)._1
 
   /** Parse the status line + header block of an HTTP response message.
     * Returns (status, lowercased headers, body offset). */

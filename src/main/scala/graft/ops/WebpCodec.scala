@@ -168,15 +168,21 @@ object WebpCodec {
 
   /** Emit one prefix code header + lengths (spec 5.2.1): the simple
     * 1-/2-symbol form when the used symbols fit 8 bits, else the full
-    * code-length-coded form with 16/17/18 repeats. */
-  private def writePrefixCode(bw: BitWriter, lens: Array[Int]): Unit = {
+    * code-length-coded form with 16/17/18 repeats. Returns whether the
+    * emitted form makes the DECODER consume bits per symbol — false only
+    * for the zero-bit simple 1-symbol form; a normal-form code with one
+    * used symbol (a >255 symbol cannot use the simple form) still walks
+    * one bit per read, so the token emitter MUST write that bit or the
+    * two sides desync (review finding: an all-zero image with the cache
+    * on tokenizes to cache code 280 only). */
+  private def writePrefixCode(bw: BitWriter, lens: Array[Int]): Boolean = {
     val used = lens.indices.filter(lens(_) > 0)
     if (used.length == 1 && used.head <= 255) {
       bw.bits(1, 1) // simple
       bw.bits(0, 1) // num_symbols - 1 = 0
       if (used.head <= 1) { bw.bits(0, 1); bw.bits(used.head, 1) }
       else { bw.bits(1, 1); bw.bits(used.head, 8) }
-      return
+      return false
     }
     if (used.length == 2 && used.forall(_ <= 255)) {
       require(lens(used.head) == 1 && lens(used(1)) == 1,
@@ -184,7 +190,7 @@ object WebpCodec {
       bw.bits(1, 1); bw.bits(1, 1) // simple, two symbols
       bw.bits(1, 1); bw.bits(used.head, 8) // first symbol, 8-bit form
       bw.bits(used(1), 8)
-      return
+      return true
     }
     bw.bits(0, 1) // normal form
     // RLE the length array with 16 (repeat prev nonzero 3-6),
@@ -226,6 +232,7 @@ object WebpCodec {
       bw.code(clCodes(sym), clLens(sym))
       if (extraBits > 0) bw.bits(extra, extraBits)
     }
+    true
   }
 
   /** Read one prefix code header + lengths (mirror of the writer). */
@@ -240,10 +247,9 @@ object WebpCodec {
         val lens = new Array[Int](alphabet)
         require(s0 < alphabet && s1 < alphabet, "webp: simple symbol out of range")
         lens(s0) = 1; lens(s1) = 1
-        // canonical order: the FIRST-read symbol takes code 0
-        require(s0 < s1 || true, "")
-        // canonicalCodes assigns by symbol order; the spec assigns code 0
-        // to the first-read symbol — they agree iff s0 < s1, so normalize
+        // canonicalCodes assigns code 0 by SYMBOL order, the simple form
+        // assigns it to the FIRST-READ symbol — they agree iff s0 < s1;
+        // otherwise SwappedPair inverts the walk
         if (s0 < s1) new PrefixCode(-1, lens)
         else new SwappedPair(s0, s1, alphabet)
       }
@@ -392,13 +398,14 @@ object WebpCodec {
     if (cacheBits > 0) { bw.bits(1, 1); bw.bits(cacheBits, 4) }
     else bw.bits(0, 1)
     bw.bits(0, 1) // no meta prefix image
-    Seq(greenL, redL, blueL, alphaL, distL).foreach(writePrefixCode(bw, _))
-    // single-symbol codes read zero bits — emit nothing for them (the
-    // used-symbol counts are precomputed once, not per token)
-    val multi = Seq(greenL, redL, blueL, alphaL, distL)
-      .map(l => l -> (l.count(_ > 0) > 1)).toMap
+    // a tree's token emission must mirror what its HEADER form makes the
+    // decoder read: zero bits for the simple 1-symbol form, the walk bits
+    // for everything else — including a normal-form single-symbol tree
+    // (length-1 code 0), where skipping the write desyncs the stream
+    val readsBits = Seq(greenL, redL, blueL, alphaL, distL)
+      .map(l => l -> writePrefixCode(bw, l)).toMap
     def emit(c: Array[Int], l: Array[Int], s: Int): Unit =
-      if (multi(l)) bw.code(c(s), l(s))
+      if (readsBits(l)) bw.code(c(s), l(s))
     tokens.foreach {
       case (0, p, _) =>
         emit(greenC, greenL, (p >> 8) & 0xff)

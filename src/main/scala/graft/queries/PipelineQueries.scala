@@ -322,8 +322,7 @@ object PipelineQueries {
     // domain. The oracle replays fixture + canonicalization + the naive
     // global rank.
     QueryDef.withOracle("pipeline_domain_quota",
-      s"""WITH $UrlCanonCtes,
-         |h AS (SELECT doc_id, $Etld1Sql AS domain
+      s"""WITH h AS (SELECT doc_id, $Etld1Sql AS domain
          |      FROM (SELECT doc_id, $DpSql AS dp FROM documents)),
          |r AS (SELECT doc_id, domain,
          |        row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk

@@ -36,6 +36,16 @@ class WebpCodecSpec extends AnyFunSuite {
       rt(w, h, px, sg, cb)
   }
 
+  test("cache-only green tree round-trips (review finding: single >255 symbol)") {
+    // all-zero pixels with the cache on: the zero-initialized cache hits
+    // on the very first pixel, so EVERY token is cache code 280 — the
+    // green tree's only used symbol can't take the simple form (> 255)
+    // and its normal-form header makes the decoder walk one bit per
+    // symbol, which the emitter must actually write
+    rt(2, 2, Array.fill(4)(0x00000000), sg = false, cb = 6)
+    rt(3, 1, Array.fill(3)(0x00000000), sg = true, cb = 4)
+  }
+
   test("deterministic pseudo-noise image round-trips (normal-code stress)") {
     // LCG noise: every channel exercises deep Huffman tables, no runs
     var s = 12345
