@@ -354,6 +354,94 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // CRAWL-FRONTIER ADMISSION capstone (r17 — the composition the URL
+    // family builds toward): spelling-variant URLs → RFC 3986
+    // canonicalization → eTLD+1 registrable domain → robots.txt
+    // politeness (per-domain rule sets incl. a most-specific-agent group
+    // pick and $-anchored wildcards, evaluated against the CANONICAL
+    // path — so the %70%e9 percent-decode is load-bearing here too) →
+    // salted per-domain quota over the ALLOWED urls only. The oracle
+    // derives domain/path/rule-set from doc_id arithmetic and replays
+    // the robots rules as regex VALUES plus the naive global quota rank,
+    // so a drift in canonicalization, suffix matching, robots precedence
+    // OR the bounded quota breaks the value gate.
+    QueryDef.withOracle("pipeline_frontier",
+      s"""WITH b AS (SELECT doc_id, $DpSql AS dp FROM documents),
+         |d AS (SELECT doc_id, $Etld1Sql AS domain,
+         |        CASE WHEN doc_id % 6 = 2
+         |             THEN '/p%E9/' || CAST(doc_id AS VARCHAR)
+         |             ELSE '/p/' || CAST(doc_id AS VARCHAR) END AS path,
+         |        CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+         |             ELSE (doc_id % 23) % 3 END AS INT) AS rv
+         |      FROM b),
+         |r(rv, grp, allow, plen, rx) AS
+         |  (SELECT * FROM (VALUES
+         |    (0, '*', FALSE, 3, '^/p/'),
+         |    (0, '*', TRUE, 4, '^/p/1'),
+         |    (1, '*', FALSE, 4, '^/.*9$$'),
+         |    (2, 'graftbot', FALSE, 6, '^/p%E9/'),
+         |    (2, '*', FALSE, 1, '^/')) t(rv, grp, allow, plen, rx)),
+         |ch AS (SELECT d.doc_id, r.allow, r.plen, r.rx
+         |       FROM d JOIN r ON r.rv = d.rv AND r.grp =
+         |         (CASE WHEN d.rv = 2 THEN 'graftbot' ELSE '*' END)),
+         |hit AS (SELECT doc_id, allow, row_number() OVER
+         |          (PARTITION BY doc_id ORDER BY plen DESC, allow DESC)
+         |          AS hrk
+         |        FROM ch JOIN d USING (doc_id)
+         |        WHERE regexp_matches(d.path, ch.rx)),
+         |alw AS (SELECT d.doc_id, d.domain, d.path,
+         |          COALESCE(h.allow, TRUE) AS allowed
+         |        FROM d LEFT JOIN
+         |          (SELECT doc_id, allow FROM hit WHERE hrk = 1) h
+         |          USING (doc_id)),
+         |q AS (SELECT doc_id,
+         |        row_number() OVER (PARTITION BY domain ORDER BY doc_id)
+         |          AS qrk
+         |      FROM alw WHERE allowed)
+         |SELECT a.doc_id, a.domain, a.path, a.allowed,
+         |  CAST(COALESCE(CASE WHEN q.qrk <= 10 THEN q.qrk END, 0)
+         |    AS BIGINT) AS rk,
+         |  COALESCE(q.qrk <= 10, FALSE) AS admitted
+         |FROM alw a LEFT JOIN q USING (doc_id)
+         |ORDER BY a.doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.ops.{RobotsOps, UrlOps}
+      // per-domain robots: rule sets keyed by the dp index so every doc
+      // of one registrable domain shares one file; r0 prefix-allows only
+      // /p/1* ids, r1 denies $-anchored trailing 9s, r2's GraftBot group
+      // (the most-specific pick) denies the percent-kept /p%E9/ paths
+      // that only variant-2 canonical urls carry
+      val r0 = "User-agent: *\nDisallow: /p/\nAllow: /p/1\n"
+      val r1 = "User-agent: *\nDisallow: /*9$\n"
+      val r2 = "User-agent: GraftBot\nDisallow: /p%E9/\n\n" +
+        "User-agent: *\nDisallow: /\n"
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          UrlOps.canonicalize(UrlOps.urlVariantFixture(col("doc_id"))).as("curl"))
+        .select(col("doc_id"),
+          UrlOps.registrableDomain(UrlOps.host(col("curl"))).as("domain"),
+          UrlOps.path(col("curl")).as("path"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit(0L))
+            .otherwise(pmod(pmod(col("doc_id"), lit(23)), lit(3))).as("rv"))
+      // pinned: the evaluated table feeds the quota AND the final join
+      val evald = base.as[(Long, String, String, Long)]
+        .map { case (id, dom, path, rv) =>
+          val txt = rv match { case 0 => r0; case 1 => r1; case _ => r2 }
+          val (_, allowed, _) = RobotsOps.evaluate(txt, "GraftBot", path)
+          (id, dom, path, allowed)
+        }.toDF("doc_id", "domain", "path", "allowed")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val q = UrlOps.domainQuota(evald.filter(col("allowed")),
+        "doc_id", "domain", quota = 10, salts = 8)
+      evald
+        .join(q.select(col("doc_id"), col("rk"), col("kept")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("domain"), col("path"), col("allowed"),
+          coalesce(col("rk"), lit(0L)).as("rk"),
+          coalesce(col("kept"), lit(false)).as("admitted"))
+        .orderBy("doc_id")
+    },
+
     // PUBLIC-SUFFIX (eTLD+1) EXTRACTION — every rule class of the PSL
     // grammar on one host fixture: exact TLDs, multi-level registries
     // (co.uk), private platform suffixes (github.io), the *.ck wildcard

@@ -255,7 +255,10 @@ object ScaleBench {
     // WebP-VP8L decode (bit-level map pass), WAT link ingestion
     // (record walk + native from_json + the pinned Pregel rounds)
     "text_charset", "text_etld", "mm_mp4_scan", "mm_exif",
-    "mm_decode_webp", "pipeline_pagerank_wat")
+    "mm_decode_webp", "pipeline_pagerank_wat",
+    // frontier capstone (canonicalize -> eTLD+1 -> robots -> quota: one
+    // pinned map pass + the salted two-stage quota windows)
+    "pipeline_frontier")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
