@@ -437,6 +437,22 @@ object MultimodalOps {
           case 3 => Some(("utf-8", utf8, true)) // BOM'd, header undeclared
           case _ => None
         }
+        // HTTP WIRE TRANSPORT variety (r17 verdict missing #1): real
+        // Common Crawl response records preserve the raw payload, so
+        // chunked transfer framing and gzip content coding reach the
+        // reader verbatim. id % 7 cycles identity / chunked / gzip /
+        // chunked+gzip (coprime with the %4 charset and %5 split plants,
+        // so every combination occurs): a reader that skips the dechunk
+        // leaks hex size lines into the text (fingerprint break — the
+        // 7-byte chunks also split multi-byte sequences, proving dechunk
+        // runs BEFORE the charset decode), and one that skips the gunzip
+        // feeds gzip bytes to the charset sniff (loud decode throw).
+        val (chunked, gzipped) = (id % 7) match {
+          case 1 => (true, false)
+          case 2 => (false, true)
+          case 3 => (true, true)
+          case _ => (false, false)
+        }
         val oks = parts.zipWithIndex.map { case (part, i) =>
           val (cType, bytes) = legacy match {
             case Some((label, cs, bommed)) =>
@@ -451,7 +467,8 @@ object MultimodalOps {
           WarcCodec.record("response", s"resp-$id-$i",
             Seq("Content-Type" -> "application/http; msgtype=response",
               "WARC-Target-URI" -> uri),
-            WarcCodec.httpResponse(200, "OK", cType, bytes))
+            WarcCodec.httpResponseEncoded(200, "OK", cType, bytes,
+              chunked = chunked, gzipped = gzipped))
         }
         val payload = GzipCodec.gzipMembers(Seq(info, req, notFound) ++ oks)
         MediaAsset(id, "warc.gz", payload, 0, 0, 1, 0)

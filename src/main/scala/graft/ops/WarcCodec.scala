@@ -132,14 +132,116 @@ object WarcCodec {
     * msgtype=response` payload of a response record). */
   def httpResponse(
       status: Int, reason: String, contentType: String,
-      body: Array[Byte]): Array[Byte] = {
+      body: Array[Byte]): Array[Byte] =
+    httpResponseEncoded(status, reason, contentType, body,
+      chunked = false, gzipped = false)
+
+  /** Serialize one HTTP/1.1 response with the wire transports a real
+    * crawl preserves: `gzipped` applies `Content-Encoding: gzip` to the
+    * body; `chunked` frames the (possibly compressed) result as
+    * `Transfer-Encoding: chunked` — content coding is applied BEFORE the
+    * transfer coding, the RFC 9110/9112 layering, so a reader must
+    * dechunk FIRST, then decompress. Chunked messages carry no
+    * `Content-Length` (RFC 9112 §6.2 forbids the combination). */
+  def httpResponseEncoded(
+      status: Int, reason: String, contentType: String,
+      body: Array[Byte], chunked: Boolean, gzipped: Boolean): Array[Byte] = {
+    val content = if (gzipped) GzipCodec.gzip(body) else body
     val sb = new StringBuilder
     sb.append("HTTP/1.1 ").append(status).append(' ').append(reason)
       .append(Crlf)
     sb.append("Content-Type: ").append(contentType).append(Crlf)
-    sb.append("Content-Length: ").append(body.length).append(Crlf)
+    if (gzipped) sb.append("Content-Encoding: gzip").append(Crlf)
+    if (chunked) sb.append("Transfer-Encoding: chunked").append(Crlf)
+    else sb.append("Content-Length: ").append(content.length).append(Crlf)
     sb.append(Crlf)
-    sb.toString.getBytes(ISO_8859_1) ++ body
+    sb.toString.getBytes(ISO_8859_1) ++
+      (if (chunked) chunkFrame(content) else content)
+  }
+
+  /** Chunked-transfer framing of a body (RFC 9112 §7.1): fixed 7-byte
+    * chunks so multi-chunk framing — and chunk boundaries INSIDE
+    * multi-byte character sequences — is guaranteed on any non-trivial
+    * body; the first chunk carries a chunk extension and the last-chunk
+    * line a trailer field, both of which a conforming reader must
+    * tolerate and discard. */
+  private[ops] def chunkFrame(content: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(content.length + 64)
+    var p = 0
+    var first = true
+    while (p < content.length) {
+      val n = math.min(7, content.length - p)
+      val ext = if (first) ";graft=1" else ""
+      out.write((n.toHexString + ext + Crlf).getBytes(ISO_8859_1))
+      out.write(content, p, n)
+      out.write(Crlf.getBytes(ISO_8859_1))
+      p += n
+      first = false
+    }
+    out.write(("0" + Crlf + "X-Graft-Trailer: done" + Crlf + Crlf)
+      .getBytes(ISO_8859_1))
+    out.toByteArray
+  }
+
+  /** Decode a `Transfer-Encoding: chunked` body (RFC 9112 §7.1): hex
+    * chunk-size line (chunk extensions tolerated and discarded), chunk
+    * data, CRLF, repeated to the `0` last-chunk, then an optional
+    * trailer section ending at the empty line. Strict walk — a reader
+    * that guesses through malformed chunk framing leaks the hex size
+    * lines INTO the extracted text (the silent-poisoning class the
+    * charset work eliminated), so every deviation throws:
+    * non-hex size line, chunk data overrunning the stream, a chunk not
+    * terminated by CRLF, a missing last-chunk, a malformed trailer, or
+    * bytes after the terminating empty line. */
+  def dechunk(bytes: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(bytes.length)
+    var p = 0
+    def readLine(): String = {
+      val at = p
+      while (p + 1 < bytes.length &&
+          !(bytes(p) == '\r' && bytes(p + 1) == '\n')) p += 1
+      require(p + 1 < bytes.length,
+        s"chunked: unterminated line at offset $at")
+      val s = new String(bytes, at, p - at, ISO_8859_1)
+      p += 2
+      s
+    }
+    var done = false
+    while (!done) {
+      val sizeLine = readLine()
+      // chunk extensions (`;name=value`) are discarded per RFC 9112 §7.1.1
+      val sizeHex = sizeLine.indexOf(';') match {
+        case -1 => sizeLine.trim
+        case i => sizeLine.substring(0, i).trim
+      }
+      require(sizeHex.nonEmpty && sizeHex.forall(c =>
+          (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
+          (c >= 'A' && c <= 'F')),
+        s"chunked: non-hex chunk-size line '$sizeLine'")
+      require(sizeHex.length <= 7, // 28-bit cap: no real chunk is 256 MiB
+        s"chunked: implausible chunk size '$sizeHex'")
+      val n = java.lang.Integer.parseInt(sizeHex, 16)
+      if (n == 0) done = true
+      else {
+        require(p + n + 2 <= bytes.length,
+          s"chunked: chunk of $n bytes at $p overruns the stream")
+        out.write(bytes, p, n)
+        p += n
+        require(bytes(p) == '\r' && bytes(p + 1) == '\n',
+          s"chunked: chunk data at ${p - n} not terminated by CRLF")
+        p += 2
+      }
+    }
+    // trailer section: zero or more `Name: value` fields, then empty line
+    var line = readLine()
+    while (line.nonEmpty) {
+      require(line.indexOf(':') > 0,
+        s"chunked: malformed trailer field '$line'")
+      line = readLine()
+    }
+    require(p == bytes.length,
+      s"chunked: ${bytes.length - p} trailing bytes after last-chunk")
+    out.toByteArray
   }
 
   /** Status code of an HTTP response message (status-line parse only —
@@ -158,10 +260,37 @@ object WarcCodec {
     val (status, headers, bodyAt) = parseHttpHead(payload)
     require(status == 200,
       s"http: refusing body extraction from status $status (filter first)")
-    val body = java.util.Arrays.copyOfRange(payload, bodyAt, payload.length)
-    headers.get("content-length").foreach { s =>
-      require(s.toLong == body.length,
-        s"http: Content-Length $s disagrees with body length ${body.length}")
+    val raw = java.util.Arrays.copyOfRange(payload, bodyAt, payload.length)
+    // Transfer coding first (RFC 9112 §6.1): chunked framing wraps the
+    // content-coded bytes on the wire, so decode order is dechunk →
+    // decompress → (caller's charset sniff). A message carrying BOTH
+    // Transfer-Encoding and Content-Length is the request-smuggling
+    // ambiguity — reject it rather than pick a framing.
+    val framed = headers.get("transfer-encoding") match {
+      case Some(te) =>
+        require(te.trim.equalsIgnoreCase("chunked"),
+          s"http: unsupported Transfer-Encoding '$te'")
+        require(!headers.contains("content-length"),
+          "http: Transfer-Encoding with Content-Length (ambiguous framing)")
+        dechunk(raw)
+      case None =>
+        headers.get("content-length").foreach { s =>
+          require(s.toLong == raw.length,
+            s"http: Content-Length $s disagrees with body length ${raw.length}")
+        }
+        raw
+    }
+    // Content coding second (RFC 9110 §8.4): the representation's own
+    // compression. Unknown codings throw — passing gzip bytes to the
+    // charset sniff mojibakes or poisons downstream dedup silently.
+    val body = headers.get("content-encoding") match {
+      case None => framed
+      case Some(ce) => ce.trim.toLowerCase match {
+        case "identity" | "" => framed
+        case "gzip" | "x-gzip" => GzipCodec.gunzip(framed)
+        case other => throw new IllegalArgumentException(
+          s"http: unsupported Content-Encoding '$other'")
+      }
     }
     (body, headers.get("content-type"))
   }

@@ -101,6 +101,114 @@ class CharsetOpsSpec extends SparkTestBase {
     assert(!body.sameElements("café déjà vu naïve".getBytes(UTF_8)))
   }
 
+  test("http wire transports: chunked / gzip / chunked+gzip decode; framing is real") {
+    val body = "chunked body with café and enough length to span chunks"
+    // every (chunked, gzipped) combination round-trips to the same bytes
+    for (ch <- Seq(false, true); gz <- Seq(false, true)) {
+      val msg = WarcCodec.httpResponseEncoded(200, "OK",
+        "text/plain; charset=utf-8", body.getBytes(UTF_8),
+        chunked = ch, gzipped = gz)
+      val (got, _) = WarcCodec.httpBodyAndContentType(msg)
+      assert(got.sameElements(body.getBytes(UTF_8)), s"ch=$ch gz=$gz")
+    }
+    // the chunked wire form genuinely carries hex-size framing, an
+    // extension and a trailer — i.e. skipping dechunk WOULD leak them
+    val wire = new String(WarcCodec.httpResponseEncoded(200, "OK",
+      "text/plain", body.getBytes(UTF_8), chunked = true, gzipped = false),
+      ISO_8859_1)
+    assert(wire.contains("Transfer-Encoding: chunked"))
+    assert(!wire.contains("Content-Length"))
+    assert(wire.contains("7;graft=1\r\n"))
+    assert(wire.contains("X-Graft-Trailer: done"))
+    // 7-byte chunks split the 2-byte UTF-8 é across a chunk boundary for
+    // at least one alignment — prove the decoded text survives anyway
+    val aligned = "aaaaaa" + "é" + "bbbbbb" // é bytes at offsets 6,7
+    val msg2 = WarcCodec.httpResponseEncoded(200, "OK",
+      "text/plain; charset=utf-8", aligned.getBytes(UTF_8),
+      chunked = true, gzipped = false)
+    assert(new String(WarcCodec.httpBodyAndContentType(msg2)._1, UTF_8) == aligned)
+  }
+
+  test("http wire transports: malformed framing throws loudly") {
+    def msg(headers: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\n$headers\r\n").getBytes(ISO_8859_1) ++ body
+    // truncated chunk data
+    val e1 = intercept[IllegalArgumentException] {
+      WarcCodec.httpBodyAndContentType(msg(
+        "Transfer-Encoding: chunked\r\n",
+        "ff\r\nshort".getBytes(ISO_8859_1)))
+    }
+    assert(e1.getMessage.contains("overruns"))
+    // non-hex size line
+    intercept[IllegalArgumentException] {
+      WarcCodec.httpBodyAndContentType(msg(
+        "Transfer-Encoding: chunked\r\n",
+        "zz\r\nabc\r\n0\r\n\r\n".getBytes(ISO_8859_1)))
+    }
+    // missing last-chunk terminator
+    intercept[IllegalArgumentException] {
+      WarcCodec.httpBodyAndContentType(msg(
+        "Transfer-Encoding: chunked\r\n",
+        "3\r\nabc\r\n".getBytes(ISO_8859_1)))
+    }
+    // chunk data not CRLF-terminated
+    intercept[IllegalArgumentException] {
+      WarcCodec.httpBodyAndContentType(msg(
+        "Transfer-Encoding: chunked\r\n",
+        "3\r\nabcXX0\r\n\r\n".getBytes(ISO_8859_1)))
+    }
+    // Transfer-Encoding + Content-Length = smuggling ambiguity
+    val e5 = intercept[IllegalArgumentException] {
+      WarcCodec.httpBodyAndContentType(msg(
+        "Transfer-Encoding: chunked\r\nContent-Length: 3\r\n",
+        "3\r\nabc\r\n0\r\n\r\n".getBytes(ISO_8859_1)))
+    }
+    assert(e5.getMessage.contains("ambiguous"))
+    // unsupported codings throw rather than pass bytes through
+    intercept[IllegalArgumentException] {
+      WarcCodec.httpBodyAndContentType(msg(
+        "Transfer-Encoding: gzip, chunked\r\n",
+        "x".getBytes(ISO_8859_1)))
+    }
+    val e7 = intercept[IllegalArgumentException] {
+      WarcCodec.httpBodyAndContentType(msg(
+        "Content-Encoding: deflate\r\nContent-Length: 1\r\n",
+        "x".getBytes(ISO_8859_1)))
+    }
+    assert(e7.getMessage.contains("deflate"))
+    // bytes after the trailer's empty line
+    intercept[IllegalArgumentException] {
+      WarcCodec.httpBodyAndContentType(msg(
+        "Transfer-Encoding: chunked\r\n",
+        "3\r\nabc\r\n0\r\n\r\nextra".getBytes(ISO_8859_1)))
+    }
+  }
+
+  test("warc fixture transport legs: wire bytes carry the declared codings") {
+    val docs = Seq.tabulate(8)(i => (i.toLong, s"body of document $i okay"))
+      .toDF("doc_id", "text")
+    val payloads = MultimodalOps.warcAssetsFromDocuments(docs)
+      .select("asset_id", "payload").as[(Long, Array[Byte])].collect().toMap
+    def resp200(id: Long): String = {
+      val recs = WarcCodec.readRecords(graft.ops.GzipCodec.gunzip(payloads(id)))
+      val ok = recs.filter(r => r.warcType == "response" &&
+        WarcCodec.httpStatus(r.payload) == 200)
+      new String(ok.head.payload, ISO_8859_1)
+    }
+    assert(!resp200(0L).contains("Transfer-Encoding")) // %7=0 identity
+    assert(resp200(1L).contains("Transfer-Encoding: chunked") &&
+      !resp200(1L).contains("Content-Encoding"))
+    assert(resp200(2L).contains("Content-Encoding: gzip") &&
+      !resp200(2L).contains("Transfer-Encoding"))
+    assert(resp200(3L).contains("Transfer-Encoding: chunked") &&
+      resp200(3L).contains("Content-Encoding: gzip"))
+    // and the full reader still recovers every doc exactly
+    val got = MultimodalOps.warcTexts(
+      MultimodalOps.warcAssetsFromDocuments(docs))
+      .select("asset_id", "text").as[(Long, String)].collect().toMap
+    assert(got == docs.as[(Long, String)].collect().toMap)
+  }
+
   test("wat link extraction: metadata envelope replays the planted edges") {
     val links = Seq(
       (0L, Seq(5L, 1L)),
