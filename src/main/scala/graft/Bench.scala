@@ -19,6 +19,17 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // commit protocol (guide §6 small-writes hygiene, r18): v2 commits
+      // task output straight to the destination (one rename per task, no
+      // second job-commit rename pass), and the _SUCCESS marker write is
+      // a driver-side FS op nothing here reads — the engine lifecycle +
+      // streaming faces issue dozens of small parquet writes per query,
+      // so both are pure per-job latency. Production stance, not a
+      // local[32] trick: v2 is the standard choice when the consumer
+      // tolerates partially-visible output on job failure, which holds
+      // for every write this engine does (temp-staged or overwritten).
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up (untimed): JVM/codegen/IO-cache warm so the first timed query

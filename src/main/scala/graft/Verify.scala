@@ -22,6 +22,11 @@ object Verify {
       // driver testdata carries parquet TIMESTAMP(NANOS) -> LongType ns
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // same commit-protocol hygiene as Bench (v2 + no _SUCCESS): the
+      // gate issues one small write per query plus every lifecycle
+      // query's internal writes
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -171,16 +171,26 @@ object LangIdOps {
     var it = 0
     while (it < iters) {
       val grad = langs.map(_ => new Array[Double](dims)).toArray
+      // lookahead weights hoisted out of the row loop: w + momentum·v is
+      // row-invariant within an iteration, and evaluating the identical
+      // expression once per (lang, dim) keeps every z bitwise what the
+      // per-row evaluation produced while cutting the inner loop from
+      // 3 flops to 2 per element (this loop IS the face's wall time)
+      val wl = Array.tabulate(langs.length, dims)((li, j) =>
+        w(li)(j) + momentum * v(li)(j))
       var r = 0
       while (r < n) {
+        val xr = x(r)
         var li = 0
         while (li < langs.length) {
+          val wli = wl(li)
+          val gli = grad(li)
           var z = 0.0
           var j = 0
-          while (j < dims) { z += (w(li)(j) + momentum * v(li)(j)) * x(r)(j); j += 1 }
+          while (j < dims) { z += wli(j) * xr(j); j += 1 }
           val resid = 1.0 / (1.0 + math.exp(-z)) - (if (y(r) == li) 1.0 else 0.0)
           j = 0
-          while (j < dims) { grad(li)(j) += resid * x(r)(j); j += 1 }
+          while (j < dims) { gli(j) += resid * xr(j); j += 1 }
           li += 1
         }
         r += 1

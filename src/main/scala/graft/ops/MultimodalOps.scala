@@ -227,12 +227,23 @@ object BmpCodec {
 /** Multimodal column operators. */
 object MultimodalOps {
 
+  /** Fan a small single-split scan out to the session parallelism before
+    * the per-row ENCODE map (r18; guide §2.5 input-skew stance): the bench
+    * documents table is one sub-MB parquet file = ONE input split, so
+    * every fixture-encode + decode chain below otherwise fuses into a
+    * single task regardless of core count — measured as the dominant wall
+    * time of the mm/transport faces at local[32]. The exchange carries
+    * (id, text) rows once, before any payload exists; real corpus-scale
+    * inputs arrive multi-split and the round-robin is a no-op cost-wise. */
+  private def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Derive a deterministic media-asset table from `documents`: the text
     * bytes play the role of an encoded payload; format and metadata are
     * derived from the id. (The driver testdata has no binary table — this
     * keeps inputs driver-provided while exercising real binary columns.) */
   def assetsFromDocuments(docs: DataFrame): DataFrame =
-    docs.select(
+    fanOut(docs).select(
       col("doc_id").as("asset_id"),
       element_at(lit(Array("audio", "image", "video")),
         (col("doc_id") % 3).cast("int") + 1).as("format"),
@@ -252,7 +263,7 @@ object MultimodalOps {
   def bmpAssetsFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         // ASCII contract enforced LOUDLY: the DuckDB oracle tiles full
         // unicode() codepoints while the pixel bytes are chars truncated
@@ -281,7 +292,7 @@ object MultimodalOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val rates = Array(8000, 16000, 44100)
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         // same LOUD ASCII contract as the BMP fixture: the oracle maps
         // unicode() code points, the encoder maps chars — identical only
@@ -307,7 +318,7 @@ object MultimodalOps {
   def tiffAssetsFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         require(text.forall(_ < 128),
           s"tiff fixture requires ASCII text (doc $id)")
@@ -349,7 +360,7 @@ object MultimodalOps {
   def gzipAssetsFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         val payload =
@@ -388,7 +399,7 @@ object MultimodalOps {
   def warcAssetsFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         val uri = s"http://example.com/doc/$id"
         val utf8 = java.nio.charset.StandardCharsets.UTF_8
@@ -522,7 +533,7 @@ object MultimodalOps {
   def httpAssetsFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         require(text.forall(_ < 128),
           s"http charset fixture requires ASCII text (doc $id)")
@@ -579,7 +590,7 @@ object MultimodalOps {
   def watAssetsFromDocuments(links: DataFrame): DataFrame = {
     val spark = links.sparkSession
     import spark.implicits._
-    links.select(col("doc_id"), col("dsts")).as[(Long, Seq[Long])]
+    fanOut(links).select(col("doc_id"), col("dsts")).as[(Long, Seq[Long])]
       .map { case (id, dsts) =>
         val uri = s"http://example.com/doc/$id"
         val utf8 = java.nio.charset.StandardCharsets.UTF_8
@@ -657,7 +668,7 @@ object MultimodalOps {
   def mp4AssetsFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].map { id =>
+    fanOut(docs).select(col("doc_id")).as[Long].map { id =>
       val video = Mp4Codec.TrackMeta("vide", "avc1", 30000L, id % 50 + 10)
       val tracks =
         if (id % 2 == 0)
@@ -683,7 +694,7 @@ object MultimodalOps {
   def exifJpegAssetsFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].map { id =>
+    fanOut(docs).select(col("doc_id")).as[Long].map { id =>
       val base = JpegCodec.encodeGray(8, 8, new Array[Byte](64))
       val payload =
         if (id % 7 == 0) base
@@ -766,7 +777,7 @@ object MultimodalOps {
   def tarAssetsFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         MediaAsset(id, "tar.gz", GzipCodec.gzip(tarArchiveOf(id, text)),
           0, 0, 1, 0)
@@ -780,7 +791,7 @@ object MultimodalOps {
   def tarZstAssetsFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         MediaAsset(id, "tar.zst", ZstdCodec.zstd(tarArchiveOf(id, text)),
           0, 0, 1, 0)
@@ -814,7 +825,7 @@ object MultimodalOps {
   def zstdAssetsFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         val frames =
@@ -876,7 +887,7 @@ object MultimodalOps {
   def wetAssetsFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         val uri = s"http://example.com/doc/$id"
         val utf8 = java.nio.charset.StandardCharsets.UTF_8
@@ -936,7 +947,7 @@ object MultimodalOps {
   def tiffPageAssetsFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         require(text.forall(_ < 128),
           s"tiff fixture requires ASCII text (doc $id)")
@@ -982,7 +993,7 @@ object MultimodalOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val rates = Array(8000, 16000, 44100)
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         require(text.forall(_ < 128),
           s"flac fixture requires ASCII text (doc $id)")
@@ -1004,7 +1015,7 @@ object MultimodalOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val rates = Array(8000, 16000, 44100)
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         require(text.forall(_ < 128),
           s"flac fixture requires ASCII text (doc $id)")
@@ -1036,7 +1047,7 @@ object MultimodalOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val rates = Array(8000, 16000, 44100)
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         require(text.forall(_ < 128),
           s"flac fixture requires ASCII text (doc $id)")
@@ -1059,7 +1070,7 @@ object MultimodalOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val rates = Array(8000, 16000, 44100)
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         require(text.forall(_ < 128),
           s"aiff fixture requires ASCII text (doc $id)")
@@ -1082,7 +1093,7 @@ object MultimodalOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val kbpss = Array(64, 96, 128, 192, 320)
-    docs.select(col("doc_id")).as[Long]
+    fanOut(docs).select(col("doc_id")).as[Long]
       .map { id =>
         val kbps = kbpss((id % 5).toInt)
         val rate = Mp3Codec.SampleRates((id % 3).toInt)
@@ -1118,7 +1129,7 @@ object MultimodalOps {
   def pnmAssetsFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         require(text.forall(_ < 128),
           s"pnm fixture requires ASCII text (doc $id)")
@@ -1159,7 +1170,7 @@ object MultimodalOps {
   def csvAssetsFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         require(text.forall(_ < 128), // oracle length() counts codepoints
           s"csv fixture requires ASCII text (doc $id)")
@@ -1205,7 +1216,7 @@ object MultimodalOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val rates = Array(8000, 16000, 44100)
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         require(text.forall(_ < 128),
           s"mixed fixture requires ASCII text (doc $id)")
@@ -1266,7 +1277,7 @@ object MultimodalOps {
   def webpAssetsFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         require(text.forall(_ < 128),
           s"webp fixture requires ASCII text (doc $id)")
@@ -1547,7 +1558,7 @@ object MultimodalOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val rates = Array(8000, 16000, 44100)
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         require(text.forall(_ < 128),
           s"audio fp fixture requires ASCII text (doc $id)")
@@ -1832,7 +1843,7 @@ object MultimodalOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val rates = Array(8000, 16000, 44100)
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         require(text.forall(_ < 128),
           s"wav fixture requires ASCII text (doc $id)") // the WAV contract
@@ -1971,7 +1982,7 @@ object MultimodalOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val rates = Array(8000, 16000, 44100)
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         require(text.forall(_ < 128),
           s"mulaw fixture requires ASCII text (doc $id)")
@@ -2001,7 +2012,7 @@ object MultimodalOps {
   def gifAssetsFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         require(text.forall(_ < 128),
           s"gif fixture requires ASCII text (doc $id)")
@@ -2026,7 +2037,7 @@ object MultimodalOps {
   def animGifAssetsFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         require(text.forall(_ < 128),
           s"animated-gif fixture requires ASCII text (doc $id)")
@@ -2070,7 +2081,7 @@ object MultimodalOps {
   def animGifCompanionAssetsFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         require(text.forall(_ < 128),
           s"gif dedup fixture requires ASCII text (doc $id)")
@@ -2171,7 +2182,7 @@ object MultimodalOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val rates = Array(8000, 16000, 44100)
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .filter(_._2.nonEmpty) // the codec requires >= 1 sample (empty docs have none)
       .map { case (id, text) =>
         require(text.forall(_ < 128),
@@ -2195,7 +2206,7 @@ object MultimodalOps {
   def pngAssetsFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         // same LOUD ASCII contract as the BMP/WAV fixtures: the oracle
         // tiles unicode() code points, the encoder tiles chars truncated
@@ -2293,7 +2304,7 @@ object MultimodalOps {
   def png16AssetsFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         require(text.forall(_ < 128),
           s"png16 fixture requires ASCII text (doc $id)")
@@ -2320,7 +2331,7 @@ object MultimodalOps {
   def png16RgbAssetsFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         require(text.forall(_ < 128),
           s"png16rgb fixture requires ASCII text (doc $id)")
@@ -2383,7 +2394,7 @@ object MultimodalOps {
         case 2 => (j * 13) % 256
       }).toByte
     }
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         // same LOUD ASCII contract as the other codec fixtures
         require(text.forall(_ < 128),
@@ -2584,7 +2595,7 @@ object MultimodalOps {
   def jpegAssetsFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         // same LOUD ASCII contract as the other codec fixtures
         require(text.forall(_ < 128),
@@ -2639,7 +2650,7 @@ object MultimodalOps {
   def progressiveJpegAssetsFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         require(text.forall(_ < 128),
           s"jpeg fixture requires ASCII text (doc $id)")
@@ -2679,7 +2690,7 @@ object MultimodalOps {
   def progressiveRgbJpegAssetsFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         require(text.forall(_ < 128),
           s"jpeg fixture requires ASCII text (doc $id)")
@@ -2715,7 +2726,7 @@ object MultimodalOps {
   def jpegColorAssetsFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         require(text.forall(_ < 128),
           s"jpeg color fixture requires ASCII text (doc $id)")
@@ -2739,7 +2750,7 @@ object MultimodalOps {
   def jpeg420AssetsFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         require(text.forall(_ < 128),
           s"jpeg 4:2:0 fixture requires ASCII text (doc $id)")
@@ -2763,7 +2774,7 @@ object MultimodalOps {
   def jpeg422AssetsFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         require(text.forall(_ < 128),
           s"jpeg 4:2:2 fixture requires ASCII text (doc $id)")
@@ -2785,7 +2796,7 @@ object MultimodalOps {
   def jpeg411AssetsFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         require(text.forall(_ < 128),
           s"jpeg 4:1:1 fixture requires ASCII text (doc $id)")
@@ -2807,7 +2818,7 @@ object MultimodalOps {
   def mjpegAssetsFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         require(text.forall(_ < 128),
           s"mjpeg fixture requires ASCII text (doc $id)")
@@ -2903,7 +2914,7 @@ object MultimodalOps {
   def mjpegCompanionAssetsFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         require(text.forall(_ < 128),
           s"mjpeg companion fixture requires ASCII text (doc $id)")
@@ -3132,7 +3143,7 @@ object MultimodalOps {
   def phashAssetsFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    fanOut(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         // same LOUD ASCII contract as the other codec fixtures (pixels +16
         // also relies on it: 127 + 16 < 256, no wraparound)

@@ -87,20 +87,53 @@ object RobotsOps {
     }
   }
 
+  /** Group-selected rule list of (txt, agent), parsed once per JVM: a map
+    * stage evaluating many URLs of one domain otherwise re-parses the SAME
+    * rules text per row (a real robots.txt is KBs, URLs-per-domain is
+    * large — the parse dominates the per-row match). Per-executor
+    * memoization is the parse-heavy-state-once pattern; the cache is
+    * size-bounded (distinct robots texts are per-domain, so unbounded
+    * growth over a 100 TB crawl would leak) and cleared wholesale past the
+    * bound — eviction only costs a re-parse. */
+  private val MaxCompiledEntries = 8192
+  private val compiledCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Array[Rule]]()
+
+  /** The rules applicable to `agent` under the exclusive most-specific
+    * group pick (RFC 9309 §2.2.1), in file order — the compiled form
+    * [[evaluate]] matches against. */
+  def compiledRules(txt: String, agent: String): Array[Rule] = {
+    val a = agent.toLowerCase
+    val key = (txt, a)
+    val hit = compiledCache.get(key)
+    if (hit != null) hit
+    else {
+      val groups = parse(txt)
+      val specific = groups.filter(_._1.contains(a))
+      val chosen =
+        if (specific.nonEmpty) specific else groups.filter(_._1.contains("*"))
+      val rules = chosen.flatMap(_._2).toArray
+      if (compiledCache.size >= MaxCompiledEntries) compiledCache.clear()
+      compiledCache.put(key, rules)
+      rules
+    }
+  }
+
   /** Evaluate `path` for crawler `agent`:
     * (n_rules in the applicable groups, allowed, winning pattern or ""). */
   def evaluate(txt: String, agent: String, path: String): (Long, Boolean, String) = {
-    val groups = parse(txt)
-    val a = agent.toLowerCase
-    val specific = groups.filter(_._1.contains(a))
-    val chosen = if (specific.nonEmpty) specific else groups.filter(_._1.contains("*"))
-    val rules = chosen.flatMap(_._2)
-    val hit = rules.filter(r => matches(r.pattern, path))
-    if (hit.isEmpty) (rules.length.toLong, true, "")
-    else {
-      // longest pattern wins; Allow beats Disallow at equal length
-      val best = hit.maxBy(r => (r.pattern.length, r.allow))
-      (rules.length.toLong, best.allow, best.pattern)
+    val rules = compiledRules(txt, agent)
+    var best: Rule = null
+    var i = 0
+    while (i < rules.length) {
+      val r = rules(i)
+      if (matches(r.pattern, path) &&
+          (best == null || r.pattern.length > best.pattern.length ||
+            (r.pattern.length == best.pattern.length && r.allow && !best.allow)))
+        best = r
+      i += 1
     }
+    if (best == null) (rules.length.toLong, true, "")
+    else (rules.length.toLong, best.allow, best.pattern)
   }
 }
