@@ -295,8 +295,14 @@ object DedupOps {
     // shuffle: reps are a filter of the already-partitioned window output
     val reps = withRep.filter(col("id") === col("rid"))
       .select(col("_set"), col("rid"), col("cnt"))
-    val sigs = reps.select(col("rid"), col("_set"),
-      TextOps.minHashSignature(col("_set"), bands * rows).as("sig"))
+    // fan out before the k×|set| MinHash pass — same AQE-coalesce stance
+    // as prepBandIndex: the window exchange above coalesces to one or two
+    // partitions at batch scale (bytes-based), and the signature is the
+    // compute-heavy step of every LSH face
+    val sigs = reps
+      .repartition(shingles.sparkSession.sparkContext.defaultParallelism)
+      .select(col("rid"), col("_set"),
+        TextOps.minHashSignature(col("_set"), bands * rows).as("sig"))
     val bnd = sigs.select(col("rid"), explode(TextOps.lshBands(col("sig"), bands, rows)).as("bb"))
       .select(col("rid"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val cand = bnd.as("a").join(bnd.as("b"),
@@ -384,7 +390,16 @@ object DedupOps {
     val members = withRep.select(col("rid"), col("id"))
     val reps = withRep.filter(col("id") === col("rid"))
       .select(col("_set"), col("rid"))
-    val bnd = reps.select(col("rid"),
+    // fan the reps out BEFORE the signature pass (r18): AQE coalesces the
+    // _set window's exchange by BYTES, and a batch-scale rep table is a
+    // few MB — one post-coalesce partition — while the k×|set| MinHash
+    // below is the compute-heavy step (measured: the whole signature+band
+    // stage ran as ONE task, 4.8 s of 4.8 s CPU, inside every incremental
+    // micro-batch). An explicit numPartitions repartition is exempt from
+    // AQE coalescing; the exchange carries (rid, _set) once.
+    val bnd = reps
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("rid"),
         explode(TextOps.lshBands(
           TextOps.minHashSignature(col("_set"), bands * rows),
           bands, rows)).as("bb"))
