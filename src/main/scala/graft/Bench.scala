@@ -67,11 +67,16 @@ object Bench {
         // 3-5x slower against the polluted block manager.
         spark.catalog.clearCache()
         System.gc()
+        // label the rep's jobs (guide §1.5) so an event-log profile maps
+        // every job — including eager fixture/guard jobs launched during
+        // plan construction — to its query without timestamp archaeology
+        spark.sparkContext.setJobDescription(s"bench:$name")
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
+        spark.sparkContext.setJobDescription(null)
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
@@ -93,11 +98,18 @@ object Bench {
     // per-round number behind the 100 TB claim of dedup_embedding[_lsh*]
     val (ratioLoose, ratioTight) = try {
       val emb = graft.tables.Tables(spark, sfDir, "embeddings")
+      // sample-capped at 2048 vectors (r19): the loose parameterization is
+      // near-all-pairs by design, so past ~10k vectors the diagnostic
+      // spilled GBs for a ratio estimate. The driver's sf0.1 table is 2000
+      // vectors — at that scale the cap never engages and the ratios stay
+      // exact/comparable with all prior rounds.
       val (cL, tot) = graft.ops.DedupOps.embeddingLshCandidateStats(
-        emb, "vec_id", "embedding", tables = 24, bits = 8, dim = 64, probeRadius = 2)
+        emb, "vec_id", "embedding", tables = 24, bits = 8, dim = 64,
+        probeRadius = 2, maxVectors = 2048L)
       val (cT, _) = graft.ops.DedupOps.embeddingLshCandidateStats(
         emb, "vec_id", "embedding", tables = graft.ops.DedupOps.TightLshTables,
-        bits = graft.ops.DedupOps.TightLshBits, dim = 64, probeRadius = 2)
+        bits = graft.ops.DedupOps.TightLshBits, dim = 64, probeRadius = 2,
+        maxVectors = 2048L)
       (cL.toDouble / tot.max(1L), cT.toDouble / tot.max(1L))
     } catch { case _: Throwable => (-1.0, -1.0) }
     // CLUSTERED-vector ANN realism (VERDICT r10 #9): the sf embeddings are
@@ -294,11 +306,26 @@ object Bench {
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
     spark.stop()
-    println(line)
-    // The driver captures only a bounded tail of stdout (r7/r8: 2000 chars,
-    // parsed=None because the full per-query line above outgrew it). Emit a
-    // compact summary LAST so a tail-window JSON scan always finds one
-    // complete line; the full per-query map lives in bench_out.json.
+    // The driver captures only the LAST 2000 chars of stdout and parses a
+    // complete JSON line found inside that window (r07/r08: a per-query
+    // line that outgrew the window parsed as None; r09–r18: the ~505-char
+    // summary-last layout parsed fine). A 263-entry per-query map is ≥6.5 KB
+    // even at 3-decimal rounding — it CANNOT fit that window, so VERDICT
+    // r18 next-round #2's "PERF_r19 n_common = 263 via stdout" is not
+    // reachable from this side of the contract. What we CAN do safely:
+    //   first: the per-query map alone, 3-decimal rounding (~6.6 KB) — for
+    //     humans reading full console logs / driver logs that keep stdout;
+    //   LAST: the totals + quality-metrics summary (bit-identical shape to
+    //     the line the r18 driver parsed, ~505 chars) so the tail-window
+    //     parse keeps working exactly as before.
+    // Full-precision per-query numbers live in bench_out.json and the
+    // tracked BENCH_ARCHIVE.jsonl (written above, before Spark shutdown).
+    val qs3 = results.map { case (k, v) =>
+      "\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.stripTrailingZeros.toPlainString
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},""" +
+      s""""reps":$reps,"queries":$qs3,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},""" +
       s""""reps":$reps,"detail":"$out","ann_lsh_recall_at5":${recalls.getOrElse("lsh", -1.0)},""" +
       s""""ann_ivf_recall_at5":${recalls.getOrElse("ivf", -1.0)},""" +

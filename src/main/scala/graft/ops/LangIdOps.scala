@@ -160,54 +160,63 @@ object LangIdOps {
     }
     val langIdx = langs.zipWithIndex.toMap
     val y = rows.map(r => langIdx.getOrElse(r.getString(0), -1))
-    val w = langs.map(_ => new Array[Double](dims)).toArray
+    // One-vs-rest means the L binary models share NOTHING: each language's
+    // weights depend only on its own gradient stream over the shared
+    // read-only (x, y). Training the languages on concurrent threads
+    // (r19; VERDICT r18 next-round #6) keeps every per-language float
+    // operation in the exact order the sequential li-inner loop performed
+    // it — per (lang, j) the gradient still accumulates over rows
+    // r = 0..n-1 ascending, the momentum/weight updates are per-lang
+    // scalars — so the weights are BITWISE what the r18 loop produced
+    // while the O(iters·n·L·dims) bill divides by min(L, cores).
+    //
     // Nesterov momentum (deterministic — same sample, same schedule, same
     // weights every run): gradient taken at the lookahead point
-    // w + momentum·v. Plain GD needed 20000 full-batch steps to separate
-    // the marker margins (measured acc 1.00 at 20000, 0.91 at 2000);
-    // momentum 0.95 reaches 1.00 within 2000 — a 10× cut in the O(iters·n)
-    // driver loop that dominates this face's wall time.
-    val v = langs.map(_ => new Array[Double](dims)).toArray
-    var it = 0
-    while (it < iters) {
-      val grad = langs.map(_ => new Array[Double](dims)).toArray
-      // lookahead weights hoisted out of the row loop: w + momentum·v is
-      // row-invariant within an iteration, and evaluating the identical
-      // expression once per (lang, dim) keeps every z bitwise what the
-      // per-row evaluation produced while cutting the inner loop from
-      // 3 flops to 2 per element (this loop IS the face's wall time)
-      val wl = Array.tabulate(langs.length, dims)((li, j) =>
-        w(li)(j) + momentum * v(li)(j))
-      var r = 0
-      while (r < n) {
-        val xr = x(r)
-        var li = 0
-        while (li < langs.length) {
-          val wli = wl(li)
-          val gli = grad(li)
-          var z = 0.0
-          var j = 0
-          while (j < dims) { z += wli(j) * xr(j); j += 1 }
-          val resid = 1.0 / (1.0 + math.exp(-z)) - (if (y(r) == li) 1.0 else 0.0)
-          j = 0
-          while (j < dims) { gli(j) += resid * xr(j); j += 1 }
-          li += 1
-        }
-        r += 1
-      }
-      var li = 0
-      while (li < langs.length) {
+    // w + momentum·v, hoisted out of the row loop (row-invariant within an
+    // iteration — the r18 hoist). Plain GD needed 20000 full-batch steps
+    // to separate the marker margins (measured acc 1.00 at 20000, 0.91 at
+    // 2000); momentum 0.95 reaches 1.00 within 2000.
+    def trainOne(li: Int): Array[Double] = {
+      val w = new Array[Double](dims)
+      val v = new Array[Double](dims)
+      val wl = new Array[Double](dims)
+      val grad = new Array[Double](dims)
+      var it = 0
+      while (it < iters) {
         var j = 0
         while (j < dims) {
-          v(li)(j) = momentum * v(li)(j) - lr / n * grad(li)(j)
-          w(li)(j) += v(li)(j)
+          wl(j) = w(j) + momentum * v(j)
+          grad(j) = 0.0
           j += 1
         }
-        li += 1
+        var r = 0
+        while (r < n) {
+          val xr = x(r)
+          var z = 0.0
+          j = 0
+          while (j < dims) { z += wl(j) * xr(j); j += 1 }
+          val resid = 1.0 / (1.0 + math.exp(-z)) - (if (y(r) == li) 1.0 else 0.0)
+          j = 0
+          while (j < dims) { grad(j) += resid * xr(j); j += 1 }
+          r += 1
+        }
+        j = 0
+        while (j < dims) {
+          v(j) = momentum * v(j) - lr / n * grad(j)
+          w(j) += v(j)
+          j += 1
+        }
+        it += 1
       }
-      it += 1
+      w
     }
-    langs.zipWithIndex.map { case (l, li) => l -> w(li) }.toMap
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val trained = Await.result(
+      Future.sequence(langs.indices.map(li => Future(trainOne(li)))),
+      Duration.Inf)
+    langs.zipWithIndex.map { case (l, li) => l -> trained(li) }.toMap
   }
 
   /** Weight rows (lang, w0..w{Buckets}) for persistence / broadcast. */

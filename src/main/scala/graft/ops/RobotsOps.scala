@@ -93,11 +93,25 @@ object RobotsOps {
     * large — the parse dominates the per-row match). Per-executor
     * memoization is the parse-heavy-state-once pattern; the cache is
     * size-bounded (distinct robots texts are per-domain, so unbounded
-    * growth over a 100 TB crawl would leak) and cleared wholesale past the
-    * bound — eviction only costs a re-parse. */
+    * growth over a 100 TB crawl would leak).
+    *
+    * Eviction is GENERATIONAL, not wholesale (VERDICT r18 #9): when the
+    * current generation fills, it becomes the previous generation and a
+    * fresh one starts — only entries idle for a full generation are
+    * dropped, and a hit in the previous generation promotes the compiled
+    * rules (no re-parse). r18's `clear()` emptied the whole cache at the
+    * bound, so past 8192 distinct (text, agent) keys per executor every
+    * thread re-parsed simultaneously — exactly the >8k-domains-per-executor
+    * regime a 100 TB crawl lives in. Worst-case footprint is
+    * 2 × [[MaxCompiledEntries]] (plus a benign handful of racing inserts:
+    * the size check and the put are not atomic by design — lock-free reads
+    * matter more than an exact bound). */
   private val MaxCompiledEntries = 8192
-  private val compiledCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), Array[Rule]]()
+  private type CompiledMap =
+    java.util.concurrent.ConcurrentHashMap[(String, String), Array[Rule]]
+  private final class Generations(val cur: CompiledMap, val prev: CompiledMap)
+  @volatile private var gens =
+    new Generations(new CompiledMap(), new CompiledMap())
 
   /** The rules applicable to `agent` under the exclusive most-specific
     * group pick (RFC 9309 §2.2.1), in file order — the compiled form
@@ -105,16 +119,26 @@ object RobotsOps {
   def compiledRules(txt: String, agent: String): Array[Rule] = {
     val a = agent.toLowerCase
     val key = (txt, a)
-    val hit = compiledCache.get(key)
+    val g = gens
+    val hit = g.cur.get(key)
     if (hit != null) hit
     else {
-      val groups = parse(txt)
-      val specific = groups.filter(_._1.contains(a))
-      val chosen =
-        if (specific.nonEmpty) specific else groups.filter(_._1.contains("*"))
-      val rules = chosen.flatMap(_._2).toArray
-      if (compiledCache.size >= MaxCompiledEntries) compiledCache.clear()
-      compiledCache.put(key, rules)
+      val old = g.prev.get(key)
+      val rules =
+        if (old != null) old
+        else {
+          val groups = parse(txt)
+          val specific = groups.filter(_._1.contains(a))
+          val chosen =
+            if (specific.nonEmpty) specific else groups.filter(_._1.contains("*"))
+          chosen.flatMap(_._2).toArray
+        }
+      if (g.cur.size >= MaxCompiledEntries) synchronized {
+        val g2 = gens // re-read under the lock: another thread may have rolled
+        if (g2.cur.size >= MaxCompiledEntries)
+          gens = new Generations(new CompiledMap(), g2.cur)
+      }
+      gens.cur.put(key, rules)
       rules
     }
   }

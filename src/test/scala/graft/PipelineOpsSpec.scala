@@ -629,6 +629,23 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(loss(w60) < loss(w20))
   }
 
+  test("quality classifier: distributed branch just past the local cap takes one exact GD step") {
+    // an exact-arithmetic fixture: every row has label=1, f_len=1, rest 0.
+    // From w=0 the first step's gradient terms are all exactly -0.5, whose
+    // partial sums are exact in ANY grouping (multiples of 0.5 << 2^52) —
+    // so the distributed branch (this frame is one row past
+    // LocalTrainMaxRows, i.e. the coalesced band the r18 split regressed)
+    // must reproduce the analytic step bit-for-bit, order be damned.
+    val n = QualityModelOps.LocalTrainMaxRows + 1
+    val feats = spark.range(n).select(col("id").as("doc_id"),
+      lit(true).as("label"), lit(1.0).as("f_len"), lit(0.0).as("f_stop"),
+      lit(0.0).as("f_punct"), lit(0.0).as("f_sym"), lit(0.0).as("f_wlen"))
+    val w = QualityModelOps.trainLogistic(feats, iters = 1, lr = 2.0)
+    val expOn = 0.0 - 2.0 / n.toDouble * (-0.5 * n.toDouble) // bias and f_len
+    assert(w(0) == expOn && w(1) == expOn, s"got ${w.toSeq}")
+    assert(w.drop(2).forall(_ == 0.0), s"got ${w.toSeq}")
+  }
+
   test("ngram LM: add-one-smoothed probabilities match the hand computation") {
     // reference "aa bb aa bb cc": prefix counts aa:2 bb:2 (V=2);
     // bigram counts (aa,bb):2 (bb,aa):1 (bb,cc):1
@@ -3784,6 +3801,28 @@ class PipelineOpsSpec extends SparkTestBase {
     // empty disallow = no restriction
     assert(RobotsOps.evaluate("User-agent: *\nDisallow:\n", "b", "/x") ==
       ((0L, true, "")))
+  }
+
+  test("RobotsOps: compiled-rules eviction is generational, not wholesale") {
+    import graft.ops.RobotsOps
+    val txt = "User-agent: *\nDisallow: /keep/\nAllow: /keep/ok/\n"
+    val first = RobotsOps.compiledRules(txt, "bot")
+    // flood well past the 8192-entry generation bound with distinct texts
+    (0 until 9000).foreach { i =>
+      RobotsOps.compiledRules(s"User-agent: *\nDisallow: /flood$i/\n", "bot")
+    }
+    // the old entry must survive the roll in the previous generation and be
+    // served WITHOUT a re-parse: cache hits return the same array instance,
+    // a re-parse (r18's wholesale clear()) would build a fresh one
+    val second = RobotsOps.compiledRules(txt, "bot")
+    assert(second eq first,
+      "entry idle across one generation roll must be served from cache")
+    // ...and the hit must have promoted it into the current generation
+    val third = RobotsOps.compiledRules(txt, "bot")
+    assert(third eq first)
+    // semantics unchanged through eviction and promotion
+    assert(RobotsOps.evaluate(txt, "bot", "/keep/ok/x") == ((2L, true, "/keep/ok/")))
+    assert(RobotsOps.evaluate(txt, "bot", "/keep/x") == ((2L, false, "/keep/")))
   }
 
   test("WavCodec mu-law: G.711 arithmetic, code round-trip and the format-7 container path") {
