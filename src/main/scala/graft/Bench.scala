@@ -30,6 +30,20 @@ object Bench {
       // for every write this engine does (temp-staged or overwritten).
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      // local-FS checksum hygiene (guide §6, r19): on local paths every
+      // write goes through Hadoop's ChecksumFileSystem/ChecksumFs, which
+      // writes a ".name.crc" sibling per file, and Spark 4.1's streaming
+      // checkpoint manager adds its own "name.crc" sibling per checkpoint
+      // file — measured: one state delta = 4 files (delta, delta.crc,
+      // .delta.crc, .delta.crc.crc), 61 of 90 files in one streaming
+      // face's checkpoint were checksum artifacts. The engine's lifecycle
+      // and streaming faces are small-file-write bound, so this doubles
+      // to quadruples their FS op count. Raw local FS matches the
+      // production write path (HDFS checksums live in the datanode
+      // protocol, S3A writes no .crc) rather than faking anything local.
+      .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl", "org.apache.hadoop.fs.local.RawLocalFs")
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up (untimed): JVM/codegen/IO-cache warm so the first timed query

@@ -27,6 +27,13 @@ object Verify {
       // query's internal writes
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      // same local-FS checksum hygiene as Bench (r19): skip the Hadoop
+      // .crc sibling layer(s) and Spark 4.1's checkpoint checksum files —
+      // the gate issues hundreds of small writes and the engine lifecycle
+      // queries thousands; see Bench.scala for the measured file counts
+      .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl", "org.apache.hadoop.fs.local.RawLocalFs")
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1492,27 +1492,76 @@ object DedupOps {
         if (hot.count() <= MaxBroadcastHotShingles) broadcast(hot) else hot
       ex0.join(hotSide, Seq("p"), "left_anti")
     }
-    val cand = ex.as("a").join(ex.as("b"),
+    // explicit hash-repartition on the collision key (r19): the posting
+    // rows are ~16 bytes each, so AQE's bytes-based coalescing shrank the
+    // exchange feeding the self-join to 1–2 partitions — but the JOIN is
+    // the m²-per-key pair fan-out plus the partial distinct, the single
+    // most compute-heavy stage of the query (profiled 2×~4 s CPU on 2
+    // tasks at sf0.1 ≈ 2/3 of the query). REPARTITION_BY_NUM is exempt
+    // from AQE coalescing and hashpartitioning(p, par) already satisfies
+    // the join's clustering requirement, so this adds no extra exchange —
+    // it only pins the pair-generation stage at full parallelism (the
+    // prepBandIndex/lshRepPairs precedent from r18).
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val exJ = ex.repartition(par, col("p"))
+    // second coalesce-exempt repartition, on the PAIR key before the
+    // distinct: the distinct's own exchange is ENSURE_REQUIREMENTS, so AQE
+    // sized it by bytes (~8 MB → 3 partitions at sf0.1) — and because every
+    // operator downstream of the distinct (the common-count fan-out joins,
+    // the count agg, the sizes joins, the threshold filter) preserves that
+    // hashpartitioning, the WHOLE verify tail fused into that 3-task stage
+    // (profiled: 24M-row join fan-out + an agg hash map at ~50 probes/key,
+    // 7–14 s aggregation-build time, re-run by the caller's orderBy range
+    // sampling). Shuffling pre-distinct rows costs nothing here: candidate
+    // pairs share ~1.03 prints on average (354k pre-agg vs 343k distinct
+    // at sf0.1), so the partial agg the explicit repartition displaces was
+    // buying a 3% row cut at the price of a 10x parallelism collapse.
+    val cand = exJ.as("a").join(exJ.as("b"),
         col("a.p") === col("b.p") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-    // common-count verify restricted to the candidate pairs: fan cand out
-    // on id_a's distinct shingles (bounded by candidates × avg set size),
-    // then the composite (id_b, sh) equi-join keeps exactly the shared
-    // ones — a shared print is a shared shingle value, so common >= 1 for
-    // every candidate and the inner joins lose nothing
-    val common = cand
-      .join(exsh.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
-      .join(exsh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
-    // sizes from the pinned posting rows (one 8-byte-key agg), not a
-    // third read of the array pin
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .repartition(par, col("id_a"), col("id_b"))
+      .distinct()
+    // sizes from the pinned posting rows (one 8-byte-key agg); joined to
+    // the PAIR LIST rather than to the post-verify aggregate (r19) so the
+    // size-ratio bound below can prune candidates BEFORE the verify
+    // fan-out
     val sizes = exsh.groupBy("id").agg(count(lit(1)).as("sz"))
-    common
+    // SOUND candidate pre-filter (guide §3 — pre-filter the big side when
+    // selective): common <= min(sz_a, sz_b), and the final score
+    // jaccard(c) = c/(sz_a+sz_b-c) is monotonically non-decreasing in c —
+    // including through its double rounding — so evaluating THE SAME
+    // jaccard expression at c = min(sz_a, sz_b) gives each pair's highest
+    // reachable score. Pairs that cannot reach the threshold leave before
+    // the verify fan-out. The sketch join is collision-driven
+    // (corpus-common sub-cap prints admit C(df,2) pairs each), so most
+    // candidates are junk: at sf0.1 the bound kept 127k of 343k pairs and
+    // the verify fan-out fell from 24.0M to 9.9M joined rows. Output is
+    // provably identical: only pairs whose final jaccard had to fail the
+    // existing >= threshold filter are dropped, via the same arithmetic.
+    val candSized = cand
       .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .filter(jaccard(least(col("sz_a"), col("sz_b")),
+        col("sz_a"), col("sz_b")) >= threshold)
+    // common-count verify restricted to the surviving pairs: fan out on
+    // id_a's distinct shingles (bounded by survivors × avg set size), then
+    // the composite (id_b, sh) equi-join keeps exactly the shared ones —
+    // a shared print is a shared shingle value, so common >= 1 for every
+    // candidate and the inner joins lose nothing. sz_a/sz_b ride the
+    // groupBy keys (functionally dependent on the pair) so the final
+    // jaccard needs no further join.
+    val common = candSized
+      .join(exsh.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
+      .join(exsh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b").agg(count(lit(1)).as("common"))
+    // pin the (tiny) verified pair list: callers ORDER it, and the range
+    // sampling of a sort exchange executes its child an extra time — the
+    // pin makes that a cache read instead of a second pass over the
+    // verify fan-out
+    pin(common
       .select(col("id_a"), col("id_b"),
         jaccard(col("common"), col("sz_a"), col("sz_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .filter(col("jaccard") >= threshold))
   }
 
   /** SPAN-LEVEL benchmark decontamination — the modern overlap check (a

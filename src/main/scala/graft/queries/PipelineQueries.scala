@@ -344,9 +344,17 @@ object PipelineQueries {
       // the final join-back, and the canonicalization chain's percent-
       // decode fold is an interpreted HOF — without the pin it re-runs
       // per plan reference (3x the map work at any scale)
+      // the url fixture is STAGED as its own projection (r19): inlining it
+      // into canonicalize() substitutes the ~300-node fixture tree into
+      // every one of canonicalize's ~20 references to its argument, and
+      // Catalyst analysis over the multiplied tree cost ~1.5 s of DRIVER
+      // time per run (the formatted plan was 121 KB; staged it's a few KB —
+      // text_url_canonical always used this shape and never paid the tax).
+      // CollapseProject keeps non-cheap multiply-referenced aliases staged,
+      // so the executed plan is the same map-side chain; rows are identical.
       val withDomain = Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          UrlOps.canonicalize(UrlOps.urlVariantFixture(col("doc_id"))).as("curl"))
+        .select(col("doc_id"), UrlOps.urlVariantFixture(col("doc_id")).as("url"))
+        .select(col("doc_id"), UrlOps.canonicalize(col("url")).as("curl"))
         .select(col("doc_id"),
           UrlOps.registrableDomain(UrlOps.host(col("curl"))).as("domain"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -415,9 +423,13 @@ object PipelineQueries {
       val r1 = "User-agent: *\nDisallow: /*9$\n"
       val r2 = "User-agent: GraftBot\nDisallow: /p%E9/\n\n" +
         "User-agent: *\nDisallow: /\n"
+      // url fixture staged as its own projection (r19) — same driver-side
+      // analysis-cost fix as pipeline_domain_quota above: the inlined
+      // fixture×canonicalize tree cost ~1.5 s of plan construction per
+      // run on this, the largest composed plan of the family
       val base = Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          UrlOps.canonicalize(UrlOps.urlVariantFixture(col("doc_id"))).as("curl"))
+        .select(col("doc_id"), UrlOps.urlVariantFixture(col("doc_id")).as("url"))
+        .select(col("doc_id"), UrlOps.canonicalize(col("url")).as("curl"))
         .select(col("doc_id"),
           UrlOps.registrableDomain(UrlOps.host(col("curl"))).as("domain"),
           UrlOps.path(col("curl")).as("path"),

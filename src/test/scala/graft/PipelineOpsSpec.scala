@@ -445,6 +445,33 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(wp == bf)
   }
 
+  test("winnowPairs size prefilter: the exact-threshold pair survives, the just-under one leaves") {
+    // the r19 pre-verify bound drops candidates whose best reachable score
+    // jaccard(min(sz_a, sz_b), sz_a, sz_b) < threshold. Containment pairs
+    // (B extends A, so common = |set(A)|) sit ON that bound: their true
+    // jaccard IS the bound, making the filter's keep/drop edge visible in
+    // the output. words(i) are all-distinct tokens so set sizes are exact.
+    val n = 3; val w = 4
+    def words(tag: String, k: Int) = (0 until k).map(i => s"$tag$i").mkString(" ")
+    val a = words("x", 12)                  // 10 distinct 3-shingles
+    val sd = Seq(
+      (0L, a),
+      (1L, a + " " + words("y", 10)),       // 20 shingles: J = 10/20 = 0.5
+      (2L, a + " " + words("z", 12)),       // 22 shingles: J = 10/22 < 0.5
+      (3L, words("q", 14))                  // unrelated
+    ).toDF("doc_id", "text")
+    val wp = DedupOps.winnowPairs(sd, "doc_id", "text", n, w, 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    val bf = DedupOps.jaccardPairsExact(
+      DedupOps.shingleSets(sd, "doc_id", "text", n), "doc_id", 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(wp.contains((0L, 1L, 0.5)), s"exact-threshold pair dropped: $wp")
+    assert(!wp.exists(p => p._1 == 0L && p._2 == 2L), s"sub-threshold pair kept: $wp")
+    assert(wp == bf)
+  }
+
   test("winnowPairs df cap: boilerplate-only pairs stop, true dups survive") {
     val n = 3; val w = 4
     // the winnowing guarantee makes a shared >= w+n-1 run a GUARANTEED
