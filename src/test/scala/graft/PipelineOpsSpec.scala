@@ -450,9 +450,12 @@ class PipelineOpsSpec extends SparkTestBase {
     // jaccard(min(sz_a, sz_b), sz_a, sz_b) < threshold. Containment pairs
     // (B extends A, so common = |set(A)|) sit ON that bound: their true
     // jaccard IS the bound, making the filter's keep/drop edge visible in
-    // the output. words(i) are all-distinct tokens so set sizes are exact.
+    // the output. words(i) are all-distinct tokens so set sizes are exact —
+    // ALPHABETIC distinct (tokens() extracts [a-z]+ runs, so a digit suffix
+    // would collapse every "x0".."x11" to the single token "x").
     val n = 3; val w = 4
-    def words(tag: String, k: Int) = (0 until k).map(i => s"$tag$i").mkString(" ")
+    def words(tag: String, k: Int) =
+      (0 until k).map(i => s"$tag${('a' + i).toChar}").mkString(" ")
     val a = words("x", 12)                  // 10 distinct 3-shingles
     val sd = Seq(
       (0L, a),
